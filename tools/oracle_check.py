@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's t2 correctness gate.
+
+Usage: python3 tools/oracle_check.py <verifyOutDir> <sfDir>
+
+Reads <verifyOutDir>/<name>/ parquet (Spark results from graft.Verify) and
+<verifyOutDir>/oracle_sql.json, runs each oracle SQL in DuckDB against the
+parquet tables in <sfDir>, and compares: row count, column names, and
+values (columns sorted by name, rows sorted by all columns).
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True) if len(df) else df
+    return df.reset_index(drop=True)
+
+
+def cell(v):
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    return str(v)
+
+
+def main(outdir: str, sfdir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = duckdb.sql(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_bad += 1
+            continue
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_bad += 1
+            continue
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            n_bad += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            n_bad += 1
+            continue
+        gs = g.map(cell)
+        ws = w.map(cell)
+        if not gs.equals(ws):
+            diff = (gs != ws)
+            rows = diff.any(axis=1)
+            print(f"FAIL {name}: {int(rows.sum())}/{len(g)} rows differ; first:")
+            idx = rows[rows].index[0]
+            print("  spark :", dict(gs.loc[idx]))
+            print("  duckdb:", dict(ws.loc[idx]))
+            n_bad += 1
+            continue
+        print(f"ok   {name} ({len(g)} rows)")
+        n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail ==")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
