@@ -1,0 +1,144 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.model.Model
+import graft.ops.RadarOps
+import graft.parse.ReportParser
+
+/** E2 — the reprocess-from-landing pipeline (clean_data.py `__main__`,
+  * /root/reference/src/clean_data.py:217-262), re-expressed as one Spark
+  * job instead of a per-file Python loop:
+  *
+  *   binaryFile scan of the landing prefix → executor-side parse
+  *   (ReportParser inside map — one task per file, perfectly
+  *   partitionable) → normalize → idempotent append to the parquet lake
+  *   (flows + ledger), with parse failures collected as data, not crashes.
+  *
+  * Scale notes (100 TB design): the landing scan parallelizes over files;
+  * parsing is embarrassingly parallel; the ledger guard is a broadcast
+  * anti-join (ledger rows = files ever loaded — tiny next to flows); flows
+  * land partitioned by pubdate so per-day queries prune; only run-report
+  * counters ever reach the driver.
+  */
+object IngestJob {
+
+  final case class IngestReport(
+      filesSeen: Long,
+      filesParsed: Long,
+      filesFailed: Long,
+      filesNew: Long,
+      flowRowsAppended: Long)
+
+  /** Lake layout under a root dir: flows + ledger + errors as parquet. */
+  final case class Lake(root: String) {
+    val flowsDir = s"$root/flows"
+    val ledgerDir = s"$root/ledger"
+    val errorsDir = s"$root/errors"
+  }
+
+  /** Flows-at-rest schema: the 18 clean columns + file lineage (the
+    * engine's natural-key replacement for flows.equipment_files_id,
+    * schema.sql:55). */
+  val flowsLakeSchema: StructType = Model.flowsSchema
+    .add("file_name", "string")
+    .add("template", "integer")
+
+  def readLedger(spark: SparkSession, lake: Lake): DataFrame =
+    readOrEmpty(spark, lake.ledgerDir, Model.ledgerSchema)
+
+  def readFlows(spark: SparkSession, lake: Lake): DataFrame =
+    readOrEmpty(spark, lake.flowsDir, flowsLakeSchema)
+
+  private def readOrEmpty(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Executor-side parse of a (path, content) DataFrame into
+    * (reports, errors). */
+  def parseFiles(spark: SparkSession, files: DataFrame): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val parsed = files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])].map { case (path, bytes) =>
+        ReportParser.parse(path, bytes) match {
+          case Right(r) => (Some(r), Option.empty[Model.ParseError])
+          case Left(e) => (Option.empty[Model.ParsedReport], Some(e))
+        }
+      }.cache()
+    (parsed.flatMap(_._1).toDF(), parsed.flatMap(_._2).toDF())
+  }
+
+  /** Batch scan of every *.xlsx under `landingDir`. */
+  def landingFiles(spark: SparkSession, landingDir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")
+      .option("recursiveFileLookup", "true")   // landing keys are EQUIP/date.xlsx
+      .load(landingDir)
+      .select(col("path"), col("content"))
+
+  /** Run the full E2 batch. Idempotent: re-running over the same landing
+    * dir appends nothing (J2 semantics on the (pubdate, equipment) natural
+    * key, mirroring the unique index at schema.sql:31-33). */
+  def run(spark: SparkSession, landingDir: String, lake: Lake): IngestReport =
+    runOnFiles(spark, landingFiles(spark, landingDir), lake)
+
+  /** Core of E2 over an arbitrary (path, content) batch — shared by the
+    * batch driver above and the Structured Streaming foreachBatch sink. */
+  def runOnFiles(spark: SparkSession, files: DataFrame, lake: Lake): IngestReport = {
+    val (reports, errors) = parseFiles(spark, files)
+    val nParsed = reports.count()
+    val nErr = errors.count()
+    if (nErr > 0) errors.write.mode(SaveMode.Append).parquet(lake.errorsDir)
+
+    // Ledger candidates: one row per parsed file (clean_data.py:164-180).
+    val candidates = reports.select(
+      col("source").as("file_name"),
+      to_date(col("pubdate")).as("pubdate"),
+      col("equipment"),
+      current_timestamp().as("date_created"))
+    val newFiles = RadarOps
+      .idempotentNewRows(candidates, readLedger(spark, lake), Seq("pubdate", "equipment"))
+      .cache()
+    val nNew = newFiles.count()
+
+    var appended = 0L
+    if (nNew > 0) {
+      val tidy = reports
+        .select(col("source").as("file_name"), col("template"), explode(col("rows")).as("r"))
+        .select(col("file_name"), col("template"), col("r.*"))
+      val cleaned = RadarOps.splitTimeRange(RadarOps.cleanDirection(
+        tidy.withColumn("pubdate", to_date(col("pubdate")))))
+      val newFlows = cleaned
+        .join(broadcast(newFiles.select("pubdate", "equipment")),
+          Seq("pubdate", "equipment"), "left_semi")
+        .select(flowsLakeSchema.fieldNames.map(col).toSeq: _*)
+        .cache()
+      appended = newFlows.count()
+      newFlows.write.mode(SaveMode.Append).partitionBy("pubdate").parquet(lake.flowsDir)
+      newFiles.write.mode(SaveMode.Append).parquet(lake.ledgerDir)
+      newFlows.unpersist()
+    }
+    newFiles.unpersist()
+
+    IngestReport(
+      filesSeen = nParsed + nErr,
+      filesParsed = nParsed,
+      filesFailed = nErr,
+      filesNew = nNew,
+      flowRowsAppended = appended)
+  }
+
+  /** E3 planning stage (backload_scrape.py:56-86): the (equipment × date
+    * range) task matrix minus already-loaded pairs. The fetch itself is an
+    * I/O connector (S1) — callers map the surviving tasks to downloads. */
+  def backfillTasks(spark: SparkSession, lake: Lake, equipments: DataFrame,
+      start: String, end: String): DataFrame =
+    RadarOps.antiJoinLoaded(
+      RadarOps.taskMatrix(equipments, lit(start), lit(end)),
+      readLedger(spark, lake))
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.jobs.IngestJob
+
+/** Streaming face of the ingest pipeline (SURVEY.md §2.8): the reference's
+  * cron-batch + S3 consume-once queue (scrape.py:112-118,
+  * clean_data.py:223-262) maps to a Structured Streaming file source over
+  * the landing prefix with `cleanSource` post-commit handling, and the
+  * idempotent load runs inside foreachBatch — at-least-once delivery with
+  * a dedup sink, exactly like the reference's unique-index guard.
+  */
+object StreamingIngest {
+
+  /** binaryFile source schema (fixed by Spark's BinaryFileFormat). */
+  private val binaryFileSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** Start the landing-dir stream. `cleanSourceMode` is "archive",
+    * "delete", or "off" (S11's consume-once delete; archive keeps the raw
+    * payloads as the reference's processed bucket does). */
+  def start(
+      spark: SparkSession,
+      landingDir: String,
+      lake: IngestJob.Lake,
+      checkpointDir: String,
+      cleanSourceMode: String = "off",
+      archiveDir: Option[String] = None): StreamingQuery = {
+    var reader = spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.xlsx")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "500")
+      .option("cleanSource", cleanSourceMode)
+    archiveDir.foreach(d => reader = reader.option("sourceArchiveDir", d))
+    reader.load(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val report = IngestJob.runOnFiles(batch.sparkSession, batch, lake)
+        // S10 run-report log line, one per micro-batch.
+        println(s"[ingest-stream] batch=$batchId seen=${report.filesSeen} " +
+          s"parsed=${report.filesParsed} failed=${report.filesFailed} " +
+          s"new=${report.filesNew} rows=${report.flowRowsAppended}")
+        ()
+      }
+      .start()
+  }
+
+  /** Event-time analytics over the flows stream (the reference's 15-minute
+    * slots as real tumbling windows + watermarked late-data handling).
+    * `flowsWithTs` must carry a `slot_ts` timestamp column. */
+  def windowedFlowTotals(flowsWithTs: DataFrame): DataFrame =
+    flowsWithTs
+      .withWatermark("slot_ts", "1 day")
+      .groupBy(window(col("slot_ts"), "15 minutes"), col("equipment"), col("direction"))
+      .agg(sum(col("total")).as("vehicles"))
+      .select(col("window.start").as("slot_start"), col("equipment"),
+        col("direction"), col("vehicles"))
+}
