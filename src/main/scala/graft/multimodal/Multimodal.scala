@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque binary columns
+  * with typed metadata, plus batch-shaped decode/feature plumbing.
+  *
+  * The DECODE STEP IS A STUB: this container has no image/audio codecs, so
+  * `decodeStub` computes a deterministic fake feature vector from the raw
+  * bytes (byte-histogram moments). Everything around it — the schema, the
+  * per-partition batch iteration (the Scala analogue of mapInPandas), the
+  * partitioning story, the downstream aggregations — is real and tested.
+  * Swapping in a real decoder means replacing ONLY `decodeStub`'s body.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      kind: String,          // image | audio | video
+      width: Int,            // pixels (image/video) — 0 for audio
+      height: Int,
+      channels: Int,         // color channels / audio channels
+      sampleRate: Int,       // Hz — 0 for image
+      durationMs: Long)      // 0 for image
+
+  final case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      features: Array[Double])
+
+  /** Wrap the documents table as a deterministic media corpus: payload =
+    * UTF-8 bytes standing in for encoded media, kind cycling by id, and
+    * metadata derived from the payload size. Gives the multimodal path a
+    * reproducible corpus at every scale factor. */
+  def packDocsAsMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val kind = (id % 3) match {
+        case 0 => "image"
+        case 1 => "audio"
+        case _ => "video"
+      }
+      val meta = kind match {
+        case "image" => MediaMeta(kind, 64 + (bytes.length % 64), 64, 3, 0, 0L)
+        case "audio" => MediaMeta(kind, 0, 0, 2, 16000, bytes.length.toLong * 10)
+        case _       => MediaMeta(kind, 128, 72, 3, 0, bytes.length.toLong * 5)
+      }
+      MediaRow(id, meta, bytes)
+    }
+  }
+
+  /** STUB decoder — stands in for image decode / audio feature extraction.
+    * Deterministic 8-dim feature: byte-histogram moments. Runs
+    * per-partition over an iterator (the batch shape a vectorized decode
+    * would use); replace the body with a real codec to productionize. */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-batch (partition) setup would open the codec once here
+      rows.map { m =>
+        val bs = m.payload
+        val n = bs.length.max(1)
+        val hist = new Array[Long](8)
+        var i = 0
+        while (i < bs.length) { hist((bs(i) & 0xFF) >> 5) += 1; i += 1 }
+        val feats = hist.map(_.toDouble / n)
+        MediaFeatures(m.media_id, m.meta.kind, bs.length.toLong, feats)
+      }
+    }
+  }
+
+  /** Deterministic "frame sampling": take `n` evenly spaced byte windows of
+    * `window` bytes from the payload (what real frame extraction would do
+    * to a video stream, minus the codec). */
+  def frameSample(media: Dataset[MediaRow], n: Int, window: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val len = m.payload.length
+      if (len == 0) Seq.empty
+      else (0 until n).map { f =>
+        val start = (len.toLong * f / n).toInt
+        val end = math.min(start + window, len)
+        (m.media_id, f, java.util.Arrays.copyOfRange(m.payload, start, end))
+      }
+    }.toDF("media_id", "frame_no", "frame_bytes")
+  }
+}

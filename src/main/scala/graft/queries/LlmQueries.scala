@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.tables.Tables
+import graft.text.TextAnalysis
+
+/** The training-data-pipeline operator suite over the documents/embeddings
+  * tables: text analysis, the dedup family, similarity search, multimodal
+  * plumbing. SQL-expressible members carry DuckDB oracles; the
+  * hash-function-dependent ones (xxhash64-based MinHash/SimHash, LSH) are
+  * deterministic rows-only checks, with their correctness pinned by
+  * ScalaTest against brute-force implementations instead.
+  */
+object LlmQueries {
+
+  // ------------------------------------------------------ q19_text_stats
+  private def q19Text(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(t).as("n_tokens"),
+      TextAnalysis.bpeishCount(t).as("n_bpeish"),
+      TextAnalysis.punctCount(t).as("n_punct"),
+      TextAnalysis.stopwordRatio(t).as("stop_ratio"),
+      TextAnalysis.qualityScore(t).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q19Sql = {
+    val stop = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |  len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpeish,
+       |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+       |  CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0 THEN
+       |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      t -> t IN ($stop))) AS DOUBLE)
+       |      / len(string_split_regex(trim(text), '\\s+'))
+       |    ELSE 0.0 END AS stop_ratio,
+       |  least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.3
+       |  + (1.0 - least(CASE WHEN length(text) > 0 THEN
+       |      CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+       |      ELSE 0.0 END * 10.0, 1.0)) * 0.2
+       |  + least(CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0 THEN
+       |      CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |        t -> t IN ($stop))) AS DOUBLE)
+       |        / len(string_split_regex(trim(text), '\\s+'))
+       |      ELSE 0.0 END * 4.0, 1.0) * 0.3
+       |  + (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0 THEN
+       |      CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+       |        / len(string_split_regex(trim(text), '\\s+')) ELSE 0.0 END)
+       |      BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------- q20_dedup_exact
+  // Exact dedup keyed on a normalized md5 (md5 exists in both engines;
+  // the engine-internal key is xxhash64, same semantics).
+  private def q20Exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+        .as("content_key"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper_id"))
+
+  private val q20Sql =
+    """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key,
+      |  min(doc_id) AS keeper_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin
+
+  // ------------------------------------------- near-dup corpus injection
+  /** documents ∪ five perturbed near-copies (ids +100000) — guarantees the
+    * near-dup operators have true positives to find at every scale. */
+  private def withInjectedDups(docs: DataFrame): DataFrame = {
+    val dups = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" appended tail marker")).as("text"))
+    docs.select(col("doc_id"), col("text")).union(dups)
+  }
+
+  // --------------------------------------------------- q21_dedup_minhash
+  private def q21Minhash(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupPairsMinhash(
+      withInjectedDups(Tables.documents(s, d)), "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  // --------------------------------------------------- q22_dedup_simhash
+  private def q22Simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupPairsSimhash(
+      withInjectedDups(Tables.documents(s, d)), "doc_id", "text", maxHamming = 6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---------------------------------------------------- q23_cosine_topk
+  // Brute-force cosine top-10 for 5 probe vectors; both engines rank on
+  // the 6-decimal-rounded similarity so tiny fp drift cannot flip ranks.
+  private def q23Cosine(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("qv"), col("cv")), 6).as("sim6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q23Sql =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(list_cosine_similarity(qv, cv), 6) AS sim6
+      |  FROM c, q WHERE query_id <> neighbor_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, sim6,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id ASC) AS rank
+      |  FROM s)
+      |SELECT query_id, neighbor_id, rank, sim6 FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------------------- q24_ann_topk
+  private def q24Ann(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.annTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      k = 10, planes = 6, dim = 64)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // --------------------------------------------------------- q25_langid
+  private def q25LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  // ---------------------------------------------------- q26_fingerprint
+  private def q26Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
+      TextAnalysis.winnowFingerprint(col("text"), 16).as("winnow_fp"))
+      .orderBy(col("doc_id"))
+
+  // ----------------------------------------------------- q27_multimodal
+  private def q27Multimodal(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.packDocsAsMedia(Tables.documents(s, d))
+    val feats = Multimodal.decodeStub(media)
+    feats.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        // features[4] = share of bytes in [96,128) — the lowercase-letter
+        // bucket, the informative one for text payloads
+        round(avg(element_at(col("features"), 4)), 6).as("avg_f3"))
+      .orderBy(col("kind"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q19_text_stats", q19Text, Some(q19Sql)),
+    Q("q20_dedup_exact", q20Exact, Some(q20Sql)),
+    Q("q21_dedup_minhash", q21Minhash, None),
+    Q("q22_dedup_simhash", q22Simhash, None),
+    Q("q23_cosine_topk", q23Cosine, Some(q23Sql)),
+    Q("q24_ann_topk", q24Ann, None),
+    Q("q25_langid", q25LangId, None),
+    Q("q26_fingerprint", q26Fingerprint, None),
+    Q("q27_multimodal", q27Multimodal, None),
+  )
+}

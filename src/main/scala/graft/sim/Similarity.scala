@@ -1,0 +1,108 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (array<float>):
+  *
+  *  - cosine / dot as pure Catalyst expressions (zip_with + aggregate);
+  *  - brute-force top-k as the exactness baseline (query-side broadcast ×
+  *    corpus scan — linear in corpus size, parallel over partitions);
+  *  - random-hyperplane LSH bucketing as the 100 TB path: each vector gets
+  *    a small integer bucket; candidate generation becomes an equi-join on
+  *    bucket (shuffle on an int key instead of an all-pairs cross join),
+  *    re-ranked by exact cosine within buckets.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe zero when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom > 0, dot(a, b) / denom).otherwise(0.0)
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query row: broadcast the (small) query
+    * set against the corpus, rank by cosine. Output: (query_id, neighbor_id,
+    * rank, sim). Ties broken by neighbor id for determinism. Self-matches
+    * excluded when ids collide. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes: `planes` sign vectors of length
+    * `dim` derived from a seeded PRNG (±1 components — sign-random
+    * projection). */
+  private[sim] def planeSigns(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Random-hyperplane LSH bucket id (0 until 2^planes) for a vector:
+    * bit p = sign(v · plane_p). Vectors with equal buckets are likely
+    * cosine-close; used as the ANN candidate key. */
+  def lshBucket(vec: Column, planes: Int, dim: Int, seed: Long = 7L): Column = {
+    val v = asDouble(vec)
+    val bits = planeSigns(planes, dim, seed).zipWithIndex.map { case (signs, p) =>
+      val proj = dot(v, typedLit(signs))
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k: bucket both sides with the same hyperplanes, equi-join on
+    * bucket, exact-cosine re-rank within candidates. Recall < 1 by
+    * construction (a probe can miss neighbors in other buckets); raise
+    * recall by lowering `planes` or probing multiple seeds. */
+  def annTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 8, dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+      lshBucket(col(vecCol), planes, dim, seed).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
+      lshBucket(col(vecCol), planes, dim, seed).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold)
+    * via LSH buckets — the embedding-space member of the dedup family. */
+  def nearDupPairsEmbedding(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8, dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val b = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      lshBucket(col(vecCol), planes, dim, seed).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+  }
+}

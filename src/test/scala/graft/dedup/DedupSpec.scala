@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (3L, "completely unrelated text about spark query engines and catalyst optimizers"),
+    (4L, "THE QUICK  brown fox jumps over the lazy dog near the river bank today"),
+    (5L, "another fully distinct document discussing minhash banding mathematics"),
+    (6L, "the quick brown fox jumps over the lazy dog near the river bank today extra"))
+    .toDF("doc_id", "text")
+
+  test("exactDups groups case/whitespace variants; dropExactDups keeps min id") {
+    val groups = Dedup.exactDups(corpus, "doc_id", "text")
+    assert(groups.count() == 5) // 1 and 4 collapse
+    assert(groups.filter($"n_copies" === 2).select($"keeper_id").as[Long].head() == 1L)
+    val kept = Dedup.dropExactDups(corpus, "doc_id", "text")
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 5L, 6L))
+  }
+
+  test("shingles: n-grams, distinct, short-text fallback") {
+    val got = Seq("a b c d").toDF("t")
+      .select(Dedup.shingles($"t", 3)).as[Seq[String]].head()
+    assert(got.toSet == Set("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Dedup.shingles($"t", 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("jaccard: identical → 1, disjoint → 0") {
+    val df = Seq(("x y z", "x y z"), ("a b c", "p q r")).toDF("t1", "t2")
+    val got = df.select(
+      Dedup.jaccard(Dedup.shingles($"t1", 2), Dedup.shingles($"t2", 2)))
+      .as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0))
+  }
+
+  test("minhash LSH finds all high-jaccard pairs the brute force finds") {
+    val brute = Dedup.nearDupPairsBruteForce(corpus, "doc_id", "text", n = 3, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty) // (1,2),(1,4),(1,6) at least
+    assert(brute.contains((1L, 4L)))
+    val lsh = Dedup.nearDupPairsMinhash(corpus, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verification step makes LSH ⊆ brute-force; banding at j≥0.7,r=4,b=16
+    // gives P(miss) < (1-0.7^4)^16 ≈ 0.8% per pair — deterministic here
+    assert(lsh == brute)
+  }
+
+  test("unrelated docs produce no near-dup pairs") {
+    val distinct = corpus.filter($"doc_id".isin(3L, 5L))
+    assert(Dedup.nearDupPairsMinhash(distinct, "doc_id", "text").count() == 0)
+    assert(Dedup.nearDupPairsBruteForce(distinct, "doc_id", "text").count() == 0)
+  }
+
+  test("simhash: identical token sets → hamming 0; near-dups small hamming") {
+    val sigs = corpus.select($"doc_id", Dedup.simhash64($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    // 1 and 4 differ only by case/spacing → identical lowercased token set
+    assert(sigs(1L) == sigs(4L))
+    val d12 = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    val d13 = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(d12 < d13, s"near-dup hamming $d12 should beat unrelated $d13")
+    val pairs = Dedup.nearDupPairsSimhash(corpus, "doc_id", "text", maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.contains((3L, 5L)))
+  }
+}

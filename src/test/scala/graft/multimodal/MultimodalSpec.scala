@@ -1,0 +1,46 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "an image-ish payload with enough bytes to histogram"),
+    (1L, "an audio-ish payload"),
+    (2L, "a video-ish payload that is a bit longer than the audio one"))
+    .toDF("doc_id", "text")
+
+  test("packDocsAsMedia: kinds cycle, metadata typed and populated") {
+    val media = Multimodal.packDocsAsMedia(docs).collect().sortBy(_.media_id)
+    assert(media.map(_.meta.kind).toSeq == Seq("image", "audio", "video"))
+    assert(media(0).meta.channels == 3 && media(0).meta.sampleRate == 0)
+    assert(media(1).meta.sampleRate == 16000 && media(1).meta.durationMs > 0)
+    assert(media.forall(_.payload.nonEmpty))
+  }
+
+  test("decodeStub: deterministic 8-dim normalized features") {
+    val media = Multimodal.packDocsAsMedia(docs)
+    val f1 = Multimodal.decodeStub(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeStub(media).collect().sortBy(_.media_id)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    f1.foreach { f =>
+      assert(f.features.length == 8)
+      assert(math.abs(f.features.sum - 1.0) < 1e-9) // histogram normalized
+    }
+  }
+
+  test("frameSample: n evenly spaced windows per payload") {
+    val media = Multimodal.packDocsAsMedia(docs)
+    val frames = Multimodal.frameSample(media, n = 4, window = 8)
+    assert(frames.count() == 12)
+    val sizes = frames.select("frame_bytes").as[Array[Byte]].collect()
+    assert(sizes.forall(b => b.length > 0 && b.length <= 8))
+    val perDoc = frames.groupBy("media_id").count()
+      .select("count").as[Long].collect().toSet
+    assert(perDoc == Set(4L))
+  }
+}

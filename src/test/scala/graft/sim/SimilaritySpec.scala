@@ -1,0 +1,59 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.tables.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine: identical → 1, orthogonal → 0, zero-vector safe") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)),
+      (Seq(0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).as[Double].collect().toSeq
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) == 0.0 && got(2) == 0.0)
+  }
+
+  test("bruteForceTopK returns the true nearest neighbor first") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.95f, 0.05f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(top == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("ANN candidates carry exact cosine and valid ranks; recall is non-trivial") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(queries, emb, "vec_id", "embedding", 10,
+      planes = 2, dim = 64)
+    val annRows = ann.collect()
+    assert(annRows.forall(r => r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 10))
+    val annPairs = ann.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (annPairs intersect exact).size.toDouble / exact.size
+    // these embeddings are near-uniform random, the hardest case for LSH —
+    // 2 planes / 4 buckets keeps the candidate pool ~25% and recall sane
+    info(f"ANN recall@10 with 2 planes: $recall%.2f")
+    assert(recall > 0.15, s"recall collapsed: $recall")
+  }
+
+  test("nearDupPairsEmbedding finds an injected duplicate vector") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dup = emb.filter($"vec_id" === 7L)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
+    val pairs = Similarity.nearDupPairsEmbedding(
+      emb.unionByName(dup), "vec_id", "embedding", threshold = 0.999)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((7L, 100007L)))
+  }
+}
