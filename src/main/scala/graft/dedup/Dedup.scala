@@ -88,15 +88,15 @@ object Dedup {
       n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.6): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPer = k / bands
+    // signature via the native single-pass expression (bit-identical to
+    // the pure-expression minhashSignature; see NativeHashes + its spec).
+    // Verification shingles carried as xxhash64 longs, not strings: the
+    // bucket join then shuffles 8-byte array elements and Jaccard runs on
+    // longs — same value modulo ~2^-64 collisions.
     val withSig = df.select(
       col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
-      .withColumn("sig", {
-        val hashes = transform(col("sh"), s => xxhash64(s))
-        array((0 until k).map { i =>
-          array_min(transform(hashes, h => xxhash64(h, lit(i))))
-        }: _*)
-      })
+      graft.functions.NativeHashes.shingleHashes(col(textCol), n).as("sh"),
+      graft.functions.NativeHashes.minhashSig(col(textCol), n, k).as("sig"))
     val buckets = withSig
       .select(col("id"), col("sh"), explode(bandKeys(col("sig"), bands, rowsPer)).as("bucket"))
     val l = buckets.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
@@ -114,7 +114,8 @@ object Dedup {
   def nearDupPairsBruteForce(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sh = df.select(col(idCol).as("id"),
+      graft.functions.NativeHashes.shingleHashes(col(textCol), n).as("sh"))
     val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     l.crossJoin(r)
@@ -156,7 +157,8 @@ object Dedup {
     * ≤ 3), verify by hamming ≤ maxHamming. */
   def nearDupPairsSimhash(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.NativeHashes.simhash64(col(textCol)).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(j =>
         concat_ws(":", lit(j).cast("string"), shiftrightunsigned(col("sig"), j * 16)

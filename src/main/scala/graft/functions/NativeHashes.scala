@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup signature functions.
+  *
+  * The pure-`functions._` formulations in [[graft.dedup.Dedup]] are
+  * semantically right but build a forest of k×|shingles| array expressions
+  * per row — measured 12-18 s over 5k docs at sf0.1. These single-pass
+  * implementations (one tokenize, tight long loops, zero intermediate
+  * arrays) compute bit-identical signatures ~1-2 orders of magnitude
+  * faster; DedupNativeSpec pins the equivalence.
+  *
+  * Hash chain replicated from Spark's own xxhash64 SQL function
+  * (seed 42, XXH64 per element) so `minhash_sig(text)[i] ==
+  * array_min(transform(..., h -> xxhash64(h, i)))` exactly.
+  */
+object NativeHashes {
+
+  private val SEED = 42L
+
+  /** Lowercased whitespace tokens → distinct word n-gram shingles, exactly
+    * mirroring Dedup.shingles (split(trim(lower(text)), "\\s+"), n-gram
+    * concat_ws(" "), array_distinct, whole-text fallback). */
+  /** Spark's trim() strips 0x20 only (not \t\n like String.trim). */
+  private def trimSpaces(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
+  private[functions] def shingleStrings(text: String, n: Int): Array[String] = {
+    val toks = trimSpaces(text.toLowerCase(java.util.Locale.ROOT)).split("\\s+", -1)
+    if (toks.length >= n) {
+      val out = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+      out.toArray(new Array[String](out.size))
+    } else Array(toks.mkString(" "))
+  }
+
+  private def hashShingle(s: String): Long = {
+    val u = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, SEED)
+  }
+
+  /** xxhash64(h: bigint, i: int) with Spark's chained-seed semantics. */
+  private def rehash(h: Long, i: Int): Long =
+    XXH64.hashInt(i, XXH64.hashLong(h, SEED))
+
+  /** minhash_sig(text): array<bigint> of k MinHash values over word
+    * n-gram shingles. */
+  case class MinHashSigExpr(child: Expression, n: Int, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_sig"
+    override protected def nullSafeEval(input: Any): Any = {
+      val shingles = shingleStrings(input.asInstanceOf[UTF8String].toString, n)
+      val mins = Array.fill(k)(Long.MaxValue)
+      var si = 0
+      while (si < shingles.length) {
+        val base = hashShingle(shingles(si))
+        val inner = XXH64.hashLong(base, SEED)
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashInt(i, inner)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+        si += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** shingle_hashes(text): array<bigint> of xxhash64 values of the distinct
+    * word n-gram shingles — bit-identical to
+    * transform(Dedup.shingles(c, n), s => xxhash64(s)). */
+  case class ShingleHashesExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingle_hashes"
+    override protected def nullSafeEval(input: Any): Any = {
+      val shingles = shingleStrings(input.asInstanceOf[UTF8String].toString, n)
+      val out = new Array[Long](shingles.length)
+      var i = 0
+      while (i < shingles.length) { out(i) = hashShingle(shingles(i)); i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** simhash64(text): 64-bit SimHash over word n-gram shingles. */
+  case class SimHash64Expr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash64"
+    override protected def nullSafeEval(input: Any): Any = {
+      val shingles = shingleStrings(input.asInstanceOf[UTF8String].toString, n)
+      val votes = new Array[Int](64)
+      var si = 0
+      while (si < shingles.length) {
+        val h = hashShingle(shingles(si))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        si += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // Spark 4's Column wraps ColumnNode; ColumnBridge hops to Catalyst.
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def minhashSig(c: Column, n: Int = 3, k: Int = 64): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(c), n, k))
+
+  def shingleHashes(c: Column, n: Int = 3): Column =
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(c), n))
+
+  def simhash64(c: Column, n: Int = 2): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c), n))
+
+  /** Register graft_minhash_sig / graft_simhash64 for SQL use. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig", exprs => MinHashSigExpr(exprs.head, 3, 64), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64Expr(exprs.head, 2), "scala_udf")
+  }
+}
+
+/** Session extension hook: --conf spark.sql.extensions=graft.functions.GraftExtensions */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_sig"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NativeHashes.MinHashSigExpr].getName, "graft_minhash_sig"),
+        (exprs: Seq[Expression]) => NativeHashes.MinHashSigExpr(exprs.head, 3, 64)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NativeHashes.SimHash64Expr].getName, "graft_simhash64"),
+        (exprs: Seq[Expression]) => NativeHashes.SimHash64Expr(exprs.head, 2)))
+  }
+}
