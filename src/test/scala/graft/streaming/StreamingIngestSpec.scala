@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.jobs.IngestJob
+import graft.parse.{ReportFixtures, Xlsx}
+
+class StreamingIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("windowed flow totals: 15-min tumbling windows close past the watermark") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, String, Int)]
+    val flows = stream.toDF().toDF("slot_ts", "equipment", "direction", "total")
+    val agg = StreamingIngest.windowedFlowTotals(flows)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wft").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      stream.addData(
+        (ts("2021-03-01 00:00:30"), "E1", "Norte", 10),
+        (ts("2021-03-01 00:05:00"), "E1", "Norte", 5),
+        (ts("2021-03-01 00:16:00"), "E1", "Norte", 7))
+      q.processAllAvailable()
+      // advance the event-time watermark (1 day) far enough to close day 1
+      stream.addData((ts("2021-03-03 00:00:00"), "E2", "Sul", 1))
+      q.processAllAvailable()
+      stream.addData((ts("2021-03-05 00:00:00"), "E2", "Sul", 1))
+      q.processAllAvailable()
+      val out = spark.table("wft")
+        .select(concat_ws("|", $"equipment",
+          date_format($"slot_start", "yyyy-MM-dd HH:mm")).as("slot"), $"vehicles")
+        .as[(String, Long)].collect().toMap
+      assert(out("E1|2021-03-01 00:00") == 15L) // two rows in the first window
+      assert(out("E1|2021-03-01 00:15") == 7L)
+    } finally q.stop()
+  }
+
+  test("streaming ingest drains landing files exactly once across restarts") {
+    val work = Files.createTempDirectory("stream-spec").toString
+    val lake = IngestJob.Lake(s"$work/lake")
+    val landing = s"$work/landing"
+    def drop(e: String, d: String): Unit = {
+      val p = java.nio.file.Paths.get(s"$landing/$e/$d.xlsx")
+      Files.createDirectories(p.getParent)
+      Files.write(p, Xlsx.write(ReportFixtures.workbook(1, e, d)))
+      ()
+    }
+    drop("E1", "2021-03-01")
+    val q1 = StreamingIngest.start(spark, landing, lake, s"$work/chk")
+    q1.processAllAvailable(); q1.stop()
+    assert(IngestJob.readFlows(spark, lake).count() == 96)
+
+    // restart from the same checkpoint; add one more file — only it loads
+    drop("E2", "2021-03-01")
+    val q2 = StreamingIngest.start(spark, landing, lake, s"$work/chk")
+    q2.processAllAvailable(); q2.stop()
+    assert(IngestJob.readFlows(spark, lake).count() == 192)
+    assert(IngestJob.readLedger(spark, lake).count() == 2)
+  }
+}
