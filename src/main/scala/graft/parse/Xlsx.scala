@@ -32,14 +32,14 @@ object Xlsx {
   }
 
   /** "B3" → (2, 1). */
-  private[parse] def parseRef(ref: String): (Int, Int) = {
+  def parseRef(ref: String): (Int, Int) = {
     val (letters, digits) = ref.span(_.isLetter)
     val col = letters.foldLeft(0)((a, ch) => a * 26 + (ch.toUpper - 'A' + 1)) - 1
     (digits.toInt - 1, col)
   }
 
   /** (2, 1) → "B3". */
-  private[parse] def toRef(r: Int, c: Int): String = {
+  def toRef(r: Int, c: Int): String = {
     var n = c + 1
     val sb = new StringBuilder
     while (n > 0) { val rem = (n - 1) % 26; sb.insert(0, ('A' + rem).toChar); n = (n - 1) / 26 }

@@ -1,0 +1,99 @@
+package graft.props
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.analytics.SpeedHistogram
+import graft.model.Model
+import graft.ops.RadarOps
+import graft.parse.{CellGrid, ReportFixtures, ReportParser, Xlsx}
+
+/** Property-based checks from SURVEY.md §5: codec round-trips, histogram
+  * invariants, percentile bounds, idempotency algebra. Generators drawn
+  * deterministically (fixed seeds) so failures reproduce; Spark-touching
+  * properties batch all samples into one job to stay fast.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("xlsx cell-ref codec round-trips for arbitrary coordinates") {
+    val coords = samples(Gen.zip(Gen.choose(0, 100000), Gen.choose(0, 700)), 200)
+    coords.foreach { case (r, c) =>
+      assert(Xlsx.parseRef(Xlsx.toRef(r, c)) == ((r, c)))
+    }
+  }
+
+  test("xlsx grid write→read round-trips arbitrary small grids") {
+    val cellGen = for {
+      r <- Gen.choose(0, 30)
+      c <- Gen.choose(0, 25)
+      v <- Gen.oneOf(Gen.alphaNumStr.map(_.take(20)), Gen.choose(0, 9999).map(_.toString))
+    } yield (r, c) -> v
+    samples(Gen.mapOf(cellGen), 25).foreach { cells =>
+      val nonEmpty = cells.filter(_._2.nonEmpty)
+      val grid = CellGrid(nonEmpty)
+      assert(Xlsx.read(Xlsx.write(grid)).cells == nonEmpty)
+    }
+  }
+
+  test("time_range split is the inverse of slot construction for all 96 slots") {
+    val df = (0 until 96).map(ReportFixtures.slot).toDF("time_range")
+    val rows = RadarOps.withSlotSeconds(RadarOps.splitTimeRange(df))
+      .select("time_range", "initial_time", "end_time", "initial_seconds")
+      .as[(String, String, String, Int)].collect()
+    rows.zipWithIndex.foreach { case ((tr, ini, end, secs), i) =>
+      assert(tr == s"$ini as $end")
+      assert(secs == i * 900)
+    }
+  }
+
+  test("percentile from bins stays within bin-edge bounds on random histograms") {
+    val histGen = Gen.zip(Gen.listOfN(11, Gen.choose(0, 50)), Gen.choose(1, 99))
+    val cases = samples(histGen, 60).filter(_._1.sum > 0)
+    assert(cases.size > 30)
+    // one Spark job for all generated histograms
+    val union = cases.map { case (bins, pct) =>
+      val cols = Model.speedBins.zip(bins).map { case (n, v) => lit(v).as(n) } :+
+        lit(bins.sum).as("total")
+      spark.range(1).select(cols: _*)
+        .select(SpeedHistogram.percentileCol(pct / 100.0).as("p"))
+    }.reduce(_ union _)
+    union.as[Double].collect().foreach { p =>
+      assert(p >= 0.0 && p <= 110.0, s"percentile $p out of bin range")
+    }
+  }
+
+  test("parser emits sum(bins)==total for every template") {
+    Seq(1, 2, 3).foreach { tpl =>
+      val grid = ReportFixtures.workbook(tpl, "EQX", "2021-06-07")
+      val rows = ReportParser.parseGrid("prop", grid).toOption.get.rows
+      rows.foreach { r =>
+        val bins = Seq(r.speed_00_10, r.speed_11_20, r.speed_21_30, r.speed_31_40,
+          r.speed_41_50, r.speed_51_60, r.speed_61_70, r.speed_71_80,
+          r.speed_81_90, r.speed_91_100, r.speed_100_up)
+        assert(bins.sum == r.total)
+      }
+    }
+  }
+
+  test("idempotent append is a fixpoint: apply twice == apply once") {
+    val pairsGen = Gen.listOfN(30, Gen.zip(Gen.choose(1, 5), Gen.choose(1, 5)))
+    samples(pairsGen, 5).foreach { pairs =>
+      val incoming = pairs.map { case (e, d) => (s"E$e", s"2021-03-0$d") }
+        .toDF("equipment", "pubdate")
+      val empty = Seq.empty[(String, String)].toDF("equipment", "pubdate")
+      val once = RadarOps.idempotentNewRows(incoming, empty, Seq("equipment", "pubdate"))
+      val after = empty.union(once)
+      val twice = RadarOps.idempotentNewRows(incoming, after, Seq("equipment", "pubdate"))
+      assert(twice.count() == 0)
+      assert(once.count() == pairs.distinct.size)
+    }
+  }
+}

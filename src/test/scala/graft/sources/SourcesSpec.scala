@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ops.RadarOps
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("equipment CSV: explicit schema, prunable projection") {
+    val dir = Files.createTempDirectory("src-spec").toString
+    Files.writeString(Paths.get(s"$dir/equip.csv"),
+      """equipment,latitude,longitude,address,bus_lane,bike_lane,parking_lane,number_lanes
+        |FS551JOI,-26.30,-48.84,Rua Blumenau,false,true,false,2
+        |FS552JOI,-26.31,-48.85,Rua XV,true,false,false,3
+        |""".stripMargin)
+    val dim = Sources.equipmentCsv(spark, s"$dir/equip.csv")
+    assert(dim.count() == 2)
+    val row = dim.filter($"equipment" === "FS551JOI")
+      .select($"bike_lane", $"number_lanes").as[(Boolean, Int)].head()
+    assert(row == ((true, 2)))
+    // projection prunes to one CSV column (the reference's usecols)
+    val ids = dim.select("equipment").as[String].collect().toSet
+    assert(ids == Set("FS551JOI", "FS552JOI"))
+  }
+
+  test("equipment JSON (Portuguese keys) + loadEquipments normalization") {
+    val dir = Files.createTempDirectory("src-spec2").toString
+    Files.writeString(Paths.get(s"$dir/equip.json"),
+      """[{"equipamento":"FS551JOI","latitude":-26.3,"longitude":-48.8,
+        |"endereco":"Rua Blumenau","endereco_alterado":"x","ciclofaixa":1,
+        |"corredor":0,"estacionamento":0,"n_faixa_carro_sentido":2,
+        |"radar_2_sentidos":"S"}]""".stripMargin)
+    val dim = RadarOps.loadEquipments(Sources.equipmentJson(spark, s"$dir/equip.json"))
+    assert(dim.columns.contains("equipment") && dim.columns.contains("bike_lane"))
+    val row = dim.select($"equipment", $"bike_lane", $"bus_lane").as[(String, Boolean, Boolean)].head()
+    assert(row == (("FS551JOI", true, false)))
+  }
+
+  test("flows CSV sink partitions by pubdate") {
+    val dir = Files.createTempDirectory("src-spec3").toString
+    val df = Seq(("2021-03-01", "E1", 5), ("2021-03-02", "E1", 7))
+      .toDF("pubdate", "equipment", "total")
+    Sources.flowsCsv(df, s"$dir/flows")
+    assert(new java.io.File(s"$dir/flows/pubdate=2021-03-01").exists())
+    val back = spark.read.option("header", "true").csv(s"$dir/flows")
+    assert(back.count() == 2)
+  }
+}
