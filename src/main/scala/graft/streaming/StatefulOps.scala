@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state (SURVEY.md §2.8's KeyValueGroupedDataset
+  * mapping): arbitrary per-key state beyond windowed aggregation.
+  * State lives in the checkpointed state store — per-key, partitioned,
+  * nothing driver-side — so it scales with executor count like any
+  * keyed stream.
+  */
+object StatefulOps {
+
+  final case class EquipmentUpdate(equipment: String, vehicles: Long)
+  final case class EquipmentTotal(equipment: String, totalVehicles: Long, batches: Long)
+
+  /** Running per-equipment totals across micro-batches via
+    * flatMapGroupsWithState — emits one updated total per key per batch. */
+  def runningTotals(
+      spark: SparkSession,
+      updates: Dataset[EquipmentUpdate]): Dataset[EquipmentTotal] = {
+    import spark.implicits._
+    updates
+      .groupByKey(_.equipment)
+      .flatMapGroupsWithState[EquipmentTotal, EquipmentTotal](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[EquipmentUpdate], state: GroupState[EquipmentTotal]) =>
+          val add = rows.map(_.vehicles).sum
+          val prev = state.getOption.getOrElse(EquipmentTotal(key, 0L, 0L))
+          val next = EquipmentTotal(key, prev.totalVehicles + add, prev.batches + 1)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -65,4 +65,24 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(IngestJob.readFlows(spark, lake).count() == 192)
     assert(IngestJob.readLedger(spark, lake).count() == 2)
   }
+
+  test("stateful running totals accumulate across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[StatefulOps.EquipmentUpdate]
+    val totals = StatefulOps.runningTotals(spark, stream.toDS())
+    val q = totals.writeStream.outputMode("append")
+      .format("memory").queryName("totals").start()
+    try {
+      stream.addData(StatefulOps.EquipmentUpdate("E1", 10),
+        StatefulOps.EquipmentUpdate("E1", 5), StatefulOps.EquipmentUpdate("E2", 3))
+      q.processAllAvailable()
+      stream.addData(StatefulOps.EquipmentUpdate("E1", 7))
+      q.processAllAvailable()
+      val rows = spark.table("totals")
+        .as[StatefulOps.EquipmentTotal].collect()
+      val e1 = rows.filter(_.equipment == "E1").map(_.totalVehicles).toSet
+      assert(e1 == Set(15L, 22L)) // batch 1 emission, then batch 2 cumulative
+      assert(rows.filter(_.equipment == "E2").map(_.totalVehicles).toSet == Set(3L))
+    } finally q.stop()
+  }
 }
