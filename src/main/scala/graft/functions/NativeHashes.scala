@@ -106,6 +106,38 @@ object NativeHashes {
       copy(child = newChild)
   }
 
+  /** winnow_fp(text): min xxhash64 over strided character k-grams of the
+    * whitespace-normalized lowercased text — bit-identical to
+    * TextAnalysis.winnowFingerprint. */
+  case class WinnowFingerprintExpr(child: Expression, k: Int, stride: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_winnow_fp"
+    override protected def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].toString
+      // lower(regexp_replace(trim(text), "\\s+", " ")) — trim is
+      // space-only in Spark, then whitespace runs collapse to one space
+      val norm = trimSpaces(raw).replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+      // Spark length()/substr() count codepoint-ish chars via UTF8String;
+      // hash the UTF8String bytes of each gram exactly as xxhash64 does
+      val u = UTF8String.fromString(norm)
+      val n = u.numChars()
+      val last = math.max(n - (k - 1), 1)
+      var min = Long.MaxValue
+      var i = 1
+      while (i <= last) {
+        val gram = u.substringSQL(i, k)
+        val h = XXH64.hashUnsafeBytes(
+          gram.getBaseObject, gram.getBaseOffset, gram.numBytes, SEED)
+        if (h < min) min = h
+        i += stride
+      }
+      java.lang.Long.valueOf(min)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** simhash64(text): 64-bit SimHash over word n-gram shingles. */
   case class SimHash64Expr(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
@@ -144,6 +176,9 @@ object NativeHashes {
 
   def shingleHashes(c: Column, n: Int = 3): Column =
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(c), n))
+
+  def winnowFingerprint(c: Column, k: Int = 16, stride: Int = 4): Column =
+    ColumnBridge.column(WinnowFingerprintExpr(ColumnBridge.expression(c), k, stride))
 
   def simhash64(c: Column, n: Int = 2): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c), n))

@@ -66,7 +66,7 @@ object HistogramQueries {
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count_distinct(col("l_partkey")).as("exact_parts"),
-        round(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)), 6)
+        round(percentile_approx(col("l_quantity"), lit(0.5), lit(100)), 6)
           .as("approx_p50"))
       .orderBy(col("l_returnflag"))
 

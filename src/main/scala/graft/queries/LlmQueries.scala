@@ -157,7 +157,7 @@ object LlmQueries {
     Tables.documents(s, d).select(
       col("doc_id"),
       TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
-      TextAnalysis.winnowFingerprint(col("text"), 16).as("winnow_fp"))
+      graft.functions.NativeHashes.winnowFingerprint(col("text"), 16).as("winnow_fp"))
       .orderBy(col("doc_id"))
 
   // ----------------------------------------------------- q27_multimodal

@@ -52,4 +52,13 @@ class NativeHashesSpec extends AnyFunSuite {
     val bad = both.filter(not($"pure" <=> $"native")).count()
     assert(bad == 0, s"$bad rows diverge between native and pure shingle hashes")
   }
+
+  test("native winnow fingerprint is bit-identical to the pure-expression form") {
+    val both = docs.select(
+      $"doc_id",
+      graft.text.TextAnalysis.winnowFingerprint($"text", 16, 4).as("pure"),
+      NativeHashes.winnowFingerprint($"text", 16, 4).as("native"))
+    val bad = both.filter(not($"pure" <=> $"native")).count()
+    assert(bad == 0, s"$bad rows diverge between native and pure winnow fingerprint")
+  }
 }
