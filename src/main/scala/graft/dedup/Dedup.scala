@@ -85,7 +85,8 @@ object Dedup {
     */
   def nearDupPairsMinhash(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.6): DataFrame = {
+      n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.6,
+      maxBucketSize: Int = 0): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPer = k / bands
     // signature via the native single-pass expression (bit-identical to
@@ -97,8 +98,21 @@ object Dedup {
       col(idCol).as("id"),
       graft.functions.NativeHashes.shingleHashes(col(textCol), n).as("sh"),
       graft.functions.NativeHashes.minhashSig(col(textCol), n, k).as("sig"))
-    val buckets = withSig
+    val allBuckets = withSig
       .select(col("id"), col("sh"), explode(bandKeys(col("sig"), bands, rowsPer)).as("bucket"))
+    // Production guard for pathological corpora (near-constant band values
+    // → one mega-bucket → quadratic candidate join): drop buckets larger
+    // than maxBucketSize (0 = unlimited). Costs recall only on documents
+    // that are near-dups of > maxBucketSize others.
+    val buckets =
+      if (maxBucketSize <= 0) allBuckets
+      else {
+        val ok = allBuckets.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("__bc"))
+          .filter(col("__bc") <= maxBucketSize)
+          .select(col("bucket"))
+        allBuckets.join(ok, Seq("bucket"), "left_semi")
+      }
     val l = buckets.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = buckets.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("bucket"))

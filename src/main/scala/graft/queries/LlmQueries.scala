@@ -144,6 +144,17 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // -------------------------------------------------------- q46_ivf_topk
+  private def q46Ivf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val index = graft.sim.IvfIndex.build(emb, "vec_id", "embedding", nList = 8)
+    graft.sim.IvfIndex.topK(
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", index, k = 10, nProbe = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // --------------------------------------------------------- q25_langid
   private def q25LangId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -180,6 +191,7 @@ object LlmQueries {
     Q("q22_dedup_simhash", q22Simhash, None),
     Q("q23_cosine_topk", q23Cosine, Some(q23Sql)),
     Q("q24_ann_topk", q24Ann, None),
+    Q("q46_ivf_topk", q46Ivf, None),
     Q("q25_langid", q25LangId, None),
     Q("q26_fingerprint", q26Fingerprint, None),
     Q("q27_multimodal", q27Multimodal, None),

@@ -1,0 +1,72 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest neighbor: a coarse KMeans quantizer
+  * partitions the corpus into nList cells; a query probes only its
+  * nProbe nearest cells and reranks candidates by exact cosine.
+  *
+  * Scale shape: the corpus is clustered once (MLlib KMeans — itself a
+  * distributed fit), assignments live with the vectors (prediction
+  * column ⇒ can be a partition/bucket key at rest), and the probe join
+  * is an equi-join on the int cell id — candidates ≈ corpus·(nProbe/
+  * nList) instead of the full scan. Centroids (nList × dim floats) are
+  * driver/broadcast-sized by construction.
+  */
+object IvfIndex {
+
+  final case class Index(model: org.apache.spark.ml.clustering.KMeansModel,
+      assigned: DataFrame)
+
+  /** Fit the coarse quantizer and assign every corpus vector to a cell. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      nList: Int, seed: Long = 11L): Index = {
+    val feats = corpus.select(col(idCol).as("nn_id"),
+      col(vecCol).cast("array<double>").as("nn_vec"))
+      .withColumn("features", array_to_vector(col("nn_vec")))
+    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(10)
+      .fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("nn_id"), col("nn_vec"), col("prediction").as("cell"))
+    Index(model, assigned)
+  }
+
+  /** Probe cell ids for each query vector: the nProbe nearest centroids
+    * (exact L2 against the driver-sized centroid set, unrolled as
+    * expressions — no UDF). */
+  private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+      index: Index, nProbe: Int): DataFrame = {
+    val centroids = index.model.clusterCenters.zipWithIndex
+    val distStructs = centroids.map { case (c, cid) =>
+      val lit_c = typedLit(c.toArray.toSeq)
+      val d2 = aggregate(
+        zip_with(col("qv"), lit_c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(cid).as("cell"))
+    }
+    queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("probes",
+        slice(array_sort(array(distStructs.toIndexedSeq: _*)), 1, nProbe))
+      .select(col("query_id"), col("qv"),
+        explode(col("probes.cell")).as("cell"))
+  }
+
+  /** ANN top-k through the IVF index. */
+  def topK(queries: DataFrame, idCol: String, vecCol: String,
+      index: Index, k: Int, nProbe: Int): DataFrame = {
+    val q = probeCells(queries, idCol, vecCol, index, nProbe)
+    val scored = index.assigned.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id").as("neighbor_id"),
+        Similarity.cosine(col("qv"), col("nn_vec")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for the parquet lake. Incremental ingest writes
+  * one file batch per run (the reference lands ~100 tiny objects/day);
+  * at scale the accumulated file count dominates scan planning cost.
+  * Compaction rewrites a directory to `targetPartitions` files and
+  * atomically swaps it in (write-validate-rename — never in place).
+  */
+object LakeMaintenance {
+
+  final case class CompactionStats(filesBefore: Long, filesAfter: Long, rows: Long)
+
+  def compact(spark: SparkSession, dir: String, targetPartitions: Int): CompactionStats = {
+    val df = spark.read.parquet(dir)
+    val rows = df.count()
+    val filesBefore = df.select(input_file_name()).distinct().count()
+
+    val tmp = dir + "__compacting"
+    df.repartition(targetPartitions).write.mode(SaveMode.Overwrite).parquet(tmp)
+
+    val written = spark.read.parquet(tmp)
+    require(written.count() == rows,
+      s"compaction row-count mismatch in $dir — aborting swap")
+    val filesAfter = written.select(input_file_name()).distinct().count()
+
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dir + "__old")
+    require(fs.rename(new Path(dir), old), s"cannot stage $dir aside")
+    if (!fs.rename(new Path(tmp), new Path(dir))) {
+      fs.rename(old, new Path(dir)) // roll back
+      throw new IllegalStateException(s"compaction swap failed for $dir")
+    }
+    fs.delete(old, true)
+    CompactionStats(filesBefore, filesAfter, rows)
+  }
+}
