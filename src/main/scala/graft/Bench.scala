@@ -19,6 +19,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb session/codegen/parquet-footer warmup outside the timings
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

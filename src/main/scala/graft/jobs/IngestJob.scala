@@ -83,13 +83,44 @@ object IngestJob {
 
   /** Run the full E2 batch. Idempotent: re-running over the same landing
     * dir appends nothing (J2 semantics on the (pubdate, equipment) natural
-    * key, mirroring the unique index at schema.sql:31-33). */
-  def run(spark: SparkSession, landingDir: String, lake: Lake): IngestReport =
-    runOnFiles(spark, landingFiles(spark, landingDir), lake)
+    * key, mirroring the unique index at schema.sql:31-33).
+    *
+    * `archiveDir`: consume-once semantics (S11, scrape.py:112-118 /
+    * clean_data.py:256-262) — after a fully successful load, every
+    * successfully PARSED landing file moves to the archive; parse
+    * failures stay in the landing dir for inspection/retry, exactly like
+    * the reference's delete-only-after-success rule. */
+  def run(spark: SparkSession, landingDir: String, lake: Lake,
+      archiveDir: Option[String] = None): IngestReport = {
+    val (report, parsedSources) =
+      runOnFilesWithSources(spark, landingFiles(spark, landingDir), lake)
+    archiveDir.foreach { archive =>
+      import spark.implicits._
+      parsedSources.as[String].foreachPartition { (paths: Iterator[String]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        paths.foreach { p =>
+          val src = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+          val fs = src.getFileSystem(conf)
+          val rel = src.getParent.getName + "/" + src.getName
+          val dst = new org.apache.hadoop.fs.Path(s"$archive/$rel")
+          fs.mkdirs(dst.getParent)
+          fs.rename(src, dst)
+          ()
+        }
+      }
+    }
+    report
+  }
 
   /** Core of E2 over an arbitrary (path, content) batch — shared by the
     * batch driver above and the Structured Streaming foreachBatch sink. */
-  def runOnFiles(spark: SparkSession, files: DataFrame, lake: Lake): IngestReport = {
+  def runOnFiles(spark: SparkSession, files: DataFrame, lake: Lake): IngestReport =
+    runOnFilesWithSources(spark, files, lake)._1
+
+  /** As runOnFiles, also returning the successfully-parsed source paths
+    * (the consume-once archival set). */
+  private def runOnFilesWithSources(
+      spark: SparkSession, files: DataFrame, lake: Lake): (IngestReport, DataFrame) = {
     val (reports, errors) = parseFiles(spark, files)
     val nParsed = reports.count()
     val nErr = errors.count()
@@ -125,12 +156,13 @@ object IngestJob {
     }
     newFiles.unpersist()
 
-    IngestReport(
+    (IngestReport(
       filesSeen = nParsed + nErr,
       filesParsed = nParsed,
       filesFailed = nErr,
       filesNew = nNew,
-      flowRowsAppended = appended)
+      flowRowsAppended = appended),
+      reports.select(col("source")))
   }
 
   /** E3 planning stage (backload_scrape.py:56-86): the (equipment × date

@@ -62,4 +62,19 @@ class IngestJobSpec extends AnyFunSuite {
       .as[(String, String)].collect().toSet
     assert(got == Set(("2021-03-01", "E2"), ("2021-03-02", "E1"), ("2021-03-02", "E2")))
   }
+
+  test("archiveDir: parsed files move out of landing, failures stay (S11)") {
+    val work = Files.createTempDirectory("ingest-spec3").toString
+    val landing = s"$work/landing"
+    val lake = IngestJob.Lake(s"$work/lake")
+    write(s"$landing/E1/2021-03-01.xlsx", Xlsx.write(ReportFixtures.workbook(1, "E1", "2021-03-01")))
+    write(s"$landing/XX/2021-03-01.xlsx", Array[Byte](9, 9, 9))
+
+    val r = IngestJob.run(spark, landing, lake, archiveDir = Some(s"$work/archive"))
+    assert(r.filesParsed == 1 && r.filesFailed == 1)
+    assert(!new java.io.File(s"$landing/E1/2021-03-01.xlsx").exists())
+    assert(new java.io.File(s"$work/archive/E1/2021-03-01.xlsx").exists())
+    // the unparseable payload is retained for inspection
+    assert(new java.io.File(s"$landing/XX/2021-03-01.xlsx").exists())
+  }
 }
