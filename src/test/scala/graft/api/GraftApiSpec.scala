@@ -1,0 +1,43 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.api.Graft._
+
+class GraftApiSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "THE QUICK  brown fox jumps over the lazy dog near the river bank"),
+    (3L, "an unrelated text about catalyst optimizer rules and shuffles"))
+    .toDF("doc_id", "text")
+
+  test("text facade: stats, exact dedup, near dedup") {
+    val stats = docs.withTextStats()
+    assert(stats.columns.toSet.intersect(
+      Set("n_tokens", "n_bpeish", "quality", "lang_pred")).size == 4)
+
+    assert(docs.dedupExact("doc_id").count() == 2) // 1 ≡ 2 normalized
+    val near = docs.dedupNear("doc_id", threshold = 0.8)
+    assert(near.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("vector facade: topK through the implicit syntax") {
+    val vecs = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val top = vecs.topKNeighbors(vecs.filter($"vec_id" === 0L), "vec_id", "embedding", 1)
+    assert(top.select("neighbor_id").as[Long].head() == 1L)
+  }
+
+  test("flow facade: as-of join sugar") {
+    val l = Seq(("A", java.sql.Timestamp.valueOf("2021-01-01 10:00:05"), 1))
+      .toDF("k", "ts", "x")
+    val r = Seq(("A", java.sql.Timestamp.valueOf("2021-01-01 10:00:01"), 9.0))
+      .toDF("k", "ts", "v")
+    val j = l.asofJoin(r, Seq("k"), "ts", Seq("v"))
+    assert(j.select("asof_v").as[Double].head() == 9.0)
+  }
+}
