@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -61,29 +61,86 @@ object NativeHashes {
   private def rehash(h: Long, i: Int): Long =
     XXH64.hashInt(i, XXH64.hashLong(h, SEED))
 
+  // -------- public static evaluators (shared by eval + generated code)
+
+  def evalMinhash(input: UTF8String, n: Int, k: Int): GenericArrayData = {
+    val shingles = shingleStrings(input.toString, n)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var si = 0
+    while (si < shingles.length) {
+      val base = hashShingle(shingles(si))
+      val inner = XXH64.hashLong(base, SEED)
+      var i = 0
+      while (i < k) {
+        val h = XXH64.hashInt(i, inner)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      si += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def evalShingleHashes(input: UTF8String, n: Int): GenericArrayData = {
+    val shingles = shingleStrings(input.toString, n)
+    val out = new Array[Long](shingles.length)
+    var i = 0
+    while (i < shingles.length) { out(i) = hashShingle(shingles(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def evalSimhash(input: UTF8String, n: Int): Long = {
+    val shingles = shingleStrings(input.toString, n)
+    val votes = new Array[Int](64)
+    var si = 0
+    while (si < shingles.length) {
+      val h = hashShingle(shingles(si))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      si += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  def evalWinnow(input: UTF8String, k: Int, stride: Int): Long = {
+    val norm = trimSpaces(input.toString)
+      .replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+    val u = UTF8String.fromString(norm)
+    val n = u.numChars()
+    val last = math.max(n - (k - 1), 1)
+    var min = Long.MaxValue
+    var i = 1
+    while (i <= last) {
+      val gram = u.substringSQL(i, k)
+      val h = XXH64.hashUnsafeBytes(
+        gram.getBaseObject, gram.getBaseOffset, gram.numBytes, SEED)
+      if (h < min) min = h
+      i += stride
+    }
+    min
+  }
+
   /** minhash_sig(text): array<bigint> of k MinHash values over word
-    * n-gram shingles. */
+    * n-gram shingles. Generates a direct static call so the expression
+    * stays inside whole-stage codegen. */
   case class MinHashSigExpr(child: Expression, n: Int, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_minhash_sig"
-    override protected def nullSafeEval(input: Any): Any = {
-      val shingles = shingleStrings(input.asInstanceOf[UTF8String].toString, n)
-      val mins = Array.fill(k)(Long.MaxValue)
-      var si = 0
-      while (si < shingles.length) {
-        val base = hashShingle(shingles(si))
-        val inner = XXH64.hashLong(base, SEED)
-        var i = 0
-        while (i < k) {
-          val h = XXH64.hashInt(i, inner)
-          if (h < mins(i)) mins(i) = h
-          i += 1
-        }
-        si += 1
-      }
-      new GenericArrayData(mins)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      evalMinhash(input.asInstanceOf[UTF8String], n, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeHashes.evalMinhash($c, $n, $k);")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -92,16 +149,14 @@ object NativeHashes {
     * word n-gram shingles — bit-identical to
     * transform(Dedup.shingles(c, n), s => xxhash64(s)). */
   case class ShingleHashesExpr(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_shingle_hashes"
-    override protected def nullSafeEval(input: Any): Any = {
-      val shingles = shingleStrings(input.asInstanceOf[UTF8String].toString, n)
-      val out = new Array[Long](shingles.length)
-      var i = 0
-      while (i < shingles.length) { out(i) = hashShingle(shingles(i)); i += 1 }
-      new GenericArrayData(out)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      evalShingleHashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeHashes.evalShingleHashes($c, $n);")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -110,60 +165,28 @@ object NativeHashes {
     * whitespace-normalized lowercased text — bit-identical to
     * TextAnalysis.winnowFingerprint. */
   case class WinnowFingerprintExpr(child: Expression, k: Int, stride: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_winnow_fp"
-    override protected def nullSafeEval(input: Any): Any = {
-      val raw = input.asInstanceOf[UTF8String].toString
-      // lower(regexp_replace(trim(text), "\\s+", " ")) — trim is
-      // space-only in Spark, then whitespace runs collapse to one space
-      val norm = trimSpaces(raw).replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
-      // Spark length()/substr() count codepoint-ish chars via UTF8String;
-      // hash the UTF8String bytes of each gram exactly as xxhash64 does
-      val u = UTF8String.fromString(norm)
-      val n = u.numChars()
-      val last = math.max(n - (k - 1), 1)
-      var min = Long.MaxValue
-      var i = 1
-      while (i <= last) {
-        val gram = u.substringSQL(i, k)
-        val h = XXH64.hashUnsafeBytes(
-          gram.getBaseObject, gram.getBaseOffset, gram.numBytes, SEED)
-        if (h < min) min = h
-        i += stride
-      }
-      java.lang.Long.valueOf(min)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(evalWinnow(input.asInstanceOf[UTF8String], k, stride))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeHashes.evalWinnow($c, $k, $stride);")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
   /** simhash64(text): 64-bit SimHash over word n-gram shingles. */
   case class SimHash64Expr(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_simhash64"
-    override protected def nullSafeEval(input: Any): Any = {
-      val shingles = shingleStrings(input.asInstanceOf[UTF8String].toString, n)
-      val votes = new Array[Int](64)
-      var si = 0
-      while (si < shingles.length) {
-        val h = hashShingle(shingles(si))
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-        si += 1
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 64) {
-        if (votes(b) > 0) sig |= (1L << b)
-        b += 1
-      }
-      java.lang.Long.valueOf(sig)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(evalSimhash(input.asInstanceOf[UTF8String], n))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeHashes.evalSimhash($c, $n);")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }

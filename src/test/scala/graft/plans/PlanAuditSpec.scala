@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.TestSpark
+
+/** Plan-shape regression guards: the properties SCALE.md claims must stay
+  * true in the optimized plans, not just in prose.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q2: filters pushed to the parquet scan, projection pruned") {
+    val p = planOf("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_discount)"),
+      s"filters not pushed:\n$p")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"))
+    // 5 of 11 lineitem columns read (toString truncates the tail)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double"))
+    assert(!p.contains("l_shipdate"), "unprojected column leaked into the scan")
+  }
+
+  test("q3: every dimension joins as broadcast-hash, no shuffle joins") {
+    val p = planOf("q3_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, s"expected 3 broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("q1: partial+final hash aggregation (map-side combine)") {
+    val p = planOf("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q18: global top-n compiles to TakeOrderedAndProject") {
+    val p = planOf("q18_topn_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort instead of top-n:\n$p")
+  }
+
+  test("native dedup expressions run inside WholeStageCodegen") {
+    import org.apache.spark.sql.functions._
+    import graft.tables.Tables
+    val df = Tables.documents(spark, sf)
+      .select(graft.functions.NativeHashes.simhash64(col("text")).as("s"),
+        graft.functions.NativeHashes.minhashSig(col("text")).as("m"))
+    val p = df.queryExecution.executedPlan.toString()
+    // "*(n)" prefixes mark WholeStageCodegen stages in executedPlan toString
+    assert(p.contains("*(1) Project [graft_simhash64"), s"codegen collapsed:\n$p")
+    df.collect() // and the generated code actually compiles + runs
+  }
+}
