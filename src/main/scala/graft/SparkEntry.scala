@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AdvancedQueries, HistogramQueries, LlmQueries, Q, Relational}
+import graft.queries.{AdvancedQueries, HistogramQueries, LlmQueries, Q, Relational, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{AdvancedQueries, HistogramQueries, LlmQueries, Q, Relation
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    Relational.all ++ AdvancedQueries.all ++ HistogramQueries.all ++ LlmQueries.all
+    Relational.all ++ AdvancedQueries.all ++ HistogramQueries.all ++
+      TemporalQueries.all ++ LlmQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
