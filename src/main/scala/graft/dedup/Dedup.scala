@@ -166,6 +166,128 @@ object Dedup {
   /** Hamming distance between two simhash columns. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ------------------------------------------- cluster resolution (CC)
+  /** Connected components over an undirected edge list — the step that
+    * turns near-dup PAIRS into per-document keep/drop decisions (a pair
+    * list alone over-drops when dups chain: a~b, b~c must keep exactly one
+    * of {a,b,c}, not two keepers).
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): converges in
+    * O(log² n) rounds independent of graph diameter, each round two
+    * shuffles on node id — the only CC formulation that survives 100 TB
+    * corpora where label propagation would need diameter rounds. Each
+    * round is pure groupBy/join (no collect_set of neighbor lists, so a
+    * celebrity node with 10M neighbors never materializes one giant row).
+    *
+    * Input: DataFrame with two numeric columns `(u, v)` (any name, taken
+    * positionally), self-loops/duplicates tolerated. Output:
+    * `(id bigint, component bigint)` — component = min node id reachable.
+    * Isolated nodes don't appear in an edge list; callers union them in
+    * (see [[resolveClusters]]).
+    */
+  def connectedComponents(
+      edges: DataFrame, maxIter: Int = 50,
+      smallGraphCutoff: Long = 1L << 20): DataFrame = {
+    val spark = edges.sparkSession
+    // canonical directed form: (hi → lo), dropping self-loops
+    var e = edges.toDF("u", "v")
+      .select(greatest(col("u"), col("v")).cast("long").as("u"),
+        least(col("u"), col("v")).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // Adaptive execution: once the DEDUPED edge list fits on the driver
+    // (16 bytes/edge; the cutoff is ~16 MB), path-compressed union-find
+    // beats any number of distributed rounds — each star round costs
+    // several full stage launches regardless of data size. The iterative
+    // path below is the ≥cutoff scale story; this is the same small-side
+    // adaptivity as a broadcast join.
+    if (e.count() <= smallGraphCutoff) {
+      import spark.implicits._
+      val pairs = e.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
+      return ids.map(i => (i, find(i))).toSeq.toDF("id", "component")
+    }
+    var converged = false
+    var iter = 0
+    // convergence detector: one aggregation job per round — (count,
+    // order-independent xor-fold hash) of the edge set. Two distinct edge
+    // sets colliding on both is a ~2⁻⁶⁴ event; the alternative (`except`)
+    // costs a full extra join per round, which dominates the loop's
+    // runtime. bit_xor (not sum) because ANSI mode forbids wrapping adds.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(e)
+    while (!converged && iter < maxIter) {
+      // large-star: connect every neighbor v > u to m = min(N(u) ∪ {u}).
+      val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = bidir.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: for each u (over edges u > v), connect all small
+      // neighbors and u itself to m = min neighbor.
+      val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val joined = large.join(smins, "u")
+      val next = joined.select(col("v").as("u"), col("m").as("v"))
+        .union(joined.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        // truncate lineage each round — without this the plan doubles per
+        // iteration and the driver OOMs on plan size long before the data
+        // is large (same reason GraphX checkpoints Pregel iterations)
+        .localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      iter += 1
+    }
+    // e is now a star forest: u → component root (min id)
+    val roots = e.select(col("v")).distinct().select(col("v").as("id"), col("v").as("component"))
+    e.select(col("u").as("id"), col("v").as("component")).union(roots)
+  }
+
+  /** Resolve near-dup pairs into clusters over the full corpus: every id
+    * gets a `cluster_id` (= min doc id of its connected near-dup cluster;
+    * singletons are their own cluster) and a `is_keeper` flag (true for
+    * exactly one row per cluster). `dropNearDups` = filter(is_keeper). */
+  def resolveClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .withColumnsRenamed(Map("id" -> idCol, "component" -> "cluster_id"))
+    df.join(cc, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol).cast("long")))
+      .withColumn("is_keeper", col(idCol).cast("long") === col("cluster_id"))
+  }
+
+  /** End-to-end near-dup removal: MinHash-LSH pairs → connected
+    * components → keep the min-id document per cluster. */
+  def dropNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.6): DataFrame = {
+    val pairs = nearDupPairsMinhash(df, idCol, textCol, n, k, bands, threshold)
+    resolveClusters(df, idCol, pairs).filter(col("is_keeper"))
+      .drop("cluster_id", "is_keeper")
+  }
+
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
     * chunks (any equal chunk → candidate; guarantees recall for hamming
     * ≤ 3), verify by hamming ≤ maxHamming. */

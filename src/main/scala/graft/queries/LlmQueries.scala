@@ -184,6 +184,61 @@ object LlmQueries {
       .orderBy(col("kind"))
   }
 
+  // ------------------------------------------------------ q50_components
+  // Connected components (the dedup cluster-resolution primitive) over a
+  // deterministic bipartite co-purchase graph: order-nodes (2k) and
+  // part-nodes (2k+1) linked by lineitem rows, subsampled so the DuckDB
+  // recursive-CTE oracle's transitive closure stays small. The Spark side
+  // is the O(log² n) large-star/small-star algorithm — same answer as the
+  // oracle's diameter-bounded min-label closure.
+  private def q50Cc(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select((col("l_orderkey").cast("long") * 2).as("u"),
+        (col("l_partkey").cast("long") * 2 + 1).as("v"))
+      .distinct()
+    Dedup.connectedComponents(edges).orderBy(col("id"))
+  }
+
+  private val q50Sql =
+    """WITH RECURSIVE
+      |edges AS (
+      |  SELECT DISTINCT CAST(l_orderkey AS BIGINT)*2 AS u,
+      |                  CAST(l_partkey AS BIGINT)*2+1 AS v
+      |  FROM lineitem WHERE l_orderkey % 50 = 0),
+      |bidir AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+      |nodes AS (SELECT DISTINCT u AS id FROM bidir),
+      |reach AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT reach.id, bidir.v AS r FROM reach JOIN bidir ON bidir.u = reach.r)
+      |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  // ------------------------------------------------------ q51_text_clean
+  private def q51Clean(s: SparkSession, d: String): DataFrame = {
+    val clean = TextAnalysis.normalize(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      clean.as("clean"),
+      size(split(clean, " ")).as("n_clean_tokens"))
+      .filter(length(col("clean")) > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q51Sql =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(lower(text), 'https?://\S+', ' ', 'g'),
+      |          '\S+@\S+', ' ', 'g'),
+      |        '[^a-z0-9\s]', ' ', 'g'),
+      |      '\s+', ' ', 'g')) AS clean
+      |  FROM documents)
+      |SELECT doc_id, clean, len(string_split(clean, ' ')) AS n_clean_tokens
+      |FROM c WHERE length(clean) > 0 ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q19_text_stats", q19Text, Some(q19Sql)),
     Q("q20_dedup_exact", q20Exact, Some(q20Sql)),
@@ -195,5 +250,7 @@ object LlmQueries {
     Q("q25_langid", q25LangId, None),
     Q("q26_fingerprint", q26Fingerprint, None),
     Q("q27_multimodal", q27Multimodal, None),
+    Q("q50_components", q50Cc, Some(q50Sql)),
+    Q("q51_text_clean", q51Clean, Some(q51Sql)),
   )
 }

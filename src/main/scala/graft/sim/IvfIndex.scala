@@ -22,14 +22,24 @@ object IvfIndex {
   final case class Index(model: org.apache.spark.ml.clustering.KMeansModel,
       assigned: DataFrame)
 
-  /** Fit the coarse quantizer and assign every corpus vector to a cell. */
+  /** Fit the coarse quantizer and assign every corpus vector to a cell.
+    *
+    * The quantizer trains on a bounded sample (`trainCap` rows, seeded) —
+    * centroid quality saturates long before the full corpus is seen, and
+    * the iterative fit (10 passes) must never scan 100 TB; only the
+    * single-pass assignment touches every vector. Same trade FAISS makes
+    * for IVF training. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      nList: Int, seed: Long = 11L): Index = {
+      nList: Int, seed: Long = 11L, trainCap: Long = 20000L): Index = {
     val feats = corpus.select(col(idCol).as("nn_id"),
       col(vecCol).cast("array<double>").as("nn_vec"))
       .withColumn("features", array_to_vector(col("nn_vec")))
+    val n = feats.count()
+    val train =
+      if (n <= trainCap) feats
+      else feats.sample(withReplacement = false, trainCap.toDouble / n, seed)
     val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(10)
-      .fit(feats)
+      .fit(train)
     val assigned = model.transform(feats)
       .select(col("nn_id"), col("nn_vec"), col("prediction").as("cell"))
     Index(model, assigned)

@@ -80,6 +80,19 @@ object TextAnalysis {
     (lengthScore * 0.3 + punctScore * 0.2 + stopScore * 0.3 + wordLenScore * 0.2)
   }
 
+  /** Training-corpus text normalization: lowercase, strip URLs, strip
+    * email addresses, replace every non-alphanumeric rune with a space,
+    * collapse whitespace, trim. The standard pre-dedup/pre-tokenize
+    * cleanup pass; pure regexp expressions so the whole pipeline is one
+    * codegen'd projection over the scan — zero shuffles at any scale. */
+  def normalize(c: Column): Column = {
+    val lowered = lower(c)
+    val noUrl = regexp_replace(lowered, "https?://\\S+", " ")
+    val noEmail = regexp_replace(noUrl, "\\S+@\\S+", " ")
+    val alnum = regexp_replace(noEmail, "[^a-z0-9\\s]", " ")
+    trim(regexp_replace(alnum, "\\s+", " "))
+  }
+
   /** Exact-content fingerprint: 64-bit hash of whitespace-normalized,
     * lowercased text — the exact-dedup key. */
   def contentFingerprint(c: Column): Column =

@@ -58,6 +58,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps("a") != fps("d"))
   }
 
+  test("normalize: lowercases, strips urls/emails/punct, collapses space") {
+    val got = Seq(
+      "Visit https://example.com/x?q=1 NOW!!",
+      "mail me at bob@example.com, please…",
+      "  Já   está\tlimpo 123  ",
+      "!!!").toDF("t")
+      .select(TextAnalysis.normalize($"t")).as[String].collect().toSeq
+    assert(got == Seq("visit now", "mail me at please", "j est limpo 123", ""))
+  }
+
   test("winnowFingerprint stable under whitespace normalization") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog"),
