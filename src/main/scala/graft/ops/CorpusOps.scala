@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Corpus-preparation operators for training-data pipelines: deterministic
+  * splits, token-budget sequence packing, and benchmark decontamination.
+  * All pure Catalyst expressions / relational ops — each scales as one
+  * projection, one bounded window, or one broadcast join.
+  */
+object CorpusOps {
+
+  // ------------------------------------------------- deterministic split
+  /** Content-stable train/val/test assignment from a hash of the id —
+    * reproducible across runs, machines, and engines (md5 is everywhere),
+    * and adding documents never reassigns existing ones (unlike
+    * `randomSplit`, which reshuffles with the partition layout).
+    *
+    * The first two md5 hex chars give 256 buckets; split by lexicographic
+    * threshold: < 'cd' → train (205/256 ≈ 80%), < 'e6' → val (≈ 10%),
+    * else test. Zero shuffles — a codegen'd projection.
+    */
+  def deterministicSplit(
+      df: DataFrame, idCol: String,
+      trainKey: String = "cd", valKey: String = "e6"): DataFrame = {
+    val key = substring(md5(col(idCol).cast("string")), 1, 2)
+    df.withColumn("bucket_key", key)
+      .withColumn("split",
+        when(col("bucket_key") < trainKey, "train")
+          .when(col("bucket_key") < valKey, "val")
+          .otherwise("test"))
+  }
+
+  // -------------------------------------------------- sequence packing
+  /** Concat-and-chunk sequence packing: documents are laid out in
+    * (partition, id) order and cut into fixed token-budget packs —
+    * `pack_id` = which training sequence a document starts in. The
+    * running offset is a bounded window (partitioned by `partCol`, e.g.
+    * shard or source), NOT a global cumsum: each partition packs
+    * independently, so the window never funnels 100 TB through one task.
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, tokenCountCol: Column,
+      partCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokenCountCol)
+      .withColumn("pack_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("pack_offset") / budget).cast("long"))
+  }
+
+  // ----------------------------------------------------- decontamination
+  /** Benchmark decontamination: training documents that share ≥1 word
+    * n-gram with the (small) eval set, with the count of distinct shared
+    * grams. The eval gram set broadcasts (eval benchmarks are KBs–MBs);
+    * the train side streams through one codegen'd explode + hash join —
+    * no shuffle of the corpus. Documents with < n tokens can't carry an
+    * n-gram and are excluded on both sides.
+    */
+  def contaminatedDocs(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.filter(size(split(trim(lower(col(textCol))), "\\s+")) >= n)
+        .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val evalGrams = grams(eval).select(col("gram")).distinct()
+    grams(train)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select(col(idCol), col("gram")).distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}

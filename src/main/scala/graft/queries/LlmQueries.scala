@@ -239,6 +239,81 @@ object LlmQueries {
       |SELECT doc_id, clean, len(string_split(clean, ' ')) AS n_clean_tokens
       |FROM c WHERE length(clean) > 0 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- q52_centroids
+  // Per-label prototype embeddings, flattened to (label, dim, value) for
+  // the compare; the array-assembly step is exercised by round-tripping
+  // through Similarity.centroids' array output.
+  private def q52Centroids(s: SparkSession, d: String): DataFrame =
+    Similarity.centroids(Tables.embeddings(s, d), "label", "embedding")
+      .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "avg_raw")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        round(col("avg_raw"), 8).as("avg8"))
+      .orderBy(col("label"), col("dim"))
+
+  private val q52Sql =
+    """SELECT label, i AS dim,
+      |  round(CAST(CAST(sum(CAST(e AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS DOUBLE), 8) AS avg8
+      |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS e,
+      |             generate_subscripts(embedding, 1) AS i
+      |      FROM embeddings)
+      |GROUP BY label, i ORDER BY label, dim""".stripMargin
+
+  // ------------------------------------------------------- q53_split
+  private def q53Split(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusOps.deterministicSplit(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("bucket_key"), col("split"))
+      .orderBy(col("doc_id"))
+
+  private val q53Sql =
+    """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket_key,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- q54_pack
+  private def q54Pack(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusOps.packSequences(
+      Tables.documents(s, d), "doc_id",
+      TextAnalysis.tokenCount(col("text")).cast("long"), "source", budget = 2048)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("pack_offset"), col("pack_id"))
+      .orderBy(col("source"), col("doc_id"))
+
+  private val q54Sql =
+    """SELECT doc_id, source,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |  COALESCE(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+      |    OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset,
+      |  CAST(floor(COALESCE(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+      |    OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS pack_id
+      |FROM documents ORDER BY source, doc_id""".stripMargin
+
+  // ----------------------------------------------- q55_contamination
+  // Eval set = doc_id < 20; flag training docs sharing ≥1 word 5-gram.
+  private def q55Contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.ops.CorpusOps.contaminatedDocs(
+      docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+      "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q55Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, array_to_string(t[u.i:u.i+4], ' ') AS gram
+      |  FROM tok, UNNEST(range(1, len(t) - 3)) AS u(i)
+      |  WHERE len(t) >= 5),
+      |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+      |hits AS (
+      |  SELECT DISTINCT g.doc_id, g.gram FROM g JOIN eg USING (gram)
+      |  WHERE g.doc_id >= 20)
+      |SELECT doc_id, count(*) AS n_shared FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q19_text_stats", q19Text, Some(q19Sql)),
     Q("q20_dedup_exact", q20Exact, Some(q20Sql)),
@@ -252,5 +327,9 @@ object LlmQueries {
     Q("q27_multimodal", q27Multimodal, None),
     Q("q50_components", q50Cc, Some(q50Sql)),
     Q("q51_text_clean", q51Clean, Some(q51Sql)),
+    Q("q52_centroids", q52Centroids, Some(q52Sql)),
+    Q("q53_split", q53Split, Some(q53Sql)),
+    Q("q54_pack", q54Pack, Some(q54Sql)),
+    Q("q55_contamination", q55Contamination, Some(q55Sql)),
   )
 }

@@ -90,6 +90,24 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Per-label centroid vectors (prototype embeddings): posexplode to
+    * (label, dim, value), one hash aggregation, reassemble in dim order.
+    * Sums run in DECIMAL so the result is exact and order-independent —
+    * safe to compare across engines and across partitionings (double
+    * partial sums would drift with the shuffle layout). One shuffle on
+    * (label, dim); at 100 TB the partial aggregation reduces each
+    * partition to |labels|·dim rows before it moves.
+    */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+      posexplode(asDouble(col(vecCol))).as(Seq("pos", "e")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg((sum(col("e").cast("decimal(20,10)")).cast("double")
+        / count(lit(1))).cast("double").as("avg_raw"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("avg_raw")))),
+        s => s.getField("avg_raw")).as("centroid"))
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold)
     * via LSH buckets — the embedding-space member of the dedup family. */
   def nearDupPairsEmbedding(

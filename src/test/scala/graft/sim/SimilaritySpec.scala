@@ -56,4 +56,14 @@ class SimilaritySpec extends AnyFunSuite {
     val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(found.contains((7L, 100007L)))
   }
+
+  test("centroids: exact per-label dimension means in dim order") {
+    val df = Seq(
+      (0, Seq(1.0f, 10.0f)), (0, Seq(3.0f, 20.0f)),
+      (1, Seq(5.0f, 5.0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.centroids(df, "label", "embedding")
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(got == Map(0 -> Seq(2.0, 15.0), 1 -> Seq(5.0, 5.0)))
+  }
 }
