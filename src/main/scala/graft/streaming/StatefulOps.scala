@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.text.TextAnalysis
 
 /** Custom streaming state (SURVEY.md §2.8's KeyValueGroupedDataset
   * mapping): arbitrary per-key state beyond windowed aggregation.
@@ -13,6 +16,22 @@ object StatefulOps {
 
   final case class EquipmentUpdate(equipment: String, vehicles: Long)
   final case class EquipmentTotal(equipment: String, totalVehicles: Long, batches: Long)
+
+  /** Streaming exact dedup for a document ingest stream: keep the first
+    * arrival of each content fingerprint; later copies arriving within
+    * the watermark delay are dropped. State is the fingerprint (8 bytes)
+    * keyed in the state store and EVICTED once the watermark passes —
+    * bounded by arrival rate × delay, unlike `dropDuplicates`, whose
+    * key state grows forever and cannot survive an unbounded corpus.
+    * (The batch path's exact dedup is [[graft.dedup.Dedup.exactDups]];
+    * this is its at-ingest streaming twin.) */
+  def dedupedDocStream(
+      docs: DataFrame, tsCol: String, textCol: String,
+      delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_fp", TextAnalysis.contentFingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_fp")
 
   /** Running per-equipment totals across micro-batches via
     * flatMapGroupsWithState — emits one updated total per key per batch. */

@@ -43,6 +43,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"full sort instead of top-n:\n$p")
   }
 
+  test("q53: deterministic split is a pure projection — zero exchanges") {
+    val p = planOf("q53_split")
+    // the only exchange allowed is the one backing the final orderBy
+    val body = p.split("Sort ").head
+    assert(!body.contains("Exchange hashpartitioning"),
+      s"split introduced a shuffle:\n$p")
+  }
+
+  test("q55: eval gram set broadcasts; corpus side never shuffles") {
+    val p = planOf("q55_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"gram join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"contamination fell back to SMJ:\n$p")
+  }
+
   test("native dedup expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import graft.tables.Tables

@@ -85,4 +85,26 @@ class StreamingIngestSpec extends AnyFunSuite {
       assert(rows.filter(_.equipment == "E2").map(_.totalVehicles).toSet == Set(3L))
     } finally q.stop()
   }
+
+  test("streaming dedup drops watermark-window copies, keeps first arrivals") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+    val deduped = StatefulOps.dedupedDocStream(docs, "ts", "text", delay = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      stream.addData(
+        (ts("2021-03-01 00:00:00"), 1L, "the quick brown fox"),
+        (ts("2021-03-01 00:00:05"), 2L, "THE quick  brown fox"), // same content
+        (ts("2021-03-01 00:00:10"), 3L, "something else entirely"))
+      q.processAllAvailable()
+      stream.addData( // next batch, still inside the watermark window
+        (ts("2021-03-01 00:02:00"), 4L, "the quick brown fox"))
+      q.processAllAvailable()
+      val kept = spark.table("sdedup").select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L)) // 2 (same batch) and 4 (later batch) dropped
+    } finally q.stop()
+  }
 }
