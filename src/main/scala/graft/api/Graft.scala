@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.SpeedHistogram
 import graft.dedup.Dedup
-import graft.ops.{JoinOps, RadarOps}
+import graft.ops.{CorpusOps, JoinOps, RadarOps}
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 
@@ -36,15 +36,37 @@ object Graft {
         threshold: Double = 0.6): DataFrame =
       Dedup.nearDupPairsMinhash(df, idCol, textCol, threshold = threshold)
 
-    /** Drop near-duplicates: for every LSH pair above threshold, keep the
-      * smaller id. (Greedy, one round — transitive chains keep their
-      * minimum element.) */
+    /** Drop near-duplicates cluster-wise: LSH pairs → connected
+      * components → exactly one (min-id) keeper per near-dup cluster.
+      * Cluster resolution, not greedy pair-dropping — chained dups
+      * (a~b, b~c with no a~c pair) still collapse to one keeper. */
     def dedupNear(idCol: String, textCol: String = "text",
-        threshold: Double = 0.6): DataFrame = {
-      val losers = Dedup.nearDupPairsMinhash(df, idCol, textCol, threshold = threshold)
-        .select(col("id_b").as(idCol)).distinct()
-      df.join(losers, Seq(idCol), "left_anti")
-    }
+        threshold: Double = 0.6): DataFrame =
+      Dedup.dropNearDups(df, idCol, textCol, threshold = threshold)
+
+    /** Per-doc near-dup cluster id + keeper flag for the given pairs. */
+    def withDupClusters(idCol: String, pairs: DataFrame): DataFrame =
+      Dedup.resolveClusters(df, idCol, pairs)
+
+    /** Normalized text column (lowercase, no urls/emails/punct). */
+    def withNormalizedText(textCol: String = "text",
+        outCol: String = "clean"): DataFrame =
+      df.withColumn(outCol, TextAnalysis.normalize(col(textCol)))
+
+    /** Content-stable train/val/test assignment (md5-bucketed). */
+    def withSplit(idCol: String): DataFrame =
+      CorpusOps.deterministicSplit(df, idCol)
+
+    /** Concat-and-chunk sequence packing within `shardCol`. */
+    def packed(idCol: String, shardCol: String, budget: Int,
+        textCol: String = "text"): DataFrame =
+      CorpusOps.packSequences(df, idCol,
+        TextAnalysis.tokenCount(col(textCol)).cast("long"), shardCol, budget)
+
+    /** Training docs sharing ≥1 word n-gram with `evalSet`. */
+    def contaminatedBy(evalSet: DataFrame, idCol: String,
+        textCol: String = "text", n: Int = 5): DataFrame =
+      CorpusOps.contaminatedDocs(df, evalSet, idCol, textCol, n)
   }
 
   implicit class VectorOps(private val df: DataFrame) {
@@ -58,6 +80,10 @@ object Graft {
     def annNeighbors(queries: DataFrame, idCol: String, vecCol: String,
         k: Int, planes: Int = 8, dim: Int = 64): DataFrame =
       Similarity.annTopK(queries, df, idCol, vecCol, k, planes, dim)
+
+    /** Per-label prototype (centroid) vectors, decimal-exact. */
+    def labelCentroids(labelCol: String, vecCol: String): DataFrame =
+      Similarity.centroids(df, labelCol, vecCol)
   }
 
   implicit class FlowOps(private val df: DataFrame) {

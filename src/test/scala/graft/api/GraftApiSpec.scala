@@ -25,6 +25,19 @@ class GraftApiSpec extends AnyFunSuite {
     assert(near.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("corpus facade: normalize, split, pack, contamination sugar") {
+    val cleaned = docs.withNormalizedText()
+    assert(cleaned.columns.contains("clean"))
+    val split = docs.withSplit("doc_id")
+    assert(split.select("split").as[String].collect()
+      .forall(Set("train", "val", "test")))
+    val packed = docs.withColumn("shard", $"doc_id" % 2).packed("doc_id", "shard", 10)
+    assert(packed.columns.contains("pack_id"))
+    val contaminated = docs.filter($"doc_id" > 1L)
+      .contaminatedBy(docs.filter($"doc_id" === 1L), "doc_id", n = 5)
+    assert(contaminated.select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
   test("vector facade: topK through the implicit syntax") {
     val vecs = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
