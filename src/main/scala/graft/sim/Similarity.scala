@@ -22,11 +22,19 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null-safe zero when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Reference cosine built purely from higher-order functions — kept as
+    * the semantic spec for the native expression (NativeVectorSpec pins
+    * bit-equality); interpreted, so not the hot-path implementation. */
+  def cosinePure(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom > 0, dot(a, b) / denom).otherwise(0.0)
   }
+
+  /** Cosine similarity; null-safe zero when either norm is 0. Native
+    * codegen'd single-pass expression (the hot loop of every similarity
+    * operator here). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.NativeVector.cosine(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
