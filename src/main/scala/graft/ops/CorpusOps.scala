@@ -52,6 +52,48 @@ object CorpusOps {
       .withColumn("pack_id", floor(col("pack_offset") / budget).cast("long"))
   }
 
+  // ----------------------------------------------------- vocabulary
+  /** Tokenizer-vocabulary construction: term → (total count, doc
+    * frequency), min-count pruned, deterministically ordered (count desc,
+    * term asc — a total order, so `limit` is reproducible). One explode +
+    * one partial+final aggregation; the shuffle carries (term, partial
+    * counts), never documents. */
+  def vocabulary(
+      df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, maxSize: Int = 100000): DataFrame =
+    df.select(col(idCol), explode(graft.text.TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"), count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("term"))
+      .limit(maxSize)
+
+  /** Per-document top-k terms by tf·idf. `idfScaled` = (1e6·N) div df in
+    * exact integer arithmetic — a monotone transform of N/df, chosen so
+    * ranking (and the cross-engine oracle compare) never depends on
+    * floating-point log rounding; `tfidf` carries the conventional
+    * tf·ln(N/df) double for consumers. Doc-frequency table is
+    * aggregated (|vocab| rows) then joined back — broadcast-sized for
+    * any real vocabulary. */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val n = df.count()
+    val tf = df
+      .select(col(idCol), explode(graft.text.TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("df"))
+      .withColumn("idf_scaled", expr(s"${1000000L * n}L div df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("score_scaled", col("tf") * col("idf_scaled"))
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_scaled").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   // ----------------------------------------------------- decontamination
   /** Benchmark decontamination: training documents that share ≥1 word
     * n-gram with the (small) eval set, with the count of distinct shared

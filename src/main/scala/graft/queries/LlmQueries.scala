@@ -314,6 +314,47 @@ object LlmQueries {
       |  WHERE g.doc_id >= 20)
       |SELECT doc_id, count(*) AS n_shared FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------- q56_vocab
+  private def q56Vocab(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusOps.vocabulary(
+      Tables.documents(s, d), "doc_id", "text", minCount = 5L, maxSize = 1000)
+
+  private val q56Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents)
+      |SELECT term, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      |FROM tok GROUP BY term HAVING count(*) >= 5
+      |ORDER BY n DESC, term LIMIT 1000""".stripMargin
+
+  // -------------------------------------------------------- q57_tfidf
+  // Integer-scaled idf keeps the rank and the compare exact across
+  // engines; the double tf·ln(N/df) column is rounded for the hash.
+  private def q57Tfidf(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusOps.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_scaled"), col("rank"), round(col("tfidf"), 6).as("tfidf6"))
+      .orderBy(col("doc_id"), col("rank"))
+
+  private val q57Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df,
+      |            (1000000 * (SELECT n FROM n)) // df AS idf_scaled
+      |          FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |    tf.tf * dfreq.idf_scaled AS score_scaled,
+      |    tf.tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / dfreq.df) AS tfidf,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |                       ORDER BY tf.tf * dfreq.idf_scaled DESC, tf.term) AS rank
+      |  FROM tf JOIN dfreq USING (term))
+      |SELECT doc_id, term, tf, df, score_scaled, rank, round(tfidf, 6) AS tfidf6
+      |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q19_text_stats", q19Text, Some(q19Sql)),
     Q("q20_dedup_exact", q20Exact, Some(q20Sql)),
@@ -331,5 +372,7 @@ object LlmQueries {
     Q("q53_split", q53Split, Some(q53Sql)),
     Q("q54_pack", q54Pack, Some(q54Sql)),
     Q("q55_contamination", q55Contamination, Some(q55Sql)),
+    Q("q56_vocab", q56Vocab, Some(q56Sql)),
+    Q("q57_tfidf", q57Tfidf, Some(q57Sql)),
   )
 }

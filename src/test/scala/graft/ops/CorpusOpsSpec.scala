@@ -39,6 +39,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(packed(11L) == ((90L, 0L)))
   }
 
+  test("vocabulary: counts, doc frequency, min-count pruning, total order") {
+    val docs = Seq(
+      (1L, "alpha alpha beta"), (2L, "alpha beta gamma"), (3L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val v = CorpusOps.vocabulary(docs, "doc_id", "text", minCount = 2L)
+      .as[(String, Long, Long)].collect().toList
+    assert(v == List(("alpha", 4L, 3L), ("beta", 2L, 2L)))
+  }
+
+  test("tfidfTopTerms: rare terms outrank common ones; ranks deterministic") {
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common other words here"),
+      (3L, "common more words again"))
+      .toDF("doc_id", "text")
+    val top = CorpusOps.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .select($"doc_id", $"term").as[(Long, String)].collect().toMap
+    // "common" appears in every doc → idf_scaled = 1e6·3 // 3 = 1e6;
+    // "rare1" df=1 → 3e6; tf 3 vs 1 → common 3e6 ties rare1 3e6 → term
+    // asc breaks the tie deterministically
+    assert(top(1L) == "common")
+    assert(top(2L) != "common" || top(3L) != "common")
+  }
+
   test("contaminatedDocs: finds the planted overlap, counts distinct grams") {
     val eval = Seq((1L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
