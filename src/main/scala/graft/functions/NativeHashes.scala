@@ -206,12 +206,15 @@ object NativeHashes {
   def simhash64(c: Column, n: Int = 2): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c), n))
 
-  /** Register graft_minhash_sig / graft_simhash64 for SQL use. */
+  /** Register graft_minhash_sig / graft_simhash64 / graft_cosine for SQL use. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig", exprs => MinHashSigExpr(exprs.head, 3, 64), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64Expr(exprs.head, 2), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine",
+      exprs => NativeVector.CosineSimExpr(exprs.head, exprs(1)), "scala_udf")
   }
 }
 
@@ -228,5 +231,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[NativeHashes.SimHash64Expr].getName, "graft_simhash64"),
         (exprs: Seq[Expression]) => NativeHashes.SimHash64Expr(exprs.head, 2)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NativeVector.CosineSimExpr].getName, "graft_cosine"),
+        (exprs: Seq[Expression]) => NativeVector.CosineSimExpr(exprs.head, exprs(1))))
   }
 }

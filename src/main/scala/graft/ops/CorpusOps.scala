@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
-
 /** Corpus-preparation operators for training-data pipelines: deterministic
   * splits, token-budget sequence packing, and benchmark decontamination.
   * All pure Catalyst expressions / relational ops — each scales as one
@@ -105,13 +103,18 @@ object CorpusOps {
   def contaminatedDocs(
       train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
-    def grams(df: DataFrame): DataFrame =
+    // join on xxhash64 of the gram, not the gram text: the broadcast set
+    // and the per-row probe keys are 8 bytes instead of ~40-char strings
+    // (collision odds ~2⁻⁶⁴ per pair — absorbed into the method's
+    // contract; flagged docs are candidates for review either way)
+    def gramHashes(df: DataFrame): DataFrame =
       df.filter(size(split(trim(lower(col(textCol))), "\\s+")) >= n)
-        .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
-    val evalGrams = grams(eval).select(col("gram")).distinct()
-    grams(train)
-      .join(broadcast(evalGrams), Seq("gram"))
-      .select(col(idCol), col("gram")).distinct()
+        .select(col(idCol),
+          explode(graft.functions.NativeHashes.shingleHashes(col(textCol), n)).as("gram_h"))
+    val evalGrams = gramHashes(eval).select(col("gram_h")).distinct()
+    gramHashes(train)
+      .join(broadcast(evalGrams), Seq("gram_h"))
+      .select(col(idCol), col("gram_h")).distinct()
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }

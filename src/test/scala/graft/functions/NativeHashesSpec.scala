@@ -42,6 +42,10 @@ class NativeHashesSpec extends AnyFunSuite {
         |FROM native_docs WHERE doc_id = 0""".stripMargin)
       .as[(Int, Long)].head()
     assert(row._1 == 64)
+    val cos = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d))")
+      .as[Double].head()
+    assert(cos == 1.0)
   }
 
   test("native shingle hashes are bit-identical to the pure-expression form") {
