@@ -29,8 +29,11 @@ object TemporalQueries {
     }
     raw.select(nanos.as("ts_nanos"))
       .agg(
-        floor(min(col("ts_nanos")) / 1000L).cast("long").as("min_micros"),
-        floor(max(col("ts_nanos")) / 1000L).cast("long").as("max_micros"),
+        // integer `div`, NOT `/`: Column./ is double division, and epoch
+        // nanos (~1.7e18) exceed a double's 53-bit mantissa — the rounded
+        // quotient floors to an off-by-one microsecond at some scales
+        expr("min(ts_nanos) div 1000").as("min_micros"),
+        expr("max(ts_nanos) div 1000").as("max_micros"),
         count(lit(1)).as("n"))
   }
   // (nanos-tail preservation itself is asserted in TemporalPrecisionSpec —

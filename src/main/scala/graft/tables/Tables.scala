@@ -35,7 +35,9 @@ object Tables {
     val raw = table(spark, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // integer `div`, not `/`: double division loses sub-µs exactness
+        // on epoch nanos (> 2^53) and can shift a timestamp by 1 µs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw

@@ -83,6 +83,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packing invariants: offsets are exclusive prefix sums; pack ids monotone") {
+    val docsGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 1000L), Gen.choose(0, 2), Gen.choose(1L, 500L)))
+    samples(docsGen, 5).foreach { raw =>
+      val docs = raw.distinctBy(_._1).map { case (id, s, t) => (id, s"shard$s", t) }
+        .toDF("id", "shard", "toks")
+      val packed = graft.ops.CorpusOps
+        .packSequences(docs, "id", $"toks", "shard", budget = 700)
+        .select($"id", $"shard", $"n_tokens", $"pack_offset", $"pack_id")
+        .as[(Long, String, Long, Long, Long)].collect()
+      packed.groupBy(_._2).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._1)
+        var cum = 0L
+        sorted.foreach { case (_, _, t, off, pid) =>
+          assert(off == cum, "offset must be the exclusive token prefix sum")
+          assert(pid == off / 700, "pack id must be offset div budget")
+          cum += t
+        }
+        // pack ids never decrease in id order within a shard
+        assert(sorted.map(_._5).toSeq == sorted.map(_._5).sorted.toSeq)
+      }
+    }
+  }
+
+  test("split assignment is a pure function of id: disjoint, exhaustive, stable") {
+    val idsGen = Gen.listOfN(200, Gen.choose(0L, 100000L))
+    samples(idsGen, 3).foreach { ids =>
+      val df = ids.distinct.toDF("id")
+      val out = graft.ops.CorpusOps.deterministicSplit(df, "id")
+        .select($"id", $"split").as[(Long, String)].collect()
+      assert(out.length == ids.distinct.size)
+      assert(out.forall(r => Set("train", "val", "test")(r._2)))
+      // same ids → same assignment regardless of DataFrame shape
+      val again = graft.ops.CorpusOps.deterministicSplit(
+        ids.distinct.reverse.toDF("id"), "id")
+        .select($"id", $"split").as[(Long, String)].collect().toMap
+      assert(out.forall { case (id, s) => again(id) == s })
+    }
+  }
+
   test("idempotent append is a fixpoint: apply twice == apply once") {
     val pairsGen = Gen.listOfN(30, Gen.zip(Gen.choose(1, 5), Gen.choose(1, 5)))
     samples(pairsGen, 5).foreach { pairs =>

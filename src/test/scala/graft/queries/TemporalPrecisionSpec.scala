@@ -21,8 +21,10 @@ class TemporalPrecisionSpec extends AnyFunSuite {
   }
 
   test("normalized events view truncates consistently with the raw nanos") {
+    // integer div — `/ 1000L` is double division and drifts ±1 µs on
+    // epoch nanos > 2^53 (the bug this spec now guards against)
     val raw = Tables.table(spark, "/root/testdata/sf0.001", "events")
-      .select($"event_id", floor($"ts" / 1000L).cast("long").as("micros"))
+      .select($"event_id", expr("ts div 1000").as("micros"))
     val normalized = Tables.events(spark, "/root/testdata/sf0.001")
       .select($"event_id", unix_micros($"ts").as("micros"))
     assert(raw.except(normalized).count() == 0)
