@@ -92,6 +92,37 @@ object CorpusOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // -------------------------------------------------------- chunking
+  /** Split documents into overlapping token windows (the embedding /
+    * context-window prep step): window `chunkTokens` wide, stride
+    * `chunkTokens - overlap`. One generate+explode projection per doc —
+    * no shuffle; output order is (doc, chunk_idx) deterministic. The
+    * final window may be shorter (slice clamps); empty docs yield one
+    * empty chunk rather than disappearing. */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(step)),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(chunkTokens)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")))
+  }
+
+  // -------------------------------------------------------- PII masking
+  /** Structure-preserving PII scrub: emails → <EMAIL>, long digit runs
+    * (phone-shaped) → <PHONE>. ASCII character classes only, so Java and
+    * RE2 regex engines agree; a pure codegen'd projection. */
+  def maskPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "[\\w.+-]+@[\\w.-]+\\.\\w+", "<EMAIL>"),
+      "\\+?\\d[\\d()\\s-]{7,}\\d", "<PHONE>")
+
   // ----------------------------------------------------- decontamination
   /** Benchmark decontamination: training documents that share ≥1 word
     * n-gram with the (small) eval set, with the count of distinct shared

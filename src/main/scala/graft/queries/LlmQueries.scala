@@ -355,6 +355,43 @@ object LlmQueries {
       |SELECT doc_id, term, tf, df, score_scaled, rank, round(tfidf, 6) AS tfidf6
       |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // -------------------------------------------------------- q58_chunk
+  private def q58Chunk(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusOps.chunkDocuments(
+      Tables.documents(s, d), "doc_id", "text", chunkTokens = 32, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val q58Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |s AS (
+      |  SELECT doc_id, t, u.i AS start
+      |  FROM tok, UNNEST(range(1, greatest(len(t), 1) + 1, 24)) AS u(i))
+      |SELECT doc_id, CAST((start - 1) / 24 AS BIGINT) AS chunk_idx,
+      |  array_to_string(t[start:start+31], ' ') AS chunk,
+      |  len(t[start:start+31]) AS n_chunk_tokens
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------- q59_pii
+  private def q59Pii(s: SparkSession, d: String): DataFrame = {
+    val masked = graft.ops.CorpusOps.maskPii(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), masked.as("masked"),
+        (length(masked) - length(regexp_replace(masked, "<EMAIL>", "")))
+          .divide(lit(7)).cast("long").as("n_emails"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q59Sql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(text, '[\w.+-]+@[\w.-]+\.\w+', '<EMAIL>', 'g'),
+      |      '\+?\d[\d()\s-]{7,}\d', '<PHONE>', 'g') AS masked
+      |  FROM documents)
+      |SELECT doc_id, masked,
+      |  CAST((length(masked) - length(replace(masked, '<EMAIL>', ''))) / 7 AS BIGINT) AS n_emails
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q19_text_stats", q19Text, Some(q19Sql)),
     Q("q20_dedup_exact", q20Exact, Some(q20Sql)),
@@ -374,5 +411,7 @@ object LlmQueries {
     Q("q55_contamination", q55Contamination, Some(q55Sql)),
     Q("q56_vocab", q56Vocab, Some(q56Sql)),
     Q("q57_tfidf", q57Tfidf, Some(q57Sql)),
+    Q("q58_chunk", q58Chunk, Some(q58Sql)),
+    Q("q59_pii", q59Pii, Some(q59Sql)),
   )
 }

@@ -63,6 +63,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(top(2L) != "common" || top(3L) != "common")
   }
 
+  test("chunkDocuments: overlapping windows, clamped tail, empty-doc chunk") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, ""))
+      .toDF("doc_id", "text")
+    val chunks = CorpusOps.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 4, overlap = 2)
+      .select($"doc_id", $"chunk_idx", $"chunk")
+      .as[(Long, Int, String)].collect().toList.sorted
+    assert(chunks == List(
+      (1L, 0, "w1 w2 w3 w4"), (1L, 1, "w3 w4 w5 w6"), (1L, 2, "w5 w6 w7 w8"),
+      (1L, 3, "w7 w8 w9 w10"), (1L, 4, "w9 w10"), (2L, 0, "")))
+  }
+
+  test("maskPii: emails and phone-shaped runs masked, text preserved") {
+    val got = Seq(
+      "contact bob@example.com or +1 (555) 123-4567 today",
+      "no pii here at all").toDF("t")
+      .select(CorpusOps.maskPii($"t")).as[String].collect().toList
+    assert(got == List("contact <EMAIL> or <PHONE> today", "no pii here at all"))
+  }
+
   test("contaminatedDocs: finds the planted overlap, counts distinct grams") {
     val eval = Seq((1L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
