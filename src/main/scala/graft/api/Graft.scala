@@ -67,6 +67,29 @@ object Graft {
     def contaminatedBy(evalSet: DataFrame, idCol: String,
         textCol: String = "text", n: Int = 5): DataFrame =
       CorpusOps.contaminatedDocs(df, evalSet, idCol, textCol, n)
+
+    /** Overlapping token-window chunks (embedding prep). */
+    def chunked(idCol: String, chunkTokens: Int, overlap: Int,
+        textCol: String = "text"): DataFrame =
+      CorpusOps.chunkDocuments(df, idCol, textCol, chunkTokens, overlap)
+
+    /** Emails/phones masked in place. */
+    def withMaskedPii(textCol: String = "text",
+        outCol: String = "masked"): DataFrame =
+      df.withColumn(outCol, CorpusOps.maskPii(col(textCol)))
+
+    /** Term/doc-frequency vocabulary, min-count pruned. */
+    def vocab(idCol: String, textCol: String = "text",
+        minCount: Long = 5L): DataFrame =
+      CorpusOps.vocabulary(df, idCol, textCol, minCount)
+
+    /** Per-doc top-k terms by tf·idf. */
+    def topTerms(idCol: String, k: Int, textCol: String = "text"): DataFrame =
+      CorpusOps.tfidfTopTerms(df, idCol, textCol, k)
+
+    /** Range-sharded, shard-sorted parquet training layout. */
+    def writeShards(idCol: String, nShards: Int, dir: String): Unit =
+      graft.sources.LakeMaintenance.writeTrainingShards(df, idCol, nShards, dir)
   }
 
   implicit class VectorOps(private val df: DataFrame) {

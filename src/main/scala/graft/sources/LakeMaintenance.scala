@@ -37,4 +37,19 @@ object LakeMaintenance {
     fs.delete(old, true)
     CompactionStats(filesBefore, filesAfter, rows)
   }
+
+  /** Write a corpus as `nShards` training shards: range-partitioned on
+    * the id (each shard owns a contiguous, disjoint id interval — a
+    * reader can map shard → id range without an index) and sorted within
+    * each shard so downstream packing/streaming reads are sequential.
+    * repartitionByRange samples the key distribution, so shards balance
+    * even when ids are dense at one end — unlike hash-mod sharding,
+    * which cannot give contiguous ranges, or manual bounds, which skew
+    * when the id space has holes. */
+  def writeTrainingShards(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      nShards: Int, dir: String): Unit =
+    df.repartitionByRange(nShards, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
 }

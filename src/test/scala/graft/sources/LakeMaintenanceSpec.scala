@@ -28,4 +28,23 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + "__old").exists())
     assert(!new java.io.File(dir + "__compacting").exists())
   }
+
+  test("training shards: disjoint contiguous id ranges, sorted within shard") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("shards").toString + "/corpus"
+    val docs = (0L until 997L).map(i => (i * 7 % 1000, s"doc$i")).toDF("id", "text")
+    LakeMaintenance.writeTrainingShards(docs, "id", nShards = 4, dir = dir)
+    val files = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), $"id")
+    // every row lands somewhere, 4 shards, ranges don't interleave
+    assert(files.count() == 997)
+    val ranges = files.groupBy($"f")
+      .agg(min($"id").as("lo"), max($"id").as("hi"))
+      .select($"lo", $"hi").as[(Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, "shard ranges overlap")
+      case _ =>
+    }
+  }
 }
