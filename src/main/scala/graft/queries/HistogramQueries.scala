@@ -94,9 +94,36 @@ object HistogramQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------- q60_skew_stats
+  // The skew diagnostic that decides when q45's salting is warranted:
+  // per-key frequency distribution of the join key. Integer sums keep
+  // avg/ratio exact across engines; percentile() is Spark's exact
+  // interpolated percentile ≡ DuckDB percentile_cont.
+  private def q60Skew(s: SparkSession, d: String): DataFrame = {
+    val freq = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("f"))
+    freq.agg(
+      count(lit(1)).as("n_keys"),
+      max(col("f")).as("max_f"),
+      round(avg(col("f")), 6).as("avg_f"),
+      percentile(col("f"), lit(0.5)).as("p50_f"),
+      percentile(col("f"), lit(0.99)).as("p99_f"),
+      round(max(col("f")) / avg(col("f")), 6).as("skew_ratio"))
+  }
+
+  private val q60Sql =
+    """WITH freq AS (SELECT l_orderkey, count(*) AS f FROM lineitem GROUP BY 1)
+      |SELECT count(*) AS n_keys, max(f) AS max_f,
+      |  round(avg(f), 6) AS avg_f,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY f) AS p50_f,
+      |  percentile_cont(0.99) WITHIN GROUP (ORDER BY f) AS p99_f,
+      |  round(max(f) / avg(f), 6) AS skew_ratio
+      |FROM freq""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q43_histogram", q43Histogram, Some(q43Sql)),
     Q("q44_approx_agg", q44Approx, None),
     Q("q45_salted_join", q45Salted, Some(q45Sql)),
+    Q("q60_skew_stats", q60Skew, Some(q60Sql)),
   )
 }
