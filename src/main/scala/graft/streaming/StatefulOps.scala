@@ -33,6 +33,29 @@ object StatefulOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_fp")
 
+  /** Streaming decontamination guard: flag arriving documents that share
+    * ≥1 word n-gram with a STATIC eval-benchmark set. The eval gram-hash
+    * table is a static DataFrame — Spark broadcasts it into every
+    * micro-batch (stream-static equi-join, no stream state at all), so
+    * the check adds one codegen'd explode + hash probe per arriving doc.
+    * Emits (docs columns…, gram hit count) in append mode; batch twin is
+    * [[graft.ops.CorpusOps.contaminatedDocs]]. */
+  def contaminationAlerts(
+      docs: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val evalGrams = evalSet
+      .filter(size(split(trim(lower(col(textCol))), "\\s+")) >= n)
+      .select(explode(
+        graft.functions.NativeHashes.shingleHashes(col(textCol), n)).as("gram_h"))
+      .distinct()
+    docs
+      .filter(size(split(trim(lower(col(textCol))), "\\s+")) >= n)
+      .select(col(idCol),
+        explode(graft.functions.NativeHashes.shingleHashes(col(textCol), n)).as("gram_h"))
+      .join(broadcast(evalGrams), Seq("gram_h"))
+      .select(col(idCol), col("gram_h"))
+  }
+
   /** Running per-equipment totals across micro-batches via
     * flatMapGroupsWithState — emits one updated total per key per batch. */
   def runningTotals(

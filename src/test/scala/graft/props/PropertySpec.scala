@@ -123,6 +123,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunking invariants: full coverage and overlap stitching") {
+    val docGen = Gen.choose(1, 120).map(n => (1 to n).map(i => s"t$i").mkString(" "))
+    val docs = samples(docGen, 8).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val chunks = graft.ops.CorpusOps
+      .chunkDocuments(docs, "doc_id", "text", chunkTokens = 16, overlap = 4)
+      .select($"doc_id", $"chunk_idx", $"chunk")
+      .as[(Long, Int, String)].collect()
+    val originals = docs.as[(Long, String)].collect().toMap
+    chunks.groupBy(_._1).foreach { case (id, rows) =>
+      val ordered = rows.sortBy(_._2).map(_._3)
+      // stitching: first chunk + the tail beyond the 4-token overlap of
+      // each later chunk reconstructs the document exactly
+      val stitched = (ordered.head +:
+        ordered.tail.map(_.split(" ").drop(4).mkString(" ")))
+        .filter(_.nonEmpty).mkString(" ")
+      assert(stitched == originals(id), s"doc $id not reconstructible")
+    }
+  }
+
   test("idempotent append is a fixpoint: apply twice == apply once") {
     val pairsGen = Gen.listOfN(30, Gen.zip(Gen.choose(1, 5), Gen.choose(1, 5)))
     samples(pairsGen, 5).foreach { pairs =>

@@ -86,6 +86,28 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming contamination alerts flag eval-overlapping arrivals") {
+    implicit val ctx = spark.sqlContext
+    val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val alerts = StatefulOps.contaminationAlerts(docs, evalSet, "doc_id", "text")
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("contam").start()
+    try {
+      stream.addData(
+        (100L, "intro words then alpha beta gamma delta epsilon appears"),
+        (101L, "a perfectly clean training document with no overlap"))
+      q.processAllAvailable()
+      stream.addData((102L, "late arrival alpha beta gamma delta epsilon zeta end"))
+      q.processAllAvailable()
+      val flagged = spark.table("contam").select($"doc_id").as[Long]
+        .collect().toSet
+      assert(flagged == Set(100L, 102L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops watermark-window copies, keeps first arrivals") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, Long, String)]
