@@ -342,6 +342,41 @@ object AdvancedQueries {
       |  count(*) AS n_events
       |FROM sid GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------- q61_session_window
+  // Spark's NATIVE session_window operator (the one streaming also uses),
+  // pinned against the same gaps-and-islands SQL as q42. Semantics
+  // differ from q42's manual pattern at an exact-gap boundary: a new
+  // session opens at gap ≥ 30 min (window [ts, ts+gap) doesn't reach an
+  // event at ts+gap), so the oracle's flag uses >=.
+  private def q61SessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  private val q61Sql =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CAST(epoch_us(ts) AS BIGINT)
+      |      - lag(CAST(epoch_us(ts) AS BIGINT), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS ns
+      |  FROM g),
+      |sid AS (
+      |  SELECT user_id, ts,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM f)
+      |SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+      |  count(*) AS n_events
+      |FROM sid GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q28_cube", q28Cube, Some(q28Sql)),
     Q("q29_grouping_sets", q29Gsets, Some(q29Sql)),
@@ -358,5 +393,6 @@ object AdvancedQueries {
     Q("q40_percentiles", q40Percentiles, Some(q40Sql)),
     Q("q41_collect_agg", q41Collect, Some(q41Sql)),
     Q("q42_sessionize", q42Sessionize, Some(q42Sql)),
+    Q("q61_session_window", q61SessionWindow, Some(q61Sql)),
   )
 }
