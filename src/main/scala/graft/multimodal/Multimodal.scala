@@ -75,6 +75,50 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — stands in for image resampling. Treats the payload as a
+    * meta.width × meta.height single-channel grid (padding with zeros when
+    * the fake payload is short) and area-averages it down to tw × th;
+    * emits the resized payload with corrected metadata. Same per-partition
+    * batch shape as [[decodeStub]]; a real implementation swaps only the
+    * pixel math for a codec + interpolation kernel. */
+  def resizeStub(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h) = (math.max(m.meta.width, 1), math.max(m.meta.height, 1))
+        def px(x: Int, y: Int): Int = {
+          val idx = y * w + x
+          if (idx < m.payload.length) m.payload(idx) & 0xFF else 0
+        }
+        val out = new Array[Byte](tw * th)
+        var ty = 0
+        while (ty < th) {
+          var tx = 0
+          while (tx < tw) {
+            // area average over the source cell [x0,x1) × [y0,y1)
+            val x0 = x0Of(tx, tw, w); val x1 = math.max(x0Of(tx + 1, tw, w), x0 + 1)
+            val y0 = x0Of(ty, th, h); val y1 = math.max(x0Of(ty + 1, th, h), y0 + 1)
+            var sum = 0L; var cnt = 0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { sum += px(x, y); cnt += 1; x += 1 }
+              y += 1
+            }
+            out(ty * tw + tx) = (sum / cnt).toByte
+            tx += 1
+          }
+          ty += 1
+        }
+        MediaRow(m.media_id, m.meta.copy(width = tw, height = th), out)
+      }
+    }
+  }
+
+  private def x0Of(t: Int, tDim: Int, sDim: Int): Int =
+    ((t.toLong * sDim) / tDim).toInt
+
   /** Deterministic "frame sampling": take `n` evenly spaced byte windows of
     * `window` bytes from the payload (what real frame extraction would do
     * to a video stream, minus the codec). */

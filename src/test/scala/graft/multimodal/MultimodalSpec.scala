@@ -43,4 +43,24 @@ class MultimodalSpec extends AnyFunSuite {
       .select("count").as[Long].collect().toSet
     assert(perDoc == Set(4L))
   }
+
+  test("resizeStub: target dims, updated metadata, constant-field preserved") {
+    val media = Multimodal.packDocsAsMedia(docs)
+    val resized = Multimodal.resizeStub(media, tw = 8, th = 8).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { m =>
+      assert(m.payload.length == 64)
+      assert(m.meta.width == 8 && m.meta.height == 8)
+    }
+    // area-averaging a constant grid yields the constant
+    import spark.implicits._
+    val const = Seq(Multimodal.MediaRow(7L,
+      Multimodal.MediaMeta("image", 16, 16, 1, 0, 0L),
+      Array.fill(256)(42.toByte))).toDS()
+    val out = Multimodal.resizeStub(const, 4, 4).collect().head
+    assert(out.payload.forall(_ == 42.toByte))
+    // deterministic: same input → same bytes
+    val again = Multimodal.resizeStub(const, 4, 4).collect().head
+    assert(java.util.Arrays.equals(out.payload, again.payload))
+  }
 }
