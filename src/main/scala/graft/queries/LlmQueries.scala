@@ -163,6 +163,36 @@ object LlmQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("lang_pred"))
 
+  // Mechanical mirror of TextAnalysis.langId: per-language stopword hits,
+  // argmax with the fold's tie precedence (later language in sorted order
+  // wins → CASE tests in reverse), script check for zh. RE2 spells the
+  // CJK class \x{...}; Java spells it \u... — same block.
+  private val q25Sql = {
+    val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+    def hitExpr(ws: Seq[String]) =
+      s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
+        s"t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+    val hitCols = langs.map { case (l, ws) => s"  ${hitExpr(ws)} AS h_$l" }
+      .mkString(",\n")
+    val best = s"greatest(${langs.map(l => s"h_${l._1}").mkString(", ")})"
+    val caseChain = langs.reverse.map { case (l, _) =>
+      s"      WHEN h_$l = $best AND h_$l > 0 THEN '$l'"
+    }.mkString("\n")
+    s"""WITH h AS (
+       |  SELECT lang,
+       |$hitCols,
+       |  CASE WHEN length(text) > 0 THEN
+       |    CAST(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)
+       |      / length(text) ELSE 0.0 END AS cjk
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang, CASE WHEN cjk > 0.25 THEN 'zh' ELSE (CASE
+       |$caseChain
+       |      ELSE 'und' END) END AS lang_pred
+       |  FROM h)
+       |SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // ---------------------------------------------------- q26_fingerprint
   private def q26Fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -400,7 +430,7 @@ object LlmQueries {
     Q("q23_cosine_topk", q23Cosine, Some(q23Sql)),
     Q("q24_ann_topk", q24Ann, None),
     Q("q46_ivf_topk", q46Ivf, None),
-    Q("q25_langid", q25LangId, None),
+    Q("q25_langid", q25LangId, Some(q25Sql)),
     Q("q26_fingerprint", q26Fingerprint, None),
     Q("q27_multimodal", q27Multimodal, None),
     Q("q50_components", q50Cc, Some(q50Sql)),
