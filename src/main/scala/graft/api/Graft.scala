@@ -39,7 +39,8 @@ object Graft {
     /** Drop near-duplicates cluster-wise: LSH pairs → connected
       * components → exactly one (min-id) keeper per near-dup cluster.
       * Cluster resolution, not greedy pair-dropping — chained dups
-      * (a~b, b~c with no a~c pair) still collapse to one keeper. */
+      * (a~b, b~c with no a~c pair) still collapse to one keeper.
+      * Any id type: non-numeric ids ride CC on xxhash64 surrogates. */
     def dedupNear(idCol: String, textCol: String = "text",
         threshold: Double = 0.6): DataFrame =
       Dedup.dropNearDups(df, idCol, textCol, threshold = threshold)

@@ -267,15 +267,38 @@ object Dedup {
   }
 
   /** Resolve near-dup pairs into clusters over the full corpus: every id
-    * gets a `cluster_id` (= min doc id of its connected near-dup cluster;
-    * singletons are their own cluster) and a `is_keeper` flag (true for
-    * exactly one row per cluster). `dropNearDups` = filter(is_keeper). */
+    * gets a `cluster_id` (= min doc id of its connected near-dup cluster,
+    * by the id column's own ordering; singletons are their own cluster)
+    * and a `is_keeper` flag (true for exactly one row per cluster).
+    * `dropNearDups` = filter(is_keeper).
+    *
+    * Works for ANY id type. Numeric ids feed [[connectedComponents]]
+    * directly and `cluster_id` is bigint; non-numeric ids (e.g. string
+    * doc ids) are mapped to xxhash64 surrogate nodes for the CC rounds
+    * (collision odds ~2⁻⁶⁴ per pair) and `cluster_id` keeps the id
+    * column's own type — the min original id per component, recovered
+    * with one extra groupBy+join on the component key. */
   def resolveClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val cc = connectedComponents(pairs.select(col("id_a"), col("id_b")))
-      .withColumnsRenamed(Map("id" -> idCol, "component" -> "cluster_id"))
-    df.join(cc, Seq(idCol), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol).cast("long")))
-      .withColumn("is_keeper", col(idCol).cast("long") === col("cluster_id"))
+    import org.apache.spark.sql.types.NumericType
+    val idc = col(idCol)
+    if (df.schema(idCol).dataType.isInstanceOf[NumericType]) {
+      val cc = connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .withColumnsRenamed(Map("id" -> idCol, "component" -> "cluster_id"))
+      df.join(cc, Seq(idCol), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), idc.cast("long")))
+        .withColumn("is_keeper", idc.cast("long") === col("cluster_id"))
+    } else {
+      val cc = connectedComponents(
+        pairs.select(xxhash64(col("id_a")), xxhash64(col("id_b"))))
+        .withColumnsRenamed(Map("id" -> "__graft_node", "component" -> "__graft_comp"))
+      val joined = df.withColumn("__graft_node", xxhash64(idc))
+        .join(cc, Seq("__graft_node"), "left")
+        .withColumn("__graft_comp", coalesce(col("__graft_comp"), col("__graft_node")))
+      val reps = joined.groupBy(col("__graft_comp")).agg(min(idc).as("cluster_id"))
+      joined.join(reps, Seq("__graft_comp"))
+        .withColumn("is_keeper", idc === col("cluster_id"))
+        .drop("__graft_node", "__graft_comp")
+    }
   }
 
   /** End-to-end near-dup removal: MinHash-LSH pairs → connected

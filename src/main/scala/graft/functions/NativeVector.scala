@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -23,12 +23,34 @@ import org.apache.spark.sql.types._
   */
 object NativeVector {
 
+  /** Squared L2 norm of one side, folded in element order like the pure
+    * aggregate(); -1.0 is the "null norm" sentinel (a null element nulls
+    * the whole fold). */
+  private def normSq(v: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = v.numElements()
+    while (i < n) {
+      if (v.isNullAt(i)) return -1.0
+      val x = v.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    s
+  }
+
   /** Shared by interpreted eval and generated code. Returns null (boxed)
-    * only for mismatched lengths — mirroring zip_with's null padding
-    * turning the dot (but not the norms) null. */
+    * only for mismatched lengths with BOTH norms positive — zip_with's
+    * null padding nulls the dot, but `when(denom > 0, ...)` still takes
+    * the otherwise(0.0) branch when either independently-computed norm
+    * is zero or null. */
   def evalCosine(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
-    if (n != b.numElements()) return null
+    if (n != b.numElements()) {
+      val na = normSq(a)
+      val nb = normSq(b)
+      return if (na > 0 && nb > 0) null else java.lang.Double.valueOf(0.0)
+    }
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -49,7 +71,14 @@ object NativeVector {
   }
 
   case class CosineSimExpr(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    // Coerce (or reject) non-double arrays at analysis time: external
+    // callers hit this via SQL/extensions on array<float> embedding
+    // columns, where a raw getDouble over 4-byte elements would read
+    // garbage instead of failing.
+    // Seq[DataType] (covariant) — AbstractDataType is private[sql] in Spark 4
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def prettyName: String = "graft_cosine"

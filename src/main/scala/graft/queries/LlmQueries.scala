@@ -310,12 +310,15 @@ object LlmQueries {
         col("pack_offset"), col("pack_id"))
       .orderBy(col("source"), col("doc_id"))
 
+  // pack_offset carries an outer CAST: DuckDB SUM(BIGINT) returns HUGEINT,
+  // and a dtype-sensitive comparer flags int128-vs-int64 even when every
+  // value matches (the r1 driver gate did exactly that).
   private val q54Sql =
     """SELECT doc_id, source,
       |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-      |  COALESCE(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+      |  CAST(COALESCE(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
       |    OVER (PARTITION BY source ORDER BY doc_id
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset,
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pack_offset,
       |  CAST(floor(COALESCE(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
       |    OVER (PARTITION BY source ORDER BY doc_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS pack_id

@@ -38,8 +38,11 @@ object StatefulOps {
     * table is a static DataFrame — Spark broadcasts it into every
     * micro-batch (stream-static equi-join, no stream state at all), so
     * the check adds one codegen'd explode + hash probe per arriving doc.
-    * Emits (docs columns…, gram hit count) in append mode; batch twin is
-    * [[graft.ops.CorpusOps.contaminatedDocs]]. */
+    * Emits one `(idCol, gram_h)` row per matched gram in append mode —
+    * deliberately NOT aggregated per document, because a streaming
+    * groupBy would reintroduce watermarked state; downstream consumers
+    * count per id in their own batch sink if they need totals. Batch
+    * twin is [[graft.ops.CorpusOps.contaminatedDocs]]. */
   def contaminationAlerts(
       docs: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {

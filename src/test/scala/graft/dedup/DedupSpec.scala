@@ -75,4 +75,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
     assert(!pairs.contains((3L, 5L)))
   }
+
+  test("resolveClusters / dropNearDups work with string (non-numeric) ids") {
+    // same corpus, ids as strings — CC runs on xxhash64 surrogates and
+    // cluster_id keeps the string type (min id by string ordering)
+    val strCorpus = corpus.withColumn("doc_id", concat(lit("doc-"), $"doc_id"))
+    val resolved = Dedup.resolveClusters(
+      strCorpus, "doc_id",
+      Dedup.nearDupPairsMinhash(strCorpus, "doc_id", "text", threshold = 0.7))
+    assert(resolved.schema("cluster_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val byCluster = resolved.groupBy($"cluster_id")
+      .agg(sum(when($"is_keeper", 1).otherwise(0)).as("keepers"))
+      .as[(String, Long)].collect().toMap
+    assert(byCluster.values.forall(_ == 1L), s"one keeper per cluster: $byCluster")
+    // cluster of {doc-1, doc-2, doc-4, doc-6} keeps the min string id
+    assert(byCluster.keySet == Set("doc-1", "doc-3", "doc-5"))
+    val kept = Dedup.dropNearDups(strCorpus, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[String].collect().toSet
+    assert(kept == Set("doc-1", "doc-3", "doc-5"))
+  }
 }

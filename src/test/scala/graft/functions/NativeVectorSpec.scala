@@ -40,6 +40,39 @@ class NativeVectorSpec extends AnyFunSuite {
     assert(mm.select(Similarity.cosinePure($"a", $"b")).collect()(0).isNullAt(0))
   }
 
+  test("mismatched length with a zero/null norm matches the pure form") {
+    // pure: denom computed over each full array independently; a zero or
+    // null norm takes the otherwise(0.0) branch before the null dot matters
+    val cases = Seq(
+      (Seq(0.0, 0.0), Seq(1.0, 2.0, 3.0)),          // left zero norm
+      (Seq(1.0, 2.0, 3.0), Seq(0.0, 0.0)),          // right zero norm
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)))          // both nonzero → null
+    val df = cases.toDF("a", "b")
+    val native = df.select(Similarity.cosine($"a", $"b")).collect()
+    val pure = df.select(Similarity.cosinePure($"a", $"b")).collect()
+    (0 until 3).foreach { i =>
+      assert(native(i).isNullAt(0) == pure(i).isNullAt(0), s"null parity, case $i")
+      if (!native(i).isNullAt(0))
+        assert(native(i).getDouble(0) == pure(i).getDouble(0), s"value, case $i")
+    }
+    assert(native(0).getDouble(0) == 0.0 && native(1).getDouble(0) == 0.0)
+    assert(native(2).isNullAt(0))
+  }
+
+  test("array<float> inputs are coerced (not read as garbage)") {
+    // embeddings store array<float>; ImplicitCastInputTypes must insert
+    // the float→double cast at analysis time for SQL/extension callers
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-7, s"expected ~1.0, got ${got(0)}")
+    // and via the SQL-registered function name
+    NativeHashes.register(spark)
+    df.createOrReplaceTempView("nv_float_t")
+    val sql = spark.sql("SELECT graft_cosine(a, b) FROM nv_float_t")
+      .as[Double].collect()
+    assert(math.abs(sql(0) - 1.0) < 1e-7)
+  }
+
   test("native cosine runs inside WholeStageCodegen") {
     // a local Seq would constant-fold to LocalTableScan (eval path), and
     // higher-order builders (transform) are CodegenFallback and would
