@@ -91,6 +91,24 @@ object Graft {
     /** Range-sharded, shard-sorted parquet training layout. */
     def writeShards(idCol: String, nShards: Int, dir: String): Unit =
       graft.sources.LakeMaintenance.writeTrainingShards(df, idCol, nShards, dir)
+
+    /** Within-document repetition signals (dup-token/2-gram fractions). */
+    def withRepetitionSignals(idCol: String, textCol: String = "text"): DataFrame =
+      CorpusOps.repetitionSignals(df, idCol, textCol)
+
+    /** Cross-document repeated n-grams (boilerplate detection). */
+    def boilerplate(idCol: String, textCol: String = "text", n: Int = 5,
+        minDocs: Long = 3L): DataFrame =
+      CorpusOps.boilerplateGrams(df, idCol, textCol, n, minDocs)
+
+    /** Deterministic exact-fraction stratified sample. */
+    def stratifiedSample(idCol: String, stratumCol: String,
+        frac: Double): DataFrame =
+      CorpusOps.stratifiedSample(df, idCol, stratumCol, frac)
+
+    /** Exact token-set Jaccard for all id pairs of a (small) probe set. */
+    def jaccardPairs(idCol: String, textCol: String = "text"): DataFrame =
+      Dedup.tokenJaccardPairs(df, idCol, textCol)
   }
 
   implicit class VectorOps(private val df: DataFrame) {
@@ -108,6 +126,10 @@ object Graft {
     /** Per-label prototype (centroid) vectors, decimal-exact. */
     def labelCentroids(labelCol: String, vecCol: String): DataFrame =
       Similarity.centroids(df, labelCol, vecCol)
+
+    /** Absmax int8 quantization flattened to (id, dim, q8). */
+    def quantized(idCol: String, vecCol: String): DataFrame =
+      Similarity.quantizeInt8(df, idCol, vecCol)
   }
 
   implicit class FlowOps(private val df: DataFrame) {

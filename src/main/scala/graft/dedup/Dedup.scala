@@ -138,6 +138,22 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact token-set Jaccard for every id_a < id_b pair of a (small) probe
+    * set: set-intersection over set-union of distinct lowercase tokens —
+    * no hashing anywhere, so it is engine-portable and oracle-checkable
+    * (unlike the shingle-hash [[jaccard]]). Broadcast one side; pairwise,
+    * so reserve it for probe sets / within-bucket verification — corpus
+    * scale goes through [[nearDupPairsMinhash]]. */
+  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = array_distinct(graft.text.TextAnalysis.tokens(lower(col(textCol))))
+    val l = df.select(col(idCol).as("id_a"), toks.as("t_a"))
+    val r = df.select(col(idCol).as("id_b"), toks.as("t_b"))
+    l.join(broadcast(r), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("t_a"), col("t_b"))).cast("double")
+          / size(array_union(col("t_a"), col("t_b")))).as("jaccard"))
+  }
+
   // ----------------------------------------------------------- simhash
   /** 64-bit SimHash over word 2-gram shingles: per shingle, xxhash64 votes
     * ±1 on each bit position; sign of the vote sum sets the bit. Shingles

@@ -114,6 +114,87 @@ object CorpusOps {
       .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")))
   }
 
+  // ------------------------------------------------- repetition signals
+  /** Gopher-style within-document repetition signals: duplicate-token
+    * fraction, top-token fraction, and duplicate-2-gram fraction — the
+    * standard cheap filters for degenerate/looping text. Distinct-vs-total
+    * counts are pure array expressions over the scan (no shuffle); only
+    * the top-token count needs an explode + (id, term) aggregation, whose
+    * shuffle carries (id, term, count) partials — bounded by corpus token
+    * count, never by document size skew. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = graft.text.TextAnalysis.tokens(lower(col(textCol)))
+    val g2 = when(size(col("__t")) >= 2,
+      transform(sequence(lit(1), size(col("__t")) - 1),
+        i => concat_ws(" ", element_at(col("__t"), i), element_at(col("__t"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val base = df.select(col(idCol), t.as("__t"))
+      .select(col(idCol), col("__t"), g2.as("__g"))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("total_tokens"),
+        size(array_distinct(col("__t"))).cast("long").as("distinct_tokens"),
+        size(col("__g")).cast("long").as("total_2grams"),
+        size(array_distinct(col("__g"))).cast("long").as("distinct_2grams"))
+    val top = df.select(col(idCol), explode(t).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(max(col("cnt")).as("top_count"))
+    base.join(top, Seq(idCol), "left")
+      .withColumn("top_count", coalesce(col("top_count"), lit(0L)))
+      .withColumn("dup_token_frac",
+        when(col("total_tokens") > 0,
+          lit(1.0) - col("distinct_tokens").cast("double") / col("total_tokens"))
+          .otherwise(0.0))
+      .withColumn("top_token_frac",
+        when(col("total_tokens") > 0,
+          col("top_count").cast("double") / col("total_tokens")).otherwise(0.0))
+      .withColumn("dup_2gram_frac",
+        when(col("total_2grams") > 0,
+          lit(1.0) - col("distinct_2grams").cast("double") / col("total_2grams"))
+          .otherwise(0.0))
+  }
+
+  // ------------------------------------------------- boilerplate grams
+  /** Cross-document repeated n-grams — boilerplate/template detection
+    * (headers, license banners, nav chrome). Emits grams seen in at
+    * least `minDocs` distinct documents with doc + occurrence counts.
+    * The shuffle carries (gram, partial counts) with map-side combine;
+    * at 100 TB the same pipeline runs over gram *hashes*
+    * ([[contaminatedDocs]] pattern) — text grams are kept here because
+    * the operator's product is a human-readable boilerplate list. */
+  def boilerplateGrams(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Long = 3L, maxSize: Int = 100): DataFrame = {
+    val t = graft.text.TextAnalysis.tokens(lower(col(textCol)))
+    val grams = transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+      i => concat_ws(" ", slice(col("__t"), i, lit(n))))
+    df.select(col(idCol), t.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol), explode(grams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count_distinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(maxSize)
+  }
+
+  // ------------------------------------------------- stratified sample
+  /** Deterministic exact-fraction stratified sample: within each stratum,
+    * rank rows by md5(id) (a content-stable pseudo-random order — same
+    * engine-portable trick as [[deterministicSplit]]) and keep the first
+    * ceil(frac·n). Reproducible across runs/engines, and exact per-stratum
+    * fractions unlike Bernoulli `df.sample`. One shuffle (window by
+    * stratum); a stratum's rows must fit a task — true for any real
+    * source/shard stratification, and the Bernoulli path covers the rest. */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String, frac: Double): DataFrame = {
+    val order = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val whole = Window.partitionBy(col(stratumCol))
+    df.withColumn("rn", row_number().over(order).cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(whole))
+      .filter(col("rn") <= ceil(col("n_stratum") * frac))
+  }
+
   // -------------------------------------------------------- PII masking
   /** Structure-preserving PII scrub: emails → <EMAIL>, long digit runs
     * (phone-shaped) → <PHONE>. ASCII character classes only, so Java and

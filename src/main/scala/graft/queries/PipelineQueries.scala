@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.dedup.Dedup
+import graft.ops.CorpusOps
+import graft.sim.Similarity
+import graft.tables.Tables
+
+/** Round-2 pipeline surface: within-document repetition quality signals,
+  * cross-document boilerplate detection, deterministic stratified
+  * sampling, sliding event-time windows, outer joins, int8 embedding
+  * quantization, and exact token-set Jaccard — all DuckDB-oracled.
+  */
+object PipelineQueries {
+
+  private def sumD2(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  // ---------------------------------------------------- q62_repetition
+  // Gopher-style repetition filters. Fractions are int/int double
+  // divisions — bit-identical across engines, no rounding needed.
+  private def q62Repetition(s: SparkSession, d: String): DataFrame =
+    CorpusOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q62Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, t,
+      |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2
+      |  FROM tok),
+      |tf AS (SELECT doc_id, unnest(t) AS term FROM tok),
+      |top AS (
+      |  SELECT doc_id, max(cnt) AS top_count FROM (
+      |    SELECT doc_id, term, count(*) AS cnt
+      |    FROM tf GROUP BY doc_id, term) GROUP BY doc_id)
+      |SELECT g.doc_id,
+      |  len(t) AS total_tokens,
+      |  len(list_distinct(t)) AS distinct_tokens,
+      |  len(g2) AS total_2grams,
+      |  len(list_distinct(g2)) AS distinct_2grams,
+      |  coalesce(top_count, 0) AS top_count,
+      |  CASE WHEN len(t) > 0
+      |    THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+      |    ELSE 0.0 END AS dup_token_frac,
+      |  CASE WHEN len(t) > 0
+      |    THEN CAST(coalesce(top_count, 0) AS DOUBLE) / len(t)
+      |    ELSE 0.0 END AS top_token_frac,
+      |  CASE WHEN len(g2) > 0
+      |    THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+      |    ELSE 0.0 END AS dup_2gram_frac
+      |FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
+  // --------------------------------------------------- q63_boilerplate
+  private def q63Boilerplate(s: SparkSession, d: String): DataFrame =
+    CorpusOps.boilerplateGrams(
+      Tables.documents(s, d), "doc_id", "text", n = 5, minDocs = 3L, maxSize = 100)
+
+  private val q63Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, array_to_string(t[u.i:u.i+4], ' ') AS gram
+      |  FROM tok, UNNEST(range(1, len(t) - 3)) AS u(i)
+      |  WHERE len(t) >= 5)
+      |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+      |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
+      |ORDER BY n_docs DESC, gram LIMIT 100""".stripMargin
+
+  // ------------------------------------------------ q64_sliding_window
+  // Native sliding windows (30 min wide, 15 min slide): every event lands
+  // in exactly two windows. The oracle unrolls the two offsets per event.
+  private def q64Sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sumD2(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("w_start_epoch"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start_epoch"), col("event_type"))
+
+  private val q64Sql =
+    """WITH w AS (
+      |  SELECT CAST(floor(epoch(time_bucket(INTERVAL 15 minutes, ts))) AS BIGINT)
+      |           - u.k * 900 AS w_start_epoch,
+      |         event_type, value
+      |  FROM events, UNNEST([0, 1]) AS u(k))
+      |SELECT w_start_epoch, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- q65_strat_sample
+  private def q65Sample(s: SparkSession, d: String): DataFrame =
+    CorpusOps.stratifiedSample(Tables.documents(s, d), "doc_id", "source", 0.1)
+      .select(col("doc_id"), col("source"), col("rn"), col("n_stratum"))
+      .orderBy(col("source"), col("rn"))
+
+  private val q65Sql =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n_stratum
+      |  FROM documents)
+      |SELECT doc_id, source, rn, n_stratum FROM r
+      |WHERE rn <= ceil(0.1 * n_stratum)
+      |ORDER BY source, rn""".stripMargin
+
+  // --------------------------------------------------- q66_full_outer
+  // Full outer join of two sparse per-nation aggregates (top-balance
+  // customers vs top-balance suppliers) — nations appear on one side,
+  // the other, both, or neither; USING-style key coalescing on both
+  // engines.
+  private def q66FullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_rich_cust"))
+    val sup = Tables.supplier(s, d).filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_rich_supp"))
+    c.join(sup, Seq("nationkey"), "full_outer")
+      .orderBy(col("nationkey"))
+  }
+
+  private val q66Sql =
+    """SELECT nationkey, n_rich_cust, n_rich_supp
+      |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_rich_cust
+      |      FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS nationkey, count(*) AS n_rich_supp
+      |      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+      |USING (nationkey)
+      |ORDER BY nationkey""".stripMargin
+
+  // ----------------------------------------------------- q67_quantize
+  // Absmax int8 quantization; 127·e/max|e| is the same IEEE double op
+  // sequence on both engines, and round-half-away agrees on identical
+  // doubles, so the int grid is exact.
+  private def q67Quantize(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+      .orderBy(col("vec_id"), col("dim"))
+
+  private val q67Sql =
+    """WITH u AS (
+      |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
+      |    CAST(generate_subscripts(embedding, 1) AS INT) AS dim
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, dim, e, max(abs(e)) OVER (PARTITION BY vec_id) AS maxabs
+      |  FROM u)
+      |SELECT vec_id, dim,
+      |  CASE WHEN maxabs > 0 THEN CAST(round(127.0 * e / maxabs) AS INT)
+      |       ELSE 0 END AS q8
+      |FROM m ORDER BY vec_id, dim""".stripMargin
+
+  // ------------------------------------------------ q68_jaccard_pairs
+  // Exact token-set Jaccard over a 15-doc probe set (105 pairs) — the
+  // hashed-shingle near-dup operators' semantics, verifiable end-to-end.
+  private def q68Jaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.tokenJaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 15), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q68Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+      |  FROM documents WHERE doc_id < 15)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q62_repetition", q62Repetition, Some(q62Sql)),
+    Q("q63_boilerplate", q63Boilerplate, Some(q63Sql)),
+    Q("q64_sliding_window", q64Sliding, Some(q64Sql)),
+    Q("q65_strat_sample", q65Sample, Some(q65Sql)),
+    Q("q66_full_outer", q66FullOuter, Some(q66Sql)),
+    Q("q67_quantize", q67Quantize, Some(q67Sql)),
+    Q("q68_jaccard_pairs", q68Jaccard, Some(q68Sql)),
+  )
+}

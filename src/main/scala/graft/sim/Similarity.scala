@@ -116,6 +116,23 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("avg_raw")))),
         s => s.getField("avg_raw")).as("centroid"))
 
+  /** Absmax int8 quantization of an embedding table, flattened to
+    * (id, dim, q8): q8 = round(127·e / max|e| over the vector), the
+    * storage-compression scheme of int8 inference kernels. Per-vector
+    * max(|e|) is order-independent (unlike a sum), so the result is
+    * bit-stable under any partitioning and safe to oracle-check.
+    * Implemented as posexplode + a whole-partition window max — one
+    * shuffle on id; zero-vectors quantize to 0. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+    df.select(col(idCol), posexplode(asDouble(col(vecCol))).as(Seq("pos", "e")))
+      .withColumn("maxabs", max(abs(col("e"))).over(w))
+      .select(col(idCol), (col("pos") + 1).as("dim"),
+        when(col("maxabs") > 0,
+          round(lit(127.0) * col("e") / col("maxabs")).cast("int"))
+          .otherwise(0).as("q8"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold)
     * via LSH buckets — the embedding-space member of the dedup family. */
   def nearDupPairsEmbedding(

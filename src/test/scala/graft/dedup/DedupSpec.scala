@@ -95,4 +95,20 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[String].collect().toSet
     assert(kept == Set("doc-1", "doc-3", "doc-5"))
   }
+
+  test("tokenJaccardPairs: exact set semantics, case/duplicate insensitive") {
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "A b c d"),        // same set after lowercasing → jaccard 1
+      (3L, "a a a b"),        // duplicates collapse → {a,b}; ∩{a,b,c,d}=2, ∪=4
+      (4L, "x y z w"))        // disjoint from doc 1
+      .toDF("doc_id", "text")
+    val got = Dedup.tokenJaccardPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((1L, 3L)) == 0.5)
+    assert(got((1L, 4L)) == 0.0)
+    assert(got.size == 6) // all id_a < id_b pairs present
+  }
 }

@@ -83,6 +83,50 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == List("contact <EMAIL> or <PHONE> today", "no pii here at all"))
   }
 
+  test("repetitionSignals: dup/top fractions over tokens and 2-grams") {
+    val docs = Seq(
+      (1L, "a a a b"),            // 4 tokens, 2 distinct, top=3; 3 2-grams ("a a"×2, "a b"), 2 distinct
+      (2L, "x y z"),              // no repetition
+      (3L, "w"))                  // single token: zero 2-grams
+      .toDF("doc_id", "text")
+    val got = CorpusOps.repetitionSignals(docs, "doc_id", "text")
+      .select($"doc_id", $"total_tokens", $"distinct_tokens", $"top_count",
+        $"total_2grams", $"distinct_2grams", $"dup_token_frac", $"dup_2gram_frac")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 2L, 3L, 3L, 2L, 0.5, 1.0 - 2.0 / 3.0)))
+    assert(got(2L) == ((2L, 3L, 3L, 1L, 2L, 2L, 0.0, 0.0)))
+    assert(got(3L) == ((3L, 1L, 1L, 1L, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("boilerplateGrams: cross-doc repeated n-grams with doc/occurrence counts") {
+    val banner = "this file is part of project x"
+    val docs = Seq(
+      (1L, s"$banner and does one thing"),
+      (2L, s"$banner and does another"),
+      (3L, s"unrelated content here entirely different words"),
+      (4L, s"$banner $banner twice in one doc"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.boilerplateGrams(docs, "doc_id", "text",
+      n = 7, minDocs = 3L, maxSize = 10)
+      .as[(String, Long, Long)].collect().toList
+    // the 7-gram banner appears in docs 1, 2, 4 (twice in 4 → 4 occurrences)
+    assert(got.contains((banner, 3L, 4L)))
+    assert(got.forall(_._2 >= 3L))
+  }
+
+  test("stratifiedSample: exact per-stratum fraction, deterministic membership") {
+    val docs = (0L until 200L).map(i => (i, s"s${i % 2}")).toDF("id", "src")
+    val a = CorpusOps.stratifiedSample(docs, "id", "src", 0.1)
+      .select($"id").as[Long].collect().toSet
+    val b = CorpusOps.stratifiedSample(docs, "id", "src", 0.1)
+      .select($"id").as[Long].collect().toSet
+    assert(a == b, "same sample on re-run")
+    val perSrc = CorpusOps.stratifiedSample(docs, "id", "src", 0.1)
+      .groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(perSrc == Map("s0" -> 10L, "s1" -> 10L)) // ceil(0.1·100) exactly
+  }
+
   test("contaminatedDocs: finds the planted overlap, counts distinct grams") {
     val eval = Seq((1L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")

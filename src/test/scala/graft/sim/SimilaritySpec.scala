@@ -66,4 +66,23 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Int, Seq[Double])].collect().toMap
     assert(got == Map(0 -> Seq(2.0, 15.0), 1 -> Seq(5.0, 5.0)))
   }
+
+  test("quantizeInt8: absmax grid, max element hits ±127, zero vector → 0s") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),   // maxabs 1.0 → 64 (rounded), -127, 32
+      (2L, Seq(0.0f, 0.0f)))           // zero vector
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy($"vec_id", $"dim")
+      .select($"vec_id", $"dim", $"q8").as[(Long, Int, Int)].collect().toList
+    assert(got == List(
+      (1L, 1, 64), (1L, 2, -127), (1L, 3, 32),
+      (2L, 1, 0), (2L, 2, 0)))
+    // every vector's largest-magnitude element lands exactly on ±127
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val maxPerVec = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .groupBy($"vec_id").agg(max(abs($"q8")).as("m"))
+      .select($"m").distinct().as[Int].collect().toSet
+    assert(maxPerVec == Set(127))
+  }
 }
