@@ -215,6 +215,8 @@ object NativeHashes {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       exprs => NativeVector.CosineSimExpr(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_langid", exprs => NativeText.LangIdExpr(exprs.head), "scala_udf")
   }
 }
 
@@ -236,5 +238,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[NativeVector.CosineSimExpr].getName, "graft_cosine"),
         (exprs: Seq[Expression]) => NativeVector.CosineSimExpr(exprs.head, exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_langid"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NativeText.LangIdExpr].getName, "graft_langid"),
+        (exprs: Seq[Expression]) => NativeText.LangIdExpr(exprs.head)))
   }
 }

@@ -274,15 +274,25 @@ object AdvancedQueries {
       |ORDER BY p.event_id""".stripMargin
 
   // -------------------------------------------------------- q40_percentiles
-  // Exact interpolated percentiles (percentile_cont semantics).
-  private def q40Percentiles(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  // Exact interpolated percentiles (percentile_cont semantics). The
+  // low-cardinality column (l_quantity: ~50 distinct values) is
+  // histogram-compressed first — a codegen'd hash agg whose shuffle
+  // carries ≤ |groups|·|values| rows at ANY fact size — then the exact
+  // percentile interpolates over the tiny (value, freq) table via
+  // percentile()'s frequency form. Only the continuous price column pays
+  // the ObjectHashAggregate value-map, where no compression exists.
+  private def q40Percentiles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val qtyP = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("f"))
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_quantity, 0.85)"), 6).as("p85"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
-      .orderBy(col("l_returnflag"))
+        round(expr("percentile(l_quantity, 0.5, f)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.85, f)"), 6).as("p85"))
+    val priceP = li.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+    qtyP.join(priceP, Seq("l_returnflag")).orderBy(col("l_returnflag"))
+  }
 
   private val q40Sql =
     """SELECT l_returnflag,

@@ -55,8 +55,14 @@ object TextAnalysis {
 
   /** Heuristic language ID: script check for zh, else argmax of stopword
     * hits across the five latin-script lists ("und" when nothing hits).
-    * One pass, pure expressions — no per-language scans. */
-  def langId(c: Column): Column = {
+    * Native single-pass codegen'd expression — the pure fold below
+    * re-tokenizes per (language, comparison) pair in interpreted HOFs;
+    * NativeTextSpec pins bit-equality between the two. */
+  def langId(c: Column): Column = graft.functions.NativeText.langId(c)
+
+  /** Pure-expression semantic spec for [[langId]] (interpreted — not the
+    * hot-path implementation). */
+  def langIdPure(c: Column): Column = {
     val hits = stopwords.toSeq.sortBy(_._1)
       .map { case (lang, words) => lang -> stopwordHits(c, words) }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.tables.Tables
+import graft.text.TextAnalysis
+
+class NativeTextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val tricky = Seq(
+    "the cat sat on the mat and it is that",            // en
+    "der hund ist nicht mit der katze und das",         // de
+    "le chat est dans la maison pour les enfants",      // fr
+    "el perro es un animal para los niños en casa",     // es
+    "o gato é um animal para os meninos em casa",       // pt
+    "a a a",                                            // "a" ∈ en AND pt → tie → pt wins
+    "这是一个中文句子有很多汉字在里面",                      // zh by script
+    "qwerty zxcvb plmokn",                              // no hits → und
+    "",                                                 // empty → und
+    "   ",                                              // spaces only → und
+    "the der le el o",                                  // 5-way tie → pt (last in sorted order)
+    "\tthe\tis\t")                                      // tabs: trim() strips 0x20 only
+
+  test("native langId is identical to the pure fold on tricky cases") {
+    val df = tricky.toDF("text")
+    val got = df.select(
+      TextAnalysis.langId($"text").as("native"),
+      TextAnalysis.langIdPure($"text").as("pure"))
+      .as[(String, String)].collect()
+    got.zip(tricky).foreach { case ((n, p), t) =>
+      assert(n == p, s"mismatch on '$t': native=$n pure=$p")
+    }
+    // and the intended labels hold
+    val labels = got.map(_._1).toSeq
+    assert(labels.take(8) == Seq("en", "de", "fr", "es", "pt", "pt", "zh", "und"))
+  }
+
+  test("native langId matches the pure fold over the documents table") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(
+      TextAnalysis.langId($"text").as("native"),
+      TextAnalysis.langIdPure($"text").as("pure"))
+      .filter(not($"native" <=> $"pure"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("null text → 'und' on both forms") {
+    val df = Seq(Some("the is a"), None).toDF("text")
+    val got = df.select(
+      TextAnalysis.langId($"text").as("native"),
+      TextAnalysis.langIdPure($"text").as("pure"))
+      .as[(String, String)].collect()
+    assert(got(1)._1 == "und" && got(1)._2 == "und")
+  }
+
+  test("native langId runs inside WholeStageCodegen") {
+    val df = spark.range(4)
+      .select(concat(lit("the cat number "), col("id").cast("string")).as("t"))
+      .select(TextAnalysis.langId($"t").as("l"))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("*(1) Project"), s"codegen collapsed:\n$p")
+    assert(p.contains("graft_langid"), s"native expr missing:\n$p")
+    df.collect()
+  }
+
+  test("graft_langid is callable from SQL") {
+    NativeHashes.register(spark)
+    // note: "und" itself is a German stopword — use hit-free junk tokens
+    Seq("xyzzy check", "the is a the").toDF("text").createOrReplaceTempView("nt_t")
+    val got = spark.sql("SELECT graft_langid(text) FROM nt_t ORDER BY text")
+      .as[String].collect().toList
+    assert(got == List("en", "und"))
+  }
+}
