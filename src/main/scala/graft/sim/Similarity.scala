@@ -121,17 +121,19 @@ object Similarity {
     * storage-compression scheme of int8 inference kernels. Per-vector
     * max(|e|) is order-independent (unlike a sum), so the result is
     * bit-stable under any partitioning and safe to oracle-check.
-    * Implemented as posexplode + a whole-partition window max — one
-    * shuffle on id; zero-vectors quantize to 0. */
-  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-    df.select(col(idCol), posexplode(asDouble(col(vecCol))).as(Seq("pos", "e")))
-      .withColumn("maxabs", max(abs(col("e"))).over(w))
+    * max|e| is an array expression computed BEFORE the explode — the
+    * whole operator is a zero-shuffle projection over the scan (a window
+    * max over the exploded rows would exchange+sort the flattened
+    * table); zero-vectors quantize to 0. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__maxabs", array_max(transform(col("__v"), x => abs(x))))
+      .select(col(idCol), col("__maxabs"),
+        posexplode(col("__v")).as(Seq("pos", "e")))
       .select(col(idCol), (col("pos") + 1).as("dim"),
-        when(col("maxabs") > 0,
-          round(lit(127.0) * col("e") / col("maxabs")).cast("int"))
+        when(col("__maxabs") > 0,
+          round(lit(127.0) * col("e") / col("__maxabs")).cast("int"))
           .otherwise(0).as("q8"))
-  }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold)
     * via LSH buckets — the embedding-space member of the dedup family. */

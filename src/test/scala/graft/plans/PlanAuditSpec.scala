@@ -57,6 +57,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"contamination fell back to SMJ:\n$p")
   }
 
+  test("q67: quantization is explode-over-scan — zero pre-sort exchanges") {
+    val p = planOf("q67_quantize")
+    // max|e| is an array expression before the explode; only the output
+    // orderBy may exchange (a window max would add exchange+sort here)
+    val body = p.split("Sort ").head
+    assert(!body.contains("Exchange hashpartitioning"),
+      s"quantize introduced a shuffle:\n$p")
+    assert(!body.contains("Window"), s"quantize fell back to a window:\n$p")
+  }
+
+  test("q63: boilerplate gram counts aggregate map-side before the exchange") {
+    val p = planOf("q63_boilerplate")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q64: sliding windows expand rows, aggregate partial+final") {
+    val p = planOf("q64_sliding_window")
+    assert(p.contains("Expand"), s"no window expansion:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
   test("native dedup expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import graft.tables.Tables
