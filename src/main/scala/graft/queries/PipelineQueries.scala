@@ -179,6 +179,26 @@ object PipelineQueries {
       |FROM t a JOIN t b ON a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------- q69_embed_neardup
+  // Embedding-cosine near-dup pairs, exactness baseline over a 300-vector
+  // probe set (44850 pairs) — the LSH-bucketed scale path shares these
+  // semantics (SimilaritySpec pins the injected-dup recall there).
+  private def q69EmbedNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.exactNearDupPairs(
+      Tables.embeddings(s, d).filter(col("vec_id") < 300),
+      "vec_id", "embedding", threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q69Sql =
+    """WITH t AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id < 300)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.v, b.v), 6) AS sim6
+      |FROM t a JOIN t b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q62_repetition", q62Repetition, Some(q62Sql)),
     Q("q63_boilerplate", q63Boilerplate, Some(q63Sql)),
@@ -187,5 +207,6 @@ object PipelineQueries {
     Q("q66_full_outer", q66FullOuter, Some(q66Sql)),
     Q("q67_quantize", q67Quantize, Some(q67Sql)),
     Q("q68_jaccard_pairs", q68Jaccard, Some(q68Sql)),
+    Q("q69_embed_neardup", q69EmbedNearDup, Some(q69Sql)),
   )
 }

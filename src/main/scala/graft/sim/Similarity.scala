@@ -135,6 +135,23 @@ object Similarity {
           round(lit(127.0) * col("e") / col("__maxabs")).cast("int"))
           .otherwise(0).as("q8"))
 
+  /** Exact embedding-cosine near-duplicate pairs over a (small) probe
+    * set: all id_a < id_b pairs with round(cosine, 6) ≥ threshold —
+    * broadcast self-join, O(n²) by design. The oracle-checkable
+    * exactness baseline for [[nearDupPairsEmbedding]], which scales the
+    * same semantics through LSH buckets. Thresholding on the ROUNDED
+    * similarity keeps the pair set identical across engines whose fold
+    * order differs in the last ulp. */
+  def exactNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val l = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("v_a"))
+    val r = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("v_b"))
+    l.join(broadcast(r), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("sim6"))
+      .filter(col("sim6") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold)
     * via LSH buckets — the embedding-space member of the dedup family. */
   def nearDupPairsEmbedding(

@@ -63,4 +63,16 @@ object Sources {
       .option("header", "true")
       .mode(SaveMode.Append)
       .csv(path)
+
+  /** ORC lake variant (alongside the parquet-primary layout): same
+    * pubdate partitioning, Spark-native vectorized ORC with predicate
+    * pushdown/column pruning — for consumers standardized on ORC. */
+  def flowsOrc(df: DataFrame, path: String): Unit =
+    df.write
+      .partitionBy("pubdate")
+      .mode(SaveMode.Append)
+      .orc(path)
+
+  def orcTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -66,4 +66,20 @@ object StreamingIngest {
       .agg(sum(col("total")).as("vehicles"))
       .select(col("window.start").as("slot_start"), col("equipment"),
         col("direction"), col("vehicles"))
+
+  /** Sliding event-time windows on a stream — the streaming twin of the
+    * batch q64 (same `window(ts, width, slide)` operator; width = 2×
+    * slide puts every event in exactly two windows). Watermarked, so
+    * append mode emits each window once its end passes the watermark;
+    * state is bounded by (watermark delay / slide) open windows per
+    * group. */
+  def slidingEventCounts(
+      events: DataFrame, tsCol: String = "ts", typeCol: String = "event_type",
+      width: String = "30 minutes", slide: String = "15 minutes",
+      delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), width, slide), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col(typeCol), col("n"))
 }

@@ -51,4 +51,21 @@ class SourcesSpec extends AnyFunSuite {
     val back = spark.read.option("header", "true").csv(s"$dir/flows")
     assert(back.count() == 2)
   }
+
+  test("ORC lake round-trips with partition pruning and pushed filters") {
+    val dir = Files.createTempDirectory("src-spec4").toString
+    val df = Seq(("2021-03-01", "E1", 5), ("2021-03-02", "E1", 7),
+      ("2021-03-02", "E2", 9))
+      .toDF("pubdate", "equipment", "total")
+    Sources.flowsOrc(df, s"$dir/flows")
+    assert(new java.io.File(s"$dir/flows/pubdate=2021-03-02").exists())
+    val back = Sources.orcTable(spark, s"$dir/flows")
+      .filter($"pubdate" === "2021-03-02" && $"total" > 5)
+    assert(back.select($"equipment", $"total").as[(String, Int)]
+      .collect().toSet == Set(("E1", 7), ("E2", 9)))
+    // partition pruning: only the matching pubdate directory is scanned
+    val plan = back.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [IsNotNull(total), GreaterThan(total,5)]"),
+      s"orc filter not pushed:\n$plan")
+  }
 }

@@ -43,6 +43,34 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows: each event lands in exactly two closed windows") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val events = stream.toDF().toDF("ts", "event_type")
+    val agg = StreamingIngest.slidingEventCounts(events)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("slide").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      stream.addData(
+        (ts("2021-03-01 00:05:00"), "view"),   // windows 23:45 and 00:00
+        (ts("2021-03-01 00:20:00"), "view"),   // windows 00:00 and 00:15
+        (ts("2021-03-01 00:20:30"), "click"))  // windows 00:00 and 00:15
+      q.processAllAvailable()
+      // push the watermark (1h delay) past every window end above
+      stream.addData((ts("2021-03-01 03:00:00"), "view"))
+      q.processAllAvailable()
+      val out = spark.table("slide")
+        .select(concat_ws("|", date_format($"w_start", "HH:mm"), $"event_type"),
+          $"n")
+        .as[(String, Long)].collect().toMap
+      assert(out("23:45|view") == 1L)
+      assert(out("00:00|view") == 2L) // 00:05 and 00:20 share the 00:00 window
+      assert(out("00:15|view") == 1L)
+      assert(out("00:00|click") == 1L && out("00:15|click") == 1L)
+    } finally q.stop()
+  }
+
   test("streaming ingest drains landing files exactly once across restarts") {
     val work = Files.createTempDirectory("stream-spec").toString
     val lake = IngestJob.Lake(s"$work/lake")
