@@ -154,6 +154,20 @@ object Dedup {
           / size(array_union(col("t_a"), col("t_b")))).as("jaccard"))
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs over a (small) probe set
+    * of short strings — the fuzzy-matching member of the dedup family
+    * (catalog names, titles, ids-with-typos). Pairwise over a broadcast
+    * side by design; at corpus scale, block first (e.g. on a length
+    * band or q-gram bucket) and run this within blocks. */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
+    val l = df.select(col(idCol).as("id_a"), col(strCol).as("s_a"))
+    val r = df.select(col(idCol).as("id_b"), col(strCol).as("s_b"))
+    l.join(broadcast(r), col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
   // ----------------------------------------------------------- simhash
   /** 64-bit SimHash over word 2-gram shingles: per shingle, xxhash64 votes
     * ±1 on each bit position; sign of the vote sum sets the bit. Shingles

@@ -195,6 +195,34 @@ object CorpusOps {
       .filter(col("rn") <= ceil(col("n_stratum") * frac))
   }
 
+  // ------------------------------------------------------- span dedup
+  /** Sub-document (chunk-level) exact dedup, CCNet-style: cut documents
+    * into non-overlapping token chunks, keep only the FIRST occurrence of
+    * each distinct chunk across the corpus (first = min (doc, chunk_idx)
+    * — a total order, so reproducible), and reassemble each document
+    * from its surviving chunks. Removes cross-document boilerplate spans
+    * that whole-doc dedup can't see. Two shuffles, both inherent to
+    * cross-doc content matching: one on the chunk content key (groups =
+    * occurrence lists, tiny), one back on the doc id; at 100 TB the
+    * content key is the md5 shown here (fixed 16 bytes, never the chunk
+    * text). */
+  def dedupSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 32): DataFrame = {
+    val chunks = chunkDocuments(df, idCol, textCol, chunkTokens, overlap = 0)
+    val w = Window.partitionBy(md5(col("chunk")))
+      .orderBy(col(idCol), col("chunk_idx"))
+    chunks.withColumn("occ", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("occ") === 1, lit(1))).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("occ") === 1, struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk"))).as("clean_text"))
+  }
+
   // -------------------------------------------------------- PII masking
   /** Structure-preserving PII scrub: emails → <EMAIL>, long digit runs
     * (phone-shaped) → <PHONE>. ASCII character classes only, so Java and

@@ -199,6 +199,103 @@ object PipelineQueries {
       |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------- q70_span_dedup
+  // CCNet-style sub-document dedup: first occurrence of each distinct
+  // 32-token chunk survives; docs reassembled from surviving chunks.
+  private def q70SpanDedup(s: SparkSession, d: String): DataFrame =
+    CorpusOps.dedupSpans(Tables.documents(s, d), "doc_id", "text", chunkTokens = 32)
+      .orderBy(col("doc_id"))
+
+  private val q70Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |s AS (
+      |  SELECT doc_id, t, u.i AS start
+      |  FROM tok, UNNEST(range(1, greatest(len(t), 1) + 1, 32)) AS u(i)),
+      |c AS (
+      |  SELECT doc_id, CAST((start - 1) / 32 AS BIGINT) AS chunk_idx,
+      |    array_to_string(t[start:start+31], ' ') AS chunk
+      |  FROM s),
+      |rk AS (
+      |  SELECT doc_id, chunk_idx, chunk,
+      |    row_number() OVER (PARTITION BY md5(chunk)
+      |      ORDER BY doc_id, chunk_idx) AS occ
+      |  FROM c)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  count(CASE WHEN occ = 1 THEN 1 END) AS n_kept,
+      |  coalesce(string_agg(CASE WHEN occ = 1 THEN chunk END, ' '
+      |    ORDER BY chunk_idx), '') AS clean_text
+      |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- q71_moments
+  // Exact distributed second moments: stddev / covariance / correlation
+  // from DECIMAL-summed power sums — order-independent under any
+  // partitioning (a double Welford merge drifts with the shuffle
+  // layout), one pass, one shuffle of |groups| rows.
+  private def q71Moments(s: SparkSession, d: String): DataFrame = {
+    val q = col("l_quantity")
+    val p = col("l_extendedprice")
+    val n = count(lit(1))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        n.as("n"),
+        sum(q.cast(DecimalType(18, 2))).cast("double").as("s_q"),
+        sum(p.cast(DecimalType(18, 2))).cast("double").as("s_p"),
+        sum((q * q).cast(DecimalType(28, 6))).cast("double").as("ss_q"),
+        sum((p * p).cast(DecimalType(28, 6))).cast("double").as("ss_p"),
+        sum((q * p).cast(DecimalType(28, 6))).cast("double").as("s_qp"))
+      .select(col("l_returnflag"), col("n"),
+        round(sqrt((col("ss_q") - col("s_q") * col("s_q") / col("n"))
+          / (col("n") - 1)), 6).as("sd_qty"),
+        round(sqrt((col("ss_p") - col("s_p") * col("s_p") / col("n"))
+          / (col("n") - 1)), 6).as("sd_price"),
+        round((col("s_qp") - col("s_q") * col("s_p") / col("n"))
+          / (col("n") - 1), 6).as("cov_qp"),
+        round(((col("s_qp") - col("s_q") * col("s_p") / col("n")) / (col("n") - 1))
+          / (sqrt((col("ss_q") - col("s_q") * col("s_q") / col("n")) / (col("n") - 1))
+            * sqrt((col("ss_p") - col("s_p") * col("s_p") / col("n")) / (col("n") - 1))), 6)
+          .as("corr_qp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q71Sql =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_p,
+      |    CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS ss_q,
+      |    CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS ss_p,
+      |    CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS s_qp
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  round(sqrt((ss_q - s_q*s_q/n) / (n-1)), 6) AS sd_qty,
+      |  round(sqrt((ss_p - s_p*s_p/n) / (n-1)), 6) AS sd_price,
+      |  round((s_qp - s_q*s_p/n) / (n-1), 6) AS cov_qp,
+      |  round(((s_qp - s_q*s_p/n) / (n-1))
+      |    / (sqrt((ss_q - s_q*s_q/n) / (n-1)) * sqrt((ss_p - s_p*s_p/n) / (n-1))), 6)
+      |    AS corr_qp
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------- q72_editdist
+  // Levenshtein near-dup pairs (fuzzy dedup on short strings).
+  private def q72EditDist(s: SparkSession, d: String): DataFrame =
+    Dedup.editDistancePairs(
+      Tables.part(s, d).filter(col("p_partkey") < 200), "p_partkey", "p_name",
+      maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q72Sql =
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  a.p_name AS s_a, b.p_name AS s_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_partkey < b.p_partkey
+      | AND a.p_partkey < 200 AND b.p_partkey < 200
+      | AND levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q62_repetition", q62Repetition, Some(q62Sql)),
     Q("q63_boilerplate", q63Boilerplate, Some(q63Sql)),
@@ -208,5 +305,8 @@ object PipelineQueries {
     Q("q67_quantize", q67Quantize, Some(q67Sql)),
     Q("q68_jaccard_pairs", q68Jaccard, Some(q68Sql)),
     Q("q69_embed_neardup", q69EmbedNearDup, Some(q69Sql)),
+    Q("q70_span_dedup", q70SpanDedup, Some(q70Sql)),
+    Q("q71_moments", q71Moments, Some(q71Sql)),
+    Q("q72_editdist", q72EditDist, Some(q72Sql)),
   )
 }

@@ -111,4 +111,16 @@ class DedupSpec extends AnyFunSuite {
     assert(got((1L, 4L)) == 0.0)
     assert(got.size == 6) // all id_a < id_b pairs present
   }
+
+  test("editDistancePairs: classic distances, threshold filters") {
+    val names = Seq(
+      (1L, "kitten"), (2L, "sitting"),   // distance 3
+      (3L, "kitten"),                    // distance 0 to 1
+      (4L, "flawless"))                  // far from everything
+      .toDF("id", "name")
+    val got = Dedup.editDistancePairs(names, "id", "name", maxDist = 3)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map((1L, 2L) -> 3, (1L, 3L) -> 0, (2L, 3L) -> 3))
+  }
 }

@@ -127,6 +127,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(perSrc == Map("s0" -> 10L, "s1" -> 10L)) // ceil(0.1·100) exactly
   }
 
+  test("dedupSpans: first occurrence of a shared chunk wins, docs reassemble") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // chunks (size 4): "a b c d" | "e f"
+      (2L, "a b c d x y"),       // first chunk duplicates doc 1's → dropped
+      (3L, "p q r s"))           // untouched
+      .toDF("doc_id", "text")
+    val got = CorpusOps.dedupSpans(docs, "doc_id", "text", chunkTokens = 4)
+      .select($"doc_id", $"n_chunks", $"n_kept", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 2L, "a b c d e f")))
+    assert(got(2L) == ((2L, 2L, 1L, "x y")))
+    assert(got(3L) == ((3L, 1L, 1L, "p q r s")))
+  }
+
   test("contaminatedDocs: finds the planted overlap, counts distinct grams") {
     val eval = Seq((1L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
