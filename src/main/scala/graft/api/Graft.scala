@@ -109,6 +109,17 @@ object Graft {
     /** Exact token-set Jaccard for all id pairs of a (small) probe set. */
     def jaccardPairs(idCol: String, textCol: String = "text"): DataFrame =
       Dedup.tokenJaccardPairs(df, idCol, textCol)
+
+    /** Sub-document chunk dedup: first occurrence of each distinct chunk
+      * survives corpus-wide; docs reassembled from survivors. */
+    def dedupSpans(idCol: String, textCol: String = "text",
+        chunkTokens: Int = 32): DataFrame =
+      CorpusOps.dedupSpans(df, idCol, textCol, chunkTokens)
+
+    /** Levenshtein near-dup pairs over a (small) probe set. */
+    def editDistancePairs(idCol: String, strCol: String,
+        maxDist: Int): DataFrame =
+      Dedup.editDistancePairs(df, idCol, strCol, maxDist)
   }
 
   implicit class VectorOps(private val df: DataFrame) {

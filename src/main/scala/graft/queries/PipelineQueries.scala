@@ -296,6 +296,55 @@ object PipelineQueries {
       | AND levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------ q73_setops_all
+  // Multiset set ops (EXCEPT ALL / INTERSECT ALL — q13 covers the
+  // distinct forms); the trailing count-per-key keeps the compare
+  // compact, the ExceptAll/IntersectAll operators still execute.
+  private def q73SetopsAll(s: SparkSession, d: String): DataFrame = {
+    val hiQty = Tables.lineitem(s, d).filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"))
+    val hiDisc = Tables.lineitem(s, d).filter(col("l_discount") > 0.05)
+      .select(col("l_orderkey"))
+    hiQty.exceptAll(hiDisc).withColumn("op", lit("except_all"))
+      .unionByName(hiQty.intersectAll(hiDisc).withColumn("op", lit("intersect_all")))
+      .groupBy(col("op"), col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("op"), col("l_orderkey"))
+  }
+
+  private val q73Sql =
+    """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_quantity > 30),
+      |b AS (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05),
+      |u AS (
+      |  SELECT 'except_all' AS op, l_orderkey FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      |  UNION ALL
+      |  SELECT 'intersect_all' AS op, l_orderkey FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+      |SELECT op, l_orderkey, count(*) AS n
+      |FROM u GROUP BY 1, 2 ORDER BY op, l_orderkey""".stripMargin
+
+  // -------------------------------------------------------- q74_lateral
+  // Correlated LATERAL subquery (top-1 order per customer) through the
+  // SQL front end — Catalyst decorrelates the per-row LIMIT into a
+  // ranked window join rather than executing a loop.
+  private def q74Lateral(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM graft_customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM graft_orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q74Sql =
+    """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q62_repetition", q62Repetition, Some(q62Sql)),
     Q("q63_boilerplate", q63Boilerplate, Some(q63Sql)),
@@ -308,5 +357,7 @@ object PipelineQueries {
     Q("q70_span_dedup", q70SpanDedup, Some(q70Sql)),
     Q("q71_moments", q71Moments, Some(q71Sql)),
     Q("q72_editdist", q72EditDist, Some(q72Sql)),
+    Q("q73_setops_all", q73SetopsAll, Some(q73Sql)),
+    Q("q74_lateral", q74Lateral, Some(q74Sql)),
   )
 }

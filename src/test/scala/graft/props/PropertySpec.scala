@@ -156,4 +156,45 @@ class PropertySpec extends AnyFunSuite {
       assert(once.count() == pairs.distinct.size)
     }
   }
+
+  test("quantizeInt8 invariants: range bounded, every nonzero vector hits ±127") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-100.0f, 100.0f))
+    val vecs = samples(vecGen, 60).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("id", "v")
+    val q = graft.sim.Similarity.quantizeInt8(df, "id", "v")
+      .groupBy($"id")
+      .agg(min($"q8").as("lo"), max($"q8").as("hi"), max(abs($"q8")).as("m"))
+      .as[(Long, Int, Int, Int)].collect()
+    val nonzero = vecs.filter(_._2.exists(_ != 0f)).map(_._1).toSet
+    q.foreach { case (id, lo, hi, m) =>
+      assert(lo >= -127 && hi <= 127, s"vector $id out of int8 range")
+      if (nonzero(id)) assert(m == 127, s"vector $id: absmax must land on ±127")
+    }
+  }
+
+  test("dedupSpans is idempotent: re-deduping the cleaned corpus drops nothing") {
+    val wordGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e"))
+    val docs = samples(wordGen, 40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    val once = graft.ops.CorpusOps.dedupSpans(df, "doc_id", "text", chunkTokens = 4)
+      .filter(length($"clean_text") > 0)
+      .select($"doc_id", $"clean_text".as("text"))
+    val twice = graft.ops.CorpusOps.dedupSpans(once, "doc_id", "text", chunkTokens = 4)
+    val changed = twice.filter($"n_kept" =!= $"n_chunks").count()
+    assert(changed == 0, "second pass must keep every chunk")
+  }
+
+  test("stratifiedSample: exact ceil(frac·n) per stratum for arbitrary fractions") {
+    val rows = (0L until 173L).map(i => (i, s"s${i % 3}"))
+    val df = rows.toDF("id", "src")
+    val base = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    Seq(0.05, 0.33, 0.8).foreach { f =>
+      val got = graft.ops.CorpusOps.stratifiedSample(df, "id", "src", f)
+        .groupBy($"src").count().as[(String, Long)].collect().toMap
+      base.foreach { case (src, n) =>
+        assert(got(src) == math.ceil(n * f).toLong, s"frac $f stratum $src")
+      }
+    }
+  }
 }
