@@ -165,4 +165,9 @@ object Graft {
   def langId(c: Column): Column = TextAnalysis.langId(c)
   def simhash(c: Column): Column = graft.functions.NativeHashes.simhash64(c)
   def minhashSig(c: Column): Column = graft.functions.NativeHashes.minhashSig(c)
+
+  /** Bounded-heap top-k aggregate (use inside groupBy().agg) — shuffles
+    * ≤ k rows per (key, partition) instead of window-sorting the fact. */
+  def topK(sortKey: Column, id: Column, k: Int): Column =
+    graft.functions.NativeTopK.topK(sortKey, id, k)
 }

@@ -217,6 +217,10 @@ object NativeHashes {
       exprs => NativeVector.CosineSimExpr(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_langid", exprs => NativeText.LangIdExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_k",
+      exprs => NativeTopK.BoundedTopK(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 }
 

@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Native bounded-heap top-k aggregate — the scalable replacement for the
+  * window-function top-k idiom.
+  *
+  * `row_number().over(partitionBy(key).orderBy(v)) <= k` shuffles and
+  * sorts EVERY row of the fact table per key. This aggregate keeps a
+  * k-element min-heap per group on the map side, so the shuffle carries
+  * at most k rows per (key, input partition) and nothing is ever fully
+  * sorted — the classic distributed top-k. At 100 TB with k=10 the
+  * window form moves the whole table; this moves ≈ k · |keys| ·
+  * |partitions| rows.
+  *
+  * Results are deterministic: ordered by (sort_key DESC, id ASC), ties
+  * broken by the id — identical to
+  * `ORDER BY v DESC, id ASC ... row_number() <= k`.
+  */
+object NativeTopK {
+
+  /** Fixed-size binary heap whose ROOT is the WORST kept element
+    * (smallest key; on equal keys, largest id), so a better candidate
+    * replaces the root in O(log k). */
+  final class TopKHeap(val k: Int) {
+    var size = 0
+    val keys = new Array[Double](k)
+    val ids = new Array[Long](k)
+
+    // a is worse than b (a should sit closer to the root)
+    private def worse(ka: Double, ia: Long, kb: Double, ib: Long): Boolean =
+      ka < kb || (ka == kb && ia > ib)
+
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(keys(i), ids(i), keys(p), ids(p))) {
+          val tk = keys(i); keys(i) = keys(p); keys(p) = tk
+          val ti = ids(i); ids(i) = ids(p); ids(p) = ti
+          i = p
+        } else return
+      }
+    }
+
+    private def siftDown(): Unit = {
+      var i = 0
+      while (true) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var w = i
+        if (l < size && worse(keys(l), ids(l), keys(w), ids(w))) w = l
+        if (r < size && worse(keys(r), ids(r), keys(w), ids(w))) w = r
+        if (w == i) return
+        val tk = keys(i); keys(i) = keys(w); keys(w) = tk
+        val ti = ids(i); ids(i) = ids(w); ids(w) = ti
+        i = w
+      }
+    }
+
+    def add(key: Double, id: Long): Unit =
+      if (size < k) {
+        keys(size) = key; ids(size) = id; size += 1; siftUp(size - 1)
+      } else if (worse(keys(0), ids(0), key, id)) {
+        keys(0) = key; ids(0) = id; siftDown()
+      }
+
+    def mergeFrom(o: TopKHeap): Unit = {
+      var i = 0
+      while (i < o.size) { add(o.keys(i), o.ids(i)); i += 1 }
+    }
+
+    /** (key DESC, id ASC) — the emission order. */
+    def sortedDesc: Array[(Double, Long)] = {
+      val out = Array.tabulate(size)(i => (keys(i), ids(i)))
+      scala.util.Sorting.stableSort(out,
+        (a: (Double, Long), b: (Double, Long)) =>
+          a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      out
+    }
+  }
+
+  val resultType: StructType = StructType(Seq(
+    StructField("sort_key", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+
+  /** graft_top_k(sort_key, id, k): array<struct<sort_key,id>> of the k
+    * largest (sort_key, id) pairs per group, ordered (key DESC, id ASC). */
+  case class BoundedTopK(
+      sortExpr: Expression, idExpr: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[TopKHeap] {
+    require(k > 0, "k must be positive")
+
+    override def children: Seq[Expression] = Seq(sortExpr, idExpr)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(resultType, containsNull = false)
+    override def prettyName: String = "graft_top_k"
+
+    override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+    override def update(h: TopKHeap, input: InternalRow): TopKHeap = {
+      val s = sortExpr.eval(input)
+      val i = idExpr.eval(input)
+      if (s != null && i != null)
+        h.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+      h
+    }
+
+    override def merge(h: TopKHeap, o: TopKHeap): TopKHeap = { h.mergeFrom(o); h }
+
+    override def eval(h: TopKHeap): Any =
+      new GenericArrayData(h.sortedDesc.map { case (key, id) =>
+        InternalRow(key, id): Any
+      })
+
+    override def serialize(h: TopKHeap): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 16 * h.size)
+      bb.putInt(h.size)
+      var i = 0
+      while (i < h.size) { bb.putDouble(h.keys(i)); bb.putLong(h.ids(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): TopKHeap = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt()
+      val h = new TopKHeap(k)
+      var i = 0
+      while (i < n) { h.add(bb.getDouble(), bb.getLong()); i += 1 }
+      h
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): BoundedTopK =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BoundedTopK =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(sortExpr = newChildren(0), idExpr = newChildren(1))
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Aggregate Column: top `k` (sortKey, id) pairs per group as
+    * array<struct<sort_key,id>>, ordered (sort_key DESC, id ASC).
+    * Inputs are cast to double/long. */
+  def topK(sortKey: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      BoundedTopK(
+        ColumnBridge.expression(sortKey.cast("double")),
+        ColumnBridge.expression(id.cast("long")), k)
+        .toAggregateExpression())
+}

@@ -345,6 +345,30 @@ object PipelineQueries {
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
       |ORDER BY c_custkey""".stripMargin
 
+  // ----------------------------------------------------- q75_topk_agg
+  // Native bounded-heap top-k per group vs the oracle's window idiom:
+  // the aggregate shuffles ≤ k rows per (key, partition) with map-side
+  // combine, where row_number() shuffles and sorts the whole fact.
+  private def q75TopKAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.NativeTopK.topK(
+        col("o_totalprice"), col("o_orderkey"), 5).as("tops"))
+      .select(col("o_orderpriority"), posexplode(col("tops")).as(Seq("r", "t")))
+      .select(col("o_orderpriority"), (col("r") + 1).as("rank"),
+        col("t.id").as("o_orderkey"), col("t.sort_key").as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+
+  private val q75Sql =
+    """SELECT o_orderpriority, CAST(rank AS INT) AS rank,
+      |  o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      |  FROM orders)
+      |WHERE rank <= 5 ORDER BY o_orderpriority, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q62_repetition", q62Repetition, Some(q62Sql)),
     Q("q63_boilerplate", q63Boilerplate, Some(q63Sql)),
@@ -359,5 +383,6 @@ object PipelineQueries {
     Q("q72_editdist", q72EditDist, Some(q72Sql)),
     Q("q73_setops_all", q73SetopsAll, Some(q73Sql)),
     Q("q74_lateral", q74Lateral, Some(q74Sql)),
+    Q("q75_topk_agg", q75TopKAgg, Some(q75Sql)),
   )
 }
