@@ -110,10 +110,15 @@ object LlmQueries {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(Similarity.cosine(col("qv"), col("cv")), 6).as("sim6"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim6").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim6"))
+    // bounded-heap top-k (NativeTopK): ≤ k rows per (query, partition)
+    // shuffle vs the window idiom's full sort — same (sim6 DESC, id ASC)
+    // total order as the oracle's row_number
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.NativeTopK.topK(col("sim6"), col("neighbor_id"), 10)
+        .as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("r", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("r") + 1).cast("int").as("rank"), col("t.sort_key").as("sim6"))
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -74,9 +74,6 @@ object IvfIndex {
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id").as("neighbor_id"),
         Similarity.cosine(col("qv"), col("nn_vec")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+    Similarity.rankTopK(scored, k)
   }
 }

@@ -38,6 +38,30 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Rank a (query_id, neighbor_id, sim) score table to per-query top-k
+    * with the (sim DESC, neighbor_id ASC) total order. Integral neighbor
+    * ids take the bounded-heap aggregate (shuffles ≤ k rows per (query,
+    * partition) — see [[graft.functions.NativeTopK]]); other id types
+    * fall back to the window idiom, which the heap's long-keyed state
+    * cannot carry. */
+  private[sim] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    scored.schema("neighbor_id").dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        scored.groupBy(col("query_id"))
+          .agg(graft.functions.NativeTopK.topK(col("sim"), col("neighbor_id"), k)
+            .as("tops"))
+          .select(col("query_id"), posexplode(col("tops")).as(Seq("r", "t")))
+          .select(col("query_id"), col("t.id").as("neighbor_id"),
+            (col("r") + 1).cast("int").as("rank"), col("t.sort_key").as("sim"))
+      case _ =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+    }
+  }
+
   /** Exact top-k neighbors for each query row: broadcast the (small) query
     * set against the corpus, rank by cosine. Output: (query_id, neighbor_id,
     * rank, sim). Ties broken by neighbor id for determinism. Self-matches
@@ -50,10 +74,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic random hyperplanes: `planes` sign vectors of length
@@ -92,10 +113,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** Per-label centroid vectors (prototype embeddings): posexplode to
