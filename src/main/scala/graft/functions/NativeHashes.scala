@@ -247,5 +247,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[NativeText.LangIdExpr].getName, "graft_langid"),
         (exprs: Seq[Expression]) => NativeText.LangIdExpr(exprs.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_top_k"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NativeTopK.BoundedTopK].getName, "graft_top_k"),
+        (exprs: Seq[Expression]) => NativeTopK.BoundedTopK(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -59,6 +59,30 @@ object StatefulOps {
       .select(col(idCol), col("gram_h"))
   }
 
+  /** Stream-stream interval join: pair each purchase with the same
+    * user's clicks from the preceding `lookback`. BOTH sides are
+    * watermarked and the join condition bounds event time on both
+    * sides, so Spark can evict buffered rows once the watermark passes
+    * — state is arrival-rate × (delay + lookback) per side, never
+    * unbounded. The equi-key (user_id) partitions the join; the range
+    * condition prunes within the key's buffered rows. */
+  def purchasesWithRecentClicks(
+      purchases: DataFrame, clicks: DataFrame,
+      delay: String = "30 minutes", lookback: String = "15 minutes"): DataFrame = {
+    val p = purchases
+      .withColumnsRenamed(Map("ts" -> "p_ts", "event_id" -> "purchase_id"))
+      .withWatermark("p_ts", delay)
+    val c = clicks
+      .withColumnsRenamed(Map("ts" -> "c_ts", "event_id" -> "click_id"))
+      .withWatermark("c_ts", delay)
+    p.join(c,
+      p("user_id") === c("user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
+      .select(p("user_id"), col("purchase_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Running per-equipment totals across micro-batches via
     * flatMapGroupsWithState — emits one updated total per key per batch. */
   def runningTotals(

@@ -136,6 +136,35 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with recent clicks only") {
+    implicit val ctx = spark.sqlContext
+    val clickS = MemoryStream[(Timestamp, Long, Long)]
+    val buyS = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = clickS.toDF().toDF("ts", "event_id", "user_id")
+    val buys = buyS.toDF().toDF("ts", "event_id", "user_id")
+    val joined = StatefulOps.purchasesWithRecentClicks(buys, clicks)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      clickS.addData(
+        (ts("2021-03-01 00:00:00"), 1L, 7L),   // before the 15-min lookback
+        (ts("2021-03-01 00:20:00"), 2L, 7L),   // inside [00:10, 00:25]
+        (ts("2021-02-28 23:00:00"), 3L, 7L),   // far too old
+        (ts("2021-03-01 00:10:00"), 4L, 8L))   // other user
+      buyS.addData((ts("2021-03-01 00:25:00"), 100L, 7L))
+      q.processAllAvailable()
+      // advance both watermarks so buffered state can emit/evict
+      clickS.addData((ts("2021-03-01 02:00:00"), 9L, 1L))
+      buyS.addData((ts("2021-03-01 02:00:00"), 99L, 1L))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin")
+        .filter($"purchase_id" === 100L)
+        .select($"click_id").as[Long].collect().toSet
+      assert(got == Set(2L)) // only the click within [00:10, 00:25]
+    } finally q.stop()
+  }
+
   test("streaming dedup drops watermark-window copies, keeps first arrivals") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, Long, String)]
