@@ -59,16 +59,26 @@ object HistogramQueries {
 
   // ----------------------------------------------------- q44_approx_agg
   // HLL count-distinct + quantile sketches (deterministic given the data;
-  // sketch internals differ from DuckDB's, so rows-only check).
-  private def q44Approx(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
+  // sketch internals differ from DuckDB's, so rows-only check). The
+  // exact-distinct control column is computed as an explicit two-level
+  // aggregation and joined back: mixing count_distinct with the sketch
+  // aggs in one agg makes Catalyst Expand every input row per distinct
+  // group (2× the fact through the hash agg); the split form keeps both
+  // paths single-width.
+  private def q44Approx(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val sketches = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        count_distinct(col("l_partkey")).as("exact_parts"),
         round(percentile_approx(col("l_quantity"), lit(0.5), lit(100)), 6)
           .as("approx_p50"))
+    val exact = li.groupBy(col("l_returnflag"), col("l_partkey")).agg(count(lit(1)))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+    sketches.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
+        col("approx_p50"))
       .orderBy(col("l_returnflag"))
+  }
 
   // ---------------------------------------------------- q45_salted_join
   // Skew pattern: fact side salted into 4 buckets, dim side replicated ×4,
