@@ -1,0 +1,92 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ops.CorpusOps
+import graft.text.TextAnalysis
+
+/** End-to-end training-corpus preparation pipeline — the composed form
+  * of the operator library, in the order production pipelines run it:
+  *
+  *   language filter → exact dedup → near dedup (MinHash-LSH + cluster
+  *   resolution) → span dedup (cross-doc chunk boilerplate) →
+  *   decontamination vs an eval set → quality filter → deterministic
+  *   split → token-budget sequence packing.
+  *
+  * Every stage is one of the individually oracle-checked operators;
+  * this job only composes them, so the pipeline inherits their scale
+  * properties (no stage collects, no stage shuffles more than its
+  * operator documents). The per-stage counts in [[Report]] cost one
+  * action each — acceptable for an audit run; drop `report` for a
+  * count-free production pass.
+  */
+object CorpusPipeline {
+
+  final case class Report(
+      input: Long, afterLang: Long, afterExact: Long, afterNear: Long,
+      afterSpan: Long, afterDecontam: Long, afterQuality: Long)
+
+  final case class Config(
+      keepLangs: Set[String] = Set("en"),
+      nearDupThreshold: Double = 0.6,
+      spanChunkTokens: Int = 32,
+      contaminationNgram: Int = 5,
+      minQuality: Double = 0.25,
+      packBudget: Int = 2048)
+
+  /** Run the full pipeline. Returns the packed corpus (doc_id, text,
+    * lang_pred, quality, split, n_tokens, pack_offset, pack_id) and the
+    * per-stage row accounting. */
+  def run(docs: DataFrame, evalSet: DataFrame,
+      cfg: Config = Config()): (DataFrame, Report) = {
+    val input = docs.count()
+
+    // language ID — native single-pass expression
+    val lang = docs
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .filter(col("lang_pred").isin(cfg.keepLangs.toSeq: _*))
+    val nLang = lang.count()
+
+    // exact dedup (normalized-content key, min-id keeper)
+    val exact = Dedup.dropExactDups(lang, "doc_id", "text")
+    val nExact = exact.count()
+
+    // near dedup: LSH pairs → connected components → one keeper/cluster
+    val near = Dedup.dropNearDups(exact, "doc_id", "text",
+      threshold = cfg.nearDupThreshold)
+    val nNear = near.count()
+
+    // span dedup: drop cross-doc repeated chunks, reassemble docs
+    val span = CorpusOps.dedupSpans(near, "doc_id", "text", cfg.spanChunkTokens)
+      .filter(length(col("clean_text")) > 0)
+      .join(near.drop("text"), Seq("doc_id"))
+      .withColumnRenamed("clean_text", "text")
+      .drop("n_chunks", "n_kept")
+    val nSpan = span.count()
+
+    // decontamination: drop docs sharing ≥1 n-gram with the eval set
+    val contaminated = CorpusOps.contaminatedDocs(
+      span, evalSet, "doc_id", "text", cfg.contaminationNgram)
+      .select(col("doc_id"))
+    val decontam = span.join(contaminated, Seq("doc_id"), "left_anti")
+    val nDecontam = decontam.count()
+
+    // quality floor
+    val quality = decontam
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= cfg.minQuality)
+    val nQuality = quality.count()
+
+    // split + pack (each split packs independently — partCol = split)
+    val packed = CorpusOps.packSequences(
+      CorpusOps.deterministicSplit(quality, "doc_id"),
+      "doc_id", TextAnalysis.tokenCount(col("text")).cast("long"),
+      "split", cfg.packBudget)
+      .select(col("doc_id"), col("text"), col("lang_pred"), col("quality"),
+        col("split"), col("n_tokens"), col("pack_offset"), col("pack_id"))
+
+    (packed, Report(input, nLang, nExact, nNear, nSpan, nDecontam, nQuality))
+  }
+}
