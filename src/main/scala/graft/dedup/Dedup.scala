@@ -89,17 +89,22 @@ object Dedup {
       maxBucketSize: Int = 0): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPer = k / bands
-    // signature via the native single-pass expression (bit-identical to
+    // Signature via the native single-pass expression (bit-identical to
     // the pure-expression minhashSignature; see NativeHashes + its spec).
-    // Verification shingles carried as xxhash64 longs, not strings: the
-    // bucket join then shuffles 8-byte array elements and Jaccard runs on
-    // longs — same value modulo ~2^-64 collisions.
-    val withSig = df.select(
-      col(idCol).as("id"),
-      graft.functions.NativeHashes.shingleHashes(col(textCol), n).as("sh"),
+    // The candidate join moves ONLY (id, bucket) rows — 16 bytes each —
+    // never the shingle arrays: carrying shingles through the band
+    // explode would duplicate every doc's array |bands|× into the
+    // shuffle. Verification shingles (xxhash64 longs — same Jaccard
+    // modulo ~2^-64 collisions) are joined back onto the DISTINCT pair
+    // set afterwards, which also computes Jaccard once per pair instead
+    // of once per shared bucket.
+    // two-step projection on purpose: bandKeys expands to 16 expressions
+    // over `sig` — inlining the signature there would re-evaluate the
+    // native MinHash once per band
+    val sigs = df.select(col(idCol).as("id"),
       graft.functions.NativeHashes.minhashSig(col(textCol), n, k).as("sig"))
-    val allBuckets = withSig
-      .select(col("id"), col("sh"), explode(bandKeys(col("sig"), bands, rowsPer)).as("bucket"))
+    val allBuckets = sigs.select(col("id"),
+      explode(bandKeys(col("sig"), bands, rowsPer)).as("bucket"))
     // Production guard for pathological corpora (near-constant band values
     // → one mega-bucket → quadratic candidate join): drop buckets larger
     // than maxBucketSize (0 = unlimited). Costs recall only on documents
@@ -113,12 +118,26 @@ object Dedup {
           .select(col("bucket"))
         allBuckets.join(ok, Seq("bucket"), "left_semi")
       }
-    val l = buckets.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = buckets.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("bucket"))
+    // candidate pairs are tiny relative to the corpus — materialize them
+    // (localCheckpoint, same pattern as connectedComponents) so the three
+    // consumers below don't re-run the bucket join, then hash shingles
+    // ONLY for documents that appear in some pair (semi-join pushdown)
+    val pairs = buckets.select(col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+      .localCheckpoint()
+    val cand = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol)))
+      .distinct()
+    val sh = df.join(cand, Seq(idCol), "left_semi")
+      .select(col(idCol).as("__sid"),
+        graft.functions.NativeHashes.shingleHashes(col(textCol), n).as("__sh"))
+    pairs
+      .join(sh.select(col("__sid").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("__sid").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
