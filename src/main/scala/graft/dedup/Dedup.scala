@@ -131,9 +131,12 @@ object Dedup {
     val cand = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol)))
       .distinct()
+    // materialized too: it feeds one join per pair side, and without the
+    // checkpoint the semi-joined scan + shingle hashing would run twice
     val sh = df.join(cand, Seq(idCol), "left_semi")
       .select(col(idCol).as("__sid"),
         graft.functions.NativeHashes.shingleHashes(col(textCol), n).as("__sh"))
+      .localCheckpoint()
     pairs
       .join(sh.select(col("__sid").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("__sid").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))

@@ -36,8 +36,11 @@ object NativeHashes {
     s.substring(a, b)
   }
 
-  private[functions] def shingleStrings(text: String, n: Int): Array[String] = {
-    val toks = trimSpaces(text.toLowerCase(java.util.Locale.ROOT)).split("\\s+", -1)
+  // lowercase via UTF8String — the SAME path as Spark's lower() incl.
+  // its non-ASCII fallback, so bit-equality with the pure expressions
+  // holds on locale-sensitive JVMs (tr/az) too
+  private[functions] def shingleStrings(text: UTF8String, n: Int): Array[String] = {
+    val toks = trimSpaces(text.toLowerCase.toString).split("\\s+", -1)
     if (toks.length >= n) {
       val out = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
       var i = 0
@@ -64,7 +67,7 @@ object NativeHashes {
   // -------- public static evaluators (shared by eval + generated code)
 
   def evalMinhash(input: UTF8String, n: Int, k: Int): GenericArrayData = {
-    val shingles = shingleStrings(input.toString, n)
+    val shingles = shingleStrings(input, n)
     val mins = Array.fill(k)(Long.MaxValue)
     var si = 0
     while (si < shingles.length) {
@@ -82,7 +85,7 @@ object NativeHashes {
   }
 
   def evalShingleHashes(input: UTF8String, n: Int): GenericArrayData = {
-    val shingles = shingleStrings(input.toString, n)
+    val shingles = shingleStrings(input, n)
     val out = new Array[Long](shingles.length)
     var i = 0
     while (i < shingles.length) { out(i) = hashShingle(shingles(i)); i += 1 }
@@ -90,7 +93,7 @@ object NativeHashes {
   }
 
   def evalSimhash(input: UTF8String, n: Int): Long = {
-    val shingles = shingleStrings(input.toString, n)
+    val shingles = shingleStrings(input, n)
     val votes = new Array[Int](64)
     var si = 0
     while (si < shingles.length) {
@@ -112,8 +115,8 @@ object NativeHashes {
   }
 
   def evalWinnow(input: UTF8String, k: Int, stride: Int): Long = {
-    val norm = trimSpaces(input.toString)
-      .replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+    val norm = trimSpaces(input.toLowerCase.toString)
+      .replaceAll("\\s+", " ")
     val u = UTF8String.fromString(norm)
     val n = u.numChars()
     val last = math.max(n - (k - 1), 1)
@@ -215,12 +218,16 @@ object NativeHashes {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       exprs => NativeVector.CosineSimExpr(exprs.head, exprs(1)), "scala_udf")
+    // coalesce to 'und' so SQL agrees with the Column API (and with the
+    // pure fold, whose when-chain bottoms out at the 'und' literal)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_langid", exprs => NativeText.LangIdExpr(exprs.head), "scala_udf")
+      "graft_langid", exprs => org.apache.spark.sql.catalyst.expressions.Coalesce(
+        Seq(NativeText.LangIdExpr(exprs.head),
+          org.apache.spark.sql.catalyst.expressions.Literal("und"))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_k",
       exprs => NativeTopK.BoundedTopK(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+        NativeTopK.kOf(exprs(2))), "scala_udf")
   }
 }
 
@@ -246,12 +253,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_langid"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[NativeText.LangIdExpr].getName, "graft_langid"),
-        (exprs: Seq[Expression]) => NativeText.LangIdExpr(exprs.head)))
+        (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.Coalesce(
+          Seq(NativeText.LangIdExpr(exprs.head),
+            org.apache.spark.sql.catalyst.expressions.Literal("und")))))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_top_k"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[NativeTopK.BoundedTopK].getName, "graft_top_k"),
         (exprs: Seq[Expression]) => NativeTopK.BoundedTopK(exprs(0), exprs(1),
-          exprs(2).eval().asInstanceOf[Number].intValue())))
+          NativeTopK.kOf(exprs(2)))))
   }
 }

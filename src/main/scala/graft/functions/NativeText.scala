@@ -65,7 +65,10 @@ object NativeText {
     }
     val nChars = s.codePointCount(0, s.length)
     if (nChars > 0 && cjk.toDouble / nChars > 0.25) return zh
-    val toks = trimSpaces(s.toLowerCase(java.util.Locale.ROOT)).split("\\s+", -1)
+    // lowercase via UTF8String — the SAME code path as Spark's lower(),
+    // including its non-ASCII fallback; String.toLowerCase(ROOT) would
+    // diverge from the pure fold on locale-sensitive JVMs (tr/az)
+    val toks = trimSpaces(input.toLowerCase.toString).split("\\s+", -1)
     val counts = new Array[Int](langs.length)
     var ti = 0
     while (ti < toks.length) {

@@ -32,9 +32,15 @@ object NativeTopK {
     val keys = new Array[Double](k)
     val ids = new Array[Long](k)
 
-    // a is worse than b (a should sit closer to the root)
-    private def worse(ka: Double, ia: Long, kb: Double, ib: Long): Boolean =
-      ka < kb || (ka == kb && ia > ib)
+    // a is worse than b (a should sit closer to the root).
+    // java.lang.Double.compare gives Spark's total order for doubles
+    // (NaN greater than everything, NaN == NaN) — a plain `<` would
+    // make NaN rows arrival-order dependent and diverge from the
+    // `ORDER BY v DESC` window idiom this aggregate replaces.
+    private def worse(ka: Double, ia: Long, kb: Double, ib: Long): Boolean = {
+      val c = java.lang.Double.compare(ka, kb)
+      c < 0 || (c == 0 && ia > ib)
+    }
 
     private def siftUp(i0: Int): Unit = {
       var i = i0
@@ -75,12 +81,15 @@ object NativeTopK {
       while (i < o.size) { add(o.keys(i), o.ids(i)); i += 1 }
     }
 
-    /** (key DESC, id ASC) — the emission order. */
+    /** (key DESC, id ASC) — the emission order (same NaN-greatest total
+      * order as the heap's comparator). */
     def sortedDesc: Array[(Double, Long)] = {
       val out = Array.tabulate(size)(i => (keys(i), ids(i)))
       scala.util.Sorting.stableSort(out,
-        (a: (Double, Long), b: (Double, Long)) =>
-          a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        (a: (Double, Long), b: (Double, Long)) => {
+          val c = java.lang.Double.compare(a._1, b._1)
+          c > 0 || (c == 0 && a._2 < b._2)
+        })
       out
     }
   }
@@ -90,13 +99,20 @@ object NativeTopK {
     StructField("id", LongType, nullable = false)))
 
   /** graft_top_k(sort_key, id, k): array<struct<sort_key,id>> of the k
-    * largest (sort_key, id) pairs per group, ordered (key DESC, id ASC). */
+    * largest (sort_key, id) pairs per group, ordered (key DESC, id ASC).
+    * Rows whose sort key or id is null are skipped (standard aggregate
+    * null semantics — unlike the window idiom, which ranks null keys
+    * last and can surface them when a group has fewer than k non-null
+    * rows). Inputs coerce to (double, long) at analysis time. */
   case class BoundedTopK(
       sortExpr: Expression, idExpr: Expression, k: Int,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[TopKHeap] {
+      extends TypedImperativeAggregate[TopKHeap]
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
     require(k > 0, "k must be positive")
 
+    // Seq[DataType] (covariant) — AbstractDataType is private[sql]
+    override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
     override def children: Seq[Expression] = Seq(sortExpr, idExpr)
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(resultType, containsNull = false)
@@ -156,4 +172,31 @@ object NativeTopK {
         ColumnBridge.expression(sortKey.cast("double")),
         ColumnBridge.expression(id.cast("long")), k)
         .toAggregateExpression())
+
+  /** The full per-group top-k shape shared by every caller: aggregate,
+    * unpack, rank. Output: (groupCols…, rank int, idName long,
+    * sortName double), ordered within each group by (sortName DESC,
+    * idName ASC). */
+  def topKPerGroup(
+      df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      sortKey: Column, id: Column, k: Int,
+      sortName: String, idName: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val g = groupCols.map(col)
+    df.groupBy(g: _*).agg(topK(sortKey, id, k).as("__tops"))
+      .select(g :+ posexplode(col("__tops")).as(Seq("__r", "__t")): _*)
+      .select(g ++ Seq(
+        (col("__r") + 1).cast("int").as("rank"),
+        col("__t.id").as(idName),
+        col("__t.sort_key").as(sortName)): _*)
+  }
+
+  /** k argument for the SQL registrations: an integer literal, validated
+    * with a clean error instead of a runtime ClassCastException. */
+  private[functions] def kOf(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) =>
+      v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"graft_top_k: k must be an integer literal, got $other")
+  }
 }

@@ -18,9 +18,10 @@ import graft.text.TextAnalysis
   * Every stage is one of the individually oracle-checked operators;
   * this job only composes them, so the pipeline inherits their scale
   * properties (no stage collects, no stage shuffles more than its
-  * operator documents). The per-stage counts in [[Report]] cost one
-  * action each — acceptable for an audit run; drop `report` for a
-  * count-free production pass.
+  * operator documents). Each stage is materialized (localCheckpoint)
+  * before it is counted, so the audit runs every stage exactly once —
+  * lazy plans would re-execute the whole prefix for every count and
+  * again for the final pack.
   */
 object CorpusPipeline {
 
@@ -47,15 +48,16 @@ object CorpusPipeline {
     val lang = docs
       .withColumn("lang_pred", TextAnalysis.langId(col("text")))
       .filter(col("lang_pred").isin(cfg.keepLangs.toSeq: _*))
+      .localCheckpoint()
     val nLang = lang.count()
 
     // exact dedup (normalized-content key, min-id keeper)
-    val exact = Dedup.dropExactDups(lang, "doc_id", "text")
+    val exact = Dedup.dropExactDups(lang, "doc_id", "text").localCheckpoint()
     val nExact = exact.count()
 
     // near dedup: LSH pairs → connected components → one keeper/cluster
     val near = Dedup.dropNearDups(exact, "doc_id", "text",
-      threshold = cfg.nearDupThreshold)
+      threshold = cfg.nearDupThreshold).localCheckpoint()
     val nNear = near.count()
 
     // span dedup: drop cross-doc repeated chunks, reassemble docs
@@ -64,6 +66,7 @@ object CorpusPipeline {
       .join(near.drop("text"), Seq("doc_id"))
       .withColumnRenamed("clean_text", "text")
       .drop("n_chunks", "n_kept")
+      .localCheckpoint()
     val nSpan = span.count()
 
     // decontamination: drop docs sharing ≥1 n-gram with the eval set
@@ -71,12 +74,14 @@ object CorpusPipeline {
       span, evalSet, "doc_id", "text", cfg.contaminationNgram)
       .select(col("doc_id"))
     val decontam = span.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val nDecontam = decontam.count()
 
     // quality floor
     val quality = decontam
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= cfg.minQuality)
+      .localCheckpoint()
     val nQuality = quality.count()
 
     // split + pack (each split packs independently — partCol = split)

@@ -112,12 +112,10 @@ object LlmQueries {
     // bounded-heap top-k (NativeTopK): ≤ k rows per (query, partition)
     // shuffle vs the window idiom's full sort — same (sim6 DESC, id ASC)
     // total order as the oracle's row_number
-    scored.groupBy(col("query_id"))
-      .agg(graft.functions.NativeTopK.topK(col("sim6"), col("neighbor_id"), 10)
-        .as("tops"))
-      .select(col("query_id"), posexplode(col("tops")).as(Seq("r", "t")))
-      .select(col("query_id"), col("t.id").as("neighbor_id"),
-        (col("r") + 1).cast("int").as("rank"), col("t.sort_key").as("sim6"))
+    graft.functions.NativeTopK.topKPerGroup(
+      scored, Seq("query_id"), col("sim6"), col("neighbor_id"), 10,
+      sortName = "sim6", idName = "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim6"))
       .orderBy(col("query_id"), col("rank"))
   }
 

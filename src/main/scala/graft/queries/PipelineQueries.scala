@@ -350,13 +350,10 @@ object PipelineQueries {
   // the aggregate shuffles ≤ k rows per (key, partition) with map-side
   // combine, where row_number() shuffles and sorts the whole fact.
   private def q75TopKAgg(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .groupBy(col("o_orderpriority"))
-      .agg(graft.functions.NativeTopK.topK(
-        col("o_totalprice"), col("o_orderkey"), 5).as("tops"))
-      .select(col("o_orderpriority"), posexplode(col("tops")).as(Seq("r", "t")))
-      .select(col("o_orderpriority"), (col("r") + 1).as("rank"),
-        col("t.id").as("o_orderkey"), col("t.sort_key").as("o_totalprice"))
+    graft.functions.NativeTopK.topKPerGroup(
+      Tables.orders(s, d), Seq("o_orderpriority"),
+      col("o_totalprice"), col("o_orderkey"), 5,
+      sortName = "o_totalprice", idName = "o_orderkey")
       .orderBy(col("o_orderpriority"), col("rank"))
 
   private val q75Sql =

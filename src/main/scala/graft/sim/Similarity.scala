@@ -48,12 +48,10 @@ object Similarity {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     scored.schema("neighbor_id").dataType match {
       case LongType | IntegerType | ShortType | ByteType =>
-        scored.groupBy(col("query_id"))
-          .agg(graft.functions.NativeTopK.topK(col("sim"), col("neighbor_id"), k)
-            .as("tops"))
-          .select(col("query_id"), posexplode(col("tops")).as(Seq("r", "t")))
-          .select(col("query_id"), col("t.id").as("neighbor_id"),
-            (col("r") + 1).cast("int").as("rank"), col("t.sort_key").as("sim"))
+        graft.functions.NativeTopK.topKPerGroup(
+          scored, Seq("query_id"), col("sim"), col("neighbor_id"), k,
+          sortName = "sim", idName = "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
       case _ =>
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id").asc)

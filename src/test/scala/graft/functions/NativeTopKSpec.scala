@@ -39,6 +39,19 @@ class NativeTopKSpec extends AnyFunSuite {
     assert(got == List((1, 1, 11L, 7.0), (1, 2, 9L, 5.0), (1, 3, 10L, 5.0)))
   }
 
+  test("NaN sort keys rank first (Spark's NaN-greatest order), independent of arrival") {
+    val rows = Seq((1, Double.NaN, 1L), (1, 5.0, 2L), (1, 7.0, 3L))
+    Seq(rows, rows.reverse).foreach { r =>
+      val got = viaAgg(r.toDF("g", "v", "id"), 2)
+        .orderBy($"rank").select($"id").as[Long].collect().toList
+      assert(got == List(1L, 3L), s"arrival order changed the result: $got")
+    }
+    // parity with the window idiom on the same data
+    val w = viaWindow(rows.toDF("g", "v", "id"), 2)
+      .orderBy($"rank").select($"id").as[Long].collect().toList
+    assert(w == List(1L, 3L))
+  }
+
   test("null sort keys and ids are skipped, not emitted") {
     val df = Seq((1, Some(3.0), Some(1L)), (1, None, Some(2L)), (1, Some(4.0), None))
       .toDF("g", "v", "id")
