@@ -223,6 +223,30 @@ object CorpusOps {
           s => s.getField("chunk"))).as("clean_text"))
   }
 
+  // ---------------------------------------------------- weighted sample
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res),
+    * distributed: each row gets key = ln(u)/w (u a deterministic
+    * per-id uniform, w the weight column) and the k largest keys per
+    * stratum win — selection probability ∝ weight. The top-k runs on
+    * the bounded-heap aggregate, so the shuffle carries ≤ k rows per
+    * (stratum, partition) at any corpus size. u comes from a Knuth
+    * multiplicative hash in exact integer arithmetic — reproducible
+    * across runs AND engines (no RNG state, no float hash); keys are
+    * rounded to 6dp before ranking so libm's last-ulp ln() differences
+    * can't flip an order across engines. Ids must stay below 2^31·2
+    * for the ANSI-checked multiply — shard-local ids at 100 TB. */
+  def weightedSample(
+      df: DataFrame, idCol: String, stratumCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val u = (((col(idCol).cast("long") * 2654435761L) % 4294967296L + 1)
+      .cast("double") / 4294967297.0)
+    val key6 = round(log(u) / col(weightCol), 6)
+    graft.functions.NativeTopK.topKPerGroup(
+      df.withColumn("__key6", key6), Seq(stratumCol),
+      col("__key6"), col(idCol), k,
+      sortName = "sample_key", idName = idCol)
+  }
+
   // -------------------------------------------------------- PII masking
   /** Structure-preserving PII scrub: emails → <EMAIL>, long digit runs
     * (phone-shaped) → <PHONE>. ASCII character classes only, so Java and

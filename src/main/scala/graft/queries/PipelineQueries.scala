@@ -366,6 +366,29 @@ object PipelineQueries {
       |  FROM orders)
       |WHERE rank <= 5 ORDER BY o_orderpriority, rank""".stripMargin
 
+  // ------------------------------------------------ q76_weighted_sample
+  // A-Res weighted sampling (prob ∝ n_chars) per source, on the
+  // bounded-heap aggregate; the per-id uniform is a Knuth multiplicative
+  // hash in exact integer arithmetic, identical across engines.
+  private def q76WeightedSample(s: SparkSession, d: String): DataFrame =
+    CorpusOps.weightedSample(
+      Tables.documents(s, d), "doc_id", "source", "n_chars", k = 5)
+      .orderBy(col("source"), col("rank"))
+
+  private val q76Sql =
+    """WITH keyed AS (
+      |  SELECT doc_id, source,
+      |    round(ln((((doc_id * 2654435761) % 4294967296) + 1) / 4294967297.0)
+      |          / n_chars, 6) AS sample_key
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, sample_key,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY sample_key DESC, doc_id) AS rank
+      |  FROM keyed)
+      |SELECT source, CAST(rank AS INT) AS rank, doc_id, sample_key
+      |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q62_repetition", q62Repetition, Some(q62Sql)),
     Q("q63_boilerplate", q63Boilerplate, Some(q63Sql)),
@@ -381,5 +404,6 @@ object PipelineQueries {
     Q("q73_setops_all", q73SetopsAll, Some(q73Sql)),
     Q("q74_lateral", q74Lateral, Some(q74Sql)),
     Q("q75_topk_agg", q75TopKAgg, Some(q75Sql)),
+    Q("q76_weighted_sample", q76WeightedSample, Some(q76Sql)),
   )
 }

@@ -141,6 +141,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 1L, 1L, "p q r s")))
   }
 
+  test("weightedSample: deterministic, weight-monotone, heavy docs dominate") {
+    val df = (1L to 200L).map(i => (i, "s", if (i % 2 == 0) 1000.0 else 1.0))
+      .toDF("id", "src", "w")
+    val got = CorpusOps.weightedSample(df, "id", "src", "w", 10)
+      .select($"id").as[Long].collect().toSet
+    val again = CorpusOps.weightedSample(df, "id", "src", "w", 10)
+      .select($"id").as[Long].collect().toSet
+    assert(got == again, "same sample on re-run")
+    // 1000× weight → heavy (even) ids should take essentially every slot
+    assert(got.count(_ % 2 == 0) >= 8, s"heavy docs under-sampled: $got")
+    // fixed uniform: raising one doc's weight never worsens its rank
+    val base = CorpusOps.weightedSample(df, "id", "src", "w", 200)
+      .filter($"id" === 7L).select($"rank").as[Int].head()
+    val boosted = CorpusOps.weightedSample(
+      df.withColumn("w", when($"id" === 7L, 500.0).otherwise($"w")),
+      "id", "src", "w", 200)
+      .filter($"id" === 7L).select($"rank").as[Int].head()
+    assert(boosted <= base)
+  }
+
   test("contaminatedDocs: finds the planted overlap, counts distinct grams") {
     val eval = Seq((1L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
