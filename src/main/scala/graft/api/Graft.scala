@@ -18,13 +18,16 @@ object Graft {
 
   implicit class TextOps(private val df: DataFrame) {
 
-    /** Append token/quality/language columns for a text column. */
+    /** Append token/quality/language columns for a text column —
+      * native single-pass stats struct + native language ID. */
     def withTextStats(textCol: String = "text"): DataFrame = {
       val t = col(textCol)
-      df.withColumn("n_tokens", TextAnalysis.tokenCount(t))
-        .withColumn("n_bpeish", TextAnalysis.bpeishCount(t))
-        .withColumn("quality", TextAnalysis.qualityScore(t))
+      df.withColumn("__ts", graft.functions.NativeText.textStats(t))
+        .withColumn("n_tokens", col("__ts.n_tokens"))
+        .withColumn("n_bpeish", col("__ts.n_bpeish"))
+        .withColumn("quality", col("__ts.quality"))
         .withColumn("lang_pred", TextAnalysis.langId(t))
+        .drop("__ts")
     }
 
     /** Drop exact duplicates by normalized content (keeps min id). */

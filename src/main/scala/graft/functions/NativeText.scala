@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native single-pass language ID.
@@ -90,6 +90,86 @@ object NativeText {
     if (pick >= 0) langU8(pick) else und
   }
 
+  private val enStop: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    graft.text.TextAnalysis.stopwords("en").foreach(s.add)
+    s
+  }
+
+  /** Single-pass text statistics, bit-identical to the pure-expression
+    * columns of q19 (tokenCount / bpeishCount / punctCount /
+    * stopwordRatio / qualityScore), which re-tokenize and re-scan the
+    * document once per derived column in interpreted HOFs. One codepoint
+    * scan + one tokenize here. Character classes replicate Java regex
+    * defaults exactly: \w = [a-zA-Z0-9_], \s = [ \t\n\x0B\f\r]. */
+  def evalTextStats(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = input.toString
+    var i = 0
+    var chars = 0      // codepoints — Spark length()
+    var nonSpace = 0   // codepoints surviving regexp_replace(\s+ → "")
+    var punct = 0      // [.,;:!?]
+    var bpeish = 0     // regexp_extract_all(\w+|[^\w\s]) match count
+    var inWord = false
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      chars += 1
+      val isSpace = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      val isWord = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= '0' && cp <= '9') || cp == '_'
+      if (!isSpace) nonSpace += 1
+      if (cp == '.' || cp == ',' || cp == ';' || cp == ':' || cp == '!' || cp == '?')
+        punct += 1
+      if (isWord) {
+        if (!inWord) { bpeish += 1; inWord = true }
+      } else {
+        inWord = false
+        if (!isSpace) bpeish += 1
+      }
+      i += Character.charCount(cp)
+    }
+    // token count is whitespace-structural — identical on the lowered
+    // text, so one tokenize serves both the count and the stopword hits
+    val toks = trimSpaces(input.toLowerCase.toString).split("\\s+", -1)
+    val nInt = toks.length
+    var hits = 0
+    var ti = 0
+    while (ti < toks.length) { if (enStop.contains(toks(ti))) hits += 1; ti += 1 }
+    // formulas replicated term-for-term (same op order → same bits)
+    val n = nInt.toDouble
+    val lengthScore = math.min(n / 100.0, 1.0)
+    val punctRatio = if (chars > 0) punct.toDouble / chars else 0.0
+    val punctScore = 1.0 - math.min(punctRatio * 10.0, 1.0)
+    val stopRatio = if (nInt > 0) hits.toDouble / nInt else 0.0
+    val stopScore = math.min(stopRatio * 4.0, 1.0)
+    val meanWordLen = if (nInt > 0) nonSpace.toDouble / n else 0.0
+    val wordLenScore = if (meanWordLen >= 3.0 && meanWordLen <= 8.0) 1.0 else 0.5
+    val quality = lengthScore * 0.3 + punctScore * 0.2 + stopScore * 0.3 +
+      wordLenScore * 0.2
+    org.apache.spark.sql.catalyst.InternalRow(
+      nInt, bpeish, punct, stopRatio, quality)
+  }
+
+  val textStatsType: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_bpeish", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("stop_ratio", DoubleType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
+
+  /** graft_text_stats(text): struct of the five q19 statistics. */
+  case class TextStatsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = textStatsType
+    override def prettyName: String = "graft_text_stats"
+    override protected def nullSafeEval(input: Any): Any =
+      evalTextStats(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeText.evalTextStats($c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** lang_id(text): heuristic language code, bit-identical to the pure
     * fold. Null input yields null (the Column builder coalesces to
     * 'und', which is what the pure fold produces for null). */
@@ -113,4 +193,8 @@ object NativeText {
     org.apache.spark.sql.functions.coalesce(
       ColumnBridge.column(LangIdExpr(ColumnBridge.expression(c))),
       org.apache.spark.sql.functions.lit("und"))
+
+  /** Struct of (n_tokens, n_bpeish, n_punct, stop_ratio, quality). */
+  def textStats(c: Column): Column =
+    ColumnBridge.column(TextStatsExpr(ColumnBridge.expression(c)))
 }

@@ -19,17 +19,20 @@ import graft.text.TextAnalysis
 object LlmQueries {
 
   // ------------------------------------------------------ q19_text_stats
-  private def q19Text(s: SparkSession, d: String): DataFrame = {
-    val t = col("text")
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      TextAnalysis.tokenCount(t).as("n_tokens"),
-      TextAnalysis.bpeishCount(t).as("n_bpeish"),
-      TextAnalysis.punctCount(t).as("n_punct"),
-      TextAnalysis.stopwordRatio(t).as("stop_ratio"),
-      TextAnalysis.qualityScore(t).as("quality"))
+  // Native single-pass stats struct (one scan + one tokenize per doc);
+  // bit-identical to the pure per-column expressions, which NativeTextSpec
+  // pins against this form.
+  private def q19Text(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.NativeText.textStats(col("text")).as("__ts"))
+      .select(col("doc_id"),
+        col("__ts.n_tokens").as("n_tokens"),
+        col("__ts.n_bpeish").as("n_bpeish"),
+        col("__ts.n_punct").as("n_punct"),
+        col("__ts.stop_ratio").as("stop_ratio"),
+        col("__ts.quality").as("quality"))
       .orderBy(col("doc_id"))
-  }
 
   private val q19Sql = {
     val stop = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")

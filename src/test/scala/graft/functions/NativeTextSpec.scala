@@ -49,6 +49,29 @@ class NativeTextSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("textStats struct is bit-identical to the pure per-column expressions") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"text")
+      .unionByName(Seq("", "   ", "\tmixed\tws!", "élan café ... 123_abc ?!")
+        .toDF("text"))
+    val t = $"text"
+    val diff = docs.select(
+      graft.functions.NativeText.textStats(t).as("ts"),
+      TextAnalysis.tokenCount(t).as("p_tokens"),
+      TextAnalysis.bpeishCount(t).as("p_bpeish"),
+      TextAnalysis.punctCount(t).as("p_punct"),
+      TextAnalysis.stopwordRatio(t).as("p_stop"),
+      TextAnalysis.qualityScore(t).as("p_quality"))
+      .filter(
+        $"ts.n_tokens" =!= $"p_tokens" || $"ts.n_bpeish" =!= $"p_bpeish" ||
+          $"ts.n_punct" =!= $"p_punct" ||
+          // bitwise, not approximate: same op order by construction
+          not($"ts.stop_ratio" <=> $"p_stop") ||
+          not($"ts.quality" <=> $"p_quality"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("null text → 'und' on both forms") {
     val df = Seq(Some("the is a"), None).toDF("text")
     val got = df.select(
