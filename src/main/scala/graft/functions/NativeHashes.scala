@@ -228,6 +228,8 @@ object NativeHashes {
       "graft_top_k",
       exprs => NativeTopK.BoundedTopK(exprs(0), exprs(1),
         NativeTopK.kOf(exprs(2))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_text_stats", exprs => NativeText.TextStatsExpr(exprs.head), "scala_udf")
   }
 }
 
@@ -262,5 +264,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[NativeTopK.BoundedTopK].getName, "graft_top_k"),
         (exprs: Seq[Expression]) => NativeTopK.BoundedTopK(exprs(0), exprs(1),
           NativeTopK.kOf(exprs(2)))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_text_stats"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NativeText.TextStatsExpr].getName, "graft_text_stats"),
+        (exprs: Seq[Expression]) => NativeText.TextStatsExpr(exprs.head)))
   }
 }

@@ -91,6 +91,16 @@ class NativeTextSpec extends AnyFunSuite {
     df.collect()
   }
 
+  test("graft_text_stats is callable from SQL") {
+    NativeHashes.register(spark)
+    Seq("the quick brown fox. it is fast!").toDF("text")
+      .createOrReplaceTempView("nts_t")
+    val row = spark.sql(
+      "SELECT s.n_tokens, s.n_punct FROM (SELECT graft_text_stats(text) s FROM nts_t)")
+      .as[(Int, Int)].head()
+    assert(row == ((7, 2)))
+  }
+
   test("graft_langid is callable from SQL") {
     NativeHashes.register(spark)
     // note: "und" itself is a German stopword — use hit-free junk tokens
