@@ -84,13 +84,19 @@ object CorpusPipeline {
       .localCheckpoint()
     val nQuality = quality.count()
 
-    // split + pack (each split packs independently — partCol = split)
+    // split + pack. Packing windows by the bare 3-value split would
+    // funnel ~the whole train split through one window task; pack within
+    // (split, hash shard) instead — each shard packs independently,
+    // which is also the layout a data-parallel trainer consumes.
     val packed = CorpusOps.packSequences(
-      CorpusOps.deterministicSplit(quality, "doc_id"),
+      CorpusOps.deterministicSplit(quality, "doc_id")
+        .withColumn("pack_shard", concat_ws("/", col("split"),
+          pmod(xxhash64(col("doc_id")), lit(64)).cast("string"))),
       "doc_id", TextAnalysis.tokenCount(col("text")).cast("long"),
-      "split", cfg.packBudget)
+      "pack_shard", cfg.packBudget)
       .select(col("doc_id"), col("text"), col("lang_pred"), col("quality"),
-        col("split"), col("n_tokens"), col("pack_offset"), col("pack_id"))
+        col("split"), col("pack_shard"), col("n_tokens"),
+        col("pack_offset"), col("pack_id"))
 
     (packed, Report(input, nLang, nExact, nNear, nSpan, nDecontam, nQuality))
   }

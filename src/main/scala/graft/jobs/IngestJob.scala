@@ -60,7 +60,8 @@ object IngestJob {
   }
 
   /** Executor-side parse of a (path, content) DataFrame into
-    * (reports, errors). */
+    * (reports, errors). Caller owns the returned frames' lifecycle —
+    * cache them if consumed more than once. */
   def parseFiles(spark: SparkSession, files: DataFrame): (DataFrame, DataFrame) = {
     import spark.implicits._
     val parsed = files.select(col("path"), col("content"))
@@ -69,7 +70,7 @@ object IngestJob {
           case Right(r) => (Some(r), Option.empty[Model.ParseError])
           case Left(e) => (Option.empty[Model.ParsedReport], Some(e))
         }
-      }.cache()
+      }
     (parsed.flatMap(_._1).toDF(), parsed.flatMap(_._2).toDF())
   }
 
@@ -92,39 +93,66 @@ object IngestJob {
     * the reference's delete-only-after-success rule. */
   def run(spark: SparkSession, landingDir: String, lake: Lake,
       archiveDir: Option[String] = None): IngestReport = {
-    val (report, parsedSources) =
+    val (report, parsedSources, done) =
       runOnFilesWithSources(spark, landingFiles(spark, landingDir), lake)
     archiveDir.foreach { archive =>
       import spark.implicits._
+      // ship the SESSION's Hadoop conf (credentials, defaultFS — the
+      // ScrapeJob pattern); a bare `new Configuration()` would lose them
+      val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
       parsedSources.as[String].foreachPartition { (paths: Iterator[String]) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         paths.foreach { p =>
-          val src = new org.apache.hadoop.fs.Path(new java.net.URI(p))
-          val fs = src.getFileSystem(conf)
+          // hadoop Path parses the stringified path directly (URI would
+          // throw on unencoded spaces in file names)
+          val src = new org.apache.hadoop.fs.Path(p)
+          val fs = src.getFileSystem(hadoopConf.value)
           val rel = src.getParent.getName + "/" + src.getName
           val dst = new org.apache.hadoop.fs.Path(s"$archive/$rel")
           fs.mkdirs(dst.getParent)
-          fs.rename(src, dst)
-          ()
+          // rename returns false instead of throwing; the dest-exists
+          // case (retried batch) means the file IS archived — drop the
+          // landing copy so the dir still drains (consume-once)
+          if (!fs.rename(src, dst)) {
+            if (fs.exists(dst)) { fs.delete(src, false); () }
+            else System.err.println(s"[ingest] archive move failed for $p")
+          }
         }
       }
     }
+    done()
     report
   }
 
   /** Core of E2 over an arbitrary (path, content) batch — shared by the
     * batch driver above and the Structured Streaming foreachBatch sink. */
-  def runOnFiles(spark: SparkSession, files: DataFrame, lake: Lake): IngestReport =
-    runOnFilesWithSources(spark, files, lake)._1
+  def runOnFiles(spark: SparkSession, files: DataFrame, lake: Lake): IngestReport = {
+    val (report, _, done) = runOnFilesWithSources(spark, files, lake)
+    done()
+    report
+  }
 
   /** As runOnFiles, also returning the successfully-parsed source paths
-    * (the consume-once archival set). */
+    * (the consume-once archival set) and a cleanup thunk the caller MUST
+    * invoke once the sources frame is consumed (releases the parse
+    * cache — leaking it once per streaming micro-batch would fill
+    * executor storage memory). */
   private def runOnFilesWithSources(
-      spark: SparkSession, files: DataFrame, lake: Lake): (IngestReport, DataFrame) = {
-    val (reports, errors) = parseFiles(spark, files)
+      spark: SparkSession, files: DataFrame,
+      lake: Lake): (IngestReport, DataFrame, () => Unit) = {
+    val (reportsRaw, errors) = parseFiles(spark, files)
+    val reports = reportsRaw.cache()
     val nParsed = reports.count()
     val nErr = errors.count()
-    if (nErr > 0) errors.write.mode(SaveMode.Append).parquet(lake.errorsDir)
+    if (nErr > 0) {
+      // append only errors for files not already recorded — failures
+      // stay in the landing dir by design, and an unguarded append
+      // would duplicate the same error row on every nightly re-run
+      val existing = readOrEmpty(spark, lake.errorsDir,
+        org.apache.spark.sql.Encoders.product[Model.ParseError].schema)
+      errors.join(existing.select(col("source")), Seq("source"), "left_anti")
+        .write.mode(SaveMode.Append).parquet(lake.errorsDir)
+    }
 
     // Ledger candidates: one row per parsed file (clean_data.py:164-180).
     val candidates = reports.select(
@@ -144,9 +172,12 @@ object IngestJob {
         .select(col("file_name"), col("template"), col("r.*"))
       val cleaned = RadarOps.splitTimeRange(RadarOps.cleanDirection(
         tidy.withColumn("pubdate", to_date(col("pubdate")))))
+      // filter by the WINNING FILE identity, not the (pubdate, equipment)
+      // key: two same-key files in one batch would both pass a key-only
+      // semi-join while the ledger records one — permanently doubling
+      // that day's rows (the reference's unique index rejected this)
       val newFlows = cleaned
-        .join(broadcast(newFiles.select("pubdate", "equipment")),
-          Seq("pubdate", "equipment"), "left_semi")
+        .join(broadcast(newFiles.select("file_name")), Seq("file_name"), "left_semi")
         .select(flowsLakeSchema.fieldNames.map(col).toSeq: _*)
         .cache()
       appended = newFlows.count()
@@ -162,7 +193,8 @@ object IngestJob {
       filesFailed = nErr,
       filesNew = nNew,
       flowRowsAppended = appended),
-      reports.select(col("source")))
+      reports.select(col("source")),
+      () => { reports.unpersist(); () })
   }
 
   /** E3 planning stage (backload_scrape.py:56-86): the (equipment × date

@@ -264,19 +264,21 @@ object CorpusOps {
     * no shuffle of the corpus. Documents with < n tokens can't carry an
     * n-gram and are excluded on both sides.
     */
+  /** (id, gram_h) rows: xxhash64 of each word n-gram of documents with
+    * ≥ n tokens. 8-byte keys instead of ~40-char gram strings — the
+    * shared primitive of batch decontamination and the streaming
+    * contamination guard (collision odds ~2⁻⁶⁴ per pair, absorbed into
+    * both consumers' contracts). */
+  def gramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.filter(size(split(trim(lower(col(textCol))), "\\s+")) >= n)
+      .select(col(idCol),
+        explode(graft.functions.NativeHashes.shingleHashes(col(textCol), n)).as("gram_h"))
+
   def contaminatedDocs(
       train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
-    // join on xxhash64 of the gram, not the gram text: the broadcast set
-    // and the per-row probe keys are 8 bytes instead of ~40-char strings
-    // (collision odds ~2⁻⁶⁴ per pair — absorbed into the method's
-    // contract; flagged docs are candidates for review either way)
-    def gramHashes(df: DataFrame): DataFrame =
-      df.filter(size(split(trim(lower(col(textCol))), "\\s+")) >= n)
-        .select(col(idCol),
-          explode(graft.functions.NativeHashes.shingleHashes(col(textCol), n)).as("gram_h"))
-    val evalGrams = gramHashes(eval).select(col("gram_h")).distinct()
-    gramHashes(train)
+    val evalGrams = gramHashes(eval, idCol, textCol, n).select(col("gram_h")).distinct()
+    gramHashes(train, idCol, textCol, n)
       .join(broadcast(evalGrams), Seq("gram_h"))
       .select(col(idCol), col("gram_h")).distinct()
       .groupBy(col(idCol))

@@ -88,11 +88,22 @@ object RadarOps {
   /** Idempotent-append guard (clean_data.py:164-180 + the unique index at
     * schema.sql:31-33): keep only rows whose key set is absent from the
     * existing table. Append-side dedup also collapses duplicate keys
-    * within the incoming batch itself (first writer wins, like the
-    * reference's per-file loop). */
-  def idempotentNewRows(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
-    incoming.dropDuplicates(keys)
-      .join(existing.select(keys.map(col).toSeq: _*), keys, "left_anti")
+    * within the incoming batch itself, DETERMINISTICALLY: the row with
+    * the minimum (non-key columns, in order) wins — dropDuplicates would
+    * keep a partition-order-dependent row, making recorded lineage
+    * (file_name) differ between identical runs. */
+  def idempotentNewRows(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame = {
+    val others = incoming.columns.filterNot(keys.contains).toSeq
+    val deduped =
+      if (others.isEmpty) incoming.dropDuplicates(keys)
+      else incoming.groupBy(keys.map(col): _*)
+        .agg(min(struct(others.map(col): _*)).as("__w"))
+        .select(incoming.columns.toSeq.map {
+          case k if keys.contains(k) => col(k)
+          case o => col(s"__w.$o").as(o)
+        }: _*)
+    deduped.join(existing.select(keys.map(col).toSeq: _*), keys, "left_anti")
+  }
 
   // ------------------------------------------------------------- A1 + P6
   /** Completeness audit (verify_dates.py:26-50) as ONE hash aggregate

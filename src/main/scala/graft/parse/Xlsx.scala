@@ -49,27 +49,91 @@ object Xlsx {
   def read(bytes: Array[Byte]): CellGrid = {
     var shared: IndexedSeq[String] = IndexedSeq.empty
     var sheetXml: Option[Array[Byte]] = None
-    var firstSheetName: Option[String] = None
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var entry = zin.getNextEntry
       val sheets = mutable.Map[String, Array[Byte]]()
       var sharedXml: Option[Array[Byte]] = None
+      var workbookXml: Option[Array[Byte]] = None
+      var relsXml: Option[Array[Byte]] = None
       while (entry != null) {
         val name = entry.getName
         if (name == "xl/sharedStrings.xml") sharedXml = Some(zin.readAllBytes())
+        else if (name == "xl/workbook.xml") workbookXml = Some(zin.readAllBytes())
+        else if (name == "xl/_rels/workbook.xml.rels") relsXml = Some(zin.readAllBytes())
         else if (name.startsWith("xl/worksheets/sheet") && name.endsWith(".xml"))
           sheets(name) = zin.readAllBytes()
         entry = zin.getNextEntry
       }
       sharedXml.foreach(b => shared = readSharedStrings(b))
-      firstSheetName = sheets.keys.toSeq.sorted.headOption
-      sheetXml = firstSheetName.map(sheets)
+      // "first" sheet = the workbook's TAB order (xlrd's sheets()[0],
+      // clean_data.py:53), resolved via workbook.xml's first <sheet r:id>
+      // and the rels map — NOT zip-entry name order, which misorders
+      // sheet10 before sheet2 and survives sheet deletion/reordering.
+      // Fallback (no workbook.xml): numeric-suffix order of the parts.
+      val byWorkbook = for {
+        wb <- workbookXml
+        rels <- relsXml
+        rid <- firstSheetRid(wb)
+        target <- relTarget(rels, rid)
+        part = "xl/" + target.stripPrefix("/xl/").stripPrefix("/")
+        xml <- sheets.get(part)
+      } yield xml
+      def suffixNum(name: String): Int =
+        name.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml") match {
+          case n if n.nonEmpty && n.forall(_.isDigit) => n.toInt
+          case _ => Int.MaxValue
+        }
+      sheetXml = byWorkbook.orElse(
+        sheets.keys.toSeq.sortBy(n => (suffixNum(n), n)).headOption.map(sheets))
     } finally zin.close()
     sheetXml match {
       case Some(xml) => readSheet(xml, shared)
       case None => throw new IllegalArgumentException("no worksheet found in xlsx payload")
     }
+  }
+
+  /** r:id of the first <sheet> in workbook.xml (tab order). */
+  private def firstSheetRid(xml: Array[Byte]): Option[String] = {
+    val r = factory.createXMLStreamReader(new ByteArrayInputStream(xml))
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "sheet") {
+          var i = 0
+          while (i < r.getAttributeCount) {
+            if (r.getAttributeLocalName(i) == "id") return Some(r.getAttributeValue(i))
+            i += 1
+          }
+        }
+      }
+      None
+    } finally r.close()
+  }
+
+  /** Relationship Id → Target from workbook.xml.rels. */
+  private def relTarget(xml: Array[Byte], rid: String): Option[String] = {
+    val r = factory.createXMLStreamReader(new ByteArrayInputStream(xml))
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "Relationship") {
+          var id: String = null
+          var target: String = null
+          var i = 0
+          while (i < r.getAttributeCount) {
+            r.getAttributeLocalName(i) match {
+              case "Id" => id = r.getAttributeValue(i)
+              case "Target" => target = r.getAttributeValue(i)
+              case _ =>
+            }
+            i += 1
+          }
+          if (id == rid && target != null) return Some(target)
+        }
+      }
+      None
+    } finally r.close()
   }
 
   private def readSharedStrings(xml: Array[Byte]): IndexedSeq[String] = {

@@ -46,15 +46,10 @@ object StatefulOps {
   def contaminationAlerts(
       docs: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
-    val evalGrams = evalSet
-      .filter(size(split(trim(lower(col(textCol))), "\\s+")) >= n)
-      .select(explode(
-        graft.functions.NativeHashes.shingleHashes(col(textCol), n)).as("gram_h"))
-      .distinct()
-    docs
-      .filter(size(split(trim(lower(col(textCol))), "\\s+")) >= n)
-      .select(col(idCol),
-        explode(graft.functions.NativeHashes.shingleHashes(col(textCol), n)).as("gram_h"))
+    // same gram construction as the batch path — one definition to change
+    val evalGrams = graft.ops.CorpusOps.gramHashes(evalSet, idCol, textCol, n)
+      .select(col("gram_h")).distinct()
+    graft.ops.CorpusOps.gramHashes(docs, idCol, textCol, n)
       .join(broadcast(evalGrams), Seq("gram_h"))
       .select(col(idCol), col("gram_h"))
   }

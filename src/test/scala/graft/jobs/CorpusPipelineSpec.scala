@@ -39,7 +39,7 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(ids.contains(1L) || ids.contains(4L)) // one keeper of the exact pair
     // output carries the full training metadata
     assert(packed.columns.toSet == Set("doc_id", "text", "lang_pred",
-      "quality", "split", "n_tokens", "pack_offset", "pack_id"))
+      "quality", "split", "pack_shard", "n_tokens", "pack_offset", "pack_id"))
     // packing is per split: offsets restart at 0 in every split
     val firstOffsets = packed.groupBy($"split")
       .agg(org.apache.spark.sql.functions.min($"pack_offset"))

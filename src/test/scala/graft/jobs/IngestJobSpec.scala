@@ -77,4 +77,31 @@ class IngestJobSpec extends AnyFunSuite {
     // the unparseable payload is retained for inspection
     assert(new java.io.File(s"$landing/XX/2021-03-01.xlsx").exists())
   }
+
+  test("duplicate (pubdate, equipment) files in one batch: one winner, no doubled rows") {
+    val work = Files.createTempDirectory("ingest-spec-dup").toString
+    val landing = s"$work/landing"
+    val lake = IngestJob.Lake(s"$work/lake")
+    // same report uploaded twice under different paths (key comes from
+    // cells INSIDE the file, not the path) — the reference's unique
+    // index rejected the second copy; we must load exactly one
+    write(s"$landing/E1/2021-03-01.xlsx",
+      Xlsx.write(ReportFixtures.workbook(1, "E1", "2021-03-01")))
+    write(s"$landing/E1-copy/2021-03-01.xlsx",
+      Xlsx.write(ReportFixtures.workbook(1, "E1", "2021-03-01")))
+
+    val r = IngestJob.run(spark, landing, lake)
+    assert(r.filesParsed == 2 && r.filesNew == 1)
+    assert(r.flowRowsAppended == 96, s"doubled rows: ${r.flowRowsAppended}")
+    val flows = IngestJob.readFlows(spark, lake)
+    assert(flows.count() == 96)
+    // deterministic winner: minimum file_name, recorded consistently in
+    // ledger AND carried on every flow row
+    val ledger = IngestJob.readLedger(spark, lake)
+    assert(ledger.count() == 1)
+    val winner = ledger.select(col("file_name")).collect()(0).getString(0)
+    // min file_name wins ("E1-copy" < "E1/" — '-' sorts before '/')
+    assert(winner.contains("/E1-copy/"), s"expected min path to win, got $winner")
+    assert(flows.select(col("file_name")).distinct().collect()(0).getString(0) == winner)
+  }
 }
