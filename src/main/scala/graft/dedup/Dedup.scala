@@ -172,8 +172,7 @@ object Dedup {
     val r = df.select(col(idCol).as("id_b"), toks.as("t_b"))
     l.join(broadcast(r), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("t_a"), col("t_b"))).cast("double")
-          / size(array_union(col("t_a"), col("t_b")))).as("jaccard"))
+        jaccard(col("t_a"), col("t_b")).as("jaccard"))
   }
 
   /** Edit-distance (Levenshtein) near-dup pairs over a (small) probe set
@@ -313,6 +312,12 @@ object Dedup {
       e = next
       iter += 1
     }
+    // loud failure beats silently-wrong components: a non-converged e is
+    // NOT a star forest, and interpreting it as one would split real
+    // clusters (dedup would then keep duplicates with no signal)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge after $maxIter rounds — " +
+        "raise maxIter (O(log² n) rounds suffice for any graph)")
     // e is now a star forest: u → component root (min id)
     val roots = e.select(col("v")).distinct().select(col("v").as("id"), col("v").as("component"))
     e.select(col("u").as("id"), col("v").as("component")).union(roots)
@@ -324,16 +329,22 @@ object Dedup {
     * and a `is_keeper` flag (true for exactly one row per cluster).
     * `dropNearDups` = filter(is_keeper).
     *
-    * Works for ANY id type. Numeric ids feed [[connectedComponents]]
-    * directly and `cluster_id` is bigint; non-numeric ids (e.g. string
-    * doc ids) are mapped to xxhash64 surrogate nodes for the CC rounds
-    * (collision odds ~2⁻⁶⁴ per pair) and `cluster_id` keeps the id
+    * Works for ANY id type. INTEGRAL ids feed [[connectedComponents]]
+    * directly and `cluster_id` is bigint; every other type — strings,
+    * but also fractional numerics, whose cast-to-long would merge
+    * distinct ids like 7.2 and 7.9 into one node — is mapped to
+    * xxhash64 surrogate nodes for the CC rounds (collision odds ~2⁻⁶⁴
+    * per pair) and `cluster_id` keeps the id
     * column's own type — the min original id per component, recovered
     * with one extra groupBy+join on the component key. */
   def resolveClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.NumericType
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val idc = col(idCol)
-    if (df.schema(idCol).dataType.isInstanceOf[NumericType]) {
+    val integral = df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (integral) {
       val cc = connectedComponents(pairs.select(col("id_a"), col("id_b")))
         .withColumnsRenamed(Map("id" -> idCol, "component" -> "cluster_id"))
       df.join(cc, Seq(idCol), "left")

@@ -75,11 +75,16 @@ object Model {
   val binMidpoints: Seq[Double] =
     Seq(5.0, 15.5, 25.5, 35.5, 45.5, 55.5, 65.5, 75.5, 85.5, 95.5, 105.0)
 
-  /** Lower/upper km/h edge per bin (upper of the open top bin capped at 110
-    * for interpolation). */
+  /** Lower/upper km/h edge per bin (upper of the open top bin capped at
+    * 110 for interpolation). Edges are INTEGER-domain inclusive ranges
+    * (the radar vendor reports integer km/h): consecutive bins share no
+    * value — the top bin starts at 101, not 100, so a reading of exactly
+    * 100 lands in speed_91_100 only (an overlapping lower edge would
+    * double-count it and break sum(bins) == total). Fractional speeds
+    * are outside the model's domain. */
   val binEdges: Seq[(Double, Double)] = Seq(
     (0, 10), (11, 20), (21, 30), (31, 40), (41, 50), (51, 60),
-    (61, 70), (71, 80), (81, 90), (91, 100), (100, 110))
+    (61, 70), (71, 80), (81, 90), (91, 100), (101, 110))
 
   val directionDomain: Seq[String] = Seq("Norte", "Sul", "Leste", "Oeste")
 

@@ -256,7 +256,11 @@ object Relational {
   // §2.6: JSON extraction from the events.props string column.
   private def q14Json(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      // try_cast: ANSI mode would abort the whole query on one malformed
+      // $.k; null-out the row instead (DuckDB's CAST coerces, so parity
+      // holds as long as values are integer-formed — which the gate
+      // verifies)
+      .withColumn("k", get_json_object(col("props"), "$.k").try_cast("int"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
       .orderBy(col("event_type"))

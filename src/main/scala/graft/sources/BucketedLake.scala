@@ -25,11 +25,13 @@ object BucketedLake {
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
   /** True when the executed plan of `df` contains no shuffle exchange —
-    * the co-location check used by specs and plan audits. */
-  def isShuffleFree(df: DataFrame): Boolean = {
-    df.queryExecution.executedPlan
-    val plan = df.queryExecution.executedPlan.toString()
-    !plan.contains("Exchange hashpartitioning") &&
-      !plan.contains("Exchange rangepartitioning")
-  }
+    * the co-location check used by specs and plan audits. Any `Exchange`
+    * node counts as a shuffle (hash, range, round-robin from
+    * repartition(n), SinglePartition from global aggregates/coalesce(1))
+    * EXCEPT broadcast and reused exchanges, which move no shuffle data. */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString()
+      .linesIterator
+      .exists(l => l.contains("Exchange") &&
+        !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
 }

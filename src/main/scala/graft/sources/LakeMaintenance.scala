@@ -7,14 +7,28 @@ import org.apache.spark.sql.functions._
 /** Small-file compaction for the parquet lake. Incremental ingest writes
   * one file batch per run (the reference lands ~100 tiny objects/day);
   * at scale the accumulated file count dominates scan planning cost.
-  * Compaction rewrites a directory to `targetPartitions` files and
-  * atomically swaps it in (write-validate-rename — never in place).
+  * Compaction rewrites a directory to `targetPartitions` files and swaps
+  * it in (write-validate-rename — never in place).
+  *
+  * SINGLE-WRITER CONTRACT: callers must not run compaction concurrently
+  * with ingest into the same directory — the rewrite snapshots the file
+  * listing, so files appended mid-compaction would be silently dropped
+  * by the swap. (True concurrent maintenance needs a transactional table
+  * format; plain parquet directories have no commit protocol.) The
+  * two-rename swap also has a crash window between renames: recovery is
+  * manual (`dir__old` still holds the data); a leftover `dir__old` from
+  * a crashed run fails the next run loudly instead of nesting renames.
   */
 object LakeMaintenance {
 
   final case class CompactionStats(filesBefore: Long, filesAfter: Long, rows: Long)
 
   def compact(spark: SparkSession, dir: String, targetPartitions: Int): CompactionStats = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dir + "__old")
+    require(!fs.exists(old),
+      s"$old exists — a previous compaction crashed mid-swap; recover or remove it first")
+
     val df = spark.read.parquet(dir)
     val rows = df.count()
     val filesBefore = df.select(input_file_name()).distinct().count()
@@ -27,8 +41,6 @@ object LakeMaintenance {
       s"compaction row-count mismatch in $dir — aborting swap")
     val filesAfter = written.select(input_file_name()).distinct().count()
 
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(dir + "__old")
     require(fs.rename(new Path(dir), old), s"cannot stage $dir aside")
     if (!fs.rename(new Path(tmp), new Path(dir))) {
       fs.rename(old, new Path(dir)) // roll back
