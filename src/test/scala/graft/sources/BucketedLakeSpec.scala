@@ -50,6 +50,17 @@ class BucketedLakeSpec extends AnyFunSuite {
       j.collect()
       val plan = j.queryExecution.executedPlan.toString()
       assert(plan.contains("Exchange hashpartitioning"))
+      assert(!BucketedLake.isShuffleFree(j))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("isShuffleFree catches round-robin and single-partition exchanges too") {
+    val df = Tables.nation(spark, "/root/testdata/sf0.001")
+    assert(!BucketedLake.isShuffleFree(df.repartition(4)), "round-robin missed")
+    assert(!BucketedLake.isShuffleFree(df.agg(count(lit(1)))), "global agg missed")
+    // a broadcast join is NOT a shuffle
+    val b = Tables.region(spark, "/root/testdata/sf0.001")
+    val j = df.join(broadcast(b), col("n_regionkey") === col("r_regionkey"))
+    assert(BucketedLake.isShuffleFree(j), "broadcast miscounted as shuffle")
   }
 }
