@@ -69,8 +69,7 @@ object IngestDemo {
     writeFile(s"$landing/FS552JOI/2021-03-03.xlsx",
       Xlsx.write(ReportFixtures.workbook(1, "FS552JOI", "2021-03-03")))
     val query = StreamingIngest.start(spark, landing, lake,
-      s"$work/checkpoint", cleanSourceMode = "archive",
-      archiveDir = Some(s"$work/archive"))
+      s"$work/checkpoint", archiveDir = Some(s"$work/archive"))
     query.processAllAvailable()
     query.stop()
 

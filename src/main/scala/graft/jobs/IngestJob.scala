@@ -92,9 +92,16 @@ object IngestJob {
     * failures stay in the landing dir for inspection/retry, exactly like
     * the reference's delete-only-after-success rule. */
   def run(spark: SparkSession, landingDir: String, lake: Lake,
-      archiveDir: Option[String] = None): IngestReport = {
+      archiveDir: Option[String] = None): IngestReport =
+    runOnFilesAndArchive(spark, landingFiles(spark, landingDir), lake, archiveDir)
+
+  /** Core batch + the parsed-only archival step — shared verbatim by the
+    * batch driver and the streaming foreachBatch sink, so both honor the
+    * same delete-only-after-success contract. */
+  def runOnFilesAndArchive(spark: SparkSession, files: DataFrame, lake: Lake,
+      archiveDir: Option[String]): IngestReport = {
     val (report, parsedSources, done) =
-      runOnFilesWithSources(spark, landingFiles(spark, landingDir), lake)
+      runOnFilesWithSources(spark, files, lake)
     archiveDir.foreach { archive =>
       import spark.implicits._
       // ship the SESSION's Hadoop conf (credentials, defaultFS — the

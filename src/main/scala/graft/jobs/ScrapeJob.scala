@@ -39,7 +39,11 @@ object ScrapeJob {
 
   /** Fetch every task surviving the ledger anti-join; payloads land as
     * `landingDir/EQUIP/yyyy-MM-dd.xlsx` (the reference's S3 key layout,
-    * scrape.py:87). Returns the per-task log. */
+    * scrape.py:87). Returns the per-task log, MATERIALIZED (cached +
+    * counted): evaluating this frame performs the HTTP fetches and file
+    * writes, so a lazy return would re-download every payload on each
+    * downstream action and could log a different outcome than what
+    * actually landed. Callers unpersist when done. */
   def run(
       spark: SparkSession,
       fetcher: Fetcher,
@@ -49,9 +53,8 @@ object ScrapeJob {
       lake: IngestJob.Lake,
       landingDir: String): DataFrame = {
     import spark.implicits._
-    val tasks = RadarOps.antiJoinLoaded(
-      RadarOps.taskMatrix(equipments, lit(start), lit(end)),
-      IngestJob.readLedger(spark, lake))
+    // the planning stage IS backfillTasks — one definition (J4 + J1)
+    val tasks = IngestJob.backfillTasks(spark, lake, equipments, start, end)
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
 
@@ -76,7 +79,8 @@ object ScrapeJob {
             case Left(err) => FetchLogEntry(equip, date, "failed", err)
           }
         }
-      }.toDF()
+      }.toDF().cache()
+    log.count() // force the single fetch pass NOW
     log
   }
 
@@ -94,8 +98,6 @@ object ScrapeJob {
       lake: IngestJob.Lake,
       landingDir: String): (DataFrame, IngestJob.IngestReport) = {
     val log = run(spark, fetcher, equipments, date, date, lake, landingDir)
-    log.cache()
-    log.count()
     val report = IngestJob.run(spark, landingDir, lake)
     (log, report)
   }

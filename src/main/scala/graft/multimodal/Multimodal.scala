@@ -78,15 +78,26 @@ object Multimodal {
   /** STUB resize — stands in for image resampling. Treats the payload as a
     * meta.width × meta.height single-channel grid (padding with zeros when
     * the fake payload is short) and area-averages it down to tw × th;
-    * emits the resized payload with corrected metadata. Same per-partition
-    * batch shape as [[decodeStub]]; a real implementation swaps only the
-    * pixel math for a codec + interpolation kernel. */
+    * emits the resized payload with corrected metadata. Rows WITHOUT a
+    * pixel grid (audio: width = height = 0) pass through untouched —
+    * clamping them to a 1×1 grid would replace the whole payload with
+    * copies of its first byte and stamp image dimensions onto audio
+    * metadata. Same per-partition batch shape as [[decodeStub]]; a real
+    * implementation swaps only the pixel math for a codec +
+    * interpolation kernel. */
   def resizeStub(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
-        val (w, h) = (math.max(m.meta.width, 1), math.max(m.meta.height, 1))
+        if (m.meta.width <= 0 || m.meta.height <= 0) m
+        else resizeOne(m, tw, th)
+      }
+    }
+  }
+
+  private def resizeOne(m: MediaRow, tw: Int, th: Int): MediaRow = {
+    val (w, h) = (m.meta.width, m.meta.height)
         def px(x: Int, y: Int): Int = {
           val idx = y * w + x
           if (idx < m.payload.length) m.payload(idx) & 0xFF else 0
@@ -112,8 +123,6 @@ object Multimodal {
           ty += 1
         }
         MediaRow(m.media_id, m.meta.copy(width = tw, height = th), out)
-      }
-    }
   }
 
   private def x0Of(t: Int, tDim: Int, sDim: Int): Int =

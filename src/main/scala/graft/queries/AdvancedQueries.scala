@@ -369,18 +369,18 @@ object AdvancedQueries {
 
   private val q61Sql =
     """WITH g AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |    CAST(epoch_us(ts) AS BIGINT)
       |      - lag(CAST(epoch_us(ts) AS BIGINT), 1)
       |        OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
       |  FROM events),
       |f AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |    CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS ns
       |  FROM g),
       |sid AS (
       |  SELECT user_id, ts,
-      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM f)
       |SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,

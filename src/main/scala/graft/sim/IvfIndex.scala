@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   final case class Index(model: org.apache.spark.ml.clustering.KMeansModel,
-      assigned: DataFrame)
+      assigned: DataFrame) {
+    /** Release the cached assignment table when the index is retired. */
+    def close(): Unit = { assigned.unpersist(); () }
+  }
 
   /** Fit the coarse quantizer and assign every corpus vector to a cell.
     *
@@ -30,9 +33,14 @@ object IvfIndex {
     * for IVF training. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       nList: Int, seed: Long = 11L, trainCap: Long = 20000L): Index = {
+    // cache the projected corpus through the build (count + fit sample +
+    // assignment would otherwise each re-scan it), and cache the
+    // assignment table itself — it is the whole point of the index, and
+    // every topK probe reuses it (Index.close() releases it)
     val feats = corpus.select(col(idCol).as("nn_id"),
       col(vecCol).cast("array<double>").as("nn_vec"))
       .withColumn("features", array_to_vector(col("nn_vec")))
+      .cache()
     val n = feats.count()
     val train =
       if (n <= trainCap) feats
@@ -41,6 +49,9 @@ object IvfIndex {
       .fit(train)
     val assigned = model.transform(feats)
       .select(col("nn_id"), col("nn_vec"), col("prediction").as("cell"))
+      .cache()
+    assigned.count() // materialize while feats is still cached
+    feats.unpersist()
     Index(model, assigned)
   }
 

@@ -23,30 +23,34 @@ object StreamingIngest {
     StructField("length", LongType),
     StructField("content", BinaryType)))
 
-  /** Start the landing-dir stream. `cleanSourceMode` is "archive",
-    * "delete", or "off" (S11's consume-once delete; archive keeps the raw
-    * payloads as the reference's processed bucket does). */
+  /** Start the landing-dir stream. `archiveDir` enables S11's
+    * consume-once semantics with the SAME contract as the batch path:
+    * only successfully PARSED files move to the archive (inside
+    * foreachBatch, after the load commits); parse failures stay in the
+    * landing dir for inspection and re-ingest after a parser fix.
+    * Spark's file-source `cleanSource` option is deliberately NOT used —
+    * it acts on every committed file, parsed or not, so a corrupt
+    * payload would be deleted (or stranded in the archive) and the
+    * delete-only-after-success retry rule would be silently broken. */
   def start(
       spark: SparkSession,
       landingDir: String,
       lake: IngestJob.Lake,
       checkpointDir: String,
-      cleanSourceMode: String = "off",
       archiveDir: Option[String] = None): StreamingQuery = {
-    var reader = spark.readStream
+    spark.readStream
       .format("binaryFile")
       .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.xlsx")
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", "500")
-      .option("cleanSource", cleanSourceMode)
-    archiveDir.foreach(d => reader = reader.option("sourceArchiveDir", d))
-    reader.load(landingDir)
+      .load(landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val report = IngestJob.runOnFiles(batch.sparkSession, batch, lake)
+        val report = IngestJob.runOnFilesAndArchive(
+          batch.sparkSession, batch, lake, archiveDir)
         // S10 run-report log line, one per micro-batch.
         println(s"[ingest-stream] batch=$batchId seen=${report.filesSeen} " +
           s"parsed=${report.filesParsed} failed=${report.filesFailed} " +

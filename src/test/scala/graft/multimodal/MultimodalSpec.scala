@@ -44,13 +44,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perDoc == Set(4L))
   }
 
-  test("resizeStub: target dims, updated metadata, constant-field preserved") {
+  test("resizeStub: target dims, updated metadata, audio passes through") {
     val media = Multimodal.packDocsAsMedia(docs)
+    val original = media.collect().map(m => m.media_id -> m).toMap
     val resized = Multimodal.resizeStub(media, tw = 8, th = 8).collect()
     assert(resized.nonEmpty)
+    assert(resized.exists(_.meta.kind != "audio"))
     resized.foreach { m =>
-      assert(m.payload.length == 64)
-      assert(m.meta.width == 8 && m.meta.height == 8)
+      if (m.meta.kind == "audio") {
+        // no pixel grid — resizing would destroy the payload
+        assert(java.util.Arrays.equals(m.payload, original(m.media_id).payload))
+        assert(m.meta == original(m.media_id).meta)
+      } else {
+        assert(m.payload.length == 64)
+        assert(m.meta.width == 8 && m.meta.height == 8)
+      }
     }
     // area-averaging a constant grid yields the constant
     import spark.implicits._
