@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Round-3 engine surface, part 1: the SQL front end exercised with full
+  * TPC-H-shaped multi-join queries (the reference's star-schema "querying
+  * and analysis" path, `/root/reference/database/schema.sql:52-71`, scaled
+  * to a real analytics workload), holistic window aggregates (moving
+  * median), token-entropy quality signals, and URL/domain analytics.
+  *
+  * Exactness discipline: every floating sum that crosses engines goes
+  * through DECIMAL so the total is order-independent; per-row double ops
+  * (products, log2) are identical IEEE sequences on both engines, rounded
+  * at 6 digits where a final sum mixes them.
+  */
+object EngineQueries {
+
+  /** Register every base table as a `graft_`-prefixed temp view so full
+    * SQL queries run through the parser/analyzer front end, exactly like
+    * an external user's `spark.sql(...)` session would.
+    */
+  private def views(s: SparkSession, d: String): Unit = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier")
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation")
+    Tables.region(s, d).createOrReplaceTempView("graft_region")
+  }
+
+  // -------------------------------------------------- q77_sql_shipping
+  // TPC-H Q3 shape (shipping-priority): 3-way join, decimal revenue,
+  // global top-10. Catalyst should broadcast customer and take the
+  // TakeOrderedAndProject path for the LIMIT.
+  private def q77Shipping(s: SparkSession, d: String): DataFrame = {
+    views(s, d)
+    s.sql(
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM graft_customer
+        |JOIN graft_orders   ON c_custkey = o_custkey
+        |JOIN graft_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate  > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  private val q77Sql =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate  > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------- q78_sql_volume
+  // TPC-H Q5 shape (local-supplier volume): 6-way snowflake join with the
+  // customer-nation = supplier-nation co-location constraint. The two dim
+  // chains (region→nation) broadcast; the fact-fact join shuffles once.
+  private def q78Volume(s: SparkSession, d: String): DataFrame = {
+    views(s, d)
+    s.sql(
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM graft_customer
+        |JOIN graft_orders   ON c_custkey = o_custkey
+        |JOIN graft_lineitem ON l_orderkey = o_orderkey
+        |JOIN graft_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN graft_nation   ON s_nationkey = n_nationkey
+        |JOIN graft_region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  private val q78Sql =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // --------------------------------------------------- q79_sql_returns
+  // TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+  // per customer, decorated with the nation dim, global top-20.
+  private def q79Returns(s: SparkSession, d: String): DataFrame = {
+    views(s, d)
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM graft_customer
+        |JOIN graft_orders   ON c_custkey = o_custkey
+        |JOIN graft_lineitem ON l_orderkey = o_orderkey
+        |JOIN graft_nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  private val q79Sql =
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // --------------------------------------------------- q80_moving_median
+  // Holistic aggregate (exact median) over a trailing row frame — the
+  // window buffers per-frame, so the partition key (user_id) must bound
+  // frame size, not the table: scales horizontally with users.
+  private def q80MovingMedian(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("mov_med", round(expr(
+        """percentile(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin), 6))
+      .select(col("event_id"), col("user_id"), col("mov_med"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  private val q80Sql =
+    """SELECT event_id, user_id,
+      |  round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS mov_med
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ------------------------------------------------------- q81_entropy
+  // Token Shannon entropy per document — the classic quality signal for
+  // detecting degenerate/low-information text. Entirely map-side until
+  // the (doc, term) count; the per-doc reduce is tiny.
+  private def q81Entropy(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val cnt = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        // -Σ p·log2(p) assembled from count-power sums so the reduce is a
+        // single pass: H = log2(n) - Σ c·log2(c) / n
+        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("clogc"))
+      .select(col("doc_id"), col("n_distinct"),
+        round(log2(col("n").cast("double")) - col("clogc") / col("n").cast("double"), 6)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q81Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2)
+      |SELECT doc_id, count(*) AS n_distinct,
+      |  round(log2(CAST(sum(c) AS DOUBLE))
+      |    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),
+      |    6) AS entropy
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- q82_url_parse
+  // URL/domain analytics: build canonical URLs from the part dim, parse
+  // host/path/query with the native parse_url family, extract a query
+  // param, aggregate per (host, path). Scale note: parse_url is a
+  // codegen'd expression — no UDF in the hot path.
+  private def q82UrlParse(s: SparkSession, d: String): DataFrame = {
+    val urls = Tables.part(s, d).select(
+      col("p_partkey"),
+      concat(
+        lit("https://www."), replace(lower(col("p_brand")), lit("#"), lit("-")),
+        lit(".example.com/"), replace(lower(col("p_type")), lit(" "), lit("/")),
+        lit("?id="), col("p_partkey"), lit("&size="), col("p_size")).as("url"))
+    urls.select(
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("size")).cast("int").as("size"))
+      .groupBy(col("host"), col("path"))
+      .agg(count(lit(1)).as("n_urls"), max(col("size")).as("max_size"))
+      .orderBy(col("host"), col("path"))
+  }
+
+  private val q82Sql =
+    """WITH u AS (
+      |  SELECT p_partkey,
+      |    'https://www.' || replace(lower(p_brand), '#', '-') || '.example.com/'
+      |      || replace(lower(p_type), ' ', '/')
+      |      || '?id=' || p_partkey || '&size=' || p_size AS url,
+      |    p_size
+      |  FROM part)
+      |SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+      |  regexp_extract(url, '^[a-z]+://[^/?]+(/[^?]*)', 1) AS path,
+      |  count(*) AS n_urls,
+      |  max(CAST(regexp_extract(url, 'size=(-?[0-9]+)', 1) AS INT)) AS max_size
+      |FROM u GROUP BY 1, 2 ORDER BY host, path""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),
+    Q("q78_sql_volume", q78Volume, Some(q78Sql)),
+    Q("q79_sql_returns", q79Returns, Some(q79Sql)),
+    Q("q80_moving_median", q80MovingMedian, Some(q80Sql)),
+    Q("q81_entropy", q81Entropy, Some(q81Sql)),
+    Q("q82_url_parse", q82UrlParse, Some(q82Sql)),
+  )
+}
