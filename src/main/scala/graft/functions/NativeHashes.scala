@@ -230,6 +230,9 @@ object NativeHashes {
         NativeTopK.kOf(exprs(2))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_text_stats", exprs => NativeText.TextStatsExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_normalize", exprs => NativeText.NormalizeExpr(exprs.head,
+        NativeText.formNameOf(exprs)), "scala_udf")
   }
 }
 
@@ -269,5 +272,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[NativeText.TextStatsExpr].getName, "graft_text_stats"),
         (exprs: Seq[Expression]) => NativeText.TextStatsExpr(exprs.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_normalize"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NativeText.NormalizeExpr].getName, "graft_normalize"),
+        (exprs: Seq[Expression]) => NativeText.NormalizeExpr(exprs.head,
+          NativeText.formNameOf(exprs))))
   }
 }

@@ -185,7 +185,53 @@ object NativeText {
       copy(child = newChild)
   }
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) via java.text.Normalizer —
+    * the standard pre-dedup canonicalization step (decomposed accents,
+    * compatibility ligatures, full-width forms all hash differently
+    * unnormalized). Spark has no built-in for this; a native expression
+    * keeps it inside whole-stage codegen.
+    */
+  def evalNormalize(input: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val s = input.toString
+    // fast path: Normalizer.isNormalized is a cheap scan, and real corpora
+    // are overwhelmingly already-NFC — skip the allocation when so
+    if (java.text.Normalizer.isNormalized(s, form)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, form))
+  }
+
+  /** SQL-registration helper: second arg must be a string literal form
+    * name; absent → NFC. */
+  def formNameOf(exprs: Seq[Expression]): String = exprs.drop(1) match {
+    case Seq(org.apache.spark.sql.catalyst.expressions.Literal(f: UTF8String, StringType)) =>
+      f.toString.toUpperCase(java.util.Locale.ROOT)
+    case Seq() => "NFC"
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_normalize: form must be a string literal, got $other")
+  }
+
+  /** graft_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD'). */
+  case class NormalizeExpr(child: Expression, formName: String)
+      extends UnaryExpression {
+    @transient private lazy val form = java.text.Normalizer.Form.valueOf(formName)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_normalize"
+    override protected def nullSafeEval(input: Any): Any =
+      evalNormalize(input.asInstanceOf[UTF8String], form)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val formRef = ctx.addReferenceObj("form", form, classOf[java.text.Normalizer.Form].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeText.evalNormalize($c, $formRef);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Unicode-normalize a string column; form ∈ NFC|NFD|NFKC|NFKD. */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    ColumnBridge.column(NormalizeExpr(ColumnBridge.expression(c), form))
 
   /** Column form; null text → 'und' exactly like the pure fold (whose
     * `when` chain bottoms out at the literal). */

@@ -230,6 +230,33 @@ object EngineQueries {
       |  max(CAST(regexp_extract(url, 'size=(-?[0-9]+)', 1) AS INT)) AS max_size
       |FROM u GROUP BY 1, 2 ORDER BY host, path""".stripMargin
 
+  // ------------------------------------------------------ q83_unicode_nfc
+  // Unicode NFC canonicalization (native graft_normalize expression) over
+  // deterministically decomposed text — combining accents appended to
+  // part names; length shrinks where sequences compose. Oracle is
+  // DuckDB's nfc_normalize (both implement the same Unicode standard).
+  private def q83UnicodeNfc(s: SparkSession, d: String): DataFrame = {
+    val decomposed = Tables.part(s, d).select(
+      col("p_partkey"),
+      // "e" + COMBINING ACUTE + "a" + COMBINING GRAVE — NFC composes both
+      concat(col("p_name"), lit(" e\u0301a\u0300")).as("raw"))
+    decomposed.select(
+        col("p_partkey"),
+        graft.functions.NativeText.normalizeUnicode(col("raw"), "NFC").as("nfc"),
+        length(col("raw")).as("len_raw"),
+        length(graft.functions.NativeText.normalizeUnicode(col("raw"), "NFC")).as("len_nfc"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q83Sql =
+    """WITH t AS (
+      |  SELECT p_partkey,
+      |    p_name || ' ' || chr(101) || chr(769) || chr(97) || chr(768) AS raw
+      |  FROM part)
+      |SELECT p_partkey, nfc_normalize(raw) AS nfc,
+      |  length(raw) AS len_raw, length(nfc_normalize(raw)) AS len_nfc
+      |FROM t ORDER BY p_partkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),
     Q("q78_sql_volume", q78Volume, Some(q78Sql)),
@@ -237,5 +264,6 @@ object EngineQueries {
     Q("q80_moving_median", q80MovingMedian, Some(q80Sql)),
     Q("q81_entropy", q81Entropy, Some(q81Sql)),
     Q("q82_url_parse", q82UrlParse, Some(q82Sql)),
+    Q("q83_unicode_nfc", q83UnicodeNfc, Some(q83Sql)),
   )
 }

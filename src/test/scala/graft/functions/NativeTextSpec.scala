@@ -101,6 +101,52 @@ class NativeTextSpec extends AnyFunSuite {
     assert(row == ((7, 2)))
   }
 
+  test("normalizeUnicode composes NFC and matches java.text.Normalizer on edge cases") {
+    val cases = Seq(
+      "é",            // e + combining acute → é (1 codepoint)
+      "àb̂",     // two combining sequences
+      "ﬁle",           // ﬁ ligature: NFC keeps it, NFKC expands to "fi"
+      "ｆｕｌｌｗｉｄｔｈ",   // full-width forms: NFKC folds to ASCII
+      "already plain ascii",
+      "",
+      "é")                  // pre-composed stays as-is
+    val df = cases.toDF("raw")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = df.select(NativeText.normalizeUnicode($"raw", form)).as[String].collect()
+      val want = cases.map(s =>
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.valueOf(form)))
+      assert(got.toSeq == want, s"form=$form")
+    }
+    // NFC composes the combining pair: length drops from 2 to 1
+    val lens = df.select(length(NativeText.normalizeUnicode($"raw", "NFC")))
+      .as[Int].collect()
+    assert(lens(0) == 1)
+  }
+
+  test("normalizeUnicode: null \u2192 null, runs inside WholeStageCodegen") {
+    val df = Seq(Some("e\u0301"), None).toDF("raw")
+      .select(NativeText.normalizeUnicode($"raw").as("n"))
+    assert(df.as[Option[String]].collect().toSeq == Seq(Some("\u00e9"), None))
+    // literal input is constant-folded away (expression is foldable); use a
+    // non-foldable source to observe the codegen span
+    val wide = spark.range(3)
+      .select(concat(lit("e\u0301 nr "), col("id").cast("string")).as("raw"))
+      .select(NativeText.normalizeUnicode($"raw").as("n"))
+    val plan = wide.queryExecution.executedPlan.toString()
+    assert(plan.contains("*(1) Project"), s"codegen collapsed:\n$plan")
+    assert(wide.as[String].collect().forall(_.startsWith("\u00e9 nr ")))
+  }
+
+  test("graft_normalize is callable from SQL, form defaults to NFC") {
+    NativeHashes.register(spark)
+    Seq("é ﬁ").toDF("raw").createOrReplaceTempView("nn_t")
+    val got = spark.sql(
+      "SELECT graft_normalize(raw), graft_normalize(raw, 'NFKC') FROM nn_t")
+      .as[(String, String)].head()
+    assert(got._1 == "é ﬁ")   // NFC: ligature preserved
+    assert(got._2 == "é fi")       // NFKC: ligature expanded
+  }
+
   test("graft_langid is callable from SQL") {
     NativeHashes.register(spark)
     // note: "und" itself is a German stopword — use hit-free junk tokens
