@@ -29,6 +29,7 @@ object EngineQueries {
     Tables.supplier(s, d).createOrReplaceTempView("graft_supplier")
     Tables.nation(s, d).createOrReplaceTempView("graft_nation")
     Tables.region(s, d).createOrReplaceTempView("graft_region")
+    Tables.part(s, d).createOrReplaceTempView("graft_part")
   }
 
   // -------------------------------------------------- q77_sql_shipping
@@ -257,6 +258,104 @@ object EngineQueries {
       |  length(raw) AS len_raw, length(nfc_normalize(raw)) AS len_nfc
       |FROM t ORDER BY p_partkey""".stripMargin
 
+
+  // ----------------------------------------------------- q88_sql_custdist
+  // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+  // with an ON-clause filter (must not degrade to inner), two-level
+  // aggregation. Catalyst broadcasts customer if small or shuffles on
+  // custkey; count(o_orderkey) skips NULLs from the outer side.
+  private def q88Custdist(s: SparkSession, d: String): DataFrame = {
+    views(s, d)
+    s.sql(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM graft_customer
+        |  LEFT OUTER JOIN graft_orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) cc
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  private val q88Sql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) cc
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // -------------------------------------------------------- q89_sql_promo
+  // TPC-H Q14 shape (promo revenue share): conditional aggregation over a
+  // fact-dim join, decimal sums on both branches so the ratio is order-
+  // independent, one scalar output row.
+  private def q89Promo(s: SparkSession, d: String): DataFrame = {
+    views(s, d)
+    s.sql(
+      """SELECT round(100.0 *
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |  6) AS promo_share,
+        |  count(*) AS n_items
+        |FROM graft_lineitem
+        |JOIN graft_part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-07-01'""".stripMargin)
+  }
+
+  private val q89Sql =
+    """SELECT round(100.0 *
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+      |  6) AS promo_share,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1996-07-01'""".stripMargin
+
+  // ---------------------------------------------------- q90_sql_bigorders
+  // TPC-H Q18 shape (large-volume orders): IN-subquery with HAVING over
+  // the same fact, re-joined to customer/orders. l_quantity values are
+  // integral doubles, so the sums are exact in any order — no DECIMAL
+  // detour needed.
+  private def q90BigOrders(s: SparkSession, d: String): DataFrame = {
+    views(s, d)
+    s.sql(
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum(l_quantity) AS total_qty
+        |FROM graft_customer
+        |JOIN graft_orders   ON c_custkey = o_custkey
+        |JOIN graft_lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM graft_lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 160)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  private val q90Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  sum(l_quantity) AS total_qty
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(l_quantity) > 160)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),
     Q("q78_sql_volume", q78Volume, Some(q78Sql)),
@@ -265,5 +364,8 @@ object EngineQueries {
     Q("q81_entropy", q81Entropy, Some(q81Sql)),
     Q("q82_url_parse", q82UrlParse, Some(q82Sql)),
     Q("q83_unicode_nfc", q83UnicodeNfc, Some(q83Sql)),
+    Q("q88_sql_custdist", q88Custdist, Some(q88Sql)),
+    Q("q89_sql_promo", q89Promo, Some(q89Sql)),
+    Q("q90_sql_bigorders", q90BigOrders, Some(q90Sql)),
   )
 }

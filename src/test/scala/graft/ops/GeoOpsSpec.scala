@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GeoOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("haversine: zero distance, symmetry, and a known city pair") {
+    val df = Seq(
+      (0.0, 0.0, 0.0, 0.0),              // same point
+      (-26.3044, -48.8487, -23.5505, -46.6333),  // Joinville → São Paulo
+      (-23.5505, -46.6333, -26.3044, -48.8487))  // reversed
+      .toDF("lat1", "lon1", "lat2", "lon2")
+    val d = df.select(
+      GeoOps.haversineKm($"lat1", $"lon1", $"lat2", $"lon2").as("km"))
+      .as[Double].collect()
+    assert(d(0) == 0.0)
+    assert(d(1) > 370 && d(1) < 390, s"Joinville-SP ~380km, got ${d(1)}")
+    assert(d(1) == d(2), "haversine must be symmetric")
+  }
+
+  test("haversine clamps past-1 rounding at antipodes (no NaN)") {
+    val d = Seq((90.0, 0.0, -90.0, 180.0), (0.0, 0.0, 0.0, 180.0))
+      .toDF("lat1", "lon1", "lat2", "lon2")
+      .select(GeoOps.haversineKm($"lat1", $"lon1", $"lat2", $"lon2").as("km"))
+      .as[Double].collect()
+    assert(d.forall(x => !x.isNaN))
+    // half the earth's mean circumference ≈ 20015 km
+    assert(d.forall(x => x > 20000 && x < 20030))
+  }
+
+  test("synthetic coordinates are deterministic and in range") {
+    val c = spark.range(1, 1000)
+      .select(GeoOps.syntheticLat($"id").as("lat"), GeoOps.syntheticLon($"id").as("lon"))
+    val rows = c.as[(Double, Double)].collect()
+    assert(rows.forall { case (la, lo) => la >= -60 && la < 60 && lo >= -180 && lo < 180 })
+    val again = c.as[(Double, Double)].collect()
+    assert(rows.sameElements(again))
+  }
+
+  test("zorderKey interleaves bits exactly (scalar cross-check)") {
+    def mortonRef(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L), (12345L, 54321L))
+    val got = pts.toDF("x", "y")
+      .select(GeoOps.zorderKey($"x", $"y").as("z")).as[Long].collect()
+    assert(got.toSeq == pts.map { case (x, y) => mortonRef(x, y) })
+    // full 32-bit range reached at the max corner
+    assert(got(3) == 0xFFFFFFFFL)
+  }
+
+  test("zorder clustering keeps per-bucket spans narrow on both dims") {
+    // random-ish grid points; curve-ordered quartiles must have much
+    // smaller average x/y span than the same data bucketed by x alone
+    // would have on y (locality on BOTH dims is the whole point)
+    val n = 4096
+    val pts = spark.range(n).select(
+      (col("id") * 2654435761L % 65536).as("x"),
+      (col("id") * 40503L % 65536).as("y"))
+    val z = pts.withColumn("z", GeoOps.zorderKey($"x", $"y"))
+      .withColumn("b", ntile(16).over(
+        org.apache.spark.sql.expressions.Window.orderBy($"z")))
+    val spans = z.groupBy($"b")
+      .agg(((max($"x") - min($"x")) + (max($"y") - min($"y"))).as("span"))
+      .agg(avg($"span")).as[Double].head()
+    // unclustered expectation: each bucket spans nearly the full 65536 on
+    // both dims (~131k summed); Z-order cuts this several-fold
+    assert(spans < 70000, s"avg combined span $spans not locality-preserving")
+  }
+
+  test("zorderSqlTerms emits arithmetic equivalent to the column form") {
+    val df = Seq((123L, 456L), (65535L, 1L)).toDF("x", "y")
+    df.createOrReplaceTempView("zst_t")
+    val viaSql = spark.sql(s"SELECT ${GeoOps.zorderSqlTerms("x", "y")} AS z FROM zst_t")
+      .as[Long].collect().toSeq
+    val viaCol = df.select(GeoOps.zorderKey($"x", $"y")).as[Long].collect().toSeq
+    assert(viaSql == viaCol)
+  }
+}
