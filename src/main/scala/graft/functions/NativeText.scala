@@ -199,11 +199,29 @@ object NativeText {
     else UTF8String.fromString(java.text.Normalizer.normalize(s, form))
   }
 
+  private val AllowedForms = Set("NFC", "NFD", "NFKC", "NFKD")
+
+  /** Validate a form name at analysis time so a bad call fails with a
+    * clear message rather than an execution-time enum error (or an NPE
+    * for a null literal). */
+  def checkedForm(name: String): String = {
+    if (name == null)
+      throw new IllegalArgumentException(
+        "graft_normalize: form must not be NULL; expected one of NFC, NFD, NFKC, NFKD")
+    val up = name.toUpperCase(java.util.Locale.ROOT)
+    if (!AllowedForms.contains(up))
+      throw new IllegalArgumentException(
+        s"graft_normalize: unknown form '$name'; expected one of NFC, NFD, NFKC, NFKD")
+    up
+  }
+
   /** SQL-registration helper: second arg must be a string literal form
     * name; absent → NFC. */
   def formNameOf(exprs: Seq[Expression]): String = exprs.drop(1) match {
     case Seq(org.apache.spark.sql.catalyst.expressions.Literal(f: UTF8String, StringType)) =>
-      f.toString.toUpperCase(java.util.Locale.ROOT)
+      checkedForm(if (f == null) null else f.toString)
+    case Seq(org.apache.spark.sql.catalyst.expressions.Literal(null, _)) =>
+      checkedForm(null)
     case Seq() => "NFC"
     case other =>
       throw new IllegalArgumentException(
@@ -229,9 +247,10 @@ object NativeText {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** Unicode-normalize a string column; form ∈ NFC|NFD|NFKC|NFKD. */
+  /** Unicode-normalize a string column; form ∈ NFC|NFD|NFKC|NFKD
+    * (validated eagerly — a bad form fails here, not at execution). */
   def normalizeUnicode(c: Column, form: String = "NFC"): Column =
-    ColumnBridge.column(NormalizeExpr(ColumnBridge.expression(c), form))
+    ColumnBridge.column(NormalizeExpr(ColumnBridge.expression(c), checkedForm(form)))
 
   /** Column form; null text → 'und' exactly like the pure fold (whose
     * `when` chain bottoms out at the literal). */

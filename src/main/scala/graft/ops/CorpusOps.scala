@@ -233,12 +233,14 @@ object CorpusOps {
     * multiplicative hash in exact integer arithmetic — reproducible
     * across runs AND engines (no RNG state, no float hash); keys are
     * rounded to 6dp before ranking so libm's last-ulp ln() differences
-    * can't flip an order across engines. Ids must stay below 2^31·2
-    * for the ANSI-checked multiply — shard-local ids at 100 TB. */
+    * can't flip an order across engines. Ids are folded mod 2^31 before
+    * the multiply so any BIGINT id is safe under the ANSI-checked
+    * arithmetic — no shard-local id restriction at 100 TB. */
   def weightedSample(
       df: DataFrame, idCol: String, stratumCol: String, weightCol: String,
       k: Int): DataFrame = {
-    val u = (((col(idCol).cast("long") * 2654435761L) % 4294967296L + 1)
+    val u = ((((col(idCol).cast("long") % 2147483648L) * 2654435761L)
+      % 4294967296L + 1)
       .cast("double") / 4294967297.0)
     val key6 = round(log(u) / col(weightCol), 6)
     graft.functions.NativeTopK.topKPerGroup(

@@ -25,12 +25,17 @@ object GeoOps {
   /** Mean-earth radius (km), IUGG value; doubled once in the haversine. */
   val EarthRadiusKm = 6371.0088
 
-  /** Deterministic uniform in [0,1) from a positive integer key — Knuth
+  /** Deterministic uniform in [0,1) from a non-negative integer key — Knuth
     * multiplicative hash, portable to any engine with 64-bit integer
     * arithmetic (no float-rounding ambiguity until the final divide).
+    * The key is folded mod 2^31 BEFORE the multiply so the product stays
+    * below Long.MaxValue for any BIGINT key — without the mask, keys
+    * ≳3.5e9 overflow: Spark wraps silently while DuckDB raises, so the
+    * engines would diverge at 100 TB id ranges.
     */
   def knuthUniform(key: Column, salt: Long): Column =
-    ((key.cast("long") * lit(2654435761L) + lit(salt)) % lit(4294967296L))
+    (((key.cast("long") % lit(2147483648L)) * lit(2654435761L) + lit(salt))
+      % lit(4294967296L))
       .cast("double") / lit(4294967296.0)
 
   /** Synthetic latitude in [-60, 60) (poles avoided: distances there are

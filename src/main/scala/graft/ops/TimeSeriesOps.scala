@@ -24,7 +24,11 @@ object TimeSeriesOps {
 
   /** Fill every missing `step` in each key's [min(bucket), max(bucket)]
     * range and linearly interpolate `valCol` across gaps on the
-    * epoch-second axis. Input must be one row per (key, bucket).
+    * epoch-second axis. Input must be one row per (key, bucket), and
+    * every bucket must be an exact `step` multiple from the per-key
+    * min(bucket) — i.e. already truncated to the grid (`date_trunc`
+    * output). A non-grid-aligned row would not match the generated
+    * dense grid on the left join and would be silently dropped.
     * Output adds `is_gap` and `val_filled`; endpoints are present by
     * construction so interpolation never extrapolates.
     */

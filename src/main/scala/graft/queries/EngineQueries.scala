@@ -167,9 +167,13 @@ object EngineQueries {
   // detecting degenerate/low-information text. Entirely map-side until
   // the (doc, term) count; the per-doc reduce is tiny.
   private def q81Entropy(s: SparkSession, d: String): DataFrame = {
+    // Empty terms are filtered on BOTH engines: Java's split drops
+    // trailing empties while DuckDB's string_split_regex keeps them, so a
+    // whitespace-only/empty document would otherwise diverge.
     val tok = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
     val cnt = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("c"))
     cnt.groupBy(col("doc_id"))
@@ -189,7 +193,8 @@ object EngineQueries {
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
       |  FROM documents),
-      |cnt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2)
+      |tokf AS (SELECT * FROM tok WHERE term <> ''),
+      |cnt AS (SELECT doc_id, term, count(*) AS c FROM tokf GROUP BY 1, 2)
       |SELECT doc_id, count(*) AS n_distinct,
       |  round(log2(CAST(sum(c) AS DOUBLE))
       |    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),

@@ -52,7 +52,7 @@ object GeoTemporalQueries {
 
   private val q84Sql = {
     val u = (key: String, salt: Int) =>
-      s"CAST((($key * 2654435761 + $salt) % 4294967296) AS DOUBLE) / 4294967296.0"
+      s"CAST(((($key % 2147483648) * 2654435761 + $salt) % 4294967296) AS DOUBLE) / 4294967296.0"
     val hav =
       """2.0 * 6371.0088 * asin(sqrt(least(
         |  sin((s_lat - c_lat) * 0.017453292519943295 / 2.0) * sin((s_lat - c_lat) * 0.017453292519943295 / 2.0)

@@ -147,6 +147,24 @@ class NativeTextSpec extends AnyFunSuite {
     assert(got._2 == "é fi")       // NFKC: ligature expanded
   }
 
+  test("graft_normalize rejects unknown/null forms with a clear analysis-time error") {
+    NativeHashes.register(spark)
+    Seq("abc").toDF("raw").createOrReplaceTempView("nn_bad_t")
+    val eSql = intercept[Exception] {
+      spark.sql("SELECT graft_normalize(raw, 'NFX') FROM nn_bad_t").collect()
+    }
+    assert(eSql.getMessage.contains("NFX") && eSql.getMessage.contains("NFKD"),
+      s"want the bad form and the allowed list in the message, got: ${eSql.getMessage}")
+    val eNull = intercept[Exception] {
+      spark.sql("SELECT graft_normalize(raw, NULL) FROM nn_bad_t").collect()
+    }
+    assert(eNull.getMessage.toLowerCase.contains("null"))
+    val eApi = intercept[IllegalArgumentException] {
+      Seq("abc").toDF("raw").select(NativeText.normalizeUnicode($"raw", "nope"))
+    }
+    assert(eApi.getMessage.contains("nope"))
+  }
+
   test("graft_langid is callable from SQL") {
     NativeHashes.register(spark)
     // note: "und" itself is a German stopword — use hit-free junk tokens

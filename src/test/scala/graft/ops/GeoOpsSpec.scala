@@ -42,6 +42,23 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(rows.sameElements(again))
   }
 
+  test("knuthUniform stays in [0,1) for BIGINT keys past 2^32 (no overflow)") {
+    // pre-mask, keys ≳3.5e9 overflowed the Long multiply: Spark wrapped to
+    // a negative modulo (coords out of range) while DuckDB raised
+    val big = Seq(3500000000L, 5000000000L, Long.MaxValue - 1)
+      .toDF("id")
+      .select(GeoOps.knuthUniform($"id", 101L).as("u"),
+        GeoOps.syntheticLat($"id").as("lat"))
+      .as[(Double, Double)].collect()
+    assert(big.forall { case (u, la) => u >= 0.0 && u < 1.0 && la >= -60 && la < 60 },
+      s"out-of-range values: ${big.mkString(", ")}")
+    // mask is a no-op for keys below 2^31 — sf-data results unchanged
+    val smallOld = (7L * 2654435761L + 101L) % 4294967296L / 4294967296.0
+    val smallNew = Seq(7L).toDF("id")
+      .select(GeoOps.knuthUniform($"id", 101L)).as[Double].head()
+    assert(smallNew == smallOld)
+  }
+
   test("zorderKey interleaves bits exactly (scalar cross-check)") {
     def mortonRef(x: Long, y: Long): Long =
       (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
