@@ -24,13 +24,19 @@ object TimeSeriesOps {
 
   /** Fill every missing `step` in each key's [min(bucket), max(bucket)]
     * range and linearly interpolate `valCol` across gaps on the
-    * epoch-second axis. Input must be one row per (key, bucket), and
-    * every bucket must be an exact `step` multiple from the per-key
-    * min(bucket) — i.e. already truncated to the grid (`date_trunc`
-    * output). A non-grid-aligned row would not match the generated
-    * dense grid on the left join and would be silently dropped.
-    * Output adds `is_gap` and `val_filled`; endpoints are present by
-    * construction so interpolation never extrapolates.
+    * epoch-second axis. Input must be one row per (key, bucket) with a
+    * NON-NULL `value`, and every bucket must be an exact `step` multiple
+    * from the per-key min(bucket) — i.e. already truncated to the grid
+    * (`date_trunc` output); a non-grid-aligned row would break the gap
+    * emission. Output adds `is_gap` and `val_filled`; endpoints are
+    * present by construction so interpolation never extrapolates.
+    *
+    * Shape: a single `lead()` window gives each present row its next
+    * present neighbour, and `explode(sequence(h, next_h - step))` emits
+    * the row itself plus every missing bucket before the neighbour —
+    * ONE shuffle by key (the window sort), no dense-grid build, no
+    * grid⋈input join, no second window pass. Non-(key,bucket) columns
+    * are nulled on emitted gap rows exactly as the grid join would.
     */
   def gapFillInterpolate(
       perBucket: DataFrame,
@@ -38,27 +44,30 @@ object TimeSeriesOps {
       bucket: String,
       value: String,
       step: String = "INTERVAL 1 HOUR"): DataFrame = {
-    val dense = perBucket.groupBy(col(key))
-      .agg(min(col(bucket)).as("h0"), max(col(bucket)).as("h1"))
-      .select(col(key),
-        explode(sequence(col("h0"), col("h1"), expr(step))).as(bucket))
-    val joined = dense.join(perBucket, Seq(key, bucket), "left")
-    val wPrev = Window.partitionBy(col(key)).orderBy(col(bucket))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(col(key)).orderBy(col(bucket))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val present = when(col(value).isNotNull, struct(col(bucket).as("h"), col(value).as("v")))
-    val p = last(present, ignoreNulls = true).over(wPrev)
-    val n = first(present, ignoreNulls = true).over(wNext)
-    joined
-      .withColumn("p", p).withColumn("n", n)
-      .withColumn("is_gap", col(value).isNull)
-      .withColumn("val_filled",
-        when(col(value).isNotNull, col(value)).otherwise(
-          col("p.v") + (col("n.v") - col("p.v")) *
-            ((unix_timestamp(col(bucket)) - unix_timestamp(col("p.h"))).cast("double") /
-              (unix_timestamp(col("n.h")) - unix_timestamp(col("p.h"))).cast("double"))))
-      .drop("p", "n")
+    val rest = perBucket.columns.filterNot(c => c == key || c == bucket).toSeq
+    val typeOf = perBucket.schema.map(f => f.name -> f.dataType).toMap
+    val w = Window.partitionBy(col(key)).orderBy(col(bucket))
+    val withNext = perBucket
+      .withColumn("__nh", lead(col(bucket), 1).over(w))
+      .withColumn("__nv", lead(col(value), 1).over(w))
+      // last row per key: emit itself only (sequence over a null end
+      // would null out and explode would drop the row)
+      .withColumn("__g", explode(
+        when(col("__nh").isNull, array(col(bucket)))
+          .otherwise(sequence(col(bucket), col("__nh") - expr(step), expr(step)))))
+    val isSelf = col("__g") === col(bucket)
+    // identical IEEE op sequence to the oracle: v + (nv - v) * (Δg / Δn)
+    val frac =
+      (unix_timestamp(col("__g")) - unix_timestamp(col(bucket))).cast("double") /
+        (unix_timestamp(col("__nh")) - unix_timestamp(col(bucket))).cast("double")
+    val filled =
+      when(isSelf, col(value))
+        .otherwise(col(value) + (col("__nv") - col(value)) * frac)
+    withNext.select(
+      col(key) +: col("__g").as(bucket) +:
+        (rest.map(c =>
+          when(isSelf, col(c)).otherwise(lit(null).cast(typeOf(c))).as(c)) ++
+          Seq((!isSelf).as("is_gap"), filled.as("val_filled"))): _*)
   }
 
   /** Collapse a change-event stream into SCD2 validity intervals: one row
