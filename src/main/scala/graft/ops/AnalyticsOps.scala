@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Behavioral / statistical analytics operators: staged funnels, cohort
+  * retention, least-squares trends, interval concurrency, z-score
+  * outliers, and weighted percentiles.
+  *
+  * The reference's flows table is exactly this kind of event series —
+  * per-15-minute counts per radar (`/root/reference/database/schema.sql:52-71`)
+  * queried "for analysis" (`/root/reference/README.md:3`) — and these are
+  * the first analyses a traffic warehouse asks of it.
+  *
+  * Scale shape: every operator reduces to per-key aggregates or per-key
+  * ordered windows — one hash shuffle on the entity/group key, then
+  * arbitrary parallelism across keys; no driver-side loops, no collects.
+  * Float determinism: moments route through DECIMAL power sums (order-
+  * independent under any shuffle layout), derived doubles keep a fixed
+  * IEEE op sequence (see the DuckDB-oracled q91-q96 twins).
+  */
+object AnalyticsOps {
+
+  /** K-stage conversion funnel: stage k counts entities whose earliest
+    * stage-k event strictly follows their earliest qualifying
+    * stage-(k-1) event. Returns (stage, step, users, pct_of_top).
+    * Each stage is a per-entity min — every shuffle carries ≤ one row
+    * per entity, co-partitioned on the entity key across stages.
+    */
+  def funnel(events: DataFrame, user: String, eventType: String,
+      ts: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var reached: DataFrame = null
+    var acc: DataFrame = null
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val f = events.filter(col(eventType) === st)
+      val g =
+        if (i == 0) f.groupBy(col(user)).agg(min(col(ts)).as("__t"))
+        else f.join(reached.select(col(user), col("__t").as("__pt")), user)
+          .filter(col(ts) > col("__pt"))
+          .groupBy(col(user)).agg(min(col(ts)).as("__t"))
+      reached = g
+      val row = g.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage"), lit(st).as("step"), col("users"))
+      acc = if (acc == null) row else acc.unionAll(row)
+    }
+    acc
+      .withColumn("pct_of_top",
+        round(col("users").cast("double") /
+          max(col("users")).over(Window.partitionBy()).cast("double"), 6))
+      .orderBy(col("stage"))
+  }
+
+  /** Weekly cohort retention: cohort = Monday-truncated week of an
+    * entity's first event; cell (cohort, k) counts entities active in
+    * cohort week + k. Returns (cohort_week yyyy-MM-dd, week_offset,
+    * active_users). The distinct (entity, week) set bounds shuffle size
+    * by entities × weeks regardless of raw event volume.
+    */
+  def cohortRetention(events: DataFrame, user: String, ts: String): DataFrame = {
+    val cohort = events.groupBy(col(user))
+      .agg(date_trunc("week", min(col(ts))).as("__cw"))
+    val active = events
+      .select(col(user), date_trunc("week", col(ts)).as("__wk"))
+      .distinct()
+    active.join(cohort, user)
+      // both weeks are Monday-truncated so the day delta is an exact
+      // multiple of 7; integer `div` keeps it exact under ANSI
+      .select(col("__cw"),
+        expr("CAST(datediff(CAST(__wk AS DATE), CAST(__cw AS DATE)) div 7 AS INT)")
+          .as("week_offset"))
+      .groupBy(col("__cw"), col("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Per-group least-squares fit of y against an integer x: returns
+    * (group, n, slope, intercept) from exact integer/DECIMAL power sums
+    * — the only doubles are the final closed-form divisions, so results
+    * are independent of partitioning and identical across engines.
+    * `x` must be integral (day index, slot number); `y` decimal-castable.
+    */
+  def linearTrend(df: DataFrame, group: String, x: Column, y: Column): DataFrame = {
+    val src = df.select(col(group), x.cast("int").as("__x"),
+      y.cast(DecimalType(18, 2)).as("__y"))
+    val m = src.groupBy(col(group)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).cast("double").as("sx"),
+      sum(col("__x") * col("__x")).cast("double").as("sxx"),
+      sum(col("__y")).cast("double").as("sy"),
+      sum(col("__x").cast(DecimalType(10, 0)) * col("__y"))
+        .cast("double").as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col(group), col("n"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+      .orderBy(col(group))
+  }
+
+  /** Peak interval concurrency per group via sweep line: unpivot
+    * [start, end) intervals to ±1 boundary deltas, ordered prefix sum
+    * per group, report (group, peak, peak_ts = earliest peak instant).
+    * Ends sort before starts at the same instant (delta -1 < +1) so
+    * back-to-back intervals never count as concurrent. `id` breaks the
+    * remaining ties so the prefix sum is deterministic.
+    */
+  def peakConcurrency(df: DataFrame, group: String, start: String,
+      end: String, id: String): DataFrame = {
+    val b = df.select(col(group), col(start).as("__t"),
+        lit(1).as("__delta"), col(id))
+      .unionAll(df.select(col(group), col(end).as("__t"),
+        lit(-1).as("__delta"), col(id)))
+    val w = Window.partitionBy(col(group))
+      .orderBy(col("__t"), col("__delta"), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = b.withColumn("__run", sum(col("__delta")).over(w))
+    val pk = r.groupBy(col(group)).agg(max(col("__run")).as("peak"))
+    r.join(pk, Seq(group)).filter(col("__run") === col("peak"))
+      .groupBy(col(group), col("peak"))
+      .agg(min(col("__t")).as("peak_ts"))
+      .select(col(group), col("peak").cast("int").as("peak"), col("peak_ts"))
+      .orderBy(col(group))
+  }
+
+  /** Rows whose value deviates from their key's mean by more than
+    * `zThreshold` standard deviations (population), computed from
+    * DECIMAL-exact moments with a sqrt-free predicate
+    * (dev² > z²·var). Keys with fewer than `minN` rows are skipped
+    * (their variance estimate is noise). Returns the flagged input rows
+    * plus `z2` = dev²/var rounded to 6dp.
+    */
+  def zscoreOutliers(df: DataFrame, key: String, value: String, id: String,
+      zThreshold: Int = 2, minN: Int = 10): DataFrame = {
+    val m = df.groupBy(col(key)).agg(
+      count(lit(1)).as("__n"),
+      sum(col(value).cast(DecimalType(18, 6))).cast("double").as("__sv"),
+      sum((col(value) * col(value)).cast(DecimalType(28, 6)))
+        .cast("double").as("__svv"))
+    val dev = col(value) - col("__sv") / col("__n")
+    val varPop = (col("__svv") - col("__sv") * col("__sv") / col("__n")) /
+      col("__n")
+    df.join(m, key).filter(col("__n") >= minN)
+      .filter(dev * dev > lit(zThreshold * zThreshold) * varPop)
+      .select(col(id), col(key), col(value),
+        round(dev * dev / varPop, 6).as("z2"))
+      .orderBy(col(id))
+  }
+
+  /** Exact weighted median per group: cumulative integer weights along a
+    * totally ordered window (value, then `ties` for determinism), first
+    * value where 2·cum ≥ total weight. All-integer weight arithmetic —
+    * no float accumulation at any scale. One shuffle (the per-group sort).
+    */
+  def weightedMedian(df: DataFrame, group: String, value: String,
+      weight: String, ties: Seq[String]): DataFrame = {
+    val cumW = Window.partitionBy(col(group))
+      .orderBy((col(value) +: ties.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col(group))
+    df.select((Seq(col(group), col(value),
+        col(weight).cast("long").as("__q")) ++ ties.map(col)): _*)
+      .withColumn("__cum", sum(col("__q")).over(cumW))
+      .withColumn("__tot", sum(col("__q")).over(totW))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(group)).agg(min(col(value)).as("weighted_median"))
+      .orderBy(col(group))
+  }
+}

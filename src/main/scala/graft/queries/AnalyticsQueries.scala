@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Product/behavioral analytics over the events stream plus exact
+  * distributed statistics — the query surface a radar-traffic warehouse
+  * grows once the ingest (SURVEY §2) is solved: staged funnels, cohort
+  * retention, trend regression, interval concurrency, outlier flagging,
+  * and weighted percentiles.
+  *
+  * Oracle-parity rules used throughout (see q71/q40 precedents): every
+  * double aggregate routes through DECIMAL power sums (order-independent
+  * under any partitioning), every derived double keeps an identical IEEE
+  * op sequence on both engines, every output ends in a total order.
+  */
+object AnalyticsQueries {
+
+  // --------------------------------------------------------- q91_funnel
+  // Staged conversion funnel view → click → purchase: stage k counts
+  // users whose first stage-k event strictly follows their first
+  // stage-(k-1) event. Each stage is a per-user min — shuffles carry one
+  // row per user, and the stage joins are co-partitioned on user_id (a
+  // 1000-executor run re-uses the same hash partitioning end to end).
+  private def q91Funnel(s: SparkSession, d: String): DataFrame =
+    graft.ops.AnalyticsOps.funnel(Tables.events(s, d),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+
+  private val q91Sql =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+      |n AS (SELECT 1 AS stage, 'view' AS step, count(*) AS users FROM v
+      |      UNION ALL SELECT 2, 'click', count(*) FROM c
+      |      UNION ALL SELECT 3, 'purchase', count(*) FROM p)
+      |SELECT stage, step, users,
+      |  round(CAST(users AS DOUBLE) / CAST(max(users) OVER () AS DOUBLE), 6)
+      |    AS pct_of_top
+      |FROM n ORDER BY stage""".stripMargin
+
+  // ------------------------------------------------------ q92_retention
+  // Weekly cohort retention: cohort = ISO week of a user's first event;
+  // cell (cohort, k) counts users active in cohort-week + k. The
+  // activity set is distinct (user, week) — shuffle size is bounded by
+  // users × weeks regardless of event volume.
+  private def q92Retention(s: SparkSession, d: String): DataFrame =
+    graft.ops.AnalyticsOps.cohortRetention(Tables.events(s, d), "user_id", "ts")
+
+  private val q92Sql =
+    """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+      |           FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+      |j AS (SELECT f.cw,
+      |        CAST(date_diff('day', CAST(f.cw AS DATE), CAST(a.wk AS DATE)) // 7 AS INT)
+      |          AS week_offset
+      |      FROM a JOIN f ON a.user_id = f.user_id)
+      |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
+      |  count(*) AS active_users
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------- q93_trend
+  // Per-nation least-squares revenue trend: slope/intercept of order
+  // totalprice vs days-since-1992, assembled from exact integer/DECIMAL
+  // power sums (x is an int day index, x·y an exact decimal product) so
+  // the only doubles are the final closed-form divisions — identical
+  // IEEE sequence on both engines. One fact shuffle of |nations| rows.
+  private def q93Trend(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+    graft.ops.AnalyticsOps.linearTrend(o, "n_name",
+      datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")),
+      col("o_totalprice"))
+  }
+
+  private val q93Sql =
+    """WITH o AS (
+      |  SELECT n_name,
+      |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS y
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |m AS (
+      |  SELECT n_name, count(*) AS n,
+      |    CAST(sum(x) AS DOUBLE) AS sx,
+      |    CAST(sum(x*x) AS DOUBLE) AS sxx,
+      |    CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x AS DECIMAL(10,0)) * y) AS DOUBLE) AS sxy
+      |  FROM o GROUP BY 1)
+      |SELECT n_name, n,
+      |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+      |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+      |    AS intercept
+      |FROM m ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------- q94_concurrency
+  // Peak interval concurrency via sweep line: each event occupies
+  // [ts, ts + (⌊value⌋+1) minutes); unpivot to ±1 boundary deltas, run a
+  // per-type ordered prefix sum, report the peak and its earliest
+  // instant. Ends sort before starts at the same instant (delta -1 < +1)
+  // so back-to-back intervals don't count as concurrent. Windows
+  // partition by event_type — streams sweep independently in parallel.
+  private def q94Concurrency(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d).select(
+      col("event_id"), col("event_type"), col("ts"),
+      // exact integer micros arithmetic on both engines
+      timestamp_micros(unix_micros(col("ts")) +
+        (floor(col("value")).cast("long") + 1L) * 60000000L).as("ts_end"))
+    graft.ops.AnalyticsOps.peakConcurrency(
+      iv, "event_type", "ts", "ts_end", "event_id")
+  }
+
+  private val q94Sql =
+    """WITH iv AS (
+      |  SELECT event_id, event_type, ts,
+      |    ts + to_seconds(60 * (CAST(floor(value) AS BIGINT) + 1)) AS ts_end
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type, ts AS t, 1 AS delta, event_id FROM iv
+      |  UNION ALL
+      |  SELECT event_type, ts_end, -1, event_id FROM iv),
+      |r AS (
+      |  SELECT event_type, t,
+      |    sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM b),
+      |pk AS (SELECT event_type, max(run) AS peak FROM r GROUP BY 1)
+      |SELECT r.event_type, CAST(pk.peak AS INT) AS peak, min(r.t) AS peak_ts
+      |FROM r JOIN pk ON r.event_type = pk.event_type AND r.run = pk.peak
+      |GROUP BY r.event_type, pk.peak ORDER BY r.event_type""".stripMargin
+
+  // ------------------------------------------------------- q95_outliers
+  // Per-user z-score outliers (|z| > 2) with DECIMAL-exact moments: the
+  // per-user mean/variance come from decimal power sums, the comparison
+  // runs as dev² > 4·var so no sqrt enters the predicate, and every
+  // float op repeats the same sequence on both engines. Moments and the
+  // flagging join shuffle on user_id once each.
+  private def q95Outliers(s: SparkSession, d: String): DataFrame =
+    graft.ops.AnalyticsOps.zscoreOutliers(
+      Tables.events(s, d), "user_id", "value", "event_id")
+
+  private val q95Sql =
+    """WITH m AS (
+      |  SELECT user_id, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+      |    CAST(sum(CAST(value*value AS DECIMAL(28,6))) AS DOUBLE) AS svv
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.user_id, e.value,
+      |  round((e.value - m.sv/m.n) * (e.value - m.sv/m.n)
+      |        / ((m.svv - m.sv*m.sv/m.n) / m.n), 6) AS z2
+      |FROM events e JOIN m ON e.user_id = m.user_id
+      |WHERE m.n >= 10
+      |  AND (e.value - m.sv/m.n) * (e.value - m.sv/m.n)
+      |      > 4 * ((m.svv - m.sv*m.sv/m.n) / m.n)
+      |ORDER BY e.event_id""".stripMargin
+
+  // ------------------------------------------------ q96_weighted_median
+  // Exact weighted median (quantity-weighted extendedprice per return
+  // flag): cumulative integer weights along a totally ordered window,
+  // first price where 2·cum ≥ total. All-integer weight arithmetic —
+  // no float accumulation at any scale. One shuffle (the per-flag sort).
+  private def q96WeightedMedian(s: SparkSession, d: String): DataFrame =
+    graft.ops.AnalyticsOps.weightedMedian(
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("p"),
+          col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
+      "rf", "p", "l_quantity", Seq("l_orderkey", "l_linenumber"))
+
+  private val q96Sql =
+    """WITH w AS (
+      |  SELECT l_returnflag AS rf, l_extendedprice AS p,
+      |    CAST(l_quantity AS BIGINT) AS q, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT rf, p,
+      |    sum(q) OVER (PARTITION BY rf ORDER BY p, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(q) OVER (PARTITION BY rf) AS tot
+      |  FROM w)
+      |SELECT rf, min(p) AS weighted_median
+      |FROM c WHERE 2*cum >= tot GROUP BY rf ORDER BY rf""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q91_funnel", q91Funnel, Some(q91Sql)),
+    Q("q92_retention", q92Retention, Some(q92Sql)),
+    Q("q93_trend", q93Trend, Some(q93Sql)),
+    Q("q94_concurrency", q94Concurrency, Some(q94Sql)),
+    Q("q95_outliers", q95Outliers, Some(q95Sql)),
+    Q("q96_weighted_median", q96WeightedMedian, Some(q96Sql)))
+}

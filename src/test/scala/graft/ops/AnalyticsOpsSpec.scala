@@ -1,0 +1,110 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AnalyticsOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-08 $h%02d:$m%02d:00")   // a Monday
+  private def day(d: Int, h: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+
+  test("funnel: strict ordering — same-instant and out-of-order events don't convert") {
+    val e = Seq(
+      // u1 converts fully: view@1 < click@2 < purchase@3
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // u2: click BEFORE first view — not stage 2
+      (2L, "click", ts(1)), (2L, "view", ts(2)),
+      // u3: click at the SAME instant as view — strict > rejects it
+      (3L, "view", ts(4)), (3L, "click", ts(4)),
+      // u4: view then click, purchase before click — stops at stage 2
+      (4L, "view", ts(1)), (4L, "purchase", ts(2)), (4L, "click", ts(5)))
+      .toDF("user_id", "event_type", "ts")
+    val got = AnalyticsOps
+      .funnel(e, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .select($"stage", $"step", $"users", $"pct_of_top")
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1, "view", 4L, 1.0),
+      (2, "click", 2L, 0.5),      // u1 and u4
+      (3, "purchase", 1L, 0.25))) // u1 only
+  }
+
+  test("funnel: later re-occurrence converts even when the first attempt predates") {
+    // u5's first click precedes its first view, but a second click after
+    // the view exists — the per-stage min is over QUALIFYING events only
+    val e = Seq(
+      (5L, "click", ts(1)), (5L, "view", ts(2)), (5L, "click", ts(3)))
+      .toDF("user_id", "event_type", "ts")
+    val got = AnalyticsOps
+      .funnel(e, "user_id", "event_type", "ts", Seq("view", "click"))
+      .select($"stage", $"users").as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 1L), (2, 1L)))
+  }
+
+  test("cohortRetention: offsets count from each user's first week") {
+    val e = Seq(
+      (1L, day(1)), (1L, day(10)), (1L, day(16)),  // weeks 0, 1, 2
+      (2L, day(10)), (2L, day(16)),                // cohort W2: offsets 0, 1
+      (3L, day(16)))                               // cohort W3: offset 0
+      .toDF("user_id", "ts")
+    val got = AnalyticsOps.cohortRetention(e, "user_id", "ts")
+      .as[(String, Int, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L),
+      ("2024-01-15", 0, 1L)))
+  }
+
+  test("linearTrend recovers an exact line and is partitioning-independent") {
+    // y = 3x + 10 exactly; with repartition(7) the decimal sums must not move
+    val df = (0 until 100).map(x => ("g", x, 3.0 * x + 10.0))
+      .toDF("g", "x", "y").repartition(7)
+    val got = AnalyticsOps.linearTrend(df, "g", $"x", $"y")
+      .select($"n", $"slope", $"intercept")
+      .as[(Long, Double, Double)].head()
+    assert(got == ((100L, 3.0, 10.0)))
+  }
+
+  test("peakConcurrency: back-to-back intervals don't overlap; peak_ts is earliest") {
+    val iv = Seq(
+      // [0,2) [1,3) [2,4): peak 2, first reached at h=1
+      ("a", 1L, ts(0), ts(2)), ("a", 2L, ts(1), ts(3)), ("a", 3L, ts(2), ts(4)),
+      // back-to-back [5,6) [6,7): never concurrent
+      ("b", 4L, ts(5), ts(6)), ("b", 5L, ts(6), ts(7)))
+      .toDF("g", "id", "t0", "t1")
+    val got = AnalyticsOps.peakConcurrency(iv, "g", "t0", "t1", "id")
+      .as[(String, Int, Timestamp)].collect().toSeq
+    assert(got == Seq(("a", 2, ts(1)), ("b", 1, ts(5))))
+  }
+
+  test("zscoreOutliers flags only true deviants and skips small keys") {
+    val rows =
+      (1 to 20).map(i => (1L, i.toLong, 10.0)) :+ ((1L, 99L, 1000.0)) :+
+        // key 2 has n=2 < minN — its wild value must NOT be flagged
+        ((2L, 200L, 0.0)) :+ ((2L, 201L, 1e6))
+    val got = AnalyticsOps.zscoreOutliers(
+        rows.toDF("k", "id", "v"), "k", "v", "id")
+      .select($"id").as[Long].collect().toSeq
+    assert(got == Seq(99L))
+  }
+
+  test("weightedMedian: weights shift the median off the unweighted one") {
+    val df = Seq(
+      // unweighted median of (1,2,3) is 2; weight 10 on the 3 pulls it up
+      ("a", 1.0, 1L, 1L), ("a", 2.0, 1L, 2L), ("a", 3.0, 10L, 3L),
+      // symmetric weights: first value where 2*cum >= tot → the 5
+      ("b", 5.0, 1L, 4L), ("b", 7.0, 1L, 5L))
+      .toDF("g", "v", "w", "id")
+    val got = AnalyticsOps.weightedMedian(df, "g", "v", "w", Seq("id"))
+      .as[(String, Double)].collect().toSeq
+    assert(got == Seq(("a", 3.0), ("b", 5.0)))
+  }
+}
