@@ -57,4 +57,32 @@ object JoinOps {
   def intervalJoin(facts: DataFrame, intervals: DataFrame,
       valueCol: Column, loCol: Column, hiCol: Column): DataFrame =
     facts.join(broadcast(intervals), valueCol >= loCol && valueCol < hiCol)
+
+  /** Bloom-pre-filtered equi-join: build a Bloom filter over the (small)
+    * build side's join keys, cut the probe side down BEFORE it reaches
+    * the shuffle, then run the real join — false positives are removed
+    * by the join itself, so the result is exactly `probe ⋈ build`.
+    *
+    * This is the explicit form of the runtime-filter pushdown a 100 TB
+    * join wants when the build side is selective but too large to
+    * broadcast as a hash relation (a Bloom filter is ~10 bits/key vs
+    * ~100+ bytes/row): the probe's shuffle write shrinks by the filter's
+    * selectivity. Spark's own `InjectRuntimeFilter` does this at the
+    * planner level behind thresholds; pipelines that pre-stage dimension
+    * keys (or reuse one filter across many queries) want it explicit.
+    * The filter UDF sits outside codegen, but it gates rows before the
+    * exchange — the expensive stages still run generated code.
+    *
+    * `expectedKeys`/`fpp` size the filter; an undersized filter only
+    * hurts selectivity (correctness is unaffected).
+    */
+  def bloomPreFilteredJoin(probe: DataFrame, build: DataFrame,
+      probeKey: Column, buildKey: String,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bf.mightContain(k.longValue()))
+    probe.filter(mightContain(probeKey))
+      .join(build, probeKey === col(buildKey))
+  }
 }

@@ -62,4 +62,20 @@ class JoinOpsSpec extends AnyFunSuite {
       .select("v", "band").as[(Double, String)].collect().toSet
     assert(got == Set((1.0, "low"), (5.0, "mid"), (10.0, "mid")))
   }
+
+  test("bloomPreFilteredJoin equals the plain join (false positives removed)") {
+    val probe = spark.range(0, 2000).select($"id".as("k"), ($"id" * 3).as("pv"))
+    val build = spark.range(0, 2000, 17).select($"id".as("bk"), lit("d").as("dv"))
+    val got = JoinOps.bloomPreFilteredJoin(
+      probe, build, col("k"), "bk", expectedKeys = 200L)
+    val plain = probe.join(build, col("k") === col("bk"))
+    assert(got.columns.toSeq == plain.columns.toSeq)
+    assert(got.except(plain).count() == 0 && plain.except(got).count() == 0)
+    // null probe keys must be dropped, not crash the filter UDF
+    val withNull = probe.select(
+      when($"k" === 5, lit(null).cast("long")).otherwise($"k").as("k"), $"pv")
+    val gotN = JoinOps.bloomPreFilteredJoin(
+      withNull, build, col("k"), "bk", expectedKeys = 200L)
+    assert(gotN.count() == plain.count())   // k=5 isn't a build key anyway
+  }
 }
