@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.SpeedHistogram
 import graft.dedup.Dedup
-import graft.ops.{CorpusOps, JoinOps, RadarOps}
+import graft.ops.{AnalyticsOps, CorpusOps, JoinOps, RadarOps}
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 
@@ -159,6 +159,44 @@ object Graft {
     def asofJoin(right: DataFrame, keys: Seq[String], tsCol: String,
         valueCols: Seq[String]): DataFrame =
       JoinOps.asofJoinBackward(df, right, keys, tsCol, valueCols)
+  }
+
+  implicit class EventOps(private val df: DataFrame) {
+
+    /** K-stage conversion funnel (strict event ordering). */
+    def funnel(user: String, eventType: String, ts: String,
+        stages: Seq[String]): DataFrame =
+      AnalyticsOps.funnel(df, user, eventType, ts, stages)
+
+    /** Weekly cohort retention matrix. */
+    def cohortRetention(user: String, ts: String): DataFrame =
+      AnalyticsOps.cohortRetention(df, user, ts)
+
+    /** Per-group least-squares trend from decimal power sums. */
+    def linearTrend(group: String, x: Column, y: Column): DataFrame =
+      AnalyticsOps.linearTrend(df, group, x, y)
+
+    /** Peak interval concurrency per group (sweep line). */
+    def peakConcurrency(group: String, start: String, end: String,
+        id: String): DataFrame =
+      AnalyticsOps.peakConcurrency(df, group, start, end, id)
+
+    /** Rows > z population stddevs from their key's mean. */
+    def zscoreOutliers(key: String, value: String, id: String,
+        z: Int = 2, minN: Int = 10): DataFrame =
+      AnalyticsOps.zscoreOutliers(df, key, value, id, z, minN)
+
+    /** Exact weighted median per group. */
+    def weightedMedian(group: String, value: String, weight: String,
+        ties: Seq[String]): DataFrame =
+      AnalyticsOps.weightedMedian(df, group, value, weight, ties)
+
+    /** Bloom-pre-filtered equi-join: prune this (probe) side with a
+      * Bloom filter of the build side's keys before the shuffle. */
+    def bloomJoin(build: DataFrame, probeKey: Column, buildKey: String,
+        expectedKeys: Long, fpp: Double = 0.01): DataFrame =
+      JoinOps.bloomPreFilteredJoin(df, build, probeKey, buildKey,
+        expectedKeys, fpp)
   }
 
   /** Column-level vocabulary re-exported for expression building. */

@@ -53,4 +53,26 @@ class GraftApiSpec extends AnyFunSuite {
     val j = l.asofJoin(r, Seq("k"), "ts", Seq("v"))
     assert(j.select("asof_v").as[Double].head() == 9.0)
   }
+
+  test("event facade: funnel, weighted median, bloom join sugar") {
+    val t = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-08 $h%02d:00:00")
+    val e = Seq((1L, "view", t(1)), (1L, "click", t(2)), (2L, "view", t(3)))
+      .toDF("user_id", "event_type", "ts")
+    val f = e.funnel("user_id", "event_type", "ts", Seq("view", "click"))
+      .select("users").as[Long].collect().toSeq
+    assert(f == Seq(2L, 1L))
+
+    val wm = Seq(("g", 1.0, 1L, 1L), ("g", 9.0, 5L, 2L))
+      .toDF("g", "v", "w", "id")
+      .weightedMedian("g", "v", "w", Seq("id"))
+      .select("weighted_median").as[Double].head()
+    assert(wm == 9.0)
+
+    val probe = spark.range(10).select($"id".as("k"))
+    val build = Seq(3L, 7L).toDF("bk")
+    val bj = probe.bloomJoin(build,
+        org.apache.spark.sql.functions.col("k"), "bk", expectedKeys = 2L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(bj == Seq(3L, 7L))
+  }
 }

@@ -78,6 +78,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("q85: gapfill is agg + ONE window exchange + generate — no grid join") {
+    val p = planOf("q85_gapfill")
+    assert(!p.contains("Join"), s"gapfill reintroduced the grid join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected exactly agg+window exchanges:\n$p")
+    assert("Generate".r.findAllIn(p).size == 1, s"expected one explode:\n$p")
+  }
+
+  test("q93: trend dims broadcast, power sums aggregate partial+final") {
+    val p = planOf("q93_trend")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, s"dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"trend fell back to SMJ:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q96: both weighted-median windows share ONE shuffle") {
+    val p = planOf("q96_weighted_median")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"windows did not share the per-flag partitioning:\n$p")
+    assert("Window".r.findAllIn(p).size == 2, s"expected cum+tot windows:\n$p")
+  }
+
+  test("q97: IN-subquery decorrelates to broadcast left-semi + top-n") {
+    val p = planOf("q97_sql_bigcust")
+    assert(p.contains("LeftSemi"), s"IN subquery not decorrelated:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for LIMIT:\n$p")
+  }
+
   test("native dedup expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import graft.tables.Tables
