@@ -151,6 +151,40 @@ object AnalyticsOps {
       .orderBy(col(id))
   }
 
+  /** Chi-square test of independence between two categorical columns:
+    * contingency cell counts, expected = rowTot·colTot/n, statistic
+    * Σ (obs−exp)²/exp. Each cell term is a deterministic double (fixed
+    * op sequence over exact integer totals); terms sum as DECIMAL so the
+    * reduce is order-independent under any partitioning. Returns one row
+    * (chi2, dof, n). Cells are |A|×|B| — the windows that build the
+    * marginals run over the cell table, never the raw fact.
+    */
+  def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+    val sparse = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("obs"))
+    // densify: absent (a,b) combinations are REAL zero cells — each
+    // contributes its full expected count to the statistic; a groupBy
+    // alone would silently understate chi² for sparse tables
+    val cells = sparse.select(col(a)).distinct()
+      .crossJoin(sparse.select(col(b)).distinct())
+      .join(sparse, Seq(a, b), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+    val rowW = Window.partitionBy(col(a))
+    val colW = Window.partitionBy(col(b))
+    val allW = Window.partitionBy()
+    val t = cells
+      .withColumn("rt", sum(col("obs")).over(rowW))
+      .withColumn("ct", sum(col("obs")).over(colW))
+      .withColumn("n", sum(col("obs")).over(allW))
+    val exp = (col("rt") * col("ct")).cast("double") / col("n")
+    val term = (col("obs") - exp) * (col("obs") - exp) / exp
+    t.withColumn("term", term.cast(DecimalType(24, 8)))
+      .agg(
+        round(sum(col("term")).cast("double"), 6).as("chi2"),
+        ((countDistinct(col(a)) - 1) * (countDistinct(col(b)) - 1))
+          .cast("int").as("dof"),
+        max(col("n")).as("n"))
+  }
+
   /** Exact weighted median per group: cumulative integer weights along a
     * totally ordered window (value, then `ties` for determinism), first
     * value where 2·cum ≥ total weight. All-integer weight arithmetic —

@@ -190,11 +190,119 @@ object AnalyticsQueries {
       |SELECT rf, min(p) AS weighted_median
       |FROM c WHERE 2*cum >= tot GROUP BY rf ORDER BY rf""".stripMargin
 
+  // ----------------------------------------------------- q101_range_frame
+  // Time-RANGE window frame (vs q30's ROWS frames): trailing-24h event
+  // count and value sum per user, frame defined on the epoch-second axis
+  // so ties at the same second are all peers — deterministic without any
+  // tiebreak. The decimal frame sum keeps both engines bit-identical.
+  private def q101RangeFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_timestamp(col("ts")).as("sec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-86400L, 0L)
+    e.withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_24h",
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("n_24h"),
+        col("sum_24h"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q101Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  count(*) OVER w AS n_24h,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_24h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------- q102_array_hof
+  // Higher-order array functions end to end: per-order sorted quantity
+  // array → filter (≥10) → transform (×2) → fold to a sum, plus the
+  // rendered array. HOFs are interpreter-evaluated (CodegenFallback) —
+  // fine here because the arrays are tiny post-aggregation; hot-path
+  // loops belong in native expressions (see functions.*).
+  private def q102ArrayHof(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qs"))
+      .select(col("l_orderkey"),
+        expr("aggregate(transform(filter(qs, x -> x >= 10), x -> x * 2)," +
+          " 0L, (acc, x) -> acc + x)").as("big_doubled_sum"),
+        array_join(expr("transform(filter(qs, x -> x >= 10), x -> x * 2)"),
+          ",").as("big_doubled"))
+      .orderBy(col("l_orderkey"))
+
+  private val q102Sql =
+    """WITH a AS (
+      |  SELECT l_orderkey,
+      |    list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey,
+      |  CAST(coalesce(list_aggregate(
+      |    list_transform(list_filter(qs, x -> x >= 10), x -> x * 2),
+      |    'sum'), 0) AS BIGINT) AS big_doubled_sum,
+      |  coalesce(array_to_string(
+      |    list_transform(list_filter(qs, x -> x >= 10), x -> x * 2),
+      |    ','), '') AS big_doubled
+      |FROM a ORDER BY l_orderkey""".stripMargin
+
+  // ------------------------------------------------------------ q103_chi2
+  // Chi-square independence of market segment × order priority — the
+  // categorical association test over the order fact; marginals come
+  // from windows over the tiny cell table, and the term reduce sums
+  // DECIMAL so the statistic is partitioning-independent.
+  private def q103Chi2(s: SparkSession, d: String): DataFrame =
+    graft.ops.AnalyticsOps.chiSquare(
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey")),
+      "c_mktsegment", "o_orderpriority")
+
+  private val q103Sql =
+    """WITH sparse AS (
+      |  SELECT c_mktsegment, o_orderpriority, count(*) AS obs
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT av.c_mktsegment, bv.o_orderpriority, coalesce(s.obs, 0) AS obs
+      |  FROM (SELECT DISTINCT c_mktsegment FROM sparse) av
+      |  CROSS JOIN (SELECT DISTINCT o_orderpriority FROM sparse) bv
+      |  LEFT JOIN sparse s ON av.c_mktsegment = s.c_mktsegment
+      |    AND bv.o_orderpriority = s.o_orderpriority),
+      |t AS (
+      |  SELECT obs,
+      |    sum(obs) OVER (PARTITION BY c_mktsegment) AS rt,
+      |    sum(obs) OVER (PARTITION BY o_orderpriority) AS ct,
+      |    sum(obs) OVER () AS n,
+      |    c_mktsegment, o_orderpriority
+      |  FROM cells),
+      |terms AS (
+      |  SELECT n, c_mktsegment, o_orderpriority,
+      |    CAST((obs - CAST(rt*ct AS DOUBLE)/n) * (obs - CAST(rt*ct AS DOUBLE)/n)
+      |         / (CAST(rt*ct AS DOUBLE)/n) AS DECIMAL(24,8)) AS term
+      |  FROM t)
+      |SELECT round(CAST(sum(term) AS DOUBLE), 6) AS chi2,
+      |  CAST((count(DISTINCT c_mktsegment) - 1)
+      |       * (count(DISTINCT o_orderpriority) - 1) AS INT) AS dof,
+      |  CAST(max(n) AS BIGINT) AS n
+      |FROM terms""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q91_funnel", q91Funnel, Some(q91Sql)),
     Q("q92_retention", q92Retention, Some(q92Sql)),
     Q("q93_trend", q93Trend, Some(q93Sql)),
     Q("q94_concurrency", q94Concurrency, Some(q94Sql)),
     Q("q95_outliers", q95Outliers, Some(q95Sql)),
-    Q("q96_weighted_median", q96WeightedMedian, Some(q96Sql)))
+    Q("q96_weighted_median", q96WeightedMedian, Some(q96Sql)),
+    Q("q101_range_frame", q101RangeFrame, Some(q101Sql)),
+    Q("q102_array_hof", q102ArrayHof, Some(q102Sql)),
+    Q("q103_chi2", q103Chi2, Some(q103Sql)))
 }

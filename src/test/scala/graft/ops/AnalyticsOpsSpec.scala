@@ -96,6 +96,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == Seq(99L))
   }
 
+  test("chiSquare: exact zero on perfectly independent margins, dof right") {
+    // cell counts 10/20/30/60 factorize as (30,90)x(40,80)/120 → chi2 = 0
+    val rows =
+      Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+        Seq.fill(30)(("b", "x")) ++ Seq.fill(60)(("b", "y"))
+    val got = AnalyticsOps.chiSquare(rows.toDF("u", "v"), "u", "v")
+      .as[(Double, Int, Long)].head()
+    assert(got == ((0.0, 1, 120L)))
+    // fully dependent 2x2 (diagonal only): chi2 = n
+    val dep = (Seq.fill(25)(("a", "x")) ++ Seq.fill(25)(("b", "y")))
+    val got2 = AnalyticsOps.chiSquare(dep.toDF("u", "v"), "u", "v")
+      .as[(Double, Int, Long)].head()
+    assert(got2 == ((50.0, 1, 50L)))
+  }
+
   test("weightedMedian: weights shift the median off the unweighted one") {
     val df = Seq(
       // unweighted median of (1,2,3) is 2; weight 10 on the 3 pulls it up
