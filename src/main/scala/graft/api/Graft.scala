@@ -191,6 +191,10 @@ object Graft {
         ties: Seq[String]): DataFrame =
       AnalyticsOps.weightedMedian(df, group, value, weight, ties)
 
+    /** Chi-square independence of two categorical columns. */
+    def chiSquare(a: String, b: String): DataFrame =
+      AnalyticsOps.chiSquare(df, a, b)
+
     /** Bloom-pre-filtered equi-join: prune this (probe) side with a
       * Bloom filter of the build side's keys before the shuffle. */
     def bloomJoin(build: DataFrame, probeKey: Column, buildKey: String,

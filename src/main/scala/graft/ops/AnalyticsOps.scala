@@ -85,11 +85,13 @@ object AnalyticsOps {
     * `x` must be integral (day index, slot number); `y` decimal-castable.
     */
   def linearTrend(df: DataFrame, group: String, x: Column, y: Column): DataFrame = {
-    val src = df.select(col(group), x.cast("int").as("__x"),
+    val src = df.select(col(group), x.cast("long").as("__x"),
       y.cast(DecimalType(18, 2)).as("__y"))
     val m = src.groupBy(col(group)).agg(
       count(lit(1)).as("n"),
       sum(col("__x")).cast("double").as("sx"),
+      // x*x as Long — an Int multiply overflows (ANSI: throws) at
+      // x ≥ 46341, well inside a minute-granularity slot index
       sum(col("__x") * col("__x")).cast("double").as("sxx"),
       sum(col("__y")).cast("double").as("sy"),
       sum(col("__x").cast(DecimalType(10, 0)) * col("__y"))
@@ -118,12 +120,15 @@ object AnalyticsOps {
     val w = Window.partitionBy(col(group))
       .orderBy(col("__t"), col("__delta"), col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the whole-partition max shares the prefix sum's partitioning — one
+    // shuffle, one pass (a groupBy+self-join would recompute the sweep
+    // on both sides and shuffle again)
     val r = b.withColumn("__run", sum(col("__delta")).over(w))
-    val pk = r.groupBy(col(group)).agg(max(col("__run")).as("peak"))
-    r.join(pk, Seq(group)).filter(col("__run") === col("peak"))
-      .groupBy(col(group), col("peak"))
+      .withColumn("__peak", max(col("__run")).over(Window.partitionBy(col(group))))
+    r.filter(col("__run") === col("__peak"))
+      .groupBy(col(group), col("__peak"))
       .agg(min(col("__t")).as("peak_ts"))
-      .select(col(group), col("peak").cast("int").as("peak"), col("peak_ts"))
+      .select(col(group), col("__peak").cast("int").as("peak"), col("peak_ts"))
       .orderBy(col(group))
   }
 
@@ -131,8 +136,9 @@ object AnalyticsOps {
     * `zThreshold` standard deviations (population), computed from
     * DECIMAL-exact moments with a sqrt-free predicate
     * (dev² > z²·var). Keys with fewer than `minN` rows are skipped
-    * (their variance estimate is noise). Returns the flagged input rows
-    * plus `z2` = dev²/var rounded to 6dp.
+    * (their variance estimate is noise). Returns one row per flagged
+    * input row, projected to (id, key, value, z2 = dev²/var rounded to
+    * 6dp) — join back on `id` for the remaining input columns.
     */
   def zscoreOutliers(df: DataFrame, key: String, value: String, id: String,
       zThreshold: Int = 2, minN: Int = 10): DataFrame = {

@@ -233,13 +233,14 @@ object CorpusOps {
     * multiplicative hash in exact integer arithmetic — reproducible
     * across runs AND engines (no RNG state, no float hash); keys are
     * rounded to 6dp before ranking so libm's last-ulp ln() differences
-    * can't flip an order across engines. Ids are folded mod 2^31 before
-    * the multiply so any BIGINT id is safe under the ANSI-checked
-    * arithmetic — no shard-local id restriction at 100 TB. */
+    * can't flip an order across engines. Ids are folded to [0, 2^31)
+    * via pmod before the multiply, so any BIGINT id — including
+    * negative hash surrogates — stays inside the ANSI-checked
+    * arithmetic and yields u in (0, 1]. */
   def weightedSample(
       df: DataFrame, idCol: String, stratumCol: String, weightCol: String,
       k: Int): DataFrame = {
-    val u = ((((col(idCol).cast("long") % 2147483648L) * 2654435761L)
+    val u = (((pmod(col(idCol).cast("long"), lit(2147483648L)) * 2654435761L)
       % 4294967296L + 1)
       .cast("double") / 4294967297.0)
     val key6 = round(log(u) / col(weightCol), 6)

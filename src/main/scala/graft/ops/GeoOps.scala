@@ -25,16 +25,17 @@ object GeoOps {
   /** Mean-earth radius (km), IUGG value; doubled once in the haversine. */
   val EarthRadiusKm = 6371.0088
 
-  /** Deterministic uniform in [0,1) from a non-negative integer key — Knuth
+  /** Deterministic uniform in [0,1) from an integer key — Knuth
     * multiplicative hash, portable to any engine with 64-bit integer
     * arithmetic (no float-rounding ambiguity until the final divide).
-    * The key is folded mod 2^31 BEFORE the multiply so the product stays
-    * below Long.MaxValue for any BIGINT key — without the mask, keys
-    * ≳3.5e9 overflow: Spark wraps silently while DuckDB raises, so the
-    * engines would diverge at 100 TB id ranges.
+    * The key is folded to [0, 2^31) via pmod BEFORE the multiply so the
+    * product stays below Long.MaxValue for any BIGINT key (negative
+    * hash surrogates included) — without the fold, keys ≳3.5e9
+    * overflow: Spark wraps silently while DuckDB raises, so the engines
+    * would diverge at 100 TB id ranges.
     */
   def knuthUniform(key: Column, salt: Long): Column =
-    (((key.cast("long") % lit(2147483648L)) * lit(2654435761L) + lit(salt))
+    ((pmod(key.cast("long"), lit(2147483648L)) * lit(2654435761L) + lit(salt))
       % lit(4294967296L))
       .cast("double") / lit(4294967296.0)
 

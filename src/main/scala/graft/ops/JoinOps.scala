@@ -79,10 +79,25 @@ object JoinOps {
   def bloomPreFilteredJoin(probe: DataFrame, build: DataFrame,
       probeKey: Column, buildKey: String,
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
+    val keyType: DataType = build.schema(buildKey).dataType
+    val integral = keyType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case StringType => false
+      case dt => throw new IllegalArgumentException(
+        s"bloomPreFilteredJoin: unsupported key type $dt (integral or string)")
+    }
     val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bf.mightContain(k.longValue()))
-    probe.filter(mightContain(probeKey))
+    // type-matched probe: an untyped Long UDF would make the analyzer
+    // cast string keys to bigint — an ANSI runtime error (or, non-ANSI,
+    // null-for-every-row and a silently empty join)
+    val mightContain =
+      if (integral)
+        udf((k: java.lang.Long) => k != null && bf.mightContainLong(k.longValue()))
+          .apply(probeKey.cast("long"))
+      else
+        udf((k: String) => k != null && bf.mightContainString(k)).apply(probeKey)
+    probe.filter(mightContain)
       .join(build, probeKey === col(buildKey))
   }
 }

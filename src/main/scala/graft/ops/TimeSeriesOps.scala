@@ -24,12 +24,15 @@ object TimeSeriesOps {
 
   /** Fill every missing `step` in each key's [min(bucket), max(bucket)]
     * range and linearly interpolate `valCol` across gaps on the
-    * epoch-second axis. Input must be one row per (key, bucket) with a
-    * NON-NULL `value`, and every bucket must be an exact `step` multiple
-    * from the per-key min(bucket) — i.e. already truncated to the grid
-    * (`date_trunc` output); a non-grid-aligned row would break the gap
-    * emission. Output adds `is_gap` and `val_filled`; endpoints are
-    * present by construction so interpolation never extrapolates.
+    * epoch-second axis. Input must be one row per (key, bucket), and
+    * every bucket must be an exact `step` multiple from the per-key
+    * min(bucket) — i.e. already truncated to the grid (`date_trunc`
+    * output); a non-grid-aligned row would break the gap emission.
+    * Null-valued input rows are treated as ABSENT (their bucket becomes
+    * an interpolated gap row; a null at a key's first/last bucket is
+    * dropped — interpolation never extrapolates). Output adds `is_gap`
+    * and `val_filled`; present endpoints bracket every gap by
+    * construction.
     *
     * Shape: a single `lead()` window gives each present row its next
     * present neighbour, and `explode(sequence(h, next_h - step))` emits
@@ -48,6 +51,11 @@ object TimeSeriesOps {
     val typeOf = perBucket.schema.map(f => f.name -> f.dataType).toMap
     val w = Window.partitionBy(col(key)).orderBy(col(bucket))
     val withNext = perBucket
+      // null-valued rows act as gaps: dropping them here makes their
+      // bucket a GENERATED row interpolated between present neighbours
+      // (a lead() over rows that include nulls would poison the whole
+      // preceding gap run with null __nv instead)
+      .filter(col(value).isNotNull)
       .withColumn("__nh", lead(col(bucket), 1).over(w))
       .withColumn("__nv", lead(col(value), 1).over(w))
       // last row per key: emit itself only (sequence over a null end

@@ -71,6 +71,12 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .select($"n", $"slope", $"intercept")
       .as[(Long, Double, Double)].head()
     assert(got == ((100L, 3.0, 10.0)))
+    // x past 46341 (Int x*x overflow point) must not throw under ANSI
+    val big = Seq(("g", 50000, 1.0), ("g", 50001, 2.0), ("g", 50002, 3.0))
+      .toDF("g", "x", "y")
+    val slope = AnalyticsOps.linearTrend(big, "g", $"x", $"y")
+      .select($"slope").as[Double].head()
+    assert(slope == 1.0)
   }
 
   test("peakConcurrency: back-to-back intervals don't overlap; peak_ts is earliest") {

@@ -159,6 +159,12 @@ class CorpusOpsSpec extends AnyFunSuite {
       "id", "src", "w", 200)
       .filter($"id" === 7L).select($"rank").as[Int].head()
     assert(boosted <= base)
+    // negative ids (hash surrogates): pmod fold keeps u in (0,1] — no
+    // null sort keys, no ANSI error, all k slots filled
+    val neg = (1L to 50L).map(i => (-i, "s", 1.0)).toDF("id", "src", "w")
+    val negGot = CorpusOps.weightedSample(neg, "id", "src", "w", 5)
+      .select($"id", $"sample_key").as[(Long, Double)].collect()
+    assert(negGot.length == 5 && negGot.forall(r => !r._2.isNaN))
   }
 
   test("contaminatedDocs: finds the planted overlap, counts distinct grams") {

@@ -78,4 +78,18 @@ class JoinOpsSpec extends AnyFunSuite {
       withNull, build, col("k"), "bk", expectedKeys = 200L)
     assert(gotN.count() == plain.count())   // k=5 isn't a build key anyway
   }
+
+  test("bloomPreFilteredJoin handles string keys (no long-cast crash)") {
+    val probe = Seq("a", "b", "c", "d").toDF("k")
+    val build = Seq(("b", 1), ("d", 2)).toDF("bk", "v")
+    val got = JoinOps.bloomPreFilteredJoin(
+        probe, build, col("k"), "bk", expectedKeys = 2L)
+      .select("k", "v").as[(String, Int)].collect().toSet
+    assert(got == Set(("b", 1), ("d", 2)))
+    val e = intercept[IllegalArgumentException] {
+      JoinOps.bloomPreFilteredJoin(
+        Seq(1.5).toDF("k"), Seq(1.5).toDF("bk"), col("k"), "bk", 2L)
+    }
+    assert(e.getMessage.contains("unsupported key type"))
+  }
 }

@@ -33,6 +33,18 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       (2L, ts(6), false, 9.0)))
   }
 
+  test("gapFillInterpolate: null-valued rows are treated as gaps and interpolated over") {
+    val perHour = Seq(
+      (1L, ts(0), Some(10.0)), (1L, ts(1), None), (1L, ts(2), Some(30.0)))
+      .toDF("k", "h", "v")
+    val got = TimeSeriesOps.gapFillInterpolate(perHour, "k", "h", "v")
+      .orderBy($"h")
+      .select($"h", $"is_gap", $"val_filled")
+      .as[(Timestamp, Boolean, Double)].collect().toSeq
+    assert(got == Seq(
+      (ts(0), false, 10.0), (ts(1), true, 20.0), (ts(2), false, 30.0)))
+  }
+
   test("gapFillInterpolate: single-bucket series emits one non-gap row") {
     val got = TimeSeriesOps.gapFillInterpolate(
         Seq((9L, ts(4), 1.5)).toDF("k", "h", "v"), "k", "h", "v")
