@@ -162,9 +162,132 @@ object SqlSuiteQueries {
       |WHERE r_name = 'EUROPE'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ------------------------------------------------ q104_sql_nationpairs
+  // TPC-H Q7 shape (volume shipping): self-joined nation dim under a
+  // symmetric pair disjunction, per-year decimal revenue. The OR over
+  // (n1, n2) pairs must not break the broadcast of either nation copy.
+  private def q104NationPairs(s: SparkSession, d: String): DataFrame = {
+    views(s, d)
+    s.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM graft_supplier
+        |  JOIN graft_lineitem ON s_suppkey = l_suppkey
+        |  JOIN graft_orders   ON o_orderkey = l_orderkey
+        |  JOIN graft_customer ON c_custkey = o_custkey
+        |  JOIN graft_nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN graft_nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
+        |      OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9'))
+        |    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1997-12-31'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  private val q104Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    year(l_shipdate) AS l_year,
+      |    l_extendedprice * (1 - l_discount) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
+      |      OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9'))
+      |    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1997-12-31'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ----------------------------------------------------- q105_sql_orcond
+  // TPC-H Q19 shape (discounted revenue): three disjunctive brand/size/
+  // quantity branches — exercises CNF conversion and partial predicate
+  // pushdown through the part join.
+  private def q105OrCond(s: SparkSession, d: String): DataFrame = {
+    views(s, d)
+    s.sql(
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM graft_lineitem
+        |JOIN graft_part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin)
+  }
+
+  private val q105Sql =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
+  // ---------------------------------------------------- q106_sql_topsupp
+  // TPC-H Q15 shape (top supplier): quarterly per-supplier revenue CTE
+  // reused twice — once joined to the dim, once under a scalar max.
+  // Revenue equality on doubles is safe because both sides derive the
+  // identical value from the same DECIMAL sum.
+  private def q106TopSupp(s: SparkSession, d: String): DataFrame = {
+    views(s, d)
+    s.sql(
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM graft_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM graft_supplier
+        |JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  private val q106Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier
+      |JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q97_sql_bigcust", q97BigCust, Some(q97Sql)),
     Q("q98_sql_suppcnt", q98SuppCnt, Some(q98Sql)),
     Q("q99_sql_idlecust", q99IdleCust, Some(q99Sql)),
-    Q("q100_bloom_join", q100BloomJoin, Some(q100Sql)))
+    Q("q100_bloom_join", q100BloomJoin, Some(q100Sql)),
+    Q("q104_sql_nationpairs", q104NationPairs, Some(q104Sql)),
+    Q("q105_sql_orcond", q105OrCond, Some(q105Sql)),
+    Q("q106_sql_topsupp", q106TopSupp, Some(q106Sql)))
 }
