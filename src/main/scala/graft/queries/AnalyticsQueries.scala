@@ -295,6 +295,55 @@ object AnalyticsQueries {
       |  CAST(max(n) AS BIGINT) AS n
       |FROM terms""".stripMargin
 
+  // -------------------------------------------------------- q107_pagerank
+  // Integer-arithmetic PageRank (3 rounds, damping 0.85) over the
+  // customer↔supplier trade graph (both directions, so no dangling
+  // nodes). Ranks are BIGINT trillionths with floor division — zero
+  // float accumulation, so the result is bit-identical across
+  // partitionings and engines; the oracle unrolls the same integer
+  // recurrence as three CTE iterations.
+  private def q107PageRank(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.ops.GraphOps.pageRankInt(edges, "src", "dst", iters = 3)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+      .select(col("node"), col("rank"))
+  }
+
+  private val q107Sql = {
+    def iter(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT n.node,
+         |    CAST((15 * (1000000000000 // (SELECT n FROM params))) // 100
+         |      + (85 * coalesce(m.inmass, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, sum(p.rank // o.outdeg) AS inmass
+         |    FROM e JOIN $prev p ON e.src = p.node
+         |    JOIN outdeg o ON e.src = o.src
+         |    GROUP BY e.dst) m ON n.node = m.dst)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |params AS (SELECT count(*) AS n FROM nodes),
+       |p0 AS (SELECT node,
+       |  CAST(1000000000000 // (SELECT n FROM params) AS BIGINT) AS rank
+       |  FROM nodes),
+       |${iter("p0", "p1")},
+       |${iter("p1", "p2")},
+       |${iter("p2", "p3")}
+       |SELECT node, rank FROM p3
+       |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q91_funnel", q91Funnel, Some(q91Sql)),
     Q("q92_retention", q92Retention, Some(q92Sql)),
@@ -304,5 +353,6 @@ object AnalyticsQueries {
     Q("q96_weighted_median", q96WeightedMedian, Some(q96Sql)),
     Q("q101_range_frame", q101RangeFrame, Some(q101Sql)),
     Q("q102_array_hof", q102ArrayHof, Some(q102Sql)),
-    Q("q103_chi2", q103Chi2, Some(q103Sql)))
+    Q("q103_chi2", q103Chi2, Some(q103Sql)),
+    Q("q107_pagerank", q107PageRank, Some(q107Sql)))
 }
