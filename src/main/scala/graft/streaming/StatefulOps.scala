@@ -96,4 +96,46 @@ object StatefulOps {
           Iterator.single(next)
       }
   }
+
+  final case class FunnelEvent(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  final case class FunnelState(stage: Int, stageMs: Long)
+  final case class FunnelConversion(user_id: Long, stage: Int, step: String,
+      ts: java.sql.Timestamp)
+
+  /** Streaming twin of [[graft.ops.AnalyticsOps.funnel]]: per-user stage
+    * progression tracked across micro-batches, one `FunnelConversion`
+    * emitted the moment a user first reaches each stage. Matches the
+    * batch semantics (strict `>` ordering between consecutive stage
+    * timestamps, millisecond granularity) for in-order streams; an
+    * event arriving in a LATER batch than a same-user event it precedes
+    * in event time is ignored rather than retro-fitted — state is one
+    * (stage, ts) pair per user, so the store stays O(users) regardless
+    * of event volume. Rows within a batch are processed in (ts,
+    * event_type) order so intra-batch multi-stage advancement works.
+    */
+  def funnelProgress(
+      spark: SparkSession,
+      events: Dataset[FunnelEvent],
+      stages: Seq[String]): Dataset[FunnelConversion] = {
+    import spark.implicits._
+    require(stages.nonEmpty, "funnelProgress needs at least one stage")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelConversion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = Seq.newBuilder[FunnelConversion]
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_type)).foreach { r =>
+            if (st.stage < stages.length && r.event_type == stages(st.stage) &&
+                (st.stage == 0 || r.ts.getTime > st.stageMs)) {
+              st = FunnelState(st.stage + 1, r.ts.getTime)
+              out += FunnelConversion(user, st.stage, r.event_type, r.ts)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -114,6 +114,41 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: cross-batch stage progression with strict ordering") {
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val stream = MemoryStream[StatefulOps.FunnelEvent]
+    val conv = StatefulOps.funnelProgress(spark, stream.toDS(),
+      Seq("view", "click", "purchase"))
+    val q = conv.writeStream.outputMode("append")
+      .format("memory").queryName("funnel").start()
+    try {
+      // batch 1: u1 views; u2 clicks with NO view (must not advance);
+      // u3 view+click at the SAME instant (strict > rejects the click)
+      stream.addData(
+        StatefulOps.FunnelEvent(1L, "view", ts("2024-01-08 01:00:00")),
+        StatefulOps.FunnelEvent(2L, "click", ts("2024-01-08 01:00:00")),
+        StatefulOps.FunnelEvent(3L, "view", ts("2024-01-08 02:00:00")),
+        StatefulOps.FunnelEvent(3L, "click", ts("2024-01-08 02:00:00")))
+      q.processAllAvailable()
+      // batch 2: u1 clicks then purchases IN THE SAME BATCH (intra-batch
+      // multi-stage advancement); u2's late view doesn't resurrect the
+      // batch-1 click
+      stream.addData(
+        StatefulOps.FunnelEvent(1L, "purchase", ts("2024-01-08 04:00:00")),
+        StatefulOps.FunnelEvent(1L, "click", ts("2024-01-08 03:00:00")),
+        StatefulOps.FunnelEvent(2L, "view", ts("2024-01-08 03:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("funnel")
+        .as[StatefulOps.FunnelConversion].collect()
+        .map(c => (c.user_id, c.stage, c.step)).toSet
+      assert(rows == Set(
+        (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"),
+        (2L, 1, "view"),
+        (3L, 1, "view")))
+    } finally q.stop()
+  }
+
   test("streaming contamination alerts flag eval-overlapping arrivals") {
     implicit val ctx = spark.sqlContext
     val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta"))
