@@ -210,4 +210,75 @@ object AnalyticsOps {
       .groupBy(col(group)).agg(min(col(value)).as("weighted_median"))
       .orderBy(col(group))
   }
+
+  /** Robust outlier summary per key: median, MAD (median absolute
+    * deviation), and how many rows deviate by more than `k`·MAD. The
+    * z-score flagger above assumes roughly normal data; MAD survives the
+    * heavy tails and asymmetry real telemetry has (one stuck radar
+    * emitting 10⁶ doesn't drag the threshold the way it drags a mean).
+    *
+    * Shape: three aggregations and one fact re-join, ALL hash-partitioned
+    * by `key` — Catalyst reuses one exchange for the chain. `percentile`
+    * is holistic (buffers one group per key), so the per-key row count —
+    * not the table — must fit an executor; at 100 TB that holds because
+    * keys are users/devices, and a approx_percentile swap is one line if
+    * a single key ever grows pathological. A key with MAD = 0 (over half
+    * its values identical) flags every deviating row — that degeneracy is
+    * the documented behaviour, not an error.
+    */
+  def madOutliers(df: DataFrame, key: String, value: String,
+      k: Int = 3): DataFrame = {
+    val med = df.groupBy(col(key))
+      .agg(expr(s"percentile($value, 0.5)").as("__med"))
+    val dev = df.join(med, key)
+      .withColumn("__adev", abs(col(value) - col("__med")))
+    val mad = dev.groupBy(col(key)).agg(
+      count(lit(1)).as("n"),
+      first(col("__med")).as("med"),
+      expr("percentile(__adev, 0.5)").as("__mad"))
+    dev.select(col(key), col(value), col("__adev"))
+      .join(mad, key)
+      .groupBy(col(key))
+      .agg(
+        first(col("n")).as("n"),
+        round(first(col("med")), 6).as("med"),
+        round(first(col("__mad")), 6).as("mad"),
+        sum(when(col("__adev") > lit(k) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col(key))
+  }
+
+  /** Winsorize `value` within each `group`: clamp to that group's exact
+    * [pLo, pHi] percentile band, report per-group n, clamp counts, and
+    * the DECIMAL-exact mean of the clamped values. Clamping (rather than
+    * dropping) keeps row counts stable for downstream joins — the
+    * standard tail-taming step before trend fits or funnels on metrics
+    * with rare huge values.
+    *
+    * Shape: one percentile aggregation by group + one fact re-join on
+    * the same key (exchange reuse), then one final aggregation. The mean
+    * routes through DECIMAL(18,6) sums so the reduce is order-independent
+    * under any partitioning; the clamp itself (least/greatest) is exact.
+    */
+  def winsorize(df: DataFrame, group: String, value: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo, $pHi]")
+    val bands = df.groupBy(col(group)).agg(
+      expr(s"percentile($value, $pLo)").as("__lo"),
+      expr(s"percentile($value, $pHi)").as("__hi"))
+    val clamped = least(greatest(col(value), col("__lo")), col("__hi"))
+    df.join(bands, group)
+      .select(col(group), col(value), col("__lo"), col("__hi"),
+        clamped.as("__c"))
+      .groupBy(col(group))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(value) < col("__lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col(value) > col("__hi"), 1L).otherwise(0L)).as("n_hi"),
+        round(first(col("__lo")), 6).as("p_lo"),
+        round(first(col("__hi")), 6).as("p_hi"),
+        round(sum(col("__c").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 6).as("wins_mean"))
+      .orderBy(col(group))
+  }
 }

@@ -11,6 +11,46 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  // ------------------------------------------------ bigram LM scoring
+  /** CCNet-style language-model quality scoring: train a bigram MLE model
+    * on the corpus itself, then score every document by its mean bigram
+    * log-probability. Templated/repetitive text scores near 0 (its
+    * bigrams dominate the corpus); rare-junk text scores very negative.
+    * Every scored bigram was observed at least once (the model is trained
+    * on the same corpus), so the MLE ratio c(w1,w2)/c(w1,·) needs no
+    * smoothing and P ≤ 1 always.
+    *
+    * `tokenize` must produce a whitespace-free token array (bigram keys
+    * concatenate with a space). Returns (id, n_bigrams, lm_score);
+    * documents with < 2 tokens have no bigrams and are absent.
+    *
+    * Shape: adjacency comes from ONE lead() window per document (no
+    * positional self-join); the count tables shuffle (w1, w2) pairs —
+    * bounded by corpus token count, and Zipf-skewed first tokens
+    * (stopwords) are exactly what AQE's skew-join split is for. The
+    * per-doc reduce is an avg of ln values absorbed to 6 dp.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      tokenize: Column => Column): DataFrame = {
+    val tok = df.select(col(idCol),
+        posexplode(tokenize(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val pairs = tok
+      .withColumn("w2", lead(col("term"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("term").as("w1"), col("w2"))
+    val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val cu = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    pairs.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c2").cast("double") / col("c1").cast("double"))), 6)
+          .as("lm_score"))
+      .orderBy(col(idCol))
+  }
+
   // ------------------------------------------------- deterministic split
   /** Content-stable train/val/test assignment from a hash of the id —
     * reproducible across runs, machines, and engines (md5 is everywhere),

@@ -29,17 +29,35 @@ object GraphOps {
     * (node, rank) with rank in units of `scale` (initial mass =
     * scale div N per node).
     */
+  /** `broadcastRanks = true` (default) broadcasts the per-node rank and
+    * contribution tables into the edge-side joins — right whenever the
+    * node set is dimension-sized relative to the edges (our trade graph:
+    * customers + suppliers vs fact-derived edges; most entity graphs).
+    * For web-scale graphs whose node table itself exceeds executor
+    * memory, pass false: ranks then co-partition with the (src-hashed,
+    * checkpointed) edge list, and only the small side shuffles per
+    * iteration.
+    */
   def pageRankInt(edges: DataFrame, src: String, dst: String,
-      iters: Int, scale: Long = 1000000000000L): DataFrame = {
+      iters: Int, scale: Long = 1000000000000L,
+      broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 1, "pageRankInt needs at least one iteration")
-    // materialize the degree-annotated edge list once — every iteration
-    // probes it, and without the checkpoint each round would recompute
-    // the caller's full upstream (e.g. a fact-table join + distinct)
-    // from scratch; pre-joining outdeg leaves ONE join per iteration
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastRanks) broadcast(df) else df
+    // materialize the caller's subtree (e.g. fact join + distinct) ONCE —
+    // both the degree count and the edge probe below read the checkpoint
+    // instead of recomputing it
     val raw = edges.select(col(src).cast("long").as("src"),
       col(dst).cast("long").as("dst"))
+      .localCheckpoint()
+    // degree-annotated edges, hash-partitioned by src and checkpointed:
+    // LogicalRDD keeps the partitioning metadata, so in the
+    // co-partitioned (non-broadcast) path no iteration ever re-shuffles
+    // the edge list — only the |nodes|-sized rank table moves
     val e = raw
-      .join(raw.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .join(hint(raw.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))),
+        "src")
+      .repartition(col("src"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node")).distinct()
       .localCheckpoint()
@@ -47,16 +65,73 @@ object GraphOps {
     val base = scale / n // Long floor division, same as SQL `div`
     var ranks = nodes.withColumn("rank", lit(base))
     for (_ <- 1 to iters) {
-      val contrib = e.join(ranks, e("src") === ranks("node"))
+      // per iteration: one broadcast (or |nodes| shuffle) in, one
+      // |edges| partial-aggregated shuffle of contributions out
+      val contrib = e.join(hint(ranks), e("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inmass"))
       ranks = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .join(hint(contrib), nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(15L * base / 100L) +
             expr("(85 * coalesce(inmass, 0L)) div 100")).as("rank"))
         .localCheckpoint()
     }
     ranks
+  }
+
+  /** Market-basket co-occurrence: undirected item pairs that appear in at
+    * least `minSupport` shared baskets, oriented item1 < item2 so each
+    * pair counts once. The self-join blows up quadratically in basket
+    * size, so baskets larger than `maxBasket` items are dropped FIRST —
+    * at 100 TB one pathological 10⁵-item basket would otherwise emit
+    * 5·10⁹ pairs into the shuffle. Dedup to distinct (basket, item)
+    * before pairing keeps multiplicity out of the support counts.
+    *
+    * Shape: distinct → one shuffle by basket; the pair self-join is
+    * co-partitioned on basket (no extra exchange); support aggregation
+    * shuffles the surviving pairs by (item1, item2). minSupport prunes
+    * before any downstream top-k.
+    */
+  def cooccurrencePairs(df: DataFrame, basket: String, item: String,
+      minSupport: Long = 2L, maxBasket: Int = 50): DataFrame = {
+    val bi = df.select(col(basket).as("b"), col(item).as("i")).distinct()
+    val sized = bi
+      .join(bi.groupBy(col("b")).agg(count(lit(1)).as("__sz"))
+        .filter(col("__sz") <= maxBasket), "b")
+    val l = sized.select(col("b"), col("i").as("item1"))
+    val r = sized.select(col("b"), col("i").as("item2"))
+    l.join(r, Seq("b"))
+      .filter(col("item1") < col("item2"))
+      .groupBy(col("item1"), col("item2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** Per-node triangle participation over an undirected edge list given
+    * in canonical orientation (src < dst, one row per edge). A triangle
+    * {a<b<c} is found once as e(a,b)⋈e(b,c)⋈e(a,c) — the standard
+    * oriented wedge-closure join, |wedges| work instead of the
+    * unoriented 6× blowup. Returns (node, n_triangles) for every node in
+    * at least one triangle, plus each node participates once per
+    * triangle role (all three corners credited).
+    *
+    * Scale: wedge generation joins on the shared middle vertex — the
+    * skew concern is high-degree hubs (|wedges| = Σ deg²); canonical
+    * orientation already bounds that by orienting each edge low→high id,
+    * and AQE's skew-join split handles residual hot keys.
+    */
+  def triangleCounts(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges.select(col(src).cast("long").as("a"),
+      col(dst).cast("long").as("b"))
+    val wedges = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tris = wedges
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tris.select(col("a").as("node"))
+      .unionAll(tris.select(col("b").as("node")))
+      .unionAll(tris.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 }

@@ -78,6 +78,42 @@ object TimeSeriesOps {
           Seq((!isSelf).as("is_gap"), filled.as("val_filled"))): _*)
   }
 
+  /** Downsample a value stream into per-(key, bucket) OHLC bars:
+    * open = first value, close = last value (both by (ts, tie) order —
+    * `tie` makes equal timestamps deterministic), high/low = max/min,
+    * plus the row count. The classic resample step before charting or
+    * model features: 100 TB of ticks becomes |keys|·|buckets| rows.
+    *
+    * Shape: ONE shuffle — both row_number windows and the final
+    * aggregation hash-partition on (key, bucket), so Catalyst plans a
+    * single exchange followed by two sorts (asc/desc) and a partial+final
+    * aggregate. No self-join, no argmin struct comparison (min_by on a
+    * (ts, tie) struct would work but pins struct-ordering semantics;
+    * row_number keeps both engines on plain column ordering).
+    * Null ts/value rows are dropped first: Spark sorts nulls first,
+    * DuckDB last — excluding them keeps open/close engine-portable.
+    */
+  def ohlcBars(df: DataFrame, key: String, ts: String, value: String,
+      tie: String, bucket: Column): DataFrame = {
+    val b = df
+      .filter(col(ts).isNotNull && col(value).isNotNull)
+      .select(col(key), col(ts), col(tie), col(value), bucket.as("bucket"))
+    val asc = Window.partitionBy(col(key), col("bucket"))
+      .orderBy(col(ts).asc, col(tie).asc)
+    val desc = Window.partitionBy(col(key), col("bucket"))
+      .orderBy(col(ts).desc, col(tie).desc)
+    b.withColumn("__ra", row_number().over(asc))
+      .withColumn("__rd", row_number().over(desc))
+      .groupBy(col(key), col("bucket"))
+      .agg(
+        max(when(col("__ra") === 1, col(value))).as("open"),
+        max(col(value)).as("high"),
+        min(col(value)).as("low"),
+        max(when(col("__rd") === 1, col(value))).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col(key), col("bucket"))
+  }
+
   /** Collapse a change-event stream into SCD2 validity intervals: one row
     * per (key, status run), `valid_from` inclusive, `valid_to` exclusive
     * (NULL = current), `version` counting runs per key. `tie` breaks

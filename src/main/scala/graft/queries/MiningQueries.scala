@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Data-mining / robust-statistics pack: corpus LM quality scoring, OHLC
+  * downsampling, MAD outliers, market-basket co-occurrence, triangle
+  * counting, and winsorized means. Continues the oracle-parity rules of
+  * [[AnalyticsQueries]]: integer/DECIMAL reduces wherever a double would
+  * be order-dependent, round(…, 6) where per-group double sums are
+  * unavoidable, total output order everywhere.
+  */
+object MiningQueries {
+
+  // ------------------------------------------------------ q108_bigram_lm
+  // Self-trained bigram-LM quality score per document (CCNet-style): the
+  // corpus is its own model; mean bigram log-prob separates templated
+  // text (near 0) from rare junk (very negative). Tokenization mirrors
+  // q81's engine-portable form (trim+lower, split on \s+, drop empties).
+  private def q108BigramLm(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusOps.bigramLmScore(
+      Tables.documents(s, d), "doc_id", "text",
+      t => split(trim(lower(t)), "\\s+"))
+
+  private val q108Sql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term,
+      |    generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+      |  FROM documents),
+      |tokf AS (SELECT * FROM tok WHERE term <> ''),
+      |adj AS (SELECT doc_id, term AS w1,
+      |          lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |        FROM tokf),
+      |pairs AS (SELECT doc_id, w1, w2 FROM adj WHERE w2 IS NOT NULL),
+      |cb AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+      |cu AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(avg(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 6) AS lm_score
+      |FROM pairs JOIN cb USING (w1, w2) JOIN cu USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- q109_ohlc
+  // Daily OHLC bars per user over the events stream — the classic
+  // downsample: ticks → |keys|·|buckets| rows, one shuffle.
+  private def q109Ohlc(s: SparkSession, d: String): DataFrame =
+    graft.ops.TimeSeriesOps.ohlcBars(
+        Tables.events(s, d), "user_id", "ts", "value", "event_id",
+        date_trunc("day", col("ts")))
+      .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
+
+  private val q109Sql =
+    """WITH b AS (
+      |  SELECT user_id, date_trunc('day', ts) AS bucket, ts, event_id, value
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |r AS (SELECT *,
+      |  row_number() OVER (PARTITION BY user_id, bucket
+      |                     ORDER BY ts, event_id) AS ra,
+      |  row_number() OVER (PARTITION BY user_id, bucket
+      |                     ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM b)
+      |SELECT user_id, strftime(bucket, '%Y-%m-%d') AS bucket,
+      |  max(CASE WHEN ra = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rd = 1 THEN value END) AS close,
+      |  count(*) AS n_events
+      |FROM r GROUP BY user_id, bucket
+      |ORDER BY user_id, bucket""".stripMargin
+
+  // ---------------------------------------------------- q110_mad_outliers
+  // Robust per-user outlier summary: median / MAD / k=3 exceedance
+  // counts. Complements q95's z-score flagger on heavy-tailed telemetry.
+  private def q110MadOutliers(s: SparkSession, d: String): DataFrame =
+    graft.ops.AnalyticsOps.madOutliers(
+      Tables.events(s, d).select(col("user_id"), col("value")),
+      "user_id", "value", k = 3)
+
+  private val q110Sql =
+    """WITH med AS (
+      |  SELECT user_id,
+      |    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.user_id, abs(e.value - m.med) AS adev, m.med
+      |  FROM events e JOIN med m USING (user_id)),
+      |mad AS (
+      |  SELECT user_id, count(*) AS n, min(med) AS med,
+      |    percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT dev.user_id, min(mad.n) AS n, round(min(mad.med), 6) AS med,
+      |  round(min(mad.mad), 6) AS mad,
+      |  CAST(sum(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad USING (user_id)
+      |GROUP BY dev.user_id ORDER BY dev.user_id""".stripMargin
+
+  // --------------------------------------------------------- q111_basket
+  // Market-basket mining: part pairs co-ordered in ≥ 2 shared orders,
+  // top-100 by support. The skew guard (baskets > 50 items dropped) is
+  // mirrored in the oracle so semantics stay identical.
+  private def q111Basket(s: SparkSession, d: String): DataFrame =
+    graft.ops.GraphOps.cooccurrencePairs(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+        minSupport = 2L, maxBasket = 50)
+      .orderBy(col("support").desc, col("item1"), col("item2"))
+      .limit(100)
+
+  private val q111Sql =
+    """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |ok AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 50),
+      |bis AS (SELECT bi.* FROM bi JOIN ok USING (b)),
+      |p AS (SELECT a.i AS item1, b.i AS item2
+      |      FROM bis a JOIN bis b ON a.b = b.b AND a.i < b.i)
+      |SELECT item1, item2, count(*) AS support
+      |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY support DESC, item1, item2 LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------ q112_triangles
+  // Per-node triangle participation on the q111 co-occurrence graph
+  // (canonical src < dst orientation, wedge-closure join), top-50 nodes.
+  private def q112Triangles(s: SparkSession, d: String): DataFrame = {
+    val edges = graft.ops.GraphOps.cooccurrencePairs(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+      minSupport = 2L, maxBasket = 50)
+    graft.ops.GraphOps.triangleCounts(edges, "item1", "item2")
+      .orderBy(col("n_triangles").desc, col("node"))
+      .limit(50)
+  }
+
+  private val q112Sql =
+    """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |ok AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 50),
+      |bis AS (SELECT bi.* FROM bi JOIN ok USING (b)),
+      |p AS (SELECT a.i AS item1, b.i AS item2
+      |      FROM bis a JOIN bis b ON a.b = b.b AND a.i < b.i),
+      |e AS (SELECT item1 AS a, item2 AS b FROM p
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |t AS (SELECT e1.a, e1.b, e2.b AS c
+      |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |nodes AS (SELECT a AS node FROM t
+      |          UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+      |SELECT node, count(*) AS n_triangles
+      |FROM nodes GROUP BY 1
+      |ORDER BY n_triangles DESC, node LIMIT 50""".stripMargin
+
+  // ------------------------------------------------------ q113_winsorize
+  // Winsorized per-type value means: clamp to the exact [p05, p95] band,
+  // count clamped tails, DECIMAL-exact mean of the clamped column.
+  private def q113Winsorize(s: SparkSession, d: String): DataFrame =
+    graft.ops.AnalyticsOps.winsorize(
+      Tables.events(s, d).select(col("event_type"), col("value")),
+      "event_type", "value", pLo = 0.05, pHi = 0.95)
+
+  private val q113Sql =
+    """WITH bands AS (
+      |  SELECT event_type,
+      |    percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+      |    percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      |  CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      |  round(min(b.lo), 6) AS p_lo,
+      |  round(min(b.hi), 6) AS p_hi,
+      |  round(CAST(sum(CAST(least(greatest(e.value, b.lo), b.hi)
+      |                      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+      |    AS wins_mean
+      |FROM events e JOIN bands b USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q108_bigram_lm", q108BigramLm, Some(q108Sql)),
+    Q("q109_ohlc", q109Ohlc, Some(q109Sql)),
+    Q("q110_mad_outliers", q110MadOutliers, Some(q110Sql)),
+    Q("q111_basket", q111Basket, Some(q111Sql)),
+    Q("q112_triangles", q112Triangles, Some(q112Sql)),
+    Q("q113_winsorize", q113Winsorize, Some(q113Sql)))
+}

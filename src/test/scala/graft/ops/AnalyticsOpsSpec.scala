@@ -128,4 +128,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .as[(String, Double)].collect().toSeq
     assert(got == Seq(("a", 3.0), ("b", 5.0)))
   }
+
+  test("madOutliers: MAD ignores the spike the mean would chase") {
+    // 1..9 plus a 1000 spike: med = 5.5, adevs sort to median 2.5, so
+    // threshold 3·2.5 = 7.5 flags ONLY the spike (z-score with the same
+    // data would inflate sigma past flagging anything)
+    val df = ((1 to 9).map(v => ("u", v.toDouble)) :+ (("u", 1000.0)))
+      .toDF("k", "v")
+    val got = AnalyticsOps.madOutliers(df, "k", "v", k = 3)
+      .as[(String, Long, Double, Double, Long)].head()
+    assert(got == (("u", 10L, 5.5, 2.5, 1L)))
+  }
+
+  test("winsorize: clamp counts and clamped mean are exact on 1..100") {
+    // p05 = 5.95, p95 = 95.05 (index p·(n−1) interpolation); 5 values
+    // clamp on each tail; mean = (5·5.95 + Σ6..95 + 5·95.05)/100 = 50.5
+    val df = (1 to 100).map(v => ("g", v.toDouble)).toDF("k", "v")
+    val got = AnalyticsOps.winsorize(df, "k", "v")
+      .as[(String, Long, Long, Long, Double, Double, Double)].head()
+    assert(got == (("g", 100L, 5L, 5L, 5.95, 95.05, 50.5)))
+  }
 }

@@ -167,6 +167,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(negGot.length == 5 && negGot.forall(r => !r._2.isNaN))
   }
 
+  test("bigramLmScore: MLE ratios from corpus counts; short docs absent") {
+    import org.apache.spark.sql.functions.{lower, split, trim}
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"),
+      (4L, "solo"), (5L, "")) // < 2 tokens → no bigrams → absent
+      .toDF("doc_id", "text")
+    val got = CorpusOps.bigramLmScore(docs, "doc_id", "text",
+        t => split(trim(lower(t)), "\\s+"))
+      .as[(Long, Long, Double)].collect().toSeq
+    // c(a,b)=2, c(a,c)=1, c(a,·)=3 → docs 1,2 score ln(2/3); doc 3 ln(1/3)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got.map(_._2).forall(_ == 1L))
+    assert(math.abs(got(0)._3 - r6(math.log(2.0 / 3))) < 1e-9)
+    assert(math.abs(got(2)._3 - r6(math.log(1.0 / 3))) < 1e-9)
+  }
+
   test("contaminatedDocs: finds the planted overlap, counts distinct grams") {
     val eval = Seq((1L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")

@@ -32,6 +32,45 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  test("pageRankInt: co-partitioned path (broadcastRanks=false) is bit-identical") {
+    val edges = (for (i <- 0L until 20L) yield (i, (i * 3 + 1) % 20))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val bc = GraphOps.pageRankInt(edges, "src", "dst", 3)
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    val part = GraphOps.pageRankInt(edges, "src", "dst", 3,
+        broadcastRanks = false)
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(bc == part)
+  }
+
+  test("cooccurrencePairs: support counting, orientation, dedup, basket cap") {
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 2L), // duplicate (basket, item) row
+      (12L, 2L), (12L, 3L),
+      (13L, 1L), (13L, 2L),
+      // 4-item basket: dropped entirely under maxBasket = 3
+      (14L, 1L), (14L, 2L), (14L, 3L), (14L, 4L)
+    ).toDF("b", "i")
+    val got = GraphOps.cooccurrencePairs(rows, "b", "i",
+        minSupport = 2L, maxBasket = 3)
+      .orderBy($"item1", $"item2")
+      .as[(Long, Long, Long)].collect().toSeq
+    // (1,2): baskets 10, 11, 13 (dup row counted once; basket 14 capped)
+    // (2,3): baskets 10, 12; (1,3): basket 10 only → pruned
+    assert(got == Seq((1L, 2L, 3L), (2L, 3L, 2L)))
+  }
+
+  test("triangleCounts: one count per corner, shared edges don't double") {
+    // triangles {1,2,3} and {2,3,4} share edge (2,3); (4,5) closes nothing
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = GraphOps.triangleCounts(e, "a", "b")
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
+  }
+
   test("pageRankInt: mass is conserved up to floor-division leakage") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
     val total = GraphOps.pageRankInt(edges, "src", "dst", 2)

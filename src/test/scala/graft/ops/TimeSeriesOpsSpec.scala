@@ -70,6 +70,26 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       (2L, "new", ts(0), None, 1)))
   }
 
+  test("ohlcBars: open/close by (ts, tie) order, null rows dropped") {
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    val rows = Seq(
+      // day 1: same-instant tie broken by id → open = id 1's value
+      (1L, ts(10, 0), 1L, Some(5.0)),
+      (1L, ts(10, 0), 2L, Some(9.0)),
+      (1L, ts(11, 0), 3L, Some(1.0)),
+      (1L, ts(12, 0), 4L, Some(3.0)),
+      // null value: must not become open/close/low
+      (1L, ts(13, 0), 5L, None),
+      // separate key, single row: all four prices equal
+      (2L, ts(9, 30), 6L, Some(7.0)))
+      .toDF("k", "t", "id", "v")
+    val got = TimeSeriesOps.ohlcBars(rows, "k", "t", "v", "id",
+        date_trunc("day", col("t")))
+      .select("k", "open", "high", "low", "close", "n_events")
+      .as[(Long, Double, Double, Double, Double, Long)].collect().toSeq
+    assert(got == Seq((1L, 5.0, 9.0, 1.0, 3.0, 4L), (2L, 7.0, 7.0, 7.0, 7.0, 1L)))
+  }
+
   test("scd2 intervals tile each key's timeline without overlap") {
     val ev = Seq.tabulate(40) { i =>
       (i % 3L, if ((i / 5) % 2 == 0) "a" else "b", ts(i % 24, i % 60), i.toLong)
