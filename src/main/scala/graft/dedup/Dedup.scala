@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis
@@ -173,6 +174,64 @@ object Dedup {
     l.join(broadcast(r), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("t_a"), col("t_b")).as("jaccard"))
+  }
+
+  /** Prefix-filtered exact Jaccard pairs (PPJoin-style): the SCALE path
+    * for threshold set-similarity joins, returning EXACTLY the pairs the
+    * brute-force [[tokenJaccardPairs]] + threshold filter would — prefix
+    * filtering is lossless, so the DuckDB brute-force oracle checks this
+    * end to end.
+    *
+    * Blocking lemma: under one global token order, two sets with
+    * J(A,B) ≥ t share ≥ ⌈t·max(|A|,|B|)⌉ tokens, and any two sets with
+    * |A∩B| ≥ α intersect within their (|s|−α+1)-prefixes — so candidate
+    * pairs only need to co-occur on ONE prefix token. Tokens are ordered
+    * rarest-first (freq asc, token asc — deterministic), which makes
+    * prefixes collide as little as possible: stopword-bucket blowup is
+    * designed out, the candidate join hashes on rare tokens.
+    *
+    * Shape: vocabulary ranking is one |vocab| aggregation + one
+    * zero-partition-column window over the vocab table (broadcast back);
+    * per-doc prefix extraction is one (doc-key) window; candidates are a
+    * self-join on prefix token + distinct; verification re-joins the two
+    * token arrays and keeps J ≥ t. Brute force compares n²/2 pairs;
+    * this compares only prefix-colliding ones.
+    */
+  def jaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    // tokenized docs feed the vocab count, the prefix extraction, and
+    // BOTH sides of the verification join — checkpoint so the corpus is
+    // tokenized once, not four times
+    val docs = df.select(col(idCol).as("id"),
+      array_distinct(graft.text.TextAnalysis.tokens(lower(col(textCol))))
+        .as("toks"))
+      .localCheckpoint()
+    val tok = docs.select(col("id"), size(col("toks")).as("sz"),
+      explode(col("toks")).as("term"))
+    // global rarest-first total order over the vocabulary
+    val rank = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").asc, col("term").asc)))
+      .select(col("term"), col("rnk"))
+    // prefix = the |s| − ⌈t·|s|⌉ + 1 rarest tokens of each doc
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("rnk"))
+    val prefix = tok.join(broadcast(rank), "term")
+      .withColumn("pos", row_number().over(byRarity))
+      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("term"))
+    val cand = prefix.select(col("id").as("id_a"), col("term"))
+      .join(prefix.select(col("id").as("id_b"), col("term")), Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("toks").as("t_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("toks").as("t_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("t_a"), col("t_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Edit-distance (Levenshtein) near-dup pairs over a (small) probe set

@@ -122,13 +122,19 @@ object GraphOps {
     * and AQE's skew-join split handles residual hot keys.
     */
   def triangleCounts(edges: DataFrame, src: String, dst: String): DataFrame = {
+    // the edge list is referenced three times (two wedge sides + the
+    // closure probe) and the triangle set three times (one per corner):
+    // checkpoint both, or the caller's whole edge-construction pipeline
+    // (often a fact-table self-join) re-executes up to 9×
     val e = edges.select(col(src).cast("long").as("a"),
       col(dst).cast("long").as("b"))
+      .localCheckpoint()
     val wedges = e.select(col("a"), col("b"))
       .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
     val tris = wedges
       .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
       .select(col("a"), col("b"), col("c"))
+      .localCheckpoint()
     tris.select(col("a").as("node"))
       .unionAll(tris.select(col("b").as("node")))
       .unionAll(tris.select(col("c").as("node")))

@@ -171,11 +171,72 @@ object MiningQueries {
       |FROM events e JOIN bands b USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  // --------------------------------------------------- q120_transitions
+  // Markov transition matrix over per-user event sequences: count and
+  // within-source probability of each (prev → next) event-type step.
+  // One lead() window by user (no self-join), one pair aggregation, one
+  // tiny window over the |types|² matrix for the row-normalization.
+  private def q120Transitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+    steps.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("src"))), 6))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  private val q120Sql =
+    """WITH steps AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |m AS (SELECT src, dst, count(*) AS n FROM steps
+      |      WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+      |FROM m ORDER BY src, dst""".stripMargin
+
+  // ------------------------------------------------- q121_jaccard_prefix
+  // Prefix-filtered (PPJoin-style) exact Jaccard pairs at t = 0.4 over a
+  // 100-doc set. Blocking is lossless, so the oracle runs BRUTE FORCE
+  // (n²/2 pairs) and the results must match exactly — the scale path is
+  // verified against the spec it must preserve, not trusted.
+  private def q121JaccardPrefix(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.jaccardPairsPrefix(
+        Tables.documents(s, d).filter(col("doc_id") < 100),
+        "doc_id", "text", threshold = 0.4)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q121Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+      |  FROM documents WHERE doc_id < 100),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+      |FROM p WHERE jaccard >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q108_bigram_lm", q108BigramLm, Some(q108Sql)),
     Q("q109_ohlc", q109Ohlc, Some(q109Sql)),
     Q("q110_mad_outliers", q110MadOutliers, Some(q110Sql)),
     Q("q111_basket", q111Basket, Some(q111Sql)),
     Q("q112_triangles", q112Triangles, Some(q112Sql)),
-    Q("q113_winsorize", q113Winsorize, Some(q113Sql)))
+    Q("q113_winsorize", q113Winsorize, Some(q113Sql)),
+    Q("q120_transitions", q120Transitions, Some(q120Sql)),
+    Q("q121_jaccard_prefix", q121JaccardPrefix, Some(q121Sql)))
 }

@@ -123,4 +123,25 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(got == Map((1L, 2L) -> 3, (1L, 3L) -> 0, (2L, 3L) -> 3))
   }
+
+  test("jaccardPairsPrefix: lossless — identical pairs to brute force") {
+    // clusters of near-dups + singletons, with heavy shared stopwords so
+    // the rarest-first prefix ordering actually earns its keep
+    val docs = (0L until 40L).map { i =>
+      val stop = "the of and a to in is it"
+      val body = (0 until 6).map(j => s"w${(i / 4) * 6 + j}").mkString(" ")
+      val noise = if (i % 4 == 3) s" x$i y$i" else ""
+      (i, s"$stop $body$noise")
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val brute = Dedup.tokenJaccardPairs(docs, "doc_id", "text")
+        .filter($"jaccard" >= t)
+        .select($"id_a", $"id_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == brute, s"mismatch at t=$t")
+      assert(brute.nonEmpty, s"degenerate fixture at t=$t")
+    }
+  }
 }
