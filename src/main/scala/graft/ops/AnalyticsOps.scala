@@ -211,6 +211,26 @@ object AnalyticsOps {
       .orderBy(col(group))
   }
 
+  /** Running distinct-entity count per time bucket — the scalable form
+    * of `count(DISTINCT …) OVER (ORDER BY day)`. The naive window
+    * re-scans every prefix (O(n·days) state); this reduces each entity
+    * to its FIRST bucket, counts arrivals per bucket, and prefix-sums
+    * the |buckets|-sized series. Two aggregations + one tiny window —
+    * event volume only touches the first (per-entity min) shuffle.
+    * Returns (bucket, new_entities, cume_entities).
+    */
+  def cumulativeDistinct(df: DataFrame, entity: String,
+      bucket: Column): DataFrame = {
+    val firstSeen = df.select(col(entity).as("e"), bucket.as("bucket"))
+      .groupBy(col("e")).agg(min(col("bucket")).as("bucket"))
+    firstSeen.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_entities"))
+      .withColumn("cume_entities", sum(col("new_entities")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("bucket"))
+  }
+
   /** Robust outlier summary per key: median, MAD (median absolute
     * deviation), and how many rows deviate by more than `k`·MAD. The
     * z-score flagger above assumes roughly normal data; MAD survives the

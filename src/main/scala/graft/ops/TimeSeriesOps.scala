@@ -114,6 +114,36 @@ object TimeSeriesOps {
       .orderBy(col(key), col("bucket"))
   }
 
+  /** Last-observation-carried-forward: the most recent non-null `value`
+    * at or before each row, per key in (ord…) order. The standard
+    * sensor/price fill — null rows inherit, non-null rows pass through.
+    * One shuffle (the per-key window sort); the running `last` is a
+    * single ordered pass, state = one value.
+    */
+  def locf(key: String, ord: Seq[Column], value: Column): Column =
+    last(value, ignoreNulls = true).over(
+      Window.partitionBy(col(key)).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** Point-in-time (temporal) join: each fact row picks the SCD2
+    * interval of its key that covers its timestamp — `valid_from`
+    * inclusive, `valid_to` exclusive, open (NULL) intervals match
+    * everything from `valid_from` on. `dim` is [[scd2]] output (or any
+    * frame with key/valid_from/valid_to columns tiling each key's
+    * timeline, so every fact matches at most once).
+    *
+    * Shape: an equi-join on the key carrying the range predicate as the
+    * join condition — SMJ/shuffled-hash on the key, the range filter
+    * applied within key groups. Per-key interval counts (dim versions)
+    * bound the fan-in, never the fact volume.
+    */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame,
+      factKey: String, factTs: String, dimKey: String): DataFrame =
+    facts.join(dim,
+      facts(factKey) === dim(dimKey) &&
+        facts(factTs) >= dim("valid_from") &&
+        (facts(factTs) < dim("valid_to") || dim("valid_to").isNull))
+
   /** Collapse a change-event stream into SCD2 validity intervals: one row
     * per (key, status run), `valid_from` inclusive, `valid_to` exclusive
     * (NULL = current), `version` counting runs per key. `tie` breaks

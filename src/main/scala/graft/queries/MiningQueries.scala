@@ -230,6 +230,114 @@ object MiningQueries {
       |FROM p WHERE jaccard >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ----------------------------------------------------------- q122_locf
+  // Last-observation-carried-forward: each event carries the user's most
+  // recent purchase amount — nulls inherit through the running
+  // ignore-nulls last(). One window, one shuffle.
+  private def q122Locf(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "purchase", col("value")).as("pv"))
+      .withColumn("last_purchase",
+        graft.ops.TimeSeriesOps.locf("user_id",
+          Seq(col("ts"), col("event_id")), col("pv")))
+      .select(col("event_id"), col("user_id"), col("last_purchase"))
+      .orderBy(col("event_id"))
+
+  private val q122Sql =
+    """SELECT event_id, user_id,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+      |             IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS last_purchase
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------- q123_cume_distinct
+  // Running distinct users per day — first-seen reduction + prefix sum,
+  // NOT a per-prefix re-count (see AnalyticsOps.cumulativeDistinct).
+  private def q123CumeDistinct(s: SparkSession, d: String): DataFrame =
+    graft.ops.AnalyticsOps.cumulativeDistinct(
+        Tables.events(s, d), "user_id", to_date(col("ts")))
+      .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
+      .withColumnRenamed("bucket", "day")
+      .withColumnRenamed("new_entities", "new_users")
+      .withColumnRenamed("cume_entities", "cume_users")
+
+  private val q123Sql =
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d
+      |           FROM events GROUP BY 1),
+      |n AS (SELECT d, count(*) AS new_users FROM f GROUP BY 1)
+      |SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+      |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cume_users
+      |FROM n ORDER BY day""".stripMargin
+
+  // -------------------------------------------------- q124_temporal_join
+  // Point-in-time join: every event of the q87 SCD2 users resolves the
+  // status interval covering its timestamp (valid_from inclusive,
+  // valid_to exclusive, open interval = current), then counts per
+  // (user, version). Equi-join on the key carries the range predicate.
+  private def q124TemporalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") % 20 === 0)
+    val iv = graft.ops.TimeSeriesOps.scd2(
+      ev, col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    graft.ops.TimeSeriesOps.pointInTimeJoin(
+        ev.select(col("user_id"), col("ts")), iv, "user_id", "ts", "key")
+      .groupBy(col("key").as("user_id"), col("version"), col("status"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val q124Sql =
+    """WITH marked AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC) AS prev
+      |  FROM events WHERE user_id % 20 = 0),
+      |changes AS (
+      |  SELECT * FROM marked WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (
+      |  SELECT user_id AS k, event_type AS status, ts AS valid_from,
+      |    lead(ts, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC) AS valid_to,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC) AS INT) AS version
+      |  FROM changes)
+      |SELECT e.user_id, iv.version, iv.status, count(*) AS n_events
+      |FROM events e
+      |JOIN iv ON e.user_id = iv.k AND e.ts >= iv.valid_from
+      |  AND (e.ts < iv.valid_to OR iv.valid_to IS NULL)
+      |WHERE e.user_id % 20 = 0
+      |GROUP BY 1, 2, 3
+      |ORDER BY e.user_id, iv.version""".stripMargin
+
+  // -------------------------------------------------- q125_feature_scale
+  // Per-dimension z-score standardization of the embedding table,
+  // flattened to (vec_id, dim, z6) — DECIMAL power sums per dim,
+  // identical IEEE op sequence for the closed-form z on both engines.
+  private def q125FeatureScale(s: SparkSession, d: String): DataFrame =
+    graft.sim.Similarity.standardizeDims(
+        Tables.embeddings(s, d), "vec_id", "embedding")
+      .orderBy(col("vec_id"), col("dim"))
+
+  private val q125Sql =
+    """WITH e AS (
+      |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |    generate_subscripts(embedding, 1) AS dim
+      |  FROM embeddings),
+      |st AS (
+      |  SELECT dim, count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(20,10))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(x*x AS DECIMAL(24,12))) AS DOUBLE) AS sxx
+      |  FROM e GROUP BY 1)
+      |SELECT e.vec_id, e.dim,
+      |  CASE WHEN sxx/n - (sx/n)*(sx/n) > 0
+      |       THEN round((e.x - sx/n) / sqrt(sxx/n - (sx/n)*(sx/n)), 6)
+      |       END AS z6
+      |FROM e JOIN st USING (dim)
+      |ORDER BY e.vec_id, e.dim""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q108_bigram_lm", q108BigramLm, Some(q108Sql)),
     Q("q109_ohlc", q109Ohlc, Some(q109Sql)),
@@ -238,5 +346,9 @@ object MiningQueries {
     Q("q112_triangles", q112Triangles, Some(q112Sql)),
     Q("q113_winsorize", q113Winsorize, Some(q113Sql)),
     Q("q120_transitions", q120Transitions, Some(q120Sql)),
-    Q("q121_jaccard_prefix", q121JaccardPrefix, Some(q121Sql)))
+    Q("q121_jaccard_prefix", q121JaccardPrefix, Some(q121Sql)),
+    Q("q122_locf", q122Locf, Some(q122Sql)),
+    Q("q123_cume_distinct", q123CumeDistinct, Some(q123Sql)),
+    Q("q124_temporal_join", q124TemporalJoin, Some(q124Sql)),
+    Q("q125_feature_scale", q125FeatureScale, Some(q125Sql)))
 }

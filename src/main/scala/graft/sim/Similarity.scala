@@ -132,6 +132,34 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("avg_raw")))),
         s => s.getField("avg_raw")).as("centroid"))
 
+  /** Per-dimension z-score standardization of an embedding table,
+    * flattened to (id, dim, z): z = (x − μ_dim)/σ_dim (population σ) —
+    * the feature-scaling step before distance-based indexing when
+    * dimensions carry different magnitudes. Moments come from
+    * DECIMAL power sums (order-independent under any partitioning);
+    * the per-dim stats table is |dims| rows, broadcast back into the
+    * flattened scan, so the only full-data shuffle is the partial+final
+    * moment aggregation. Constant dimensions (σ = 0) yield NULL z on
+    * both engines — guarded explicitly, since ANSI Spark raises on
+    * division by zero.
+    */
+  def standardizeDims(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = df.select(col(idCol), posexplode(asDouble(col(vecCol)))
+      .as(Seq("pos", "x")))
+      .select(col(idCol), (col("pos") + 1).as("dim"), col("x"))
+    val st = e.groupBy(col("dim")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(20,10)")).cast("double").as("sx"),
+      sum((col("x") * col("x")).cast("decimal(24,12)")).cast("double")
+        .as("sxx"))
+    val mean = col("sx") / col("n")
+    val variance = col("sxx") / col("n") - mean * mean
+    e.join(broadcast(st), "dim")
+      .select(col(idCol), col("dim"),
+        when(variance > 0,
+          round((col("x") - mean) / sqrt(variance), 6)).as("z6"))
+  }
+
   /** Absmax int8 quantization of an embedding table, flattened to
     * (id, dim, q8): q8 = round(127·e / max|e| over the vector), the
     * storage-compression scheme of int8 inference kernels. Per-vector

@@ -129,6 +129,19 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == Seq(("a", 3.0), ("b", 5.0)))
   }
 
+  test("cumulativeDistinct: entities count once, at their first bucket") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("u1", 1), ("u1", 3), // u1 arrives at bucket 1; bucket-3 row ignored
+      ("u2", 1),
+      ("u3", 2), ("u3", 3))
+      .toDF("u", "d")
+    val got = AnalyticsOps.cumulativeDistinct(df, "u", col("d"))
+      .as[(Int, Long, Long)].collect().toSeq
+    // bucket 3 has no NEW arrivals → absent (documented: arrival series)
+    assert(got == Seq((1, 2L, 2L), (2, 1L, 3L)))
+  }
+
   test("madOutliers: MAD ignores the spike the mean would chase") {
     // 1..9 plus a 1000 spike: med = 5.5, adevs sort to median 2.5, so
     // threshold 3·2.5 = 7.5 flags ONLY the spike (z-score with the same

@@ -70,6 +70,42 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       (2L, "new", ts(0), None, 1)))
   }
 
+  test("locf carries the last non-null forward within each key") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, ts(10, 0), 1L, None),
+      (1L, ts(10, 30), 2L, Some(5.0)),
+      (1L, ts(11, 0), 3L, None),
+      (1L, ts(11, 30), 4L, Some(7.0)),
+      (2L, ts(10, 0), 5L, None)) // other key: never inherits key 1
+      .toDF("k", "t", "id", "v")
+    val got = rows
+      .withColumn("f", TimeSeriesOps.locf("k", Seq(col("t"), col("id")), col("v")))
+      .orderBy($"k", $"t")
+      .select($"f").as[Option[Double]].collect().toSeq
+    assert(got == Seq(None, Some(5.0), Some(5.0), Some(7.0), None))
+  }
+
+  test("pointInTimeJoin: inclusive from, exclusive to, open current") {
+    import org.apache.spark.sql.functions.col
+    val dim = Seq(
+      (1L, "a", ts(10, 0), Some(ts(12, 0)), 1),
+      (1L, "b", ts(12, 0), None, 2))
+      .toDF("key", "status", "valid_from", "valid_to", "version")
+    val facts = Seq(
+      (1L, ts(10, 0), 1L),  // at from → covered by a
+      (1L, ts(11, 59), 2L), // inside a
+      (1L, ts(12, 0), 3L),  // boundary: exclusive to → b
+      (1L, ts(23, 0), 4L),  // open interval → b
+      (1L, ts(9, 0), 5L),   // before first interval → dropped
+      (2L, ts(11, 0), 6L))  // unknown key → dropped
+      .toDF("u", "t", "fid")
+    val got = TimeSeriesOps.pointInTimeJoin(facts, dim, "u", "t", "key")
+      .select(col("fid"), col("status"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b"))
+  }
+
   test("ohlcBars: open/close by (ts, tie) order, null rows dropped") {
     import org.apache.spark.sql.functions.{col, date_trunc}
     val rows = Seq(

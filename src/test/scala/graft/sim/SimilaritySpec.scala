@@ -85,4 +85,21 @@ class SimilaritySpec extends AnyFunSuite {
       .select($"m").distinct().as[Int].collect().toSet
     assert(maxPerVec == Set(127))
   }
+
+  test("standardizeDims: exact z on a known column, NULL on constant dim") {
+    val df = Seq(
+      (1L, Seq(0.0f, 10.0f)),
+      (2L, Seq(2.0f, 10.0f)),
+      (3L, Seq(4.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.standardizeDims(df, "vec_id", "embedding")
+      .orderBy($"vec_id", $"dim")
+      .select($"vec_id", $"dim", $"z6")
+      .as[(Long, Int, Option[Double])].collect()
+    // dim 1: mean 2, σ² = 8/3 → z = ±1.224745 / 0
+    val d1 = got.filter(_._2 == 1).map(_._3).toSeq
+    assert(d1 == Seq(Some(-1.224745), Some(0.0), Some(1.224745)))
+    // dim 2 constant: σ = 0 → guarded NULL (ANSI Spark raises on x/0)
+    assert(got.filter(_._2 == 2).forall(_._3.isEmpty))
+  }
 }
