@@ -231,6 +231,50 @@ object AnalyticsOps {
       .orderBy(col("bucket"))
   }
 
+  /** Two-proportion A/B comparison from exact per-variant counts:
+    * entities, converters (entities with ≥ 1 conversion event), rates,
+    * absolute lift (B − A), and the pooled two-proportion z statistic.
+    * Everything reduces to four integer counts before any double math,
+    * so the statistic is a fixed closed-form IEEE sequence — exact under
+    * any partitioning and engine-portable. Exactly two variants
+    * required (z is pairwise); both shuffles key on entity then
+    * variant, both tiny.
+    */
+  def abLift(df: DataFrame, variant: String, entity: String,
+      converted: Column): DataFrame = {
+    val perEntity = df.groupBy(col(variant).as("v"), col(entity))
+      .agg(max(when(converted, 1L).otherwise(0L)).as("c"))
+    val perVariant = perEntity.groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("conv"))
+    // two-row → one-row reshape by conditional aggregation over the
+    // window-tagged variant table (2 rows — every op here is trivial);
+    // assert_true turns a >2-variant misuse into a loud failure
+    val w = Window.partitionBy()
+    val tagged = perVariant
+      .withColumn("__chk", assert_true(count(lit(1)).over(w) === 2,
+        lit("abLift requires exactly two variants")))
+      .withColumn("__isa", col("v") === min(col("v")).over(w))
+      .filter(col("__chk").isNull) // always true; forces the assertion
+    val one = tagged.agg(
+      min(col("v")).as("variant_a"), max(col("v")).as("variant_b"),
+      sum(when(col("__isa"), col("n"))).as("n_a"),
+      sum(when(col("__isa"), col("conv"))).as("conv_a"),
+      sum(when(!col("__isa"), col("n"))).as("n_b"),
+      sum(when(!col("__isa"), col("conv"))).as("conv_b"))
+    val pA = col("conv_a").cast("double") / col("n_a")
+    val pB = col("conv_b").cast("double") / col("n_b")
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val denom = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    one.select(col("variant_a"), col("variant_b"),
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(pA, 6).as("rate_a"), round(pB, 6).as("rate_b"),
+      round(pB - pA, 6).as("lift"),
+      // all-converted / none-converted pools have zero variance: NULL z
+      when(denom > 0, round((pB - pA) / denom, 6)).as("z"))
+  }
+
   /** Robust outlier summary per key: median, MAD (median absolute
     * deviation), and how many rows deviate by more than `k`·MAD. The
     * z-score flagger above assumes roughly normal data; MAD survives the

@@ -348,6 +348,47 @@ object AnalyticsQueries {
        |ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------------- q126_ab_lift
+  // Experiment readout: user_id parity as the variant split, purchase as
+  // conversion — per-variant entity/converter counts reduce to four
+  // integers, then one closed-form two-proportion z. Identical IEEE
+  // sequence both engines; zero-variance pools yield NULL z.
+  private def q126AbLift(s: SparkSession, d: String): DataFrame =
+    graft.ops.AnalyticsOps.abLift(
+      Tables.events(s, d).withColumn("v", col("user_id") % 2),
+      variant = "v", entity = "user_id",
+      converted = col("event_type") === "purchase")
+
+  private val q126Sql =
+    """WITH pe AS (
+      |  SELECT user_id % 2 AS v, user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      |  FROM events GROUP BY 1, 2),
+      |pv AS (SELECT v, count(*) AS n, CAST(sum(c) AS BIGINT) AS conv
+      |       FROM pe GROUP BY 1),
+      |pvt AS (SELECT *, v = min(v) OVER () AS isa FROM pv),
+      |one AS (
+      |  SELECT min(v) AS variant_a, max(v) AS variant_b,
+      |    CAST(sum(CASE WHEN isa THEN n END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN isa THEN conv END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN NOT isa THEN n END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN NOT isa THEN conv END) AS BIGINT) AS conv_b
+      |  FROM pvt),
+      |calc AS (
+      |  SELECT *, CAST(conv_a AS DOUBLE) / n_a AS ra,
+      |    CAST(conv_b AS DOUBLE) / n_b AS rb,
+      |    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pool
+      |  FROM one),
+      |c2 AS (
+      |  SELECT *, sqrt(pool * (1.0 - pool) *
+      |    (CAST(1 AS DOUBLE)/n_a + CAST(1 AS DOUBLE)/n_b)) AS den
+      |  FROM calc)
+      |SELECT variant_a, variant_b, n_a, conv_a, n_b, conv_b,
+      |  round(ra, 6) AS rate_a, round(rb, 6) AS rate_b,
+      |  round(rb - ra, 6) AS lift,
+      |  CASE WHEN den > 0 THEN round((rb - ra) / den, 6) END AS z
+      |FROM c2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q91_funnel", q91Funnel, Some(q91Sql)),
     Q("q92_retention", q92Retention, Some(q92Sql)),
@@ -358,5 +399,6 @@ object AnalyticsQueries {
     Q("q101_range_frame", q101RangeFrame, Some(q101Sql)),
     Q("q102_array_hof", q102ArrayHof, Some(q102Sql)),
     Q("q103_chi2", q103Chi2, Some(q103Sql)),
-    Q("q107_pagerank", q107PageRank, Some(q107Sql)))
+    Q("q107_pagerank", q107PageRank, Some(q107Sql)),
+    Q("q126_ab_lift", q126AbLift, Some(q126Sql)))
 }

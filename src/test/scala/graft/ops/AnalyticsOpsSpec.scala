@@ -129,6 +129,38 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == Seq(("a", 3.0), ("b", 5.0)))
   }
 
+  test("abLift: exact counts and closed-form z on a tiny experiment") {
+    import org.apache.spark.sql.functions.col
+    // variant 0: users 0,2 (user 0 converts) — variant 1: users 1,3 (both)
+    val ev = Seq(
+      (0L, "view"), (0L, "purchase"), (0L, "purchase"), // dup conversion: 1
+      (2L, "view"),
+      (1L, "purchase"), (3L, "purchase"), (3L, "view"))
+      .toDF("user_id", "event_type")
+      .withColumn("v", col("user_id") % 2)
+    val got = AnalyticsOps.abLift(ev, "v", "user_id",
+        col("event_type") === "purchase")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double, Double,
+        Option[Double])].head()
+    // pool = 3/4; den = sqrt(.75*.25*(0.5+0.5)) = sqrt(3)/4 ≈ .433013
+    // z = (1 - 0.5)/den ≈ 1.154701
+    assert(got._1 == 0L && got._2 == 1L)
+    assert((got._3, got._4, got._5, got._6) == ((2L, 1L, 2L, 2L)))
+    assert((got._7, got._8, got._9) == ((0.5, 1.0, 0.5)))
+    assert(math.abs(got._10.get - 1.154701) < 1e-9)
+  }
+
+  test("abLift: zero-variance pool yields NULL z, not a crash") {
+    import org.apache.spark.sql.functions.col
+    val ev = Seq((0L, "purchase"), (1L, "purchase"))
+      .toDF("user_id", "event_type")
+      .withColumn("v", col("user_id") % 2)
+    val z = AnalyticsOps.abLift(ev, "v", "user_id",
+        col("event_type") === "purchase")
+      .select(col("z")).as[Option[Double]].head()
+    assert(z.isEmpty)
+  }
+
   test("cumulativeDistinct: entities count once, at their first bucket") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
