@@ -39,6 +39,17 @@ object Graft {
         threshold: Double = 0.6): DataFrame =
       Dedup.nearDupPairsMinhash(df, idCol, textCol, threshold = threshold)
 
+    /** EXACT threshold-Jaccard pairs via lossless prefix filtering —
+      * brute-force results at equi-join cost. */
+    def jaccardPairsExact(idCol: String, textCol: String = "text",
+        threshold: Double = 0.6): DataFrame =
+      Dedup.jaccardPairsPrefix(df, idCol, textCol, threshold)
+
+    /** Self-trained bigram-LM quality score per document. */
+    def withLmScore(idCol: String, textCol: String = "text"): DataFrame =
+      CorpusOps.bigramLmScore(df, idCol, textCol,
+        t => split(trim(lower(t)), "\\s+"))
+
     /** Drop near-duplicates cluster-wise: LSH pairs → connected
       * components → exactly one (min-id) keeper per near-dup cluster.
       * Cluster resolution, not greedy pair-dropping — chained dups
@@ -144,6 +155,10 @@ object Graft {
     /** Absmax int8 quantization flattened to (id, dim, q8). */
     def quantized(idCol: String, vecCol: String): DataFrame =
       Similarity.quantizeInt8(df, idCol, vecCol)
+
+    /** Per-dimension z-score standardization flattened to (id, dim, z). */
+    def standardized(idCol: String, vecCol: String): DataFrame =
+      Similarity.standardizeDims(df, idCol, vecCol)
   }
 
   implicit class FlowOps(private val df: DataFrame) {
@@ -201,6 +216,54 @@ object Graft {
         expectedKeys: Long, fpp: Double = 0.01): DataFrame =
       JoinOps.bloomPreFilteredJoin(df, build, probeKey, buildKey,
         expectedKeys, fpp)
+
+    /** Median / MAD / k·MAD exceedance counts per key (robust outliers). */
+    def madOutliers(key: String, value: String, k: Int = 3): DataFrame =
+      AnalyticsOps.madOutliers(df, key, value, k)
+
+    /** Clamp to the exact per-group [pLo, pHi] percentile band. */
+    def winsorize(group: String, value: String,
+        pLo: Double = 0.05, pHi: Double = 0.95): DataFrame =
+      AnalyticsOps.winsorize(df, group, value, pLo, pHi)
+
+    /** Running distinct entities per bucket (first-seen + prefix sum). */
+    def cumulativeDistinct(entity: String, bucket: Column): DataFrame =
+      AnalyticsOps.cumulativeDistinct(df, entity, bucket)
+
+    /** Two-proportion experiment readout (rates, lift, pooled z). */
+    def abLift(variant: String, entity: String,
+        converted: Column): DataFrame =
+      AnalyticsOps.abLift(df, variant, entity, converted)
+
+    /** Per-(key, bucket) OHLC downsampling bars. */
+    def ohlcBars(key: String, ts: String, value: String, tie: String,
+        bucket: Column): DataFrame =
+      graft.ops.TimeSeriesOps.ohlcBars(df, key, ts, value, tie, bucket)
+
+    /** SCD2 validity intervals from a change-event stream. */
+    def scd2(key: Column, status: Column, ts: Column,
+        tie: Column): DataFrame =
+      graft.ops.TimeSeriesOps.scd2(df, key, status, ts, tie)
+
+    /** Point-in-time join: resolve each row's covering SCD2 interval. */
+    def pointInTime(dim: DataFrame, factKey: String, factTs: String,
+        dimKey: String = "key"): DataFrame =
+      graft.ops.TimeSeriesOps.pointInTimeJoin(df, dim, factKey, factTs,
+        dimKey)
+
+    /** Co-occurrence pairs over (basket, item) rows, support-pruned. */
+    def cooccurrencePairs(basket: String, item: String,
+        minSupport: Long = 2L, maxBasket: Int = 50): DataFrame =
+      graft.ops.GraphOps.cooccurrencePairs(df, basket, item, minSupport,
+        maxBasket)
+
+    /** Per-node triangle counts over a src<dst oriented edge list. */
+    def triangleCounts(src: String, dst: String): DataFrame =
+      graft.ops.GraphOps.triangleCounts(df, src, dst)
+
+    /** Integer-exact PageRank over a directed edge list. */
+    def pageRank(src: String, dst: String, iters: Int = 3): DataFrame =
+      graft.ops.GraphOps.pageRankInt(df, src, dst, iters)
   }
 
   /** Column-level vocabulary re-exported for expression building. */

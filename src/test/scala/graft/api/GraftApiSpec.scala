@@ -75,4 +75,29 @@ class GraftApiSpec extends AnyFunSuite {
       .select("k").as[Long].collect().sorted.toSeq
     assert(bj == Seq(3L, 7L))
   }
+
+  test("round-4 facade: baskets, triangles, lm score, prefix jaccard, ab") {
+    import org.apache.spark.sql.functions.col
+    val baskets = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+      .toDF("b", "i")
+    val pairs = baskets.cooccurrencePairs("b", "i")
+    assert(pairs.select("support").as[Long].head() == 2L)
+
+    val tris = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+      .triangleCounts("s", "d")
+    assert(tris.count() == 3)
+
+    val lm = docs.withLmScore("doc_id")
+    assert(lm.columns.contains("lm_score") && lm.count() == 3)
+
+    val jp = docs.jaccardPairsExact("doc_id", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(jp == Seq((1L, 2L)))
+
+    val ab = Seq((0L, "purchase"), (1L, "view"))
+      .toDF("user_id", "event_type")
+      .withColumn("v", col("user_id") % 2)
+      .abLift("v", "user_id", col("event_type") === "purchase")
+    assert(ab.select("lift").as[Double].head() == -1.0)
+  }
 }
