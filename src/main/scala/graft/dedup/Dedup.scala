@@ -215,11 +215,15 @@ object Dedup {
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("n").asc, col("term").asc)))
       .select(col("term"), col("rnk"))
-    // prefix = the |s| − ⌈t·|s|⌉ + 1 rarest tokens of each doc
+    // prefix = the |s| − ⌈t·|s|⌉ + 1 rarest tokens of each doc. The
+    // ceil runs in DECIMAL: double t·|s| can land just above an integer
+    // (0.07·100 = 7.000000000000001) and a one-too-high ceil silently
+    // shortens the prefix — breaking the losslessness contract.
+    val tDec = lit(BigDecimal.valueOf(threshold).setScale(12))
     val byRarity = Window.partitionBy(col("id")).orderBy(col("rnk"))
     val prefix = tok.join(broadcast(rank), "term")
       .withColumn("pos", row_number().over(byRarity))
-      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter(col("pos") <= col("sz") - ceil(tDec * col("sz")) + 1)
       .select(col("id"), col("term"))
     val cand = prefix.select(col("id").as("id_a"), col("term"))
       .join(prefix.select(col("id").as("id_b"), col("term")), Seq("term"))

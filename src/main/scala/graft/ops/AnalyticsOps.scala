@@ -113,9 +113,13 @@ object AnalyticsOps {
     */
   def peakConcurrency(df: DataFrame, group: String, start: String,
       end: String, id: String): DataFrame = {
-    val b = df.select(col(group), col(start).as("__t"),
+    // null boundaries would sort FIRST in Spark's window (nulls-first
+    // asc) and drive the running sum negative — a silent undercount;
+    // an interval without both endpoints simply doesn't participate
+    val iv = df.filter(col(start).isNotNull && col(end).isNotNull)
+    val b = iv.select(col(group), col(start).as("__t"),
         lit(1).as("__delta"), col(id))
-      .unionAll(df.select(col(group), col(end).as("__t"),
+      .unionAll(iv.select(col(group), col(end).as("__t"),
         lit(-1).as("__delta"), col(id)))
     val w = Window.partitionBy(col(group))
       .orderBy(col("__t"), col("__delta"), col(id))
@@ -150,8 +154,13 @@ object AnalyticsOps {
     val dev = col(value) - col("__sv") / col("__n")
     val varPop = (col("__svv") - col("__sv") * col("__sv") / col("__n")) /
       col("__n")
+    // varPop > 0 guard: a (near-)constant key cancels to a zero or
+    // slightly NEGATIVE double variance — without the guard every row
+    // of such a key is flagged (and an exact 0 divides by zero under
+    // ANSI). Constant keys simply have no outliers.
     df.join(m, key).filter(col("__n") >= minN)
-      .filter(dev * dev > lit(zThreshold * zThreshold) * varPop)
+      .filter(varPop > 0 &&
+        dev * dev > lit(zThreshold * zThreshold) * varPop)
       .select(col(id), col(key), col(value),
         round(dev * dev / varPop, 6).as("z2"))
       .orderBy(col(id))
@@ -166,7 +175,13 @@ object AnalyticsOps {
     * marginals run over the cell table, never the raw fact.
     */
   def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
-    val sparse = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("obs"))
+    // NULL categories are excluded up front: they'd survive the groupBy
+    // but never match the densifying (non-null-safe) join, producing
+    // zero marginals → 0/0 terms (an ANSI error on the decimal cast)
+    // and an n inconsistent with dof
+    val sparse = df
+      .filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a), col(b)).agg(count(lit(1)).as("obs"))
     // densify: absent (a,b) combinations are REAL zero cells — each
     // contributes its full expected count to the statistic; a groupBy
     // alone would silently understate chi² for sparse tables
@@ -194,7 +209,12 @@ object AnalyticsOps {
   /** Exact weighted median per group: cumulative integer weights along a
     * totally ordered window (value, then `ties` for determinism), first
     * value where 2·cum ≥ total weight. All-integer weight arithmetic —
-    * no float accumulation at any scale. One shuffle (the per-group sort).
+    * no float accumulation at any scale. One shuffle (the per-group
+    * sort). Weights are floor()ed to integers EXPLICITLY — a bare
+    * long cast truncates in Spark but rounds in several SQL engines,
+    * so fractional weights would silently mean different things; floor
+    * is the one portable reading (and the identity for the intended
+    * integral weights).
     */
   def weightedMedian(df: DataFrame, group: String, value: String,
       weight: String, ties: Seq[String]): DataFrame = {
@@ -203,7 +223,7 @@ object AnalyticsOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy(col(group))
     df.select((Seq(col(group), col(value),
-        col(weight).cast("long").as("__q")) ++ ties.map(col)): _*)
+        floor(col(weight)).cast("long").as("__q")) ++ ties.map(col)): _*)
       .withColumn("__cum", sum(col("__q")).over(cumW))
       .withColumn("__tot", sum(col("__q")).over(totW))
       .filter(col("__cum") * 2 >= col("__tot"))

@@ -97,7 +97,10 @@ object JoinOps {
           .apply(probeKey.cast("long"))
       else
         udf((k: String) => k != null && bf.mightContainString(k)).apply(probeKey)
+    // qualify the build key: a bare col(buildKey) is ambiguous whenever
+    // the probe side carries a same-named column (the normal case for
+    // shared join-key names)
     probe.filter(mightContain)
-      .join(build, probeKey === col(buildKey))
+      .join(build, probeKey === build(buildKey))
   }
 }

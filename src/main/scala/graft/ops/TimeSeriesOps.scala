@@ -28,9 +28,11 @@ object TimeSeriesOps {
     * every bucket must be an exact `step` multiple from the per-key
     * min(bucket) — i.e. already truncated to the grid (`date_trunc`
     * output); a non-grid-aligned row would break the gap emission.
-    * Null-valued input rows are treated as ABSENT (their bucket becomes
-    * an interpolated gap row; a null at a key's first/last bucket is
-    * dropped — interpolation never extrapolates). Output adds `is_gap`
+    * Null-valued input rows are treated as ABSENT in every respect:
+    * their bucket becomes an interpolated gap row whose non-(key,
+    * bucket) columns are NULL — the original row's other columns are
+    * NOT carried (a null at a key's first/last bucket is dropped
+    * entirely; interpolation never extrapolates). Output adds `is_gap`
     * and `val_filled`; present endpoints bracket every gap by
     * construction.
     *
@@ -39,7 +41,7 @@ object TimeSeriesOps {
     * the row itself plus every missing bucket before the neighbour —
     * ONE shuffle by key (the window sort), no dense-grid build, no
     * grid⋈input join, no second window pass. Non-(key,bucket) columns
-    * are nulled on emitted gap rows exactly as the grid join would.
+    * are nulled on every emitted gap row.
     */
   def gapFillInterpolate(
       perBucket: DataFrame,

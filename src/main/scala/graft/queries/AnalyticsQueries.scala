@@ -160,6 +160,7 @@ object AnalyticsQueries {
       |        / ((m.svv - m.sv*m.sv/m.n) / m.n), 6) AS z2
       |FROM events e JOIN m ON e.user_id = m.user_id
       |WHERE m.n >= 10
+      |  AND (m.svv - m.sv*m.sv/m.n) / m.n > 0
       |  AND (e.value - m.sv/m.n) * (e.value - m.sv/m.n)
       |      > 4 * ((m.svv - m.sv*m.sv/m.n) / m.n)
       |ORDER BY e.event_id""".stripMargin
@@ -179,7 +180,7 @@ object AnalyticsQueries {
   private val q96Sql =
     """WITH w AS (
       |  SELECT l_returnflag AS rf, l_extendedprice AS p,
-      |    CAST(l_quantity AS BIGINT) AS q, l_orderkey, l_linenumber
+      |    CAST(floor(l_quantity) AS BIGINT) AS q, l_orderkey, l_linenumber
       |  FROM lineitem),
       |c AS (
       |  SELECT rf, p,
@@ -270,6 +271,7 @@ object AnalyticsQueries {
     """WITH sparse AS (
       |  SELECT c_mktsegment, o_orderpriority, count(*) AS obs
       |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IS NOT NULL AND o_orderpriority IS NOT NULL
       |  GROUP BY 1, 2),
       |cells AS (
       |  SELECT av.c_mktsegment, bv.o_orderpriority, coalesce(s.obs, 0) AS obs

@@ -51,8 +51,10 @@ object GeoTemporalQueries {
   }
 
   private val q84Sql = {
+    // (x % m + m) % m mirrors Spark's pmod for negative keys — a plain
+    // sign-following % would diverge from the engine on negative ids
     val u = (key: String, salt: Int) =>
-      s"CAST(((($key % 2147483648) * 2654435761 + $salt) % 4294967296) AS DOUBLE) / 4294967296.0"
+      s"CAST((((($key % 2147483648 + 2147483648) % 2147483648) * 2654435761 + $salt) % 4294967296) AS DOUBLE) / 4294967296.0"
     val hav =
       """2.0 * 6371.0088 * asin(sqrt(least(
         |  sin((s_lat - c_lat) * 0.017453292519943295 / 2.0) * sin((s_lat - c_lat) * 0.017453292519943295 / 2.0)

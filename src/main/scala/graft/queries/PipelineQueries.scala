@@ -378,7 +378,8 @@ object PipelineQueries {
   private val q76Sql =
     """WITH keyed AS (
       |  SELECT doc_id, source,
-      |    round(ln(((((doc_id % 2147483648) * 2654435761) % 4294967296) + 1) / 4294967297.0)
+      |    round(ln((((((doc_id % 2147483648 + 2147483648) % 2147483648)
+      |                * 2654435761) % 4294967296) + 1) / 4294967297.0)
       |          / n_chars, 6) AS sample_key
       |  FROM documents),
       |r AS (

@@ -133,6 +133,20 @@ class DedupSpec extends AnyFunSuite {
       val noise = if (i % 4 == 3) s" x$i y$i" else ""
       (i, s"$stop $body$noise")
     }.toDF("doc_id", "text")
+    // t·|s| lands just above an integer in doubles (0.07·100 =
+    // 7.000000000000001): the DECIMAL ceil keeps the prefix length
+    // exact; equality at this threshold guards the arithmetic
+    val big = (0L until 6L).map { i =>
+      (100L + i, ((0 until 80).map(j => s"c${i}t$j") ++
+        (0 until 20).map(j => s"shared$j")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val bruteBig = Dedup.tokenJaccardPairs(big, "doc_id", "text")
+      .filter($"jaccard" >= 0.07)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val prefBig = Dedup.jaccardPairsPrefix(big, "doc_id", "text", 0.07)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefBig == bruteBig && bruteBig.nonEmpty)
     for (t <- Seq(0.3, 0.5, 0.8)) {
       val brute = Dedup.tokenJaccardPairs(docs, "doc_id", "text")
         .filter($"jaccard" >= t)

@@ -129,6 +129,45 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == Seq(("a", 3.0), ("b", 5.0)))
   }
 
+  test("zscoreOutliers: constant key flags nothing (variance guard)") {
+    // 12 identical values whose 6-dp decimal rounding differs from the
+    // raw double: the decimal-vs-raw mismatch makes varPop cancel to
+    // ~0 (possibly slightly negative) while dev² > 0 — without the
+    // variance>0 guard every row would be flagged (or ANSI-divide-crash)
+    val df = (1L to 12L).map(i => (i, "u", 0.1234564)).toDF("id", "k", "v")
+    assert(AnalyticsOps.zscoreOutliers(df, "k", "v", "id").count() == 0)
+  }
+
+  test("chiSquare: NULL categories are excluded, not zero-marginal cells") {
+    val rows: Seq[(String, Option[String])] =
+      Seq.fill(10)(("a", Some("x"))) ++ Seq.fill(10)(("b", Some("y"))) ++
+        Seq.fill(5)(("a", None)) // null category: must not poison n/dof
+    val got = AnalyticsOps.chiSquare(rows.toDF("u", "v"), "u", "v")
+      .as[(Double, Int, Long)].head()
+    assert(got == ((20.0, 1, 20L))) // diagonal 2x2 on the non-null rows
+  }
+
+  test("peakConcurrency: null-boundary intervals don't undercount") {
+    val t = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-08 $h%02d:00:00")
+    val df = Seq(
+      ("g", Some(t(1)), Some(t(4)), 1L),
+      ("g", Some(t(2)), Some(t(3)), 2L),
+      ("g", Some(t(2)), None, 3L)) // open-ended row: excluded, not -1
+      .toDF("g", "s", "e", "id")
+    val got = AnalyticsOps.peakConcurrency(df, "g", "s", "e", "id")
+      .select("peak").as[Int].head()
+    assert(got == 2)
+  }
+
+  test("weightedMedian: fractional weights floor portably") {
+    // floor(2.7)=2, floor(2.0)=2 → balanced; first value wins at 2cum>=tot
+    val df = Seq(("g", 1.0, 2.7, 1L), ("g", 9.0, 2.0, 2L))
+      .toDF("g", "v", "w", "id")
+    val got = AnalyticsOps.weightedMedian(df, "g", "v", "w", Seq("id"))
+      .as[(String, Double)].head()
+    assert(got == (("g", 1.0)))
+  }
+
   test("abLift: exact counts and closed-form z on a tiny experiment") {
     import org.apache.spark.sql.functions.col
     // variant 0: users 0,2 (user 0 converts) — variant 1: users 1,3 (both)

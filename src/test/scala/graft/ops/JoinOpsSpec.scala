@@ -92,4 +92,15 @@ class JoinOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unsupported key type"))
   }
+
+  test("bloomPreFilteredJoin: same key name on both sides resolves") {
+    // the usual equi-join shape: both sides call the key "k" — the
+    // build-side reference must be qualified or analysis is ambiguous
+    val probe = Seq(1L, 2L, 3L).toDF("k")
+    val build = Seq((2L, "x")).toDF("k", "tag")
+    val got = JoinOps.bloomPreFilteredJoin(
+        probe, build, probe("k"), "k", expectedKeys = 1L)
+      .select("tag").as[String].collect().toSeq
+    assert(got == Seq("x"))
+  }
 }
