@@ -33,6 +33,30 @@ object StatefulOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_fp")
 
+  /** Streaming unique visitors per tumbling window — the streaming twin
+    * of [[graft.ops.AnalyticsOps.cumulativeDistinct]]'s batch reduction.
+    * Dedup first (one state row per (entity, window), evicted with the
+    * watermark), THEN count: a windowed count(DISTINCT) isn't supported
+    * in streaming, and counting raw events would tally visits, not
+    * visitors. Append mode — each window emits once, when the watermark
+    * closes it.
+    */
+  def uniqueVisitors(
+      events: DataFrame, tsCol: String, entityCol: String,
+      window: String = "1 hour", delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .select(col(entityCol), col(tsCol),
+        org.apache.spark.sql.functions.window(col(tsCol), window)
+          .getField("start").as("win_start"))
+      // one survivor per (entity, window); the event-time column rides
+      // along so the downstream aggregation re-windows from it
+      .dropDuplicatesWithinWatermark(entityCol, "win_start")
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("unique_visitors"))
+      .select(col("window.start").as("window_start"),
+        col("unique_visitors"))
+
   /** Streaming decontamination guard: flag arriving documents that share
     * ≥1 word n-gram with a STATIC eval-benchmark set. The eval gram-hash
     * table is a static DataFrame — Spark broadcasts it into every

@@ -221,4 +221,33 @@ class StreamingIngestSpec extends AnyFunSuite {
       assert(kept == Set(1L, 3L)) // 2 (same batch) and 4 (later batch) dropped
     } finally q.stop()
   }
+
+  test("streaming unique visitors: dedup-then-count per closed window") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val events = stream.toDF().toDF("ts", "user_id")
+    val uv = StatefulOps.uniqueVisitors(events, "ts", "user_id",
+      window = "1 hour", delay = "30 minutes")
+    val q = uv.writeStream.outputMode("append")
+      .format("memory").queryName("suv").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      stream.addData(
+        (ts("2021-03-01 00:05:00"), 7L),
+        (ts("2021-03-01 00:10:00"), 7L), // same user, same window: once
+        (ts("2021-03-01 00:20:00"), 8L),
+        (ts("2021-03-01 01:10:00"), 7L)) // same user, NEXT window: counts
+      q.processAllAvailable()
+      // push the watermark far enough to close both hours
+      stream.addData((ts("2021-03-01 05:00:00"), 9L))
+      q.processAllAvailable()
+      stream.addData((ts("2021-03-01 09:00:00"), 9L))
+      q.processAllAvailable()
+      val out = spark.table("suv")
+        .select(date_format($"window_start", "HH:mm"), $"unique_visitors")
+        .as[(String, Long)].collect().toMap
+      assert(out("00:00") == 2L) // users 7, 8
+      assert(out("01:00") == 1L) // user 7 again in a new window
+    } finally q.stop()
+  }
 }
