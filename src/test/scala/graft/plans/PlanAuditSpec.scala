@@ -106,6 +106,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"full sort for LIMIT:\n$p")
   }
 
+  test("q109: both OHLC windows and the bar aggregation share ONE shuffle") {
+    val p = planOf("q109_ohlc")
+    // one hash exchange for (user, bucket); the only other exchange
+    // backs the final global orderBy
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"ohlc windows/agg did not share the (key,bucket) partitioning:\n$p")
+    assert("Window".r.findAllIn(p).size == 2, s"expected asc+desc windows:\n$p")
+  }
+
+  test("q121: prefix-filtered jaccard joins are all equi — never nested-loop") {
+    val p = planOf("q121_jaccard_prefix")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"prefix blocking degenerated to a cross product:\n$p")
+  }
+
+  test("q126: A/B window runs over the aggregated variant table, not events") {
+    val p = planOf("q126_ab_lift")
+    val winFirst = p.indexOf("Window")
+    assert(winFirst >= 0, s"no window in plan:\n$p")
+    // below the window: the per-variant AND per-entity aggregations —
+    // i.e. the window's input is the 2-row table, never the event scan
+    val below = p.substring(winFirst)
+    assert("HashAggregate".r.findAllIn(below).size >= 3,
+      s"window input not pre-aggregated:\n$p")
+  }
+
   test("native dedup expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import graft.tables.Tables
