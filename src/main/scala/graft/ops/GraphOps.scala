@@ -80,6 +80,39 @@ object GraphOps {
     ranks
   }
 
+  /** Breadth-first hop distances from a source node set: (node, depth)
+    * with depth = MINIMUM hops ≤ `maxDepth` (frontier/visited BFS, so
+    * each node is emitted once at its first discovery — the relational
+    * equivalent of a recursive CTE with min-depth dedup).
+    *
+    * Shape: one join + distinct + anti-join per level, every one keyed
+    * on the node id; the frontier shrinks to new nodes only, and
+    * `localCheckpoint` caps plan growth per level exactly like
+    * [[pageRankInt]]. Depth is bounded by the caller — unbounded
+    * reachability belongs to connected components, not BFS.
+    */
+  def bfsDepths(edges: DataFrame, src: String, dst: String,
+      sources: Seq[Long], maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && sources.nonEmpty, "need sources and depth ≥ 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(src).cast("long").as("s"),
+      col(dst).cast("long").as("d")).localCheckpoint()
+    var visited = sources.toDF("node").withColumn("depth", lit(0))
+      .localCheckpoint()
+    var frontier = visited
+    for (depth <- 1 to maxDepth if frontier.isEmpty == false) {
+      val next = e.join(frontier, e("s") === frontier("node"))
+        .select(col("d").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("depth", lit(depth))
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
   /** Market-basket co-occurrence: undirected item pairs that appear in at
     * least `minSupport` shared baskets, oriented item1 < item2 so each
     * pair counts once. The self-join blows up quadratically in basket

@@ -338,6 +338,43 @@ object MiningQueries {
       |FROM e JOIN st USING (dim)
       |ORDER BY e.vec_id, e.dim""".stripMargin
 
+  // ------------------------------------------------------------ q127_bfs
+  // Iterative BFS over the customer↔supplier trade graph: minimum hop
+  // distance from customer 1's node, ≤ 3 hops, summarized per depth.
+  // The oracle is a recursive CTE with min-depth dedup — the engine's
+  // frontier/visited loop must produce the identical depth labeling.
+  private def q127Bfs(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .join(broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("s"), col("b").as("d"))
+      .unionAll(pairs.select(col("b").as("s"), col("a").as("d")))
+    graft.ops.GraphOps.bfsDepths(edges, "s", "d", Seq(2L), maxDepth = 3)
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("depth"))
+  }
+
+  private val q127Sql =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT o_custkey*2 AS s, l_suppkey*2+1 AS d
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0),
+      |walk(node, depth) AS (
+      |  SELECT CAST(2 AS BIGINT) AS node, 0 AS depth
+      |  UNION
+      |  SELECT e.d, w.depth + 1 FROM walk w
+      |  JOIN e ON e.s = w.node WHERE w.depth < 3)
+      |SELECT depth, count(*) AS n_nodes,
+      |  min(node) AS min_node, max(node) AS max_node
+      |FROM (SELECT node, min(depth) AS depth FROM walk GROUP BY node) m
+      |GROUP BY depth ORDER BY depth""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q108_bigram_lm", q108BigramLm, Some(q108Sql)),
     Q("q109_ohlc", q109Ohlc, Some(q109Sql)),
@@ -350,5 +387,6 @@ object MiningQueries {
     Q("q122_locf", q122Locf, Some(q122Sql)),
     Q("q123_cume_distinct", q123CumeDistinct, Some(q123Sql)),
     Q("q124_temporal_join", q124TemporalJoin, Some(q124Sql)),
-    Q("q125_feature_scale", q125FeatureScale, Some(q125Sql)))
+    Q("q125_feature_scale", q125FeatureScale, Some(q125Sql)),
+    Q("q127_bfs", q127Bfs, Some(q127Sql)))
 }

@@ -71,6 +71,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
   }
 
+  test("bfsDepths: minimum-hop labeling, frontier stops at maxDepth") {
+    // path 1-2-3-4-5 plus shortcut 1-3: node 3 is depth 1 via the
+    // shortcut (NOT depth 2 via node 2); 5 is beyond maxDepth = 3
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("s", "d")
+    val got = GraphOps.bfsDepths(e, "s", "d", Seq(1L), maxDepth = 3)
+      .orderBy($"node").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 0), (2L, 1), (3L, 1), (4L, 2), (5L, 3)))
+  }
+
+  test("bfsDepths: disconnected nodes never appear; early frontier drain") {
+    val e = Seq((1L, 2L), (2L, 1L), (8L, 9L), (9L, 8L)).toDF("s", "d")
+    val got = GraphOps.bfsDepths(e, "s", "d", Seq(1L), maxDepth = 5)
+      .orderBy($"node").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 0), (2L, 1))) // frontier empties at depth 2
+  }
+
   test("pageRankInt: mass is conserved up to floor-division leakage") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
     val total = GraphOps.pageRankInt(edges, "src", "dst", 2)
