@@ -219,7 +219,12 @@ object Dedup {
     // ceil runs in DECIMAL: double t·|s| can land just above an integer
     // (0.07·100 = 7.000000000000001) and a one-too-high ceil silently
     // shortens the prefix — breaking the losslessness contract.
-    val tDec = lit(BigDecimal.valueOf(threshold).setScale(12))
+    // RoundingMode.DOWN, for two reasons: setScale with no mode THROWS
+    // for thresholds like 2.0/3 (17 significant digits), and rounding
+    // the threshold down can only LENGTHEN the prefix — lossless stays
+    // lossless
+    val tDec = lit(BigDecimal.valueOf(threshold)
+      .setScale(12, scala.math.BigDecimal.RoundingMode.DOWN))
     val byRarity = Window.partitionBy(col("id")).orderBy(col("rnk"))
     val prefix = tok.join(broadcast(rank), "term")
       .withColumn("pos", row_number().over(byRarity))

@@ -268,11 +268,16 @@ object AnalyticsOps {
       .agg(count(lit(1)).as("n"), sum(col("c")).as("conv"))
     // two-row → one-row reshape by conditional aggregation over the
     // window-tagged variant table (2 rows — every op here is trivial);
-    // assert_true turns a >2-variant misuse into a loud failure
+    // assert_true turns misuse into a loud failure: >2 variants, and a
+    // NULL variant too — NULL would pass the count check but fall out
+    // of BOTH when(__isa)/when(!__isa) branches (three-valued logic),
+    // silently emitting a degenerate half-NULL row
     val w = Window.partitionBy()
     val tagged = perVariant
-      .withColumn("__chk", assert_true(count(lit(1)).over(w) === 2,
-        lit("abLift requires exactly two variants")))
+      .withColumn("__chk", assert_true(
+        count(lit(1)).over(w) === 2 &&
+          sum(when(col("v").isNull, 1).otherwise(0)).over(w) === 0,
+        lit("abLift requires exactly two non-null variants")))
       .withColumn("__isa", col("v") === min(col("v")).over(w))
       .filter(col("__chk").isNull) // always true; forces the assertion
     val one = tagged.agg(

@@ -98,7 +98,9 @@ object GraphOps {
     import spark.implicits._
     val e = edges.select(col(src).cast("long").as("s"),
       col(dst).cast("long").as("d")).localCheckpoint()
-    var visited = sources.toDF("node").withColumn("depth", lit(0))
+    // distinct: a repeated seed would emit duplicate depth-0 rows (the
+    // later levels dedup via distinct/anti-join, the seed level must too)
+    var visited = sources.distinct.toDF("node").withColumn("depth", lit(0))
       .localCheckpoint()
     var frontier = visited
     for (depth <- 1 to maxDepth if frontier.isEmpty == false) {

@@ -305,17 +305,7 @@ object AnalyticsQueries {
   // partitionings and engines; the oracle unrolls the same integer
   // recurrence as three CTE iterations.
   private def q107PageRank(s: SparkSession, d: String): DataFrame = {
-    // orders pruned to two longs broadcasts into the fact scan — the
-    // pair extraction is then one lineitem pass + one distinct shuffle
-    val pairs = Tables.lineitem(s, d)
-      .join(broadcast(Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_custkey"))),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("a"),
-        (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val edges = TradeGraph.edges(s, d)
     graft.ops.GraphOps.pageRankInt(edges, "src", "dst", iters = 3)
       .orderBy(col("rank").desc, col("node"))
       .limit(20)

@@ -344,16 +344,8 @@ object MiningQueries {
   // The oracle is a recursive CTE with min-depth dedup — the engine's
   // frontier/visited loop must produce the identical depth labeling.
   private def q127Bfs(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.lineitem(s, d)
-      .join(broadcast(Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_custkey"))),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("a"),
-        (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
-    val edges = pairs.select(col("a").as("s"), col("b").as("d"))
-      .unionAll(pairs.select(col("b").as("s"), col("a").as("d")))
-    graft.ops.GraphOps.bfsDepths(edges, "s", "d", Seq(2L), maxDepth = 3)
+    val edges = TradeGraph.edges(s, d)
+    graft.ops.GraphOps.bfsDepths(edges, "src", "dst", Seq(2L), maxDepth = 3)
       .groupBy(col("depth"))
       .agg(count(lit(1)).as("n_nodes"),
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))

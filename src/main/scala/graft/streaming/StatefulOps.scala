@@ -35,27 +35,40 @@ object StatefulOps {
 
   /** Streaming unique visitors per tumbling window — the streaming twin
     * of [[graft.ops.AnalyticsOps.cumulativeDistinct]]'s batch reduction.
-    * Dedup first (one state row per (entity, window), evicted with the
-    * watermark), THEN count: a windowed count(DISTINCT) isn't supported
-    * in streaming, and counting raw events would tally visits, not
-    * visitors. Append mode — each window emits once, when the watermark
-    * closes it.
+    * Dedup first (one state row per (entity, window)), THEN count: a
+    * windowed count(DISTINCT) isn't supported in streaming, and counting
+    * raw events would tally visits, not visitors. Append mode — each
+    * window emits once, when the watermark closes it.
+    *
+    * The watermark delay is `windowMinutes + graceMinutes`, NOT the
+    * grace alone: dropDuplicatesWithinWatermark only guarantees dedup
+    * of copies arriving within the delay of the first, so dedup state
+    * must outlive the whole window plus allowed lateness — with a
+    * shorter delay, two same-window visits farther apart than the delay
+    * would both survive and the window would double-count the entity.
+    * (Every admitted — non-late — duplicate of a window event arrives
+    * while the watermark is below win_end + grace ≤ first_visit +
+    * delay, so the state is still there.) Cost: windows close
+    * `windowMinutes` later than with a bare-grace watermark.
     */
   def uniqueVisitors(
       events: DataFrame, tsCol: String, entityCol: String,
-      window: String = "1 hour", delay: String = "30 minutes"): DataFrame =
+      windowMinutes: Int = 60, graceMinutes: Int = 30): DataFrame = {
+    require(windowMinutes > 0 && graceMinutes >= 0, "bad window/grace")
+    val win = s"$windowMinutes minutes"
     events
-      .withWatermark(tsCol, delay)
+      .withWatermark(tsCol, s"${windowMinutes + graceMinutes} minutes")
       .select(col(entityCol), col(tsCol),
-        org.apache.spark.sql.functions.window(col(tsCol), window)
+        org.apache.spark.sql.functions.window(col(tsCol), win)
           .getField("start").as("win_start"))
       // one survivor per (entity, window); the event-time column rides
       // along so the downstream aggregation re-windows from it
       .dropDuplicatesWithinWatermark(entityCol, "win_start")
-      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), win))
       .agg(count(lit(1)).as("unique_visitors"))
       .select(col("window.start").as("window_start"),
         col("unique_visitors"))
+  }
 
   /** Streaming decontamination guard: flag arriving documents that share
     * ≥1 word n-gram with a STATIC eval-benchmark set. The eval gram-hash

@@ -147,6 +147,14 @@ class DedupSpec extends AnyFunSuite {
     val prefBig = Dedup.jaccardPairsPrefix(big, "doc_id", "text", 0.07)
       .as[(Long, Long, Double)].collect().toSet
     assert(prefBig == bruteBig && bruteBig.nonEmpty)
+    // non-terminating decimal threshold (17 sig digits): must not crash
+    // the BigDecimal scaling, and must stay lossless
+    val bruteT = Dedup.tokenJaccardPairs(big, "doc_id", "text")
+      .filter($"jaccard" >= 2.0 / 3).select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val prefT = Dedup.jaccardPairsPrefix(big, "doc_id", "text", 2.0 / 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefT == bruteT)
     for (t <- Seq(0.3, 0.5, 0.8)) {
       val brute = Dedup.tokenJaccardPairs(docs, "doc_id", "text")
         .filter($"jaccard" >= t)

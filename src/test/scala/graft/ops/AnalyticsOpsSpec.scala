@@ -189,6 +189,18 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(got._10.get - 1.154701) < 1e-9)
   }
 
+  test("abLift: a NULL variant fails loudly, not a half-NULL row") {
+    import org.apache.spark.sql.functions.{col, when}
+    val ev = Seq((0L, "purchase"), (1L, "view"))
+      .toDF("user_id", "event_type")
+      .withColumn("v", when(col("user_id") === 0L, "control")) // else NULL
+    val e = intercept[Exception] {
+      AnalyticsOps.abLift(ev, "v", "user_id",
+        col("event_type") === "purchase").collect()
+    }
+    assert(e.getMessage.contains("two non-null variants"), e.getMessage)
+  }
+
   test("abLift: zero-variance pool yields NULL z, not a crash") {
     import org.apache.spark.sql.functions.col
     val ev = Seq((0L, "purchase"), (1L, "purchase"))

@@ -84,7 +84,8 @@ class GraphOpsSpec extends AnyFunSuite {
 
   test("bfsDepths: disconnected nodes never appear; early frontier drain") {
     val e = Seq((1L, 2L), (2L, 1L), (8L, 9L), (9L, 8L)).toDF("s", "d")
-    val got = GraphOps.bfsDepths(e, "s", "d", Seq(1L), maxDepth = 5)
+    // duplicated seed must not duplicate the depth-0 row
+    val got = GraphOps.bfsDepths(e, "s", "d", Seq(1L, 1L), maxDepth = 5)
       .orderBy($"node").as[(Long, Int)].collect().toSeq
     assert(got == Seq((1L, 0), (2L, 1))) // frontier empties at depth 2
   }

@@ -227,7 +227,7 @@ class StreamingIngestSpec extends AnyFunSuite {
     val stream = MemoryStream[(Timestamp, Long)]
     val events = stream.toDF().toDF("ts", "user_id")
     val uv = StatefulOps.uniqueVisitors(events, "ts", "user_id",
-      window = "1 hour", delay = "30 minutes")
+      windowMinutes = 60, graceMinutes = 30)
     val q = uv.writeStream.outputMode("append")
       .format("memory").queryName("suv").start()
     try {
@@ -235,8 +235,14 @@ class StreamingIngestSpec extends AnyFunSuite {
       stream.addData(
         (ts("2021-03-01 00:05:00"), 7L),
         (ts("2021-03-01 00:10:00"), 7L), // same user, same window: once
-        (ts("2021-03-01 00:20:00"), 8L),
-        (ts("2021-03-01 01:10:00"), 7L)) // same user, NEXT window: counts
+        (ts("2021-03-01 00:20:00"), 8L))
+      q.processAllAvailable()
+      // advance the watermark between the two visits of user 7 — with a
+      // bare-grace watermark the dedup state would already be evicted
+      // and the 00:55 revisit would double-count
+      stream.addData((ts("2021-03-01 01:10:00"), 99L))
+      q.processAllAvailable()
+      stream.addData((ts("2021-03-01 00:55:00"), 7L)) // far-apart dup
       q.processAllAvailable()
       // push the watermark far enough to close both hours
       stream.addData((ts("2021-03-01 05:00:00"), 9L))
@@ -246,8 +252,8 @@ class StreamingIngestSpec extends AnyFunSuite {
       val out = spark.table("suv")
         .select(date_format($"window_start", "HH:mm"), $"unique_visitors")
         .as[(String, Long)].collect().toMap
-      assert(out("00:00") == 2L) // users 7, 8
-      assert(out("01:00") == 1L) // user 7 again in a new window
+      assert(out("00:00") == 2L) // users 7, 8 — the 00:55 revisit deduped
+      assert(out("01:00") == 1L) // user 99
     } finally q.stop()
   }
 }
