@@ -367,6 +367,37 @@ object MiningQueries {
       |FROM (SELECT node, min(depth) AS depth FROM walk GROUP BY node) m
       |GROUP BY depth ORDER BY depth""".stripMargin
 
+  // ------------------------------------------------- q128_regex_extract
+  // Multi-match regex extraction (regexp_extract_all) + a higher-order
+  // filter over the match list — ASCII-only pattern so Java regex and
+  // RE2 agree. Counts per doc: alpha runs, vowel-initial runs, ratio.
+  private def q128RegexExtract(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+          .as("words"))
+      .select(col("doc_id"),
+        size(col("words")).as("n_words"),
+        size(filter(col("words"), w => w.rlike("^[aeiou]")))
+          .as("n_vowel"))
+      .withColumn("vowel_ratio",
+        when(col("n_words") > 0,
+          round(col("n_vowel").cast("double") / col("n_words"), 6)))
+      .orderBy(col("doc_id"))
+
+  private val q128Sql =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+      |  len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+      |      w -> regexp_matches(w, '^[aeiou]'))) AS n_vowel,
+      |  CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+      |    THEN round(
+      |      CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+      |                           w -> regexp_matches(w, '^[aeiou]'))) AS DOUBLE)
+      |      / len(regexp_extract_all(lower(text), '[a-z]+')), 6)
+      |    END AS vowel_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q108_bigram_lm", q108BigramLm, Some(q108Sql)),
     Q("q109_ohlc", q109Ohlc, Some(q109Sql)),
@@ -380,5 +411,6 @@ object MiningQueries {
     Q("q123_cume_distinct", q123CumeDistinct, Some(q123Sql)),
     Q("q124_temporal_join", q124TemporalJoin, Some(q124Sql)),
     Q("q125_feature_scale", q125FeatureScale, Some(q125Sql)),
-    Q("q127_bfs", q127Bfs, Some(q127Sql)))
+    Q("q127_bfs", q127Bfs, Some(q127Sql)),
+    Q("q128_regex_extract", q128RegexExtract, Some(q128Sql)))
 }
