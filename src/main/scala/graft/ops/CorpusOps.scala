@@ -30,16 +30,26 @@ object CorpusOps {
     * (stopwords) are exactly what AQE's skew-join split is for. The
     * per-doc reduce is an avg of ln values absorbed to 6 dp.
     */
-  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+  /** Adjacent-token (doc, w1, w2) pairs via one lead() window per doc —
+    * checkpointed, because every consumer (count tables + the scoring
+    * join) references the pair table several times and Spark would
+    * re-execute the tokenize+window subtree per reference. */
+  private def bigramPairs(df: DataFrame, idCol: String, textCol: String,
       tokenize: Column => Column): DataFrame = {
     val tok = df.select(col(idCol),
         posexplode(tokenize(col(textCol))).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val pairs = tok
+    tok
       .withColumn("w2", lead(col("term"), 1).over(w))
       .filter(col("w2").isNotNull)
       .select(col(idCol), col("term").as("w1"), col("w2"))
+      .localCheckpoint()
+  }
+
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      tokenize: Column => Column): DataFrame = {
+    val pairs = bigramPairs(df, idCol, textCol, tokenize)
     val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val cu = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     pairs.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
@@ -49,6 +59,34 @@ object CorpusOps {
         round(avg(log(col("c2").cast("double") / col("c1").cast("double"))), 6)
           .as("lm_score"))
       .orderBy(col(idCol))
+  }
+
+  /** Collocation mining via pointwise mutual information over adjacent
+    * token pairs: PMI = ln(c(w1,w2)·N / (c(w1,·)·c(·,w2))), min-count
+    * pruned BEFORE the marginal joins, top-k under a total order
+    * (rounded PMI desc, then the pair). High-PMI pairs are the
+    * corpus's multiword expressions; the classic collocation detector.
+    *
+    * Shape: the checkpointed pair table feeds three aggregations; the
+    * grand total is a 1-row broadcast; all joins key on vocabulary
+    * tables (Zipf-bounded relative to the corpus).
+    */
+  def collocationsPmi(df: DataFrame, idCol: String, textCol: String,
+      tokenize: Column => Column, minCount: Long = 5L,
+      k: Int = 50): DataFrame = {
+    val pairs = bigramPairs(df, idCol, textCol, tokenize)
+    val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val cu1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val cu2 = pairs.groupBy(col("w2")).agg(count(lit(1)).as("cc2"))
+    val total = cb.agg(sum(col("c2")).as("total"))
+    cb.filter(col("c2") >= minCount)
+      .join(cu1, Seq("w1")).join(cu2, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c2"),
+        round(log(col("c2").cast("double") * col("total") /
+          (col("c1").cast("double") * col("cc2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
   }
 
   // ------------------------------------------------- deterministic split

@@ -398,6 +398,38 @@ object MiningQueries {
       |    END AS vowel_ratio
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- q129_pmi
+  // Collocation mining: top-50 adjacent-token pairs by pointwise mutual
+  // information (min count 5) — the corpus's multiword expressions.
+  // Tokenization mirrors q81/q108; ordering is total (rounded PMI desc,
+  // then the pair) so LIMIT is reproducible.
+  private def q129Pmi(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusOps.collocationsPmi(
+      Tables.documents(s, d), "doc_id", "text",
+      t => split(trim(lower(t)), "\\s+"), minCount = 5L, k = 50)
+
+  private val q129Sql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term,
+      |    generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+      |  FROM documents),
+      |tokf AS (SELECT * FROM tok WHERE term <> ''),
+      |adj AS (SELECT doc_id, term AS w1,
+      |          lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |        FROM tokf),
+      |p AS (SELECT w1, w2 FROM adj WHERE w2 IS NOT NULL),
+      |n AS (SELECT count(*) AS total FROM p),
+      |cb AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY 1, 2),
+      |cu1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1),
+      |cu2 AS (SELECT w2, count(*) AS cc2 FROM p GROUP BY 1)
+      |SELECT w1, w2, c2,
+      |  round(ln(CAST(c2 AS DOUBLE) * (SELECT total FROM n)
+      |           / (CAST(c1 AS DOUBLE) * cc2)), 6) AS pmi
+      |FROM cb JOIN cu1 USING (w1) JOIN cu2 USING (w2)
+      |WHERE c2 >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q108_bigram_lm", q108BigramLm, Some(q108Sql)),
     Q("q109_ohlc", q109Ohlc, Some(q109Sql)),
@@ -412,5 +444,6 @@ object MiningQueries {
     Q("q124_temporal_join", q124TemporalJoin, Some(q124Sql)),
     Q("q125_feature_scale", q125FeatureScale, Some(q125Sql)),
     Q("q127_bfs", q127Bfs, Some(q127Sql)),
-    Q("q128_regex_extract", q128RegexExtract, Some(q128Sql)))
+    Q("q128_regex_extract", q128RegexExtract, Some(q128Sql)),
+    Q("q129_pmi", q129Pmi, Some(q129Sql)))
 }

@@ -184,6 +184,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(got(2)._3 - r6(math.log(1.0 / 3))) < 1e-9)
   }
 
+  test("collocationsPmi: hand-computed PMI, min-count prune, total order") {
+    import org.apache.spark.sql.functions.{lower, split, trim}
+    // pairs: (x,y)×2, (x,z)×1, (w,z)×1 → N=4, c1(x)=3, c1(w)=1,
+    // cc2(y)=2, cc2(z)=2 → PMI(x,y)=ln(4/3), PMI(x,z)=ln(2/3), PMI(w,z)=ln(2)
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "w z"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.collocationsPmi(docs, "doc_id", "text",
+        t => split(trim(lower(t)), "\\s+"), minCount = 1L, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got == Seq(
+      ("w", "z", 1L, r6(math.log(2.0))),
+      ("x", "y", 2L, r6(math.log(4.0 / 3))),
+      ("x", "z", 1L, r6(math.log(2.0 / 3)))))
+    // min-count prune drops everything below the threshold
+    val pruned = CorpusOps.collocationsPmi(docs, "doc_id", "text",
+      t => split(trim(lower(t)), "\\s+"), minCount = 2L, k = 10)
+    assert(pruned.count() == 1)
+  }
+
   test("contaminatedDocs: finds the planted overlap, counts distinct grams") {
     val eval = Seq((1L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
