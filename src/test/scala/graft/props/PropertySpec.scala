@@ -197,4 +197,68 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ohlcBars invariants hold on random tick streams") {
+    val tickGen = for {
+      k <- Gen.choose(1L, 4L)
+      h <- Gen.choose(0, 47) // two day-buckets
+      m <- Gen.choose(0, 59)
+      v <- Gen.choose(-500, 500).map(_ / 10.0)
+    } yield (k, java.sql.Timestamp.valueOf(
+      f"2024-02-0${1 + h / 24} ${h % 24}%02d:$m%02d:00"), v)
+    val rows = samples(tickGen, 300).zipWithIndex
+      .map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+    val bars = graft.ops.TimeSeriesOps.ohlcBars(
+        rows.toDF("k", "t", "id", "v"), "k", "t", "v", "id",
+        date_trunc("day", col("t")))
+      .as[(Long, java.sql.Timestamp, Double, Double, Double, Double, Long)]
+      .collect()
+    assert(bars.nonEmpty)
+    bars.foreach { case (_, _, open, high, low, close, n) =>
+      assert(low <= open && open <= high, "open outside [low, high]")
+      assert(low <= close && close <= high, "close outside [low, high]")
+      assert(n > 0)
+    }
+    assert(bars.map(_._7).sum == rows.size.toLong, "bars must partition ticks")
+  }
+
+  test("winsorize: clamped mean stays inside the band, counts add up") {
+    val valGen = Gen.choose(-10000, 10000).map(_ / 7.0)
+    val rows = samples(valGen, 400).zipWithIndex
+      .map { case (v, i) => (s"g${i % 2}", v) }
+    val got = graft.ops.AnalyticsOps.winsorize(
+        rows.toDF("k", "v"), "k", "v")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 2)
+    got.foreach { case (_, n, nLo, nHi, pLo, pHi, mean) =>
+      assert(pLo <= pHi)
+      // rounded band edges vs 6-dp mean: allow the rounding epsilon
+      assert(mean >= pLo - 1e-6 && mean <= pHi + 1e-6,
+        s"winsorized mean $mean escaped [$pLo, $pHi]")
+      assert(nLo + nHi < n, "clamped both-tail count must leave the middle")
+    }
+  }
+
+  test("bfsDepths: every depth label is realizable and minimal on random graphs") {
+    val edgeGen = Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L))
+      .suchThat { case (a, b) => a != b }
+    (0 until 3).foreach { round =>
+      val es = samples(edgeGen, 40).distinct
+      val undirected = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val got = graft.ops.GraphOps.bfsDepths(
+          undirected.toDF("s", "d"), "s", "d", Seq(0L), maxDepth = 4)
+        .as[(Long, Int)].collect().toMap
+      // reference BFS on the driver
+      val adj = undirected.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var expect = Map(0L -> 0)
+      var frontier = Set(0L)
+      for (d <- 1 to 4) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .diff(expect.keySet)
+        expect = expect ++ next.map(_ -> d)
+        frontier = next
+      }
+      assert(got == expect, s"round $round: BFS disagreement")
+    }
+  }
 }
