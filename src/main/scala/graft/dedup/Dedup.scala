@@ -128,7 +128,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val cand = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol)))
       .distinct()
@@ -137,7 +137,7 @@ object Dedup {
     val sh = df.join(cand, Seq(idCol), "left_semi")
       .select(col(idCol).as("__sid"),
         graft.functions.NativeHashes.shingleHashes(col(textCol), n).as("__sh"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     pairs
       .join(sh.select(col("__sid").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("__sid").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
@@ -207,7 +207,7 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
       array_distinct(graft.text.TextAnalysis.tokens(lower(col(textCol))))
         .as("toks"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val tok = docs.select(col("id"), size(col("toks")).as("sz"),
       explode(col("toks")).as("term"))
     // global rarest-first total order over the vocabulary

@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
 object CorpusOps {
 
   // ------------------------------------------------ bigram LM scoring
+  /** Adjacent-token (doc, w1, w2) pairs via one lead() window per doc —
+    * checkpointed LAZILY (eager = false), because every consumer (count
+    * tables + the scoring join) references the pair table several times
+    * and Spark would re-execute the tokenize+window subtree per
+    * reference; lazy keeps DataFrame construction job-free (Explain
+    * stays a no-op) while still materializing once at first action. */
+  private def bigramPairs(df: DataFrame, idCol: String, textCol: String,
+      tokenize: Column => Column): DataFrame = {
+    val tok = df.select(col(idCol),
+        posexplode(tokenize(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    tok
+      .withColumn("w2", lead(col("term"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("term").as("w1"), col("w2"))
+      .localCheckpoint(eager = false)
+  }
+
   /** CCNet-style language-model quality scoring: train a bigram MLE model
     * on the corpus itself, then score every document by its mean bigram
     * log-probability. Templated/repetitive text scores near 0 (its
@@ -30,23 +49,6 @@ object CorpusOps {
     * (stopwords) are exactly what AQE's skew-join split is for. The
     * per-doc reduce is an avg of ln values absorbed to 6 dp.
     */
-  /** Adjacent-token (doc, w1, w2) pairs via one lead() window per doc —
-    * checkpointed, because every consumer (count tables + the scoring
-    * join) references the pair table several times and Spark would
-    * re-execute the tokenize+window subtree per reference. */
-  private def bigramPairs(df: DataFrame, idCol: String, textCol: String,
-      tokenize: Column => Column): DataFrame = {
-    val tok = df.select(col(idCol),
-        posexplode(tokenize(col(textCol))).as(Seq("pos", "term")))
-      .filter(col("term") =!= "")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    tok
-      .withColumn("w2", lead(col("term"), 1).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col(idCol), col("term").as("w1"), col("w2"))
-      .localCheckpoint()
-  }
-
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
       tokenize: Column => Column): DataFrame = {
     val pairs = bigramPairs(df, idCol, textCol, tokenize)
@@ -78,7 +80,9 @@ object CorpusOps {
     val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val cu1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val cu2 = pairs.groupBy(col("w2")).agg(count(lit(1)).as("cc2"))
-    val total = cb.agg(sum(col("c2")).as("total"))
+    // global count straight off the pair table — summing cb would rerun
+    // the (w1, w2) shuffle just to produce one scalar
+    val total = pairs.agg(count(lit(1)).as("total"))
     cb.filter(col("c2") >= minCount)
       .join(cu1, Seq("w1")).join(cu2, Seq("w2"))
       .crossJoin(broadcast(total))

@@ -28,8 +28,8 @@ object GraphOps {
     * in-degree-0 nodes natively via the left join). Returns
     * (node, rank) with rank in units of `scale` (initial mass =
     * scale div N per node).
-    */
-  /** `broadcastRanks = true` (default) broadcasts the per-node rank and
+    *
+    * `broadcastRanks = true` (default) broadcasts the per-node rank and
     * contribution tables into the edge-side joins — right whenever the
     * node set is dimension-sized relative to the edges (our trade graph:
     * customers + suppliers vs fact-derived edges; most entity graphs).
@@ -163,13 +163,13 @@ object GraphOps {
     // (often a fact-table self-join) re-executes up to 9×
     val e = edges.select(col(src).cast("long").as("a"),
       col(dst).cast("long").as("b"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val wedges = e.select(col("a"), col("b"))
       .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
     val tris = wedges
       .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
       .select(col("a"), col("b"), col("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     tris.select(col("a").as("node"))
       .unionAll(tris.select(col("b").as("node")))
       .unionAll(tris.select(col("c").as("node")))

@@ -25,7 +25,7 @@ object TradeGraph {
       .select((col("o_custkey") * 2).as("a"),
         (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
   }

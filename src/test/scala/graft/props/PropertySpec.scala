@@ -243,7 +243,10 @@ class PropertySpec extends AnyFunSuite {
     val edgeGen = Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L))
       .suchThat { case (a, b) => a != b }
     (0 until 3).foreach { round =>
-      val es = samples(edgeGen, 40).distinct
+      // vary the seed per round — samples() alone is deterministic, so
+      // without the offset every round would test the identical graph
+      val es = (0 until 40).flatMap(i =>
+        edgeGen.apply(Gen.Parameters.default, Seed(1000L * round + i))).distinct
       val undirected = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
       val got = graft.ops.GraphOps.bfsDepths(
           undirected.toDF("s", "d"), "s", "d", Seq(0L), maxDepth = 4)
