@@ -24,9 +24,11 @@ object ProfileOne {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"$name first  ${(System.nanoTime()-t0)/1e9}%.2f s")
+      graft.runtime.Lifetime.releaseAll(spark, blocking = true)
       val t1 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"$name second ${(System.nanoTime()-t1)/1e9}%.2f s")
+      graft.runtime.Lifetime.releaseAll(spark, blocking = true)
     }
     spark.stop()
   }

@@ -21,6 +21,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var sinceGc = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -29,6 +30,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same session hygiene as Bench: checkpoints parked by iterative
+      // queries would otherwise accumulate across the 129-query run
+      graft.runtime.Lifetime.releaseAll(spark)
+      sinceGc += 1
+      if (sinceGc >= 8) { sinceGc = 0; System.gc() }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

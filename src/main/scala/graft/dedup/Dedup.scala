@@ -325,6 +325,7 @@ object Dedup {
     if (e.count() <= smallGraphCutoff) {
       import spark.implicits._
       val pairs = e.as[(Long, Long)].collect()
+      graft.runtime.Lifetime.release(e) // collected; the checkpoint is dead
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -377,6 +378,10 @@ object Dedup {
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
+      // next is materialized — the prior round's checkpoint is dead;
+      // in-flight block-manager state stays at one round regardless of
+      // how many rounds convergence takes (graft.runtime.Lifetime)
+      graft.runtime.Lifetime.release(e)
       e = next
       iter += 1
     }

@@ -39,49 +39,74 @@ object CorpusPipeline {
 
   /** Run the full pipeline. Returns the packed corpus (doc_id, text,
     * lang_pred, quality, split, n_tokens, pack_offset, pack_id) and the
-    * per-stage row accounting. */
+    * per-stage row accounting.
+    *
+    * Lifetime: only the LAST stage's checkpoint (which backs the
+    * returned plan) outlives the call. Every earlier stage — and any
+    * checkpoint an operator parks internally while a stage builds (the
+    * near-dup machinery keeps a candidate-pair table and a shingle
+    * table) — is retired as soon as the next stage's eager checkpoint
+    * has materialized.
+    */
   def run(docs: DataFrame, evalSet: DataFrame,
       cfg: Config = Config()): (DataFrame, Report) = {
+    val sc = docs.sparkSession.sparkContext
+    var prevStage: DataFrame = null
+    // Checkpoint one stage, then unpersist (a) every RDD that became
+    // persistent during the build except the stage's own checkpoint and
+    // (b) the previous stage's checkpoint — the new one is
+    // self-contained. The before-snapshot keeps caller-owned caches
+    // (e.g. a cached `docs`) out of reach.
+    def stage(build: => DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = build.localCheckpoint()
+      val keep = graft.runtime.Lifetime.checkpointRdds(out).map(_.id).toSet
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id) && !keep.contains(id)) rdd.unpersist(false)
+      }
+      if (prevStage != null) graft.runtime.Lifetime.release(prevStage)
+      prevStage = out
+      out
+    }
     val input = docs.count()
 
     // language ID — native single-pass expression
-    val lang = docs
+    val lang = stage(docs
       .withColumn("lang_pred", TextAnalysis.langId(col("text")))
-      .filter(col("lang_pred").isin(cfg.keepLangs.toSeq: _*))
-      .localCheckpoint()
+      .filter(col("lang_pred").isin(cfg.keepLangs.toSeq: _*)))
     val nLang = lang.count()
 
     // exact dedup (normalized-content key, min-id keeper)
-    val exact = Dedup.dropExactDups(lang, "doc_id", "text").localCheckpoint()
+    val exact = stage(Dedup.dropExactDups(lang, "doc_id", "text"))
     val nExact = exact.count()
 
     // near dedup: LSH pairs → connected components → one keeper/cluster
-    val near = Dedup.dropNearDups(exact, "doc_id", "text",
-      threshold = cfg.nearDupThreshold).localCheckpoint()
+    val near = stage(Dedup.dropNearDups(exact, "doc_id", "text",
+      threshold = cfg.nearDupThreshold))
     val nNear = near.count()
 
     // span dedup: drop cross-doc repeated chunks, reassemble docs
-    val span = CorpusOps.dedupSpans(near, "doc_id", "text", cfg.spanChunkTokens)
-      .filter(length(col("clean_text")) > 0)
-      .join(near.drop("text"), Seq("doc_id"))
-      .withColumnRenamed("clean_text", "text")
-      .drop("n_chunks", "n_kept")
-      .localCheckpoint()
+    val span = stage(
+      CorpusOps.dedupSpans(near, "doc_id", "text", cfg.spanChunkTokens)
+        .filter(length(col("clean_text")) > 0)
+        .join(near.drop("text"), Seq("doc_id"))
+        .withColumnRenamed("clean_text", "text")
+        .drop("n_chunks", "n_kept"))
     val nSpan = span.count()
 
     // decontamination: drop docs sharing ≥1 n-gram with the eval set
-    val contaminated = CorpusOps.contaminatedDocs(
-      span, evalSet, "doc_id", "text", cfg.contaminationNgram)
-      .select(col("doc_id"))
-    val decontam = span.join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    val decontam = stage {
+      val contaminated = CorpusOps.contaminatedDocs(
+        span, evalSet, "doc_id", "text", cfg.contaminationNgram)
+        .select(col("doc_id"))
+      span.join(contaminated, Seq("doc_id"), "left_anti")
+    }
     val nDecontam = decontam.count()
 
     // quality floor
-    val quality = decontam
+    val quality = stage(decontam
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-      .filter(col("quality") >= cfg.minQuality)
-      .localCheckpoint()
+      .filter(col("quality") >= cfg.minQuality))
     val nQuality = quality.count()
 
     // split + pack. Packing windows by the bare 3-value split would

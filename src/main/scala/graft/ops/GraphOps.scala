@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.runtime.Lifetime
+
 /** Iterative graph analytics on edge DataFrames. Connected components
   * (dedup cluster resolution) live in [[graft.dedup]]; here: PageRank.
   *
@@ -10,7 +12,11 @@ import org.apache.spark.sql.functions._
   * plus one aggregation (contributions by dst) — the standard
   * Pregel-as-joins layout. Iterations run as a driver loop over
   * DataFrames with a `localCheckpoint` per round so the plan (and its
-  * lineage) doesn't grow exponentially with iteration count.
+  * lineage) doesn't grow exponentially with iteration count; each
+  * round's checkpoint is released ([[graft.runtime.Lifetime]]) as soon
+  * as the next round materializes, so block-manager state stays bounded
+  * by two rounds and only the returned result's checkpoint outlives the
+  * call.
   *
   * Determinism: ranks are BIGINT micro-units (`scale` = 1.0), every
   * per-iteration op is integer (`div` floor division, integer sums) —
@@ -59,11 +65,13 @@ object GraphOps {
         "src")
       .repartition(col("src"))
       .localCheckpoint()
+    Lifetime.release(raw) // e holds the materialized form; raw is dead
     val nodes = e.select(col("src").as("node")).distinct()
       .localCheckpoint()
     val n = nodes.count()
     val base = scale / n // Long floor division, same as SQL `div`
     var ranks = nodes.withColumn("rank", lit(base))
+    var spentRound: DataFrame = null // prior round's checkpoint, if any
     for (_ <- 1 to iters) {
       // per iteration: one broadcast (or |nodes| shuffle) in, one
       // |edges| partial-aggregated shuffle of contributions out
@@ -76,7 +84,13 @@ object GraphOps {
           (lit(15L * base / 100L) +
             expr("(85 * coalesce(inmass, 0L)) div 100")).as("rank"))
         .localCheckpoint()
+      if (spentRound != null) Lifetime.release(spentRound)
+      spentRound = ranks
     }
+    // the final checkpoint is self-contained — the edge/node scaffolding
+    // can go now; only `ranks` itself survives until the caller is done
+    Lifetime.release(e)
+    Lifetime.release(nodes)
     ranks
   }
 
@@ -109,9 +123,17 @@ object GraphOps {
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
         .localCheckpoint()
-      visited = visited.unionAll(next).localCheckpoint()
+      val grown = visited.unionAll(next).localCheckpoint()
+      // grown is materialized: the prior visited set and the frontier
+      // that produced `next` are both dead (at depth 1 they are the same
+      // checkpoint — release is idempotent)
+      Lifetime.release(frontier)
+      Lifetime.release(visited)
+      visited = grown
       frontier = next
     }
+    Lifetime.release(e)
+    if (frontier ne visited) Lifetime.release(frontier)
     visited
   }
 
