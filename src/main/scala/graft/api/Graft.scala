@@ -261,9 +261,15 @@ object Graft {
     def triangleCounts(src: String, dst: String): DataFrame =
       graft.ops.GraphOps.triangleCounts(df, src, dst)
 
-    /** Integer-exact PageRank over a directed edge list. */
-    def pageRank(src: String, dst: String, iters: Int = 3): DataFrame =
-      graft.ops.GraphOps.pageRankInt(df, src, dst, iters)
+    /** Integer-exact PageRank over a directed edge list. The facade
+      * defaults to the co-partitioned rank exchange — slow-but-safe at
+      * any node-set size. Pass `broadcastRanks = true` only when the
+      * node table is dimension-sized relative to executor memory (it is
+      * broadcast in full every iteration). */
+    def pageRank(src: String, dst: String, iters: Int = 3,
+        broadcastRanks: Boolean = false): DataFrame =
+      graft.ops.GraphOps.pageRankInt(df, src, dst, iters,
+        broadcastRanks = broadcastRanks)
   }
 
   /** Column-level vocabulary re-exported for expression building. */

@@ -39,9 +39,10 @@ object CorpusOps {
     * on the same corpus), so the MLE ratio c(w1,w2)/c(w1,·) needs no
     * smoothing and P ≤ 1 always.
     *
-    * `tokenize` must produce a whitespace-free token array (bigram keys
-    * concatenate with a space). Returns (id, n_bigrams, lm_score);
-    * documents with < 2 tokens have no bigrams and are absent.
+    * Bigrams are kept as separate (w1, w2) columns throughout — no key
+    * concatenation, so `tokenize` may emit any token content. Returns
+    * (id, n_bigrams, lm_score); documents with < 2 tokens have no
+    * bigrams and are absent.
     *
     * Shape: adjacency comes from ONE lead() window per document (no
     * positional self-join); the count tables shuffle (w1, w2) pairs —

@@ -35,18 +35,19 @@ object GraphOps {
     * (node, rank) with rank in units of `scale` (initial mass =
     * scale div N per node).
     *
-    * `broadcastRanks = true` (default) broadcasts the per-node rank and
-    * contribution tables into the edge-side joins — right whenever the
-    * node set is dimension-sized relative to the edges (our trade graph:
-    * customers + suppliers vs fact-derived edges; most entity graphs).
-    * For web-scale graphs whose node table itself exceeds executor
-    * memory, pass false: ranks then co-partition with the (src-hashed,
-    * checkpointed) edge list, and only the small side shuffles per
-    * iteration.
+    * `broadcastRanks = false` (default, safe at any size): ranks
+    * co-partition with the (src-hashed, checkpointed) edge list and only
+    * the |nodes|-sized side shuffles per iteration. Pass true to
+    * broadcast the per-node rank and contribution tables into the
+    * edge-side joins instead — faster whenever the node set is
+    * dimension-sized relative to executor memory (our trade graph:
+    * customers + suppliers vs fact-derived edges; most entity graphs),
+    * but the FULL node table is broadcast every iteration, so web-scale
+    * node sets would OOM the driver — opt in per call site.
     */
   def pageRankInt(edges: DataFrame, src: String, dst: String,
       iters: Int, scale: Long = 1000000000000L,
-      broadcastRanks: Boolean = true): DataFrame = {
+      broadcastRanks: Boolean = false): DataFrame = {
     require(iters >= 1, "pageRankInt needs at least one iteration")
     def hint(df: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(df) else df

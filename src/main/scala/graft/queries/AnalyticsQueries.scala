@@ -306,7 +306,10 @@ object AnalyticsQueries {
   // recurrence as three CTE iterations.
   private def q107PageRank(s: SparkSession, d: String): DataFrame = {
     val edges = TradeGraph.edges(s, d)
-    graft.ops.GraphOps.pageRankInt(edges, "src", "dst", iters = 3)
+    // broadcastRanks: the node set here is dimension-sized (customers +
+    // suppliers), the known-safe case for the per-iteration broadcast
+    graft.ops.GraphOps.pageRankInt(edges, "src", "dst", iters = 3,
+      broadcastRanks = true)
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
       .select(col("node"), col("rank"))

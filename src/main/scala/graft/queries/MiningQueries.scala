@@ -180,7 +180,10 @@ object MiningQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
+    // ts IS NOT NULL on BOTH sides: Spark window-sorts nulls first,
+    // DuckDB last — a null timestamp would silently reorder the sequence
     val steps = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type").as("src"))
       .withColumn("dst", lead(col("src"), 1).over(w))
@@ -197,7 +200,7 @@ object MiningQueries {
       |  SELECT event_type AS src,
       |    lead(event_type) OVER (PARTITION BY user_id
       |                           ORDER BY ts, event_id) AS dst
-      |  FROM events),
+      |  FROM events WHERE ts IS NOT NULL),
       |m AS (SELECT src, dst, count(*) AS n FROM steps
       |      WHERE dst IS NOT NULL GROUP BY 1, 2)
       |SELECT src, dst, n,
@@ -236,6 +239,7 @@ object MiningQueries {
   // ignore-nulls last(). One window, one shuffle.
   private def q122Locf(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      .filter(col("ts").isNotNull) // null-sort parity guard, as in q120
       .select(col("event_id"), col("user_id"), col("ts"),
         when(col("event_type") === "purchase", col("value")).as("pv"))
       .withColumn("last_purchase",
@@ -251,7 +255,7 @@ object MiningQueries {
       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |    AS last_purchase
-      |FROM events ORDER BY event_id""".stripMargin
+      |FROM events WHERE ts IS NOT NULL ORDER BY event_id""".stripMargin
 
   // -------------------------------------------------- q123_cume_distinct
   // Running distinct users per day — first-seen reduction + prefix sum,
@@ -279,7 +283,8 @@ object MiningQueries {
   // valid_to exclusive, open interval = current), then counts per
   // (user, version). Equi-join on the key carries the range predicate.
   private def q124TemporalJoin(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).filter(col("user_id") % 20 === 0)
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") % 20 === 0 && col("ts").isNotNull)
     val iv = graft.ops.TimeSeriesOps.scd2(
       ev, col("user_id"), col("event_type"), col("ts"), col("event_id"))
     graft.ops.TimeSeriesOps.pointInTimeJoin(
@@ -294,7 +299,7 @@ object MiningQueries {
       |  SELECT user_id, event_type, ts, event_id,
       |    lag(event_type, 1) OVER (PARTITION BY user_id
       |      ORDER BY ts ASC, event_id ASC) AS prev
-      |  FROM events WHERE user_id % 20 = 0),
+      |  FROM events WHERE user_id % 20 = 0 AND ts IS NOT NULL),
       |changes AS (
       |  SELECT * FROM marked WHERE prev IS NULL OR prev <> event_type),
       |iv AS (
@@ -308,7 +313,7 @@ object MiningQueries {
       |FROM events e
       |JOIN iv ON e.user_id = iv.k AND e.ts >= iv.valid_from
       |  AND (e.ts < iv.valid_to OR iv.valid_to IS NULL)
-      |WHERE e.user_id % 20 = 0
+      |WHERE e.user_id % 20 = 0 AND e.ts IS NOT NULL
       |GROUP BY 1, 2, 3
       |ORDER BY e.user_id, iv.version""".stripMargin
 

@@ -15,29 +15,24 @@ import graft.tables.Tables
   */
 object SqlTpchQueries {
 
+  /** Temp views under the BARE table names (they shadow nothing — the
+    * session catalog has no permanent tables), so the Spark side runs
+    * the oracle's query text VERBATIM — one source of truth per query,
+    * no rewrite step to drift or mis-fire on comma-joins / CTEs named
+    * like base tables. */
   private def views(s: SparkSession, d: String): Unit = {
-    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
-    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier")
-    Tables.nation(s, d).createOrReplaceTempView("graft_nation")
-    Tables.region(s, d).createOrReplaceTempView("graft_region")
-    Tables.part(s, d).createOrReplaceTempView("graft_part")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
+    Tables.part(s, d).createOrReplaceTempView("part")
   }
-
-  /** Rewrites an oracle-SQL body to the graft_ view names so the Spark
-    * side runs the IDENTICAL query text — one source of truth per query,
-    * no drift between engine and oracle. */
-  private def sparkText(oracle: String): String =
-    Seq("customer", "orders", "lineitem", "supplier", "nation", "region",
-      "part").foldLeft(oracle) { (sql, t) =>
-      // word-boundary table references only (FROM/JOIN positions)
-      sql.replaceAll(s"(?i)(FROM|JOIN)(\\s+)$t\\b", s"$$1$$2graft_$t")
-    }
 
   private def runSql(oracle: String)(s: SparkSession, d: String): DataFrame = {
     views(s, d)
-    s.sql(sparkText(oracle))
+    s.sql(oracle)
   }
 
   // --------------------------------------------------- q114_sql_priority

@@ -32,11 +32,12 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
-  test("pageRankInt: co-partitioned path (broadcastRanks=false) is bit-identical") {
+  test("pageRankInt: broadcast and co-partitioned paths are bit-identical") {
     val edges = (for (i <- 0L until 20L) yield (i, (i * 3 + 1) % 20))
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .toDF("src", "dst")
-    val bc = GraphOps.pageRankInt(edges, "src", "dst", 3)
+    val bc = GraphOps.pageRankInt(edges, "src", "dst", 3,
+        broadcastRanks = true)
       .orderBy($"node").as[(Long, Long)].collect().toSeq
     val part = GraphOps.pageRankInt(edges, "src", "dst", 3,
         broadcastRanks = false)
