@@ -132,6 +132,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window input not pre-aggregated:\n$p")
   }
 
+  // Pins for the round-4 bench-regressed set: their plans were healthy
+  // (the regression was session state); keep them that way so a future
+  // slowdown shows up as a plan diff, not just a timing.
+
+  test("q6: tiny-dim cross join broadcasts one side — never a shuffled product") {
+    val p = planOf("q6_cross_join")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"),
+      s"cross join lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"shuffled cartesian appeared:\n$p")
+  }
+
+  test("q9: per-key top-k is ONE window exchange over the pre-filtered scan") {
+    val p = planOf("q9_window_topk")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"extra shuffles around the rank window:\n$p")
+    assert("Window \\[".r.findAllIn(p).size == 1, s"expected one rank window:\n$p")
+    // rank ≤ k prunes per-partition BEFORE the shuffle (Spark 3.5+ group limit)
+    assert(p.contains("WindowGroupLimit"), s"top-k filter not pushed:\n$p")
+  }
+
+  test("q78: TPC-H volume-shipping joins stay all-broadcast — zero SMJ") {
+    val p = planOf("q78_sql_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 5,
+      s"expected 5 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("q86: z-order bucketing is one interleave window + one agg — two exchanges") {
+    val p = planOf("q86_zorder")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"z-order plan grew extra shuffles:\n$p")
+  }
+
+  test("q87: SCD2 change detection shares one per-key shuffle across both windows") {
+    val p = planOf("q87_scd2")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"scd2 windows stopped sharing the per-key partitioning:\n$p")
+    assert("Window".r.findAllIn(p).size == 2, s"expected lag+lead windows:\n$p")
+  }
+
   test("native dedup expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import graft.tables.Tables
