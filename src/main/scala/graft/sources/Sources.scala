@@ -28,9 +28,9 @@ object Sources {
 
   /** S6 — JDBC scan (database.py + the reflected radars schema).
     * `partitionColumn`+bounds shard the read across executors; Catalyst
-    * pushes filters/prunes columns into the generated SQL. Untestable in
-    * this container (no database), kept as the documented connector
-    * surface. */
+    * pushes filters/prunes columns into the generated SQL. Exercised
+    * end-to-end against embedded Derby (JdbcRoundTripSpec) — the same
+    * connector path a deployment points at Postgres. */
   def jdbcTable(
       spark: SparkSession, url: String, table: String,
       partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
