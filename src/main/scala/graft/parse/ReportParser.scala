@@ -32,8 +32,16 @@ object ReportParser {
   private val binCols = Seq(5, 7, 9, 10, 12, 13, 14, 15, 17, 18, 20)
   private val totalCol = 21
 
+  /** Container sniff, not extension trust: the portal serves both `.xlsx`
+    * (zip, "PK") and legacy `.xls` (CFB, D0 CF 11 E0) under interchanging
+    * names — xlrd accepted either (clean_data.py:53). */
+  private def readWorkbook(bytes: Array[Byte]): CellGrid =
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xd0 && (bytes(1) & 0xff) == 0xcf &&
+      (bytes(2) & 0xff) == 0x11 && (bytes(3) & 0xff) == 0xe0) Biff.read(bytes)
+    else Xlsx.read(bytes)
+
   def parse(source: String, bytes: Array[Byte]): Either[ParseError, ParsedReport] =
-    Try(Xlsx.read(bytes)).toEither.left
+    Try(readWorkbook(bytes)).toEither.left
       .map(e => ParseError(source, s"unreadable workbook: ${e.getMessage}"))
       .flatMap(grid => parseGrid(source, grid))
 
