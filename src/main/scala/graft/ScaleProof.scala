@@ -1,0 +1,101 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.runtime.Lifetime
+
+/** 10× scale proof-run (VERDICT r4 #6): replicate the sf0.1 tables ten
+  * times with disjoint key spaces (≈ sf1) into a scratch dir, then run
+  * the most expensive registered queries there — catching memory/skew
+  * cliffs the sf0.1 bench cannot see (mega-buckets in LSH, frontier
+  * blowup in BFS, window-state growth). Facts and event/corpus tables
+  * replicate; dimensions (nation, region) stay fixed, like a real SF
+  * scale-up. Key shift = replica · 10⁸, far above any sf0.1 key, so FK
+  * joins stay consistent within each replica and never cross replicas.
+  */
+object ScaleProof {
+
+  private val Shift = 100000000L
+
+  /** columns to shift per replicated table (FK-consistent) */
+  private val shiftCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_suppkey", "l_partkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private def generate(spark: SparkSession, src: String, dst: String): Unit = {
+    new File(dst).mkdirs()
+    for ((table, keys) <- shiftCols) {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val replicated = base
+        .withColumn("__rep", explode(sequence(lit(0L), lit(9L))))
+      val shifted = keys.foldLeft(replicated) { (df, k) =>
+        df.withColumn(k, col(k) + col("__rep") * Shift)
+      }.drop("__rep")
+      // explode leaves one output task per INPUT split (an 11 MB source
+      // becomes one ~100 MB part file) — and file count caps downstream
+      // scan parallelism; spread each table over the core count
+      shifted.repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      println(s"[scale] $table x10 written")
+    }
+    for (dim <- Seq("nation", "region"))
+      spark.read.parquet(s"$src/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$dim.parquet")
+    Files.writeString(Paths.get(s"$dst/_DONE"), "ok\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = args.headOption.getOrElse("/tmp/graft_sf1")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq( // the 10 most expensive of the clean sf0.1 bench
+        "q107_pagerank", "q111_basket", "q127_bfs", "q112_triangles",
+        "q71_moments", "q84_geo_nearest", "q21_dedup_minhash",
+        "q100_bloom_join", "q78_sql_volume", "q50_components")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the sandbox exhibits >10s whole-JVM pauses under load; don't let
+      // the in-process heartbeat kill a long proof run over one of them
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new File(s"$dst/_DONE").exists()) generate(spark, src, dst)
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      var rows = -1L
+      try {
+        fn(spark, dst).write.format("noop").mode("overwrite").save()
+        rows = 0L
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      Lifetime.releaseAll(spark, blocking = true)
+      println(f"[scale] $name%-22s ${dt}%8.2f s ${if (rows < 0) "FAILED" else "ok"}")
+      (name, dt, rows >= 0)
+    }
+    val failed = results.count(!_._3)
+    println(f"[scale] total ${results.map(_._2).sum}%.1f s, $failed failures")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Geo + space-filling-curve operators.
@@ -74,6 +74,87 @@ object GeoOps {
       (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
         (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
     }.reduce(_ + _)
+
+  /** Nearest-neighbour within a radius via grid-cell bucketing — the geo
+    * analogue of the LSH bucket join: instead of |left|·|right| haversine
+    * evaluations, each left row meets only the right rows in its 3×3 cell
+    * neighbourhood, so the pair count scales with point density, not with
+    * |left|·|right|. Lossless for nearest-within-radius semantics: every
+    * cell is at least `radiusKm` tall everywhere (on the haversine sphere
+    * 1° of latitude is a constant R·π/180 km) and at least `radiusKm`
+    * wide at the worst latitude of the ±`maxAbsLatDeg` band, so any right
+    * point within `radiusKm` of a left point lies in the neighbourhood
+    * and the per-key argmin over candidates equals the argmin over all
+    * pairs (pinned ≡ brute force in GeoOpsSpec). Longitude cells wrap at
+    * the antimeridian via pmod on the cell index; latitude needs no wrap
+    * inside the band.
+    *
+    * The RIGHT side is the one replicated ×9 into its neighbourhood, so
+    * put the dimension there: the fact side maps to a single cell and the
+    * replication cost stays dimension-sized. With `broadcastRight` (the
+    * default) the candidate join is map-side and the final argmin
+    * partial-aggregates — the fact table is never shuffled at all. Set it
+    * false when the right side is itself fact-sized; the join then
+    * shuffles both sides on the cell key, still never forming the cross
+    * product. When the radius is so large that fewer than 3 longitude
+    * cells tile the circle, wrapped neighbour offsets collide and a
+    * candidate pair can appear more than once — harmless under min().
+    *
+    * Distances are rounded to 2 decimals BEFORE the radius filter and the
+    * argmin (the q84 exactness discipline: a 1-ulp libm difference must
+    * not flip a comparison), ties break on the right key. Left rows with
+    * no right row within `radiusKm` are absent from the result.
+    *
+    * Both inputs must carry points with |lat| ≤ `maxAbsLatDeg` — the
+    * width guarantee (hence losslessness) stops at the band edge.
+    */
+  def gridNearestWithin(
+      left: DataFrame, lKey: String, lLat: String, lLon: String,
+      right: DataFrame, rKey: String, rLat: String, rLon: String,
+      radiusKm: Double,
+      maxAbsLatDeg: Double = 60.0,
+      broadcastRight: Boolean = true): DataFrame = {
+    require(radiusKm > 0.0, "radiusKm must be positive")
+    require(maxAbsLatDeg > 0.0 && maxAbsLatDeg < 90.0,
+      "maxAbsLatDeg must be inside (0, 90): cell width degenerates at the poles")
+    val kmPerDegLat = EarthRadiusKm * math.Pi / 180.0
+    val latCellDeg = radiusKm / kmPerDegLat
+    // exact Δlon bound at the band edge: two points at lat = maxAbsLat
+    // within radiusKm satisfy sin(Δlon/2)·cos(maxAbsLat) ≤ sin(r/2R)
+    val halfAngle = math.min(1.0,
+      math.sin(radiusKm / (2.0 * EarthRadiusKm)) / math.cos(maxAbsLatDeg * math.Pi / 180.0))
+    val minLonCellDeg = 2.0 * math.asin(halfAngle) * 180.0 / math.Pi
+    // shrink the cell count (never the cell width) so cells tile the
+    // circle exactly and pmod wrap is cell-aligned
+    val nLon = math.max(1L, math.floor(360.0 / minLonCellDeg).toLong)
+    val lonCellDeg = 360.0 / nLon
+
+    def latCell(lat: Column): Column = floor(lat / lit(latCellDeg)).cast("long")
+    def lonCell(lon: Column): Column =
+      pmod(floor((lon + lit(180.0)) / lit(lonCellDeg)).cast("long"), lit(nLon))
+
+    val probe = left.select(col(lKey), col(lLat), col(lLon),
+      latCell(col(lLat)).as("__lat_cell"), lonCell(col(lLon)).as("__lon_cell"))
+    val offsets = (for (a <- -1 to 1; b <- -1 to 1)
+      yield struct(lit(a.toLong).as("dlat"), lit(b.toLong).as("dlon"))).toSeq
+    val build0 = right
+      .select(col(rKey), col(rLat), col(rLon),
+        latCell(col(rLat)).as("__rc_lat"), lonCell(col(rLon)).as("__rc_lon"))
+      .withColumn("__off", explode(array(offsets: _*)))
+      .select(col(rKey), col(rLat), col(rLon),
+        (col("__rc_lat") + col("__off.dlat")).as("__lat_cell"),
+        pmod(col("__rc_lon") + col("__off.dlon"), lit(nLon)).as("__lon_cell"))
+    val build = if (broadcastRight) broadcast(build0) else build0
+    probe.join(build, Seq("__lat_cell", "__lon_cell"))
+      .withColumn("dist_km",
+        round(haversineKm(col(lLat), col(lLon), col(rLat), col(rLon)), 2))
+      .filter(col("dist_km") <= lit(radiusKm))
+      .groupBy(col(lKey))
+      .agg(min(struct(col("dist_km"), col(rKey))).as("__best"))
+      .select(col(lKey),
+        col(s"__best.$rKey").as(rKey),
+        col("__best.dist_km").as("dist_km"))
+  }
 
   /** The same interleave as [[zorderKey]] as a SQL expression string over
     * column names `x`/`y` — shared with the DuckDB oracle so both engines

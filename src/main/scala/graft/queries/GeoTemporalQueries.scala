@@ -206,8 +206,68 @@ object GeoTemporalQueries {
       |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS INT) AS version
       |FROM changes ORDER BY user_id, version""".stripMargin
 
+  // ------------------------------------------------------- q130_geo_grid
+  // The scale path for q84: nearest supplier WITHIN 350 km of every
+  // customer (no sampling), grid-cell bucketed — each customer meets only
+  // the suppliers in its 3×3 cell neighbourhood instead of all of them.
+  // Same synthetic coordinates, haversine, rounding, and tie-break as
+  // q84, so the DuckDB oracle is the brute-force form with the radius
+  // predicate: grid bucketing is lossless within the radius bound and
+  // must be invisible in the result. q84 at sf1 is 150 M haversines;
+  // this is ~6 M, and the gap widens quadratically with SF.
+  private val GridRadiusKm = 350.0
+
+  private def q130GeoGrid(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        GeoOps.syntheticLat(col("c_custkey"), 11L).as("c_lat"),
+        GeoOps.syntheticLon(col("c_custkey"), 22L).as("c_lon"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"),
+        GeoOps.syntheticLat(col("s_suppkey"), 33L).as("s_lat"),
+        GeoOps.syntheticLon(col("s_suppkey"), 44L).as("s_lon"))
+    GeoOps.gridNearestWithin(
+        cust, "c_custkey", "c_lat", "c_lon",
+        supp, "s_suppkey", "s_lat", "s_lon",
+        radiusKm = GridRadiusKm)
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q130Sql = {
+    val u = (key: String, salt: Int) =>
+      s"CAST((((($key % 2147483648 + 2147483648) % 2147483648) * 2654435761 + $salt) % 4294967296) AS DOUBLE) / 4294967296.0"
+    val hav =
+      """2.0 * 6371.0088 * asin(sqrt(least(
+        |  sin((s_lat - c_lat) * 0.017453292519943295 / 2.0) * sin((s_lat - c_lat) * 0.017453292519943295 / 2.0)
+        |  + cos(c_lat * 0.017453292519943295) * cos(s_lat * 0.017453292519943295)
+        |    * sin((s_lon - c_lon) * 0.017453292519943295 / 2.0) * sin((s_lon - c_lon) * 0.017453292519943295 / 2.0),
+        |  1.0)))""".stripMargin
+    s"""WITH c AS (
+       |  SELECT c_custkey,
+       |    -60.0 + ${u("c_custkey", 11)} * 120.0 AS c_lat,
+       |    -180.0 + ${u("c_custkey", 22)} * 360.0 AS c_lon
+       |  FROM customer),
+       |s AS (
+       |  SELECT s_suppkey,
+       |    -60.0 + ${u("s_suppkey", 33)} * 120.0 AS s_lat,
+       |    -180.0 + ${u("s_suppkey", 44)} * 360.0 AS s_lon
+       |  FROM supplier),
+       |pairs AS (
+       |  SELECT c_custkey, s_suppkey, round($hav, 2) AS dist_km
+       |  FROM c CROSS JOIN s),
+       |near AS (
+       |  SELECT * FROM pairs WHERE dist_km <= $GridRadiusKm),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+       |    ORDER BY dist_km, s_suppkey) AS rn
+       |  FROM near)
+       |SELECT c_custkey, s_suppkey, dist_km
+       |FROM ranked WHERE rn = 1 ORDER BY c_custkey""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q84_geo_nearest", q84GeoNearest, Some(q84Sql)),
+    Q("q130_geo_grid", q130GeoGrid, Some(q130Sql)),
     Q("q85_gapfill", q85Gapfill, Some(q85Sql)),
     Q("q86_zorder", q86Zorder, Some(q86Sql)),
     Q("q87_scd2", q87Scd2, Some(q87Sql)),

@@ -89,6 +89,52 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(spans < 70000, s"avg combined span $spans not locality-preserving")
   }
 
+  // brute-force nearest-within-radius: the exactness baseline the grid
+  // path must reproduce bit-for-bit (same rounding + tie-break)
+  private def bruteNearest(cust: org.apache.spark.sql.DataFrame,
+      supp: org.apache.spark.sql.DataFrame, radiusKm: Double) =
+    cust.crossJoin(supp)
+      .withColumn("dist_km",
+        round(GeoOps.haversineKm($"c_lat", $"c_lon", $"s_lat", $"s_lon"), 2))
+      .filter($"dist_km" <= radiusKm)
+      .groupBy($"ck")
+      .agg(min(struct($"dist_km", $"sk")).as("best"))
+      .select($"ck", $"best.sk".as("sk"), $"best.dist_km".as("dist_km"))
+
+  test("gridNearestWithin ≡ brute force on synthetic points (three radii)") {
+    val cust = spark.range(1, 400).select($"id".as("ck"),
+      GeoOps.syntheticLat($"id", 11L).as("c_lat"),
+      GeoOps.syntheticLon($"id", 22L).as("c_lon"))
+    val supp = spark.range(1, 60).select($"id".as("sk"),
+      GeoOps.syntheticLat($"id", 33L).as("s_lat"),
+      GeoOps.syntheticLon($"id", 44L).as("s_lon"))
+    for (r <- Seq(200.0, 800.0, 3000.0)) {
+      val grid = GeoOps.gridNearestWithin(
+          cust, "ck", "c_lat", "c_lon", supp, "sk", "s_lat", "s_lon", r)
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      val brute = bruteNearest(cust, supp, r)
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      assert(grid.nonEmpty, s"radius $r matched nothing — test data too sparse")
+      assert(grid.toSeq == brute.toSeq, s"grid ≠ brute force at radius $r")
+    }
+  }
+
+  test("gridNearestWithin wraps the antimeridian and honors the radius cutoff") {
+    // cust 1 sits at lon 179.95, its nearest supplier across the seam at
+    // -179.95 (~11 km away) — only reachable if the lon cell join wraps.
+    // cust 2 is mid-Pacific with nothing within 500 km → absent.
+    val cust = Seq((1L, 10.0, 179.95), (2L, -40.0, -120.0))
+      .toDF("ck", "c_lat", "c_lon")
+    val supp = Seq((7L, 10.0, -179.95), (8L, 10.2, 179.0))
+      .toDF("sk", "s_lat", "s_lon")
+    val got = GeoOps.gridNearestWithin(
+        cust, "ck", "c_lat", "c_lon", supp, "sk", "s_lat", "s_lon", 500.0)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L), s"expected only cust 1 matched, got ${got.mkString(",")}")
+    assert(got.head._2 == 7L, s"nearest across the seam must be supplier 7, got ${got.head}")
+    assert(got.head._3 < 15.0)
+  }
+
   test("zorderSqlTerms emits arithmetic equivalent to the column form") {
     val df = Seq((123L, 456L), (65535L, 1L)).toDF("x", "y")
     df.createOrReplaceTempView("zst_t")
