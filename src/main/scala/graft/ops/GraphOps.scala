@@ -140,27 +140,38 @@ object GraphOps {
 
   /** Market-basket co-occurrence: undirected item pairs that appear in at
     * least `minSupport` shared baskets, oriented item1 < item2 so each
-    * pair counts once. The self-join blows up quadratically in basket
-    * size, so baskets larger than `maxBasket` items are dropped FIRST —
-    * at 100 TB one pathological 10⁵-item basket would otherwise emit
-    * 5·10⁹ pairs into the shuffle. Dedup to distinct (basket, item)
-    * before pairing keeps multiplicity out of the support counts.
+    * pair counts once. Pairing blows up quadratically in basket size, so
+    * baskets larger than `maxBasket` items are dropped BEFORE any pair
+    * exists — at 100 TB one pathological 10⁵-item basket would otherwise
+    * emit 5·10⁹ pairs into the shuffle. `collect_set` dedups (basket,
+    * item) so multiplicity stays out of the support counts.
     *
-    * Shape: distinct → one shuffle by basket; the pair self-join is
-    * co-partitioned on basket (no extra exchange); support aggregation
-    * shuffles the surviving pairs by (item1, item2). minSupport prunes
-    * before any downstream top-k.
+    * Shape: exactly two shuffles. One `groupBy(basket)` gathers each
+    * basket's item set (map-side partial sets merge through the
+    * exchange); the ordered pairs are then generated map-side from the
+    * sorted array — sortedness makes i < j equivalent to item1 < item2 —
+    * and flow straight into the partial-aggregated support count, whose
+    * exchange carries only (item1, item2) partial counts. The former
+    * self-join form cost two more exchanges of the full (basket, item)
+    * table (distinct + size filter) and materialized every candidate
+    * pair into a join. Aggregation-buffer memory is bounded by the
+    * largest RAW basket (the cap filter runs after collection) — a
+    * 10⁵-item set is ~1 MB, so the guard that matters is on pair count,
+    * not set size. minSupport prunes before any downstream top-k.
     */
   def cooccurrencePairs(df: DataFrame, basket: String, item: String,
       minSupport: Long = 2L, maxBasket: Int = 50): DataFrame = {
-    val bi = df.select(col(basket).as("b"), col(item).as("i")).distinct()
-    val sized = bi
-      .join(bi.groupBy(col("b")).agg(count(lit(1)).as("__sz"))
-        .filter(col("__sz") <= maxBasket), "b")
-    val l = sized.select(col("b"), col("i").as("item1"))
-    val r = sized.select(col("b"), col("i").as("item2"))
-    l.join(r, Seq("b"))
-      .filter(col("item1") < col("item2"))
+    val baskets = df
+      .groupBy(col(basket).as("b"))
+      .agg(sort_array(collect_set(col(item))).as("__items"))
+      .filter(size(col("__items")) <= maxBasket)
+    val a = col("__items")
+    val pairs = flatten(transform(a, (x, i) =>
+      transform(slice(a, i + lit(2), size(a)),
+        y => struct(x.as("item1"), y.as("item2")))))
+    baskets
+      .select(explode(pairs).as("__p"))
+      .select(col("__p.item1").as("item1"), col("__p.item2").as("item2"))
       .groupBy(col("item1"), col("item2"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)

@@ -172,6 +172,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p).size == 2, s"expected lag+lead windows:\n$p")
   }
 
+  test("q111: basket pairs are two exchanges and zero joins") {
+    val p = planOf("q111_basket")
+    // collect_set by basket + support count — pairs generate map-side
+    // between them; the former self-join form is banned outright
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"basket mining grew extra shuffles:\n$p")
+    assert(!p.contains("Join"), s"pair generation regressed to a join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 not pushed:\n$p")
+  }
+
   test("native dedup expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import graft.tables.Tables
