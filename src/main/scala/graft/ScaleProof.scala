@@ -59,11 +59,16 @@ object ScaleProof {
     val dst = args.headOption.getOrElse("/tmp/graft_sf1")
     val names =
       if (args.length > 1) args.drop(1).toSeq
-      else Seq( // the 10 most expensive of the clean sf0.1 bench
+      else Seq( // the 10 most expensive of the clean sf0.1 bench; q130 is
+        // q84's grid-bucketed scale path — the brute-force baseline is
+        // quadratic BY DESIGN and excluded from the scale run
         "q107_pagerank", "q111_basket", "q127_bfs", "q112_triangles",
-        "q71_moments", "q84_geo_nearest", "q21_dedup_minhash",
+        "q71_moments", "q130_geo_grid", "q21_dedup_minhash",
         "q100_bloom_join", "q78_sql_volume", "q50_components")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local[8], not local[32]: saturating every advertised CPU trips the
+    // host's kernel-side thrash (measured 4-25x inflation at local[32] on
+    // identical plans); 8 cores is also how you'd size a real executor
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
