@@ -55,8 +55,18 @@ object Bench {
       hygiene() // outside the timing: each run starts from a clean session
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+    // the passes INTERLEAVE (every query once, then every query again)
+    // rather than running a query's two samples back-to-back: the host's
+    // interference comes in multi-second bursts, and consecutive samples
+    // of one query both land inside a burst — min-of-2 then keeps the
+    // inflated number. With a full pass between samples, a burst has to
+    // strike the SAME query in BOTH passes to survive the min.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(): Seq[(String, Double)] =
+      ordered.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val (p1, p2) = (pass(), pass())
+    val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
+      name -> math.min(a, b)
     }
     // millisecond precision keeps the 129-entry line short enough that
     // captured-stdout tails don't truncate it; the file is the durable copy
