@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Geo + space-filling-curve operators.
   *
@@ -145,15 +146,36 @@ object GeoOps {
         (col("__rc_lat") + col("__off.dlat")).as("__lat_cell"),
         pmod(col("__rc_lon") + col("__off.dlon"), lit(nLon)).as("__lon_cell"))
     val build = if (broadcastRight) broadcast(build0) else build0
-    probe.join(build, Seq("__lat_cell", "__lon_cell"))
+    val candidates = probe.join(build, Seq("__lat_cell", "__lon_cell"))
       .withColumn("dist_km",
         round(haversineKm(col(lLat), col(lLon), col(rLat), col(rLon)), 2))
       .filter(col("dist_km") <= lit(radiusKm))
-      .groupBy(col(lKey))
-      .agg(min(struct(col("dist_km"), col(rKey))).as("__best"))
-      .select(col(lKey),
-        col(s"__best.$rKey").as(rKey),
-        col("__best.dist_km").as("dist_km"))
+    right.schema(rKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        // integral right key: the argmin runs as the native bounded-heap
+        // aggregate (k = 1) inside ObjectHashAggregate. min(struct)
+        // compiles to SortAggregate, which SORTS every candidate row on
+        // both sides of the exchange; the heap keeps one (dist, key)
+        // pair per group per partition and never sorts the candidates.
+        // Negated distance turns the heap's largest-first order into
+        // argmin; its tie-break (id ASC) is exactly ours (smallest key).
+        candidates
+          .groupBy(col(lKey))
+          .agg(graft.functions.NativeTopK
+            .topK(-col("dist_km"), col(rKey), 1).as("__tops"))
+          .select(col(lKey),
+            col("__tops").getItem(0).getField("id")
+              .cast(right.schema(rKey).dataType).as(rKey),
+            (-col("__tops").getItem(0).getField("sort_key")).as("dist_km"))
+      case _ =>
+        // arbitrary key type: struct-min (SortAggregate) fallback
+        candidates
+          .groupBy(col(lKey))
+          .agg(min(struct(col("dist_km"), col(rKey))).as("__best"))
+          .select(col(lKey),
+            col(s"__best.$rKey").as(rKey),
+            col("__best.dist_km").as("dist_km"))
+    }
   }
 
   /** The same interleave as [[zorderKey]] as a SQL expression string over

@@ -119,6 +119,26 @@ class GeoOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gridNearestWithin: struct-min fallback (non-integral key) ≡ native argmin") {
+    val cust = spark.range(1, 400).select($"id".as("ck"),
+      GeoOps.syntheticLat($"id", 11L).as("c_lat"),
+      GeoOps.syntheticLon($"id", 22L).as("c_lon"))
+    val supp = spark.range(1, 60).select($"id".as("sk"),
+      GeoOps.syntheticLat($"id", 33L).as("s_lat"),
+      GeoOps.syntheticLon($"id", 44L).as("s_lon"))
+    // zero-padded so string ordering == numeric ordering and the two
+    // paths must tie-break identically
+    val suppStr = supp.withColumn("sk", format_string("%05d", $"sk"))
+    val native = GeoOps.gridNearestWithin(
+        cust, "ck", "c_lat", "c_lon", supp, "sk", "s_lat", "s_lon", 800.0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (c, s, d) => (c, f"$s%05d", d) }.sortBy(_._1)
+    val fallback = GeoOps.gridNearestWithin(
+        cust, "ck", "c_lat", "c_lon", suppStr, "sk", "s_lat", "s_lon", 800.0)
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(native.nonEmpty && native.toSeq == fallback.toSeq)
+  }
+
   test("gridNearestWithin wraps the antimeridian and honors the radius cutoff") {
     // cust 1 sits at lon 179.95, its nearest supplier across the seam at
     // -179.95 (~11 km away) — only reachable if the lon cell join wraps.

@@ -182,6 +182,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-100 not pushed:\n$p")
   }
 
+  test("q130: grid argmin is broadcast join + hash aggregation — no sorts, no SMJ") {
+    val p = planOf("q130_geo_grid")
+    assert(p.contains("BroadcastHashJoin"), s"cell join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"cell join fell back to SMJ:\n$p")
+    // the final orderBy sorts 150k result rows; candidates must not sort
+    assert(!p.contains("SortAggregate"),
+      s"argmin regressed to struct-min SortAggregate:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2,
+      s"expected partial+final heap aggregation:\n$p")
+  }
+
   test("native dedup expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import graft.tables.Tables
