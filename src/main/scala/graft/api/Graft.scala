@@ -59,6 +59,17 @@ object Graft {
         threshold: Double = 0.6): DataFrame =
       Dedup.dropNearDups(df, idCol, textCol, threshold = threshold)
 
+    /** STREAMING near-dup alerts: per-bucket LSH state flags each
+      * arriving document against the last `delayMinutes` of the stream
+      * (watermark-evicted state; see
+      * [[graft.streaming.StatefulOps.nearDupAlerts]]). */
+    def nearDupAlertStream(idCol: String, tsCol: String,
+        textCol: String = "text", delayMinutes: Int = 60,
+        simThreshold: Double = 0.6): DataFrame =
+      graft.streaming.StatefulOps.nearDupAlerts(
+        df, idCol, tsCol, textCol, delayMinutes,
+        simThreshold = simThreshold)
+
     /** Per-doc near-dup cluster id + keeper flag for the given pairs. */
     def withDupClusters(idCol: String, pairs: DataFrame): DataFrame =
       Dedup.resolveClusters(df, idCol, pairs)

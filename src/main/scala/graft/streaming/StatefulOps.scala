@@ -134,6 +134,122 @@ object StatefulOps {
       }
   }
 
+  final case class BandedDoc(id: Long, ts: java.sql.Timestamp,
+      sig: Array[Long], band: Int, bucket: Long)
+  final case class BucketEntry(id: Long, tsMs: Long, sig: Array[Long])
+  final case class BucketState(entries: List[BucketEntry])
+  final case class NearDupAlert(id: Long, ts: java.sql.Timestamp,
+      dup_of: Long, sim: Double)
+
+  /** Streaming NEAR-duplicate detection — the at-ingest twin of
+    * [[graft.dedup.Dedup.nearDupPairsMinhash]]: flag each arriving
+    * document that is a MinHash near-dup of one seen in the previous
+    * `delayMinutes`. Emits one (id, ts, dup_of, sim) row per detected
+    * (newer, older) pair, deduplicated across bands.
+    *
+    * Shape is the batch LSH design re-expressed as stream state: the
+    * signature explodes into `bands` bucket keys; each bucket is a
+    * [[org.apache.spark.sql.streaming.GroupState]] holding the (id, ts,
+    * sig) of its recent members, so an arriving document compares
+    * against ONLY its bucket's members — candidate work scales with
+    * bucket density exactly like the batch bucket-join, never with the
+    * corpus. State is evicted two ways, both watermark-driven: entries
+    * older than the horizon are pruned on every bucket visit, and idle
+    * buckets clear wholesale via event-time timeout — the store is
+    * bounded by arrival-rate × horizon at any stream length.
+    *
+    * Cross-band dedup is LOCAL, not a second stateful operator (Spark's
+    * correctness check rightly refuses a stateful dedup downstream of
+    * flatMapGroupsWithState): a colliding pair is emitted only by the
+    * FIRST band on which the two signatures fully agree — both sigs are
+    * in hand, so that band is computable wherever the pair meets, and
+    * every other shared bucket sees it isn't first and stays silent.
+    *
+    * `sim` is SIGNATURE agreement (matching minhash positions / k), the
+    * standard unbiased Jaccard estimate — not the exact-Jaccard rescore
+    * the batch path does, which would require every bucket to retain
+    * full shingle sets in state; callers needing exactness verify the
+    * tiny alert stream against stored text downstream. With the default
+    * k=64 the estimate's σ is ≈0.06 at the 0.6 threshold.
+    *
+    * In-order delivery within a key: rows in a batch process in (ts,
+    * id) order, and a pair is reported once, attributed to the LATER
+    * document. A document arriving after its bucket state was evicted
+    * (beyond the horizon) simply starts fresh — by design, the horizon
+    * IS the dedup contract, same as [[dedupedDocStream]].
+    */
+  def nearDupAlerts(
+      docs: DataFrame, idCol: String, tsCol: String, textCol: String,
+      delayMinutes: Int = 60, n: Int = 3, k: Int = 64, bands: Int = 16,
+      simThreshold: Double = 0.6): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    require(delayMinutes > 0, "delayMinutes must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPer = k / bands
+    val delayStr = s"$delayMinutes minutes"
+    val delayMs = delayMinutes * 60000L
+    val banded = docs
+      .filter(col(idCol).isNotNull && col(tsCol).isNotNull &&
+        col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        graft.functions.NativeHashes.minhashSig(col(textCol), n, k).as("sig"))
+      .withWatermark("ts", delayStr)
+      .select(col("id"), col("ts"), col("sig"),
+        posexplode(graft.dedup.Dedup.bandKeys(col("sig"), bands, rowsPer))
+          .as(Seq("band", "bucket")))
+      .as[BandedDoc]
+    // smallest band on which the two signatures agree over the whole
+    // rowsPer-slice — the single band allowed to report the pair
+    def firstMatchingBand(a: Array[Long], b: Array[Long]): Int = {
+      var j = 0
+      while (j < bands) {
+        var r = 0
+        while (r < rowsPer && a(j * rowsPer + r) == b(j * rowsPer + r)) r += 1
+        if (r == rowsPer) return j
+        j += 1
+      }
+      -1
+    }
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, NearDupAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            .filter(e => e.tsMs + delayMs >= wm)
+          val out = List.newBuilder[NearDupAlert]
+          if (!state.hasTimedOut) {
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.id)).foreach { r =>
+              entries.foreach { e =>
+                if (e.id != r.id && firstMatchingBand(r.sig, e.sig) == r.band) {
+                  var eq = 0
+                  var i = 0
+                  while (i < r.sig.length) {
+                    if (r.sig(i) == e.sig(i)) eq += 1
+                    i += 1
+                  }
+                  val sim = eq.toDouble / r.sig.length
+                  if (sim >= simThreshold)
+                    out += NearDupAlert(r.id, r.ts, e.id, sim)
+                }
+              }
+              entries = BucketEntry(r.id, r.ts.getTime, r.sig) :: entries
+            }
+          }
+          if (entries.isEmpty) state.remove()
+          else {
+            state.update(BucketState(entries))
+            // strictly above the watermark or Spark rejects the timeout
+            state.setTimeoutTimestamp(
+              math.max(entries.map(_.tsMs).max + delayMs, wm + 1))
+          }
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   final case class FunnelEvent(user_id: Long, event_type: String,
       ts: java.sql.Timestamp)
   final case class FunnelState(stage: Int, stageMs: Long)

@@ -222,6 +222,42 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup alerts: LSH bucket state flags arrivals, horizon evicts") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+    val alerts = StatefulOps.nearDupAlerts(
+      docs, "doc_id", "ts", "text", delayMinutes = 10, simThreshold = 0.5)
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("sneardup").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      val base = "the quick brown fox jumps over the lazy dog near the riverbank " * 4
+      stream.addData(
+        (ts("2021-03-01 00:00:00"), 1L, base),
+        (ts("2021-03-01 00:00:10"), 2L, "completely unrelated text about spark physical plans and shuffles"))
+      q.processAllAvailable()
+      stream.addData( // next batch, inside the horizon: one-word edit of doc 1
+        (ts("2021-03-01 00:03:00"), 3L, base.replaceFirst("lazy", "sleepy")))
+      q.processAllAvailable()
+      val hits = spark.table("sneardup")
+        .select($"id", $"dup_of").as[(Long, Long)].collect().toSet
+      assert(hits == Set((3L, 1L)), s"expected exactly (3,1), got $hits")
+      // a pair shares MANY bands at this similarity; cross-band copies
+      // must have been collapsed to one row by the chained dedup
+      assert(spark.table("sneardup").count() == 1)
+      // advance the watermark past the horizon, then replay doc 1's text:
+      // bucket state evicted -> fresh start, no alert
+      stream.addData((ts("2021-03-01 01:00:00"), 50L, "watermark pusher text"))
+      q.processAllAvailable()
+      stream.addData((ts("2021-03-01 01:00:30"), 51L, base))
+      q.processAllAvailable()
+      val after = spark.table("sneardup")
+        .select($"id").as[Long].collect().toSet
+      assert(!after.contains(51L), s"evicted state must not alert: $after")
+    } finally q.stop()
+  }
+
   test("streaming unique visitors: dedup-then-count per closed window") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, Long)]
