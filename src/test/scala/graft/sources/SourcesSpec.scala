@@ -42,6 +42,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(row == (("FS551JOI", true, false)))
   }
 
+  test("upsertPartitioned: keyed merge, partition-pruned rewrite, replay-safe") {
+    val dir = Files.createTempDirectory("upsert-spec").toString + "/t"
+    val base = Seq(
+      (1L, "a", "d1"), (2L, "b", "d1"),
+      (3L, "c", "d2"), (4L, "d", "d3"))
+      .toDF("k", "v", "pd")
+    Sources.upsertPartitioned(spark, base, dir, Seq("k"), "pd")
+    def filesOf(p: String): Set[(String, Long)] = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val d1Before = filesOf(s"$dir/pd=d1")
+    val d3Before = filesOf(s"$dir/pd=d3")
+    // update key 3 in place, insert key 5 into d2, open partition d4
+    val updates = Seq(
+      (3L, "c2", "d2"), (5L, "e", "d2"), (6L, "f", "d4"))
+      .toDF("k", "v", "pd")
+    Sources.upsertPartitioned(spark, updates, dir, Seq("k"), "pd")
+    val got = spark.read.parquet(dir)
+      .select($"k", $"v", $"pd").as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "a", "d1"), (2L, "b", "d1"),
+      (3L, "c2", "d2"), (5L, "e", "d2"),
+      (4L, "d", "d3"), (6L, "f", "d4")))
+    // untouched partitions keep their exact files — the rewrite pruned
+    assert(filesOf(s"$dir/pd=d1") == d1Before, "d1 was rewritten")
+    assert(filesOf(s"$dir/pd=d3") == d3Before, "d3 was rewritten")
+    // replay the same upsert: final state unchanged (idempotent)
+    Sources.upsertPartitioned(spark, updates, dir, Seq("k"), "pd")
+    val replay = spark.read.parquet(dir)
+      .select($"k", $"v", $"pd").as[(Long, String, String)].collect().toSet
+    assert(replay == got)
+    // no block-manager residue from the overwrite snapshots
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("flows CSV sink partitions by pubdate") {
     val dir = Files.createTempDirectory("src-spec3").toString
     val df = Seq(("2021-03-01", "E1", 5), ("2021-03-02", "E1", 7))
