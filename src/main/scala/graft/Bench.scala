@@ -56,17 +56,20 @@ object Bench {
       dt
     }
     // the passes INTERLEAVE (every query once, then every query again)
-    // rather than running a query's two samples back-to-back: the host's
+    // rather than running a query's samples back-to-back: the host's
     // interference comes in multi-second bursts, and consecutive samples
-    // of one query both land inside a burst — min-of-2 then keeps the
+    // of one query all land inside a burst — the min then keeps the
     // inflated number. With a full pass between samples, a burst has to
-    // strike the SAME query in BOTH passes to survive the min.
+    // strike the SAME query in EVERY pass to survive the min. Three
+    // passes: the burst pathology measured 4-25× inflation (SCALE.md
+    // round-5 notes), so one extra sweep is cheap insurance against a
+    // whole round's timings reading as regressions.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def pass(): Seq[(String, Double)] =
       ordered.map { case (name, fn) => name -> timeOnce(name, fn) }
-    val (p1, p2) = (pass(), pass())
-    val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
-      name -> math.min(a, b)
+    val results = Seq.fill(runs)(pass()).transpose.map { samples =>
+      samples.head._1 -> samples.map(_._2).min
     }
     // millisecond precision keeps the 129-entry line short enough that
     // captured-stdout tails don't truncate it; the file is the durable copy
@@ -74,7 +77,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"agg":"min"}"""
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
     try Files.writeString(Paths.get("BENCH_LAST.json"), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LAST.json: ${e.getMessage}")
