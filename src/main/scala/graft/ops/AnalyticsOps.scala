@@ -184,9 +184,13 @@ object AnalyticsOps {
       .groupBy(col(a), col(b)).agg(count(lit(1)).as("obs"))
     // densify: absent (a,b) combinations are REAL zero cells — each
     // contributes its full expected count to the statistic; a groupBy
-    // alone would silently understate chi² for sparse tables
+    // alone would silently understate chi² for sparse tables. Both
+    // sides are category lists (bounded by |A| and |B|, not by the
+    // fact), but they sit behind aggregations whose output size the
+    // optimizer can't estimate — without the explicit broadcast this
+    // plans a SHUFFLED CartesianProduct.
     val cells = sparse.select(col(a)).distinct()
-      .crossJoin(sparse.select(col(b)).distinct())
+      .crossJoin(broadcast(sparse.select(col(b)).distinct()))
       .join(sparse, Seq(a, b), "left")
       .withColumn("obs", coalesce(col("obs"), lit(0L)))
     val rowW = Window.partitionBy(col(a))

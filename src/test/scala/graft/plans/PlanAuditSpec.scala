@@ -193,6 +193,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected partial+final heap aggregation:\n$p")
   }
 
+  // Whole-inventory product guard. A CartesianProduct is the shuffled
+  // all-pairs operator — quadratic in BOTH inputs with no broadcast bound;
+  // any query that acquires one at 100 TB is dead. A BroadcastNestedLoopJoin
+  // is tolerable only when one side is provably dimension-sized, so it is
+  // allowed solely for the queries whose SEMANTICS are all-pairs over a
+  // bounded side (documented exactness baselines and tiny-dim matrices).
+  // Every other registered query must stay equi-join/aggregation shaped.
+  private val allPairsBySemantics = Set(
+    "q6_cross_join",      // 5×25 dim task matrix — broadcast, 125 rows
+    "q23_cosine_topk",    // broadcast PROBE set (5 vectors) × corpus scan
+    "q38_range_join",     // BETWEEN join on a broadcast 3-row band dim
+    "q68_jaccard_pairs",  // exact-Jaccard verification baseline (tiny ids)
+    "q69_embed_neardup",  // all-pairs embedding baseline, capped at 300
+    "q72_editdist",       // Levenshtein probe set, broadcast by design
+    "q84_geo_nearest",    // brute-force haversine exactness baseline
+    "q103_chi2",          // category-list densify (|A|×|B| cells, broadcast)
+    "q115_sql_forecast",  // scalar-subquery single-row join
+    "q126_ab_lift",       // variant×variant 1-row readout
+    "q129_pmi")           // 1-row corpus-total aggregate joined to pairs
+
+  test("no registered query plans a shuffled or unsanctioned all-pairs join") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = planOf(name)
+      val cart = p.contains("CartesianProduct")
+      val bnlj = p.contains("BroadcastNestedLoopJoin") &&
+        !allPairsBySemantics.contains(name)
+      if (cart) Some(s"$name: CartesianProduct (shuffled all-pairs)")
+      else if (bnlj) Some(s"$name: BroadcastNestedLoopJoin outside the whitelist")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"scale-hostile join shapes:\n${offenders.mkString("\n")}")
+  }
+
   test("native dedup expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import graft.tables.Tables
