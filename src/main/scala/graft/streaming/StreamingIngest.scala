@@ -60,6 +60,49 @@ object StreamingIngest {
       .start()
   }
 
+  /** Stream the keyed-update flow into the parquet lake through
+    * [[graft.sources.Sources.upsertPartitioned]] — the streaming face of
+    * the MERGE-like sink. Each micro-batch is first reduced to ONE row
+    * per key (greatest `seqCol` wins, so a batch carrying several
+    * versions of a key lands only the newest), then upserted with
+    * dynamic partition overwrite touching only the partitions the batch
+    * names.
+    *
+    * Delivery is at-least-once (foreachBatch re-runs a batch after a
+    * crash before the commit log records it) but the sink converges:
+    * re-applying a batch rewrites the same keys with the same rows, so
+    * the lake state is exactly-once PER KEY as long as `seqCol` is
+    * monotone per key across retries — which a CDC sequence or event
+    * timestamp is. This is the idempotence discipline the reference's
+    * unique-index insert gives its Postgres sink
+    * (clean_data.py:176-180), restated for an immutable-file lake.
+    *
+    * At scale the cost per trigger is the batch size plus a rewrite of
+    * the touched partitions only — partition pruning bounds it, so keep
+    * partitions date-sized, not table-sized. */
+  def upsertStream(
+      updates: DataFrame, path: String,
+      keyCols: Seq[String], partitionCol: String, seqCol: String,
+      checkpointDir: String): StreamingQuery = {
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keys = keyCols.map(col)
+        val latest = batch
+          .groupBy(keys: _*)
+          .agg(max(struct(col(seqCol) +: batch.columns.filterNot(c =>
+            keyCols.contains(c) || c == seqCol).map(col) :_*)).as("__v"))
+          .select(keys ++ batch.columns.filterNot(keyCols.contains).map(c =>
+            col(s"__v.$c").as(c)) :_*)
+        graft.sources.Sources.upsertPartitioned(
+          batch.sparkSession, latest, path, keyCols, partitionCol)
+        println(s"[upsert-stream] batch=$batchId committed")
+        ()
+      }
+      .start()
+  }
+
   /** Event-time analytics over the flows stream (the reference's 15-minute
     * slots as real tumbling windows + watermarked late-data handling).
     * `flowsWithTs` must carry a `slot_ts` timestamp column. */

@@ -292,4 +292,28 @@ class StreamingIngestSpec extends AnyFunSuite {
       assert(out("01:00") == 1L) // user 99
     } finally q.stop()
   }
+
+  test("streaming upsert: last writer per key lands, partitions accumulate") {
+    implicit val ctx = spark.sqlContext
+    val work = Files.createTempDirectory("upsert-stream").toString
+    val lake = s"$work/lake"
+    val stream = MemoryStream[(Long, String, Long, String)]
+    val updates = stream.toDF().toDF("id", "day", "seq", "payload")
+    val q = StreamingIngest.upsertStream(
+      updates, lake, keyCols = Seq("id"), partitionCol = "day",
+      seqCol = "seq", checkpointDir = s"$work/chk")
+    try {
+      stream.addData((1L, "d1", 1L, "a"), (2L, "d1", 1L, "b"))
+      q.processAllAvailable()
+      // batch 2: id 1 arrives TWICE (seq 2 then 3 — only 3 may land),
+      // id 3 opens partition d2; id 2 untouched
+      stream.addData((1L, "d1", 3L, "a3"), (1L, "d1", 2L, "a2"), (3L, "d2", 1L, "c"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(lake)
+        .select($"id", $"day", $"seq", $"payload")
+        .as[(Long, String, Long, String)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(
+        (1L, "d1", 3L, "a3"), (2L, "d1", 1L, "b"), (3L, "d2", 1L, "c")))
+    } finally q.stop()
+  }
 }
