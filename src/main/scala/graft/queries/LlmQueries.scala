@@ -160,6 +160,26 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --------------------------------------------------------- q131_pq_topk
+  // IVFPQ: coarse cells prune candidates, 8 four-bit-ish codes per vector
+  // replace the raw floats for scoring (asymmetric-distance lookups), and
+  // the exact re-rank re-reads vectors for the ADC shortlist only. The
+  // at-rest index is (id, cell, codes) — 8 ints vs 64 floats — the
+  // representation that still fits the cache tier at 100 TB of raw
+  // embeddings. Approximate by construction → no DuckDB oracle;
+  // PqIndexSpec pins ADC ≡ reconstruction dot and recall vs brute force.
+  private def q131Pq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val index = graft.sim.PqIndex.build(emb, "vec_id", "embedding",
+      nList = 8, m = 8, k = 16)
+    graft.sim.PqIndex.topKRerank(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", index,
+      k = 10, nProbe = 3, rerankFactor = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // --------------------------------------------------------- q25_langid
   private def q25LangId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -438,6 +458,7 @@ object LlmQueries {
     Q("q23_cosine_topk", q23Cosine, Some(q23Sql)),
     Q("q24_ann_topk", q24Ann, None),
     Q("q46_ivf_topk", q46Ivf, None),
+    Q("q131_pq_topk", q131Pq, None),
     Q("q25_langid", q25LangId, Some(q25Sql)),
     Q("q26_fingerprint", q26Fingerprint, None),
     Q("q27_multimodal", q27Multimodal, None),

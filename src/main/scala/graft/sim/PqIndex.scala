@@ -1,0 +1,225 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF + product-quantization ANN (the FAISS IVFPQ layout, Spark-first):
+  * a coarse KMeans quantizer buckets the corpus into `nList` cells, and
+  * each vector is stored ONLY as `m` small sub-codebook codes — at rest
+  * the index carries (id, cell, m codes), never the raw floats. For a
+  * 64-dim float corpus with m=8, that is 256 bytes → 8 bytes per vector:
+  * the representation that still fits a cluster's shuffle/cache tier when
+  * the raw embedding table is 100 TB.
+  *
+  * Query path: probe the `nProbe` nearest cells (equi-join on the int
+  * cell id, same shape as [[IvfIndex]]), score candidates by asymmetric
+  * distance — the query precomputes an m×k lookup table of sub-dot
+  * products against the codebooks, and each candidate's score is m
+  * array lookups summed, no vector arithmetic per pair — then
+  * bounded-heap top-k. An optional exact re-rank re-reads raw vectors
+  * for only the ADC survivors (an id equi-join, candidate-set-sized).
+  *
+  * All vectors are L2-normalized at build/query time, so the ADC sum of
+  * sub-dot products approximates cosine similarity: dot(q, recon(x)) ≈
+  * cos(q, x) with reconstruction error bounded by the per-subspace
+  * quantization residual.
+  *
+  * Everything is Catalyst expressions — codebooks are driver-sized
+  * (m·k·subDim doubles) and enter the plan as literals; encoding, the
+  * LUT, and ADC scoring all run inside codegen with no UDF.
+  */
+object PqIndex {
+
+  final case class Index(
+      coarseCenters: IndexedSeq[Array[Double]],         // nList × dim
+      codebooks: IndexedSeq[IndexedSeq[Array[Double]]], // m × k × subDim
+      m: Int, k: Int, subDim: Int,
+      encoded: DataFrame) {
+    /** Release the cached code table when the index is retired. */
+    def close(): Unit = { encoded.unpersist(); () }
+  }
+
+  /** argmin cell id over a driver-sized centroid set, as an expression
+    * (the sorted-struct idiom; ties to the lower cell id). */
+  private def nearestCell(v: Column, centers: IndexedSeq[Array[Double]]): Column = {
+    val cands = centers.zipWithIndex.map { case (c, cid) =>
+      struct(l2ToLit(v, c).as("d2"), lit(cid).as("cell"))
+    }
+    array_sort(array(cands: _*)).getItem(0).getField("cell")
+  }
+
+  /** L2-normalize an array<double> column; zero vectors pass through as
+    * zeros (they then score 0 against everything, like cosine). */
+  private def normalize(v: Column): Column = {
+    val n = sqrt(aggregate(zip_with(v, v, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x))
+    when(n > 0, transform(v, x => x / n)).otherwise(v)
+  }
+
+  private def subVec(v: Column, j: Int, subDim: Int): Column =
+    slice(v, j * subDim + 1, subDim)
+
+  private def l2ToLit(v: Column, center: Array[Double]): Column =
+    aggregate(zip_with(v, typedLit(center.toSeq), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def dotLit(v: Column, center: Array[Double]): Column =
+    aggregate(zip_with(v, typedLit(center.toSeq), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Seeded Lloyd's k-means on a driver-resident point set: distinct-ish
+    * seeded init (a shuffled prefix), argmin assignment, mean update;
+    * clusters that empty out keep their previous centroid. Deterministic
+    * for a given (points, k, seed). */
+  private[sim] def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+      iters: Int): IndexedSeq[Array[Double]] = {
+    require(points.nonEmpty, "cannot fit a codebook on an empty sample")
+    val d = points.head.length
+    val rng = new scala.util.Random(seed)
+    val init = rng.shuffle(points.indices.toVector).take(k).map(i => points(i).clone())
+    var centers: IndexedSeq[Array[Double]] =
+      if (init.size >= k) init
+      else init ++ Vector.fill(k - init.size)(init(rng.nextInt(init.size)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var dist = 0.0; var i = 0
+          while (i < d) { val t = p(i) - centers(c)(i); dist += t * t; i += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      centers = (0 until k).map { c =>
+        if (counts(c) == 0) centers(c)
+        else { val out = new Array[Double](d)
+          var i = 0
+          while (i < d) { out(i) = sums(c)(i) / counts(c); i += 1 }
+          out }
+      }
+    }
+    centers
+  }
+
+  /** Train the coarse quantizer + m sub-codebooks and encode the corpus.
+    *
+    * Like [[IvfIndex.build]], every iterative fit trains on a bounded
+    * seeded sample (`trainCap`) — only the single-pass encode touches
+    * each vector once. The vector dimension must divide evenly into `m`
+    * subspaces. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      nList: Int, m: Int, k: Int,
+      seed: Long = 11L, trainCap: Long = 20000L): Index = {
+    val feats = corpus.select(col(idCol).as("nn_id"),
+      normalize(col(vecCol).cast("array<double>")).as("nn_vec"))
+      .cache()
+    val n = feats.count()
+    val dim = feats.select(size(col("nn_vec"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    // ALL fits (coarse + m sub-codebooks) train on the driver over one
+    // bounded sample: trainCap rows × dim doubles is ≤ ~10 MB by
+    // construction (the broadcast-sized-collect adaptivity, as in
+    // connectedComponents' small-graph path), and seeded Lloyd loops
+    // over ≤20k points are microseconds-per-iteration — distributed
+    // fits on a driver-sized sample would cost 9 job launches to
+    // cluster data that fits in one L2 cache. What MUST be distributed
+    // is the corpus-wide assignment/encode pass, and it is: centroids
+    // re-enter the plan as literals and the argmin runs as expressions
+    // on every executor.
+    val train =
+      if (n <= trainCap) feats
+      else feats.sample(withReplacement = false, trainCap.toDouble / n, seed)
+    val sampleVecs = train.select(col("nn_vec")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val coarseCenters = lloyd(sampleVecs, nList, seed, iters = 10)
+    val codebooks = (0 until m).map { j =>
+      val pts = sampleVecs.map(v => java.util.Arrays.copyOfRange(
+        v, j * subDim, (j + 1) * subDim))
+      lloyd(pts, k, seed + 1 + j, iters = 10)
+    }
+
+    // encode: per subspace, argmin_{c} ||subvec − codebook(j)(c)||² via
+    // the sorted-struct idiom (k structs, sort, take head) — pure
+    // expressions, ties to the lower code id
+    val codeCols = (0 until m).map { j =>
+      val sv = subVec(col("nn_vec"), j, subDim)
+      val cands = (0 until k).map { c =>
+        struct(l2ToLit(sv, codebooks(j)(c)).as("d2"), lit(c).as("code"))
+      }
+      array_sort(array(cands: _*)).getItem(0).getField("code")
+    }
+    val encoded = feats
+      .select(col("nn_id"),
+        nearestCell(col("nn_vec"), coarseCenters).as("cell"),
+        array(codeCols: _*).as("codes"))
+      .cache()
+    encoded.count() // materialize while feats is still cached
+    feats.unpersist()
+    Index(coarseCenters, codebooks, m, k, subDim, encoded)
+  }
+
+  /** Probe cell ids per query (nProbe nearest coarse centroids, exact L2
+    * against the driver-sized centroid set) plus the query's flattened
+    * ADC lookup table: lut[j·k + c] = dot(q_sub_j, codebook(j)(c)). */
+  private def probesWithLut(queries: DataFrame, idCol: String, vecCol: String,
+      index: Index, nProbe: Int): DataFrame = {
+    val centroidDist = index.coarseCenters.zipWithIndex.map {
+      case (c, cid) =>
+        struct(l2ToLit(col("qv"), c).as("d2"), lit(cid).as("cell"))
+    }
+    val lutTerms = for (j <- 0 until index.m; c <- 0 until index.k)
+      yield dotLit(subVec(col("qv"), j, index.subDim), index.codebooks(j)(c))
+    queries.select(col(idCol).as("query_id"),
+      normalize(col(vecCol).cast("array<double>")).as("qv"))
+      .withColumn("probes",
+        slice(array_sort(array(centroidDist.toIndexedSeq: _*)), 1, nProbe))
+      .withColumn("lut", array(lutTerms: _*))
+      .select(col("query_id"), col("lut"),
+        explode(col("probes.cell")).as("cell"))
+  }
+
+  /** ANN top-k by asymmetric distance only — candidates are scored from
+    * their codes and the query LUT; raw vectors are never read. */
+  def topK(queries: DataFrame, idCol: String, vecCol: String,
+      index: Index, k: Int, nProbe: Int): DataFrame = {
+    val q = probesWithLut(queries, idCol, vecCol, index, nProbe)
+    val kk = index.k
+    val adc = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(index.m - 1)),
+        (c, j) => element_at(col("lut"), j * kk + c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = index.encoded.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id").as("neighbor_id"),
+        adc.as("sim"))
+    Similarity.rankTopK(scored, k)
+  }
+
+  /** ADC shortlist + exact cosine re-rank: take the top `k·rerankFactor`
+    * by asymmetric distance, then join the raw corpus BY ID for just
+    * those candidates and rank the exact scores. Reads raw vectors for
+    * the shortlist only — the standard recall-restoring step that keeps
+    * the full-corpus pass on 8-byte codes. */
+  def topKRerank(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      index: Index, k: Int, nProbe: Int, rerankFactor: Int = 4): DataFrame = {
+    val shortlist = topK(queries, idCol, vecCol, index, k * rerankFactor, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val exact = shortlist
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("sim"))
+    Similarity.rankTopK(exact, k)
+  }
+}
