@@ -45,15 +45,20 @@ object Bench {
     // two timed passes per query, report the min: single-pass timings on
     // a shared VM mix page-cache/JIT warmup and neighbor noise into the
     // number; min-of-2 is the steady-state cost of the plan itself.
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Returns (elapsed, succeeded). A failing pass must NOT contribute its
+    // (artificially fast) elapsed time to the min — a transient error would
+    // otherwise read as a speedup while the failure only hit stderr.
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       hygiene() // outside the timing: each run starts from a clean session
-      dt
+      (dt, ok)
     }
     // the passes INTERLEAVE (every query once, then every query again)
     // rather than running a query's samples back-to-back: the host's
@@ -66,18 +71,21 @@ object Bench {
     // whole round's timings reading as regressions.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def pass(): Seq[(String, Double)] =
+    def pass(): Seq[(String, (Double, Boolean))] =
       ordered.map { case (name, fn) => name -> timeOnce(name, fn) }
     val results = Seq.fill(runs)(pass()).transpose.map { samples =>
-      samples.head._1 -> samples.map(_._2).min
+      val good = samples.collect { case (_, (dt, true)) => dt }
+      samples.head._1 -> (if (good.nonEmpty) Some(good.min) else None)
     }
+    val failed = results.collect { case (name, None) => name }
     // millisecond precision keeps the 129-entry line short enough that
     // captured-stdout tails don't truncate it; the file is the durable copy
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("-1")(ms) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
+    val total = results.flatMap(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min","failed":$failedJson}"""
     try Files.writeString(Paths.get("BENCH_LAST.json"), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LAST.json: ${e.getMessage}")

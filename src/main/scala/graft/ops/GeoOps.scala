@@ -119,11 +119,16 @@ object GeoOps {
     require(maxAbsLatDeg > 0.0 && maxAbsLatDeg < 90.0,
       "maxAbsLatDeg must be inside (0, 90): cell width degenerates at the poles")
     val kmPerDegLat = EarthRadiusKm * math.Pi / 180.0
-    val latCellDeg = radiusKm / kmPerDegLat
+    // The filter compares distances ROUNDED to 2 decimals against radiusKm,
+    // so a pair with true distance up to radiusKm + 0.005 can pass. Size the
+    // cells for that slop-extended radius so the 3×3 coverage guarantee
+    // dominates the rounded filter even at the boundary.
+    val coverKm = radiusKm + 0.005
+    val latCellDeg = coverKm / kmPerDegLat
     // exact Δlon bound at the band edge: two points at lat = maxAbsLat
-    // within radiusKm satisfy sin(Δlon/2)·cos(maxAbsLat) ≤ sin(r/2R)
+    // within coverKm satisfy sin(Δlon/2)·cos(maxAbsLat) ≤ sin(r/2R)
     val halfAngle = math.min(1.0,
-      math.sin(radiusKm / (2.0 * EarthRadiusKm)) / math.cos(maxAbsLatDeg * math.Pi / 180.0))
+      math.sin(coverKm / (2.0 * EarthRadiusKm)) / math.cos(maxAbsLatDeg * math.Pi / 180.0))
     val minLonCellDeg = 2.0 * math.asin(halfAngle) * 180.0 / math.Pi
     // shrink the cell count (never the cell width) so cells tile the
     // circle exactly and pmod wrap is cell-aligned

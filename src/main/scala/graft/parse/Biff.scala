@@ -322,8 +322,16 @@ object Biff {
   private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
   private def le32(v: Int): Array[Byte] = le16(v & 0xffff) ++ le16((v >> 16) & 0xffff)
 
-  private def record(t: Int, payload: Array[Byte]): Array[Byte] =
+  private def record(t: Int, payload: Array[Byte]): Array[Byte] = {
+    // BIFF8 caps a record body at 8224 bytes; longer strings need CONTINUE
+    // spans, which this fixture-grade writer does not emit. Fail loudly
+    // (matching the read side's posture) instead of length-wrapping the u16
+    // and silently corrupting the stream.
+    require(payload.length <= 8224,
+      s"BIFF record 0x${t.toHexString} payload ${payload.length} B exceeds the " +
+        "8224 B record cap; CONTINUE-span writing is unsupported")
     le16(t) ++ le16(payload.length) ++ payload
+  }
 
   /** Numeric values only when the decimal text survives double round-trip
     * (e.g. "2.10" must stay a string or it would read back "2.1"). */

@@ -101,12 +101,20 @@ object Sources {
     * multi-writer transactionality is a table format's job (Delta /
     * Iceberg MERGE); single-writer batch upsert — the reference's
     * deployment shape — is exactly this.
+    *
+    * With `seqCol` set, the merge is VERSION-AWARE: per key, the row
+    * with the greatest non-null `seqCol` wins, and on a seq tie the
+    * update wins (deterministically). An update carrying an OLDER seq
+    * than the lake row therefore cannot regress state — the protection a
+    * reordered CDC feed needs. Without `seqCol` the update wins
+    * unconditionally (last-writer semantics).
     */
   def upsertPartitioned(
       spark: SparkSession, updates: DataFrame, path: String,
-      keyCols: Seq[String], partitionCol: String): Unit = {
+      keyCols: Seq[String], partitionCol: String,
+      seqCol: Option[String] = None): Unit = {
     require(keyCols.nonEmpty, "upsertPartitioned needs at least one key column")
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit, max, struct}
     val exists =
       try spark.read.parquet(path).schema.nonEmpty
       catch { case _: org.apache.spark.sql.AnalysisException => false }
@@ -115,10 +123,40 @@ object Sources {
       else {
         val parts = updates.select(col(partitionCol)).distinct().collect()
           .map(_.get(0)).toSeq // one value per TOUCHED partition — small
-        val old = spark.read.parquet(path)
-          .filter(col(partitionCol).isin(parts: _*))
-          .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-        updates.unionByName(old)
+        // NULL-safe membership: isin() is three-valued, so a null partition
+        // value in `updates` would silently EXCLUDE the existing null-slice
+        // rows from the merge while dynamic overwrite still rewrites
+        // __HIVE_DEFAULT_PARTITION__ — deleting them. Treat null as its own
+        // partition key instead.
+        val nonNull = parts.filter(_ != null)
+        val inNonNull =
+          if (nonNull.nonEmpty) col(partitionCol).isin(nonNull: _*)
+          else org.apache.spark.sql.functions.lit(false)
+        val touched =
+          if (parts.contains(null)) inNonNull || col(partitionCol).isNull
+          else inNonNull
+        val old = spark.read.parquet(path).filter(touched)
+        seqCol match {
+          case None =>
+            updates.unionByName(
+              old.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti"))
+          case Some(sc) =>
+            // Per-key argmax on (seq, source): greatest seq wins; on a
+            // tie the update (source = 1) beats the lake row (source = 0).
+            // One shuffle over the touched slice — same cost class as the
+            // anti-join path. Unmatched lake rows survive as singleton
+            // groups. Null seq sorts lowest, so it never beats a real one.
+            val dataCols = updates.columns.filterNot(keyCols.contains).toSeq
+            val keys = keyCols.map(col)
+            val ver = struct(
+              col(sc) +: lit(0).as("__src") +: dataCols.filterNot(_ == sc).map(col): _*)
+            updates.withColumn("__v", ver).withColumn("__v",
+                col("__v").withField("__src", lit(1)))
+              .unionByName(old.withColumn("__v", ver))
+              .groupBy(keys: _*)
+              .agg(max(col("__v")).as("__v"))
+              .select(keys ++ dataCols.map(c => col(s"__v.$c").as(c)): _*)
+        }
       }
     val snapshot = merged.localCheckpoint()
     try {

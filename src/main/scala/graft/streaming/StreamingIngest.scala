@@ -68,14 +68,26 @@ object StreamingIngest {
     * dynamic partition overwrite touching only the partitions the batch
     * names.
     *
-    * Delivery is at-least-once (foreachBatch re-runs a batch after a
-    * crash before the commit log records it) but the sink converges:
-    * re-applying a batch rewrites the same keys with the same rows, so
-    * the lake state is exactly-once PER KEY as long as `seqCol` is
-    * monotone per key across retries — which a CDC sequence or event
-    * timestamp is. This is the idempotence discipline the reference's
-    * unique-index insert gives its Postgres sink
-    * (clean_data.py:176-180), restated for an immutable-file lake.
+    * Delivery from the source is at-least-once (foreachBatch re-runs a
+    * batch after a crash before the commit log records it); the sink
+    * makes it EXACTLY-ONCE with two independent guards, the same
+    * discipline as the reference's `equipment_files` ledger + unique
+    * index (schema.sql:22-33, clean_data.py:176-180):
+    *
+    *  1. a `_graft_commits/<batchId>` marker inside the table directory
+    *     (underscore-prefixed, so table reads never see it), written
+    *     AFTER the upsert commits and checked BEFORE applying — a
+    *     replayed batch is a true no-op regardless of seq semantics;
+    *  2. the upsert itself runs version-aware (`seqCol` passed through
+    *     to [[graft.sources.Sources.upsertPartitioned]]): per key the
+    *     greatest seq wins, so even a genuinely NEW batch that carries
+    *     an older seq for a key (cross-trigger reordering) cannot
+    *     regress the lake row.
+    *
+    * A crash BETWEEN the upsert and the marker write replays the batch;
+    * guard 2 makes that replay converge to the same state, after which
+    * the marker lands. The ledger is per-table and single-stream, the
+    * same single-writer contract as the batch upsert.
     *
     * At scale the cost per trigger is the batch size plus a rewrite of
     * the touched partitions only — partition pruning bounds it, so keep
@@ -88,16 +100,26 @@ object StreamingIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val keys = keyCols.map(col)
-        val latest = batch
-          .groupBy(keys: _*)
-          .agg(max(struct(col(seqCol) +: batch.columns.filterNot(c =>
-            keyCols.contains(c) || c == seqCol).map(col) :_*)).as("__v"))
-          .select(keys ++ batch.columns.filterNot(keyCols.contains).map(c =>
-            col(s"__v.$c").as(c)) :_*)
-        graft.sources.Sources.upsertPartitioned(
-          batch.sparkSession, latest, path, keyCols, partitionCol)
-        println(s"[upsert-stream] batch=$batchId committed")
+        val sess = batch.sparkSession
+        val ledger = new org.apache.hadoop.fs.Path(path, "_graft_commits")
+        val fs = ledger.getFileSystem(sess.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(ledger, batchId.toString)
+        if (fs.exists(marker)) {
+          println(s"[upsert-stream] batch=$batchId already in ledger — replay skipped")
+        } else {
+          val keys = keyCols.map(col)
+          val latest = batch
+            .groupBy(keys: _*)
+            .agg(max(struct(col(seqCol) +: batch.columns.filterNot(c =>
+              keyCols.contains(c) || c == seqCol).map(col) :_*)).as("__v"))
+            .select(keys ++ batch.columns.filterNot(keyCols.contains).map(c =>
+              col(s"__v.$c").as(c)) :_*)
+          graft.sources.Sources.upsertPartitioned(
+            sess, latest, path, keyCols, partitionCol, seqCol = Some(seqCol))
+          fs.mkdirs(ledger)
+          fs.create(marker, true).close()
+          println(s"[upsert-stream] batch=$batchId committed")
+        }
         ()
       }
       .start()

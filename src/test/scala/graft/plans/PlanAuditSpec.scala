@@ -1,16 +1,23 @@
 package graft.plans
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkEntry
 import graft.TestSpark
+import graft.runtime.Lifetime
 
 /** Plan-shape regression guards: the properties SCALE.md claims must stay
   * true in the optimized plans, not just in prose.
   */
-class PlanAuditSpec extends AnyFunSuite {
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
+
+  // Constructing q46/q131 plans EXECUTES IvfIndex.build / PqIndex.build
+  // (eager cache + count); release those caches so later suites in the
+  // shared session don't inherit this suite's block-manager residue.
+  override def afterAll(): Unit = Lifetime.releaseAll(spark, blocking = true)
 
   private def planOf(q: String): String = {
     val df = SparkEntry.queries(q)(spark, sf)

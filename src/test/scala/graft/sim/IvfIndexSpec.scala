@@ -13,6 +13,7 @@ class IvfIndexSpec extends AnyFunSuite {
   test("IVF top-k: candidates come from probed cells, exact-cosine ranked") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val index = IvfIndex.build(emb, "vec_id", "embedding", nList = 8)
+    try {
     // every corpus vector landed in exactly one of 8 cells
     assert(index.assigned.select("cell").distinct().count() <= 8)
     assert(index.assigned.count() == emb.count())
@@ -28,16 +29,19 @@ class IvfIndexSpec extends AnyFunSuite {
     val recall = (annPairs intersect exact).size.toDouble / exact.size
     info(f"IVF recall@10, 8 cells, 3 probes: $recall%.2f")
     assert(recall > 0.2, s"IVF recall collapsed: $recall")
+    } finally index.close()
   }
 
   test("nProbe = nList degenerates to exact search") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
     val index = IvfIndex.build(emb, "vec_id", "embedding", nList = 4)
-    val queries = emb.filter($"vec_id" < 3)
-    val ann = IvfIndex.topK(queries, "vec_id", "embedding", index, k = 5, nProbe = 4)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    assert(ann == exact)
+    try {
+      val queries = emb.filter($"vec_id" < 3)
+      val ann = IvfIndex.topK(queries, "vec_id", "embedding", index, k = 5, nProbe = 4)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      assert(ann == exact)
+    } finally index.close()
   }
 }

@@ -43,6 +43,10 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("upsertPartitioned: keyed merge, partition-pruned rewrite, replay-safe") {
+    // Residue check is a DELTA: other suites in the shared session may hold
+    // their own caches (e.g. a live IVF index); this spec only asserts that
+    // the upsert itself leaves nothing behind.
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val dir = Files.createTempDirectory("upsert-spec").toString + "/t"
     val base = Seq(
       (1L, "a", "d1"), (2L, "b", "d1"),
@@ -76,7 +80,41 @@ class SourcesSpec extends AnyFunSuite {
       .select($"k", $"v", $"pd").as[(Long, String, String)].collect().toSet
     assert(replay == got)
     // no block-manager residue from the overwrite snapshots
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- rddsBefore
+    assert(leaked.isEmpty, s"upsert leaked persistent RDDs: $leaked")
+  }
+
+  test("upsertPartitioned: a null partition value merges the null slice, never deletes it") {
+    val dir = Files.createTempDirectory("upsert-null").toString + "/t"
+    val base = Seq((1L, "a", Some("d1")), (2L, "b", None), (3L, "c", None))
+      .toDF("k", "v", "pd")
+    Sources.upsertPartitioned(spark, base, dir, Seq("k"), "pd")
+    // update key 2 inside the null partition; key 3 must SURVIVE even
+    // though isin(null) is three-valued (the old silent-delete bug)
+    val updates = Seq((2L, "b2", None: Option[String])).toDF("k", "v", "pd")
+    Sources.upsertPartitioned(spark, updates, dir, Seq("k"), "pd")
+    val got = spark.read.parquet(dir)
+      .select($"k", $"v", $"pd").as[(Long, String, Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, "a", Some("d1")), (2L, "b2", None), (3L, "c", None)))
+  }
+
+  test("upsertPartitioned with seqCol: stale updates lose, ties prefer the update") {
+    val dir = Files.createTempDirectory("upsert-seq").toString + "/t"
+    val base = Seq((1L, 5L, "v5", "d1"), (2L, 1L, "b1", "d1"))
+      .toDF("k", "seq", "v", "pd")
+    Sources.upsertPartitioned(spark, base, dir, Seq("k"), "pd", seqCol = Some("seq"))
+    val updates = Seq(
+      (1L, 3L, "v3", "d1"),  // stale: must NOT regress the seq-5 row
+      (2L, 1L, "b1b", "d1"), // seq tie: the update wins
+      (3L, 1L, "c", "d1"))   // plain insert
+      .toDF("k", "seq", "v", "pd")
+    Sources.upsertPartitioned(spark, updates, dir, Seq("k"), "pd", seqCol = Some("seq"))
+    val got = spark.read.parquet(dir)
+      .select($"k", $"seq", $"v", $"pd").as[(Long, Long, String, String)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 5L, "v5", "d1"), (2L, 1L, "b1b", "d1"), (3L, 1L, "c", "d1")))
   }
 
   test("flows CSV sink partitions by pubdate") {

@@ -316,4 +316,45 @@ class StreamingIngestSpec extends AnyFunSuite {
         (1L, "d1", 3L, "a3"), (2L, "d1", 1L, "b"), (3L, "d2", 1L, "c")))
     } finally q.stop()
   }
+
+  test("streaming upsert: ledger skips replays; an older cross-batch seq never regresses") {
+    implicit val ctx = spark.sqlContext
+    val work = Files.createTempDirectory("upsert-eo").toString
+    val lake = s"$work/lake"
+    val stream = MemoryStream[(Long, String, Long, String)]
+    val updates = stream.toDF().toDF("id", "day", "seq", "payload")
+    def startQ() = StreamingIngest.upsertStream(
+      updates, lake, keyCols = Seq("id"), partitionCol = "day",
+      seqCol = "seq", checkpointDir = s"$work/chk")
+    def state() = spark.read.parquet(lake)
+      .select($"id", $"day", $"seq", $"payload")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    var q = startQ()
+    try {
+      stream.addData((1L, "d1", 5L, "v5"))
+      q.processAllAvailable()
+      // cross-batch reordering: a genuinely NEW batch carries an OLDER seq
+      // for key 1 — the version-aware merge must keep the seq-5 row
+      stream.addData((1L, "d1", 3L, "v3"), (2L, "d1", 1L, "b"))
+      q.processAllAvailable()
+      assert(state() == Seq((1L, "d1", 5L, "v5"), (2L, "d1", 1L, "b")))
+      // crash window: the upsert for batch 1 committed but the streaming
+      // commit log never recorded it. Simulate by dropping the commit
+      // record and restarting — Spark replays batch 1 from the offset log;
+      // the _graft_commits ledger already has it, so the replay is a no-op
+      // (regardless of the batch's seq values).
+      q.stop()
+      assert(Files.deleteIfExists(java.nio.file.Paths.get(s"$work/chk/commits/1")),
+        "streaming commit-log layout changed; replay simulation broken")
+      // the local FS keeps a checksum sidecar; it must go with the record
+      // or the replayed commit write fails on the stale CRC
+      Files.deleteIfExists(java.nio.file.Paths.get(s"$work/chk/commits/.1.crc"))
+      q = startQ()
+      q.processAllAvailable()
+      assert(state() == Seq((1L, "d1", 5L, "v5"), (2L, "d1", 1L, "b")))
+      val markers = new java.io.File(s"$lake/_graft_commits").list()
+        .filterNot(_.startsWith(".")).sorted.toSeq
+      assert(markers == Seq("0", "1"), s"ledger markers: $markers")
+    } finally q.stop()
+  }
 }
