@@ -200,6 +200,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected partial+final heap aggregation:\n$p")
   }
 
+  test("q74: decorrelated LATERAL ranks via WindowGroupLimit and joins broadcast") {
+    val p = planOf("q74_lateral")
+    // Catalyst must decorrelate the per-row LIMIT 1 into a group-limited
+    // window (partial + final WindowGroupLimit), never a per-customer loop,
+    // and the customer side must broadcast — the shape behind the 0.6 s
+    // fresh-JVM steady state (SCALE.md round-6 note).
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"LATERAL lost the group-limit decorrelation:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fell back to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"correlation exploded:\n$p")
+  }
+
   // Whole-inventory product guard. A CartesianProduct is the shuffled
   // all-pairs operator — quadratic in BOTH inputs with no broadcast bound;
   // any query that acquires one at 100 TB is dead. A BroadcastNestedLoopJoin

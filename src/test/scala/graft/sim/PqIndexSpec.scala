@@ -72,6 +72,33 @@ class PqIndexSpec extends AnyFunSuite {
     } finally index.close()
   }
 
+  test("quantization floors: full-probe recall@10 ≥ 0.6 ADC, ≥ 0.8 reranked") {
+    // nProbe = nList removes the IVF probe loss, so what these floors pin
+    // is the QUANTIZATION quality itself (m=32 subspaces of 2 dims, 32
+    // centroids each on the 64-dim fixture). A codebook-training or
+    // LUT-indexing regression drags ADC recall well below 0.6; the exact
+    // re-rank over an 8× shortlist must recover nearly all of the rest.
+    val emb = Tables.embeddings(spark, sf)
+    val index = PqIndex.build(emb, "vec_id", "embedding",
+      nList = 4, m = 32, k = 32)
+    try {
+      val queries = emb.filter($"vec_id" < 20)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val adc = PqIndex.topK(queries, "vec_id", "embedding", index,
+          k = 10, nProbe = 4)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val rr = PqIndex.topKRerank(queries, emb, "vec_id", "embedding", index,
+          k = 10, nProbe = 4, rerankFactor = 8)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val adcRecall = (adc intersect exact).size.toDouble / exact.size
+      val rrRecall = (rr intersect exact).size.toDouble / exact.size
+      info(f"full-probe IVFPQ recall@10: adc=$adcRecall%.2f rerank=$rrRecall%.2f")
+      assert(adcRecall >= 0.6, s"ADC quantization floor broken: $adcRecall")
+      assert(rrRecall >= 0.8, s"rerank floor broken: $rrRecall")
+    } finally index.close()
+  }
+
   test("codes at rest carry no raw vectors; ranks are a valid 1..k prefix") {
     val emb = Tables.embeddings(spark, sf).limit(120)
     val index = PqIndex.build(emb, "vec_id", "embedding",
