@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AdvancedQueries, AnalyticsQueries, EngineQueries, GeoTemporalQueries, HistogramQueries, LlmQueries, MiningQueries, PipelineQueries, Q, Relational, SqlSuiteQueries, SqlTpchQueries, TemporalQueries}
+import graft.queries.{AdvancedQueries, AnalyticsQueries, EngineQueries, GeoTemporalQueries, HistogramQueries, LlmQueries, MiningQueries, PipelineQueries, Q, Relational, SqlSuiteQueries, SqlTpchQueries, StreamingQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.all ++ AdvancedQueries.all ++ HistogramQueries.all ++
       TemporalQueries.all ++ LlmQueries.all ++ PipelineQueries.all ++
       EngineQueries.all ++ GeoTemporalQueries.all ++ AnalyticsQueries.all ++
-      SqlSuiteQueries.all ++ MiningQueries.all ++ SqlTpchQueries.all
+      SqlSuiteQueries.all ++ MiningQueries.all ++ SqlTpchQueries.all ++
+      StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

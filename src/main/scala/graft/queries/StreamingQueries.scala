@@ -1,0 +1,122 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StatefulOps, StreamingIngest}
+import graft.tables.Tables
+
+/** Registered end-to-end runs of the streaming surface (SURVEY.md §2.8).
+  *
+  * The operators themselves are spec-tested in StreamingIngestSpec /
+  * StatefulOpsSpec; these queries exist so the DRIVER exercises the
+  * streaming path every round: each builds a real Structured Streaming
+  * flow (file source → sink) over the driver's parquet tables, runs it to
+  * completion synchronously, and returns a batch DataFrame summarizing
+  * the sink — rows > 0 is the smoke contract, no_oracle like the other
+  * non-SQL-expressible entries (q21/q24 precedent).
+  *
+  * Both queries bound their input to a fixed-size slice of `documents`
+  * (doc_id-filtered) so cost is CONSTANT in the scale factor: what they
+  * measure is the streaming machinery (micro-batch scheduling, state
+  * store, ledger commit), not table scan width — the batch queries
+  * already cover that. All work happens under a per-invocation temp
+  * directory, so repeated bench passes never share checkpoints.
+  */
+object StreamingQueries {
+
+  // ------------------------------------------------- q132_stream_upsert
+  /** The exactly-once keyed upsert flow, end to end: two versions of
+    * every key staged across three parquet files, streamed one file per
+    * trigger (so versions of one key genuinely cross micro-batch
+    * boundaries in arbitrary order), merged into the lake through
+    * [[StreamingIngest.upsertStream]] — foreachBatch + `_graft_commits`
+    * ledger + version-aware partition-pruned upsert. The returned
+    * summary proves convergence structurally: `min_seq` = `max_seq` = 2
+    * per partition means only the newest version of each key survived,
+    * whatever order the batches delivered.
+    */
+  private def q132Upsert(s: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft_q132_").toString
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+    val v1 = docs.select(col("doc_id").as("id"), col("lang").as("part"),
+      lit(1L).as("seq"), col("n_chars").as("payload_len"))
+    val v2 = docs.select(col("doc_id").as("id"), col("lang").as("part"),
+      lit(2L).as("seq"), (col("n_chars") + 1L).as("payload_len"))
+    v1.unionByName(v2).repartition(3).write.parquet(s"$work/landing")
+    val updates = s.readStream
+      .schema(v1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/landing")
+    val q = StreamingIngest.upsertStream(
+      updates, s"$work/lake", keyCols = Seq("id"), partitionCol = "part",
+      seqCol = "seq", checkpointDir = s"$work/chk")
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$work/lake")
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("payload_len")).as("payload_bytes"),
+        min(col("seq")).as("min_seq"),
+        max(col("seq")).as("max_seq"))
+      .orderBy(col("part"))
+  }
+
+  // ------------------------------------------------ q133_stream_neardup
+  /** The at-ingest near-duplicate detector, end to end: the documents
+    * slice plus a planted one-token-edited copy of every 10th document
+    * (arriving 10 minutes later) streamed through
+    * [[StatefulOps.nearDupAlerts]] — minhash → banded LSH bucket state
+    * in flatMapGroupsWithState — into a memory sink. The event-time span
+    * (≤ ~15 min) sits far inside the 60-minute horizon, so no state is
+    * evicted and the alert set is deterministic. Copies carry the later
+    * timestamp, so each planted pair is attributed to the copy
+    * (`id` = original + 10⁶, `dup_of` = original).
+    */
+  private def q133NearDup(s: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft_q133_").toString
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+    // ts base is one day past the epoch: an event AT the epoch sits exactly
+    // on Spark's initial watermark (0 ms) and is filtered as late before the
+    // stateful operator ever sees it
+    val originals = docs.select(col("doc_id").cast("long").as("id"),
+      timestamp_seconds(col("doc_id") + 86400L).as("ts"), col("text"))
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).cast("long").as("id"),
+        timestamp_seconds(col("doc_id") + 87000L).as("ts"),
+        concat(col("text"), lit(" near dup copy")).as("text"))
+    originals.unionByName(copies).repartition(2).write.parquet(s"$work/stream")
+    val stream = s.readStream
+      .schema(originals.schema)
+      .parquet(s"$work/stream")
+    val alerts = StatefulOps.nearDupAlerts(
+      stream, "id", "ts", "text", delayMinutes = 60, simThreshold = 0.5)
+    val sinkName = "graft_q133_sink"
+    val q = alerts.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/chk")
+      .format("memory").queryName(sinkName).start()
+    val collected =
+      try {
+        q.processAllAvailable()
+        s.table(sinkName)
+          .select(col("id"), col("dup_of"), round(col("sim"), 2).as("sim"))
+          .orderBy(col("id"), col("dup_of"))
+          .collect().toSeq
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    // detach from the memory sink: the summary must survive the sink's
+    // temp view being dropped (and the next invocation reusing the name)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(collected.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dup_of", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType))))
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("q132_stream_upsert", q132Upsert, None),
+    Q("q133_stream_neardup", q133NearDup, None))
+}
