@@ -29,6 +29,58 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + "__compacting").exists())
   }
 
+  test("compact rejects a bucketed table's directory loudly") {
+    import graft.tables.Tables
+    val dir = Files.createTempDirectory("bucketed-reject").toString
+    BucketedLake.writeBucketed(
+      Tables.nation(spark, "/root/testdata/sf0.001"),
+      "reject_nation", s"$dir/n", "n_nationkey", 4)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        LakeMaintenance.compact(spark, s"$dir/n", targetPartitions = 1)
+      }
+      assert(e.getMessage.contains("compactBucketed"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS reject_nation")
+  }
+
+  test("compactBucketed collapses files AND the co-located join stays shuffle-free") {
+    import org.apache.spark.sql.functions._
+    import graft.tables.Tables
+    val dir = Files.createTempDirectory("bucketed-compact").toString
+    val sf = "/root/testdata/sf0.001"
+    // fragment the write: 8 tasks × 8 buckets → up to 64 files per table
+    BucketedLake.writeBucketed(
+      Tables.lineitem(spark, sf).repartition(8), "c_lineitem", s"$dir/li",
+      "l_orderkey", 8)
+    BucketedLake.writeBucketed(
+      Tables.orders(spark, sf).repartition(8), "c_orders", s"$dir/o",
+      "o_orderkey", 8)
+    try {
+      val stats = LakeMaintenance.compactBucketed(spark, "c_lineitem")
+      assert(stats.rows == 6000L, s"rows drifted: $stats")
+      assert(stats.filesAfter <= 8 && stats.filesAfter < stats.filesBefore,
+        s"expected ≤1 file per bucket: $stats")
+      // location must not have moved; no staging residue
+      assert(!new java.io.File(s"$dir/li__old").exists())
+      assert(!new java.io.File(s"$dir/li__compacting").exists())
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = BucketedLake.table(spark, "c_lineitem")
+          .join(BucketedLake.table(spark, "c_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+        assert(j.count() == 6000L)
+        val joinSection = j.queryExecution.executedPlan.toString()
+          .split("SortMergeJoin").last
+        assert(!joinSection.contains("Exchange hashpartitioning"),
+          "compaction destroyed the co-located join")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS c_lineitem")
+      spark.sql("DROP TABLE IF EXISTS c_orders")
+    }
+  }
+
   test("training shards: disjoint contiguous id ranges, sorted within shard") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("shards").toString + "/corpus"
