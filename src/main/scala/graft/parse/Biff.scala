@@ -16,9 +16,18 @@ import scala.collection.mutable
   *  - BIFF8 records NUMBER, RK, MULRK, LABEL, LABELSST, BOOLERR, and the
   *    SST including CONTINUE spans (the grbit byte restarts at each
   *    segment boundary inside character data — [MS-XLS] 2.5.293);
+  *  - FORMULA cells' CACHED results, xlrd-style (doubles inline; strings
+  *    via the trailing STRING record; booleans as 1/0; cached errors
+  *    skipped like BOOLERR errors) — the formula expression itself is
+  *    never evaluated, exactly as xlrd;
+  *  - BIFF5 (BOF version 0x0500) worksheets: same numeric records,
+  *    inline byte-string LABELs instead of the SST (no LABELSST/SST in
+  *    BIFF5), byte-string STRING records. Byte strings decode as
+  *    Latin-1; CODEPAGE-dependent DBCS decoding is out of scope and only
+  *    affects pre-1997 non-Latin workbooks;
   *  - first sheet in BOUNDSHEET (tab) order, matching xlrd sheets()[0].
-  *  Out of scope, failing loudly instead of misreading: BIFF5 workbooks
-  *  (BOF version ≠ 0x0600) and formula cells' cached results.
+  *  Out of scope, failing loudly instead of misreading: BIFF4-and-older
+  *  streams (no BOUNDSHEET directory).
   *
   * Write side (fixture generation only): single sheet, NUMBER records
   * for values whose decimal text survives a double round-trip, inline
@@ -215,15 +224,28 @@ object Biff {
     out.toIndexedSeq
   }
 
+  /** BIFF5 strings are codepage byte strings; BIFF8's compressed form is
+    * the same low-byte layout. Decoded as Latin-1 (see scaladoc). */
+  private def byteString(c: Cur, cch: Int): String = {
+    val b = c.bytes(cch)
+    val sb = new java.lang.StringBuilder(cch)
+    b.foreach(x => sb.append((x & 0xff).toChar))
+    sb.toString
+  }
+
   def read(bytes: Array[Byte]): CellGrid = {
     val wb = workbookStream(bytes)
     // globals pass: BOF version check, BOUNDSHEET offsets, SST
     val recs = records(wb).toVector
-    recs.headOption match {
+    val biff5 = recs.headOption match {
       case Some((0x0809, off, len)) if len >= 4 =>
         val vers = (wb(off) & 0xff) | ((wb(off + 1) & 0xff) << 8)
-        if (vers != 0x0600) throw new IllegalArgumentException(
-          f"unsupported BIFF version 0x$vers%04x (only BIFF8 is supported)")
+        vers match {
+          case 0x0600 => false
+          case 0x0500 => true
+          case v => throw new IllegalArgumentException(
+            f"unsupported BIFF version 0x$v%04x (only BIFF5/BIFF8 are supported)")
+        }
       case _ => throw new IllegalArgumentException("workbook stream has no BOF")
     }
     // the globals substream runs from the leading BOF to the FIRST
@@ -260,6 +282,9 @@ object Biff {
     val it = records(sheet)
     var done = false
     var sawBof = false
+    // a FORMULA whose cached result is a string parks its cell here until
+    // the trailing STRING record delivers the value ([MS-XLS] 2.4.127)
+    var pendingString: Option[(Int, Int)] = None
     while (!done && it.hasNext) {
       val (t, off, len) = it.next()
       t match {
@@ -293,19 +318,41 @@ object Biff {
           val c = new Cur(sheet, off)
           val (r, cl) = (c.u16(), c.u16()); c.skip(2)
           cells((r, cl)) = sst(c.i32())
-        case 0x0204 => // LABEL: inline XLUnicodeString (16-bit cch)
+        case 0x0204 => // LABEL: BIFF8 XLUnicodeString / BIFF5 byte string
           val c = new Cur(sheet, off)
           val (r, cl) = (c.u16(), c.u16()); c.skip(2)
           val cch = c.u16()
-          val flags = c.u8()
           cells((r, cl)) =
-            if ((flags & 1) != 0) new String(c.bytes(cch * 2), "UTF-16LE")
-            else {
-              val b = c.bytes(cch)
-              val sb = new java.lang.StringBuilder(cch)
-              b.foreach(x => sb.append((x & 0xff).toChar))
-              sb.toString
+            if (biff5) byteString(c, cch)
+            else if ((c.u8() & 1) != 0) new String(c.bytes(cch * 2), "UTF-16LE")
+            else byteString(c, cch)
+        case 0x0006 => // FORMULA: cached result, never the expression
+          val c = new Cur(sheet, off)
+          val (r, cl) = (c.u16(), c.u16()); c.skip(2)
+          val vb = c.bytes(8)
+          if ((vb(6) & 0xff) == 0xff && (vb(7) & 0xff) == 0xff)
+            (vb(0) & 0xff) match {
+              case 0 => pendingString = Some((r, cl)) // value follows in STRING
+              case 1 => cells((r, cl)) = if (vb(2) != 0) "1" else "0"
+              case 2 => // cached error — skipped, like BOOLERR errors
+              case 3 => cells((r, cl)) = "" // cached empty string
+              case x => throw new IllegalArgumentException(
+                s"unknown FORMULA cached-value sentinel type $x")
             }
+          else {
+            val d = ByteBuffer.wrap(vb).order(ByteOrder.LITTLE_ENDIAN).getDouble
+            cells((r, cl)) = fmtNum(d)
+          }
+        case 0x0207 => // STRING: the parked FORMULA's cached string value
+          pendingString.foreach { rc =>
+            val c = new Cur(sheet, off)
+            val cch = c.u16()
+            cells(rc) =
+              if (biff5) byteString(c, cch)
+              else if ((c.u8() & 1) != 0) new String(c.bytes(cch * 2), "UTF-16LE")
+              else byteString(c, cch)
+            pendingString = None
+          }
         case 0x0205 => // BOOLERR: booleans as xlrd's 1/0; errors skipped
           val c = new Cur(sheet, off)
           val (r, cl) = (c.u16(), c.u16()); c.skip(2)

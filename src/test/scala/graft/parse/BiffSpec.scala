@@ -120,10 +120,75 @@ class BiffSpec extends AnyFunSuite {
     assert(grid(3, 9) == "55.25")
   }
 
-  test("BIFF5 workbooks fail loudly instead of misreading") {
-    val biff5 = rec(0x0809,
-      le16(0x0500) ++ le16(0x0005) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(0)) ++ eof
-    val e = intercept[IllegalArgumentException](Biff.read(Biff.cfb(biff5)))
+  test("FORMULA cached results: double inline, string via STRING, bool, error, blank") {
+    val sentinel = (t: Int, v: Int) =>
+      Array(t.toByte, 0.toByte, v.toByte, 0.toByte, 0.toByte, 0.toByte,
+        0xff.toByte, 0xff.toByte)
+    val dbl = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(12.5).array()
+    val tail = le16(0) ++ le32(0) ++ le16(0) // grbit, chn, cce=0 (no rgce needed)
+    val cells =
+      rec(0x0006, le16(0) ++ le16(0) ++ le16(0) ++ dbl ++ tail) ++
+      rec(0x0006, le16(0) ++ le16(1) ++ le16(0) ++ sentinel(0, 0) ++ tail) ++
+      rec(0x0207, le16(4) ++ Array(0.toByte) ++ "SOMA".getBytes("US-ASCII")) ++
+      rec(0x0006, le16(0) ++ le16(2) ++ le16(0) ++ sentinel(1, 1) ++ tail) ++
+      rec(0x0006, le16(0) ++ le16(3) ++ le16(0) ++ sentinel(2, 0x2a) ++ tail) ++ // #N/A
+      rec(0x0006, le16(0) ++ le16(4) ++ le16(0) ++ sentinel(3, 0) ++ tail)
+    val grid = Biff.read(workbook(Array.emptyByteArray, cells))
+    assert(grid(0, 0) == "12.5")
+    assert(grid(0, 1) == "SOMA")
+    assert(grid(0, 2) == "1")
+    assert(!grid.cells.contains((0, 3)), "cached error must be skipped")
+    assert(grid(0, 4) == "")
+  }
+
+  test("a stray STRING record without a pending FORMULA is ignored") {
+    val cells =
+      rec(0x0207, le16(3) ++ Array(0.toByte) ++ "xyz".getBytes("US-ASCII")) ++
+      rec(0x0203, le16(0) ++ le16(0) ++ le16(0) ++
+        ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(1.0).array())
+    val grid = Biff.read(workbook(Array.emptyByteArray, cells))
+    assert(grid.cells == Map((0, 0) -> "1"))
+  }
+
+  // ---- BIFF5: inline byte-string LABELs, no SST, byte-string STRING
+
+  private def bof5(dt: Int) =
+    rec(0x0809, le16(0x0500) ++ le16(dt) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(0))
+
+  private def workbook5(cellRecs: Array[Byte]): Array[Byte] = {
+    val name = Array(4.toByte) ++ "tab1".getBytes("US-ASCII") // 8-bit cch in BIFF5
+    def globals(pos: Int) =
+      bof5(0x0005) ++ rec(0x0085, le32(pos) ++ le16(0) ++ name) ++ eof
+    val pos = globals(0).length
+    Biff.cfb(globals(pos) ++ bof5(0x0010) ++ cellRecs ++ eof)
+  }
+
+  test("BIFF5 worksheet: NUMBER, RK, byte-string LABEL, BOOLERR, FORMULA+STRING") {
+    def rkInt(v: Int) = (v << 2) | 2
+    val tail = le16(0) ++ le32(0) ++ le16(0)
+    val cells =
+      rec(0x0203, le16(0) ++ le16(0) ++ le16(0) ++
+        ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(55.25).array()) ++
+      rec(0x027e, le16(0) ++ le16(1) ++ le16(0) ++ le32(rkInt(42))) ++
+      rec(0x0204, le16(0) ++ le16(2) ++ le16(0) ++ le16(9) ++
+        "Relatório".map(_.toByte).toArray) ++ // Latin-1 bytes, no grbit in BIFF5
+      rec(0x0205, le16(0) ++ le16(3) ++ le16(0) ++ Array(1.toByte, 0.toByte)) ++
+      rec(0x0006, le16(0) ++ le16(4) ++ le16(0) ++
+        Array(0.toByte, 0.toByte, 0.toByte, 0.toByte, 0.toByte, 0.toByte,
+          0xff.toByte, 0xff.toByte) ++ tail) ++
+      rec(0x0207, le16(5) ++ "média".map(_.toByte).toArray)
+    val grid = Biff.read(workbook5(cells))
+    assert(grid(0, 0) == "55.25")
+    assert(grid(0, 1) == "42")
+    assert(grid(0, 2) == "Relatório")
+    assert(grid(0, 3) == "1")
+    assert(grid(0, 4) == "média")
+  }
+
+  test("pre-BIFF5 versions still fail loudly") {
+    val biff4 = rec(0x0809,
+      le16(0x0400) ++ le16(0x0005) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(0)) ++ eof
+    val e = intercept[IllegalArgumentException](Biff.read(Biff.cfb(biff4)))
     assert(e.getMessage.contains("BIFF"))
   }
 
