@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * one file batch per run (the reference lands ~100 tiny objects/day);
   * at scale the accumulated file count dominates scan planning cost.
   * Compaction rewrites a directory to `targetPartitions` files and swaps
-  * it in (write-validate-rename — never in place).
+  * it in (write-validate-rename — never in place). Hive partition layout
+  * and underscore metadata sidecars (the streaming upsert's commit
+  * ledger) survive the swap; bucketed tables go through
+  * [[compactBucketed]].
   *
   * SINGLE-WRITER CONTRACT: callers must not run compaction concurrently
   * with ingest into the same directory — the rewrite snapshots the file
@@ -29,41 +32,87 @@ object LakeMaintenance {
     * silently turns every co-located join back into a shuffle. */
   private val BucketedFileName = ".*_\\d{5}\\.c\\d{3}\\..*".r
 
+  /** Partition columns of a Hive-layout directory, outermost first, read
+    * from the `name=value` directory names themselves — never from type
+    * inference, so the rewrite reproduces the exact on-disk names. */
+  private def hivePartitionCols(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var level = Seq(dir)
+    var done = false
+    while (!done) {
+      val sub = level.flatMap(p => fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath).filterNot(p => p.getName.startsWith("_") ||
+          p.getName.startsWith(".")))
+      val kv = sub.filter(_.getName.contains('='))
+      if (kv.isEmpty) done = true
+      else { out += kv.head.getName.takeWhile(_ != '='); level = kv }
+    }
+    out.toSeq
+  }
+
   def compact(spark: SparkSession, dir: String, targetPartitions: Int): CompactionStats = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(dir + "__old")
     require(!fs.exists(old),
       s"$old exists — a previous compaction crashed mid-swap; recover or remove it first")
 
-    val df = spark.read.parquet(dir)
-    val rows = df.count()
-    val files = df.select(input_file_name()).distinct()
-      .collect().map(_.getString(0))
-    // a bucketed TABLE's directory must never go through the plain path:
-    // repartition(n) would rewrite the files without bucket ids and the
-    // metastore's bucket spec would silently stop matching the data
-    files.find(f => BucketedFileName.matches(f.split('/').last)).foreach { f =>
-      throw new IllegalArgumentException(
-        s"$dir holds bucketed table files (e.g. ${f.split('/').last}) — " +
-          "plain compaction would silently destroy bucketing; use compactBucketed")
-    }
-    val filesBefore = files.length.toLong
+    // Hive-partitioned dirs (the upsert lake's layout) must compact BACK
+    // into the same layout — a flat rewrite silently loses partition
+    // pruning and breaks the upsert's dynamic partition overwrite. The
+    // rewrite shuffles on the partition columns so each partition's rows
+    // land in one task → one file per partition value; partition values
+    // stay STRINGS end to end (inference off) so directory names
+    // round-trip byte-for-byte (e.g. pubdate=2021-03-01, month=01).
+    val partCols = hivePartitionCols(fs, new Path(dir))
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferWas = spark.conf.get(inferKey)
+    if (partCols.nonEmpty) spark.conf.set(inferKey, "false")
+    try {
+      val df = spark.read.parquet(dir)
+      val rows = df.count()
+      val files = df.select(input_file_name()).distinct()
+        .collect().map(_.getString(0))
+      // a bucketed TABLE's directory must never go through the plain path:
+      // repartition(n) would rewrite the files without bucket ids and the
+      // metastore's bucket spec would silently stop matching the data
+      files.find(f => BucketedFileName.matches(f.split('/').last)).foreach { f =>
+        throw new IllegalArgumentException(
+          s"$dir holds bucketed table files (e.g. ${f.split('/').last}) — " +
+            "plain compaction would silently destroy bucketing; use compactBucketed")
+      }
+      val filesBefore = files.length.toLong
 
-    val tmp = dir + "__compacting"
-    df.repartition(targetPartitions).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val tmp = dir + "__compacting"
+      val writer =
+        if (partCols.isEmpty) df.repartition(targetPartitions).write
+        else df.repartition(targetPartitions, partCols.map(col): _*)
+          .write.partitionBy(partCols: _*)
+      writer.mode(SaveMode.Overwrite).parquet(tmp)
 
-    val written = spark.read.parquet(tmp)
-    require(written.count() == rows,
-      s"compaction row-count mismatch in $dir — aborting swap")
-    val filesAfter = written.select(input_file_name()).distinct().count()
+      val written = spark.read.parquet(tmp)
+      require(written.count() == rows,
+        s"compaction row-count mismatch in $dir — aborting swap")
+      val filesAfter = written.select(input_file_name()).distinct().count()
 
-    require(fs.rename(new Path(dir), old), s"cannot stage $dir aside")
-    if (!fs.rename(new Path(tmp), new Path(dir))) {
-      fs.rename(old, new Path(dir)) // roll back
-      throw new IllegalStateException(s"compaction swap failed for $dir")
-    }
-    fs.delete(old, true)
-    CompactionStats(filesBefore, filesAfter, rows)
+      require(fs.rename(new Path(dir), old), s"cannot stage $dir aside")
+      if (!fs.rename(new Path(tmp), new Path(dir))) {
+        fs.rename(old, new Path(dir)) // roll back
+        throw new IllegalStateException(s"compaction swap failed for $dir")
+      }
+      // metadata sidecars (e.g. the streaming upsert's _graft_commits
+      // ledger) are invisible to the parquet read, so the rewrite never
+      // carries them — move them across before the staged copy is deleted
+      // or a replayed micro-batch would re-apply after every compaction
+      fs.listStatus(old).map(_.getPath)
+        .filter(p => p.getName.startsWith("_") && p.getName != "_SUCCESS")
+        .foreach { p =>
+          val dest = new Path(dir, p.getName)
+          if (!fs.exists(dest)) fs.rename(p, dest)
+        }
+      fs.delete(old, true)
+      CompactionStats(filesBefore, filesAfter, rows)
+    } finally spark.conf.set(inferKey, inferWas)
   }
 
   /** Compaction for a BUCKETED table ([[BucketedLake.writeBucketed]]):

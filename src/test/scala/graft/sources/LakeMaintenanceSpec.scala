@@ -29,6 +29,40 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + "__compacting").exists())
   }
 
+  test("compact preserves hive partition layout and the commit-ledger sidecar") {
+    import org.apache.spark.sql.functions._
+    val lake = Files.createTempDirectory("compact-part").toString + "/lake"
+    // 5 fragmented appends across 2 partitions → ≥10 small files
+    (0 until 5).foreach { i =>
+      Seq((i, "d1", s"a$i"), (i + 100, "d2", s"b$i")).toDF("id", "day", "v")
+        .repartition(3).write.partitionBy("day").mode("append").parquet(lake)
+    }
+    // a commit-ledger sidecar exactly like upsertStream's
+    val ledger = new java.io.File(s"$lake/_graft_commits")
+    assert(ledger.mkdirs() && new java.io.File(ledger, "7").createNewFile())
+
+    val stats = LakeMaintenance.compact(spark, lake, targetPartitions = 2)
+    assert(stats.rows == 10)
+    // layout survived: partition dirs, one file per partition value
+    assert(new java.io.File(s"$lake/day=d1").isDirectory)
+    assert(new java.io.File(s"$lake/day=d2").isDirectory)
+    val perPart = spark.read.parquet(lake)
+      .select($"day", input_file_name().as("f")).distinct()
+      .groupBy($"day").agg(count(lit(1)).as("nf"))
+      .as[(String, Long)].collect().toMap
+    assert(perPart == Map("d1" -> 1L, "d2" -> 1L), s"files per partition: $perPart")
+    // the ledger survived — a replayed micro-batch must still see marker 7
+    assert(new java.io.File(s"$lake/_graft_commits/7").exists(),
+      "commit ledger lost in compaction: replays would re-apply")
+    // and the keyed upsert still works against the compacted layout
+    Sources.upsertPartitioned(spark,
+      Seq((0, "d1", "updated")).toDF("id", "day", "v"), lake, Seq("id"), "day")
+    val got = spark.read.parquet(lake)
+      .filter($"id" === 0).select($"v").as[String].collect().toSeq
+    assert(got == Seq("updated"))
+    assert(spark.read.parquet(lake).count() == 10)
+  }
+
   test("compact rejects a bucketed table's directory loudly") {
     import graft.tables.Tables
     val dir = Files.createTempDirectory("bucketed-reject").toString
