@@ -278,5 +278,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[NativeText.NormalizeExpr].getName, "graft_normalize"),
         (exprs: Seq[Expression]) => NativeText.NormalizeExpr(exprs.head,
           NativeText.formNameOf(exprs))))
+    // optimizer rules: joins the operator-optimization fixed point, so the
+    // folded plan is itself optimized further (filter merge, pruning)
+    e.injectOptimizerRule(_ => graft.plans.FoldCountOverReplicateRows)
   }
 }

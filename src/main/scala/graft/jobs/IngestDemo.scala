@@ -26,6 +26,7 @@ object IngestDemo {
     val lake = IngestJob.Lake(s"$work/lake")
 
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
       .appName("graft-ingest-demo")
       .config("spark.sql.shuffle.partitions", "4")

@@ -299,15 +299,22 @@ object PipelineQueries {
   // ------------------------------------------------------ q73_setops_all
   // Multiset set ops (EXCEPT ALL / INTERSECT ALL — q13 covers the
   // distinct forms); the trailing count-per-key keeps the compare
-  // compact, the ExceptAll/IntersectAll operators still execute.
+  // compact. Each branch counts DIRECTLY over its setop — the shape
+  // [[graft.plans.FoldCountOverReplicateRows]] folds: count(1) per key
+  // over the setop becomes sum(multiplicity) over the rewrite's
+  // pre-replication aggregate, so the replicated multiset never
+  // materializes and the second exchange disappears (the fold's
+  // aggregate reuses the multiplicity aggregate's partitioning).
   private def q73SetopsAll(s: SparkSession, d: String): DataFrame = {
     val hiQty = Tables.lineitem(s, d).filter(col("l_quantity") > 30)
       .select(col("l_orderkey"))
     val hiDisc = Tables.lineitem(s, d).filter(col("l_discount") > 0.05)
       .select(col("l_orderkey"))
-    hiQty.exceptAll(hiDisc).withColumn("op", lit("except_all"))
-      .unionByName(hiQty.intersectAll(hiDisc).withColumn("op", lit("intersect_all")))
-      .groupBy(col("op"), col("l_orderkey")).agg(count(lit(1)).as("n"))
+    def counted(df: DataFrame, op: String): DataFrame =
+      df.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+        .select(lit(op).as("op"), col("l_orderkey"), col("n"))
+    counted(hiQty.exceptAll(hiDisc), "except_all")
+      .unionByName(counted(hiQty.intersectAll(hiDisc), "intersect_all"))
       .orderBy(col("op"), col("l_orderkey"))
   }
 

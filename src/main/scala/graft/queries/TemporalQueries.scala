@@ -7,19 +7,20 @@ import org.apache.spark.sql.types.LongType
 import graft.tables.Tables
 
 /** Temporal precision + calendar functions + null semantics — the
-  * remaining ANSI surface: raw nanosecond event timestamps (the lossless
-  * path around Spark's micro limit), the date-part family, and
-  * three-valued-logic handling.
+  * remaining ANSI surface: event timestamps at full stored precision
+  * (raw nanos when the fixture ships TIMESTAMP(NANOS), native micros
+  * when it ships TIMESTAMP(MICROS) — q47 handles both), the date-part
+  * family, and three-valued-logic handling.
   */
 object TemporalQueries {
 
   // ------------------------------------------------- q47_event_precision
-  // events.ts is parquet TIMESTAMP(NANOS); the engine reads it as raw
-  // nanos (legacy.parquet.nanosAsLong) so nothing is truncated at rest —
-  // verified here: sub-microsecond digits survive. DuckDB's parquet
-  // reader truncates to micros, so the oracle comparison happens at
-  // micro precision while the nanos-tail columns prove the engine kept
-  // what the oracle cannot see (they'd be constant 0 after truncation).
+  // Precision floor of the event scan. When the fixture ships parquet
+  // TIMESTAMP(NANOS) the engine reads raw nanos (legacy.parquet
+  // .nanosAsLong) so nothing is truncated at rest; when it ships
+  // TIMESTAMP(MICROS) (round-7+ fixtures) the native micro path is
+  // already lossless. Either way the oracle compare happens at micro
+  // precision — DuckDB's parquet reader truncates nanos to micros.
   private def q47Nanos(s: SparkSession, d: String): DataFrame = {
     val raw = Tables.table(s, d, "events")
     val nanos = raw.schema("ts").dataType match {

@@ -25,11 +25,14 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS) which Spark
-    * cannot read natively; with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set by Verify/Bench session builders) it arrives as LongType nanos.
-    * Normalize to a session-TZ micro timestamp either way so downstream
-    * queries see one stable schema: `ts: timestamp`.
+  /** `events.parquet` has shipped `ts` in two physical encodings across
+    * fixture generations: parquet TIMESTAMP(NANOS), which Spark cannot
+    * read natively and arrives as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by Verify/Bench
+    * session builders), and TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    * which arrives as TimestampNTZType. Normalize every case to a
+    * session-TZ micro timestamp so downstream queries see one stable
+    * schema: `ts: timestamp`. TemporalPrecisionSpec pins the contract.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     val raw = table(spark, d, "events")

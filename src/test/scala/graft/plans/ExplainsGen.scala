@@ -45,6 +45,7 @@ object ExplainsGen {
     require(pinned.nonEmpty, s"no planOf pins found in $SpecPath")
 
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

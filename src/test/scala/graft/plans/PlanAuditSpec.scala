@@ -159,6 +159,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WindowGroupLimit"), s"top-k filter not pushed:\n$p")
   }
 
+  test("q73: counted multiset setops fold — no row replication, no second exchange") {
+    val p = planOf("q73_setops_all")
+    // FoldCountOverReplicateRows: count-per-key over EXCEPT ALL /
+    // INTERSECT ALL becomes sum(multiplicity) over the rewrite's
+    // pre-replication aggregate — the replicated multiset (O(Σ counts)
+    // rows at 100 TB) never exists in the plan
+    assert(!p.contains("Generate"), s"setop count kept its ReplicateRows:\n$p")
+    // per branch: one exchange for the multiplicity aggregate, which the
+    // folded count reuses; plus the final sort = 3 exchanges total
+    assert("Exchange".r.findAllIn(p).size <= 3,
+      s"folded setop grew extra exchanges:\n$p")
+  }
+
   test("q78: TPC-H volume-shipping joins stay all-broadcast — zero SMJ") {
     val p = planOf("q78_sql_volume")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 5,

@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Generate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[FoldCountOverReplicateRows]]: counting over EXCEPT ALL / INTERSECT
+  * ALL must fold to sum(multiplicity) — no ReplicateRows Generate in the
+  * optimized plan — and the folded result must be bit-identical to what
+  * the un-folded plan produces (asserted by re-running every query with
+  * the rule excluded via spark.sql.optimizer.excludedRules).
+  */
+class ReplicateRowsFoldSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def a = Seq(1, 1, 2, 3, 3, 3, 4).toDF("k")
+  private def b = Seq(1, 3, 3, 9).toDF("k")
+
+  private def hasReplicate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect { case g: Generate => g }.nonEmpty
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Rows produced with the fold rule switched off — the ground truth. */
+  private def baselineRows(build: => DataFrame): Seq[String] = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, FoldCountOverReplicateRows.ruleName)
+    try {
+      val df = build
+      assert(hasReplicate(df),
+        "baseline lost its Generate — excludedRules did not disable the fold")
+      rows(df)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("count per key over EXCEPT ALL folds and matches the unfolded plan") {
+    def q = a.exceptAll(b).groupBy($"k").agg(count(lit(1)).as("n"))
+    assert(!hasReplicate(q), "fold did not fire on except-all count")
+    assert(rows(q) == baselineRows(q))
+    // spot-check the multiset semantics: k=1 keeps 2−1=1 copy, k=3 3−2=1
+    val m = q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m == Map(1 -> 1L, 2 -> 1L, 3 -> 1L, 4 -> 1L))
+  }
+
+  test("count per key over INTERSECT ALL folds and matches the unfolded plan") {
+    def q = a.intersectAll(b).groupBy($"k").agg(count(lit(1)).as("n"))
+    assert(!hasReplicate(q), "fold did not fire on intersect-all count")
+    assert(rows(q) == baselineRows(q))
+    val m = q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m == Map(1 -> 1L, 3 -> 2L))
+  }
+
+  test("DISTINCT over EXCEPT ALL folds (no-count aggregate path)") {
+    def q = a.exceptAll(b).distinct()
+    assert(!hasReplicate(q), "fold did not fire on distinct over except-all")
+    assert(rows(q) == baselineRows(q))
+    assert(q.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("grouping by a subset of the setop columns still folds exactly") {
+    val a2 = Seq((1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "x")).toDF("k", "v")
+    val b2 = Seq((1, "x"), (2, "z")).toDF("k", "v")
+    def q = a2.exceptAll(b2).groupBy($"k").agg(count(lit(1)).as("n"))
+    assert(!hasReplicate(q), "fold did not fire on subset grouping")
+    assert(rows(q) == baselineRows(q))
+    // k=1: (1,x)×2−1 + (1,y)×1 = 2; k=2: (2,x)×2 = 2
+    val m = q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m == Map(1 -> 2L, 2 -> 2L))
+  }
+
+  test("count(*) + arithmetic over the count folds too") {
+    def q = a.exceptAll(b).groupBy($"k")
+      .agg((count(lit(1)) * 2 + 1).as("n2"))
+    assert(!hasReplicate(q), "fold did not fire under count arithmetic")
+    assert(rows(q) == baselineRows(q))
+  }
+
+  test("non-count aggregates are left alone (negative case)") {
+    val q = a.exceptAll(b).groupBy($"k").agg(sum($"k").as("s"))
+    assert(hasReplicate(q),
+      "sum over the setop must keep its Generate — the fold only covers counts")
+    val m = q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m == Map(1 -> 1L, 2 -> 2L, 3 -> 3L, 4 -> 4L))
+  }
+
+  test("global (ungrouped) count is left alone (negative case)") {
+    val q = a.exceptAll(b).agg(count(lit(1)).as("n"))
+    assert(hasReplicate(q),
+      "ungrouped count must keep its Generate — empty input yields one 0-row")
+    assert(q.head().getLong(0) == 4L)
+  }
+}

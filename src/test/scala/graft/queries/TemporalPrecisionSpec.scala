@@ -6,28 +6,46 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.tables.Tables
 
+/** events.ts has shipped in two physical encodings across fixture
+  * generations: parquet TIMESTAMP(NANOS) (arriving as raw Long nanos
+  * under `nanosAsLong`, rounds ≤6) and TIMESTAMP(MICROS,
+  * isAdjustedToUTC=false) (arriving as TimestampNTZType, round 7+).
+  * [[Tables.events]] normalizes BOTH to one session-TZ micro timestamp;
+  * this spec pins that contract for whichever encoding the current
+  * fixture carries, so a future flip back does not silently regress.
+  */
 class TemporalPrecisionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("engine retains sub-microsecond digits the oracle truncates") {
-    val raw = Tables.table(spark, "/root/testdata/sf0.001", "events")
-    assert(raw.schema("ts").dataType == org.apache.spark.sql.types.LongType,
-      "events.ts should arrive as raw nanos under nanosAsLong")
-    val submicro = raw
-      .select(sum(when(pmod($"ts", lit(1000L)) =!= 0L, 1L).otherwise(0L)).as("n"))
-      .as[Long].head()
-    assert(submicro > 0, "no sub-microsecond information in events — fixture changed?")
+  private def raw = Tables.table(spark, "/root/testdata/sf0.001", "events")
+
+  test("events.ts arrives in a supported physical encoding") {
+    val dt = raw.schema("ts").dataType
+    assert(dt == org.apache.spark.sql.types.LongType
+        || dt == org.apache.spark.sql.types.TimestampNTZType,
+      s"events.ts arrived as $dt — fixture changed to an encoding " +
+        "Tables.events does not normalize; add a branch there and here")
   }
 
-  test("normalized events view truncates consistently with the raw nanos") {
-    // integer div — `/ 1000L` is double division and drifts ±1 µs on
-    // epoch nanos > 2^53 (the bug this spec now guards against)
-    val raw = Tables.table(spark, "/root/testdata/sf0.001", "events")
-      .select($"event_id", expr("ts div 1000").as("micros"))
+  test("normalized events view preserves micro precision exactly") {
+    // integer `div`, not `/`, on the nanos branch: double division drifts
+    // ±1 µs on epoch nanos > 2^53 (the bug this spec guards against)
+    val rawMicros = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.select($"event_id", expr("ts div 1000").as("micros"))
+      case _ =>
+        raw.select($"event_id", unix_micros($"ts".cast("timestamp")).as("micros"))
+    }
     val normalized = Tables.events(spark, "/root/testdata/sf0.001")
       .select($"event_id", unix_micros($"ts").as("micros"))
-    assert(raw.except(normalized).count() == 0)
-    assert(normalized.except(raw).count() == 0)
+    assert(rawMicros.except(normalized).count() == 0)
+    assert(normalized.except(rawMicros).count() == 0)
+    // the fixture genuinely exercises sub-second precision (constant
+    // whole-second timestamps would make the compare above vacuous)
+    val subSecond = normalized
+      .select(sum(when(pmod($"micros", lit(1000000L)) =!= 0L, 1L).otherwise(0L)).as("n"))
+      .as[Long].head()
+    assert(subSecond > 0, "no sub-second information in events — fixture changed?")
   }
 }
