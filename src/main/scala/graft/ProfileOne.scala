@@ -19,6 +19,10 @@ object ProfileOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B harness: SPARK_GRAFT_EXCLUDE_RULES=<ruleName,...> profiles the
+    // same query with named optimizer rules switched off
+    sys.env.get("SPARK_GRAFT_EXCLUDE_RULES")
+      .foreach(spark.conf.set("spark.sql.optimizer.excludedRules", _))
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     args.foreach { name =>
       val fn = SparkEntry.queries(name)

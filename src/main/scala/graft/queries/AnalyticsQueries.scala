@@ -384,7 +384,19 @@ object AnalyticsQueries {
       |  CASE WHEN den > 0 THEN round((rb - ra) / den, 6) END AS z
       |FROM c2""".stripMargin
 
+  // --------------------------------------------------------- q134_hll_rollup
+  // Mergeable-cardinality rollup (graft.analytics.Sketches): HLL sketches
+  // built at the (source, lang) grain, UNIONED — not recomputed — to
+  // per-source estimates, next to the exact distinct for visible error.
+  // Estimates are DataSketches-implementation-specific → no DuckDB
+  // oracle; SketchSpec pins merge-vs-recompute drift ≤1%, a ≤2% error
+  // bound vs exact for any grouping of the input, and the at-rest
+  // parquet round-trip of sketch bytes.
+  private def q134HllRollup(s: SparkSession, d: String): DataFrame =
+    graft.analytics.Sketches.distinctDocsBySource(Tables.documents(s, d))
+
   val all: Seq[Q] = Seq(
+    Q("q134_hll_rollup", q134HllRollup, None),
     Q("q91_funnel", q91Funnel, Some(q91Sql)),
     Q("q92_retention", q92Retention, Some(q92Sql)),
     Q("q93_trend", q93Trend, Some(q93Sql)),
