@@ -361,7 +361,60 @@ object EngineQueries {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  // ------------------------------------------------- q135_constraints
+  // Declarative quality audit (graft.ops.Constraints): six checks over
+  // lineitem — four row-local (ONE scan+aggregate for all of them), one
+  // uniqueness groupBy, one broadcast-anti FK probe against orders. The
+  // l_quantity bound is deliberately tighter than the data so the
+  // violations column is exercised non-zero. Fully deterministic →
+  // hash-matched DuckDB oracle.
+  private def q135Constraints(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Constraints._
+    audit(Tables.lineitem(s, d), Seq(
+      NotNull("l_shipdate"),
+      Bounds("l_discount", 0.0, 0.1),
+      Bounds("l_quantity", 1.0, 40.0),
+      InSet("l_returnflag", Seq("A", "N", "R")),
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      RefIntegrity("l_orderkey", Tables.orders(s, d), "o_orderkey")))
+  }
+
+  private val q135Sql =
+    """WITH t AS (SELECT count(*) AS total FROM lineitem),
+      |rl AS (
+      |  SELECT 'not_null:l_shipdate' AS check_name,
+      |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS violations
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'bounds:l_discount',
+      |    sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+      |             OR l_discount > 0.1 THEN 1 ELSE 0 END)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'bounds:l_quantity',
+      |    sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+      |             OR l_quantity > 40.0 THEN 1 ELSE 0 END)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'in_set:l_returnflag',
+      |    sum(CASE WHEN l_returnflag IS NULL
+      |             OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'unique:l_orderkey,l_linenumber', coalesce(sum(n - 1), 0)
+      |  FROM (SELECT count(*) AS n FROM lineitem
+      |        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'ref:l_orderkey', count(*)
+      |  FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL
+      |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |SELECT rl.check_name, CAST(rl.violations AS BIGINT) AS violations,
+      |  t.total AS total, rl.violations = 0 AS pass
+      |FROM rl, t ORDER BY rl.check_name""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q135_constraints", q135Constraints, Some(q135Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),
     Q("q78_sql_volume", q78Volume, Some(q78Sql)),
     Q("q79_sql_returns", q79Returns, Some(q79Sql)),

@@ -244,7 +244,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q103_chi2",          // category-list densify (|A|×|B| cells, broadcast)
     "q115_sql_forecast",  // scalar-subquery single-row join
     "q126_ab_lift",       // variant×variant 1-row readout
-    "q129_pmi")           // 1-row corpus-total aggregate joined to pairs
+    "q129_pmi",           // 1-row corpus-total aggregate joined to pairs
+    "q135_constraints")   // 1-row table-total broadcast onto per-check rows
 
   test("no registered query plans a shuffled or unsanctioned all-pairs join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
