@@ -283,6 +283,23 @@ object Graft {
         broadcastRanks = broadcastRanks)
   }
 
+  implicit class QualityOps(private val df: DataFrame) {
+
+    /** Declarative constraint audit — row-local checks fuse into one
+      * scan; see [[graft.ops.Constraints]]. */
+    def auditConstraints(checks: graft.ops.Constraints.Check*): DataFrame =
+      graft.ops.Constraints.audit(df, checks)
+
+    /** Per-key mergeable HLL distinct sketch of `of` (persistable binary
+      * column; roll up later with [[sketchRollup]]). */
+    def distinctSketch(of: Column, lgConfigK: Int, keys: Column*): DataFrame =
+      graft.analytics.Sketches.sketchBy(df, of, lgConfigK, keys: _*)
+
+    /** Merge a sketch table to a coarser grain without touching raw data. */
+    def sketchRollup(estimateAs: String, keys: Column*): DataFrame =
+      graft.analytics.Sketches.rollup(df, estimateAs, keys: _*)
+  }
+
   /** Column-level vocabulary re-exported for expression building. */
   def cosine(a: Column, b: Column): Column = Similarity.cosine(a, b)
   def tokenCount(c: Column): Column = TextAnalysis.tokenCount(c)

@@ -100,4 +100,20 @@ class GraftApiSpec extends AnyFunSuite {
       .abLift("v", "user_id", col("event_type") === "purchase")
     assert(ab.select("lift").as[Double].head() == -1.0)
   }
+
+  test("quality facade: constraint audit + sketch rollup sugar") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Constraints.{Bounds, NotNull, Unique}
+    val t = Seq((1L, 1, 5.0), (1L, 1, 200.0), (2L, 1, 7.0))
+      .toDF("k", "ln", "v")
+    val rep = t.auditConstraints(
+        NotNull("v"), Bounds("v", 0.0, 100.0), Unique(Seq("k", "ln")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("not_null:v" -> 0L, "bounds:v" -> 1L, "unique:k,ln" -> 1L))
+
+    val est = t.distinctSketch(col("k"), 12, col("ln"))
+      .sketchRollup("est", col("ln"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(est == Map(1 -> 2L))
+  }
 }
