@@ -450,6 +450,57 @@ object LlmQueries {
       |  CAST((length(masked) - length(replace(masked, '<EMAIL>', ''))) / 7 AS BIGINT) AS n_emails
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- q136_bm25
+  // BM25 retrieval scoring (graft.text.Retrieval): one tokenize+aggregate
+  // pass for per-doc length + per-term tf, one broadcast row of corpus
+  // constants, pure arithmetic scoring, TakeOrderedAndProject top-k.
+  // IEEE-parity notes: the per-term sum is an explicit + chain; every
+  // derived constant the oracle needs is spelled as the same ARITHMETIC
+  // (e.g. `1.2 + 1.0`, never the literal 2.2 — they are different
+  // doubles) so both engines fold to bit-identical values.
+  private def q136Bm25(s: SparkSession, d: String): DataFrame =
+    graft.text.Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
+      Seq("spark", "vector", "merge", "window"), k = 20)
+
+  private val q136Sql = {
+    val terms = Seq("spark", "vector", "merge", "window")
+    val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN t = '$t' THEN 1 ELSE 0 END) AS tf$i"
+    }.mkString(",\n    ")
+    val dfDefs = terms.indices.map { i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n    ")
+    val termScores = terms.indices.map { i =>
+      s"""(CASE WHEN tf$i > 0 THEN
+         |      ln((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+         |         / (CAST(df$i AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(tf$i AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(tf$i AS DOUBLE)
+         |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len AS DOUBLE) / avglen))
+         |      ELSE 0.0 END)""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, t
+       |  FROM documents,
+       |    UNNEST(string_split_regex(lower(text), '\\s+')) AS u(t)
+       |  WHERE t <> ''),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS len,
+       |    $tfDefs
+       |  FROM tok GROUP BY 1),
+       |g AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(len) AS DOUBLE) / count(*) AS avglen,
+       |    $dfDefs
+       |  FROM perdoc),
+       |s AS (
+       |  SELECT doc_id,
+       |    $termScores AS score
+       |  FROM perdoc, g)
+       |SELECT doc_id, round(score, 6) AS score FROM s
+       |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q19_text_stats", q19Text, Some(q19Sql)),
     Q("q20_dedup_exact", q20Exact, Some(q20Sql)),
@@ -472,5 +523,7 @@ object LlmQueries {
     Q("q57_tfidf", q57Tfidf, Some(q57Sql)),
     Q("q58_chunk", q58Chunk, Some(q58Sql)),
     Q("q59_pii", q59Pii, Some(q59Sql)),
+    Q("q136_bm25", q136Bm25, Some(q136Sql)),
   )
+
 }
