@@ -125,4 +125,23 @@ object CorpusPipeline {
 
     (packed, Report(input, nLang, nExact, nNear, nSpan, nDecontam, nQuality))
   }
+
+  /** Publish gate: assert the packed corpus's structural invariants with
+    * the declarative audit ([[graft.ops.Constraints]]) before anything
+    * downstream consumes it — unique doc ids, no null text/split, quality
+    * inside [minQuality, 1]. Throws with the full failing report if any
+    * check trips; returns the input unchanged otherwise. The report is
+    * one row per check, so the collect is bounded by the check count. */
+  def publishGate(packed: DataFrame, minQuality: Double): DataFrame = {
+    import graft.ops.Constraints._
+    val report = audit(packed, Seq(
+      NotNull("text"), NotNull("split"), NotNull("pack_id"),
+      Unique(Seq("doc_id")),
+      Bounds("quality", minQuality, 1.0)))
+    val failing = report.filter(!col("pass")).collect()
+    if (failing.nonEmpty)
+      throw new IllegalStateException(
+        "corpus failed its publish audit: " + failing.mkString("; "))
+    packed
+  }
 }

@@ -46,4 +46,29 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     firstOffsets.values.foreach(o => assert(o == 0L))
   }
+
+  test("publish gate: clean output passes, planted duplicate fails loudly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val packed = Seq(
+      (1L, "some text", "en", 0.8, "train", "train/0", 3L, 0L, 0L),
+      (2L, "more text", "en", 0.9, "train", "train/0", 3L, 3L, 0L))
+      .toDF("doc_id", "text", "lang_pred", "quality", "split", "pack_shard",
+        "n_tokens", "pack_offset", "pack_id")
+    // clean corpus sails through unchanged
+    assert(CorpusPipeline.publishGate(packed, minQuality = 0.5)
+      .count() == 2L)
+    // a duplicated doc_id (the invariant dedup is supposed to guarantee)
+    // must throw, naming the failing check
+    val dup = packed.unionByName(packed.filter(col("doc_id") === 1L))
+    val err = intercept[IllegalStateException] {
+      CorpusPipeline.publishGate(dup, minQuality = 0.5)
+    }
+    assert(err.getMessage.contains("unique:doc_id"), err.getMessage)
+    // quality below the floor trips the bounds check
+    val low = packed.withColumn("quality", lit(0.1))
+    val err2 = intercept[IllegalStateException] {
+      CorpusPipeline.publishGate(low, minQuality = 0.5)
+    }
+    assert(err2.getMessage.contains("bounds:quality"), err2.getMessage)
+  }
 }
