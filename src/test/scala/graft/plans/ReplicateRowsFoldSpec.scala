@@ -98,4 +98,39 @@ class ReplicateRowsFoldSpec extends AnyFunSuite {
       "ungrouped count must keep its Generate — empty input yields one 0-row")
     assert(q.head().getLong(0) == 4L)
   }
+
+  test("property: fold == unfold on random multisets (seeded scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random multisets with deliberately colliding keys (range 0..6) so
+    // every case exercises nontrivial multiplicities on both sides
+    val msGen = Gen.listOfN(24, Gen.choose(0, 6))
+    val cases = (0 until 12).flatMap { i =>
+      for {
+        l <- msGen(Gen.Parameters.default, Seed(1000L + i))
+        r <- msGen(Gen.Parameters.default, Seed(2000L + i))
+      } yield (l, r)
+    }
+    assert(cases.size == 12)
+    cases.zipWithIndex.foreach { case ((l, r), i) =>
+      val a = l.toDF("k")
+      val b = r.toDF("k")
+      def ex = a.exceptAll(b).groupBy($"k").agg(count(lit(1)).as("n"))
+      def in = a.intersectAll(b).groupBy($"k").agg(count(lit(1)).as("n"))
+      // reference multiplicities computed directly from the multisets
+      val lc = l.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val rc = r.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expEx = lc.map { case (k, n) => k -> (n - rc.getOrElse(k, 0L)) }
+        .filter(_._2 > 0)
+      val expIn = lc.flatMap { case (k, n) =>
+        val m = math.min(n, rc.getOrElse(k, 0L)); if (m > 0) Some(k -> m) else None
+      }
+      assert(!hasReplicate(ex), s"case $i: except-all fold did not fire")
+      assert(!hasReplicate(in), s"case $i: intersect-all fold did not fire")
+      val gotEx = ex.collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      val gotIn = in.collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      assert(gotEx == expEx, s"case $i except: $gotEx vs $expEx")
+      assert(gotIn == expIn.toMap, s"case $i intersect: $gotIn vs $expIn")
+    }
+  }
 }
