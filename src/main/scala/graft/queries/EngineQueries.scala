@@ -413,8 +413,41 @@ object EngineQueries {
       |  t.total AS total, rl.violations = 0 AS pass
       |FROM rl, t ORDER BY rl.check_name""".stripMargin
 
+  // --------------------------------------------------- q137_skipping
+  // Min/max-manifest data skipping (graft.sources.DataSkipping): lineitem
+  // range-clustered by l_orderkey into a 16-file temp lake + one manifest
+  // sidecar; the range scan opens only overlapping files (pruning itself
+  // is pinned in DataSkippingSpec — file counts depend on partitioner
+  // sampling, so only the DATA result is oracled). Values are just a
+  // filtered aggregate of lineitem → exact DuckDB hash-match.
+  private def q137Skipping(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_q137_").toString
+    val lake = s"$work/lake"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+      .repartitionByRange(16, col("l_orderkey"))
+      .write.parquet(lake)
+    graft.sources.DataSkipping.buildManifest(s, lake, Seq("l_orderkey"))
+    val (pruned, _) =
+      graft.sources.DataSkipping.scanRange(s, lake, "l_orderkey", 1000L, 3000L)
+    pruned.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+      sum(col("l_discount").cast("decimal(18,4)")).cast("double").as("sum_disc"))
+  }
+
+  private val q137Sql =
+    """SELECT count(*) AS n,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+      |FROM lineitem
+      |WHERE l_orderkey >= 1000 AND l_orderkey <= 3000""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q135_constraints", q135Constraints, Some(q135Sql)),
+    Q("q137_skipping", q137Skipping, Some(q137Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),
     Q("q78_sql_volume", q78Volume, Some(q78Sql)),
     Q("q79_sql_returns", q79Returns, Some(q79Sql)),

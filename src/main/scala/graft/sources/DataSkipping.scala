@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level data skipping via a min/max manifest — the zone-map
+  * primitive that turns clustered layout (range partitioning, z-order à
+  * la q86) into actual I/O savings: a point or range query over a
+  * clustered column should open the handful of files whose value range
+  * overlaps the predicate, not every file in the lake.
+  *
+  * Spark's parquet reader already skips ROW GROUPS via footer stats, but
+  * it still has to open every file to read its footer — at 100 TB with
+  * millions of files, file listing + footer reads dominate a selective
+  * query. The manifest moves those stats into ONE tiny sidecar table
+  * (`_graft_manifest/`, underscore-prefixed so lake scans and the
+  * compactor's data-file listing ignore it): per (file, column):
+  * min, max, null count. Pruning reads the manifest (kilobytes),
+  * keeps files whose [min, max] overlaps the predicate, and hands the
+  * survivor list to one parquet scan.
+  *
+  * Staleness contract: the manifest records the file set it was built
+  * from. `scan` compares that against the directory's CURRENT data files
+  * and falls back to the unpruned scan (with a stderr warning) on any
+  * mismatch — a stale zone map must degrade to correct-but-slower, never
+  * to wrong answers. Rebuild after compaction or upsert.
+  *
+  * The survivor file list is driver-resident: one string per data file,
+  * the same metadata-plane footprint every table format's planning phase
+  * carries (file listings are already driver-side in Spark).
+  */
+object DataSkipping {
+
+  private val ManifestDir = "_graft_manifest"
+
+  /** `input_file_name()` spells local files `file:///x`; Hadoop's
+    * listStatus spells them `file:/x`. Compare by scheme-less path. */
+  private def normalize(uri: String): String = new Path(uri).toUri.getPath
+
+  /** One pass over the lake: per-file min/max/null-count for `cols`,
+    * written as the manifest sidecar (overwrite). */
+  def buildManifest(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    }
+    val manifest = spark.read.parquet(dir)
+      .withColumn("__file", input_file_name())
+      .groupBy(col("__file").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/$ManifestDir")
+  }
+
+  /** Current data files of the lake (absolute URIs, sidecars excluded) —
+    * the same view `input_file_name()` reports during a scan. */
+  private def dataFiles(spark: SparkSession, dir: String): Set[String] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.toString).toSet
+  }
+
+  /** Range scan `col ∈ [lo, hi]` with manifest pruning. Returns the
+    * filtered DataFrame plus (filesRead, filesTotal) for observability.
+    * Falls back to the full scan when the manifest is missing or stale. */
+  def scanRange(spark: SparkSession, dir: String, c: String,
+      lo: Long, hi: Long): (DataFrame, (Int, Int)) = {
+    val predicate = col(c) >= lo && col(c) <= hi
+    val current = dataFiles(spark, dir)
+    def full = (spark.read.parquet(dir).filter(predicate),
+      (current.size, current.size))
+    val manifestPath = new Path(s"$dir/$ManifestDir")
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifestPath)) return full
+    val manifest = spark.read.parquet(s"$dir/$ManifestDir")
+      .select(col("file"), col(s"min_$c"), col(s"max_$c")).collect()
+    val manifestFiles = manifest.map(r => normalize(r.getString(0))).toSet
+    if (manifestFiles != current.map(normalize)) {
+      System.err.println(s"[skipping] stale manifest for $dir " +
+        s"(${manifestFiles.size} manifest vs ${current.size} current files) " +
+        "— falling back to full scan; rebuild with buildManifest")
+      return full
+    }
+    // a file whose min or max is null holds only nulls for c — no match
+    val survivors = manifest.filter { r =>
+      !r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getLong(2) >= lo && r.getLong(1) <= hi
+    }.map(_.getString(0))
+    val df =
+      if (survivors.isEmpty)
+        spark.read.parquet(dir).filter(predicate).limit(0)
+      else spark.read.parquet(survivors: _*).filter(predicate)
+    (df, (survivors.length, current.size))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[DataSkipping]]: a range query over a range-clustered lake must open
+  * only the overlapping files; a stale manifest must degrade to a full
+  * (correct) scan, never to a wrong answer.
+  */
+class DataSkippingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshLake(): String = {
+    val dir = Files.createTempDirectory("graft_skip_").toString + "/lake"
+    spark.range(0, 10000).select($"id", ($"id" % 97).as("v"))
+      .repartitionByRange(10, $"id")
+      .write.parquet(dir)
+    DataSkipping.buildManifest(spark, dir, Seq("id"))
+    dir
+  }
+
+  test("range scan reads only overlapping files and matches the full scan") {
+    val dir = freshLake()
+    val (pruned, (read, total)) = DataSkipping.scanRange(spark, dir, "id", 2000L, 2999L)
+    assert(total == 10, s"expected 10 data files, saw $total")
+    assert(read < total, s"no pruning happened: $read/$total")
+    assert(read <= 3, s"range spans ~1 of 10 range-partitioned files: $read")
+    val expected = spark.read.parquet(dir)
+      .filter($"id" >= 2000L && $"id" <= 2999L)
+      .agg(count(lit(1)), sum($"v")).as[(Long, Long)].head()
+    val got = pruned.agg(count(lit(1)), sum($"v")).as[(Long, Long)].head()
+    assert(got == expected)
+    assert(got._1 == 1000L)
+  }
+
+  test("a scan outside every file's range returns empty with the schema") {
+    val dir = freshLake()
+    val (pruned, (read, _)) = DataSkipping.scanRange(spark, dir, "id", 50000L, 60000L)
+    assert(read == 0)
+    assert(pruned.columns.toSeq == Seq("id", "v"))
+    assert(pruned.count() == 0L)
+  }
+
+  test("a stale manifest falls back to the full scan and stays correct") {
+    val dir = freshLake()
+    // a writer appended data the manifest has never seen
+    spark.range(90000, 90100).select($"id", lit(0L).as("v"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val (df, (read, total)) = DataSkipping.scanRange(spark, dir, "id", 90000L, 99999L)
+    assert(read == total, s"stale manifest must disable pruning: $read/$total")
+    assert(df.count() == 100L, "fallback scan missed the appended rows")
+  }
+
+  test("missing manifest scans everything, still correct") {
+    val dir = Files.createTempDirectory("graft_skip_nm_").toString + "/lake"
+    spark.range(0, 100).select($"id", $"id".as("v")).write.parquet(dir)
+    val (df, (read, total)) = DataSkipping.scanRange(spark, dir, "id", 10L, 19L)
+    assert(read == total)
+    assert(df.count() == 10L)
+  }
+}

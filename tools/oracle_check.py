@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's t2 correctness gate.
 
-Usage: python3 tools/oracle_check.py <verifyOutDir> <sfDir>
+Usage: python3 tools/oracle_check.py <verifyOutDir> <sfDir> [onlyQuery ...]
+
+With onlyQuery args, checks just those queries (for single-query verify
+runs); otherwise checks every oracle entry.
 
 Reads <verifyOutDir>/<name>/ parquet (Spark results from graft.Verify) and
 <verifyOutDir>/oracle_sql.json, runs each oracle SQL in DuckDB against the
@@ -30,12 +33,14 @@ def cell(v):
     return str(v)
 
 
-def main(outdir: str, sfdir: str) -> int:
+def main(outdir: str, sfdir: str, only=()) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in set(only)}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -78,4 +83,4 @@ def main(outdir: str, sfdir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
