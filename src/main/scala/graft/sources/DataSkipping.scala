@@ -68,16 +68,37 @@ object DataSkipping {
     * filtered DataFrame plus (filesRead, filesTotal) for observability.
     * Falls back to the full scan when the manifest is missing or stale. */
   def scanRange(spark: SparkSession, dir: String, c: String,
-      lo: Long, hi: Long): (DataFrame, (Int, Int)) = {
-    val predicate = col(c) >= lo && col(c) <= hi
+      lo: Long, hi: Long): (DataFrame, (Int, Int)) =
+    scanBox(spark, dir, Seq((c, lo, hi)))
+
+  /** Multi-dimensional box scan: every `(col, lo, hi)` bound must hold.
+    * A file survives pruning only if EVERY bound's [min, max] interval
+    * overlaps its range — with a z-order-clustered layout
+    * ([[graft.ops.GeoOps.zorderKey]]) each file covers a tight bounding
+    * box in the interleaved dimensions, so a 2-D box query prunes on
+    * both columns at once (the reason to z-order at all). Same staleness
+    * contract as [[scanRange]]. */
+  def scanBox(spark: SparkSession, dir: String,
+      bounds: Seq[(String, Long, Long)]): (DataFrame, (Int, Int)) = {
+    require(bounds.nonEmpty, "scanBox needs at least one bound")
+    val predicate = bounds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
     val current = dataFiles(spark, dir)
     def full = (spark.read.parquet(dir).filter(predicate),
       (current.size, current.size))
     val manifestPath = new Path(s"$dir/$ManifestDir")
     val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(manifestPath)) return full
-    val manifest = spark.read.parquet(s"$dir/$ManifestDir")
-      .select(col("file"), col(s"min_$c"), col(s"max_$c")).collect()
+    val manifestDf = spark.read.parquet(s"$dir/$ManifestDir")
+    val needed = bounds.flatMap { case (c, _, _) => Seq(s"min_$c", s"max_$c") }
+    if (!needed.forall(manifestDf.columns.contains)) {
+      System.err.println(s"[skipping] manifest for $dir lacks columns " +
+        s"${needed.filterNot(manifestDf.columns.contains).mkString(",")} " +
+        "— falling back to full scan; rebuild with buildManifest")
+      return full
+    }
+    val manifest = manifestDf
+      .select(col("file") +: needed.map(col): _*).collect()
     val manifestFiles = manifest.map(r => normalize(r.getString(0))).toSet
     if (manifestFiles != current.map(normalize)) {
       System.err.println(s"[skipping] stale manifest for $dir " +
@@ -85,10 +106,18 @@ object DataSkipping {
         "— falling back to full scan; rebuild with buildManifest")
       return full
     }
-    // a file whose min or max is null holds only nulls for c — no match
+    // a file whose min or max is null for a bound column holds only
+    // nulls there — it cannot match a range on that column
     val survivors = manifest.filter { r =>
-      !r.isNullAt(1) && !r.isNullAt(2) &&
-        r.getLong(2) >= lo && r.getLong(1) <= hi
+      bounds.zipWithIndex.forall { case ((_, lo, hi), i) =>
+        val minIdx = 1 + 2 * i
+        val maxIdx = 2 + 2 * i
+        // stats keep the column's own numeric type (int/long/double) —
+        // compare through Number, not an assumed Long
+        !r.isNullAt(minIdx) && !r.isNullAt(maxIdx) &&
+          r.getAs[Number](maxIdx).doubleValue() >= lo &&
+          r.getAs[Number](minIdx).doubleValue() <= hi
+      }
     }.map(_.getString(0))
     val df =
       if (survivors.isEmpty)

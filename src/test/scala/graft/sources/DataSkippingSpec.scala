@@ -63,4 +63,38 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(read == total)
     assert(df.count() == 10L)
   }
+
+  test("z-order clustering lets a 2-D box prune on both columns at once") {
+    val dir = Files.createTempDirectory("graft_skip_z_").toString + "/lake"
+    // 256x256 grid, clustered by the Morton interleave of (x, y): each of
+    // the 16 files then covers a compact square-ish region of the plane
+    val grid = spark.range(0, 65536).select(
+      ($"id" % 256).as("x"), expr("id div 256").as("y"))
+    grid.withColumn("z", graft.ops.GeoOps.zorderKey($"x", $"y"))
+      .repartitionByRange(16, $"z")
+      .sortWithinPartitions($"z")
+      .drop("z")
+      .write.parquet(dir)
+    DataSkipping.buildManifest(spark, dir, Seq("x", "y"))
+    val (pruned, (read, total)) = DataSkipping.scanBox(spark, dir,
+      Seq(("x", 10L, 50L), ("y", 10L, 50L)))
+    assert(total == 16)
+    // a 41x41 box is 2.6% of the plane; z-order files are ~64x64 blocks,
+    // so the box touches at most a 2x2 block neighbourhood
+    assert(read <= 4, s"z-order pruning too weak: opened $read/$total files")
+    assert(pruned.count() == 41L * 41L)
+    val expected = spark.read.parquet(dir)
+      .filter($"x".between(10, 50) && $"y".between(10, 50)).count()
+    assert(pruned.count() == expected)
+  }
+
+  test("a bound on a column missing from the manifest falls back, correct") {
+    val dir = freshLake()
+    val (df, (read, total)) = DataSkipping.scanBox(spark, dir,
+      Seq(("id", 0L, 999L), ("v", 0L, 10L)))
+    assert(read == total, "manifest lacks v stats - pruning must disable")
+    val expected = spark.read.parquet(dir)
+      .filter($"id".between(0, 999) && $"v".between(0, 10)).count()
+    assert(df.count() == expected && expected > 0)
+  }
 }
