@@ -132,6 +132,11 @@ object Graft {
       CorpusOps.stratifiedSample(df, idCol, stratumCol, frac)
 
     /** Exact token-set Jaccard for all id pairs of a (small) probe set. */
+    /** BM25 top-k lexical retrieval for a query-term list. */
+    def bm25TopK(terms: Seq[String], k: Int, idCol: String = "doc_id",
+        textCol: String = "text"): DataFrame =
+      graft.text.Retrieval.bm25(df, idCol, textCol, terms, k)
+
     def jaccardPairs(idCol: String, textCol: String = "text"): DataFrame =
       Dedup.tokenJaccardPairs(df, idCol, textCol)
 

@@ -115,5 +115,11 @@ class GraftApiSpec extends AnyFunSuite {
       .sketchRollup("est", col("ln"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(est == Map(1 -> 2L))
+
+    val hits = Seq((1L, "spark joins fast"), (2L, "rows and columns"))
+      .toDF("doc_id", "text")
+      .bm25TopK(Seq("spark"), k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits == Seq(1L))
   }
 }
