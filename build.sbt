@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness parses the LAST stdout line as JSON; sbt's
+// "[success] Total time: …" banner otherwise lands after Bench's compact
+// JSON line and breaks the parse (BENCH_r07.json arrived parsed:null).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -97,8 +97,14 @@ object Bench {
     // "q104" — ids are unique by construction) and centisecond precision.
     // BENCH_LAST.json above keeps full names and millisecond precision.
     def cs(v: Double): String = (math.rint(v * 100) / 100).toString
-    val qsShort = results.map { case (k, v) =>
-      val short = k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
+    val shortKeys = results.map { case (k, _) =>
+      k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
+    }
+    // truncation relies on the qNN prefix staying unique — fail loudly if
+    // a future name collision would silently drop an entry from the JSON
+    require(shortKeys.distinct.size == results.size,
+      s"bench short keys collide: ${shortKeys.diff(shortKeys.distinct).distinct.mkString(",")}")
+    val qsShort = shortKeys.zip(results).map { case (short, (_, v)) =>
       "\"" + short + "\":" + v.fold("-1")(cs)
     }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs_per_query":$runs,"agg":"min","failed":$failedJson,"detail":"BENCH_LAST.json"}"""

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * histogram operator (SURVEY §2 A3), applied to distinct counts.
   *
   * Mirrors the reference's completeness-audit need (distinct equipment /
-  * day coverage, `/root/reference/src/check_data.py`) at a scale where
+  * day coverage, `/root/reference/src/verify_dates.py`) at a scale where
   * exact distinct is unaffordable.
   */
 object Sketches {

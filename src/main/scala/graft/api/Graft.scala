@@ -131,12 +131,12 @@ object Graft {
         frac: Double): DataFrame =
       CorpusOps.stratifiedSample(df, idCol, stratumCol, frac)
 
-    /** Exact token-set Jaccard for all id pairs of a (small) probe set. */
     /** BM25 top-k lexical retrieval for a query-term list. */
     def bm25TopK(terms: Seq[String], k: Int, idCol: String = "doc_id",
         textCol: String = "text"): DataFrame =
       graft.text.Retrieval.bm25(df, idCol, textCol, terms, k)
 
+    /** Exact token-set Jaccard for all id pairs of a (small) probe set. */
     def jaccardPairs(idCol: String, textCol: String = "text"): DataFrame =
       Dedup.tokenJaccardPairs(df, idCol, textCol)
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality constraint audit — the generalization of the
-  * reference's completeness checker (`/root/reference/src/check_data.py`,
+  * reference's completeness checker (`/root/reference/src/verify_dates.py`,
   * SURVEY §2 A1) from one hard-coded audit to a constraint vocabulary a
   * pipeline can assert on any table before publishing it.
   *

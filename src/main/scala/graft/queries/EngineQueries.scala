@@ -420,16 +420,32 @@ object EngineQueries {
   // is pinned in DataSkippingSpec — file counts depend on partitioner
   // sampling, so only the DATA result is oracled). Values are just a
   // filtered aggregate of lineitem → exact DuckDB hash-match.
+  // The fixture lake is built ONCE per session per sf dir: it is the
+  // query's INPUT, not its work — rebuilding it on every invocation made
+  // the bench time the 16-file write instead of the pruned scan, and
+  // leaked a temp directory per call. Cleaned up on JVM exit.
+  private val q137Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q137Lake(s: SparkSession, d: String): String =
+    q137Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q137_")
+      val lake = s"$work/lake"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.parquet(lake)
+      graft.sources.DataSkipping.buildManifest(s, lake, Seq("l_orderkey"))
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
   private def q137Skipping(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_q137_").toString
-    val lake = s"$work/lake"
-    Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
-      .repartitionByRange(16, col("l_orderkey"))
-      .write.parquet(lake)
-    graft.sources.DataSkipping.buildManifest(s, lake, Seq("l_orderkey"))
     val (pruned, _) =
-      graft.sources.DataSkipping.scanRange(s, lake, "l_orderkey", 1000L, 3000L)
+      graft.sources.DataSkipping.scanRange(s, q137Lake(s, d), "l_orderkey", 1000L, 3000L)
     pruned.agg(
       count(lit(1)).as("n"),
       countDistinct(col("l_orderkey")).as("n_orders"),

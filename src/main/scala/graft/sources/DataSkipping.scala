@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   * from. `scan` compares that against the directory's CURRENT data files
   * and falls back to the unpruned scan (with a stderr warning) on any
   * mismatch — a stale zone map must degrade to correct-but-slower, never
-  * to wrong answers. Rebuild after compaction or upsert.
+  * to wrong answers. The lake's own maintenance ops self-maintain it:
+  * `LakeMaintenance.compact`/`compactBucketed` and
+  * `Sources.upsertPartitioned` call [[refreshManifest]] after their
+  * write, so the fallback only covers out-of-band writers.
   *
   * The survivor file list is driver-resident: one string per data file,
   * the same metadata-plane footprint every table format's planning phase
@@ -55,13 +58,28 @@ object DataSkipping {
   }
 
   /** Current data files of the lake (absolute URIs, sidecars excluded) —
-    * the same view `input_file_name()` reports during a scan. */
+    * the same view `input_file_name()` reports during a scan. RECURSIVE:
+    * a 100 TB lake is hive-partitioned (nested `key=value` directories),
+    * so a top-level-only listing would see zero data files, trip the
+    * staleness check, and permanently disable pruning exactly where it
+    * matters. Files under any `_`- or `.`-prefixed path component
+    * (sidecars like `_graft_manifest`/`_graft_commits`, hidden dirs) are
+    * excluded — the same visibility rule Spark's own file index applies. */
   private def dataFiles(spark: SparkSession, dir: String): Set[String] = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(path).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.toString).toSet
+    val base = fs.makeQualified(path).toUri.getPath.stripSuffix("/") + "/"
+    val out = Set.newBuilder[String]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) {
+        val rel = p.toUri.getPath.stripPrefix(base)
+        if (!rel.split('/').exists(c => c.startsWith("_") || c.startsWith(".")))
+          out += p.toUri.toString
+      }
+    }
+    out.result()
   }
 
   /** Range scan `col ∈ [lo, hi]` with manifest pruning. Returns the
@@ -119,10 +137,67 @@ object DataSkipping {
           r.getAs[Number](minIdx).doubleValue() <= hi
       }
     }.map(_.getString(0))
+    // basePath keeps hive partition columns visible when reading an
+    // explicit file list out of a partitioned layout — without it the
+    // survivor scan would silently drop the `key=value` columns and a
+    // predicate on one of them would fail to resolve
     val df =
       if (survivors.isEmpty)
         spark.read.parquet(dir).filter(predicate).limit(0)
-      else spark.read.parquet(survivors: _*).filter(predicate)
+      else spark.read.option("basePath", dir)
+        .parquet(survivors.toIndexedSeq: _*).filter(predicate)
     (df, (survivors.length, current.size))
+  }
+
+  /** Incremental manifest refresh after a write. Parquet data files are
+    * immutable, so every file already in the manifest keeps its stats
+    * row; only files NEW since the last build are scanned and files that
+    * vanished are dropped. Cost therefore scales with the touched slice:
+    * an upsert that rewrote three partitions re-aggregates three
+    * partitions' files, while a full compaction (all files replaced)
+    * degrades to a `buildManifest`-equivalent full pass. No-op when the
+    * lake has no manifest — skipping stays opt-in per lake — and when the
+    * manifest is already fresh. This is the self-maintenance hook
+    * `LakeMaintenance.compact`/`compactBucketed` and
+    * `Sources.upsertPartitioned` call, mirroring how the reference's
+    * Postgres indexes maintain themselves on write
+    * (`/root/reference/database/schema.sql:31-33`). */
+  def refreshManifest(spark: SparkSession, dir: String): Unit = {
+    val manifestPath = new Path(s"$dir/$ManifestDir")
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifestPath)) return
+    val old = spark.read.parquet(manifestPath.toString)
+    val cols = old.columns.toSeq.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_")
+    }
+    if (cols.isEmpty) return
+    val current = dataFiles(spark, dir)
+    val currentNorm = current.map(normalize)
+    // one string per file — the same driver-resident metadata-plane
+    // footprint `scan` already carries (documented above)
+    val oldFiles = old.select(col("file")).collect().map(_.getString(0))
+    val oldNorm = oldFiles.map(normalize).toSet
+    val keepFiles = oldFiles.filter(f => currentNorm.contains(normalize(f))).toSeq
+    val newFiles = current.filter(f => !oldNorm.contains(normalize(f))).toSeq
+    if (newFiles.isEmpty && keepFiles.size == oldFiles.length) return // fresh
+    val keep = old.filter(col("file").isInCollection(keepFiles))
+    val merged =
+      if (newFiles.isEmpty) keep
+      else {
+        val aggs = cols.flatMap { c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+        }
+        val added = spark.read.option("basePath", dir).parquet(newFiles: _*)
+          .withColumn("__file", input_file_name())
+          .groupBy(col("__file").as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+        keep.unionByName(added)
+      }
+    // the rewrite reads the manifest it replaces — snapshot first (Spark
+    // rejects reading and overwriting one path in a single job)
+    val snapshot = merged.localCheckpoint()
+    try snapshot.coalesce(1).write.mode("overwrite").parquet(manifestPath.toString)
+    finally graft.runtime.Lifetime.release(snapshot)
   }
 }

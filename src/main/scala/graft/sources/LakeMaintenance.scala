@@ -111,6 +111,11 @@ object LakeMaintenance {
           if (!fs.exists(dest)) fs.rename(p, dest)
         }
       fs.delete(old, true)
+      // the carried-over zone-map manifest now describes files the swap
+      // just deleted — refresh it (compaction replaces every file, so
+      // this is a full stats pass) or every later scan would silently
+      // fall back to unpruned until someone remembered buildManifest
+      DataSkipping.refreshManifest(spark, dir)
       CompactionStats(filesBefore, filesAfter, rows)
     } finally spark.conf.set(inferKey, inferWas)
   }
@@ -178,8 +183,18 @@ object LakeMaintenance {
       throw new IllegalStateException(s"compaction swap failed for $table")
     }
     spark.sql(s"DROP TABLE $tmpTable") // external: metadata only, data already swapped in
+    // metadata sidecars (commit ledger, zone-map manifest) are invisible
+    // to the table read, so the rewrite never carries them — same move as
+    // [[compact]] before the staged copy is deleted
+    fs.listStatus(old).map(_.getPath)
+      .filter(p => p.getName.startsWith("_") && p.getName != "_SUCCESS")
+      .foreach { p =>
+        val dest = new Path(dir, p.getName)
+        if (!fs.exists(dest)) fs.rename(p, dest)
+      }
     fs.delete(old, true)
     spark.catalog.refreshTable(table) // drop cached listings of the old files
+    DataSkipping.refreshManifest(spark, dir.toString) // keep the zone map fresh
     CompactionStats(filesBefore, filesAfter, rows)
   }
 

@@ -166,5 +166,9 @@ object Sources {
         .mode(SaveMode.Overwrite)
         .parquet(path)
     } finally graft.runtime.Lifetime.release(snapshot)
+    // keep the zone-map manifest fresh: dynamic overwrite replaced only
+    // the touched partitions' files, so the incremental refresh scans
+    // exactly that slice — untouched files keep their manifest rows
+    DataSkipping.refreshManifest(spark, path)
   }
 }

@@ -88,6 +88,60 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(pruned.count() == expected)
   }
 
+  test("pruning engages on a hive-partitioned lake (nested directories)") {
+    val dir = Files.createTempDirectory("graft_skip_part_").toString + "/lake"
+    // 3 partitions × range-clustered ids within — the upsert lake's shape
+    spark.range(0, 3000)
+      .select(concat(lit("d"), ($"id" / 1000).cast("long")).as("pd"),
+        $"id", ($"id" % 97).as("v"))
+      .repartitionByRange(6, $"id")
+      .write.partitionBy("pd").parquet(dir)
+    DataSkipping.buildManifest(spark, dir, Seq("id"))
+    val (pruned, (read, total)) = DataSkipping.scanRange(spark, dir, "id", 100L, 399L)
+    assert(total >= 6, s"recursive listing missed nested files: $total")
+    assert(read < total, s"no pruning on a partitioned layout: $read/$total")
+    assert(pruned.count() == 300L)
+    // partition columns survive the survivor file-list read (basePath)
+    assert(pruned.columns.contains("pd"))
+    assert(pruned.select($"pd").distinct().as[String].collect().toSeq == Seq("d0"))
+  }
+
+  test("partitioned + z-ordered lake: 2-D box prunes inside nested dirs") {
+    val dir = Files.createTempDirectory("graft_skip_pz_").toString + "/lake"
+    // partition by a coarse region, z-order (x, y) within each region
+    val grid = spark.range(0, 65536).select(
+      ($"id" % 256).as("x"), expr("id div 256").as("y"))
+    grid.withColumn("region", concat(lit("r"), expr("x div 128")))
+      .withColumn("z", graft.ops.GeoOps.zorderKey($"x", $"y"))
+      .repartitionByRange(16, $"region", $"z")
+      .sortWithinPartitions($"z")
+      .drop("z")
+      .write.partitionBy("region").parquet(dir)
+    DataSkipping.buildManifest(spark, dir, Seq("x", "y"))
+    val (pruned, (read, total)) = DataSkipping.scanBox(spark, dir,
+      Seq(("x", 10L, 50L), ("y", 10L, 50L)))
+    assert(total >= 8, s"recursive listing missed nested files: $total")
+    assert(read < total, s"no pruning on the partitioned z-ordered lake: $read/$total")
+    assert(pruned.count() == 41L * 41L)
+  }
+
+  test("refreshManifest rescans only new files and re-enables pruning") {
+    val dir = freshLake()
+    // out-of-band append staled the manifest…
+    spark.range(90000, 90100).select($"id", lit(0L).as("v"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val (_, (staleRead, staleTotal)) = DataSkipping.scanRange(spark, dir, "id", 0L, 999L)
+    assert(staleRead == staleTotal, "append must stale the manifest")
+    // …refresh picks up the one new file and pruning engages again
+    DataSkipping.refreshManifest(spark, dir)
+    val (pruned, (read, total)) = DataSkipping.scanRange(spark, dir, "id", 0L, 999L)
+    assert(total == 11 && read < total, s"refresh did not re-enable pruning: $read/$total")
+    assert(pruned.count() == 1000L)
+    // the appended slice is findable through the refreshed manifest too
+    val (hi, (hiRead, _)) = DataSkipping.scanRange(spark, dir, "id", 90000L, 99999L)
+    assert(hiRead == 1 && hi.count() == 100L)
+  }
+
   test("a bound on a column missing from the manifest falls back, correct") {
     val dir = freshLake()
     val (df, (read, total)) = DataSkipping.scanBox(spark, dir,

@@ -63,6 +63,26 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(lake).count() == 10)
   }
 
+  test("compact refreshes the zone-map manifest (no silent permanent fallback)") {
+    val dir = Files.createTempDirectory("compact-manifest").toString + "/t"
+    (0 until 4).foreach { i =>
+      spark.range(i * 250, (i + 1) * 250).select($"id".as("v"))
+        .repartition(3).write.mode("append").parquet(dir)
+    }
+    DataSkipping.buildManifest(spark, dir, Seq("v"))
+    LakeMaintenance.compact(spark, dir, targetPartitions = 2)
+    // a fresh manifest answers an out-of-range probe with ZERO files;
+    // a stale one (compaction replaced every file) would fall back and
+    // open everything — permanently, until a manual rebuild
+    val (_, (probeRead, probeTotal)) =
+      DataSkipping.scanRange(spark, dir, "v", 50000L, 60000L)
+    assert(probeTotal > 0 && probeRead == 0,
+      s"manifest stale after compact: opened $probeRead/$probeTotal")
+    val (df, (_, total)) = DataSkipping.scanRange(spark, dir, "v", 0L, 249L)
+    assert(total <= 2, s"compaction left $total files")
+    assert(df.count() == 250L)
+  }
+
   test("compact rejects a bucketed table's directory loudly") {
     import graft.tables.Tables
     val dir = Files.createTempDirectory("bucketed-reject").toString
@@ -89,11 +109,18 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     BucketedLake.writeBucketed(
       Tables.orders(spark, sf).repartition(8), "c_orders", s"$dir/o",
       "o_orderkey", 8)
+    DataSkipping.buildManifest(spark, s"$dir/li", Seq("l_orderkey"))
     try {
       val stats = LakeMaintenance.compactBucketed(spark, "c_lineitem")
       assert(stats.rows == 6000L, s"rows drifted: $stats")
       assert(stats.filesAfter <= 8 && stats.filesAfter < stats.filesBefore,
         s"expected ≤1 file per bucket: $stats")
+      // the zone-map manifest rode the swap and was refreshed: an
+      // out-of-range probe opens zero files instead of falling back
+      val (_, (probeRead, probeTotal)) = DataSkipping.scanRange(
+        spark, s"$dir/li", "l_orderkey", 50000000L, 60000000L)
+      assert(probeTotal > 0 && probeRead == 0,
+        s"manifest stale after compactBucketed: $probeRead/$probeTotal")
       // location must not have moved; no staging residue
       assert(!new java.io.File(s"$dir/li__old").exists())
       assert(!new java.io.File(s"$dir/li__compacting").exists())

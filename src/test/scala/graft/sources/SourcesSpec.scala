@@ -117,6 +117,33 @@ class SourcesSpec extends AnyFunSuite {
       (1L, 5L, "v5", "d1"), (2L, 1L, "b1b", "d1"), (3L, 1L, "c", "d1")))
   }
 
+  test("upsertPartitioned keeps the zone-map manifest fresh (pruning still engages)") {
+    val dir = Files.createTempDirectory("upsert-manifest").toString + "/t"
+    // 3 partitions whose id ranges are disjoint — stats on id prune to one
+    val base = spark.range(0, 3000)
+      .select($"id".as("k"), ($"id" % 7).as("v"),
+        concat(lit("d"), ($"id" / 1000).cast("long")).as("pd"))
+    Sources.upsertPartitioned(spark, base, dir, Seq("k"), "pd")
+    DataSkipping.buildManifest(spark, dir, Seq("k"))
+    // merge into d1 only; the auto-refresh must rescan just that slice
+    val updates = spark.range(1000, 1100)
+      .select($"id".as("k"), lit(99L).as("v"), lit("d1").as("pd"))
+    Sources.upsertPartitioned(spark, updates, dir, Seq("k"), "pd")
+    // fresh manifest: an out-of-range probe opens ZERO files (a stale
+    // manifest would fall back and open all of them)
+    val (_, (probeRead, probeTotal)) =
+      DataSkipping.scanRange(spark, dir, "k", 5000000L, 6000000L)
+    assert(probeTotal > 0 && probeRead == 0,
+      s"manifest stale after upsert: opened $probeRead/$probeTotal")
+    // untouched partitions' manifest rows survived: d0 range still prunes
+    val (d0, (read, total)) = DataSkipping.scanRange(spark, dir, "k", 0L, 999L)
+    assert(read < total, s"pruning lost after upsert: $read/$total")
+    assert(d0.count() == 1000L)
+    // and the merged slice is visible through the refreshed manifest
+    val (d1, _) = DataSkipping.scanRange(spark, dir, "k", 1000L, 1099L)
+    assert(d1.filter($"v" === 99L).count() == 100L)
+  }
+
   test("flows CSV sink partitions by pubdate") {
     val dir = Files.createTempDirectory("src-spec3").toString
     val df = Seq(("2021-03-01", "E1", 5), ("2021-03-02", "E1", 7))
