@@ -15,6 +15,7 @@ run / fork := true
 // "[success] Total time: …" banner otherwise lands after Bench's compact
 // JSON line and breaks the parse (BENCH_r07.json arrived parsed:null).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

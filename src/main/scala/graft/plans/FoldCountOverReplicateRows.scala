@@ -1,18 +1,19 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, AttributeReference, Expression, GreaterThan, Literal,
-  NamedExpression, ReplicateRows}
+  Alias, Attribute, AttributeReference, Cast, Divide, Expression, GreaterThan,
+  If, IsNull, Literal, Multiply, NamedExpression, ReplicateRows}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Count, Sum}
+  AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Filter, Generate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType,
+  ShortType}
 
-/** Folds `count(1)`-style aggregates over a `ReplicateRows` generate into
-  * `sum(multiplicity)` over the generate's child — the rows are never
-  * materialized.
+/** Folds `count(1)`/`sum(x)`/`avg(x)` aggregates over a `ReplicateRows`
+  * generate into multiplicity-weighted sums over the generate's child —
+  * the replicated rows are never materialized.
   *
   * Why this exists: Catalyst rewrites `EXCEPT ALL` / `INTERSECT ALL`
   * (RewriteExceptAll / RewriteIntersectAll) into an aggregate that
@@ -30,20 +31,31 @@ import org.apache.spark.sql.types.LongType
   *
   * Rewrite (exact, not approximate):
   * {{{
-  *   Aggregate(G, …count(lit)…, [Project(pass-through)] Generate(ReplicateRows(m, cols…), child))
-  * ⇒ Aggregate(G′, …sum(m)…,   Filter(m > 0, child))
+  *   Aggregate(G, …count(lit)…,  [Project] Generate(ReplicateRows(m, cols…), child))
+  * ⇒ Aggregate(G′, …sum(m)…,    Filter(m > 0, child))
+  *   count(1) over m copies      = m              → sum(m)
+  *   sum(x)   over m copies of x = x·m            → sum(x·m)
+  *   avg(x)   over m copies      = Σ x·m ⁄ Σ[x≠∅]·m → sum(x·m)/sum(if(x null, 0, m))
   * }}}
   * The `m > 0` pre-filter reproduces Generate's semantics for
   * non-positive multiplicities (such rows emit nothing, so a group whose
-  * every row has `m ≤ 0` must not exist) and makes the sum exactly the
-  * generated-row count. Output attribute ids are preserved, so nothing
-  * above the aggregate re-resolves.
+  * every row has `m ≤ 0` must not exist) and makes the sums exactly the
+  * generated-row aggregates. Output attribute ids are preserved, so
+  * nothing above the aggregate re-resolves.
   *
   * Fires only when every condition holds (else leaves the plan alone):
   *  - grouping is non-empty (a global aggregate over an empty generate
   *    yields one `count = 0` row that the fold could not reproduce);
-  *  - every aggregate function is a non-distinct, unfiltered
-  *    `Count(foldable non-null…)` — `count(*)` / `count(1)`;
+  *  - every aggregate function is non-distinct and unfiltered, and is
+  *    `Count(foldable non-null…)` — `count(*)`/`count(1)` — or
+  *    `Sum`/`Average` of an INTEGRAL-typed expression. The integral gate
+  *    is the exactness line: `x+x+x` and `3·x` round differently in IEEE
+  *    floating point, and decimal products change the result's
+  *    precision, so folding those would perturb answers; long arithmetic
+  *    makes count/sum folds bit-for-bit identical to the unfolded plan,
+  *    and avg's two division operands agree bit-for-bit while the
+  *    group's sum stays inside double's 2^53 integer range (past it the
+  *    unfolded plan's own double accumulation is already lossy);
   *  - the plan between Aggregate and Generate is at most one
   *    deterministic Project, and after inlining it every reference
   *    resolves against the generate's CHILD output (RewriteExceptAll /
@@ -68,6 +80,27 @@ object FoldCountOverReplicateRows extends Rule[LogicalPlan] {
         children.forall(c => c.foldable && c.eval(null) != null)
       case _ => false
     })
+
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** `sum(x)` folds exactly only for integral x (see scaladoc). */
+  private def isFoldableSum(ae: AggregateExpression): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      case s: Sum => integral(s.child) && s.child.deterministic
+      case _ => false
+    })
+
+  private def isFoldableAvg(ae: AggregateExpression): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      case a: Average => integral(a.child) && a.child.deterministic
+      case _ => false
+    })
+
+  private def isFoldable(ae: AggregateExpression): Boolean =
+    isFoldableCount(ae) || isFoldableSum(ae) || isFoldableAvg(ae)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groupings, _, aggChild, _) if groupings.nonEmpty =>
@@ -110,14 +143,33 @@ object FoldCountOverReplicateRows extends Rule[LogicalPlan] {
     val aggFns = agg.aggregateExpressions.flatMap(_.collect {
       case ae: AggregateExpression => ae
     })
-    if (!aggFns.forall(isFoldableCount)) return None
+    if (!aggFns.forall(isFoldable)) return None
 
-    // inline the intermediate Project, swap counts for sum(mult)
+    // the generator output reuses the child's attribute ids (the setop
+    // rewrites' contract), so an aggregated column x must ALSO be
+    // inlined before weighting it by the multiplicity
+    def weighted(x: Expression): Expression =
+      Multiply(Cast(inline(x, subst), LongType), mult)
+
+    // inline the intermediate Project, swap counts/sums/avgs for
+    // multiplicity-weighted sums over the pre-replication rows
     def rewriteNamed(ne: NamedExpression): NamedExpression = ne match {
       case a: Alias =>
         val folded = inline(a.child, subst).transformUp {
           case ae: AggregateExpression if isFoldableCount(ae) =>
             ae.copy(aggregateFunction = Sum(mult))
+          case ae: AggregateExpression if isFoldableSum(ae) =>
+            val s = ae.aggregateFunction.asInstanceOf[Sum]
+            ae.copy(aggregateFunction = Sum(weighted(s.child)))
+          case ae: AggregateExpression if isFoldableAvg(ae) =>
+            // avg over the copies = Σ x·m / Σ m-over-non-null-x; fresh
+            // resultIds keep the two sums from aliasing each other
+            val x = inline(ae.aggregateFunction.asInstanceOf[Average].child, subst)
+            val num = AggregateExpression(
+              Sum(Multiply(Cast(x, LongType), mult)), ae.mode, isDistinct = false)
+            val den = AggregateExpression(
+              Sum(If(IsNull(x), Literal(0L), mult)), ae.mode, isDistinct = false)
+            Divide(Cast(num, DoubleType), Cast(den, DoubleType))
         }
         Alias(folded, a.name)(a.exprId, a.qualifier, a.explicitMetadata,
           a.nonInheritableMetadataKeys)

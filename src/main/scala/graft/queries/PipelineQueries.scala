@@ -328,6 +328,38 @@ object PipelineQueries {
       |SELECT op, l_orderkey, count(*) AS n
       |FROM u GROUP BY 1, 2 ORDER BY op, l_orderkey""".stripMargin
 
+  // --------------------------------------------------- q138_setop_sums
+  // SUM/AVG directly over EXCEPT ALL — the generalized
+  // [[graft.plans.FoldCountOverReplicateRows]] shape: each surviving
+  // row's contribution is its value times its multiplicity, so the
+  // aggregate folds to multiplicity-weighted sums over the
+  // pre-replication rows and the replicated multiset never exists.
+  // Quantities go through BIGINT because the fold's exactness gate only
+  // admits integral sums (float sums round differently when folded);
+  // l_quantity is integral-valued, so the cast is lossless on both
+  // engines despite their different double→int rounding rules.
+  private def q138SetopSums(s: SparkSession, d: String): DataFrame = {
+    def branch(pred: org.apache.spark.sql.Column) =
+      Tables.lineitem(s, d).filter(pred)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_quantity").cast("long").as("qty"))
+    branch(col("l_quantity") > 30).exceptAll(branch(col("l_discount") > 0.05))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+        avg(col("qty")).as("avg_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q138Sql =
+    """WITH a AS (SELECT l_returnflag, l_orderkey, CAST(l_quantity AS BIGINT) AS qty
+      |           FROM lineitem WHERE l_quantity > 30),
+      |b AS (SELECT l_returnflag, l_orderkey, CAST(l_quantity AS BIGINT) AS qty
+      |      FROM lineitem WHERE l_discount > 0.05),
+      |e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      |SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(qty) AS BIGINT) AS sum_qty, avg(qty) AS avg_qty
+      |FROM e GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   // -------------------------------------------------------- q74_lateral
   // Correlated LATERAL subquery (top-1 order per customer) through the
   // SQL front end — Catalyst decorrelates the per-row LIMIT into a
@@ -410,6 +442,7 @@ object PipelineQueries {
     Q("q71_moments", q71Moments, Some(q71Sql)),
     Q("q72_editdist", q72EditDist, Some(q72Sql)),
     Q("q73_setops_all", q73SetopsAll, Some(q73Sql)),
+    Q("q138_setop_sums", q138SetopSums, Some(q138Sql)),
     Q("q74_lateral", q74Lateral, Some(q74Sql)),
     Q("q75_topk_agg", q75TopKAgg, Some(q75Sql)),
     Q("q76_weighted_sample", q76WeightedSample, Some(q76Sql)),

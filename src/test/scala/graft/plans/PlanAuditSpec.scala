@@ -172,6 +172,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"folded setop grew extra exchanges:\n$p")
   }
 
+  test("q138: sum/avg over EXCEPT ALL fold — Generate-free, no extra exchange") {
+    val p = planOf("q138_setop_sums")
+    // the generalized fold: sum(x)→sum(x·m), avg(x)→Σx·m/Σm over the
+    // pre-replication aggregate — same no-materialization guarantee as
+    // the q73 count fold
+    assert(!p.contains("Generate"), s"setop sum kept its ReplicateRows:\n$p")
+    // the folded plan reads: multiplicity aggregate → m>0 filter →
+    // weighted sums. Exchanges: multiplicity agg keys, the outer
+    // group-by (l_returnflag is a strict SUBSET of the setop keys, so
+    // unlike q73 it cannot reuse that partitioning), and the final sort
+    assert("Exchange".r.findAllIn(p).size <= 3,
+      s"folded setop sums grew extra exchanges:\n$p")
+    // the weighted shape itself: sum(qty · multiplicity) for sum/avg's
+    // numerator and a null-guarded multiplicity sum for avg's denominator
+    assert("sum\\(\\(qty#\\d+L \\* sum#\\d+L\\)\\)".r.findFirstIn(p).isDefined,
+      s"multiplicity-weighted sum missing:\n$p")
+    assert("sum\\(if \\(isnull\\(qty#\\d+L\\)\\) 0 else sum#\\d+L\\)".r.findFirstIn(p).isDefined,
+      s"null-guarded avg denominator missing:\n$p")
+  }
+
   test("q78: TPC-H volume-shipping joins stay all-broadcast — zero SMJ") {
     val p = planOf("q78_sql_volume")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 5,

@@ -84,12 +84,51 @@ class ReplicateRowsFoldSpec extends AnyFunSuite {
     assert(rows(q) == baselineRows(q))
   }
 
-  test("non-count aggregates are left alone (negative case)") {
-    val q = a.exceptAll(b).groupBy($"k").agg(sum($"k").as("s"))
-    assert(hasReplicate(q),
-      "sum over the setop must keep its Generate — the fold only covers counts")
+  test("integral sum per key over EXCEPT ALL folds and matches the unfolded plan") {
+    def q = a.exceptAll(b).groupBy($"k").agg(sum($"k").as("s"))
+    assert(!hasReplicate(q), "fold did not fire on except-all integral sum")
+    assert(rows(q) == baselineRows(q))
+    // each surviving copy contributes k: k=1 ×1, k=2 ×2·1? — spot-check
+    // against hand multiplicities (1:1, 2:2, 3:1, 4:1 copies)
     val m = q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(m == Map(1 -> 1L, 2 -> 2L, 3 -> 3L, 4 -> 4L))
+  }
+
+  test("avg folds (incl. null values) and matches the unfolded plan") {
+    val a2 = Seq((1, Some(10)), (1, Some(10)), (1, Some(30)), (1, None),
+      (2, None), (2, None), (3, Some(5))).toDF("k", "v")
+    val b2 = Seq((1, Some(10)), (3, Some(5))).toDF("k", "v")
+    def q = a2.exceptAll(b2).groupBy($"k")
+      .agg(avg($"v").as("a"), count(lit(1)).as("n"))
+    assert(!hasReplicate(q), "fold did not fire on except-all avg")
+    assert(rows(q) == baselineRows(q))
+    // k=1 survivors: (10)×1, (30)×1, (null)×1 → avg 20, n 3
+    // k=2 survivors: (null)×2 → avg null (all-null group), n 2
+    val m = q.collect().map(r =>
+      r.getInt(0) -> ((if (r.isNullAt(1)) None else Some(r.getDouble(1))), r.getLong(2))).toMap
+    assert(m == Map(1 -> ((Some(20.0), 3L)), 2 -> ((None, 2L))))
+  }
+
+  test("mixed count + sum + avg in one aggregate all fold together") {
+    val a2 = Seq((1, 2), (1, 2), (1, 4), (2, 6), (2, 6)).toDF("k", "v")
+    val b2 = Seq((1, 2), (2, 9)).toDF("k", "v")
+    def q = a2.exceptAll(b2).groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"), avg($"v").as("a"))
+    assert(!hasReplicate(q), "fold did not fire on mixed aggregates")
+    assert(rows(q) == baselineRows(q))
+    // k=1: copies (2)×1,(4)×1 → n=2 s=6 a=3; k=2: (6)×2 → n=2 s=12 a=6
+    val m = q.collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m == Map(1 -> ((2L, 6L, 3.0)), 2 -> ((2L, 12L, 6.0))))
+  }
+
+  test("floating-point sum is left alone (negative case: not exactly foldable)") {
+    val a2 = Seq((1, 0.1), (1, 0.1), (1, 0.1), (2, 0.5)).toDF("k", "v")
+    val b2 = Seq((2, 0.5)).toDF("k", "v")
+    val q = a2.exceptAll(b2).groupBy($"k").agg(sum($"v").as("s"))
+    assert(hasReplicate(q),
+      "double sum must keep its Generate — x+x+x and 3·x round differently")
+    assert(q.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
   test("global (ungrouped) count is left alone (negative case)") {
