@@ -136,6 +136,12 @@ object Graft {
         textCol: String = "text"): DataFrame =
       graft.text.Retrieval.bm25(df, idCol, textCol, terms, k)
 
+    /** Batch BM25: top-k docs per query from a (query_id, term, pos)
+      * table, one corpus pass for the whole query set. */
+    def bm25BatchTopK(queries: DataFrame, k: Int, arity: Int,
+        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      graft.text.Retrieval.bm25Batch(df, queries, idCol, textCol, k, arity)
+
     /** Exact token-set Jaccard for all id pairs of a (small) probe set. */
     def jaccardPairs(idCol: String, textCol: String = "text"): DataFrame =
       Dedup.tokenJaccardPairs(df, idCol, textCol)

@@ -501,6 +501,83 @@ object LlmQueries {
        |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------- q139_bm25_batch
+  // Batch BM25 (graft.text.Retrieval.bm25Batch): 100 three-term queries
+  // scored against the corpus in ONE corpus pass — tokenize once, tf
+  // exchange reused by lengths/document-frequencies (RetrievalSpec pins
+  // the single scan), query table broadcast, per-(query, doc) score an
+  // explicit position-ordered + chain (each position's conditional sum
+  // has ≤1 non-zero contribution, so row order cannot perturb the
+  // doubles), window top-10 per query. Same IEEE-parity discipline as
+  // q136: the oracle spells identical arithmetic in identical order.
+  private val q139Vocab = Vector(
+    "join", "hash", "row", "batch", "scan", "customer", "column", "filter",
+    "small", "merge", "slow", "order", "vector", "line", "data", "table",
+    "agg", "value", "key", "stream", "window", "spark", "group", "part",
+    "big", "sort", "query", "fast", "dup")
+
+  /** 100 deterministic 3-term queries: every 36th 3-combination of the
+    * vocabulary (C(29,3) = 3654), so terms never repeat within a query
+    * and the fixture is identical on the Spark and oracle sides (both
+    * render from this one value). */
+  private val q139Queries: Seq[(Long, String, Int)] = {
+    val v = q139Vocab
+    val combos = for {
+      i <- v.indices; j <- i + 1 until v.size; l <- j + 1 until v.size
+    } yield Seq(v(i), v(j), v(l))
+    (0 until 100).flatMap { q =>
+      combos(q * 36).zipWithIndex.map { case (t, p) => (q.toLong, t, p) }
+    }
+  }
+
+  private def q139Bm25Batch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.text.Retrieval.bm25Batch(Tables.documents(s, d),
+      q139Queries.toDF("query_id", "term", "pos"),
+      "doc_id", "text", k = 10, arity = 3)
+  }
+
+  private val q139Sql = {
+    val values = q139Queries.map { case (q, t, p) => s"($q, '$t', $p)" }
+      .mkString(", ")
+    s"""WITH q(query_id, term, pos) AS (VALUES $values),
+       |tok AS (
+       |  SELECT doc_id, t
+       |  FROM documents, UNNEST(string_split_regex(lower(text), '\\s+')) AS u(t)
+       |  WHERE t <> ''),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
+       |g AS (SELECT count(*) AS n,
+       |        CAST(sum(len) AS DOUBLE) / count(*) AS avglen FROM lens),
+       |dfs AS (SELECT t, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+       |        FROM tf GROUP BY 1),
+       |m AS (
+       |  SELECT q.query_id, tf.doc_id, q.pos,
+       |    ln((CAST(g.n AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5)
+       |       / (CAST(dfs.df AS DOUBLE) + 0.5) + 1.0)
+       |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+       |    / (CAST(tf.tf AS DOUBLE)
+       |       + 1.2 * (1.0 - 0.75 + 0.75 * CAST(lens.len AS DOUBLE) / g.avglen)) AS ts
+       |  FROM tf
+       |  JOIN q ON tf.t = q.term
+       |  JOIN dfs ON tf.t = dfs.t
+       |  JOIN lens ON tf.doc_id = lens.doc_id, g),
+       |s AS (
+       |  SELECT query_id, doc_id,
+       |    sum(CASE WHEN pos = 0 THEN ts ELSE 0.0 END)
+       |    + sum(CASE WHEN pos = 1 THEN ts ELSE 0.0 END)
+       |    + sum(CASE WHEN pos = 2 THEN ts ELSE 0.0 END) AS raw
+       |  FROM m GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, raw,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY raw DESC, doc_id) AS rn
+       |      FROM s)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |  round(raw, 6) AS score
+       |FROM r WHERE rn <= 10
+       |ORDER BY query_id, score DESC, doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q19_text_stats", q19Text, Some(q19Sql)),
     Q("q20_dedup_exact", q20Exact, Some(q20Sql)),
@@ -524,6 +601,7 @@ object LlmQueries {
     Q("q58_chunk", q58Chunk, Some(q58Sql)),
     Q("q59_pii", q59Pii, Some(q59Sql)),
     Q("q136_bm25", q136Bm25, Some(q136Sql)),
+    Q("q139_bm25_batch", q139Bm25Batch, Some(q139Sql)),
   )
 
 }

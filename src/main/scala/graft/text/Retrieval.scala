@@ -74,9 +74,108 @@ object Retrieval {
         .otherwise(lit(0.0))
     }
     val score = termScores.reduceLeft(_ + _)
-    scored.select(id, round(score, 6).as("score"))
-      .filter(col("score") > 0.0)
+    // filter on the RAW score, round only for output: the oracle's WHERE
+    // binds to the unrounded CTE column, so filtering the rounded value
+    // would drop a doc with 0 < score < 5e-7 that the oracle keeps
+    scored.select(id, score.as("raw"))
+      .filter(col("raw") > 0.0)
+      .select(id, round(col("raw"), 6).as("score"))
       .orderBy(col("score").desc, id)
       .limit(k)
+  }
+
+  /** Batch BM25: score a query TABLE against the corpus in ONE corpus
+    * pass — the retrieval-for-mining shape (hard-negative mining,
+    * contamination probes over thousands of eval prompts) where
+    * re-scanning the corpus per query would be quadratic in practice.
+    *
+    * `queries` holds (query_id: long, term: string, pos: int) with
+    * `pos < arity` and one row per query term; all terms of a query must
+    * be distinct. Returns the top `k` docs per query as
+    * (query_id, idCol, score), ties broken by id.
+    *
+    * Execution shape:
+    *  - one tokenize pass builds the (doc, term, tf) table; per-doc
+    *    lengths and per-term document frequencies RE-AGGREGATE that
+    *    compacted table (its exchange is reused — the corpus parquet is
+    *    scanned once, which the plan audit pins);
+    *  - the query table and the query-term document frequencies are
+    *    broadcast; only (doc, term) rows matching some query term
+    *    survive into scoring, so the per-doc-length join shuffles the
+    *    matched slice, not the corpus;
+    *  - per (query, doc), the score is an explicit `+` chain over the
+    *    query's term POSITIONS: each position's conditional sum has at
+    *    most one non-zero contribution (adding 0.0 is IEEE-exact), so
+    *    the chain is bit-reproducible regardless of row order across
+    *    1000 executors — the same determinism trick as the literal-term
+    *    scorer, lifted to a dynamic query set;
+    *  - top-k per query is one window over the scored candidates.
+    */
+  def bm25Batch(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, arity: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(arity > 0, "arity: the max terms per query, > 0")
+    val id = col(idCol)
+
+    // The explicit isnotnull filters are LOAD-BEARING: every consumer of
+    // `tf` below must build the byte-identical subtree, or the exchange
+    // backing it is not reused and the corpus is scanned once per
+    // consumer. Constraint inference would otherwise add isnotnull(id) /
+    // isnotnull(t) only to the branches that JOIN on those columns,
+    // de-canonicalizing the copies — stating them up front keeps all
+    // three branches identical (the plan audit pins the single scan).
+    val tok = docs.filter(id.isNotNull)
+      .select(id, explode(tokens(col(textCol))).as("t"))
+      .where(col("t").isNotNull)
+    val tf = tok.groupBy(id, col("t")).agg(count(lit(1)).as("tf"))
+    // doc length = Σ tf over the doc — derived from the compacted table,
+    // never a second pass over raw tokens
+    val lens = tf.groupBy(id).agg(sum(col("tf")).as("len"))
+    val globals = lens.agg(count(lit(1)).as("n"),
+      (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
+    // df spelled as sum(tf > 0) rather than count(*): counting rows would
+    // let column pruning strip `tf` from this branch's copy of the
+    // aggregate (degenerating it to a distinct), which de-canonicalizes
+    // the subtree and forfeits the exchange reuse — and it mirrors the
+    // literal scorer's df definition anyway
+    val dfs = tf.groupBy(col("t"))
+      .agg(sum(when(col("tf") > 0, 1L).otherwise(0L)).as("df"))
+    // df rows for query terms only — small enough to broadcast. An INNER
+    // join against the distinct term list (not a semi) because the
+    // optimizer pushes semi-joins through aggregates, which would
+    // specialize this branch's tf subtree and break the exchange reuse
+    val dfq = dfs.join(
+      broadcast(queries.select(col("term")).distinct()),
+      dfs("t") === col("term"))
+      .select(dfs("t").as("dft"), col("df"))
+
+    val matched = tf
+      .join(broadcast(queries), tf("t") === queries("term"))
+      .join(broadcast(dfq), tf("t") === col("dft"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(globals))
+
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val idf = log((col("n").cast("double") - dfD + 0.5) / (dfD + 0.5) + 1.0)
+    val den = tfD + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("len").cast("double") / col("avglen"))
+    val ts = idf * (tfD * lit(k1 + 1.0)) / den
+
+    // one conditional sum per query position; each has ≤1 non-zero term
+    val posSums = (0 until arity).map { p =>
+      sum(when(col("pos") === p, ts).otherwise(lit(0.0))).as(s"s$p")
+    }
+    val perQueryDoc = matched.groupBy(col("query_id"), id)
+      .agg(posSums.head, posSums.tail: _*)
+    val score = (0 until arity).map(p => col(s"s$p")).reduceLeft(_ + _)
+
+    import org.apache.spark.sql.expressions.Window
+    perQueryDoc.select(col("query_id"), id, score.as("raw"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("raw").desc, id)))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), id, round(col("raw"), 6).as("score"))
+      .orderBy(col("query_id"), col("score").desc, id)
   }
 }

@@ -48,4 +48,44 @@ class RetrievalSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"global sort materialized:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"), s"globals not broadcast:\n$p")
   }
+
+  test("batch scorer ≡ literal scorer for a single query (bit-exact)") {
+    val terms = Seq("spark", "window", "merge", "filter")
+    val q = terms.zipWithIndex.map { case (t, p) => (0L, t, p) }
+      .toDF("query_id", "term", "pos")
+    val literal = Retrieval.bm25(corpus, "id", "body", terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = Retrieval.bm25Batch(corpus, q, "id", "body", k = 10, arity = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // same per-term doubles, same +-chain order → identical, not just close
+    assert(batch == literal, s"$batch vs $literal")
+  }
+
+  test("batch: independent queries rank independently, k caps per query") {
+    val q = Seq(
+      (0L, "spark", 0), (0L, "filter", 1),
+      (1L, "scan", 0), (1L, "row", 1)).toDF("query_id", "term", "pos")
+    val got = Retrieval.bm25Batch(corpus, q, "id", "body", k = 2, arity = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.count(_._1 == 0L) == 2 && got.count(_._1 == 1L) == 2)
+    // query 1 only matches docs 3 and 4 (scan/row live there)
+    assert(got.filter(_._1 == 1L).map(_._2).toSet == Set(3L, 4L))
+  }
+
+  test("batch plan: the corpus parquet is scanned ONCE (tf exchange reused)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25b_").toString
+    corpus.write.parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+    val q = Seq((0L, "spark", 0), (1L, "join", 0)).toDF("query_id", "term", "pos")
+    val df = Retrieval.bm25Batch(docs, q, "id", "body", k = 3, arity = 1)
+    df.collect() // finalize THIS QueryExecution's adaptive plan
+    val full = df.queryExecution.executedPlan.toString()
+    assert(full.contains("isFinalPlan=true"), s"adaptive plan not finalized:\n$full")
+    // AQE's toString appends the pre-execution "Initial Plan" — only the
+    // Final Plan section reflects what actually ran (and reused)
+    val p = full.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1,
+      s"corpus scanned $scans times — lens/dfs/match must reuse tf's exchange:\n$p")
+  }
 }
