@@ -59,54 +59,55 @@ object Constraints {
   /** Run every check; returns (check_name, violations, total, pass)
     * ordered by check name. */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one check")
     val (rowLocal, multiRow) = checks.partition {
       case _: NotNull | _: Bounds | _: InSet => true
       case _ => false
     }
-    // one-row table count, attached in-plan (broadcast cross join) — no
-    // driver-side action, the audit stays a single lazy DataFrame
-    val totals = df.agg(count(lit(1)).as("total"))
 
-    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // the row-local part computes its total in the same aggregate for free
+    val rowLocalPart =
+      if (rowLocal.isEmpty) None
+      else {
+        // one scan, one aggregate row: total + a violation sum per check…
+        val aggs = count(lit(1)).as("total") +:
+          rowLocal.zipWithIndex.map { case (c, i) =>
+            sum(violationExpr(c)).as(s"v$i")
+          }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        // …then unpivoted to a row per constraint
+        val stackArgs = rowLocal.zipWithIndex
+          .map { case (c, i) => s"'${c.name}', v$i" }.mkString(", ")
+        Some(one.selectExpr(
+          s"stack(${rowLocal.size}, $stackArgs) AS (check_name, violations)",
+          "total"))
+      }
 
-    if (rowLocal.nonEmpty) {
-      // one scan, one aggregate row: total + a violation sum per check…
-      val aggs = count(lit(1)).as("total") +:
-        rowLocal.zipWithIndex.map { case (c, i) =>
-          sum(violationExpr(c)).as(s"v$i")
-        }
-      val one = df.agg(aggs.head, aggs.tail: _*)
-      // …then unpivoted to a row per constraint
-      val stackArgs = rowLocal.zipWithIndex
-        .map { case (c, i) => s"'${c.name}', v$i" }.mkString(", ")
-      parts += one.selectExpr(
-        s"stack(${rowLocal.size}, $stackArgs) AS (check_name, violations)",
-        "total")
-    }
-
-    multiRow.foreach {
+    val multiParts = multiRow.map {
       case u @ Unique(cols) =>
-        val dupes = df.groupBy(cols.map(col): _*)
+        df.groupBy(cols.map(col): _*)
           .agg(count(lit(1)).as("n")).filter(col("n") > 1)
           .agg(coalesce(sum(col("n") - 1L), lit(0L)).as("violations"))
-        parts += dupes
           .withColumn("check_name", lit(u.name))
-          .crossJoin(broadcast(totals))
-          .select(col("check_name"), col("violations"), col("total"))
       case r @ RefIntegrity(cn, dim, dimCol) =>
-        val orphans = df.select(col(cn))
+        df.select(col(cn))
           .join(broadcast(dim.select(col(dimCol)).distinct()),
             col(cn) === col(dimCol), "left_anti")
           .filter(col(cn).isNotNull)
           .agg(count(lit(1)).as("violations"))
-        parts += orphans
           .withColumn("check_name", lit(r.name))
-          .crossJoin(broadcast(totals))
-          .select(col("check_name"), col("violations"), col("total"))
       case other => throw new IllegalArgumentException(s"unhandled: $other")
     }
+    // ONE one-row count, broadcast-cross-joined onto the UNION of the
+    // multi-row parts — attaching it per part would replant the count's
+    // full-table scan once per Unique/RefIntegrity check
+    val multiPart = multiParts
+      .map(_.select(col("check_name"), col("violations")))
+      .reduceOption(_ unionByName _)
+      .map(_.crossJoin(broadcast(df.agg(count(lit(1)).as("total")))))
 
-    parts.map(_.select(col("check_name"), col("violations"), col("total")))
+    (rowLocalPart.toSeq ++ multiPart)
+      .map(_.select(col("check_name"), col("violations"), col("total")))
       .reduce(_ unionByName _)
       .withColumn("pass", col("violations") === 0L)
       .orderBy(col("check_name"))

@@ -72,4 +72,24 @@ class ConstraintsSpec extends AnyFunSuite {
       .collect()
     assert(report.length == 1 && report.head.getLong(1) == 0L)
   }
+
+  test("an empty check list fails loudly instead of an unreducible plan") {
+    val e = intercept[IllegalArgumentException] {
+      audit(Seq((1L, 1)).toDF("k", "ln"), Nil)
+    }
+    assert(e.getMessage.contains("at least one check"))
+  }
+
+  test("the table count is attached once, not once per multi-row check") {
+    val t = Seq((1L, 1, "a"), (2L, 2, "b"), (2L, 3, "c")).toDF("k", "ln", "v")
+    val dim = Seq(1, 2, 3).toDF("ln_dim")
+    val report = audit(t, Seq(
+      Unique(Seq("k")), Unique(Seq("v")), RefIntegrity("ln", dim, "ln_dim")))
+    // three multi-row checks → exactly ONE extra count aggregate: the
+    // plan holds 3 check scans + 1 shared totals scan of the table
+    val p = report.queryExecution.optimizedPlan.toString()
+    val scans = "LocalRelation".r.findAllIn(p).size
+    assert(report.collect().length == 3)
+    assert(scans <= 5, s"totals replanted per check ($scans source scans):\n$p")
+  }
 }
