@@ -461,9 +461,64 @@ object EngineQueries {
       |FROM lineitem
       |WHERE l_orderkey >= 1000 AND l_orderkey <= 3000""".stripMargin
 
+  // --------------------------------------------------- q140_commitlog
+  // The versioned commit log (graft.sources.CommitLog) exercised as a
+  // full lifecycle whose FINAL STATE is DuckDB-oracle-checkable: seed a
+  // flag-partitioned lineitem slice, init the log with l_orderkey stats,
+  // upsert a keyed quantity bump as batch 1, REPLAY batch 1 (must be a
+  // no-op — the exactly-once ledger rides the commit), copy-on-write
+  // compact, then answer a range query through the committed zone-map
+  // stats. Like q137, the lifecycle is the fixture (built once per
+  // session); the timed query is the pruned scan + aggregate.
+  private val q140Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q140Lake(s: SparkSession, d: String): String =
+    q140Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q140_")
+      val lake = s"$work/lake"
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag").as("flag"))
+      li.write.partitionBy("flag").parquet(lake)
+      graft.sources.CommitLog.init(s, lake, statsCols = Seq("l_orderkey"))
+      val updates = li.filter(col("l_orderkey") <= 500)
+        .withColumn("l_quantity", col("l_quantity") + lit(5.0))
+      def applyBatch(): Unit = graft.sources.CommitLog.upsert(
+        s, updates, lake, Seq("l_orderkey", "l_linenumber"), "flag",
+        batchId = Some(1L))
+      applyBatch()
+      applyBatch() // at-least-once replay: committed batch id → no-op
+      graft.sources.CommitLog.compact(s, lake, targetPartitions = 2)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q140CommitLog(s: SparkSession, d: String): DataFrame = {
+    val (pruned, _) = graft.sources.CommitLog.scanRange(
+      s, q140Lake(s, d), "l_orderkey", 1L, 1000L)
+    pruned.groupBy(col("flag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("flag"))
+  }
+
+  private val q140Sql =
+    """SELECT l_returnflag AS flag, count(*) AS n,
+      |  CAST(sum(CAST(CASE WHEN l_orderkey <= 500
+      |                     THEN l_quantity + 5.0 ELSE l_quantity END
+      |                AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey >= 1 AND l_orderkey <= 1000
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q135_constraints", q135Constraints, Some(q135Sql)),
     Q("q137_skipping", q137Skipping, Some(q137Sql)),
+    Q("q140_commitlog", q140CommitLog, Some(q140Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),
     Q("q78_sql_volume", q78Volume, Some(q78Sql)),
     Q("q79_sql_returns", q79Returns, Some(q79Sql)),

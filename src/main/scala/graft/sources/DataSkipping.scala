@@ -65,7 +65,7 @@ object DataSkipping {
     * matters. Files under any `_`- or `.`-prefixed path component
     * (sidecars like `_graft_manifest`/`_graft_commits`, hidden dirs) are
     * excluded — the same visibility rule Spark's own file index applies. */
-  private def dataFiles(spark: SparkSession, dir: String): Set[String] = {
+  private[sources] def dataFiles(spark: SparkSession, dir: String): Set[String] = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = fs.makeQualified(path).toUri.getPath.stripSuffix("/") + "/"
@@ -183,21 +183,26 @@ object DataSkipping {
     val keep = old.filter(col("file").isInCollection(keepFiles))
     val merged =
       if (newFiles.isEmpty) keep
-      else {
-        val aggs = cols.flatMap { c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
-        }
-        val added = spark.read.option("basePath", dir).parquet(newFiles: _*)
-          .withColumn("__file", input_file_name())
-          .groupBy(col("__file").as("file"))
-          .agg(aggs.head, aggs.tail: _*)
-        keep.unionByName(added)
-      }
+      else keep.unionByName(fileStats(spark, dir, newFiles, cols))
     // the rewrite reads the manifest it replaces — snapshot first (Spark
     // rejects reading and overwriting one path in a single job)
     val snapshot = merged.localCheckpoint()
     try snapshot.coalesce(1).write.mode("overwrite").parquet(manifestPath.toString)
     finally graft.runtime.Lifetime.release(snapshot)
+  }
+
+  /** Per-file min/max/null-count stats for an explicit file list — the
+    * zone-map aggregate shared by [[buildManifest]], [[refreshManifest]],
+    * and the commit log's per-version stats snapshot. */
+  private[sources] def fileStats(spark: SparkSession, dir: String,
+      files: Seq[String], cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    }
+    spark.read.option("basePath", dir).parquet(files: _*)
+      .withColumn("__file", input_file_name())
+      .groupBy(col("__file").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -109,6 +109,34 @@ object Sources {
     * reordered CDC feed needs. Without `seqCol` the update wins
     * unconditionally (last-writer semantics).
     */
+  /** Keyed merge of `updates` over `old` rows. Without `seqCol` the
+    * update wins unconditionally (anti-join shape). With `seqCol`, a
+    * per-key argmax on (seq, source): greatest seq wins; on a tie the
+    * update (source = 1) beats the lake row (source = 0). One shuffle
+    * over the inputs. Unmatched lake rows survive as singleton groups.
+    * Null seq sorts lowest, so it never beats a real one. Shared by the
+    * in-place upsert here and the commit log's copy-on-write upsert. */
+  private[sources] def mergeKeyed(old: DataFrame, updates: DataFrame,
+      keyCols: Seq[String], seqCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, max, struct}
+    seqCol match {
+      case None =>
+        updates.unionByName(
+          old.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti"))
+      case Some(sc) =>
+        val dataCols = updates.columns.filterNot(keyCols.contains).toSeq
+        val keys = keyCols.map(col)
+        val ver = struct(
+          col(sc) +: lit(0).as("__src") +: dataCols.filterNot(_ == sc).map(col): _*)
+        updates.withColumn("__v", ver).withColumn("__v",
+            col("__v").withField("__src", lit(1)))
+          .unionByName(old.withColumn("__v", ver))
+          .groupBy(keys: _*)
+          .agg(max(col("__v")).as("__v"))
+          .select(keys ++ dataCols.map(c => col(s"__v.$c").as(c)): _*)
+    }
+  }
+
   def upsertPartitioned(
       spark: SparkSession, updates: DataFrame, path: String,
       keyCols: Seq[String], partitionCol: String,
@@ -135,28 +163,8 @@ object Sources {
         val touched =
           if (parts.contains(null)) inNonNull || col(partitionCol).isNull
           else inNonNull
-        val old = spark.read.parquet(path).filter(touched)
-        seqCol match {
-          case None =>
-            updates.unionByName(
-              old.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti"))
-          case Some(sc) =>
-            // Per-key argmax on (seq, source): greatest seq wins; on a
-            // tie the update (source = 1) beats the lake row (source = 0).
-            // One shuffle over the touched slice — same cost class as the
-            // anti-join path. Unmatched lake rows survive as singleton
-            // groups. Null seq sorts lowest, so it never beats a real one.
-            val dataCols = updates.columns.filterNot(keyCols.contains).toSeq
-            val keys = keyCols.map(col)
-            val ver = struct(
-              col(sc) +: lit(0).as("__src") +: dataCols.filterNot(_ == sc).map(col): _*)
-            updates.withColumn("__v", ver).withColumn("__v",
-                col("__v").withField("__src", lit(1)))
-              .unionByName(old.withColumn("__v", ver))
-              .groupBy(keys: _*)
-              .agg(max(col("__v")).as("__v"))
-              .select(keys ++ dataCols.map(c => col(s"__v.$c").as(c)): _*)
-        }
+        mergeKeyed(spark.read.parquet(path).filter(touched), updates,
+          keyCols, seqCol)
       }
     val snapshot = merged.localCheckpoint()
     try {
