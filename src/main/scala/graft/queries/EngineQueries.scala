@@ -515,10 +515,88 @@ object EngineQueries {
       |WHERE l_orderkey >= 1 AND l_orderkey <= 1000
       |GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // ------------------------------------------- q141_txn / q142_changes
+  // Optimistic concurrency + incremental reads on the commit log, as a
+  // deterministic interleaving whose FINAL STATE (q141) and CHANGE FEED
+  // (q142) are both DuckDB-oracle-checkable. The interleaving forces the
+  // rebase path: writer A STAGES an upsert of flag=A rows against v1,
+  // writer B commits an upsert of flag=R rows (v2) before A commits, so
+  // A's CAS loses, detects the disjoint partitions, and rebases to v3 —
+  // the multi-writer serialization the reference gets from Postgres row
+  // locks, exercised end-to-end through the oracle gate.
+  private val q141Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q141Lake(s: SparkSession, d: String): String =
+    q141Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q141_")
+      val lake = s"$work/lake"
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag").as("flag"))
+      li.write.partitionBy("flag").parquet(lake)
+      graft.sources.CommitLog.init(s, lake)
+      val upA = li.filter(col("flag") === "A" && col("l_orderkey") <= 500)
+        .withColumn("l_quantity", col("l_quantity") + lit(5.0))
+      val upB = li.filter(col("flag") === "R" && col("l_orderkey") <= 800)
+        .withColumn("l_quantity", col("l_quantity") + lit(7.0))
+      // A stages first but commits LAST — the commit must rebase over B
+      val stagedA = graft.sources.CommitLog.stageUpsert(
+        s, upA, lake, Seq("l_orderkey", "l_linenumber"), "flag").get
+      graft.sources.CommitLog.upsert(
+        s, upB, lake, Seq("l_orderkey", "l_linenumber"), "flag")
+      val v3 = graft.sources.CommitLog.commitStaged(s, lake, stagedA)
+      require(v3.version == 3L, s"expected the rebase to land v3, got $v3")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q141Txn(s: SparkSession, d: String): DataFrame =
+    graft.sources.CommitLog.read(s, q141Lake(s, d))
+      .groupBy(col("flag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("flag"))
+
+  private val q141Sql =
+    """SELECT l_returnflag AS flag, count(*) AS n,
+      |  CAST(sum(CAST(CASE
+      |    WHEN l_returnflag = 'A' AND l_orderkey <= 500 THEN l_quantity + 5.0
+      |    WHEN l_returnflag = 'R' AND l_orderkey <= 800 THEN l_quantity + 7.0
+      |    ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey <= 2000
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
+  /** The incremental consumer's view: every row the two data commits
+    * published (post-image of the touched partitions), straight off the
+    * log's file diff — no lake scan, no state diffing. */
+  private def q142Changes(s: SparkSession, d: String): DataFrame =
+    graft.sources.CommitLog.changesBetween(s, q141Lake(s, d), 1L, 3L)
+      .groupBy(col("flag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("flag"))
+
+  private val q142Sql =
+    """SELECT l_returnflag AS flag, count(*) AS n,
+      |  CAST(sum(CAST(CASE
+      |    WHEN l_returnflag = 'A' AND l_orderkey <= 500 THEN l_quantity + 5.0
+      |    WHEN l_returnflag = 'R' AND l_orderkey <= 800 THEN l_quantity + 7.0
+      |    ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey <= 2000 AND l_returnflag IN ('A', 'R')
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q135_constraints", q135Constraints, Some(q135Sql)),
     Q("q137_skipping", q137Skipping, Some(q137Sql)),
     Q("q140_commitlog", q140CommitLog, Some(q140Sql)),
+    Q("q141_txn", q141Txn, Some(q141Sql)),
+    Q("q142_changes", q142Changes, Some(q142Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),
     Q("q78_sql_volume", q78Volume, Some(q78Sql)),
     Q("q79_sql_returns", q79Returns, Some(q79Sql)),

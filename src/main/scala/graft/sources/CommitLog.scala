@@ -48,10 +48,27 @@ import org.apache.spark.sql.functions._
   * `key=value` path components of the file list, no directory listing);
   * vacuum cost is one listing plus unlink of dead files.
   *
+  * Multi-writer (optimistic concurrency): [[upsert]] is staged
+  * ([[stageUpsert]]) and committed ([[commitStaged]]) separately. The
+  * staged files are invisible until the commit; when the CAS loses a
+  * race, the committer re-reads the new latest snapshot, checks the
+  * PARTITION-level conflict unit (did any intervening commit touch a
+  * partition this writer rewrote?), and if disjoint REBASES — republishes
+  * its files on top of the winner's snapshot at the next version — so two
+  * writers on disjoint partitions both succeed, serialized by the log.
+  * Overlapping writers (and compaction racing any data commit) abort
+  * loudly with the log intact; the loser's staged files are unreferenced
+  * garbage for [[vacuum]]. This is the optimistic-concurrency shape the
+  * reference gets from Postgres row locks + the unique index
+  * (`/root/reference/database/schema.sql:31-33`), re-expressed for an
+  * immutable-file lake.
+  *
   * Contract boundaries, stated loudly: the CAS relies on atomic
   * create-no-overwrite (HDFS/local semantics; an object store needs a
-  * conditional-put equivalent), and [[vacuum]] breaks readers pinned to
-  * the versions it drops — retain enough history for the longest query.
+  * conditional-put equivalent), [[vacuum]] breaks readers pinned to
+  * the versions it drops — retain enough history for the longest query —
+  * and [[vacuum]] must not run concurrently with in-flight writers (it
+  * would reclaim their not-yet-committed staged files).
   */
 object CommitLog {
 
@@ -59,12 +76,14 @@ object CommitLog {
   private val DefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
   /** One committed version: the live file list (dir-relative), the
-    * committed streaming batch ids, and the zone-map stats snapshot
+    * committed streaming batch ids, the zone-map stats snapshot
     * (relative path of a parquet directory under the log, if stats
-    * columns were declared at [[init]]). */
+    * columns were declared at [[init]]), and the operation that produced
+    * it (`init` | `upsert` | `compact` — [[changesBetween]] uses this to
+    * tell data commits from pure rewrites). */
   final case class Snapshot(
       version: Long, files: Seq[String], batches: Seq[Long],
-      statsCols: Seq[String], manifest: Option[String])
+      statsCols: Seq[String], manifest: Option[String], op: String)
 
   private def logPath(dir: String) = new Path(dir, LogDirName)
   private def versionFile(dir: String, v: Long) =
@@ -79,7 +98,7 @@ object CommitLog {
     JsonMethods.compact(JsonMethods.render(
       ("version" -> s.version) ~ ("files" -> s.files) ~
         ("batches" -> s.batches) ~ ("statsCols" -> s.statsCols) ~
-        ("manifest" -> s.manifest)))
+        ("manifest" -> s.manifest) ~ ("op" -> s.op)))
   }
 
   private def parse(text: String): Snapshot = {
@@ -92,13 +111,20 @@ object CommitLog {
       (j \ "files").extract[Seq[String]],
       (j \ "batches").extract[Seq[Long]],
       (j \ "statsCols").extract[Seq[String]],
-      (j \ "manifest").extractOpt[String])
+      (j \ "manifest").extractOpt[String],
+      (j \ "op").extractOpt[String].getOrElse("unknown"))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
     val in = f.open(p)
     try new String(in.readAllBytes(), UTF_8) finally in.close()
   }
+
+  /** A lost CAS race: the version this writer tried to publish already
+    * exists. [[commitStaged]] catches this to rebase-and-retry; it
+    * extends IllegalStateException so a writer that exhausts its retries
+    * (or a true conflict) still fails with the documented type. */
+  final class CommitConflict(msg: String) extends IllegalStateException(msg)
 
   /** The commit point: create-no-overwrite is the filesystem CAS — a
     * concurrent writer that raced to the same version number fails HERE,
@@ -107,9 +133,9 @@ object CommitLog {
     val out =
       try f.create(p, false)
       catch { case _: java.io.IOException =>
-        throw new IllegalStateException(
+        throw new CommitConflict(
           s"commit conflict on $p — another writer (or a crashed run's " +
-            "version file) holds this version; the commit log is single-writer")
+            "version file) holds this version")
       }
     try out.write(text.getBytes(UTF_8)) finally out.close()
   }
@@ -169,6 +195,44 @@ object CommitLog {
     readSnapshot(spark, dir, parse(readText(f, p)))
   }
 
+  private def snapshotAt(spark: SparkSession, dir: String, v: Long): Snapshot = {
+    val f = hadoopFs(spark, dir)
+    val p = versionFile(dir, v)
+    require(f.exists(p), s"version $v of $dir does not exist (vacuumed?)")
+    parse(readText(f, p))
+  }
+
+  /** Incremental read: every row published by the DATA commits in
+    * `(fromV, toV]` — the files each `init`/`upsert` version added, read
+    * directly (pure metadata planning: no diff join, no full-table
+    * scan). `compact` versions are skipped: a compaction republishes
+    * every row it read, so including its files would turn "what changed"
+    * into "everything".
+    *
+    * Granularity contract, stated loudly: an upsert rewrites whole
+    * partitions, so its added files are the POST-IMAGE of each touched
+    * partition — a superset of the strictly-changed rows (append-only
+    * commits are exact). That is the standard incremental-scan semantics
+    * of a copy-on-write lake without per-row change tracking; consumers
+    * that need exact deltas re-key against their own previous state.
+    * Works until [[vacuum]] drops a version inside the range. At 100 TB
+    * this is THE way to feed downstream pipelines: each incremental run
+    * reads only the partitions the day's upserts touched, never the
+    * lake. */
+  def changesBetween(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"changesBetween needs fromV < toV, got $fromV >= $toV")
+    val snaps = (fromV to toV).map(snapshotAt(spark, dir, _))
+    val added = snaps.sliding(2).flatMap { case Seq(prev, cur) =>
+      if (cur.op == "compact") Nil
+      else cur.files.filterNot(prev.files.toSet)
+    }.toSeq.distinct.sorted
+    if (added.isEmpty)
+      readSnapshot(spark, dir, snaps.last).limit(0)
+    else
+      spark.read.option("basePath", dir).parquet(absolute(dir, added): _*)
+  }
+
   // ---------------------------------------------------------- writing
   /** Dir-relative paths of the current on-disk data files. */
   private def listRel(spark: SparkSession, dir: String): Set[String] = {
@@ -190,16 +254,20 @@ object CommitLog {
 
   /** Publish `files` (+ ledger + stats) as the next version. The stats
     * snapshot is incremental: rows for files carried over from the
-    * previous version are reused; only `newRels` are scanned. */
+    * previous version are reused; only `newRels` are scanned. The
+    * manifest file name carries a random suffix so two racing committers
+    * never collide on it — the version file stays the ONLY commit point
+    * (a manifest that lost its race is [[vacuum]] garbage). */
   private def commit(spark: SparkSession, dir: String, prev: Snapshot,
       files: Seq[String], newRels: Seq[String],
-      batches: Seq[Long]): Snapshot = {
+      batches: Seq[Long], op: String): Snapshot = {
     val f = hadoopFs(spark, dir)
     val v = prev.version + 1
     val manifestRel =
       if (prev.statsCols.isEmpty) None
       else {
-        val rel = f"manifest-v$v%020d.parquet"
+        val tag = java.util.UUID.randomUUID.toString.take(8)
+        val rel = f"manifest-v$v%020d-$tag.parquet"
         val keptSet = files.toSet -- newRels
         val kept = prev.manifest.map { m =>
           spark.read.parquet(s"$dir/$LogDirName/$m")
@@ -214,7 +282,7 @@ object CommitLog {
         Some(rel)
       }
     val snap = Snapshot(v, files.sorted, batches.distinct.sorted,
-      prev.statsCols, manifestRel)
+      prev.statsCols, manifestRel, op)
     casWrite(f, versionFile(dir, v), render(snap))
     snap
   }
@@ -229,28 +297,84 @@ object CommitLog {
     f.mkdirs(logPath(dir))
     val rels = listRel(spark, dir).toSeq.sorted
     require(rels.nonEmpty, s"$dir holds no data files to snapshot")
-    val seed = Snapshot(0L, Nil, Nil, statsCols, None)
-    commit(spark, dir, seed, rels, rels, Nil)
+    val seed = Snapshot(0L, Nil, Nil, statsCols, None, "init")
+    commit(spark, dir, seed, rels, rels, Nil, "init")
   }
 
-  /** Keyed copy-on-write upsert (same merge semantics as
-    * [[Sources.upsertPartitioned]], including version-aware `seqCol`).
-    * Reads ONLY the touched partitions' files — pruned via the
-    * `key=value` components of the snapshot's file list, no directory
-    * listing — writes the merged slice as new files, and commits. With
-    * `batchId`, the commit doubles as the streaming exactly-once ledger:
-    * an id already in the log makes the whole call a no-op, so an
-    * at-least-once replay cannot double-apply. */
-  def upsert(spark: SparkSession, updates: DataFrame, dir: String,
+  /** A staged-but-uncommitted upsert: the merged slice is ON DISK (new
+    * files, invisible — no version references them) and everything
+    * [[commitStaged]] needs to publish or rebase it is recorded. The
+    * conflict unit is `touchedParts` (the partition directories this
+    * writer rewrote). */
+  final case class StagedUpsert(
+      base: Snapshot, touchedParts: Set[String],
+      removed: Set[String], added: Seq[String], batchId: Option[Long])
+
+  /** Partition directory of a dir-relative data file ("" for an
+    * unpartitioned layout — there the whole table is one conflict unit). */
+  private def partOf(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  /** Write `df` into the table via a WRITER-PRIVATE staging directory
+    * (`_staging/<uuid>` — underscore-prefixed, so invisible to readers
+    * and listings), then move each data file into its partition
+    * directory under a name prefixed with the writer's tag. Two
+    * concurrent writers therefore never share a Hadoop `_temporary`
+    * commit dir, never collide on a file name, and — because the moved
+    * paths are returned directly — the new-file attribution needs NO
+    * before/after directory diff (the old listing-based diff both raced
+    * with concurrent writers and cost two full lake listings per
+    * commit). */
+  private def stageWrite(spark: SparkSession, dir: String, df: DataFrame,
+      partCols: Seq[String]): Seq[String] = {
+    val f = hadoopFs(spark, dir)
+    val tag = java.util.UUID.randomUUID.toString.take(8)
+    val staging = new Path(dir, s"_staging/$tag")
+    val writer =
+      if (partCols.isEmpty) df.write
+      else df.write.partitionBy(partCols: _*)
+    writer.parquet(staging.toString)
+    val moved = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: Path, rel: String): Unit =
+      f.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        else if (name.endsWith(".parquet")) {
+          val relTarget =
+            if (rel.isEmpty) s"$tag-$name" else s"$rel/$tag-$name"
+          val target = new Path(dir, relTarget)
+          f.mkdirs(target.getParent)
+          if (!f.rename(st.getPath, target))
+            throw new IllegalStateException(
+              s"could not publish staged file ${st.getPath} -> $target")
+          moved += relTarget
+        }
+      }
+    walk(staging, "")
+    f.delete(staging, true)
+    moved.toSeq.sorted
+  }
+
+  /** Stage a keyed copy-on-write upsert against the CURRENT snapshot
+    * (same merge semantics as [[Sources.upsertPartitioned]], including
+    * version-aware `seqCol`). Reads ONLY the touched partitions' files —
+    * pruned via the `key=value` components of the snapshot's file list,
+    * no directory listing — and writes the merged slice as new files.
+    * Nothing is visible until [[commitStaged]]. Returns None when
+    * `batchId` is already in the ledger (an at-least-once replay — the
+    * whole upsert is a no-op). */
+  def stageUpsert(spark: SparkSession, updates: DataFrame, dir: String,
       keyCols: Seq[String], partitionCol: String,
       seqCol: Option[String] = None,
-      batchId: Option[Long] = None): Snapshot = {
+      batchId: Option[Long] = None): Option[StagedUpsert] = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val s = mustLatest(spark, dir)
     if (batchId.exists(s.batches.contains)) {
       System.err.println(
         s"[commitlog] batch ${batchId.get} already committed to $dir — replay skipped")
-      return s
+      return None
     }
     val parts = updates.select(col(partitionCol)).distinct().collect()
       .map(_.get(0)).toSeq // one value per touched partition — small
@@ -260,23 +384,93 @@ object CommitLog {
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .escapePathName(v.toString)
     }.toSet
-    val (touched, kept) =
+    val (touched, _) =
       s.files.partition(f => partDirs.exists(d => f.startsWith(d + "/")))
     val merged =
       if (touched.isEmpty) updates
       else Sources.mergeKeyed(
         spark.read.option("basePath", dir).parquet(absolute(dir, touched): _*),
         updates, keyCols, seqCol)
-    val before = listRel(spark, dir)
-    merged.write.partitionBy(partitionCol).mode(SaveMode.Append).parquet(dir)
-    val newRels = (listRel(spark, dir) -- before).toSeq.sorted
-    commit(spark, dir, s, kept ++ newRels, newRels, s.batches ++ batchId)
+    val newRels = stageWrite(spark, dir, merged, Seq(partitionCol))
+    Some(StagedUpsert(s, partDirs, touched.toSet, newRels, batchId))
   }
+
+  /** Commit a staged upsert, rebasing over disjoint concurrent commits.
+    *
+    * Loop: attempt the CAS one version past the current latest. On a
+    * lost race, re-read the latest snapshot and diff its file list
+    * against the staged base: the partitions whose file sets changed are
+    * what the intervening commits touched. Disjoint from ours → REBASE
+    * (drop the files we replaced, add ours, keep everything the winners
+    * published) and retry; overlapping (or a concurrent compaction,
+    * which rewrites every partition) → abort loudly with the log intact
+    * — re-run the upsert from the fresh snapshot. A `batchId` that
+    * appears in the ledger mid-flight (another worker committed the same
+    * micro-batch) turns the commit into a no-op instead of a
+    * double-apply. */
+  def commitStaged(spark: SparkSession, dir: String, staged: StagedUpsert,
+      maxRetries: Int = 10): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val s = mustLatest(spark, dir)
+      if (staged.batchId.exists(s.batches.contains)) {
+        System.err.println(
+          s"[commitlog] batch ${staged.batchId.get} committed concurrently to " +
+            s"$dir — staged files abandoned for vacuum")
+        return s
+      }
+      if (s.version != staged.base.version) {
+        val baseSet = staged.base.files.toSet
+        val nowSet = s.files.toSet
+        val interveningParts =
+          ((nowSet -- baseSet) ++ (baseSet -- nowSet)).map(partOf)
+        val clash = interveningParts.intersect(staged.touchedParts)
+        if (clash.nonEmpty) throw new IllegalStateException(
+          s"upsert conflict on $dir: concurrent commits touched partition(s) " +
+            s"${clash.toSeq.sorted.mkString(", ")} this writer rewrote — " +
+            "re-run the upsert against the current snapshot " +
+            "(staged files are vacuum garbage)")
+      }
+      val files = s.files.filterNot(staged.removed) ++ staged.added
+      try {
+        return commit(spark, dir, s, files, staged.added,
+          s.batches ++ staged.batchId, "upsert")
+      } catch {
+        case e: CommitConflict =>
+          attempt += 1
+          if (attempt >= maxRetries) throw new IllegalStateException(
+            s"upsert on $dir lost the commit race $maxRetries times — " +
+              "if no live writer is active, a crashed writer's version file " +
+              s"is blocking the log (${e.getMessage})")
+          // brief backoff: the winner's version file becomes readable a
+          // moment after its create; the reload then rebases past it
+          Thread.sleep(20L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Keyed copy-on-write upsert: [[stageUpsert]] + [[commitStaged]].
+    * Safe under concurrent writers on disjoint partitions (the loser of
+    * the version race rebases); overlapping writers fail loudly. With
+    * `batchId`, the commit doubles as the streaming exactly-once ledger:
+    * an id already in the log makes the whole call a no-op, so an
+    * at-least-once replay cannot double-apply. */
+  def upsert(spark: SparkSession, updates: DataFrame, dir: String,
+      keyCols: Seq[String], partitionCol: String,
+      seqCol: Option[String] = None,
+      batchId: Option[Long] = None): Snapshot =
+    stageUpsert(spark, updates, dir, keyCols, partitionCol, seqCol, batchId)
+      .map(commitStaged(spark, dir, _))
+      .getOrElse(mustLatest(spark, dir))
 
   /** Copy-on-write compaction: rewrite the CURRENT snapshot to
     * `targetPartitions` files per partition set and commit. No rename
     * swap, no crash window — a crash before the commit leaves only
-    * unreferenced files for [[vacuum]]. */
+    * unreferenced files for [[vacuum]]. Compaction rewrites EVERY
+    * partition, so it cannot rebase: losing the version race to any
+    * data commit aborts loudly (the rewrite was of stale data) — re-run
+    * against the fresh snapshot; the abandoned files are vacuum garbage. */
   def compact(spark: SparkSession, dir: String,
       targetPartitions: Int): Snapshot = {
     val s = mustLatest(spark, dir)
@@ -284,14 +478,17 @@ object CommitLog {
     // partition columns, recovered from the snapshot's own path shape
     val partCols = s.files.head.split('/').dropRight(1)
       .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
-    val before = listRel(spark, dir)
-    val writer =
-      if (partCols.isEmpty) df.repartition(targetPartitions).write
+    val repartitioned =
+      if (partCols.isEmpty) df.repartition(targetPartitions)
       else df.repartition(targetPartitions, partCols.map(col): _*)
-        .write.partitionBy(partCols: _*)
-    writer.mode(SaveMode.Append).parquet(dir)
-    val newRels = (listRel(spark, dir) -- before).toSeq.sorted
-    commit(spark, dir, s, newRels, newRels, s.batches)
+    val newRels = stageWrite(spark, dir, repartitioned, partCols)
+    try commit(spark, dir, s, newRels, newRels, s.batches, "compact")
+    catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"compact on $dir lost the commit race (${e.getMessage}) — a " +
+          "concurrent commit made the rewrite stale; re-run compact " +
+          "(abandoned files are vacuum garbage)")
+    }
   }
 
   /** Zone-map-pruned box scan over the LATEST snapshot. No staleness
@@ -355,6 +552,16 @@ object CommitLog {
         .foreach(m => f.delete(new Path(logPath(dir), m), true))
       f.delete(versionFile(dir, v), false)
     }
+    // manifests no version references at all — residue of commits that
+    // lost their CAS race (the manifest is written pre-CAS under a
+    // collision-free name precisely so losing is harmless)
+    f.listStatus(logPath(dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest-") && !liveManifests.contains(n))
+      .foreach(m => f.delete(new Path(logPath(dir), m), true))
+    // abandoned writer-private staging dirs (crashed mid-stage) — safe
+    // because vacuum's contract forbids concurrent in-flight writers
+    f.delete(new Path(dir, "_staging"), true)
     dead
   }
 }

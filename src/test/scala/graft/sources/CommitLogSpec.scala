@@ -66,12 +66,12 @@ class CommitLogSpec extends AnyFunSuite {
       .intersect(v1.files.toSet).isEmpty, "touched partition kept stale files")
   }
 
-  test("the version-file CAS enforces single-writer loudly, log intact") {
+  test("a crashed writer's version file blocks the CAS loudly, log intact") {
     val dir = freshLake()
     val v1 = CommitLog.latest(spark, dir).get
-    // a crashed (or racing) writer left a version file the reader cannot
-    // use — our writer reads v1, computes v2, and must fail the CAS
-    // instead of overwriting the other writer's commit point
+    // a crashed writer left an unreadable version file squatting on the
+    // next version number — our writer must exhaust its rebase retries
+    // and fail WITHOUT overwriting the residue, reader state unchanged
     val f = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val racing = new org.apache.hadoop.fs.Path(
@@ -80,14 +80,150 @@ class CommitLogSpec extends AnyFunSuite {
     out.write("""{"version":2,"files":["pd=""".getBytes("UTF-8")) // mid-crash
     out.close()
     val updates = Seq((1L, 555L, "d0")).toDF("k", "v", "pd")
+    val staged = CommitLog.stageUpsert(spark, updates, dir, Seq("k"), "pd").get
     val e = intercept[IllegalStateException] {
-      CommitLog.upsert(spark, updates, dir, Seq("k"), "pd")
+      CommitLog.commitStaged(spark, dir, staged, maxRetries = 2)
     }
-    assert(e.getMessage.contains("single-writer"), e.getMessage)
+    assert(e.getMessage.contains("blocking the log"), e.getMessage)
     // the reader still sees the consistent PRE-state: full table, none
     // of the failed writer's rows
     assert(CommitLog.read(spark, dir).count() == 3000L)
     assert(CommitLog.read(spark, dir).filter($"v" === 555L).count() == 0L)
+  }
+
+  test("disjoint concurrent writers both commit: the loser rebases") {
+    val dir = freshLake()
+    val v1 = CommitLog.latest(spark, dir).get
+    // writer A stages against v1 (files on disk, invisible) ...
+    val ours = spark.range(2000, 2020)
+      .select($"id".as("k"), lit(88L).as("v"), lit("d2").as("pd"))
+    val staged = CommitLog.stageUpsert(spark, ours, dir, Seq("k"), "pd").get
+    // ... then writer B wins the race to v2 on a DIFFERENT partition
+    val theirs = spark.range(0, 10)
+      .select($"id".as("k"), lit(77L).as("v"), lit("d0").as("pd"))
+    val v2 = CommitLog.upsert(spark, theirs, dir, Seq("k"), "pd")
+    assert(v2.version == v1.version + 1)
+    // A's commit loses the CAS at v2, detects the disjoint partitions,
+    // rebases on top of B, and lands as v3 — nobody's rows are lost
+    val v3 = CommitLog.commitStaged(spark, dir, staged)
+    assert(v3.version == v1.version + 2)
+    val got = state(dir)
+    assert(got.count(_._2 == 77L) == 10, "rebase dropped the winner's rows")
+    assert(got.count(_._2 == 88L) == 20, "rebase lost the rebased writer's rows")
+    assert(got.size == 3000)
+    // and the intermediate version is exactly B-only (time travel)
+    val atV2 = CommitLog.readAt(spark, dir, v2.version)
+    assert(atV2.filter($"v" === 88L).count() == 0L)
+    assert(atV2.filter($"v" === 77L).count() == 10L)
+  }
+
+  test("overlapping concurrent writers: the loser aborts loudly, log intact") {
+    val dir = freshLake()
+    val ours = spark.range(0, 20)
+      .select($"id".as("k"), lit(88L).as("v"), lit("d0").as("pd"))
+    val staged = CommitLog.stageUpsert(spark, ours, dir, Seq("k"), "pd").get
+    // B commits to the SAME partition first — A's merge is now stale and
+    // a rebase would silently drop B's rows; it must abort instead
+    val theirs = spark.range(10, 30)
+      .select($"id".as("k"), lit(77L).as("v"), lit("d0").as("pd"))
+    CommitLog.upsert(spark, theirs, dir, Seq("k"), "pd")
+    val e = intercept[IllegalStateException] {
+      CommitLog.commitStaged(spark, dir, staged)
+    }
+    assert(e.getMessage.contains("conflict") && e.getMessage.contains("pd=d0"),
+      e.getMessage)
+    // B's commit is the visible state; A's staged rows never surface
+    val got = state(dir)
+    assert(got.count(_._2 == 77L) == 20 && got.count(_._2 == 88L) == 0)
+    // and vacuum reclaims the abandoned staged files
+    assert(CommitLog.vacuum(spark, dir, keepLast = 10).nonEmpty,
+      "the aborted writer's staged files were not reclaimable")
+    assert(state(dir) == got)
+  }
+
+  test("thread race: two writers on disjoint partitions both succeed") {
+    val dir = freshLake()
+    val v1 = CommitLog.latest(spark, dir).get
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Any]()
+    def writer(name: String, lo: Long, v: Long, pd: String): Thread = {
+      val t = new Thread(() => {
+        try {
+          val updates = spark.range(lo, lo + 10)
+            .select($"id".as("k"), lit(v).as("v"), lit(pd).as("pd"))
+          val staged =
+            CommitLog.stageUpsert(spark, updates, dir, Seq("k"), "pd").get
+          barrier.await() // both staged against v1 — now race the commit
+          results.put(name, CommitLog.commitStaged(spark, dir, staged))
+        } catch { case e: Throwable => results.put(name, e) }
+      })
+      t.start(); t
+    }
+    val a = writer("a", 0L, 101L, "d0")
+    val b = writer("b", 2000L, 202L, "d2")
+    a.join(120000); b.join(120000)
+    Seq("a", "b").foreach { n =>
+      results.get(n) match {
+        case e: Throwable => fail(s"writer $n failed", e)
+        case _ => ()
+      }
+    }
+    val versions = Seq("a", "b")
+      .map(n => results.get(n).asInstanceOf[CommitLog.Snapshot].version)
+    assert(versions.toSet == Set(v1.version + 1, v1.version + 2),
+      s"expected serialized versions, got $versions")
+    val got = state(dir)
+    assert(got.count(_._2 == 101L) == 10 && got.count(_._2 == 202L) == 10,
+      "a racing writer's rows were lost")
+    assert(got.size == 3000)
+  }
+
+  test("a batch id committed mid-flight turns the staged commit into a no-op") {
+    val dir = freshLake()
+    val ours = spark.range(0, 10)
+      .select($"id".as("k"), lit(88L).as("v"), lit("d0").as("pd"))
+    val staged = CommitLog.stageUpsert(spark, ours, dir, Seq("k"), "pd",
+      batchId = Some(9L)).get
+    // another worker lands the SAME micro-batch (at-least-once delivery)
+    val theirs = spark.range(0, 10)
+      .select($"id".as("k"), lit(77L).as("v"), lit("d0").as("pd"))
+    val v2 = CommitLog.upsert(spark, theirs, dir, Seq("k"), "pd",
+      batchId = Some(9L))
+    val after = CommitLog.commitStaged(spark, dir, staged)
+    assert(after.version == v2.version, "replayed batch double-applied")
+    assert(state(dir).count(_._2 == 77L) == 10)
+    assert(state(dir).count(_._2 == 88L) == 0)
+  }
+
+  test("changesBetween feeds incremental consumers: data commits only") {
+    val dir = freshLake()
+    val v1 = CommitLog.latest(spark, dir).get
+    // v2: upsert into pd=d1 (100 updated keys -> partition post-image)
+    val up = spark.range(1000, 1100)
+      .select($"id".as("k"), lit(99L).as("v"), lit("d1").as("pd"))
+    val v2 = CommitLog.upsert(spark, up, dir, Seq("k"), "pd")
+    // v3: compaction — republishes everything, changes NOTHING
+    val v3 = CommitLog.compact(spark, dir, targetPartitions = 2)
+    // v4: append-only commit into a brand-new partition
+    val nw = spark.range(9000, 9050)
+      .select($"id".as("k"), lit(5L).as("v"), lit("d9").as("pd"))
+    val v4 = CommitLog.upsert(spark, nw, dir, Seq("k"), "pd")
+
+    // upsert delta: the touched partition's post-image, nothing else
+    val d12 = CommitLog.changesBetween(spark, dir, v1.version, v2.version)
+    assert(d12.count() == 1000L, "expected pd=d1's post-image")
+    assert(d12.filter($"v" === 99L).count() == 100L)
+    assert(d12.select($"pd").distinct().as[String].collect().toSeq == Seq("d1"))
+    // compaction published no data change
+    assert(CommitLog.changesBetween(spark, dir, v2.version, v3.version)
+      .count() == 0L)
+    // spanning range: post-image + the new partition, compact still absent
+    val d14 = CommitLog.changesBetween(spark, dir, v1.version, v4.version)
+    assert(d14.count() == 1050L)
+    assert(d14.filter($"pd" === "d9").count() == 50L)
+    intercept[IllegalArgumentException] {
+      CommitLog.changesBetween(spark, dir, v2.version, v2.version)
+    }
   }
 
   test("a valid racing commit serializes: the writer builds on it, not over it") {
