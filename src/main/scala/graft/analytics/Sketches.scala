@@ -41,6 +41,66 @@ object Sketches {
       .agg(hll_sketch_estimate(merged).cast("long").as(estimateAs))
   }
 
+  // --------------------------------------------------------- quantiles
+  /** Per-key KLL(k) quantile sketch of `of` (binary column `sketch`) —
+    * the percentile analog of [[sketchBy]]: fixed-size, mergeable,
+    * persistable. Build once per lake partition; answer any later
+    * percentile rollup from the sketches alone. */
+  def quantileSketchBy(df: DataFrame, of: Column, k: Int, keys: Column*): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(graft.functions.NativeSketches.kllAgg(of, k).as("sketch"))
+
+  /** Roll quantile sketches up to a coarser grain: merge, then estimate
+    * the `ranks` quantiles as array column `estimateAs`. No raw data is
+    * touched — kilobytes of sketch per input group. The merged estimate
+    * carries the SAME rank-error bound as a directly-built sketch
+    * (KLL's merge guarantee), verified in QuantileSketchSpec. */
+  def quantileRollup(sketches: DataFrame, ranks: Seq[Double],
+      estimateAs: String, k: Int, keys: Column*): DataFrame = {
+    import graft.functions.NativeSketches.{kllMerge, kllQuantiles}
+    sketches.groupBy(keys: _*)
+      .agg(kllMerge(col("sketch"), k).as("__merged"))
+      .withColumn(estimateAs, kllQuantiles(col("__merged"), ranks))
+      .drop("__merged")
+  }
+
+  // ------------------------------------------------------ heavy hitters
+  /** EXACT heavy hitters — every `item` value occurring in ≥ `weightFrac`
+    * of the rows — in two bounded passes, never a full-cardinality
+    * shuffle:
+    *
+    *  1. one Misra-Gries aggregate (fixed `maxMapSize` state, map-side
+    *     combine) yields a guaranteed SUPERSET of the true heavy hitters
+    *     (NO_FALSE_NEGATIVES) plus the exact stream length — the
+    *     candidate list is ≤ maxMapSize rows, a sanctioned driver-side
+    *     collect;
+    *  2. one exact count of ONLY the candidates (broadcast isin filter →
+    *     tiny groupBy), thresholded at weightFrac · n.
+    *
+    * Output: (item, cnt), cnt exact, ordered cnt DESC then item. This is
+    * the 100 TB answer to "which tokens/domains dominate the corpus":
+    * `groupBy(item).count` over a billion-cardinality column shuffles
+    * everything; this shuffles sketch bytes + one bounded candidate set.
+    * The threshold comparison is `cnt >= weightFrac * n` in DOUBLE, the
+    * same IEEE expression the DuckDB oracle evaluates (q144). */
+  def exactHeavyHitters(df: DataFrame, item: Column, weightFrac: Double,
+      maxMapSize: Int = 1024): DataFrame = {
+    import graft.functions.NativeSketches.freqCandidates
+    val firstPass = df.agg(
+      freqCandidates(item, maxMapSize, weightFrac).as("cand"),
+      count(item).as("n")).head()
+    val n = firstPass.getLong(1)
+    val cands = firstPass.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val out = df.select(item.as("item")).filter(col("item").isNotNull)
+    if (cands.isEmpty || n == 0L)
+      out.groupBy(col("item")).agg(count(lit(1)).as("cnt")).limit(0)
+    else
+      out.filter(col("item").isInCollection(cands))
+        .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt").cast("double") >= lit(weightFrac) * lit(n.toDouble))
+        .orderBy(col("cnt").desc, col("item"))
+  }
+
   /** Distinct-cardinality rollup demo over `documents`: sketch at the
     * (source, lang) grain, merge to per-source, alongside the exact
     * distinct for visible error. Two-level on purpose — the second level

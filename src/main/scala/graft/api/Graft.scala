@@ -309,6 +309,24 @@ object Graft {
     /** Merge a sketch table to a coarser grain without touching raw data. */
     def sketchRollup(estimateAs: String, keys: Column*): DataFrame =
       graft.analytics.Sketches.rollup(df, estimateAs, keys: _*)
+
+    /** Per-key mergeable KLL quantile sketch of `of` (persistable binary
+      * column; roll up later with [[quantileRollup]]). */
+    def quantileSketch(of: Column, k: Int, keys: Column*): DataFrame =
+      graft.analytics.Sketches.quantileSketchBy(df, of, k, keys: _*)
+
+    /** Merge a quantile-sketch table to a coarser grain and estimate the
+      * `ranks` quantiles — same rank-error bound as a direct build. */
+    def quantileRollup(ranks: Seq[Double], estimateAs: String, k: Int,
+        keys: Column*): DataFrame =
+      graft.analytics.Sketches.quantileRollup(df, ranks, estimateAs, k, keys: _*)
+
+    /** EXACT heavy hitters (≥ weightFrac of rows) in two bounded passes:
+      * Misra-Gries candidates + exact recount; see
+      * [[graft.analytics.Sketches.exactHeavyHitters]]. */
+    def heavyHitters(item: Column, weightFrac: Double,
+        maxMapSize: Int = 1024): DataFrame =
+      graft.analytics.Sketches.exactHeavyHitters(df, item, weightFrac, maxMapSize)
   }
 
   /** Column-level vocabulary re-exported for expression building. */

@@ -395,8 +395,35 @@ object AnalyticsQueries {
   private def q134HllRollup(s: SparkSession, d: String): DataFrame =
     graft.analytics.Sketches.distinctDocsBySource(Tables.documents(s, d))
 
+  // ----------------------------------------------------- q143_kll_rollup
+  // Mergeable-quantile rollup (graft.functions.NativeSketches.KllAgg):
+  // KLL(200) sketches of l_extendedprice built at the (returnflag,
+  // linestatus) grain, MERGED — not recomputed — to per-flag p50/p95/p99
+  // next to the exact count. The percentile analog of q134: exact
+  // percentiles don't re-aggregate, sketches do, with the same rank-error
+  // bound after any merge. Estimates are randomized-compaction-specific →
+  // no DuckDB oracle; QuantileSketchSpec pins the merged rank error vs
+  // the exact distribution, the parquet round-trip, and the partial-agg
+  // (sketch-bytes-shuffle) plan.
+  private def q143KllRollup(s: SparkSession, d: String): DataFrame = {
+    import graft.analytics.Sketches
+    val li = Tables.lineitem(s, d)
+    val fine = Sketches.quantileSketchBy(
+      li, col("l_extendedprice"), 200, col("l_returnflag"), col("l_linestatus"))
+    val est = Sketches.quantileRollup(
+      fine, Seq(0.5, 0.95, 0.99), "q", 200, col("l_returnflag"))
+    val exact = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    est.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("q").getItem(0), 2).as("p50"),
+        round(col("q").getItem(1), 2).as("p95"),
+        round(col("q").getItem(2), 2).as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q134_hll_rollup", q134HllRollup, None),
+    Q("q143_kll_rollup", q143KllRollup, None),
     Q("q91_funnel", q91Funnel, Some(q91Sql)),
     Q("q92_retention", q92Retention, Some(q92Sql)),
     Q("q93_trend", q93Trend, Some(q93Sql)),

@@ -578,7 +578,39 @@ object LlmQueries {
        |ORDER BY query_id, score DESC, doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- q144_heavy_hitters
+  // EXACT corpus heavy hitters in two bounded passes
+  // (graft.analytics.Sketches.exactHeavyHitters): a Misra-Gries
+  // frequent-items aggregate (fixed-size state, sketch bytes shuffle,
+  // NO_FALSE_NEGATIVES) yields a guaranteed candidate superset + exact
+  // stream length; an exact count of only those candidates thresholds at
+  // 1% of all tokens. Output is EXACT — full DuckDB oracle — while the
+  // plan never shuffles the token-cardinality space. The threshold is
+  // the identical IEEE expression on both engines:
+  // CAST(cnt AS DOUBLE) >= 0.01 * CAST(n AS DOUBLE).
+  private def q144HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(
+      explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+        .as("token"))
+    graft.analytics.Sketches
+      .exactHeavyHitters(toks, col("token"), weightFrac = 0.01)
+      .withColumnRenamed("item", "token")
+  }
+
+  private val q144Sql =
+    """WITH tok AS (
+      |  SELECT t
+      |  FROM documents,
+      |    UNNEST(string_split_regex(lower(text), '\s+')) AS u(t)
+      |  WHERE t <> ''),
+      |tot AS (SELECT count(*) AS n FROM tok)
+      |SELECT t AS token, count(*) AS cnt
+      |FROM tok GROUP BY t
+      |HAVING CAST(count(*) AS DOUBLE) >= 0.01 * CAST((SELECT n FROM tot) AS DOUBLE)
+      |ORDER BY cnt DESC, token""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q144_heavy_hitters", q144HeavyHitters, Some(q144Sql)),
     Q("q19_text_stats", q19Text, Some(q19Sql)),
     Q("q20_dedup_exact", q20Exact, Some(q20Sql)),
     Q("q21_dedup_minhash", q21Minhash, None),
