@@ -63,6 +63,44 @@ object StreamingQueries {
       .orderBy(col("part"))
   }
 
+  // ------------------------------------------- q145_stream_upsert_logged
+  /** q132's exactly-once upsert flow, re-based on the versioned commit
+    * log ([[StreamingIngest.upsertStreamLogged]]): the batch-id ledger
+    * and zone-map stats ride each atomic commit instead of living in
+    * sidecar marker files, so the crash window between "upsert applied"
+    * and "marker written" does not exist. Same structural convergence
+    * proof as q132 — min_seq = max_seq = 2 per partition — but the final
+    * state is read through [[graft.sources.CommitLog.read]] (a snapshot,
+    * not a directory glob) and the summary additionally proves the
+    * ledger: one committed version per delivered micro-batch. */
+  private def q145UpsertLogged(s: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft_q145_").toString
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+    val v1 = docs.select(col("doc_id").as("id"), col("lang").as("part"),
+      lit(1L).as("seq"), col("n_chars").as("payload_len"))
+    val v2 = docs.select(col("doc_id").as("id"), col("lang").as("part"),
+      lit(2L).as("seq"), (col("n_chars") + 1L).as("payload_len"))
+    v1.unionByName(v2).repartition(3).write.parquet(s"$work/landing")
+    val updates = s.readStream
+      .schema(v1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/landing")
+    val q = StreamingIngest.upsertStreamLogged(
+      updates, s"$work/lake", keyCols = Seq("id"), partitionCol = "part",
+      seqCol = "seq", checkpointDir = s"$work/chk", statsCols = Seq("id"))
+    try q.processAllAvailable() finally q.stop()
+    val snap = graft.sources.CommitLog.latest(s, s"$work/lake").get
+    graft.sources.CommitLog.read(s, s"$work/lake")
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("payload_len")).as("payload_bytes"),
+        min(col("seq")).as("min_seq"),
+        max(col("seq")).as("max_seq"))
+      .withColumn("n_commits", lit(snap.batches.size))
+      .withColumn("log_version", lit(snap.version))
+      .orderBy(col("part"))
+  }
+
   // ------------------------------------------------ q133_stream_neardup
   /** The at-ingest near-duplicate detector, end to end: the documents
     * slice plus a planted one-token-edited copy of every 10th document
@@ -118,5 +156,6 @@ object StreamingQueries {
 
   def all: Seq[Q] = Seq(
     Q("q132_stream_upsert", q132Upsert, None),
+    Q("q145_stream_upsert_logged", q145UpsertLogged, None),
     Q("q133_stream_neardup", q133NearDup, None))
 }

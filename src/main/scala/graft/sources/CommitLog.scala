@@ -464,6 +464,41 @@ object CommitLog {
       .map(commitStaged(spark, dir, _))
       .getOrElse(mustLatest(spark, dir))
 
+  /** [[upsert]] into a table that may not exist yet: the first non-empty
+    * batch BOOTSTRAPS the log (version 1 = the batch itself, with
+    * `statsCols` zone-map stats from birth); later batches upsert
+    * normally. The create is itself a CAS commit, so two racing creators
+    * resolve to one winner — the loser's staged files are vacuum
+    * garbage and its call fails loudly (re-invoke to upsert on top).
+    * This is the streaming sink's entry point: a crashed first batch
+    * left nothing visible and replays cleanly. */
+  def upsertOrCreate(spark: SparkSession, updates: DataFrame, dir: String,
+      keyCols: Seq[String], partitionCol: String,
+      seqCol: Option[String] = None,
+      batchId: Option[Long] = None,
+      statsCols: Seq[String] = Nil): Snapshot =
+    latest(spark, dir) match {
+      case Some(_) =>
+        upsert(spark, updates, dir, keyCols, partitionCol, seqCol, batchId)
+      case None =>
+        require(keyCols.nonEmpty, "upsert needs at least one key column")
+        val f = hadoopFs(spark, dir)
+        f.mkdirs(logPath(dir))
+        val rels = stageWrite(spark, dir, updates, Seq(partitionCol))
+        if (rels.isEmpty)
+          throw new IllegalStateException(
+            s"cannot bootstrap $dir from an empty batch — skip empty batches " +
+              "until the first row arrives (a replayed empty batch is a no-op)")
+        val seed = Snapshot(0L, Nil, Nil, statsCols, None, "init")
+        try commit(spark, dir, seed, rels, rels, batchId.toSeq, "init")
+        catch { case e: CommitConflict =>
+          throw new IllegalStateException(
+            s"create race on $dir — another writer bootstrapped the log " +
+              s"first (${e.getMessage}); re-invoke to upsert on top " +
+              "(staged files are vacuum garbage)")
+        }
+    }
+
   /** Copy-on-write compaction: rewrite the CURRENT snapshot to
     * `targetPartitions` files per partition set and commit. No rename
     * swap, no crash window — a crash before the commit leaves only

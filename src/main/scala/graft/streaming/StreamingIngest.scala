@@ -125,6 +125,48 @@ object StreamingIngest {
       .start()
   }
 
+  /** [[upsertStream]] riding the versioned commit log — the unified
+    * successor to the marker-file ledger above for LOGGED tables. Each
+    * micro-batch reduces to one row per key (greatest `seqCol` wins) and
+    * lands via [[graft.sources.CommitLog.upsertOrCreate]] with the
+    * batch id IN the commit: the "crash between upsert and marker"
+    * window of the two-guard dance is gone by construction (either the
+    * version file exists and carries the batch id, or nothing of the
+    * batch is visible), replays are no-ops read straight off the
+    * ledger-in-the-log, zone-map stats ride every commit (`statsCols`),
+    * readers time-travel past any batch, and the optimistic-concurrency
+    * path even tolerates a second worker running the same sink against
+    * disjoint partitions. Consumers read with
+    * [[graft.sources.CommitLog.read]] (old versions' files stay on disk
+    * until vacuum), and incremental consumers tail
+    * [[graft.sources.CommitLog.changesBetween]]. */
+  def upsertStreamLogged(
+      updates: DataFrame, path: String,
+      keyCols: Seq[String], partitionCol: String, seqCol: String,
+      checkpointDir: String, statsCols: Seq[String] = Nil): StreamingQuery = {
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val keys = keyCols.map(col)
+          val latest = batch
+            .groupBy(keys: _*)
+            .agg(max(struct(col(seqCol) +: batch.columns.filterNot(c =>
+              keyCols.contains(c) || c == seqCol).map(col) :_*)).as("__v"))
+            .select(keys ++ batch.columns.filterNot(keyCols.contains).map(c =>
+              col(s"__v.$c").as(c)) :_*)
+          val snap = graft.sources.CommitLog.upsertOrCreate(
+            batch.sparkSession, latest, path, keyCols, partitionCol,
+            seqCol = Some(seqCol), batchId = Some(batchId),
+            statsCols = statsCols)
+          println(s"[upsert-stream-logged] batch=$batchId at version ${snap.version}")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Event-time analytics over the flows stream (the reference's 15-minute
     * slots as real tumbling windows + watermarked late-data handling).
     * `flowsWithTs` must carry a `slot_ts` timestamp column. */

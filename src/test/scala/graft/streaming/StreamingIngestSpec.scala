@@ -357,4 +357,52 @@ class StreamingIngestSpec extends AnyFunSuite {
       assert(markers == Seq("0", "1"), s"ledger markers: $markers")
     } finally q.stop()
   }
+
+  test("logged streaming upsert: ledger rides the commit, replay is a no-op, history travels") {
+    import graft.sources.CommitLog
+    implicit val ctx = spark.sqlContext
+    val work = Files.createTempDirectory("upsert-logged").toString
+    val lake = s"$work/lake"
+    val stream = MemoryStream[(Long, String, Long, String)]
+    val updates = stream.toDF().toDF("id", "day", "seq", "payload")
+    def startQ() = StreamingIngest.upsertStreamLogged(
+      updates, lake, keyCols = Seq("id"), partitionCol = "day",
+      seqCol = "seq", checkpointDir = s"$work/chk", statsCols = Seq("id"))
+    def state() = CommitLog.read(spark, lake)
+      .select($"id", $"day", $"seq", $"payload")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    var q = startQ()
+    try {
+      // batch 0 BOOTSTRAPS the log; intra-batch versions collapse
+      stream.addData((1L, "d1", 2L, "v2"), (1L, "d1", 1L, "v1"))
+      q.processAllAvailable()
+      assert(state() == Seq((1L, "d1", 2L, "v2")))
+      // batch 1: older cross-batch seq never regresses; new partition opens
+      stream.addData((1L, "d1", 1L, "stale"), (2L, "d2", 1L, "b"))
+      q.processAllAvailable()
+      assert(state() == Seq((1L, "d1", 2L, "v2"), (2L, "d2", 1L, "b")))
+      // the exactly-once ledger is IN the commit, not a sidecar
+      val snap = CommitLog.latest(spark, lake).get
+      assert(snap.batches == Seq(0L, 1L), s"ledger: ${snap.batches}")
+      assert(!new java.io.File(s"$lake/_graft_commits").exists(),
+        "logged sink must not write the legacy marker sidecar")
+      // crash window: drop Spark's OWN commit record for batch 1 so the
+      // restart replays it — the batch id in the log makes it a no-op
+      q.stop()
+      assert(Files.deleteIfExists(java.nio.file.Paths.get(s"$work/chk/commits/1")))
+      Files.deleteIfExists(java.nio.file.Paths.get(s"$work/chk/commits/.1.crc"))
+      q = startQ()
+      q.processAllAvailable()
+      assert(state() == Seq((1L, "d1", 2L, "v2"), (2L, "d2", 1L, "b")))
+      assert(CommitLog.latest(spark, lake).get.version == snap.version,
+        "a replayed batch minted a new version")
+      // history: version 1 is exactly the bootstrap batch (time travel)
+      assert(CommitLog.readAt(spark, lake, 1L)
+        .select($"id", $"seq").as[(Long, Long)].collect().toSeq ==
+        Seq((1L, 2L)))
+      // and the stats snapshot committed with every batch → pruning works
+      val (_, (read, total)) = CommitLog.scanRange(spark, lake, "id", 5L, 9L)
+      assert(total > 0 && read == 0, s"stats not riding the commit: $read/$total")
+    } finally q.stop()
+  }
 }
