@@ -479,7 +479,8 @@ object EngineQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_returnflag").as("flag"))
       li.write.partitionBy("flag").parquet(lake)
-      graft.sources.CommitLog.init(s, lake, statsCols = Seq("l_orderkey"))
+      graft.sources.CommitLog.init(s, lake, statsCols = Seq("l_orderkey"),
+        sketchCols = Seq("l_quantity"))
       val updates = li.filter(col("l_orderkey") <= 500)
         .withColumn("l_quantity", col("l_quantity") + lit(5.0))
       def applyBatch(): Unit = graft.sources.CommitLog.upsert(
@@ -591,12 +592,41 @@ object EngineQueries {
       |WHERE l_orderkey <= 2000 AND l_returnflag IN ('A', 'R')
       |GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // -------------------------------------------- q146_manifest_quantiles
+  // Percentile queries answered ENTIRELY from the commit log's metadata
+  // plane: q140's lake commits a per-file KLL(l_quantity) sketch with
+  // every version (init → upsert → replay → compact), and this query
+  // merges ONLY the committed manifest sketches — zero data files opened
+  // — per partition restriction. The exact per-flag quantiles computed
+  // from the data ride alongside so the estimate's rank error is visible
+  // in the output. Estimates are randomized-compaction-specific → rows
+  // only; CommitLogSpec pins the rank-error bound, the post-upsert
+  // freshness (the sketches see the rewritten partition with no rebuild
+  // call), and the post-compact consistency.
+  private def q146ManifestQuantiles(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.CommitLog
+    val lake = q140Lake(s, d)
+    val flags = Seq("A", "N", "R")
+    val rows = flags.flatMap { f =>
+      CommitLog.quantiles(s, lake, "l_quantity", Seq(0.5, 0.95),
+        partitionPrefix = Some(s"flag=$f"))
+        .map(q => (f, q.head, q(1)))
+    }
+    val est = s.createDataFrame(rows).toDF("flag", "p50_est", "p95_est")
+    val exact = CommitLog.read(s, lake)
+      .groupBy(col("flag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+        expr("percentile(l_quantity, 0.95)").as("p95_exact"))
+    est.join(exact, Seq("flag")).orderBy(col("flag"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q135_constraints", q135Constraints, Some(q135Sql)),
     Q("q137_skipping", q137Skipping, Some(q137Sql)),
     Q("q140_commitlog", q140CommitLog, Some(q140Sql)),
     Q("q141_txn", q141Txn, Some(q141Sql)),
     Q("q142_changes", q142Changes, Some(q142Sql)),
+    Q("q146_manifest_quantiles", q146ManifestQuantiles, None),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),
     Q("q78_sql_volume", q78Volume, Some(q78Sql)),
     Q("q79_sql_returns", q79Returns, Some(q79Sql)),

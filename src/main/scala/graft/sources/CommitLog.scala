@@ -83,7 +83,8 @@ object CommitLog {
     * tell data commits from pure rewrites). */
   final case class Snapshot(
       version: Long, files: Seq[String], batches: Seq[Long],
-      statsCols: Seq[String], manifest: Option[String], op: String)
+      statsCols: Seq[String], manifest: Option[String], op: String,
+      sketchCols: Seq[String] = Nil)
 
   private def logPath(dir: String) = new Path(dir, LogDirName)
   private def versionFile(dir: String, v: Long) =
@@ -98,7 +99,8 @@ object CommitLog {
     JsonMethods.compact(JsonMethods.render(
       ("version" -> s.version) ~ ("files" -> s.files) ~
         ("batches" -> s.batches) ~ ("statsCols" -> s.statsCols) ~
-        ("manifest" -> s.manifest) ~ ("op" -> s.op)))
+        ("manifest" -> s.manifest) ~ ("op" -> s.op) ~
+        ("sketchCols" -> s.sketchCols)))
   }
 
   private def parse(text: String): Snapshot = {
@@ -112,7 +114,8 @@ object CommitLog {
       (j \ "batches").extract[Seq[Long]],
       (j \ "statsCols").extract[Seq[String]],
       (j \ "manifest").extractOpt[String],
-      (j \ "op").extractOpt[String].getOrElse("unknown"))
+      (j \ "op").extractOpt[String].getOrElse("unknown"),
+      (j \ "sketchCols").extractOpt[Seq[String]].getOrElse(Nil))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -242,12 +245,13 @@ object CommitLog {
       .map(u => new Path(u).toUri.getPath.stripPrefix(base))
   }
 
-  /** Zone-map stats for `rels`, keyed by RELATIVE path so manifest rows
-    * join the snapshot's file list directly. */
+  /** Zone-map stats (+ per-file KLL sketches) for `rels`, keyed by
+    * RELATIVE path so manifest rows join the snapshot's file list
+    * directly. */
   private def relStats(spark: SparkSession, dir: String, rels: Seq[String],
-      cols: Seq[String]): DataFrame = {
+      cols: Seq[String], sketchCols: Seq[String]): DataFrame = {
     val base = hadoopFs(spark, dir).makeQualified(new Path(dir)).toUri.getPath
-    DataSkipping.fileStats(spark, dir, absolute(dir, rels), cols)
+    DataSkipping.fileStats(spark, dir, absolute(dir, rels), cols, sketchCols)
       .withColumn("file", regexp_replace(col("file"),
         "^.*" + java.util.regex.Pattern.quote(base) + "/", ""))
   }
@@ -264,7 +268,7 @@ object CommitLog {
     val f = hadoopFs(spark, dir)
     val v = prev.version + 1
     val manifestRel =
-      if (prev.statsCols.isEmpty) None
+      if (prev.statsCols.isEmpty && prev.sketchCols.isEmpty) None
       else {
         val tag = java.util.UUID.randomUUID.toString.take(8)
         val rel = f"manifest-v$v%020d-$tag.parquet"
@@ -275,29 +279,33 @@ object CommitLog {
         }
         val fresh =
           if (newRels.isEmpty) None
-          else Some(relStats(spark, dir, newRels, prev.statsCols))
+          else Some(relStats(spark, dir, newRels, prev.statsCols, prev.sketchCols))
         val merged = (kept.toSeq ++ fresh).reduce(_ unionByName _)
         merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
           .parquet(s"$dir/$LogDirName/$rel")
         Some(rel)
       }
     val snap = Snapshot(v, files.sorted, batches.distinct.sorted,
-      prev.statsCols, manifestRel, op)
+      prev.statsCols, manifestRel, op, prev.sketchCols)
     casWrite(f, versionFile(dir, v), render(snap))
     snap
   }
 
   /** Start the log: snapshot the directory's current files as version 1.
     * With `statsCols`, every subsequent commit also maintains the
-    * zone-map stats snapshot for [[scanBox]]/[[scanRange]]. */
+    * zone-map stats snapshot for [[scanBox]]/[[scanRange]]; with
+    * `sketchCols`, per-file KLL(200) quantile sketches ride the same
+    * manifest so [[quantiles]] answers percentile queries from the
+    * metadata plane alone. */
   def init(spark: SparkSession, dir: String,
-      statsCols: Seq[String] = Nil): Snapshot = {
+      statsCols: Seq[String] = Nil,
+      sketchCols: Seq[String] = Nil): Snapshot = {
     val f = hadoopFs(spark, dir)
     require(versionNumbers(f, dir).isEmpty, s"$dir already has a commit log")
     f.mkdirs(logPath(dir))
     val rels = listRel(spark, dir).toSeq.sorted
     require(rels.nonEmpty, s"$dir holds no data files to snapshot")
-    val seed = Snapshot(0L, Nil, Nil, statsCols, None, "init")
+    val seed = Snapshot(0L, Nil, Nil, statsCols, None, "init", sketchCols)
     commit(spark, dir, seed, rels, rels, Nil, "init")
   }
 
@@ -476,7 +484,8 @@ object CommitLog {
       keyCols: Seq[String], partitionCol: String,
       seqCol: Option[String] = None,
       batchId: Option[Long] = None,
-      statsCols: Seq[String] = Nil): Snapshot =
+      statsCols: Seq[String] = Nil,
+      sketchCols: Seq[String] = Nil): Snapshot =
     latest(spark, dir) match {
       case Some(_) =>
         upsert(spark, updates, dir, keyCols, partitionCol, seqCol, batchId)
@@ -489,7 +498,7 @@ object CommitLog {
           throw new IllegalStateException(
             s"cannot bootstrap $dir from an empty batch — skip empty batches " +
               "until the first row arrives (a replayed empty batch is a no-op)")
-        val seed = Snapshot(0L, Nil, Nil, statsCols, None, "init")
+        val seed = Snapshot(0L, Nil, Nil, statsCols, None, "init", sketchCols)
         try commit(spark, dir, seed, rels, rels, batchId.toSeq, "init")
         catch { case e: CommitConflict =>
           throw new IllegalStateException(
@@ -566,6 +575,36 @@ object CommitLog {
   def scanRange(spark: SparkSession, dir: String, c: String,
       lo: Long, hi: Long): (DataFrame, (Int, Int)) =
     scanBox(spark, dir, Seq((c, lo, hi)))
+
+  /** Quantile estimates for sketch column `c` over the LATEST snapshot,
+    * answered ENTIRELY from the committed manifest — kilobytes of
+    * per-file KLL sketches merged, zero data files opened. With
+    * `partitionPrefix` (e.g. `Some("pd=d1")`), only the matching
+    * partitions' sketches merge: "p95 of yesterday's partition" is a
+    * metadata-plane read no matter how big the lake is. The estimate
+    * carries KLL(200)'s merged rank-error bound (±~1.65% normalized
+    * rank), and it is always CONSISTENT with the snapshot: the sketches
+    * were committed atomically with the files they summarize, so
+    * compaction/upsert can never leave them stale. Returns None when the
+    * restriction matches no files. */
+  def quantiles(spark: SparkSession, dir: String, c: String,
+      ranks: Seq[Double],
+      partitionPrefix: Option[String] = None): Option[Seq[Double]] = {
+    val s = mustLatest(spark, dir)
+    require(s.sketchCols.contains(c),
+      s"$dir tracks no quantile sketch for '$c' (sketchCols=${s.sketchCols})")
+    val m = s.manifest.getOrElse(throw new IllegalStateException(
+      s"$dir version ${s.version} carries no manifest"))
+    val rows = spark.read.parquet(s"$dir/$LogDirName/$m")
+      .filter(partitionPrefix.fold(lit(true))(p =>
+        col("file").startsWith(p + "/")))
+      .agg(graft.functions.NativeSketches.kllMerge(col(s"kll_$c"), 200)
+        .as("merged"))
+      .select(graft.functions.NativeSketches.kllQuantiles(col("merged"), ranks))
+      .collect()
+    if (rows.isEmpty || rows.head.isNullAt(0)) None
+    else Some(rows.head.getSeq[Double](0))
+  }
 
   /** Drop all but the newest `keepLast` versions and delete every data
     * file, version file, and stats snapshot no kept version references.

@@ -195,10 +195,16 @@ object DataSkipping {
     * zone-map aggregate shared by [[buildManifest]], [[refreshManifest]],
     * and the commit log's per-version stats snapshot. */
   private[sources] def fileStats(spark: SparkSession, dir: String,
-      files: Seq[String], cols: Seq[String]): DataFrame = {
+      files: Seq[String], cols: Seq[String],
+      sketchCols: Seq[String] = Nil): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    } ++ sketchCols.map { c =>
+      // per-file KLL(200) quantile sketch riding the same one-pass
+      // aggregate — the manifest then answers percentile queries from
+      // the metadata plane (CommitLog.quantiles)
+      graft.functions.NativeSketches.kllAgg(col(c), 200).as(s"kll_$c")
     }
     spark.read.option("basePath", dir).parquet(files: _*)
       .withColumn("__file", input_file_name())

@@ -316,6 +316,47 @@ class CommitLogSpec extends AnyFunSuite {
     assert(read2 <= total2 && d0b.count() == 1000L)
   }
 
+  test("manifest sketches answer quantiles from metadata, fresh through upsert+compact") {
+    val dir = Files.createTempDirectory("graft_log_kll_").toString + "/lake"
+    spark.range(0, 20000)
+      .select($"id".as("k"), ($"id" % 1000).cast("double").as("x"),
+        concat(lit("d"), ($"id" / 10000).cast("long")).as("pd"))
+      .repartitionByRange(4, $"k")
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir, statsCols = Seq("k"), sketchCols = Seq("x"))
+    def rankOf(v: Double): Double =
+      CommitLog.read(spark, dir).filter($"x" <= v).count().toDouble /
+        CommitLog.read(spark, dir).count()
+    // global estimate, zero data files opened
+    val Seq(p50, p95) = CommitLog.quantiles(spark, dir, "x", Seq(0.5, 0.95)).get
+    assert(math.abs(rankOf(p50) - 0.5) <= 0.03, s"p50=$p50 rank=${rankOf(p50)}")
+    assert(math.abs(rankOf(p95) - 0.95) <= 0.03)
+    // partition-restricted: only pd=d1's sketches merge
+    val d1p50 = CommitLog.quantiles(spark, dir, "x", Seq(0.5),
+      partitionPrefix = Some("pd=d1")).get.head
+    val d1 = CommitLog.read(spark, dir).filter($"pd" === "d1")
+    val d1rank = d1.filter($"x" <= d1p50).count().toDouble / d1.count()
+    assert(math.abs(d1rank - 0.5) <= 0.03, s"pd=d1 p50=$d1p50 rank=$d1rank")
+    // upsert shifts pd=d0's distribution; the sketches ride the commit —
+    // no rebuild call, the new estimate must see the shift
+    val updates = spark.range(0, 10000)
+      .select($"id".as("k"), lit(5000.0).as("x"), lit("d0").as("pd"))
+    CommitLog.upsert(spark, updates, dir, Seq("k"), "pd")
+    val shifted = CommitLog.quantiles(spark, dir, "x", Seq(0.9)).get.head
+    assert(shifted == 5000.0, // half the rows are now the constant 5000
+      s"post-upsert p90=$shifted did not see the rewritten partition")
+    // compaction rewrites every file; estimates survive unchanged-ish
+    CommitLog.compact(spark, dir, targetPartitions = 1)
+    val afterCompact = CommitLog.quantiles(spark, dir, "x", Seq(0.9)).get.head
+    assert(afterCompact == 5000.0, s"post-compact p90=$afterCompact")
+    // no matching partition → None; untracked column → loud require
+    assert(CommitLog.quantiles(spark, dir, "x", Seq(0.5),
+      partitionPrefix = Some("pd=nope")).isEmpty)
+    intercept[IllegalArgumentException] {
+      CommitLog.quantiles(spark, dir, "k", Seq(0.5))
+    }
+  }
+
   test("vacuum deletes only unreferenced files; latest survives") {
     val dir = freshLake()
     val v1 = CommitLog.latest(spark, dir).get
