@@ -240,6 +240,178 @@ object NativeSketches {
         c: IndexedSeq[Expression]): Expression = copy(child = c(0))
   }
 
+  // -------------------------------------------------------------- theta
+  /** graft_theta_agg(x, lgK): binary compact theta sketch of the group's
+    * distinct non-null values. The theta family is the DISTINCT-SET
+    * algebra HLL lacks: compact sketches intersect and difference, not
+    * just union, so "how many of yesterday's users returned today" is
+    * sketch-sized set math instead of a distinct-join. Below 2^lgK
+    * distinct values the sketch is in EXACT mode (deterministic integer
+    * answers — q147 rides that under a DuckDB oracle); above, estimates
+    * carry the configured relative standard error. */
+  case class ThetaAgg(
+      child: Expression, lgK: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[org.apache.datasketches.theta.Union]
+      with ImplicitCastInputTypes {
+    require(lgK >= 4 && lgK <= 26, s"theta lgK out of range: $lgK")
+
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_theta_agg"
+
+    private def newUnion(): org.apache.datasketches.theta.Union =
+      org.apache.datasketches.theta.SetOperation.builder()
+        .setLogNominalEntries(lgK).buildUnion()
+
+    override def createAggregationBuffer(): org.apache.datasketches.theta.Union =
+      newUnion()
+
+    override def update(buf: org.apache.datasketches.theta.Union,
+        input: InternalRow): org.apache.datasketches.theta.Union = {
+      val v = child.eval(input)
+      if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+      buf
+    }
+
+    override def merge(buf: org.apache.datasketches.theta.Union,
+        other: org.apache.datasketches.theta.Union): org.apache.datasketches.theta.Union = {
+      buf.union(other.getResult); buf
+    }
+
+    override def eval(buf: org.apache.datasketches.theta.Union): Any =
+      buf.getResult.toByteArray
+
+    override def serialize(buf: org.apache.datasketches.theta.Union): Array[Byte] =
+      buf.getResult.toByteArray
+    override def deserialize(bytes: Array[Byte]): org.apache.datasketches.theta.Union = {
+      val u = newUnion()
+      u.union(Memory.wrap(bytes))
+      u
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): ThetaAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): ThetaAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+  }
+
+  /** graft_theta_union(sketch, lgK): union of already-built binary theta
+    * sketches — the rollup path. */
+  case class ThetaUnionAgg(
+      child: Expression, lgK: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[org.apache.datasketches.theta.Union]
+      with ImplicitCastInputTypes {
+
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_theta_union"
+
+    private def newUnion(): org.apache.datasketches.theta.Union =
+      org.apache.datasketches.theta.SetOperation.builder()
+        .setLogNominalEntries(lgK).buildUnion()
+
+    override def createAggregationBuffer(): org.apache.datasketches.theta.Union =
+      newUnion()
+
+    override def update(buf: org.apache.datasketches.theta.Union,
+        input: InternalRow): org.apache.datasketches.theta.Union = {
+      val v = child.eval(input)
+      if (v != null) buf.union(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      buf
+    }
+
+    override def merge(buf: org.apache.datasketches.theta.Union,
+        other: org.apache.datasketches.theta.Union): org.apache.datasketches.theta.Union = {
+      buf.union(other.getResult); buf
+    }
+
+    override def eval(buf: org.apache.datasketches.theta.Union): Any =
+      buf.getResult.toByteArray
+
+    override def serialize(buf: org.apache.datasketches.theta.Union): Array[Byte] =
+      buf.getResult.toByteArray
+    override def deserialize(bytes: Array[Byte]): org.apache.datasketches.theta.Union = {
+      val u = newUnion()
+      u.union(Memory.wrap(bytes))
+      u
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): ThetaUnionAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): ThetaUnionAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+  }
+
+  /** graft_theta_setop(a, b, op): binary theta set operation over two
+    * compact sketches — 'union' | 'intersect' | 'anotb'. Null if either
+    * side is null. Scalar over aggregated rows → CodegenFallback. */
+  case class ThetaSetOp(left: Expression, right: Expression, op: String)
+      extends Expression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(Seq("union", "intersect", "anotb").contains(op), s"bad op: $op")
+
+    override def children: Seq[Expression] = Seq(left, right)
+    override def nullable: Boolean = true
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = s"graft_theta_$op"
+
+    override def eval(input: InternalRow): Any = {
+      val l = left.eval(input)
+      val r = right.eval(input)
+      if (l == null || r == null) return null
+      import org.apache.datasketches.theta.{SetOperation, Sketches => TS}
+      val a = TS.heapifyCompactSketch(Memory.wrap(l.asInstanceOf[Array[Byte]]))
+      val b = TS.heapifyCompactSketch(Memory.wrap(r.asInstanceOf[Array[Byte]]))
+      val out = op match {
+        case "union" =>
+          val u = SetOperation.builder().buildUnion()
+          u.union(a); u.union(b); u.getResult
+        case "intersect" =>
+          val i = SetOperation.builder().buildIntersection()
+          i.intersect(a); i.intersect(b); i.getResult
+        case "anotb" =>
+          val d = SetOperation.builder().buildANotB()
+          d.setA(a); d.notB(b); d.getResult(true)
+      }
+      out.toByteArray
+    }
+
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(left = c(0), right = c(1))
+  }
+
+  /** graft_theta_estimate(sketch): distinct-count estimate of a binary
+    * theta sketch (exact when the sketch never left exact mode). */
+  case class ThetaEstimate(child: Expression)
+      extends Expression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = true
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_theta_estimate"
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return null
+      org.apache.datasketches.theta.Sketches
+        .heapifyCompactSketch(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+        .getEstimate
+    }
+
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+  }
+
   // ------------------------------------------------------------ Columns
   /** Aggregate Column: binary KLL(k) sketch of `x` (cast to double). */
   def kllAgg(x: Column, k: Int = 200): Column =
@@ -263,4 +435,30 @@ object NativeSketches {
     ColumnBridge.column(
       FreqCandidates(ColumnBridge.expression(item), maxMapSize, weightFrac)
         .toAggregateExpression())
+
+  /** Aggregate Column: binary theta sketch of `x`'s distinct values
+    * (cast to string). */
+  def thetaAgg(x: Column, lgK: Int = 12): Column =
+    ColumnBridge.column(
+      ThetaAgg(ColumnBridge.expression(x.cast("string")), lgK)
+        .toAggregateExpression())
+
+  /** Aggregate Column: union of binary theta sketches (rollup). */
+  def thetaUnionAgg(sketch: Column, lgK: Int = 12): Column =
+    ColumnBridge.column(
+      ThetaUnionAgg(ColumnBridge.expression(sketch), lgK)
+        .toAggregateExpression())
+
+  /** Scalar Columns: theta set algebra over binary sketches. */
+  def thetaUnion(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaSetOp(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), "union"))
+  def thetaIntersect(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaSetOp(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), "intersect"))
+  def thetaDiff(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaSetOp(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), "anotb"))
+  def thetaEstimate(sketch: Column): Column =
+    ColumnBridge.column(ThetaEstimate(ColumnBridge.expression(sketch)))
 }

@@ -609,8 +609,66 @@ object LlmQueries {
       |HAVING CAST(count(*) AS DOUBLE) >= 0.01 * CAST((SELECT n FROM tot) AS DOUBLE)
       |ORDER BY cnt DESC, token""".stripMargin
 
+  // --------------------------------------------------- q147_theta_setops
+  // Distinct-set ALGEBRA on theta sketches (graft.functions
+  // .NativeSketches.ThetaAgg + set-op scalars): per-language distinct
+  // token-BIGRAM sketches, then |A∪B| / |A∩B| / |A\B| for every language
+  // pair computed purely on the sketches — the set math HLL cannot do
+  // (union-only). At this vocabulary the sketches never leave EXACT mode
+  // (≤ ~1k distinct bigrams < 2^12 nominal entries), so the integer
+  // estimates hash-match a DuckDB UNION/INTERSECT/EXCEPT oracle — the
+  // exact-mode contract under the oracle gate, while ThetaSketchSpec
+  // pins the estimate-mode error bound at 200k cardinality. At 100 TB
+  // the pairwise readout touches only the 5 aggregated sketch rows; the
+  // corpus is scanned once to build them.
+  private def q147ThetaSetops(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NativeSketches._
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val bigs = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val perLang = Tables.documents(s, d)
+      .select(col("lang"), explode(bigs).as("bg"))
+      .groupBy(col("lang")).agg(thetaAgg(col("bg"), 12).as("sk"))
+    val a = perLang.select(col("lang").as("lang_a"), col("sk").as("sa"))
+    val b = perLang.select(col("lang").as("lang_b"), col("sk").as("sb"))
+    a.join(broadcast(b), col("lang_a") < col("lang_b"))
+      .select(col("lang_a"), col("lang_b"),
+        round(thetaEstimate(thetaUnion(col("sa"), col("sb"))))
+          .cast("long").as("n_union"),
+        round(thetaEstimate(thetaIntersect(col("sa"), col("sb"))))
+          .cast("long").as("n_common"),
+        round(thetaEstimate(thetaDiff(col("sa"), col("sb"))))
+          .cast("long").as("n_only_a"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  private val q147Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS ts
+      |  FROM documents),
+      |big AS (
+      |  SELECT DISTINCT lang, ts[i] || ' ' || ts[i+1] AS bg
+      |  FROM toks, UNNEST(range(1, len(ts))) AS g(i)
+      |  WHERE ts[i] <> '' AND ts[i+1] <> ''),
+      |langs AS (SELECT DISTINCT lang FROM documents),
+      |pairs AS (
+      |  SELECT a.lang AS la, b.lang AS lb
+      |  FROM langs a, langs b WHERE a.lang < b.lang)
+      |SELECT la AS lang_a, lb AS lang_b,
+      |  (SELECT count(*) FROM (SELECT bg FROM big WHERE lang = la
+      |     UNION SELECT bg FROM big WHERE lang = lb)) AS n_union,
+      |  (SELECT count(*) FROM (SELECT bg FROM big WHERE lang = la
+      |     INTERSECT SELECT bg FROM big WHERE lang = lb)) AS n_common,
+      |  (SELECT count(*) FROM (SELECT bg FROM big WHERE lang = la
+      |     EXCEPT SELECT bg FROM big WHERE lang = lb)) AS n_only_a
+      |FROM pairs ORDER BY lang_a, lang_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q144_heavy_hitters", q144HeavyHitters, Some(q144Sql)),
+    Q("q147_theta_setops", q147ThetaSetops, Some(q147Sql)),
     Q("q19_text_stats", q19Text, Some(q19Sql)),
     Q("q20_dedup_exact", q20Exact, Some(q20Sql)),
     Q("q21_dedup_minhash", q21Minhash, None),

@@ -267,7 +267,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q129_pmi",           // 1-row corpus-total aggregate joined to pairs
     "q135_constraints",   // 1-row table-total broadcast onto per-check rows
     "q136_bm25",          // 1-row corpus-constants broadcast onto per-doc rows
-    "q139_bm25_batch")    // same 1-row corpus-constants broadcast as q136
+    "q139_bm25_batch",    // same 1-row corpus-constants broadcast as q136
+    "q147_theta_setops")  // 5×5 broadcast pair readout over aggregated sketches
 
   test("no registered query plans a shuffled or unsanctioned all-pairs join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
