@@ -327,6 +327,14 @@ object Graft {
     def heavyHitters(item: Column, weightFrac: Double,
         maxMapSize: Int = 1024): DataFrame =
       graft.analytics.Sketches.exactHeavyHitters(df, item, weightFrac, maxMapSize)
+
+    /** Per-key theta sketch of `of`'s distinct values (binary column
+      * `sketch`) — supports union AND intersection/difference via the
+      * [[Graft.thetaUnion]]/[[Graft.thetaIntersect]]/[[Graft.thetaDiff]]
+      * scalars; exact below 2^lgK distinct. */
+    def distinctSetSketch(of: Column, lgK: Int, keys: Column*): DataFrame =
+      df.groupBy(keys: _*)
+        .agg(graft.functions.NativeSketches.thetaAgg(of, lgK).as("sketch"))
   }
 
   /** Column-level vocabulary re-exported for expression building. */
@@ -341,4 +349,14 @@ object Graft {
     * ≤ k rows per (key, partition) instead of window-sorting the fact. */
   def topK(sortKey: Column, id: Column, k: Int): Column =
     graft.functions.NativeTopK.topK(sortKey, id, k)
+
+  /** Theta set algebra over binary sketches from `distinctSetSketch`. */
+  def thetaUnion(a: Column, b: Column): Column =
+    graft.functions.NativeSketches.thetaUnion(a, b)
+  def thetaIntersect(a: Column, b: Column): Column =
+    graft.functions.NativeSketches.thetaIntersect(a, b)
+  def thetaDiff(a: Column, b: Column): Column =
+    graft.functions.NativeSketches.thetaDiff(a, b)
+  def thetaEstimate(sketch: Column): Column =
+    graft.functions.NativeSketches.thetaEstimate(sketch)
 }
