@@ -620,6 +620,59 @@ object EngineQueries {
     est.join(exact, Seq("flag")).orderBy(col("flag"))
   }
 
+  // ------------------------------------------------------- q148_delete
+  // Copy-on-write DELETE on the commit log: seed a status-partitioned
+  // orders slice (o_orderkey is the table's true unique key — keyed
+  // upserts need one), delete the low-price rows (file-granular rewrite
+  // — only files holding matches are touched), then aggregate the final
+  // state under a DuckDB oracle whose WHERE applies the inverse
+  // predicate. Schema evolution is exercised in the same lifecycle: an
+  // upsert ADDS an audit column after the delete, and the final schema
+  // carries it with old rows null (counted in the output).
+  private val q148Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q148Lake(s: SparkSession, d: String): String =
+    q148Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q148_")
+      val lake = s"$work/lake"
+      val ords = Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      ords.write.partitionBy("flag").parquet(lake)
+      graft.sources.CommitLog.init(s, lake)
+      graft.sources.CommitLog.delete(s, lake, col("o_totalprice") < 50000.0)
+      // additive evolution after the delete: tag the surviving mid-band
+      // orders; every other row reads the new column as null
+      val tagged = ords
+        .filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") < 80000.0)
+        .withColumn("band", lit("mid"))
+      graft.sources.CommitLog.upsert(s, tagged, lake, Seq("o_orderkey"), "flag")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q148Delete(s: SparkSession, d: String): DataFrame =
+    graft.sources.CommitLog.read(s, q148Lake(s, d))
+      .groupBy(col("flag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        sum(when(col("band") === "mid", 1L).otherwise(0L)).as("n_mid"))
+      .orderBy(col("flag"))
+
+  private val q148Sql =
+    """SELECT o_orderstatus AS flag, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  sum(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 80000
+      |           THEN 1 ELSE 0 END) AS n_mid
+      |FROM orders
+      |WHERE o_orderkey <= 20000 AND o_totalprice >= 50000
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q135_constraints", q135Constraints, Some(q135Sql)),
     Q("q137_skipping", q137Skipping, Some(q137Sql)),
@@ -627,6 +680,7 @@ object EngineQueries {
     Q("q141_txn", q141Txn, Some(q141Sql)),
     Q("q142_changes", q142Changes, Some(q142Sql)),
     Q("q146_manifest_quantiles", q146ManifestQuantiles, None),
+    Q("q148_delete", q148Delete, Some(q148Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),
     Q("q78_sql_volume", q78Volume, Some(q78Sql)),
     Q("q79_sql_returns", q79Returns, Some(q79Sql)),

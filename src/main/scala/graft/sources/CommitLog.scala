@@ -84,7 +84,7 @@ object CommitLog {
   final case class Snapshot(
       version: Long, files: Seq[String], batches: Seq[Long],
       statsCols: Seq[String], manifest: Option[String], op: String,
-      sketchCols: Seq[String] = Nil)
+      sketchCols: Seq[String] = Nil, schemaJson: Option[String] = None)
 
   private def logPath(dir: String) = new Path(dir, LogDirName)
   private def versionFile(dir: String, v: Long) =
@@ -100,7 +100,7 @@ object CommitLog {
       ("version" -> s.version) ~ ("files" -> s.files) ~
         ("batches" -> s.batches) ~ ("statsCols" -> s.statsCols) ~
         ("manifest" -> s.manifest) ~ ("op" -> s.op) ~
-        ("sketchCols" -> s.sketchCols)))
+        ("sketchCols" -> s.sketchCols) ~ ("schemaJson" -> s.schemaJson)))
   }
 
   private def parse(text: String): Snapshot = {
@@ -115,7 +115,8 @@ object CommitLog {
       (j \ "statsCols").extract[Seq[String]],
       (j \ "manifest").extractOpt[String],
       (j \ "op").extractOpt[String].getOrElse("unknown"),
-      (j \ "sketchCols").extractOpt[Seq[String]].getOrElse(Nil))
+      (j \ "sketchCols").extractOpt[Seq[String]].getOrElse(Nil),
+      (j \ "schemaJson").extractOpt[String])
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -178,11 +179,24 @@ object CommitLog {
   private def absolute(dir: String, rels: Seq[String]): Seq[String] =
     rels.map(r => s"$dir/$r")
 
+  /** Read `files` under the snapshot's COMMITTED schema when one is
+    * recorded: no per-file footer merging (at a million files the
+    * footer pass IS the query), and files written before an additive
+    * schema evolution surface the newer columns as null — the parquet
+    * reader fills absent columns when the requested schema names them. */
+  private def readFiles(spark: SparkSession, dir: String, s: Snapshot,
+      files: Seq[String]): DataFrame = {
+    val reader = spark.read.option("basePath", dir)
+    s.schemaJson.fold(reader) { j =>
+      reader.schema(org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }.parquet(absolute(dir, files): _*)
+  }
+
   private def readSnapshot(spark: SparkSession, dir: String,
       s: Snapshot): DataFrame = {
     require(s.files.nonEmpty, s"version ${s.version} of $dir lists no files")
-    spark.read.option("basePath", dir)
-      .parquet(absolute(dir, s.files): _*)
+    readFiles(spark, dir, s, s.files)
   }
 
   /** The table at its latest committed version. */
@@ -230,10 +244,8 @@ object CommitLog {
       if (cur.op == "compact") Nil
       else cur.files.filterNot(prev.files.toSet)
     }.toSeq.distinct.sorted
-    if (added.isEmpty)
-      readSnapshot(spark, dir, snaps.last).limit(0)
-    else
-      spark.read.option("basePath", dir).parquet(absolute(dir, added): _*)
+    if (added.isEmpty) readSnapshot(spark, dir, snaps.last).limit(0)
+    else readFiles(spark, dir, snaps.last, added) // toV's committed schema
   }
 
   // ---------------------------------------------------------- writing
@@ -262,9 +274,23 @@ object CommitLog {
     * manifest file name carries a random suffix so two racing committers
     * never collide on it — the version file stays the ONLY commit point
     * (a manifest that lost its race is [[vacuum]] garbage). */
+  /** Additive schema merge: `base`'s fields, then `more`'s new ones. */
+  private def mergeSchemaJson(base: Option[String],
+      more: Option[String]): Option[String] = (base, more) match {
+    case (None, m) => m
+    case (b, None) => b
+    case (Some(bj), Some(mj)) =>
+      import org.apache.spark.sql.types.{DataType, StructType}
+      val bs = DataType.fromJson(bj).asInstanceOf[StructType]
+      val ms = DataType.fromJson(mj).asInstanceOf[StructType]
+      Some(StructType(bs.fields ++
+        ms.fields.filterNot(f => bs.fieldNames.contains(f.name))).json)
+  }
+
   private def commit(spark: SparkSession, dir: String, prev: Snapshot,
       files: Seq[String], newRels: Seq[String],
-      batches: Seq[Long], op: String): Snapshot = {
+      batches: Seq[Long], op: String,
+      schemaJson: Option[String] = None): Snapshot = {
     val f = hadoopFs(spark, dir)
     val v = prev.version + 1
     val manifestRel =
@@ -286,7 +312,8 @@ object CommitLog {
         Some(rel)
       }
     val snap = Snapshot(v, files.sorted, batches.distinct.sorted,
-      prev.statsCols, manifestRel, op, prev.sketchCols)
+      prev.statsCols, manifestRel, op, prev.sketchCols,
+      mergeSchemaJson(prev.schemaJson, schemaJson))
     casWrite(f, versionFile(dir, v), render(snap))
     snap
   }
@@ -305,8 +332,13 @@ object CommitLog {
     f.mkdirs(logPath(dir))
     val rels = listRel(spark, dir).toSeq.sorted
     require(rels.nonEmpty, s"$dir holds no data files to snapshot")
+    // the committed schema: the one place the table's shape lives from
+    // here on — readers never merge footers again
+    val schema = spark.read.option("basePath", dir)
+      .option("mergeSchema", "true")
+      .parquet(absolute(dir, rels): _*).schema.json
     val seed = Snapshot(0L, Nil, Nil, statsCols, None, "init", sketchCols)
-    commit(spark, dir, seed, rels, rels, Nil, "init")
+    commit(spark, dir, seed, rels, rels, Nil, "init", Some(schema))
   }
 
   /** A staged-but-uncommitted upsert: the merged slice is ON DISK (new
@@ -316,7 +348,8 @@ object CommitLog {
     * writer rewrote). */
   final case class StagedUpsert(
       base: Snapshot, touchedParts: Set[String],
-      removed: Set[String], added: Seq[String], batchId: Option[Long])
+      removed: Set[String], added: Seq[String], batchId: Option[Long],
+      schemaJson: Option[String] = None)
 
   /** Partition directory of a dir-relative data file ("" for an
     * unpartitioned layout — there the whole table is one conflict unit). */
@@ -394,13 +427,39 @@ object CommitLog {
     }.toSet
     val (touched, _) =
       s.files.partition(f => partDirs.exists(d => f.startsWith(d + "/")))
+    // additive schema evolution: updates may ADD columns (old rows read
+    // them as null through the committed schema) but must carry every
+    // existing column — a partial-column upsert would silently null out
+    // data under the seq-struct merge, so it is rejected loudly. Types
+    // of shared columns must match (no widening).
+    s.schemaJson.foreach { j =>
+      val bs = org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val missing = bs.fieldNames.filterNot(updates.columns.contains)
+      require(missing.isEmpty,
+        s"upsert into $dir must carry every table column (additive " +
+          s"evolution only); missing: ${missing.mkString(", ")}")
+      bs.fields.filter(f => updates.columns.contains(f.name)).foreach { f =>
+        val ut = updates.schema(f.name).dataType
+        require(ut == f.dataType,
+          s"upsert into $dir changes type of '${f.name}' " +
+            s"(${f.dataType.simpleString} -> ${ut.simpleString}) — not supported")
+      }
+    }
     val merged =
       if (touched.isEmpty) updates
-      else Sources.mergeKeyed(
-        spark.read.option("basePath", dir).parquet(absolute(dir, touched): _*),
-        updates, keyCols, seqCol)
+      else {
+        val old = readFiles(spark, dir, s, touched)
+        // columns the updates add don't exist in the old slice yet
+        val aligned = updates.columns.filterNot(old.columns.contains)
+          .foldLeft(old) { (df, c) =>
+            df.withColumn(c, lit(null).cast(updates.schema(c).dataType))
+          }
+        Sources.mergeKeyed(aligned, updates, keyCols, seqCol)
+      }
     val newRels = stageWrite(spark, dir, merged, Seq(partitionCol))
-    Some(StagedUpsert(s, partDirs, touched.toSet, newRels, batchId))
+    Some(StagedUpsert(s, partDirs, touched.toSet, newRels, batchId,
+      Some(updates.schema.json)))
   }
 
   /** Commit a staged upsert, rebasing over disjoint concurrent commits.
@@ -417,7 +476,11 @@ object CommitLog {
     * micro-batch) turns the commit into a no-op instead of a
     * double-apply. */
   def commitStaged(spark: SparkSession, dir: String, staged: StagedUpsert,
-      maxRetries: Int = 10): Snapshot = {
+      maxRetries: Int = 10): Snapshot =
+    commitRebase(spark, dir, staged, "upsert", maxRetries)
+
+  private def commitRebase(spark: SparkSession, dir: String,
+      staged: StagedUpsert, op: String, maxRetries: Int): Snapshot = {
     var attempt = 0
     while (true) {
       val s = mustLatest(spark, dir)
@@ -434,20 +497,20 @@ object CommitLog {
           ((nowSet -- baseSet) ++ (baseSet -- nowSet)).map(partOf)
         val clash = interveningParts.intersect(staged.touchedParts)
         if (clash.nonEmpty) throw new IllegalStateException(
-          s"upsert conflict on $dir: concurrent commits touched partition(s) " +
+          s"$op conflict on $dir: concurrent commits touched partition(s) " +
             s"${clash.toSeq.sorted.mkString(", ")} this writer rewrote — " +
-            "re-run the upsert against the current snapshot " +
+            s"re-run the $op against the current snapshot " +
             "(staged files are vacuum garbage)")
       }
       val files = s.files.filterNot(staged.removed) ++ staged.added
       try {
         return commit(spark, dir, s, files, staged.added,
-          s.batches ++ staged.batchId, "upsert")
+          s.batches ++ staged.batchId, op, staged.schemaJson)
       } catch {
         case e: CommitConflict =>
           attempt += 1
           if (attempt >= maxRetries) throw new IllegalStateException(
-            s"upsert on $dir lost the commit race $maxRetries times — " +
+            s"$op on $dir lost the commit race $maxRetries times — " +
               "if no live writer is active, a crashed writer's version file " +
               s"is blocking the log (${e.getMessage})")
           // brief backoff: the winner's version file becomes readable a
@@ -499,7 +562,8 @@ object CommitLog {
             s"cannot bootstrap $dir from an empty batch — skip empty batches " +
               "until the first row arrives (a replayed empty batch is a no-op)")
         val seed = Snapshot(0L, Nil, Nil, statsCols, None, "init", sketchCols)
-        try commit(spark, dir, seed, rels, rels, batchId.toSeq, "init")
+        try commit(spark, dir, seed, rels, rels, batchId.toSeq, "init",
+          Some(updates.schema.json))
         catch { case e: CommitConflict =>
           throw new IllegalStateException(
             s"create race on $dir — another writer bootstrapped the log " +
@@ -533,6 +597,49 @@ object CommitLog {
           "concurrent commit made the rewrite stale; re-run compact " +
           "(abandoned files are vacuum garbage)")
     }
+  }
+
+  /** Copy-on-write DELETE of every row matching `cond`, at FILE
+    * granularity — the missing verb between upsert (keyed replace) and
+    * compact (pure rewrite):
+    *
+    *  1. ONE scan finds the files that contain matching rows (a
+    *     per-file any() aggregate — metadata-sized result; files with no
+    *     match are carried over untouched, bit for bit);
+    *  2. only the hit files are re-read, filtered to the survivors, and
+    *     staged as new files in their partitions;
+    *  3. the commit drops the hit files and adds the rewrites.
+    *
+    * At 100 TB a predicate-bounded delete (a GDPR purge of one user, a
+    * bad ingest day) rewrites the handful of files that actually hold
+    * matches, not the lake. Concurrency follows upsert's rules: the
+    * conflict unit is the touched files' partitions, disjoint
+    * intervening commits rebase, overlaps abort. Returns the new
+    * snapshot (op `delete` — incremental consumers see the touched
+    * files' post-image via [[changesBetween]], the standard COW
+    * contract). A predicate matching nothing commits nothing and
+    * returns the current snapshot. */
+  def delete(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column): Snapshot = {
+    val s = mustLatest(spark, dir)
+    val base = hadoopFs(spark, dir).makeQualified(new Path(dir))
+      .toUri.getPath.stripSuffix("/") + "/"
+    val hitFiles = readSnapshot(spark, dir, s)
+      .filter(cond)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => new Path(r.getString(0)).toUri.getPath
+        .stripPrefix(base)).toSet // one row per file with matches — small
+    if (hitFiles.isEmpty) return s
+    val partCols = s.files.head.split('/').dropRight(1)
+      .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+    // keep every row where cond is NOT TRUE — a null predicate must not
+    // delete the row (filter(!cond) would silently drop null-cond rows)
+    val survivors = readFiles(spark, dir, s, hitFiles.toSeq.sorted)
+      .filter(!coalesce(cond, lit(false)))
+    val newRels = stageWrite(spark, dir, survivors, partCols)
+    commitRebase(spark, dir,
+      StagedUpsert(s, hitFiles.map(partOf), hitFiles, newRels, None),
+      "delete", maxRetries = 10)
   }
 
   /** Zone-map-pruned box scan over the LATEST snapshot. No staleness

@@ -316,6 +316,79 @@ class CommitLogSpec extends AnyFunSuite {
     assert(read2 <= total2 && d0b.count() == 1000L)
   }
 
+  test("additive schema evolution: new columns commit, old rows read null") {
+    val dir = freshLake()
+    val v1 = CommitLog.latest(spark, dir).get
+    // updates carry a NEW column; the merged partition's old rows and
+    // every untouched partition's rows must surface it as null
+    val updates = spark.range(1000, 1010)
+      .select($"id".as("k"), lit(99L).as("v"), lit("d1").as("pd"),
+        lit("fresh").as("note"))
+    CommitLog.upsert(spark, updates, dir, Seq("k"), "pd")
+    val got = CommitLog.read(spark, dir)
+    assert(got.columns.contains("note"))
+    assert(got.filter($"note" === "fresh").count() == 10L)
+    assert(got.filter($"note".isNull).count() == 2990L,
+      "old rows must read the evolved column as null")
+    // untouched partition d0 was NOT rewritten to add the column
+    val v2 = CommitLog.latest(spark, dir).get
+    assert(v1.files.filter(_.startsWith("pd=d0/")).toSet
+      .subsetOf(v2.files.toSet), "evolution rewrote untouched files")
+    // time travel: version 1 still reads with its own committed schema
+    assert(!CommitLog.readAt(spark, dir, v1.version).columns.contains("note"))
+    // a later upsert WITHOUT the evolved column is a partial-column
+    // write — rejected loudly, not silently nulled
+    val partial = spark.range(0, 5)
+      .select($"id".as("k"), lit(1L).as("v"), lit("d0").as("pd"))
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.upsert(spark, partial, dir, Seq("k"), "pd")
+    }
+    assert(e.getMessage.contains("additive"), e.getMessage)
+    // and a type change is rejected
+    val retyped = spark.range(0, 5)
+      .select($"id".as("k"), lit("x").as("v"), lit("d0").as("pd"),
+        lit("n").as("note"))
+    val e2 = intercept[IllegalArgumentException] {
+      CommitLog.upsert(spark, retyped, dir, Seq("k"), "pd")
+    }
+    assert(e2.getMessage.contains("changes type"), e2.getMessage)
+  }
+
+  test("copy-on-write delete rewrites only the files that hold matches") {
+    val dir = freshLake()
+    val v1 = CommitLog.latest(spark, dir).get
+    // k < 100 lives in one range-partitioned file of pd=d0
+    val v2 = CommitLog.delete(spark, dir, $"k" < 100)
+    assert(v2.version == v1.version + 1 && v2.op == "delete")
+    assert(CommitLog.read(spark, dir).count() == 2900L)
+    assert(CommitLog.read(spark, dir).filter($"k" < 100).count() == 0L)
+    // files with no matching rows carried over bit for bit
+    val carried = v1.files.toSet.intersect(v2.files.toSet)
+    assert(carried.nonEmpty, "delete rewrote every file")
+    assert((v1.files.toSet -- v2.files.toSet).size < v1.files.size,
+      "delete should rewrite a strict subset of files")
+    // pre-image intact (time travel), and a no-match delete is a no-op
+    assert(CommitLog.readAt(spark, dir, v1.version).count() == 3000L)
+    val v3 = CommitLog.delete(spark, dir, $"k" === -1L)
+    assert(v3.version == v2.version, "no-match delete minted a version")
+    // incremental consumers see the touched files' post-image
+    val d = CommitLog.changesBetween(spark, dir, v1.version, v2.version)
+    assert(d.filter($"k" < 100).count() == 0L && d.count() > 0L)
+  }
+
+  test("a staged upsert rebases over a concurrent delete on other partitions") {
+    val dir = freshLake()
+    val ours = spark.range(2000, 2010)
+      .select($"id".as("k"), lit(88L).as("v"), lit("d2").as("pd"))
+    val staged = CommitLog.stageUpsert(spark, ours, dir, Seq("k"), "pd").get
+    CommitLog.delete(spark, dir, $"k" < 100) // lands first, touches pd=d0
+    val v3 = CommitLog.commitStaged(spark, dir, staged)
+    val got = state(dir)
+    assert(got.size == 2900 && got.count(_._2 == 88L) == 10)
+    assert(got.count(_._1 < 100) == 0)
+    assert(v3.op == "upsert")
+  }
+
   test("manifest sketches answer quantiles from metadata, fresh through upsert+compact") {
     val dir = Files.createTempDirectory("graft_log_kll_").toString + "/lake"
     spark.range(0, 20000)
