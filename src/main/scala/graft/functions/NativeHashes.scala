@@ -233,6 +233,10 @@ object NativeHashes {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_normalize", exprs => NativeText.NormalizeExpr(exprs.head,
         NativeText.formNameOf(exprs)), "scala_udf")
+    NativeSketches.sqlBuilders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
   }
 }
 
@@ -278,6 +282,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[NativeText.NormalizeExpr].getName, "graft_normalize"),
         (exprs: Seq[Expression]) => NativeText.NormalizeExpr(exprs.head,
           NativeText.formNameOf(exprs))))
+    // the sketch family (KLL / theta / Misra-Gries), same builders as
+    // the temp-function path so SQL text works in both session shapes
+    NativeSketches.sqlBuilders.foreach { case (name, builder) =>
+      e.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            NativeSketches.getClass.getName, name),
+          builder))
+    }
     // optimizer rules: joins the operator-optimization fixed point, so the
     // folded plan is itself optimized further (filter merge, pruning)
     e.injectOptimizerRule(_ => graft.plans.FoldCountOverReplicateRows)

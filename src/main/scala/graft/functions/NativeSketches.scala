@@ -449,6 +449,51 @@ object NativeSketches {
       ThetaUnionAgg(ColumnBridge.expression(sketch), lgK)
         .toAggregateExpression())
 
+  // ------------------------------------------------- SQL registrations
+  private def litNum(e: Expression, what: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) =>
+      v.doubleValue()
+    case org.apache.spark.sql.catalyst.expressions.Literal(d: Decimal, _) =>
+      d.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  /** SQL builders for the sketch family — registered by GraftExtensions
+    * and NativeHashes.register so `spark.sql` sessions get the same
+    * surface as the Column API. Size/rank arguments must be literals
+    * (they parameterize the aggregate itself). */
+  private[functions] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_kll_agg" -> { exprs =>
+      KllAgg(exprs.head,
+        if (exprs.size > 1) litNum(exprs(1), "k").toInt else 200)
+        .asInstanceOf[Expression]
+    },
+    "graft_kll_merge" -> { exprs =>
+      KllMergeAgg(exprs.head,
+        if (exprs.size > 1) litNum(exprs(1), "k").toInt else 200)
+    },
+    "graft_kll_quantiles" -> { exprs =>
+      KllQuantiles(exprs.head,
+        exprs.tail.map(litNum(_, "rank")))
+    },
+    "graft_freq_candidates" -> { exprs =>
+      FreqCandidates(exprs.head, litNum(exprs(1), "maxMapSize").toInt,
+        litNum(exprs(2), "weightFrac"))
+    },
+    "graft_theta_agg" -> { exprs =>
+      ThetaAgg(exprs.head,
+        if (exprs.size > 1) litNum(exprs(1), "lgK").toInt else 12)
+    },
+    "graft_theta_union_agg" -> { exprs =>
+      ThetaUnionAgg(exprs.head,
+        if (exprs.size > 1) litNum(exprs(1), "lgK").toInt else 12)
+    },
+    "graft_theta_union" -> (exprs => ThetaSetOp(exprs(0), exprs(1), "union")),
+    "graft_theta_intersect" -> (exprs => ThetaSetOp(exprs(0), exprs(1), "intersect")),
+    "graft_theta_diff" -> (exprs => ThetaSetOp(exprs(0), exprs(1), "anotb")),
+    "graft_theta_estimate" -> (exprs => ThetaEstimate(exprs.head)))
+
   /** Scalar Columns: theta set algebra over binary sketches. */
   def thetaUnion(a: Column, b: Column): Column =
     ColumnBridge.column(ThetaSetOp(

@@ -90,6 +90,34 @@ class ThetaSketchSpec extends AnyFunSuite {
       s"no partial aggregation stage:\n$plan")
   }
 
+  test("the sketch family is callable from SQL text") {
+    spark.range(150)
+      .select($"id", when($"id" < 100, "A").otherwise("B").as("g"))
+      .createOrReplaceTempView("theta_sql_in")
+    // theta: build per-group, then set algebra across the two groups
+    val row = spark.sql(
+      """WITH sk AS (
+        |  SELECT g, graft_theta_agg(CAST(id AS STRING), 12) AS s
+        |  FROM theta_sql_in GROUP BY g)
+        |SELECT
+        |  CAST(round(graft_theta_estimate(graft_theta_union(a.s, b.s))) AS LONG),
+        |  CAST(round(graft_theta_estimate(graft_theta_intersect(a.s, b.s))) AS LONG)
+        |FROM sk a JOIN sk b ON a.g = 'A' AND b.g = 'B'""".stripMargin).head()
+    assert((row.getLong(0), row.getLong(1)) == ((150L, 0L)))
+    // kll: aggregate + quantile extraction round-trips through SQL
+    val q = spark.sql(
+      """SELECT graft_kll_quantiles(graft_kll_merge(s, 200), 0.5)[0]
+        |FROM (SELECT g, graft_kll_agg(CAST(id AS DOUBLE), 200) AS s
+        |      FROM theta_sql_in GROUP BY g)""".stripMargin)
+      .head().getDouble(0)
+    assert(q >= 60.0 && q <= 90.0, s"SQL median of 0..149 came back $q")
+    // misra-gries: candidates surface through SQL too
+    val cands = spark.sql(
+      """SELECT graft_freq_candidates(g, 64, 0.5) FROM theta_sql_in""")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(cands.map(_.getString(0)) == Seq("A"))
+  }
+
   test("null sketches propagate through the set ops") {
     val row = spark.range(1)
       .select(
