@@ -666,9 +666,54 @@ object LlmQueries {
       |     EXCEPT SELECT bg FROM big WHERE lang = lb)) AS n_only_a
       |FROM pairs ORDER BY lang_a, lang_b""".stripMargin
 
+  // ---------------------------------------------------- q149_corpus_card
+  // The computed corpus datasheet (graft.ops.CorpusCard): exact counts +
+  // theta distinct ids + KLL length quantiles + exact dominant tokens,
+  // in one fused profile scan plus the bounded heavy-hitter recount. The
+  // registered query flattens the card's DETERMINISTIC fields (the theta
+  // sketch is in exact mode at every test SF — lgK=20 covers a million
+  // ids) under a DuckDB oracle; the KLL quantiles and rich map/array
+  // shapes are pinned by CorpusCardSpec instead (rank-bounded
+  // randomness, and engine-specific complex-type rendering would make a
+  // hash compare about serialization, not semantics).
+  private def q149CorpusCard(s: SparkSession, d: String): DataFrame =
+    graft.ops.CorpusCard.build(Tables.documents(s, d))
+      .select(col("n_docs"), col("n_distinct_ids"), col("n_empty"),
+        col("total_tokens"),
+        size(map_keys(col("lang_counts"))).as("n_langs"),
+        col("top_tokens").getItem(0).getField("token").as("top_token"),
+        col("top_tokens").getItem(0).getField("cnt").as("top_cnt"),
+        col("top_tokens").getItem(1).getField("token").as("second_token"),
+        col("top_tokens").getItem(1).getField("cnt").as("second_cnt"))
+
+  private val q149Sql =
+    """WITH tok AS (
+      |  SELECT t
+      |  FROM documents,
+      |    UNNEST(string_split_regex(lower(text), '\s+')) AS u(t)
+      |  WHERE t <> ''),
+      |cnts AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      |top2 AS (
+      |  SELECT t, c, row_number() OVER (ORDER BY c DESC, t DESC) AS rn
+      |  FROM cnts)
+      |SELECT
+      |  (SELECT count(*) FROM documents) AS n_docs,
+      |  (SELECT count(DISTINCT doc_id) FROM documents) AS n_distinct_ids,
+      |  (SELECT count(*) FROM documents
+      |   WHERE text IS NULL OR len(list_filter(
+      |     string_split_regex(lower(text), '\s+'), x -> x <> '')) = 0)
+      |    AS n_empty,
+      |  (SELECT count(*) FROM tok) AS total_tokens,
+      |  (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
+      |  (SELECT t FROM top2 WHERE rn = 1) AS top_token,
+      |  (SELECT c FROM top2 WHERE rn = 1) AS top_cnt,
+      |  (SELECT t FROM top2 WHERE rn = 2) AS second_token,
+      |  (SELECT c FROM top2 WHERE rn = 2) AS second_cnt""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q144_heavy_hitters", q144HeavyHitters, Some(q144Sql)),
     Q("q147_theta_setops", q147ThetaSetops, Some(q147Sql)),
+    Q("q149_corpus_card", q149CorpusCard, Some(q149Sql)),
     Q("q19_text_stats", q19Text, Some(q19Sql)),
     Q("q20_dedup_exact", q20Exact, Some(q20Sql)),
     Q("q21_dedup_minhash", q21Minhash, None),

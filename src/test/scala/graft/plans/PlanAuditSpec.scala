@@ -268,7 +268,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q135_constraints",   // 1-row table-total broadcast onto per-check rows
     "q136_bm25",          // 1-row corpus-constants broadcast onto per-doc rows
     "q139_bm25_batch",    // same 1-row corpus-constants broadcast as q136
-    "q147_theta_setops")  // 5×5 broadcast pair readout over aggregated sketches
+    "q147_theta_setops",  // 5×5 broadcast pair readout over aggregated sketches
+    "q149_corpus_card")   // 1-row card assembly (profile × langs × hitters)
 
   test("no registered query plans a shuffled or unsanctioned all-pairs join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
