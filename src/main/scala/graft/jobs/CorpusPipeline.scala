@@ -144,4 +144,25 @@ object CorpusPipeline {
         "corpus failed its publish audit: " + failing.mkString("; "))
     packed
   }
+
+  /** Publish the gated corpus into a LOGGED lake: one atomic
+    * [[graft.sources.CommitLog]] commit (keyed by doc_id, partitioned
+    * by split, zone-map stats on doc_id from birth), so downstream
+    * trainers read a SNAPSHOT — never a half-published corpus — old
+    * versions stay time-travelable until vacuum, and incremental
+    * consumers diff versions with changesBetween. Returns the committed
+    * snapshot and the corpus datasheet ([[graft.ops.CorpusCard]])
+    * computed from exactly the published state. A re-publish of a
+    * refreshed corpus is just the next version: only the partitions
+    * whose docs changed are rewritten. */
+  def publishLogged(packed: DataFrame, minQuality: Double,
+      lakeDir: String): (graft.sources.CommitLog.Snapshot, DataFrame) = {
+    val gated = publishGate(packed, minQuality)
+    val snap = graft.sources.CommitLog.upsertOrCreate(
+      gated.sparkSession, gated, lakeDir,
+      keyCols = Seq("doc_id"), partitionCol = "split",
+      statsCols = Seq("doc_id"))
+    val published = graft.sources.CommitLog.read(gated.sparkSession, lakeDir)
+    (snap, graft.ops.CorpusCard.build(published, langCol = "lang_pred"))
+  }
 }

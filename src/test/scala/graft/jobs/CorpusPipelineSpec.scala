@@ -71,4 +71,43 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
     assert(err2.getMessage.contains("bounds:quality"), err2.getMessage)
   }
+
+  test("logged publish: snapshot commit, datasheet, re-publish is a new version") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.sources.CommitLog
+    val lake = java.nio.file.Files.createTempDirectory("corpus_pub_")
+      .toString + "/corpus"
+    def packedRows(tag: String) = Seq(
+      (1L, s"alpha text $tag", "en", 0.8, "train", "train/0", 3L, 0L, 0L),
+      (2L, s"beta text $tag", "en", 0.9, "train", "train/0", 3L, 3L, 0L),
+      (3L, s"gamma text $tag", "en", 0.7, "val", "val/0", 3L, 0L, 0L))
+      .toDF("doc_id", "text", "lang_pred", "quality", "split", "pack_shard",
+        "n_tokens", "pack_offset", "pack_id")
+    val (snap1, card1) = CorpusPipeline.publishLogged(
+      packedRows("v1"), minQuality = 0.5, lake)
+    assert(snap1.version == 1L)
+    assert(card1.head().getAs[Long]("n_docs") == 3L)
+    assert(CommitLog.read(spark, lake).count() == 3L)
+    // a failing audit publishes NOTHING — the lake stays at v1
+    intercept[IllegalStateException] {
+      CorpusPipeline.publishLogged(
+        packedRows("bad").withColumn("quality", lit(0.1)),
+        minQuality = 0.5, lake)
+    }
+    assert(CommitLog.latest(spark, lake).get.version == snap1.version)
+    // a refreshed corpus re-publishes as the NEXT version; only the
+    // train partition changed, and readers of v1 still see v1 text
+    val (snap2, card2) = CorpusPipeline.publishLogged(
+      packedRows("v2").filter(col("split") === "train"),
+      minQuality = 0.5, lake)
+    assert(snap2.version == snap1.version + 1)
+    assert(card2.head().getAs[Long]("n_docs") == 3L)
+    assert(CommitLog.read(spark, lake)
+      .filter(col("text").contains("v2")).count() == 2L)
+    assert(CommitLog.readAt(spark, lake, snap1.version)
+      .filter(col("text").contains("v1")).count() == 3L)
+    val untouched = snap1.files.filter(_.startsWith("split=val/")).toSet
+    assert(untouched.subsetOf(snap2.files.toSet),
+      "re-publish rewrote the untouched split")
+  }
 }
