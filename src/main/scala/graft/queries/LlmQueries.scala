@@ -710,10 +710,70 @@ object LlmQueries {
       |  (SELECT t FROM top2 WHERE rn = 2) AS second_token,
       |  (SELECT c FROM top2 WHERE rn = 2) AS second_cnt""".stripMargin
 
+  // ---------------------------------------------------- q150_corpus_diff
+  // Corpus drift between two versions (graft.ops.CorpusDiff): exact doc
+  // counts and mean lengths per side, exact vocabulary delta from a
+  // full-outer join of the token-count tables (vocabulary-sized), and
+  // the unigram KL divergence over the shared vocabulary — per-term
+  // doubles in an IEEE op order mirrored by the oracle, rounded and
+  // DECIMAL-summed so the total is partition-order-independent. The two
+  // "versions" are overlapping slices of documents, so every branch
+  // (added/removed/shared vocab, distribution shift) is exercised.
+  private def q150CorpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.ops.CorpusDiff.diff(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 3 > 0))
+  }
+
+  private val q150Sql =
+    """WITH tb AS (
+      |  SELECT t, count(*) AS cb
+      |  FROM documents,
+      |    UNNEST(string_split_regex(lower(text), '\s+')) AS u(t)
+      |  WHERE t <> '' AND doc_id % 2 = 0 GROUP BY t),
+      |ta AS (
+      |  SELECT t, count(*) AS ca
+      |  FROM documents,
+      |    UNNEST(string_split_regex(lower(text), '\s+')) AS u(t)
+      |  WHERE t <> '' AND doc_id % 3 > 0 GROUP BY t),
+      |j AS (
+      |  SELECT ca, cb FROM ta FULL OUTER JOIN tb ON ta.t = tb.t),
+      |tot AS (
+      |  SELECT CAST(sum(coalesce(ca, 0)) AS BIGINT) AS sa,
+      |         CAST(sum(coalesce(cb, 0)) AS BIGINT) AS sb FROM j),
+      |kl AS (
+      |  SELECT
+      |    sum(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS vocab_added,
+      |    sum(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS vocab_removed,
+      |    sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS vocab_common,
+      |    round(CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN
+      |      CAST(round((CAST(ca AS DOUBLE) / CAST(sa AS DOUBLE))
+      |        * ln((CAST(ca AS DOUBLE) / CAST(sa AS DOUBLE))
+      |              / (CAST(cb AS DOUBLE) / CAST(sb AS DOUBLE))), 9)
+      |        AS DECIMAL(28,9)) END) AS DOUBLE), 6) AS kl_divergence
+      |  FROM j, tot),
+      |lens AS (
+      |  SELECT doc_id,
+      |    coalesce(len(list_filter(
+      |      string_split_regex(lower(text), '\s+'), x -> x <> '')), 0) AS l
+      |  FROM documents)
+      |SELECT
+      |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_docs_before,
+      |  (SELECT count(*) FROM documents WHERE doc_id % 3 > 0) AS n_docs_after,
+      |  (SELECT round(CAST(sum(l) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |   FROM lens WHERE doc_id % 2 = 0) AS mean_len_before,
+      |  (SELECT round(CAST(sum(l) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |   FROM lens WHERE doc_id % 3 > 0) AS mean_len_after,
+      |  vocab_added, vocab_removed, vocab_common, kl_divergence
+      |FROM kl""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q144_heavy_hitters", q144HeavyHitters, Some(q144Sql)),
     Q("q147_theta_setops", q147ThetaSetops, Some(q147Sql)),
     Q("q149_corpus_card", q149CorpusCard, Some(q149Sql)),
+    Q("q150_corpus_diff", q150CorpusDiff, Some(q150Sql)),
     Q("q19_text_stats", q19Text, Some(q19Sql)),
     Q("q20_dedup_exact", q20Exact, Some(q20Sql)),
     Q("q21_dedup_minhash", q21Minhash, None),

@@ -269,7 +269,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q136_bm25",          // 1-row corpus-constants broadcast onto per-doc rows
     "q139_bm25_batch",    // same 1-row corpus-constants broadcast as q136
     "q147_theta_setops",  // 5×5 broadcast pair readout over aggregated sketches
-    "q149_corpus_card")   // 1-row card assembly (profile × langs × hitters)
+    "q149_corpus_card",   // 1-row card assembly (profile × langs × hitters)
+    "q150_corpus_diff")   // 1-row totals broadcast onto the vocab join
 
   test("no registered query plans a shuffled or unsanctioned all-pairs join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
