@@ -16,6 +16,12 @@ run / fork := true
 // JSON line and breaks the parse (BENCH_r07.json arrived parsed:null).
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// …and sbt's LoggedOutput strategy prefixes every forked-stdout line with
+// "[info] ", which equally breaks a last-line JSON parse (BENCH_r07's tail
+// shows "[info] {"metric":…"). StdoutOutput passes the forked JVM's stdout
+// through verbatim.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,297 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, AttributeReference, AttributeSet, EqualTo, Expression,
+  IsNotNull, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, LogicalRelation}
+
+/** Declared data constraints that the optimizer is allowed to TRUST.
+  *
+  * The reference pipeline gets integrity for free from Postgres — its
+  * unique index (`/root/reference/database/schema.sql:31-33`) is both a
+  * constraint and an access path. A parquet lake has no enforced
+  * constraints, so this catalog carries them as *informational*
+  * declarations (the Snowflake / Oracle RELY model): the engine does not
+  * enforce them on write, but [[EliminateRiDimJoin]] uses them to remove
+  * provably-redundant joins. A wrong declaration therefore produces wrong
+  * answers by design — which is why [[declareAudited]] exists: it runs the
+  * repo's own [[graft.ops.Constraints]] audit (Unique on the dimension
+  * key, RefIntegrity on the fact FK) and only declares claims the data
+  * actually passed, tying the optimizer's trust to the same gate that
+  * already fronts corpus publishing.
+  *
+  * Keys are (normalized table path, column name): path-addressed because
+  * this engine's tables are parquet directories, not catalog entries. The
+  * registry is JVM-global and thread-safe; declarations are tiny and
+  * idempotent. Specs use [[clear]] for isolation.
+  */
+object ConstraintCatalog {
+
+  private val uniqueKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  // (factPath, fkCol) -> (dimPath, pkCol): every non-null fk value
+  // appears in dim.pk
+  private val foreignKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[((String, String), (String, String))]()
+
+  /** Strip the URI scheme and trailing slashes so `file:/x/y/` declared by
+    * a user matches `/x/y` reported by a scan's `rootPaths` (and vice
+    * versa). */
+  def normalize(path: String): String = {
+    val p =
+      try {
+        val u = new java.net.URI(path)
+        if (u.getScheme == null) path else u.getPath
+      } catch { case _: java.net.URISyntaxException => path }
+    val trimmed = p.replaceAll("/+$", "")
+    if (trimmed.isEmpty) "/" else trimmed
+  }
+
+  def declareUnique(tablePath: String, col: String): Unit =
+    uniqueKeys.add((normalize(tablePath), col))
+
+  def declareForeignKey(factPath: String, fkCol: String,
+      dimPath: String, pkCol: String): Unit =
+    foreignKeys.add(((normalize(factPath), fkCol), (normalize(dimPath), pkCol)))
+
+  def isUnique(tablePath: String, col: String): Boolean =
+    uniqueKeys.contains((normalize(tablePath), col))
+
+  def isForeignKey(factPath: String, fkCol: String,
+      dimPath: String, pkCol: String): Boolean =
+    foreignKeys.contains(
+      ((normalize(factPath), fkCol), (normalize(dimPath), pkCol)))
+
+  /** Audit-then-declare: verifies the unique + referential-integrity
+    * claims against the actual parquet data with
+    * [[graft.ops.Constraints.audit]] and declares them only when both
+    * pass. Returns true when declared. One fact scan + one dim scan —
+    * meant for publish time (alongside the corpus audit gate), not per
+    * query. */
+  def declareAudited(spark: org.apache.spark.sql.SparkSession,
+      factPath: String, fkCol: String,
+      dimPath: String, pkCol: String): Boolean = {
+    import graft.ops.Constraints
+    val dim = spark.read.parquet(dimPath)
+    val fact = spark.read.parquet(factPath)
+    val dimOk = Constraints.audit(dim, Seq(Constraints.Unique(Seq(pkCol))))
+      .filter(org.apache.spark.sql.functions.col("violations") > 0L)
+      .isEmpty
+    val factOk = Constraints.audit(fact,
+        Seq(Constraints.RefIntegrity(fkCol, dim, pkCol)))
+      .filter(org.apache.spark.sql.functions.col("violations") > 0L)
+      .isEmpty
+    if (dimOk && factOk) {
+      declareUnique(dimPath, pkCol)
+      declareForeignKey(factPath, fkCol, dimPath, pkCol)
+      true
+    } else false
+  }
+
+  def clear(): Unit = { uniqueKeys.clear(); foreignKeys.clear() }
+}
+
+/** Removes a dimension join that provably cannot change the fact side.
+  *
+  * The classic informational-constraint optimization (Oracle/Snowflake
+  * RELY, Trino's join pruning): for
+  * {{{ fact JOIN dim ON fact.fk = dim.pk }}}
+  * where `dim.pk` is declared UNIQUE and `fact.fk` is declared to
+  * REFERENCE it, and nothing above the join uses any `dim` column except
+  * `pk` itself, the join is an expensive identity:
+  *
+  *  - uniqueness ⇒ at most one match per fact row (no duplication);
+  *  - referential integrity ⇒ every non-null fk has exactly one match
+  *    (no elimination beyond the nulls);
+  *  - on the surviving rows `pk = fk`, so `pk` references rewrite to `fk`.
+  *
+  * Rewrites (dim side must reduce to a bare scan of the declared table —
+  * a pass-through Project / IsNotNull(pk) filter is allowed, anything
+  * else could drop pk values and blocks the rewrite):
+  * {{{
+  *   INNER:      Project/Aggregate(refs∩dim ⊆ {pk}, fact ⋈ dim)
+  *             ⇒ Project/Aggregate(pk→fk,  Filter(IsNotNull(fk), fact))
+  *   LEFT OUTER: same shape ⇒ Project/Aggregate(pk→fk, fact)
+  *               (null fk rows keep dim-nulls either way: pk→fk maps
+  *                the padded null to the equally-null fk)
+  *   LEFT SEMI:  fact ⋉ dim ⇒ Filter(IsNotNull(fk), fact)
+  * }}}
+  *
+  * Why it matters at 100 TB: the canonical star-schema query joins the
+  * fact table to every dimension its BI tool *might* display, then
+  * aggregates by the key columns alone. Each redundant broadcast join
+  * still costs a broadcast build + a probe per fact row — and a
+  * *shuffle* join costs a full exchange of the fact table. This rule
+  * deletes that work entirely; downstream, column pruning narrows the
+  * scan the dimension no longer forces.
+  *
+  * Soundness gates (all checked, else the plan is left alone):
+  *  - the join condition is a single bare-attribute equality (a cast on
+  *    either side blocks the value-identity argument);
+  *  - fk provenance: the fk attribute (by exprId) traces to a scan of
+  *    the declared fact table's declared column — sound because plan
+  *    operators can only *drop* rows or pass the attribute through for a
+  *    given exprId (an alias or computed column gets a fresh exprId), so
+  *    the attribute's non-null values are always a subset of the scanned
+  *    column's, and subsets preserve referential integrity. Outer joins
+  *    below may *null-inject* the fk, which both sides of each rewrite
+  *    treat identically (see LEFT OUTER above);
+  *  - the parent is the projection boundary (Project or Aggregate), so
+  *    every reference to the dim side is visible in one place. Catalyst's
+  *    own ColumnPruning inserts exactly such a Project when a query stops
+  *    using dim columns, and this rule runs inside the same fixed point
+  *    ([[graft.functions.GraftExtensions]]), so the two compose.
+  *
+  * Output attribute ids are preserved: a surviving `pk` reference becomes
+  * `Alias(fk, pkName)(exprId = pk's id)`, so operators above the rewritten
+  * node never re-resolve.
+  */
+object EliminateRiDimJoin extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, LeftSemi, Some(EqualTo(a, b)), _) =>
+      bareKeys(a, b, left, right) match {
+        case Some((fk, pk)) if eliminable(left, fk, right, pk) =>
+          Filter(IsNotNull(fk), left)
+        case _ => j
+      }
+    case p @ Project(list, j: Join) =>
+      tryEliminate(p.references, j) match {
+        case Some((newChild, pk, fk)) =>
+          Project(list.map(substNamed(_, pk, fk)), newChild)
+        case None => p
+      }
+    case a @ Aggregate(groupings, aggs, j: Join, hint) =>
+      tryEliminate(a.references, j) match {
+        case Some((newChild, pk, fk)) =>
+          Aggregate(groupings.map(substExpr(_, pk, fk)),
+            aggs.map(substNamed(_, pk, fk)), newChild, hint)
+        case None => a
+      }
+  }
+
+  /** Both equality operands must be bare attributes, one from each side;
+    * returns them oriented as (fact-side fk, dim-side pk) for dim=right. */
+  private def bareKeys(a: Expression, b: Expression,
+      fact: LogicalPlan, dim: LogicalPlan): Option[(Attribute, Attribute)] =
+    (a, b) match {
+      case (x: AttributeReference, y: AttributeReference) =>
+        if (fact.outputSet.contains(x) && dim.outputSet.contains(y)) Some((x, y))
+        else if (fact.outputSet.contains(y) && dim.outputSet.contains(x)) Some((y, x))
+        else None
+      case _ => None
+    }
+
+  /** Inner / left-outer elimination given the parent's reference set.
+    * Tries the right side as the dimension; for inner joins, also the
+    * left. Returns (replacement child, pk, fk). */
+  private def tryEliminate(parentRefs: AttributeSet, j: Join)
+      : Option[(LogicalPlan, Attribute, Attribute)] = j match {
+    case Join(left, right, Inner, Some(EqualTo(a, b)), _) =>
+      def attempt(fact: LogicalPlan, dim: LogicalPlan) =
+        bareKeys(a, b, fact, dim).collect {
+          case (fk, pk) if refsConfined(parentRefs, dim, pk) &&
+              eliminable(fact, fk, dim, pk) =>
+            (Filter(IsNotNull(fk), fact), pk, fk)
+        }
+      attempt(left, right).orElse(attempt(right, left))
+    case Join(left, right, LeftOuter, Some(EqualTo(a, b)), _) =>
+      bareKeys(a, b, left, right).collect {
+        case (fk, pk) if refsConfined(parentRefs, right, pk) &&
+            eliminable(left, fk, right, pk) =>
+          (left, pk, fk)
+      }
+    case _ => None
+  }
+
+  /** Nothing of the dim side except possibly pk is referenced above. */
+  private def refsConfined(parentRefs: AttributeSet, dim: LogicalPlan,
+      pk: Attribute): Boolean =
+    parentRefs.intersect(dim.outputSet).subsetOf(AttributeSet(pk :: Nil))
+
+  /** The constraint pair is declared for (fact table, fk) → (dim table,
+    * pk), with both attributes traced to their scans. */
+  private def eliminable(fact: LogicalPlan, fk: Attribute,
+      dim: LogicalPlan, pk: Attribute): Boolean =
+    (pkScan(dim, pk), scanOf(fact, fk)) match {
+      case (Some((dimPath, pkName)), Some((factPath, fkName))) =>
+        ConstraintCatalog.isUnique(dimPath, pkName) &&
+          ConstraintCatalog.isForeignKey(factPath, fkName, dimPath, pkName)
+      case _ => false
+    }
+
+  /** The dim side must be a single-root-path scan reached only through
+    * pass-through Projects and IsNotNull(pk)-only Filters: any other
+    * filter could remove pk values and void the RI match guarantee. */
+  private def pkScan(plan: LogicalPlan, pk: Attribute)
+      : Option[(String, String)] = plan match {
+    case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
+      pkScan(child, pk)
+    case Filter(cond, child) if onlyIsNotNullOf(cond, pk) =>
+      pkScan(child, pk)
+    case lr: LogicalRelation => scanPathAndName(lr, pk)
+    case _ => None
+  }
+
+  private def onlyIsNotNullOf(cond: Expression, pk: Attribute): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.And
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    split(cond).forall {
+      case IsNotNull(a: AttributeReference) => a.exprId == pk.exprId
+      case _ => false
+    }
+  }
+
+  /** Find the scan (anywhere under `plan`) whose output carries the
+    * attribute, returning its normalized path and the column's name at
+    * the scan. Provenance-by-exprId: only row-dropping / pass-through
+    * operators preserve an exprId, so a hit means the attribute's
+    * non-null values are a subset of that column's. */
+  private def scanOf(plan: LogicalPlan, attr: Attribute)
+      : Option[(String, String)] =
+    plan.collectFirst {
+      case lr: LogicalRelation if lr.outputSet.contains(attr) => lr
+    }.flatMap(scanPathAndName(_, attr))
+
+  private def scanPathAndName(lr: LogicalRelation, attr: Attribute)
+      : Option[(String, String)] = lr.relation match {
+    case h: HadoopFsRelation =>
+      val name = lr.output.find(_.exprId == attr.exprId).map(_.name)
+      h.location.rootPaths.toList match {
+        case single :: Nil =>
+          name.map(n => (ConstraintCatalog.normalize(single.toString), n))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Replace pk references inside an expression with fk. */
+  private def substExpr(e: Expression, pk: Attribute, fk: Attribute): Expression =
+    e.transformUp {
+      case a: AttributeReference if a.exprId == pk.exprId => fk
+    }
+
+  /** Same, preserving the output name AND exprId when the pk itself is an
+    * output column, so nothing above re-resolves. */
+  private def substNamed(ne: NamedExpression, pk: Attribute,
+      fk: Attribute): NamedExpression = ne match {
+    case a: AttributeReference if a.exprId == pk.exprId =>
+      Alias(fk, a.name)(a.exprId, a.qualifier)
+    case al: Alias =>
+      al.copy(child = substExpr(al.child, pk, fk))(al.exprId, al.qualifier,
+        al.explicitMetadata, al.nonInheritableMetadataKeys)
+    case other =>
+      substExpr(other, pk, fk) match {
+        case n: NamedExpression => n
+        case changed => Alias(changed, other.name)(other.exprId)
+      }
+  }
+}

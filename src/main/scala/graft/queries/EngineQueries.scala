@@ -673,8 +673,41 @@ object EngineQueries {
       |WHERE o_orderkey <= 20000 AND o_totalprice >= 50000
       |GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // --------------------------------------------------- q151_join_elim
+  // Constraint-informed join elimination (graft.plans.EliminateRiDimJoin):
+  // the canonical BI shape — fact joined to a dimension, aggregated by the
+  // join key alone. customer.c_nationkey is declared (audited in
+  // RiJoinElimSpec) to reference the unique nation.n_nationkey, so the
+  // optimizer deletes the join outright: no broadcast build, no probe,
+  // and nation.parquet is never opened. The DuckDB oracle EXECUTES the
+  // join — hash-matching it is the soundness proof that the fold is an
+  // identity on RI-holding data. Join-freedom is pinned in PlanAuditSpec.
+  private def q151JoinElim(s: SparkSession, d: String): DataFrame = {
+    graft.plans.ConstraintCatalog.declareUnique(
+      s"$d/nation.parquet", "n_nationkey")
+    graft.plans.ConstraintCatalog.declareForeignKey(
+      s"$d/customer.parquet", "c_nationkey",
+      s"$d/nation.parquet", "n_nationkey")
+    Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_nationkey"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("sum_bal"))
+      .select(col("n_nationkey").as("nk"), col("n_cust"), col("sum_bal"))
+      .orderBy(col("nk"))
+  }
+
+  private val q151Sql =
+    """SELECT n_nationkey AS nk, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_nationkey ORDER BY nk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q135_constraints", q135Constraints, Some(q135Sql)),
+    Q("q151_join_elim", q151JoinElim, Some(q151Sql)),
     Q("q137_skipping", q137Skipping, Some(q137Sql)),
     Q("q140_commitlog", q140CommitLog, Some(q140Sql)),
     Q("q141_txn", q141Txn, Some(q141Sql)),

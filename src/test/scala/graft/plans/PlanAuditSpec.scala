@@ -199,6 +199,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
   }
 
+  test("q151: the declared dimension join is eliminated — no join, nation never scanned") {
+    val p = planOf("q151_join_elim")
+    assert(!p.contains("Join"), s"RI dim join survived optimization:\n$p")
+    assert(!p.contains("nation.parquet"), s"eliminated dim still scanned:\n$p")
+    // what remains is the fact-only aggregate with the key's null filter
+    // pushed into the customer scan
+    assert(p.contains("PushedFilters: [IsNotNull(c_nationkey)]"),
+      s"fk null-filter not pushed to the scan:\n$p")
+  }
+
   test("q86: z-order bucketing is one interleave window + one agg — two exchanges") {
     val p = planOf("q86_zorder")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
