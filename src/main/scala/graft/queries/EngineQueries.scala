@@ -705,9 +705,77 @@ object EngineQueries {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_nationkey ORDER BY nk""".stripMargin
 
+  // ------------------------------------- q152_meta_agg / q153_bloom_point
+  // Shared fixture: the full orders table as a commit-log lake, 16 files
+  // range-clustered by o_custkey, zone-map stats on (o_orderkey,
+  // o_totalprice) and a per-file Bloom filter on o_custkey riding the
+  // init commit. Built once per session per sf dir (the lake is these
+  // queries' INPUT); cleaned up on JVM exit.
+  private val q152Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q152Lake(s: SparkSession, d: String): String =
+    q152Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q152_")
+      val lake = s"$work/lake"
+      Tables.orders(s, d)
+        .repartitionByRange(16, col("o_custkey"))
+        .write.parquet(lake)
+      graft.sources.CommitLog.init(s, lake,
+        statsCols = Seq("o_orderkey", "o_totalprice"),
+        bloomCols = Seq("o_custkey"), bloomExpect = 1L << 17)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  // q152: exact count/min/max/count(c) answered from the committed
+  // manifest alone — ZERO data files opened (proved brutally in
+  // MetadataPlaneSpec by deleting the data files) — while the DuckDB
+  // oracle reads every row of orders. Hash-match = the metadata plane
+  // agrees with the data plane exactly.
+  private def q152MetaAgg(s: SparkSession, d: String): DataFrame =
+    graft.sources.CommitLog.statsAgg(s, q152Lake(s, d),
+      Seq("o_orderkey", "o_totalprice"))
+
+  private val q152Sql =
+    """SELECT count(*) AS rows,
+      |  min(o_orderkey) AS min_o_orderkey,
+      |  max(o_orderkey) AS max_o_orderkey,
+      |  count(o_orderkey) AS count_o_orderkey,
+      |  min(o_totalprice) AS min_o_totalprice,
+      |  max(o_totalprice) AS max_o_totalprice,
+      |  count(o_totalprice) AS count_o_totalprice
+      |FROM orders""".stripMargin
+
+  // q153: point lookup on the clustered key via the committed per-file
+  // Bloom filters — opens only files that POSSIBLY hold the customer
+  // (pruning ratio pinned in MetadataPlaneSpec; the file count depends
+  // on fpp misfires, so only the DATA result is oracled).
+  private def q153BloomPoint(s: SparkSession, d: String): DataFrame = {
+    val (hits, _) =
+      graft.sources.CommitLog.scanPoint(s, q152Lake(s, d), "o_custkey", 37L)
+    hits.agg(
+      count(lit(1)).as("n"),
+      min(col("o_orderkey")).as("min_ok"),
+      max(col("o_orderkey")).as("max_ok"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .as("sum_price"))
+  }
+
+  private val q153Sql =
+    """SELECT count(*) AS n,
+      |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_custkey = 37""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q135_constraints", q135Constraints, Some(q135Sql)),
     Q("q151_join_elim", q151JoinElim, Some(q151Sql)),
+    Q("q152_meta_agg", q152MetaAgg, Some(q152Sql)),
+    Q("q153_bloom_point", q153BloomPoint, Some(q153Sql)),
     Q("q137_skipping", q137Skipping, Some(q137Sql)),
     Q("q140_commitlog", q140CommitLog, Some(q140Sql)),
     Q("q141_txn", q141Txn, Some(q141Sql)),

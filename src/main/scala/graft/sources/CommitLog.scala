@@ -84,7 +84,8 @@ object CommitLog {
   final case class Snapshot(
       version: Long, files: Seq[String], batches: Seq[Long],
       statsCols: Seq[String], manifest: Option[String], op: String,
-      sketchCols: Seq[String] = Nil, schemaJson: Option[String] = None)
+      sketchCols: Seq[String] = Nil, schemaJson: Option[String] = None,
+      bloomCols: Seq[String] = Nil, bloomExpect: Long = 1L << 20)
 
   private def logPath(dir: String) = new Path(dir, LogDirName)
   private def versionFile(dir: String, v: Long) =
@@ -100,7 +101,8 @@ object CommitLog {
       ("version" -> s.version) ~ ("files" -> s.files) ~
         ("batches" -> s.batches) ~ ("statsCols" -> s.statsCols) ~
         ("manifest" -> s.manifest) ~ ("op" -> s.op) ~
-        ("sketchCols" -> s.sketchCols) ~ ("schemaJson" -> s.schemaJson)))
+        ("sketchCols" -> s.sketchCols) ~ ("schemaJson" -> s.schemaJson) ~
+        ("bloomCols" -> s.bloomCols) ~ ("bloomExpect" -> s.bloomExpect)))
   }
 
   private def parse(text: String): Snapshot = {
@@ -116,7 +118,9 @@ object CommitLog {
       (j \ "manifest").extractOpt[String],
       (j \ "op").extractOpt[String].getOrElse("unknown"),
       (j \ "sketchCols").extractOpt[Seq[String]].getOrElse(Nil),
-      (j \ "schemaJson").extractOpt[String])
+      (j \ "schemaJson").extractOpt[String],
+      (j \ "bloomCols").extractOpt[Seq[String]].getOrElse(Nil),
+      (j \ "bloomExpect").extractOpt[Long].getOrElse(1L << 20))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -261,9 +265,11 @@ object CommitLog {
     * RELATIVE path so manifest rows join the snapshot's file list
     * directly. */
   private def relStats(spark: SparkSession, dir: String, rels: Seq[String],
-      cols: Seq[String], sketchCols: Seq[String]): DataFrame = {
+      cols: Seq[String], sketchCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomExpect: Long = 1L << 20): DataFrame = {
     val base = hadoopFs(spark, dir).makeQualified(new Path(dir)).toUri.getPath
-    DataSkipping.fileStats(spark, dir, absolute(dir, rels), cols, sketchCols)
+    DataSkipping.fileStats(spark, dir, absolute(dir, rels), cols, sketchCols,
+        bloomCols, bloomExpect)
       .withColumn("file", regexp_replace(col("file"),
         "^.*" + java.util.regex.Pattern.quote(base) + "/", ""))
   }
@@ -294,7 +300,8 @@ object CommitLog {
     val f = hadoopFs(spark, dir)
     val v = prev.version + 1
     val manifestRel =
-      if (prev.statsCols.isEmpty && prev.sketchCols.isEmpty) None
+      if (prev.statsCols.isEmpty && prev.sketchCols.isEmpty &&
+        prev.bloomCols.isEmpty) None
       else {
         val tag = java.util.UUID.randomUUID.toString.take(8)
         val rel = f"manifest-v$v%020d-$tag.parquet"
@@ -305,7 +312,8 @@ object CommitLog {
         }
         val fresh =
           if (newRels.isEmpty) None
-          else Some(relStats(spark, dir, newRels, prev.statsCols, prev.sketchCols))
+          else Some(relStats(spark, dir, newRels, prev.statsCols,
+            prev.sketchCols, prev.bloomCols, prev.bloomExpect))
         val merged = (kept.toSeq ++ fresh).reduce(_ unionByName _)
         merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
           .parquet(s"$dir/$LogDirName/$rel")
@@ -313,7 +321,8 @@ object CommitLog {
       }
     val snap = Snapshot(v, files.sorted, batches.distinct.sorted,
       prev.statsCols, manifestRel, op, prev.sketchCols,
-      mergeSchemaJson(prev.schemaJson, schemaJson))
+      mergeSchemaJson(prev.schemaJson, schemaJson),
+      prev.bloomCols, prev.bloomExpect)
     casWrite(f, versionFile(dir, v), render(snap))
     snap
   }
@@ -326,7 +335,9 @@ object CommitLog {
     * metadata plane alone. */
   def init(spark: SparkSession, dir: String,
       statsCols: Seq[String] = Nil,
-      sketchCols: Seq[String] = Nil): Snapshot = {
+      sketchCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomExpect: Long = 1L << 20): Snapshot = {
     val f = hadoopFs(spark, dir)
     require(versionNumbers(f, dir).isEmpty, s"$dir already has a commit log")
     f.mkdirs(logPath(dir))
@@ -337,7 +348,8 @@ object CommitLog {
     val schema = spark.read.option("basePath", dir)
       .option("mergeSchema", "true")
       .parquet(absolute(dir, rels): _*).schema.json
-    val seed = Snapshot(0L, Nil, Nil, statsCols, None, "init", sketchCols)
+    val seed = Snapshot(0L, Nil, Nil, statsCols, None, "init", sketchCols,
+      None, bloomCols, bloomExpect)
     commit(spark, dir, seed, rels, rels, Nil, "init", Some(schema))
   }
 
@@ -682,6 +694,67 @@ object CommitLog {
   def scanRange(spark: SparkSession, dir: String, c: String,
       lo: Long, hi: Long): (DataFrame, (Int, Int)) =
     scanBox(spark, dir, Seq((c, lo, hi)))
+
+  /** EXACT `count(*)` / per-column `min` / `max` / `count(c)` for the
+    * latest snapshot, answered ENTIRELY from the committed manifest —
+    * zero data files opened, at any lake size.
+    *
+    * Soundness: the manifest rows were aggregated from the data files
+    * themselves and committed ATOMICALLY with the file list they
+    * summarize, so unlike the standalone sidecar there is no staleness
+    * case to fall back from — these are the same numbers a full scan
+    * would produce, already reduced per file. min/max ignore all-null
+    * files (their per-file min/max are null), `count(c)` is
+    * `rows − nulls_c`: exactly SQL semantics, which is what lets q152
+    * hash-match a DuckDB oracle that reads every row. This is the
+    * metadata-plane path Delta/Iceberg use for `SELECT count(*)`;
+    * percentile cousins ride [[quantiles]].
+    *
+    * Every requested column must be in the snapshot's `statsCols`. */
+  def statsAgg(spark: SparkSession, dir: String,
+      cols: Seq[String]): DataFrame = {
+    val s = mustLatest(spark, dir)
+    val missing = cols.filterNot(s.statsCols.contains)
+    require(missing.isEmpty,
+      s"$dir tracks no stats for ${missing.mkString(",")} (statsCols=${s.statsCols})")
+    val m = s.manifest.getOrElse(throw new IllegalStateException(
+      s"$dir version ${s.version} carries no manifest"))
+    val aggs = sum(col("rows")).as("rows") +: cols.flatMap { c =>
+      Seq(min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c"),
+        (sum(col("rows")) - sum(col(s"nulls_$c"))).as(s"count_$c"))
+    }
+    spark.read.parquet(s"$dir/$LogDirName/$m").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Point lookup `c = value` with per-file Bloom-filter pruning. Zone
+    * maps prune ranges on the CLUSTERED column; a point probe on any
+    * other column overlaps every file's [min,max] and they prune
+    * nothing. The committed per-file Bloom filters
+    * ([[graft.functions.NativeBloom]]) answer "could this file contain
+    * v?" with no layout assumption: negatives are definitive (pruning
+    * never drops a row), false positives only cost an extra file read,
+    * bounded by the filter's fpp (3% at the sized item count). The probe
+    * reads the kilobyte manifest, keeps possible files, and opens only
+    * those with the exact predicate re-applied. Same atomic-commit
+    * freshness argument as [[statsAgg]] — no staleness fallback needed.
+    * Returns the DataFrame plus (filesRead, filesTotal). */
+  def scanPoint(spark: SparkSession, dir: String, c: String,
+      value: Any): (DataFrame, (Int, Int)) = {
+    val s = mustLatest(spark, dir)
+    require(s.bloomCols.contains(c),
+      s"$dir tracks no bloom filter for '$c' (bloomCols=${s.bloomCols})")
+    val m = s.manifest.getOrElse(throw new IllegalStateException(
+      s"$dir version ${s.version} carries no manifest"))
+    val survivors = spark.read.parquet(s"$dir/$LogDirName/$m")
+      .filter(graft.functions.NativeBloom.bloomMightContain(
+        col(s"bloom_$c"), lit(value)))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val df =
+      if (survivors.isEmpty) readSnapshot(spark, dir, s).filter(col(c) === value).limit(0)
+      else readFiles(spark, dir, s, survivors).filter(col(c) === value)
+    (df, (survivors.size, s.files.size))
+  }
 
   /** Quantile estimates for sketch column `c` over the LATEST snapshot,
     * answered ENTIRELY from the committed manifest — kilobytes of

@@ -42,20 +42,11 @@ object DataSkipping {
     * listStatus spells them `file:/x`. Compare by scheme-less path. */
   private def normalize(uri: String): String = new Path(uri).toUri.getPath
 
-  /** One pass over the lake: per-file min/max/null-count for `cols`,
-    * written as the manifest sidecar (overwrite). */
-  def buildManifest(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
-    val aggs = cols.flatMap { c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
-    }
-    val manifest = spark.read.parquet(dir)
-      .withColumn("__file", input_file_name())
-      .groupBy(col("__file").as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-    manifest.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/$ManifestDir")
-  }
+  /** One pass over the lake: per-file row count + min/max/null-count for
+    * `cols`, written as the manifest sidecar (overwrite). */
+  def buildManifest(spark: SparkSession, dir: String, cols: Seq[String]): Unit =
+    fileStats(spark, dir, dataFiles(spark, dir).toSeq.sorted, cols)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$ManifestDir")
 
   /** Current data files of the lake (absolute URIs, sidecars excluded) —
     * the same view `input_file_name()` reports during a scan. RECURSIVE:
@@ -171,6 +162,8 @@ object DataSkipping {
       case c if c.startsWith("min_") => c.stripPrefix("min_")
     }
     if (cols.isEmpty) return
+    // pre-`rows` manifest generation: upgrade by full rebuild once
+    if (!old.columns.contains("rows")) { buildManifest(spark, dir, cols); return }
     val current = dataFiles(spark, dir)
     val currentNorm = current.map(normalize)
     // one string per file — the same driver-resident metadata-plane
@@ -191,20 +184,28 @@ object DataSkipping {
     finally graft.runtime.Lifetime.release(snapshot)
   }
 
-  /** Per-file min/max/null-count stats for an explicit file list — the
-    * zone-map aggregate shared by [[buildManifest]], [[refreshManifest]],
-    * and the commit log's per-version stats snapshot. */
+  /** Per-file stats for an explicit file list — the zone-map aggregate
+    * shared by [[buildManifest]], [[refreshManifest]], and the commit
+    * log's per-version stats snapshot. Always computes the file's exact
+    * row count (with the per-column null counts this makes
+    * `count(*)`/`count(c)` a pure metadata-plane answer —
+    * [[graft.sources.CommitLog.statsAgg]]); `sketchCols` adds per-file
+    * KLL(200) quantile sketches ([[graft.sources.CommitLog.quantiles]]),
+    * `bloomCols` adds per-file Bloom filters sized for `bloomExpect`
+    * values at 3% fpp ([[graft.sources.CommitLog.scanPoint]]). All of it
+    * rides ONE scan+aggregate pass over exactly the new files. */
   private[sources] def fileStats(spark: SparkSession, dir: String,
       files: Seq[String], cols: Seq[String],
-      sketchCols: Seq[String] = Nil): DataFrame = {
-    val aggs = cols.flatMap { c =>
+      sketchCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomExpect: Long = 1L << 20): DataFrame = {
+    val aggs = (count(lit(1)).as("rows") +: cols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
-    } ++ sketchCols.map { c =>
-      // per-file KLL(200) quantile sketch riding the same one-pass
-      // aggregate — the manifest then answers percentile queries from
-      // the metadata plane (CommitLog.quantiles)
+    }) ++ sketchCols.map { c =>
       graft.functions.NativeSketches.kllAgg(col(c), 200).as(s"kll_$c")
+    } ++ bloomCols.map { c =>
+      graft.functions.NativeBloom.bloomAgg(col(c), bloomExpect).as(s"bloom_$c")
     }
     spark.read.option("basePath", dir).parquet(files: _*)
       .withColumn("__file", input_file_name())
