@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.IncrementalView
 import graft.tables.Tables
 
 /** Round-3 engine surface, part 1: the SQL front end exercised with full
@@ -771,11 +772,71 @@ object EngineQueries {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders WHERE o_custkey = 37""".stripMargin
 
+  // --------------------------------------------------- q154_incr_view
+  // Incrementally-maintained materialized aggregate (IncrementalView):
+  // an orders slice becomes a commit-log lake partitioned by
+  // o_orderpriority, a priority-level revenue view bootstraps from it,
+  // an upsert doubles the price of every order with key ≤ 2000, and a
+  // refresh recomputes ONLY the touched partitions (the view's ledger
+  // carries the base version). The query itself is the steady-state
+  // serving path — an idempotent refresh (fresh → metadata no-op) plus
+  // the snapshot-isolated view read — and the DuckDB oracle recomputes
+  // the SAME numbers from raw orders, so hash-match proves the
+  // incremental maintenance landed on the from-scratch aggregate.
+  private val q154Views =
+    scala.collection.concurrent.TrieMap[String, IncrementalView.Definition]()
+  private def q154View(s: SparkSession, d: String): IncrementalView.Definition =
+    q154Views.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q154_")
+      val base = s"$work/base"
+      val slice = Tables.orders(s, d).filter(col("o_orderkey") <= 20000L)
+      slice.write.partitionBy("o_orderpriority").parquet(base)
+      graft.sources.CommitLog.init(s, base)
+      val defn = IncrementalView.Definition(
+        base, s"$work/view", "o_orderpriority", Seq("o_orderpriority"),
+        Seq(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          min(col("o_orderkey")).as("min_ok")))
+      IncrementalView.refresh(s, defn) // bootstrap
+      graft.sources.CommitLog.upsert(s,
+        slice.filter(col("o_orderkey") <= 2000L)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        base, Seq("o_orderkey"), "o_orderpriority")
+      IncrementalView.refresh(s, defn) // incremental catch-up
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      defn
+    })
+
+  private def q154IncrView(s: SparkSession, d: String): DataFrame = {
+    val defn = q154View(s, d)
+    IncrementalView.refresh(s, defn) // steady state: fresh → no-op
+    IncrementalView.read(s, defn)
+      .select(col("o_orderpriority").as("pr"), col("n"),
+        col("sum_price"), col("min_ok"))
+      .orderBy(col("pr"))
+  }
+
+  private val q154Sql =
+    """SELECT o_orderpriority AS pr, count(*) AS n,
+      |  CAST(sum(CAST(CASE WHEN o_orderkey <= 2000 THEN o_totalprice * 2
+      |                     ELSE o_totalprice END AS DECIMAL(18,2)))
+      |       AS DOUBLE) AS sum_price,
+      |  min(o_orderkey) AS min_ok
+      |FROM orders WHERE o_orderkey <= 20000
+      |GROUP BY 1 ORDER BY pr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q135_constraints", q135Constraints, Some(q135Sql)),
     Q("q151_join_elim", q151JoinElim, Some(q151Sql)),
     Q("q152_meta_agg", q152MetaAgg, Some(q152Sql)),
     Q("q153_bloom_point", q153BloomPoint, Some(q153Sql)),
+    Q("q154_incr_view", q154IncrView, Some(q154Sql)),
     Q("q137_skipping", q137Skipping, Some(q137Sql)),
     Q("q140_commitlog", q140CommitLog, Some(q140Sql)),
     Q("q141_txn", q141Txn, Some(q141Sql)),

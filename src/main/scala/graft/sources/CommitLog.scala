@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Versioned commit log for a parquet lake — ONE metadata mechanism
@@ -252,13 +252,90 @@ object CommitLog {
     else readFiles(spark, dir, snaps.last, added) // toV's committed schema
   }
 
+  /** The latest snapshot restricted to the given partition values — file
+    * pruning straight off the committed file list's `key=value` path
+    * components, no directory listing, no data read outside the
+    * partitions. */
+  def readPartitions(spark: SparkSession, dir: String,
+      partitionCol: String, parts: Seq[Any]): DataFrame = {
+    val s = mustLatest(spark, dir)
+    val dirs = parts.map(partDirOf(partitionCol, _)).toSet
+    val files = s.files.filter(f => dirs.exists(d => f.startsWith(d + "/")))
+    if (files.isEmpty)
+      readSnapshot(spark, dir, s).limit(0)
+    else readFiles(spark, dir, s, files)
+  }
+
+  /** Partition directories touched by the DATA commits in `(fromV, toV]`
+    * (files added or removed; `compact` versions skipped — a compaction
+    * moves every row without changing any). None when a version in the
+    * range was vacuumed — the caller must fall back to a full pass. */
+  def partsBetween(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): Option[Set[String]] = {
+    require(fromV < toV, s"partsBetween needs fromV < toV, got $fromV >= $toV")
+    val f = hadoopFs(spark, dir)
+    if (!(fromV to toV).forall(v => f.exists(versionFile(dir, v)))) return None
+    val snaps = (fromV to toV).map(snapshotAt(spark, dir, _))
+    Some(snaps.sliding(2).flatMap { case Seq(prev, cur) =>
+      if (cur.op == "compact") Nil
+      else {
+        val p = prev.files.toSet
+        val c = cur.files.toSet
+        ((c -- p) ++ (p -- c)).map(partOf)
+      }
+    }.toSet)
+  }
+
+  /** Copy-on-write PARTITION REPLACE: after the commit, the given
+    * partitions hold exactly `replacement`'s rows (a partition with no
+    * replacement rows ends up empty). The primitive behind
+    * [[IncrementalView]] refreshes — "recompute these slices" — and the
+    * natural way to re-materialize any partition-aligned derivation.
+    * Same conflict unit, rebase loop, ledger semantics, and additive
+    * schema rules as [[upsert]]; `replacement` rows outside `parts` are
+    * rejected loudly (they would silently vanish under the replace). */
+  def replacePartitions(spark: SparkSession, replacement: DataFrame,
+      dir: String, partitionCol: String, parts: Seq[Any],
+      batchId: Option[Long] = None): Snapshot = {
+    val s = mustLatest(spark, dir)
+    if (batchId.exists(s.batches.contains)) {
+      System.err.println(
+        s"[commitlog] batch ${batchId.get} already committed to $dir — replay skipped")
+      return s
+    }
+    val dirs = parts.map(partDirOf(partitionCol, _)).toSet
+    val stray = replacement
+      .filter(!partDirColumn(partitionCol).isInCollection(dirs.toSeq))
+      .limit(1).count()
+    require(stray == 0L,
+      s"replacePartitions into $dir: replacement holds rows outside " +
+        s"${parts.mkString(", ")}")
+    checkSchemaCompatible(s, replacement, dir)
+    val removed = s.files.filter(f => dirs.exists(d => f.startsWith(d + "/")))
+    val newRels = stageWrite(spark, dir, replacement, Seq(partitionCol))
+    commitRebase(spark, dir,
+      StagedUpsert(s, dirs, removed.toSet, newRels, batchId,
+        Some(replacement.schema.json)),
+      "replace", maxRetries = 10)
+  }
+
+  /** The `key=value` dir-name a row's partition value maps to — must
+    * mirror [[partDirOf]] (hive escaping, null sentinel) so the stray-row
+    * check compares apples to apples. */
+  private def partDirColumn(partitionCol: String): Column = {
+    val escape = udf((v: String) =>
+      if (v == null) s"$DefaultPartition"
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v))
+    concat(lit(partitionCol + "="), escape(col(partitionCol).cast("string")))
+  }
+
   // ---------------------------------------------------------- writing
   /** Dir-relative paths of the current on-disk data files. */
   private def listRel(spark: SparkSession, dir: String): Set[String] = {
     val base = hadoopFs(spark, dir).makeQualified(new Path(dir))
       .toUri.getPath.stripSuffix("/") + "/"
-    DataSkipping.dataFiles(spark, dir)
-      .map(u => new Path(u).toUri.getPath.stripPrefix(base))
+    DataSkipping.dataFiles(spark, dir).map(_.stripPrefix(base)) // raw paths
   }
 
   /** Zone-map stats (+ per-file KLL sketches) for `rels`, keyed by
@@ -337,7 +414,8 @@ object CommitLog {
       statsCols: Seq[String] = Nil,
       sketchCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      bloomExpect: Long = 1L << 20): Snapshot = {
+      bloomExpect: Long = 1L << 20,
+      initBatches: Seq[Long] = Nil): Snapshot = {
     val f = hadoopFs(spark, dir)
     require(versionNumbers(f, dir).isEmpty, s"$dir already has a commit log")
     f.mkdirs(logPath(dir))
@@ -350,7 +428,7 @@ object CommitLog {
       .parquet(absolute(dir, rels): _*).schema.json
     val seed = Snapshot(0L, Nil, Nil, statsCols, None, "init", sketchCols,
       None, bloomCols, bloomExpect)
-    commit(spark, dir, seed, rels, rels, Nil, "init", Some(schema))
+    commit(spark, dir, seed, rels, rels, initBatches, "init", Some(schema))
   }
 
   /** A staged-but-uncommitted upsert: the merged slice is ON DISK (new
@@ -368,6 +446,15 @@ object CommitLog {
   private def partOf(rel: String): String = {
     val i = rel.lastIndexOf('/')
     if (i < 0) "" else rel.substring(0, i)
+  }
+
+  /** `key=value` partition directory name for a partition value (hive
+    * escaping, null → default-partition sentinel). */
+  private[sources] def partDirOf(partitionCol: String, v: Any): String = v match {
+    case null => s"$partitionCol=$DefaultPartition"
+    case other => s"$partitionCol=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(other.toString)
   }
 
   /** Write `df` into the table via a WRITER-PRIVATE staging directory
@@ -418,6 +505,28 @@ object CommitLog {
     * Nothing is visible until [[commitStaged]]. Returns None when
     * `batchId` is already in the ledger (an at-least-once replay — the
     * whole upsert is a no-op). */
+  /** Additive schema evolution guard: incoming rows may ADD columns (old
+    * rows read them as null through the committed schema) but must carry
+    * every existing column — a partial-column write would silently null
+    * out data under the seq-struct merge, so it is rejected loudly.
+    * Types of shared columns must match (no widening). */
+  private def checkSchemaCompatible(s: Snapshot,
+      incoming: DataFrame, dir: String): Unit =
+    s.schemaJson.foreach { j =>
+      val bs = org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val missing = bs.fieldNames.filterNot(incoming.columns.contains)
+      require(missing.isEmpty,
+        s"write into $dir must carry every table column (additive " +
+          s"evolution only); missing: ${missing.mkString(", ")}")
+      bs.fields.filter(f => incoming.columns.contains(f.name)).foreach { f =>
+        val ut = incoming.schema(f.name).dataType
+        require(ut == f.dataType,
+          s"write into $dir changes type of '${f.name}' " +
+            s"(${f.dataType.simpleString} -> ${ut.simpleString}) — not supported")
+      }
+    }
+
   def stageUpsert(spark: SparkSession, updates: DataFrame, dir: String,
       keyCols: Seq[String], partitionCol: String,
       seqCol: Option[String] = None,
@@ -431,33 +540,10 @@ object CommitLog {
     }
     val parts = updates.select(col(partitionCol)).distinct().collect()
       .map(_.get(0)).toSeq // one value per touched partition — small
-    val partDirs = parts.map {
-      case null => s"$partitionCol=$DefaultPartition"
-      case v => s"$partitionCol=" +
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(v.toString)
-    }.toSet
+    val partDirs = parts.map(partDirOf(partitionCol, _)).toSet
     val (touched, _) =
       s.files.partition(f => partDirs.exists(d => f.startsWith(d + "/")))
-    // additive schema evolution: updates may ADD columns (old rows read
-    // them as null through the committed schema) but must carry every
-    // existing column — a partial-column upsert would silently null out
-    // data under the seq-struct merge, so it is rejected loudly. Types
-    // of shared columns must match (no widening).
-    s.schemaJson.foreach { j =>
-      val bs = org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      val missing = bs.fieldNames.filterNot(updates.columns.contains)
-      require(missing.isEmpty,
-        s"upsert into $dir must carry every table column (additive " +
-          s"evolution only); missing: ${missing.mkString(", ")}")
-      bs.fields.filter(f => updates.columns.contains(f.name)).foreach { f =>
-        val ut = updates.schema(f.name).dataType
-        require(ut == f.dataType,
-          s"upsert into $dir changes type of '${f.name}' " +
-            s"(${f.dataType.simpleString} -> ${ut.simpleString}) — not supported")
-      }
-    }
+    checkSchemaCompatible(s, updates, dir)
     val merged =
       if (touched.isEmpty) updates
       else {
@@ -639,7 +725,7 @@ object CommitLog {
     val hitFiles = readSnapshot(spark, dir, s)
       .filter(cond)
       .select(input_file_name().as("f")).distinct()
-      .collect().map(r => new Path(r.getString(0)).toUri.getPath
+      .collect().map(r => DataSkipping.rawPath(r.getString(0))
         .stripPrefix(base)).toSet // one row per file with matches — small
     if (hitFiles.isEmpty) return s
     val partCols = s.files.head.split('/').dropRight(1)

@@ -38,9 +38,22 @@ object DataSkipping {
 
   private val ManifestDir = "_graft_manifest"
 
-  /** `input_file_name()` spells local files `file:///x`; Hadoop's
-    * listStatus spells them `file:/x`. Compare by scheme-less path. */
-  private def normalize(uri: String): String = new Path(uri).toUri.getPath
+  /** Canonical RAW filesystem path for any of the three spellings a
+    * file path reaches us in: `input_file_name()` / `Path.toUri` emit
+    * URI-ENCODED strings with a scheme (`file:///x/p=A%20B/f`), Hadoop
+    * listings carry raw names, and our own stored rels are raw. A
+    * scheme-prefixed string is a URI — parse it and take the DECODED
+    * path; a bare string is already raw and must NOT be decoded (an
+    * on-disk name may contain a literal `%` from hive escaping — p=a%3Ab
+    * for value "a:b" — which a second decode would corrupt). Mixing the
+    * two spellings without this rule is exactly how partition values
+    * with spaces broke the path round-trip. */
+  private[sources] def rawPath(s: String): String =
+    if (s.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*"))
+      new java.net.URI(s).getPath
+    else s
+
+  private def normalize(uri: String): String = rawPath(uri)
 
   /** One pass over the lake: per-file row count + min/max/null-count for
     * `cols`, written as the manifest sidecar (overwrite). */
@@ -65,9 +78,12 @@ object DataSkipping {
     while (it.hasNext) {
       val p = it.next().getPath
       if (p.getName.endsWith(".parquet")) {
-        val rel = p.toUri.getPath.stripPrefix(base)
+        // RAW absolute path (toUri.getPath decodes what toUri encoded):
+        // the canonical spelling every consumer stores and reads by
+        val raw = p.toUri.getPath
+        val rel = raw.stripPrefix(base)
         if (!rel.split('/').exists(c => c.startsWith("_") || c.startsWith(".")))
-          out += p.toUri.toString
+          out += raw
       }
     }
     out.result()
@@ -136,7 +152,7 @@ object DataSkipping {
       if (survivors.isEmpty)
         spark.read.parquet(dir).filter(predicate).limit(0)
       else spark.read.option("basePath", dir)
-        .parquet(survivors.toIndexedSeq: _*).filter(predicate)
+        .parquet(survivors.toIndexedSeq.map(rawPath): _*).filter(predicate)
     (df, (survivors.length, current.size))
   }
 
@@ -207,8 +223,11 @@ object DataSkipping {
     } ++ bloomCols.map { c =>
       graft.functions.NativeBloom.bloomAgg(col(c), bloomExpect).as(s"bloom_$c")
     }
+    // input_file_name() is URI-encoded; store the canonical RAW path so
+    // manifest rows compare and read back against snapshot rels exactly
+    val decode = udf((s: String) => rawPath(s))
     spark.read.option("basePath", dir).parquet(files: _*)
-      .withColumn("__file", input_file_name())
+      .withColumn("__file", decode(input_file_name()))
       .groupBy(col("__file").as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }

@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[IncrementalView]]: after any sequence of base upserts/deletes, an
+  * incremental refresh must land the view on EXACTLY the from-scratch
+  * aggregate of the current base — while recomputing only the touched
+  * partitions. Covers bootstrap, single-partition refresh, non-invertible
+  * aggregates (min under value-raising updates), delete propagation
+  * (including a fully-emptied partition), idempotent re-refresh, and the
+  * vacuumed-history full-refresh fallback.
+  */
+class IncrementalViewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_incrview_").toString
+
+  private def seed(dir: String): Unit = {
+    // 4 partitions × 25 keys
+    spark.range(0, 100).select(
+        col("id").as("k"), (col("id") % 4).cast("int").as("p"),
+        (col("id") * 10).as("v"))
+      .repartition(2)
+      .write.partitionBy("p").parquet(dir)
+    CommitLog.init(spark, dir)
+  }
+
+  private def defOf(base: String, view: String) = IncrementalView.Definition(
+    base, view, "p", Seq("p"),
+    Seq(count(lit(1)).as("n"), sum("v").as("sv"), min("v").as("mn")))
+
+  private def direct(base: String): Seq[String] =
+    CommitLog.read(spark, base).groupBy("p")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"), min("v").as("mn"))
+      .collect().map(_.toString).sorted.toSeq
+
+  private def viewRows(d: IncrementalView.Definition): Seq[String] =
+    IncrementalView.read(spark, d).select("p", "n", "sv", "mn")
+      .collect().map(_.toString).sorted.toSeq
+
+  test("bootstrap, targeted refresh, deletes, idempotence, vacuum fallback — view ≡ direct aggregate throughout") {
+    val work = tmp()
+    val base = s"$work/base"
+    val view = s"$work/view"
+    seed(base)
+    val d = defOf(base, view)
+
+    // bootstrap = full build
+    assert(IncrementalView.refresh(spark, d) === Seq("*"))
+    assert(viewRows(d) === direct(base))
+
+    // upsert touching ONLY partition 2 (k ≡ 2 mod 4, raising v so the
+    // min is NON-invertible state: delta subtraction could never get
+    // this right, recompute must)
+    CommitLog.upsert(spark,
+      Seq((2L, 2, 99999L), (6L, 2, -5L)).toDF("k", "p", "v")
+        .withColumn("p", col("p").cast("int")),
+      base, Seq("k"), "p")
+    val touched = IncrementalView.refresh(spark, d)
+    assert(touched === Seq("2"), s"expected only partition 2, got $touched")
+    assert(viewRows(d) === direct(base))
+
+    // already fresh → no-op
+    assert(IncrementalView.refresh(spark, d) === Nil)
+
+    // delete part of partition 1, ALL of partition 3: groups shrink and
+    // the emptied partition's group disappears from the view
+    CommitLog.delete(spark, base, col("p") === 1 && col("k") < 50L)
+    CommitLog.delete(spark, base, col("p") === 3)
+    val touched2 = IncrementalView.refresh(spark, d)
+    assert(touched2.toSet === Set("1", "3"))
+    assert(viewRows(d) === direct(base))
+    assert(!viewRows(d).exists(_.startsWith("[3,")), "emptied partition's group survived")
+
+    // vacuum the base history out from under the ledger → loud full
+    // refresh, still exact
+    CommitLog.upsert(spark,
+      Seq((0L, 0, 7L)).toDF("k", "p", "v").withColumn("p", col("p").cast("int")),
+      base, Seq("k"), "p")
+    CommitLog.vacuum(spark, base, keepLast = 1)
+    val touched3 = IncrementalView.refresh(spark, d)
+    assert(touched3.nonEmpty)
+    assert(viewRows(d) === direct(base))
+
+    // the view is itself a commit-log table: refresh history is time travel
+    val versions = (1L to CommitLog.latest(spark, view).get.version)
+    assert(versions.size >= 4)
+  }
+
+  test("definition requires group locality (partitionCol in groupCols)") {
+    intercept[IllegalArgumentException] {
+      IncrementalView.Definition("b", "v", "p", Seq("k"), Seq(count(lit(1)).as("n")))
+    }
+  }
+}
