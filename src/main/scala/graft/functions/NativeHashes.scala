@@ -295,5 +295,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // folded plan is itself optimized further (filter merge, pruning)
     e.injectOptimizerRule(_ => graft.plans.FoldCountOverReplicateRows)
     e.injectOptimizerRule(_ => graft.plans.EliminateRiDimJoin)
+    e.injectOptimizerRule(s => new graft.plans.RewriteAggregateOnView(s))
   }
 }

@@ -47,7 +47,12 @@ object ConstraintCatalog {
       try {
         val u = new java.net.URI(path)
         if (u.getScheme == null) path else u.getPath
-      } catch { case _: java.net.URISyntaxException => path }
+      } catch { case _: java.net.URISyntaxException =>
+        // not URI-parseable (e.g. an unescaped space from a hive
+        // partition value like "4-NOT SPECIFIED") — strip a scheme
+        // prefix textually so "file:/x/a b" still matches "/x/a b"
+        path.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:(//)?", "")
+      }
     val trimmed = p.replaceAll("/+$", "")
     if (trimmed.isEmpty) "/" else trimmed
   }

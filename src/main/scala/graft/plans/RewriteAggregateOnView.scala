@@ -1,0 +1,290 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal,
+  NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.DoubleType
+
+import graft.sources.{CommitLog, IncrementalView}
+
+/** Registry of [[IncrementalView]] definitions the optimizer may answer
+  * queries FROM, keyed by the base table's normalized path.
+  *
+  * Registration parses each view aggregate into a structured
+  * [[MatViewCatalog.AggSpec]] and REJECTS anything it cannot prove
+  * derivable under rollup (only plain `count(*)`, `count(col)`,
+  * `sum(col)`, `min(col)`, `max(col)` over a bare column qualify —
+  * a cast or arithmetic inside the aggregate would make re-aggregation
+  * of the view's partials unsound to infer syntactically). Views with
+  * richer aggregates still work through [[IncrementalView.read]]; they
+  * are just not eligible for *transparent* rewrite.
+  *
+  * JVM-global and thread-safe like [[ConstraintCatalog]]; specs use
+  * [[clear]] for isolation.
+  */
+object MatViewCatalog {
+
+  /** One view value column: `valueCol = op(input)` over the base, with
+    * `input = None` meaning `count(*)`. */
+  final case class AggSpec(op: String, input: Option[String], valueCol: String)
+
+  final case class RegisteredView(
+      defn: IncrementalView.Definition, specs: Seq[AggSpec])
+
+  private val views = TrieMap[String, RegisteredView]()
+
+  def register(d: IncrementalView.Definition): RegisteredView = {
+    require(
+      ConstraintCatalog.normalize(d.baseDir) !=
+        ConstraintCatalog.normalize(d.viewDir),
+      "a view cannot be registered over itself")
+    val specs = d.aggs.map { c =>
+      val e = ColumnBridge.catalystExpression(c)
+      parseAgg(e).getOrElse(throw new IllegalArgumentException(
+        s"view aggregate not rewrite-derivable (need count/sum/min/max " +
+          s"of a bare column, aliased): $e"))
+    }
+    require(specs.map(_.valueCol).distinct.size == specs.size,
+      "view aggregate aliases must be distinct")
+    val r = RegisteredView(d, specs)
+    views.put(ConstraintCatalog.normalize(d.baseDir), r)
+    r
+  }
+
+  def isEmpty: Boolean = views.isEmpty
+  def all: Seq[RegisteredView] = views.values.toSeq
+  def clear(): Unit = views.clear()
+
+  // Column-API aggregates arrive UNRESOLVED (Spark 4 ColumnNode →
+  // UnresolvedFunction); a definition round-tripped through an analyzed
+  // plan would carry resolved AggregateExpressions. Accept both shapes.
+  private def parseAgg(e: Expression): Option[AggSpec] = e match {
+    case a: Alias =>
+      val fn: Option[(String, Seq[Expression])] = a.child match {
+        case u: UnresolvedFunction
+            if !u.isDistinct && u.filter.isEmpty =>
+          Some((u.nameParts.last.toLowerCase(java.util.Locale.ROOT),
+            u.arguments))
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case s: Sum => Some(("sum", Seq(s.child)))
+            case m: Min => Some(("min", Seq(m.child)))
+            case m: Max => Some(("max", Seq(m.child)))
+            case c: Count => Some(("count", c.children))
+            case _ => None
+          }
+        case _ => None
+      }
+      fn.flatMap {
+        case ("count", Seq(Literal(_, _))) => Some(AggSpec("count", None, a.name))
+        case ("count", Seq(BareCol(c))) => Some(AggSpec("count", Some(c), a.name))
+        case ("sum", Seq(BareCol(c))) => Some(AggSpec("sum", Some(c), a.name))
+        case ("min", Seq(BareCol(c))) => Some(AggSpec("min", Some(c), a.name))
+        case ("max", Seq(BareCol(c))) => Some(AggSpec("max", Some(c), a.name))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private object BareCol {
+    def unapply(e: Expression): Option[String] = e match {
+      case UnresolvedAttribute(parts) => Some(parts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+  }
+}
+
+/** Transparent materialized-view rewrite: an aggregate over a commit-log
+  * base table is answered from a registered, FRESH [[IncrementalView]]
+  * instead — the classic view-matching optimization (Goldstein &
+  * Larson, SIGMOD'01; Calcite's `MaterializedViewRule`; BigQuery/
+  * Snowflake smart rewrite), done here for the repo's own lakehouse.
+  *
+  * Why it matters at 100 TB: the view holds one row per group — a
+  * dashboard query that would scan the lake (TBs) re-aggregates a
+  * partition-pruned parquet table that is MBs. The user keeps writing
+  * queries against the base table; freshness and routing are the
+  * engine's job, exactly like an index.
+  *
+  * Soundness gates (all must hold, else the plan is untouched):
+  *
+  *  - '''Snapshot identity''': the scan's file set equals the base
+  *    table's LATEST committed snapshot, file for file. A time-travel
+  *    read ([[CommitLog.readAt]]), a raw directory read (which would
+  *    see pre-vacuum files the log no longer references), or any
+  *    manually assembled file list therefore never matches.
+  *  - '''Freshness''': the view's refresh ledger carries the base
+  *    version it refreshed to ([[IncrementalView]]'s `batchId`
+  *    convention); it must be ≥ the scanned snapshot's version. A stale
+  *    view silently costs the rewrite, never correctness.
+  *  - '''Containment''': grouping expressions are bare base columns and
+  *    a subset of the view's grouping (rollup to a COARSER grouping
+  *    re-aggregates the view's partials — sound because view groups
+  *    partition the base rows); filters reference grouping columns only
+  *    (then they select whole groups and commute with the view
+  *    aggregate); every query aggregate derives from a view column:
+  *    `count(*) → coalesce(sum(cnt), 0)`, `count(x) → coalesce(sum(cnt_x),
+  *    0)`, `sum(x) → sum(sum_x)`, `min(x) → min(min_x)`,
+  *    `max(x) → max(max_x)`, `avg(x) → sum(sum_x)/sum(cnt_x)` (both
+  *    parts required). The `coalesce` matters for the global-grouping
+  *    empty case where `count` must yield 0, not null.
+  *  - '''Type identity''': every rewritten aggregate must produce
+  *    exactly the original's data type (e.g. `sum` over DECIMAL widens
+  *    per level, so a decimal sum-of-sum would NOT type-match and the
+  *    rewrite is declined; DOUBLE and LONG sums are closed under
+  *    re-aggregation and pass).
+  *
+  * Output attribute names AND exprIds are preserved (the
+  * [[EliminateRiDimJoin]] discipline), so operators above the aggregate
+  * never re-resolve. The rewritten plan scans only view files, which no
+  * registered base prefix matches, so the rule cannot re-fire on its own
+  * output. Metadata-plane I/O (two version-file reads) happens only
+  * after the cheap structural match succeeds.
+  */
+class RewriteAggregateOnView(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import MatViewCatalog.{AggSpec, RegisteredView}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MatViewCatalog.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (scan, conds) = peel(agg.child, Nil).getOrElse(return None)
+    val fsRel = scan.relation match {
+      case h: HadoopFsRelation => h
+      case _ => return None
+    }
+    val scanPaths = fsRel.location.rootPaths
+      .map(p => ConstraintCatalog.normalize(p.toString))
+    if (scanPaths.isEmpty) return None
+    val rv = MatViewCatalog.all.find { r =>
+      val base = ConstraintCatalog.normalize(r.defn.baseDir)
+      scanPaths.forall(p => p == base || p.startsWith(base + "/"))
+    }.getOrElse(return None)
+    val d = rv.defn
+
+    // structural containment first (cheap, no I/O)
+    val groupNames: Seq[String] = agg.groupingExpressions.map {
+      case a: AttributeReference if d.groupCols.contains(a.name) => a.name
+      case _ => return None
+    }
+    if (!conds.forall(c => c.deterministic && c.references.forall {
+          case a: AttributeReference => d.groupCols.contains(a.name)
+          case _ => false
+        })) return None
+
+    // snapshot identity + freshness (metadata plane: two version files)
+    val snap = CommitLog.latestFiles(spark, d.baseDir).getOrElse(return None)
+    val (baseSnap, baseFiles) = snap
+    if (baseFiles.map(ConstraintCatalog.normalize).toSet != scanPaths.toSet)
+      return None
+    val refreshedTo = IncrementalView.lastRefreshed(spark, d)
+      .getOrElse(return None)
+    if (refreshedTo < baseSnap.version) return None
+
+    // the view's analyzed plan (fresh exprIds per rewrite — no clashes)
+    val viewPlan = CommitLog.read(spark, d.viewDir).queryExecution.analyzed
+    val viewAttr: Map[String, Attribute] =
+      viewPlan.output.map(a => a.name -> a).toMap
+    if (!d.groupCols.forall(viewAttr.contains) ||
+        !rv.specs.forall(s => viewAttr.contains(s.valueCol))) return None
+
+    def spec(op: String, input: Option[String]): Option[Attribute] =
+      rv.specs.find(s => s.op == op && s.input == input)
+        .map(s => viewAttr(s.valueCol))
+
+    def sumOf(a: Attribute): Expression =
+      Sum(a).toAggregateExpression()
+
+    // derive each output; bail (None) on anything not provably coverable
+    def derive(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case c: Count => c.children match {
+          case Seq(Literal(_, _)) =>
+            spec("count", None).map(v => Coalesce(Seq(sumOf(v), Literal(0L))))
+          case Seq(x: AttributeReference) =>
+            spec("count", Some(x.name))
+              .map(v => Coalesce(Seq(sumOf(v), Literal(0L))))
+          case _ => None
+        }
+        case s: Sum => s.child match {
+          case x: AttributeReference => spec("sum", Some(x.name)).map(sumOf)
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case x: AttributeReference =>
+            spec("min", Some(x.name)).map(v => Min(v).toAggregateExpression())
+          case _ => None
+        }
+        case m: Max => m.child match {
+          case x: AttributeReference =>
+            spec("max", Some(x.name)).map(v => Max(v).toAggregateExpression())
+          case _ => None
+        }
+        case a: Average => a.child match {
+          case x: AttributeReference =>
+            for {
+              s <- spec("sum", Some(x.name))
+              c <- spec("count", Some(x.name))
+            } yield org.apache.spark.sql.catalyst.expressions.Divide(
+              Cast(sumOf(s), DoubleType), Cast(sumOf(c), DoubleType))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+
+    val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        Alias(viewAttr(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(x: AttributeReference, name)
+          if groupNames.contains(x.name) =>
+        Alias(viewAttr(x.name), name)(exprId = al.exprId)
+      case al @ Alias(ae: AggregateExpression, name) =>
+        val derived = derive(ae).getOrElse(return None)
+        // type identity: a decimal sum-of-sum widens and would NOT match
+        if (derived.dataType != al.dataType) return None
+        Alias(derived, name)(exprId = al.exprId)
+      case _ => return None
+    }
+
+    val newGroupings: Seq[Expression] = groupNames.map(viewAttr)
+    val rewired = conds.foldRight(viewPlan) { (c, p) =>
+      Filter(c.transform {
+        case a: AttributeReference => viewAttr(a.name)
+      }, p)
+    }
+    Some(Aggregate(newGroupings, newAggs, rewired, agg.hint))
+  }
+
+  /** Strip pass-through Projects and deterministic Filters down to the
+    * scan, collecting filter conditions in top-down order. */
+  @annotation.tailrec
+  private def peel(p: LogicalPlan, conds: Seq[Expression])
+      : Option[(LogicalRelation, Seq[Expression])] = p match {
+    case lr: LogicalRelation => Some((lr, conds))
+    case Filter(c, child) if c.deterministic => peel(child, conds :+ c)
+    case Project(list, child)
+        if list.forall(_.isInstanceOf[AttributeReference]) =>
+      peel(child, conds)
+    case _ => None
+  }
+}

@@ -831,8 +831,84 @@ object EngineQueries {
       |FROM orders WHERE o_orderkey <= 20000
       |GROUP BY 1 ORDER BY pr""".stripMargin
 
+  // ------------------------------------------------ q155_view_rewrite
+  // Transparent materialized-view routing (plans/RewriteAggregateOnView):
+  // the fixture builds a commit-log orders lake partitioned by
+  // o_orderpriority, registers an IncrementalView over it in the
+  // MatViewCatalog, upserts (so the view's state came through the
+  // INCREMENTAL refresh path), and refreshes. The query is then written
+  // against the BASE table — filter + groupBy + count/sum/min/max/avg —
+  // and the optimizer answers it from the view because the scanned file
+  // set equals the latest snapshot and the view's ledger proves
+  // freshness (routing itself is pinned in PlanAuditSpec/
+  // ViewRewriteSpec). The DuckDB oracle recomputes from raw orders, so
+  // a hash-match proves rewrite + incremental maintenance land on the
+  // from-scratch answer. All aggregates are exact in IEEE double
+  // (integer sums < 2^53; avg is one division of exact values).
+  private val q155Views =
+    scala.collection.concurrent.TrieMap[String, IncrementalView.Definition]()
+  private def q155View(s: SparkSession, d: String): IncrementalView.Definition =
+    q155Views.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q155_")
+      val base = s"$work/base"
+      val slice = Tables.orders(s, d).filter(col("o_orderkey") <= 40000L)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+      slice.filter(col("o_orderkey") <= 30000L)
+        .write.partitionBy("o_orderpriority").parquet(base)
+      graft.sources.CommitLog.init(s, base)
+      val defn = IncrementalView.Definition(
+        base, s"$work/view", "o_orderpriority", Seq("o_orderpriority"),
+        Seq(count(lit(1)).as("cnt"),
+          sum(col("o_custkey")).as("sum_ck"),
+          count(col("o_custkey")).as("cnt_ck"),
+          min(col("o_orderkey")).as("min_ok"),
+          max(col("o_orderkey")).as("max_ok")))
+      graft.plans.MatViewCatalog.register(defn)
+      IncrementalView.refresh(s, defn) // bootstrap
+      // rows (30000, 40000] arrive as an upsert: the registered view's
+      // serving state is produced by the incremental path, not the build
+      graft.sources.CommitLog.upsert(s,
+        slice.filter(col("o_orderkey") > 30000L),
+        base, Seq("o_orderkey"), "o_orderpriority")
+      IncrementalView.refresh(s, defn)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      defn
+    })
+
+  private def q155ViewRewrite(s: SparkSession, d: String): DataFrame = {
+    val defn = q155View(s, d)
+    IncrementalView.refresh(s, defn) // steady state: fresh → metadata no-op
+    graft.sources.CommitLog.read(s, defn.baseDir)
+      .filter(col("o_orderpriority") =!= "3-MEDIUM")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_custkey")).as("sum_ck"),
+        min(col("o_orderkey")).as("min_ok"),
+        max(col("o_orderkey")).as("max_ok"),
+        avg(col("o_custkey")).as("avg_ck"))
+      .select(col("o_orderpriority").as("pr"), col("n"), col("sum_ck"),
+        col("min_ok"), col("max_ok"), col("avg_ck"))
+      .orderBy(col("pr"))
+  }
+
+  private val q155Sql =
+    """SELECT o_orderpriority AS pr, count(*) AS n,
+      |  sum(o_custkey) AS sum_ck,
+      |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
+      |  CAST(sum(o_custkey) AS DOUBLE) / CAST(count(o_custkey) AS DOUBLE)
+      |    AS avg_ck
+      |FROM orders
+      |WHERE o_orderkey <= 40000 AND o_orderpriority <> '3-MEDIUM'
+      |GROUP BY 1 ORDER BY pr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q135_constraints", q135Constraints, Some(q135Sql)),
+    Q("q155_view_rewrite", q155ViewRewrite, Some(q155Sql)),
     Q("q151_join_elim", q151JoinElim, Some(q151Sql)),
     Q("q152_meta_agg", q152MetaAgg, Some(q152Sql)),
     Q("q153_bloom_point", q153BloomPoint, Some(q153Sql)),

@@ -180,6 +180,13 @@ object CommitLog {
     latest(spark, dir).getOrElse(throw new IllegalStateException(
       s"$dir has no commit log — CommitLog.init it first"))
 
+  /** Latest snapshot plus its data files as ABSOLUTE paths — the
+    * metadata-plane identity [[graft.plans.RewriteAggregateOnView]]
+    * matches a scan's file set against. */
+  def latestFiles(spark: SparkSession, dir: String)
+      : Option[(Snapshot, Seq[String])] =
+    latest(spark, dir).map(s => (s, absolute(dir, s.files)))
+
   private def absolute(dir: String, rels: Seq[String]): Seq[String] =
     rels.map(r => s"$dir/$r")
 

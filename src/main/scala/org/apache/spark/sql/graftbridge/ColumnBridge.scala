@@ -11,4 +11,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly converts the ColumnNode tree to its catalyst Expression
+    * ([[expression]] returns a lazy wrapper whose structure cannot be
+    * pattern-matched before analysis). */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

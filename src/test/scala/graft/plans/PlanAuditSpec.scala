@@ -209,6 +209,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fk null-filter not pushed to the scan:\n$p")
   }
 
+  test("q155: aggregate over the base lake is answered from the materialized view — base never scanned") {
+    val p = planOf("q155_view_rewrite")
+    assert(p.contains("/view"), s"scan not routed to the view:\n$p")
+    assert(!p.contains("/base"), s"base lake still scanned:\n$p")
+  }
+
   test("q86: z-order bucketing is one interleave window + one agg — two exchanges") {
     val p = planOf("q86_zorder")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
