@@ -16,9 +16,11 @@ import graft.tables.Tables
   * flow (file source → sink) over the driver's parquet tables, runs it to
   * completion synchronously, and returns a batch DataFrame summarizing
   * the sink — rows > 0 is the smoke contract, no_oracle like the other
-  * non-SQL-expressible entries (q21/q24 precedent).
+  * non-SQL-expressible entries (q21/q24 precedent) — except
+  * q156_stream_view, whose converged final state is deterministic and
+  * therefore carries a full DuckDB oracle.
   *
-  * Both queries bound their input to a fixed-size slice of `documents`
+  * The queries bound their input to a fixed-size slice of `documents`
   * (doc_id-filtered) so cost is CONSTANT in the scale factor: what they
   * measure is the streaming machinery (micro-batch scheduling, state
   * store, ledger commit), not table scan width — the batch queries
@@ -154,8 +156,60 @@ object StreamingQueries {
       org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType))))
   }
 
+  // ------------------------------------------------- q156_stream_view
+  /** The continuously-maintained reporting table, end to end: the q145
+    * exactly-once logged upsert stream, but with an
+    * [[graft.sources.IncrementalView]] refreshed after every
+    * micro-batch commit
+    * ([[StreamingIngest.upsertStreamMaintainingView]]) and registered
+    * in [[graft.plans.MatViewCatalog]] — so the final serving query,
+    * written against the BASE lake, is transparently answered from the
+    * view by the optimizer (PlanAuditSpec pins that the lake is never
+    * scanned). Unlike the other streaming entries this one carries a
+    * full DuckDB oracle: the converged final state is deterministic
+    * (greatest seq wins per key regardless of batch order), so a
+    * hash-match proves stream → commit log → incremental view →
+    * rewrite all land on the from-scratch answer. */
+  private def q156StreamView(s: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft_q156_").toString
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+    val v1 = docs.select(col("doc_id").as("id"), col("lang").as("part"),
+      lit(1L).as("seq"), col("n_chars").cast("long").as("payload_len"))
+    val v2 = docs.select(col("doc_id").as("id"), col("lang").as("part"),
+      lit(2L).as("seq"), (col("n_chars") + 1L).cast("long").as("payload_len"))
+    v1.unionByName(v2).repartition(3).write.parquet(s"$work/landing")
+    val updates = s.readStream
+      .schema(v1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/landing")
+    val defn = graft.sources.IncrementalView.Definition(
+      s"$work/lake", s"$work/view", "part", Seq("part"),
+      Seq(count(lit(1)).as("cnt"), sum(col("payload_len")).as("sum_pl"),
+        min(col("seq")).as("min_sq"), max(col("seq")).as("max_sq")))
+    graft.plans.MatViewCatalog.register(defn)
+    val q = StreamingIngest.upsertStreamMaintainingView(
+      updates, defn, keyCols = Seq("id"), seqCol = "seq",
+      checkpointDir = s"$work/chk", statsCols = Seq("id"))
+    try q.processAllAvailable() finally q.stop()
+    graft.sources.CommitLog.read(s, defn.baseDir)
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("payload_len")).as("payload_bytes"),
+        min(col("seq")).as("min_seq"),
+        max(col("seq")).as("max_seq"))
+      .orderBy(col("part"))
+  }
+
+  private val q156Sql =
+    """SELECT lang AS part, count(*) AS n_keys,
+      |  CAST(sum(n_chars + 1) AS BIGINT) AS payload_bytes,
+      |  CAST(2 AS BIGINT) AS min_seq, CAST(2 AS BIGINT) AS max_seq
+      |FROM documents WHERE doc_id < 200
+      |GROUP BY 1 ORDER BY part""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q132_stream_upsert", q132Upsert, None),
     Q("q145_stream_upsert_logged", q145UpsertLogged, None),
+    Q("q156_stream_view", q156StreamView, Some(q156Sql)),
     Q("q133_stream_neardup", q133NearDup, None))
 }

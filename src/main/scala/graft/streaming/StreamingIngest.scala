@@ -167,6 +167,49 @@ object StreamingIngest {
       .start()
   }
 
+  /** [[upsertStreamLogged]] that also keeps an
+    * [[graft.sources.IncrementalView]] current: after each micro-batch's
+    * atomic commit, the view catches up through its normal incremental
+    * refresh — recomputing only the partitions that batch touched. The
+    * view's OWN refresh ledger carries the base version it refreshed to,
+    * so a replayed or crashed-and-restarted batch's refresh is a
+    * metadata no-op and the view inherits the stream's exactly-once
+    * without any extra state. A serving query against the base table is
+    * then answered from the view by
+    * [[graft.plans.RewriteAggregateOnView]] (when registered), so the
+    * dashboard path never scans the growing lake — the streaming
+    * analog of a continuously-maintained reporting table. `defn`
+    * supplies the base path and partition column. */
+  def upsertStreamMaintainingView(
+      updates: DataFrame, defn: graft.sources.IncrementalView.Definition,
+      keyCols: Seq[String], seqCol: String,
+      checkpointDir: String, statsCols: Seq[String] = Nil): StreamingQuery = {
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val keys = keyCols.map(col)
+          val latest = batch
+            .groupBy(keys: _*)
+            .agg(max(struct(col(seqCol) +: batch.columns.filterNot(c =>
+              keyCols.contains(c) || c == seqCol).map(col) :_*)).as("__v"))
+            .select(keys ++ batch.columns.filterNot(keyCols.contains).map(c =>
+              col(s"__v.$c").as(c)) :_*)
+          val snap = graft.sources.CommitLog.upsertOrCreate(
+            batch.sparkSession, latest, defn.baseDir, keyCols,
+            defn.partitionCol, seqCol = Some(seqCol),
+            batchId = Some(batchId), statsCols = statsCols)
+          val touched =
+            graft.sources.IncrementalView.refresh(batch.sparkSession, defn)
+          println(s"[upsert-stream-view] batch=$batchId at version " +
+            s"${snap.version}; view refreshed ${touched.size} partition(s)")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Event-time analytics over the flows stream (the reference's 15-minute
     * slots as real tumbling windows + watermarked late-data handling).
     * `flowsWithTs` must carry a `slot_ts` timestamp column. */
