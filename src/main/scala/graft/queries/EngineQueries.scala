@@ -462,6 +462,49 @@ object EngineQueries {
       |FROM lineitem
       |WHERE l_orderkey >= 1000 AND l_orderkey <= 3000""".stripMargin
 
+  // ----------------------------------------------- q157_clustered_scan
+  // Clustered compaction restoring zone-map pruning
+  // (CommitLog.compactClustered): the fixture writes a lineitem slice
+  // in ARRIVAL order (hash-shuffled — every file spans the whole
+  // l_orderkey range, so the committed stats prune nothing), inits the
+  // log with l_orderkey stats, then runs ONE clustered compaction. The
+  // query is q137's range aggregate, answered through the log's
+  // stats-pruned scanRange over the now range-clustered files — the
+  // maintenance verb that turns a streamed-in lakehouse table back into
+  // a skippable one. Pruning engagement is pinned in CommitLogSpec
+  // (≤2 of 8 files for a 5% range); the DuckDB oracle hash-matches the
+  // data result. Fixture built once per session (q137 discipline).
+  private val q157Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q157Lake(s: SparkSession, d: String): String =
+    q157Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q157_")
+      val lake = s"$work/lake"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+          hash(col("l_orderkey").cast("int"), col("l_quantity")).as("shuf"))
+        .repartition(16, col("shuf")).drop("shuf")
+        .write.parquet(lake)
+      graft.sources.CommitLog.init(s, lake, statsCols = Seq("l_orderkey"))
+      graft.sources.CommitLog.compactClustered(s, lake, 16, Seq("l_orderkey"))
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q157ClusteredScan(s: SparkSession, d: String): DataFrame = {
+    val (pruned, _) =
+      graft.sources.CommitLog.scanRange(s, q157Lake(s, d), "l_orderkey", 1000L, 3000L)
+    pruned.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+      sum(col("l_discount").cast("decimal(18,4)")).cast("double").as("sum_disc"))
+  }
+
   // --------------------------------------------------- q140_commitlog
   // The versioned commit log (graft.sources.CommitLog) exercised as a
   // full lifecycle whose FINAL STATE is DuckDB-oracle-checkable: seed a
@@ -914,6 +957,7 @@ object EngineQueries {
     Q("q153_bloom_point", q153BloomPoint, Some(q153Sql)),
     Q("q154_incr_view", q154IncrView, Some(q154Sql)),
     Q("q137_skipping", q137Skipping, Some(q137Sql)),
+    Q("q157_clustered_scan", q157ClusteredScan, Some(q137Sql)),
     Q("q140_commitlog", q140CommitLog, Some(q140Sql)),
     Q("q141_txn", q141Txn, Some(q141Sql)),
     Q("q142_changes", q142Changes, Some(q142Sql)),

@@ -704,6 +704,49 @@ object CommitLog {
     }
   }
 
+  /** [[compact]] that also CLUSTERS the rewrite: rows are
+    * range-partitioned on `clusterCols` (after any hive partition
+    * columns, so each hive partition's rows stay contiguous) and sorted
+    * within files, so every rewritten file covers a NARROW
+    * `[min, max]` interval of the cluster key — and because [[commit]]
+    * recomputes per-file stats for the new files atomically with the
+    * file list, [[scanRange]]/[[scanBox]]/[[quantiles]] pruning engages
+    * the moment the compaction lands.
+    *
+    * Why this exists: streaming upserts ([[graft.streaming
+    * .StreamingIngest.upsertStreamLogged]]) land rows in ARRIVAL order,
+    * so every file's zone-map interval spans the whole key range and a
+    * selective range scan opens every file — stats-correct, pruning
+    * useless. One clustered compaction restores the layout the
+    * dominant read predicate wants; for 2-D predicates pass a
+    * precomputed Morton column ([[graft.ops.GeoOps.zorderKey]]) as the
+    * cluster key and query through [[scanBox]]. Same concurrency
+    * contract as [[compact]]: rewrites everything, never rebases, a
+    * lost race aborts loudly and the staged files are vacuum garbage. */
+  def compactClustered(spark: SparkSession, dir: String,
+      targetPartitions: Int, clusterCols: Seq[String]): Snapshot = {
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    val s = mustLatest(spark, dir)
+    val df = readSnapshot(spark, dir, s)
+    val partCols = s.files.head.split('/').dropRight(1)
+      .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+    require(clusterCols.forall(c => !partCols.contains(c)),
+      s"clusterCols ${clusterCols.mkString(",")} overlap partition " +
+        s"columns ${partCols.mkString(",")}")
+    val rangeCols = (partCols ++ clusterCols).map(col)
+    val clustered = df
+      .repartitionByRange(targetPartitions, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+    val newRels = stageWrite(spark, dir, clustered, partCols)
+    try commit(spark, dir, s, newRels, newRels, s.batches, "compact")
+    catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"compactClustered on $dir lost the commit race (${e.getMessage})" +
+          " — a concurrent commit made the rewrite stale; re-run " +
+          "(abandoned files are vacuum garbage)")
+    }
+  }
+
   /** Copy-on-write DELETE of every row matching `cond`, at FILE
     * granularity — the missing verb between upsert (keyed replace) and
     * compact (pure rewrite):

@@ -215,6 +215,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("/base"), s"base lake still scanned:\n$p")
   }
 
+  test("q156: the stream-maintained view serves the final aggregate — lake never scanned") {
+    val p = planOf("q156_stream_view")
+    assert(p.contains("/view"), s"scan not routed to the view:\n$p")
+    assert(!p.contains("/lake"), s"base lake still scanned:\n$p")
+  }
+
   test("q86: z-order bucketing is one interleave window + one agg — two exchanges") {
     val p = planOf("q86_zorder")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,

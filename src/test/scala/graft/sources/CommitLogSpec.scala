@@ -296,6 +296,29 @@ class CommitLogSpec extends AnyFunSuite {
     assert(v2.files.forall(_.startsWith("pd=")), v2.files.mkString(","))
   }
 
+  test("clustered compaction restores zone-map pruning on an arrival-ordered table") {
+    val dir = Files.createTempDirectory("graft_log_").toString + "/lake"
+    // arrival order: k is hash-shuffled across 8 files, so every file's
+    // zone-map interval spans ~the whole key range and a selective range
+    // scan opens everything — stats-correct, pruning useless
+    spark.range(0, 4000)
+      .select($"id".as("k"), ($"id" % 7).as("v"),
+        hash($"id".cast("int")).as("shuf"))
+      .repartition(8, $"shuf").drop("shuf")
+      .write.parquet(dir)
+    CommitLog.init(spark, dir, statsCols = Seq("k"))
+    val (dfB, (readB, totalB)) = CommitLog.scanRange(spark, dir, "k", 100L, 300L)
+    val rowsBefore = dfB.select($"k", $"v").as[(Long, Long)].collect().toSet
+    assert(readB == totalB, s"shuffled layout should prune nothing: $readB/$totalB")
+
+    val snap = CommitLog.compactClustered(spark, dir, 8, Seq("k"))
+    assert(snap.op == "compact")
+    val (dfA, (readA, totalA)) = CommitLog.scanRange(spark, dir, "k", 100L, 300L)
+    // identical rows, but a ~5% range now opens ≤2 of 8 files
+    assert(dfA.select($"k", $"v").as[(Long, Long)].collect().toSet === rowsBefore)
+    assert(totalA == 8 && readA <= 2, s"pruning did not engage: $readA/$totalA")
+  }
+
   test("stats ride the commit: pruning works after upsert AND compact, no rebuild call") {
     val dir = freshLake(statsCols = Seq("k"))
     val updates = spark.range(1000, 1100)
