@@ -43,7 +43,11 @@ object MatViewCatalog {
   final case class RegisteredView(
       defn: IncrementalView.Definition, specs: Seq[AggSpec])
 
-  private val views = TrieMap[String, RegisteredView]()
+  // keyed (normalized baseDir, normalized viewDir): a base table may
+  // carry SEVERAL registered rollups (e.g. daily and hourly); the rule
+  // routes to the first one that covers the query, finer-grained first
+  // (more grouping columns = more queries covered)
+  private val views = TrieMap[(String, String), RegisteredView]()
 
   def register(d: IncrementalView.Definition): RegisteredView = {
     require(
@@ -59,12 +63,24 @@ object MatViewCatalog {
     require(specs.map(_.valueCol).distinct.size == specs.size,
       "view aggregate aliases must be distinct")
     val r = RegisteredView(d, specs)
-    views.put(ConstraintCatalog.normalize(d.baseDir), r)
+    views.put((ConstraintCatalog.normalize(d.baseDir),
+      ConstraintCatalog.normalize(d.viewDir)), r)
     r
   }
 
   def isEmpty: Boolean = views.isEmpty
   def all: Seq[RegisteredView] = views.values.toSeq
+
+  /** Views over `normBase`, FEWEST grouping columns first: of the views
+    * that cover a query, the coarsest has the fewest rows to
+    * re-aggregate, so it is tried first; a view that fails any
+    * soundness gate (containment, derivability, freshness) just falls
+    * through to the next candidate. Ties break on viewDir for
+    * determinism. */
+  def forBase(normBase: String): Seq[RegisteredView] =
+    views.collect { case ((b, _), r) if b == normBase => r }
+      .toSeq.sortBy(r => (r.defn.groupCols.size, r.defn.viewDir))
+
   def clear(): Unit = views.clear()
 
   // Column-API aggregates arrive UNRESOLVED (Spark 4 ColumnNode →
@@ -174,10 +190,28 @@ class RewriteAggregateOnView(spark: SparkSession) extends Rule[LogicalPlan] {
     val scanPaths = fsRel.location.rootPaths
       .map(p => ConstraintCatalog.normalize(p.toString))
     if (scanPaths.isEmpty) return None
-    val rv = MatViewCatalog.all.find { r =>
-      val base = ConstraintCatalog.normalize(r.defn.baseDir)
-      scanPaths.forall(p => p == base || p.startsWith(base + "/"))
-    }.getOrElse(return None)
+    val normBase = MatViewCatalog.all
+      .map(r => ConstraintCatalog.normalize(r.defn.baseDir)).distinct
+      .find(b => scanPaths.forall(p => p == b || p.startsWith(b + "/")))
+      .getOrElse(return None)
+    val cands = MatViewCatalog.forBase(normBase)
+
+    // snapshot identity once per base (metadata plane: one version file)
+    val (baseSnap, baseFiles) =
+      CommitLog.latestFiles(spark, cands.head.defn.baseDir)
+        .getOrElse(return None)
+    if (baseFiles.map(ConstraintCatalog.normalize).toSet != scanPaths.toSet)
+      return None
+
+    // coarsest covering view wins; a candidate failing any gate just
+    // falls through to the next
+    cands.view
+      .flatMap(rv => rewriteWith(agg, conds, rv, baseSnap.version))
+      .headOption
+  }
+
+  private def rewriteWith(agg: Aggregate, conds: Seq[Expression],
+      rv: RegisteredView, baseVersion: Long): Option[LogicalPlan] = {
     val d = rv.defn
 
     // structural containment first (cheap, no I/O)
@@ -190,14 +224,10 @@ class RewriteAggregateOnView(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => false
         })) return None
 
-    // snapshot identity + freshness (metadata plane: two version files)
-    val snap = CommitLog.latestFiles(spark, d.baseDir).getOrElse(return None)
-    val (baseSnap, baseFiles) = snap
-    if (baseFiles.map(ConstraintCatalog.normalize).toSet != scanPaths.toSet)
-      return None
+    // freshness (metadata plane: the view's version file)
     val refreshedTo = IncrementalView.lastRefreshed(spark, d)
       .getOrElse(return None)
-    if (refreshedTo < baseSnap.version) return None
+    if (refreshedTo < baseVersion) return None
 
     // the view's analyzed plan (fresh exprIds per rewrite — no clashes)
     val viewPlan = CommitLog.read(spark, d.viewDir).queryExecution.analyzed

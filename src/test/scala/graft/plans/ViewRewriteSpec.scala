@@ -158,6 +158,32 @@ class ViewRewriteSpec extends AnyFunSuite {
     } finally MatViewCatalog.clear()
   }
 
+  test("two rollups on one base: the coarsest covering view answers; finer grouping falls through to the finer view") {
+    val f = fixture() // view grouped by p
+    // second, FINER view over the same base, grouped by (p, w)
+    val fine = IncrementalView.Definition(
+      f.base, f.base.stripSuffix("base") + "view_fine", "p", Seq("p", "w"),
+      Seq(count(lit(1)).as("cnt"), sum("v").as("sum_v")))
+    IncrementalView.refresh(spark, fine)
+    MatViewCatalog.clear()
+    def byP: DataFrame = CommitLog.read(spark, f.base)
+      .groupBy("p").agg(sum("v").as("sv"))
+    def byPW: DataFrame = CommitLog.read(spark, f.base)
+      .groupBy("p", "w").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val expP = rows(byP)
+    val expPW = rows(byPW)
+    MatViewCatalog.register(f.d)
+    MatViewCatalog.register(fine)
+    try {
+      // group by p: BOTH views cover; the coarse one (fewer rows) wins
+      assert(readsOnly(byP, f.view))
+      assert(rows(byP) === expP)
+      // group by (p, w): only the finer view covers — falls through
+      assert(readsOnly(byPW, fine.viewDir))
+      assert(rows(byPW) === expPW)
+    } finally MatViewCatalog.clear()
+  }
+
   test("registration rejects non-derivable view aggregates") {
     val f = fixture()
     intercept[IllegalArgumentException] {
