@@ -184,6 +184,27 @@ class ViewRewriteSpec extends AnyFunSuite {
     } finally MatViewCatalog.clear()
   }
 
+  test("a spark.sql text query over a temp view of the base table is rewritten too") {
+    val f = fixture()
+    MatViewCatalog.clear()
+    CommitLog.read(spark, f.base).createOrReplaceTempView("vr_base")
+    def q: DataFrame = spark.sql(
+      """SELECT p, count(*) AS n, sum(v) AS sv, max(v) AS mx
+        |FROM vr_base WHERE p <> 2 GROUP BY p""".stripMargin)
+    val expected = rows(q)
+    MatViewCatalog.register(f.d)
+    try {
+      // EliminateSubqueryAliases strips the temp-view alias before the
+      // operator-optimization fixed point, so the rule sees the same
+      // Aggregate-over-relation shape as the DataFrame path
+      assert(readsOnly(q, f.view), s"SQL path not routed: ${scanDirs(q)}")
+      assert(rows(q) === expected)
+    } finally {
+      MatViewCatalog.clear()
+      spark.catalog.dropTempView("vr_base")
+    }
+  }
+
   test("registration rejects non-derivable view aggregates") {
     val f = fixture()
     intercept[IllegalArgumentException] {
