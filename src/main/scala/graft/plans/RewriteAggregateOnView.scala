@@ -3,7 +3,6 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal,
   NamedExpression}
@@ -37,8 +36,10 @@ import graft.sources.{CommitLog, IncrementalView}
 object MatViewCatalog {
 
   /** One view value column: `valueCol = op(input)` over the base, with
-    * `input = None` meaning `count(*)`. */
-  final case class AggSpec(op: String, input: Option[String], valueCol: String)
+    * `input = None` meaning `count(*)` — re-exported from
+    * [[IncrementalView.AggSpec]], whose delta-refresh path needs the
+    * same structured view of the aggregates. */
+  type AggSpec = IncrementalView.AggSpec
 
   final case class RegisteredView(
       defn: IncrementalView.Definition, specs: Seq[AggSpec])
@@ -83,44 +84,11 @@ object MatViewCatalog {
 
   def clear(): Unit = views.clear()
 
-  // Column-API aggregates arrive UNRESOLVED (Spark 4 ColumnNode →
-  // UnresolvedFunction); a definition round-tripped through an analyzed
-  // plan would carry resolved AggregateExpressions. Accept both shapes.
-  private def parseAgg(e: Expression): Option[AggSpec] = e match {
-    case a: Alias =>
-      val fn: Option[(String, Seq[Expression])] = a.child match {
-        case u: UnresolvedFunction
-            if !u.isDistinct && u.filter.isEmpty =>
-          Some((u.nameParts.last.toLowerCase(java.util.Locale.ROOT),
-            u.arguments))
-        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
-          ae.aggregateFunction match {
-            case s: Sum => Some(("sum", Seq(s.child)))
-            case m: Min => Some(("min", Seq(m.child)))
-            case m: Max => Some(("max", Seq(m.child)))
-            case c: Count => Some(("count", c.children))
-            case _ => None
-          }
-        case _ => None
-      }
-      fn.flatMap {
-        case ("count", Seq(Literal(_, _))) => Some(AggSpec("count", None, a.name))
-        case ("count", Seq(BareCol(c))) => Some(AggSpec("count", Some(c), a.name))
-        case ("sum", Seq(BareCol(c))) => Some(AggSpec("sum", Some(c), a.name))
-        case ("min", Seq(BareCol(c))) => Some(AggSpec("min", Some(c), a.name))
-        case ("max", Seq(BareCol(c))) => Some(AggSpec("max", Some(c), a.name))
-        case _ => None
-      }
-    case _ => None
-  }
-
-  private object BareCol {
-    def unapply(e: Expression): Option[String] = e match {
-      case UnresolvedAttribute(parts) => Some(parts.last)
-      case a: AttributeReference => Some(a.name)
-      case _ => None
-    }
-  }
+  // The structural parse itself lives with the Definition
+  // ([[IncrementalView.parseAgg]]) — the delta-refresh path needs the
+  // same AggSpec view of the aggregates as the rewrite rule.
+  private def parseAgg(e: Expression): Option[AggSpec] =
+    IncrementalView.parseAggExpr(e)
 }
 
 /** Transparent materialized-view rewrite: an aggregate over a commit-log

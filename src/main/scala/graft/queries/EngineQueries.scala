@@ -462,6 +462,73 @@ object EngineQueries {
       |FROM lineitem
       |WHERE l_orderkey >= 1000 AND l_orderkey <= 3000""".stripMargin
 
+  // -------------------------------------------------- q158_delta_view
+  // Invertible (delta-stream) view maintenance + rewrite routing: the
+  // base is a commit-log orders lake partitioned by o_orderpriority,
+  // but the view groups by o_orderstatus — a grouping that CROSSES
+  // partitions, which the group-local refresh (q154) cannot maintain.
+  // The invertible path reads the touched partitions' pre-image (time
+  // travel) and post-image, folds per-group count/sum deltas into the
+  // rollup state, and commits it atomically with the base version in
+  // the ledger. The serving query is written against the BASE and
+  // routed to the view by the optimizer (pinned in PlanAuditSpec); the
+  // DuckDB oracle recomputes from raw orders, so the hash-match proves
+  // delta maintenance + rewrite land on the from-scratch answer.
+  private val q158Views =
+    scala.collection.concurrent.TrieMap[String, IncrementalView.Definition]()
+  private def q158View(s: SparkSession, d: String): IncrementalView.Definition =
+    q158Views.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q158_")
+      val base = s"$work/base"
+      val slice = Tables.orders(s, d).filter(col("o_orderkey") <= 40000L)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      slice.filter(col("o_orderkey") <= 30000L)
+        .write.partitionBy("o_orderpriority").parquet(base)
+      graft.sources.CommitLog.init(s, base)
+      val defn = IncrementalView.Definition(
+        base, s"$work/view", "o_orderpriority", Seq("o_orderstatus"),
+        Seq(count(lit(1)).as("cnt"),
+          sum(col("o_custkey")).as("sum_ck"),
+          count(col("o_custkey")).as("cnt_ck")),
+        invertible = true)
+      graft.plans.MatViewCatalog.register(defn)
+      IncrementalView.refresh(s, defn) // bootstrap
+      // the late keys arrive as an upsert: the serving state is the
+      // product of the DELTA path, not the bootstrap
+      graft.sources.CommitLog.upsert(s,
+        slice.filter(col("o_orderkey") > 30000L),
+        base, Seq("o_orderkey"), "o_orderpriority")
+      IncrementalView.refresh(s, defn)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      defn
+    })
+
+  private def q158DeltaView(s: SparkSession, d: String): DataFrame = {
+    val defn = q158View(s, d)
+    IncrementalView.refresh(s, defn) // steady state: fresh → no-op
+    graft.sources.CommitLog.read(s, defn.baseDir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_custkey")).as("sum_ck"),
+        avg(col("o_custkey")).as("avg_ck"))
+      .select(col("o_orderstatus").as("st"), col("n"), col("sum_ck"),
+        col("avg_ck"))
+      .orderBy(col("st"))
+  }
+
+  private val q158Sql =
+    """SELECT o_orderstatus AS st, count(*) AS n,
+      |  sum(o_custkey) AS sum_ck,
+      |  CAST(sum(o_custkey) AS DOUBLE) / CAST(count(o_custkey) AS DOUBLE)
+      |    AS avg_ck
+      |FROM orders WHERE o_orderkey <= 40000
+      |GROUP BY 1 ORDER BY st""".stripMargin
+
   // ----------------------------------------------- q157_clustered_scan
   // Clustered compaction restoring zone-map pruning
   // (CommitLog.compactClustered): the fixture writes a lineitem slice
@@ -958,6 +1025,7 @@ object EngineQueries {
     Q("q154_incr_view", q154IncrView, Some(q154Sql)),
     Q("q137_skipping", q137Skipping, Some(q137Sql)),
     Q("q157_clustered_scan", q157ClusteredScan, Some(q137Sql)),
+    Q("q158_delta_view", q158DeltaView, Some(q158Sql)),
     Q("q140_commitlog", q140CommitLog, Some(q140Sql)),
     Q("q141_txn", q141Txn, Some(q141Sql)),
     Q("q142_changes", q142Changes, Some(q142Sql)),

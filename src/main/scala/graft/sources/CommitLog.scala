@@ -259,6 +259,22 @@ object CommitLog {
     else readFiles(spark, dir, snaps.last, added) // toV's committed schema
   }
 
+  /** The table AT version `v`, restricted to the given partition
+    * DIRECTORIES (the `key=value` strings [[partsBetween]] returns; ""
+    * addresses an unpartitioned layout's root files). The pre-/
+    * post-image reads behind [[IncrementalView]]'s invertible delta
+    * refresh: both sides are file-pruned off the committed lists, so
+    * the refresh reads only the touched partitions — at both versions —
+    * never the lake. */
+  def readPartitionDirsAt(spark: SparkSession, dir: String, v: Long,
+      partDirs: Set[String]): DataFrame = {
+    val s = snapshotAt(spark, dir, v)
+    val files = s.files.filter(f => partDirs.exists(d =>
+      if (d.isEmpty) !f.contains('/') else f.startsWith(d + "/")))
+    if (files.isEmpty) readSnapshot(spark, dir, s).limit(0)
+    else readFiles(spark, dir, s, files)
+  }
+
   /** The latest snapshot restricted to the given partition values — file
     * pruning straight off the committed file list's `key=value` path
     * components, no directory listing, no data read outside the
@@ -744,6 +760,49 @@ object CommitLog {
         s"compactClustered on $dir lost the commit race (${e.getMessage})" +
           " — a concurrent commit made the rewrite stale; re-run " +
           "(abandoned files are vacuum garbage)")
+    }
+  }
+
+  /** Copy-on-write SNAPSHOT REPLACE: after the commit the table holds
+    * exactly `replacement`'s rows. The natural verb for re-materializing
+    * a small derived table — an [[IncrementalView]]'s rollup state —
+    * in ONE atomic step; the exactly-once ledger rides the commit like
+    * upsert's (a replayed `batchId` is a no-op). Like [[compact]] it
+    * replaces everything, so it never rebases: losing the version race
+    * aborts loudly and the staged files are vacuum garbage. */
+  def overwrite(spark: SparkSession, replacement: DataFrame, dir: String,
+      partitionCols: Seq[String] = Nil,
+      batchId: Option[Long] = None): Snapshot = {
+    val s = mustLatest(spark, dir)
+    if (batchId.exists(s.batches.contains)) {
+      System.err.println(
+        s"[commitlog] batch ${batchId.get} already committed to $dir — replay skipped")
+      return s
+    }
+    val newRels = stageWrite(spark, dir, replacement, partitionCols)
+    try commit(spark, dir, s, newRels, newRels,
+      s.batches ++ batchId.toSeq, "overwrite", Some(replacement.schema.json))
+    catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"overwrite on $dir lost the commit race (${e.getMessage}) — " +
+          "re-derive from the fresh snapshot and re-run (staged files " +
+          "are vacuum garbage)")
+    }
+  }
+
+  /** Ledger-only commit: records `batchId` against the CURRENT file set
+    * without touching any data — how a derived table advances its
+    * exactly-once cursor past a base range that contained no data
+    * commits (pure compactions). Replay of an already-recorded id is a
+    * no-op. */
+  def noteBatch(spark: SparkSession, dir: String, batchId: Long): Snapshot = {
+    val s = mustLatest(spark, dir)
+    if (s.batches.contains(batchId)) return s
+    try commit(spark, dir, s, s.files, Nil, s.batches :+ batchId, "note")
+    catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"noteBatch on $dir lost the commit race (${e.getMessage}) — " +
+          "re-read and retry")
     }
   }
 

@@ -215,6 +215,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("/base"), s"base lake still scanned:\n$p")
   }
 
+  test("q158: the delta-maintained cross-partition view serves the aggregate — base never scanned") {
+    val p = planOf("q158_delta_view")
+    assert(p.contains("/view"), s"scan not routed to the view:\n$p")
+    assert(!p.contains("/base"), s"base lake still scanned:\n$p")
+  }
+
   test("q156: the stream-maintained view serves the final aggregate — lake never scanned") {
     val p = planOf("q156_stream_view")
     assert(p.contains("/view"), s"scan not routed to the view:\n$p")

@@ -44,6 +44,75 @@ class IncrementalViewSpec extends AnyFunSuite {
     IncrementalView.read(spark, d).select("p", "n", "sv", "mn")
       .collect().map(_.toString).sorted.toSeq
 
+  test("invertible delta refresh: non-partition-aligned grouping stays exact through upserts, deletes, and emptied groups") {
+    val work = tmp()
+    val base = s"$work/base"
+    // 4 date partitions; grouping column `flag` CROSSES partitions
+    // (flag = k%3), plus a flag "z" that lives only in p=2 so a delete
+    // can empty an entire group; v null every 5th key exercises the
+    // null-ignoring sum/count(v) delta
+    spark.range(0, 100).select(
+        col("id").as("k"), (col("id") % 4).cast("int").as("p"),
+        when(col("id") === 2 || col("id") === 6, lit("z"))
+          .otherwise(concat(lit("f"), col("id") % 3)).as("flag"),
+        when(col("id") % 5 === 0, lit(null)).otherwise(col("id") * 10).as("v"))
+      .repartition(2)
+      .write.partitionBy("p").parquet(base)
+    CommitLog.init(spark, base)
+    val d = IncrementalView.Definition(
+      base, s"$work/view", "p", Seq("flag"),
+      Seq(count(lit(1)).as("n"), sum("v").as("sv"), count(col("v")).as("nv")),
+      invertible = true)
+    def direct: Seq[String] =
+      CommitLog.read(spark, base).groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+          count(col("v")).as("nv"))
+        .collect().map(_.toString).sorted.toSeq
+    def view: Seq[String] =
+      IncrementalView.read(spark, d).select("flag", "n", "sv", "nv")
+        .collect().map(_.toString).sorted.toSeq
+
+    assert(IncrementalView.refresh(spark, d) === Seq("*")) // bootstrap
+    assert(view === direct)
+
+    // upsert touching ONLY p=1: raised values, new keys, nulls flipped
+    val ups = spark.range(0, 120)
+      .filter(col("id") % 4 === 1)
+      .select(col("id").as("k"), lit(1).cast("int").as("p"),
+        concat(lit("f"), col("id") % 3).as("flag"),
+        when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 11).as("v"))
+    CommitLog.upsert(spark, ups, base, Seq("k"), "p")
+    assert(IncrementalView.refresh(spark, d) === Seq("p=1"))
+    assert(view === direct)
+
+    // delete empties group "z" (its rows all live in p=2)
+    CommitLog.delete(spark, base, col("flag") === "z")
+    assert(IncrementalView.refresh(spark, d) === Seq("p=2"))
+    assert(view === direct)
+    assert(!view.exists(_.contains("z")), "emptied group must drop")
+
+    // fresh → no-op; replayed refresh is a ledger no-op
+    assert(IncrementalView.refresh(spark, d).isEmpty)
+
+    // vacuumed pre-image → loud FULL fallback, still exact
+    CommitLog.upsert(spark,
+      ups.withColumn("v", col("v") + 1), base, Seq("k"), "p")
+    CommitLog.vacuum(spark, base, keepLast = 1)
+    assert(IncrementalView.refresh(spark, d) === Seq("*"))
+    assert(view === direct)
+  }
+
+  test("invertible definitions reject non-invertible aggregates") {
+    intercept[IllegalArgumentException] {
+      IncrementalView.Definition("/b", "/v", "p", Seq("flag"),
+        Seq(count(lit(1)).as("n"), min("v").as("mn")), invertible = true)
+    }
+    intercept[IllegalArgumentException] { // no count(*) → emptied groups undetectable
+      IncrementalView.Definition("/b", "/v", "p", Seq("flag"),
+        Seq(sum("v").as("sv")), invertible = true)
+    }
+  }
+
   test("bootstrap, targeted refresh, deletes, idempotence, vacuum fallback — view ≡ direct aggregate throughout") {
     val work = tmp()
     val base = s"$work/base"
