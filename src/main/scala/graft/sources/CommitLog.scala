@@ -790,6 +790,46 @@ object CommitLog {
     }
   }
 
+  /** The table's commit history as a DataFrame — one row per readable
+    * version (op, file/batch counts, files added/removed vs the
+    * previous readable version). The operational `DESCRIBE HISTORY`
+    * surface: metadata-plane only (version files, no data I/O), so it
+    * answers "what happened to this table" at any lake size. Vacuumed
+    * versions are simply absent; a corrupt version is skipped like
+    * [[latest]] skips it. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val f = hadoopFs(spark, dir)
+    val snaps = versionNumbers(f, dir).flatMap { v =>
+      try Some(parse(readText(f, versionFile(dir, v))))
+      catch { case _: Exception => None }
+    }
+    val rows = snaps.zip(None +: snaps.map(Some(_))).map {
+      case (s, prevOpt) =>
+        val prev = prevOpt.map(_.files.toSet).getOrElse(Set.empty[String])
+        val cur = s.files.toSet
+        (s.version, s.op, s.files.size.toLong, s.batches.size.toLong,
+          (cur -- prev).size.toLong, (prev -- cur).size.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("version", "op", "n_files", "n_batches",
+      "files_added", "files_removed")
+  }
+
+  /** [[compactClustered]] gated on actual fragmentation: rewrites only
+    * when the current snapshot holds more than `maxFiles` data files
+    * (the streaming small-file problem — every micro-batch commit adds
+    * files; at 100 TB an ungated nightly rewrite of every table is
+    * itself the cost problem). Returns the new snapshot when it
+    * compacted, None when the table is already within budget. The
+    * check is metadata-plane (one version file). */
+  def compactIfFragmented(spark: SparkSession, dir: String,
+      maxFiles: Int, targetPartitions: Int,
+      clusterCols: Seq[String]): Option[Snapshot] = {
+    val s = mustLatest(spark, dir)
+    if (s.files.size <= maxFiles) None
+    else Some(compactClustered(spark, dir, targetPartitions, clusterCols))
+  }
+
   /** Ledger-only commit: records `batchId` against the CURRENT file set
     * without touching any data — how a derived table advances its
     * exactly-once cursor past a base range that contained no data

@@ -319,6 +319,32 @@ class CommitLogSpec extends AnyFunSuite {
     assert(totalA == 8 && readA <= 2, s"pruning did not engage: $readA/$totalA")
   }
 
+  test("history reports the lifecycle; fragmentation gate compacts only over budget") {
+    val dir = freshLake()
+    CommitLog.upsert(spark,
+      spark.range(100, 150).select($"id".as("k"), lit(42L).as("v"),
+        lit("d0").as("pd")),
+      dir, Seq("k"), "pd", batchId = Some(7L))
+    val h1 = CommitLog.history(spark, dir)
+      .orderBy($"version").collect()
+    assert(h1.map(_.getString(1)).toSeq === Seq("init", "upsert"))
+    assert(h1.last.getLong(3) === 1L, "ledger batch count missing") // n_batches
+    assert(h1.last.getLong(4) > 0L, "upsert added no files")        // files_added
+
+    // within budget: metadata check only, no rewrite
+    assert(CommitLog.compactIfFragmented(spark, dir,
+      maxFiles = 1000, targetPartitions = 2, Seq("k")).isEmpty)
+    // over budget: clustered rewrite fires, rows intact, history grows
+    val before = state(dir)
+    val snap = CommitLog.compactIfFragmented(spark, dir,
+      maxFiles = 1, targetPartitions = 2, Seq("k"))
+    assert(snap.exists(_.op == "compact"))
+    assert(state(dir) === before)
+    val ops = CommitLog.history(spark, dir).orderBy($"version")
+      .collect().map(_.getString(1)).toSeq
+    assert(ops === Seq("init", "upsert", "compact"))
+  }
+
   test("stats ride the commit: pruning works after upsert AND compact, no rebuild call") {
     val dir = freshLake(statsCols = Seq("k"))
     val updates = spark.range(1000, 1100)
