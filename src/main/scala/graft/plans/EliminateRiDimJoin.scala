@@ -72,6 +72,22 @@ object ConstraintCatalog {
     foreignKeys.contains(
       ((normalize(factPath), fkCol), (normalize(dimPath), pkCol)))
 
+  /** The declared table directory that COVERS every given normalized
+    * scan root, if any — how a snapshot read (a commit-log table lists
+    * its data FILES as the scan's root paths) maps back to the
+    * directory its constraints were declared on. Path-addressed like
+    * everything in this catalog: the declaration is trusted (RELY) for
+    * whatever data lives under that directory, current or
+    * time-traveled — the same contract as a directory scan read at two
+    * different times. */
+  def coveringDeclared(paths: Seq[String]): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val declared =
+      uniqueKeys.asScala.map(_._1).toSet ++
+        foreignKeys.asScala.flatMap(p => Seq(p._1._1, p._2._1))
+    declared.find(d => paths.forall(p => p == d || p.startsWith(d + "/")))
+  }
+
   /** Audit-then-declare: verifies the unique + referential-integrity
     * claims against the actual parquet data with
     * [[graft.ops.Constraints.audit]] and declares them only when both
@@ -270,9 +286,16 @@ object EliminateRiDimJoin extends Rule[LogicalPlan] {
       : Option[(String, String)] = lr.relation match {
     case h: HadoopFsRelation =>
       val name = lr.output.find(_.exprId == attr.exprId).map(_.name)
-      h.location.rootPaths.toList match {
-        case single :: Nil =>
-          name.map(n => (ConstraintCatalog.normalize(single.toString), n))
+      h.location.rootPaths.toList
+        .map(p => ConstraintCatalog.normalize(p.toString)) match {
+        case single :: Nil => name.map(n => (single, n))
+        case many if many.nonEmpty =>
+          // commit-log snapshot scans list data FILES as root paths;
+          // resolve them back to the declared directory covering all
+          for {
+            n <- name
+            d <- ConstraintCatalog.coveringDeclared(many)
+          } yield (d, n)
         case _ => None
       }
     case _ => None

@@ -205,6 +205,30 @@ class ViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rule composition: the RI dim join is eliminated, then the view answers the surviving aggregate — neither dim nor base scanned") {
+    val f = fixture()
+    val dimDir = tmp() + "/dim"
+    spark.range(0, 4).select(col("id").cast("int").as("dp"),
+      concat(lit("name"), col("id")).as("dname")).write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    def q: DataFrame = CommitLog.read(spark, f.base)
+      .join(dim, col("p") === col("dp"))
+      .groupBy("p").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    ConstraintCatalog.clear(); MatViewCatalog.clear()
+    val expected = rows(q) // plain join + aggregate
+    // declare RI on the COMMIT-LOG fact (its scan lists files, not a
+    // directory — coveringDeclared maps it back) and register the view
+    ConstraintCatalog.declareUnique(dimDir, "dp")
+    ConstraintCatalog.declareForeignKey(f.base, "p", dimDir, "dp")
+    MatViewCatalog.register(f.d)
+    try {
+      val dirs = scanDirs(q)
+      assert(readsOnly(q, f.view),
+        s"composition did not land on the view: $dirs")
+      assert(rows(q) === expected)
+    } finally { ConstraintCatalog.clear(); MatViewCatalog.clear() }
+  }
+
   test("registration rejects non-derivable view aggregates") {
     val f = fixture()
     intercept[IllegalArgumentException] {
