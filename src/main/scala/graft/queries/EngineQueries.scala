@@ -529,6 +529,72 @@ object EngineQueries {
       |FROM orders WHERE o_orderkey <= 40000
       |GROUP BY 1 ORDER BY st""".stripMargin
 
+  // --------------------------------------------------- q159_star_view
+  // Optimizer-rule COMPOSITION under oracle: the query is a star join —
+  // commit-log orders lake ⋈ customer ON o_custkey = c_custkey, grouped
+  // by o_custkey — and the DuckDB oracle executes that join for real.
+  // The engine never does: EliminateRiDimJoin removes the dim join
+  // (c_custkey is audited-unique, o_custkey audited-referencing — the
+  // declareAudited publish-time path), and RewriteAggregateOnView then
+  // answers the surviving aggregate from the invertible materialized
+  // view. Hash-match proves join elimination + delta view maintenance +
+  // rewrite compose to the joined answer; PlanAuditSpec pins no Join,
+  // no customer scan, no base scan.
+  private val q159Views =
+    scala.collection.concurrent.TrieMap[String, IncrementalView.Definition]()
+  private def q159View(s: SparkSession, d: String): IncrementalView.Definition =
+    q159Views.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q159_")
+      val base = s"$work/base"
+      val slice = Tables.orders(s, d).filter(col("o_orderkey") <= 40000L)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      slice.filter(col("o_orderkey") <= 30000L)
+        .write.partitionBy("o_orderpriority").parquet(base)
+      graft.sources.CommitLog.init(s, base)
+      val defn = IncrementalView.Definition(
+        base, s"$work/view", "o_orderpriority", Seq("o_custkey"),
+        Seq(count(lit(1)).as("cnt"),
+          sum(col("o_orderkey")).as("sum_ok"),
+          count(col("o_orderkey")).as("cnt_ok")),
+        invertible = true)
+      graft.plans.MatViewCatalog.register(defn)
+      IncrementalView.refresh(s, defn)
+      graft.sources.CommitLog.upsert(s,
+        slice.filter(col("o_orderkey") > 30000L),
+        base, Seq("o_orderkey"), "o_orderpriority")
+      IncrementalView.refresh(s, defn)
+      // the RELY declarations, through the audit gate: trust only what
+      // the data passed (unique dim key, every fk present)
+      val ok = graft.plans.ConstraintCatalog.declareAudited(
+        s, base, "o_custkey", s"$d/customer.parquet", "c_custkey")
+      require(ok, "q159 RI audit failed — constraints not declared")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      defn
+    })
+
+  private def q159StarView(s: SparkSession, d: String): DataFrame = {
+    val defn = q159View(s, d)
+    IncrementalView.refresh(s, defn)
+    val customer = s.read.parquet(s"$d/customer.parquet")
+    graft.sources.CommitLog.read(s, defn.baseDir)
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_ok"))
+      .select(col("o_custkey").as("ck"), col("n"), col("sum_ok"))
+      .orderBy(col("ck")).limit(500)
+  }
+
+  private val q159Sql =
+    """SELECT o_custkey AS ck, count(*) AS n, sum(o_orderkey) AS sum_ok
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey <= 40000
+      |GROUP BY 1 ORDER BY ck LIMIT 500""".stripMargin
+
   // ----------------------------------------------- q157_clustered_scan
   // Clustered compaction restoring zone-map pruning
   // (CommitLog.compactClustered): the fixture writes a lineitem slice
@@ -1026,6 +1092,7 @@ object EngineQueries {
     Q("q137_skipping", q137Skipping, Some(q137Sql)),
     Q("q157_clustered_scan", q157ClusteredScan, Some(q137Sql)),
     Q("q158_delta_view", q158DeltaView, Some(q158Sql)),
+    Q("q159_star_view", q159StarView, Some(q159Sql)),
     Q("q140_commitlog", q140CommitLog, Some(q140Sql)),
     Q("q141_txn", q141Txn, Some(q141Sql)),
     Q("q142_changes", q142Changes, Some(q142Sql)),

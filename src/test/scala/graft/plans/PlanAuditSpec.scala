@@ -221,6 +221,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("/base"), s"base lake still scanned:\n$p")
   }
 
+  test("q159: star join composes away — no Join, no customer scan, view-routed aggregate") {
+    val p = planOf("q159_star_view")
+    assert(!p.contains("Join"), s"dim join survived the composition:\n$p")
+    assert(!p.contains("customer.parquet"), s"eliminated dim still scanned:\n$p")
+    assert(p.contains("/view"), s"aggregate not routed to the view:\n$p")
+    assert(!p.contains("/base"), s"base lake still scanned:\n$p")
+  }
+
   test("q156: the stream-maintained view serves the final aggregate — lake never scanned") {
     val p = planOf("q156_stream_view")
     assert(p.contains("/view"), s"scan not routed to the view:\n$p")
