@@ -115,6 +115,59 @@ object ConstraintCatalog {
   }
 
   def clear(): Unit = { uniqueKeys.clear(); foreignKeys.clear() }
+
+  private val PropKey = "graft.constraints"
+
+  /** [[declareAudited]] that also PERSISTS the passing declarations
+    * into the fact table's commit log (`graft.constraints` property),
+    * so a fresh session can [[restore]] them — the fact table must be
+    * a [[graft.sources.CommitLog]] table. Returns false (and persists
+    * nothing) when the audit fails. */
+  def declareAuditedLogged(spark: org.apache.spark.sql.SparkSession,
+      factDir: String, fkCol: String,
+      dimPath: String, pkCol: String): Boolean = {
+    if (!declareAudited(spark, factDir, fkCol, dimPath, pkCol)) return false
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val prior = graft.sources.CommitLog.latest(spark, factDir)
+      .flatMap(_.props.get(PropKey))
+      .map(s => JsonMethods.parse(s).extract[List[Map[String, String]]])
+      .getOrElse(Nil)
+    val entry = Map("fkCol" -> fkCol, "dimPath" -> normalize(dimPath),
+      "pkCol" -> pkCol)
+    val merged = (prior.filterNot(e =>
+      e.get("fkCol") == entry.get("fkCol") &&
+        e.get("dimPath") == entry.get("dimPath") &&
+        e.get("pkCol") == entry.get("pkCol")) :+ entry)
+    val json = JsonMethods.compact(JsonMethods.render(
+      JArray(merged.map(m => JObject(m.toList.map {
+        case (k, v) => JField(k, JString(v))
+      })))))
+    graft.sources.CommitLog.setProps(spark, factDir, Map(PropKey -> json))
+    true
+  }
+
+  /** Re-declare every constraint persisted on `factDir`'s log into this
+    * session's registry (unique on the dim key + the fk reference).
+    * Returns the number restored. The declarations were audited when
+    * persisted; restoring trusts them (RELY) without re-scanning. */
+  def restore(spark: org.apache.spark.sql.SparkSession,
+      factDir: String): Int = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val entries = graft.sources.CommitLog.latest(spark, factDir)
+      .flatMap(_.props.get(PropKey))
+      .map(s => JsonMethods.parse(s).extract[List[Map[String, String]]])
+      .getOrElse(Nil)
+    entries.foreach { e =>
+      declareUnique(e("dimPath"), e("pkCol"))
+      declareForeignKey(factDir, e("fkCol"), e("dimPath"), e("pkCol"))
+    }
+    entries.size
+  }
 }
 
 /** Removes a dimension join that provably cannot change the fact side.

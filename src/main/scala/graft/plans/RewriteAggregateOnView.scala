@@ -84,6 +84,64 @@ object MatViewCatalog {
 
   def clear(): Unit = views.clear()
 
+  private val PropKey = "graft.views"
+
+  /** Register AND persist: the definition is written into the BASE
+    * table's commit log as the `graft.views` table property (keyed by
+    * viewDir, merged with any existing registrations), so a FRESH
+    * session can [[restore]] it instead of depending on this
+    * JVM-global registry surviving. A props commit moves no data;
+    * serving stays fresh (the rule treats data-less version gaps as
+    * fresh). */
+  def persist(spark: SparkSession,
+      d: IncrementalView.Definition): RegisteredView = {
+    val r = register(d) // validates derivability up front
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val prior = CommitLog.latest(spark, d.baseDir)
+      .flatMap(_.props.get(PropKey)).map(parseDefs(d.baseDir, _))
+      .getOrElse(Nil)
+    val merged = prior.filterNot(p =>
+      ConstraintCatalog.normalize(p.viewDir) ==
+        ConstraintCatalog.normalize(d.viewDir)) :+ d
+    val json = JsonMethods.compact(JsonMethods.render(JArray(
+      merged.toList.map { m =>
+        ("viewDir" -> m.viewDir) ~ ("partitionCol" -> m.partitionCol) ~
+          ("groupCols" -> m.groupCols) ~ ("invertible" -> m.invertible) ~
+          ("aggs" -> m.specs.map(_.getOrElse(throw new IllegalStateException(
+            "persist requires fully parseable aggregates"))).toList.map(s =>
+            ("op" -> s.op) ~ ("input" -> s.input) ~
+              ("valueCol" -> s.valueCol)))
+      })))
+    CommitLog.setProps(spark, d.baseDir, Map(PropKey -> json))
+    r
+  }
+
+  /** Load every view definition persisted on `baseDir`'s log into this
+    * session's registry. Returns the restored registrations. */
+  def restore(spark: SparkSession, baseDir: String): Seq[RegisteredView] =
+    CommitLog.latest(spark, baseDir).flatMap(_.props.get(PropKey))
+      .map(parseDefs(baseDir, _)).getOrElse(Nil).map(register)
+
+  private def parseDefs(baseDir: String,
+      json: String): Seq[IncrementalView.Definition] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    JsonMethods.parse(json).extract[List[JValue]].map { j =>
+      val specs = (j \ "aggs").extract[List[JValue]].map(a =>
+        IncrementalView.AggSpec((a \ "op").extract[String],
+          (a \ "input").extractOpt[String], (a \ "valueCol").extract[String]))
+      IncrementalView.Definition(
+        baseDir, (j \ "viewDir").extract[String],
+        (j \ "partitionCol").extract[String],
+        (j \ "groupCols").extract[Seq[String]],
+        specs.map(IncrementalView.toColumn),
+        (j \ "invertible").extractOpt[Boolean].getOrElse(false))
+    }
+  }
+
   // The structural parse itself lives with the Definition
   // ([[IncrementalView.parseAgg]]) — the delta-refresh path needs the
   // same AggSpec view of the aggregates as the rewrite rule.
@@ -192,10 +250,15 @@ class RewriteAggregateOnView(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => false
         })) return None
 
-    // freshness (metadata plane: the view's version file)
+    // freshness (metadata plane: the view's version file). A base
+    // version ahead of the ledger is still fresh when the gap holds no
+    // DATA commits (props-only commits and compactions move no rows —
+    // partsBetween reports them as touching nothing).
     val refreshedTo = IncrementalView.lastRefreshed(spark, d)
       .getOrElse(return None)
-    if (refreshedTo < baseVersion) return None
+    if (refreshedTo < baseVersion &&
+        !CommitLog.partsBetween(spark, d.baseDir, refreshedTo, baseVersion)
+          .exists(_.isEmpty)) return None
 
     // the view's analyzed plan (fresh exprIds per rewrite — no clashes)
     val viewPlan = CommitLog.read(spark, d.viewDir).queryExecution.analyzed

@@ -85,7 +85,8 @@ object CommitLog {
       version: Long, files: Seq[String], batches: Seq[Long],
       statsCols: Seq[String], manifest: Option[String], op: String,
       sketchCols: Seq[String] = Nil, schemaJson: Option[String] = None,
-      bloomCols: Seq[String] = Nil, bloomExpect: Long = 1L << 20)
+      bloomCols: Seq[String] = Nil, bloomExpect: Long = 1L << 20,
+      props: Map[String, String] = Map.empty)
 
   private def logPath(dir: String) = new Path(dir, LogDirName)
   private def versionFile(dir: String, v: Long) =
@@ -102,7 +103,8 @@ object CommitLog {
         ("batches" -> s.batches) ~ ("statsCols" -> s.statsCols) ~
         ("manifest" -> s.manifest) ~ ("op" -> s.op) ~
         ("sketchCols" -> s.sketchCols) ~ ("schemaJson" -> s.schemaJson) ~
-        ("bloomCols" -> s.bloomCols) ~ ("bloomExpect" -> s.bloomExpect)))
+        ("bloomCols" -> s.bloomCols) ~ ("bloomExpect" -> s.bloomExpect) ~
+        ("props" -> s.props)))
   }
 
   private def parse(text: String): Snapshot = {
@@ -120,7 +122,8 @@ object CommitLog {
       (j \ "sketchCols").extractOpt[Seq[String]].getOrElse(Nil),
       (j \ "schemaJson").extractOpt[String],
       (j \ "bloomCols").extractOpt[Seq[String]].getOrElse(Nil),
-      (j \ "bloomExpect").extractOpt[Long].getOrElse(1L << 20))
+      (j \ "bloomExpect").extractOpt[Long].getOrElse(1L << 20),
+      (j \ "props").extractOpt[Map[String, String]].getOrElse(Map.empty))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -422,9 +425,33 @@ object CommitLog {
     val snap = Snapshot(v, files.sorted, batches.distinct.sorted,
       prev.statsCols, manifestRel, op, prev.sketchCols,
       mergeSchemaJson(prev.schemaJson, schemaJson),
-      prev.bloomCols, prev.bloomExpect)
+      prev.bloomCols, prev.bloomExpect, prev.props)
     casWrite(f, versionFile(dir, v), render(snap))
     snap
+  }
+
+  /** Properties-only commit: merge `kv` into the table's property map
+    * (a null/absent-safe upsert of each key) against the current file
+    * set. Table properties are the log-resident catalog state — view
+    * registrations, constraint declarations — that a fresh session
+    * restores instead of relying on JVM-global registries; they ride
+    * every subsequent commit unchanged. */
+  def setProps(spark: SparkSession, dir: String,
+      kv: Map[String, String]): Snapshot = {
+    val s = mustLatest(spark, dir)
+    val merged = s.props ++ kv
+    if (merged == s.props) return s
+    val next = s.copy(version = s.version + 1, props = merged, op = "props",
+      batches = s.batches)
+    try {
+      casWrite(hadoopFs(spark, dir), versionFile(dir, next.version),
+        render(next))
+      next
+    } catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"setProps on $dir lost the commit race (${e.getMessage}) — " +
+          "re-read and retry")
+    }
   }
 
   /** Start the log: snapshot the directory's current files as version 1.

@@ -114,6 +114,18 @@ object IncrementalView {
     }
   }
 
+  /** Rebuild the aggregate Column an [[AggSpec]] denotes — the inverse
+    * of [[parseAgg]], used when restoring a persisted definition from
+    * the commit log's table properties. */
+  def toColumn(s: AggSpec): Column = ((s.op, s.input) match {
+    case ("count", None) => count(lit(1))
+    case ("count", Some(c)) => count(col(c))
+    case ("sum", Some(c)) => sum(col(c))
+    case ("min", Some(c)) => min(col(c))
+    case ("max", Some(c)) => max(col(c))
+    case other => throw new IllegalArgumentException(s"bad AggSpec $other")
+  }).as(s.valueCol)
+
   /** A view definition: `SELECT groupCols…, aggs… FROM base GROUP BY
     * groupCols`. `aggs` must be aliased aggregate Columns (they become
     * the view's value columns). Group-local views (default) require

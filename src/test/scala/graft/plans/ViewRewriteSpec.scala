@@ -229,6 +229,38 @@ class ViewRewriteSpec extends AnyFunSuite {
     } finally { ConstraintCatalog.clear(); MatViewCatalog.clear() }
   }
 
+  test("catalog state rides the log: a fresh session restores persisted views + constraints and both rewrites fire") {
+    val f = fixture()
+    val dimDir = tmp() + "/dim"
+    spark.range(0, 4).select(col("id").cast("int").as("dp"),
+      concat(lit("d"), col("id")).as("dname")).write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    def q: DataFrame = CommitLog.read(spark, f.base)
+      .join(dim, col("p") === col("dp"))
+      .groupBy("p").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    ConstraintCatalog.clear(); MatViewCatalog.clear()
+    val expected = rows(q)
+    try {
+      // persist both into the base table's log (audited RI; props-only
+      // commits — the view needs NO re-refresh to stay serving-fresh)
+      MatViewCatalog.persist(spark, f.d)
+      assert(ConstraintCatalog.declareAuditedLogged(
+        spark, f.base, "p", dimDir, "dp"))
+
+      // "restart": both JVM registries gone → no rewrites (the plan
+      // still scans the base lake and joins the dim)
+      ConstraintCatalog.clear(); MatViewCatalog.clear()
+      assert(!readsOnly(q, f.view))
+
+      // a fresh session restores from the table itself
+      assert(MatViewCatalog.restore(spark, f.base).size === 1)
+      assert(ConstraintCatalog.restore(spark, f.base) === 1)
+      assert(readsOnly(q, f.view),
+        s"restored catalogs did not re-enable the composition: ${scanDirs(q)}")
+      assert(rows(q) === expected)
+    } finally { ConstraintCatalog.clear(); MatViewCatalog.clear() }
+  }
+
   test("registration rejects non-derivable view aggregates") {
     val f = fixture()
     intercept[IllegalArgumentException] {

@@ -319,6 +319,23 @@ class CommitLogSpec extends AnyFunSuite {
     assert(totalA == 8 && readA <= 2, s"pruning did not engage: $readA/$totalA")
   }
 
+  test("table properties merge on set and ride every subsequent commit") {
+    val dir = freshLake()
+    CommitLog.setProps(spark, dir, Map("owner" -> "etl"))
+    CommitLog.upsert(spark,
+      spark.range(0, 10).select($"id".as("k"), lit(1L).as("v"),
+        lit("d0").as("pd")), dir, Seq("k"), "pd")
+    CommitLog.compact(spark, dir, targetPartitions = 2)
+    assert(CommitLog.latest(spark, dir).get.props === Map("owner" -> "etl"))
+    CommitLog.setProps(spark, dir, Map("tier" -> "gold"))
+    assert(CommitLog.latest(spark, dir).get.props ===
+      Map("owner" -> "etl", "tier" -> "gold"))
+    // setting nothing new is a no-op commit-wise
+    val v = CommitLog.latest(spark, dir).get.version
+    CommitLog.setProps(spark, dir, Map("tier" -> "gold"))
+    assert(CommitLog.latest(spark, dir).get.version === v)
+  }
+
   test("history reports the lifecycle; fragmentation gate compacts only over budget") {
     val dir = freshLake()
     CommitLog.upsert(spark,
