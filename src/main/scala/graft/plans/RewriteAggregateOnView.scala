@@ -256,9 +256,12 @@ class RewriteAggregateOnView(spark: SparkSession) extends Rule[LogicalPlan] {
     // partsBetween reports them as touching nothing).
     val refreshedTo = IncrementalView.lastRefreshed(spark, d)
       .getOrElse(return None)
+    // the gap probe reads one version file per version — bound it so a
+    // long-stale view costs a cheap decline, not a planning-time walk
     if (refreshedTo < baseVersion &&
-        !CommitLog.partsBetween(spark, d.baseDir, refreshedTo, baseVersion)
-          .exists(_.isEmpty)) return None
+        (baseVersion - refreshedTo > 64 ||
+          !CommitLog.partsBetween(spark, d.baseDir, refreshedTo, baseVersion)
+            .exists(_.isEmpty))) return None
 
     // the view's analyzed plan (fresh exprIds per rewrite — no clashes)
     val viewPlan = CommitLog.read(spark, d.viewDir).queryExecution.analyzed
