@@ -359,4 +359,67 @@ object Graft {
     graft.functions.NativeSketches.thetaDiff(a, b)
   def thetaEstimate(sketch: Column): Column =
     graft.functions.NativeSketches.thetaEstimate(sketch)
+
+  /** Handle on a commit-log (lakehouse) table: the full table lifecycle
+    * behind one path-addressed object. Thin sugar over
+    * [[graft.sources.CommitLog]] — semantics, concurrency, and specs
+    * live there.
+    * {{{
+    * val t = Graft.lake(spark, "/lake/orders")
+    * t.upsert(updates, keyCols = Seq("id"), partitionCol = "day")
+    * t.read.groupBy("day").count()      // MV-rewritable aggregate
+    * t.asOf(3)                          // time travel
+    * t.changes(3, t.version)           // incremental feed
+    * t.history.show()
+    * }}}
+    */
+  final case class Lake(spark: org.apache.spark.sql.SparkSession,
+      dir: String) {
+    import graft.sources.{CommitLog, IncrementalView}
+    def read: DataFrame = CommitLog.read(spark, dir)
+    def version: Long = CommitLog.latest(spark, dir)
+      .map(_.version).getOrElse(
+        throw new IllegalStateException(s"$dir has no commit log"))
+    def asOf(v: Long): DataFrame = CommitLog.readAt(spark, dir, v)
+    def changes(fromV: Long, toV: Long): DataFrame =
+      CommitLog.changesBetween(spark, dir, fromV, toV)
+    def history: DataFrame = CommitLog.history(spark, dir)
+    def upsert(updates: DataFrame, keyCols: Seq[String],
+        partitionCol: String, seqCol: Option[String] = None): Unit = {
+      CommitLog.upsert(spark, updates, dir, keyCols, partitionCol, seqCol)
+      ()
+    }
+    def delete(cond: Column): Unit = { CommitLog.delete(spark, dir, cond); () }
+    def compact(targetPartitions: Int, clusterCols: Seq[String] = Nil): Unit = {
+      if (clusterCols.isEmpty) CommitLog.compact(spark, dir, targetPartitions)
+      else CommitLog.compactClustered(spark, dir, targetPartitions, clusterCols)
+      ()
+    }
+    def vacuum(keepLast: Int = 1): Seq[String] =
+      CommitLog.vacuum(spark, dir, keepLast)
+    /** Define + persist + bootstrap a materialized view over this table;
+      * aggregates over [[read]] matching it are answered from the view
+      * by the optimizer. */
+    def materialize(viewDir: String, partitionCol: String,
+        groupCols: Seq[String], aggs: Seq[Column],
+        invertible: Boolean = false): IncrementalView.Definition = {
+      val d = IncrementalView.Definition(
+        dir, viewDir, partitionCol, groupCols, aggs, invertible)
+      graft.plans.MatViewCatalog.persist(spark, d)
+      IncrementalView.refresh(spark, d)
+      d
+    }
+    def refreshView(d: IncrementalView.Definition): Seq[String] =
+      IncrementalView.refresh(spark, d)
+    /** Restore this table's persisted views + constraint declarations
+      * into the session's optimizer catalogs. */
+    def restoreCatalogs(): Unit = {
+      graft.plans.MatViewCatalog.restore(spark, dir)
+      graft.plans.ConstraintCatalog.restore(spark, dir)
+      ()
+    }
+  }
+
+  def lake(spark: org.apache.spark.sql.SparkSession, dir: String): Lake =
+    Lake(spark, dir)
 }
