@@ -142,6 +142,14 @@ object Graft {
         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
       graft.text.Retrieval.bm25Batch(df, queries, idCol, textCol, k, arity)
 
+    /** Publish a persisted BM25 inverted index at `dir`: tokenize once,
+      * serve every later query batch from Bloom-pruned posting lists
+      * ([[graft.text.InvertedIndex.search]]) with no corpus re-scan. */
+    def buildSearchIndex(dir: String, idCol: String = "doc_id",
+        textCol: String = "text", numFiles: Int = 8): Unit =
+      graft.text.InvertedIndex.build(df.sparkSession, df, idCol, textCol,
+        dir, numFiles)
+
     /** Exact token-set Jaccard for all id pairs of a (small) probe set. */
     def jaccardPairs(idCol: String, textCol: String = "text"): DataFrame =
       Dedup.tokenJaccardPairs(df, idCol, textCol)

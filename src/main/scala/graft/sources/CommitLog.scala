@@ -399,7 +399,8 @@ object CommitLog {
   private def commit(spark: SparkSession, dir: String, prev: Snapshot,
       files: Seq[String], newRels: Seq[String],
       batches: Seq[Long], op: String,
-      schemaJson: Option[String] = None): Snapshot = {
+      schemaJson: Option[String] = None,
+      propsDelta: Map[String, String] = Map.empty): Snapshot = {
     val f = hadoopFs(spark, dir)
     val v = prev.version + 1
     val manifestRel =
@@ -425,7 +426,7 @@ object CommitLog {
     val snap = Snapshot(v, files.sorted, batches.distinct.sorted,
       prev.statsCols, manifestRel, op, prev.sketchCols,
       mergeSchemaJson(prev.schemaJson, schemaJson),
-      prev.bloomCols, prev.bloomExpect, prev.props)
+      prev.bloomCols, prev.bloomExpect, prev.props ++ propsDelta)
     casWrite(f, versionFile(dir, v), render(snap))
     snap
   }
@@ -489,7 +490,8 @@ object CommitLog {
   final case class StagedUpsert(
       base: Snapshot, touchedParts: Set[String],
       removed: Set[String], added: Seq[String], batchId: Option[Long],
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      propsDelta: Map[String, String] = Map.empty)
 
   /** Partition directory of a dir-relative data file ("" for an
     * unpartitioned layout — there the whole table is one conflict unit). */
@@ -653,7 +655,8 @@ object CommitLog {
       val files = s.files.filterNot(staged.removed) ++ staged.added
       try {
         return commit(spark, dir, s, files, staged.added,
-          s.batches ++ staged.batchId, op, staged.schemaJson)
+          s.batches ++ staged.batchId, op, staged.schemaJson,
+          staged.propsDelta)
       } catch {
         case e: CommitConflict =>
           attempt += 1
@@ -916,6 +919,74 @@ object CommitLog {
       "delete", maxRetries = 10)
   }
 
+  /** Copy-on-write row replacement in ONE atomic commit: rows matching
+    * `cond` are deleted, `additions` are inserted, and `propsDelta`
+    * merges into the table properties — a reader sees the pre-state or
+    * the COMPLETE post-state, never new rows under old properties. This
+    * is the maintenance verb for derived tables whose rows and summary
+    * properties must move together ([[graft.text.InvertedIndex.update]]:
+    * a changed document's postings plus the corpus globals they alter).
+    *
+    * With `probe = Some((c, values))` (`c` must be in `bloomCols`),
+    * candidate files for the delete side are pruned through the
+    * committed per-file Bloom filters BEFORE the exact match scan, so
+    * churn-bounded maintenance never re-reads the whole table. The
+    * caller must guarantee `cond` only matches rows whose `c` is in
+    * `values` — a Bloom negative is definitive for the probed values
+    * only, so a wider `cond` would silently miss rows in pruned files.
+    *
+    * File-granularity COW like [[delete]]: hit files are rewritten
+    * without the matching rows; `additions` stage as new files shaped by
+    * the caller (pre-partition/sort for clustering). Same rebase rules
+    * as [[upsert]] via the shared commit loop. */
+  def replaceWhere(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column, additions: DataFrame,
+      propsDelta: Map[String, String] = Map.empty,
+      probe: Option[(String, Seq[Any])] = None): Snapshot = {
+    val s = mustLatest(spark, dir)
+    checkSchemaCompatible(s, additions, dir)
+    val base = hadoopFs(spark, dir).makeQualified(new Path(dir))
+      .toUri.getPath.stripSuffix("/") + "/"
+    val candidates: Seq[String] = probe match {
+      case Some((c, values)) =>
+        require(values.nonEmpty, "replaceWhere: empty probe value set")
+        require(s.bloomCols.contains(c),
+          s"$dir tracks no bloom filter for '$c' (bloomCols=${s.bloomCols})")
+        val m = s.manifest.getOrElse(throw new IllegalStateException(
+          s"$dir version ${s.version} carries no manifest"))
+        val mightAny = values.map(v => graft.functions.NativeBloom
+            .bloomMightContain(col(s"bloom_$c"), lit(v)))
+          .reduceLeft(_ || _)
+        spark.read.parquet(s"$dir/$LogDirName/$m").filter(mightAny)
+          .select(col("file")).collect().map(_.getString(0)).toSeq
+      case None => s.files
+    }
+    val hitFiles: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readFiles(spark, dir, s, candidates).filter(cond)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r => DataSkipping.rawPath(r.getString(0))
+          .stripPrefix(base)).toSet
+    val partCols = s.files.head.split('/').dropRight(1)
+      .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+    val survivorRels =
+      if (hitFiles.isEmpty) Nil
+      else stageWrite(spark, dir,
+        readFiles(spark, dir, s, hitFiles.toSeq.sorted)
+          .filter(!coalesce(cond, lit(false))), partCols)
+    val addedRels =
+      if (additions.isEmpty) Nil
+      else stageWrite(spark, dir, additions, partCols)
+    if (hitFiles.isEmpty && addedRels.isEmpty && propsDelta.isEmpty) return s
+    val newRels = survivorRels ++ addedRels
+    val touched = hitFiles.map(partOf) ++ newRels.map(partOf)
+    commitRebase(spark, dir,
+      StagedUpsert(s, touched, hitFiles, newRels, None,
+        if (addedRels.isEmpty) None else Some(additions.schema.json),
+        propsDelta),
+      "replace", maxRetries = 10)
+  }
+
   /** Zone-map-pruned box scan over the LATEST snapshot. No staleness
     * check exists because none is needed: the stats snapshot was
     * committed atomically with the file list it describes. Falls back to
@@ -1015,6 +1086,37 @@ object CommitLog {
     val df =
       if (survivors.isEmpty) readSnapshot(spark, dir, s).filter(col(c) === value).limit(0)
       else readFiles(spark, dir, s, survivors).filter(col(c) === value)
+    (df, (survivors.size, s.files.size))
+  }
+
+  /** Batched point lookup `c IN (values)` with the same per-file Bloom
+    * pruning as [[scanPoint]], planned in ONE manifest pass: a file
+    * survives when its filter might contain ANY probed value. Per-value
+    * negatives are definitive, so no file holding a probed value is ever
+    * dropped — the exact IN predicate re-applied on the survivors makes
+    * the result identical to a full scan's. This is the posting-list
+    * read of [[graft.text.InvertedIndex]]: a query batch's whole term
+    * vocabulary plans as one metadata pass and one multi-file read,
+    * never a scan per term. Returns the DataFrame plus
+    * (filesRead, filesTotal). */
+  def scanPointsIn(spark: SparkSession, dir: String, c: String,
+      values: Seq[Any]): (DataFrame, (Int, Int)) = {
+    require(values.nonEmpty, "scanPointsIn: empty probe set")
+    val s = mustLatest(spark, dir)
+    require(s.bloomCols.contains(c),
+      s"$dir tracks no bloom filter for '$c' (bloomCols=${s.bloomCols})")
+    val m = s.manifest.getOrElse(throw new IllegalStateException(
+      s"$dir version ${s.version} carries no manifest"))
+    val mightAny = values.map(v =>
+        graft.functions.NativeBloom.bloomMightContain(col(s"bloom_$c"), lit(v)))
+      .reduceLeft(_ || _)
+    val survivors = spark.read.parquet(s"$dir/$LogDirName/$m")
+      .filter(mightAny)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val df =
+      if (survivors.isEmpty)
+        readSnapshot(spark, dir, s).filter(col(c).isin(values: _*)).limit(0)
+      else readFiles(spark, dir, s, survivors).filter(col(c).isin(values: _*))
     (df, (survivors.size, s.files.size))
   }
 

@@ -1,0 +1,218 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.CommitLog
+
+/** A persisted inverted index for BM25 serving: tokenize the corpus ONCE
+  * at publish time, answer every later query batch from posting lists —
+  * the corpus is never re-scanned.
+  *
+  * [[Retrieval.bm25Batch]] is the right shape when queries arrive WITH
+  * the corpus pass (contamination probes at publish). But a retrieval
+  * service over a published 100 TB corpus cannot pay a corpus scan per
+  * query batch; the classic answer (Lucene's, re-expressed for a lake)
+  * is to materialize the tokenize+tf pass:
+  *
+  *  - postings `(term, doc_id, tf, len)` — one row per distinct
+  *    (term, doc) pair, the compacted table `bm25Batch` builds in
+  *    memory, written range-clustered by `term` and committed through
+  *    [[CommitLog]] with a per-file Bloom filter on `term`. `len` is
+  *    denormalized into the posting (one long) so serving needs no
+  *    doc-length join at all.
+  *  - corpus globals (doc count, total length) ride the commit as table
+  *    props — serving reads them as two literals, not even a broadcast.
+  *
+  * Serving a query batch then costs: one manifest pass Bloom-probing the
+  * batch's whole term vocabulary ([[CommitLog.scanPointsIn]]), a read of
+  * only the surviving posting files (range-clustering keeps a term's
+  * postings in few files), and the same bit-reproducible BM25 arithmetic
+  * as `bm25Batch` — document frequencies are DERIVED from the pruned
+  * slice (a Bloom negative is definitive, so every posting of a probed
+  * term survives; `df(t)` is an exact count over the slice). Scores are
+  * bit-identical to the corpus-pass scorer and to the DuckDB oracle:
+  * same tokenization, same exact integer tf/len/df/n, the avglen
+  * division is the same single IEEE op, and the per-query score is the
+  * same position-ordered `+` chain.
+  *
+  * The index is maintained like any logged table: a corpus upsert
+  * re-tokenizes the touched documents and upserts their postings keyed
+  * on (term, doc_id); [[CommitLog.compactClustered]] on `term` restores
+  * clustering after churn. Build here is snapshot-at-publish
+  * ([[build]] = full tokenize, the honest cost the corpus pass already
+  * paid once).
+  */
+object InvertedIndex {
+
+  /** Tokenize `docs` once and publish the posting-list index at `dir`
+    * (a fresh directory). `numFiles` bounds the posting file count —
+    * range-partitioning by term keeps each term's postings in one or
+    * two files so Bloom pruning has something to prune. */
+  def build(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, dir: String, numFiles: Int = 8,
+      termsPerFile: Long = 1L << 17): Unit = {
+    val id = col(idCol)
+    // the ONE corpus pass: raw tokens → compacted (doc, term, tf),
+    // doc length = Σ tf re-aggregated from the compacted table
+    val tok = docs.filter(id.isNotNull)
+      .select(id, explode(Retrieval.tokens(col(textCol))).as("t"))
+      .where(col("t").isNotNull)
+    val tf = tok.groupBy(id, col("t")).agg(count(lit(1)).as("tf"))
+    val lens = tf.groupBy(id).agg(sum(col("tf")).as("len"))
+    tf.join(lens, Seq(idCol))
+      .select(col("t").as("term"), id.as("doc_id"), col("tf"), col("len"))
+      .repartitionByRange(numFiles, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.parquet(dir)
+    // Blooms are sized to the per-file DISTINCT-term bound, not the
+    // posting-row count: ~0.9 MB per 10⁶ terms at 3% fpp, so the whole
+    // manifest stays a metadata-plane read even for web-scale
+    // vocabularies. The doc_id filter serves [[update]]: a changed doc's
+    // old postings are found through file Blooms, never a full index scan.
+    CommitLog.init(spark, dir, bloomCols = Seq("term", "doc_id"),
+      bloomExpect = termsPerFile)
+    // globals from the COMMITTED postings (compacted size, not a corpus
+    // re-scan): n = docs with ≥1 token — exactly the population the
+    // corpus-pass scorer and the oracle average over
+    val g = CommitLog.read(spark, dir)
+      .groupBy(col("doc_id")).agg(first(col("len")).as("len"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("sumlen"))
+      .head()
+    CommitLog.setProps(spark, dir, Map(
+      "bm25.n" -> g.getLong(0).toString,
+      "bm25.sumlen" -> g.getLong(1).toString,
+      "bm25.id_col" -> idCol,
+      "bm25.text_col" -> textCol))
+    ()
+  }
+
+  /** Incremental maintenance: re-index ONLY `changedDocs` (each row the
+    * NEW full text of an added or edited document — an empty/token-free
+    * text removes the doc from the index). One atomic
+    * [[CommitLog.replaceWhere]] commit swaps the touched docs' postings
+    * and folds their length delta into the corpus globals, so a reader
+    * always scores against a CONSISTENT (postings, n, avglen) snapshot —
+    * new postings under stale globals would skew every BM25 score in the
+    * batch, which is exactly the torn state the props-riding commit
+    * makes impossible.
+    *
+    * Cost is churn-bounded, never corpus-bounded: the changed docs
+    * tokenize (their size), their OLD postings are found through the
+    * committed per-file doc_id Blooms (kilobyte manifest pass + the hit
+    * files), and the new postings land as one file. A term-clustered
+    * layout necessarily scatters one doc's postings across term ranges —
+    * the hit-file count reflects the doc's vocabulary spread, the same
+    * trade Lucene makes per segment — and update churn degrades
+    * clustering over time: [[CommitLog.compactClustered]] on `term` is
+    * the maintenance pass that restores it. Re-applying the same update
+    * is idempotent (same postings replace themselves; the globals delta
+    * is zero). Single-writer per index (the postings table is one
+    * conflict unit); concurrent updates abort loudly, by design. */
+  def update(spark: SparkSession, dir: String,
+      changedDocs: DataFrame): Unit = {
+    val snap = CommitLog.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir holds no index commit log"))
+    val idCol = snap.props.getOrElse("bm25.id_col",
+      throw new IllegalStateException(s"$dir carries no bm25 props"))
+    val textCol = snap.props("bm25.text_col")
+    val id = col(idCol)
+    val docs = changedDocs.filter(id.isNotNull)
+    // the touched doc ids drive the Bloom probe — churn-bounded
+    // driver-side metadata, like any predicate-literal list
+    val touched: Seq[Any] = docs.select(id).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val tok = docs.select(id, explode(Retrieval.tokens(col(textCol))).as("t"))
+      .where(col("t").isNotNull)
+    val tf = tok.groupBy(id, col("t")).agg(count(lit(1)).as("tf"))
+    val lens = tf.groupBy(id).agg(sum(col("tf")).as("len"))
+    val newPosts = tf.join(lens, Seq(idCol))
+      .select(col("t").as("term"), id.as("doc_id"), col("tf"), col("len"))
+      .coalesce(1).sortWithinPartitions("term", "doc_id")
+    // globals delta: old contribution read through the doc_id Blooms,
+    // new contribution from the just-tokenized lengths
+    val (oldSlice, _) = CommitLog.scanPointsIn(spark, dir, "doc_id", touched)
+    val oldRow = oldSlice.groupBy(col("doc_id"))
+      .agg(first(col("len")).as("len"))
+      .agg(count(lit(1)).as("c"), coalesce(sum(col("len")), lit(0L)).as("s"))
+      .head()
+    val newRow = lens
+      .agg(count(lit(1)).as("c"), coalesce(sum(col("len")), lit(0L)).as("s"))
+      .head()
+    val n = snap.props("bm25.n").toLong - oldRow.getLong(0) + newRow.getLong(0)
+    val sumLen = snap.props("bm25.sumlen").toLong -
+      oldRow.getLong(1) + newRow.getLong(1)
+    CommitLog.replaceWhere(spark, dir, col("doc_id").isin(touched: _*),
+      newPosts,
+      propsDelta = Map("bm25.n" -> n.toString, "bm25.sumlen" -> sumLen.toString),
+      probe = Some(("doc_id", touched)))
+    ()
+  }
+
+  /** Score a query table against the published index — zero corpus
+    * access, posting files pruned by the batch's term vocabulary.
+    *
+    * `queries` holds (query_id: long, term: string, pos: int) with
+    * `pos < arity`, one row per query term, terms distinct within a
+    * query — the same contract as [[Retrieval.bm25Batch]], and the same
+    * output: top `k` docs per query as (query_id, idCol, score), ties
+    * broken by id, scores bit-identical to the corpus-pass scorer.
+    *
+    * The query batch's distinct terms are collected driver-side for the
+    * Bloom probe — that is the planning metadata of this read (a query
+    * batch's vocabulary, thousands of strings at most), same footprint
+    * as any predicate-literal list. */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, arity: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(arity > 0, "arity: the max terms per query, > 0")
+    val snap = CommitLog.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir holds no index commit log"))
+    val idCol = snap.props.getOrElse("bm25.id_col",
+      throw new IllegalStateException(s"$dir carries no bm25 props"))
+    val n = snap.props("bm25.n").toLong
+    val sumLen = snap.props("bm25.sumlen").toLong
+    // the same IEEE division the oracle's CAST(sum(len) AS DOUBLE)/n does
+    val avglen = sumLen.toDouble / n.toDouble
+    val id = col(idCol)
+
+    val termValues: Seq[Any] = queries.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val (posts0, _) = CommitLog.scanPointsIn(spark, dir, "term", termValues)
+    val posts = posts0.select(col("term").as("t"), col("doc_id").as(idCol),
+      col("tf"), col("len"))
+    // exact df per probed term, derived from the pruned slice: one row
+    // per (term, doc) with tf > 0 by construction, so count(*) = df —
+    // term-cardinality sized, broadcast back onto the postings
+    val dfq = posts.groupBy(col("t").as("dft")).agg(count(lit(1)).as("df"))
+
+    val matched = posts
+      .join(broadcast(queries), col("t") === queries("term"))
+      .join(broadcast(dfq), col("t") === col("dft"))
+
+    // identical arithmetic, op for op, to Retrieval.bm25Batch — the
+    // globals arrive as literals instead of a broadcast row
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val idf = log((lit(n.toDouble) - dfD + 0.5) / (dfD + 0.5) + 1.0)
+    val den = tfD + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("len").cast("double") / lit(avglen))
+    val ts = idf * (tfD * lit(k1 + 1.0)) / den
+
+    val posSums = (0 until arity).map { p =>
+      sum(when(col("pos") === p, ts).otherwise(lit(0.0))).as(s"s$p")
+    }
+    val perQueryDoc = matched.groupBy(col("query_id"), id)
+      .agg(posSums.head, posSums.tail: _*)
+    val score = (0 until arity).map(p => col(s"s$p")).reduceLeft(_ + _)
+
+    import org.apache.spark.sql.expressions.Window
+    perQueryDoc.select(col("query_id"), id, score.as("raw"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("raw").desc, id)))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), id, round(col("raw"), 6).as("score"))
+      .orderBy(col("query_id"), col("score").desc, id)
+  }
+}

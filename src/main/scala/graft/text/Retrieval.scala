@@ -28,7 +28,7 @@ object Retrieval {
 
   /** Whitespace tokens of `lower(text)`, empties dropped — the same
     * definition the oracle uses (`string_split_regex(lower(text),'\s+')`). */
-  private def tokens(textCol: Column): Column =
+  private[text] def tokens(textCol: Column): Column =
     filter(split(lower(textCol), "\\s+"), t => t =!= "")
 
   /** BM25 scores for `terms` against every document; returns the top `k`

@@ -235,6 +235,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("/lake"), s"base lake still scanned:\n$p")
   }
 
+  test("q160: index serving never scans the corpus — postings only, broadcast query side") {
+    val p = planOf("q160_index_search")
+    assert(!p.contains("documents"), s"corpus scanned at serving time:\n$p")
+    assert(p.contains("graft_q160_"), s"postings log not scanned:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"query-side join fell back to SMJ:\n$p")
+  }
+
   test("q86: z-order bucketing is one interleave window + one agg — two exchanges") {
     val p = planOf("q86_zorder")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,

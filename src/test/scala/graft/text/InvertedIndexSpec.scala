@@ -1,0 +1,139 @@
+package graft.text
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.sources.CommitLog
+
+/** [[InvertedIndex]]: index-serving must equal the corpus-pass scorer
+  * bit for bit (the DuckDB numeric parity itself is pinned by q160's
+  * hash-matched oracle — the same SQL as q139), the posting read must
+  * actually prune files on a clustered layout, and serving must never
+  * touch the corpus.
+  */
+class InvertedIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    s"$d/index"
+  }
+
+  private def corpus = Seq(
+    (1L, "spark spark spark filter"),
+    (2L, "spark filter join hash merge window"),
+    (3L, "filter join hash merge row scan"),
+    (4L, "spark spark filter join hash merge row scan batch value"),
+    (5L, ""), // token-free doc: absent from postings AND from n/avglen
+    (6L, "window window row")
+  ).toDF("doc_id", "text")
+
+  private def queriesDf = Seq(
+    (0L, "spark", 0), (0L, "window", 1), (0L, "merge", 2),
+    (1L, "row", 0), (1L, "scan", 1),
+    (2L, "filter", 0), (2L, "absentterm", 1)
+  ).toDF("query_id", "term", "pos")
+
+  test("index serving ≡ corpus-pass batch scorer, bit for bit") {
+    val dir = tmp("graft_invidx_parity_")
+    InvertedIndex.build(spark, corpus, "doc_id", "text", dir, numFiles = 3)
+    val viaIndex = InvertedIndex.search(spark, dir, queriesDf, k = 10, arity = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaCorpus = Retrieval
+      .bm25Batch(corpus, queriesDf, "doc_id", "text", k = 10, arity = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // identical tf/len/df/n and the same IEEE op order → equality, not
+    // tolerance
+    assert(viaIndex == viaCorpus, s"\nindex:  $viaIndex\ncorpus: $viaCorpus")
+  }
+
+  test("globals exclude token-free docs, match the corpus-pass population") {
+    val dir = tmp("graft_invidx_globals_")
+    InvertedIndex.build(spark, corpus, "doc_id", "text", dir, numFiles = 2)
+    val props = CommitLog.latest(spark, dir).get.props
+    assert(props("bm25.n").toLong == 5L, "doc 5 (no tokens) must not count")
+    assert(props("bm25.sumlen").toLong == (4 + 6 + 6 + 10 + 3))
+  }
+
+  test("term Bloom pruning engages on the range-clustered postings") {
+    // 16 disjoint vocabularies over 8 posting files: any single term's
+    // postings live in one range file, so a one-term probe must open a
+    // strict subset
+    val docs = (0 until 400).map { i =>
+      val w = f"w${i / 25}%02d"
+      (i.toLong, s"$w $w common$w")
+    }.toDF("doc_id", "text")
+    val dir = tmp("graft_invidx_prune_")
+    InvertedIndex.build(spark, docs, "doc_id", "text", dir, numFiles = 8)
+    val (posts, (read, total)) =
+      CommitLog.scanPointsIn(spark, dir, "term", Seq("w03"))
+    assert(total >= 4, s"fixture produced too few posting files ($total)")
+    assert(read < total, s"no pruning: read $read of $total")
+    assert(posts.count() == 25L, "pruned read lost or duplicated postings")
+  }
+
+  test("the postings log is the serving plan's only file scan") {
+    // the registered q160's corpus-never-scanned pin lives in
+    // PlanAuditSpec (there the corpus IS a parquet table); here: every
+    // file scan in the serving plan reads the index directory
+    val dir = tmp("graft_invidx_plan_")
+    InvertedIndex.build(spark, corpus, "doc_id", "text", dir, numFiles = 2)
+    val plan = InvertedIndex.search(spark, dir, queriesDf, k = 5, arity = 3)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("graft_invidx_plan_"), s"postings not scanned:\n$plan")
+  }
+
+  test("incremental update ≡ rebuild from the post-update corpus, bit for bit") {
+    val dir = tmp("graft_invidx_update_")
+    InvertedIndex.build(spark, corpus, "doc_id", "text", dir, numFiles = 3)
+    // edit 2, add 7, delete 6 (token-free new text removes it)
+    val changes = Seq(
+      (2L, "window window spark merge"),
+      (7L, "spark row scan scan"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    InvertedIndex.update(spark, dir, changes)
+    val updatedCorpus = corpus.filter(!col("doc_id").isin(2L, 6L, 7L))
+      .unionByName(changes.filter(col("doc_id") =!= 6L))
+    val rebuilt = tmp("graft_invidx_rebuilt_")
+    InvertedIndex.build(spark, updatedCorpus, "doc_id", "text", rebuilt,
+      numFiles = 3)
+    def results(d: String) =
+      InvertedIndex.search(spark, d, queriesDf, k = 10, arity = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(results(dir) == results(rebuilt))
+    // the globals moved atomically WITH the postings, in one commit
+    val props = CommitLog.latest(spark, dir).get.props
+    assert(props("bm25.n").toLong == 5L, "2 edited, 1 added, 1 removed → 5")
+    assert(props("bm25.sumlen").toLong == (4 + 4 + 6 + 10 + 4))
+    // re-applying the identical update is a pure no-op on the scores
+    InvertedIndex.update(spark, dir, changes)
+    assert(results(dir) == results(rebuilt), "update is not idempotent")
+    assert(CommitLog.latest(spark, dir).get.props == props)
+  }
+
+  test("update's old-postings probe is Bloom-pruned, not a full index scan") {
+    val docs = (0 until 400).map { i =>
+      val w = f"w${i / 25}%02d"
+      (i.toLong, s"$w $w common$w")
+    }.toDF("doc_id", "text")
+    val dir = tmp("graft_invidx_updprune_")
+    InvertedIndex.build(spark, docs, "doc_id", "text", dir, numFiles = 8)
+    val (_, (read, total)) =
+      CommitLog.scanPointsIn(spark, dir, "doc_id", Seq(42L))
+    assert(read < total, s"doc probe read $read of $total files")
+  }
+
+  test("a probe for terms absent from the corpus returns empty, not error") {
+    val dir = tmp("graft_invidx_absent_")
+    InvertedIndex.build(spark, corpus, "doc_id", "text", dir, numFiles = 2)
+    val q = Seq((0L, "zzzzz", 0)).toDF("query_id", "term", "pos")
+    assert(InvertedIndex.search(spark, dir, q, k = 5, arity = 1).count() == 0L)
+  }
+}
