@@ -545,13 +545,17 @@ object LlmQueries {
       "doc_id", "text", k = 10, arity = 3)
   }
 
-  private val q139Sql = {
+  /** The batch-BM25 oracle, parameterized over the corpus relation so
+    * q139 (raw documents) and q161 (post-update corpus assembled in SQL)
+    * share one arithmetic definition — any drift between them would be a
+    * spec bug, not a data difference. */
+  private def bm25OracleSql(extraCtes: String, corpusRel: String): String = {
     val values = q139Queries.map { case (q, t, p) => s"($q, '$t', $p)" }
       .mkString(", ")
-    s"""WITH q(query_id, term, pos) AS (VALUES $values),
+    s"""WITH $extraCtes q(query_id, term, pos) AS (VALUES $values),
        |tok AS (
        |  SELECT doc_id, t
-       |  FROM documents, UNNEST(string_split_regex(lower(text), '\\s+')) AS u(t)
+       |  FROM $corpusRel, UNNEST(string_split_regex(lower(text), '\\s+')) AS u(t)
        |  WHERE t <> ''),
        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
        |lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
@@ -585,6 +589,8 @@ object LlmQueries {
        |FROM r WHERE rn <= 10
        |ORDER BY query_id, score DESC, doc_id""".stripMargin
   }
+
+  private val q139Sql = bm25OracleSql("", "documents")
 
   // --------------------------------------------------- q160_index_search
   // The q139 query batch answered WITHOUT the corpus: a persisted
@@ -620,6 +626,61 @@ object LlmQueries {
     import s.implicits._
     graft.text.InvertedIndex.search(s, q160Index(s, d),
       q139Queries.toDF("query_id", "term", "pos"), k = 10, arity = 3)
+  }
+
+  // --------------------------------------------------- q161_index_update
+  // Incremental index maintenance under a FULL oracle: build the q160
+  // index, then apply a fixed churn batch (two edited docs, one removed
+  // via empty text, two added under collision-free ids) through
+  // InvertedIndex.update — one atomic replaceWhere commit swapping the
+  // touched docs' postings AND the corpus globals. The DuckDB oracle
+  // assembles the post-update corpus in SQL (anti-filter + VALUES union)
+  // and recomputes batch BM25 from scratch, so the hash-match proves the
+  // churn-bounded maintenance path lands byte-identical scores to a full
+  // rebuild. Fixture built+updated once per session per sf dir (update
+  // is idempotent anyway — the spec pins that too).
+  private val q161Changed = Seq(
+    (1L, "spark join hash merge window filter"),
+    (2L, "row scan batch vector data table"),
+    (3L, ""),
+    (1000000001L, "spark spark filter join window window"),
+    (1000000002L, "slow fast dup merge sort query"))
+
+  private val q161Indexes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q161Index(s: SparkSession, d: String): String =
+    q161Indexes.getOrElseUpdate(d, {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("graft_q161_")
+      val idx = s"$work/index"
+      graft.text.InvertedIndex.build(s, Tables.documents(s, d),
+        "doc_id", "text", idx)
+      graft.text.InvertedIndex.update(s, idx,
+        q161Changed.toDF("doc_id", "text"))
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      idx
+    })
+
+  private def q161IndexUpdate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.text.InvertedIndex.search(s, q161Index(s, d),
+      q139Queries.toDF("query_id", "term", "pos"), k = 10, arity = 3)
+  }
+
+  private val q161Sql = {
+    val values = q161Changed.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    bm25OracleSql(
+      s"""changed(doc_id, text) AS (VALUES $values),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id NOT IN (${q161Changed.map(_._1).mkString(", ")})
+         |  UNION ALL
+         |  SELECT doc_id, text FROM changed WHERE text <> ''),
+         |""".stripMargin, "corpus")
   }
 
   // ------------------------------------------------- q144_heavy_hitters
@@ -842,6 +903,7 @@ object LlmQueries {
     Q("q136_bm25", q136Bm25, Some(q136Sql)),
     Q("q139_bm25_batch", q139Bm25Batch, Some(q139Sql)),
     Q("q160_index_search", q160IndexSearch, Some(q139Sql)),
+    Q("q161_index_update", q161IndexUpdate, Some(q161Sql)),
   )
 
 }
