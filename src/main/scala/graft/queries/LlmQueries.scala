@@ -188,6 +188,44 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------- q162_pq_persist
+  // The q131 IVFPQ serving path from a PERSISTED index: PqIndex.save
+  // commits the code table range-clustered by cell (per-file cell Bloom
+  // filters) with the trained model riding as props, and
+  // topKRerankPersisted probes the query batch's cells driver-side, so
+  // only those cells' files open — the IVF promise carried down to the
+  // I/O layer. Approximate by construction → no DuckDB oracle;
+  // PqPersistSpec pins persisted-serve ≡ in-memory-serve bit for bit
+  // plus the file pruning, and q131's recall floors cover the shared
+  // scoring path.
+  private val q162Dirs = scala.collection.concurrent.TrieMap[String, String]()
+  private def q162Dir(s: SparkSession, d: String): String =
+    q162Dirs.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q162_")
+      val idx = s"$work/pq"
+      val index = graft.sim.PqIndex.build(Tables.embeddings(s, d),
+        "vec_id", "embedding", nList = 8, m = 8, k = 16)
+      graft.sim.PqIndex.save(s, index, idx)
+      index.close()
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      idx
+    })
+
+  private def q162PqPersist(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.sim.PqIndex.topKRerankPersisted(s, q162Dir(s, d),
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      k = 10, nProbe = 3, rerankFactor = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // --------------------------------------------------------- q25_langid
   private def q25LangId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -887,6 +925,7 @@ object LlmQueries {
     Q("q24_ann_topk", q24Ann, None),
     Q("q46_ivf_topk", q46Ivf, None),
     Q("q131_pq_topk", q131Pq, None),
+    Q("q162_pq_persist", q162PqPersist, None),
     Q("q25_langid", q25LangId, Some(q25Sql)),
     Q("q26_fingerprint", q26Fingerprint, None),
     Q("q27_multimodal", q27Multimodal, None),

@@ -30,11 +30,20 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
-  final case class Index(
+  /** The driver-sized trained model: coarse centroids + sub-codebooks.
+    * Everything needed to encode, probe, and build ADC LUTs — the part
+    * of the index that enters plans as literals. */
+  final case class Model(
       coarseCenters: IndexedSeq[Array[Double]],         // nList × dim
       codebooks: IndexedSeq[IndexedSeq[Array[Double]]], // m × k × subDim
-      m: Int, k: Int, subDim: Int,
-      encoded: DataFrame) {
+      m: Int, k: Int, subDim: Int)
+
+  final case class Index(model: Model, encoded: DataFrame) {
+    def coarseCenters: IndexedSeq[Array[Double]] = model.coarseCenters
+    def codebooks: IndexedSeq[IndexedSeq[Array[Double]]] = model.codebooks
+    def m: Int = model.m
+    def k: Int = model.k
+    def subDim: Int = model.subDim
     /** Release the cached code table when the index is retired. */
     def close(): Unit = { encoded.unpersist(); () }
   }
@@ -161,20 +170,20 @@ object PqIndex {
       .cache()
     encoded.count() // materialize while feats is still cached
     feats.unpersist()
-    Index(coarseCenters, codebooks, m, k, subDim, encoded)
+    Index(Model(coarseCenters, codebooks, m, k, subDim), encoded)
   }
 
   /** Probe cell ids per query (nProbe nearest coarse centroids, exact L2
     * against the driver-sized centroid set) plus the query's flattened
     * ADC lookup table: lut[j·k + c] = dot(q_sub_j, codebook(j)(c)). */
   private def probesWithLut(queries: DataFrame, idCol: String, vecCol: String,
-      index: Index, nProbe: Int): DataFrame = {
-    val centroidDist = index.coarseCenters.zipWithIndex.map {
+      model: Model, nProbe: Int): DataFrame = {
+    val centroidDist = model.coarseCenters.zipWithIndex.map {
       case (c, cid) =>
         struct(l2ToLit(col("qv"), c).as("d2"), lit(cid).as("cell"))
     }
-    val lutTerms = for (j <- 0 until index.m; c <- 0 until index.k)
-      yield dotLit(subVec(col("qv"), j, index.subDim), index.codebooks(j)(c))
+    val lutTerms = for (j <- 0 until model.m; c <- 0 until model.k)
+      yield dotLit(subVec(col("qv"), j, model.subDim), model.codebooks(j)(c))
     queries.select(col(idCol).as("query_id"),
       normalize(col(vecCol).cast("array<double>")).as("qv"))
       .withColumn("probes",
@@ -184,21 +193,27 @@ object PqIndex {
         explode(col("probes.cell")).as("cell"))
   }
 
+  /** ADC scoring of an encoded slice against probed queries: equi-join
+    * on cell, then each candidate is m LUT lookups summed. */
+  private def adcScore(encoded: DataFrame, q: DataFrame,
+      model: Model): DataFrame = {
+    val kk = model.k
+    val adc = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
+        (c, j) => element_at(col("lut"), j * kk + c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    encoded.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id").as("neighbor_id"),
+        adc.as("sim"))
+  }
+
   /** ANN top-k by asymmetric distance only — candidates are scored from
     * their codes and the query LUT; raw vectors are never read. */
   def topK(queries: DataFrame, idCol: String, vecCol: String,
       index: Index, k: Int, nProbe: Int): DataFrame = {
-    val q = probesWithLut(queries, idCol, vecCol, index, nProbe)
-    val kk = index.k
-    val adc = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(index.m - 1)),
-        (c, j) => element_at(col("lut"), j * kk + c + 1)),
-      lit(0.0), (acc, x) => acc + x)
-    val scored = index.encoded.join(q, Seq("cell"))
-      .filter(col("query_id") =!= col("nn_id"))
-      .select(col("query_id"), col("nn_id").as("neighbor_id"),
-        adc.as("sim"))
-    Similarity.rankTopK(scored, k)
+    val q = probesWithLut(queries, idCol, vecCol, index.model, nProbe)
+    Similarity.rankTopK(adcScore(index.encoded, q, index.model), k)
   }
 
   /** ADC shortlist + exact cosine re-rank: take the top `k·rerankFactor`
@@ -211,6 +226,103 @@ object PqIndex {
       index: Index, k: Int, nProbe: Int, rerankFactor: Int = 4): DataFrame = {
     val shortlist = topK(queries, idCol, vecCol, index, k * rerankFactor, nProbe)
       .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val exact = shortlist
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("sim"))
+    Similarity.rankTopK(exact, k)
+  }
+
+  // ------------------------------------------------------- persistence
+  //
+  // A session-built Index dies with the JVM and its cache; at 100 TB the
+  // encode pass is far too expensive to repeat per session. save/load
+  // make the index a LAKE TABLE, same design as the BM25 inverted index
+  // (graft.text.InvertedIndex): the code table commits range-clustered
+  // by cell with per-file cell Bloom filters, and the driver-sized model
+  // rides the commit as props — one atomic, versioned, vacuumable unit.
+  // Serving then reads ONLY the probed cells' files: the IVF promise
+  // ("touch nProbe/nList of the corpus") finally reaches the I/O layer
+  // instead of stopping at the join.
+
+  /** Exact decimal round-trip: Double.toString is shortest-exact in
+    * Java, so parse(toString(x)) == x bit for bit — the model literals a
+    * loading session builds are identical to the saver's. */
+  private def renderMatrix(m: Seq[Array[Double]]): String =
+    m.map(_.map(_.toString).mkString(",")).mkString(";")
+  private def parseMatrix(s: String): IndexedSeq[Array[Double]] =
+    s.split(';').iterator.map(_.split(',').map(_.toDouble)).toIndexedSeq
+
+  /** Persist `index` as a commit-logged table at `dir` (fresh
+    * directory): rows (nn_id, cell, codes) range-clustered by cell so a
+    * cell's codes live in few files, per-file Bloom filters on cell for
+    * probe pruning, model + shape in the table props. */
+  def save(spark: org.apache.spark.sql.SparkSession, index: Index,
+      dir: String, numFiles: Int = 8): Unit = {
+    import graft.sources.CommitLog
+    index.encoded
+      .repartitionByRange(numFiles, col("cell"))
+      .sortWithinPartitions("cell", "nn_id")
+      .write.parquet(dir)
+    CommitLog.init(spark, dir, bloomCols = Seq("cell"),
+      bloomExpect = math.max(16L, index.model.coarseCenters.size.toLong))
+    CommitLog.setProps(spark, dir, Map(
+      "pq.m" -> index.model.m.toString,
+      "pq.k" -> index.model.k.toString,
+      "pq.subdim" -> index.model.subDim.toString,
+      "pq.coarse" -> renderMatrix(index.model.coarseCenters),
+      "pq.codebooks" ->
+        index.model.codebooks.map(renderMatrix).mkString("|")))
+    ()
+  }
+
+  /** The persisted model — kilobytes of props, no data files opened. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Model = {
+    val p = graft.sources.CommitLog.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir holds no index commit log"))
+      .props
+    require(p.contains("pq.coarse"), s"$dir carries no pq model props")
+    Model(parseMatrix(p("pq.coarse")),
+      p("pq.codebooks").split('|').iterator.map(parseMatrix).toIndexedSeq,
+      p("pq.m").toInt, p("pq.k").toInt, p("pq.subdim").toInt)
+  }
+
+  /** ADC top-k served from a PERSISTED index: the query batch's probed
+    * cells are computed driver-side (the batch is small by definition;
+    * centroids are already driver-resident), and the code table is read
+    * through the committed cell Blooms — only the probed cells' files
+    * open, at any index size. Scores are identical to [[topK]] over the
+    * same index contents: the Bloom prune keeps every row of every
+    * probed cell, and the model literals round-trip exactly. */
+  def topKPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    import graft.sources.CommitLog
+    val model = loadModel(spark, dir)
+    val q = probesWithLut(queries, idCol, vecCol, model, nProbe)
+    val cells: Seq[Any] = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0): Any).toSeq
+    val encoded =
+      if (cells.isEmpty) CommitLog.read(spark, dir).limit(0)
+      else CommitLog.scanPointsIn(spark, dir, "cell", cells)._1
+    Similarity.rankTopK(adcScore(encoded, q, model), k)
+  }
+
+  /** [[topKRerank]] from a persisted index: Bloom-pruned ADC shortlist,
+    * then the exact re-rank re-reads raw vectors for survivors only. */
+  def topKRerankPersisted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, nProbe: Int, rerankFactor: Int = 4): DataFrame = {
+    val shortlist =
+      topKPersisted(spark, dir, queries, idCol, vecCol, k * rerankFactor, nProbe)
+        .select(col("query_id"), col("neighbor_id"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
