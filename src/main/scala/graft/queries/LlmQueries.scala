@@ -721,6 +721,65 @@ object LlmQueries {
          |""".stripMargin, "corpus")
   }
 
+  // --------------------------------------------------- q163_stream_index
+  // The full streaming-retrieval serving path: document versions stream
+  // in arbitrary micro-batch order, each batch lands in a commit-logged
+  // corpus via the exactly-once keyed upsert, and the persisted inverted
+  // index is maintained per batch from the committed POST-image
+  // (StreamingIngest.upsertStreamMaintainingIndex — first batch
+  // bootstraps both tables, replays are no-ops by ledger + update
+  // idempotence). The converged corpus is deterministic (greatest seq
+  // wins per doc), so the final index search carries a FULL DuckDB
+  // oracle: the post-stream corpus assembled in SQL (every doc at its
+  // seq-2 text), batch BM25 recomputed from scratch. Hash-match proves
+  // stream → corpus commit → churn-bounded index update → Bloom-pruned
+  // serving all land on the from-scratch scores. Constant in SF by
+  // design (doc_id < 200 slice): it measures the streaming + index
+  // machinery, not scan width.
+  private def q163StreamIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_q163_").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val v1 = docs.select(col("doc_id"), col("lang").as("part"),
+      lit(1L).as("seq"), col("text"))
+    val v2 = docs.select(col("doc_id"), col("lang").as("part"),
+      lit(2L).as("seq"), concat(col("text"), lit(" v2")).as("text"))
+    v1.unionByName(v2).repartition(3).write.parquet(s"$work/landing")
+    val updates = s.readStream
+      .schema(v1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/landing")
+    val q = graft.streaming.StreamingIngest.upsertStreamMaintainingIndex(
+      updates, s"$work/corpus", s"$work/index",
+      idCol = "doc_id", textCol = "text", seqCol = "seq",
+      partitionCol = "part", checkpointDir = s"$work/chk")
+    try q.processAllAvailable() finally q.stop()
+    val out = graft.text.InvertedIndex.search(s, s"$work/index",
+      q139Queries.toDF("query_id", "term", "pos"), k = 10, arity = 3)
+      .collect()
+    // materialize before the temp lifecycle dirs are reclaimed
+    val res = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(out: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType))))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(work))
+    res
+  }
+
+  private val q163Sql = bm25OracleSql(
+    """corpus AS (
+      |  SELECT doc_id, text || ' v2' AS text
+      |  FROM documents WHERE doc_id < 200),
+      |""".stripMargin, "corpus")
+
   // ------------------------------------------------- q144_heavy_hitters
   // EXACT corpus heavy hitters in two bounded passes
   // (graft.analytics.Sketches.exactHeavyHitters): a Misra-Gries
@@ -943,6 +1002,7 @@ object LlmQueries {
     Q("q139_bm25_batch", q139Bm25Batch, Some(q139Sql)),
     Q("q160_index_search", q160IndexSearch, Some(q139Sql)),
     Q("q161_index_update", q161IndexUpdate, Some(q161Sql)),
+    Q("q163_stream_index", q163StreamIndex, Some(q163Sql)),
   )
 
 }

@@ -210,6 +210,67 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streamed document upserts that keep a persisted BM25 inverted index
+    * ([[graft.text.InvertedIndex]]) fresh: each micro-batch lands in the
+    * corpus lake through the exactly-once logged upsert, then the index
+    * is updated with the touched docs' POST-image read back from the
+    * committed corpus — not the batch rows — so a stale batch row that
+    * lost the seq race can never plant wrong postings. The first
+    * non-empty batch bootstraps BOTH tables (corpus via upsertOrCreate's
+    * CAS create, index via a build over the just-committed corpus).
+    *
+    * Replays are safe without an index-side ledger: the corpus upsert
+    * no-ops off the in-commit batch ledger, and
+    * [[graft.text.InvertedIndex.update]] is idempotent — re-applying a
+    * post-image replaces postings with themselves under a zero globals
+    * delta (InvertedIndexSpec pins the no-op). Idempotence substitutes
+    * for exactly-once here, the same way a keyed merge substitutes for
+    * it in the corpus.
+    *
+    * The post-image read filters the corpus by the batch's doc ids; at
+    * 100 TB give the corpus lake its own id Blooms or partition the
+    * read — the index side is already churn-bounded through its
+    * committed doc_id filters. */
+  def upsertStreamMaintainingIndex(
+      updates: DataFrame, corpusDir: String, indexDir: String,
+      idCol: String, textCol: String, seqCol: String, partitionCol: String,
+      checkpointDir: String): StreamingQuery = {
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val latest = batch
+            .groupBy(col(idCol))
+            .agg(max(struct(col(seqCol) +: batch.columns.filterNot(c =>
+              c == idCol || c == seqCol).map(col) :_*)).as("__v"))
+            .select(col(idCol) +: batch.columns.filterNot(_ == idCol).map(c =>
+              col(s"__v.$c").as(c)) :_*)
+          val snap = graft.sources.CommitLog.upsertOrCreate(
+            s, latest, corpusDir, Seq(idCol), partitionCol,
+            seqCol = Some(seqCol), batchId = Some(batchId))
+          if (graft.sources.CommitLog.latest(s, indexDir).isEmpty) {
+            graft.text.InvertedIndex.build(s,
+              graft.sources.CommitLog.read(s, corpusDir)
+                .select(col(idCol), col(textCol)),
+              idCol, textCol, indexDir)
+          } else {
+            val touched: Seq[Any] = latest.select(col(idCol)).distinct()
+              .collect().map(_.get(0)).toSeq
+            val post = graft.sources.CommitLog.read(s, corpusDir)
+              .filter(col(idCol).isin(touched: _*))
+              .select(col(idCol), col(textCol))
+            graft.text.InvertedIndex.update(s, indexDir, post)
+          }
+          println(s"[upsert-stream-index] batch=$batchId at corpus " +
+            s"version ${snap.version}; index fresh")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Event-time analytics over the flows stream (the reference's 15-minute
     * slots as real tumbling windows + watermarked late-data handling).
     * `flowsWithTs` must carry a `slot_ts` timestamp column. */
