@@ -180,6 +180,16 @@ object LlmQueries {
     val index = q131Indexes.getOrElseUpdate(d,
       graft.sim.PqIndex.build(emb, "vec_id", "embedding",
         nList = 8, m = 8, k = 16))
+    // session owners (Bench/Verify) drop every persistent RDD between
+    // queries; a dropped code-table cache silently degrades this fixture
+    // to encode-on-read — re-materialize so the query serves the warm
+    // in-memory index it claims to (the persisted-at-rest variant is
+    // q162's job)
+    if (index.encoded.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE) {
+      index.encoded.persist()
+      index.encoded.count()
+    }
     graft.sim.PqIndex.topKRerank(
       emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", index,
       k = 10, nProbe = 3, rerankFactor = 4)
@@ -744,7 +754,10 @@ object LlmQueries {
       lit(1L).as("seq"), col("text"))
     val v2 = docs.select(col("doc_id"), col("lang").as("part"),
       lit(2L).as("seq"), concat(col("text"), lit(" v2")).as("text"))
-    v1.unionByName(v2).repartition(3).write.parquet(s"$work/landing")
+    // two landing files → one bootstrap batch + one maintenance batch:
+    // both index paths exercised, versions of one doc still cross the
+    // micro-batch boundary in arbitrary order
+    v1.unionByName(v2).repartition(2).write.parquet(s"$work/landing")
     val updates = s.readStream
       .schema(v1.schema)
       .option("maxFilesPerTrigger", "1")
