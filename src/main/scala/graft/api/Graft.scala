@@ -144,11 +144,16 @@ object Graft {
 
     /** Publish a persisted BM25 inverted index at `dir`: tokenize once,
       * serve every later query batch from Bloom-pruned posting lists
-      * ([[graft.text.InvertedIndex.search]]) with no corpus re-scan. */
+      * ([[searchIndex]]) with no corpus re-scan. */
     def buildSearchIndex(dir: String, idCol: String = "doc_id",
         textCol: String = "text", numFiles: Int = 8): Unit =
       graft.text.InvertedIndex.build(df.sparkSession, df, idCol, textCol,
         dir, numFiles)
+
+    /** Re-index ONLY this DataFrame's (changed) docs into the index at
+      * `dir` — one atomic postings+globals commit, churn-bounded. */
+    def updateSearchIndex(dir: String): Unit =
+      graft.text.InvertedIndex.update(df.sparkSession, dir, df)
 
     /** Exact token-set Jaccard for all id pairs of a (small) probe set. */
     def jaccardPairs(idCol: String, textCol: String = "text"): DataFrame =
@@ -367,6 +372,13 @@ object Graft {
     graft.functions.NativeSketches.thetaDiff(a, b)
   def thetaEstimate(sketch: Column): Column =
     graft.functions.NativeSketches.thetaEstimate(sketch)
+
+  /** Top-k BM25 per query served from a persisted inverted index
+    * ([[graft.text.InvertedIndex.search]]) — Bloom-pruned posting
+    * reads, zero corpus access. `queries`: (query_id, term, pos). */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, arity: Int): DataFrame =
+    graft.text.InvertedIndex.search(spark, dir, queries, k, arity)
 
   /** Handle on a commit-log (lakehouse) table: the full table lifecycle
     * behind one path-addressed object. Thin sugar over

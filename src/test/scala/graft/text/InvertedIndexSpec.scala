@@ -130,6 +130,39 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(read < total, s"doc probe read $read of $total files")
   }
 
+  test("clustered compaction restores pruning after update churn; results unchanged") {
+    val docs = (0 until 400).map { i =>
+      val w = f"w${i / 25}%02d"
+      (i.toLong, s"$w $w common$w")
+    }.toDF("doc_id", "text")
+    val dir = tmp("graft_invidx_compact_")
+    InvertedIndex.build(spark, docs, "doc_id", "text", dir, numFiles = 8)
+    // churn: re-text 40 docs across vocab ranges — each update lands its
+    // postings as one unclustered file, degrading term locality
+    (0 until 4).foreach { r =>
+      val changed = (0 until 400 by 40).map { i =>
+        ((i + r).toLong, f"w${(i + r) / 25}%02d edited$r")
+      }.toDF("doc_id", "text")
+      InvertedIndex.update(spark, dir, changed)
+    }
+    val q = Seq((0L, "w03", 0)).toDF("query_id", "term", "pos")
+    val before = InvertedIndex.search(spark, dir, q, k = 30, arity = 1)
+      .collect().map(_.toSeq).toSeq
+    val (_, (readBefore, totalBefore)) =
+      CommitLog.scanPointsIn(spark, dir, "term", Seq("w03"))
+    CommitLog.compactClustered(spark, dir, targetPartitions = 8,
+      clusterCols = Seq("term"))
+    val (_, (readAfter, totalAfter)) =
+      CommitLog.scanPointsIn(spark, dir, "term", Seq("w03"))
+    assert(totalAfter <= totalBefore, "compaction did not shrink the file count")
+    assert(readAfter < totalAfter, s"no pruning after compaction: $readAfter/$totalAfter")
+    assert(readAfter <= readBefore,
+      s"compaction worsened the probe: $readBefore -> $readAfter")
+    val after = InvertedIndex.search(spark, dir, q, k = 30, arity = 1)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction changed search results")
+  }
+
   test("a probe for terms absent from the corpus returns empty, not error") {
     val dir = tmp("graft_invidx_absent_")
     InvertedIndex.build(spark, corpus, "doc_id", "text", dir, numFiles = 2)
