@@ -597,9 +597,20 @@ object LlmQueries {
     * q139 (raw documents) and q161 (post-update corpus assembled in SQL)
     * share one arithmetic definition — any drift between them would be a
     * spec bug, not a data difference. */
-  private def bm25OracleSql(extraCtes: String, corpusRel: String): String = {
+  private def bm25OracleSql(extraCtes: String, corpusRel: String,
+      conjunctive: Boolean = false): String = {
     val values = q139Queries.map { case (q, t, p) => s"($q, '$t', $p)" }
       .mkString(", ")
+    // AND mode: count matched terms per (query, doc) alongside the score
+    // and keep only full matches, mirroring InvertedIndex.searchAll
+    val nmCol = if (conjunctive) ",\n    count(*) AS nm" else ""
+    val qnCte =
+      if (conjunctive)
+        "qn AS (SELECT query_id, count(*) AS nt FROM q GROUP BY 1),\n"
+      else ""
+    val rFrom =
+      if (conjunctive) "FROM s JOIN qn USING (query_id) WHERE nm = nt"
+      else "FROM s"
     s"""WITH $extraCtes q(query_id, term, pos) AS (VALUES $values),
        |tok AS (
        |  SELECT doc_id, t
@@ -626,12 +637,12 @@ object LlmQueries {
        |  SELECT query_id, doc_id,
        |    sum(CASE WHEN pos = 0 THEN ts ELSE 0.0 END)
        |    + sum(CASE WHEN pos = 1 THEN ts ELSE 0.0 END)
-       |    + sum(CASE WHEN pos = 2 THEN ts ELSE 0.0 END) AS raw
+       |    + sum(CASE WHEN pos = 2 THEN ts ELSE 0.0 END) AS raw$nmCol
        |  FROM m GROUP BY 1, 2),
-       |r AS (SELECT query_id, doc_id, raw,
+       |${qnCte}r AS (SELECT query_id, doc_id, raw,
        |        row_number() OVER (PARTITION BY query_id
        |                           ORDER BY raw DESC, doc_id) AS rn
-       |      FROM s)
+       |      $rFrom)
        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
        |  round(raw, 6) AS score
        |FROM r WHERE rn <= 10
@@ -675,6 +686,24 @@ object LlmQueries {
     graft.text.InvertedIndex.search(s, q160Index(s, d),
       q139Queries.toDF("query_id", "term", "pos"), k = 10, arity = 3)
   }
+
+  // ----------------------------------------------- q164_index_search_all
+  // Conjunctive (AND) retrieval from the same persisted index: a doc
+  // appears only when it holds a posting for EVERY term of the query
+  // (InvertedIndex.searchAll — the match count per (query, doc) must
+  // equal the query's term count, applied before the top-k window).
+  // This is the high-precision probe mode: contamination checks and
+  // must-contain prefilters want "all terms present", not "best partial
+  // match". Same Bloom-pruned posting read and IEEE score chain as
+  // q160; the oracle is the q139 SQL with the same AND filter
+  // (count(*) per group joined against per-query term counts).
+  private def q164SearchAll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.text.InvertedIndex.searchAll(s, q160Index(s, d),
+      q139Queries.toDF("query_id", "term", "pos"), k = 10, arity = 3)
+  }
+
+  private val q164Sql = bm25OracleSql("", "documents", conjunctive = true)
 
   // --------------------------------------------------- q161_index_update
   // Incremental index maintenance under a FULL oracle: build the q160
@@ -1016,6 +1045,7 @@ object LlmQueries {
     Q("q160_index_search", q160IndexSearch, Some(q139Sql)),
     Q("q161_index_update", q161IndexUpdate, Some(q161Sql)),
     Q("q163_stream_index", q163StreamIndex, Some(q163Sql)),
+    Q("q164_index_search_all", q164SearchAll, Some(q164Sql)),
   )
 
 }

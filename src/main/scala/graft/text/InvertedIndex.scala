@@ -165,7 +165,25 @@ object InvertedIndex {
     * as any predicate-literal list. */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, arity: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchImpl(spark, dir, queries, k, arity, k1, b, conjunctive = false)
+
+  /** Conjunctive (AND) retrieval: like [[search]], but a doc appears
+    * only when it matches EVERY term of the query — the high-precision
+    * probe mode (eval-set contamination checks, must-contain
+    * prefilters). Postings are unique per (term, doc), so the match
+    * count per (query, doc) equals the distinct matched terms; requiring
+    * it to equal the query's term count IS the AND, applied before the
+    * top-k window. Scores are the same BM25 sum — over all terms, since
+    * all matched. */
+  def searchAll(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, arity: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchImpl(spark, dir, queries, k, arity, k1, b, conjunctive = true)
+
+  private def searchImpl(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int, arity: Int,
+      k1: Double, b: Double, conjunctive: Boolean): DataFrame = {
     require(arity > 0, "arity: the max terms per query, > 0")
     val snap = CommitLog.latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir holds no index commit log"))
@@ -203,8 +221,21 @@ object InvertedIndex {
     val posSums = (0 until arity).map { p =>
       sum(when(col("pos") === p, ts).otherwise(lit(0.0))).as(s"s$p")
     }
-    val perQueryDoc = matched.groupBy(col("query_id"), id)
-      .agg(posSums.head, posSums.tail: _*)
+    val aggs = posSums ++
+      (if (conjunctive) Seq(count(lit(1)).as("nm")) else Nil)
+    val perQueryDoc0 = matched.groupBy(col("query_id"), id)
+      .agg(aggs.head, aggs.tail: _*)
+    val perQueryDoc =
+      if (!conjunctive) perQueryDoc0
+      else {
+        // per-query term counts: query-batch sized, broadcast; a doc
+        // survives only with a posting for every one of them
+        val nt = queries.groupBy(col("query_id").as("qid"))
+          .agg(count(lit(1)).as("nt"))
+        perQueryDoc0
+          .join(broadcast(nt), col("query_id") === col("qid"))
+          .filter(col("nm") === col("nt"))
+      }
     val score = (0 until arity).map(p => col(s"s$p")).reduceLeft(_ + _)
 
     import org.apache.spark.sql.expressions.Window

@@ -163,6 +163,21 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(after == before, "compaction changed search results")
   }
 
+  test("searchAll keeps only docs matching EVERY query term; scores unchanged") {
+    val dir = tmp("graft_invidx_and_")
+    InvertedIndex.build(spark, corpus, "doc_id", "text", dir, numFiles = 2)
+    val q = Seq((0L, "spark", 0), (0L, "window", 1))
+      .toDF("query_id", "term", "pos")
+    val any = InvertedIndex.search(spark, dir, q, k = 10, arity = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val all = InvertedIndex.searchAll(spark, dir, q, k = 10, arity = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // only doc 2 holds both "spark" and "window"
+    assert(all.keySet == Set(2L), s"AND returned ${all.keySet}")
+    assert(all(2L) == any(2L), "AND mode changed the BM25 score")
+    assert(any.keySet.size > 1, "fixture: OR mode should match more docs")
+  }
+
   test("a probe for terms absent from the corpus returns empty, not error") {
     val dir = tmp("graft_invidx_absent_")
     InvertedIndex.build(spark, corpus, "doc_id", "text", dir, numFiles = 2)
