@@ -110,6 +110,14 @@ object Bench {
     val compact = s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs_per_query":$runs,"agg":"min","failed":$failedJson,"detail":"BENCH_LAST.json"}"""
     println(json)
     println(compact)
+    // The driver keeps only a ~2000-char tail of stdout, and at 164
+    // queries even the compact per-query line overflows it (BENCH_r08
+    // arrived with parsed:null). The VERY LAST line is therefore a
+    // totals-only JSON guaranteed to fit the window regardless of how
+    // many queries the registry grows to; per-query numbers live in the
+    // two lines above and in BENCH_LAST.json.
+    val totalsOnly = s"""{"metric":"total","value":${cs(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","runs_per_query":$runs,"agg":"min","failed":$failedJson,"detail":"BENCH_LAST.json"}"""
+    println(totalsOnly)
     spark.stop()
   }
 }

@@ -23,9 +23,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var sinceGc = 0
-    SparkEntry.queries
+    // Randomized-order gate mode (stability ritual): with
+    // SPARK_GRAFT_SHUFFLE_SEED set, the registry runs in a seeded-shuffled
+    // order instead of Map-iteration order. Any cross-query coupling
+    // through JVM-global state (catalogs, cached fixtures, session
+    // hygiene) then shows up as a run-to-run output diff under different
+    // seeds — the driver never sets the env, so its runs are unchanged.
+    val base = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    val ordered = sys.env.get("SPARK_GRAFT_SHUFFLE_SEED") match {
+      case Some(seed) =>
+        System.err.println(s"[verify] shuffled query order, seed=$seed")
+        new scala.util.Random(seed.toLong).shuffle(base)
+      case None => base
+    }
+    ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

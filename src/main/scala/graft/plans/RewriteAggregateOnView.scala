@@ -207,6 +207,16 @@ class RewriteAggregateOnView(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Every routing decision is OBSERVABLE: one stderr line per rewrite
+    * records base dir, base version, and the ledger version served —
+    * so a wrong-answer report from a driver/CI run pinpoints whether
+    * the query was answered from the view (and at which versions) or
+    * fell through to the base scan, without re-running anything. */
+  private def logRouted(base: String, baseVersion: Long,
+      refreshedTo: Long, viewDir: String): Unit =
+    System.err.println(s"[matview] routed aggregate over $base " +
+      s"(base v$baseVersion, view $viewDir refreshed-to v$refreshedTo)")
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (scan, conds) = peel(agg.child, Nil).getOrElse(return None)
     val fsRel = scan.relation match {
@@ -336,6 +346,7 @@ class RewriteAggregateOnView(spark: SparkSession) extends Rule[LogicalPlan] {
         case a: AttributeReference => viewAttr(a.name)
       }, p)
     }
+    logRouted(d.baseDir, baseVersion, refreshedTo, d.viewDir)
     Some(Aggregate(newGroupings, newAggs, rewired, agg.hint))
   }
 

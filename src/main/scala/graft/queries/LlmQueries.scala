@@ -763,18 +763,22 @@ object LlmQueries {
   // --------------------------------------------------- q163_stream_index
   // The full streaming-retrieval serving path: document versions stream
   // in arbitrary micro-batch order, each batch lands in a commit-logged
-  // corpus via the exactly-once keyed upsert, and the persisted inverted
+  // corpus via the exactly-once keyed upsert, the persisted inverted
   // index is maintained per batch from the committed POST-image
   // (StreamingIngest.upsertStreamMaintainingIndex — first batch
   // bootstraps both tables, replays are no-ops by ledger + update
-  // idempotence). The converged corpus is deterministic (greatest seq
-  // wins per doc), so the final index search carries a FULL DuckDB
-  // oracle: the post-stream corpus assembled in SQL (every doc at its
-  // seq-2 text), batch BM25 recomputed from scratch. Hash-match proves
-  // stream → corpus commit → churn-bounded index update → Bloom-pruned
-  // serving all land on the from-scratch scores. Constant in SF by
-  // design (doc_id < 200 slice): it measures the streaming + index
-  // machinery, not scan width.
+  // idempotence), and every batch publishes the (corpus, index) pair as
+  // ONE atomic cut in a LakeTxn transaction manifest — serving resolves
+  // the index VERSION through the manifest (searchAt), so it can never
+  // score against a corpus newer than its index (LakeTxnSpec pins the
+  // crash-window guarantee). The converged corpus is deterministic
+  // (greatest seq wins per doc), so the final search carries a FULL
+  // DuckDB oracle: the post-stream corpus assembled in SQL (every doc at
+  // its seq-2 text), batch BM25 recomputed from scratch. Hash-match
+  // proves stream → corpus commit → churn-bounded index update → atomic
+  // family pin → Bloom-pruned pinned serving all land on the
+  // from-scratch scores. Constant in SF by design (doc_id < 200 slice):
+  // it measures the streaming + index machinery, not scan width.
   private def q163StreamIndex(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q163_").toString
@@ -794,9 +798,13 @@ object LlmQueries {
     val q = graft.streaming.StreamingIngest.upsertStreamMaintainingIndex(
       updates, s"$work/corpus", s"$work/index",
       idCol = "doc_id", textCol = "text", seqCol = "seq",
-      partitionCol = "part", checkpointDir = s"$work/chk")
+      partitionCol = "part", checkpointDir = s"$work/chk",
+      txnDir = Some(s"$work/txn"))
     try q.processAllAvailable() finally q.stop()
-    val out = graft.text.InvertedIndex.search(s, s"$work/index",
+    // consistent-family serving: the manifest, not "latest", decides
+    // which index version answers the query batch
+    val out = graft.text.InvertedIndex.searchAt(s, s"$work/index",
+      graft.sources.LakeTxn.pinOf(s, s"$work/txn", s"$work/index"),
       q139Queries.toDF("query_id", "term", "pos"), k = 10, arity = 3)
       .collect()
     // materialize before the temp lifecycle dirs are reclaimed

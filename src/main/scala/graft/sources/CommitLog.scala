@@ -65,10 +65,13 @@ import org.apache.spark.sql.functions._
   *
   * Contract boundaries, stated loudly: the CAS relies on atomic
   * create-no-overwrite (HDFS/local semantics; an object store needs a
-  * conditional-put equivalent), [[vacuum]] breaks readers pinned to
-  * the versions it drops — retain enough history for the longest query —
-  * and [[vacuum]] must not run concurrently with in-flight writers (it
-  * would reclaim their not-yet-committed staged files).
+  * conditional-put equivalent), and [[vacuum]] breaks readers pinned to
+  * the versions it drops — retain enough history for the longest query.
+  * [[vacuum]] IS safe under concurrent in-flight writers: their staged
+  * dirs and published-but-uncommitted files are protected by an age
+  * fence (`staleStagingMs`) — only files unreferenced for longer than
+  * the floor are reclaimed, so a live writer's work survives and a
+  * crashed writer's residue ages out (the Delta-VACUUM retention shape).
   */
 object CommitLog {
 
@@ -86,7 +89,8 @@ object CommitLog {
       statsCols: Seq[String], manifest: Option[String], op: String,
       sketchCols: Seq[String] = Nil, schemaJson: Option[String] = None,
       bloomCols: Seq[String] = Nil, bloomExpect: Long = 1L << 20,
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      partCols: Seq[String] = Nil)
 
   private def logPath(dir: String) = new Path(dir, LogDirName)
   private def versionFile(dir: String, v: Long) =
@@ -104,7 +108,7 @@ object CommitLog {
         ("manifest" -> s.manifest) ~ ("op" -> s.op) ~
         ("sketchCols" -> s.sketchCols) ~ ("schemaJson" -> s.schemaJson) ~
         ("bloomCols" -> s.bloomCols) ~ ("bloomExpect" -> s.bloomExpect) ~
-        ("props" -> s.props)))
+        ("props" -> s.props) ~ ("partCols" -> s.partCols)))
   }
 
   private def parse(text: String): Snapshot = {
@@ -123,7 +127,8 @@ object CommitLog {
       (j \ "schemaJson").extractOpt[String],
       (j \ "bloomCols").extractOpt[Seq[String]].getOrElse(Nil),
       (j \ "bloomExpect").extractOpt[Long].getOrElse(1L << 20),
-      (j \ "props").extractOpt[Map[String, String]].getOrElse(Map.empty))
+      (j \ "props").extractOpt[Map[String, String]].getOrElse(Map.empty),
+      (j \ "partCols").extractOpt[Seq[String]].getOrElse(Nil))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -209,9 +214,33 @@ object CommitLog {
 
   private def readSnapshot(spark: SparkSession, dir: String,
       s: Snapshot): DataFrame = {
-    require(s.files.nonEmpty, s"version ${s.version} of $dir lists no files")
+    if (s.files.isEmpty) {
+      // a table CAN empty out legitimately (churn removed the last rows
+      // with no additions) — readable as zero rows under the committed
+      // schema rather than an obscure require failure; only a log from
+      // before schemas were committed has nothing to shape the read by
+      val j = s.schemaJson.getOrElse(throw new IllegalStateException(
+        s"version ${s.version} of $dir lists no files and carries no " +
+          "committed schema — cannot shape an empty read"))
+      val schema = org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    }
     readFiles(spark, dir, s, s.files)
   }
+
+  /** The snapshot's hive partition columns: recovered from the committed
+    * file paths when files exist, and from the PERSISTED `partCols`
+    * field when the table has emptied out — so maintenance verbs keep
+    * working on a zero-file snapshot instead of dying on `files.head`.
+    * (Logs written before the field existed always have files.) */
+  private def partColsOf(s: Snapshot): Seq[String] =
+    s.files.headOption match {
+      case Some(rel) => rel.split('/').dropRight(1)
+        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+      case None => s.partCols
+    }
 
   /** The table at its latest committed version. */
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -226,7 +255,9 @@ object CommitLog {
     readSnapshot(spark, dir, parse(readText(f, p)))
   }
 
-  private def snapshotAt(spark: SparkSession, dir: String, v: Long): Snapshot = {
+  /** The committed metadata of version `v` (file list, ledger, props…) —
+    * the snapshot-typed sibling of [[readAt]]. */
+  def snapshotAt(spark: SparkSession, dir: String, v: Long): Snapshot = {
     val f = hadoopFs(spark, dir)
     val p = versionFile(dir, v)
     require(f.exists(p), s"version $v of $dir does not exist (vacuumed?)")
@@ -426,7 +457,11 @@ object CommitLog {
     val snap = Snapshot(v, files.sorted, batches.distinct.sorted,
       prev.statsCols, manifestRel, op, prev.sketchCols,
       mergeSchemaJson(prev.schemaJson, schemaJson),
-      prev.bloomCols, prev.bloomExpect, prev.props ++ propsDelta)
+      prev.bloomCols, prev.bloomExpect, prev.props ++ propsDelta,
+      // persist the layout so a later zero-file snapshot still knows it
+      files.headOption.map(r => r.split('/').dropRight(1)
+        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq)
+        .getOrElse(prev.partCols))
     casWrite(f, versionFile(dir, v), render(snap))
     snap
   }
@@ -466,7 +501,8 @@ object CommitLog {
       sketchCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       bloomExpect: Long = 1L << 20,
-      initBatches: Seq[Long] = Nil): Snapshot = {
+      initBatches: Seq[Long] = Nil,
+      props: Map[String, String] = Map.empty): Snapshot = {
     val f = hadoopFs(spark, dir)
     require(versionNumbers(f, dir).isEmpty, s"$dir already has a commit log")
     f.mkdirs(logPath(dir))
@@ -479,7 +515,11 @@ object CommitLog {
       .parquet(absolute(dir, rels): _*).schema.json
     val seed = Snapshot(0L, Nil, Nil, statsCols, None, "init", sketchCols,
       None, bloomCols, bloomExpect)
-    commit(spark, dir, seed, rels, rels, initBatches, "init", Some(schema))
+    // props ride the FIRST commit: a derived table whose rows and summary
+    // properties must exist together (an index's corpus globals) gets
+    // both in one crash-atomic step instead of init + setProps
+    commit(spark, dir, seed, rels, rels, initBatches, "init", Some(schema),
+      props)
   }
 
   /** A staged-but-uncommitted upsert: the merged slice is ON DISK (new
@@ -734,9 +774,7 @@ object CommitLog {
       targetPartitions: Int): Snapshot = {
     val s = mustLatest(spark, dir)
     val df = readSnapshot(spark, dir, s)
-    // partition columns, recovered from the snapshot's own path shape
-    val partCols = s.files.head.split('/').dropRight(1)
-      .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+    val partCols = partColsOf(s)
     val repartitioned =
       if (partCols.isEmpty) df.repartition(targetPartitions)
       else df.repartition(targetPartitions, partCols.map(col): _*)
@@ -774,8 +812,7 @@ object CommitLog {
     require(clusterCols.nonEmpty, "clusterCols must be non-empty")
     val s = mustLatest(spark, dir)
     val df = readSnapshot(spark, dir, s)
-    val partCols = s.files.head.split('/').dropRight(1)
-      .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+    val partCols = partColsOf(s)
     require(clusterCols.forall(c => !partCols.contains(c)),
       s"clusterCols ${clusterCols.mkString(",")} overlap partition " +
         s"columns ${partCols.mkString(",")}")
@@ -907,8 +944,7 @@ object CommitLog {
       .collect().map(r => DataSkipping.rawPath(r.getString(0))
         .stripPrefix(base)).toSet // one row per file with matches — small
     if (hitFiles.isEmpty) return s
-    val partCols = s.files.head.split('/').dropRight(1)
-      .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+    val partCols = partColsOf(s)
     // keep every row where cond is NOT TRUE — a null predicate must not
     // delete the row (filter(!cond) would silently drop null-cond rows)
     val survivors = readFiles(spark, dir, s, hitFiles.toSeq.sorted)
@@ -942,8 +978,19 @@ object CommitLog {
   def replaceWhere(spark: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column, additions: DataFrame,
       propsDelta: Map[String, String] = Map.empty,
-      probe: Option[(String, Seq[Any])] = None): Snapshot = {
+      probe: Option[(String, Seq[Any])] = None,
+      expectedVersion: Option[Long] = None): Snapshot = {
     val s = mustLatest(spark, dir)
+    // optimistic-concurrency guard: a caller whose propsDelta was DERIVED
+    // from a snapshot (InvertedIndex.update folds absolute globals off
+    // the version it read) pins that version here — a commit that landed
+    // in between would otherwise raise no partition conflict (the delta
+    // is against latest) yet silently publish the stale-derived props
+    expectedVersion.filter(_ != s.version).foreach { e =>
+      throw new CommitConflict(
+        s"replaceWhere on $dir expected version $e but latest is " +
+          s"${s.version} — re-derive from the current snapshot and re-run")
+    }
     checkSchemaCompatible(s, additions, dir)
     val base = hadoopFs(spark, dir).makeQualified(new Path(dir))
       .toUri.getPath.stripSuffix("/") + "/"
@@ -952,13 +999,16 @@ object CommitLog {
         require(values.nonEmpty, "replaceWhere: empty probe value set")
         require(s.bloomCols.contains(c),
           s"$dir tracks no bloom filter for '$c' (bloomCols=${s.bloomCols})")
-        val m = s.manifest.getOrElse(throw new IllegalStateException(
-          s"$dir version ${s.version} carries no manifest"))
-        val mightAny = values.map(v => graft.functions.NativeBloom
-            .bloomMightContain(col(s"bloom_$c"), lit(v)))
-          .reduceLeft(_ || _)
-        spark.read.parquet(s"$dir/$LogDirName/$m").filter(mightAny)
-          .select(col("file")).collect().map(_.getString(0)).toSeq
+        if (s.files.isEmpty) Nil // emptied-out table: nothing to match
+        else {
+          val m = s.manifest.getOrElse(throw new IllegalStateException(
+            s"$dir version ${s.version} carries no manifest"))
+          val mightAny = values.map(v => graft.functions.NativeBloom
+              .bloomMightContain(col(s"bloom_$c"), lit(v)))
+            .reduceLeft(_ || _)
+          spark.read.parquet(s"$dir/$LogDirName/$m").filter(mightAny)
+            .select(col("file")).collect().map(_.getString(0)).toSeq
+        }
       case None => s.files
     }
     val hitFiles: Set[String] =
@@ -967,8 +1017,7 @@ object CommitLog {
         .select(input_file_name().as("f")).distinct()
         .collect().map(r => DataSkipping.rawPath(r.getString(0))
           .stripPrefix(base)).toSet
-    val partCols = s.files.head.split('/').dropRight(1)
-      .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+    val partCols = partColsOf(s)
     val survivorRels =
       if (hitFiles.isEmpty) Nil
       else stageWrite(spark, dir,
@@ -1100,9 +1149,21 @@ object CommitLog {
     * never a scan per term. Returns the DataFrame plus
     * (filesRead, filesTotal). */
   def scanPointsIn(spark: SparkSession, dir: String, c: String,
-      values: Seq[Any]): (DataFrame, (Int, Int)) = {
+      values: Seq[Any]): (DataFrame, (Int, Int)) =
+    scanPointsInSnap(spark, dir, mustLatest(spark, dir), c, values)
+
+  /** [[scanPointsIn]] pinned to version `v` — the consistent-family read
+    * behind [[LakeTxn]]: an index served at its manifest-pinned version
+    * probes the manifest THAT version committed, so pruning and data
+    * stay mutually consistent under time travel exactly as they do at
+    * latest. */
+  def scanPointsInAt(spark: SparkSession, dir: String, v: Long, c: String,
+      values: Seq[Any]): (DataFrame, (Int, Int)) =
+    scanPointsInSnap(spark, dir, snapshotAt(spark, dir, v), c, values)
+
+  private def scanPointsInSnap(spark: SparkSession, dir: String, s: Snapshot,
+      c: String, values: Seq[Any]): (DataFrame, (Int, Int)) = {
     require(values.nonEmpty, "scanPointsIn: empty probe set")
-    val s = mustLatest(spark, dir)
     require(s.bloomCols.contains(c),
       s"$dir tracks no bloom filter for '$c' (bloomCols=${s.bloomCols})")
     val m = s.manifest.getOrElse(throw new IllegalStateException(
@@ -1153,16 +1214,46 @@ object CommitLog {
   /** Drop all but the newest `keepLast` versions and delete every data
     * file, version file, and stats snapshot no kept version references.
     * Returns the deleted data files. Readers pinned to dropped versions
-    * break — that is the documented MVCC retention trade. */
-  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Seq[String] = {
+    * break — that is the documented MVCC retention trade.
+    *
+    * SAFE under concurrent in-flight writers: a writer's not-yet-committed
+    * work lives in two places, and both are fenced —
+    *  - its `_staging/<tag>` dir (mid-[[stageWrite]]): only staging dirs
+    *    older than `staleStagingMs` are reclaimed, so a live writer's
+    *    staging survives; a crashed writer's residue goes once it ages
+    *    past the floor (default 24 h — longer than any sane write);
+    *  - its already-PUBLISHED-but-uncommitted data files (post-stage,
+    *    pre-CAS): those are younger than the newest KEPT version file by
+    *    construction of the race, so the same age floor applied to
+    *    unreferenced data files protects them too. A file that has been
+    *    unreferenced for longer than the floor belongs to no live writer.
+    * The floor trades reclamation latency for writer safety — the shape
+    * every production lake format (Delta VACUUM's retention window) uses. */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
+      staleStagingMs: Long = 24L * 3600 * 1000): Seq[String] = {
     require(keepLast >= 1, "vacuum must keep at least the latest version")
     val f = hadoopFs(spark, dir)
+    val now = System.currentTimeMillis()
     val versions = versionNumbers(f, dir)
     val (dropV, keepV) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val dropSnaps = dropV.map(v => parse(readText(f, versionFile(dir, v))))
     val keptSnaps = keepV.map(v => parse(readText(f, versionFile(dir, v))))
     val live = keptSnaps.flatMap(_.files).toSet
+    val droppedRefs = dropSnaps.flatMap(_.files).toSet
     val liveManifests = keptSnaps.flatMap(_.manifest).toSet
-    val dead = (listRel(spark, dir) -- live).toSeq.sorted
+    val dead = (listRel(spark, dir) -- live).toSeq.sorted.filter { r =>
+      // Two classes of dead file. Referenced by a DROPPED version:
+      // committed history — no in-flight writer can own it, reclaim now.
+      // Referenced by NO version: either a crashed/lost-race writer's
+      // residue OR a live writer's published-but-uncommitted files racing
+      // toward their CAS — only the age fence tells them apart, so young
+      // unreferenced files survive this vacuum and age out of a later one.
+      droppedRefs.contains(r) || {
+        try now - f.getFileStatus(new Path(dir, r)).getModificationTime >
+          staleStagingMs
+        catch { case _: java.io.FileNotFoundException => false }
+      }
+    }
     dead.foreach(r => f.delete(new Path(dir, r), false))
     dropV.foreach { v =>
       parse(readText(f, versionFile(dir, v))).manifest
@@ -1177,9 +1268,17 @@ object CommitLog {
       .map(_.getPath.getName)
       .filter(n => n.startsWith("manifest-") && !liveManifests.contains(n))
       .foreach(m => f.delete(new Path(logPath(dir), m), true))
-    // abandoned writer-private staging dirs (crashed mid-stage) — safe
-    // because vacuum's contract forbids concurrent in-flight writers
-    f.delete(new Path(dir, "_staging"), true)
+    // writer-private staging dirs: reclaim only those past the age floor
+    // (a crashed writer's residue); an in-flight writer's staging is
+    // younger and survives
+    val staging = new Path(dir, "_staging")
+    if (f.exists(staging)) {
+      f.listStatus(staging).foreach { st =>
+        if (now - st.getModificationTime > staleStagingMs)
+          f.delete(st.getPath, true)
+      }
+      if (f.listStatus(staging).isEmpty) f.delete(staging, true)
+    }
     dead
   }
 }

@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-table atomic visibility for a FAMILY of [[CommitLog]] tables —
+  * the transaction manifest.
+  *
+  * The gap it closes: each commit log is single-table. A pipeline that
+  * maintains a corpus AND its derived indexes (inverted postings, IVFPQ
+  * cells) commits them one after another, so a reader racing the writer
+  * can see corpus version N next to an index still at N-1 — skewed
+  * scores from a torn PAIR, even though each table is individually
+  * consistent. The reference never has this problem because its ledger
+  * and flows tables commit inside one Postgres transaction
+  * (`/root/reference/src/clean_data.py:176-210`); this is that property
+  * re-expressed for an immutable-file lake.
+  *
+  * Design — pins, not copies (the Iceberg/Delta "root pointer" shape):
+  *
+  *  - Participant tables keep committing through their own logs exactly
+  *    as before; nothing about per-table write paths changes.
+  *  - A transaction manifest directory holds `t<20-digit>.json` files,
+  *    each pinning `{normalized table dir -> committed version}` for
+  *    every participant, plus the batch ledger. The manifest file is
+  *    created with create-no-overwrite — the SAME filesystem CAS as the
+  *    per-table commit point — so a (corpus, index) pair becomes visible
+  *    to manifest readers in one atomic step.
+  *  - Readers resolve the LATEST manifest and time-travel each
+  *    participant to its pinned version ([[read]] /
+  *    [[graft.text.InvertedIndex.searchAt]]). Between the corpus commit
+  *    and the manifest commit the new corpus version exists but is
+  *    UNREFERENCED — manifest readers still see the previous, mutually
+  *    consistent pair. A crash in that window leaves the family
+  *    readable at the old cut; the replayed batch heals forward
+  *    (per-table ledgers no-op the corpus, index update is idempotent,
+  *    the manifest ledger no-ops the pin commit).
+  *  - The manifest ledger makes the pin commit exactly-once per
+  *    `batchId`, mirroring the per-table convention.
+  *
+  * Version pins only move FORWARD (enforced): a manifest can never
+  * un-publish a table state, so reader-visible history is monotone.
+  *
+  * Retention: a participant's [[CommitLog.vacuum]] must keep its pinned
+  * version readable — [[vacuumParticipant]] computes the right
+  * `keepLast` from the current pin instead of trusting the caller.
+  *
+  * At 100 TB the manifest is metadata-plane: one tiny JSON per family
+  * commit, independent of table size or count of files.
+  */
+object LakeTxn {
+
+  /** One committed family cut: manifest sequence number, per-table
+    * version pins (keyed by normalized table dir), committed batch ids. */
+  final case class State(txn: Long, pins: Map[String, Long],
+      batches: Seq[Long])
+
+  private val TxnName = "^t(\\d{20})\\.json$".r
+
+  private def txnFile(txnDir: String, t: Long) =
+    new Path(txnDir, f"t$t%020d.json")
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def render(s: State): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(
+      ("txn" -> s.txn) ~ ("pins" -> s.pins) ~ ("batches" -> s.batches)))
+  }
+
+  private def parse(text: String): State = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(text)
+    State((j \ "txn").extract[Long],
+      (j \ "pins").extract[Map[String, Long]],
+      (j \ "batches").extract[Seq[Long]])
+  }
+
+  private def readText(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try new String(in.readAllBytes(), UTF_8) finally in.close()
+  }
+
+  private def txnNumbers(f: FileSystem, txnDir: String): Seq[Long] = {
+    val p = new Path(txnDir)
+    if (!f.exists(p)) return Nil
+    f.listStatus(p).toSeq.flatMap(st => st.getPath.getName match {
+      case TxnName(n) => Some(n.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  /** Latest readable manifest (corrupt newest falls back like
+    * [[CommitLog.latest]] — pre-commit state, never garbage). */
+  def latest(spark: SparkSession, txnDir: String): Option[State] = {
+    val f = fs(spark, txnDir)
+    txnNumbers(f, txnDir).reverse.view.flatMap { t =>
+      try Some(parse(readText(f, txnFile(txnDir, t))))
+      catch { case e: Exception =>
+        System.err.println(
+          s"[laketxn] unreadable manifest $t in $txnDir (${e.getMessage}) " +
+            "— falling back to the previous one")
+        None
+      }
+    }.headOption
+  }
+
+  private def mustLatest(spark: SparkSession, txnDir: String): State =
+    latest(spark, txnDir).getOrElse(throw new IllegalStateException(
+      s"$txnDir holds no transaction manifest — commit one first"))
+
+  /** The version the latest manifest pins `tableDir` to. */
+  def pinOf(spark: SparkSession, txnDir: String, tableDir: String): Long = {
+    val key = graft.plans.ConstraintCatalog.normalize(tableDir)
+    mustLatest(spark, txnDir).pins.getOrElse(key,
+      throw new IllegalArgumentException(
+        s"$txnDir pins no version for $tableDir (pins: " +
+          mustLatest(spark, txnDir).pins.keys.mkString(", ") + ")"))
+  }
+
+  /** Read a participant AT the latest manifest's pin — the consistent-
+    * family read. Works until the participant's vacuum drops the pinned
+    * version (use [[vacuumParticipant]]). */
+  def read(spark: SparkSession, txnDir: String, tableDir: String): DataFrame =
+    CommitLog.readAt(spark, tableDir, pinOf(spark, txnDir, tableDir))
+
+  /** Atomically publish a new family cut: `pins` maps each participant
+    * dir to the version this transaction made current. CAS on the next
+    * manifest number; on a lost race, re-reads and retries on top of the
+    * winner (pins are per-table monotone, so merging is just
+    * re-publishing ours over the winner's — a LOWER pin than the
+    * winner's aborts instead, it would un-publish state). With
+    * `batchId`, replay is a no-op via the manifest ledger. */
+  def commit(spark: SparkSession, txnDir: String,
+      pins: Map[String, Long], batchId: Option[Long] = None,
+      maxRetries: Int = 10): State = {
+    val f = fs(spark, txnDir)
+    f.mkdirs(new Path(txnDir))
+    val normPins = pins.map { case (d, v) =>
+      graft.plans.ConstraintCatalog.normalize(d) -> v
+    }
+    var attempt = 0
+    while (true) {
+      val cur = latest(spark, txnDir)
+      if (batchId.exists(b => cur.exists(_.batches.contains(b)))) {
+        System.err.println(
+          s"[laketxn] batch ${batchId.get} already committed to $txnDir — " +
+            "replay skipped")
+        return cur.get
+      }
+      val curPins = cur.map(_.pins).getOrElse(Map.empty)
+      normPins.foreach { case (d, v) =>
+        curPins.get(d).filter(_ > v).foreach { held =>
+          throw new IllegalStateException(
+            s"txn commit on $txnDir would move $d BACKWARD " +
+              s"(pinned $held, proposed $v) — pins are monotone; " +
+              "re-derive from the current family state")
+        }
+      }
+      val next = State(
+        cur.map(_.txn + 1).getOrElse(1L),
+        curPins ++ normPins,
+        (cur.map(_.batches).getOrElse(Nil) ++ batchId).distinct.sorted)
+      val p = txnFile(txnDir, next.txn)
+      val created =
+        try { val out = f.create(p, false); out.write(render(next).getBytes(UTF_8)); out.close(); true }
+        catch { case _: java.io.IOException => false }
+      if (created) return next
+      attempt += 1
+      if (attempt >= maxRetries) throw new IllegalStateException(
+        s"txn commit on $txnDir lost the manifest race $maxRetries times — " +
+          "if no live writer is active, a crashed run's manifest file is " +
+          "blocking the sequence")
+      Thread.sleep(20L * attempt)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Vacuum a participant WITHOUT breaking manifest readers: keeps every
+    * version from the current pin forward (plus `extra` older ones for
+    * long-running readers). Returns the reclaimed files. */
+  def vacuumParticipant(spark: SparkSession, txnDir: String,
+      tableDir: String, extra: Int = 0): Seq[String] = {
+    val pinned = pinOf(spark, txnDir, tableDir)
+    val latestV = CommitLog.latest(spark, tableDir).map(_.version)
+      .getOrElse(return Nil)
+    val keep = math.max(1L, latestV - pinned + 1L + extra)
+    CommitLog.vacuum(spark, tableDir, keepLast = keep.toInt)
+  }
+}

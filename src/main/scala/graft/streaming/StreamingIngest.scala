@@ -234,7 +234,8 @@ object StreamingIngest {
   def upsertStreamMaintainingIndex(
       updates: DataFrame, corpusDir: String, indexDir: String,
       idCol: String, textCol: String, seqCol: String, partitionCol: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      txnDir: Option[String] = None): StreamingQuery = {
     updates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -250,18 +251,39 @@ object StreamingIngest {
           val snap = graft.sources.CommitLog.upsertOrCreate(
             s, latest, corpusDir, Seq(idCol), partitionCol,
             seqCol = Some(seqCol), batchId = Some(batchId))
-          if (graft.sources.CommitLog.latest(s, indexDir).isEmpty) {
+          val indexSnap = graft.sources.CommitLog.latest(s, indexDir)
+          if (indexSnap.isEmpty) {
             graft.text.InvertedIndex.build(s,
               graft.sources.CommitLog.read(s, corpusDir)
                 .select(col(idCol), col(textCol)),
               idCol, textCol, indexDir)
           } else {
+            // replay safety for logs built before the one-commit
+            // bootstrap: a crash between their init and setProps left
+            // postings without globals — repair (recompute + commit the
+            // props) instead of letting update() fail the stream forever
+            if (!indexSnap.get.props.contains("bm25.n"))
+              graft.text.InvertedIndex.repairProps(s, indexDir, idCol, textCol)
             val touched: Seq[Any] = latest.select(col(idCol)).distinct()
               .collect().map(_.get(0)).toSeq
             val post = graft.sources.CommitLog.read(s, corpusDir)
               .filter(col(idCol).isin(touched: _*))
               .select(col(idCol), col(textCol))
             graft.text.InvertedIndex.update(s, indexDir, post)
+          }
+          // with a transaction manifest, the (corpus, index) pair becomes
+          // visible to family readers in ONE CAS — a crash between the
+          // two per-table commits above leaves manifest readers on the
+          // previous consistent cut, and this replayed pin is a ledger
+          // no-op. Without one, readers of the raw logs can see corpus
+          // version N beside index state N-1 (documented single-table
+          // atomicity).
+          txnDir.foreach { td =>
+            graft.sources.LakeTxn.commit(s, td, Map(
+              corpusDir -> graft.sources.CommitLog.latest(s, corpusDir)
+                .get.version,
+              indexDir -> graft.sources.CommitLog.latest(s, indexDir)
+                .get.version), batchId = Some(batchId))
           }
           println(s"[upsert-stream-index] batch=$batchId at corpus " +
             s"version ${snap.version}; index fresh")

@@ -60,6 +60,15 @@ object InvertedIndex {
       .where(col("t").isNotNull)
     val tf = tok.groupBy(id, col("t")).agg(count(lit(1)).as("tf"))
     val lens = tf.groupBy(id).agg(sum(col("tf")).as("len"))
+    // globals from the SAME compacted pass the postings come from —
+    // n = docs with ≥1 token (exactly the population the corpus-pass
+    // scorer and the oracle average over), computed BEFORE the commit so
+    // they can ride it: postings and globals become visible in ONE
+    // crash-atomic init instead of init + setProps (a crash between the
+    // two used to strand a props-less log that [[update]] refused)
+    val g = lens
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("s"))
+      .head()
     tf.join(lens, Seq(idCol))
       .select(col("t").as("term"), id.as("doc_id"), col("tf"), col("len"))
       .repartitionByRange(numFiles, col("term"))
@@ -71,13 +80,25 @@ object InvertedIndex {
     // vocabularies. The doc_id filter serves [[update]]: a changed doc's
     // old postings are found through file Blooms, never a full index scan.
     CommitLog.init(spark, dir, bloomCols = Seq("term", "doc_id"),
-      bloomExpect = termsPerFile)
-    // globals from the COMMITTED postings (compacted size, not a corpus
-    // re-scan): n = docs with ≥1 token — exactly the population the
-    // corpus-pass scorer and the oracle average over
+      bloomExpect = termsPerFile,
+      props = Map(
+        "bm25.n" -> g.getLong(0).toString,
+        "bm25.sumlen" -> g.getLong(1).toString,
+        "bm25.id_col" -> idCol,
+        "bm25.text_col" -> textCol))
+    ()
+  }
+
+  /** Recompute and commit the corpus globals from the COMMITTED postings
+    * — the repair verb for an index whose log exists but carries no bm25
+    * props (the init + setProps crash window of builds from before the
+    * one-commit bootstrap). Idempotent; safe to call on a healthy index
+    * (it recommits the same values). */
+  def repairProps(spark: SparkSession, dir: String,
+      idCol: String, textCol: String): Unit = {
     val g = CommitLog.read(spark, dir)
       .groupBy(col("doc_id")).agg(first(col("len")).as("len"))
-      .agg(count(lit(1)).as("n"), sum(col("len")).as("sumlen"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("s"))
       .head()
     CommitLog.setProps(spark, dir, Map(
       "bm25.n" -> g.getLong(0).toString,
@@ -143,10 +164,15 @@ object InvertedIndex {
     val n = snap.props("bm25.n").toLong - oldRow.getLong(0) + newRow.getLong(0)
     val sumLen = snap.props("bm25.sumlen").toLong -
       oldRow.getLong(1) + newRow.getLong(1)
+    // expectedVersion pins the snapshot the ABSOLUTE globals above were
+    // derived from: a commit landing between our read and this commit
+    // aborts loudly (CommitConflict) instead of silently publishing
+    // stale-derived props under fresh postings
     CommitLog.replaceWhere(spark, dir, col("doc_id").isin(touched: _*),
       newPosts,
       propsDelta = Map("bm25.n" -> n.toString, "bm25.sumlen" -> sumLen.toString),
-      probe = Some(("doc_id", touched)))
+      probe = Some(("doc_id", touched)),
+      expectedVersion = Some(snap.version))
     ()
   }
 
@@ -168,6 +194,18 @@ object InvertedIndex {
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
     searchImpl(spark, dir, queries, k, arity, k1, b, conjunctive = false)
 
+  /** [[search]] pinned to index version `v` — the consistent-family
+    * serving path behind [[graft.sources.LakeTxn]]: postings, per-file
+    * Blooms, AND the corpus globals all come from the SAME pinned
+    * commit, so a reader resolving (corpus, index) through a
+    * transaction manifest scores against one atomic cut even while a
+    * writer is mid-flight on the next one. */
+  def searchAt(spark: SparkSession, dir: String, v: Long,
+      queries: DataFrame, k: Int, arity: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchImpl(spark, dir, queries, k, arity, k1, b, conjunctive = false,
+      atVersion = Some(v))
+
   /** Conjunctive (AND) retrieval: like [[search]], but a doc appears
     * only when it matches EVERY term of the query — the high-precision
     * probe mode (eval-set contamination checks, must-contain
@@ -183,10 +221,14 @@ object InvertedIndex {
 
   private def searchImpl(spark: SparkSession, dir: String,
       queries: DataFrame, k: Int, arity: Int,
-      k1: Double, b: Double, conjunctive: Boolean): DataFrame = {
+      k1: Double, b: Double, conjunctive: Boolean,
+      atVersion: Option[Long] = None): DataFrame = {
     require(arity > 0, "arity: the max terms per query, > 0")
-    val snap = CommitLog.latest(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"$dir holds no index commit log"))
+    val snap = atVersion match {
+      case Some(v) => CommitLog.snapshotAt(spark, dir, v)
+      case None => CommitLog.latest(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"$dir holds no index commit log"))
+    }
     val idCol = snap.props.getOrElse("bm25.id_col",
       throw new IllegalStateException(s"$dir carries no bm25 props"))
     val n = snap.props("bm25.n").toLong
@@ -196,8 +238,26 @@ object InvertedIndex {
     val id = col(idCol)
 
     val termValues: Seq[Any] = queries.select(col("term")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val (posts0, _) = CommitLog.scanPointsIn(spark, dir, "term", termValues)
+      .collect().map(_.getString(0)).filter(_ != null).toSeq
+    if (termValues.isEmpty) {
+      // an empty (or all-null-term) query batch matches nothing — return
+      // the empty result under the contract schema instead of tripping
+      // the probe machinery's non-empty requirement
+      import org.apache.spark.sql.types._
+      val idType = org.apache.spark.sql.types.DataType.fromJson(
+        snap.schemaJson.getOrElse(new StructType()
+          .add("doc_id", LongType).json))
+        .asInstanceOf[StructType].fields.find(_.name == "doc_id")
+        .map(_.dataType).getOrElse(LongType)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        new StructType().add("query_id", LongType).add(idCol, idType)
+          .add("score", DoubleType))
+    }
+    val (posts0, _) = atVersion match {
+      case Some(v) => CommitLog.scanPointsInAt(spark, dir, v, "term", termValues)
+      case None => CommitLog.scanPointsIn(spark, dir, "term", termValues)
+    }
     val posts = posts0.select(col("term").as("t"), col("doc_id").as(idCol),
       col("tf"), col("len"))
     // exact df per probed term, derived from the pruned slice: one row

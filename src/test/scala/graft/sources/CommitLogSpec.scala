@@ -135,10 +135,38 @@ class CommitLogSpec extends AnyFunSuite {
     // B's commit is the visible state; A's staged rows never surface
     val got = state(dir)
     assert(got.count(_._2 == 77L) == 20 && got.count(_._2 == 88L) == 0)
-    // and vacuum reclaims the abandoned staged files
-    assert(CommitLog.vacuum(spark, dir, keepLast = 10).nonEmpty,
+    // and vacuum reclaims the abandoned staged files — with the age
+    // fence dropped to zero (operator knows no writer is live); the
+    // default fence would rightly keep these seconds-old files
+    assert(CommitLog.vacuum(spark, dir, keepLast = 10,
+        staleStagingMs = 0L).nonEmpty,
       "the aborted writer's staged files were not reclaimable")
     assert(state(dir) == got)
+  }
+
+  test("vacuum age fence: a staged-but-uncommitted upsert survives a " +
+      "concurrent vacuum and still commits") {
+    val dir = freshLake()
+    val ours = spark.range(0, 20)
+      .select($"id".as("k"), lit(99L).as("v"), lit("d0").as("pd"))
+    val staged = CommitLog.stageUpsert(spark, ours, dir, Seq("k"), "pd").get
+    // vacuum runs while the writer is in flight (staged, pre-CAS): the
+    // default age fence must not reclaim its young published files
+    CommitLog.vacuum(spark, dir, keepLast = 1)
+    val snap = CommitLog.commitStaged(spark, dir, staged)
+    assert(snap.version > 1L)
+    val got = state(dir)
+    assert(got.count(_._2 == 99L) == 20,
+      "the vacuumed-over staged files lost rows — the fence failed")
+    // the same residue, aged past the fence, IS reclaimed: simulate with
+    // an explicit zero floor after abandoning a second stage
+    val staged2 = CommitLog.stageUpsert(spark,
+      spark.range(0, 5).select($"id".as("k"), lit(7L).as("v"),
+        lit("d0").as("pd")), dir, Seq("k"), "pd").get
+    assert(staged2.added.nonEmpty)
+    assert(CommitLog.vacuum(spark, dir, keepLast = 1,
+      staleStagingMs = 0L).nonEmpty)
+    assert(state(dir) == got, "vacuum changed the visible table")
   }
 
   test("thread race: two writers on disjoint partitions both succeed") {
@@ -494,6 +522,27 @@ class CommitLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       CommitLog.quantiles(spark, dir, "k", Seq(0.5))
     }
+  }
+
+  test("a table that empties out stays readable and maintainable " +
+      "(zero-file snapshot)") {
+    val dir = freshLake()
+    CommitLog.delete(spark, dir, lit(true)) // every row matches
+    val snap = CommitLog.latest(spark, dir).get
+    assert(snap.files.isEmpty, "delete-all left files in the snapshot")
+    assert(snap.partCols == Seq("pd"), "layout lost with the files")
+    // reads see zero rows under the committed schema, not a crash
+    val empty = CommitLog.read(spark, dir)
+    assert(empty.count() == 0L)
+    assert(empty.columns.contains("k") && empty.columns.contains("pd"))
+    // maintenance verbs still work: rows come back via replaceWhere into
+    // the PERSISTED partition layout
+    val back = spark.range(0, 7)
+      .select($"id".as("k"), lit(1L).as("v"), lit("d0").as("pd"))
+    CommitLog.replaceWhere(spark, dir, lit(false), back)
+    assert(state(dir).size == 7)
+    assert(CommitLog.latest(spark, dir).get.files
+      .forall(_.startsWith("pd=")), "re-added files ignored the layout")
   }
 
   test("vacuum deletes only unreferenced files; latest survives") {

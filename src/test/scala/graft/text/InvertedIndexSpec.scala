@@ -184,4 +184,76 @@ class InvertedIndexSpec extends AnyFunSuite {
     val q = Seq((0L, "zzzzz", 0)).toDF("query_id", "term", "pos")
     assert(InvertedIndex.search(spark, dir, q, k = 5, arity = 1).count() == 0L)
   }
+
+  test("an empty (or all-null-term) query batch returns empty, not error") {
+    val dir = tmp("graft_invidx_emptyq_")
+    InvertedIndex.build(spark, corpus, "doc_id", "text", dir, numFiles = 2)
+    val empty = Seq.empty[(Long, String, Int)].toDF("query_id", "term", "pos")
+    val got = InvertedIndex.search(spark, dir, empty, k = 5, arity = 1)
+    assert(got.count() == 0L)
+    assert(got.columns.toSeq == Seq("query_id", "doc_id", "score"))
+    val nulls = Seq((0L, null.asInstanceOf[String], 0))
+      .toDF("query_id", "term", "pos")
+    assert(InvertedIndex.searchAll(spark, dir, nulls, k = 5, arity = 1)
+      .count() == 0L)
+  }
+
+  test("build is crash-atomic: postings AND globals land in ONE commit") {
+    val dir = tmp("graft_invidx_atomic_")
+    InvertedIndex.build(spark, corpus, "doc_id", "text", dir, numFiles = 2)
+    val snap = CommitLog.latest(spark, dir).get
+    assert(snap.version == 1L,
+      s"bootstrap took ${snap.version} commits — the init+setProps crash " +
+        "window is back")
+    assert(snap.props.contains("bm25.n") && snap.props.contains("bm25.sumlen"))
+  }
+
+  test("repairProps restores a props-less log; update then proceeds") {
+    val dir = tmp("graft_invidx_repair_")
+    InvertedIndex.build(spark, corpus, "doc_id", "text", dir, numFiles = 2)
+    val healthy = CommitLog.latest(spark, dir).get.props
+    // simulate the pre-one-commit crash residue: strip the bm25 props by
+    // rewriting the version file without them (test-only surgery)
+    val logDir = new java.io.File(s"$dir/_graft_log")
+    val vf = logDir.listFiles.filter(_.getName.endsWith(".json")).maxBy(_.getName)
+    val txt = new String(java.nio.file.Files.readAllBytes(vf.toPath))
+    val stripped = txt.replaceAll(
+      """"props":\{[^}]*\}""", """"props":{}""")
+    java.nio.file.Files.write(vf.toPath, stripped.getBytes)
+    // drop the local-FS checksum sidecar the out-of-band rewrite broke
+    new java.io.File(logDir, s".${vf.getName}.crc").delete()
+    assert(!CommitLog.latest(spark, dir).get.props.contains("bm25.n"))
+    intercept[IllegalStateException] {
+      InvertedIndex.update(spark, dir,
+        Seq((1L, "patched text")).toDF("doc_id", "text"))
+    }
+    InvertedIndex.repairProps(spark, dir, "doc_id", "text")
+    val repaired = CommitLog.latest(spark, dir).get.props
+    assert(repaired("bm25.n") == healthy("bm25.n") &&
+      repaired("bm25.sumlen") == healthy("bm25.sumlen"),
+      "repair did not land on the original globals")
+    InvertedIndex.update(spark, dir,
+      Seq((1L, "patched text")).toDF("doc_id", "text"))
+    assert(CommitLog.latest(spark, dir).get.props("bm25.n").toLong == 5L)
+  }
+
+  test("update aborts loudly when a commit lands between its snapshot " +
+      "read and its own commit (stale-globals race)") {
+    val dir = tmp("graft_invidx_race_")
+    InvertedIndex.build(spark, corpus, "doc_id", "text", dir, numFiles = 2)
+    val snap = CommitLog.latest(spark, dir).get
+    // another writer's commit lands first (any props commit bumps the
+    // version): our update derived absolute globals from `snap` and must
+    // now refuse to publish them
+    CommitLog.setProps(spark, dir, Map("other" -> "writer"))
+    intercept[IllegalStateException] {
+      CommitLog.replaceWhere(spark, dir,
+        col("doc_id") === 1L,
+        CommitLog.read(spark, dir).limit(0),
+        propsDelta = Map("bm25.n" -> "999"),
+        expectedVersion = Some(snap.version))
+    }
+    // the table is untouched by the aborted commit
+    assert(CommitLog.latest(spark, dir).get.props("bm25.n").toLong == 5L)
+  }
 }
