@@ -53,10 +53,19 @@ object CorpusDiff {
       sum(coalesce(col("cb"), lit(0L))).as("tb"))
 
     // per-term KL contribution — identical IEEE op order on both engines:
-    // p = ca/ta, q = cb/tb, term = p * ln(p / q), rounded then DECIMAL-summed
+    // p = ca/ta, q = cb/tb, term = p * ln(p / q), rounded then DECIMAL-summed.
+    // The ln is graft_strict_ln (StrictMath), NOT Spark's log (Math.log):
+    // Math.log's interpreter path and C2 intrinsic may differ in the last
+    // ulp, and which one computes a row depends on JIT timing — the only
+    // operator here whose output was not a pure function of its input.
+    // StrictMath is fdlibm-exact on every JVM and JIT state, so this
+    // value is bit-stable run to run; the 9-decimal per-term round then
+    // makes a residual Spark-vs-DuckDB libm ulp gap flip a term only
+    // when the true value sits within ~1e-20 of a rounding boundary.
     val p = col("ca").cast("double") / col("ta").cast("double")
     val q = col("cb").cast("double") / col("tb").cast("double")
-    val klTerm = round(p * log(p / q), 9).cast("decimal(28,9)")
+    val klTerm = round(p * graft.functions.NativeMath.strictLn(p / q), 9)
+      .cast("decimal(28,9)")
     val vocab = joined.crossJoin(broadcast(totals)).agg(
       sum(when(col("cb").isNull, 1L).otherwise(0L)).as("vocab_added"),
       sum(when(col("ca").isNull, 1L).otherwise(0L)).as("vocab_removed"),

@@ -59,7 +59,8 @@ object CorpusOps {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(avg(log(col("c2").cast("double") / col("c1").cast("double"))), 6)
+        round(avg(graft.functions.NativeMath.strictLn(
+          col("c2").cast("double") / col("c1").cast("double"))), 6)
           .as("lm_score"))
       .orderBy(col(idCol))
   }
@@ -88,7 +89,8 @@ object CorpusOps {
       .join(cu1, Seq("w1")).join(cu2, Seq("w2"))
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c2"),
-        round(log(col("c2").cast("double") * col("total") /
+        round(graft.functions.NativeMath.strictLn(
+          col("c2").cast("double") * col("total") /
           (col("c1").cast("double") * col("cc2"))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
@@ -168,7 +170,8 @@ object CorpusOps {
       .withColumn("idf_scaled", expr(s"${1000000L * n}L div df"))
     val scored = tf.join(broadcast(dfreq), Seq("term"))
       .withColumn("score_scaled", col("tf") * col("idf_scaled"))
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("tfidf", col("tf") *
+        graft.functions.NativeMath.strictLn(lit(n.toDouble) / col("df")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score_scaled").desc, col("term"))
@@ -326,7 +329,8 @@ object CorpusOps {
     val u = (((pmod(col(idCol).cast("long"), lit(2147483648L)) * 2654435761L)
       % 4294967296L + 1)
       .cast("double") / 4294967297.0)
-    val key6 = round(log(u) / col(weightCol), 6)
+    val key6 = round(
+      graft.functions.NativeMath.strictLn(u) / col(weightCol), 6)
     graft.functions.NativeTopK.topKPerGroup(
       df.withColumn("__key6", key6), Seq(stratumCol),
       col("__key6"), col(idCol), k,

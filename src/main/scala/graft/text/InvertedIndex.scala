@@ -273,7 +273,8 @@ object InvertedIndex {
     // globals arrive as literals instead of a broadcast row
     val tfD = col("tf").cast("double")
     val dfD = col("df").cast("double")
-    val idf = log((lit(n.toDouble) - dfD + 0.5) / (dfD + 0.5) + 1.0)
+    val idf = graft.functions.NativeMath.strictLn(
+      (lit(n.toDouble) - dfD + 0.5) / (dfD + 0.5) + 1.0)
     val den = tfD + lit(k1) *
       (lit(1.0 - b) + lit(b) * col("len").cast("double") / lit(avglen))
     val ts = idf * (tfD * lit(k1 + 1.0)) / den

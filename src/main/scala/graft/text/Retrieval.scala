@@ -64,7 +64,8 @@ object Retrieval {
     val termScores: Seq[Column] = terms.indices.map { i =>
       val tf = col(s"tf$i").cast("double")
       val dfT = col(s"df$i").cast("double")
-      val idf = log((col("n").cast("double") - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      val idf = graft.functions.NativeMath.strictLn(
+        (col("n").cast("double") - dfT + 0.5) / (dfT + 0.5) + 1.0)
       // lit(1.0 - b) / lit(k1 + 1.0): folded in Scala; the oracle spells
       // the same arithmetic (`1.0 - 0.75`, `1.2 + 1.0`) so both engines
       // hold bit-identical constants
@@ -157,7 +158,8 @@ object Retrieval {
 
     val tfD = col("tf").cast("double")
     val dfD = col("df").cast("double")
-    val idf = log((col("n").cast("double") - dfD + 0.5) / (dfD + 0.5) + 1.0)
+    val idf = graft.functions.NativeMath.strictLn(
+      (col("n").cast("double") - dfD + 0.5) / (dfD + 0.5) + 1.0)
     val den = tfD + lit(k1) *
       (lit(1.0 - b) + lit(b) * col("len").cast("double") / col("avglen"))
     val ts = idf * (tfD * lit(k1 + 1.0)) / den
