@@ -236,6 +236,56 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------- q165_pq_update
+  // Incremental IVFPQ maintenance (PqIndex.update — the vector twin of
+  // q161's inverted-index update): the fixture saves the q162-shaped
+  // index, then applies a churn batch (five vectors edited, two removed)
+  // and its exact inverse (originals restored, removed ids re-added)
+  // through the churn-bounded update path — old code rows found via the
+  // committed per-file nn_id Blooms, new rows re-encoded under the
+  // FROZEN persisted model, each batch one atomic replaceWhere commit
+  // with a stale-snapshot CAS. The final table is therefore EXACTLY the
+  // original encoding again (update ≡ frozen-model re-encode is pinned
+  // bit-for-bit in PqPersistSpec), so the registered serving output
+  // equals q162's — the same cross-query pin q162 carries against q131.
+  // Approximate by construction → no DuckDB oracle.
+  private val q165Dirs = scala.collection.concurrent.TrieMap[String, String]()
+  private def q165Dir(s: SparkSession, d: String): String =
+    q165Dirs.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q165_")
+      val idx = s"$work/pq"
+      val emb = Tables.embeddings(s, d)
+      val index = graft.sim.PqIndex.build(emb,
+        "vec_id", "embedding", nList = 8, m = 8, k = 16)
+      graft.sim.PqIndex.save(s, index, idx)
+      index.close()
+      val slice = emb.filter(col("vec_id").between(10, 16))
+      // churn: edit 10..14, remove 15..16 — then the inverse batch
+      graft.sim.PqIndex.update(s, idx,
+        slice.select(col("vec_id"),
+          when(col("vec_id") <= 14, reverse(col("embedding")))
+            .otherwise(lit(null)).as("embedding")),
+        "vec_id", "embedding")
+      graft.sim.PqIndex.update(s, idx, slice, "vec_id", "embedding")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      idx
+    })
+
+  private def q165PqUpdate(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.sim.PqIndex.topKRerankPersisted(s, q165Dir(s, d),
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      k = 10, nProbe = 3, rerankFactor = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // --------------------------------------------------------- q25_langid
   private def q25LangId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -1035,6 +1085,7 @@ object LlmQueries {
     Q("q46_ivf_topk", q46Ivf, None),
     Q("q131_pq_topk", q131Pq, None),
     Q("q162_pq_persist", q162PqPersist, None),
+    Q("q165_pq_update", q165PqUpdate, None),
     Q("q25_langid", q25LangId, Some(q25Sql)),
     Q("q26_fingerprint", q26Fingerprint, None),
     Q("q27_multimodal", q27Multimodal, None),

@@ -124,9 +124,7 @@ object PqIndex {
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       nList: Int, m: Int, k: Int,
       seed: Long = 11L, trainCap: Long = 20000L): Index = {
-    val feats = corpus.select(col(idCol).as("nn_id"),
-      normalize(col(vecCol).cast("array<double>")).as("nn_vec"))
-      .cache()
+    val feats = featize(corpus, idCol, vecCol).cache()
     val n = feats.count()
     val dim = feats.select(size(col("nn_vec"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -153,25 +151,39 @@ object PqIndex {
       lloyd(pts, k, seed + 1 + j, iters = 10)
     }
 
-    // encode: per subspace, argmin_{c} ||subvec − codebook(j)(c)||² via
-    // the sorted-struct idiom (k structs, sort, take head) — pure
-    // expressions, ties to the lower code id
-    val codeCols = (0 until m).map { j =>
-      val sv = subVec(col("nn_vec"), j, subDim)
-      val cands = (0 until k).map { c =>
-        struct(l2ToLit(sv, codebooks(j)(c)).as("d2"), lit(c).as("code"))
+    val model = Model(coarseCenters, codebooks, m, k, subDim)
+    val encoded = encodeFeats(feats, model).cache()
+    encoded.count() // materialize while feats is still cached
+    feats.unpersist()
+    Index(model, encoded)
+  }
+
+  /** Encode normalized feature rows (nn_id, nn_vec) into (nn_id, cell,
+    * codes) under a FROZEN model — per subspace, argmin_{c}
+    * ||subvec − codebook(j)(c)||² via the sorted-struct idiom (k
+    * structs, sort, take head), pure expressions, ties to the lower
+    * code id. Shared by [[build]]'s corpus pass and [[update]]'s
+    * churn-bounded re-encode, so both produce bit-identical codes for
+    * the same vector. */
+  private def encodeFeats(feats: DataFrame, model: Model): DataFrame = {
+    val codeCols = (0 until model.m).map { j =>
+      val sv = subVec(col("nn_vec"), j, model.subDim)
+      val cands = (0 until model.k).map { c =>
+        struct(l2ToLit(sv, model.codebooks(j)(c)).as("d2"), lit(c).as("code"))
       }
       array_sort(array(cands: _*)).getItem(0).getField("code")
     }
-    val encoded = feats
-      .select(col("nn_id"),
-        nearestCell(col("nn_vec"), coarseCenters).as("cell"),
-        array(codeCols: _*).as("codes"))
-      .cache()
-    encoded.count() // materialize while feats is still cached
-    feats.unpersist()
-    Index(Model(coarseCenters, codebooks, m, k, subDim), encoded)
+    feats.select(col("nn_id"),
+      nearestCell(col("nn_vec"), model.coarseCenters).as("cell"),
+      array(codeCols: _*).as("codes"))
   }
+
+  /** (id, vec) → normalized (nn_id, nn_vec) — the same projection
+    * [[build]] applies before training/encoding. */
+  private def featize(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("nn_id"),
+      normalize(col(vecCol).cast("array<double>")).as("nn_vec"))
 
   /** Probe cell ids per query (nProbe nearest coarse centroids, exact L2
     * against the driver-sized centroid set) plus the query's flattened
@@ -269,15 +281,61 @@ object PqIndex {
       .repartitionByRange(numFiles, col("cell"))
       .sortWithinPartitions("cell", "nn_id")
       .write.parquet(dir)
-    CommitLog.init(spark, dir, bloomCols = Seq("cell"),
-      bloomExpect = math.max(16L, index.model.coarseCenters.size.toLong))
-    CommitLog.setProps(spark, dir, Map(
-      "pq.m" -> index.model.m.toString,
-      "pq.k" -> index.model.k.toString,
-      "pq.subdim" -> index.model.subDim.toString,
-      "pq.coarse" -> renderMatrix(index.model.coarseCenters),
-      "pq.codebooks" ->
-        index.model.codebooks.map(renderMatrix).mkString("|")))
+    // cell Blooms prune serving probes; nn_id Blooms prune [[update]]'s
+    // old-row delete — both ride the same manifest. Model + shape commit
+    // WITH the init (one crash-atomic step, the InvertedIndex.build
+    // discipline).
+    CommitLog.init(spark, dir, bloomCols = Seq("cell", "nn_id"),
+      bloomExpect = math.max(16L, index.model.coarseCenters.size.toLong),
+      props = Map(
+        "pq.m" -> index.model.m.toString,
+        "pq.k" -> index.model.k.toString,
+        "pq.subdim" -> index.model.subDim.toString,
+        "pq.coarse" -> renderMatrix(index.model.coarseCenters),
+        "pq.codebooks" ->
+          index.model.codebooks.map(renderMatrix).mkString("|")))
+    ()
+  }
+
+  /** Incremental maintenance of a persisted index: re-encode ONLY
+    * `changedVectors` (each row the NEW vector of an added or edited id;
+    * a NULL vector removes the id) under the FROZEN persisted model and
+    * swap the touched ids' code rows in one atomic commit — the vector
+    * twin of [[graft.text.InvertedIndex.update]].
+    *
+    * Freezing the quantizer is the standard IVF contract (FAISS `add`
+    * after `train`): new vectors are assigned to existing cells and
+    * codebooks, so updated codes are bit-identical to what a full
+    * re-encode under the same model would produce (PqPersistSpec pins
+    * it); quantizer DRIFT — the data distribution outgrowing the
+    * centroids — is a periodic re-[[build]], not a per-batch concern.
+    *
+    * Cost is churn-bounded: changed vectors encode (their size), old
+    * rows are found through the committed per-file nn_id Blooms, new
+    * rows land cell-sorted. Same stale-snapshot CAS as the inverted
+    * index: a commit landing between our read and ours aborts loudly.
+    * Cell clustering degrades as updates land in arrival order;
+    * [[graft.sources.CommitLog.compactClustered]] on `cell` restores
+    * it. */
+  def update(spark: org.apache.spark.sql.SparkSession, dir: String,
+      changedVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    import graft.sources.CommitLog
+    val snap = CommitLog.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir holds no index commit log"))
+    val model = loadModel(spark, dir)
+    val changed = changedVectors
+      .select(col(idCol).as("nn_id"), col(vecCol))
+      .filter(col("nn_id").isNotNull)
+    val touched: Seq[Any] = changed.select(col("nn_id")).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val newRows = encodeFeats(
+      featize(changed.filter(col(vecCol).isNotNull), "nn_id", vecCol), model)
+      .coalesce(1).sortWithinPartitions("cell", "nn_id")
+    CommitLog.replaceWhere(spark, dir, col("nn_id").isin(touched: _*),
+      newRows,
+      probe = Some(("nn_id", touched)),
+      expectedVersion = Some(snap.version))
     ()
   }
 
