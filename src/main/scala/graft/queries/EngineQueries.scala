@@ -850,6 +850,62 @@ object EngineQueries {
       |WHERE o_orderkey <= 20000 AND o_totalprice >= 50000
       |GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // ------------------------------------------------------ q166_restore
+  // Version rollback as an operational verb (CommitLog.restore): the
+  // fixture seeds a status-partitioned orders slice, publishes a BAD
+  // ingest (every price in one partition multiplied by 1000, a new
+  // column tagged on), then RESTOREs to the pre-ingest version — one
+  // version-file commit, zero data movement, history append-only (the
+  // bad version stays time-travelable until vacuum). The DuckDB oracle
+  // aggregates the ORIGINAL slice, so the hash-match proves the
+  // rollback reproduced version 1 exactly — including that the additive
+  // schema evolution did NOT resurrect (the restored rows read the
+  // tagged column as null, counted in the output as zero). The ledger
+  // survival and vacuum refusal are pinned in CommitLogSpec.
+  private val q166Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q166Lake(s: SparkSession, d: String): String =
+    q166Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q166_")
+      val lake = s"$work/lake"
+      val ords = Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      ords.write.partitionBy("flag").parquet(lake)
+      val v1 = graft.sources.CommitLog.init(s, lake).version
+      // the bad ingest: corrupted prices plus an evolved column
+      graft.sources.CommitLog.upsert(s,
+        ords.filter(col("flag") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") * 1000)
+          .withColumn("ingest_tag", lit("batch_bad")),
+        lake, Seq("o_orderkey"), "flag")
+      graft.sources.CommitLog.restore(s, lake, v1)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q166Restore(s: SparkSession, d: String): DataFrame =
+    graft.sources.CommitLog.read(s, q166Lake(s, d))
+      .groupBy(col("flag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        sum(when(col("ingest_tag").isNotNull, 1L).otherwise(0L))
+          .as("n_tagged"))
+      .orderBy(col("flag"))
+
+  private val q166Sql =
+    """SELECT o_orderstatus AS flag, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(0 AS BIGINT) AS n_tagged
+      |FROM orders
+      |WHERE o_orderkey <= 20000
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
   // --------------------------------------------------- q151_join_elim
   // Constraint-informed join elimination (graft.plans.EliminateRiDimJoin):
   // the canonical BI shape — fact joined to a dimension, aggregated by the
@@ -1098,6 +1154,7 @@ object EngineQueries {
     Q("q142_changes", q142Changes, Some(q142Sql)),
     Q("q146_manifest_quantiles", q146ManifestQuantiles, None),
     Q("q148_delete", q148Delete, Some(q148Sql)),
+    Q("q166_restore", q166Restore, Some(q166Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),
     Q("q78_sql_volume", q78Volume, Some(q78Sql)),
     Q("q79_sql_returns", q79Returns, Some(q79Sql)),

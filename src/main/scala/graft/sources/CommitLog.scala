@@ -897,6 +897,45 @@ object CommitLog {
     else Some(compactClustered(spark, dir, targetPartitions, clusterCols))
   }
 
+  /** Roll the table BACK to the state of version `v` — as a NEW commit
+    * (op `restore`) whose file list is exactly `v`'s, so history stays
+    * append-only and the rollback is itself time-travelable and
+    * auditable (the Delta `RESTORE TABLE ... VERSION AS OF` shape). The
+    * operational verb for "that ingest was bad, un-publish it": cost is
+    * one version file, zero data movement — every file of `v` is still
+    * on disk until [[vacuum]], which is also why a restore past vacuumed
+    * history fails loudly listing what is missing.
+    *
+    * The batch LEDGER is NOT rewound: ids committed by the undone
+    * versions stay recorded, so a late replay of an un-published batch
+    * remains a no-op — restore un-publishes DATA, it does not re-open
+    * the exactly-once window (re-applying the batch is an explicit new
+    * upsert, not a replay). Incremental consumers see the restore as a
+    * data commit whose added files are the restored state's — the
+    * post-image contract [[changesBetween]] already documents. The
+    * committed SCHEMA stays additive: a column added after `v` is not
+    * un-evolved (schemas only grow), restored rows simply read it as
+    * null — the same rule every other commit follows. */
+  def restore(spark: SparkSession, dir: String, v: Long): Snapshot = {
+    val cur = mustLatest(spark, dir)
+    require(v < cur.version,
+      s"restore target $v is not older than the current ${cur.version}")
+    val old = snapshotAt(spark, dir, v)
+    val f = hadoopFs(spark, dir)
+    val missing = old.files.filterNot(r => f.exists(new Path(dir, r)))
+    require(missing.isEmpty,
+      s"cannot restore $dir to version $v — vacuum reclaimed " +
+        s"${missing.size} of its files (e.g. ${missing.take(3).mkString(", ")})")
+    val readded = old.files.filterNot(cur.files.toSet)
+    try commit(spark, dir, cur, old.files, readded, cur.batches, "restore",
+      old.schemaJson)
+    catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"restore on $dir lost the commit race (${e.getMessage}) — " +
+          "re-examine the new latest state and re-run")
+    }
+  }
+
   /** Ledger-only commit: records `batchId` against the CURRENT file set
     * without touching any data — how a derived table advances its
     * exactly-once cursor past a base range that contained no data

@@ -545,6 +545,40 @@ class CommitLogSpec extends AnyFunSuite {
       .forall(_.startsWith("pd=")), "re-added files ignored the layout")
   }
 
+  test("restore rolls the table back as a NEW auditable commit; the " +
+      "ledger is not rewound; vacuumed history refuses loudly") {
+    val dir = freshLake()
+    val v1 = CommitLog.latest(spark, dir).get
+    val before = state(dir)
+    CommitLog.upsert(spark,
+      spark.range(0, 500).select($"id".as("k"), lit(999L).as("v"),
+        lit("d0").as("pd")),
+      dir, Seq("k"), "pd", batchId = Some(42L))
+    assert(state(dir) != before, "fixture: upsert must change the table")
+    val snap = CommitLog.restore(spark, dir, v1.version)
+    assert(snap.op == "restore" && snap.version > v1.version + 1,
+      "restore must be a NEW commit, not a version-file rewind")
+    assert(state(dir) == before, "restore did not reproduce version 1")
+    // history keeps the undone version readable (append-only MVCC)
+    assert(CommitLog.readAt(spark, dir, v1.version + 1)
+      .filter($"v" === 999L).count() == 500L)
+    // the ledger survives: the un-published batch is still a no-op
+    CommitLog.upsert(spark,
+      spark.range(0, 500).select($"id".as("k"), lit(999L).as("v"),
+        lit("d0").as("pd")),
+      dir, Seq("k"), "pd", batchId = Some(42L))
+    assert(state(dir) == before, "a replayed undone batch re-applied")
+    // stats pruning works off the restored manifest
+    val (_, (r, t)) = CommitLog.scanRange(spark, dir, "k", 5000000L, 6000000L)
+    assert(t > 0 && r == 0)
+    // restore past vacuumed history fails loudly
+    CommitLog.vacuum(spark, dir, keepLast = 1, staleStagingMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.restore(spark, dir, v1.version + 1)
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+  }
+
   test("vacuum deletes only unreferenced files; latest survives") {
     val dir = freshLake()
     val v1 = CommitLog.latest(spark, dir).get
