@@ -183,6 +183,21 @@ object LakeTxn {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Drop all but the newest `keepLast` manifests — the family's own
+    * retention pass. Old manifests only serve readers pinned to
+    * historical cuts; participants' [[CommitLog.vacuum]] bounds how far
+    * back those cuts stay readable anyway, so keep the two retentions
+    * aligned. Returns the dropped manifest sequence numbers. */
+  def vacuumManifests(spark: SparkSession, txnDir: String,
+      keepLast: Int = 8): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest manifest")
+    val f = fs(spark, txnDir)
+    val ts = txnNumbers(f, txnDir)
+    val drop = ts.dropRight(keepLast)
+    drop.foreach(t => f.delete(txnFile(txnDir, t), false))
+    drop
+  }
+
   /** Vacuum a participant WITHOUT breaking manifest readers: keeps every
     * version from the current pin forward (plus `extra` older ones for
     * long-running readers). Returns the reclaimed files. */

@@ -133,6 +133,25 @@ class LakeTxnSpec extends AnyFunSuite {
       CommitLog.latest(spark, corpus).get.version)
   }
 
+  test("manifest retention keeps the latest cut readable") {
+    val w = work()
+    val (corpus, index, txn) = family(w)
+    // a few more cuts
+    (1 to 3).foreach { i =>
+      CommitLog.upsert(spark,
+        Seq((1L, s"spark text v$i", "en")).toDF("doc_id", "text", "part"),
+        corpus, Seq("doc_id"), "part")
+      LakeTxn.commit(spark, txn, Map(
+        corpus -> CommitLog.latest(spark, corpus).get.version),
+        batchId = Some(100L + i))
+    }
+    val latestBefore = LakeTxn.latest(spark, txn).get
+    val dropped = LakeTxn.vacuumManifests(spark, txn, keepLast = 2)
+    assert(dropped.nonEmpty)
+    assert(LakeTxn.latest(spark, txn).get == latestBefore)
+    assert(LakeTxn.read(spark, txn, corpus).count() == 3L)
+  }
+
   test("streamed family maintenance through the manifest: every batch " +
       "publishes a consistent (corpus, index) cut") {
     val w = work()
