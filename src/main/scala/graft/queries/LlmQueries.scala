@@ -238,7 +238,7 @@ object LlmQueries {
 
   // ---------------------------------------------------- q165_pq_update
   // Incremental IVFPQ maintenance (PqIndex.update — the vector twin of
-  // q161's inverted-index update): the fixture saves the q162-shaped
+  // q161's inverted-index update): the fixture clones q162's published
   // index, then applies a churn batch (five vectors edited, two removed)
   // and its exact inverse (originals restored, removed ids re-added)
   // through the churn-bounded update path — old code rows found via the
@@ -254,11 +254,19 @@ object LlmQueries {
     q165Dirs.getOrElseUpdate(d, {
       val work = java.nio.file.Files.createTempDirectory("graft_q165_")
       val idx = s"$work/pq"
+      // clone q162's published index (a commit-log table is relocatable:
+      // relative file lists, self-contained log) instead of paying a
+      // second train+encode per session — the churn lifecycle, not the
+      // build, is what this query exercises
+      val src = java.nio.file.Paths.get(q162Dir(s, d))
+      java.nio.file.Files.walk(src).forEach { p =>
+        val dst = java.nio.file.Paths.get(idx)
+          .resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+      }
       val emb = Tables.embeddings(s, d)
-      val index = graft.sim.PqIndex.build(emb,
-        "vec_id", "embedding", nList = 8, m = 8, k = 16)
-      graft.sim.PqIndex.save(s, index, idx)
-      index.close()
       val slice = emb.filter(col("vec_id").between(10, 16))
       // churn: edit 10..14, remove 15..16 — then the inverse batch
       graft.sim.PqIndex.update(s, idx,

@@ -90,7 +90,8 @@ object CommitLog {
       sketchCols: Seq[String] = Nil, schemaJson: Option[String] = None,
       bloomCols: Seq[String] = Nil, bloomExpect: Long = 1L << 20,
       props: Map[String, String] = Map.empty,
-      partCols: Seq[String] = Nil)
+      partCols: Seq[String] = Nil,
+      committedAt: Long = 0L)
 
   private def logPath(dir: String) = new Path(dir, LogDirName)
   private def versionFile(dir: String, v: Long) =
@@ -108,7 +109,8 @@ object CommitLog {
         ("manifest" -> s.manifest) ~ ("op" -> s.op) ~
         ("sketchCols" -> s.sketchCols) ~ ("schemaJson" -> s.schemaJson) ~
         ("bloomCols" -> s.bloomCols) ~ ("bloomExpect" -> s.bloomExpect) ~
-        ("props" -> s.props) ~ ("partCols" -> s.partCols)))
+        ("props" -> s.props) ~ ("partCols" -> s.partCols) ~
+        ("committedAt" -> s.committedAt)))
   }
 
   private def parse(text: String): Snapshot = {
@@ -128,7 +130,8 @@ object CommitLog {
       (j \ "bloomCols").extractOpt[Seq[String]].getOrElse(Nil),
       (j \ "bloomExpect").extractOpt[Long].getOrElse(1L << 20),
       (j \ "props").extractOpt[Map[String, String]].getOrElse(Map.empty),
-      (j \ "partCols").extractOpt[Seq[String]].getOrElse(Nil))
+      (j \ "partCols").extractOpt[Seq[String]].getOrElse(Nil),
+      (j \ "committedAt").extractOpt[Long].getOrElse(0L))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -254,6 +257,32 @@ object CommitLog {
     require(f.exists(p), s"version $v of $dir does not exist (vacuumed?)")
     readSnapshot(spark, dir, parse(readText(f, p)))
   }
+
+  /** Timestamp time travel: the table as of wall-clock `tsMillis` — the
+    * newest version whose commit stamp is ≤ the timestamp (`TIMESTAMP AS
+    * OF`, completing [[readAt]]'s `VERSION AS OF`). Resolution is
+    * metadata-plane (version files only). Commit stamps are the
+    * WRITER's clock at commit time; for logs written before stamps
+    * existed, the version FILE's mtime stands in. Fails loudly when the
+    * timestamp predates the log (or the readable history after vacuum). */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val f = hadoopFs(spark, dir)
+    val hit = versionNumbers(f, dir).reverse.view.flatMap { v =>
+      try {
+        val s = parse(readText(f, versionFile(dir, v)))
+        val at =
+          if (s.committedAt > 0L) s.committedAt
+          else f.getFileStatus(versionFile(dir, v)).getModificationTime
+        if (at <= tsMillis) Some(v) else None
+      } catch { case _: Exception => None }
+    }.headOption
+    hit.getOrElse(throw new IllegalArgumentException(
+      s"$dir has no readable version committed at or before $tsMillis " +
+        "(timestamp predates the log, or vacuum dropped that history)"))
+  }
+
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    readAt(spark, dir, versionAsOf(spark, dir, tsMillis))
 
   /** The committed metadata of version `v` (file list, ledger, props…) —
     * the snapshot-typed sibling of [[readAt]]. */
@@ -461,7 +490,11 @@ object CommitLog {
       // persist the layout so a later zero-file snapshot still knows it
       files.headOption.map(r => r.split('/').dropRight(1)
         .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq)
-        .getOrElse(prev.partCols))
+        .getOrElse(prev.partCols),
+      // wall-clock stamp for AS-OF resolution only — never read by any
+      // query result path, so clock skew costs time-travel precision,
+      // not correctness
+      System.currentTimeMillis())
     casWrite(f, versionFile(dir, v), render(snap))
     snap
   }
@@ -478,7 +511,7 @@ object CommitLog {
     val merged = s.props ++ kv
     if (merged == s.props) return s
     val next = s.copy(version = s.version + 1, props = merged, op = "props",
-      batches = s.batches)
+      batches = s.batches, committedAt = System.currentTimeMillis())
     try {
       casWrite(hadoopFs(spark, dir), versionFile(dir, next.version),
         render(next))

@@ -579,6 +579,30 @@ class CommitLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuum"), e.getMessage)
   }
 
+  test("timestamp time travel resolves the newest version at-or-before") {
+    val dir = freshLake()
+    val t1 = CommitLog.latest(spark, dir).get.committedAt
+    assert(t1 > 0L, "commits must carry a wall-clock stamp")
+    Thread.sleep(5)
+    val before = state(dir)
+    CommitLog.upsert(spark,
+      spark.range(0, 10).select($"id".as("k"), lit(77L).as("v"),
+        lit("d0").as("pd")),
+      dir, Seq("k"), "pd")
+    val t2 = CommitLog.latest(spark, dir).get.committedAt
+    assert(t2 > t1)
+    // as-of between the commits → version 1's state; as-of now → latest
+    assert(CommitLog.readAsOf(spark, dir, t2 - 1)
+      .select($"k", $"v", $"pd").as[(Long, Long, String)]
+      .collect().toSet == before)
+    assert(CommitLog.readAsOf(spark, dir, t2).filter($"v" === 77L)
+      .count() == 10L)
+    // predating the log fails loudly
+    intercept[IllegalArgumentException] {
+      CommitLog.versionAsOf(spark, dir, t1 - 1000000L)
+    }
+  }
+
   test("vacuum deletes only unreferenced files; latest survives") {
     val dir = freshLake()
     val v1 = CommitLog.latest(spark, dir).get
