@@ -194,7 +194,31 @@ object Graft {
     /** Per-dimension z-score standardization flattened to (id, dim, z). */
     def standardized(idCol: String, vecCol: String): DataFrame =
       Similarity.standardizeDims(df, idCol, vecCol)
+
+    /** Train + encode an IVFPQ index over this corpus and publish it as
+      * a commit-logged table at `dir` (serving opens probed cells'
+      * files only — [[searchVectorIndex]]). */
+    def buildVectorIndex(dir: String, idCol: String, vecCol: String,
+        nList: Int = 64, m: Int = 8, k: Int = 16): Unit = {
+      val spark = df.sparkSession
+      val idx = graft.sim.PqIndex.build(df, idCol, vecCol, nList, m, k)
+      try graft.sim.PqIndex.save(spark, idx, dir) finally idx.close()
+    }
+
+    /** Re-encode ONLY this DataFrame's (changed) vectors into the index
+      * at `dir` — frozen-model, churn-bounded, one atomic commit; a
+      * null vector removes the id. */
+    def updateVectorIndex(dir: String, idCol: String, vecCol: String): Unit =
+      graft.sim.PqIndex.update(df.sparkSession, dir, df, idCol, vecCol)
   }
+
+  /** ANN top-k from a persisted IVFPQ index with exact re-rank —
+    * `corpus` supplies raw vectors for the shortlist only. */
+  def searchVectorIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame =
+    graft.sim.PqIndex.topKRerankPersisted(spark, dir, queries, corpus,
+      idCol, vecCol, k, nProbe)
 
   implicit class FlowOps(private val df: DataFrame) {
 
@@ -401,9 +425,15 @@ object Graft {
       .map(_.version).getOrElse(
         throw new IllegalStateException(s"$dir has no commit log"))
     def asOf(v: Long): DataFrame = CommitLog.readAt(spark, dir, v)
+    /** TIMESTAMP AS OF: the table as of wall-clock epoch millis. */
+    def asOfTime(tsMillis: Long): DataFrame =
+      CommitLog.readAsOf(spark, dir, tsMillis)
     def changes(fromV: Long, toV: Long): DataFrame =
       CommitLog.changesBetween(spark, dir, fromV, toV)
     def history: DataFrame = CommitLog.history(spark, dir)
+    /** Roll back to version `v` as a NEW auditable commit (zero data
+      * movement; ledger not rewound). */
+    def restore(v: Long): Unit = { CommitLog.restore(spark, dir, v); () }
     def upsert(updates: DataFrame, keyCols: Seq[String],
         partitionCol: String, seqCol: Option[String] = None): Unit = {
       CommitLog.upsert(spark, updates, dir, keyCols, partitionCol, seqCol)
@@ -442,4 +472,35 @@ object Graft {
 
   def lake(spark: org.apache.spark.sql.SparkSession, dir: String): Lake =
     Lake(spark, dir)
+
+  /** Open a lake table AND auto-restore its log-resident catalog state
+    * (views, audited constraints) once per session — the right first
+    * call of a fresh session. See [[graft.sources.Lake.open]]. */
+  def open(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.sources.Lake.open(spark, dir)
+
+  /** Handle on a cross-table transaction family: atomic (pinned)
+    * visibility over a SET of lake tables through a [[graft.sources
+    * .LakeTxn]] manifest. */
+  final case class TxnFamily(spark: org.apache.spark.sql.SparkSession,
+      txnDir: String) {
+    import graft.sources.LakeTxn
+    /** A participant at the latest manifest's pinned version. */
+    def read(tableDir: String): DataFrame = LakeTxn.read(spark, txnDir, tableDir)
+    def pinOf(tableDir: String): Long = LakeTxn.pinOf(spark, txnDir, tableDir)
+    /** Publish a new family cut (per-table latest versions), atomically. */
+    def commit(pins: Map[String, Long], batchId: Option[Long] = None): Unit = {
+      LakeTxn.commit(spark, txnDir, pins, batchId); ()
+    }
+    /** Serve a query batch from a pinned BM25 index participant. */
+    def searchIndex(indexDir: String, queries: DataFrame,
+        k: Int, arity: Int): DataFrame =
+      graft.text.InvertedIndex.searchAt(spark, indexDir,
+        pinOf(indexDir), queries, k, arity)
+    def vacuumParticipant(tableDir: String): Seq[String] =
+      LakeTxn.vacuumParticipant(spark, txnDir, tableDir)
+  }
+
+  def txnFamily(spark: org.apache.spark.sql.SparkSession,
+      txnDir: String): TxnFamily = TxnFamily(spark, txnDir)
 }

@@ -122,4 +122,50 @@ class GraftApiSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(hits == Seq(1L))
   }
+
+  test("lake facade: lifecycle verbs incl. restore, as-of-time, txn family") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_api_lake_")
+    work.toFile.deleteOnExit()
+    val dir = s"$work/t"
+    spark.range(0, 30).select($"id".as("k"), lit(1L).as("v"),
+      lit("a").as("pd")).write.partitionBy("pd").parquet(dir)
+    graft.sources.CommitLog.init(spark, dir)
+    val t = Graft.lake(spark, dir)
+    val v1 = t.version
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.upsert(spark.range(0, 30).select($"id".as("k"), lit(9L).as("v"),
+      lit("a").as("pd")), Seq("k"), "pd")
+    assert(t.read.filter($"v" === 9L).count() == 30L)
+    assert(t.asOfTime(t1).filter($"v" === 9L).count() == 0L)
+    t.restore(v1)
+    assert(t.read.filter($"v" === 9L).count() == 0L)
+    // txn family sugar: pin this table, read through the pin
+    val txn = s"$work/txn"
+    val fam = Graft.txnFamily(spark, txn)
+    fam.commit(Map(dir -> t.version), batchId = Some(1L))
+    assert(fam.read(dir).count() == 30L)
+    assert(fam.pinOf(dir) == t.version)
+  }
+
+  test("vector facade: build, update, and search the persisted index") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_api_pq_")
+    work.toFile.deleteOnExit()
+    val dir = s"$work/pq"
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    emb.buildVectorIndex(dir, "vec_id", "embedding", nList = 4, m = 8, k = 4)
+    val got = Graft.searchVectorIndex(spark, dir,
+      emb.filter($"vec_id" < 2), emb, "vec_id", "embedding", k = 5, nProbe = 2)
+    assert(got.count() > 0)
+    // churn through the facade: remove one id, confirm it stops matching
+    emb.filter($"vec_id" === 7L)
+      .select($"vec_id", lit(null).cast("array<float>").as("embedding"))
+      .updateVectorIndex(dir, "vec_id", "embedding")
+    val after = Graft.searchVectorIndex(spark, dir,
+      emb.filter($"vec_id" < 2), emb, "vec_id", "embedding", k = 50, nProbe = 4)
+      .filter($"neighbor_id" === 7L)
+    assert(after.count() == 0L, "removed vector still served")
+  }
 }
