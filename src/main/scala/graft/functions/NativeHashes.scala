@@ -291,6 +291,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             NativeSketches.getClass.getName, name),
           builder))
     }
+    // SQL table functions: graft_lake / _at / _asof / _changes /
+    // _history — the commit log's spark.sql front door
+    graft.sources.LakeTvf.builders.foreach { case (name, builder) =>
+      e.injectTableFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            graft.sources.LakeTvf.getClass.getName, name),
+          builder))
+    }
     // optimizer rules: joins the operator-optimization fixed point, so the
     // folded plan is itself optimized further (filter merge, pruning)
     e.injectOptimizerRule(_ => graft.plans.FoldCountOverReplicateRows)

@@ -983,6 +983,33 @@ object EngineQueries {
       |  count(o_totalprice) AS count_o_totalprice
       |FROM orders""".stripMargin
 
+  // ----------------------------------------------------- q167_sql_lake
+  // The lakehouse's spark.sql front door (graft.sources.LakeTvf): the
+  // query is pure SQL TEXT over the graft_lake table function — no
+  // DataFrame code touches the table — against q152's commit-logged
+  // orders lake. The TVF splices the analyzed snapshot read in at
+  // analysis time, so pushdown, pruning, and the optimizer rules all
+  // apply to SQL users identically (LakeTvfSpec pins pushed filters and
+  // the MV rewrite firing through SQL). The DuckDB oracle recomputes
+  // from raw orders; hash-match proves the SQL path serves the same
+  // committed snapshot the DataFrame path does.
+  private def q167SqlLake(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT o_orderstatus AS st, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price,
+         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+         |FROM graft_lake('${q152Lake(s, d)}')
+         |GROUP BY o_orderstatus ORDER BY st""".stripMargin)
+
+  private val q167Sql =
+    """SELECT o_orderstatus AS st, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      |FROM orders
+      |GROUP BY o_orderstatus ORDER BY st""".stripMargin
+
   // q153: point lookup on the clustered key via the committed per-file
   // Bloom filters — opens only files that POSSIBLY hold the customer
   // (pruning ratio pinned in MetadataPlaneSpec; the file count depends
@@ -1155,6 +1182,7 @@ object EngineQueries {
     Q("q146_manifest_quantiles", q146ManifestQuantiles, None),
     Q("q148_delete", q148Delete, Some(q148Sql)),
     Q("q166_restore", q166Restore, Some(q166Sql)),
+    Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),
     Q("q78_sql_volume", q78Volume, Some(q78Sql)),
     Q("q79_sql_returns", q79Returns, Some(q79Sql)),

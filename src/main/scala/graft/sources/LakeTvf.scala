@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** SQL table-valued functions over [[CommitLog]] tables — the lake's
+  * `spark.sql` front door:
+  *
+  * {{{
+  *   SELECT o_orderstatus, count(*) FROM graft_lake('/lake/orders') GROUP BY 1
+  *   SELECT * FROM graft_lake_at('/lake/orders', 3)        -- VERSION AS OF
+  *   SELECT * FROM graft_lake_asof('/lake/orders', <ms>)   -- TIMESTAMP AS OF
+  * }}}
+  *
+  * The builder resolves the snapshot at ANALYSIS time and splices the
+  * already-analyzed read plan in, so everything downstream behaves
+  * exactly like the DataFrame path: filters and projections push into
+  * the pruned file scan, and [[graft.plans.RewriteAggregateOnView]]
+  * routes matching SQL aggregates to a registered materialized view —
+  * the SQL user gets the snapshot isolation and the optimizer surface
+  * for free. Arguments must be literals (a path computed per row has no
+  * meaning for a table function).
+  */
+object LakeTvf {
+
+  private def strArg(name: String, e: Expression): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal string path, got: $other")
+  }
+
+  private def longArg(name: String, e: Expression): Long = e match {
+    case Literal(v, LongType) => v.asInstanceOf[Long]
+    case Literal(v, IntegerType) => v.asInstanceOf[Int].toLong
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal integer, got: $other")
+  }
+
+  private def analyzed(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** (name, builder) triples for [[graft.functions.GraftExtensions]]. */
+  def builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "graft_lake" -> { args =>
+      require(args.size == 1, "graft_lake(dir)")
+      analyzed(CommitLog.read(SparkSession.active,
+        strArg("graft_lake", args.head)))
+    },
+    "graft_lake_at" -> { args =>
+      require(args.size == 2, "graft_lake_at(dir, version)")
+      analyzed(CommitLog.readAt(SparkSession.active,
+        strArg("graft_lake_at", args.head),
+        longArg("graft_lake_at", args(1))))
+    },
+    "graft_lake_asof" -> { args =>
+      require(args.size == 2, "graft_lake_asof(dir, epochMillis)")
+      analyzed(CommitLog.readAsOf(SparkSession.active,
+        strArg("graft_lake_asof", args.head),
+        longArg("graft_lake_asof", args(1))))
+    },
+    "graft_lake_changes" -> { args =>
+      require(args.size == 3, "graft_lake_changes(dir, fromV, toV)")
+      analyzed(CommitLog.changesBetween(SparkSession.active,
+        strArg("graft_lake_changes", args.head),
+        longArg("graft_lake_changes", args(1)),
+        longArg("graft_lake_changes", args(2))))
+    },
+    "graft_lake_history" -> { args =>
+      require(args.size == 1, "graft_lake_history(dir)")
+      analyzed(CommitLog.history(SparkSession.active,
+        strArg("graft_lake_history", args.head)))
+    })
+}

@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.plans.{ConstraintCatalog, MatViewCatalog}
+
+/** [[LakeTvf]]: `spark.sql` over `graft_lake(...)` must behave exactly
+  * like the DataFrame read — snapshot isolation, time travel, change
+  * feed, and the materialized-view rewrite all reachable from SQL text.
+  */
+class LakeTvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture(): String = {
+    val work = java.nio.file.Files.createTempDirectory("graft_tvf_")
+    work.toFile.deleteOnExit()
+    val dir = s"$work/t"
+    spark.range(0, 40).select($"id".as("k"), ($"id" % 4).as("g"),
+      lit(1L).as("v"), lit("a").as("pd"))
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir)
+    dir
+  }
+
+  test("graft_lake serves the latest snapshot; _at time-travels; " +
+      "_changes feeds; _history reports") {
+    val dir = fixture()
+    CommitLog.upsert(spark,
+      spark.range(0, 10).select($"id".as("k"), ($"id" % 4).as("g"),
+        lit(9L).as("v"), lit("a").as("pd")),
+      dir, Seq("k"), "pd")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_lake('$dir')")
+      .head().getLong(0) == 40L)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_lake('$dir') WHERE v = 9")
+      .head().getLong(0) == 10L)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_lake_at('$dir', 1) WHERE v = 9")
+      .head().getLong(0) == 0L)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_lake_changes('$dir', 1, 2)")
+      .head().getLong(0) == 40L) // post-image of the touched partition
+    val hist = spark.sql(s"SELECT op FROM graft_lake_history('$dir')")
+      .as[String].collect().toSeq
+    assert(hist == Seq("init", "upsert"))
+    // filters push into the TVF's scan like any parquet read
+    val plan = spark.sql(
+        s"SELECT k FROM graft_lake('$dir') WHERE k = 7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,7"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("a SQL aggregate over graft_lake routes to the materialized view") {
+    val dir = fixture()
+    val work = dir.stripSuffix("/t")
+    val d = IncrementalView.Definition(
+      dir, s"$work/view", "pd", Seq("g"),
+      Seq(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v")),
+      invertible = true)
+    MatViewCatalog.register(d)
+    IncrementalView.refresh(spark, d)
+    val got = spark.sql(
+      s"SELECT g, count(*) AS n, sum(v) AS sv FROM graft_lake('$dir') " +
+        "GROUP BY g ORDER BY g")
+    val dirs = got.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(p =>
+          ConstraintCatalog.normalize(p.toString))
+        case _ => Nil
+      }
+    }.flatten
+    assert(dirs.nonEmpty && dirs.forall(
+      _.startsWith(ConstraintCatalog.normalize(s"$work/view"))),
+      s"SQL aggregate did not route to the view: $dirs")
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((0L, 10L, 10L), (1L, 10L, 10L), (2L, 10L, 10L),
+        (3L, 10L, 10L)))
+  }
+
+  test("non-literal arguments fail loudly") {
+    val dir = fixture()
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_lake_at('$dir', 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+}
