@@ -147,16 +147,43 @@ object CommitLog {
 
   /** The commit point: create-no-overwrite is the filesystem CAS — a
     * concurrent writer that raced to the same version number fails HERE,
-    * loudly, with the log unchanged. */
-  private def casWrite(f: FileSystem, p: Path, text: String): Unit = {
-    val out =
-      try f.create(p, false)
-      catch { case _: java.io.IOException =>
-        throw new CommitConflict(
-          s"commit conflict on $p — another writer (or a crashed run's " +
-            "version file) holds this version")
+    * loudly, with the log unchanged.
+    *
+    * On a LOCAL filesystem Hadoop's `create(p, overwrite=false)` is
+    * check-then-create — two writers inside the TOCTOU window can BOTH
+    * pass the existence check and one silently clobbers the other
+    * (caught by LakeTxnSpec's barrier race). POSIX has a real atomic
+    * primitive, O_CREAT|O_EXCL, so local paths go through
+    * `Files.createFile`; HDFS-like filesystems keep Hadoop's create,
+    * whose no-overwrite IS namenode-atomic. An object store needs a
+    * conditional put here — unchanged contract. */
+  private[sources] def casWrite(f: FileSystem, p: Path, text: String): Unit = {
+    val scheme = Option(p.toUri.getScheme).getOrElse(
+      Option(f.getUri.getScheme).getOrElse("file"))
+    if (scheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.write(local, text.getBytes(UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        ()
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new CommitConflict(
+            s"commit conflict on $p — another writer (or a crashed run's " +
+              "version file) holds this version")
       }
-    try out.write(text.getBytes(UTF_8)) finally out.close()
+    } else {
+      val out =
+        try f.create(p, false)
+        catch { case _: java.io.IOException =>
+          throw new CommitConflict(
+            s"commit conflict on $p — another writer (or a crashed run's " +
+              "version file) holds this version")
+        }
+      try out.write(text.getBytes(UTF_8)) finally out.close()
+    }
   }
 
   // ----------------------------------------------------------- reading

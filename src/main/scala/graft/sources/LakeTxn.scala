@@ -169,9 +169,12 @@ object LakeTxn {
         curPins ++ normPins,
         (cur.map(_.batches).getOrElse(Nil) ++ batchId).distinct.sorted)
       val p = txnFile(txnDir, next.txn)
+      // the SAME hardened CAS as the per-table commit point (O_EXCL on
+      // local filesystems — Hadoop's local create-no-overwrite is
+      // check-then-create and loses manifests under a tight race)
       val created =
-        try { val out = f.create(p, false); out.write(render(next).getBytes(UTF_8)); out.close(); true }
-        catch { case _: java.io.IOException => false }
+        try { CommitLog.casWrite(f, p, render(next)); true }
+        catch { case _: CommitLog.CommitConflict => false }
       if (created) return next
       attempt += 1
       if (attempt >= maxRetries) throw new IllegalStateException(

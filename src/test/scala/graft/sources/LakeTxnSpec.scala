@@ -133,6 +133,41 @@ class LakeTxnSpec extends AnyFunSuite {
       CommitLog.latest(spark, corpus).get.version)
   }
 
+  test("thread race: two committers serialize through the manifest CAS; " +
+      "both cuts land") {
+    val w = work()
+    val (corpus, index, txn) = family(w)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def committer(batch: Long, pin: Long): Thread = {
+      val t = new Thread(() => {
+        try {
+          barrier.await()
+          LakeTxn.commit(spark, txn, Map(corpus -> pin),
+            batchId = Some(batch))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+      t.start(); t
+    }
+    val basePin = LakeTxn.pinOf(spark, txn, corpus)
+    val ts = Seq(committer(201L, basePin), committer(202L, basePin))
+    ts.foreach(_.join(30000))
+    assert(errs.isEmpty, s"racing committers failed: ${errs.asScalaString}")
+    val st = LakeTxn.latest(spark, txn).get
+    assert(st.batches.contains(201L) && st.batches.contains(202L),
+      s"a racing commit was lost: ${st.batches}")
+    assert(st.txn == 3L, s"expected two new manifests, got txn ${st.txn}")
+  }
+
+  private implicit class QShow(
+      q: java.util.concurrent.ConcurrentLinkedQueue[Throwable]) {
+    def asScalaString: String = {
+      val it = q.iterator(); val b = new StringBuilder
+      while (it.hasNext) b.append(it.next().getMessage).append("; ")
+      b.toString
+    }
+  }
+
   test("manifest retention keeps the latest cut readable") {
     val w = work()
     val (corpus, index, txn) = family(w)
