@@ -284,9 +284,15 @@ object PqIndex {
     // cell Blooms prune serving probes; nn_id Blooms prune [[update]]'s
     // old-row delete — both ride the same manifest. Model + shape commit
     // WITH the init (one crash-atomic step, the InvertedIndex.build
-    // discipline).
+    // discipline). The shared filter size must fit the LARGER column's
+    // per-file cardinality: distinct nn_ids per file ≈ rows/numFiles
+    // (distinct cells per file is ≤ that), so sizing to the per-file ROW
+    // bound keeps the nn_id filter honest at any corpus size — sized to
+    // nList it would saturate and update's pruning would silently become
+    // a full index scan. encoded is cached; the count is cheap.
+    val perFile = index.encoded.count() / math.max(1, numFiles) + 1L
     CommitLog.init(spark, dir, bloomCols = Seq("cell", "nn_id"),
-      bloomExpect = math.max(16L, index.model.coarseCenters.size.toLong),
+      bloomExpect = math.max(16L, perFile),
       props = Map(
         "pq.m" -> index.model.m.toString,
         "pq.k" -> index.model.k.toString,
@@ -322,7 +328,7 @@ object PqIndex {
     import graft.sources.CommitLog
     val snap = CommitLog.latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir holds no index commit log"))
-    val model = loadModel(spark, dir)
+    val model = modelOf(snap.props, dir) // ONE snapshot read per batch
     val changed = changedVectors
       .select(col(idCol).as("nn_id"), col(vecCol))
       .filter(col("nn_id").isNotNull)
@@ -339,17 +345,19 @@ object PqIndex {
     ()
   }
 
-  /** The persisted model — kilobytes of props, no data files opened. */
-  def loadModel(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Model = {
-    val p = graft.sources.CommitLog.latest(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"$dir holds no index commit log"))
-      .props
+  private def modelOf(p: Map[String, String], dir: String): Model = {
     require(p.contains("pq.coarse"), s"$dir carries no pq model props")
     Model(parseMatrix(p("pq.coarse")),
       p("pq.codebooks").split('|').iterator.map(parseMatrix).toIndexedSeq,
       p("pq.m").toInt, p("pq.k").toInt, p("pq.subdim").toInt)
   }
+
+  /** The persisted model — kilobytes of props, no data files opened. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Model =
+    modelOf(graft.sources.CommitLog.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir holds no index commit log"))
+      .props, dir)
 
   /** ADC top-k served from a PERSISTED index: the query batch's probed
     * cells are computed driver-side (the batch is small by definition;

@@ -260,6 +260,13 @@ object CommitLog {
     readFiles(spark, dir, s, s.files)
   }
 
+  /** Hive partition columns encoded in a dir-relative file path — the
+    * ONE decoder for the `key=value/.../file` shape, shared by the
+    * commit-time persist and every maintenance verb's re-derivation. */
+  private def partColsFromRel(rel: String): Seq[String] =
+    rel.split('/').dropRight(1)
+      .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+
   /** The snapshot's hive partition columns: recovered from the committed
     * file paths when files exist, and from the PERSISTED `partCols`
     * field when the table has emptied out — so maintenance verbs keep
@@ -267,8 +274,7 @@ object CommitLog {
     * (Logs written before the field existed always have files.) */
   private def partColsOf(s: Snapshot): Seq[String] =
     s.files.headOption match {
-      case Some(rel) => rel.split('/').dropRight(1)
-        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+      case Some(rel) => partColsFromRel(rel)
       case None => s.partCols
     }
 
@@ -515,9 +521,7 @@ object CommitLog {
       mergeSchemaJson(prev.schemaJson, schemaJson),
       prev.bloomCols, prev.bloomExpect, prev.props ++ propsDelta,
       // persist the layout so a later zero-file snapshot still knows it
-      files.headOption.map(r => r.split('/').dropRight(1)
-        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq)
-        .getOrElse(prev.partCols),
+      files.headOption.map(partColsFromRel).getOrElse(prev.partCols),
       // wall-clock stamp for AS-OF resolution only — never read by any
       // query result path, so clock skew costs time-travel precision,
       // not correctness
@@ -730,7 +734,8 @@ object CommitLog {
     commitRebase(spark, dir, staged, "upsert", maxRetries)
 
   private def commitRebase(spark: SparkSession, dir: String,
-      staged: StagedUpsert, op: String, maxRetries: Int): Snapshot = {
+      staged: StagedUpsert, op: String, maxRetries: Int,
+      pinnedBase: Boolean = false): Snapshot = {
     var attempt = 0
     while (true) {
       val s = mustLatest(spark, dir)
@@ -740,6 +745,16 @@ object CommitLog {
             s"$dir — staged files abandoned for vacuum")
         return s
       }
+      // a pinned-base commit (replaceWhere with expectedVersion: its
+      // propsDelta was DERIVED from the base snapshot) must not rebase
+      // over ANY intervening commit — even a file-disjoint or props-only
+      // one invalidates the derivation, which the partition-clash check
+      // below would wave through
+      if (pinnedBase && s.version != staged.base.version)
+        throw new CommitConflict(
+          s"$op on $dir pinned base version ${staged.base.version} but " +
+            s"latest is ${s.version} — re-derive from the current " +
+            "snapshot and re-run (staged files are vacuum garbage)")
       if (s.version != staged.base.version) {
         val baseSet = staged.base.files.toSet
         val nowSet = s.files.toSet
@@ -1132,7 +1147,8 @@ object CommitLog {
       StagedUpsert(s, touched, hitFiles, newRels, None,
         if (addedRels.isEmpty) None else Some(additions.schema.json),
         propsDelta),
-      "replace", maxRetries = 10)
+      "replace", maxRetries = 10,
+      pinnedBase = expectedVersion.isDefined)
   }
 
   /** Zone-map-pruned box scan over the LATEST snapshot. No staleness
@@ -1315,19 +1331,18 @@ object CommitLog {
     * Returns the deleted data files. Readers pinned to dropped versions
     * break — that is the documented MVCC retention trade.
     *
-    * SAFE under concurrent in-flight writers: a writer's not-yet-committed
-    * work lives in two places, and both are fenced —
-    *  - its `_staging/<tag>` dir (mid-[[stageWrite]]): only staging dirs
-    *    older than `staleStagingMs` are reclaimed, so a live writer's
-    *    staging survives; a crashed writer's residue goes once it ages
-    *    past the floor (default 24 h — longer than any sane write);
-    *  - its already-PUBLISHED-but-uncommitted data files (post-stage,
-    *    pre-CAS): those are younger than the newest KEPT version file by
-    *    construction of the race, so the same age floor applied to
-    *    unreferenced data files protects them too. A file that has been
-    *    unreferenced for longer than the floor belongs to no live writer.
-    * The floor trades reclamation latency for writer safety — the shape
-    * every production lake format (Delta VACUUM's retention window) uses. */
+    * SAFE under concurrent in-flight writers: ONE uniform age fence —
+    * nothing younger than `staleStagingMs` is ever deleted. That covers
+    * every not-yet-committed artifact a live operation may hold:
+    * `_staging/<tag>` dirs (mid-[[stageWrite]]), published-but-
+    * uncommitted data files and pre-CAS manifests ([[commit]] writes the
+    * manifest before the version-file CAS), and a dropped version's
+    * files that a concurrent [[restore]] read moments ago and is about
+    * to re-reference. Crashed residue ages out of a later vacuum
+    * (default floor 24 h — longer than any sane write); operators that
+    * KNOW no writer is live can pass `staleStagingMs = 0` for immediate
+    * reclamation. The floor trades reclamation latency for writer
+    * safety — the shape of Delta VACUUM's retention window. */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
       staleStagingMs: Long = 24L * 3600 * 1000): Seq[String] = {
     require(keepLast >= 1, "vacuum must keep at least the latest version")
@@ -1338,35 +1353,35 @@ object CommitLog {
     val dropSnaps = dropV.map(v => parse(readText(f, versionFile(dir, v))))
     val keptSnaps = keepV.map(v => parse(readText(f, versionFile(dir, v))))
     val live = keptSnaps.flatMap(_.files).toSet
-    val droppedRefs = dropSnaps.flatMap(_.files).toSet
     val liveManifests = keptSnaps.flatMap(_.manifest).toSet
+    // ONE uniform rule for every dead data file: nothing younger than
+    // the age fence is ever deleted. A young dead file may be a live
+    // writer's published-but-uncommitted work racing toward its CAS —
+    // OR a just-dropped version a concurrent restore() is about to
+    // re-reference (restore reads the old snapshot, then commits; a
+    // same-moment vacuum must not yank its files in between). Old dead
+    // files belong to no live operation and age out of a later vacuum.
     val dead = (listRel(spark, dir) -- live).toSeq.sorted.filter { r =>
-      // Two classes of dead file. Referenced by a DROPPED version:
-      // committed history — no in-flight writer can own it, reclaim now.
-      // Referenced by NO version: either a crashed/lost-race writer's
-      // residue OR a live writer's published-but-uncommitted files racing
-      // toward their CAS — only the age fence tells them apart, so young
-      // unreferenced files survive this vacuum and age out of a later one.
-      droppedRefs.contains(r) || {
-        try now - f.getFileStatus(new Path(dir, r)).getModificationTime >
-          staleStagingMs
-        catch { case _: java.io.FileNotFoundException => false }
-      }
+      try now - f.getFileStatus(new Path(dir, r)).getModificationTime >
+        staleStagingMs
+      catch { case _: java.io.FileNotFoundException => false }
     }
     dead.foreach(r => f.delete(new Path(dir, r), false))
-    dropV.foreach { v =>
-      parse(readText(f, versionFile(dir, v))).manifest
-        .filterNot(liveManifests.contains)
-        .foreach(m => f.delete(new Path(logPath(dir), m), true))
-      f.delete(versionFile(dir, v), false)
-    }
-    // manifests no version references at all — residue of commits that
-    // lost their CAS race (the manifest is written pre-CAS under a
-    // collision-free name precisely so losing is harmless)
+    dropSnaps.foreach(_.manifest
+      .filterNot(liveManifests.contains)
+      .foreach(m => f.delete(new Path(logPath(dir), m), true)))
+    dropV.foreach(v => f.delete(versionFile(dir, v), false))
+    // manifests no version references at all — usually residue of
+    // commits that lost their CAS race, but possibly an in-flight
+    // writer's manifest written moments before its version-file CAS
+    // (commit() writes the manifest FIRST) — the same age fence applies
     f.listStatus(logPath(dir)).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("manifest-") && !liveManifests.contains(n))
-      .foreach(m => f.delete(new Path(logPath(dir), m), true))
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("manifest-") && !liveManifests.contains(n) &&
+          now - st.getModificationTime > staleStagingMs
+      }
+      .foreach(st => f.delete(st.getPath, true))
     // writer-private staging dirs: reclaim only those past the age floor
     // (a crashed writer's residue); an in-flight writer's staging is
     // younger and survives

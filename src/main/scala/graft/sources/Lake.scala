@@ -31,11 +31,16 @@ object Lake {
   def open(spark: SparkSession, dir: String): DataFrame = {
     val key = graft.plans.ConstraintCatalog.normalize(dir)
     if (restored.add(key)) {
-      val views = graft.plans.MatViewCatalog.restore(spark, dir)
-      val cons = graft.plans.ConstraintCatalog.restore(spark, dir)
-      if (views.nonEmpty || cons > 0)
-        System.err.println(s"[lake] open $dir restored ${views.size} " +
-          s"view(s), $cons constraint declaration(s) from the log")
+      // a failed restore must NOT burn the once-per-session slot — drop
+      // the mark so a retry restores for real instead of silently
+      // serving an unregistered session forever
+      try {
+        val views = graft.plans.MatViewCatalog.restore(spark, dir)
+        val cons = graft.plans.ConstraintCatalog.restore(spark, dir)
+        if (views.nonEmpty || cons > 0)
+          System.err.println(s"[lake] open $dir restored ${views.size} " +
+            s"view(s), $cons constraint declaration(s) from the log")
+      } catch { case e: Throwable => restored.remove(key); throw e }
     }
     CommitLog.read(spark, dir)
   }

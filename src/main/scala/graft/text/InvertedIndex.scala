@@ -60,20 +60,23 @@ object InvertedIndex {
       .where(col("t").isNotNull)
     val tf = tok.groupBy(id, col("t")).agg(count(lit(1)).as("tf"))
     val lens = tf.groupBy(id).agg(sum(col("tf")).as("len"))
-    // globals from the SAME compacted pass the postings come from —
-    // n = docs with ≥1 token (exactly the population the corpus-pass
-    // scorer and the oracle average over), computed BEFORE the commit so
-    // they can ride it: postings and globals become visible in ONE
-    // crash-atomic init instead of init + setProps (a crash between the
-    // two used to strand a props-less log that [[update]] refused)
-    val g = lens
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("s"))
-      .head()
     tf.join(lens, Seq(idCol))
       .select(col("t").as("term"), id.as("doc_id"), col("tf"), col("len"))
       .repartitionByRange(numFiles, col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.parquet(dir)
+    // globals from the WRITTEN compacted postings (pre-commit — no log
+    // exists yet, so the read is a plain parquet scan of the new files,
+    // not a second tokenize pass over the corpus): n = docs with ≥1
+    // token, exactly the population the corpus-pass scorer and the
+    // oracle average over. Computing them here lets them ride the init —
+    // postings and globals become visible in ONE crash-atomic commit
+    // instead of init + setProps (a crash between the two used to
+    // strand a props-less log that [[update]] refused)
+    val g = spark.read.parquet(dir)
+      .groupBy(col("doc_id")).agg(first(col("len")).as("len"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("s"))
+      .head()
     // Blooms are sized to the per-file DISTINCT-term bound, not the
     // posting-row count: ~0.9 MB per 10⁶ terms at 3% fpp, so the whole
     // manifest stays a metadata-plane read even for web-scale

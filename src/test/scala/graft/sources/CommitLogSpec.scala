@@ -611,7 +611,14 @@ class CommitLogSpec extends AnyFunSuite {
     CommitLog.upsert(spark, updates, dir, Seq("k"), "pd")
     CommitLog.compact(spark, dir, targetPartitions = 1)
     val before = state(dir)
-    val dead = CommitLog.vacuum(spark, dir, keepLast = 1)
+    // the default age fence keeps these seconds-old dropped files (a
+    // concurrent restore may be about to re-reference them)...
+    assert(CommitLog.vacuum(spark, dir, keepLast = 1).isEmpty,
+      "the default fence deleted young files")
+    // ...the explicit zero floor (operator knows no writer is live)
+    // reclaims them
+    val dead = CommitLog.vacuum(spark, dir, keepLast = 1,
+      staleStagingMs = 0L)
     assert(dead.nonEmpty, "vacuum found nothing to delete")
     assert(state(dir) == before, "vacuum changed the visible table")
     // dropped versions are gone

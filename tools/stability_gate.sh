@@ -8,7 +8,7 @@
 # Usage: tools/stability_gate.sh [seeds...]   (default: 1 2 3)
 set -u
 cd "$(dirname "$0")/.."
-SEEDS=("${@:-1}" )
+SEEDS=("$@")
 if [ $# -eq 0 ]; then SEEDS=(1 2 3); fi
 SF=${SPARK_GRAFT_SF_DIR_VERIFY:-/root/testdata/sf0.01}
 fails=0
@@ -16,9 +16,15 @@ for seed in "${SEEDS[@]}"; do
   out="/tmp/v_stab_$seed"
   rm -rf "$out"
   echo "== stability gate: seed $seed =="
-  SPARK_GRAFT_SHUFFLE_SEED=$seed SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
-    sbt -batch "runMain graft.Verify $SF $out" >"/tmp/v_stab_$seed.log" 2>&1
-  python3 tools/oracle_check.py "$out" "$SF" | tail -1
-  python3 tools/oracle_check.py "$out" "$SF" | tail -1 | grep -q " 0 fail" || fails=1
+  if ! SPARK_GRAFT_SHUFFLE_SEED=$seed SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
+      sbt -batch "runMain graft.Verify $SF $out" >"/tmp/v_stab_$seed.log" 2>&1
+  then
+    echo "VERIFY CRASHED (see /tmp/v_stab_$seed.log)"
+    fails=1
+    continue
+  fi
+  tail_line=$(python3 tools/oracle_check.py "$out" "$SF" | tail -1)
+  echo "$tail_line"
+  case "$tail_line" in *" 0 fail"*) ;; *) fails=1;; esac
 done
 exit $fails
