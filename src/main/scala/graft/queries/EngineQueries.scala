@@ -983,6 +983,77 @@ object EngineQueries {
       |  count(o_totalprice) AS count_o_totalprice
       |FROM orders""".stripMargin
 
+  // ------------------------------------------------- q168_stream_mirror
+  // Exactly-once streaming CDC replication (streaming.LakeFollow.mirror):
+  // a source orders lake is bootstrapped into a replica, the mirror
+  // stream attaches, and TWO source commits land while it runs — a keyed
+  // price-doubling upsert and a predicate delete. Each observed version
+  // range moves only the touched partitions' post-image into the replica
+  // via replacePartitions with batchId = source version (the replica's
+  // own ledger is the resume cursor AND the replay guard — LakeFollowSpec
+  // pins convergence, replay no-op, and crash-gap resume). The query
+  // aggregates the REPLICA; the DuckDB oracle recomputes the source's
+  // final state from raw orders, so the hash-match proves the replica
+  // converged to exactly the source's committed truth. Fixture built
+  // once per session; the stream stops before serving.
+  private val q168Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q168Lake(s: SparkSession, d: String): String =
+    q168Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q168_")
+      val src = s"$work/src"
+      val dst = s"$work/dst"
+      val ords = Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      ords.write.partitionBy("flag").parquet(src)
+      graft.sources.CommitLog.init(s, src)
+      graft.streaming.LakeFollow.bootstrapMirror(s, src, dst, "flag")
+      val q = graft.streaming.LakeFollow.mirror(s, src, dst, "flag",
+        checkpointDir = s"$work/chk")
+      try {
+        graft.sources.CommitLog.upsert(s,
+          ords.filter(col("o_orderkey") <= 2000)
+            .withColumn("o_totalprice", col("o_totalprice") * 2),
+          src, Seq("o_orderkey"), "flag")
+        graft.sources.CommitLog.delete(s, src,
+          col("o_custkey") % 10 === 3)
+        val want = graft.sources.CommitLog.latest(s, src).get.version
+        val t0 = System.currentTimeMillis()
+        while (graft.sources.CommitLog.latest(s, dst)
+            .flatMap(_.batches.maxOption).getOrElse(-1L) < want) {
+          require(System.currentTimeMillis() - t0 < 120000,
+            s"q168 mirror did not converge to source v$want")
+          Thread.sleep(100)
+        }
+      } finally q.stop()
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      dst
+    })
+
+  private def q168StreamMirror(s: SparkSession, d: String): DataFrame =
+    graft.sources.CommitLog.read(s, q168Lake(s, d))
+      .groupBy(col("flag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        min(col("o_orderkey")).as("min_ok"))
+      .orderBy(col("flag"))
+
+  private val q168Sql =
+    """SELECT o_orderstatus AS flag, count(*) AS n,
+      |  CAST(sum(CAST(CASE WHEN o_orderkey <= 2000 THEN o_totalprice * 2
+      |                     ELSE o_totalprice END AS DECIMAL(18,2)))
+      |       AS DOUBLE) AS sum_price,
+      |  min(o_orderkey) AS min_ok
+      |FROM orders
+      |WHERE o_orderkey <= 20000 AND o_custkey % 10 <> 3
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
   // ----------------------------------------------------- q167_sql_lake
   // The lakehouse's spark.sql front door (graft.sources.LakeTvf): the
   // query is pure SQL TEXT over the graft_lake table function — no
@@ -1183,6 +1254,7 @@ object EngineQueries {
     Q("q148_delete", q148Delete, Some(q148Sql)),
     Q("q166_restore", q166Restore, Some(q166Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
+    Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),
     Q("q78_sql_volume", q78Volume, Some(q78Sql)),
     Q("q79_sql_returns", q79Returns, Some(q79Sql)),

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.CommitLog
+
+/** [[LakeFollow]]: the streaming CDC mirror must converge to the
+  * source's committed state across upserts and deletes, survive a
+  * restart by resuming from the replica's own ledger, and treat a
+  * replayed range as a no-op.
+  */
+class LakeFollowSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def work(): String = {
+    val d = Files.createTempDirectory("graft_follow_")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def seed(dir: String): Unit = {
+    spark.range(0, 60).select($"id".as("k"), lit(1L).as("v"),
+      concat(lit("d"), ($"id" % 3)).as("pd"))
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir)
+  }
+
+  private def state(dir: String): Set[(Long, Long, String)] =
+    CommitLog.read(spark, dir).select($"k", $"v", $"pd")
+      .as[(Long, Long, String)].collect().toSet
+
+  private def awaitConverged(src: String, dst: String,
+      timeoutMs: Long = 30000): Unit = {
+    val t0 = System.currentTimeMillis()
+    val want = CommitLog.latest(spark, src).get.version
+    while (CommitLog.latest(spark, dst)
+        .flatMap(_.batches.maxOption).getOrElse(-1L) < want) {
+      if (System.currentTimeMillis() - t0 > timeoutMs)
+        fail(s"mirror did not reach source version $want in ${timeoutMs}ms")
+      Thread.sleep(100)
+    }
+  }
+
+  test("mirror converges across upserts and deletes; replay no-ops; " +
+      "restart resumes from the replica's ledger") {
+    val w = work()
+    val src = s"$w/src"; val dst = s"$w/dst"
+    seed(src)
+    LakeFollow.bootstrapMirror(spark, src, dst, "pd")
+    assert(state(dst) == state(src), "bootstrap must copy the cut")
+
+    val q = LakeFollow.mirror(spark, src, dst, "pd",
+      checkpointDir = s"$w/chk1")
+    try {
+      CommitLog.upsert(spark,
+        spark.range(0, 10).select($"id".as("k"), lit(7L).as("v"),
+          lit("d0").as("pd")),
+        src, Seq("k"), "pd")
+      CommitLog.delete(spark, src, $"k" >= 50L)
+      awaitConverged(src, dst)
+      assert(state(dst) == state(src),
+        "mirror diverged from the source after upsert+delete")
+    } finally q.stop()
+
+    // replay: re-applying the converged range is a ledger no-op
+    val vDst = CommitLog.latest(spark, dst).get.version
+    val toV = CommitLog.latest(spark, src).get.version
+    val dirs = CommitLog.partsBetween(spark, src, 1L, toV).get
+    CommitLog.replacePartitions(spark,
+      CommitLog.readPartitionDirsAt(spark, src, toV, dirs), dst, "pd",
+      dirs.toSeq.sorted.map(_.stripPrefix("pd=")), batchId = Some(toV))
+    assert(CommitLog.latest(spark, dst).get.version == vDst,
+      "a replayed range moved the replica")
+
+    // restart: new mirror instance picks the cursor from the ledger and
+    // catches up changes that landed while no mirror was running
+    CommitLog.upsert(spark,
+      spark.range(20, 25).select($"id".as("k"), lit(9L).as("v"),
+        lit("d1").as("pd")),
+      src, Seq("k"), "pd")
+    val q2 = LakeFollow.mirror(spark, src, dst, "pd",
+      checkpointDir = s"$w/chk2")
+    try {
+      awaitConverged(src, dst)
+      assert(state(dst) == state(src),
+        "restarted mirror missed the offline gap")
+    } finally q2.stop()
+  }
+
+  test("followChanges delivers each new range's post-image once per toV") {
+    val w = work()
+    val src = s"$w/src"
+    seed(src)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = LakeFollow.followChanges(spark, src, s"$w/chk") {
+      (df, fromV, toV) => got.add((fromV, toV, df.count())); ()
+    }
+    try {
+      // keys already resident in pd=d2 (k ≡ 2 mod 3): the post-image
+      // stays partition-sized
+      CommitLog.upsert(spark,
+        spark.range(0, 5).select(($"id" * 3 + 2).as("k"), lit(2L).as("v"),
+          lit("d2").as("pd")),
+        src, Seq("k"), "pd")
+      val t0 = System.currentTimeMillis()
+      while (got.isEmpty && System.currentTimeMillis() - t0 < 30000)
+        Thread.sleep(100)
+    } finally q.stop()
+    assert(!got.isEmpty, "follower saw no changes")
+    val (fromV, toV, n) = got.peek()
+    assert(fromV == 1L && toV == 2L)
+    // post-image granularity: the touched partition's full post-state
+    assert(n == 20L, s"expected partition post-image (20 rows), got $n")
+  }
+}
