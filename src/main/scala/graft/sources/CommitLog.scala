@@ -957,6 +957,32 @@ object CommitLog {
       "files_added", "files_removed")
   }
 
+  /** Per-file metadata of the LATEST snapshot as a DataFrame — one row
+    * per data file: relative path, partition dir, on-disk bytes, and
+    * (when the log tracks stats) the manifest's row count. The
+    * `DESCRIBE DETAIL`-style operational surface behind the
+    * `graft_lake_files` SQL table function: metadata-plane only (file
+    * statuses + the kilobyte manifest), answers "where is this table's
+    * size and skew" at any lake scale. */
+  def filesReport(spark: SparkSession, dir: String): DataFrame = {
+    val s = mustLatest(spark, dir)
+    val f = hadoopFs(spark, dir)
+    import spark.implicits._
+    val base = s.files.map { r =>
+      val bytes =
+        try f.getFileStatus(new Path(dir, r)).getLen
+        catch { case _: java.io.FileNotFoundException => -1L }
+      (r, partOf(r), bytes)
+    }.toDF("file", "partition", "bytes")
+    s.manifest match {
+      case Some(m) =>
+        val rows = spark.read.parquet(s"$dir/$LogDirName/$m")
+          .select(col("file"), col("rows"))
+        base.join(rows, Seq("file"), "left")
+      case None => base.withColumn("rows", lit(null).cast("long"))
+    }
+  }
+
   /** [[compactClustered]] gated on actual fragmentation: rewrites only
     * when the current snapshot holds more than `maxFiles` data files
     * (the streaming small-file problem — every micro-batch commit adds

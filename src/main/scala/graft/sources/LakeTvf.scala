@@ -71,5 +71,10 @@ object LakeTvf {
       require(args.size == 1, "graft_lake_history(dir)")
       analyzed(CommitLog.history(SparkSession.active,
         strArg("graft_lake_history", args.head)))
+    },
+    "graft_lake_files" -> { args =>
+      require(args.size == 1, "graft_lake_files(dir)")
+      analyzed(CommitLog.filesReport(SparkSession.active,
+        strArg("graft_lake_files", args.head)))
     })
 }

@@ -84,6 +84,23 @@ class LakeTvfSpec extends AnyFunSuite {
         (3L, 10L, 10L)))
   }
 
+  test("graft_lake_files reports per-file bytes/rows from the " +
+      "metadata plane") {
+    val work = java.nio.file.Files.createTempDirectory("graft_tvf_f_")
+    work.toFile.deleteOnExit()
+    val dir = s"$work/t"
+    spark.range(0, 40).select($"id".as("k"), lit("a").as("pd"))
+      .repartition(2).write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir, statsCols = Seq("k"))
+    val rep = spark.sql(
+      s"SELECT file, partition, bytes, rows FROM graft_lake_files('$dir')")
+      .collect()
+    assert(rep.length == CommitLog.latest(spark, dir).get.files.size)
+    assert(rep.forall(_.getLong(2) > 0L), "bytes must be real sizes")
+    assert(rep.map(_.getLong(3)).sum == 40L, "manifest rows must sum to n")
+    assert(rep.forall(_.getString(1) == "pd=a"))
+  }
+
   test("non-literal arguments fail loudly") {
     val dir = fixture()
     val e = intercept[Exception] {
