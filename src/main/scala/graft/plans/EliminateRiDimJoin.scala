@@ -324,16 +324,53 @@ object EliminateRiDimJoin extends Rule[LogicalPlan] {
     }
   }
 
-  /** Find the scan (anywhere under `plan`) whose output carries the
-    * attribute, returning its normalized path and the column's name at
-    * the scan. Provenance-by-exprId: only row-dropping / pass-through
-    * operators preserve an exprId, so a hit means the attribute's
-    * non-null values are a subset of that column's. */
+  /** Find the scan whose output carries the attribute, returning its
+    * normalized path and the column's name at the scan — walking ONLY
+    * through operators that provably keep the attribute's value set a
+    * SUBSET of the scanned column's (row-dropping or pass-through for
+    * that exprId): Project with the bare attribute, Filter, either side
+    * of a Join, grouping-key pass-through in Aggregate, Window, sorts,
+    * limits, sample, distinct, aliases.
+    *
+    * NOT a blind `collectFirst`: operators like Union REUSE the head
+    * child's exprIds while other branches contribute arbitrary values —
+    * a collectFirst would trace the attribute to the first branch's
+    * declared scan and wave through fk values the other branches
+    * injected, keeping rows a real join would drop. Union (and any
+    * operator not whitelisted) therefore terminates the walk with None
+    * and blocks the elimination. */
   private def scanOf(plan: LogicalPlan, attr: Attribute)
-      : Option[(String, String)] =
-    plan.collectFirst {
-      case lr: LogicalRelation if lr.outputSet.contains(attr) => lr
-    }.flatMap(scanPathAndName(_, attr))
+      : Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case lr: LogicalRelation if lr.outputSet.contains(attr) =>
+        scanPathAndName(lr, attr)
+      case p: Project
+          if p.projectList.exists {
+            case a: AttributeReference => a.exprId == attr.exprId
+            case _ => false
+          } => scanOf(p.child, attr)
+      case f: Filter => scanOf(f.child, attr)
+      case j: Join =>
+        if (j.left.outputSet.contains(attr)) scanOf(j.left, attr)
+        else if (j.right.outputSet.contains(attr)) scanOf(j.right, attr)
+        else None
+      case a: Aggregate
+          if a.groupingExpressions.exists {
+            case g: AttributeReference => g.exprId == attr.exprId
+            case _ => false
+          } => scanOf(a.child, attr)
+      case w: Window => scanOf(w.child, attr)
+      case s: Sort => scanOf(s.child, attr)
+      case l: GlobalLimit => scanOf(l.child, attr)
+      case l: LocalLimit => scanOf(l.child, attr)
+      case s: Sample => scanOf(s.child, attr)
+      case d: Distinct => scanOf(d.child, attr)
+      case s: SubqueryAlias => scanOf(s.child, attr)
+      case r: RepartitionOperation => scanOf(r.child, attr)
+      case _ => None
+    }
+  }
 
   private def scanPathAndName(lr: LogicalRelation, attr: Attribute)
       : Option[(String, String)] = lr.relation match {

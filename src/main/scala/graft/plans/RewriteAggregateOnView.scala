@@ -260,21 +260,39 @@ class RewriteAggregateOnView(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => false
         })) return None
 
-    // freshness (metadata plane: the view's version file). A base
-    // version ahead of the ledger is still fresh when the gap holds no
-    // DATA commits (props-only commits and compactions move no rows —
-    // partsBetween reports them as touching nothing).
-    val refreshedTo = IncrementalView.lastRefreshed(spark, d)
-      .getOrElse(return None)
+    // freshness (metadata plane: the view's version file) — and EXACT
+    // freshness, not at-least: the view must correspond to the SCANNED
+    // snapshot. Behind by data commits → stale, decline. AHEAD of the
+    // scanned version → the view has absorbed commits the pinned scan
+    // does not contain (a base commit + refresh racing this planning),
+    // which would serve rows the scan never had — equally a decline
+    // unless the gap holds no data commits. Props-only commits and
+    // compactions move no rows in either direction (partsBetween
+    // reports them as touching nothing).
+    // ONE view snapshot read serves both the ledger check and the
+    // content below — re-resolving "latest" twice would let a refresh
+    // landing in between serve content newer than the checked ledger
+    val viewSnap = CommitLog.latest(spark, d.viewDir).getOrElse(return None)
+    val refreshedTo = viewSnap.batches.maxOption.getOrElse(return None)
     // the gap probe reads one version file per version — bound it so a
-    // long-stale view costs a cheap decline, not a planning-time walk
+    // long-stale (or far-ahead) view costs a cheap decline, not a
+    // planning-time walk
+    def gapIsDataFree(lo: Long, hi: Long): Boolean =
+      hi - lo <= 64 &&
+        CommitLog.partsBetween(spark, d.baseDir, lo, hi).exists(_.isEmpty)
     if (refreshedTo < baseVersion &&
-        (baseVersion - refreshedTo > 64 ||
-          !CommitLog.partsBetween(spark, d.baseDir, refreshedTo, baseVersion)
-            .exists(_.isEmpty))) return None
+      !gapIsDataFree(refreshedTo, baseVersion)) return None
+    if (refreshedTo > baseVersion &&
+      !gapIsDataFree(baseVersion, refreshedTo)) return None
 
-    // the view's analyzed plan (fresh exprIds per rewrite — no clashes)
-    val viewPlan = CommitLog.read(spark, d.viewDir).queryExecution.analyzed
+    // the view's analyzed plan, PINNED to the snapshot whose ledger was
+    // just checked (fresh exprIds per rewrite — no clashes). A vacuum
+    // racing this planning could drop the pinned version — decline, not
+    // fail the query
+    val viewPlan =
+      try CommitLog.readAt(spark, d.viewDir, viewSnap.version)
+        .queryExecution.analyzed
+      catch { case _: Exception => return None }
     val viewAttr: Map[String, Attribute] =
       viewPlan.output.map(a => a.name -> a).toMap
     if (!d.groupCols.forall(viewAttr.contains) ||
@@ -292,8 +310,10 @@ class RewriteAggregateOnView(spark: SparkSession) extends Rule[LogicalPlan] {
       if (ae.isDistinct || ae.filter.isDefined) return None
       ae.aggregateFunction match {
         case c: Count => c.children match {
-          case Seq(Literal(_, _)) =>
-            spec("count", None).map(v => Coalesce(Seq(sumOf(v), Literal(0L))))
+          // the literal must be NON-NULL to mean count(*): count(NULL)
+          // is always 0 and must not rewrite to the group sizes
+          case Seq(Literal(v, _)) if v != null =>
+            spec("count", None).map(a => Coalesce(Seq(sumOf(a), Literal(0L))))
           case Seq(x: AttributeReference) =>
             spec("count", Some(x.name))
               .map(v => Coalesce(Seq(sumOf(v), Literal(0L))))

@@ -91,7 +91,23 @@ object CommitLog {
       bloomCols: Seq[String] = Nil, bloomExpect: Long = 1L << 20,
       props: Map[String, String] = Map.empty,
       partCols: Seq[String] = Nil,
-      committedAt: Long = 0L)
+      committedAt: Long = 0L,
+      batchFloor: Long = -1L)
+
+  /** How many batch ids a version file carries verbatim. Streaming
+    * batch ids are monotone per writer, so the exactly-once ledger does
+    * not need every id ever: once the list exceeds this cap the OLDEST
+    * ids compact into `batchFloor` — "everything at or below this id is
+    * committed" — keeping the version file bounded (a ledger that
+    * republished its whole history made per-commit metadata O(n) and
+    * total log size O(n²) for a long-lived streaming sink). `var` only
+    * so specs can exercise the compaction without 10k commits. */
+  @volatile private[sources] var LedgerKeep: Int = 10000
+
+  /** Is `b` in the snapshot's exactly-once ledger? Explicit ids first,
+    * then the compacted floor (ids ≤ floor were pruned as committed). */
+  private def inLedger(s: Snapshot, b: Long): Boolean =
+    b <= s.batchFloor || s.batches.contains(b)
 
   private def logPath(dir: String) = new Path(dir, LogDirName)
   private def versionFile(dir: String, v: Long) =
@@ -110,7 +126,7 @@ object CommitLog {
         ("sketchCols" -> s.sketchCols) ~ ("schemaJson" -> s.schemaJson) ~
         ("bloomCols" -> s.bloomCols) ~ ("bloomExpect" -> s.bloomExpect) ~
         ("props" -> s.props) ~ ("partCols" -> s.partCols) ~
-        ("committedAt" -> s.committedAt)))
+        ("committedAt" -> s.committedAt) ~ ("batchFloor" -> s.batchFloor)))
   }
 
   private def parse(text: String): Snapshot = {
@@ -131,7 +147,8 @@ object CommitLog {
       (j \ "bloomExpect").extractOpt[Long].getOrElse(1L << 20),
       (j \ "props").extractOpt[Map[String, String]].getOrElse(Map.empty),
       (j \ "partCols").extractOpt[Seq[String]].getOrElse(Nil),
-      (j \ "committedAt").extractOpt[Long].getOrElse(0L))
+      (j \ "committedAt").extractOpt[Long].getOrElse(0L),
+      (j \ "batchFloor").extractOpt[Long].getOrElse(-1L))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -417,7 +434,7 @@ object CommitLog {
       dir: String, partitionCol: String, parts: Seq[Any],
       batchId: Option[Long] = None): Snapshot = {
     val s = mustLatest(spark, dir)
-    if (batchId.exists(s.batches.contains)) {
+    if (batchId.exists(inLedger(s, _))) {
       System.err.println(
         s"[commitlog] batch ${batchId.get} already committed to $dir — replay skipped")
       return s
@@ -502,10 +519,15 @@ object CommitLog {
       else {
         val tag = java.util.UUID.randomUUID.toString.take(8)
         val rel = f"manifest-v$v%020d-$tag.parquet"
-        val keptSet = files.toSet -- newRels
+        // carry-over filters by the REMOVED set (churn-sized), not the
+        // kept set (table-sized): at a million files an In-list over the
+        // kept files would put one literal per untouched file into the
+        // plan of every commit
+        val removedSet = prev.files.toSet -- files
         val kept = prev.manifest.map { m =>
-          spark.read.parquet(s"$dir/$LogDirName/$m")
-            .filter(col("file").isInCollection(keptSet.toSeq))
+          val df = spark.read.parquet(s"$dir/$LogDirName/$m")
+          if (removedSet.isEmpty) df
+          else df.filter(!col("file").isInCollection(removedSet.toSeq))
         }
         val fresh =
           if (newRels.isEmpty) None
@@ -516,7 +538,14 @@ object CommitLog {
           .parquet(s"$dir/$LogDirName/$rel")
         Some(rel)
       }
-    val snap = Snapshot(v, files.sorted, batches.distinct.sorted,
+    // ledger compaction: oldest ids fold into the floor once over cap
+    val allB = batches.distinct.sorted
+    val (floorB, keptB) =
+      if (allB.size > LedgerKeep) {
+        val cut = allB.size - LedgerKeep
+        (math.max(allB(cut - 1), prev.batchFloor), allB.drop(cut))
+      } else (prev.batchFloor, allB)
+    val snap = Snapshot(v, files.sorted, keptB,
       prev.statsCols, manifestRel, op, prev.sketchCols,
       mergeSchemaJson(prev.schemaJson, schemaJson),
       prev.bloomCols, prev.bloomExpect, prev.props ++ propsDelta,
@@ -525,7 +554,8 @@ object CommitLog {
       // wall-clock stamp for AS-OF resolution only — never read by any
       // query result path, so clock skew costs time-travel precision,
       // not correctness
-      System.currentTimeMillis())
+      System.currentTimeMillis(),
+      floorB)
     casWrite(f, versionFile(dir, v), render(snap))
     snap
   }
@@ -689,7 +719,7 @@ object CommitLog {
       batchId: Option[Long] = None): Option[StagedUpsert] = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val s = mustLatest(spark, dir)
-    if (batchId.exists(s.batches.contains)) {
+    if (batchId.exists(inLedger(s, _))) {
       System.err.println(
         s"[commitlog] batch ${batchId.get} already committed to $dir — replay skipped")
       return None
@@ -739,7 +769,7 @@ object CommitLog {
     var attempt = 0
     while (true) {
       val s = mustLatest(spark, dir)
-      if (staged.batchId.exists(s.batches.contains)) {
+      if (staged.batchId.exists(inLedger(s, _))) {
         System.err.println(
           s"[commitlog] batch ${staged.batchId.get} committed concurrently to " +
             s"$dir — staged files abandoned for vacuum")
@@ -914,12 +944,22 @@ object CommitLog {
     * aborts loudly and the staged files are vacuum garbage. */
   def overwrite(spark: SparkSession, replacement: DataFrame, dir: String,
       partitionCols: Seq[String] = Nil,
-      batchId: Option[Long] = None): Snapshot = {
+      batchId: Option[Long] = None,
+      expectedVersion: Option[Long] = None): Snapshot = {
     val s = mustLatest(spark, dir)
-    if (batchId.exists(s.batches.contains)) {
+    if (batchId.exists(inLedger(s, _))) {
       System.err.println(
         s"[commitlog] batch ${batchId.get} already committed to $dir — replay skipped")
       return s
+    }
+    // same optimistic pin as replaceWhere's: a replacement DERIVED from
+    // a snapshot (a view's fold of deltas onto its own prior state) must
+    // abort when another writer moved the table in between — committing
+    // it would double-apply the overlap
+    expectedVersion.filter(_ != s.version).foreach { e =>
+      throw new CommitConflict(
+        s"overwrite on $dir expected version $e but latest is " +
+          s"${s.version} — re-derive from the current snapshot and re-run")
     }
     val newRels = stageWrite(spark, dir, replacement, partitionCols)
     try commit(spark, dir, s, newRels, newRels,
@@ -1044,7 +1084,7 @@ object CommitLog {
     * no-op. */
   def noteBatch(spark: SparkSession, dir: String, batchId: Long): Snapshot = {
     val s = mustLatest(spark, dir)
-    if (s.batches.contains(batchId)) return s
+    if (inLedger(s, batchId)) return s
     try commit(spark, dir, s, s.files, Nil, s.batches :+ batchId, "note")
     catch { case e: CommitConflict =>
       throw new IllegalStateException(
@@ -1208,8 +1248,11 @@ object CommitLog {
         }.map(_.getString(0)).toSeq
         val df =
           if (survivors.isEmpty) readSnapshot(spark, dir, s).filter(predicate).limit(0)
-          else spark.read.option("basePath", dir)
-            .parquet(absolute(dir, survivors): _*).filter(predicate)
+          // readFiles, NOT a raw parquet read: the pruned scan must see
+          // the COMMITTED schema like every other read path — a raw read
+          // whose survivors are all pre-evolution files would lose the
+          // evolved columns and diverge from read()
+          else readFiles(spark, dir, s, survivors).filter(predicate)
         (df, (survivors.size, s.files.size))
     }
   }
@@ -1376,8 +1419,22 @@ object CommitLog {
     val now = System.currentTimeMillis()
     val versions = versionNumbers(f, dir)
     val (dropV, keepV) = versions.splitAt(math.max(0, versions.size - keepLast))
-    val dropSnaps = dropV.map(v => parse(readText(f, versionFile(dir, v))))
-    val keptSnaps = keepV.map(v => parse(readText(f, versionFile(dir, v))))
+    // corrupt-tolerant parse: a crashed writer's truncated version file
+    // (the exact residue latest() skips with a warning) must not block
+    // reclamation forever. A corrupt DROPPED file contributes no refs
+    // and is deleted below like any dropped version; a corrupt KEPT file
+    // contributes no refs either — its data files are then unreferenced,
+    // which is SAFE because the age fence keeps anything young and the
+    // file never becomes readable state anyway.
+    def safeParse(v: Long): Option[Snapshot] =
+      try Some(parse(readText(f, versionFile(dir, v))))
+      catch { case e: Exception =>
+        System.err.println(s"[commitlog] vacuum: unreadable version $v " +
+          s"in $dir (${e.getMessage}) — treated as holding no references")
+        None
+      }
+    val dropSnaps = dropV.flatMap(safeParse)
+    val keptSnaps = keepV.flatMap(safeParse)
     val live = keptSnaps.flatMap(_.files).toSet
     val liveManifests = keptSnaps.flatMap(_.manifest).toSet
     // ONE uniform rule for every dead data file: nothing younger than

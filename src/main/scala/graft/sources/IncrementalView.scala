@@ -197,9 +197,18 @@ object IncrementalView {
           case None =>
             System.err.println(s"[incrview] base history for ${d.baseDir} " +
               s"vacuumed below $v — falling back to a full refresh")
-            CommitLog.read(spark, d.baseDir)
+            // the full refresh must cover the union of CURRENT base
+            // partitions and CURRENT VIEW partitions: a partition whose
+            // base rows were entirely deleted inside the vacuumed gap
+            // appears only on the view side, and omitting it would
+            // leave its stale groups served as fresh forever
+            val baseParts = CommitLog.read(spark, d.baseDir)
               .select(col(d.partitionCol).cast("string")).distinct()
-              .collect().map(_.getString(0)).toSeq.sorted
+              .collect().map(_.getString(0))
+            val viewParts = CommitLog.read(spark, d.viewDir)
+              .select(col(d.partitionCol).cast("string")).distinct()
+              .collect().map(_.getString(0))
+            (baseParts ++ viewParts).distinct.toSeq.sorted
         }
         if (partVals.isEmpty) {
           // data commits in range touched nothing (e.g. pure compactions):
@@ -230,7 +239,8 @@ object IncrementalView {
         CommitLog.noteBatch(spark, d.viewDir, base.version)
         Nil
       case touched =>
-        val (newState, label) = touched match {
+        // (replacement state, touched label, pinned view version)
+        val newState = touched match {
           case Some(dirs) =>
             val pre = CommitLog.readPartitionDirsAt(
               spark, d.baseDir, fromV, dirs)
@@ -248,7 +258,12 @@ object IncrementalView {
                   case _ => throw new IllegalStateException(s.toString)
                 }).as(s.valueCol)
               }: _*)
-            val cur = CommitLog.read(spark, d.viewDir)
+            // pin the fold's inputs: the state read here is the state
+            // the atomic overwrite below must replace — a concurrent
+            // refresh landing in between would otherwise be folded OVER
+            // and its delta range double-applied
+            val curSnap = CommitLog.latest(spark, d.viewDir).get
+            val cur = CommitLog.readAt(spark, d.viewDir, curSnap.version)
             val viewTypes = cur.schema
             // fold: view row + signed deltas, summed per group, every
             // value cast back to the view's committed type (a decimal
@@ -264,15 +279,17 @@ object IncrementalView {
               .groupBy(d.groupCols.map(col): _*)
               .agg(foldAggs.head, foldAggs.tail: _*)
               .filter(col(countStar.valueCol) > 0L),
-              dirs.toSeq.sorted)
+              dirs.toSeq.sorted, Some(curSnap.version))
           case None =>
             System.err.println(s"[incrview] base history for ${d.baseDir} " +
               s"vacuumed below $fromV — falling back to a full refresh")
-            (aggregate(CommitLog.read(spark, d.baseDir), d), Seq("*"))
+            // a from-scratch aggregate depends on nothing in the view —
+            // no pin needed (the replacement is correct whatever landed)
+            (aggregate(CommitLog.read(spark, d.baseDir), d), Seq("*"), None)
         }
-        CommitLog.overwrite(spark, newState, d.viewDir,
-          batchId = Some(base.version))
-        label
+        CommitLog.overwrite(spark, newState._1, d.viewDir,
+          batchId = Some(base.version), expectedVersion = newState._3)
+        newState._2
     }
   }
 }

@@ -153,4 +153,22 @@ class RiJoinElimSpec extends AnyFunSuite {
       s"file:$dir/fact.parquet", "fk", s"$dir/dim.parquet", "pk")
     assert(joins(innerAgg) === 0)
   }
+
+  test("a UNION on the fact side blocks elimination (branches inject " +
+      "fk values the declared scan never held)") {
+    declare()
+    // the union reuses the head child's exprIds, so a provenance walk
+    // that only matched by exprId would trace fk to the DECLARED scan
+    // and wave the injected fk=99 row (no dim match) through
+    val injected = Seq((9L, Some(99L), 1.0)).toDF("id", "fk", "v")
+    val q = fact.union(injected)
+      .join(dim, col("fk") === col("pk"))
+      .select(col("id"), col("pk"))
+    assert(joins(q) === 1, "union fact side must keep the join")
+    // and the values are the true join's: the injected row is dropped
+    assert(rows(q) == baselineRows(
+      fact.union(injected).join(dim, col("fk") === col("pk"))
+        .select(col("id"), col("pk"))))
+    assert(!rows(q).exists(_.contains("9,")), "fk=99 row survived")
+  }
 }

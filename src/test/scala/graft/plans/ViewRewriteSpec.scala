@@ -88,6 +88,20 @@ class ViewRewriteSpec extends AnyFunSuite {
     } finally MatViewCatalog.clear()
   }
 
+  test("count(NULL) never rewrites to count(*): it stays 0, not group sizes") {
+    val f = fixture()
+    def q: DataFrame = CommitLog.read(spark, f.base)
+      .groupBy("p").agg(count(lit(null)).as("n"))
+    MatViewCatalog.clear()
+    val expected = rows(q) // all zeros, unrewritten
+    assert(expected.forall(_.endsWith(",0]")), s"fixture: $expected")
+    MatViewCatalog.register(f.d)
+    try {
+      assert(rows(q) === expected,
+        "count(NULL) was derived from the view's count(*) column")
+    } finally MatViewCatalog.clear()
+  }
+
   test("rollup to a coarser (global) grouping re-aggregates the view; count/avg derive correctly over nulls") {
     val f = fixture()
     def q: DataFrame = CommitLog.read(spark, f.base).agg(

@@ -579,6 +579,84 @@ class CommitLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuum"), e.getMessage)
   }
 
+  test("ledger compaction: old batch ids fold into the floor; replays " +
+      "of pruned AND kept ids stay no-ops") {
+    val dir = freshLake()
+    val keep = CommitLog.LedgerKeep
+    try {
+      CommitLog.LedgerKeep = 4
+      (1L to 7L).foreach { b =>
+        CommitLog.upsert(spark,
+          spark.range(b, b + 1).select($"id".as("k"), lit(b).as("v"),
+            lit("d0").as("pd")),
+          dir, Seq("k"), "pd", batchId = Some(b))
+      }
+      val s = CommitLog.latest(spark, dir).get
+      assert(s.batches.size <= 4, s"ledger not bounded: ${s.batches}")
+      assert(s.batchFloor >= 3L, s"floor not advanced: ${s.batchFloor}")
+      val before = state(dir)
+      // a replay of a PRUNED id (1) and a KEPT id (7) both no-op
+      for (b <- Seq(1L, 7L)) {
+        CommitLog.upsert(spark,
+          spark.range(0, 500).select($"id".as("k"), lit(999L).as("v"),
+            lit("d0").as("pd")),
+          dir, Seq("k"), "pd", batchId = Some(b))
+        assert(state(dir) == before, s"replayed batch $b re-applied")
+      }
+    } finally CommitLog.LedgerKeep = keep
+  }
+
+  test("scanBox survivors read under the committed schema after " +
+      "additive evolution") {
+    val dir = freshLake()
+    // evolve: add a column via an upsert touching ONE partition — the
+    // other partitions' files predate the evolution
+    CommitLog.upsert(spark,
+      spark.range(0, 10).select($"id".as("k"), lit(1L).as("v"),
+        lit("d0").as("pd"), lit("x").as("tag")),
+      dir, Seq("k"), "pd")
+    // a range inside d1 only: every survivor is a PRE-evolution file
+    val (df, (read, total)) = CommitLog.scanRange(spark, dir, "k", 1500L, 1600L)
+    assert(read < total)
+    assert(df.columns.contains("tag"),
+      "pruned read lost the evolved column (raw-schema divergence)")
+    assert(df.filter($"tag".isNull).count() == df.count())
+  }
+
+  test("vacuum tolerates a corrupt version file instead of blocking " +
+      "reclamation forever") {
+    val dir = freshLake()
+    CommitLog.upsert(spark,
+      spark.range(0, 10).select($"id".as("k"), lit(5L).as("v"),
+        lit("d0").as("pd")),
+      dir, Seq("k"), "pd")
+    CommitLog.compact(spark, dir, targetPartitions = 1)
+    // simulate a crashed writer's truncated version file in the DROPPED
+    // range
+    val log = new java.io.File(s"$dir/_graft_log")
+    val vf = log.listFiles.filter(_.getName.matches("v\\d{20}\\.json"))
+      .sortBy(_.getName).head
+    java.nio.file.Files.write(vf.toPath,
+      "{\"version\":1,\"files\":[\"trunca".getBytes)
+    new java.io.File(log, s".${vf.getName}.crc").delete()
+    val before = state(dir)
+    val dead = CommitLog.vacuum(spark, dir, keepLast = 1, staleStagingMs = 0L)
+    assert(dead.nonEmpty, "vacuum reclaimed nothing past the corrupt file")
+    assert(state(dir) == before)
+  }
+
+  test("overwrite with expectedVersion aborts when the table moved") {
+    val dir = freshLake()
+    val v = CommitLog.latest(spark, dir).get.version
+    CommitLog.setProps(spark, dir, Map("k" -> "v")) // someone else commits
+    intercept[IllegalStateException] {
+      CommitLog.overwrite(spark,
+        CommitLog.read(spark, dir).limit(1), dir, Seq("pd"),
+        expectedVersion = Some(v))
+    }
+    assert(CommitLog.read(spark, dir).count() == 3000L, "table mutated")
+  }
+
   test("timestamp time travel resolves the newest version at-or-before") {
     val dir = freshLake()
     val t1 = CommitLog.latest(spark, dir).get.committedAt

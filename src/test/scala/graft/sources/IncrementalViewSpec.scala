@@ -102,6 +102,28 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(view === direct)
   }
 
+  test("vacuumed-history fallback also replaces view partitions whose " +
+      "base rows vanished inside the gap") {
+    val work = tmp()
+    val base = s"$work/base"
+    val view = s"$work/view"
+    seed(base)
+    val d = defOf(base, view)
+    IncrementalView.refresh(spark, d) // bootstrap: groups 0..3
+    assert(viewRows(d).exists(_.startsWith("[3,")))
+    // inside the soon-vacuumed gap: partition 3 empties entirely
+    CommitLog.delete(spark, base, col("p") === 3)
+    CommitLog.vacuum(spark, base, keepLast = 1, staleStagingMs = 0L)
+    // fallback cannot see WHICH partitions changed; it must still cover
+    // the view-only partition 3 or its stale group would serve forever
+    val touched = IncrementalView.refresh(spark, d)
+    assert(touched.contains("3"),
+      s"fallback must include the emptied partition, got $touched")
+    assert(viewRows(d) === direct(base))
+    assert(!viewRows(d).exists(_.startsWith("[3,")),
+      "the emptied partition's stale group survived the fallback")
+  }
+
   test("invertible definitions reject non-invertible aggregates") {
     intercept[IllegalArgumentException] {
       IncrementalView.Definition("/b", "/v", "p", Seq("flag"),
