@@ -440,6 +440,17 @@ object Graft {
       ()
     }
     def delete(cond: Column): Unit = { CommitLog.delete(spark, dir, cond); () }
+    /** Three-clause conditional MERGE in one commit: matched rows delete
+      * (first) or update to the source image, unmatched source rows
+      * insert — each gated by a SQL condition over `t.*` / `s.*`. */
+    def merge(source: DataFrame, keyCols: Seq[String], partitionCol: String,
+        updateWhen: Option[String] = Some("true"),
+        deleteWhen: Option[String] = None,
+        insertWhen: Option[String] = Some("true")): Unit = {
+      CommitLog.merge(spark, dir, source, keyCols, partitionCol,
+        updateWhen, deleteWhen, insertWhen)
+      ()
+    }
     def compact(targetPartitions: Int, clusterCols: Seq[String] = Nil): Unit = {
       if (clusterCols.isEmpty) CommitLog.compact(spark, dir, targetPartitions)
       else CommitLog.compactClustered(spark, dir, targetPartitions, clusterCols)

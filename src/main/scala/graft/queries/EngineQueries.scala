@@ -850,6 +850,79 @@ object EngineQueries {
       |WHERE o_orderkey <= 20000 AND o_totalprice >= 50000
       |GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // -------------------------------------------------------- q169_merge
+  // General conditional MERGE (CommitLog.merge): one commit applies all
+  // three clauses against a status-partitioned orders slice — matched
+  // low-price rows DELETE, the rest UPDATE to a repriced source image
+  // when the new price stays under a cap, and unmatched source rows
+  // INSERT unless in status 'P'. The DuckDB oracle recomputes the final
+  // state from the raw orders table with the same clause algebra
+  // (LEFT JOIN + CASE for matched rows, anti-join for inserts), so the
+  // hash-match proves the clause ordering (delete before update), the
+  // keep-unmatched-target rule, and the insert filter all landed
+  // exactly. Clause conditions reference BOTH images (t.* / s.*).
+  private val q169Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q169Lake(s: SparkSession, d: String): String =
+    q169Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q169_")
+      val lake = s"$work/lake"
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      ords.filter(col("o_orderkey") <= 20000)
+        .write.partitionBy("flag").parquet(lake)
+      graft.sources.CommitLog.init(s, lake)
+      // the source batch: repriced overlap (keys 10001..20000) plus new
+      // keys (20001..30000); partition value rides the same status, so
+      // the partition-stability contract holds by construction
+      val src = ords
+        .filter(col("o_orderkey") > 10000 && col("o_orderkey") <= 30000)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10000.0))
+      graft.sources.CommitLog.merge(s, lake, src,
+        Seq("o_orderkey"), "flag",
+        updateWhen = Some("s.o_totalprice < 150000.0"),
+        deleteWhen = Some("t.o_totalprice < 25000.0"),
+        insertWhen = Some("s.flag <> 'P'"))
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q169Merge(s: SparkSession, d: String): DataFrame =
+    graft.sources.CommitLog.read(s, q169Lake(s, d))
+      .groupBy(col("flag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("flag"))
+
+  private val q169Sql =
+    """WITH t AS (SELECT o_orderkey AS k, o_totalprice AS p,
+      |                 o_orderstatus AS f
+      |           FROM orders WHERE o_orderkey <= 20000),
+      |     s AS (SELECT o_orderkey AS k, o_totalprice + 10000.0 AS p,
+      |                  o_orderstatus AS f
+      |           FROM orders
+      |           WHERE o_orderkey > 10000 AND o_orderkey <= 30000),
+      |     kept AS (
+      |       SELECT t.k,
+      |              CASE WHEN s.k IS NOT NULL AND NOT (t.p < 25000.0)
+      |                        AND s.p < 150000.0 THEN s.p ELSE t.p END AS p,
+      |              t.f
+      |       FROM t LEFT JOIN s ON t.k = s.k
+      |       WHERE s.k IS NULL OR NOT (t.p < 25000.0)),
+      |     ins AS (
+      |       SELECT s.k, s.p, s.f FROM s LEFT JOIN t ON s.k = t.k
+      |       WHERE t.k IS NULL AND s.f <> 'P')
+      |SELECT f AS flag, count(*) AS n,
+      |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
   // ------------------------------------------------------ q166_restore
   // Version rollback as an operational verb (CommitLog.restore): the
   // fixture seeds a status-partitioned orders slice, publishes a BAD
@@ -1253,6 +1326,7 @@ object EngineQueries {
     Q("q146_manifest_quantiles", q146ManifestQuantiles, None),
     Q("q148_delete", q148Delete, Some(q148Sql)),
     Q("q166_restore", q166Restore, Some(q166Sql)),
+    Q("q169_merge", q169Merge, Some(q169Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

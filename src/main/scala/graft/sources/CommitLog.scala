@@ -868,6 +868,94 @@ object CommitLog {
         }
     }
 
+  /** General conditional MERGE — the full three-clause verb on top of
+    * the same copy-on-write machinery as [[upsert]]/[[delete]], in ONE
+    * atomic commit. Against the current snapshot, each target row that a
+    * `source` row matches on `keyCols` is
+    *
+    *   1. DELETED      when `deleteWhen` holds (evaluated first),
+    *   2. else UPDATED to the source row image when `updateWhen` holds
+    *      (the reference's `ON CONFLICT DO UPDATE` shape — column-level
+    *      `SET c = expr` is the caller precomputing `source`),
+    *   3. else KEPT unchanged;
+    *
+    * and each source row with no match INSERTS when `insertWhen` holds.
+    * Unmatched target rows always survive. Conditions are SQL boolean
+    * expressions over BOTH row images, referenced as `t.<col>` (target)
+    * and `s.<col>` (source); a NULL condition is false (no silent
+    * clause-fire on three-valued logic).
+    *
+    * Same contracts as [[upsert]]: `source` carries every table column
+    * (additive evolution allowed — old rows read new columns as null),
+    * `partitionCol` is a stable function of the key, and a `batchId`
+    * already in the ledger makes the whole call a replay no-op. A source
+    * with duplicate keys fails loudly BEFORE any write (two clause
+    * images for one target row is nondeterministic — the Delta-merge
+    * multiple-matches rule). At 100 TB: only the source's partitions are
+    * read and rewritten (file-pruned off the committed list), and the
+    * matching is one equi-join on the keys — no second pass per clause. */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+      keyCols: Seq[String], partitionCol: String,
+      updateWhen: Option[String] = Some("true"),
+      deleteWhen: Option[String] = None,
+      insertWhen: Option[String] = Some("true"),
+      batchId: Option[Long] = None): Snapshot = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val s = mustLatest(spark, dir)
+    if (batchId.exists(inLedger(s, _))) {
+      System.err.println(
+        s"[commitlog] batch ${batchId.get} already committed to $dir — replay skipped")
+      return s
+    }
+    checkSchemaCompatible(s, source, dir)
+    val dup = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .limit(1).collect() // ≤1 row: existence probe only
+    require(dup.isEmpty,
+      s"merge into $dir: source has duplicate keys on " +
+        s"(${keyCols.mkString(", ")}) — one target row would receive two " +
+        "clause images; deduplicate the source first")
+    val parts = source.select(col(partitionCol)).distinct().collect()
+      .map(_.get(0)).toSeq // one value per touched partition — small
+    val partDirs = parts.map(partDirOf(partitionCol, _)).toSet
+    val (touched, _) =
+      s.files.partition(f => partDirs.exists(d => f.startsWith(d + "/")))
+    val old0 =
+      if (touched.isEmpty) source.filter(lit(false))
+      else readFiles(spark, dir, s, touched)
+    val aligned = source.columns.filterNot(old0.columns.contains)
+      .foldLeft(old0) { (df, c) =>
+        df.withColumn(c, lit(null).cast(source.schema(c).dataType))
+      }
+    val outCols = aligned.columns.toSeq
+    val t = aligned.withColumn("__t_present", lit(1)).as("t")
+    val sv = source.withColumn("__s_present", lit(1)).as("s")
+    val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k"))
+      .reduce(_ && _)
+    val tPresent = col("t.__t_present").isNotNull
+    val sPresent = col("s.__s_present").isNotNull
+    def fires(c: Option[String]): Column =
+      coalesce(c.map(expr).getOrElse(lit(false)), lit(false))
+    val matched = tPresent && sPresent
+    // 0 = drop, 1 = keep target image, 2 = take source image
+    val take = when(matched && fires(deleteWhen), lit(0))
+      .when(matched && fires(updateWhen), lit(2))
+      .when(tPresent, lit(1))
+      .when(fires(insertWhen), lit(2))
+      .otherwise(lit(0))
+    val post = t.join(sv, joinCond, "full_outer")
+      .withColumn("__take", take)
+      .filter(col("__take") =!= 0)
+      .select(outCols.map { c =>
+        when(col("__take") === 2, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+      }: _*)
+    val newRels = stageWrite(spark, dir, post, Seq(partitionCol))
+    commitRebase(spark, dir,
+      StagedUpsert(s, partDirs ++ newRels.map(partOf), touched.toSet,
+        newRels, batchId, Some(source.schema.json)),
+      "merge", maxRetries = 10)
+  }
+
   /** Copy-on-write compaction: rewrite the CURRENT snapshot to
     * `targetPartitions` files per partition set and commit. No rename
     * swap, no crash window — a crash before the commit leaves only

@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[CommitLog.merge]]: the three-clause conditional MERGE must apply
+  * delete-then-update on matched rows, insert-only-when on unmatched
+  * source rows, keep every unmatched target row, stay file-pruned to the
+  * source's partitions, and honor the same ledger/duplicate-key/schema
+  * contracts as the upsert path — all in one atomic commit. */
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** k ∈ [0, 300), v = k % 100, pd = p0/p1/p2 by thirds. */
+  private def freshLake(): String = {
+    val dir = Files.createTempDirectory("graft_merge_").toString + "/lake"
+    spark.range(0, 300)
+      .select($"id".as("k"), ($"id" % 100).as("v"),
+        concat(lit("p"), ($"id" / 100).cast("long")).as("pd"))
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir)
+    dir
+  }
+
+  private def state(dir: String): Map[Long, (Long, String)] =
+    CommitLog.read(spark, dir).select($"k", $"v", $"pd")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("update/delete/insert clauses fire by condition; unmatched target rows survive") {
+    val dir = freshLake()
+    // source: keys 50..149 (50..99 in p0, 100..149 in p1) with v' = v + 1000,
+    // plus brand-new keys 900..909 landing in p1
+    val src = spark.range(50, 150)
+      .select($"id".as("k"), ($"id" % 100 + 1000).as("v"),
+        concat(lit("p"), ($"id" / 100).cast("long")).as("pd"))
+      .unionByName(spark.range(900, 910)
+        .select($"id".as("k"), lit(7L).as("v"), lit("p1").as("pd")))
+    CommitLog.merge(spark, dir, src, Seq("k"), "pd",
+      updateWhen = Some("s.v < 1080"),          // matched, new v under 1080 → update
+      deleteWhen = Some("t.v >= 90"),           // matched, old v ≥ 90 → delete
+      insertWhen = Some("s.k % 2 = 0"))         // unmatched → insert evens only
+    val st = state(dir)
+    // matched keys 90..99 and 190..199? no — source covers 50..149: t.v ≥ 90 ⇔ k%100 ≥ 90 ⇔ k ∈ 90..99 (p0 slice only, 100..149 have v 0..49)
+    (90 to 99).foreach(k => assert(!st.contains(k.toLong), s"k=$k should be deleted"))
+    // matched k ∈ 50..89: old v 50..89, new v 1050..1089; update fires only when new v < 1080 ⇔ k ≤ 79
+    (50 to 79).foreach(k => assert(st(k.toLong)._1 == k + 1000L, s"k=$k should be updated"))
+    (80 to 89).foreach(k => assert(st(k.toLong)._1 == k.toLong, s"k=$k kept (update cond false)"))
+    // matched k ∈ 100..149: old v 0..49, new v 1000..1049 < 1080 → all updated
+    (100 to 149).foreach(k => assert(st(k.toLong)._1 == (k % 100) + 1000L))
+    // unmatched target rows unchanged
+    (0 to 49).foreach(k => assert(st(k.toLong)._1 == k.toLong))
+    (150 to 299).foreach(k => assert(st(k.toLong)._1 == (k % 100).toLong))
+    // inserts: evens of 900..909 only
+    (900 to 909).foreach { k =>
+      if (k % 2 == 0) assert(st(k.toLong) == (7L, "p1"), s"k=$k should be inserted")
+      else assert(!st.contains(k.toLong), s"k=$k insert condition false")
+    }
+  }
+
+  test("delete is evaluated before update when both conditions hold") {
+    val dir = freshLake()
+    val src = spark.range(10, 20)
+      .select($"id".as("k"), ($"id" + 5000).as("v"), lit("p0").as("pd"))
+    CommitLog.merge(spark, dir, src, Seq("k"), "pd",
+      updateWhen = Some("true"), deleteWhen = Some("true"))
+    val st = state(dir)
+    (10 to 19).foreach(k => assert(!st.contains(k.toLong), s"k=$k delete must win"))
+    assert(st.size == 290)
+  }
+
+  test("untouched partitions keep byte-identical files (COW pruning)") {
+    val dir = freshLake()
+    def filesOf(part: String): Set[String] =
+      CommitLog.latestFiles(spark, dir).get._2
+        .filter(_.contains(s"pd=$part")).toSet
+    val p2Before = filesOf("p2")
+    val src = Seq((5L, 9999L, "p0")).toDF("k", "v", "pd")
+    CommitLog.merge(spark, dir, src, Seq("k"), "pd")
+    assert(filesOf("p2") == p2Before, "p2 files must not be rewritten")
+    assert(state(dir)(5L)._1 == 9999L)
+  }
+
+  test("a replayed batchId is a no-op; duplicate source keys fail loudly") {
+    val dir = freshLake()
+    val src = Seq((5L, 111L, "p0")).toDF("k", "v", "pd")
+    val v1 = CommitLog.merge(spark, dir, src, Seq("k"), "pd",
+      batchId = Some(42L)).version
+    val v2 = CommitLog.merge(spark, dir,
+      Seq((5L, 222L, "p0")).toDF("k", "v", "pd"), Seq("k"), "pd",
+      batchId = Some(42L)).version
+    assert(v1 == v2 && state(dir)(5L)._1 == 111L, "replay must not double-apply")
+    val dup = Seq((7L, 1L, "p0"), (7L, 2L, "p0")).toDF("k", "v", "pd")
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.merge(spark, dir, dup, Seq("k"), "pd")
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+
+  test("null clause conditions fire nothing (three-valued logic)") {
+    val dir = freshLake()
+    // t.v = null comparison — condition is NULL for every row; no clause
+    // may fire on null, so the merge must change nothing but run clean
+    val src = Seq((5L, 111L, "p0")).toDF("k", "v", "pd")
+    CommitLog.merge(spark, dir, src, Seq("k"), "pd",
+      updateWhen = Some("t.v < cast(null as long)"),
+      deleteWhen = Some("s.v > cast(null as long)"),
+      insertWhen = Some("cast(null as boolean)"))
+    assert(state(dir)(5L)._1 == 5L)
+  }
+
+  test("merge carries additive schema evolution; old rows read null") {
+    val dir = freshLake()
+    val src = Seq((5L, 111L, "p0", "tagged")).toDF("k", "v", "pd", "note")
+    CommitLog.merge(spark, dir, src, Seq("k"), "pd")
+    val out = CommitLog.read(spark, dir)
+    assert(out.columns.contains("note"))
+    assert(out.filter($"k" === 5L).select($"note").as[String].head() == "tagged")
+    assert(out.filter($"note".isNotNull).count() == 1L)
+  }
+
+  test("insert-only merge into empty partitions stages new files; source-only rows respect insertWhen") {
+    val dir = freshLake()
+    val src = Seq((1000L, 1L, "p9"), (1001L, 2L, "p9")).toDF("k", "v", "pd")
+    CommitLog.merge(spark, dir, src, Seq("k"), "pd",
+      insertWhen = Some("s.v = 1"))
+    val st = state(dir)
+    assert(st(1000L) == (1L, "p9"))
+    assert(!st.contains(1001L))
+    assert(st.size == 301)
+  }
+}
