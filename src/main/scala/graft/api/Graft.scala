@@ -458,6 +458,27 @@ object Graft {
     }
     def vacuum(keepLast: Int = 1): Seq[String] =
       CommitLog.vacuum(spark, dir, keepLast)
+    /** Per-partition exact count/min/max from the stats manifest —
+      * zero data files opened at any lake size. */
+    def statsByPartition(cols: Seq[String]): DataFrame =
+      CommitLog.statsAggByPartition(spark, dir, cols)
+    /** Immutably bind a tag name to a version (reproducibility anchor;
+      * vacuum keeps it readable). */
+    def tag(name: String, version: Long): Unit =
+      graft.sources.LakeRefs.tag(spark, dir, name, version)
+    def readTag(name: String): DataFrame =
+      graft.sources.LakeRefs.readTag(spark, dir, name)
+    /** Advance the published pointer (monotone). Consumers via
+      * [[readPublished]] see only published versions. */
+    def publish(version: Long): Unit =
+      graft.sources.LakeRefs.publish(spark, dir, version)
+    def readPublished: DataFrame =
+      graft.sources.LakeRefs.readPublished(spark, dir)
+    /** Write-audit-publish: advance the pointer only if the constraint
+      * audit of `version` is clean; returns (published?, report). */
+    def publishAudited(version: Long,
+        checks: Seq[graft.ops.Constraints.Check]): (Boolean, DataFrame) =
+      graft.sources.LakeRefs.publishAudited(spark, dir, version, checks)
     /** Define + persist + bootstrap a materialized view over this table;
       * aggregates over [[read]] matching it are answered from the view
       * by the optimizer. */

@@ -869,14 +869,16 @@ object EngineQueries {
       val ords = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderstatus").as("flag"))
-      ords.filter(col("o_orderkey") <= 20000)
+      // orderkeys are dense 0..K in the testdata; split at thirds of K so
+      // every clause fires at ANY scale factor (matched: (K/3, 2K/3],
+      // inserts: (2K/3, K]) — the oracle recomputes the same split with
+      // integer division in a scalar subquery
+      val k = Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
+      ords.filter(col("o_orderkey") <= 2 * k / 3)
         .write.partitionBy("flag").parquet(lake)
       graft.sources.CommitLog.init(s, lake)
-      // the source batch: repriced overlap (keys 10001..20000) plus new
-      // keys (20001..30000); partition value rides the same status, so
-      // the partition-stability contract holds by construction
       val src = ords
-        .filter(col("o_orderkey") > 10000 && col("o_orderkey") <= 30000)
+        .filter(col("o_orderkey") > k / 3)
         .withColumn("o_totalprice", col("o_totalprice") + lit(10000.0))
       graft.sources.CommitLog.merge(s, lake, src,
         Seq("o_orderkey"), "flag",
@@ -901,13 +903,15 @@ object EngineQueries {
       .orderBy(col("flag"))
 
   private val q169Sql =
-    """WITH t AS (SELECT o_orderkey AS k, o_totalprice AS p,
+    """WITH mk AS (SELECT max(o_orderkey) AS k FROM orders),
+      |     t AS (SELECT o_orderkey AS k, o_totalprice AS p,
       |                 o_orderstatus AS f
-      |           FROM orders WHERE o_orderkey <= 20000),
+      |           FROM orders
+      |           WHERE o_orderkey <= (SELECT 2 * k // 3 FROM mk)),
       |     s AS (SELECT o_orderkey AS k, o_totalprice + 10000.0 AS p,
       |                  o_orderstatus AS f
       |           FROM orders
-      |           WHERE o_orderkey > 10000 AND o_orderkey <= 30000),
+      |           WHERE o_orderkey > (SELECT k // 3 FROM mk)),
       |     kept AS (
       |       SELECT t.k,
       |              CASE WHEN s.k IS NOT NULL AND NOT (t.p < 25000.0)
@@ -921,6 +925,131 @@ object EngineQueries {
       |SELECT f AS flag, count(*) AS n,
       |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
+  // ---------------------------------------------------------- q170_wap
+  // Write-audit-publish over lake refs (LakeRefs): ingest commits land
+  // in the log but consumers follow the PUBLISHED pointer, which only
+  // advances when the declarative constraint audit passes. The fixture
+  // publishes the seed, lands a good batch (audited → published), then
+  // lands a BAD batch (negated prices → audit blocks, pointer frozen).
+  // The query reads through the published pointer; the DuckDB oracle
+  // recomputes the state as of the GOOD batch from raw orders, so the
+  // hash-match proves the bad commit is invisible to consumers with no
+  // rollback having run, and n_neg = 0 pins that not one poisoned row
+  // leaked past the audit gate.
+  private val q170Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q170Lake(s: SparkSession, d: String): String =
+    q170Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q170_")
+      val lake = s"$work/lake"
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      // orderkeys are dense 0..K; thirds-of-K split keeps every stage
+      // non-empty at any scale factor (oracle mirrors it with integer
+      // division in a scalar subquery)
+      val k = Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
+      ords.filter(col("o_orderkey") <= k / 3)
+        .write.partitionBy("flag").parquet(lake)
+      val v1 = graft.sources.CommitLog.init(s, lake).version
+      graft.sources.LakeRefs.publish(s, lake, v1)
+      val checks = Seq(graft.ops.Constraints.Bounds("o_totalprice", 0, 1e9),
+        graft.ops.Constraints.NotNull("o_orderkey"))
+      // good batch: new keys, clean prices → audit passes, published
+      val good = ords
+        .filter(col("o_orderkey") > k / 3 && col("o_orderkey") <= 2 * k / 3)
+      val v2 = graft.sources.CommitLog.upsert(s, good, lake,
+        Seq("o_orderkey"), "flag").version
+      val (ok2, _) = graft.sources.LakeRefs.publishAudited(s, lake, v2, checks)
+      require(ok2, "q170 fixture: the clean batch must publish")
+      // bad batch: poisoned prices → audit blocks, pointer stays at v2
+      val bad = ords
+        .filter(col("o_orderkey") > 2 * k / 3)
+        .withColumn("o_totalprice", negate(col("o_totalprice")))
+      val v3 = graft.sources.CommitLog.upsert(s, bad, lake,
+        Seq("o_orderkey"), "flag").version
+      val (ok3, _) = graft.sources.LakeRefs.publishAudited(s, lake, v3, checks)
+      require(!ok3, "q170 fixture: the poisoned batch must be blocked")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q170Wap(s: SparkSession, d: String): DataFrame =
+    graft.sources.LakeRefs.readPublished(s, q170Lake(s, d))
+      .groupBy(col("flag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("n_neg"))
+      .orderBy(col("flag"))
+
+  private val q170Sql =
+    """SELECT o_orderstatus AS flag, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(0 AS BIGINT) AS n_neg
+      |FROM orders
+      |WHERE o_orderkey <= (SELECT 2 * max(o_orderkey) // 3 FROM orders)
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
+  // -------------------------------------------------- q171_meta_groupby
+  // GROUPED metadata-plane aggregates (CommitLog.statsAggByPartition):
+  // per-partition count/min/max answered ENTIRELY from the committed
+  // stats manifest — the partition value is recovered from each manifest
+  // row's key=value path component, so "GROUP BY partition" costs one
+  // kilobyte metadata read at any lake size, zero data files opened
+  // (MetadataPlaneSpec proves by deleting the data files and asking
+  // again). The fixture ingests in two commits (init + upsert) so the
+  // hash-match also pins post-upsert freshness of the incremental
+  // manifest. The DuckDB oracle executes the real GROUP BY over raw
+  // orders.
+  private val q171Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q171Lake(s: SparkSession, d: String): String =
+    q171Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q171_")
+      val lake = s"$work/lake"
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      val k = Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
+      ords.filter(col("o_orderkey") <= k / 2)
+        .write.partitionBy("flag").parquet(lake)
+      graft.sources.CommitLog.init(s, lake,
+        statsCols = Seq("o_totalprice", "o_orderkey"))
+      graft.sources.CommitLog.upsert(s,
+        ords.filter(col("o_orderkey") > k / 2), lake,
+        Seq("o_orderkey"), "flag")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q171MetaGroupby(s: SparkSession, d: String): DataFrame =
+    graft.sources.CommitLog.statsAggByPartition(s, q171Lake(s, d),
+        Seq("o_totalprice", "o_orderkey"))
+      .select(col("flag"), col("rows").as("n"),
+        col("min_o_totalprice").as("min_price"),
+        col("max_o_totalprice").as("max_price"),
+        col("count_o_totalprice").as("n_price"),
+        col("min_o_orderkey").as("min_key"),
+        col("max_o_orderkey").as("max_key"))
+      .orderBy(col("flag"))
+
+  private val q171Sql =
+    """SELECT o_orderstatus AS flag, count(*) AS n,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      |  count(o_totalprice) AS n_price,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders
       |GROUP BY 1 ORDER BY flag""".stripMargin
 
   // ------------------------------------------------------ q166_restore
@@ -1327,6 +1456,8 @@ object EngineQueries {
     Q("q148_delete", q148Delete, Some(q148Sql)),
     Q("q166_restore", q166Restore, Some(q166Sql)),
     Q("q169_merge", q169Merge, Some(q169Sql)),
+    Q("q170_wap", q170Wap, Some(q170Sql)),
+    Q("q171_meta_groupby", q171MetaGroupby, Some(q171Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

@@ -1381,6 +1381,44 @@ object CommitLog {
     spark.read.parquet(s"$dir/$LogDirName/$m").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** GROUPED metadata-plane aggregates: per-PARTITION exact
+    * count/min/max answered from the committed stats manifest with zero
+    * data files opened — `SELECT part, count(*), min(c), max(c) ...
+    * GROUP BY part` as a kilobyte metadata read at any lake size. The
+    * partition value is recovered from each manifest row's `key=value`
+    * path component (hive-unescaped; the null partition comes back as
+    * null) and returned as a string column per partition col — cast at
+    * the call site if the original type matters. Same freshness
+    * argument as [[statsAgg]]: the manifest is pinned to the version it
+    * describes, so no staleness check exists because none is needed. */
+  def statsAggByPartition(spark: SparkSession, dir: String,
+      cols: Seq[String]): DataFrame = {
+    val s = mustLatest(spark, dir)
+    val partCols = partColsOf(s)
+    require(partCols.nonEmpty,
+      s"$dir is unpartitioned — use statsAgg for the global rollup")
+    val missing = cols.filterNot(s.statsCols.contains)
+    require(missing.isEmpty,
+      s"$dir tracks no stats for ${missing.mkString(",")} (statsCols=${s.statsCols})")
+    val m = s.manifest.getOrElse(throw new IllegalStateException(
+      s"$dir version ${s.version} carries no manifest"))
+    val unescape = udf((v: String) =>
+      if (v == null || v == DefaultPartition) null
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(v))
+    val man = partCols.foldLeft(spark.read.parquet(s"$dir/$LogDirName/$m")) {
+      (df, pc) =>
+        df.withColumn(pc, unescape(regexp_extract(col("file"),
+          "(?:^|/)" + java.util.regex.Pattern.quote(pc) + "=([^/]*)/", 1)))
+    }
+    val aggs = sum(col("rows")).as("rows") +: cols.flatMap { c =>
+      Seq(min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c"),
+        (sum(col("rows")) - sum(col(s"nulls_$c"))).as(s"count_$c"))
+    }
+    man.groupBy(partCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Point lookup `c = value` with per-file Bloom-filter pruning. Zone
     * maps prune ranges on the CLUSTERED column; a point probe on any
     * other column overlaps every file's [min,max] and they prune
@@ -1506,7 +1544,16 @@ object CommitLog {
     val f = hadoopFs(spark, dir)
     val now = System.currentTimeMillis()
     val versions = versionNumbers(f, dir)
-    val (dropV, keepV) = versions.splitAt(math.max(0, versions.size - keepLast))
+    // ref-pinned versions (tags + the published pointer) survive any
+    // keepLast: a tag is a reproducibility promise and the published
+    // pointer is what consumers are actively serving — vacuuming either
+    // out from under its ref would turn a metadata promise into a read
+    // error. Retired publish pointers (superseded p-files) pin nothing.
+    val pinned = LakeRefs.pinnedVersions(spark, dir).filter(versions.contains)
+    val (dropRaw, keepTail) =
+      versions.splitAt(math.max(0, versions.size - keepLast))
+    val dropV = dropRaw.filterNot(pinned)
+    val keepV = dropRaw.filter(pinned) ++ keepTail
     // corrupt-tolerant parse: a crashed writer's truncated version file
     // (the exact residue latest() skips with a warning) must not block
     // reclamation forever. A corrupt DROPPED file contributes no refs

@@ -83,6 +83,57 @@ class MetadataPlaneSpec extends AnyFunSuite {
     intercept[Exception] { CommitLog.read(spark, dir).count() }
   }
 
+  test("statsAggByPartition ≡ full-scan GROUP BY, answers with the data files gone, and tracks upserts") {
+    val dir = s"${tmp("graft_statsgb_")}/lake"
+    spark.range(0, 1200)
+      .select($"id".as("k"), when($"id" % 11 === 0, lit(null))
+          .otherwise($"id" % 97).cast("long").as("x"),
+        concat(lit("g"), ($"id" % 3).cast("long")).as("pd"))
+      .repartition(4)
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir, statsCols = Seq("k", "x"))
+    // post-upsert freshness: a second commit extends one partition
+    CommitLog.upsert(spark,
+      spark.range(5000, 5100).select($"id".as("k"), lit(7L).as("x"),
+        lit("g0").as("pd")),
+      dir, Seq("k"), "pd")
+    def grouped(): Map[String, (Long, Long, Long, Long)] =
+      CommitLog.statsAggByPartition(spark, dir, Seq("k", "x"))
+        .select($"pd", $"rows", $"min_k", $"max_k", $"count_x")
+        .as[(String, Long, Long, Long, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val expected = CommitLog.read(spark, dir)
+      .groupBy($"pd").agg(count(lit(1)).as("n"), min($"k").as("mn"),
+        max($"k").as("mx"), count($"x").as("cx"))
+      .as[(String, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(grouped() == expected)
+    // drop every data file: the metadata plane still answers per group
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommitLog.latest(spark, dir).get.files.foreach { rel =>
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+    }
+    assert(grouped() == expected)
+  }
+
+  test("statsAggByPartition recovers the null partition and refuses unpartitioned tables") {
+    val dir = s"${tmp("graft_statsgb2_")}/lake"
+    Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
+      .toDF("k", "pd").write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir, statsCols = Seq("k"))
+    val rows = CommitLog.statsAggByPartition(spark, dir, Seq("k"))
+      .select($"pd", $"rows").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(rows == Map(Some("a") -> 2L, None -> 1L))
+    val flat = s"${tmp("graft_statsgb3_")}/lake"
+    Seq((1L, 2L)).toDF("k", "x").write.parquet(flat)
+    CommitLog.init(spark, flat, statsCols = Seq("k"))
+    intercept[IllegalArgumentException] {
+      CommitLog.statsAggByPartition(spark, flat, Seq("k"))
+    }
+  }
+
   test("statsAgg refuses untracked columns") {
     val dir = s"${tmp("graft_statsagg2_")}/lake"
     Seq((1L, 2L)).toDF("k", "x").write.parquet(dir)
