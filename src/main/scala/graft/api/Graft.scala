@@ -159,6 +159,19 @@ object Graft {
     def jaccardPairs(idCol: String, textCol: String = "text"): DataFrame =
       Dedup.tokenJaccardPairs(df, idCol, textCol)
 
+    /** Publish a persisted near-dup index of THIS corpus at `dir`:
+      * later batches probe it via [[Graft.searchDedupIndex]] with exact
+      * Jaccard and lossless prefix blocking — no corpus re-scan. */
+    def buildDedupIndex(dir: String, idCol: String = "doc_id",
+        textCol: String = "text", numFiles: Int = 8): Unit =
+      graft.dedup.DedupIndex.build(df.sparkSession, df, idCol, textCol,
+        dir, numFiles)
+
+    /** Re-index ONLY this DataFrame's (changed) docs into the dedup
+      * index at `dir` — churn-bounded, txn-pinned family commit. */
+    def updateDedupIndex(dir: String): Unit =
+      graft.dedup.DedupIndex.update(df.sparkSession, dir, df)
+
     /** Sub-document chunk dedup: first occurrence of each distinct chunk
       * survives corpus-wide; docs reassembled from survivors. */
     def dedupSpans(idCol: String, textCol: String = "text",
@@ -403,6 +416,16 @@ object Graft {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, arity: Int): DataFrame =
     graft.text.InvertedIndex.search(spark, dir, queries, k, arity)
+
+  /** Exact near-dup pairs of `newDocs` against the corpus indexed at
+    * `dir` ([[graft.dedup.DedupIndex.search]]): lossless prefix-blocked
+    * Jaccard ≥ threshold, served from Bloom-pruned posting reads at the
+    * txn-pinned index cut — the corpus is never re-tokenized. */
+  def searchDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newDocs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.dedup.DedupIndex.search(spark, dir, newDocs, idCol, textCol,
+      threshold)
 
   /** Handle on a commit-log (lakehouse) table: the full table lifecycle
     * behind one path-addressed object. Thin sugar over

@@ -1,0 +1,246 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CommitLog, LakeTxn}
+
+/** A persisted near-duplicate index: answer "which corpus documents are
+  * near-dups of THESE new documents?" from posting lists, without ever
+  * re-scanning the corpus — the online-ingest counterpart of the batch
+  * dedup pass ([[Dedup.jaccardPairsPrefix]], q121).
+  *
+  * The batch PPJoin is the right shape when the whole corpus dedups
+  * against itself once. But a live ingest pipeline asks an INCREMENTAL
+  * question — each arriving batch against an already-published 100 TB
+  * corpus — and paying a corpus tokenize + self-join per batch is the
+  * same mistake as re-scanning the corpus per BM25 query batch. So the
+  * corpus side is materialized once, as two commit-logged tables:
+  *
+  *  - `postings` `(term, doc_id, sz)` — one row per distinct
+  *    (token, doc) pair, the doc's set size denormalized; range-
+  *    clustered by term, per-file Blooms on BOTH `term` (probe side)
+  *    and `doc_id` (verification + maintenance side).
+  *  - `terms` `(term, df)` — the document frequency of every distinct
+  *    token: the RARITY ORDER that makes prefix filtering selective,
+  *    readable for a query batch's vocabulary as a Bloom-pruned
+  *    kilobyte slice instead of a corpus-wide GROUP BY per batch.
+  *
+  * A [[LakeTxn]] manifest pins consistent (postings, terms) cuts, so
+  * serving never sees postings from one update under frequencies from
+  * another, and a crash between the two tables' commits leaves the old
+  * consistent cut served.
+  *
+  * [[search]] is lossless-blocked exact Jaccard, one-sided: a new doc A
+  * with J(A,B) ≥ t shares ≥ ⌈t·|A|⌉ tokens with B, so SOME token of the
+  * (|A| − ⌈t·|A|⌉ + 1) rarest tokens of A must appear in B — probing
+  * only A's prefix tokens against the postings cannot miss a qualifying
+  * pair, regardless of how B's tokens rank (no order-consistency trap
+  * between index-time and query-time vocabularies). Cost at scale:
+  * a terms-slice read for the batch vocabulary, a postings read for the
+  * PREFIX terms only (the rare ones — tiny lists), and a doc_id-probed
+  * read of just the candidates' postings for exact verification.
+  * Thresholds are query-time parameters: one index serves any t.
+  *
+  * [[update]] is churn-bounded like the BM25 index's: changed docs
+  * re-tokenize, their old postings are found through doc_id Blooms, the
+  * term-frequency DELTA adjusts only the affected vocabulary rows, and
+  * the new family cut commits through the txn manifest. Deltas derive
+  * from the CURRENT snapshot, so a replayed or crashed-and-rerun update
+  * converges (re-running after the postings landed computes a zero
+  * delta). Tokenization matches the batch path bit for bit
+  * (lower → whitespace split → distinct), so index-served results are
+  * comparable against the q121 brute-force oracle.
+  */
+object DedupIndex {
+
+  private def postingsDir(dir: String) = s"$dir/postings"
+  private def termsDir(dir: String) = s"$dir/terms"
+  private def txnDir(dir: String) = s"$dir/_txn"
+
+  /** (id, toks, sz) with the exact tokenization of the batch dedup path,
+    * minus empty tokens: `split(trim(""))` yields `[""]`, which would
+    * make a whitespace-only "removal" doc carry one ghost posting
+    * instead of vanishing. Real tokens are never empty, so non-degenerate
+    * results are unchanged. */
+  private def tokenize(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        array_distinct(filter(
+          graft.text.TextAnalysis.tokens(lower(col(textCol))),
+          t => t =!= "")).as("toks"))
+      .withColumn("sz", size(col("toks")))
+
+  /** Tokenize `docs` once and publish the index family at `dir` (fresh
+    * directory): postings + term frequencies + the txn manifest pinning
+    * them as one consistent cut. */
+  def build(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, dir: String, numFiles: Int = 8,
+      termsPerFile: Long = 1L << 17): Unit = {
+    val tokset = tokenize(docs, idCol, textCol).filter(col("sz") > 0)
+    tokset.select(col("id").as("doc_id"), col("sz"),
+        explode(col("toks")).as("term"))
+      .select(col("term"), col("doc_id"), col("sz"))
+      .repartitionByRange(numFiles, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.parquet(postingsDir(dir))
+    val pv = CommitLog.init(spark, postingsDir(dir),
+      bloomCols = Seq("term", "doc_id"), bloomExpect = termsPerFile,
+      props = Map("dedup.id_col" -> idCol, "dedup.text_col" -> textCol))
+      .version
+    // term frequencies from the WRITTEN postings — no second tokenize
+    spark.read.parquet(postingsDir(dir))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .repartitionByRange(math.max(1, numFiles / 2), col("term"))
+      .sortWithinPartitions("term")
+      .write.parquet(termsDir(dir))
+    val tv = CommitLog.init(spark, termsDir(dir),
+      bloomCols = Seq("term"), bloomExpect = termsPerFile).version
+    LakeTxn.commit(spark, txnDir(dir),
+      Map(postingsDir(dir) -> pv, termsDir(dir) -> tv))
+    ()
+  }
+
+  /** Exact Jaccard near-dup pairs (new_id, doc_id, jaccard ≥ threshold)
+    * of `newDocs` against the indexed corpus, served entirely from the
+    * txn-pinned index cut. Driver-side materializations are all
+    * query-bounded and documented: the batch vocabulary (probe set),
+    * its prefix subset, and the candidate doc ids. */
+  def search(spark: SparkSession, dir: String, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val pv = LakeTxn.pinOf(spark, txnDir(dir), postingsDir(dir))
+    val tv = LakeTxn.pinOf(spark, txnDir(dir), termsDir(dir))
+    val toks = tokenize(newDocs, idCol, textCol).filter(col("sz") > 0)
+      .localCheckpoint(eager = false)
+    def emptyResult: DataFrame = toks
+      .select(col("id").as("new_id"), col("id").as("doc_id"),
+        lit(0.0).as("jaccard"))
+      .limit(0)
+    // the batch vocabulary — bounded by the probe batch, not the corpus
+    val qTerms = toks.select(explode(col("toks")).as("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (qTerms.isEmpty) return emptyResult
+    // 1. rarity order for the batch vocabulary: Bloom-pruned slice of
+    //    the terms table; a token the corpus never saw has no df row and
+    //    ranks rarest (it cannot contribute overlap, but it still
+    //    spends a prefix slot — harmless for losslessness)
+    val dfSlice = CommitLog.scanPointsInAt(spark, termsDir(dir), tv,
+      "term", qTerms)._1
+    val newToks = toks.select(col("id").as("new_id"), col("sz").as("sz_a"),
+      explode(col("toks")).as("term"))
+    val ranked = newToks.join(broadcast(dfSlice), Seq("term"), "left")
+      .withColumn("pos", row_number().over(Window.partitionBy(col("new_id"))
+        .orderBy(coalesce(col("df"), lit(0L)).asc, col("term").asc)))
+    // DECIMAL ceil — double t·|s| can land just above an integer and a
+    // one-too-high ceil silently shortens the prefix (same guard as the
+    // batch PPJoin, Dedup.jaccardPairsPrefix)
+    val tDec = lit(BigDecimal.valueOf(threshold)
+      .setScale(12, scala.math.BigDecimal.RoundingMode.DOWN))
+    val prefixes = ranked
+      .filter(col("pos") <= col("sz_a") - ceil(tDec * col("sz_a")) + 1)
+      .select(col("new_id"), col("term"))
+      .localCheckpoint(eager = false)
+    val prefixTerms = prefixes.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (prefixTerms.isEmpty) return emptyResult
+    // 2. candidates: prefix terms probed against the postings (rare
+    //    terms → short lists; Bloom negatives skip whole files)
+    val postSlice = CommitLog.scanPointsInAt(spark, postingsDir(dir), pv,
+      "term", prefixTerms)._1
+    val cand = prefixes
+      .join(postSlice.select(col("term"), col("doc_id")), Seq("term"))
+      .select(col("new_id"), col("doc_id")).distinct()
+      .localCheckpoint(eager = false)
+    val candIds = cand.select(col("doc_id")).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (candIds.isEmpty) return emptyResult
+    // 3. exact verification: the candidates' FULL token sets via the
+    //    doc_id Blooms; overlap counts only matching tokens, so the
+    //    division is over exact integers — bit-comparable to the
+    //    brute-force oracle
+    val candPost = CommitLog.scanPointsInAt(spark, postingsDir(dir), pv,
+      "doc_id", candIds)._1
+      .filter(col("doc_id").isInCollection(candIds)) // bloom fp re-check
+    cand
+      .join(newToks, Seq("new_id"))
+      .join(candPost.select(col("doc_id"), col("term"),
+        col("sz").as("sz_b")), Seq("doc_id", "term"))
+      .groupBy(col("new_id"), col("doc_id"))
+      .agg(count(lit(1)).as("inter"), first(col("sz_a")).as("sz_a"),
+        first(col("sz_b")).as("sz_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("doc_id"), col("jaccard"))
+  }
+
+  /** Churn-bounded incremental maintenance: re-index ONLY `changedDocs`
+    * (each row the NEW full text of an added or edited doc; an
+    * empty/token-free text removes the doc). The postings swap is one
+    * atomic doc_id-probed [[CommitLog.replaceWhere]]; the terms table
+    * absorbs the df DELTA of the affected vocabulary only; the new
+    * family cut then commits through the txn manifest — a reader
+    * pinned through [[search]] sees the old consistent cut until the
+    * txn lands. Deltas derive from the current snapshot, so re-running
+    * after a crash (or replaying the same batch) converges to the same
+    * state. */
+  def update(spark: SparkSession, dir: String,
+      changedDocs: DataFrame): Unit = {
+    val pSnap = CommitLog.latest(spark, postingsDir(dir)).getOrElse(
+      throw new IllegalStateException(s"$dir has no dedup index"))
+    val idCol = pSnap.props.getOrElse("dedup.id_col",
+      throw new IllegalStateException(s"$dir postings carry no dedup props"))
+    val textCol = pSnap.props("dedup.text_col")
+    val tSnap = CommitLog.latest(spark, termsDir(dir)).get
+    val tokset = tokenize(changedDocs, idCol, textCol)
+      .localCheckpoint(eager = false)
+    val ids = tokset.select(col("id")).distinct()
+      .collect().map(_.get(0)).toSeq // churn-bounded: one per changed doc
+    if (ids.isEmpty) return
+    val newPost = tokset.filter(col("sz") > 0)
+      .select(col("id").as("doc_id"), col("sz"), explode(col("toks")).as("term"))
+      .select(col("term"), col("doc_id"), col("sz"))
+      .localCheckpoint(eager = false)
+    val oldPost = CommitLog.scanPointsIn(spark, postingsDir(dir),
+      "doc_id", ids)._1
+      .filter(col("doc_id").isInCollection(ids))
+      .localCheckpoint(eager = false)
+    // df delta per affected term (new minus old presence counts)
+    val delta = newPost.groupBy(col("term")).agg(count(lit(1)).as("add"))
+      .join(oldPost.groupBy(col("term")).agg(count(lit(1)).as("sub")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("add"), lit(0L)) - coalesce(col("sub"), lit(0L)))
+          .as("d"))
+      .filter(col("d") =!= 0L)
+      .localCheckpoint(eager = false)
+    val affected = delta.select(col("term")).collect()
+      .map(_.getString(0)).toSeq // affected vocabulary — churn-bounded
+    val pv = CommitLog.replaceWhere(spark, postingsDir(dir),
+      col("doc_id").isInCollection(ids), newPost,
+      probe = Some(("doc_id", ids)),
+      expectedVersion = Some(pSnap.version)).version
+    val tv =
+      if (affected.isEmpty) tSnap.version
+      else {
+        val oldRows = CommitLog.scanPointsIn(spark, termsDir(dir),
+          "term", affected)._1
+          .filter(col("term").isInCollection(affected))
+        val newRows = oldRows.join(delta, Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("df"), lit(0L)) + coalesce(col("d"), lit(0L)))
+              .as("df"))
+          .filter(col("df") > 0L)
+        CommitLog.replaceWhere(spark, termsDir(dir),
+          col("term").isInCollection(affected), newRows,
+          probe = Some(("term", affected)),
+          expectedVersion = Some(tSnap.version)).version
+      }
+    LakeTxn.commit(spark, txnDir(dir),
+      Map(postingsDir(dir) -> pv, termsDir(dir) -> tv))
+    ()
+  }
+}

@@ -775,6 +775,65 @@ object LlmQueries {
 
   private val q164Sql = bm25OracleSql("", "documents", conjunctive = true)
 
+  // --------------------------------------------------- q172_dedup_index
+  // Persisted near-dup index (DedupIndex): the corpus slice (first 4/5
+  // of documents by id) is indexed ONCE as Bloom-pruned prefix postings
+  // + term frequencies under a LakeTxn-pinned family cut; the remaining
+  // docs then probe it as an arriving batch. Blocking is one-sided
+  // prefix filtering (lossless: J ≥ t forces ≥⌈t·|A|⌉ shared tokens, so
+  // A's rarest |A|−⌈t·|A|⌉+1 tokens must hit B), verification is exact
+  // integer Jaccard — so the DuckDB oracle runs the full BRUTE-FORCE
+  // cross join and the hash-match proves the index path lossless, not
+  // approximately recalled. Served entirely from posting reads: the
+  // corpus is never re-tokenized at query time.
+  private val q172Indexes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q172Index(s: SparkSession, d: String): String =
+    q172Indexes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q172_")
+      val idx = s"$work/idx"
+      val split = Tables.documents(s, d).agg(max(col("doc_id")))
+        .head.getLong(0) * 4 / 5
+      graft.dedup.DedupIndex.build(s,
+        Tables.documents(s, d).filter(col("doc_id") <= split),
+        "doc_id", "text", idx, numFiles = 4)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      idx
+    })
+
+  private def q172DedupIndex(s: SparkSession, d: String): DataFrame = {
+    val split = Tables.documents(s, d).agg(max(col("doc_id")))
+      .head.getLong(0) * 4 / 5
+    graft.dedup.DedupIndex.search(s, q172Index(s, d),
+        Tables.documents(s, d).filter(col("doc_id") > split),
+        "doc_id", "text", threshold = 0.9)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .withColumnRenamed("doc_id", "old_id")
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
+  private val q172Sql =
+    """WITH mk AS (SELECT 4 * max(doc_id) // 5 AS s FROM documents),
+      |a AS (SELECT doc_id,
+      |        list_distinct(string_split_regex(trim(lower(text)), '\s+'))
+      |          AS toks
+      |      FROM documents WHERE doc_id > (SELECT s FROM mk)),
+      |b AS (SELECT doc_id,
+      |        list_distinct(string_split_regex(trim(lower(text)), '\s+'))
+      |          AS toks
+      |      FROM documents WHERE doc_id <= (SELECT s FROM mk)),
+      |p AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+      |        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+      |      FROM a, b)
+      |SELECT new_id, old_id, round(jaccard, 6) AS jaccard
+      |FROM p WHERE jaccard >= 0.9
+      |ORDER BY new_id, old_id""".stripMargin
+
   // --------------------------------------------------- q161_index_update
   // Incremental index maintenance under a FULL oracle: build the q160
   // index, then apply a fixed churn batch (two edited docs, one removed
@@ -1125,6 +1184,7 @@ object LlmQueries {
     Q("q161_index_update", q161IndexUpdate, Some(q161Sql)),
     Q("q163_stream_index", q163StreamIndex, Some(q163Sql)),
     Q("q164_index_search_all", q164SearchAll, Some(q164Sql)),
+    Q("q172_dedup_index", q172DedupIndex, Some(q172Sql)),
   )
 
 }

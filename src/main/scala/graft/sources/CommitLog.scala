@@ -1271,10 +1271,8 @@ object CommitLog {
         else {
           val m = s.manifest.getOrElse(throw new IllegalStateException(
             s"$dir version ${s.version} carries no manifest"))
-          val mightAny = values.map(v => graft.functions.NativeBloom
-              .bloomMightContain(col(s"bloom_$c"), lit(v)))
-            .reduceLeft(_ || _)
-          spark.read.parquet(s"$dir/$LogDirName/$m").filter(mightAny)
+          spark.read.parquet(s"$dir/$LogDirName/$m")
+            .filter(bloomMightAny(c, values))
             .select(col("file")).collect().map(_.getString(0)).toSeq
         }
       case None => s.files
@@ -1419,6 +1417,25 @@ object CommitLog {
     man.groupBy(partCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** "Might any probed value be in this file?" as a BALANCED OR tree
+    * over the per-file Bloom probes. A left-fold chain recurses once per
+    * value when the Column converts to an Expression, so a large probe
+    * set (a dedup batch's whole vocabulary — easily 10⁴⁺ terms) blew the
+    * stack; the balanced shape is log-depth at the same node count. The
+    * predicate runs over MANIFEST rows (one per file), so evaluation
+    * cost stays metadata-plane regardless of probe-set size. */
+  private def bloomMightAny(c: String, values: Seq[Any]): Column = {
+    def tree(lo: Int, hi: Int): Column =
+      if (hi - lo == 1)
+        graft.functions.NativeBloom.bloomMightContain(
+          col(s"bloom_$c"), lit(values(lo)))
+      else {
+        val mid = (lo + hi) / 2
+        tree(lo, mid) || tree(mid, hi)
+      }
+    tree(0, values.size)
+  }
+
   /** Point lookup `c = value` with per-file Bloom-filter pruning. Zone
     * maps prune ranges on the CLUSTERED column; a point probe on any
     * other column overlaps every file's [min,max] and they prune
@@ -1478,11 +1495,8 @@ object CommitLog {
       s"$dir tracks no bloom filter for '$c' (bloomCols=${s.bloomCols})")
     val m = s.manifest.getOrElse(throw new IllegalStateException(
       s"$dir version ${s.version} carries no manifest"))
-    val mightAny = values.map(v =>
-        graft.functions.NativeBloom.bloomMightContain(col(s"bloom_$c"), lit(v)))
-      .reduceLeft(_ || _)
     val survivors = spark.read.parquet(s"$dir/$LogDirName/$m")
-      .filter(mightAny)
+      .filter(bloomMightAny(c, values))
       .select(col("file")).collect().map(_.getString(0)).toSeq
     val df =
       if (survivors.isEmpty)
