@@ -73,6 +73,11 @@ object DedupIndex {
           t => t =!= "")).as("toks"))
       .withColumn("sz", size(col("toks")))
 
+  /** Does a dedup index live at `dir`? (The layout — postings/terms/txn
+    * subdirectories — stays encapsulated here.) */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    CommitLog.latest(spark, postingsDir(dir)).isDefined
+
   /** Tokenize `docs` once and publish the index family at `dir` (fresh
     * directory): postings + term frequencies + the txn manifest pinning
     * them as one consistent cut. */

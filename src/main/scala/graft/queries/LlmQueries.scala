@@ -959,6 +959,77 @@ object LlmQueries {
       |  FROM documents WHERE doc_id < 200),
       |""".stripMargin, "corpus")
 
+  // -------------------------------------------------- q173_stream_dedup
+  // The streaming ingest-dedup serving path: document versions stream in
+  // arbitrary micro-batch order into a commit-logged corpus, and the
+  // persisted near-dup index (DedupIndex) is maintained per batch from
+  // the committed post-image (StreamingIngest.
+  // upsertStreamMaintainingDedupIndex — first batch bootstraps corpus +
+  // index, replays converge by ledger + delta idempotence). The
+  // converged corpus is deterministic (greatest seq wins), so the final
+  // probe batch carries a FULL brute-force DuckDB oracle over the
+  // post-stream corpus — the hash-match proves stream → corpus commit →
+  // churn-bounded index update → txn-pinned lossless serving end to
+  // end. Constant in SF by design (doc_id slices), like q163.
+  private def q173StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_q173_").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val v1 = docs.select(col("doc_id"), col("lang").as("part"),
+      lit(1L).as("seq"), col("text"))
+    val v2 = docs.select(col("doc_id"), col("lang").as("part"),
+      lit(2L).as("seq"), concat(col("text"), lit(" v2")).as("text"))
+    v1.unionByName(v2).repartition(2).write.parquet(s"$work/landing")
+    val updates = s.readStream
+      .schema(v1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/landing")
+    val q = graft.streaming.StreamingIngest.upsertStreamMaintainingDedupIndex(
+      updates, s"$work/corpus", s"$work/index",
+      idCol = "doc_id", textCol = "text", seqCol = "seq",
+      partitionCol = "part", checkpointDir = s"$work/chk")
+    try q.processAllAvailable() finally q.stop()
+    val probes = Tables.documents(s, d)
+      .filter(col("doc_id") >= 200 && col("doc_id") < 250)
+    val out = graft.dedup.DedupIndex.search(s, s"$work/index", probes,
+        "doc_id", "text", threshold = 0.8)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .collect()
+    // materialize before the temp lifecycle dirs are reclaimed
+    val res = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(out: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("new_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType))))
+      .withColumnRenamed("doc_id", "old_id")
+      .orderBy(col("new_id"), col("old_id"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(work))
+    res
+  }
+
+  private val q173Sql =
+    """WITH a AS (SELECT doc_id,
+      |        list_distinct(string_split_regex(trim(lower(text)), '\s+'))
+      |          AS toks
+      |      FROM documents WHERE doc_id >= 200 AND doc_id < 250),
+      |b AS (SELECT doc_id,
+      |        list_distinct(string_split_regex(trim(lower(text || ' v2')),
+      |          '\s+')) AS toks
+      |      FROM documents WHERE doc_id < 200),
+      |p AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+      |        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+      |      FROM a, b)
+      |SELECT new_id, old_id, round(jaccard, 6) AS jaccard
+      |FROM p WHERE jaccard >= 0.8
+      |ORDER BY new_id, old_id""".stripMargin
+
   // ------------------------------------------------- q144_heavy_hitters
   // EXACT corpus heavy hitters in two bounded passes
   // (graft.analytics.Sketches.exactHeavyHitters): a Misra-Gries
@@ -1185,6 +1256,7 @@ object LlmQueries {
     Q("q163_stream_index", q163StreamIndex, Some(q163Sql)),
     Q("q164_index_search_all", q164SearchAll, Some(q164Sql)),
     Q("q172_dedup_index", q172DedupIndex, Some(q172Sql)),
+    Q("q173_stream_dedup", q173StreamDedup, Some(q173Sql)),
   )
 
 }

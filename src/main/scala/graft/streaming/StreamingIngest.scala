@@ -293,6 +293,62 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streamed document upserts that keep a persisted NEAR-DUP index
+    * ([[graft.dedup.DedupIndex]]) fresh — the dedup twin of
+    * [[upsertStreamMaintainingIndex]], same discipline throughout: each
+    * micro-batch lands in the corpus through the exactly-once logged
+    * upsert, the index absorbs the touched docs' POST-image read back
+    * from the committed corpus (never the raw batch rows — a stale
+    * seq-race loser cannot plant wrong postings), the first non-empty
+    * batch bootstraps both, and replays are safe because the corpus
+    * upsert no-ops off the in-commit ledger while
+    * [[graft.dedup.DedupIndex.update]] converges (its df delta derives
+    * from the current snapshot, so a re-applied post-image is a zero
+    * delta). The index's OWN LakeTxn manifest pins each (postings,
+    * terms) cut, so a search between a crash and its replay serves the
+    * previous consistent cut. Net effect: arriving batches can be
+    * near-dup-probed against everything that streamed in before them,
+    * with no corpus re-tokenize anywhere. */
+  def upsertStreamMaintainingDedupIndex(
+      updates: DataFrame, corpusDir: String, indexDir: String,
+      idCol: String, textCol: String, seqCol: String, partitionCol: String,
+      checkpointDir: String): StreamingQuery = {
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val latest = batch
+            .groupBy(col(idCol))
+            .agg(max(struct(col(seqCol) +: batch.columns.filterNot(c =>
+              c == idCol || c == seqCol).map(col) :_*)).as("__v"))
+            .select(col(idCol) +: batch.columns.filterNot(_ == idCol).map(c =>
+              col(s"__v.$c").as(c)) :_*)
+          val snap = graft.sources.CommitLog.upsertOrCreate(
+            s, latest, corpusDir, Seq(idCol), partitionCol,
+            seqCol = Some(seqCol), batchId = Some(batchId))
+          if (!graft.dedup.DedupIndex.exists(s, indexDir)) {
+            graft.dedup.DedupIndex.build(s,
+              graft.sources.CommitLog.read(s, corpusDir)
+                .select(col(idCol), col(textCol)),
+              idCol, textCol, indexDir)
+          } else {
+            val touched: Seq[Any] = latest.select(col(idCol)).distinct()
+              .collect().map(_.get(0)).toSeq
+            val post = graft.sources.CommitLog.read(s, corpusDir)
+              .filter(col(idCol).isin(touched: _*))
+              .select(col(idCol), col(textCol))
+            graft.dedup.DedupIndex.update(s, indexDir, post)
+          }
+          println(s"[upsert-stream-dedup] batch=$batchId at corpus " +
+            s"version ${snap.version}; dedup index fresh")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Event-time analytics over the flows stream (the reference's 15-minute
     * slots as real tumbling windows + watermarked late-data handling).
     * `flowsWithTs` must carry a `slot_ts` timestamp column. */
