@@ -76,5 +76,23 @@ object LakeTvf {
       require(args.size == 1, "graft_lake_files(dir)")
       analyzed(CommitLog.filesReport(SparkSession.active,
         strArg("graft_lake_files", args.head)))
+    },
+    "graft_lake_tag" -> { args =>
+      require(args.size == 2, "graft_lake_tag(dir, name)")
+      analyzed(LakeRefs.readTag(SparkSession.active,
+        strArg("graft_lake_tag", args.head),
+        strArg("graft_lake_tag", args(1))))
+    },
+    "graft_lake_published" -> { args =>
+      require(args.size == 1, "graft_lake_published(dir)")
+      analyzed(LakeRefs.readPublished(SparkSession.active,
+        strArg("graft_lake_published", args.head)))
+    },
+    "graft_lake_tags" -> { args =>
+      require(args.size == 1, "graft_lake_tags(dir)")
+      val s = SparkSession.active
+      analyzed(s.createDataFrame(
+        LakeRefs.tags(s, strArg("graft_lake_tags", args.head)))
+        .toDF("tag", "version"))
     })
 }

@@ -101,6 +101,26 @@ class LakeTvfSpec extends AnyFunSuite {
     assert(rep.forall(_.getString(1) == "pd=a"))
   }
 
+  test("refs are reachable from SQL: _tag, _tags, _published follow the pointers") {
+    val dir = fixture()
+    CommitLog.upsert(spark,
+      spark.range(100, 110).select($"id".as("k"), ($"id" % 4).as("g"),
+        lit(2L).as("v"), lit("a").as("pd")),
+      dir, Seq("k"), "pd")
+    LakeRefs.tag(spark, dir, "anchor", 1L)
+    LakeRefs.publish(spark, dir, 1L)
+    // tag + published both resolve version 1 (40 rows); latest has 50
+    assert(spark.sql(s"SELECT count(*) FROM graft_lake_tag('$dir', 'anchor')")
+      .head().getLong(0) == 40L)
+    assert(spark.sql(s"SELECT count(*) FROM graft_lake_published('$dir')")
+      .head().getLong(0) == 40L)
+    assert(spark.sql(s"SELECT count(*) FROM graft_lake('$dir')")
+      .head().getLong(0) == 50L)
+    val tags = spark.sql(s"SELECT tag, version FROM graft_lake_tags('$dir')")
+      .as[(String, Long)].collect().toSeq
+    assert(tags == Seq(("anchor", 1L)))
+  }
+
   test("non-literal arguments fail loudly") {
     val dir = fixture()
     val e = intercept[Exception] {
