@@ -786,13 +786,24 @@ object LlmQueries {
   // cross join and the hash-match proves the index path lossless, not
   // approximately recalled. Served entirely from posting reads: the
   // corpus is never re-tokenized at query time.
+  // corpus = first 4/5 of docs capped at 1000, probes = the next 250:
+  // the synthetic documents are heavily templated (≈8% of ALL cross
+  // pairs clear t=0.9 at sf0.1), so an uncapped fixture measures
+  // quadratic TRUE-PAIR volume, not the index machinery — same
+  // constant-in-SF reasoning as q163. The sf0.01 gate slice is
+  // unchanged by the cap.
+  private def q172Split(s: SparkSession, d: String): (Long, Long) = {
+    val k = Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0)
+    val split = math.min(4 * k / 5, 999L)
+    (split, math.min(k, split + 250L))
+  }
+
   private val q172Indexes = scala.collection.concurrent.TrieMap[String, String]()
   private def q172Index(s: SparkSession, d: String): String =
     q172Indexes.getOrElseUpdate(d, {
       val work = java.nio.file.Files.createTempDirectory("graft_q172_")
       val idx = s"$work/idx"
-      val split = Tables.documents(s, d).agg(max(col("doc_id")))
-        .head.getLong(0) * 4 / 5
+      val (split, _) = q172Split(s, d)
       graft.dedup.DedupIndex.build(s,
         Tables.documents(s, d).filter(col("doc_id") <= split),
         "doc_id", "text", idx, numFiles = 4)
@@ -806,10 +817,10 @@ object LlmQueries {
     })
 
   private def q172DedupIndex(s: SparkSession, d: String): DataFrame = {
-    val split = Tables.documents(s, d).agg(max(col("doc_id")))
-      .head.getLong(0) * 4 / 5
+    val (split, hi) = q172Split(s, d)
     graft.dedup.DedupIndex.search(s, q172Index(s, d),
-        Tables.documents(s, d).filter(col("doc_id") > split),
+        Tables.documents(s, d)
+          .filter(col("doc_id") > split && col("doc_id") <= hi),
         "doc_id", "text", threshold = 0.9)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .withColumnRenamed("doc_id", "old_id")
@@ -817,11 +828,14 @@ object LlmQueries {
   }
 
   private val q172Sql =
-    """WITH mk AS (SELECT 4 * max(doc_id) // 5 AS s FROM documents),
+    """WITH mk AS (SELECT LEAST(4 * max(doc_id) // 5, 999) AS s,
+      |            max(doc_id) AS m FROM documents),
       |a AS (SELECT doc_id,
       |        list_distinct(string_split_regex(trim(lower(text)), '\s+'))
       |          AS toks
-      |      FROM documents WHERE doc_id > (SELECT s FROM mk)),
+      |      FROM documents
+      |      WHERE doc_id > (SELECT s FROM mk)
+      |        AND doc_id <= (SELECT LEAST(m, s + 250) FROM mk)),
       |b AS (SELECT doc_id,
       |        list_distinct(string_split_regex(trim(lower(text)), '\s+'))
       |          AS toks
