@@ -207,9 +207,75 @@ object StreamingQueries {
       |FROM documents WHERE doc_id < 200
       |GROUP BY 1 ORDER BY part""".stripMargin
 
+  // --------------------------------------------------- q174_stream_wap
+  /** Write-audit-publish on the STREAM ([[StreamingIngest.
+    * auditedUpsertStream]]): three micro-batches land in order — two
+    * clean orders slices, then a POISONED one (negated prices under
+    * fresh keys) — each upserted exactly-once and then audited before
+    * the published pointer may advance. Batches are delivered
+    * deterministically (one landing file written + drained per phase),
+    * so the final published state is exactly the two clean batches: the
+    * DuckDB oracle recomputes that state from raw orders, and n_neg = 0
+    * pins that not one poisoned row ever became visible to consumers —
+    * while the corpus HEAD (read outside the pointer) does hold the
+    * poison for debugging, pinned via head_over_published = 1. */
+  private def q174StreamWap(s: SparkSession, d: String): DataFrame = {
+    val work = Files.createTempDirectory("graft_q174_").toString
+    val ords = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus").as("flag"), lit(1L).as("seq"))
+    val k = Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
+    val clean1 = ords.filter(col("o_orderkey") <= k / 3)
+    val clean2 = ords.filter(col("o_orderkey") > k / 3 &&
+      col("o_orderkey") <= 2 * k / 3)
+    val poison = ords.filter(col("o_orderkey") > 2 * k / 3)
+      .withColumn("o_totalprice", negate(col("o_totalprice")))
+    new java.io.File(s"$work/landing").mkdirs()
+    val updates = s.readStream.schema(clean1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/landing")
+    val q = StreamingIngest.auditedUpsertStream(
+      updates, s"$work/lake", keyCols = Seq("o_orderkey"), seqCol = "seq",
+      partitionCol = "flag", checkpointDir = s"$work/chk",
+      checks = Seq(graft.ops.Constraints.Bounds("o_totalprice", 0, 1e9),
+        graft.ops.Constraints.NotNull("o_orderkey")))
+    try {
+      // deterministic batch order: land one flat file, drain, repeat
+      Seq(clean1, clean2, poison).zipWithIndex.foreach { case (b, i) =>
+        val stage = s"$work/stage$i"
+        b.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$work/landing/b$i.parquet"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val published = graft.sources.LakeRefs.publishedVersion(
+      s, s"$work/lake").get
+    val head = graft.sources.CommitLog.latest(s, s"$work/lake").get.version
+    graft.sources.LakeRefs.readPublished(s, s"$work/lake")
+      .groupBy(col("flag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("n_neg"))
+      .withColumn("head_over_published", lit(head - published))
+      .orderBy(col("flag"))
+  }
+
+  private val q174Sql =
+    """SELECT o_orderstatus AS flag, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(0 AS BIGINT) AS n_neg,
+      |  CAST(1 AS BIGINT) AS head_over_published
+      |FROM orders
+      |WHERE o_orderkey <= (SELECT 2 * max(o_orderkey) // 3 FROM orders)
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q132_stream_upsert", q132Upsert, None),
     Q("q145_stream_upsert_logged", q145UpsertLogged, None),
     Q("q156_stream_view", q156StreamView, Some(q156Sql)),
+    Q("q174_stream_wap", q174StreamWap, Some(q174Sql)),
     Q("q133_stream_neardup", q133NearDup, None))
 }

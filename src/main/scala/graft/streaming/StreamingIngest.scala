@@ -349,6 +349,56 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streamed upserts behind a WRITE-AUDIT-PUBLISH gate: each
+    * micro-batch lands in the commit log through the exactly-once keyed
+    * upsert as usual, then the NEW version runs the declarative
+    * constraint audit and the table's published pointer
+    * ([[graft.sources.LakeRefs]]) advances only on a clean report.
+    * Consumers following [[graft.sources.LakeRefs.readPublished]] can
+    * never observe a micro-batch that failed its audit — and a failed
+    * batch needs no rollback or dead-letter replumbing: the pointer
+    * simply does not move, and the next clean commit publishes past it
+    * (the poison stays queryable at its unpublished version for
+    * debugging). A replayed batch is a ledger no-op on the upsert side
+    * and skips the publish when the pointer already covers its version,
+    * so at-least-once delivery cannot double-publish or trip the
+    * monotonicity guard. */
+  def auditedUpsertStream(
+      updates: DataFrame, baseDir: String, keyCols: Seq[String],
+      seqCol: String, partitionCol: String, checkpointDir: String,
+      checks: Seq[graft.ops.Constraints.Check]): StreamingQuery = {
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val keys = keyCols.map(col)
+          val latest = batch
+            .groupBy(keys: _*)
+            .agg(max(struct(col(seqCol) +: batch.columns.filterNot(c =>
+              keyCols.contains(c) || c == seqCol).map(col) :_*)).as("__v"))
+            .select(keys ++ batch.columns.filterNot(keyCols.contains).map(c =>
+              col(s"__v.$c").as(c)) :_*)
+          val snap = graft.sources.CommitLog.upsertOrCreate(
+            s, latest, baseDir, keyCols, partitionCol,
+            seqCol = Some(seqCol), batchId = Some(batchId))
+          // replay guard: the pointer may already cover this version —
+          // publishing it again would (correctly) trip the monotone check
+          val already = graft.sources.LakeRefs.publishedVersion(s, baseDir)
+            .exists(_ >= snap.version)
+          val ok =
+            if (already) true
+            else graft.sources.LakeRefs.publishAudited(
+              s, baseDir, snap.version, checks)._1
+          println(s"[audited-upsert-stream] batch=$batchId at version " +
+            s"${snap.version}; published=$ok")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Event-time analytics over the flows stream (the reference's 15-minute
     * slots as real tumbling windows + watermarked late-data handling).
     * `flowsWithTs` must carry a `slot_ts` timestamp column. */
