@@ -186,12 +186,23 @@ object DedupIndex {
     * (each row the NEW full text of an added or edited doc; an
     * empty/token-free text removes the doc). The postings swap is one
     * atomic doc_id-probed [[CommitLog.replaceWhere]]; the terms table
-    * absorbs the df DELTA of the affected vocabulary only; the new
-    * family cut then commits through the txn manifest — a reader
-    * pinned through [[search]] sees the old consistent cut until the
-    * txn lands. Deltas derive from the current snapshot, so re-running
-    * after a crash (or replaying the same batch) converges to the same
-    * state. */
+    * is then recomputed ABSOLUTELY for the affected vocabulary from the
+    * just-committed postings (exact per probed term — a Bloom negative
+    * is definitive); the new family cut finally commits through the txn
+    * manifest — a reader pinned through [[search]] sees the old
+    * consistent cut until the txn lands.
+    *
+    * Absolute-recompute rather than delta, deliberately: a crash
+    * between the two table commits leaves latest-postings newer than
+    * latest-terms, and a delta re-derived on replay would then be zero
+    * — freezing the stale frequencies forever. The affected vocabulary
+    * is the union of the changed docs' NEW tokens, their postings at
+    * the CURRENT snapshot, and their postings at the txn-PINNED
+    * snapshot — the last term covers exactly the pre-crash image, so
+    * replaying the same batch repairs any partial application. (Stale
+    * frequencies never threaten losslessness — the prefix lemma holds
+    * for ANY (|A|−⌈t·|A|⌉+1)-subset — they only cost candidate
+    * selectivity; convergence is still part of the contract.) */
   def update(spark: SparkSession, dir: String,
       changedDocs: DataFrame): Unit = {
     val pSnap = CommitLog.latest(spark, postingsDir(dir)).getOrElse(
@@ -209,21 +220,16 @@ object DedupIndex {
       .select(col("id").as("doc_id"), col("sz"), explode(col("toks")).as("term"))
       .select(col("term"), col("doc_id"), col("sz"))
       .localCheckpoint(eager = false)
-    val oldPost = CommitLog.scanPointsIn(spark, postingsDir(dir),
-      "doc_id", ids)._1
-      .filter(col("doc_id").isInCollection(ids))
-      .localCheckpoint(eager = false)
-    // df delta per affected term (new minus old presence counts)
-    val delta = newPost.groupBy(col("term")).agg(count(lit(1)).as("add"))
-      .join(oldPost.groupBy(col("term")).agg(count(lit(1)).as("sub")),
-        Seq("term"), "full_outer")
-      .select(col("term"),
-        (coalesce(col("add"), lit(0L)) - coalesce(col("sub"), lit(0L)))
-          .as("d"))
-      .filter(col("d") =!= 0L)
-      .localCheckpoint(eager = false)
-    val affected = delta.select(col("term")).collect()
-      .map(_.getString(0)).toSeq // affected vocabulary — churn-bounded
+    def termsOfIdsAt(v: Long): Seq[String] =
+      CommitLog.scanPointsInAt(spark, postingsDir(dir), v, "doc_id", ids)._1
+        .filter(col("doc_id").isInCollection(ids))
+        .select(col("term")).distinct().collect().map(_.getString(0)).toSeq
+    val pinnedV = LakeTxn.pinOf(spark, txnDir(dir), postingsDir(dir))
+    val affected = (
+      newPost.select(col("term")).distinct().collect().map(_.getString(0)) ++
+        termsOfIdsAt(pSnap.version) ++
+        (if (pinnedV == pSnap.version) Nil else termsOfIdsAt(pinnedV))
+      ).distinct.toSeq // churn-bounded: the changed docs' vocabulary
     val pv = CommitLog.replaceWhere(spark, postingsDir(dir),
       col("doc_id").isInCollection(ids), newPost,
       probe = Some(("doc_id", ids)),
@@ -231,16 +237,13 @@ object DedupIndex {
     val tv =
       if (affected.isEmpty) tSnap.version
       else {
-        val oldRows = CommitLog.scanPointsIn(spark, termsDir(dir),
+        // exact df over the POST-commit postings for the affected terms
+        val dfNew = CommitLog.scanPointsInAt(spark, postingsDir(dir), pv,
           "term", affected)._1
           .filter(col("term").isInCollection(affected))
-        val newRows = oldRows.join(delta, Seq("term"), "full_outer")
-          .select(col("term"),
-            (coalesce(col("df"), lit(0L)) + coalesce(col("d"), lit(0L)))
-              .as("df"))
-          .filter(col("df") > 0L)
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
         CommitLog.replaceWhere(spark, termsDir(dir),
-          col("term").isInCollection(affected), newRows,
+          col("term").isInCollection(affected), dfNew,
           probe = Some(("term", affected)),
           expectedVersion = Some(tSnap.version)).version
       }

@@ -102,6 +102,36 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(postRows(incDir) == postRows(refDir))
   }
 
+  test("replaying an update repairs a partially-applied one (terms recompute absolutely)") {
+    val base = Files.createTempDirectory("graft_dedupidx5_").toString
+    val incDir = s"$base/inc"
+    val refDir = s"$base/ref"
+    val old = corpus(20)
+    DedupIndex.build(spark, old, "doc_id", "text", incDir, numFiles = 2)
+    val newText = "the w90 w91 w92"
+    // simulate the crash window of an update of doc 5: its POSTINGS
+    // commit landed, the terms recompute and the txn cut did not —
+    // latest postings are now ahead of both the terms table and the pin
+    val partial = Seq("the", "w90", "w91", "w92")
+      .map(t => (t, 5L, 4)).toDF("term", "doc_id", "sz")
+    CommitLog.replaceWhere(spark, s"$incDir/postings",
+      col("doc_id") === 5L, partial, probe = Some(("doc_id", Seq(5L))))
+    // the at-least-once replay of the same batch must repair everything
+    DedupIndex.update(spark, incDir,
+      Seq((5L, newText)).toDF("doc_id", "text"))
+    val post = old.filter($"doc_id" =!= 5L)
+      .unionByName(Seq((5L, newText)).toDF("doc_id", "text"))
+    DedupIndex.build(spark, post, "doc_id", "text", refDir, numFiles = 2)
+    def termRows(d: String): Set[(String, Long)] =
+      CommitLog.read(spark, s"$d/terms").as[(String, Long)].collect().toSet
+    def postRows(d: String): Set[(String, Long, Int)] =
+      CommitLog.read(spark, s"$d/postings")
+        .as[(String, Long, Int)].collect().toSet
+    assert(postRows(incDir) == postRows(refDir))
+    assert(termRows(incDir) == termRows(refDir),
+      "terms must converge even though the replayed postings delta is zero")
+  }
+
   test("serving follows the txn pin: a postings commit without a txn cut stays invisible") {
     val dir = Files.createTempDirectory("graft_dedupidx4_").toString + "/idx"
     val old = corpus(20)
