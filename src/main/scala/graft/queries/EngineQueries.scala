@@ -1052,6 +1052,56 @@ object EngineQueries {
       |FROM orders
       |GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // ------------------------------------------------- q175_meta_distinct
+  // Metadata-plane COUNT(DISTINCT): per-file theta sketches ride the
+  // commit (thetaCols at init), so distinct counts — the third
+  // aggregate class beside count/min/max and quantiles — merge from
+  // the kilobyte manifest with zero data files opened, globally or per
+  // partition. Below the 2^lgK nominal the theta sketch is in EXACT
+  // mode (deterministic integers), so the DuckDB oracle runs the real
+  // COUNT(DISTINCT) and the hash must match. Two-commit fixture (init +
+  // upsert) pins post-upsert freshness of the sketch manifest.
+  private val q175Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q175Lake(s: SparkSession, d: String): String =
+    q175Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q175_")
+      val lake = s"$work/lake"
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      val k = Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
+      ords.filter(col("o_orderkey") <= k / 2)
+        .write.partitionBy("flag").parquet(lake)
+      graft.sources.CommitLog.init(s, lake,
+        statsCols = Seq("o_orderkey"),
+        thetaCols = Seq("o_custkey", "o_orderkey"), thetaLgK = 21)
+      graft.sources.CommitLog.upsert(s,
+        ords.filter(col("o_orderkey") > k / 2), lake,
+        Seq("o_orderkey"), "flag")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q175MetaDistinct(s: SparkSession, d: String): DataFrame =
+    graft.sources.CommitLog.distinctAggByPartition(s, q175Lake(s, d),
+        Seq("o_custkey", "o_orderkey"))
+      .select(col("flag"),
+        col("distinct_o_custkey").as("n_cust"),
+        col("distinct_o_orderkey").as("n_keys"))
+      .orderBy(col("flag"))
+
+  private val q175Sql =
+    """SELECT o_orderstatus AS flag,
+      |  count(DISTINCT o_custkey) AS n_cust,
+      |  count(DISTINCT o_orderkey) AS n_keys
+      |FROM orders
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
   // ------------------------------------------------------ q166_restore
   // Version rollback as an operational verb (CommitLog.restore): the
   // fixture seeds a status-partitioned orders slice, publishes a BAD
@@ -1458,6 +1508,7 @@ object EngineQueries {
     Q("q169_merge", q169Merge, Some(q169Sql)),
     Q("q170_wap", q170Wap, Some(q170Sql)),
     Q("q171_meta_groupby", q171MetaGroupby, Some(q171Sql)),
+    Q("q175_meta_distinct", q175MetaDistinct, Some(q175Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

@@ -92,7 +92,9 @@ object CommitLog {
       props: Map[String, String] = Map.empty,
       partCols: Seq[String] = Nil,
       committedAt: Long = 0L,
-      batchFloor: Long = -1L)
+      batchFloor: Long = -1L,
+      thetaCols: Seq[String] = Nil,
+      thetaLgK: Int = 14)
 
   /** How many batch ids a version file carries verbatim. Streaming
     * batch ids are monotone per writer, so the exactly-once ledger does
@@ -126,7 +128,8 @@ object CommitLog {
         ("sketchCols" -> s.sketchCols) ~ ("schemaJson" -> s.schemaJson) ~
         ("bloomCols" -> s.bloomCols) ~ ("bloomExpect" -> s.bloomExpect) ~
         ("props" -> s.props) ~ ("partCols" -> s.partCols) ~
-        ("committedAt" -> s.committedAt) ~ ("batchFloor" -> s.batchFloor)))
+        ("committedAt" -> s.committedAt) ~ ("batchFloor" -> s.batchFloor) ~
+        ("thetaCols" -> s.thetaCols) ~ ("thetaLgK" -> s.thetaLgK)))
   }
 
   private def parse(text: String): Snapshot = {
@@ -148,7 +151,9 @@ object CommitLog {
       (j \ "props").extractOpt[Map[String, String]].getOrElse(Map.empty),
       (j \ "partCols").extractOpt[Seq[String]].getOrElse(Nil),
       (j \ "committedAt").extractOpt[Long].getOrElse(0L),
-      (j \ "batchFloor").extractOpt[Long].getOrElse(-1L))
+      (j \ "batchFloor").extractOpt[Long].getOrElse(-1L),
+      (j \ "thetaCols").extractOpt[Seq[String]].getOrElse(Nil),
+      (j \ "thetaLgK").extractOpt[Int].getOrElse(14))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -479,10 +484,11 @@ object CommitLog {
     * directly. */
   private def relStats(spark: SparkSession, dir: String, rels: Seq[String],
       cols: Seq[String], sketchCols: Seq[String],
-      bloomCols: Seq[String] = Nil, bloomExpect: Long = 1L << 20): DataFrame = {
+      bloomCols: Seq[String] = Nil, bloomExpect: Long = 1L << 20,
+      thetaCols: Seq[String] = Nil, thetaLgK: Int = 14): DataFrame = {
     val base = hadoopFs(spark, dir).makeQualified(new Path(dir)).toUri.getPath
     DataSkipping.fileStats(spark, dir, absolute(dir, rels), cols, sketchCols,
-        bloomCols, bloomExpect)
+        bloomCols, bloomExpect, thetaCols, thetaLgK)
       .withColumn("file", regexp_replace(col("file"),
         "^.*" + java.util.regex.Pattern.quote(base) + "/", ""))
   }
@@ -515,7 +521,7 @@ object CommitLog {
     val v = prev.version + 1
     val manifestRel =
       if (prev.statsCols.isEmpty && prev.sketchCols.isEmpty &&
-        prev.bloomCols.isEmpty) None
+        prev.bloomCols.isEmpty && prev.thetaCols.isEmpty) None
       else {
         val tag = java.util.UUID.randomUUID.toString.take(8)
         val rel = f"manifest-v$v%020d-$tag.parquet"
@@ -532,7 +538,8 @@ object CommitLog {
         val fresh =
           if (newRels.isEmpty) None
           else Some(relStats(spark, dir, newRels, prev.statsCols,
-            prev.sketchCols, prev.bloomCols, prev.bloomExpect))
+            prev.sketchCols, prev.bloomCols, prev.bloomExpect,
+            prev.thetaCols, prev.thetaLgK))
         val merged = (kept.toSeq ++ fresh).reduce(_ unionByName _)
         merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
           .parquet(s"$dir/$LogDirName/$rel")
@@ -555,7 +562,8 @@ object CommitLog {
       // query result path, so clock skew costs time-travel precision,
       // not correctness
       System.currentTimeMillis(),
-      floorB)
+      floorB,
+      prev.thetaCols, prev.thetaLgK)
     casWrite(f, versionFile(dir, v), render(snap))
     snap
   }
@@ -596,7 +604,9 @@ object CommitLog {
       bloomCols: Seq[String] = Nil,
       bloomExpect: Long = 1L << 20,
       initBatches: Seq[Long] = Nil,
-      props: Map[String, String] = Map.empty): Snapshot = {
+      props: Map[String, String] = Map.empty,
+      thetaCols: Seq[String] = Nil,
+      thetaLgK: Int = 14): Snapshot = {
     val f = hadoopFs(spark, dir)
     require(versionNumbers(f, dir).isEmpty, s"$dir already has a commit log")
     f.mkdirs(logPath(dir))
@@ -608,7 +618,8 @@ object CommitLog {
       .option("mergeSchema", "true")
       .parquet(absolute(dir, rels): _*).schema.json
     val seed = Snapshot(0L, Nil, Nil, statsCols, None, "init", sketchCols,
-      None, bloomCols, bloomExpect)
+      None, bloomCols, bloomExpect, thetaCols = thetaCols,
+      thetaLgK = thetaLgK)
     // props ride the FIRST commit: a derived table whose rows and summary
     // properties must exist together (an index's corpus globals) gets
     // both in one crash-atomic step instead of init + setProps
@@ -1377,6 +1388,65 @@ object CommitLog {
         (sum(col("rows")) - sum(col(s"nulls_$c"))).as(s"count_$c"))
     }
     spark.read.parquet(s"$dir/$LogDirName/$m").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Metadata-plane DISTINCT counts: per-file theta sketches committed
+    * with the manifest (declare `thetaCols` at [[init]]) merge into
+    * `count(distinct c)` with zero data files opened — the third
+    * aggregate class the manifest answers, beside count/min/max
+    * ([[statsAgg]]) and quantiles ([[quantiles]]). Below the sketch's
+    * 2^lgK nominal the answer is EXACT and deterministic (theta exact
+    * mode — [[graft.functions.NativeSketches.ThetaAgg]]); above it, a
+    * mergeable estimate at the configured relative error, same contract
+    * as q147's set algebra. Freshness is structural: the sketches are
+    * pinned to the version that committed them. */
+  def distinctAgg(spark: SparkSession, dir: String,
+      cols: Seq[String]): DataFrame = {
+    val (man, s) = thetaManifest(spark, dir, cols)
+    val aggs = cols.map { c =>
+      round(graft.functions.NativeSketches.thetaEstimate(
+        graft.functions.NativeSketches.thetaUnionAgg(
+          col(s"theta_$c"), s.thetaLgK))).cast("long")
+        .as(s"distinct_$c")
+    }
+    man.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[distinctAgg]] grouped by the hive partition columns (values
+    * recovered from the manifest paths, as in [[statsAggByPartition]]). */
+  def distinctAggByPartition(spark: SparkSession, dir: String,
+      cols: Seq[String]): DataFrame = {
+    val (man0, s) = thetaManifest(spark, dir, cols)
+    val partCols = partColsOf(s)
+    require(partCols.nonEmpty,
+      s"$dir is unpartitioned — use distinctAgg for the global rollup")
+    val unescape = udf((v: String) =>
+      if (v == null || v == DefaultPartition) null
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(v))
+    val man = partCols.foldLeft(man0) { (df, pc) =>
+      df.withColumn(pc, unescape(regexp_extract(col("file"),
+        "(?:^|/)" + java.util.regex.Pattern.quote(pc) + "=([^/]*)/", 1)))
+    }
+    val aggs = cols.map { c =>
+      round(graft.functions.NativeSketches.thetaEstimate(
+        graft.functions.NativeSketches.thetaUnionAgg(
+          col(s"theta_$c"), s.thetaLgK))).cast("long")
+        .as(s"distinct_$c")
+    }
+    man.groupBy(partCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def thetaManifest(spark: SparkSession, dir: String,
+      cols: Seq[String]): (DataFrame, Snapshot) = {
+    val s = mustLatest(spark, dir)
+    val missing = cols.filterNot(s.thetaCols.contains)
+    require(missing.isEmpty,
+      s"$dir tracks no theta sketch for ${missing.mkString(",")} " +
+        s"(thetaCols=${s.thetaCols})")
+    val m = s.manifest.getOrElse(throw new IllegalStateException(
+      s"$dir version ${s.version} carries no manifest"))
+    (spark.read.parquet(s"$dir/$LogDirName/$m"), s)
   }
 
   /** GROUPED metadata-plane aggregates: per-PARTITION exact

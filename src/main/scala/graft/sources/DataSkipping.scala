@@ -214,7 +214,9 @@ object DataSkipping {
       files: Seq[String], cols: Seq[String],
       sketchCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      bloomExpect: Long = 1L << 20): DataFrame = {
+      bloomExpect: Long = 1L << 20,
+      thetaCols: Seq[String] = Nil,
+      thetaLgK: Int = 14): DataFrame = {
     val aggs = (count(lit(1)).as("rows") +: cols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
@@ -222,6 +224,9 @@ object DataSkipping {
       graft.functions.NativeSketches.kllAgg(col(c), 200).as(s"kll_$c")
     } ++ bloomCols.map { c =>
       graft.functions.NativeBloom.bloomAgg(col(c), bloomExpect).as(s"bloom_$c")
+    } ++ thetaCols.map { c =>
+      graft.functions.NativeSketches.thetaAgg(col(c), thetaLgK)
+        .as(s"theta_$c")
     }
     // input_file_name() is URI-encoded; store the canonical RAW path so
     // manifest rows compare and read back against snapshot rels exactly

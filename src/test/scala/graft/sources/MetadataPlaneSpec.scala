@@ -134,6 +134,46 @@ class MetadataPlaneSpec extends AnyFunSuite {
     }
   }
 
+  test("distinctAgg answers count(distinct) exactly from the manifest, per partition, through upserts, with data files gone") {
+    val dir = s"${tmp("graft_distinct_")}/lake"
+    spark.range(0, 3000)
+      .select($"id".as("k"), ($"id" % 137).as("u"),
+        concat(lit("g"), ($"id" % 3).cast("long")).as("pd"))
+      .repartition(4)
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir, thetaCols = Seq("k", "u"), thetaLgK = 14)
+    // freshness: a second commit adds new keys and new u values to g0
+    CommitLog.upsert(spark,
+      spark.range(9000, 9100).select($"id".as("k"), ($"id" % 211).as("u"),
+        lit("g0").as("pd")),
+      dir, Seq("k"), "pd")
+    val expectGlobal = CommitLog.read(spark, dir)
+      .agg(countDistinct($"k").as("dk"), countDistinct($"u").as("du"))
+      .as[(Long, Long)].head()
+    val expectGrouped = CommitLog.read(spark, dir)
+      .groupBy($"pd").agg(countDistinct($"k").as("dk"),
+        countDistinct($"u").as("du"))
+      .as[(String, Long, Long)].collect().toSet
+    def global() = CommitLog.distinctAgg(spark, dir, Seq("k", "u"))
+      .as[(Long, Long)].head()
+    def grouped() = CommitLog.distinctAggByPartition(spark, dir, Seq("k", "u"))
+      .select($"pd", $"distinct_k", $"distinct_u")
+      .as[(String, Long, Long)].collect().toSet
+    assert(global() == expectGlobal)
+    assert(grouped() == expectGrouped)
+    // the brutal proof again: the metadata plane answers without data
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommitLog.latest(spark, dir).get.files.foreach { rel =>
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+    }
+    assert(global() == expectGlobal)
+    assert(grouped() == expectGrouped)
+    intercept[IllegalArgumentException] {
+      CommitLog.distinctAgg(spark, dir, Seq("pd"))
+    }
+  }
+
   test("statsAgg refuses untracked columns") {
     val dir = s"${tmp("graft_statsagg2_")}/lake"
     Seq((1L, 2L)).toDF("k", "x").write.parquet(dir)
