@@ -485,6 +485,12 @@ object Graft {
       * zero data files opened at any lake size. */
     def statsByPartition(cols: Seq[String]): DataFrame =
       CommitLog.statsAggByPartition(spark, dir, cols)
+    /** COUNT(DISTINCT) from the committed theta sketches (exact below
+      * the sketch nominal) — zero data files opened. */
+    def distinct(cols: Seq[String]): DataFrame =
+      CommitLog.distinctAgg(spark, dir, cols)
+    def distinctByPartition(cols: Seq[String]): DataFrame =
+      CommitLog.distinctAggByPartition(spark, dir, cols)
     /** Immutably bind a tag name to a version (reproducibility anchor;
       * vacuum keeps it readable). */
     def tag(name: String, version: Long): Unit =
