@@ -78,6 +78,19 @@ object DedupIndex {
   def exists(spark: SparkSession, dir: String): Boolean =
     CommitLog.latest(spark, postingsDir(dir)).isDefined
 
+  /** Retention for the whole index family: vacuum both participants
+    * WITHOUT breaking readers pinned through the txn manifest (the
+    * pinned cut always stays readable), then prune old manifests.
+    * Returns the reclaimed data files. */
+  def vacuum(spark: SparkSession, dir: String,
+      keepManifests: Int = 8): Seq[String] = {
+    val freed =
+      LakeTxn.vacuumParticipant(spark, txnDir(dir), postingsDir(dir)) ++
+        LakeTxn.vacuumParticipant(spark, txnDir(dir), termsDir(dir))
+    LakeTxn.vacuumManifests(spark, txnDir(dir), keepManifests)
+    freed
+  }
+
   /** Tokenize `docs` once and publish the index family at `dir` (fresh
     * directory): postings + term frequencies + the txn manifest pinning
     * them as one consistent cut. */

@@ -891,7 +891,12 @@ object CommitLog {
     *   3. else KEPT unchanged;
     *
     * and each source row with no match INSERTS when `insertWhen` holds.
-    * Unmatched target rows always survive. Conditions are SQL boolean
+    * Unmatched target rows survive — unless the optional
+    * `notMatchedBySourceDeleteWhen` clause (Delta's sync/retention
+    * family) fires on them; that clause judges rows the source does NOT
+    * name, so it opts the merge into a full-table read and a
+    * whole-table conflict unit, stated in its own doc below.
+    * Conditions are SQL boolean
     * expressions over BOTH row images, referenced as `t.<col>` (target)
     * and `s.<col>` (source); a NULL condition is false (no silent
     * clause-fire on three-valued logic).
@@ -910,7 +915,8 @@ object CommitLog {
       updateWhen: Option[String] = Some("true"),
       deleteWhen: Option[String] = None,
       insertWhen: Option[String] = Some("true"),
-      batchId: Option[Long] = None): Snapshot = {
+      batchId: Option[Long] = None,
+      notMatchedBySourceDeleteWhen: Option[String] = None): Snapshot = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val s = mustLatest(spark, dir)
     if (batchId.exists(inLedger(s, _))) {
@@ -929,8 +935,15 @@ object CommitLog {
     val parts = source.select(col(partitionCol)).distinct().collect()
       .map(_.get(0)).toSeq // one value per touched partition — small
     val partDirs = parts.map(partDirOf(partitionCol, _)).toSet
+    // the WHEN NOT MATCHED BY SOURCE clause (Delta's sync/retention
+    // family: "delete every target row the source no longer carries",
+    // gated by a t.*-only condition) judges rows the source does NOT
+    // name — so partition pruning is unsound for it and the merge must
+    // read the WHOLE table. The clause opts into that cost explicitly;
+    // the three source-driven clauses keep the pruned read.
     val (touched, _) =
-      s.files.partition(f => partDirs.exists(d => f.startsWith(d + "/")))
+      if (notMatchedBySourceDeleteWhen.isDefined) (s.files, Nil)
+      else s.files.partition(f => partDirs.exists(d => f.startsWith(d + "/")))
     val old0 =
       if (touched.isEmpty) source.filter(lit(false))
       else readFiles(spark, dir, s, touched)
@@ -951,6 +964,8 @@ object CommitLog {
     // 0 = drop, 1 = keep target image, 2 = take source image
     val take = when(matched && fires(deleteWhen), lit(0))
       .when(matched && fires(updateWhen), lit(2))
+      .when(tPresent && !sPresent &&
+        fires(notMatchedBySourceDeleteWhen), lit(0))
       .when(tPresent, lit(1))
       .when(fires(insertWhen), lit(2))
       .otherwise(lit(0))
@@ -961,8 +976,14 @@ object CommitLog {
         when(col("__take") === 2, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
       }: _*)
     val newRels = stageWrite(spark, dir, post, Seq(partitionCol))
+    // full-table clause ⇒ whole-table conflict unit (like compact): any
+    // concurrent data commit invalidates the not-matched judgment
+    val touchedParts =
+      if (notMatchedBySourceDeleteWhen.isDefined)
+        s.files.map(partOf).toSet ++ partDirs ++ newRels.map(partOf)
+      else partDirs ++ newRels.map(partOf)
     commitRebase(spark, dir,
-      StagedUpsert(s, partDirs ++ newRels.map(partOf), touched.toSet,
+      StagedUpsert(s, touchedParts, touched.toSet,
         newRels, batchId, Some(source.schema.json)),
       "merge", maxRetries = 10)
   }

@@ -132,6 +132,20 @@ class DedupIndexSpec extends AnyFunSuite {
       "terms must converge even though the replayed postings delta is zero")
   }
 
+  test("family vacuum keeps the pinned cut servable after churn") {
+    val dir = Files.createTempDirectory("graft_dedupidx6_").toString + "/idx"
+    val old = corpus(20)
+    DedupIndex.build(spark, old, "doc_id", "text", dir, numFiles = 2)
+    DedupIndex.update(spark, dir,
+      Seq((3L, "the w95 w96 w97")).toDF("doc_id", "text"))
+    DedupIndex.update(spark, dir,
+      Seq((3L, "the w95 w96 w98")).toDF("doc_id", "text"))
+    DedupIndex.vacuum(spark, dir)
+    val probe = Seq((9000L, "the w95 w96 w98")).toDF("doc_id", "text")
+    val hits = served(dir, probe, 0.7)
+    assert(hits.exists(_._2 == 3L), s"pinned cut must stay servable: $hits")
+  }
+
   test("serving follows the txn pin: a postings commit without a txn cut stays invisible") {
     val dir = Files.createTempDirectory("graft_dedupidx4_").toString + "/idx"
     val old = corpus(20)

@@ -123,6 +123,40 @@ class MergeSpec extends AnyFunSuite {
     assert(out.filter($"note".isNotNull).count() == 1L)
   }
 
+  test("whenNotMatchedBySource delete fires across ALL partitions, gated per row") {
+    val dir = freshLake()
+    // source names only keys 50..99 (partition p0); the sync clause must
+    // judge unmatched rows in EVERY partition, not just the source's
+    val src = spark.range(50, 100)
+      .select($"id".as("k"), ($"id" % 100 + 1000).as("v"), lit("p0").as("pd"))
+    CommitLog.merge(spark, dir, src, Seq("k"), "pd",
+      updateWhen = Some("true"),
+      notMatchedBySourceDeleteWhen = Some("t.v % 2 = 0"))
+    val st = state(dir)
+    (50 to 99).foreach(k => assert(st(k.toLong)._1 == k + 1000L, s"k=$k updated"))
+    ((0 to 49) ++ (100 to 299)).foreach { k =>
+      if (k % 100 % 2 == 0) assert(!st.contains(k.toLong), s"k=$k sync-deleted")
+      else assert(st(k.toLong)._1 == (k % 100).toLong, s"k=$k survives (odd v)")
+    }
+    assert(st.size == 50 + 25 + 100)
+  }
+
+  test("without the not-matched-by-source clause, untouched partitions are never read or rewritten") {
+    // negative control for the full-table opt-in: the plain three-clause
+    // merge keeps partition pruning (already pinned by the COW test) and
+    // the sync clause alone forces the wide read
+    val dir = freshLake()
+    def files(): Set[String] =
+      CommitLog.latestFiles(spark, dir).get._2.toSet
+    val before = files().filter(_.contains("pd=p2"))
+    CommitLog.merge(spark, dir,
+      Seq((5L, 1L, "p0")).toDF("k", "v", "pd"), Seq("k"), "pd",
+      notMatchedBySourceDeleteWhen = Some("t.k = 250"))
+    assert(!state(dir).contains(250L), "sync delete must reach p2")
+    assert(files().filter(_.contains("pd=p2")) != before,
+      "the sync clause rewrites the partitions it judged")
+  }
+
   test("insert-only merge into empty partitions stages new files; source-only rows respect insertWhen") {
     val dir = freshLake()
     val src = Seq((1000L, 1L, "p9"), (1001L, 2L, "p9")).toDF("k", "v", "pd")
