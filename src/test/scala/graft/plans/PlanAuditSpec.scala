@@ -235,6 +235,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("/lake"), s"base lake still scanned:\n$p")
   }
 
+  test("q171: per-partition rollup reads ONLY the committed manifest — no lake data file in the plan") {
+    val p = planOf("q171_meta_groupby")
+    assert(p.contains("_graft_log"), s"scan not on the manifest:\n$p")
+    assert(!p.contains("flag="), s"lake data files leaked into the plan:\n$p")
+  }
+
+  test("q175: distinct counts read ONLY the committed manifest — no lake data file in the plan") {
+    val p = planOf("q175_meta_distinct")
+    assert(p.contains("_graft_log"), s"scan not on the manifest:\n$p")
+    assert(!p.contains("flag="), s"lake data files leaked into the plan:\n$p")
+  }
+
   test("q160: index serving never scans the corpus — postings only, broadcast query side") {
     val p = planOf("q160_index_search")
     assert(!p.contains("documents"), s"corpus scanned at serving time:\n$p")
