@@ -157,6 +157,64 @@ class MergeSpec extends AnyFunSuite {
       "the sync clause rewrites the partitions it judged")
   }
 
+  test("property: merge ≡ a row-at-a-time reference model across random tables and clause draws") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // condition templates paired with their Scala mirrors (t.v, s.v)
+    type Cond = (Option[String], (Option[Long], Option[Long]) => Boolean)
+    val never: Cond = (None, (_, _) => false)
+    val always: Cond = (Some("true"), (_, _) => true)
+    val sLow: Cond = (Some("s.v < 50"), (_, s) => s.exists(_ < 50))
+    val sBeatsT: Cond = (Some("s.v > t.v"),
+      (t, s) => (for { a <- s; b <- t } yield a > b).getOrElse(false))
+    val tHigh: Cond = (Some("t.v >= 80"), (t, _) => t.exists(_ >= 80))
+    val sEven: Cond = (Some("s.v % 2 = 0"), (_, s) => s.exists(_ % 2 == 0))
+    val tTiny: Cond = (Some("t.v < 10"), (t, _) => t.exists(_ < 10))
+    val rowsGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 29L), Gen.choose(0L, 99L)))
+    val caseGen = for {
+      target <- rowsGen.suchThat(_.nonEmpty)
+      source <- rowsGen
+      upd <- Gen.oneOf[Cond](never, always, sLow, sBeatsT)
+      del <- Gen.oneOf[Cond](never, tHigh, sBeatsT)
+      ins <- Gen.oneOf[Cond](never, always, sEven)
+      nmbs <- Gen.oneOf[Cond](never, tTiny)
+    } yield (target, source, upd, del, ins, nmbs)
+    val cases = (0 until 8).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(1234L + i)))
+    cases.zipWithIndex.foreach {
+      case ((target, source, upd, del, ins, nmbs), i) =>
+        val dir = Files.createTempDirectory(s"graft_merge_prop$i").toString + "/lake"
+        def pd(k: Long) = s"p${k / 10}"
+        target.toSeq.map { case (k, v) => (k, v, pd(k)) }
+          .toDF("k", "v", "pd").write.partitionBy("pd").parquet(dir)
+        CommitLog.init(spark, dir)
+        CommitLog.merge(spark, dir,
+          source.toSeq.map { case (k, v) => (k, v, pd(k)) }
+            .toDF("k", "v", "pd"),
+          Seq("k"), "pd", updateWhen = upd._1, deleteWhen = del._1,
+          insertWhen = ins._1, notMatchedBySourceDeleteWhen = nmbs._1)
+        // the reference model, one row at a time
+        val expected: Map[Long, Long] =
+          target.flatMap { case (k, tv) =>
+            source.get(k) match {
+              case Some(sv) =>
+                if (del._2(Some(tv), Some(sv))) None
+                else if (upd._2(Some(tv), Some(sv))) Some(k -> sv)
+                else Some(k -> tv)
+              case None =>
+                if (nmbs._2(Some(tv), None)) None else Some(k -> tv)
+            }
+          } ++ source.collect {
+            case (k, sv) if !target.contains(k) && ins._2(None, Some(sv)) =>
+              k -> sv
+          }
+        val got = state(dir).map { case (k, (v, _)) => k -> v }
+        assert(got == expected,
+          s"case $i: upd=${upd._1} del=${del._1} ins=${ins._1} " +
+            s"nmbs=${nmbs._1}\n target=$target\n source=$source")
+    }
+  }
+
   test("insert-only merge into empty partitions stages new files; source-only rows respect insertWhen") {
     val dir = freshLake()
     val src = Seq((1000L, 1L, "p9"), (1001L, 2L, "p9")).toDF("k", "v", "pd")
