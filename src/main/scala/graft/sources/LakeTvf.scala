@@ -94,5 +94,18 @@ object LakeTvf {
       analyzed(s.createDataFrame(
         LakeRefs.tags(s, strArg("graft_lake_tags", args.head)))
         .toDF("tag", "version"))
+    },
+    "graft_lake_stats_by_partition" -> { args =>
+      require(args.size >= 2,
+        "graft_lake_stats_by_partition(dir, col, ...)")
+      analyzed(CommitLog.statsAggByPartition(SparkSession.active,
+        strArg("graft_lake_stats_by_partition", args.head),
+        args.tail.map(strArg("graft_lake_stats_by_partition", _))))
+    },
+    "graft_lake_distinct" -> { args =>
+      require(args.size >= 2, "graft_lake_distinct(dir, col, ...)")
+      analyzed(CommitLog.distinctAggByPartition(SparkSession.active,
+        strArg("graft_lake_distinct", args.head),
+        args.tail.map(strArg("graft_lake_distinct", _))))
     })
 }

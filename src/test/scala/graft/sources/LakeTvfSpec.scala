@@ -121,6 +121,25 @@ class LakeTvfSpec extends AnyFunSuite {
     assert(tags == Seq(("anchor", 1L)))
   }
 
+  test("metadata-plane rollups are reachable from SQL: _stats_by_partition and _distinct") {
+    val work = java.nio.file.Files.createTempDirectory("graft_tvf2_")
+    work.toFile.deleteOnExit()
+    val dir = s"$work/t"
+    spark.range(0, 60).select($"id".as("k"), ($"id" % 7).as("u"),
+        concat(lit("g"), ($"id" % 2).cast("long")).as("pd"))
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir, statsCols = Seq("k"),
+      thetaCols = Seq("u"), thetaLgK = 12)
+    val stats = spark.sql(
+      s"SELECT pd, rows, min_k, max_k FROM graft_lake_stats_by_partition('$dir', 'k')")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(stats == Set(("g0", 30L, 0L, 58L), ("g1", 30L, 1L, 59L)))
+    val dst = spark.sql(
+      s"SELECT pd, distinct_u FROM graft_lake_distinct('$dir', 'u')")
+      .as[(String, Long)].collect().toSet
+    assert(dst == Set(("g0", 7L), ("g1", 7L)))
+  }
+
   test("non-literal arguments fail loudly") {
     val dir = fixture()
     val e = intercept[Exception] {
