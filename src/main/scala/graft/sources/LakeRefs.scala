@@ -184,6 +184,19 @@ object LakeRefs {
       case None => CommitLog.read(spark, dir)
     }
 
+  /** The publish audit trail: every pointer advance as (seq, version),
+    * oldest first. The p-file series is append-only, so this is the
+    * "who went live when" record WAP workflows audit; unreadable (torn)
+    * pointer files surface as null versions rather than vanishing. */
+  def publishHistory(spark: SparkSession, dir: String): Seq[(Long, Option[Long])] = {
+    val f = fs(spark, dir)
+    pubSeqs(f, dir).map { n =>
+      val p = new Path(refsPath(dir, "published"), f"p$n%020d.json")
+      n -> (try Some(readText(f, p).trim.toLong)
+        catch { case _: Exception => None })
+    }
+  }
+
   /** Every version a ref currently pins: all tags plus the CURRENT
     * published pointer. [[CommitLog.vacuum]] keeps these readable
     * regardless of `keepLast` — a ref is a promise. Superseded publish

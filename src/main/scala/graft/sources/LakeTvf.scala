@@ -95,6 +95,22 @@ object LakeTvf {
         LakeRefs.tags(s, strArg("graft_lake_tags", args.head)))
         .toDF("tag", "version"))
     },
+    "graft_lake_publish_history" -> { args =>
+      require(args.size == 1, "graft_lake_publish_history(dir)")
+      val s = SparkSession.active
+      val rows = LakeRefs.publishHistory(s,
+          strArg("graft_lake_publish_history", args.head))
+        .map { case (n, v) =>
+          org.apache.spark.sql.Row(n, v.map(Long.box).orNull)
+        }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("seq",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      analyzed(s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema))
+    },
     "graft_lake_stats_by_partition" -> { args =>
       require(args.size >= 2,
         "graft_lake_stats_by_partition(dir, col, ...)")

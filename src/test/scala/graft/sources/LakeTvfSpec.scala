@@ -119,6 +119,11 @@ class LakeTvfSpec extends AnyFunSuite {
     val tags = spark.sql(s"SELECT tag, version FROM graft_lake_tags('$dir')")
       .as[(String, Long)].collect().toSeq
     assert(tags == Seq(("anchor", 1L)))
+    // the publish audit trail: one advance so far, to version 1
+    val hist = spark.sql(
+      s"SELECT seq, version FROM graft_lake_publish_history('$dir')")
+      .as[(Long, Long)].collect().toSeq
+    assert(hist == Seq((1L, 1L)))
   }
 
   test("metadata-plane rollups are reachable from SQL: _stats_by_partition and _distinct") {
