@@ -463,6 +463,11 @@ object Graft {
       ()
     }
     def delete(cond: Column): Unit = { CommitLog.delete(spark, dir, cond); () }
+    /** Merge-on-read delete: tombstone matching rows in a deletion
+      * vector — zero data files rewritten; compaction materializes. */
+    def deleteMor(cond: Column): Unit = {
+      CommitLog.deleteVectors(spark, dir, cond); ()
+    }
     /** Three-clause conditional MERGE in one commit: matched rows delete
       * (first) or update to the source image, unmatched source rows
       * insert — each gated by a SQL condition over `t.*` / `s.*`. */

@@ -1052,6 +1052,50 @@ object EngineQueries {
       |FROM orders
       |GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // --------------------------------------------------- q176_delete_mor
+  // MERGE-ON-READ delete (CommitLog.deleteVectors): q148's exact
+  // lifecycle — seed, delete the low-price rows, evolve the schema with
+  // a tagging upsert — but the delete is a deletion-vector commit that
+  // rewrites ZERO data files (the write-amplification answer for
+  // frequent small deletes; DeletionVectorSpec pins file identity).
+  // The oracle is q148's own SQL, so the hash-match proves MoR ≡ COW
+  // row for row against the independent engine, through the vector-
+  // filtered read path, the upsert's old-slice merge, and additive
+  // evolution on a vector-carrying table.
+  private val q176Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q176Lake(s: SparkSession, d: String): String =
+    q176Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q176_")
+      val lake = s"$work/lake"
+      val ords = Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      ords.write.partitionBy("flag").parquet(lake)
+      graft.sources.CommitLog.init(s, lake)
+      graft.sources.CommitLog.deleteVectors(s, lake,
+        col("o_totalprice") < 50000.0)
+      val tagged = ords
+        .filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") < 80000.0)
+        .withColumn("band", lit("mid"))
+      graft.sources.CommitLog.upsert(s, tagged, lake, Seq("o_orderkey"), "flag")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q176DeleteMor(s: SparkSession, d: String): DataFrame =
+    graft.sources.CommitLog.read(s, q176Lake(s, d))
+      .groupBy(col("flag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        sum(when(col("band") === "mid", 1L).otherwise(0L)).as("n_mid"))
+      .orderBy(col("flag"))
+
   // ------------------------------------------------- q175_meta_distinct
   // Metadata-plane COUNT(DISTINCT): per-file theta sketches ride the
   // commit (thetaCols at init), so distinct counts — the third
@@ -1509,6 +1553,7 @@ object EngineQueries {
     Q("q170_wap", q170Wap, Some(q170Sql)),
     Q("q171_meta_groupby", q171MetaGroupby, Some(q171Sql)),
     Q("q175_meta_distinct", q175MetaDistinct, Some(q175Sql)),
+    Q("q176_delete_mor", q176DeleteMor, Some(q148Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

@@ -94,7 +94,8 @@ object CommitLog {
       committedAt: Long = 0L,
       batchFloor: Long = -1L,
       thetaCols: Seq[String] = Nil,
-      thetaLgK: Int = 14)
+      thetaLgK: Int = 14,
+      dvs: Seq[String] = Nil)
 
   /** How many batch ids a version file carries verbatim. Streaming
     * batch ids are monotone per writer, so the exactly-once ledger does
@@ -129,7 +130,8 @@ object CommitLog {
         ("bloomCols" -> s.bloomCols) ~ ("bloomExpect" -> s.bloomExpect) ~
         ("props" -> s.props) ~ ("partCols" -> s.partCols) ~
         ("committedAt" -> s.committedAt) ~ ("batchFloor" -> s.batchFloor) ~
-        ("thetaCols" -> s.thetaCols) ~ ("thetaLgK" -> s.thetaLgK)))
+        ("thetaCols" -> s.thetaCols) ~ ("thetaLgK" -> s.thetaLgK) ~
+        ("dvs" -> s.dvs)))
   }
 
   private def parse(text: String): Snapshot = {
@@ -153,7 +155,8 @@ object CommitLog {
       (j \ "committedAt").extractOpt[Long].getOrElse(0L),
       (j \ "batchFloor").extractOpt[Long].getOrElse(-1L),
       (j \ "thetaCols").extractOpt[Seq[String]].getOrElse(Nil),
-      (j \ "thetaLgK").extractOpt[Int].getOrElse(14))
+      (j \ "thetaLgK").extractOpt[Int].getOrElse(14),
+      (j \ "dvs").extractOpt[Seq[String]].getOrElse(Nil))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -254,8 +257,26 @@ object CommitLog {
     * recorded: no per-file footer merging (at a million files the
     * footer pass IS the query), and files written before an additive
     * schema evolution surface the newer columns as null — the parquet
-    * reader fills absent columns when the requested schema names them. */
+    * reader fills absent columns when the requested schema names them.
+    * When the snapshot carries deletion vectors ([[deleteVectors]]),
+    * deleted positions are filtered here — EVERY read path flows
+    * through this method, so MoR deletes are invisible everywhere from
+    * plain reads to upsert's old-slice merge. */
   private def readFiles(spark: SparkSession, dir: String, s: Snapshot,
+      files: Seq[String]): DataFrame = {
+    val raw = rawRead(spark, dir, s, files)
+    if (s.dvs.isEmpty) raw
+    else {
+      val keep = raw.columns.map(col)
+      withFilePos(spark, dir, raw)
+        .join(broadcast(dvRows(spark, dir, s)),
+          col("__dv_f") === col("file") && col("__dv_p") === col("pos"),
+          "left_anti")
+        .select(keep: _*)
+    }
+  }
+
+  private def rawRead(spark: SparkSession, dir: String, s: Snapshot,
       files: Seq[String]): DataFrame = {
     val reader = spark.read.option("basePath", dir)
     s.schemaJson.fold(reader) { j =>
@@ -263,6 +284,25 @@ object CommitLog {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     }.parquet(absolute(dir, files): _*)
   }
+
+  /** Attach each row's physical identity — (dir-relative file, row
+    * position) — from the file source's metadata struct. The position is
+    * the parquet row index, stable for an immutable file by definition. */
+  private def withFilePos(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    val base = hadoopFs(spark, dir).makeQualified(new Path(dir))
+      .toUri.getPath.stripSuffix("/") + "/"
+    val toRel = udf((p: String) =>
+      DataSkipping.rawPath(p).stripPrefix(base))
+    df.withColumn("__dv_f", toRel(col("_metadata.file_path")))
+      .withColumn("__dv_p", col("_metadata.row_index"))
+  }
+
+  /** All committed deletion-vector rows of the snapshot as (file, pos). */
+  private def dvRows(spark: SparkSession, dir: String,
+      s: Snapshot): DataFrame =
+    spark.read.parquet(s.dvs.map(r => s"$dir/$LogDirName/$r"): _*)
+      .select(col("file"), col("pos"))
 
   private def readSnapshot(spark: SparkSession, dir: String,
       s: Snapshot): DataFrame = {
@@ -516,7 +556,8 @@ object CommitLog {
       files: Seq[String], newRels: Seq[String],
       batches: Seq[Long], op: String,
       schemaJson: Option[String] = None,
-      propsDelta: Map[String, String] = Map.empty): Snapshot = {
+      propsDelta: Map[String, String] = Map.empty,
+      dvsNew: Option[Seq[String]] = None): Snapshot = {
     val f = hadoopFs(spark, dir)
     val v = prev.version + 1
     val manifestRel =
@@ -563,7 +604,12 @@ object CommitLog {
       // not correctness
       System.currentTimeMillis(),
       floorB,
-      prev.thetaCols, prev.thetaLgK)
+      prev.thetaCols, prev.thetaLgK,
+      // deletion vectors: an explicit override (delete-mor appends; a
+      // whole-table rewrite clears; restore re-pins) else inherited —
+      // entries naming files this commit removed match nothing and are
+      // swept with the next whole-table rewrite
+      dvsNew.getOrElse(prev.dvs))
     casWrite(f, versionFile(dir, v), render(snap))
     snap
   }
@@ -606,7 +652,8 @@ object CommitLog {
       initBatches: Seq[Long] = Nil,
       props: Map[String, String] = Map.empty,
       thetaCols: Seq[String] = Nil,
-      thetaLgK: Int = 14): Snapshot = {
+      thetaLgK: Int = 14,
+      dvs: Seq[String] = Nil): Snapshot = {
     val f = hadoopFs(spark, dir)
     require(versionNumbers(f, dir).isEmpty, s"$dir already has a commit log")
     f.mkdirs(logPath(dir))
@@ -636,7 +683,8 @@ object CommitLog {
       base: Snapshot, touchedParts: Set[String],
       removed: Set[String], added: Seq[String], batchId: Option[Long],
       schemaJson: Option[String] = None,
-      propsDelta: Map[String, String] = Map.empty)
+      propsDelta: Map[String, String] = Map.empty,
+      dvAppend: Seq[String] = Nil)
 
   /** Partition directory of a dir-relative data file ("" for an
     * unpartitioned layout — there the whole table is one conflict unit). */
@@ -812,7 +860,9 @@ object CommitLog {
       try {
         return commit(spark, dir, s, files, staged.added,
           s.batches ++ staged.batchId, op, staged.schemaJson,
-          staged.propsDelta)
+          staged.propsDelta,
+          if (staged.dvAppend.isEmpty) None
+          else Some(s.dvs ++ staged.dvAppend))
       } catch {
         case e: CommitConflict =>
           attempt += 1
@@ -1004,7 +1054,8 @@ object CommitLog {
       if (partCols.isEmpty) df.repartition(targetPartitions)
       else df.repartition(targetPartitions, partCols.map(col): _*)
     val newRels = stageWrite(spark, dir, repartitioned, partCols)
-    try commit(spark, dir, s, newRels, newRels, s.batches, "compact")
+    try commit(spark, dir, s, newRels, newRels, s.batches, "compact",
+      dvsNew = Some(Nil))
     catch { case e: CommitConflict =>
       throw new IllegalStateException(
         s"compact on $dir lost the commit race (${e.getMessage}) — a " +
@@ -1046,7 +1097,8 @@ object CommitLog {
       .repartitionByRange(targetPartitions, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
     val newRels = stageWrite(spark, dir, clustered, partCols)
-    try commit(spark, dir, s, newRels, newRels, s.batches, "compact")
+    try commit(spark, dir, s, newRels, newRels, s.batches, "compact",
+      dvsNew = Some(Nil))
     catch { case e: CommitConflict =>
       throw new IllegalStateException(
         s"compactClustered on $dir lost the commit race (${e.getMessage})" +
@@ -1083,7 +1135,8 @@ object CommitLog {
     }
     val newRels = stageWrite(spark, dir, replacement, partitionCols)
     try commit(spark, dir, s, newRels, newRels,
-      s.batches ++ batchId.toSeq, "overwrite", Some(replacement.schema.json))
+      s.batches ++ batchId.toSeq, "overwrite", Some(replacement.schema.json),
+      dvsNew = Some(Nil))
     catch { case e: CommitConflict =>
       throw new IllegalStateException(
         s"overwrite on $dir lost the commit race (${e.getMessage}) — " +
@@ -1187,9 +1240,14 @@ object CommitLog {
     require(missing.isEmpty,
       s"cannot restore $dir to version $v — vacuum reclaimed " +
         s"${missing.size} of its files (e.g. ${missing.take(3).mkString(", ")})")
+    val missingDv = old.dvs.filterNot(r =>
+      f.exists(new Path(logPath(dir), r)))
+    require(missingDv.isEmpty,
+      s"cannot restore $dir to version $v — vacuum reclaimed its " +
+        s"deletion vector(s) ${missingDv.mkString(", ")}")
     val readded = old.files.filterNot(cur.files.toSet)
     try commit(spark, dir, cur, old.files, readded, cur.batches, "restore",
-      old.schemaJson)
+      old.schemaJson, dvsNew = Some(old.dvs))
     catch { case e: CommitConflict =>
       throw new IllegalStateException(
         s"restore on $dir lost the commit race (${e.getMessage}) — " +
@@ -1253,6 +1311,65 @@ object CommitLog {
     commitRebase(spark, dir,
       StagedUpsert(s, hitFiles.map(partOf), hitFiles, newRels, None),
       "delete", maxRetries = 10)
+  }
+
+  /** MERGE-ON-READ delete: rows matching `cond` are tombstoned in a
+    * DELETION VECTOR — a small (file, position) parquet under the log —
+    * instead of rewriting the files that hold them. The commit is one
+    * metadata write regardless of how many gigabytes the hit files
+    * span: the write-amplification answer for frequent small deletes
+    * (GDPR per-row purges against TB-size files) where [[delete]]'s
+    * copy-on-write rewrite is the wrong trade. Every read path filters
+    * the vectors (they ride [[readFiles]]), so MoR deletes are exactly
+    * as invisible as COW ones — time travel included (each version pins
+    * the vector list that describes it; [[restore]] re-pins).
+    *
+    * The trade, stated loudly: while vectors are outstanding,
+    *  - reads pay a per-row (file, pos) anti-join against the
+    *    (broadcast, kilobyte-scale) vector set;
+    *  - the per-file stats/sketches still describe the PHYSICAL files,
+    *    so the metadata-plane EXACT answers ([[statsAgg]],
+    *    [[statsAggByPartition]], [[distinctAgg]], [[quantiles]])
+    *    decline loudly rather than silently counting tombstoned rows —
+    *    zone-map/Bloom PRUNING stays sound (bounds only widen;
+    *    predicates re-apply on the filtered read);
+    *  - [[changesBetween]]'s post-image feed does not surface MoR
+    *    deletes (no file changed) — downstream mirrors need a
+    *    compaction (or COW deletes) on the source first.
+    * Any whole-table rewrite ([[compact]], [[compactClustered]],
+    * [[overwrite]]) materializes the deletes and clears the vectors —
+    * compaction is the healing verb that restores the metadata plane.
+    * Same partition-level conflict unit as [[delete]]: positions were
+    * judged against the hit files, so a concurrent rewrite of their
+    * partitions aborts the commit. */
+  def deleteVectors(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column): Snapshot = {
+    val s = mustLatest(spark, dir)
+    if (s.files.isEmpty) return s
+    val live =
+      if (s.dvs.isEmpty) withFilePos(spark, dir, rawRead(spark, dir, s, s.files))
+      else withFilePos(spark, dir, rawRead(spark, dir, s, s.files))
+        .join(broadcast(dvRows(spark, dir, s)),
+          col("__dv_f") === col("file") && col("__dv_p") === col("pos"),
+          "left_anti")
+    val f = hadoopFs(spark, dir)
+    val rel = f"dv-v${s.version + 1}%020d-" +
+      java.util.UUID.randomUUID.toString.take(8) + ".parquet"
+    // null cond must not delete (same 3VL rule as the COW delete)
+    live.filter(coalesce(cond, lit(false)))
+      .select(col("__dv_f").as("file"), col("__dv_p").as("pos"))
+      .coalesce(1).write.parquet(s"$dir/$LogDirName/$rel")
+    val hitFiles = spark.read.parquet(s"$dir/$LogDirName/$rel")
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq // one per file with matches
+    if (hitFiles.isEmpty) {
+      f.delete(new Path(logPath(dir), rel), true)
+      return s
+    }
+    commitRebase(spark, dir,
+      StagedUpsert(s, hitFiles.map(partOf).toSet, Set.empty, Nil, None,
+        dvAppend = Seq(rel)),
+      "delete-mor", maxRetries = 10)
   }
 
   /** Copy-on-write row replacement in ONE atomic commit: rows matching
@@ -1398,6 +1515,10 @@ object CommitLog {
   def statsAgg(spark: SparkSession, dir: String,
       cols: Seq[String]): DataFrame = {
     val s = mustLatest(spark, dir)
+    require(s.dvs.isEmpty,
+      s"$dir has outstanding deletion vectors — the per-file stats " +
+        "still count tombstoned rows; compact to materialize the " +
+        "deletes, then ask again")
     val missing = cols.filterNot(s.statsCols.contains)
     require(missing.isEmpty,
       s"$dir tracks no stats for ${missing.mkString(",")} (statsCols=${s.statsCols})")
@@ -1461,6 +1582,10 @@ object CommitLog {
   private def thetaManifest(spark: SparkSession, dir: String,
       cols: Seq[String]): (DataFrame, Snapshot) = {
     val s = mustLatest(spark, dir)
+    require(s.dvs.isEmpty,
+      s"$dir has outstanding deletion vectors — the per-file stats " +
+        "still count tombstoned rows; compact to materialize the " +
+        "deletes, then ask again")
     val missing = cols.filterNot(s.thetaCols.contains)
     require(missing.isEmpty,
       s"$dir tracks no theta sketch for ${missing.mkString(",")} " +
@@ -1483,6 +1608,10 @@ object CommitLog {
   def statsAggByPartition(spark: SparkSession, dir: String,
       cols: Seq[String]): DataFrame = {
     val s = mustLatest(spark, dir)
+    require(s.dvs.isEmpty,
+      s"$dir has outstanding deletion vectors — the per-file stats " +
+        "still count tombstoned rows; compact to materialize the " +
+        "deletes, then ask again")
     val partCols = partColsOf(s)
     require(partCols.nonEmpty,
       s"$dir is unpartitioned — use statsAgg for the global rollup")
@@ -1611,6 +1740,10 @@ object CommitLog {
       ranks: Seq[Double],
       partitionPrefix: Option[String] = None): Option[Seq[Double]] = {
     val s = mustLatest(spark, dir)
+    require(s.dvs.isEmpty,
+      s"$dir has outstanding deletion vectors — the per-file sketches " +
+        "still cover tombstoned rows; compact to materialize the " +
+        "deletes, then ask again")
     require(s.sketchCols.contains(c),
       s"$dir tracks no quantile sketch for '$c' (sketchCols=${s.sketchCols})")
     val m = s.manifest.getOrElse(throw new IllegalStateException(
@@ -1677,6 +1810,7 @@ object CommitLog {
     val keptSnaps = keepV.flatMap(safeParse)
     val live = keptSnaps.flatMap(_.files).toSet
     val liveManifests = keptSnaps.flatMap(_.manifest).toSet
+    val liveDvs = keptSnaps.flatMap(_.dvs).toSet
     // ONE uniform rule for every dead data file: nothing younger than
     // the age fence is ever deleted. A young dead file may be a live
     // writer's published-but-uncommitted work racing toward its CAS —
@@ -1693,6 +1827,9 @@ object CommitLog {
     dropSnaps.foreach(_.manifest
       .filterNot(liveManifests.contains)
       .foreach(m => f.delete(new Path(logPath(dir), m), true)))
+    dropSnaps.flatMap(_.dvs).distinct
+      .filterNot(liveDvs.contains)
+      .foreach(d => f.delete(new Path(logPath(dir), d), true))
     dropV.foreach(v => f.delete(versionFile(dir, v), false))
     // manifests no version references at all — usually residue of
     // commits that lost their CAS race, but possibly an in-flight
@@ -1701,7 +1838,8 @@ object CommitLog {
     f.listStatus(logPath(dir)).toSeq
       .filter { st =>
         val n = st.getPath.getName
-        n.startsWith("manifest-") && !liveManifests.contains(n) &&
+        ((n.startsWith("manifest-") && !liveManifests.contains(n)) ||
+          (n.startsWith("dv-") && !liveDvs.contains(n))) &&
           now - st.getModificationTime > staleStagingMs
       }
       .foreach(st => f.delete(st.getPath, true))
