@@ -157,10 +157,13 @@ object DedupIndex {
     // batch PPJoin, Dedup.jaccardPairsPrefix)
     val tDec = lit(BigDecimal.valueOf(threshold)
       .setScale(12, scala.math.BigDecimal.RoundingMode.DOWN))
+    // deliberately NOT checkpointed: the double evaluation (prefix-term
+    // collect + candidate join) re-reads only the kilobyte terms slice,
+    // cheaper than parking another persistent RDD per probe batch
+    // (CleanStateSpec bounds the per-query checkpoint budget)
     val prefixes = ranked
       .filter(col("pos") <= col("sz_a") - ceil(tDec * col("sz_a")) + 1)
       .select(col("new_id"), col("term"))
-      .localCheckpoint(eager = false)
     val prefixTerms = prefixes.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (prefixTerms.isEmpty) return emptyResult
