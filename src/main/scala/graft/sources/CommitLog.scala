@@ -458,12 +458,25 @@ object CommitLog {
     if (!(fromV to toV).forall(v => f.exists(versionFile(dir, v)))) return None
     val snaps = (fromV to toV).map(snapshotAt(spark, dir, _))
     Some(snaps.sliding(2).flatMap { case Seq(prev, cur) =>
-      if (cur.op == "compact") Nil
-      else {
-        val p = prev.files.toSet
-        val c = cur.files.toSet
-        ((c -- p) ++ (p -- c)).map(partOf)
-      }
+      val fileDiff: Iterable[String] =
+        if (cur.op == "compact") Nil
+        else {
+          val p = prev.files.toSet
+          val c = cur.files.toSet
+          ((c -- p) ++ (p -- c)).map(partOf)
+        }
+      // a delete-mor commit changes NO files — its touched partitions
+      // live in the appended deletion vectors. Without this, an
+      // incremental view would mark itself fresh across the delete and
+      // keep serving tombstoned rows through the transparent rewrite.
+      val dvNew = cur.dvs.filterNot(prev.dvs.contains)
+      val dvParts: Iterable[String] =
+        if (dvNew.isEmpty) Nil
+        else spark.read
+          .parquet(dvNew.map(r => s"$dir/$LogDirName/$r"): _*)
+          .select(col("file")).distinct()
+          .collect().map(r => partOf(r.getString(0))).toSeq
+      fileDiff ++ dvParts
     }.toSet)
   }
 

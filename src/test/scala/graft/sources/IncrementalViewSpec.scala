@@ -184,6 +184,26 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(versions.size >= 4)
   }
 
+  test("a merge-on-read delete on the base refreshes the view — no stale rollup behind an empty file diff") {
+    val work = tmp()
+    val base = s"$work/base"
+    val view = s"$work/view"
+    seed(base)
+    val d = defOf(base, view)
+    IncrementalView.refresh(spark, d)
+    assert(viewRows(d) == direct(base))
+    // the MoR delete changes NO files — partsBetween must still surface
+    // its touched partitions so the refresh recomputes them; without
+    // that, the view (and the transparent rewrite behind it) would keep
+    // serving tombstoned rows while claiming freshness
+    CommitLog.deleteVectors(spark, base, col("k") < 50)
+    val touched = IncrementalView.refresh(spark, d)
+    assert(touched.nonEmpty, "MoR delete must mark partitions for refresh")
+    assert(viewRows(d) == direct(base))
+    assert(IncrementalView.read(spark, d)
+      .agg(sum("n")).head.getLong(0) == 50L)
+  }
+
   test("definition requires group locality (partitionCol in groupCols)") {
     intercept[IllegalArgumentException] {
       IncrementalView.Definition("b", "v", "p", Seq("k"), Seq(count(lit(1)).as("n")))
