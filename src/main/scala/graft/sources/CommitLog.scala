@@ -270,7 +270,8 @@ object CommitLog {
       val keep = raw.columns.map(col)
       withFilePos(spark, dir, raw)
         .join(broadcast(dvRows(spark, dir, s)),
-          col("__dv_f") === col("file") && col("__dv_p") === col("pos"),
+          col("__dv_f") === col("__dv_file") &&
+            col("__dv_p") === col("__dv_pos"),
           "left_anti")
         .select(keep: _*)
     }
@@ -298,11 +299,13 @@ object CommitLog {
       .withColumn("__dv_p", col("_metadata.row_index"))
   }
 
-  /** All committed deletion-vector rows of the snapshot as (file, pos). */
+  /** All committed deletion-vector rows of the snapshot, under names no
+    * DATA column can collide with — a table legitimately named `file`
+    * or `pos` must not make the anti-join ambiguous. */
   private def dvRows(spark: SparkSession, dir: String,
       s: Snapshot): DataFrame =
     spark.read.parquet(s.dvs.map(r => s"$dir/$LogDirName/$r"): _*)
-      .select(col("file"), col("pos"))
+      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
 
   private def readSnapshot(spark: SparkSession, dir: String,
       s: Snapshot): DataFrame = {
@@ -1363,7 +1366,8 @@ object CommitLog {
       if (s.dvs.isEmpty) withFilePos(spark, dir, rawRead(spark, dir, s, s.files))
       else withFilePos(spark, dir, rawRead(spark, dir, s, s.files))
         .join(broadcast(dvRows(spark, dir, s)),
-          col("__dv_f") === col("file") && col("__dv_p") === col("pos"),
+          col("__dv_f") === col("__dv_file") &&
+            col("__dv_p") === col("__dv_pos"),
           "left_anti")
     val f = hadoopFs(spark, dir)
     val rel = f"dv-v${s.version + 1}%020d-" +

@@ -108,6 +108,20 @@ class DeletionVectorSpec extends AnyFunSuite {
       .head.getLong(0) == 450L)
   }
 
+  test("a table whose columns are literally named `file` and `pos` still MoR-deletes cleanly") {
+    val dir = Files.createTempDirectory("graft_dv_names_").toString + "/lake"
+    spark.range(0, 100)
+      .select($"id".as("file"), ($"id" * 2).as("pos"),
+        lit("a").as("pd"))
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir)
+    CommitLog.deleteVectors(spark, dir, $"file" < 40)
+    val out = CommitLog.read(spark, dir)
+      .select($"file", $"pos").as[(Long, Long)].collect().toSet
+    assert(out.size == 60 && out.forall(_._1 >= 40L),
+      "DV anti-join must not collide with user columns named file/pos")
+  }
+
   test("vacuum reclaims dropped vectors; a restore past them fails loudly") {
     val dir = freshLake()
     val vMor = CommitLog.deleteVectors(spark, dir, $"k" < 100).version
