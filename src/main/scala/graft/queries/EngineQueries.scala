@@ -523,7 +523,7 @@ object EngineQueries {
 
   private val q158Sql =
     """SELECT o_orderstatus AS st, count(*) AS n,
-      |  sum(o_custkey) AS sum_ck,
+      |  CAST(sum(o_custkey) AS BIGINT) AS sum_ck,
       |  CAST(sum(o_custkey) AS DOUBLE) / CAST(count(o_custkey) AS DOUBLE)
       |    AS avg_ck
       |FROM orders WHERE o_orderkey <= 40000
@@ -590,7 +590,8 @@ object EngineQueries {
   }
 
   private val q159Sql =
-    """SELECT o_custkey AS ck, count(*) AS n, sum(o_orderkey) AS sum_ok
+    """SELECT o_custkey AS ck, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_ok
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE o_orderkey <= 40000
       |GROUP BY 1 ORDER BY ck LIMIT 500""".stripMargin
@@ -844,8 +845,8 @@ object EngineQueries {
   private val q148Sql =
     """SELECT o_orderstatus AS flag, count(*) AS n,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-      |  sum(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 80000
-      |           THEN 1 ELSE 0 END) AS n_mid
+      |  CAST(sum(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 80000
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_mid
       |FROM orders
       |WHERE o_orderkey <= 20000 AND o_totalprice >= 50000
       |GROUP BY 1 ORDER BY flag""".stripMargin
@@ -1524,7 +1525,7 @@ object EngineQueries {
 
   private val q155Sql =
     """SELECT o_orderpriority AS pr, count(*) AS n,
-      |  sum(o_custkey) AS sum_ck,
+      |  CAST(sum(o_custkey) AS BIGINT) AS sum_ck,
       |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
       |  CAST(sum(o_custkey) AS DOUBLE) / CAST(count(o_custkey) AS DOUBLE)
       |    AS avg_ck

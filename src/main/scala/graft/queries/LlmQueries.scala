@@ -1210,10 +1210,12 @@ object LlmQueries {
       |         CAST(sum(coalesce(cb, 0)) AS BIGINT) AS sb FROM j),
       |kl AS (
       |  SELECT
-      |    sum(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS vocab_added,
-      |    sum(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS vocab_removed,
-      |    sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END)
-      |      AS vocab_common,
+      |    CAST(sum(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS vocab_added,
+      |    CAST(sum(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS vocab_removed,
+      |    CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS vocab_common,
       |    round(CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN
       |      CAST(round((CAST(ca AS DOUBLE) / CAST(sa AS DOUBLE))
       |        * ln((CAST(ca AS DOUBLE) / CAST(sa AS DOUBLE))

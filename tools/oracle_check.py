@@ -8,8 +8,16 @@ runs); otherwise checks every oracle entry.
 
 Reads <verifyOutDir>/<name>/ parquet (Spark results from graft.Verify) and
 <verifyOutDir>/oracle_sql.json, runs each oracle SQL in DuckDB against the
-parquet tables in <sfDir>, and compares: row count, column names, and
-values (columns sorted by name, rows sorted by all columns).
+parquet tables in <sfDir>, and compares: row count, column names, dtype
+KINDS (int vs float vs object — the round-8/9 driver hash-fails were all
+DuckDB HUGEINT (rendered float64 by pandas) vs Spark LONG, invisible to a
+string-level compare), and values (columns sorted by name, rows sorted by
+all columns; floats compared at full repr precision, bit-level strict).
+
+Additionally every oracle SQL is DESCRIBEd first and FAILS if any output
+column is HUGEINT/UHUGEINT — DuckDB's sum(BIGINT) widens to HUGEINT, which
+pandas renders as float64 and the driver hashes differently from Spark's
+LongType; wrap integer sums in CAST(... AS BIGINT).
 """
 import json
 import sys
@@ -29,8 +37,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def cell(v):
     if isinstance(v, float):
-        return f"{v:.10g}"
+        return repr(v)  # full precision: 313.0 stays distinct from 313
     return str(v)
+
+
+def kinds(df: pd.DataFrame):
+    return [df[c].dtype.kind for c in df.columns]
 
 
 def main(outdir: str, sfdir: str, only=()) -> int:
@@ -43,6 +55,22 @@ def main(outdir: str, sfdir: str, only=()) -> int:
         oracle = {k: v for k, v in oracle.items() if k in set(only)}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").df()
+            huge = [
+                (r["column_name"], r["column_type"])
+                for _, r in desc.iterrows()
+                if "HUGEINT" in str(r["column_type"]).upper()
+            ]
+            if huge:
+                print(f"FAIL {name}: oracle emits HUGEINT columns {huge}; "
+                      "wrap integer sums in CAST(... AS BIGINT)")
+                n_bad += 1
+                continue
+        except Exception as e:
+            print(f"FAIL {name}: oracle DESCRIBE error: {e}")
+            n_bad += 1
+            continue
         try:
             got = duckdb.sql(
                 f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
@@ -63,6 +91,12 @@ def main(outdir: str, sfdir: str, only=()) -> int:
             continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            n_bad += 1
+            continue
+        if kinds(g) != kinds(w):
+            bad = [(c, str(g[c].dtype), str(w[c].dtype))
+                   for c in g.columns if g[c].dtype.kind != w[c].dtype.kind]
+            print(f"FAIL {name}: dtype kinds differ (spark, duckdb): {bad}")
             n_bad += 1
             continue
         gs = g.map(cell)
