@@ -1288,7 +1288,11 @@ object EngineQueries {
   // range moves only the touched partitions' post-image into the replica
   // via replacePartitions with batchId = source version (the replica's
   // own ledger is the resume cursor AND the replay guard — LakeFollowSpec
-  // pins convergence, replay no-op, and crash-gap resume). The query
+  // pins convergence, replay no-op, and crash-gap resume). A THIRD
+  // commit is a merge-on-read delete: it adds no files, only a deletion
+  // vector, so the follower only converges because partsBetween surfaces
+  // the DV'd partitions and the post-image read applies the vectors —
+  // the round-9 silent-stale-replica hole, now oracle-gated. The query
   // aggregates the REPLICA; the DuckDB oracle recomputes the source's
   // final state from raw orders, so the hash-match proves the replica
   // converged to exactly the source's committed truth. Fixture built
@@ -1314,6 +1318,8 @@ object EngineQueries {
           src, Seq("o_orderkey"), "flag")
         graft.sources.CommitLog.delete(s, src,
           col("o_custkey") % 10 === 3)
+        graft.sources.CommitLog.deleteVectors(s, src,
+          col("o_custkey") % 10 === 7)
         val want = graft.sources.CommitLog.latest(s, src).get.version
         val t0 = System.currentTimeMillis()
         while (graft.sources.CommitLog.latest(s, dst)
@@ -1348,7 +1354,7 @@ object EngineQueries {
       |       AS DOUBLE) AS sum_price,
       |  min(o_orderkey) AS min_ok
       |FROM orders
-      |WHERE o_orderkey <= 20000 AND o_custkey % 10 <> 3
+      |WHERE o_orderkey <= 20000 AND o_custkey % 10 NOT IN (3, 7)
       |GROUP BY 1 ORDER BY flag""".stripMargin
 
   // ----------------------------------------------------- q167_sql_lake

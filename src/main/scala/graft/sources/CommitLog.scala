@@ -404,6 +404,20 @@ object CommitLog {
     * commits are exact). That is the standard incremental-scan semantics
     * of a copy-on-write lake without per-row change tracking; consumers
     * that need exact deltas re-key against their own previous state.
+    *
+    * Merge-on-read deletes surface the same way: a delete-mor commit
+    * adds no files, so its change is the appended deletion vectors, and
+    * the feed re-emits the DV'd files — read at `toV` they carry those
+    * files' SURVIVING rows (readFiles applies every vector in force),
+    * i.e. the post-image of the touched unit, exactly as an upsert's
+    * touched partitions. A keyed-upsert consumer cannot learn a
+    * deletion from a post-image (same caveat as above); a
+    * partition-replace consumer ([[graft.streaming.LakeFollow.mirror]])
+    * converges exactly. Rows are always emitted AS OF `toV`: a file
+    * added mid-range and rewritten by a later commit in the same range
+    * is dropped (the rewriting commit's files carry its partition), so
+    * the feed never mixes a dead file's stale image into the post-image.
+    *
     * Works until [[vacuum]] drops a version inside the range. At 100 TB
     * this is THE way to feed downstream pipelines: each incremental run
     * reads only the partitions the day's upserts touched, never the
@@ -412,10 +426,21 @@ object CommitLog {
       fromV: Long, toV: Long): DataFrame = {
     require(fromV < toV, s"changesBetween needs fromV < toV, got $fromV >= $toV")
     val snaps = (fromV to toV).map(snapshotAt(spark, dir, _))
+    val liveAtTo = snaps.last.files.toSet
     val added = snaps.sliding(2).flatMap { case Seq(prev, cur) =>
       if (cur.op == "compact") Nil
-      else cur.files.filterNot(prev.files.toSet)
-    }.toSeq.distinct.sorted
+      else {
+        val fileAdds = cur.files.filterNot(prev.files.toSet)
+        val dvNew = cur.dvs.filterNot(prev.dvs.toSet)
+        val dvFiles: Seq[String] =
+          if (dvNew.isEmpty) Nil
+          else spark.read
+            .parquet(dvNew.map(r => s"$dir/$LogDirName/$r"): _*)
+            .select(col("file")).distinct()
+            .collect().map(_.getString(0)).toSeq
+        fileAdds ++ dvFiles
+      }
+    }.toSeq.filter(liveAtTo).distinct.sorted
     if (added.isEmpty) readSnapshot(spark, dir, snaps.last).limit(0)
     else readFiles(spark, dir, snaps.last, added) // toV's committed schema
   }
@@ -863,8 +888,21 @@ object CommitLog {
       if (s.version != staged.base.version) {
         val baseSet = staged.base.files.toSet
         val nowSet = s.files.toSet
+        // a delete-mor commit changes NO files — its intervening
+        // partitions live in the appended deletion vectors. Without
+        // this, a writer staged before the DV landed would rebase over
+        // it and republish the partition from its pre-DV image (the
+        // inherited dv entries then reference only files this commit
+        // removed), silently resurrecting tombstoned rows.
+        val dvNew = s.dvs.filterNot(staged.base.dvs.toSet)
+        val dvParts: Set[String] =
+          if (dvNew.isEmpty) Set.empty
+          else spark.read
+            .parquet(dvNew.map(r => s"$dir/$LogDirName/$r"): _*)
+            .select(col("file")).distinct()
+            .collect().map(r => partOf(r.getString(0))).toSet
         val interveningParts =
-          ((nowSet -- baseSet) ++ (baseSet -- nowSet)).map(partOf)
+          ((nowSet -- baseSet) ++ (baseSet -- nowSet)).map(partOf) ++ dvParts
         val clash = interveningParts.intersect(staged.touchedParts)
         if (clash.nonEmpty) throw new IllegalStateException(
           s"$op conflict on $dir: concurrent commits touched partition(s) " +

@@ -140,4 +140,58 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(!logDir.listFiles.exists(_.getName.startsWith("dv-")),
       "dropped deletion-vector file must be reclaimed")
   }
+
+  test("a writer staged before a MoR delete on its partition fails loudly " +
+      "instead of rebasing over the tombstones") {
+    val dir = freshLake()
+    // stage an upsert into pd=p0 against the current base…
+    val staged = CommitLog.stageUpsert(spark,
+      Seq((0L, 999L, "p0")).toDF("k", "v", "pd"),
+      dir, Seq("k"), "pd").get
+    // …then a MoR delete lands on the SAME partition: no file changes,
+    // only an appended vector. A file-diff-only clash check would wave
+    // the rebase through and republish p0 from its pre-DV image.
+    CommitLog.deleteVectors(spark, dir, $"pd" === "p0" && $"k" >= 600L)
+    val e = intercept[IllegalStateException] {
+      CommitLog.commitStaged(spark, dir, staged)
+    }
+    assert(e.getMessage.contains("conflict"), e.getMessage)
+    assert(e.getMessage.contains("pd=p0"), e.getMessage)
+    // the tombstones survived the attempt
+    assert(!rows(dir).exists(r => r._3 == "p0" && r._1 >= 600L))
+    // a DV on a DIFFERENT partition must NOT block the rebase
+    val staged2 = CommitLog.stageUpsert(spark,
+      Seq((1L, 998L, "p1")).toDF("k", "v", "pd"),
+      dir, Seq("k"), "pd").get
+    CommitLog.deleteVectors(spark, dir, $"pd" === "p2" && $"k" >= 800L)
+    CommitLog.commitStaged(spark, dir, staged2)
+    assert(rows(dir).contains((1L, 998L, "p1")))
+  }
+
+  test("changesBetween surfaces a MoR delete as the DV'd files' post-image") {
+    val dir = freshLake()
+    val v1 = CommitLog.latest(spark, dir).get.version
+    // tombstone v >= 60 in pd=p0 only (k ≡ 0 mod 3 → pd=p0)
+    val v2 = CommitLog.deleteVectors(spark, dir,
+      $"pd" === "p0" && $"v" >= 60L).version
+    val changed = CommitLog.changesBetween(spark, dir, v1, v2)
+      .select($"k", $"v", $"pd").as[(Long, Long, String)].collect().toSet
+    assert(changed.nonEmpty,
+      "a MoR delete must not yield an empty change feed")
+    // post-image of the touched files: surviving p0 rows only, no
+    // tombstoned row, no untouched partition
+    assert(changed.forall(_._3 == "p0"), "feed leaked untouched partitions")
+    assert(changed.forall(_._2 < 60L), "feed emitted tombstoned rows")
+    assert(changed == rows(dir).filter(_._3 == "p0"),
+      "feed must be the touched partition's exact post-image")
+    // a partition-replace consumer applying the feed converges: and a
+    // range that ALSO rewrites the DV'd files later emits no stale image
+    val v3 = CommitLog.upsert(spark,
+      Seq((0L, 1L, "p0")).toDF("k", "v", "pd"),
+      dir, Seq("k"), "pd").version
+    val changed2 = CommitLog.changesBetween(spark, dir, v1, v3)
+      .select($"k", $"v", $"pd").as[(Long, Long, String)].collect().toSet
+    assert(changed2 == rows(dir).filter(_._3 == "p0"),
+      "mixed DV+rewrite range must emit rows as of toV only")
+  }
 }

@@ -65,6 +65,16 @@ class LakeFollowSpec extends AnyFunSuite {
       awaitConverged(src, dst)
       assert(state(dst) == state(src),
         "mirror diverged from the source after upsert+delete")
+      // merge-on-read delete: the commit adds NO files — only a
+      // deletion vector — yet the replica must still drop the
+      // tombstoned rows (partsBetween surfaces the DV'd partitions,
+      // readPartitionDirsAt applies the vectors)
+      CommitLog.deleteVectors(spark, src, $"k" % 10L === 3L)
+      awaitConverged(src, dst)
+      assert(state(dst) == state(src),
+        "mirror diverged from the source after a MoR delete")
+      assert(!state(dst).exists(_._1 % 10 == 3),
+        "replica retained tombstoned rows after a MoR delete")
     } finally q.stop()
 
     // replay: re-applying the converged range is a ledger no-op
