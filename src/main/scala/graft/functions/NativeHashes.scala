@@ -300,6 +300,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             graft.sources.LakeTvf.getClass.getName, name),
           builder))
     }
+    // SQL DML front door: DELETE FROM / UPDATE / MERGE INTO
+    // graft_lake('dir'), plus VERSION/TIMESTAMP AS OF sugar — minimal
+    // text surgery, then Spark's own grammar, then CommitLog verbs
+    e.injectParser((_, delegate) => new graft.sources.LakeSqlParser(delegate))
     // optimizer rules: joins the operator-optimization fixed point, so the
     // folded plan is itself optimized further (filter merge, pruning)
     e.injectOptimizerRule(_ => graft.plans.FoldCountOverReplicateRows)

@@ -1097,6 +1097,90 @@ object EngineQueries {
         sum(when(col("band") === "mid", 1L).otherwise(0L)).as("n_mid"))
       .orderBy(col("flag"))
 
+  // ----------------------------------------------------- q177_sql_dml
+  // The SQL DML front door end-to-end (sources.LakeSqlDml, injected by
+  // GraftExtensions): EVERY mutation in this lifecycle is issued as SQL
+  // TEXT — a copy-on-write DELETE, a typed UPDATE, the full MERGE
+  // clause family (delete-before-update order, conditional INSERT), and
+  // a merge-on-read DELETE ... USING DELETION VECTORS — and the serving
+  // read is SQL over the graft_lake TVF. The DuckDB oracle recomputes
+  // the four-step algebra from raw orders, so the hash-match proves the
+  // parser translation (placeholder substitution → Spark grammar →
+  // CommitLog verbs) is semantically exact, clause order included.
+  // Arithmetic sticks to exact doubles (×2, +10000.0) so the decimal
+  // rounding at the end is bit-identical on both engines.
+  private val q177Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q177Lake(s: SparkSession, d: String): String =
+    q177Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q177_")
+      val lake = s"$work/lake"
+      val ords = Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      ords.write.partitionBy("flag").parquet(lake)
+      graft.sources.CommitLog.init(s, lake)
+      s.sql(s"DELETE FROM graft_lake('$lake') WHERE o_custkey % 10 = 3")
+      s.sql(s"UPDATE graft_lake('$lake') SET o_totalprice = " +
+        "o_totalprice * 2 WHERE o_orderkey <= 5000")
+      ords.filter(col("o_orderkey") > 10000)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10000.0))
+        .createOrReplaceTempView("q177_src")
+      s.sql(
+        s"""MERGE INTO graft_lake('$lake') AS t
+           |USING q177_src AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND t.o_totalprice < 30000.0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED AND s.flag <> 'P' THEN INSERT *
+           |""".stripMargin)
+      s.sql(s"DELETE FROM graft_lake('$lake') WHERE o_custkey % 10 = 7 " +
+        "USING DELETION VECTORS")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q177SqlDml(s: SparkSession, d: String): DataFrame = {
+    val lake = q177Lake(s, d)
+    s.sql(
+      s"""SELECT flag, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price,
+         |  min(o_orderkey) AS min_ok
+         |FROM graft_lake('$lake')
+         |GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+
+  private val q177Sql =
+    """WITH t0 AS (
+      |  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p,
+      |         o_orderstatus AS f
+      |  FROM orders WHERE o_orderkey <= 20000),
+      |t2 AS (
+      |  SELECT k, c, CASE WHEN k <= 5000 THEN p * 2 ELSE p END AS p, f
+      |  FROM t0 WHERE c % 10 <> 3),
+      |s AS (SELECT k, c, p + 10000.0 AS p, f FROM t0 WHERE k > 10000),
+      |kept AS (
+      |  SELECT t2.k, t2.c,
+      |         CASE WHEN s.k IS NOT NULL THEN s.p ELSE t2.p END AS p,
+      |         t2.f
+      |  FROM t2 LEFT JOIN s ON t2.k = s.k
+      |  WHERE s.k IS NULL OR NOT (t2.p < 30000.0)),
+      |ins AS (
+      |  SELECT s.k, s.c, s.p, s.f FROM s LEFT JOIN t2 ON s.k = t2.k
+      |  WHERE t2.k IS NULL AND s.f <> 'P'),
+      |t4 AS (
+      |  SELECT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      |  WHERE c % 10 <> 7)
+      |SELECT f AS flag, count(*) AS n,
+      |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  min(k) AS min_ok
+      |FROM t4 GROUP BY 1 ORDER BY flag""".stripMargin
+
   // ------------------------------------------------- q175_meta_distinct
   // Metadata-plane COUNT(DISTINCT): per-file theta sketches ride the
   // commit (thetaCols at init), so distinct counts — the third
@@ -1561,6 +1645,7 @@ object EngineQueries {
     Q("q171_meta_groupby", q171MetaGroupby, Some(q171Sql)),
     Q("q175_meta_distinct", q175MetaDistinct, Some(q175Sql)),
     Q("q176_delete_mor", q176DeleteMor, Some(q148Sql)),
+    Q("q177_sql_dml", q177SqlDml, Some(q177Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

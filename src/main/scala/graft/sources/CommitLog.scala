@@ -337,7 +337,7 @@ object CommitLog {
     * field when the table has emptied out — so maintenance verbs keep
     * working on a zero-file snapshot instead of dying on `files.head`.
     * (Logs written before the field existed always have files.) */
-  private def partColsOf(s: Snapshot): Seq[String] =
+  private[sources] def partColsOf(s: Snapshot): Seq[String] =
     s.files.headOption match {
       case Some(rel) => partColsFromRel(rel)
       case None => s.partCols

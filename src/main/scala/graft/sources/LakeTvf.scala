@@ -119,9 +119,24 @@ object LakeTvf {
         args.tail.map(strArg("graft_lake_stats_by_partition", _))))
     },
     "graft_lake_distinct" -> { args =>
+      // per-partition rollup when the table is hive-partitioned; the
+      // GLOBAL manifest rollup otherwise — an unpartitioned lake must
+      // not error out of the metadata plane (the Scala distinctAgg /
+      // distinctAggByPartition split stays explicit for typed callers)
       require(args.size >= 2, "graft_lake_distinct(dir, col, ...)")
-      analyzed(CommitLog.distinctAggByPartition(SparkSession.active,
-        strArg("graft_lake_distinct", args.head),
-        args.tail.map(strArg("graft_lake_distinct", _))))
+      val s = SparkSession.active
+      val dir = strArg("graft_lake_distinct", args.head)
+      val cols = args.tail.map(strArg("graft_lake_distinct", _))
+      val snap = CommitLog.latest(s, dir).getOrElse(
+        throw new IllegalStateException(s"$dir has no commit log"))
+      analyzed(
+        if (CommitLog.partColsOf(snap).isEmpty) CommitLog.distinctAgg(s, dir, cols)
+        else CommitLog.distinctAggByPartition(s, dir, cols))
+    },
+    "graft_lake_distinct_global" -> { args =>
+      require(args.size >= 2, "graft_lake_distinct_global(dir, col, ...)")
+      analyzed(CommitLog.distinctAgg(SparkSession.active,
+        strArg("graft_lake_distinct_global", args.head),
+        args.tail.map(strArg("graft_lake_distinct_global", _))))
     })
 }

@@ -227,10 +227,29 @@ object StreamingIngest {
     * for exactly-once here, the same way a keyed merge substitutes for
     * it in the corpus.
     *
-    * The post-image read filters the corpus by the batch's doc ids; at
-    * 100 TB give the corpus lake its own id Blooms or partition the
-    * read — the index side is already churn-bounded through its
-    * committed doc_id filters. */
+    * The post-image read is PRUNED to the batch's own partitions off
+    * the committed file list (then filtered to the batch's doc ids), so
+    * each micro-batch reads churn-touched partitions, never the corpus
+    * — the index side is already churn-bounded through its committed
+    * doc_id filters. */
+  /** The committed post-image of a micro-batch's docs, read back with
+    * PARTITION PRUNING off the committed file list: one small collect of
+    * the batch's (partition, id) pairs, then only the touched
+    * partitions' files are opened and filtered to the batch's ids. A
+    * micro-batch therefore costs a churn-sized read at any corpus size —
+    * never a full-lake scan per tick. */
+  private def batchPostImage(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String, latest: DataFrame, idCol: String, textCol: String,
+      partitionCol: String): DataFrame = {
+    val pairs = latest.select(col(partitionCol), col(idCol)).distinct()
+      .collect() // batch-sized: one row per upserted doc
+    val parts: Seq[Any] = pairs.map(_.get(0)).distinct.toSeq
+    val ids: Seq[Any] = pairs.map(_.get(1)).distinct.toSeq
+    graft.sources.CommitLog.readPartitions(s, corpusDir, partitionCol, parts)
+      .filter(col(idCol).isin(ids: _*))
+      .select(col(idCol), col(textCol))
+  }
+
   def upsertStreamMaintainingIndex(
       updates: DataFrame, corpusDir: String, indexDir: String,
       idCol: String, textCol: String, seqCol: String, partitionCol: String,
@@ -264,12 +283,9 @@ object StreamingIngest {
             // props) instead of letting update() fail the stream forever
             if (!indexSnap.get.props.contains("bm25.n"))
               graft.text.InvertedIndex.repairProps(s, indexDir, idCol, textCol)
-            val touched: Seq[Any] = latest.select(col(idCol)).distinct()
-              .collect().map(_.get(0)).toSeq
-            val post = graft.sources.CommitLog.read(s, corpusDir)
-              .filter(col(idCol).isin(touched: _*))
-              .select(col(idCol), col(textCol))
-            graft.text.InvertedIndex.update(s, indexDir, post)
+            graft.text.InvertedIndex.update(s, indexDir,
+              batchPostImage(s, corpusDir, latest, idCol, textCol,
+                partitionCol))
           }
           // with a transaction manifest, the (corpus, index) pair becomes
           // visible to family readers in ONE CAS — a crash between the
@@ -302,9 +318,13 @@ object StreamingIngest {
     * seq-race loser cannot plant wrong postings), the first non-empty
     * batch bootstraps both, and replays are safe because the corpus
     * upsert no-ops off the in-commit ledger while
-    * [[graft.dedup.DedupIndex.update]] converges (its df delta derives
-    * from the current snapshot, so a re-applied post-image is a zero
-    * delta). The index's OWN LakeTxn manifest pins each (postings,
+    * [[graft.dedup.DedupIndex.update]] converges (it recomputes the
+    * touched docs' postings ABSOLUTELY from the given post-image, so a
+    * re-applied post-image rewrites identical postings — replay is
+    * idempotent by recomputation, not by delta algebra). The post-image
+    * read is pruned to the batch's partitions, as in
+    * [[upsertStreamMaintainingIndex]]. The index's OWN LakeTxn manifest
+    * pins each (postings,
     * terms) cut, so a search between a crash and its replay serves the
     * previous consistent cut. Net effect: arriving batches can be
     * near-dup-probed against everything that streamed in before them,
@@ -334,12 +354,9 @@ object StreamingIngest {
                 .select(col(idCol), col(textCol)),
               idCol, textCol, indexDir)
           } else {
-            val touched: Seq[Any] = latest.select(col(idCol)).distinct()
-              .collect().map(_.get(0)).toSeq
-            val post = graft.sources.CommitLog.read(s, corpusDir)
-              .filter(col(idCol).isin(touched: _*))
-              .select(col(idCol), col(textCol))
-            graft.dedup.DedupIndex.update(s, indexDir, post)
+            graft.dedup.DedupIndex.update(s, indexDir,
+              batchPostImage(s, corpusDir, latest, idCol, textCol,
+                partitionCol))
           }
           println(s"[upsert-stream-dedup] batch=$batchId at corpus " +
             s"version ${snap.version}; dedup index fresh")

@@ -17,4 +17,14 @@ object ColumnBridge {
     * pattern-matched before analysis). */
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** DataFrame over a (possibly unresolved) logical plan — analysis runs
+    * against the session catalog at creation, exactly like spark.sql.
+    * Needed by the SQL DML layer: a parsed MERGE source subquery is a
+    * LogicalPlan, and classic.Dataset.ofRows is private[sql]. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

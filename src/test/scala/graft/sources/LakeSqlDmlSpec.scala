@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The SQL DML front door ([[LakeSqlDml]]): DELETE / UPDATE / MERGE
+  * issued as pure SQL text must land the same commits as the Scala
+  * verbs, the deletion-vector suffix must be merge-on-read, the
+  * time-travel sugar must resolve through the read TVFs, and the
+  * out-of-surface shapes must be rejected loudly. */
+class LakeSqlDmlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshLake(): String = {
+    val dir = Files.createTempDirectory("graft_dml_").toString + "/lake"
+    spark.range(0, 300)
+      .select($"id".as("k"), ($"id" % 30).as("v"),
+        concat(lit("p"), ($"id" % 3)).as("pd"))
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir)
+    dir
+  }
+
+  private def rows(dir: String): Set[(Long, Long, String)] =
+    CommitLog.read(spark, dir).select($"k", $"v", $"pd")
+      .as[(Long, Long, String)].collect().toSet
+
+  test("DELETE FROM graft_lake(...) WHERE — copy-on-write commit") {
+    val dir = freshLake()
+    val out = spark.sql(
+      s"DELETE FROM graft_lake('$dir') WHERE v >= 20").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "delete")))
+    assert(rows(dir).forall(_._2 < 20))
+    assert(CommitLog.latest(spark, dir).get.dvs.isEmpty)
+  }
+
+  test("DELETE ... USING DELETION VECTORS — merge-on-read, zero rewrites") {
+    val dir = freshLake()
+    val filesBefore = CommitLog.latest(spark, dir).get.files
+    val out = spark.sql(
+      s"DELETE FROM graft_lake('$dir') WHERE v >= 20 USING DELETION VECTORS")
+      .collect()
+    assert(out.head.getString(1) == "delete-mor")
+    assert(CommitLog.latest(spark, dir).get.files == filesBefore,
+      "MoR delete must rewrite no data files")
+    assert(CommitLog.latest(spark, dir).get.dvs.size == 1)
+    assert(rows(dir).forall(_._2 < 20))
+  }
+
+  test("DELETE with a target alias strips the qualifier") {
+    val dir = freshLake()
+    spark.sql(s"DELETE FROM graft_lake('$dir') AS t WHERE t.k < 10")
+    assert(rows(dir).forall(_._1 >= 10))
+  }
+
+  test("UPDATE ... SET ... WHERE — atomic replaceWhere, typed assignment") {
+    val dir = freshLake()
+    val before = rows(dir)
+    spark.sql(
+      s"UPDATE graft_lake('$dir') SET v = v * 100 + 7 WHERE k < 5")
+    val after = rows(dir)
+    val expect = before.map { case (k, v, pd) =>
+      if (k < 5) (k, v * 100 + 7, pd) else (k, v, pd)
+    }
+    assert(after == expect)
+    // assignment value casts to the committed column type (v is LONG)
+    spark.sql(s"UPDATE graft_lake('$dir') SET v = 1.9 WHERE k = 0")
+    assert(rows(dir).collect { case (0L, v, _) => v } == Set(1L))
+  }
+
+  test("MERGE INTO graft_lake — full clause family in SQL text") {
+    val dir = freshLake()
+    val before = rows(dir)
+    spark.range(0, 310).select($"id".as("k"),
+        ($"id" % 30 + 1000).as("v"),
+        concat(lit("p"), ($"id" % 3)).as("pd"))
+      .createOrReplaceTempView("dml_src")
+    spark.sql(
+      s"""MERGE INTO graft_lake('$dir') AS t
+         |USING (SELECT * FROM dml_src WHERE k < 305) AS s
+         |ON t.k = s.k
+         |WHEN MATCHED AND t.v >= 25 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND s.k % 2 = 0 THEN INSERT *
+         |""".stripMargin)
+    val after = rows(dir)
+    val expect = before.collect {
+      case (k, v, pd) if v < 25 => (k, v + 1000, pd)
+    } ++ (300L until 305L).collect {
+      case k if k % 2 == 0 => (k, k % 30 + 1000, s"p${k % 3}")
+    }
+    assert(after == expect.toSet)
+  }
+
+  test("MERGE clause order: UPDATE before DELETE guards the delete") {
+    val dir = freshLake()
+    spark.range(0, 10).select($"id".as("k"), lit(9999L).as("v"),
+        concat(lit("p"), ($"id" % 3)).as("pd"))
+      .createOrReplaceTempView("dml_src2")
+    // SQL semantics: first matching clause fires — every matched row
+    // satisfies the UPDATE condition, so the DELETE must never fire
+    spark.sql(
+      s"""MERGE INTO graft_lake('$dir') t
+         |USING dml_src2 s
+         |ON t.k = s.k
+         |WHEN MATCHED AND s.v = 9999 THEN UPDATE SET *
+         |WHEN MATCHED THEN DELETE
+         |""".stripMargin)
+    val got = rows(dir).filter(_._1 < 10)
+    assert(got.size == 10 && got.forall(_._2 == 9999L),
+      s"first-clause-wins violated: $got")
+  }
+
+  test("MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE") {
+    val dir = freshLake()
+    spark.range(0, 100).select($"id".as("k"), ($"id" % 30).as("v"),
+        concat(lit("p"), ($"id" % 3)).as("pd"))
+      .createOrReplaceTempView("dml_src3")
+    spark.sql(
+      s"""MERGE INTO graft_lake('$dir') t
+         |USING dml_src3 s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE AND t.k >= 200 THEN DELETE
+         |""".stripMargin)
+    assert(rows(dir).map(_._1) == (0L until 200L).toSet)
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF sugar on the read path") {
+    val dir = freshLake()
+    val t0 = System.currentTimeMillis()
+    spark.sql(s"DELETE FROM graft_lake('$dir') WHERE v >= 10")
+    val n1 = spark.sql(
+      s"SELECT count(*) AS n FROM graft_lake('$dir') VERSION AS OF 1")
+      .head().getLong(0)
+    assert(n1 == 300L, "VERSION AS OF 1 must see the pre-delete snapshot")
+    val nNow = spark.sql(s"SELECT count(*) FROM graft_lake('$dir')")
+      .head().getLong(0)
+    assert(nNow == 100L)
+    val nTs = spark.sql(
+      s"SELECT count(*) FROM graft_lake('$dir') TIMESTAMP AS OF $t0")
+      .head().getLong(0)
+    assert(nTs == 300L, "TIMESTAMP AS OF pre-delete must time-travel")
+  }
+
+  test("out-of-surface shapes are rejected loudly") {
+    val dir = freshLake()
+    // non-equi ON
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO graft_lake('$dir') t USING (SELECT 1 AS k) s
+           |ON t.k > s.k WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e1.getMessage.contains("conjunction"))
+    // column-list UPDATE inside MERGE
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO graft_lake('$dir') t USING (SELECT 1 AS k) s
+           |ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = 1""".stripMargin)
+    }
+    assert(e2.getMessage.contains("UPDATE SET *"))
+    // MoR suffix on UPDATE
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"UPDATE graft_lake('$dir') SET v = 1 WHERE k = 0 USING DELETION VECTORS")
+    }
+    assert(e3.getMessage.contains("DELETE only") ||
+      e3.getMessage.toLowerCase.contains("syntax"))
+  }
+}

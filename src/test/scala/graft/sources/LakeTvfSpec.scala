@@ -143,6 +143,21 @@ class LakeTvfSpec extends AnyFunSuite {
       s"SELECT pd, distinct_u FROM graft_lake_distinct('$dir', 'u')")
       .as[(String, Long)].collect().toSet
     assert(dst == Set(("g0", 7L), ("g1", 7L)))
+    // the explicit global rollup, and the partitioned-table fallback
+    val g = spark.sql(
+      s"SELECT distinct_u FROM graft_lake_distinct_global('$dir', 'u')")
+      .as[Long].head()
+    assert(g == 7L)
+    // an UNPARTITIONED lake: graft_lake_distinct falls back to the
+    // global rollup instead of erroring out of the metadata plane
+    val flat = s"$work/flat"
+    spark.range(0, 40).select($"id".as("k"), ($"id" % 5).as("u"))
+      .coalesce(2).write.parquet(flat)
+    CommitLog.init(spark, flat, thetaCols = Seq("u"), thetaLgK = 12)
+    val fg = spark.sql(
+      s"SELECT distinct_u FROM graft_lake_distinct('$flat', 'u')")
+      .as[Long].head()
+    assert(fg == 5L)
   }
 
   test("non-literal arguments fail loudly") {
