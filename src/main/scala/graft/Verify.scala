@@ -37,12 +37,56 @@ object Verify {
         new scala.util.Random(seed.toLong).shuffle(base)
       case None => base
     }
+    // Per-query sidecar diagnostics (round-9 verdict ask): every
+    // bracket-tagged runtime line ([matview]/[commitlog]/[lake-mirror]/
+    // [upsert-stream-*]...) printed while a query runs is captured into
+    // <name>.diag.json beside its parquet, with wall ms, written row
+    // count (parquet-footer count — no data scan), and any error. The
+    // NEXT unexplained driver discrepancy is then attributable from the
+    // driver's own artifact: route decisions, lake versions, and fixture
+    // sizes ride along. Sidecars are plain files, so the driver's
+    // directory-per-query compare is unaffected.
+    val diagBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def tee(base: java.io.PrintStream): java.io.PrintStream =
+      new java.io.PrintStream(base, true) {
+        override def println(s: String): Unit = {
+          if (s.nonEmpty && s.charAt(0) == '[') diagBuf.add(s)
+          base.println(s)
+        }
+      }
+    val (out0, err0) = (System.out, System.err)
+    System.setOut(tee(out0)); System.setErr(tee(err0))
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     ordered.foreach { case (name, fn) =>
+      diagBuf.clear()
+      val t0 = System.nanoTime()
+      var error: Option[String] = None
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        error = Some(e.toString)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      val ms = (System.nanoTime() - t0) / 1000000L
+      val rows = if (error.isEmpty)
+        try spark.read.parquet(s"$outDir/$name").count() catch {
+          case _: Throwable => -1L
+        }
+      else -1L
+      val diags = {
+        val it = diagBuf.iterator(); val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next(); b.result()
+      }
+      val sidecar = s"""{"query": ${jq(name)}, "ms": $ms, """ +
+        s""""rows_written": $rows, """ +
+        s""""error": ${error.map(jq).getOrElse("null")}, """ +
+        s""""diags": [${diags.map(jq).mkString(", ")}]}"""
+      Files.writeString(Paths.get(s"$outDir/$name.diag.json"), sidecar)
       // same session hygiene as Bench: checkpoints parked by iterative
       // queries would otherwise accumulate across the 129-query run
       graft.runtime.Lifetime.releaseAll(spark)
