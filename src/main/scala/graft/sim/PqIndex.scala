@@ -72,10 +72,6 @@ object PqIndex {
     aggregate(zip_with(v, typedLit(center.toSeq), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  private def dotLit(v: Column, center: Array[Double]): Column =
-    aggregate(zip_with(v, typedLit(center.toSeq), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-
   /** Seeded Lloyd's k-means on a driver-resident point set: distinct-ish
     * seeded init (a shuffled prefix), argmin assignment, mean update;
     * clusters that empty out keep their previous centroid. Deterministic
@@ -188,21 +184,73 @@ object PqIndex {
   /** Probe cell ids per query (nProbe nearest coarse centroids, exact L2
     * against the driver-sized centroid set) plus the query's flattened
     * ADC lookup table: lut[j·k + c] = dot(q_sub_j, codebook(j)(c)). */
+  private[sim] def probeDebug(queries: DataFrame, idCol: String,
+      vecCol: String, model: Model, nProbe: Int): DataFrame =
+    probesWithLut(queries, idCol, vecCol, model, nProbe)
+
   private def probesWithLut(queries: DataFrame, idCol: String, vecCol: String,
       model: Model, nProbe: Int): DataFrame = {
-    val centroidDist = model.coarseCenters.zipWithIndex.map {
-      case (c, cid) =>
-        struct(l2ToLit(col("qv"), c).as("d2"), lit(cid).as("cell"))
+    // Computed DRIVER-SIDE: a probe batch is driver-sized by contract
+    // (this method's result was already collected for cell planning),
+    // the model is driver-resident, and the LUT is q·m·k doubles of
+    // plain arithmetic. The former formulation built the same math as a
+    // LITERAL EXPRESSION TREE (m·k·subDim nodes per plan) whose
+    // analysis/codegen dominated serving latency — ~0.7 s of a ~1.3 s
+    // probe at sf0.1, repaid on every call. The loops below replicate
+    // the expression semantics exactly (normalize's zero-vector
+    // pass-through, left-to-right fold accumulation, probe ties to the
+    // lower cell id), so probes and LUTs are bit-identical to the old
+    // path — PqPersistSpec's persisted ≡ in-memory pin and q131's
+    // recall floors hold unchanged.
+    val spark = queries.sparkSession
+    val src = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val idType = src.schema("query_id").dataType
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]
+    src.collect().foreach { r =>
+      if (!r.isNullAt(1)) {
+        val raw = r.getSeq[Double](1).toArray
+        var acc = 0.0
+        var i = 0
+        while (i < raw.length) { acc += raw(i) * raw(i); i += 1 }
+        val nrm = math.sqrt(acc)
+        val qv = if (nrm > 0) raw.map(_ / nrm) else raw
+        val d2 = model.coarseCenters.zipWithIndex.map { case (ctr, cid) =>
+          var a = 0.0
+          var d = 0
+          while (d < qv.length) { val t = qv(d) - ctr(d); a += t * t; d += 1 }
+          (a, cid)
+        }
+        val probes = d2.sortBy(identity).take(nProbe).map(_._2)
+        val lut = new Array[Double](model.m * model.k)
+        var j = 0
+        while (j < model.m) {
+          var c = 0
+          while (c < model.k) {
+            val cb = model.codebooks(j)(c)
+            var a = 0.0
+            var d = 0
+            while (d < model.subDim) {
+              a += qv(j * model.subDim + d) * cb(d); d += 1
+            }
+            lut(j * model.k + c) = a
+            c += 1
+          }
+          j += 1
+        }
+        probes.foreach { cell =>
+          out.add(org.apache.spark.sql.Row(r.get(0), lut.toSeq, cell))
+        }
+      }
     }
-    val lutTerms = for (j <- 0 until model.m; c <- 0 until model.k)
-      yield dotLit(subVec(col("qv"), j, model.subDim), model.codebooks(j)(c))
-    queries.select(col(idCol).as("query_id"),
-      normalize(col(vecCol).cast("array<double>")).as("qv"))
-      .withColumn("probes",
-        slice(array_sort(array(centroidDist.toIndexedSeq: _*)), 1, nProbe))
-      .withColumn("lut", array(lutTerms: _*))
-      .select(col("query_id"), col("lut"),
-        explode(col("probes.cell")).as("cell"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", idType),
+      org.apache.spark.sql.types.StructField("lut",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType)))
+    spark.createDataFrame(out, schema)
   }
 
   /** ADC scoring of an encoded slice against probed queries: equi-join
