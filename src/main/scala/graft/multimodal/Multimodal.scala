@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video as opaque binary columns
   * with typed metadata, plus batch-shaped decode/feature plumbing.
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs, so
-  * `decodeStub` computes a deterministic fake feature vector from the raw
-  * bytes (byte-histogram moments). Everything around it — the schema, the
-  * per-partition batch iteration (the Scala analogue of mapInPandas), the
-  * partitioning story, the downstream aggregations — is real and tested.
-  * Swapping in a real decoder means replacing ONLY `decodeStub`'s body.
+  * The decode step is REAL for the container formats a pure JVM can
+  * parse — BMP/PPM/PGM images and PCM WAV audio ([[Codecs]], magic-byte
+  * sniffed, golden-pixel/golden-sample pinned in MultimodalSpec) — via
+  * [[decodeMedia]] over [[packDocsAsEncodedMedia]]'s genuinely-encoded
+  * corpus. Formats that need native codec libraries (JPEG/MP3/H.264…)
+  * are absent from this container, so [[decodeStub]] remains the
+  * documented deterministic stand-in for them and [[decodeMedia]] falls
+  * back to it for unrecognized payloads ("video" in the fixture corpus).
+  * Everything around either step — the schema, the per-partition batch
+  * iteration (the Scala analogue of mapInPandas), the partitioning
+  * story, the downstream aggregations — is identical and tested.
   */
 object Multimodal {
 
@@ -54,6 +59,102 @@ object Multimodal {
     }
   }
 
+  /** Wrap the documents table as a corpus of GENUINELY ENCODED media:
+    * image rows carry a real 24-bit BMP whose 8×8 RGB pixels derive
+    * deterministically from the text bytes, audio rows a real 16-bit
+    * PCM WAV whose samples do, and video rows keep an opaque payload
+    * (no pure-JVM video container worth pretending to parse). The
+    * decode in [[decodeMedia]] is then an actual byte-format parse —
+    * same corpus determinism at every scale factor. */
+  def packDocsAsEncodedMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      def b(i: Int): Byte =
+        if (bytes.isEmpty) (i * 37).toByte else bytes(i % bytes.length)
+      (id % 3) match {
+        case 0 =>
+          val rgb = Array.tabulate(8 * 8 * 3)(b)
+          MediaRow(id, MediaMeta("image", 8, 8, 3, 0, 0L),
+            Codecs.encodeBmp24(8, 8, rgb))
+        case 1 =>
+          val n = math.min(math.max(bytes.length, 16), 256)
+          val samples = Array.tabulate(n)(i => ((b(i) & 0xFF) - 128) / 128.0)
+          MediaRow(id,
+            MediaMeta("audio", 0, 0, 1, 8000, n.toLong * 1000 / 8000),
+            Codecs.encodeWavPcm16(8000, 1, samples))
+        case _ =>
+          MediaRow(id, MediaMeta("video", 128, 72, 3, 0,
+            bytes.length.toLong * 5), bytes)
+      }
+    }
+  }
+
+  /** REAL decode: sniff each payload's magic bytes and parse the
+    * container ([[Codecs]]); fall back to the byte-histogram stub for
+    * formats this environment cannot decode. Features are a normalized
+    * 8-bin histogram in BOTH real modalities — luminance bins for
+    * images (integer BT.601 luma), amplitude bins over [-1, 1] for
+    * audio — so downstream consumers see one shape regardless of
+    * modality or fallback. The output kind records the decode route:
+    * `image/bmp`, `image/ppm`, `audio/wav`, or `<kind>/stub`. */
+  def decodeMedia(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val bs = m.payload
+        Codecs.sniff(bs) match {
+          case Some(fmt @ ("bmp" | "ppm" | "pgm")) =>
+            val img = if (fmt == "bmp") Codecs.decodeBmp(bs)
+              else Codecs.decodePnm(bs)
+            val hist = new Array[Long](8)
+            val px = img.pixels
+            var i = 0
+            if (img.channels == 3) {
+              while (i < px.length) {
+                val luma = (299 * (px(i) & 0xFF) + 587 * (px(i + 1) & 0xFF) +
+                  114 * (px(i + 2) & 0xFF)) / 1000
+                hist(luma >> 5) += 1
+                i += 3
+              }
+            } else {
+              while (i < px.length) { hist((px(i) & 0xFF) >> 5) += 1; i += 1 }
+            }
+            val n = math.max(1, img.width * img.height)
+            MediaFeatures(m.media_id, s"image/$fmt", bs.length.toLong,
+              hist.map(_.toDouble / n))
+          case Some("wav") =>
+            val audio = Codecs.decodeWav(bs)
+            val hist = new Array[Long](8)
+            var i = 0
+            while (i < audio.samples.length) {
+              val bin = math.min(7,
+                math.max(0, ((audio.samples(i) + 1.0) * 4.0).toInt))
+              hist(bin) += 1
+              i += 1
+            }
+            val n = math.max(1, audio.samples.length)
+            MediaFeatures(m.media_id, "audio/wav", bs.length.toLong,
+              hist.map(_.toDouble / n))
+          case _ =>
+            val f = stubFeatures(bs)
+            MediaFeatures(m.media_id, s"${m.meta.kind}/stub",
+              bs.length.toLong, f)
+        }
+      }
+    }
+  }
+
+  private def stubFeatures(bs: Array[Byte]): Array[Double] = {
+    val n = bs.length.max(1)
+    val hist = new Array[Long](8)
+    var i = 0
+    while (i < bs.length) { hist((bs(i) & 0xFF) >> 5) += 1; i += 1 }
+    hist.map(_.toDouble / n)
+  }
+
   /** STUB decoder — stands in for image decode / audio feature extraction.
     * Deterministic 8-dim feature: byte-histogram moments. Runs
     * per-partition over an iterator (the batch shape a vectorized decode
@@ -64,13 +165,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-batch (partition) setup would open the codec once here
       rows.map { m =>
-        val bs = m.payload
-        val n = bs.length.max(1)
-        val hist = new Array[Long](8)
-        var i = 0
-        while (i < bs.length) { hist((bs(i) & 0xFF) >> 5) += 1; i += 1 }
-        val feats = hist.map(_.toDouble / n)
-        MediaFeatures(m.media_id, m.meta.kind, bs.length.toLong, feats)
+        MediaFeatures(m.media_id, m.meta.kind, m.payload.length.toLong,
+          stubFeatures(m.payload))
       }
     }
   }

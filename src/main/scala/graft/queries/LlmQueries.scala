@@ -353,14 +353,22 @@ object LlmQueries {
       .orderBy(col("doc_id"))
 
   // ----------------------------------------------------- q27_multimodal
+  // Real decode where a pure JVM can: the corpus carries genuinely
+  // encoded 24-bit BMPs and PCM WAVs (plus opaque "video" payloads that
+  // take the documented stub fallback), and decodeMedia parses the
+  // actual byte formats — the output kinds record the route taken
+  // (image/bmp, audio/wav, video/stub). Codec correctness is
+  // golden-pinned in MultimodalSpec; this query pins the distributed
+  // batch shape and the feature aggregation.
   private def q27Multimodal(s: SparkSession, d: String): DataFrame = {
-    val media = Multimodal.packDocsAsMedia(Tables.documents(s, d))
-    val feats = Multimodal.decodeStub(media)
+    val media = Multimodal.packDocsAsEncodedMedia(Tables.documents(s, d))
+    val feats = Multimodal.decodeMedia(media)
     feats.groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),
-        // features[4] = share of bytes in [96,128) — the lowercase-letter
-        // bucket, the informative one for text payloads
+        // an informative histogram bin per route: bin 4 is the
+        // lowercase-letter luma/amplitude/byte band for text-derived
+        // payloads
         round(avg(element_at(col("features"), 4)), 6).as("avg_f3"))
       .orderBy(col("kind"))
   }

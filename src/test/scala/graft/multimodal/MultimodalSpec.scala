@@ -71,4 +71,98 @@ class MultimodalSpec extends AnyFunSuite {
     val again = Multimodal.resizeStub(const, 4, 4).collect().head
     assert(java.util.Arrays.equals(out.payload, again.payload))
   }
+
+  // ------------------------------------------------- real codecs
+
+  test("BMP golden pixels: encode → decode round-trips exactly, " +
+      "padding rows handled") {
+    // 3×2 so each 24-bit row (9 bytes) needs 3 padding bytes
+    val rgb = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,   0, 0, 255.toByte,
+      10, 20, 30,         40, 50, 60,         70, 80, 90)
+    val bmp = Codecs.encodeBmp24(3, 2, rgb)
+    assert(bmp(0) == 'B' && bmp(1) == 'M')
+    assert(Codecs.sniff(bmp).contains("bmp"))
+    val img = Codecs.decodeBmp(bmp)
+    assert(img.width == 3 && img.height == 2 && img.channels == 3)
+    assert(java.util.Arrays.equals(img.pixels, rgb),
+      "decoded pixels must equal the golden RGB grid")
+    // a hand-built TOP-DOWN (negative height) BMP decodes to the same
+    val neg = bmp.clone()
+    // height field at offset 22: 2 → -2, and reorder the two pixel rows
+    neg(22) = (-2).toByte; neg(23) = 0xFF.toByte
+    neg(24) = 0xFF.toByte; neg(25) = 0xFF.toByte
+    val rowSize = 12
+    val r0 = java.util.Arrays.copyOfRange(bmp, 54, 54 + rowSize)
+    val r1 = java.util.Arrays.copyOfRange(bmp, 54 + rowSize, 54 + 2 * rowSize)
+    System.arraycopy(r1, 0, neg, 54, rowSize)
+    System.arraycopy(r0, 0, neg, 54 + rowSize, rowSize)
+    assert(java.util.Arrays.equals(Codecs.decodeBmp(neg).pixels, rgb))
+    // truncated payload fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Codecs.decodeBmp(java.util.Arrays.copyOfRange(bmp, 0, 60))
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
+
+  test("PPM/PGM golden pixels incl. header comments") {
+    val rgb = Array[Byte](1, 2, 3, 4, 5, 6)
+    val ppm = Codecs.encodePnm(2, 1, 3, rgb)
+    assert(Codecs.sniff(ppm).contains("ppm"))
+    val img = Codecs.decodePnm(ppm)
+    assert(img.width == 2 && img.height == 1 && img.channels == 3)
+    assert(java.util.Arrays.equals(img.pixels, rgb))
+    // a commented header, as real netpbm tools emit
+    val commented = ("P5\n# made by hand\n2 2\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](9, 8, 7, 6)
+    val gray = Codecs.decodePnm(commented)
+    assert(gray.channels == 1 && gray.width == 2 && gray.height == 2)
+    assert(gray.pixels.toSeq == Seq[Byte](9, 8, 7, 6))
+  }
+
+  test("WAV golden samples: 16-bit PCM round-trip, chunk walking") {
+    val samples = Array(-1.0, -0.5, 0.0, 0.5, 1.0, 0.25)
+    val wav = Codecs.encodeWavPcm16(8000, 2, samples)
+    assert(Codecs.sniff(wav).contains("wav"))
+    val audio = Codecs.decodeWav(wav)
+    assert(audio.channels == 2 && audio.sampleRate == 8000)
+    assert(audio.samples.length == samples.length)
+    // 16-bit quantization: exact to 1/32768
+    samples.zip(audio.samples).foreach { case (want, got) =>
+      assert(math.abs(want - got) <= 1.0 / 32768.0, s"$want vs $got")
+    }
+    // golden: -1.0 clamps to -32767 (encoder clamp), 0.0 is exactly 0
+    assert(audio.samples(2) == 0.0)
+    // non-PCM payload fails loudly
+    val bad = wav.clone(); bad(20) = 3 // format = IEEE float
+    val e = intercept[IllegalArgumentException] { Codecs.decodeWav(bad) }
+    assert(e.getMessage.contains("PCM"))
+  }
+
+  test("decodeMedia: real decode routes for BMP and WAV, stub fallback " +
+      "for opaque payloads") {
+    val media = Multimodal.packDocsAsEncodedMedia(docs)
+    val feats = Multimodal.decodeMedia(media).collect().sortBy(_.media_id)
+    assert(feats.map(_.kind).toSeq ==
+      Seq("image/bmp", "audio/wav", "video/stub"))
+    // every features vector is a normalized 8-bin histogram
+    feats.foreach { f =>
+      assert(f.features.length == 8)
+      assert(math.abs(f.features.sum - 1.0) < 1e-9,
+        s"${f.kind}: histogram must sum to 1, got ${f.features.sum}")
+    }
+    // the image route really parsed the BMP: its histogram is the luma
+    // histogram of the encoded pixels, recomputed here independently
+    val bmpRow = Multimodal.packDocsAsEncodedMedia(docs)
+      .collect().minBy(_.media_id)
+    val img = Codecs.decodeBmp(bmpRow.payload)
+    val hist = new Array[Long](8)
+    img.pixels.grouped(3).foreach { p =>
+      val luma = (299 * (p(0) & 0xFF) + 587 * (p(1) & 0xFF) +
+        114 * (p(2) & 0xFF)) / 1000
+      hist(luma >> 5) += 1
+    }
+    val want = hist.map(_.toDouble / (img.width * img.height))
+    assert(feats(0).features.toSeq == want.toSeq)
+  }
 }
