@@ -415,8 +415,10 @@ object CommitLog {
     * partition-replace consumer ([[graft.streaming.LakeFollow.mirror]])
     * converges exactly. Rows are always emitted AS OF `toV`: a file
     * added mid-range and rewritten by a later commit in the same range
-    * is dropped (the rewriting commit's files carry its partition), so
-    * the feed never mixes a dead file's stale image into the post-image.
+    * is never read itself — its PARTITION's files at `toV` stand in for
+    * it — so the feed never mixes a dead file's stale image into the
+    * post-image, and a mid-range compaction (whose own commit is
+    * skipped) cannot swallow an earlier commit's change.
     *
     * Works until [[vacuum]] drops a version inside the range. At 100 TB
     * this is THE way to feed downstream pipelines: each incremental run
@@ -440,9 +442,17 @@ object CommitLog {
             .collect().map(_.getString(0)).toSeq
         fileAdds ++ dvFiles
       }
-    }.toSeq.filter(liveAtTo).distinct.sorted
-    if (added.isEmpty) readSnapshot(spark, dir, snaps.last).limit(0)
-    else readFiles(spark, dir, snaps.last, added) // toV's committed schema
+    }.toSeq.distinct
+    // a file dead at toV was rewritten later in the range; its partition
+    // still CHANGED, so emit that partition's post-image at toV (for a
+    // later upsert those files are already in `live`; for a skipped
+    // compaction this is the only carrier of the earlier change)
+    val (live, dead) = added.partition(liveAtTo)
+    val deadParts = dead.map(partOf).toSet
+    val emit = (live ++ snaps.last.files.filter(f =>
+      deadParts.contains(partOf(f)))).distinct.sorted
+    if (emit.isEmpty) readSnapshot(spark, dir, snaps.last).limit(0)
+    else readFiles(spark, dir, snaps.last, emit) // toV's committed schema
   }
 
   /** The table AT version `v`, restricted to the given partition
@@ -930,6 +940,37 @@ object CommitLog {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Append-only commit: stage `rows` under their partition directories
+    * and commit them as pure file ADDS — no partition read, no rewrite,
+    * O(batch) work regardless of table size. This is the write verb for
+    * append-heavy ingestion at scale: the keyed [[upsert]] rewrites each
+    * touched partition's post-image, an append rewrites nothing, so it
+    * clashes with NO concurrent writer (its rebase is the
+    * `removed = ∅, touchedParts = ∅` case — a racing delete/upsert/
+    * compact serializes BEFORE the append, which is exactly SQL INSERT's
+    * contract). Key uniqueness is the caller's responsibility, as in SQL
+    * INSERT — duplicates land as rows. With `batchId` the commit rides
+    * the same exactly-once ledger as [[upsert]]. The change feed sees an
+    * append EXACTLY: its added files are the delta, not a post-image
+    * superset. */
+  def append(spark: SparkSession, rows: DataFrame, dir: String,
+      batchId: Option[Long] = None): Snapshot = {
+    val s = mustLatest(spark, dir)
+    if (batchId.exists(inLedger(s, _))) return s
+    checkSchemaCompatible(s, rows, dir)
+    val partCols = partColsOf(s)
+    val missingP = partCols.filterNot(rows.columns.contains)
+    require(missingP.isEmpty,
+      s"append into $dir must carry partition column(s): " +
+        missingP.mkString(", "))
+    val rels = stageWrite(spark, dir, rows, partCols)
+    if (rels.isEmpty) return s
+    commitRebase(spark, dir,
+      StagedUpsert(s, Set.empty, Set.empty, rels, batchId,
+        Some(rows.schema.json)),
+      "append", maxRetries = 10)
   }
 
   /** Keyed copy-on-write upsert: [[stageUpsert]] + [[commitStaged]].

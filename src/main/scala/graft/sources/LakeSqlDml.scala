@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.{LongType, StringType}
   * `spark.sql` front door ([[LakeTvf]] is the read half):
   *
   * {{{
+  *   INSERT INTO graft_lake('/lake/orders') SELECT ...   -- pure append
+  *   INSERT INTO graft_lake('/lake/orders') VALUES (...)
   *   DELETE FROM graft_lake('/lake/orders') WHERE o_custkey % 10 = 3
   *   DELETE FROM graft_lake('/lake/orders') WHERE flag = 'F'
   *     USING DELETION VECTORS                       -- merge-on-read
@@ -28,6 +30,11 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   WHEN NOT MATCHED BY SOURCE THEN DELETE         -- opt-in full scan
   *   SELECT * FROM graft_lake('/lake/orders') VERSION AS OF 3
   *   SELECT * FROM graft_lake('/lake/orders') TIMESTAMP AS OF 1700000000000
+  *   CALL graft_compact('/lake/orders', 4)
+  *   CALL graft_vacuum('/lake/orders', 1)
+  *   CALL graft_restore('/lake/orders', 3)
+  *   CALL graft_tag('/lake/orders', 'audited', 3)
+  *   CALL graft_publish('/lake/orders', 3)
   * }}}
   *
   * Implementation: the statements above are STANDARD Spark SQL grammar
@@ -62,10 +69,13 @@ object LakeSqlDml {
     * occurrence only, so `graft_lake` reads inside a merge SOURCE query
     * keep resolving through [[LakeTvf]]. */
   private val Target =
-    """(?is)\b(MERGE\s+INTO|DELETE\s+FROM|UPDATE)\s+graft_lake\s*\(\s*'([^']+)'\s*\)""".r
+    """(?is)\b(MERGE\s+INTO|DELETE\s+FROM|UPDATE|INSERT\s+INTO|INSERT\s+OVERWRITE(?:\s+TABLE)?)\s+graft_lake\s*\(\s*'([^']+)'\s*\)""".r
 
   private val DvSuffix =
     """(?is)\s+USING\s+DELETION\s+VECTORS\s*;?\s*$""".r
+
+  private val Call =
+    """(?is)^\s*CALL\s+graft_(\w+)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
 
   private val VersionAsOf =
     """(?is)graft_lake\s*\(\s*'([^']+)'\s*\)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
@@ -104,9 +114,90 @@ object LakeSqlDml {
         s"graft_lake_asof('${m.group(1)}', ${asOfMillis(m.group(2))}L)"))
   }
 
+  /** `CALL graft_<verb>(args...)` — the SQL maintenance surface:
+    * compact, compact_clustered, vacuum, restore, tag, publish. Args
+    * are literals, parsed by Spark's own expression grammar. */
+  private def parseCall(delegate: ParserInterface,
+      verb: String, rawArgs: String): LogicalPlan = {
+    // split on commas OUTSIDE single-quoted literals (args are scalar
+    // literals — no nesting, but a string arg may contain a comma)
+    def splitArgs(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val cur = new StringBuilder
+      var inQ = false
+      s.foreach { ch =>
+        if (ch == '\'') { inQ = !inQ; cur += ch }
+        else if (ch == ',' && !inQ) { out += cur.result(); cur.clear() }
+        else cur += ch
+      }
+      out += cur.result()
+      out.toSeq
+    }
+    val args = if (rawArgs.trim.isEmpty) Nil
+      else splitArgs(rawArgs).map(a =>
+        delegate.parseExpression(a.trim) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            if (v == null) null
+            else v match {
+              case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+              case other => other
+            }
+          case other => throw new IllegalArgumentException(
+            s"CALL graft_$verb expects literal arguments, got: ${other.sql}")
+        })
+    def str(i: Int): String = args(i).toString
+    def num(i: Int): Long = args(i) match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"CALL graft_$verb: argument ${i + 1} must be a number, got $other")
+    }
+    verb.toLowerCase match {
+      case "compact" =>
+        require(args.size == 2, "CALL graft_compact(dir, targetPartitions)")
+        GraftCallCommand(str(0), s => CommitLog.compact(s, str(0),
+          num(1).toInt).version, "compact")
+      case "compact_clustered" =>
+        require(args.size >= 3,
+          "CALL graft_compact_clustered(dir, targetPartitions, col, ...)")
+        GraftCallCommand(str(0), s => CommitLog.compactClustered(s, str(0),
+          num(1).toInt, args.drop(2).map(_.toString)).version,
+          "compact-clustered")
+      case "vacuum" =>
+        require(args.size == 2 || args.size == 3,
+          "CALL graft_vacuum(dir, keepLast[, staleStagingMs])")
+        GraftCallCommand(str(0), { s =>
+          val dropped = if (args.size == 3)
+            CommitLog.vacuum(s, str(0), num(1).toInt, num(2))
+          else CommitLog.vacuum(s, str(0), num(1).toInt)
+          System.err.println(
+            s"[lake-sql] vacuum ${str(0)}: ${dropped.size} files reclaimed")
+          CommitLog.latest(s, str(0)).map(_.version).getOrElse(-1L)
+        }, "vacuum")
+      case "restore" =>
+        require(args.size == 2, "CALL graft_restore(dir, version)")
+        GraftCallCommand(str(0),
+          s => CommitLog.restore(s, str(0), num(1)).version, "restore")
+      case "tag" =>
+        require(args.size == 3, "CALL graft_tag(dir, name, version)")
+        GraftCallCommand(str(0), { s =>
+          LakeRefs.tag(s, str(0), str(1), num(2)); num(2)
+        }, "tag")
+      case "publish" =>
+        require(args.size == 2, "CALL graft_publish(dir, version)")
+        GraftCallCommand(str(0), { s =>
+          LakeRefs.publish(s, str(0), num(1)); num(1)
+        }, "publish")
+      case other => throw new IllegalArgumentException(
+        s"unknown lake verb CALL graft_$other — supported: compact, " +
+          "compact_clustered, vacuum, restore, tag, publish")
+    }
+  }
+
   /** Try to handle `sql` as lake DML; None → not ours, delegate. */
   def parseDml(delegate: ParserInterface, sql: String): Option[LogicalPlan] =
-    Target.findFirstMatchIn(sql).map { m =>
+    Call.findFirstMatchIn(sql).map { c =>
+      parseCall(delegate, c.group(1), c.group(2)): LogicalPlan
+    }.orElse(Target.findFirstMatchIn(sql).map { m =>
       val dir = m.group(2)
       val mor = DvSuffix.findFirstIn(sql).isDefined
       val stripped = DvSuffix.replaceFirstIn(sql, "")
@@ -128,11 +219,23 @@ object LakeSqlDml {
         case mit: MergeIntoTable if targets(mit.targetTable, tag) =>
           require(!mor, "USING DELETION VECTORS applies to DELETE only")
           translateMerge(dir, mit)
+        case i: InsertIntoStatement if targets(i.table, tag) =>
+          require(!mor, "USING DELETION VECTORS applies to DELETE only")
+          require(!i.overwrite,
+            "INSERT OVERWRITE graft_lake is not supported — OVERWRITE is " +
+              "UPDATE/MERGE/replaceWhere territory")
+          require(i.partitionSpec.isEmpty,
+            "INSERT INTO graft_lake takes no static PARTITION spec — " +
+              "carry the partition column in the rows")
+          require(i.userSpecifiedCols.isEmpty,
+            "INSERT INTO graft_lake inserts whole rows (no column " +
+              "list) — project/alias in the SELECT instead")
+          GraftInsertCommand(dir, i.query)
         case other => throw new IllegalArgumentException(
           s"graft_lake('$dir') as a DML target supports DELETE/UPDATE/" +
             s"MERGE only; got ${other.getClass.getSimpleName}")
       }
-    }
+    })
 
   private def targets(plan: LogicalPlan, tag: String): Boolean = plan match {
     case SubqueryAlias(_, child) => targets(child, tag)
@@ -253,6 +356,41 @@ object LakeSqlDml {
           s"partitioning (the merge conflict unit); table has: " +
           (if (other.isEmpty) "none" else other.mkString(", ")))
     }
+  }
+}
+
+/** `CALL graft_<verb>(...)` — one maintenance verb, executed eagerly;
+  * returns (version, op) like the DML commands. */
+case class GraftCallCommand(dir: String, action: SparkSession => Long,
+    op: String) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = LakeSqlDml.dmlOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(action(spark), op))
+}
+
+/** `INSERT INTO graft_lake('dir') <query|VALUES ...>` — the pure-append
+  * [[CommitLog.append]]: new files only, no partition rewrite, so the
+  * commit never clashes with a concurrent writer. The query analyzes at
+  * run time against the session catalog (temp views, TVFs — including
+  * other graft lakes). */
+case class GraftInsertCommand(dir: String, queryPlan: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = LakeSqlDml.dmlOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rows =
+      org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, queryPlan)
+    // SQL INSERT binds by POSITION: align the query's columns onto the
+    // committed schema (a VALUES source arrives as col1, col2, ...)
+    val schema = CommitLog.read(spark, dir).schema
+    require(rows.columns.length == schema.length,
+      s"INSERT INTO graft_lake('$dir') needs ${schema.length} column(s) " +
+        s"(${schema.fieldNames.mkString(", ")}); query has " +
+        s"${rows.columns.length}")
+    val aligned = rows.toDF(schema.fieldNames.toIndexedSeq: _*)
+      .select(schema.fields.toIndexedSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+    val snap = CommitLog.append(spark, aligned, dir)
+    Seq(Row(snap.version, snap.op))
   }
 }
 

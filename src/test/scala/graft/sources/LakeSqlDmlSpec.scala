@@ -173,4 +173,93 @@ class LakeSqlDmlSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("DELETE only") ||
       e3.getMessage.toLowerCase.contains("syntax"))
   }
+
+  test("INSERT INTO graft_lake — pure append, SELECT and VALUES forms") {
+    val dir = freshLake()
+    val filesBefore = CommitLog.latest(spark, dir).get.files.toSet
+    val out = spark.sql(
+      s"""INSERT INTO graft_lake('$dir')
+         |SELECT id AS k, id % 5 AS v, 'p9' AS pd
+         |FROM range(1000, 1050)""".stripMargin).collect()
+    assert(out.head.getString(1) == "append")
+    val snap = CommitLog.latest(spark, dir).get
+    assert(filesBefore.subsetOf(snap.files.toSet),
+      "INSERT must append files, never rewrite")
+    assert(rows(dir).size == 350)
+    assert(rows(dir).count(_._3 == "p9") == 50)
+    // VALUES form; duplicates land as rows (SQL INSERT semantics)
+    spark.sql(s"INSERT INTO graft_lake('$dir') VALUES " +
+      "(1000L, 0L, 'p9'), (1000L, 0L, 'p9')")
+    assert(CommitLog.read(spark, dir)
+      .filter($"k" === 1000L && $"pd" === "p9").count() == 3L)
+    // a SELECT reading another graft lake resolves through the TVF
+    val dir2 = freshLake()
+    spark.sql(s"INSERT INTO graft_lake('$dir') " +
+      s"SELECT k + 100000, v, pd FROM graft_lake('$dir2') WHERE k < 10")
+    // rows() is a SET: 300 + 50 + 10 distinct (the VALUES pair
+    // duplicates an existing tuple — row count already asserted above)
+    assert(rows(dir).size == 360)
+    assert(CommitLog.read(spark, dir).count() == 362L)
+  }
+
+  test("INSERT INTO graft_lake — out-of-surface shapes rejected") {
+    val dir = freshLake()
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT OVERWRITE graft_lake('$dir') " +
+        "SELECT 1L AS k, 1L AS v, 'p0' AS pd")
+    }
+    assert(e1.getMessage.contains("OVERWRITE"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT INTO graft_lake('$dir') (k, v, pd) " +
+        "VALUES (1L, 1L, 'p0')")
+    }
+    assert(e2.getMessage.contains("column"))
+    // wrong arity → loud positional-binding guard
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT INTO graft_lake('$dir') SELECT 1L AS k, 'p0' AS pd")
+    }
+    assert(e3.getMessage.contains("needs 3 column"))
+  }
+
+  test("CALL graft_compact / graft_vacuum — SQL maintenance verbs") {
+    val dir = freshLake()
+    // churn the table so compaction has something to fold
+    spark.sql(s"DELETE FROM graft_lake('$dir') WHERE k < 10")
+    val out = spark.sql(s"CALL graft_compact('$dir', 2)").collect()
+    assert(out.head.getString(1) == "compact")
+    val snap = CommitLog.latest(spark, dir).get
+    assert(snap.op == "compact" && snap.version == out.head.getLong(0))
+    assert(rows(dir).size == 290)
+    // vacuum reclaims the pre-compaction files, table still readable
+    val v = spark.sql(s"CALL graft_vacuum('$dir', 1)").collect()
+    assert(v.head.getString(1) == "vacuum")
+    assert(rows(dir).size == 290)
+  }
+
+  test("CALL graft_tag / graft_publish / graft_restore — refs in SQL") {
+    val dir = freshLake()
+    val v1 = CommitLog.latest(spark, dir).get.version
+    spark.sql(s"DELETE FROM graft_lake('$dir') WHERE v >= 20")
+    spark.sql(s"CALL graft_tag('$dir', 'pre-delete', $v1)")
+    assert(LakeRefs.tagVersion(spark, dir, "pre-delete") == v1)
+    spark.sql(s"CALL graft_publish('$dir', $v1)")
+    assert(LakeRefs.publishedVersion(spark, dir).contains(v1))
+    // restore rolls forward to a NEW version whose content is v1's
+    val out = spark.sql(s"CALL graft_restore('$dir', $v1)").collect()
+    assert(out.head.getString(1) == "restore")
+    assert(rows(dir).size == 300)
+    assert(CommitLog.latest(spark, dir).get.version > v1)
+  }
+
+  test("CALL with a non-literal argument or unknown verb fails loudly") {
+    val dir = freshLake()
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql(s"CALL graft_compact('$dir', 1 + 1)")
+    }
+    assert(e1.getMessage.contains("literal"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"CALL graft_frobnicate('$dir')")
+    }
+    assert(e2.getMessage.contains("unknown lake verb"))
+  }
 }
