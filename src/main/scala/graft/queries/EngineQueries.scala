@@ -1181,6 +1181,75 @@ object EngineQueries {
       |  min(k) AS min_ok
       |FROM t4 GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // ---------------------------------------------------- q178_sql_insert
+  // The pure-append SQL surface end-to-end: INSERT INTO ... SELECT (an
+  // append commit — new files only, ZERO partition rewrite, the write
+  // verb for append-heavy ingestion at scale), INSERT ... VALUES
+  // (positional binding onto the committed schema), then
+  // CALL graft_compact issued as SQL — the maintenance verb must
+  // preserve every appended row bit-exactly. The DuckDB oracle
+  // recomputes the union algebra from raw orders, so the hash-match
+  // proves the whole front door (parse → CommitLog.append → compact).
+  // Arithmetic sticks to exact doubles (/2, binary-exact literals).
+  private val q178Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q178Lake(s: SparkSession, d: String): String =
+    q178Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q178_")
+      val lake = s"$work/lake"
+      Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+        .write.partitionBy("flag").parquet(lake)
+      graft.sources.CommitLog.init(s, lake)
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") > 20000 && col("o_orderkey") <= 30000)
+        .createOrReplaceTempView("q178_src")
+      s.sql(
+        s"""INSERT INTO graft_lake('$lake')
+           |SELECT o_orderkey + 1000000, o_custkey, o_totalprice / 2,
+           |       o_orderstatus
+           |FROM q178_src""".stripMargin)
+      s.sql(s"INSERT INTO graft_lake('$lake') VALUES " +
+        "(9999991, 1, 111.25, 'F'), (9999992, 2, 222.5, 'O')")
+      s.sql(s"CALL graft_compact('$lake', 2)")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q178SqlInsert(s: SparkSession, d: String): DataFrame = {
+    val lake = q178Lake(s, d)
+    s.sql(
+      s"""SELECT flag, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price,
+         |  CAST(min(o_orderkey) AS BIGINT) AS min_ok,
+         |  CAST(max(o_orderkey) AS BIGINT) AS max_ok
+         |FROM graft_lake('$lake')
+         |GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+
+  private val q178Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS f
+      |  FROM orders WHERE o_orderkey <= 20000),
+      |ins AS (
+      |  SELECT o_orderkey + 1000000 AS k, o_totalprice / 2 AS p,
+      |         o_orderstatus AS f
+      |  FROM orders WHERE o_orderkey > 20000 AND o_orderkey <= 30000),
+      |vals(k, p, f) AS (VALUES (9999991, 111.25, 'F'), (9999992, 222.5, 'O')),
+      |t AS (SELECT * FROM base UNION ALL SELECT * FROM ins
+      |      UNION ALL SELECT k, CAST(p AS DOUBLE), f FROM vals)
+      |SELECT f AS flag, count(*) AS n,
+      |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(min(k) AS BIGINT) AS min_ok,
+      |  CAST(max(k) AS BIGINT) AS max_ok
+      |FROM t GROUP BY 1 ORDER BY flag""".stripMargin
+
   // ------------------------------------------------- q175_meta_distinct
   // Metadata-plane COUNT(DISTINCT): per-file theta sketches ride the
   // commit (thetaCols at init), so distinct counts — the third
@@ -1646,6 +1715,7 @@ object EngineQueries {
     Q("q175_meta_distinct", q175MetaDistinct, Some(q175Sql)),
     Q("q176_delete_mor", q176DeleteMor, Some(q148Sql)),
     Q("q177_sql_dml", q177SqlDml, Some(q177Sql)),
+    Q("q178_sql_insert", q178SqlInsert, Some(q178Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),
