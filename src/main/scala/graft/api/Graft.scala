@@ -453,6 +453,10 @@ object Graft {
       CommitLog.readAsOf(spark, dir, tsMillis)
     def changes(fromV: Long, toV: Long): DataFrame =
       CommitLog.changesBetween(spark, dir, fromV, toV)
+    /** Row-level CDF: `_change_type`-labeled insert/delete/update
+      * pre+post rows, churn-pruned at both versions. */
+    def changeFeed(fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame =
+      CommitLog.changeFeed(spark, dir, fromV, toV, keyCols)
     def history: DataFrame = CommitLog.history(spark, dir)
     /** Roll back to version `v` as a NEW auditable commit (zero data
       * movement; ledger not rewound). */

@@ -1250,6 +1250,84 @@ object EngineQueries {
       |  CAST(max(k) AS BIGINT) AS max_ok
       |FROM t GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // ------------------------------------------------------ q179_lake_cdf
+  // Row-level change data feed: after a COW delete, a SQL UPDATE, and a
+  // pure append, graft_lake_cdf(v1, v4) must emit EXACTLY the inserted
+  // rows, the deleted rows' pre-images, and the updated rows' pre/post
+  // pairs — and NOTHING for rows the file-granular rewrites republished
+  // unchanged (the UPDATE rewrites whole files; its untouched rows must
+  // be value-compared away). The DuckDB oracle recomputes the diff from
+  // first principles with anti/inner joins over the simulated pre/post
+  // states. Arithmetic is exact-double (×2) so pre/post images compare
+  // bit-identically.
+  private val q179Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q179Lake(s: SparkSession, d: String): String =
+    q179Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q179_")
+      val lake = s"$work/lake"
+      Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+        .write.partitionBy("flag").parquet(lake)
+      graft.sources.CommitLog.init(s, lake)
+      s.sql(s"DELETE FROM graft_lake('$lake') WHERE o_custkey % 10 = 3")
+      s.sql(s"UPDATE graft_lake('$lake') SET o_totalprice = " +
+        "o_totalprice * 2 WHERE o_orderkey <= 5000")
+      Tables.orders(s, d).filter(col("o_orderkey") <= 1000)
+        .createOrReplaceTempView("q179_src")
+      s.sql(
+        s"""INSERT INTO graft_lake('$lake')
+           |SELECT o_orderkey + 1000000, o_custkey, o_totalprice,
+           |       o_orderstatus
+           |FROM q179_src""".stripMargin)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q179LakeCdf(s: SparkSession, d: String): DataFrame = {
+    val lake = q179Lake(s, d)
+    val toV = graft.sources.CommitLog.latest(s, lake).get.version
+    s.sql(
+      s"""SELECT _change_type, o_orderkey AS k, o_custkey AS c,
+         |       o_totalprice AS p, flag
+         |FROM graft_lake_cdf('$lake', 1, $toV, 'o_orderkey')
+         |ORDER BY _change_type, k""".stripMargin)
+  }
+
+  private val q179Sql =
+    """WITH pre AS (
+      |  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p,
+      |         o_orderstatus AS f
+      |  FROM orders WHERE o_orderkey <= 20000),
+      |post AS (
+      |  SELECT k, c, CASE WHEN k <= 5000 THEN p * 2 ELSE p END AS p, f
+      |  FROM pre WHERE c % 10 <> 3
+      |  UNION ALL
+      |  SELECT k + 1000000 AS k, c, p, f FROM pre WHERE k <= 1000),
+      |ct AS (
+      |  SELECT 'insert' AS t, q.k, q.c, q.p, q.f
+      |  FROM post q LEFT JOIN pre r ON q.k = r.k WHERE r.k IS NULL
+      |  UNION ALL
+      |  SELECT 'delete', r.k, r.c, r.p, r.f
+      |  FROM pre r LEFT JOIN post q ON r.k = q.k WHERE q.k IS NULL
+      |  UNION ALL
+      |  SELECT 'update_preimage', r.k, r.c, r.p, r.f
+      |  FROM pre r JOIN post q ON r.k = q.k
+      |  WHERE r.c IS DISTINCT FROM q.c OR r.p IS DISTINCT FROM q.p
+      |     OR r.f IS DISTINCT FROM q.f
+      |  UNION ALL
+      |  SELECT 'update_postimage', q.k, q.c, q.p, q.f
+      |  FROM pre r JOIN post q ON r.k = q.k
+      |  WHERE r.c IS DISTINCT FROM q.c OR r.p IS DISTINCT FROM q.p
+      |     OR r.f IS DISTINCT FROM q.f)
+      |SELECT t AS _change_type, k, c, p, f AS flag
+      |FROM ct ORDER BY _change_type, k""".stripMargin
+
   // ------------------------------------------------- q175_meta_distinct
   // Metadata-plane COUNT(DISTINCT): per-file theta sketches ride the
   // commit (thetaCols at init), so distinct counts — the third
@@ -1716,6 +1794,7 @@ object EngineQueries {
     Q("q176_delete_mor", q176DeleteMor, Some(q148Sql)),
     Q("q177_sql_dml", q177SqlDml, Some(q177Sql)),
     Q("q178_sql_insert", q178SqlInsert, Some(q178Sql)),
+    Q("q179_lake_cdf", q179LakeCdf, Some(q179Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

@@ -67,6 +67,15 @@ object LakeTvf {
         longArg("graft_lake_changes", args(1)),
         longArg("graft_lake_changes", args(2))))
     },
+    "graft_lake_cdf" -> { args =>
+      require(args.size == 4,
+        "graft_lake_cdf(dir, fromV, toV, 'key1[,key2...]')")
+      analyzed(CommitLog.changeFeed(SparkSession.active,
+        strArg("graft_lake_cdf", args.head),
+        longArg("graft_lake_cdf", args(1)),
+        longArg("graft_lake_cdf", args(2)),
+        strArg("graft_lake_cdf", args(3)).split(",").toSeq.map(_.trim)))
+    },
     "graft_lake_history" -> { args =>
       require(args.size == 1, "graft_lake_history(dir)")
       analyzed(CommitLog.history(SparkSession.active,

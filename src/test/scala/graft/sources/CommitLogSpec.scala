@@ -286,6 +286,44 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("changeFeed: exact row-level CDF — inserts, deletes, update " +
+    "pairs; republished-unchanged rows suppressed") {
+    val dir = freshLake()
+    val v1 = CommitLog.latest(spark, dir).get.version
+    // delete 10 keys (COW — rewrites files, republishing survivors)
+    CommitLog.delete(spark, dir, $"k" < 10)
+    // update 5 keys via whole-partition upsert (republishes the rest)
+    val upd = spark.range(100, 105)
+      .select($"id".as("k"), lit(42L).as("v"), lit("d0").as("pd"))
+    CommitLog.upsert(spark, upd, dir, Seq("k"), "pd")
+    // MoR delete 3 keys — no files change, only a vector
+    CommitLog.deleteVectors(spark, dir, $"k" >= 200 && $"k" < 203)
+    // append 7 brand-new keys
+    val app = spark.range(90000, 90007)
+      .select($"id".as("k"), lit(1L).as("v"), lit("d9").as("pd"))
+    val v5 = CommitLog.append(spark, app, dir)
+    val cdf = CommitLog.changeFeed(spark, dir, v1, v5.version, Seq("k"))
+      .select($"_change_type", $"k", $"v").as[(String, Long, Long)]
+      .collect().toSet
+    val expected =
+      (90000L until 90007L).map(k => ("insert", k, 1L)).toSet ++
+      (0L until 10L).map(k => ("delete", k, k % 7)).toSet ++
+      (200L until 203L).map(k => ("delete", k, k % 7)).toSet ++
+      (100L until 105L).map(k => ("update_preimage", k, k % 7)).toSet ++
+      (100L until 105L).map(k => ("update_postimage", k, 42L)).toSet
+    assert(cdf == expected,
+      "CDF must be the exact delta — republished rows must not leak")
+    // additive evolution: a column born in-range reads null pre-image
+    val evolved = spark.range(100, 101)
+      .select($"id".as("k"), lit(43L).as("v"), lit("d0").as("pd"),
+        lit("x").as("note"))
+    val v6 = CommitLog.upsert(spark, evolved, dir, Seq("k"), "pd")
+    val row = CommitLog.changeFeed(spark, dir, v5.version, v6.version,
+      Seq("k")).filter($"_change_type" === "update_preimage")
+      .select($"k", $"note").as[(Long, Option[String])].collect().toSeq
+    assert(row.contains((100L, None)))
+  }
+
   test("changesBetween: a mid-range compaction cannot swallow a change") {
     val dir = freshLake()
     val v1 = CommitLog.latest(spark, dir).get
