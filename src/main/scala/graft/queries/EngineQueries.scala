@@ -1328,6 +1328,67 @@ object EngineQueries {
       |SELECT t AS _change_type, k, c, p, f AS flag
       |FROM ct ORDER BY _change_type, k""".stripMargin
 
+  // ------------------------------------------------ q180_cdf_mirror
+  // Keyed CDC replica maintained from the row-level change feed: the
+  // replica is partitioned by a DERIVED key bucket — a layout the
+  // partition-swap mirror (q168) cannot serve — bootstrapped at the
+  // source's PRE-mutation cut, then the whole mutation range's CDF
+  // (q179's lake: COW delete + UPDATE + append) is applied as ONE
+  // atomic merge (inserts/postimages upsert, deletes tombstone via the
+  // clause-only __cdc_delete flag, batchId = source version for
+  // exactly-once replay). The DuckDB oracle recomputes the source's
+  // post state from first principles and buckets it — a hash-match
+  // proves the replica converged row for row under re-partitioning.
+  private val q180Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q180Replica(s: SparkSession, d: String): String =
+    q180Lakes.getOrElseUpdate(d, {
+      val srcLake = q179Lake(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_q180_")
+      val rep = s"$work/replica"
+      val derive = (df: DataFrame) =>
+        df.withColumn("bucket", pmod(col("o_orderkey"), lit(4L)))
+      derive(graft.sources.CommitLog.readAt(s, srcLake, 1L))
+        .write.partitionBy("bucket").parquet(rep)
+      graft.sources.CommitLog.init(s, rep, initBatches = Seq(1L))
+      graft.streaming.LakeFollow.applyCdf(s, srcLake, rep,
+        Seq("o_orderkey"), "bucket", derive)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      rep
+    })
+
+  private def q180CdfMirror(s: SparkSession, d: String): DataFrame = {
+    val rep = q180Replica(s, d)
+    graft.sources.CommitLog.read(s, rep)
+      .groupBy(col("bucket"), col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"),
+        min(col("o_orderkey")).as("min_ok"),
+        max(col("o_orderkey")).as("max_ok"))
+      .orderBy(col("bucket"), col("flag"))
+  }
+
+  private val q180Sql =
+    """WITH pre AS (
+      |  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p,
+      |         o_orderstatus AS f
+      |  FROM orders WHERE o_orderkey <= 20000),
+      |post AS (
+      |  SELECT k, c, CASE WHEN k <= 5000 THEN p * 2 ELSE p END AS p, f
+      |  FROM pre WHERE c % 10 <> 3
+      |  UNION ALL
+      |  SELECT k + 1000000 AS k, c, p, f FROM pre WHERE k <= 1000)
+      |SELECT k % 4 AS bucket, f AS flag, count(*) AS n,
+      |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(min(k) AS BIGINT) AS min_ok,
+      |  CAST(max(k) AS BIGINT) AS max_ok
+      |FROM post GROUP BY 1, 2 ORDER BY bucket, flag""".stripMargin
+
   // ------------------------------------------------- q175_meta_distinct
   // Metadata-plane COUNT(DISTINCT): per-file theta sketches ride the
   // commit (thetaCols at init), so distinct counts — the third
@@ -1795,6 +1856,7 @@ object EngineQueries {
     Q("q177_sql_dml", q177SqlDml, Some(q177Sql)),
     Q("q178_sql_insert", q178SqlInsert, Some(q178Sql)),
     Q("q179_lake_cdf", q179LakeCdf, Some(q179Sql)),
+    Q("q180_cdf_mirror", q180CdfMirror, Some(q180Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

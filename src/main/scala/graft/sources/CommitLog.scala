@@ -1110,9 +1110,14 @@ object CommitLog {
     * already in the ledger makes the whole call a replay no-op. A source
     * with duplicate keys fails loudly BEFORE any write (two clause
     * images for one target row is nondeterministic — the Delta-merge
-    * multiple-matches rule). At 100 TB: only the source's partitions are
-    * read and rewritten (file-pruned off the committed list), and the
-    * matching is one equi-join on the keys — no second pass per clause. */
+    * multiple-matches rule). Source columns whose name starts with `__`
+    * are CLAUSE-ONLY: visible to the `when` conditions as `s.__x` but
+    * never written to the table and never merged into its schema — the
+    * channel a CDC apply uses to carry its tombstone flag
+    * ([[graft.streaming.LakeFollow]]). At 100 TB: only the source's
+    * partitions are read and rewritten (file-pruned off the committed
+    * list), and the matching is one equi-join on the keys — no second
+    * pass per clause. */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       keyCols: Seq[String], partitionCol: String,
       updateWhen: Option[String] = Some("true"),
@@ -1148,13 +1153,18 @@ object CommitLog {
       if (notMatchedBySourceDeleteWhen.isDefined) (s.files, Nil)
       else s.files.partition(f => partDirs.exists(d => f.startsWith(d + "/")))
     val old0 =
-      if (touched.isEmpty) source.filter(lit(false))
+      if (touched.isEmpty)
+        source.filter(lit(false)).drop(
+          source.columns.filter(_.startsWith("__")).toIndexedSeq: _*)
       else readFiles(spark, dir, s, touched)
-    val aligned = source.columns.filterNot(old0.columns.contains)
+    // clause-only source columns (`__x`): joined for the conditions,
+    // excluded from the written image and the committed schema
+    val aligned = source.columns
+      .filterNot(c => old0.columns.contains(c) || c.startsWith("__"))
       .foldLeft(old0) { (df, c) =>
         df.withColumn(c, lit(null).cast(source.schema(c).dataType))
       }
-    val outCols = aligned.columns.toSeq
+    val outCols = aligned.columns.toSeq.filterNot(_.startsWith("__"))
     val t = aligned.withColumn("__t_present", lit(1)).as("t")
     val sv = source.withColumn("__s_present", lit(1)).as("s")
     val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k"))
@@ -1187,7 +1197,9 @@ object CommitLog {
       else partDirs ++ newRels.map(partOf)
     commitRebase(spark, dir,
       StagedUpsert(s, touchedParts, touched.toSet,
-        newRels, batchId, Some(source.schema.json)),
+        newRels, batchId,
+        Some(org.apache.spark.sql.types.StructType(
+          source.schema.filterNot(_.name.startsWith("__"))).json)),
       "merge", maxRetries = 10)
   }
 

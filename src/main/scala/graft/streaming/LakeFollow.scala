@@ -147,4 +147,104 @@ object LakeFollow {
     CommitLog.init(spark, dstDir, initBatches = Seq(src.version))
     src.version
   }
+
+  /** [[bootstrapMirror]] for a RE-PARTITIONED replica: the snapshot is
+    * passed through `derive` (e.g. adding a hash-bucket column) and
+    * laid out by `dstPartitionCol` — the layout [[applyCdf]] then
+    * maintains. */
+  def bootstrapMirrorKeyed(spark: SparkSession, srcDir: String,
+      dstDir: String, dstPartitionCol: String,
+      derive: DataFrame => DataFrame = identity): Long = {
+    val src = CommitLog.latest(spark, srcDir).getOrElse(
+      throw new IllegalStateException(s"$srcDir has no commit log"))
+    derive(CommitLog.read(spark, srcDir))
+      .write.partitionBy(dstPartitionCol).parquet(dstDir)
+    CommitLog.init(spark, dstDir, initBatches = Seq(src.version))
+    src.version
+  }
+
+  /** Apply the source's row-level CDF over `(fromV, toV]` onto a KEYED
+    * replica in ONE atomic merge commit — the consumer for replicas
+    * partitioned DIFFERENTLY from the source ([[mirror]]'s partition
+    * swap requires the same layout). Inserts/update-postimages upsert,
+    * deletes tombstone, all via [[CommitLog.merge]] with the CDC flag
+    * as a clause-only `__` column; `batchId = toV` rides the replica's
+    * ledger so a replayed range is a no-op (exactly-once, no side
+    * state). `derive` maps source-image columns onto the replica's
+    * schema (e.g. adds the bucket column) and must make
+    * `dstPartitionCol` a STABLE function of the key — guarded per
+    * range against the update pairs, churn-sized. At 100 TB each apply
+    * moves the range's churn through one key equi-join; the replica
+    * rewrites only the partitions the churn's keys land in. */
+  def applyCdf(spark: SparkSession, srcDir: String, dstDir: String,
+      keyCols: Seq[String], dstPartitionCol: String,
+      derive: DataFrame => DataFrame = identity): Long = {
+    val fromV = CommitLog.latest(spark, dstDir)
+      .flatMap(_.batches.maxOption).getOrElse(
+        throw new IllegalStateException(
+          s"$dstDir is not a bootstrapped keyed mirror — call " +
+            "bootstrapMirrorKeyed first"))
+    val toV = CommitLog.latest(spark, srcDir).map(_.version)
+      .getOrElse(fromV)
+    if (toV <= fromV) return fromV
+    val cdf = CommitLog.changeFeed(spark, srcDir, fromV, toV, keyCols)
+      .localCheckpoint() // churn-sized; read once, used three ways
+    val pre = cdf.filter(col("_change_type") === "update_preimage")
+    val post = cdf.filter(col("_change_type") =!= "update_preimage")
+    def derived(df: DataFrame): DataFrame = derive(df.drop("_change_type"))
+    // stability guard: an update pair that MOVES the replica partition
+    // would leave the old image unpruned — loudly out of contract
+    val moved = derived(pre)
+      .select(keyCols.map(col) :+ col(dstPartitionCol).as("__p0"): _*)
+      .join(derived(cdf.filter(col("_change_type") === "update_postimage"))
+        .select(keyCols.map(col) :+ col(dstPartitionCol).as("__p1"): _*),
+        keyCols)
+      .filter(!(col("__p0") <=> col("__p1"))).limit(1).collect()
+    require(moved.isEmpty,
+      s"applyCdf into $dstDir: '$dstPartitionCol' is not a stable " +
+        "function of the key — use LakeFollow.mirror (same layout) " +
+        "instead")
+    val flags = post.withColumn("__cdc_delete",
+      col("_change_type") === "delete")
+    // cast shared columns to the replica's COMMITTED types — hive
+    // partition inference may have narrowed the derived column (e.g.
+    // a long bucket reads back int), and merge rejects type changes
+    val schema = CommitLog.read(spark, dstDir).schema
+    val applied0 = derive(flags.drop("_change_type"))
+    val applied = applied0.select(applied0.columns.toIndexedSeq.map { c =>
+      schema.find(_.name == c)
+        .map(f => col(c).cast(f.dataType).as(c)).getOrElse(col(c))
+    }: _*)
+    if (applied.isEmpty) { CommitLog.noteBatch(spark, dstDir, toV); toV }
+    else {
+      CommitLog.merge(spark, dstDir, applied, keyCols, dstPartitionCol,
+        updateWhen = Some("NOT s.__cdc_delete"),
+        deleteWhen = Some("s.__cdc_delete"),
+        insertWhen = Some("NOT s.__cdc_delete"),
+        batchId = Some(toV))
+      toV
+    }
+  }
+
+  /** Streaming keyed CDC replica: [[applyCdf]] on the streaming
+    * scheduler, one atomic merge per observed version range; resume
+    * cursor = the replica's own ledger, exactly as [[mirror]]. */
+  def mirrorKeyed(spark: SparkSession, srcDir: String, dstDir: String,
+      keyCols: Seq[String], dstPartitionCol: String, checkpointDir: String,
+      pollSeconds: Int = 1,
+      derive: DataFrame => DataFrame = identity): StreamingQuery =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", 1)
+      .option("numPartitions", 1)
+      .load()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(s"$pollSeconds seconds"))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        applyCdf(spark, srcDir, dstDir, keyCols, dstPartitionCol, derive)
+        ()
+      }
+      .start()
 }

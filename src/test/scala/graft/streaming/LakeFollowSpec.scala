@@ -127,4 +127,48 @@ class LakeFollowSpec extends AnyFunSuite {
     // post-image granularity: the touched partition's full post-state
     assert(n == 20L, s"expected partition post-image (20 rows), got $n")
   }
+
+  test("keyed CDC replica: re-partitioned layout converges across " +
+      "update/delete/MoR/append; replay no-ops; moved key refuses") {
+    val w = work()
+    val src = s"$w/src"; val dst = s"$w/dst"
+    seed(src)
+    import org.apache.spark.sql.DataFrame
+    val derive = (df: DataFrame) =>
+      df.withColumn("bucket", pmod($"k", lit(4L)))
+    LakeFollow.bootstrapMirrorKeyed(spark, src, dst, "bucket", derive)
+    // source churn: update, COW delete, MoR delete, pure append
+    CommitLog.upsert(spark,
+      spark.range(10, 15).select($"id".as("k"), lit(9L).as("v"),
+        concat(lit("d"), ($"id" % 3)).as("pd")), src, Seq("k"), "pd")
+    CommitLog.delete(spark, src, $"k" < 5)
+    CommitLog.deleteVectors(spark, src, $"k" >= 55)
+    CommitLog.append(spark,
+      spark.range(900, 905).select($"id".as("k"), lit(7L).as("v"),
+        lit("d0").as("pd")), src)
+    val toV = LakeFollow.applyCdf(spark, src, dst, Seq("k"), "bucket",
+      derive)
+    assert(toV == CommitLog.latest(spark, src).get.version)
+    val srcState = state(src)
+    assert(state(dst) == srcState, "keyed replica must converge")
+    // the replica really is bucket-partitioned and prunable
+    assert(CommitLog.read(spark, dst)
+      .filter($"bucket" === pmod($"k", lit(4L))).count() ==
+      srcState.size.toLong)
+    // replayed range: ledger no-op (same toV, nothing moves)
+    val v0 = CommitLog.latest(spark, dst).get.version
+    assert(LakeFollow.applyCdf(spark, src, dst, Seq("k"), "bucket",
+      derive) == toV)
+    assert(CommitLog.latest(spark, dst).get.version == v0)
+    // a derive that moves a key's partition on update refuses loudly
+    CommitLog.upsert(spark,
+      spark.range(20, 21).select($"id".as("k"), lit(11L).as("v"),
+        lit("d2").as("pd")), src, Seq("k"), "pd")
+    val badDerive = (df: DataFrame) =>
+      df.withColumn("bucket", pmod($"k" + $"v", lit(4L)))
+    val e = intercept[IllegalArgumentException] {
+      LakeFollow.applyCdf(spark, src, dst, Seq("k"), "bucket", badDerive)
+    }
+    assert(e.getMessage.contains("stable"))
+  }
 }
