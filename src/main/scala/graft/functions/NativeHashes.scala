@@ -272,6 +272,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => NativeTopK.BoundedTopK(exprs(0), exprs(1),
           NativeTopK.kOf(exprs(2)))))
     e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zorder"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NativeZorder.InterleaveExpr].getName, "graft_zorder"),
+        (exprs: Seq[Expression]) => NativeZorder.zorderExpr(exprs)))
+    e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_text_stats"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[NativeText.TextStatsExpr].getName, "graft_text_stats"),

@@ -1389,6 +1389,59 @@ object EngineQueries {
       |  CAST(max(k) AS BIGINT) AS max_ok
       |FROM post GROUP BY 1, 2 ORDER BY bucket, flag""".stripMargin
 
+  // ------------------------------------------------------- q181_zorder
+  // Z-order clustering end-to-end: a lineitem slice is rewritten by
+  // CALL graft_compact_zorder on (l_partkey, l_suppkey), then served
+  // through scanBox — a two-column box predicate answered from the
+  // metadata-plane min/max manifest, reading only the files whose
+  // hyper-rectangle intersects the box. The DuckDB oracle runs the same
+  // predicate over raw lineitem, so the hash-match proves the
+  // interleaved rewrite preserved every row and the pruned scan reads
+  // exactly the predicate's rows (the pruning RATIO itself is pinned in
+  // ZorderSpec where the geometry is controlled).
+  private val q181Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q181Lake(s: SparkSession, d: String): String =
+    q181Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q181_")
+      val lake = s"$work/lake"
+      Tables.lineitem(s, d).filter(col("l_orderkey") <= 30000)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        .write.parquet(lake)
+      graft.sources.CommitLog.init(s, lake,
+        statsCols = Seq("l_partkey", "l_suppkey"))
+      s.sql(s"CALL graft_compact_zorder('$lake', 8, 'l_partkey', 'l_suppkey')")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q181Zorder(s: SparkSession, d: String): DataFrame = {
+    val lake = q181Lake(s, d)
+    val (df, (survivors, total)) = graft.sources.CommitLog.scanBox(s, lake,
+      Seq(("l_partkey", 100L, 300L), ("l_suppkey", 10L, 40L)))
+    System.err.println(s"[zorder] q181 scanBox read $survivors/$total files")
+    df.agg(count(lit(1)).as("n"),
+      sum(col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").as("sum_qty"),
+      sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").as("sum_price"))
+  }
+
+  private val q181Sql =
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM lineitem
+      |WHERE l_orderkey <= 30000
+      |  AND l_partkey BETWEEN 100 AND 300
+      |  AND l_suppkey BETWEEN 10 AND 40""".stripMargin
+
   // ------------------------------------------------- q175_meta_distinct
   // Metadata-plane COUNT(DISTINCT): per-file theta sketches ride the
   // commit (thetaCols at init), so distinct counts — the third
@@ -1857,6 +1910,7 @@ object EngineQueries {
     Q("q178_sql_insert", q178SqlInsert, Some(q178Sql)),
     Q("q179_lake_cdf", q179LakeCdf, Some(q179Sql)),
     Q("q180_cdf_mirror", q180CdfMirror, Some(q180Sql)),
+    Q("q181_zorder", q181Zorder, Some(q181Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

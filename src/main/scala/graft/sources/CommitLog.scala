@@ -1272,6 +1272,44 @@ object CommitLog {
     }
   }
 
+  /** [[compactClustered]] with a Z-ORDER (Morton) layout: rows sort on
+    * the bit-interleaved key of `zCols`
+    * ([[graft.functions.NativeZorder]]), so every rewritten file covers
+    * a small hyper-rectangle of the multi-column value space and the
+    * committed per-file min/max stats prune predicates on ANY of the
+    * clustered columns — the lexicographic variant prunes only the
+    * leading one. Use when queries filter on several independent
+    * columns; the leading-column sharpness of [[compactClustered]] is
+    * traded for balanced pruning across all of them. Same commit
+    * mechanics as [[compact]] (whole-table rewrite, never rebases,
+    * crash leaves vacuum garbage only). */
+  def compactZordered(spark: SparkSession, dir: String,
+      targetPartitions: Int, zCols: Seq[String]): Snapshot = {
+    require(zCols.size >= 2,
+      "compactZordered needs >= 2 columns (one column: compactClustered)")
+    val s = mustLatest(spark, dir)
+    val df = readSnapshot(spark, dir, s)
+    val partCols = partColsOf(s)
+    require(zCols.forall(c => !partCols.contains(c)),
+      s"zCols ${zCols.mkString(",")} overlap partition " +
+        s"columns ${partCols.mkString(",")}")
+    val zKey = graft.functions.NativeZorder.zorder(zCols.map(col): _*)
+    val rangeCols = partCols.map(col) :+ col("__z")
+    val clustered = df.withColumn("__z", zKey)
+      .repartitionByRange(targetPartitions, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .drop("__z")
+    val newRels = stageWrite(spark, dir, clustered, partCols)
+    try commit(spark, dir, s, newRels, newRels, s.batches, "compact",
+      dvsNew = Some(Nil))
+    catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"compactZordered on $dir lost the commit race (${e.getMessage})" +
+          " — a concurrent commit made the rewrite stale; re-run " +
+          "(abandoned files are vacuum garbage)")
+    }
+  }
+
   /** Copy-on-write SNAPSHOT REPLACE: after the commit the table holds
     * exactly `replacement`'s rows. The natural verb for re-materializing
     * a small derived table — an [[IncrementalView]]'s rollup state —

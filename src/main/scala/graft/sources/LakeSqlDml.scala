@@ -115,8 +115,9 @@ object LakeSqlDml {
   }
 
   /** `CALL graft_<verb>(args...)` — the SQL maintenance surface:
-    * compact, compact_clustered, vacuum, restore, tag, publish. Args
-    * are literals, parsed by Spark's own expression grammar. */
+    * compact, compact_clustered, compact_zorder, vacuum, restore, tag,
+    * publish. Args are literals, parsed by Spark's own expression
+    * grammar. */
   private def parseCall(delegate: ParserInterface,
       verb: String, rawArgs: String): LogicalPlan = {
     // split on commas OUTSIDE single-quoted literals (args are scalar
@@ -162,6 +163,12 @@ object LakeSqlDml {
         GraftCallCommand(str(0), s => CommitLog.compactClustered(s, str(0),
           num(1).toInt, args.drop(2).map(_.toString)).version,
           "compact-clustered")
+      case "compact_zorder" =>
+        require(args.size >= 4,
+          "CALL graft_compact_zorder(dir, targetPartitions, col, col, ...)")
+        GraftCallCommand(str(0), s => CommitLog.compactZordered(s, str(0),
+          num(1).toInt, args.drop(2).map(_.toString)).version,
+          "compact-zorder")
       case "vacuum" =>
         require(args.size == 2 || args.size == 3,
           "CALL graft_vacuum(dir, keepLast[, staleStagingMs])")
@@ -189,7 +196,7 @@ object LakeSqlDml {
         }, "publish")
       case other => throw new IllegalArgumentException(
         s"unknown lake verb CALL graft_$other — supported: compact, " +
-          "compact_clustered, vacuum, restore, tag, publish")
+          "compact_clustered, compact_zorder, vacuum, restore, tag, publish")
     }
   }
 
