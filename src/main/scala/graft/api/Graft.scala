@@ -457,6 +457,10 @@ object Graft {
       * pre+post rows, churn-pruned at both versions. */
     def changeFeed(fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame =
       CommitLog.changeFeed(spark, dir, fromV, toV, keyCols)
+    /** [[changeFeed]] with per-commit `_commit_version` attribution. */
+    def changeFeedByCommit(fromV: Long, toV: Long,
+        keyCols: Seq[String]): DataFrame =
+      CommitLog.changeFeedByCommit(spark, dir, fromV, toV, keyCols)
     def history: DataFrame = CommitLog.history(spark, dir)
     /** Roll back to version `v` as a NEW auditable commit (zero data
       * movement; ledger not rewound). */

@@ -1328,6 +1328,44 @@ object EngineQueries {
       |SELECT t AS _change_type, k, c, p, f AS flag
       |FROM ct ORDER BY _change_type, k""".stripMargin
 
+  // ------------------------------------------------ q182_cdf_by_commit
+  // Per-commit CDF attribution over q179's lifecycle: each delta row is
+  // tagged with the version that produced it — the delete's pre-images
+  // carry v2, the update pairs v3, the appended rows v4. The DuckDB
+  // oracle recomputes every commit's delta from first principles with
+  // its literal version tag, so the hash-match proves both the row
+  // algebra AND the attribution boundaries (a row republished unchanged
+  // by the v3 file rewrite must not be attributed to v3).
+  private def q182CdfByCommit(s: SparkSession, d: String): DataFrame = {
+    val lake = q179Lake(s, d)
+    s.sql(
+      s"""SELECT _commit_version AS v, _change_type,
+         |       o_orderkey AS k, o_custkey AS c, o_totalprice AS p, flag
+         |FROM graft_lake_cdf_by_commit('$lake', 1, 4, 'o_orderkey')
+         |ORDER BY v, _change_type, k""".stripMargin)
+  }
+
+  private val q182Sql =
+    """WITH pre AS (
+      |  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p,
+      |         o_orderstatus AS f
+      |  FROM orders WHERE o_orderkey <= 20000),
+      |s2 AS (SELECT * FROM pre WHERE c % 10 <> 3),
+      |ct AS (
+      |  SELECT 2 AS v, 'delete' AS t, k, c, p, f
+      |  FROM pre WHERE c % 10 = 3
+      |  UNION ALL
+      |  SELECT 3, 'update_preimage', k, c, p, f FROM s2 WHERE k <= 5000
+      |  UNION ALL
+      |  SELECT 3, 'update_postimage', k, c, p * 2, f
+      |  FROM s2 WHERE k <= 5000
+      |  UNION ALL
+      |  SELECT 4, 'insert', k + 1000000, c, p, f
+      |  FROM pre WHERE k <= 1000)
+      |SELECT CAST(v AS BIGINT) AS v, t AS _change_type, k, c, p,
+      |       f AS flag
+      |FROM ct ORDER BY v, _change_type, k""".stripMargin
+
   // ------------------------------------------------ q180_cdf_mirror
   // Keyed CDC replica maintained from the row-level change feed: the
   // replica is partitioned by a DERIVED key bucket — a layout the
@@ -1911,6 +1949,7 @@ object EngineQueries {
     Q("q179_lake_cdf", q179LakeCdf, Some(q179Sql)),
     Q("q180_cdf_mirror", q180CdfMirror, Some(q180Sql)),
     Q("q181_zorder", q181Zorder, Some(q181Sql)),
+    Q("q182_cdf_by_commit", q182CdfByCommit, Some(q182Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

@@ -513,6 +513,25 @@ object CommitLog {
     inserts.union(deletes).union(updatesPre).union(updatesPost)
   }
 
+  /** [[changeFeed]] with PER-COMMIT attribution: one feed per adjacent
+    * version pair, each row tagged `_commit_version` — the audit-trail
+    * shape (who changed this row, when) that a range-diff necessarily
+    * collapses (a row updated twice inside the range appears once per
+    * commit here, once end-to-end there). Cost is the sum of the
+    * commits' churns: each step reads only its own touched partitions,
+    * and no-data steps (compactions, props, refs) diff empty file sets
+    * for pennies — so attributing a day of commits costs the day's
+    * churn, never versions × table. */
+  def changeFeedByCommit(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame = {
+    require(fromV < toV,
+      s"changeFeedByCommit needs fromV < toV, got $fromV >= $toV")
+    (fromV until toV).map { v =>
+      changeFeed(spark, dir, v, v + 1, keyCols)
+        .withColumn("_commit_version", lit(v + 1))
+    }.reduce(_ union _)
+  }
+
   /** The table AT version `v`, restricted to the given partition
     * DIRECTORIES (the `key=value` strings [[partsBetween]] returns; ""
     * addresses an unpartitioned layout's root files). The pre-/

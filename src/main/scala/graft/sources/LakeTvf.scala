@@ -76,6 +76,16 @@ object LakeTvf {
         longArg("graft_lake_cdf", args(2)),
         strArg("graft_lake_cdf", args(3)).split(",").toSeq.map(_.trim)))
     },
+    "graft_lake_cdf_by_commit" -> { args =>
+      require(args.size == 4,
+        "graft_lake_cdf_by_commit(dir, fromV, toV, 'key1[,key2...]')")
+      analyzed(CommitLog.changeFeedByCommit(SparkSession.active,
+        strArg("graft_lake_cdf_by_commit", args.head),
+        longArg("graft_lake_cdf_by_commit", args(1)),
+        longArg("graft_lake_cdf_by_commit", args(2)),
+        strArg("graft_lake_cdf_by_commit", args(3))
+          .split(",").toSeq.map(_.trim)))
+    },
     "graft_lake_history" -> { args =>
       require(args.size == 1, "graft_lake_history(dir)")
       analyzed(CommitLog.history(SparkSession.active,
