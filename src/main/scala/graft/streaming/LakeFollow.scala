@@ -148,6 +148,22 @@ object LakeFollow {
     src.version
   }
 
+  /** [[followChanges]] delivering the exact ROW-LEVEL feed: each new
+    * version range arrives as its [[CommitLog.changeFeed]] —
+    * `_change_type`-labeled inserts/deletes/update pairs — instead of
+    * post-image supersets. Same at-least-once contract: `f` must be
+    * idempotent per `toV`. */
+  def followCdf(spark: SparkSession, srcDir: String, keyCols: Seq[String],
+      checkpointDir: String,
+      pollSeconds: Int = 1,
+      fromVersion: Option[Long] = None)(f: (DataFrame, Long, Long) => Unit)
+      : StreamingQuery =
+    followChanges(spark, srcDir, checkpointDir, pollSeconds, fromVersion) {
+      (_, fromV, toV) =>
+        f(CommitLog.changeFeed(spark, srcDir, fromV, toV, keyCols),
+          fromV, toV)
+    }
+
   /** [[bootstrapMirror]] for a RE-PARTITIONED replica: the snapshot is
     * passed through `derive` (e.g. adding a hash-bucket column) and
     * laid out by `dstPartitionCol` — the layout [[applyCdf]] then

@@ -128,6 +128,39 @@ class LakeFollowSpec extends AnyFunSuite {
     assert(n == 20L, s"expected partition post-image (20 rows), got $n")
   }
 
+  test("followCdf streams the row-level feed: exact labeled deltas") {
+    val w = work()
+    val src = s"$w/src"
+    seed(src)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      Set[(String, Long, Long)]]()
+    val q = LakeFollow.followCdf(spark, src, Seq("k"),
+      checkpointDir = s"$w/chk") { (cdf, _, _) =>
+      got.add(cdf.select($"_change_type", $"k", $"v")
+        .as[(String, Long, Long)].collect().toSet); ()
+    }
+    try {
+      // one upsert touching 2 keys + one delete of 1 key, same range
+      CommitLog.upsert(spark,
+        spark.range(0, 2).select(($"id" * 3).as("k"), lit(5L).as("v"),
+          lit("d0").as("pd")), src, Seq("k"), "pd")
+      CommitLog.delete(spark, src, $"k" === 7L)
+      val t0 = System.currentTimeMillis()
+      def union() = got.toArray(Array.empty[Set[(String, Long, Long)]])
+        .foldLeft(Set.empty[(String, Long, Long)])(_ ++ _)
+      while (!union().contains(("delete", 7L, 1L)) &&
+          System.currentTimeMillis() - t0 < 30000)
+        Thread.sleep(100)
+    } finally q.stop()
+    assert(!got.isEmpty, "follower saw no CDF")
+    // the union of delivered deltas equals the exact labeled change set
+    val all = got.toArray(Array.empty[Set[(String, Long, Long)]])
+      .foldLeft(Set.empty[(String, Long, Long)])(_ ++ _)
+    assert(all == Set(("update_preimage", 0L, 1L),
+      ("update_postimage", 0L, 5L), ("update_preimage", 3L, 1L),
+      ("update_postimage", 3L, 5L), ("delete", 7L, 1L)))
+  }
+
   test("keyed CDC replica: re-partitioned layout converges across " +
       "update/delete/MoR/append; replay no-ops; moved key refuses") {
     val w = work()
