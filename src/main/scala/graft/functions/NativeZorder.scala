@@ -42,6 +42,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * prefix instead of a degenerate key. One pass per row — no quantile
   * model, no per-column global sort. Both expressions live inside
   * whole-stage codegen.
+  *
+  * Generalizes [[graft.ops.GeoOps.zorderKey]] — the 2×16-bit grid-cell
+  * interleave the geo operators cluster by — to N dimensions of any
+  * stats-bearing type at full width.
   */
 object NativeZorder {
 

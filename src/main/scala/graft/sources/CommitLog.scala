@@ -1681,10 +1681,30 @@ object CommitLog {
     * the full snapshot scan only when the log tracks no stats or lacks a
     * bound column. */
   def scanBox(spark: SparkSession, dir: String,
-      bounds: Seq[(String, Long, Long)]): (DataFrame, (Int, Int)) = {
+      bounds: Seq[(String, Long, Long)]): (DataFrame, (Int, Int)) =
+    scanBoxAny(spark, dir,
+      bounds.map { case (c, lo, hi) => (c, lo: Any, hi: Any) })
+
+  /** `min_c <= bound` / `max_c >= bound` with the column's own order:
+    * numeric stats compare numerically, string stats lexicographically
+    * (exactly the order `min`/`max` aggregated them under). */
+  private def statGeq(v: Any, bound: Any): Boolean = (v, bound) match {
+    case (a: Number, b: Number) => a.doubleValue() >= b.doubleValue()
+    case (a: String, b: String) => a.compareTo(b) >= 0
+    case (a, b) => throw new IllegalArgumentException(
+      s"scanBox: cannot compare stat $a (${a.getClass.getSimpleName}) " +
+        s"with bound $b (${b.getClass.getSimpleName})")
+  }
+
+  /** [[scanBox]] over bounds of any stats-bearing type — longs, doubles,
+    * and STRINGS (string zone maps prune prefix ranges, the grain
+    * [[graft.functions.NativeZorder]] clusters strings by). */
+  def scanBoxAny(spark: SparkSession, dir: String,
+      bounds: Seq[(String, Any, Any)]): (DataFrame, (Int, Int)) = {
     require(bounds.nonEmpty, "scanBox needs at least one bound")
     val s = mustLatest(spark, dir)
-    val predicate = bounds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+    val predicate = bounds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }
       .reduce(_ && _)
     def full = (readSnapshot(spark, dir, s).filter(predicate),
       (s.files.size, s.files.size))
@@ -1700,8 +1720,7 @@ object CommitLog {
             val minIdx = 1 + 2 * i
             val maxIdx = 2 + 2 * i
             !r.isNullAt(minIdx) && !r.isNullAt(maxIdx) &&
-              r.getAs[Number](maxIdx).doubleValue() >= lo &&
-              r.getAs[Number](minIdx).doubleValue() <= hi
+              statGeq(r.get(maxIdx), lo) && statGeq(hi, r.get(minIdx))
           }
         }.map(_.getString(0)).toSeq
         val df =

@@ -46,6 +46,25 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(pruned.count() == 0L)
   }
 
+  test("string zone maps prune a lexicographic range (scanBoxAny)") {
+    val dir = Files.createTempDirectory("graft_skip_s_").toString + "/lake"
+    // names cluster lexicographically across 10 files
+    spark.range(0, 10000)
+      .select($"id", concat(lit("user_"),
+        format_string("%05d", $"id")).as("name"))
+      .repartitionByRange(10, $"name")
+      .write.parquet(dir)
+    CommitLog.init(spark, dir, statsCols = Seq("name"))
+    val (pruned, (read, total)) = CommitLog.scanBoxAny(spark, dir,
+      Seq(("name", "user_02000", "user_02999")))
+    assert(total == 10)
+    assert(read <= 2, s"string range spans ~1 of 10 files: $read/$total")
+    assert(pruned.count() == 1000L)
+    // correctness against the unpruned filter
+    assert(pruned.agg(sum($"id")).as[Long].head() ==
+      (2000L until 3000L).sum)
+  }
+
   test("a stale manifest falls back to the full scan and stays correct") {
     val dir = freshLake()
     // a writer appended data the manifest has never seen
