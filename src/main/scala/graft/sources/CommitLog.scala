@@ -766,6 +766,41 @@ object CommitLog {
     }
   }
 
+  /** Schema-only DDL commit: declare new NULLABLE columns ahead of any
+    * write that carries them (the explicit `ALTER TABLE` twin of the
+    * implicit additive evolution a widening write performs). Pure
+    * metadata — zero files touched at any table size; existing rows
+    * read the new columns as null through the committed schema, exactly
+    * as post-evolution reads already do. Rejects duplicates and
+    * anything but top-level nullable columns (a NOT NULL add has no
+    * legal fill for existing rows). */
+  def addColumns(spark: SparkSession, dir: String,
+      newCols: org.apache.spark.sql.types.StructType): Snapshot = {
+    require(newCols.nonEmpty, "addColumns needs at least one column")
+    val s = mustLatest(spark, dir)
+    val base = s.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(readSnapshot(spark, dir, s).schema)
+    newCols.fieldNames.foreach(n => require(!base.fieldNames.contains(n),
+      s"addColumns on $dir: column '$n' already exists"))
+    newCols.fields.foreach(f => require(f.nullable,
+      s"addColumns on $dir: '${f.name}' must be nullable — existing " +
+        "rows have no value for it"))
+    val merged = mergeSchemaJson(Some(base.json), Some(newCols.json))
+    val next = s.copy(version = s.version + 1, schemaJson = merged,
+      op = "schema", committedAt = System.currentTimeMillis())
+    try {
+      casWrite(hadoopFs(spark, dir), versionFile(dir, next.version),
+        render(next))
+      next
+    } catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"addColumns on $dir lost the commit race (${e.getMessage}) — " +
+          "re-read and retry")
+    }
+  }
+
   /** Start the log: snapshot the directory's current files as version 1.
     * With `statsCols`, every subsequent commit also maintains the
     * zone-map stats snapshot for [[scanBox]]/[[scanRange]]; with

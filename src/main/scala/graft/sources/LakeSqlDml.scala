@@ -30,6 +30,7 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   WHEN NOT MATCHED BY SOURCE THEN DELETE         -- opt-in full scan
   *   SELECT * FROM graft_lake('/lake/orders') VERSION AS OF 3
   *   SELECT * FROM graft_lake('/lake/orders') TIMESTAMP AS OF 1700000000000
+  *   ALTER TABLE graft_lake('/lake/orders') ADD COLUMNS (note STRING)
   *   CALL graft_compact('/lake/orders', 4)
   *   CALL graft_vacuum('/lake/orders', 1)
   *   CALL graft_restore('/lake/orders', 3)
@@ -69,7 +70,7 @@ object LakeSqlDml {
     * occurrence only, so `graft_lake` reads inside a merge SOURCE query
     * keep resolving through [[LakeTvf]]. */
   private val Target =
-    """(?is)\b(MERGE\s+INTO|DELETE\s+FROM|UPDATE|INSERT\s+INTO|INSERT\s+OVERWRITE(?:\s+TABLE)?)\s+graft_lake\s*\(\s*'([^']+)'\s*\)""".r
+    """(?is)\b(MERGE\s+INTO|DELETE\s+FROM|UPDATE|INSERT\s+INTO|INSERT\s+OVERWRITE(?:\s+TABLE)?|ALTER\s+TABLE)\s+graft_lake\s*\(\s*'([^']+)'\s*\)""".r
 
   private val DvSuffix =
     """(?is)\s+USING\s+DELETION\s+VECTORS\s*;?\s*$""".r
@@ -226,6 +227,23 @@ object LakeSqlDml {
         case mit: MergeIntoTable if targets(mit.targetTable, tag) =>
           require(!mor, "USING DELETION VECTORS applies to DELETE only")
           translateMerge(dir, mit)
+        case AddColumns(tbl, colsToAdd) if targetsTable(tbl, tag) =>
+          require(!mor, "USING DELETION VECTORS applies to DELETE only")
+          val fields = colsToAdd.map { qc =>
+            require(qc.path.isEmpty,
+              "ALTER TABLE graft_lake ADD COLUMNS supports top-level " +
+                "columns only")
+            require(qc.position.isEmpty && qc.default.isEmpty,
+              "ALTER TABLE graft_lake ADD COLUMNS supports no FIRST/" +
+                "AFTER position and no DEFAULT")
+            require(qc.nullable,
+              s"ALTER TABLE graft_lake: '${qc.colName}' must be " +
+                "nullable — existing rows have no value for it")
+            org.apache.spark.sql.types.StructField(qc.colName,
+              qc.dataType, nullable = true)
+          }
+          GraftAddColumnsCommand(dir,
+            org.apache.spark.sql.types.StructType(fields))
         case i: InsertIntoStatement if targets(i.table, tag) =>
           require(!mor, "USING DELETION VECTORS applies to DELETE only")
           require(!i.overwrite,
@@ -249,6 +267,14 @@ object LakeSqlDml {
     case r: UnresolvedRelation => r.multipartIdentifier == Seq(tag)
     case _ => false
   }
+
+  /** DDL statements parse their target as an UnresolvedTable. */
+  private def targetsTable(plan: LogicalPlan, tag: String): Boolean =
+    plan match {
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        t.multipartIdentifier == Seq(tag)
+      case _ => targets(plan, tag)
+    }
 
   private def aliasOf(plan: LogicalPlan): Option[String] = plan match {
     case SubqueryAlias(ident, _) => Some(ident.name)
@@ -373,6 +399,19 @@ case class GraftCallCommand(dir: String, action: SparkSession => Long,
   override def output: Seq[Attribute] = LakeSqlDml.dmlOutput
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(action(spark), op))
+}
+
+/** `ALTER TABLE graft_lake('dir') ADD COLUMNS (...)` — the schema-only
+  * DDL commit [[CommitLog.addColumns]]: zero files touched, existing
+  * rows read the new columns as null. */
+case class GraftAddColumnsCommand(dir: String,
+    newCols: org.apache.spark.sql.types.StructType)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = LakeSqlDml.dmlOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = CommitLog.addColumns(spark, dir, newCols)
+    Seq(Row(snap.version, snap.op))
+  }
 }
 
 /** `INSERT INTO graft_lake('dir') <query|VALUES ...>` — the pure-append

@@ -221,6 +221,35 @@ class LakeSqlDmlSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("needs 3 column"))
   }
 
+  test("ALTER TABLE graft_lake ADD COLUMNS — schema-only DDL commit") {
+    val dir = freshLake()
+    val filesBefore = CommitLog.latest(spark, dir).get.files
+    val out = spark.sql(s"ALTER TABLE graft_lake('$dir') " +
+      "ADD COLUMNS (note STRING, score DOUBLE)").collect()
+    assert(out.head.getString(1) == "schema")
+    assert(CommitLog.latest(spark, dir).get.files == filesBefore,
+      "DDL must touch zero data files")
+    val r = CommitLog.read(spark, dir)
+    assert(r.columns.contains("note") && r.columns.contains("score"))
+    assert(r.filter($"note".isNotNull).count() == 0)
+    // a positional INSERT can now carry the declared columns (the
+    // committed read order: data cols, evolved cols, partition col)
+    spark.sql(s"INSERT INTO graft_lake('$dir') VALUES " +
+      "(5000, 1, 'x', 2.5, 'p0')")
+    assert(CommitLog.read(spark, dir)
+      .filter($"note" === "x" && $"score" === 2.5).count() == 1)
+    // duplicate and NOT NULL adds refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graft_lake('$dir') ADD COLUMNS (note STRING)")
+    }
+    assert(e.getMessage.contains("already exists"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"ALTER TABLE graft_lake('$dir') ADD COLUMNS (z INT NOT NULL)")
+    }
+    assert(e2.getMessage.contains("nullable"))
+  }
+
   test("CALL graft_compact / graft_vacuum — SQL maintenance verbs") {
     val dir = freshLake()
     // churn the table so compaction has something to fold
