@@ -492,6 +492,22 @@ object Graft {
       else CommitLog.compactClustered(spark, dir, targetPartitions, clusterCols)
       ()
     }
+    /** [[compact]] on the Z-order (Morton) key of `zCols`: zone maps
+      * then prune predicates on ANY clustered column. */
+    def compactZorder(targetPartitions: Int, zCols: Seq[String]): Unit = {
+      CommitLog.compactZordered(spark, dir, targetPartitions, zCols)
+      ()
+    }
+    /** Declare new nullable columns — a schema-only commit. */
+    def addColumns(newCols: org.apache.spark.sql.types.StructType): Unit = {
+      CommitLog.addColumns(spark, dir, newCols)
+      ()
+    }
+    /** Pure-append commit: new files only, no partition rewrite. */
+    def append(rows: DataFrame, batchId: Option[Long] = None): Unit = {
+      CommitLog.append(spark, rows, dir, batchId)
+      ()
+    }
     def vacuum(keepLast: Int = 1): Seq[String] =
       CommitLog.vacuum(spark, dir, keepLast)
     /** Per-partition exact count/min/max from the stats manifest —

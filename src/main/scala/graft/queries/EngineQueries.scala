@@ -1480,6 +1480,63 @@ object EngineQueries {
       |  AND l_partkey BETWEEN 100 AND 300
       |  AND l_suppkey BETWEEN 10 AND 40""".stripMargin
 
+  // ---------------------------------------------------- q183_sql_ddl
+  // Schema DDL end-to-end: ALTER TABLE ... ADD COLUMNS declares a new
+  // nullable column as a ZERO-FILE metadata commit, existing rows read
+  // it as null, and a positional INSERT then carries it. The DuckDB
+  // oracle recomputes the evolved union (base rows with a NULL bonus,
+  // inserted rows with the computed one), so the hash-match proves the
+  // schema commit, the null back-fill, and the post-DDL write path.
+  private val q183Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q183Lake(s: SparkSession, d: String): String =
+    q183Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q183_")
+      val lake = s"$work/lake"
+      Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.parquet(lake)
+      graft.sources.CommitLog.init(s, lake)
+      s.sql(s"ALTER TABLE graft_lake('$lake') ADD COLUMNS (o_bonus DOUBLE)")
+      Tables.orders(s, d).filter(col("o_orderkey") <= 1000)
+        .createOrReplaceTempView("q183_src")
+      s.sql(
+        s"""INSERT INTO graft_lake('$lake')
+           |SELECT o_orderkey + 1000000, o_custkey, o_totalprice,
+           |       o_totalprice * 2 + 0.25
+           |FROM q183_src""".stripMargin)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q183SqlDdl(s: SparkSession, d: String): DataFrame = {
+    val lake = q183Lake(s, d)
+    s.sql(
+      s"""SELECT count(*) AS n, count(o_bonus) AS n_bonus,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price,
+         |  CAST(sum(CAST(o_bonus AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_bonus
+         |FROM graft_lake('$lake')""".stripMargin)
+  }
+
+  private val q183Sql =
+    """WITH t AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS p,
+      |         CAST(NULL AS DOUBLE) AS bonus
+      |  FROM orders WHERE o_orderkey <= 20000
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, o_totalprice, o_totalprice * 2 + 0.25
+      |  FROM orders WHERE o_orderkey <= 1000)
+      |SELECT count(*) AS n, count(bonus) AS n_bonus,
+      |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(sum(CAST(bonus AS DECIMAL(18,2))) AS DOUBLE) AS sum_bonus
+      |FROM t""".stripMargin
+
   // ------------------------------------------------- q175_meta_distinct
   // Metadata-plane COUNT(DISTINCT): per-file theta sketches ride the
   // commit (thetaCols at init), so distinct counts — the third
@@ -1950,6 +2007,7 @@ object EngineQueries {
     Q("q180_cdf_mirror", q180CdfMirror, Some(q180Sql)),
     Q("q181_zorder", q181Zorder, Some(q181Sql)),
     Q("q182_cdf_by_commit", q182CdfByCommit, Some(q182Sql)),
+    Q("q183_sql_ddl", q183SqlDdl, Some(q183Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),
