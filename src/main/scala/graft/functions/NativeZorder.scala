@@ -21,8 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * interleaved key makes every file cover a small HYPER-RECTANGLE of
   * the value space — the per-file `min/max` stats that already ride the
   * commit then prune a predicate on ANY clustered column, not just the
-  * first (the standard lakehouse multi-column clustering design; see
-  * PAPERS.md on space-filling curves).
+  * first — the standard lakehouse multi-column clustering design
+  * (Morton's 1966 space-filling curve, as applied by the open
+  * lakehouse formats' OPTIMIZE ZORDER).
   *
   * Per-dimension encoding is ORDER-PRESERVING into an
   * unsigned-comparable 64-bit word (the bit extraction compares

@@ -86,6 +86,16 @@ object LakeTvf {
         strArg("graft_lake_cdf_by_commit", args(3))
           .split(",").toSeq.map(_.trim)))
     },
+    "graft_lake_describe" -> { args =>
+      require(args.size == 1, "graft_lake_describe(dir)")
+      val s = SparkSession.active
+      val schema = CommitLog.read(s,
+        strArg("graft_lake_describe", args.head)).schema
+      import s.implicits._
+      analyzed(schema.fields.toIndexedSeq
+        .map(f => (f.name, f.dataType.simpleString, f.nullable))
+        .toDF("col_name", "data_type", "nullable"))
+    },
     "graft_lake_history" -> { args =>
       require(args.size == 1, "graft_lake_history(dir)")
       analyzed(CommitLog.history(SparkSession.active,

@@ -248,6 +248,11 @@ class LakeSqlDmlSpec extends AnyFunSuite {
         s"ALTER TABLE graft_lake('$dir') ADD COLUMNS (z INT NOT NULL)")
     }
     assert(e2.getMessage.contains("nullable"))
+    // the DESCRIBE TVF surfaces the evolved schema
+    val desc = spark.sql(s"SELECT * FROM graft_lake_describe('$dir')")
+      .as[(String, String, Boolean)].collect().toSeq
+    assert(desc.map(_._1).containsSlice(Seq("note", "score")))
+    assert(desc.contains(("score", "double", true)))
   }
 
   test("CALL graft_compact / graft_vacuum — SQL maintenance verbs") {
