@@ -342,6 +342,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scale-hostile join shapes:\n${offenders.mkString("\n")}")
   }
 
+  test("q179: the CDF diff is one key shuffle join over file-pruned " +
+    "scans — no broadcast of churn, no cartesian") {
+    val p = planOf("q179_lake_cdf")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"CDF pre/post diff must be a key-partitioned join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"CDF exploded:\n$p")
+  }
+
+  test("q181: graft_zorder stays inside WholeStageCodegen") {
+    import org.apache.spark.sql.functions._
+    import graft.tables.Tables
+    val df = Tables.lineitem(spark, sf).select(
+      graft.functions.NativeZorder.zorder(
+        col("l_partkey"), col("l_suppkey")).as("z"))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("*(1) Project"), s"zorder fell out of codegen:\n$p")
+    df.collect() // the generated code compiles + runs
+  }
+
   test("native dedup expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import graft.tables.Tables
