@@ -28,18 +28,96 @@ object Codecs {
   final case class Audio(channels: Int, sampleRate: Int,
       samples: Array[Double])
 
-  /** Container sniff by magic bytes: Some("bmp" | "ppm" | "pgm" | "wav")
-    * or None for anything this module cannot decode. */
+  // ImageIO must never try to touch a display — executors are headless.
+  // Harmless if something already initialized AWT; decisive otherwise.
+  System.setProperty("java.awt.headless", "true")
+
+  /** Container sniff by magic bytes: Some("bmp" | "ppm" | "pgm" | "png" |
+    * "jpeg" | "wav") or None for anything this module cannot decode. */
   def sniff(bytes: Array[Byte]): Option[String] = {
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') Some("ppm")
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5') Some("pgm")
+    else if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') Some("png")
+    else if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF) Some("jpeg")
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
       bytes(11) == 'E') Some("wav")
     else None
   }
+
+  // ----------------------------------------------------- PNG / JPEG
+  // Via the JDK's OWN ImageIO readers (java.desktop): PNG's inflate is
+  // java.util.zip, JPEG baseline is the JDK's pure-Java/haiku decoder —
+  // no native codec libraries, headless-safe. The hand-rolled BMP/PNM
+  // parsers above stay as the from-first-principles reference pair
+  // (golden-pinned against each other in MultimodalSpec).
+
+  /** Decode PNG or JPEG to top-down interleaved RGB via ImageIO. */
+  def decodeJdkImage(bytes: Array[Byte]): Image = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO could not decode the payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        out(i) = ((rgb >> 16) & 0xFF).toByte
+        out(i + 1) = ((rgb >> 8) & 0xFF).toByte
+        out(i + 2) = (rgb & 0xFF).toByte
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, 3, out)
+  }
+
+  private def toBufferedImage(width: Int, height: Int,
+      rgb: Array[Byte]): java.awt.image.BufferedImage = {
+    require(rgb.length == width * height * 3,
+      s"need ${width * height * 3} RGB bytes, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((rgb(i) & 0xFF) << 16) |
+          ((rgb(i + 1) & 0xFF) << 8) | (rgb(i + 2) & 0xFF))
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def writeJdkImage(format: String, width: Int, height: Int,
+      rgb: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(
+      toBufferedImage(width, height, rgb), format, bos),
+      s"no ImageIO writer for $format")
+    bos.toByteArray
+  }
+
+  /** Encode top-down interleaved RGB as PNG (lossless). */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
+    writeJdkImage("png", width, height, rgb)
+
+  /** Encode top-down interleaved RGB as baseline JPEG (lossy). */
+  def encodeJpeg(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
+    writeJdkImage("jpg", width, height, rgb)
 
   // ------------------------------------------------------------- BMP
 

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus batch-shaped decode/feature plumbing.
   *
   * The decode step is REAL for the container formats a pure JVM can
-  * parse — BMP/PPM/PGM images and PCM WAV audio ([[Codecs]], magic-byte
-  * sniffed, golden-pixel/golden-sample pinned in MultimodalSpec) — via
-  * [[decodeMedia]] over [[packDocsAsEncodedMedia]]'s genuinely-encoded
-  * corpus. Formats that need native codec libraries (JPEG/MP3/H.264…)
-  * are absent from this container, so [[decodeStub]] remains the
-  * documented deterministic stand-in for them and [[decodeMedia]] falls
-  * back to it for unrecognized payloads ("video" in the fixture corpus).
+  * parse: BMP/PPM/PGM via the from-first-principles parsers in
+  * [[Codecs]], PNG and baseline JPEG via the JDK's own ImageIO readers
+  * (java.desktop — PNG's inflate is java.util.zip, no native codec
+  * libraries, headless-safe), and PCM WAV audio — all magic-byte
+  * sniffed and golden-pinned in MultimodalSpec — via [[decodeMedia]]
+  * over [[packDocsAsEncodedMedia]]'s genuinely-encoded corpus. Only
+  * formats with no JVM decoder at all (MP3/H.264 video…) take
+  * [[decodeStub]], the documented deterministic stand-in, which
+  * [[decodeMedia]] falls back to for unrecognized payloads ("video" in
+  * the fixture corpus).
   * Everything around either step — the schema, the per-partition batch
   * iteration (the Scala analogue of mapInPandas), the partitioning
   * story, the downstream aggregations — is identical and tested.
@@ -60,12 +63,13 @@ object Multimodal {
   }
 
   /** Wrap the documents table as a corpus of GENUINELY ENCODED media:
-    * image rows carry a real 24-bit BMP whose 8×8 RGB pixels derive
-    * deterministically from the text bytes, audio rows a real 16-bit
-    * PCM WAV whose samples do, and video rows keep an opaque payload
-    * (no pure-JVM video container worth pretending to parse). The
-    * decode in [[decodeMedia]] is then an actual byte-format parse —
-    * same corpus determinism at every scale factor. */
+    * image rows carry a real 24-bit BMP, PNG, or baseline JPEG whose
+    * 8×8 RGB pixels derive deterministically from the text bytes, audio
+    * rows a real 16-bit PCM WAV whose samples do, and video rows keep
+    * an opaque payload (no pure-JVM video container worth pretending to
+    * parse). The decode in [[decodeMedia]] is then an actual
+    * byte-format parse — same corpus determinism at every scale
+    * factor. */
   def packDocsAsEncodedMedia(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -73,9 +77,9 @@ object Multimodal {
       val bytes = text.getBytes("UTF-8")
       def b(i: Int): Byte =
         if (bytes.isEmpty) (i * 37).toByte else bytes(i % bytes.length)
-      (id % 3) match {
+      def rgb = Array.tabulate(8 * 8 * 3)(b)
+      (id % 5) match {
         case 0 =>
-          val rgb = Array.tabulate(8 * 8 * 3)(b)
           MediaRow(id, MediaMeta("image", 8, 8, 3, 0, 0L),
             Codecs.encodeBmp24(8, 8, rgb))
         case 1 =>
@@ -84,6 +88,12 @@ object Multimodal {
           MediaRow(id,
             MediaMeta("audio", 0, 0, 1, 8000, n.toLong * 1000 / 8000),
             Codecs.encodeWavPcm16(8000, 1, samples))
+        case 2 =>
+          MediaRow(id, MediaMeta("image", 8, 8, 3, 0, 0L),
+            Codecs.encodePng(8, 8, rgb))
+        case 3 =>
+          MediaRow(id, MediaMeta("image", 8, 8, 3, 0, 0L),
+            Codecs.encodeJpeg(8, 8, rgb))
         case _ =>
           MediaRow(id, MediaMeta("video", 128, 72, 3, 0,
             bytes.length.toLong * 5), bytes)
@@ -98,7 +108,8 @@ object Multimodal {
     * images (integer BT.601 luma), amplitude bins over [-1, 1] for
     * audio — so downstream consumers see one shape regardless of
     * modality or fallback. The output kind records the decode route:
-    * `image/bmp`, `image/ppm`, `audio/wav`, or `<kind>/stub`. */
+    * `image/bmp`, `image/ppm`, `image/png`, `image/jpeg`, `audio/wav`,
+    * or `<kind>/stub`. */
   def decodeMedia(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -106,9 +117,12 @@ object Multimodal {
       rows.map { m =>
         val bs = m.payload
         Codecs.sniff(bs) match {
-          case Some(fmt @ ("bmp" | "ppm" | "pgm")) =>
-            val img = if (fmt == "bmp") Codecs.decodeBmp(bs)
-              else Codecs.decodePnm(bs)
+          case Some(fmt @ ("bmp" | "ppm" | "pgm" | "png" | "jpeg")) =>
+            val img = fmt match {
+              case "bmp" => Codecs.decodeBmp(bs)
+              case "png" | "jpeg" => Codecs.decodeJdkImage(bs)
+              case _ => Codecs.decodePnm(bs)
+            }
             val hist = new Array[Long](8)
             val px = img.pixels
             var i = 0

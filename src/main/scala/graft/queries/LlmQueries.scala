@@ -354,10 +354,12 @@ object LlmQueries {
 
   // ----------------------------------------------------- q27_multimodal
   // Real decode where a pure JVM can: the corpus carries genuinely
-  // encoded 24-bit BMPs and PCM WAVs (plus opaque "video" payloads that
-  // take the documented stub fallback), and decodeMedia parses the
-  // actual byte formats — the output kinds record the route taken
-  // (image/bmp, audio/wav, video/stub). Codec correctness is
+  // encoded 24-bit BMPs, PNGs, baseline JPEGs (the JDK's own ImageIO
+  // readers), and PCM WAVs (plus opaque "video" payloads that take the
+  // documented stub fallback), and decodeMedia parses the actual byte
+  // formats — the output kinds record the route taken
+  // (image/bmp, image/png, image/jpeg, audio/wav, video/stub). Codec
+  // correctness is
   // golden-pinned in MultimodalSpec; this query pins the distributed
   // batch shape and the feature aggregation.
   private def q27Multimodal(s: SparkSession, d: String): DataFrame = {

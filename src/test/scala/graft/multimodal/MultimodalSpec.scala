@@ -139,30 +139,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("PCM"))
   }
 
-  test("decodeMedia: real decode routes for BMP and WAV, stub fallback " +
-      "for opaque payloads") {
-    val media = Multimodal.packDocsAsEncodedMedia(docs)
+  private def encDocs = Seq(
+    (0L, "an image-ish payload with enough bytes to histogram"),
+    (1L, "an audio-ish payload"),
+    (2L, "a png payload — lossless, golden-pinned below"),
+    (3L, "a jpeg payload — lossy, dimensions + histogram shape pinned"),
+    (4L, "a video-ish payload that takes the documented stub"))
+    .toDF("doc_id", "text")
+
+  test("decodeMedia: real decode routes for BMP, WAV, PNG, JPEG; stub " +
+      "fallback for opaque payloads") {
+    val media = Multimodal.packDocsAsEncodedMedia(encDocs)
     val feats = Multimodal.decodeMedia(media).collect().sortBy(_.media_id)
     assert(feats.map(_.kind).toSeq ==
-      Seq("image/bmp", "audio/wav", "video/stub"))
+      Seq("image/bmp", "audio/wav", "image/png", "image/jpeg",
+        "video/stub"))
     // every features vector is a normalized 8-bin histogram
     feats.foreach { f =>
       assert(f.features.length == 8)
       assert(math.abs(f.features.sum - 1.0) < 1e-9,
         s"${f.kind}: histogram must sum to 1, got ${f.features.sum}")
     }
-    // the image route really parsed the BMP: its histogram is the luma
-    // histogram of the encoded pixels, recomputed here independently
-    val bmpRow = Multimodal.packDocsAsEncodedMedia(docs)
-      .collect().minBy(_.media_id)
-    val img = Codecs.decodeBmp(bmpRow.payload)
-    val hist = new Array[Long](8)
-    img.pixels.grouped(3).foreach { p =>
-      val luma = (299 * (p(0) & 0xFF) + 587 * (p(1) & 0xFF) +
-        114 * (p(2) & 0xFF)) / 1000
-      hist(luma >> 5) += 1
+    // the image routes really parsed the bytes: each histogram is the
+    // luma histogram of the decoded pixels, recomputed independently
+    def lumaHist(img: Codecs.Image): Seq[Double] = {
+      val hist = new Array[Long](8)
+      img.pixels.grouped(3).foreach { p =>
+        val luma = (299 * (p(0) & 0xFF) + 587 * (p(1) & 0xFF) +
+          114 * (p(2) & 0xFF)) / 1000
+        hist(luma >> 5) += 1
+      }
+      hist.map(_.toDouble / (img.width * img.height)).toSeq
     }
-    val want = hist.map(_.toDouble / (img.width * img.height))
-    assert(feats(0).features.toSeq == want.toSeq)
+    val rows = Multimodal.packDocsAsEncodedMedia(encDocs)
+      .collect().sortBy(_.media_id)
+    assert(feats(0).features.toSeq == lumaHist(Codecs.decodeBmp(rows(0).payload)))
+    // PNG is lossless: the decoded pixels ARE the source pixels — the
+    // route's histogram must match the BMP of the same source bytes
+    val png = Codecs.decodeJdkImage(rows(2).payload)
+    assert(png.width == 8 && png.height == 8 && png.channels == 3)
+    assert(feats(2).features.toSeq == lumaHist(png))
+    // JPEG is lossy: pin dimensions + the recomputed decoded histogram
+    val jpg = Codecs.decodeJdkImage(rows(3).payload)
+    assert(jpg.width == 8 && jpg.height == 8)
+    assert(feats(3).features.toSeq == lumaHist(jpg))
+  }
+
+  test("PNG round-trips losslessly through encode + ImageIO decode") {
+    val rgb = Array.tabulate(8 * 8 * 3)(i => ((i * 31) % 251).toByte)
+    val back = Codecs.decodeJdkImage(Codecs.encodePng(8, 8, rgb))
+    assert(back.pixels.toSeq == rgb.toSeq, "PNG must be bit-lossless")
+    // and the sniffer routes both new formats
+    assert(Codecs.sniff(Codecs.encodePng(8, 8, rgb)).contains("png"))
+    assert(Codecs.sniff(Codecs.encodeJpeg(8, 8, rgb)).contains("jpeg"))
   }
 }

@@ -342,8 +342,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scale-hostile join shapes:\n${offenders.mkString("\n")}")
   }
 
-  test("q179: the CDF diff is one key shuffle join over file-pruned " +
-    "scans — no broadcast of churn, no cartesian") {
+  test("q179: the CDF diff is one key-partitioned join over file-pruned scans, no cartesian") {
     val p = planOf("q179_lake_cdf")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       s"CDF pre/post diff must be a key-partitioned join:\n$p")
