@@ -491,20 +491,28 @@ object CommitLog {
         df.withColumn(c, lit(null).cast(post.schema(c).dataType)))
       .select(post.columns.toIndexedSeq.map(col): _*)
     val dataCols = post.columns.filterNot(keyCols.contains).toIndexedSeq
-    val l = pre.withColumn("_pre", lit(true)).as("pre")
-    val r = post.withColumn("_post", lit(true)).as("post")
+    // collision-proof marker names: a table may legitimately carry a
+    // column called _pre/_post, which a plain name would overwrite and
+    // corrupt the insert/delete classification
+    val preMark = "__graft_cdf_pre"
+    val postMark = "__graft_cdf_post"
+    require(!post.columns.contains(preMark) && !post.columns.contains(postMark),
+      s"changeFeed on $dir: the schema uses the reserved internal " +
+        s"column name $preMark/$postMark")
+    val l = pre.withColumn(preMark, lit(true)).as("pre")
+    val r = post.withColumn(postMark, lit(true)).as("post")
     val joined = l.join(r,
       keyCols.map(k => col(s"pre.$k") <=> col(s"post.$k")).reduce(_ && _),
       "full_outer")
     def image(side: String, tag: String) =
       post.columns.toIndexedSeq.map(c => col(s"$side.$c").as(c)) :+
         lit(tag).as("_change_type")
-    val inserts = joined.filter(col("pre._pre").isNull)
+    val inserts = joined.filter(col(s"pre.$preMark").isNull)
       .select(image("post", "insert"): _*)
-    val deletes = joined.filter(col("post._post").isNull)
+    val deletes = joined.filter(col(s"post.$postMark").isNull)
       .select(image("pre", "delete"): _*)
-    val updatedPair = joined.filter(col("pre._pre").isNotNull &&
-      col("post._post").isNotNull &&
+    val updatedPair = joined.filter(col(s"pre.$preMark").isNotNull &&
+      col(s"post.$postMark").isNotNull &&
       (if (dataCols.isEmpty) lit(false)
        else !(struct(dataCols.map(c => col(s"pre.$c")): _*) <=>
          struct(dataCols.map(c => col(s"post.$c")): _*))))
@@ -1348,11 +1356,15 @@ object CommitLog {
       s"zCols ${zCols.mkString(",")} overlap partition " +
         s"columns ${partCols.mkString(",")}")
     val zKey = graft.functions.NativeZorder.zorder(zCols.map(col): _*)
-    val rangeCols = partCols.map(col) :+ col("__z")
-    val clustered = df.withColumn("__z", zKey)
+    // staging column name chosen to miss the table's own columns — a
+    // data column literally named __z must survive the rewrite intact
+    val zc = Iterator.from(0).map(i => s"__graft_z$i")
+      .find(n => !df.columns.contains(n)).get
+    val rangeCols = partCols.map(col) :+ col(zc)
+    val clustered = df.withColumn(zc, zKey)
       .repartitionByRange(targetPartitions, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
-      .drop("__z")
+      .drop(zc)
     val newRels = stageWrite(spark, dir, clustered, partCols)
     try commit(spark, dir, s, newRels, newRels, s.batches, "compact",
       dvsNew = Some(Nil))

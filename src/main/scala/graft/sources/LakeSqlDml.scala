@@ -86,6 +86,27 @@ object LakeSqlDml {
 
   private[sources] val Placeholder = "graft_dml_target_"
 
+  /** Is `offset` inside a SQL string literal? Scans the prefix tracking
+    * quote state for BOTH literal forms Spark accepts (`'...'` and
+    * `"..."`), honoring backslash escapes; a doubled quote (`''`)
+    * toggles out and straight back in, which still reads as
+    * inside-the-literal at any offset strictly within it. Guards every
+    * regex below from misrouting a plain SELECT whose string LITERAL
+    * happens to contain DML-shaped text
+    * (`SELECT 'DELETE FROM graft_lake(...)'`). */
+  private[sources] def inLiteral(sql: String, offset: Int): Boolean = {
+    var i = 0
+    var q: Char = 0 // 0 = outside; '\'' or '"' = inside that literal
+    while (i < offset) {
+      val c = sql.charAt(i)
+      if (q == 0) { if (c == '\'' || c == '"') q = c }
+      else if (c == '\\') i += 1 // escaped char inside a literal
+      else if (c == q) q = 0
+      i += 1
+    }
+    q != 0
+  }
+
   /** Epoch millis of a `TIMESTAMP AS OF` operand: bare digits are
     * millis; a quoted string is an ISO instant (`...Z`/offset) or a
     * local `yyyy-MM-dd[ HH:mm:ss]` interpreted as UTC — the commit
@@ -105,14 +126,17 @@ object LakeSqlDml {
       }
     }
 
-  /** Rewrite the time-travel sugar anywhere in the statement. */
+  /** Rewrite the time-travel sugar anywhere in the statement — except
+    * inside string literals ([[inLiteral]]), which stay verbatim. */
   private[sources] def rewriteTimeTravel(sql: String): String = {
-    val v = VersionAsOf.replaceAllIn(sql, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        s"graft_lake_at('${m.group(1)}', ${m.group(2)})"))
-    TimestampAsOf.replaceAllIn(v, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        s"graft_lake_asof('${m.group(1)}', ${asOfMillis(m.group(2))}L)"))
+    val v = VersionAsOf.replaceSomeIn(sql, m =>
+      if (inLiteral(sql, m.start)) None
+      else Some(scala.util.matching.Regex.quoteReplacement(
+        s"graft_lake_at('${m.group(1)}', ${m.group(2)})")))
+    TimestampAsOf.replaceSomeIn(v, m =>
+      if (inLiteral(v, m.start)) None
+      else Some(scala.util.matching.Regex.quoteReplacement(
+        s"graft_lake_asof('${m.group(1)}', ${asOfMillis(m.group(2))}L)")))
   }
 
   /** `CALL graft_<verb>(args...)` — the SQL maintenance surface:
@@ -205,14 +229,19 @@ object LakeSqlDml {
   def parseDml(delegate: ParserInterface, sql: String): Option[LogicalPlan] =
     Call.findFirstMatchIn(sql).map { c =>
       parseCall(delegate, c.group(1), c.group(2)): LogicalPlan
-    }.orElse(Target.findFirstMatchIn(sql).map { m =>
+    }.orElse(Target.findAllMatchIn(sql).find(m =>
+      !inLiteral(sql, m.start)).map { m =>
       val dir = m.group(2)
-      val mor = DvSuffix.findFirstIn(sql).isDefined
-      val stripped = DvSuffix.replaceFirstIn(sql, "")
+      val mor = DvSuffix.findFirstMatchIn(sql).exists(d =>
+        !inLiteral(sql, d.start))
+      val stripped = DvSuffix.replaceSomeIn(sql, d =>
+        if (inLiteral(sql, d.start)) None else Some(""))
       // unique placeholder per statement: no temp-view shadowing risk
       val tag = Placeholder + Integer.toHexString(dir.hashCode).takeWhile(_ != '-')
-      val substituted = Target.replaceFirstIn(stripped,
-        scala.util.matching.Regex.quoteReplacement(s"${m.group(1)} $tag"))
+      // replace exactly the matched (non-literal) occurrence: the DV
+      // suffix, if stripped, sat after it, so the offsets still hold
+      val substituted = stripped.substring(0, m.start) +
+        s"${m.group(1)} $tag" + stripped.substring(m.end)
       delegate.parsePlan(substituted) match {
         case DeleteFromTable(tbl, cond) if targets(tbl, tag) =>
           GraftDeleteCommand(dir, stripAlias(cond, aliasOf(tbl)).sql, mor)
@@ -458,7 +487,12 @@ case class GraftDeleteCommand(dir: String, condSql: String, mor: Boolean)
   * [[CommitLog.replaceWhere]] commit: the matching rows are deleted and
   * re-inserted with the assignments applied (values cast to the
   * column's committed type, as SQL UPDATE requires). File-granularity
-  * copy-on-write with the standard rebase rules. */
+  * copy-on-write with the standard rebase rules.
+  *
+  * All SET expressions evaluate against the PRE-update row — one select
+  * over the base image, never a sequential fold — so
+  * `SET a = b, b = a` swaps, exactly as SQL specifies. Assigning the
+  * same column twice is ambiguous under that rule and is rejected. */
 case class GraftUpdateCommand(dir: String,
     assignments: Seq[(String, String)], condSql: Option[String])
     extends LeafRunnableCommand {
@@ -471,12 +505,22 @@ case class GraftUpdateCommand(dir: String,
       require(schema.fieldNames.contains(c),
         s"UPDATE graft_lake('$dir'): no column $c in the committed schema")
     }
-    val updated = assignments.foldLeft(
-      base.filter(org.apache.spark.sql.functions.coalesce(
-        cond, org.apache.spark.sql.functions.lit(false)))) {
-      case (df, (c, vSql)) =>
-        df.withColumn(c, expr(vSql).cast(schema(c).dataType))
+    val dup = assignments.groupBy(_._1).collect {
+      case (c, as) if as.size > 1 => c
     }
+    require(dup.isEmpty,
+      s"UPDATE graft_lake('$dir'): column(s) assigned more than once: " +
+        dup.mkString(", "))
+    val assignMap = assignments.toMap
+    val updated = base
+      .filter(org.apache.spark.sql.functions.coalesce(
+        cond, org.apache.spark.sql.functions.lit(false)))
+      .select(schema.fields.toIndexedSeq.map { f =>
+        assignMap.get(f.name) match {
+          case Some(vSql) => expr(vSql).cast(f.dataType).as(f.name)
+          case None => org.apache.spark.sql.functions.col(f.name)
+        }
+      }: _*)
     val snap = CommitLog.replaceWhere(spark, dir, cond, updated)
     Seq(Row(snap.version, snap.op))
   }

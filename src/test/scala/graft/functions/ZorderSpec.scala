@@ -91,4 +91,18 @@ class ZorderSpec extends AnyFunSuite {
     assert(out.head.getString(1) == "compact-zorder")
     assert(CommitLog.read(spark, dir).count() == 100000L)
   }
+
+  test("a data column literally named __z survives the z rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zc_")
+      .toString + "/lake"
+    spark.range(0, 1000)
+      .select($"id".as("a"), ($"id" % 7).as("b"), ($"id" * 3).as("__z"))
+      .write.parquet(dir)
+    CommitLog.init(spark, dir, statsCols = Seq("a", "b"))
+    CommitLog.compactZordered(spark, dir, 4, Seq("a", "b"))
+    val got = CommitLog.read(spark, dir).select($"a", $"__z")
+      .as[(Long, Long)].collect().toSet
+    assert(got == (0L until 1000L).map(i => (i, i * 3)).toSet,
+      "the user's __z column must not be clobbered by the staging key")
+  }
 }

@@ -324,6 +324,27 @@ class CommitLogSpec extends AnyFunSuite {
     assert(row.contains((100L, None)))
   }
 
+  test("changeFeed: a table with columns named _pre/_post classifies " +
+    "correctly (markers are collision-proof)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf_c_")
+      .toString + "/lake"
+    spark.range(0, 20)
+      .select($"id".as("k"), lit(false).as("_pre"), lit(false).as("_post"))
+      .write.parquet(dir)
+    val v1 = CommitLog.init(spark, dir).version
+    CommitLog.delete(spark, dir, $"k" < 5)
+    val app = spark.range(100, 103)
+      .select($"id".as("k"), lit(true).as("_pre"), lit(true).as("_post"))
+    val v3 = CommitLog.append(spark, app, dir).version
+    val cdf = CommitLog.changeFeed(spark, dir, v1, v3, Seq("k"))
+      .select($"_change_type", $"k", $"_pre").as[(String, Long, Boolean)]
+      .collect().toSet
+    assert(cdf ==
+      ((0L until 5L).map(k => ("delete", k, false)) ++
+        (100L until 103L).map(k => ("insert", k, true))).toSet,
+      "user _pre/_post columns must flow through untouched")
+  }
+
   test("changesBetween: a mid-range compaction cannot swallow a change") {
     val dir = freshLake()
     val v1 = CommitLog.latest(spark, dir).get

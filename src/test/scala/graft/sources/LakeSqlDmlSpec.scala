@@ -296,4 +296,44 @@ class LakeSqlDmlSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("unknown lake verb"))
   }
+
+  test("UPDATE SET a = b, b = a swaps — all assignments see the pre-image") {
+    val dir = Files.createTempDirectory("graft_dml_swap_").toString + "/lake"
+    spark.range(0, 10)
+      .select($"id".as("k"), ($"id" * 10).as("a"), ($"id" * 100).as("b"))
+      .write.parquet(dir)
+    CommitLog.init(spark, dir)
+    spark.sql(s"UPDATE graft_lake('$dir') SET a = b, b = a WHERE k < 5")
+    val got = CommitLog.read(spark, dir).select($"k", $"a", $"b")
+      .as[(Long, Long, Long)].collect().toSet
+    val expect = (0L until 10L).map(k =>
+      if (k < 5) (k, k * 100, k * 10) else (k, k * 10, k * 100)).toSet
+    assert(got == expect, "SET must evaluate against the pre-update row")
+    // assigning the same column twice is ambiguous → rejected
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"UPDATE graft_lake('$dir') SET a = 1, a = 2")
+    }
+    assert(e.getMessage.contains("more than once"))
+  }
+
+  test("DML-shaped text inside a string literal is NOT lake DML") {
+    val dir = freshLake()
+    val before = rows(dir)
+    // a plain SELECT whose literal mentions the DML grammar must parse
+    // as a SELECT — not be misrouted into the translator
+    val out = spark.sql(
+      "SELECT 'DELETE FROM graft_lake(''/nope'') WHERE 1=1' AS s").collect()
+    assert(out.head.getString(0).startsWith("DELETE FROM"))
+    val out2 = spark.sql(
+      "SELECT \"UPDATE graft_lake('/nope') SET v = 1\" AS s").collect()
+    assert(out2.head.getString(0).startsWith("UPDATE"))
+    // time-travel sugar inside a literal stays verbatim
+    val out3 = spark.sql(
+      "SELECT 'graft_lake(''/x'') VERSION AS OF 3' AS s").collect()
+    assert(out3.head.getString(0).contains("VERSION AS OF 3"))
+    assert(rows(dir) == before)
+    // a real DML statement still routes after the guard
+    spark.sql(s"INSERT INTO graft_lake('$dir') SELECT 400, 1, 'p1'")
+    assert(rows(dir).size == 301)
+  }
 }

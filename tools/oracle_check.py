@@ -93,12 +93,24 @@ def main(outdir: str, sfdir: str, only=()) -> int:
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             n_bad += 1
             continue
-        if kinds(g) != kinds(w):
-            bad = [(c, str(g[c].dtype), str(w[c].dtype))
-                   for c in g.columns if g[c].dtype.kind != w[c].dtype.kind]
+        # kind gate only on NULL-free columns: a nullable integer column
+        # legitimately renders float64 on whichever side carries the
+        # NULLs (pandas has no NA in int64), which is not a value bug
+        bad = [(c, str(g[c].dtype), str(w[c].dtype))
+               for c in g.columns
+               if g[c].dtype.kind != w[c].dtype.kind
+               and not (g[c].isna().any() or w[c].isna().any())]
+        if bad:
             print(f"FAIL {name}: dtype kinds differ (spark, duckdb): {bad}")
             n_bad += 1
             continue
+        # NULL-carrying numeric columns whose kinds diverged: compare as
+        # float64 on both sides so "1" vs "1.0" is not a false mismatch
+        for c in g.columns:
+            if (g[c].dtype.kind in "iuf" and w[c].dtype.kind in "iuf"
+                    and g[c].dtype.kind != w[c].dtype.kind):
+                g[c] = g[c].astype("float64")
+                w[c] = w[c].astype("float64")
         gs = g.map(cell)
         ws = w.map(cell)
         if not gs.equals(ws):
