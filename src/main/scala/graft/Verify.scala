@@ -21,6 +21,12 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ANN approximation quality in the sidecars (round-11 verdict ask):
+    // the five approximate-top-k queries compute recall@10 vs the exact
+    // brute-force baseline and print [ann-recall] lines the diag
+    // capture picks up; a floor violation fails the query. Verify-only
+    // — Bench never sets this, so serving times are unaffected.
+    System.setProperty("graft.verify.recall", "1")
     new java.io.File(outDir).mkdirs()
     var sinceGc = 0
     // Randomized-order gate mode (stability ritual): with

@@ -1,0 +1,169 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.{CatalogBridge, ColumnBridge}
+
+import graft.sources.CommitLog
+
+/** The analysis-time half of [[GraftCatalog]]: a [[GraftTable]] is pure
+  * metadata, so this rule swaps its analyzed relation for the engine's
+  * own plan before any capability check can ask for one.
+  *
+  *  - a READ of `graft.db.t` (plain, `VERSION AS OF`, `TIMESTAMP AS
+  *    OF`) becomes the `CommitLog.read`/`readAt` snapshot plan — pruned
+  *    file list, committed schema, DV filtering, rename mapping — with
+  *    the relation's original exprIds preserved through an aliasing
+  *    Project so every already-resolved reference upstream stays valid;
+  *  - `INSERT INTO` / `df.writeTo(...).append()` ([[AppendData]])
+  *    becomes a `CommitLog.append` commit;
+  *  - `INSERT OVERWRITE` ([[OverwriteByExpression]] with a TRUE delete
+  *    filter) becomes the atomic `CommitLog.overwrite` snapshot
+  *    replace, and dynamic partition overwrite
+  *    ([[OverwritePartitionsDynamic]]) the partition-granular
+  *    `CommitLog.replacePartitions`;
+  *  - `CREATE TABLE ... AS SELECT` becomes create + append in one
+  *    command (non-atomic across the two commits, like every
+  *    non-staging v2 catalog; the create is CAS-protected).
+  *
+  * DELETE/UPDATE/MERGE on catalog names never reach the analyzer — the
+  * injected parser routes them to the same commands as the
+  * `graft_lake()` TVF targets ([[graft.sources.LakeSqlDml]]). */
+class ResolveGraftCatalogOps(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private def graftTableOf(p: LogicalPlan): Option[GraftTable] = p match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftTable => Some(t)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case a: AppendData if graftTableOf(a.table).isDefined =>
+        GraftTableWriteCommand(graftTableOf(a.table).get.dir, a.query,
+          a.isByName, mode = "append")
+
+      case o: OverwriteByExpression if graftTableOf(o.table).isDefined =>
+        require(o.deleteExpr == Literal.TrueLiteral,
+          "INSERT OVERWRITE with a static PARTITION spec is not " +
+            "supported on graft tables — use dynamic overwrite or MERGE")
+        GraftTableWriteCommand(graftTableOf(o.table).get.dir, o.query,
+          o.isByName, mode = "overwrite")
+
+      case o: OverwritePartitionsDynamic
+          if graftTableOf(o.table).isDefined =>
+        GraftTableWriteCommand(graftTableOf(o.table).get.dir, o.query,
+          o.isByName, mode = "replace-partitions")
+
+      case ctas: CreateTableAsSelect if (ctas.name match {
+            case ResolvedIdentifier(_: GraftCatalog, _) => true
+            case _ => false
+          }) && ctas.query.resolved =>
+        val ResolvedIdentifier(cat: GraftCatalog, ident) = ctas.name
+        GraftCtasCommand(cat, ident, ctas.partitioning,
+          ctas.tableSpec.properties, ctas.query, ctas.ignoreIfExists)
+
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        val t = r.table.asInstanceOf[GraftTable]
+        val read = t.pinnedVersion match {
+          case Some(v) => CommitLog.readAt(session, t.dir, v)
+          case None => CommitLog.read(session, t.dir)
+        }
+        val resolved = read.queryExecution.analyzed
+        // keep the relation's exprIds: references bound to the v2
+        // relation's attributes stay valid through this aliasing layer.
+        // Match by NAME, not position — the parquet scan reorders hive
+        // partition columns to the end of its output.
+        Project(r.output.map { old =>
+          val nw = resolved.output.find(_.name.equalsIgnoreCase(old.name))
+            .getOrElse(throw new IllegalStateException(
+              s"graft table ${t.name()} lost column '${old.name}' " +
+                "between loadTable and scan — re-run the query"))
+          Alias(nw, old.name)(exprId = old.exprId,
+            qualifier = old.qualifier)
+        }, resolved)
+    }
+}
+
+/** INSERT INTO / INSERT OVERWRITE / dynamic partition overwrite landing
+  * the corresponding [[CommitLog]] commit. `byName` follows SQL: an
+  * INSERT binds by position, a `DataFrameWriterV2` append by name. */
+case class GraftTableWriteCommand(dir: String, queryPlan: LogicalPlan,
+    byName: Boolean, mode: String) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = graft.sources.LakeSqlDml.dmlOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rows = ColumnBridge.ofRows(spark, queryPlan)
+    val s = CommitLog.latest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir has no commit log"))
+    val (schema, partCols, _) = CommitLog.tableMeta(spark, dir, s)
+    val aligned =
+      if (byName) {
+        val missing = schema.fieldNames.filterNot(rows.columns.contains)
+        require(missing.isEmpty,
+          s"write into $dir by name is missing column(s): " +
+            missing.mkString(", "))
+        rows.select(schema.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType)): _*)
+      } else {
+        require(rows.columns.length == schema.length,
+          s"write into $dir needs ${schema.length} column(s) " +
+            s"(${schema.fieldNames.mkString(", ")}); query has " +
+            s"${rows.columns.length}")
+        rows.toDF(schema.fieldNames.toIndexedSeq: _*)
+          .select(schema.fields.toIndexedSeq.map(f =>
+            col(f.name).cast(f.dataType)): _*)
+      }
+    val snap = mode match {
+      case "append" => CommitLog.append(spark, aligned, dir)
+      case "overwrite" =>
+        CommitLog.overwrite(spark, aligned, dir, partCols)
+      case "replace-partitions" =>
+        partCols match {
+          case Seq(one) =>
+            val parts = aligned.select(col(one)).distinct()
+              .collect().map(_.get(0)).toSeq // one value per partition
+            CommitLog.replacePartitions(spark, aligned, dir, one, parts)
+          case other => throw new IllegalArgumentException(
+            "dynamic partition overwrite needs a single-column hive " +
+              s"partitioning; $dir has: " +
+              (if (other.isEmpty) "none" else other.mkString(", ")))
+        }
+    }
+    Seq(Row(snap.version, snap.op))
+  }
+}
+
+/** CREATE TABLE ... AS SELECT: catalog create (CAS commit) + append.
+  * Non-atomic across the two commits — a crash between them leaves an
+  * empty created table, never torn data — matching every non-staging
+  * v2 catalog. */
+case class GraftCtasCommand(catalog: GraftCatalog, ident: Identifier,
+    partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+    properties: Map[String, String], queryPlan: LogicalPlan,
+    ignoreIfExists: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = graft.sources.LakeSqlDml.dmlOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (catalog.tableExists(ident)) {
+      if (ignoreIfExists) return Seq(Row(-1L, "noop"))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    }
+    val rows = ColumnBridge.ofRows(spark, queryPlan)
+    import scala.jdk.CollectionConverters._
+    catalog.createTable(ident, CatalogBridge.toV2Columns(rows.schema),
+      partitioning.toArray, properties.asJava)
+    val dir = catalog.tableDirOf(ident)
+    val snap = CommitLog.append(spark, rows, dir)
+    Seq(Row(snap.version, snap.op))
+  }
+}

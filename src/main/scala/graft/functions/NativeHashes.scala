@@ -306,9 +306,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder))
     }
     // SQL DML front door: DELETE FROM / UPDATE / MERGE INTO
-    // graft_lake('dir'), plus VERSION/TIMESTAMP AS OF sugar — minimal
-    // text surgery, then Spark's own grammar, then CommitLog verbs
-    e.injectParser((_, delegate) => new graft.sources.LakeSqlParser(delegate))
+    // graft_lake('dir') or a graft-catalog table name, plus
+    // VERSION/TIMESTAMP AS OF sugar — minimal text surgery, then
+    // Spark's own grammar, then CommitLog verbs
+    e.injectParser((session, delegate) =>
+      new graft.sources.LakeSqlParser(delegate, Option(session)))
+    // graft catalog tables: reads swap to the CommitLog snapshot plan,
+    // v2 writes (INSERT INTO/OVERWRITE, CTAS, writeTo) land commits
+    e.injectResolutionRule(s => new graft.catalog.ResolveGraftCatalogOps(s))
     // optimizer rules: joins the operator-optimization fixed point, so the
     // folded plan is itself optimized further (filter merge, pruning)
     e.injectOptimizerRule(_ => graft.plans.FoldCountOverReplicateRows)

@@ -1135,6 +1135,24 @@ object EngineQueries {
            |""".stripMargin)
       s.sql(s"DELETE FROM graft_lake('$lake') WHERE o_custkey % 10 = 7 " +
         "USING DELETION VECTORS")
+      // round-11: COLUMN-LEVEL merge — a slim delta source (key +
+      // partition + one clause input, NOT the full row) updates one
+      // column with an expression over both namespaces and inserts
+      // with an explicit column list; * 0.5 is binary-exact
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") >= 15000 && col("o_orderkey") <= 25000)
+        .select(col("o_orderkey"), col("o_orderstatus").as("flag"),
+          (col("o_totalprice") * 0.5).as("delta"))
+        .createOrReplaceTempView("q177_src2")
+      s.sql(
+        s"""MERGE INTO graft_lake('$lake') AS t
+           |USING q177_src2 AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET
+           |  o_totalprice = t.o_totalprice + s.delta
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
+           |  o_totalprice, flag) VALUES (s.o_orderkey, -1L, s.delta,
+           |  s.flag)""".stripMargin)
       sys.addShutdownHook {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
@@ -1175,11 +1193,24 @@ object EngineQueries {
       |  WHERE t2.k IS NULL AND s.f <> 'P'),
       |t4 AS (
       |  SELECT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
-      |  WHERE c % 10 <> 7)
+      |  WHERE c % 10 <> 7),
+      |s2 AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS f,
+      |         o_totalprice * 0.5 AS delta
+      |  FROM orders WHERE o_orderkey BETWEEN 15000 AND 25000),
+      |t5 AS (
+      |  SELECT t4.k, t4.c,
+      |         t4.p + CASE WHEN s2.k IS NOT NULL THEN s2.delta
+      |                     ELSE 0 END AS p,
+      |         t4.f
+      |  FROM t4 LEFT JOIN s2 ON t4.k = s2.k
+      |  UNION ALL
+      |  SELECT s2.k, -1, s2.delta, s2.f
+      |  FROM s2 LEFT JOIN t4 ON s2.k = t4.k WHERE t4.k IS NULL)
       |SELECT f AS flag, count(*) AS n,
       |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
       |  min(k) AS min_ok
-      |FROM t4 GROUP BY 1 ORDER BY flag""".stripMargin
+      |FROM t5 GROUP BY 1 ORDER BY flag""".stripMargin
 
   // ---------------------------------------------------- q178_sql_insert
   // The pure-append SQL surface end-to-end: INSERT INTO ... SELECT (an
@@ -1483,10 +1514,15 @@ object EngineQueries {
   // ---------------------------------------------------- q183_sql_ddl
   // Schema DDL end-to-end: ALTER TABLE ... ADD COLUMNS declares a new
   // nullable column as a ZERO-FILE metadata commit, existing rows read
-  // it as null, and a positional INSERT then carries it. The DuckDB
-  // oracle recomputes the evolved union (base rows with a NULL bonus,
-  // inserted rows with the computed one), so the hash-match proves the
-  // schema commit, the null back-fill, and the post-DDL write path.
+  // it as null, and a positional INSERT then carries it. Round-11 adds
+  // the rest of the DDL family: RENAME COLUMN (metadata-only — data
+  // files keep the birth name, reads alias, a post-rename UPDATE
+  // mutates through the new name) and DROP COLUMN (logical removal).
+  // The DuckDB oracle recomputes the evolved union (base rows with a
+  // NULL renamed column, inserted rows with the computed-then-updated
+  // one, the dropped column absent), so the hash-match proves the
+  // schema commits, the null back-fill, the physical-name mapping on
+  // both the read and write paths, and the retirement of dropped bytes.
   private val q183Lakes = scala.collection.concurrent.TrieMap[String, String]()
   private def q183Lake(s: SparkSession, d: String): String =
     q183Lakes.getOrElseUpdate(d, {
@@ -1504,6 +1540,13 @@ object EngineQueries {
            |SELECT o_orderkey + 1000000, o_custkey, o_totalprice,
            |       o_totalprice * 2 + 0.25
            |FROM q183_src""".stripMargin)
+      s.sql(s"ALTER TABLE graft_lake('$lake') " +
+        "RENAME COLUMN o_bonus TO o_extra")
+      // >= : the generator emits an o_orderkey = 0 row, which inserts
+      // as key 1000000 exactly
+      s.sql(s"UPDATE graft_lake('$lake') SET o_extra = o_extra + 1 " +
+        "WHERE o_orderkey >= 1000000")
+      s.sql(s"ALTER TABLE graft_lake('$lake') DROP COLUMN o_custkey")
       sys.addShutdownHook {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
@@ -1516,26 +1559,122 @@ object EngineQueries {
   private def q183SqlDdl(s: SparkSession, d: String): DataFrame = {
     val lake = q183Lake(s, d)
     s.sql(
-      s"""SELECT count(*) AS n, count(o_bonus) AS n_bonus,
+      s"""SELECT count(*) AS n, count(o_extra) AS n_extra,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          |    AS sum_price,
-         |  CAST(sum(CAST(o_bonus AS DECIMAL(18,2))) AS DOUBLE)
-         |    AS sum_bonus
+         |  CAST(sum(CAST(o_extra AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_extra
          |FROM graft_lake('$lake')""".stripMargin)
   }
 
   private val q183Sql =
     """WITH t AS (
       |  SELECT o_orderkey AS k, o_totalprice AS p,
-      |         CAST(NULL AS DOUBLE) AS bonus
+      |         CAST(NULL AS DOUBLE) AS extra
       |  FROM orders WHERE o_orderkey <= 20000
       |  UNION ALL
-      |  SELECT o_orderkey + 1000000, o_totalprice, o_totalprice * 2 + 0.25
+      |  SELECT o_orderkey + 1000000, o_totalprice,
+      |         o_totalprice * 2 + 0.25 + 1
       |  FROM orders WHERE o_orderkey <= 1000)
-      |SELECT count(*) AS n, count(bonus) AS n_bonus,
+      |SELECT count(*) AS n, count(extra) AS n_extra,
       |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-      |  CAST(sum(CAST(bonus AS DECIMAL(18,2))) AS DOUBLE) AS sum_bonus
+      |  CAST(sum(CAST(extra AS DECIMAL(18,2))) AS DOUBLE) AS sum_extra
       |FROM t""".stripMargin
+
+  // ---------------------------------------------------- q184_catalog
+  // The DataSourceV2 TableCatalog end-to-end (catalog.GraftCatalog +
+  // ResolveGraftCatalogOps): EVERY verb in this lifecycle is issued as
+  // SQL over CATALOG-QUALIFIED NAMES — CREATE NAMESPACE, CREATE TABLE
+  // (with PARTITIONED BY and a graft.statscols property), INSERT INTO
+  // (SELECT and VALUES forms), UPDATE, DELETE, a column-level MERGE —
+  // and the serving read is a plain name, no graft_lake() TVF anywhere.
+  // The DuckDB oracle recomputes the same algebra from raw orders, so
+  // the hash-match proves the whole catalog plane: name→lake mapping,
+  // the relation swap (scan = the CommitLog snapshot plan), the v2
+  // write interception, and parser routing for catalog-name DML.
+  private val q184Tables = scala.collection.concurrent.TrieMap[String, String]()
+  private def q184Table(s: SparkSession, d: String): String =
+    q184Tables.getOrElseUpdate(d, {
+      // one warehouse per session — the CatalogManager caches the
+      // plugin instance per name, so the conf must not change after
+      // first use; per-sfDir isolation comes from the table name
+      if (s.conf.getOption("spark.sql.catalog.gq184").isEmpty) {
+        val wh = java.nio.file.Files.createTempDirectory("graft_q184_wh_")
+        s.conf.set("spark.sql.catalog.gq184",
+          classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq184.warehouse", wh.toString)
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(wh.toFile)
+        }
+      }
+      if (s.sql("SHOW NAMESPACES IN gq184").filter(col("namespace") === "db")
+          .isEmpty) s.sql("CREATE NAMESPACE gq184.db")
+      val tag = Integer.toHexString(d.hashCode).takeWhile(_ != '-')
+      val t = s"gq184.db.orders_$tag"
+      s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_totalprice DOUBLE, flag STRING) PARTITIONED BY (flag) " +
+        "TBLPROPERTIES ('graft.statscols' = 'o_orderkey')")
+      Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+        .createOrReplaceTempView("q184_src")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_custkey, " +
+        "o_totalprice, flag FROM q184_src")
+      s.sql(s"UPDATE $t SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey <= 5000")
+      s.sql(s"DELETE FROM $t WHERE o_custkey % 10 = 3")
+      s.sql(
+        s"""MERGE INTO $t AS tt
+           |USING (SELECT o_orderkey, flag, o_totalprice * 0.5 AS delta
+           |       FROM q184_src WHERE o_orderkey > 18000) AS s
+           |ON tt.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET
+           |  o_totalprice = tt.o_totalprice + s.delta
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
+           |  o_totalprice, flag) VALUES (s.o_orderkey, -1L, s.delta,
+           |  s.flag)""".stripMargin)
+      s.sql(s"INSERT INTO $t VALUES (9999991L, 5L, 100.5, 'F')")
+      t
+    })
+
+  private def q184Catalog(s: SparkSession, d: String): DataFrame = {
+    val t = q184Table(s, d)
+    s.sql(
+      s"""SELECT flag, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price,
+         |  min(o_orderkey) AS min_ok, min(o_custkey) AS min_ck
+         |FROM $t GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+
+  private val q184Sql =
+    """WITH t0 AS (
+      |  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p,
+      |         o_orderstatus AS f
+      |  FROM orders WHERE o_orderkey <= 20000),
+      |t1 AS (
+      |  SELECT k, c, CASE WHEN k <= 5000 THEN p * 2 ELSE p END AS p, f
+      |  FROM t0),
+      |t2 AS (SELECT * FROM t1 WHERE c % 10 <> 3),
+      |s2 AS (SELECT k, f, p * 0.5 AS delta FROM t0 WHERE k > 18000),
+      |t3 AS (
+      |  SELECT t2.k, t2.c,
+      |         t2.p + CASE WHEN s2.k IS NOT NULL THEN s2.delta
+      |                     ELSE 0 END AS p,
+      |         t2.f
+      |  FROM t2 LEFT JOIN s2 ON t2.k = s2.k
+      |  UNION ALL
+      |  SELECT s2.k, -1, s2.delta, s2.f
+      |  FROM s2 LEFT JOIN t2 ON s2.k = t2.k WHERE t2.k IS NULL),
+      |t4 AS (SELECT * FROM t3
+      |       UNION ALL SELECT 9999991, 5, 100.5, 'F')
+      |SELECT f AS flag, count(*) AS n,
+      |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  min(k) AS min_ok, min(c) AS min_ck
+      |FROM t4 GROUP BY 1 ORDER BY flag""".stripMargin
 
   // ------------------------------------------------- q175_meta_distinct
   // Metadata-plane COUNT(DISTINCT): per-file theta sketches ride the
@@ -2008,6 +2147,7 @@ object EngineQueries {
     Q("q181_zorder", q181Zorder, Some(q181Sql)),
     Q("q182_cdf_by_commit", q182CdfByCommit, Some(q182Sql)),
     Q("q183_sql_ddl", q183SqlDdl, Some(q183Sql)),
+    Q("q184_catalog", q184Catalog, Some(q184Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

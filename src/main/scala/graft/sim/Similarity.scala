@@ -95,22 +95,36 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** ANN top-k: bucket both sides with the same hyperplanes, equi-join on
-    * bucket, exact-cosine re-rank within candidates. Recall < 1 by
-    * construction (a probe can miss neighbors in other buckets); raise
-    * recall by lowering `planes` or probing multiple seeds. */
+  /** ANN top-k: bucket both sides with the same hyperplanes, equi-join
+    * on bucket, exact-cosine re-rank within candidates. `tables`
+    * independent hash tables (distinct plane seeds) union their
+    * candidate pairs — the standard LSH recall lever: a true neighbor
+    * is missed only when EVERY table separates the pair, so recall
+    * ≈ 1 − (1 − p)^tables for per-table collision probability p,
+    * while cost stays candidates-bounded (each table's join is
+    * bucket-pruned; never all-pairs). Raise recall with more tables
+    * (linear cost) or fewer planes (bigger buckets). */
   def annTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      planes: Int = 8, dim: Int = 64, seed: Long = 7L): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
-      lshBucket(col(vecCol), planes, dim, seed).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
-      lshBucket(col(vecCol), planes, dim, seed).as("bucket"))
-    val scored = c.join(q, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("sim"))
+      planes: Int = 8, dim: Int = 64, seed: Long = 7L,
+      tables: Int = 1): DataFrame = {
+    require(tables >= 1, "annTopK needs at least one hash table")
+    val scored = (0 until tables).map { t =>
+      val ts = seed + 7919L * t // distinct plane family per table
+      val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"),
+        lshBucket(col(vecCol), planes, dim, ts).as("bucket"))
+      val c = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"),
+        lshBucket(col(vecCol), planes, dim, ts).as("bucket"))
+      c.join(q, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qv"), col("cv")).as("sim"))
+    }.reduce(_ unionByName _)
+      // a pair found by several tables scores identically — keep one
+      .dropDuplicates("query_id", "neighbor_id")
     rankTopK(scored, k)
   }
 

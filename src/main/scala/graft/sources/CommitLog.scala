@@ -95,7 +95,16 @@ object CommitLog {
       batchFloor: Long = -1L,
       thetaCols: Seq[String] = Nil,
       thetaLgK: Int = 14,
-      dvs: Seq[String] = Nil)
+      dvs: Seq[String] = Nil,
+      /** logical→PHYSICAL column names, entries only where they differ.
+        * RENAME COLUMN is metadata-only: data files keep the column's
+        * birth name forever; readers request the physical schema and
+        * alias back, writers rename just before staging. */
+      physNames: Map[String, String] = Map.empty,
+      /** physical names of DROPPED columns, kept so a later ADD COLUMNS
+        * of the same name mints a fresh physical name instead of
+        * resurrecting the dropped column's values from old files. */
+      retired: Seq[String] = Nil)
 
   /** How many batch ids a version file carries verbatim. Streaming
     * batch ids are monotone per writer, so the exactly-once ledger does
@@ -131,7 +140,8 @@ object CommitLog {
         ("props" -> s.props) ~ ("partCols" -> s.partCols) ~
         ("committedAt" -> s.committedAt) ~ ("batchFloor" -> s.batchFloor) ~
         ("thetaCols" -> s.thetaCols) ~ ("thetaLgK" -> s.thetaLgK) ~
-        ("dvs" -> s.dvs)))
+        ("dvs" -> s.dvs) ~ ("physNames" -> s.physNames) ~
+        ("retired" -> s.retired)))
   }
 
   private def parse(text: String): Snapshot = {
@@ -156,7 +166,9 @@ object CommitLog {
       (j \ "batchFloor").extractOpt[Long].getOrElse(-1L),
       (j \ "thetaCols").extractOpt[Seq[String]].getOrElse(Nil),
       (j \ "thetaLgK").extractOpt[Int].getOrElse(14),
-      (j \ "dvs").extractOpt[Seq[String]].getOrElse(Nil))
+      (j \ "dvs").extractOpt[Seq[String]].getOrElse(Nil),
+      (j \ "physNames").extractOpt[Map[String, String]].getOrElse(Map.empty),
+      (j \ "retired").extractOpt[Seq[String]].getOrElse(Nil))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -170,46 +182,15 @@ object CommitLog {
     * (or a true conflict) still fails with the documented type. */
   final class CommitConflict(msg: String) extends IllegalStateException(msg)
 
-  /** The commit point: create-no-overwrite is the filesystem CAS — a
-    * concurrent writer that raced to the same version number fails HERE,
-    * loudly, with the log unchanged.
-    *
-    * On a LOCAL filesystem Hadoop's `create(p, overwrite=false)` is
-    * check-then-create — two writers inside the TOCTOU window can BOTH
-    * pass the existence check and one silently clobbers the other
-    * (caught by LakeTxnSpec's barrier race). POSIX has a real atomic
-    * primitive, O_CREAT|O_EXCL, so local paths go through
-    * `Files.createFile`; HDFS-like filesystems keep Hadoop's create,
-    * whose no-overwrite IS namenode-atomic. An object store needs a
-    * conditional put here — unchanged contract. */
-  private[sources] def casWrite(f: FileSystem, p: Path, text: String): Unit = {
-    val scheme = Option(p.toUri.getScheme).getOrElse(
-      Option(f.getUri.getScheme).getOrElse("file"))
-    if (scheme == "file") {
-      val local = java.nio.file.Paths.get(p.toUri.getPath)
-      try {
-        java.nio.file.Files.createDirectories(local.getParent)
-        java.nio.file.Files.write(local, text.getBytes(UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        ()
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new CommitConflict(
-            s"commit conflict on $p — another writer (or a crashed run's " +
-              "version file) holds this version")
-      }
-    } else {
-      val out =
-        try f.create(p, false)
-        catch { case _: java.io.IOException =>
-          throw new CommitConflict(
-            s"commit conflict on $p — another writer (or a crashed run's " +
-              "version file) holds this version")
-        }
-      try out.write(text.getBytes(UTF_8)) finally out.close()
-    }
-  }
+  /** The commit point: a concurrent writer that raced to the same
+    * version number fails HERE, loudly, with the log unchanged. The
+    * actual primitive is the path's [[LogStore]]: atomic
+    * create-no-overwrite on POSIX/HDFS, a registered conditional-put
+    * backend on object stores ([[ConditionalPutLogStore]] — S3
+    * `If-None-Match`, GCS generation-0). LogStoreContractSpec drives
+    * both through the same barrier race. */
+  private[sources] def casWrite(f: FileSystem, p: Path, text: String): Unit =
+    LogStore.forPath(f, p).casWrite(f, p, text)
 
   // ----------------------------------------------------------- reading
   private val VersionName = "^v(\\d{20})\\.json$".r
@@ -265,24 +246,48 @@ object CommitLog {
   private def readFiles(spark: SparkSession, dir: String, s: Snapshot,
       files: Seq[String]): DataFrame = {
     val raw = rawRead(spark, dir, s, files)
-    if (s.dvs.isEmpty) raw
-    else {
-      val keep = raw.columns.map(col)
-      withFilePos(spark, dir, raw)
-        .join(broadcast(dvRows(spark, dir, s)),
-          col("__dv_f") === col("__dv_file") &&
-            col("__dv_p") === col("__dv_pos"),
-          "left_anti")
-        .select(keep: _*)
-    }
+    val dvFree =
+      if (s.dvs.isEmpty) raw
+      else {
+        val keep = raw.columns.map(col)
+        withFilePos(spark, dir, raw)
+          .join(broadcast(dvRows(spark, dir, s)),
+            col("__dv_f") === col("__dv_file") &&
+              col("__dv_p") === col("__dv_pos"),
+            "left_anti")
+          .select(keep: _*)
+      }
+    toLogical(s, dvFree)
   }
 
+  /** Alias a physically-named read back to the LOGICAL schema —
+    * identity when no column was ever renamed. `extra` columns (the
+    * `__dv_*` identity pair) pass through unrenamed. */
+  private def toLogical(s: Snapshot, df: DataFrame,
+      extra: Seq[String] = Nil): DataFrame =
+    if (s.physNames.isEmpty) df
+    else {
+      val physToLog = s.physNames.map(_.swap)
+      df.select(df.columns.toIndexedSeq.map { c =>
+        if (extra.contains(c)) col(c)
+        else col(c).as(physToLog.getOrElse(c, c))
+      }: _*)
+    }
+
+  /** Read under the snapshot's PHYSICAL schema (committed logical
+    * schema with renamed columns mapped back to their on-file birth
+    * names) — callers that surface rows re-alias via [[toLogical]]. */
   private def rawRead(spark: SparkSession, dir: String, s: Snapshot,
       files: Seq[String]): DataFrame = {
     val reader = spark.read.option("basePath", dir)
     s.schemaJson.fold(reader) { j =>
-      reader.schema(org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      val logical = org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val physical =
+        if (s.physNames.isEmpty) logical
+        else org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+          f.copy(name = s.physNames.getOrElse(f.name, f.name))))
+      reader.schema(physical)
     }.parquet(absolute(dir, files): _*)
   }
 
@@ -629,7 +634,8 @@ object CommitLog {
         s"${parts.mkString(", ")}")
     checkSchemaCompatible(s, replacement, dir)
     val removed = s.files.filter(f => dirs.exists(d => f.startsWith(d + "/")))
-    val newRels = stageWrite(spark, dir, replacement, Seq(partitionCol))
+    val newRels = stageWrite(spark, dir, replacement, Seq(partitionCol),
+      s.physNames)
     commitRebase(spark, dir,
       StagedUpsert(s, dirs, removed.toSet, newRels, batchId,
         Some(replacement.schema.json)),
@@ -745,7 +751,8 @@ object CommitLog {
       // whole-table rewrite clears; restore re-pins) else inherited —
       // entries naming files this commit removed match nothing and are
       // swept with the next whole-table rewrite
-      dvsNew.getOrElse(prev.dvs))
+      dvsNew.getOrElse(prev.dvs),
+      prev.physNames, prev.retired)
     casWrite(f, versionFile(dir, v), render(snap))
     snap
   }
@@ -795,9 +802,22 @@ object CommitLog {
     newCols.fields.foreach(f => require(f.nullable,
       s"addColumns on $dir: '${f.name}' must be nullable — existing " +
         "rows have no value for it"))
+    // physical-name hygiene: a new logical name whose physical twin is
+    // already on disk (a retired DROP, or the birth name a RENAME moved
+    // away from) must NOT read old files' values — mint a fresh
+    // physical name so existing files surface null, as an add must
+    val physInUse = base.fieldNames
+      .map(n => s.physNames.getOrElse(n, n)).toSet ++ s.retired
+    val mint = newCols.fieldNames.toSeq.collect {
+      case n if physInUse.contains(n) =>
+        n -> Iterator.from(s.version.toInt + 1)
+          .map(i => s"${n}__r$i")
+          .find(c => !physInUse.contains(c)).get
+    }.toMap
     val merged = mergeSchemaJson(Some(base.json), Some(newCols.json))
     val next = s.copy(version = s.version + 1, schemaJson = merged,
-      op = "schema", committedAt = System.currentTimeMillis())
+      op = "schema", committedAt = System.currentTimeMillis(),
+      physNames = s.physNames ++ mint)
     try {
       casWrite(hadoopFs(spark, dir), versionFile(dir, next.version),
         render(next))
@@ -805,6 +825,94 @@ object CommitLog {
     } catch { case e: CommitConflict =>
       throw new IllegalStateException(
         s"addColumns on $dir lost the commit race (${e.getMessage}) — " +
+          "re-read and retry")
+    }
+  }
+
+  /** The committed LOGICAL schema of the latest snapshot (the shape
+    * every read surfaces and every write must carry). */
+  private def logicalSchema(spark: SparkSession, dir: String,
+      s: Snapshot): org.apache.spark.sql.types.StructType =
+    s.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(readSnapshot(spark, dir, s).schema)
+
+  /** Columns whose NAMES anchor persisted metadata — renaming or
+    * dropping one would orphan partition directories, zone-map/sketch
+    * manifests, or Bloom/theta stats keyed by the old name. Rejected
+    * loudly; everything else renames/drops as pure metadata. */
+  private def anchoredCols(s: Snapshot): Map[String, String] =
+    (partColsOf(s).map(_ -> "a partition column") ++
+      s.statsCols.map(_ -> "a zone-map stats column") ++
+      s.sketchCols.map(_ -> "a quantile-sketch column") ++
+      s.bloomCols.map(_ -> "a Bloom-filter column") ++
+      s.thetaCols.map(_ -> "a theta-sketch column")).toMap
+
+  /** RENAME COLUMN as a zero-file schema commit: the committed logical
+    * schema changes; the files keep the column's PHYSICAL birth name
+    * forever and every read aliases it back ([[rawRead]]/[[toLogical]]
+    * — the Delta-column-mapping shape). O(1) at any table size. */
+  def renameColumn(spark: SparkSession, dir: String,
+      from: String, to: String): Snapshot = {
+    val s = mustLatest(spark, dir)
+    val base = logicalSchema(spark, dir, s)
+    require(base.fieldNames.contains(from),
+      s"renameColumn on $dir: no column '$from'")
+    require(!base.fieldNames.contains(to),
+      s"renameColumn on $dir: column '$to' already exists")
+    anchoredCols(s).get(from).foreach(role => throw new IllegalArgumentException(
+      s"renameColumn on $dir: '$from' is $role — its name anchors " +
+        "persisted metadata; rewrite the table instead"))
+    val phys = s.physNames.getOrElse(from, from)
+    val renamed = org.apache.spark.sql.types.StructType(base.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val next = s.copy(version = s.version + 1,
+      schemaJson = Some(renamed.json), op = "schema",
+      committedAt = System.currentTimeMillis(),
+      physNames = (s.physNames - from) ++
+        (if (phys == to) Map.empty[String, String] else Map(to -> phys)))
+    try {
+      casWrite(hadoopFs(spark, dir), versionFile(dir, next.version),
+        render(next))
+      next
+    } catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"renameColumn on $dir lost the commit race (${e.getMessage}) — " +
+          "re-read and retry")
+    }
+  }
+
+  /** DROP COLUMN as a zero-file schema commit: the column leaves the
+    * committed logical schema (readers prune it at the parquet scan —
+    * the bytes stay until the next rewrite, exactly Delta's logical
+    * drop). Its PHYSICAL name is retired so a later ADD COLUMNS of the
+    * same name cannot resurrect old values ([[addColumns]]'s mint). */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Snapshot = {
+    val s = mustLatest(spark, dir)
+    val base = logicalSchema(spark, dir, s)
+    require(base.fieldNames.contains(name),
+      s"dropColumn on $dir: no column '$name'")
+    require(base.fields.length > 1,
+      s"dropColumn on $dir: cannot drop the last column")
+    anchoredCols(s).get(name).foreach(role => throw new IllegalArgumentException(
+      s"dropColumn on $dir: '$name' is $role — its name anchors " +
+        "persisted metadata; rewrite the table instead"))
+    val phys = s.physNames.getOrElse(name, name)
+    val remaining = org.apache.spark.sql.types.StructType(
+      base.fields.filterNot(_.name == name))
+    val next = s.copy(version = s.version + 1,
+      schemaJson = Some(remaining.json), op = "schema",
+      committedAt = System.currentTimeMillis(),
+      physNames = s.physNames - name,
+      retired = (s.retired :+ phys).distinct)
+    try {
+      casWrite(hadoopFs(spark, dir), versionFile(dir, next.version),
+        render(next))
+      next
+    } catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"dropColumn on $dir lost the commit race (${e.getMessage}) — " +
           "re-read and retry")
     }
   }
@@ -845,6 +953,51 @@ object CommitLog {
       props)
   }
 
+  /** CREATE TABLE: start the log on an EMPTY directory with a declared
+    * schema and partition layout — version 1 is pure metadata, zero
+    * data files ([[init]] stays the snapshot-existing-files verb). The
+    * version file is the CAS commit point, so two racing creators
+    * resolve to one winner. Reads of the fresh table return zero rows
+    * under the committed schema; the declared `partCols` persist in the
+    * snapshot so the first [[append]] stages into the right layout. */
+  def create(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): Snapshot = {
+    require(schema.nonEmpty, "create needs at least one column")
+    partCols.foreach(p => require(schema.fieldNames.contains(p),
+      s"create on $dir: partition column '$p' is not in the schema"))
+    statsCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"create on $dir: stats column '$c' is not in the schema"))
+    val f = hadoopFs(spark, dir)
+    require(versionNumbers(f, dir).isEmpty, s"$dir already has a commit log")
+    f.mkdirs(logPath(dir))
+    val snap = Snapshot(1L, Nil, Nil, statsCols, None, "create",
+      schemaJson = Some(schema.json), props = props, partCols = partCols,
+      committedAt = System.currentTimeMillis())
+    try { casWrite(f, versionFile(dir, 1L), render(snap)); snap }
+    catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"create on $dir lost the commit race (${e.getMessage}) — " +
+          "another creator won; read the table instead")
+    }
+  }
+
+  /** Catalog-facing metadata of a snapshot: (schema, partition columns,
+    * properties). The schema comes from the committed schemaJson when
+    * present (always, post-round-7) and falls back to reading the files
+    * for pre-schema logs. */
+  def tableMeta(spark: SparkSession, dir: String, s: Snapshot)
+      : (org.apache.spark.sql.types.StructType, Seq[String],
+        Map[String, String]) = {
+    val schema = s.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(readSnapshot(spark, dir, s).schema)
+    (schema, partColsOf(s), s.props)
+  }
+
   /** A staged-but-uncommitted upsert: the merged slice is ON DISK (new
     * files, invisible — no version references them) and everything
     * [[commitStaged]] needs to publish or rebase it is recorded. The
@@ -883,8 +1036,17 @@ object CommitLog {
     * before/after directory diff (the old listing-based diff both raced
     * with concurrent writers and cost two full lake listings per
     * commit). */
-  private def stageWrite(spark: SparkSession, dir: String, df: DataFrame,
-      partCols: Seq[String]): Seq[String] = {
+  private def stageWrite(spark: SparkSession, dir: String, df0: DataFrame,
+      partCols: Seq[String],
+      physNames: Map[String, String] = Map.empty): Seq[String] = {
+    // renamed columns write under their PHYSICAL birth name, so every
+    // file of the table carries one name per column forever (readers
+    // alias back in toLogical); positional toDF renames all at once —
+    // no intermediate collision when a fresh column reuses a name
+    val df =
+      if (physNames.isEmpty) df0
+      else df0.toDF(df0.columns.toIndexedSeq
+        .map(c => physNames.getOrElse(c, c)): _*)
     val f = hadoopFs(spark, dir)
     val tag = java.util.UUID.randomUUID.toString.take(8)
     val staging = new Path(dir, s"_staging/$tag")
@@ -941,6 +1103,17 @@ object CommitLog {
           s"write into $dir changes type of '${f.name}' " +
             s"(${f.dataType.simpleString} -> ${ut.simpleString}) — not supported")
       }
+      // implicit evolution must not reuse a physical name that old
+      // files still carry (a dropped column, or the birth name a rename
+      // moved away from) — the old values would resurrect; ALTER TABLE
+      // ADD COLUMNS mints a fresh physical name for exactly this case
+      val physTaken = bs.fieldNames
+        .map(n => s.physNames.getOrElse(n, n)).toSet ++ s.retired
+      incoming.columns.filterNot(bs.fieldNames.contains).foreach(c =>
+        require(!physTaken.contains(c),
+          s"write into $dir adds column '$c', whose physical name is " +
+            "already on disk (dropped or renamed-away) — use ALTER " +
+            "TABLE ADD COLUMNS, which assigns a fresh physical name"))
     }
 
   def stageUpsert(spark: SparkSession, updates: DataFrame, dir: String,
@@ -971,7 +1144,8 @@ object CommitLog {
           }
         Sources.mergeKeyed(aligned, updates, keyCols, seqCol)
       }
-    val newRels = stageWrite(spark, dir, merged, Seq(partitionCol))
+    val newRels = stageWrite(spark, dir, merged, Seq(partitionCol),
+      s.physNames)
     Some(StagedUpsert(s, partDirs, touched.toSet, newRels, batchId,
       Some(updates.schema.json)))
   }
@@ -1085,7 +1259,7 @@ object CommitLog {
     require(missingP.isEmpty,
       s"append into $dir must carry partition column(s): " +
         missingP.mkString(", "))
-    val rels = stageWrite(spark, dir, rows, partCols)
+    val rels = stageWrite(spark, dir, rows, partCols, s.physNames)
     if (rels.isEmpty) return s
     commitRebase(spark, dir,
       StagedUpsert(s, Set.empty, Set.empty, rels, batchId,
@@ -1186,7 +1360,18 @@ object CommitLog {
       deleteWhen: Option[String] = None,
       insertWhen: Option[String] = Some("true"),
       batchId: Option[Long] = None,
-      notMatchedBySourceDeleteWhen: Option[String] = None): Snapshot = {
+      notMatchedBySourceDeleteWhen: Option[String] = None,
+      /** COLUMN-LEVEL update: target column → SQL expression over the
+        * `t.`/`s.` namespaces (`UPDATE SET v = t.v + s.delta`).
+        * Unmentioned columns KEEP the target value. None → whole-row
+        * source image (`UPDATE SET *`). All expressions evaluate
+        * against the pre-merge row pair, as SQL requires. */
+      updateSet: Option[Map[String, String]] = None,
+      /** COLUMN-LEVEL insert: target column → SQL expression over the
+        * `s.` namespace (`INSERT (k, v) VALUES (s.k, s.v * 2)`).
+        * Unmentioned columns insert NULL; key and partition columns
+        * must be assigned. None → whole-row source image. */
+      insertValues: Option[Map[String, String]] = None): Snapshot = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val s = mustLatest(spark, dir)
     if (batchId.exists(inLedger(s, _))) {
@@ -1194,7 +1379,33 @@ object CommitLog {
         s"[commitlog] batch ${batchId.get} already committed to $dir — replay skipped")
       return s
     }
-    checkSchemaCompatible(s, source, dir)
+    // a whole-row clause needs the full target schema in the source (and
+    // may evolve it additively); column-level clauses only need the key,
+    // the partition column, and whatever their expressions reference
+    val wholeRowClause = (updateWhen.isDefined && updateSet.isEmpty) ||
+      (insertWhen.isDefined && insertValues.isEmpty)
+    if (wholeRowClause) checkSchemaCompatible(s, source, dir)
+    else {
+      (keyCols :+ partitionCol).foreach(k =>
+        require(source.columns.contains(k),
+          s"merge into $dir: column-level clauses still need '$k' in " +
+            "the source (the key/partition routing)"))
+      val targetSchema = logicalSchema(spark, dir, s)
+      val bad = (updateSet.toSeq ++ insertValues.toSeq).flatMap(_.keys)
+        .filterNot(targetSchema.fieldNames.contains)
+      require(bad.isEmpty,
+        s"merge into $dir assigns unknown column(s): ${bad.mkString(", ")}")
+      updateSet.foreach(m =>
+        (keyCols :+ partitionCol).filter(m.contains).foreach(k =>
+          throw new IllegalArgumentException(
+            s"merge into $dir: UPDATE SET must not reassign key/" +
+              s"partition column '$k' (rekeying is delete+insert)")))
+      insertValues.foreach(m =>
+        (keyCols :+ partitionCol).filterNot(m.contains).foreach(k =>
+          throw new IllegalArgumentException(
+            s"merge into $dir: INSERT must assign key/partition " +
+              s"column '$k'")))
+    }
     val dup = source.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
       .limit(1).collect() // ≤1 row: existence probe only
@@ -1220,12 +1431,16 @@ object CommitLog {
           source.columns.filter(_.startsWith("__")).toIndexedSeq: _*)
       else readFiles(spark, dir, s, touched)
     // clause-only source columns (`__x`): joined for the conditions,
-    // excluded from the written image and the committed schema
-    val aligned = source.columns
-      .filterNot(c => old0.columns.contains(c) || c.startsWith("__"))
-      .foldLeft(old0) { (df, c) =>
-        df.withColumn(c, lit(null).cast(source.schema(c).dataType))
-      }
+    // excluded from the written image and the committed schema. Under
+    // column-level clauses NO source column widens the target — extra
+    // source columns are clause inputs, not schema evolution.
+    val aligned =
+      if (!wholeRowClause) old0
+      else source.columns
+        .filterNot(c => old0.columns.contains(c) || c.startsWith("__"))
+        .foldLeft(old0) { (df, c) =>
+          df.withColumn(c, lit(null).cast(source.schema(c).dataType))
+        }
     val outCols = aligned.columns.toSeq.filterNot(_.startsWith("__"))
     val t = aligned.withColumn("__t_present", lit(1)).as("t")
     val sv = source.withColumn("__s_present", lit(1)).as("s")
@@ -1236,21 +1451,44 @@ object CommitLog {
     def fires(c: Option[String]): Column =
       coalesce(c.map(expr).getOrElse(lit(false)), lit(false))
     val matched = tPresent && sPresent
-    // 0 = drop, 1 = keep target image, 2 = take source image
+    // 0 = drop, 1 = keep target image, 2 = update image, 3 = insert image
     val take = when(matched && fires(deleteWhen), lit(0))
       .when(matched && fires(updateWhen), lit(2))
       .when(tPresent && !sPresent &&
         fires(notMatchedBySourceDeleteWhen), lit(0))
       .when(tPresent, lit(1))
-      .when(fires(insertWhen), lit(2))
+      .when(fires(insertWhen), lit(3))
       .otherwise(lit(0))
+    // per-clause image of column c, each expression cast to the
+    // committed type and evaluated against the PRE-merge (t, s) pair
+    def updImage(c: String): Column = updateSet match {
+      case None => col(s"s.$c")
+      case Some(m) => m.get(c)
+        .map(e => expr(e).cast(aligned.schema(c).dataType))
+        .getOrElse(col(s"t.$c"))
+    }
+    def insImage(c: String): Column = insertValues match {
+      case None => col(s"s.$c")
+      case Some(m) => m.get(c)
+        .map(e => expr(e).cast(aligned.schema(c).dataType))
+        .getOrElse(lit(null).cast(aligned.schema(c).dataType))
+    }
+    // only clauses that can FIRE contribute a branch — an absent clause
+    // must not force its image's source columns to resolve (a slim
+    // column-level source has no s.<every-column>)
+    val branches: Seq[(Int, String => Column)] =
+      Seq(2 -> (updateWhen, updImage _), 3 -> (insertWhen, insImage _))
+        .collect { case (tk, (Some(_), img)) => (tk, img) }
     val post = t.join(sv, joinCond, "full_outer")
       .withColumn("__take", take)
       .filter(col("__take") =!= 0)
       .select(outCols.map { c =>
-        when(col("__take") === 2, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+        branches.foldRight(col(s"t.$c")) { case ((tk, img), els) =>
+          when(col("__take") === tk, img(c)).otherwise(els)
+        }.as(c)
       }: _*)
-    val newRels = stageWrite(spark, dir, post, Seq(partitionCol))
+    val newRels = stageWrite(spark, dir, post, Seq(partitionCol),
+      s.physNames)
     // full-table clause ⇒ whole-table conflict unit (like compact): any
     // concurrent data commit invalidates the not-matched judgment
     val touchedParts =
@@ -1260,8 +1498,11 @@ object CommitLog {
     commitRebase(spark, dir,
       StagedUpsert(s, touchedParts, touched.toSet,
         newRels, batchId,
-        Some(org.apache.spark.sql.types.StructType(
-          source.schema.filterNot(_.name.startsWith("__"))).json)),
+        // schema evolution only through whole-row clauses; column-level
+        // clauses assign existing columns by contract
+        if (wholeRowClause) Some(org.apache.spark.sql.types.StructType(
+          source.schema.filterNot(_.name.startsWith("__"))).json)
+        else None),
       "merge", maxRetries = 10)
   }
 
@@ -1280,7 +1521,8 @@ object CommitLog {
     val repartitioned =
       if (partCols.isEmpty) df.repartition(targetPartitions)
       else df.repartition(targetPartitions, partCols.map(col): _*)
-    val newRels = stageWrite(spark, dir, repartitioned, partCols)
+    val newRels = stageWrite(spark, dir, repartitioned, partCols,
+      s.physNames)
     try commit(spark, dir, s, newRels, newRels, s.batches, "compact",
       dvsNew = Some(Nil))
     catch { case e: CommitConflict =>
@@ -1323,7 +1565,7 @@ object CommitLog {
     val clustered = df
       .repartitionByRange(targetPartitions, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
-    val newRels = stageWrite(spark, dir, clustered, partCols)
+    val newRels = stageWrite(spark, dir, clustered, partCols, s.physNames)
     try commit(spark, dir, s, newRels, newRels, s.batches, "compact",
       dvsNew = Some(Nil))
     catch { case e: CommitConflict =>
@@ -1365,7 +1607,7 @@ object CommitLog {
       .repartitionByRange(targetPartitions, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
       .drop(zc)
-    val newRels = stageWrite(spark, dir, clustered, partCols)
+    val newRels = stageWrite(spark, dir, clustered, partCols, s.physNames)
     try commit(spark, dir, s, newRels, newRels, s.batches, "compact",
       dvsNew = Some(Nil))
     catch { case e: CommitConflict =>
@@ -1402,7 +1644,8 @@ object CommitLog {
         s"overwrite on $dir expected version $e but latest is " +
           s"${s.version} — re-derive from the current snapshot and re-run")
     }
-    val newRels = stageWrite(spark, dir, replacement, partitionCols)
+    val newRels = stageWrite(spark, dir, replacement, partitionCols,
+      s.physNames)
     try commit(spark, dir, s, newRels, newRels,
       s.batches ++ batchId.toSeq, "overwrite", Some(replacement.schema.json),
       dvsNew = Some(Nil))
@@ -1576,7 +1819,7 @@ object CommitLog {
     // delete the row (filter(!cond) would silently drop null-cond rows)
     val survivors = readFiles(spark, dir, s, hitFiles.toSeq.sorted)
       .filter(!coalesce(cond, lit(false)))
-    val newRels = stageWrite(spark, dir, survivors, partCols)
+    val newRels = stageWrite(spark, dir, survivors, partCols, s.physNames)
     commitRebase(spark, dir,
       StagedUpsert(s, hitFiles.map(partOf), hitFiles, newRels, None),
       "delete", maxRetries = 10)
@@ -1615,13 +1858,15 @@ object CommitLog {
       cond: org.apache.spark.sql.Column): Snapshot = {
     val s = mustLatest(spark, dir)
     if (s.files.isEmpty) return s
-    val live =
+    val livePhys =
       if (s.dvs.isEmpty) withFilePos(spark, dir, rawRead(spark, dir, s, s.files))
       else withFilePos(spark, dir, rawRead(spark, dir, s, s.files))
         .join(broadcast(dvRows(spark, dir, s)),
           col("__dv_f") === col("__dv_file") &&
             col("__dv_p") === col("__dv_pos"),
           "left_anti")
+    // `cond` names LOGICAL columns; the identity pair rides through
+    val live = toLogical(s, livePhys, extra = Seq("__dv_f", "__dv_p"))
     val f = hadoopFs(spark, dir)
     val rel = f"dv-v${s.version + 1}%020d-" +
       java.util.UUID.randomUUID.toString.take(8) + ".parquet"
@@ -1707,10 +1952,10 @@ object CommitLog {
       if (hitFiles.isEmpty) Nil
       else stageWrite(spark, dir,
         readFiles(spark, dir, s, hitFiles.toSeq.sorted)
-          .filter(!coalesce(cond, lit(false))), partCols)
+          .filter(!coalesce(cond, lit(false))), partCols, s.physNames)
     val addedRels =
       if (additions.isEmpty) Nil
-      else stageWrite(spark, dir, additions, partCols)
+      else stageWrite(spark, dir, additions, partCols, s.physNames)
     if (hitFiles.isEmpty && addedRels.isEmpty && propsDelta.isEmpty) return s
     val newRels = survivorRels ++ addedRels
     val touched = hitFiles.map(partOf) ++ newRels.map(partOf)

@@ -55,8 +55,10 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *
   * Honest surface limits (all rejected loudly at parse time):
   *  - MERGE actions are whole-row (`UPDATE SET *` / `INSERT *` /
-  *    `DELETE`), matching [[CommitLog.merge]]'s source-image semantics;
-  *    column-list assignments belong to UPDATE.
+  *    `DELETE`) or COLUMN-LEVEL (`UPDATE SET v = t.v + s.delta`,
+  *    `INSERT (k, v) VALUES (s.k, s.v)`); column-level clauses assign
+  *    existing columns only (schema evolution needs a whole-row
+  *    clause or ALTER TABLE), never the key/partition columns.
   *  - The merge ON clause must be a conjunction of `t.k = s.k` key
   *    equalities (that IS the engine's keyed-merge contract).
   *  - Clause-order semantics are preserved for the matched pair: with
@@ -225,13 +227,38 @@ object LakeSqlDml {
     }
   }
 
+  /** `cat.db.t` immediately after a MUTATION verb — recognized as lake
+    * DML only when `cat` is a session catalog configured to
+    * [[graft.catalog.GraftCatalog]] (INSERT and DDL on catalog names
+    * ride Spark's native analyzer route instead —
+    * [[graft.catalog.ResolveGraftCatalogOps]]). */
+  private val TargetCat =
+    """(?is)\b(MERGE\s+INTO|DELETE\s+FROM|UPDATE)\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\.([A-Za-z_]\w*)(?![\w.(])""".r
+
   /** Try to handle `sql` as lake DML; None → not ours, delegate. */
-  def parseDml(delegate: ParserInterface, sql: String): Option[LogicalPlan] =
+  def parseDml(delegate: ParserInterface, sql: String,
+      session: Option[SparkSession] = None): Option[LogicalPlan] =
     Call.findFirstMatchIn(sql).map { c =>
       parseCall(delegate, c.group(1), c.group(2)): LogicalPlan
     }.orElse(Target.findAllMatchIn(sql).find(m =>
-      !inLiteral(sql, m.start)).map { m =>
-      val dir = m.group(2)
+      !inLiteral(sql, m.start)).map(m =>
+      translateAt(delegate, sql, m.group(1), m.group(2), m.start, m.end))
+    ).orElse(session.flatMap { sp =>
+      TargetCat.findAllMatchIn(sql).find(m => !inLiteral(sql, m.start) &&
+          graft.catalog.GraftCatalog.catalogNames(sp)
+            .exists(_.equalsIgnoreCase(m.group(2))))
+        .map { m =>
+          val dir = graft.catalog.GraftCatalog.tableDir(sp, m.group(2),
+            Seq(m.group(3), m.group(4)))
+          translateAt(delegate, sql, m.group(1), dir, m.start, m.end)
+        }
+    })
+
+  /** Shared translation: substitute the target at [start, end) with a
+    * placeholder identifier, parse with Spark's own grammar, and map
+    * the plan onto the [[CommitLog]] verbs. */
+  private def translateAt(delegate: ParserInterface, sql: String,
+      verb: String, dir: String, start: Int, end: Int): LogicalPlan = {
       val mor = DvSuffix.findFirstMatchIn(sql).exists(d =>
         !inLiteral(sql, d.start))
       val stripped = DvSuffix.replaceSomeIn(sql, d =>
@@ -240,8 +267,8 @@ object LakeSqlDml {
       val tag = Placeholder + Integer.toHexString(dir.hashCode).takeWhile(_ != '-')
       // replace exactly the matched (non-literal) occurrence: the DV
       // suffix, if stripped, sat after it, so the offsets still hold
-      val substituted = stripped.substring(0, m.start) +
-        s"${m.group(1)} $tag" + stripped.substring(m.end)
+      val substituted = stripped.substring(0, start) +
+        s"$verb $tag" + stripped.substring(end)
       delegate.parsePlan(substituted) match {
         case DeleteFromTable(tbl, cond) if targets(tbl, tag) =>
           GraftDeleteCommand(dir, stripAlias(cond, aliasOf(tbl)).sql, mor)
@@ -273,6 +300,21 @@ object LakeSqlDml {
           }
           GraftAddColumnsCommand(dir,
             org.apache.spark.sql.types.StructType(fields))
+        case rc: RenameColumn if targetsTable(rc.table, tag) =>
+          require(!mor, "USING DELETION VECTORS applies to DELETE only")
+          require(rc.column.name.length == 1,
+            "ALTER TABLE graft_lake RENAME COLUMN supports top-level " +
+              "columns only")
+          GraftRenameColumnCommand(dir, rc.column.name.head, rc.newName)
+        case dcols: DropColumns if targetsTable(dcols.table, tag) =>
+          require(!mor, "USING DELETION VECTORS applies to DELETE only")
+          val names = dcols.columnsToDrop.map { f =>
+            require(f.name.length == 1,
+              "ALTER TABLE graft_lake DROP COLUMN supports top-level " +
+                "columns only")
+            f.name.head
+          }
+          GraftDropColumnsCommand(dir, names, dcols.ifExists)
         case i: InsertIntoStatement if targets(i.table, tag) =>
           require(!mor, "USING DELETION VECTORS applies to DELETE only")
           require(!i.overwrite,
@@ -289,7 +331,7 @@ object LakeSqlDml {
           s"graft_lake('$dir') as a DML target supports DELETE/UPDATE/" +
             s"MERGE only; got ${other.getClass.getSimpleName}")
       }
-    })
+  }
 
   private def targets(plan: LogicalPlan, tag: String): Boolean = plan match {
     case SubqueryAlias(_, child) => targets(child, tag)
@@ -365,32 +407,64 @@ object LakeSqlDml {
           s"t.key = s.key equalities (the engine merges by key); got: ${other.sql}")
     }
 
+    // column-level assignment list → (target column, value SQL over the
+    // t/s namespaces); the target side of each assignment is a plain
+    // (possibly target-qualified) column name
+    def assigns(as: Seq[Assignment]): Seq[(String, String)] =
+      as.map { case Assignment(k, v) =>
+        val name = k match {
+          case u: UnresolvedAttribute => u.nameParts.last
+          case other => throw new IllegalArgumentException(
+            s"MERGE assignment target must be a column name, got: ${other.sql}")
+        }
+        name -> remapAliases(v, tAlias, sAlias).sql
+      }
+
     // matched pair with SQL clause-order semantics (first match wins)
     var updateWhen: Option[String] = None
     var deleteWhen: Option[String] = None
+    var updateSet: Option[Seq[(String, String)]] = None
+    def setUpdate(c: Option[Expression],
+        as: Option[Seq[Assignment]]): Unit = {
+      updateWhen = Some(csql(c))
+      updateSet = as.map(assigns)
+    }
     m.matchedActions match {
       case Seq() =>
-      case Seq(UpdateStarAction(c)) => updateWhen = Some(csql(c))
+      case Seq(UpdateStarAction(c)) => setUpdate(c, None)
+      case Seq(UpdateAction(c, as, _)) => setUpdate(c, Some(as))
       case Seq(DeleteAction(c)) => deleteWhen = Some(csql(c))
       case Seq(DeleteAction(dc), UpdateStarAction(uc)) =>
         // engine evaluates delete before update — same order as SQL here
-        deleteWhen = Some(csql(dc)); updateWhen = Some(csql(uc))
+        deleteWhen = Some(csql(dc)); setUpdate(uc, None)
+      case Seq(DeleteAction(dc), UpdateAction(uc, as, _)) =>
+        deleteWhen = Some(csql(dc)); setUpdate(uc, Some(as))
       case Seq(UpdateStarAction(uc), DeleteAction(dc)) =>
         // SQL fires the FIRST matching clause: guard the later delete
-        updateWhen = Some(csql(uc))
+        setUpdate(uc, None)
+        deleteWhen = Some(
+          s"(${csql(dc)}) AND NOT coalesce((${csql(uc)}), false)")
+      case Seq(UpdateAction(uc, as, _), DeleteAction(dc)) =>
+        setUpdate(uc, Some(as))
         deleteWhen = Some(
           s"(${csql(dc)}) AND NOT coalesce((${csql(uc)}), false)")
       case other => throw new IllegalArgumentException(
-        "MERGE INTO graft_lake supports WHEN MATCHED THEN UPDATE SET * " +
-          "and WHEN MATCHED THEN DELETE (at most one of each); got: " +
+        "MERGE INTO graft_lake supports WHEN MATCHED THEN UPDATE " +
+          "SET */SET col = expr and WHEN MATCHED THEN DELETE (at most " +
+          "one of each); got: " +
           other.map(_.getClass.getSimpleName).mkString(", "))
     }
+    var insertValues: Option[Seq[(String, String)]] = None
     val insertWhen = m.notMatchedActions match {
       case Seq() => None
       case Seq(InsertStarAction(c)) => Some(csql(c))
+      case Seq(InsertAction(c, as)) =>
+        insertValues = Some(assigns(as))
+        Some(csql(c))
       case other => throw new IllegalArgumentException(
         "MERGE INTO graft_lake supports WHEN NOT MATCHED THEN INSERT * " +
-          "only; got: " + other.map(_.getClass.getSimpleName).mkString(", "))
+          "or INSERT (cols) VALUES (exprs); got: " +
+          other.map(_.getClass.getSimpleName).mkString(", "))
     }
     val nmbsDelete = m.notMatchedBySourceActions match {
       case Seq() => None
@@ -401,10 +475,10 @@ object LakeSqlDml {
           other.map(_.getClass.getSimpleName).mkString(", "))
     }
     GraftMergeCommand(dir, m.sourceTable, keyCols, updateWhen, deleteWhen,
-      insertWhen, nmbsDelete)
+      insertWhen, nmbsDelete, updateSet, insertValues)
   }
 
-  private[sources] def dmlOutput: Seq[Attribute] = Seq(
+  def dmlOutput: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("op", StringType, nullable = false)())
 
@@ -439,6 +513,34 @@ case class GraftAddColumnsCommand(dir: String,
   override def output: Seq[Attribute] = LakeSqlDml.dmlOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val snap = CommitLog.addColumns(spark, dir, newCols)
+    Seq(Row(snap.version, snap.op))
+  }
+}
+
+/** `ALTER TABLE graft_lake('dir') RENAME COLUMN a TO b` — the
+  * metadata-only rename commit [[CommitLog.renameColumn]]: zero files
+  * touched, data files keep the physical birth name, reads alias. */
+case class GraftRenameColumnCommand(dir: String, from: String, to: String)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = LakeSqlDml.dmlOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = CommitLog.renameColumn(spark, dir, from, to)
+    Seq(Row(snap.version, snap.op))
+  }
+}
+
+/** `ALTER TABLE graft_lake('dir') DROP COLUMN [IF EXISTS] c, ...` — the
+  * logical-removal commit [[CommitLog.dropColumn]]: bytes stay until
+  * the next rewrite, readers prune, the physical name retires. */
+case class GraftDropColumnsCommand(dir: String, names: Seq[String],
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = LakeSqlDml.dmlOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val have = CommitLog.read(spark, dir).columns.toSet
+    val todo = if (ifExists) names.filter(have.contains) else names
+    val snap = todo.foldLeft(CommitLog.latest(spark, dir).get) {
+      (_, n) => CommitLog.dropColumn(spark, dir, n)
+    }
     Seq(Row(snap.version, snap.op))
   }
 }
@@ -533,17 +635,28 @@ case class GraftUpdateCommand(dir: String,
 case class GraftMergeCommand(dir: String, sourcePlan: LogicalPlan,
     keyCols: Seq[String], updateWhen: Option[String],
     deleteWhen: Option[String], insertWhen: Option[String],
-    notMatchedBySourceDeleteWhen: Option[String])
+    notMatchedBySourceDeleteWhen: Option[String],
+    updateSet: Option[Seq[(String, String)]] = None,
+    insertValues: Option[Seq[(String, String)]] = None)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = LakeSqlDml.dmlOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val source =
       org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, sourcePlan)
+    def dedup(kind: String, as: Option[Seq[(String, String)]]) =
+      as.map { pairs =>
+        val dup = pairs.groupBy(_._1).collect { case (c, p) if p.size > 1 => c }
+        require(dup.isEmpty,
+          s"MERGE $kind assigns column(s) more than once: ${dup.mkString(", ")}")
+        pairs.toMap
+      }
     val snap = CommitLog.merge(spark, dir, source, keyCols,
       LakeSqlDml.singlePartCol(spark, dir),
       updateWhen = updateWhen, deleteWhen = deleteWhen,
       insertWhen = insertWhen,
-      notMatchedBySourceDeleteWhen = notMatchedBySourceDeleteWhen)
+      notMatchedBySourceDeleteWhen = notMatchedBySourceDeleteWhen,
+      updateSet = dedup("UPDATE SET", updateSet),
+      insertValues = dedup("INSERT", insertValues))
     Seq(Row(snap.version, snap.op))
   }
 }
@@ -552,10 +665,11 @@ case class GraftMergeCommand(dir: String, sourcePlan: LogicalPlan,
   * peeled off the statement text; everything else — including every
   * non-DML statement and every expression/identifier parse — delegates
   * verbatim to Spark's parser. */
-class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
+class LakeSqlParser(delegate: ParserInterface,
+    session: Option[SparkSession] = None) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = {
     val sugared = LakeSqlDml.rewriteTimeTravel(sqlText)
-    LakeSqlDml.parseDml(delegate, sugared)
+    LakeSqlDml.parseDml(delegate, sugared, session)
       .getOrElse(delegate.parsePlan(sugared))
   }
   override def parseQuery(sqlText: String): LogicalPlan =

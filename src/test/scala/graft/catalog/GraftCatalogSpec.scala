@@ -1,0 +1,190 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.CommitLog
+
+/** The graft TableCatalog: the full SQL lifecycle on CATALOG-QUALIFIED
+  * names — CREATE NAMESPACE/TABLE/CTAS, INSERT (INTO/OVERWRITE),
+  * DELETE/UPDATE/MERGE, native VERSION AS OF, ALTER TABLE
+  * ADD/RENAME/DROP COLUMN, SHOW/DESCRIBE/DROP — with every verb landing
+  * the same CommitLog commits as the Scala API and the graft_lake()
+  * TVFs. */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** One catalog instance for the suite: the CatalogManager caches the
+    * plugin per name after first use, so the warehouse is fixed here. */
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft_cat_wh_").toString
+    spark.conf.set("spark.sql.catalog.gcat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", dir)
+    spark.sql("CREATE NAMESPACE gcat.db")
+    dir
+  }
+
+  private def rows(t: String): Set[(Long, Long, String)] =
+    spark.sql(s"SELECT k, v, pd FROM $t").as[(Long, Long, String)]
+      .collect().toSet
+
+  test("CREATE TABLE + INSERT INTO + SELECT by name — the catalog core") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t1 (k BIGINT, v BIGINT, pd STRING) " +
+      "PARTITIONED BY (pd) TBLPROPERTIES ('graft.statscols' = 'k')")
+    // fresh table: empty read under the declared schema
+    assert(spark.sql("SELECT * FROM gcat.db.t1").columns.toSeq ==
+      Seq("k", "v", "pd"))
+    assert(spark.sql("SELECT * FROM gcat.db.t1").count() == 0L)
+    spark.sql("INSERT INTO gcat.db.t1 " +
+      "SELECT id, id * 10, concat('p', id % 3) FROM range(0, 30)")
+    assert(rows("gcat.db.t1") ==
+      (0L until 30L).map(i => (i, i * 10, s"p${i % 3}")).toSet)
+    // the commit is a real CommitLog commit: the TVF reads the same lake
+    val dir = s"$wh/db/t1"
+    assert(CommitLog.read(spark, dir).count() == 30L)
+    assert(spark.sql(s"SELECT count(*) c FROM graft_lake('$dir')")
+      .as[Long].head() == 30L)
+    // declared stats column is live (create carried statsCols)
+    assert(CommitLog.latest(spark, dir).get.statsCols == Seq("k"))
+    // hive layout: partition dirs from the declared PARTITIONED BY
+    assert(CommitLog.latest(spark, dir).get.files.forall(_.startsWith("pd=")))
+  }
+
+  test("catalog DML: UPDATE / DELETE / MERGE on catalog-qualified names") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t2 (k BIGINT, v BIGINT, pd STRING) " +
+      "PARTITIONED BY (pd)")
+    spark.sql("INSERT INTO gcat.db.t2 " +
+      "SELECT id, id, concat('p', id % 2) FROM range(0, 20)")
+    spark.sql("UPDATE gcat.db.t2 SET v = v + 100 WHERE k < 5")
+    spark.sql("DELETE FROM gcat.db.t2 WHERE k >= 15")
+    spark.sql("MERGE INTO gcat.db.t2 AS t USING (SELECT 3L AS k, " +
+      "999L AS v, 'p1' AS pd UNION ALL SELECT 40L, 40L, 'p0') AS s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val expect = (0L until 15L).map {
+      case 3L => (3L, 999L, "p1")
+      case i if i < 5 => (i, i + 100, s"p${i % 2}")
+      case i => (i, i, s"p${i % 2}")
+    }.toSet + ((40L, 40L, "p0"))
+    assert(rows("gcat.db.t2") == expect)
+    // MoR delete with the deletion-vector suffix on a catalog name
+    val filesBefore = CommitLog.latest(spark, s"$wh/db/t2").get.files
+    spark.sql("DELETE FROM gcat.db.t2 WHERE k = 40 USING DELETION VECTORS")
+    assert(CommitLog.latest(spark, s"$wh/db/t2").get.files == filesBefore)
+    assert(rows("gcat.db.t2") == expect - ((40L, 40L, "p0")))
+  }
+
+  test("native VERSION AS OF / TIMESTAMP AS OF grammar time-travels") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t3 (k BIGINT, v BIGINT, pd STRING) " +
+      "PARTITIONED BY (pd)")
+    spark.sql("INSERT INTO gcat.db.t3 SELECT id, id, 'p0' FROM range(0, 5)")
+    val v2 = CommitLog.latest(spark, s"$wh/db/t3").get
+    spark.sql("DELETE FROM gcat.db.t3 WHERE k < 3")
+    assert(spark.sql("SELECT count(*) c FROM gcat.db.t3").as[Long].head() == 2L)
+    assert(spark.sql(
+      s"SELECT count(*) c FROM gcat.db.t3 VERSION AS OF ${v2.version}")
+      .as[Long].head() == 5L)
+    val ts = java.time.Instant.ofEpochMilli(v2.committedAt).toString
+    assert(spark.sql(
+      s"SELECT count(*) c FROM gcat.db.t3 TIMESTAMP AS OF '$ts'")
+      .as[Long].head() == 5L)
+  }
+
+  test("ALTER TABLE ADD / RENAME / DROP COLUMN — zero-file DDL commits") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t4 (k BIGINT, v BIGINT, pd STRING) " +
+      "PARTITIONED BY (pd)")
+    spark.sql("INSERT INTO gcat.db.t4 SELECT id, id * 2, 'p0' FROM range(0, 10)")
+    val dir = s"$wh/db/t4"
+    val filesBefore = CommitLog.latest(spark, dir).get.files
+
+    spark.sql("ALTER TABLE gcat.db.t4 ADD COLUMNS (note STRING)")
+    assert(spark.sql("SELECT note FROM gcat.db.t4 WHERE k = 1")
+      .collect().head.isNullAt(0))
+
+    // RENAME: metadata-only — old data readable under the NEW name
+    spark.sql("ALTER TABLE gcat.db.t4 RENAME COLUMN v TO score")
+    assert(CommitLog.latest(spark, dir).get.files == filesBefore,
+      "rename must touch zero data files")
+    assert(spark.sql("SELECT sum(score) s FROM gcat.db.t4").as[Long].head() ==
+      (0L until 10L).map(_ * 2).sum)
+    // writes after the rename carry the new logical name
+    spark.sql("INSERT INTO gcat.db.t4 VALUES (100, 7, 'p0', 'x')")
+    assert(spark.sql("SELECT score FROM gcat.db.t4 WHERE k = 100")
+      .as[Long].head() == 7L)
+    // DML through the renamed name
+    spark.sql("UPDATE gcat.db.t4 SET score = score + 1 WHERE k = 100")
+    assert(spark.sql("SELECT score FROM gcat.db.t4 WHERE k = 100")
+      .as[Long].head() == 8L)
+    // time travel renders the OLD schema for old versions
+    assert(spark.sql("SELECT * FROM gcat.db.t4 VERSION AS OF 2")
+      .columns.toSeq == Seq("k", "v", "pd"))
+
+    // DROP: logical removal; re-ADD of the same name must NOT resurrect
+    spark.sql("ALTER TABLE gcat.db.t4 DROP COLUMN note")
+    assert(spark.sql("SELECT * FROM gcat.db.t4").columns.toSeq ==
+      Seq("k", "score", "pd"))
+    spark.sql("ALTER TABLE gcat.db.t4 ADD COLUMNS (note STRING)")
+    assert(spark.sql("SELECT note FROM gcat.db.t4 WHERE k = 100")
+      .collect().head.isNullAt(0),
+      "re-added column must read null, not the dropped column's bytes")
+  }
+
+  test("INSERT OVERWRITE and CTAS") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t5 (k BIGINT, v BIGINT, pd STRING) " +
+      "PARTITIONED BY (pd)")
+    spark.sql("INSERT INTO gcat.db.t5 SELECT id, id, 'p0' FROM range(0, 10)")
+    spark.sql("INSERT OVERWRITE gcat.db.t5 SELECT id, id, 'p1' FROM range(0, 3)")
+    assert(rows("gcat.db.t5") == (0L until 3L).map(i => (i, i, "p1")).toSet)
+
+    spark.sql("CREATE TABLE gcat.db.t6 AS " +
+      "SELECT k, v * 10 AS v, pd FROM gcat.db.t5")
+    assert(rows("gcat.db.t6") == (0L until 3L).map(i => (i, i * 10, "p1")).toSet)
+    assert(CommitLog.latest(spark, s"$wh/db/t6").isDefined)
+  }
+
+  test("SHOW TABLES / DESCRIBE / RENAME / DROP TABLE metadata verbs") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t7 (a BIGINT, b STRING)")
+    val shown = spark.sql("SHOW TABLES IN gcat.db")
+      .select("tableName").as[String].collect().toSet
+    assert(shown.contains("t7"))
+    val desc = spark.sql("DESCRIBE TABLE gcat.db.t7")
+      .select("col_name", "data_type").as[(String, String)].collect().toMap
+    assert(desc("a") == "bigint" && desc("b") == "string")
+    spark.sql("ALTER TABLE gcat.db.t7 RENAME TO gcat.db.t7b")
+    assert(spark.catalog.tableExists("gcat.db.t7b"))
+    assert(!spark.catalog.tableExists("gcat.db.t7"))
+    spark.sql("DROP TABLE gcat.db.t7b")
+    assert(!spark.catalog.tableExists("gcat.db.t7b"))
+  }
+
+  test("self-join and aggregate read through the relation swap") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t8 (k BIGINT, v BIGINT, pd STRING)")
+    spark.sql("INSERT INTO gcat.db.t8 SELECT id, id % 4, 'p' FROM range(0, 40)")
+    val got = spark.sql(
+      "SELECT a.v AS v, count(*) AS c FROM gcat.db.t8 a " +
+        "JOIN gcat.db.t8 b ON a.k = b.k GROUP BY a.v ORDER BY v")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L)))
+  }
+
+  test("dataframe writeTo append lands a commit (byName v2 write path)") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t9 (k BIGINT, v BIGINT, pd STRING)")
+    spark.range(0, 5)
+      .select($"id".as("k"), ($"id" * 3).as("v"), lit("p").as("pd"))
+      .writeTo("gcat.db.t9").append()
+    assert(rows("gcat.db.t9") == (0L until 5L).map(i => (i, i * 3, "p")).toSet)
+  }
+}

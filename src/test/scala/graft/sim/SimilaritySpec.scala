@@ -47,6 +47,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.15, s"recall collapsed: $recall")
   }
 
+  test("multi-table LSH strictly widens the candidate union: recall is " +
+    "monotone in tables and clears the q24 floor at 6 planes") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(tables: Int): Double = {
+      val pairs = Similarity.annTopK(queries, emb, "vec_id", "embedding",
+          10, planes = 6, dim = 64, tables = tables)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (pairs intersect exact).size.toDouble / exact.size
+    }
+    val r1 = recallOf(1)
+    val r4 = recallOf(4)
+    info(f"ANN recall@10 at 6 planes: 1 table $r1%.2f, 4 tables $r4%.2f")
+    assert(r4 >= r1, s"more tables must not lose recall: $r4 < $r1")
+    assert(r4 >= 0.10, s"4-table recall under the q24 floor: $r4")
+  }
+
   test("nearDupPairsEmbedding finds an injected duplicate vector") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dup = emb.filter($"vec_id" === 7L)

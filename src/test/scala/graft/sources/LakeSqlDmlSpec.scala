@@ -158,13 +158,14 @@ class LakeSqlDmlSpec extends AnyFunSuite {
            |ON t.k > s.k WHEN MATCHED THEN DELETE""".stripMargin)
     }
     assert(e1.getMessage.contains("conjunction"))
-    // column-list UPDATE inside MERGE
+    // NOT MATCHED BY SOURCE supports DELETE only
     val e2 = intercept[IllegalArgumentException] {
       spark.sql(
         s"""MERGE INTO graft_lake('$dir') t USING (SELECT 1 AS k) s
-           |ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = 1""".stripMargin)
+           |ON t.k = s.k
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 1""".stripMargin)
     }
-    assert(e2.getMessage.contains("UPDATE SET *"))
+    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE"))
     // MoR suffix on UPDATE
     val e3 = intercept[IllegalArgumentException] {
       spark.sql(
@@ -295,6 +296,34 @@ class LakeSqlDmlSpec extends AnyFunSuite {
       spark.sql(s"CALL graft_frobnicate('$dir')")
     }
     assert(e2.getMessage.contains("unknown lake verb"))
+  }
+
+  test("MERGE with column-level SET and INSERT (cols) VALUES in SQL text") {
+    val dir = freshLake()
+    val before = rows(dir)
+    spark.sql(
+      s"""MERGE INTO graft_lake('$dir') AS t
+         |USING (SELECT 1L AS k, 50L AS delta, 'p1' AS pd
+         |       UNION ALL SELECT 400L, 9L, 'p1') AS s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
+         |WHEN NOT MATCHED THEN INSERT (k, v, pd)
+         |  VALUES (s.k, s.delta * 2, s.pd)""".stripMargin)
+    val after = rows(dir)
+    val expect = before.map {
+      case (1L, v, pd) => (1L, v + 50L, pd)
+      case other => other
+    } + ((400L, 18L, "p1"))
+    assert(after == expect)
+    // duplicate assignment rejected loudly
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft_lake('$dir') AS t
+           |USING (SELECT 1L AS k, 'p1' AS pd) AS s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = 1, v = 2""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("more than once") ||
+      e.getMessage.toLowerCase.contains("duplicate"))
   }
 
   test("UPDATE SET a = b, b = a swaps — all assignments see the pre-image") {

@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.concurrent.{ConcurrentLinkedQueue, CyclicBarrier}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The pluggable commit CAS ([[LogStore]]): the conditional-put backend
+  * must serialize racing committers exactly like the POSIX O_EXCL
+  * default, the naive check-then-create shape it replaces must
+  * demonstrably lose the race (why the seam exists), and a lake whose
+  * scheme routes through a registered backend must commit end-to-end. */
+class LogStoreContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** A put with the OBJECT-STORE atomicity contract: the existence
+    * condition and the write are one atomic step (here: a JVM-wide
+    * putIfAbsent standing in for S3's `If-None-Match: *`), never a
+    * separate exists() + write. */
+  private def conditionalPut(
+      puts: AtomicInteger): (Path, Array[Byte]) => Boolean = { (p, bytes) =>
+    puts.incrementAndGet()
+    val local = java.nio.file.Paths.get(p.toUri.getPath)
+    java.nio.file.Files.createDirectories(local.getParent)
+    try {
+      java.nio.file.Files.write(local, bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false // 412
+    }
+  }
+
+  test("conditional put: 8 racing committers to one key, exactly one wins") {
+    val dir = Files.createTempDirectory("graft_ls_race_").toString
+    val store = new ConditionalPutLogStore(conditionalPut(new AtomicInteger))
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir, "v1.json")
+    val barrier = new CyclicBarrier(8)
+    val wins = new AtomicInteger
+    val conflicts = new AtomicInteger
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { i =>
+      val t = new Thread(() => {
+        try {
+          barrier.await()
+          store.casWrite(fs, p, s"writer-$i")
+          wins.incrementAndGet()
+        } catch {
+          case _: CommitLog.CommitConflict => conflicts.incrementAndGet()
+          case e: Throwable => errs.add(e)
+        }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join(30000))
+    assert(errs.isEmpty, s"unexpected failures: $errs")
+    assert(wins.get() == 1, s"exactly one writer must win, got ${wins.get()}")
+    assert(conflicts.get() == 7)
+    // the surviving content is the winner's, intact
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p.toUri.getPath)))
+    assert(content.startsWith("writer-"))
+  }
+
+  test("why the seam exists: check-then-create double-succeeds inside " +
+    "the TOCTOU window; the conditional put cannot") {
+    val dir = Files.createTempDirectory("graft_ls_toctou_").toString
+    val key = java.nio.file.Paths.get(dir, "v.json")
+    // both writers pass the existence CHECK before either writes — the
+    // interleaving a busy object store produces constantly
+    val checked = new CyclicBarrier(2)
+    def naivePut(tag: String): Boolean = {
+      val absent = !java.nio.file.Files.exists(key) // CHECK
+      checked.await() // ...the other writer checks here too
+      if (!absent) false
+      else {
+        java.nio.file.Files.write(key, tag.getBytes) // CREATE (clobbers!)
+        true
+      }
+    }
+    val naiveWins = new AtomicInteger
+    val ts = Seq("a", "b").map { tag =>
+      val t = new Thread(() =>
+        if (naivePut(tag)) naiveWins.incrementAndGet())
+      t.start(); t
+    }
+    ts.foreach(_.join(30000))
+    assert(naiveWins.get() == 2,
+      "the naive shape reports BOTH writers as committed — silent loss")
+
+    // same interleaving through the conditional put: one winner
+    val store = new ConditionalPutLogStore(conditionalPut(new AtomicInteger))
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val p2 = new Path(dir, "v2.json")
+    val barrier2 = new CyclicBarrier(2)
+    val condWins = new AtomicInteger
+    val ts2 = Seq("a", "b").map { tag =>
+      val t = new Thread(() => {
+        barrier2.await()
+        try { store.casWrite(fs, p2, tag); condWins.incrementAndGet() }
+        catch { case _: CommitLog.CommitConflict => }
+      })
+      t.start(); t
+    }
+    ts2.foreach(_.join(30000))
+    assert(condWins.get() == 1)
+  }
+
+  test("end-to-end: lake commits route through a registered backend; " +
+    "racing disjoint upserts both land via rebase") {
+    val puts = new AtomicInteger
+    val store = new ConditionalPutLogStore(conditionalPut(puts))
+    LogStore.register("file", store)
+    try {
+      val dir = Files.createTempDirectory("graft_ls_e2e_").toString + "/lake"
+      spark.range(0, 40)
+        .select($"id".as("k"), $"id".as("v"),
+          concat(lit("p"), ($"id" % 2)).as("pd"))
+        .write.partitionBy("pd").parquet(dir)
+      CommitLog.init(spark, dir)
+      assert(puts.get() >= 1, "init's commit must route through the store")
+      val barrier = new CyclicBarrier(2)
+      val errs = new ConcurrentLinkedQueue[Throwable]()
+      def upserter(part: String, k: Long): Thread = {
+        val t = new Thread(() => {
+          try {
+            barrier.await()
+            CommitLog.upsert(spark,
+              Seq((k, k * 100, part)).toDF("k", "v", "pd"),
+              dir, Seq("k"), "pd")
+          } catch { case e: Throwable => errs.add(e) }
+        })
+        t.start(); t
+      }
+      val ts = Seq(upserter("p0", 0L), upserter("p1", 1L))
+      ts.foreach(_.join(60000))
+      assert(errs.isEmpty, s"racing upserts failed: $errs")
+      val got = CommitLog.read(spark, dir).filter($"k" <= 1)
+        .select($"k", $"v").as[(Long, Long)].collect().toSet
+      assert(got == Set((0L, 0L), (1L, 100L)),
+        "both disjoint-partition commits must land (loser rebases)")
+    } finally LogStore.unregister("file")
+  }
+}

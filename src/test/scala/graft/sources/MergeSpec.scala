@@ -225,4 +225,55 @@ class MergeSpec extends AnyFunSuite {
     assert(!st.contains(1001L))
     assert(st.size == 301)
   }
+
+  test("column-level UPDATE SET: expressions over t/s, unmentioned " +
+    "columns keep target values, slim source allowed") {
+    val dir = freshLake()
+    // slim delta source: just key + partition + the delta column — no v
+    val src = Seq((10L, 5L, "p0"), (110L, 7L, "p1"))
+      .toDF("k", "delta", "pd")
+    CommitLog.merge(spark, dir, src, Seq("k"), "pd",
+      updateWhen = Some("true"), insertWhen = None,
+      updateSet = Some(Map("v" -> "t.v + s.delta")))
+    val st = state(dir)
+    assert(st(10L) == (10L + 5L, "p0"), "v = t.v + s.delta")
+    assert(st(110L) == (10L + 7L, "p1"))
+    assert(st.size == 300, "no schema evolution from the slim source")
+    assert(CommitLog.read(spark, dir).columns.toSeq == Seq("k", "v", "pd"),
+      "clause-input columns must not widen the table")
+  }
+
+  test("column-level INSERT (cols) VALUES: unmentioned columns null; " +
+    "key/partition assignment enforced") {
+    val dir = freshLake()
+    // widen first so there is a column to leave unmentioned
+    CommitLog.addColumns(spark, dir, org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType))))
+    val src = Seq((5000L, 3L, "p1")).toDF("k", "v", "pd")
+    CommitLog.merge(spark, dir, src, Seq("k"), "pd",
+      updateWhen = None, insertWhen = Some("true"),
+      insertValues = Some(Map(
+        "k" -> "s.k", "v" -> "s.v * 100", "pd" -> "s.pd")))
+    val row = CommitLog.read(spark, dir).filter($"k" === 5000L)
+      .select($"v", $"pd", $"note").as[(Long, String, Option[String])]
+      .head()
+    assert(row == ((300L, "p1", None)))
+    // guards: reassigning the key in UPDATE, or omitting it in INSERT
+    intercept[IllegalArgumentException] {
+      CommitLog.merge(spark, dir, src, Seq("k"), "pd",
+        updateWhen = Some("true"),
+        updateSet = Some(Map("k" -> "s.k + 1")))
+    }
+    intercept[IllegalArgumentException] {
+      CommitLog.merge(spark, dir, src, Seq("k"), "pd",
+        insertWhen = Some("true"),
+        insertValues = Some(Map("v" -> "s.v")))
+    }
+    intercept[IllegalArgumentException] {
+      CommitLog.merge(spark, dir, src, Seq("k"), "pd",
+        updateWhen = Some("true"),
+        updateSet = Some(Map("nope" -> "s.v")))
+    }
+  }
 }
