@@ -324,4 +324,21 @@ object GraftCatalog {
         (catalog +: parts).mkString("."))
     (wh.stripSuffix("/") +: parts).mkString("/")
   }
+
+  private val QualifiedName =
+    """^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\.([A-Za-z_]\w*)$""".r
+
+  /** A lake target that may be EITHER a directory path or a
+    * catalog-qualified `cat.db.t` name — the latter resolves through
+    * the catalog's warehouse, so the TVFs (`graft_lake_history(...)`)
+    * and CALL maintenance verbs (`CALL graft_compact('gcat.db.t', 4)`)
+    * address catalog tables by name. A string with a `/` (or no
+    * matching graft catalog) is a path, unchanged. */
+  def resolveTarget(spark: SparkSession, target: String): String =
+    target match {
+      case QualifiedName(cat, db, t)
+          if catalogNames(spark).exists(_.equalsIgnoreCase(cat)) =>
+        tableDir(spark, cat, Seq(db, t))
+      case p => p
+    }
 }

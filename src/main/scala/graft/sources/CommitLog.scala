@@ -490,7 +490,23 @@ object CommitLog {
     val post = readPartitionDirsAt(spark, dir, toV, dirs)
     keyCols.foreach(k => require(post.columns.contains(k),
       s"changeFeed on $dir: no key column '$k' in the committed schema"))
-    val pre0 = readPartitionDirsAt(spark, dir, fromV, dirs)
+    val pre1 = readPartitionDirsAt(spark, dir, fromV, dirs)
+    // a RENAME COLUMN inside the range must not read as drop+add (every
+    // row would flag as updated): the same PHYSICAL name is the same
+    // column, so align the pre-image onto the post-image's logical
+    // names through each snapshot's mapping before diffing
+    val (sFrom, sTo) = (snapshotAt(spark, dir, fromV),
+      snapshotAt(spark, dir, toV))
+    def physOf(s: Snapshot, c: String) = s.physNames.getOrElse(c, c)
+    val renamed = pre1.columns.flatMap { pc =>
+      val phys = physOf(sFrom, pc)
+      post.columns.find(c => c != pc && physOf(sTo, c) == phys)
+        .map(pc -> _)
+    }.toMap
+    val pre0 =
+      if (renamed.isEmpty) pre1
+      else pre1.toDF(pre1.columns.toIndexedSeq
+        .map(c => renamed.getOrElse(c, c)): _*)
     val newCols = post.columns.filterNot(pre0.columns.contains)
     val pre = newCols.foldLeft(pre0)((df, c) =>
         df.withColumn(c, lit(null).cast(post.schema(c).dataType)))

@@ -146,7 +146,8 @@ object LakeSqlDml {
     * publish. Args are literals, parsed by Spark's own expression
     * grammar. */
   private def parseCall(delegate: ParserInterface,
-      verb: String, rawArgs: String): LogicalPlan = {
+      verb: String, rawArgs: String,
+      session: Option[SparkSession]): LogicalPlan = {
     // split on commas OUTSIDE single-quoted literals (args are scalar
     // literals — no nesting, but a string arg may contain a comma)
     def splitArgs(s: String): Seq[String] = {
@@ -174,6 +175,10 @@ object LakeSqlDml {
             s"CALL graft_$verb expects literal arguments, got: ${other.sql}")
         })
     def str(i: Int): String = args(i).toString
+    // the lake target: a path, or a catalog-qualified cat.db.t name
+    def dir0: String = session
+      .map(sp => graft.catalog.GraftCatalog.resolveTarget(sp, str(0)))
+      .getOrElse(str(0))
     def num(i: Int): Long = args(i) match {
       case n: Number => n.longValue()
       case other => throw new IllegalArgumentException(
@@ -182,44 +187,44 @@ object LakeSqlDml {
     verb.toLowerCase match {
       case "compact" =>
         require(args.size == 2, "CALL graft_compact(dir, targetPartitions)")
-        GraftCallCommand(str(0), s => CommitLog.compact(s, str(0),
+        GraftCallCommand(dir0, s => CommitLog.compact(s, dir0,
           num(1).toInt).version, "compact")
       case "compact_clustered" =>
         require(args.size >= 3,
           "CALL graft_compact_clustered(dir, targetPartitions, col, ...)")
-        GraftCallCommand(str(0), s => CommitLog.compactClustered(s, str(0),
+        GraftCallCommand(dir0, s => CommitLog.compactClustered(s, dir0,
           num(1).toInt, args.drop(2).map(_.toString)).version,
           "compact-clustered")
       case "compact_zorder" =>
         require(args.size >= 4,
           "CALL graft_compact_zorder(dir, targetPartitions, col, col, ...)")
-        GraftCallCommand(str(0), s => CommitLog.compactZordered(s, str(0),
+        GraftCallCommand(dir0, s => CommitLog.compactZordered(s, dir0,
           num(1).toInt, args.drop(2).map(_.toString)).version,
           "compact-zorder")
       case "vacuum" =>
         require(args.size == 2 || args.size == 3,
           "CALL graft_vacuum(dir, keepLast[, staleStagingMs])")
-        GraftCallCommand(str(0), { s =>
+        GraftCallCommand(dir0, { s =>
           val dropped = if (args.size == 3)
-            CommitLog.vacuum(s, str(0), num(1).toInt, num(2))
-          else CommitLog.vacuum(s, str(0), num(1).toInt)
+            CommitLog.vacuum(s, dir0, num(1).toInt, num(2))
+          else CommitLog.vacuum(s, dir0, num(1).toInt)
           System.err.println(
-            s"[lake-sql] vacuum ${str(0)}: ${dropped.size} files reclaimed")
-          CommitLog.latest(s, str(0)).map(_.version).getOrElse(-1L)
+            s"[lake-sql] vacuum ${dir0}: ${dropped.size} files reclaimed")
+          CommitLog.latest(s, dir0).map(_.version).getOrElse(-1L)
         }, "vacuum")
       case "restore" =>
         require(args.size == 2, "CALL graft_restore(dir, version)")
-        GraftCallCommand(str(0),
-          s => CommitLog.restore(s, str(0), num(1)).version, "restore")
+        GraftCallCommand(dir0,
+          s => CommitLog.restore(s, dir0, num(1)).version, "restore")
       case "tag" =>
         require(args.size == 3, "CALL graft_tag(dir, name, version)")
-        GraftCallCommand(str(0), { s =>
-          LakeRefs.tag(s, str(0), str(1), num(2)); num(2)
+        GraftCallCommand(dir0, { s =>
+          LakeRefs.tag(s, dir0, str(1), num(2)); num(2)
         }, "tag")
       case "publish" =>
         require(args.size == 2, "CALL graft_publish(dir, version)")
-        GraftCallCommand(str(0), { s =>
-          LakeRefs.publish(s, str(0), num(1)); num(1)
+        GraftCallCommand(dir0, { s =>
+          LakeRefs.publish(s, dir0, num(1)); num(1)
         }, "publish")
       case other => throw new IllegalArgumentException(
         s"unknown lake verb CALL graft_$other — supported: compact, " +
@@ -239,7 +244,7 @@ object LakeSqlDml {
   def parseDml(delegate: ParserInterface, sql: String,
       session: Option[SparkSession] = None): Option[LogicalPlan] =
     Call.findFirstMatchIn(sql).map { c =>
-      parseCall(delegate, c.group(1), c.group(2)): LogicalPlan
+      parseCall(delegate, c.group(1), c.group(2), session): LogicalPlan
     }.orElse(Target.findAllMatchIn(sql).find(m =>
       !inLiteral(sql, m.start)).map(m =>
       translateAt(delegate, sql, m.group(1), m.group(2), m.start, m.end))

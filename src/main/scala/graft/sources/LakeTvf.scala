@@ -31,6 +31,13 @@ object LakeTvf {
       s"$name expects a literal string path, got: $other")
   }
 
+  /** First argument of every lake TVF: a directory path OR a
+    * catalog-qualified `cat.db.t` name ([[graft.catalog.GraftCatalog
+    * .resolveTarget]]). */
+  private def dirArg(name: String, e: Expression): String =
+    graft.catalog.GraftCatalog.resolveTarget(
+      SparkSession.active, strArg(name, e))
+
   private def longArg(name: String, e: Expression): Long = e match {
     case Literal(v, LongType) => v.asInstanceOf[Long]
     case Literal(v, IntegerType) => v.asInstanceOf[Int].toLong
@@ -46,24 +53,24 @@ object LakeTvf {
     "graft_lake" -> { args =>
       require(args.size == 1, "graft_lake(dir)")
       analyzed(CommitLog.read(SparkSession.active,
-        strArg("graft_lake", args.head)))
+        dirArg("graft_lake", args.head)))
     },
     "graft_lake_at" -> { args =>
       require(args.size == 2, "graft_lake_at(dir, version)")
       analyzed(CommitLog.readAt(SparkSession.active,
-        strArg("graft_lake_at", args.head),
+        dirArg("graft_lake_at", args.head),
         longArg("graft_lake_at", args(1))))
     },
     "graft_lake_asof" -> { args =>
       require(args.size == 2, "graft_lake_asof(dir, epochMillis)")
       analyzed(CommitLog.readAsOf(SparkSession.active,
-        strArg("graft_lake_asof", args.head),
+        dirArg("graft_lake_asof", args.head),
         longArg("graft_lake_asof", args(1))))
     },
     "graft_lake_changes" -> { args =>
       require(args.size == 3, "graft_lake_changes(dir, fromV, toV)")
       analyzed(CommitLog.changesBetween(SparkSession.active,
-        strArg("graft_lake_changes", args.head),
+        dirArg("graft_lake_changes", args.head),
         longArg("graft_lake_changes", args(1)),
         longArg("graft_lake_changes", args(2))))
     },
@@ -71,7 +78,7 @@ object LakeTvf {
       require(args.size == 4,
         "graft_lake_cdf(dir, fromV, toV, 'key1[,key2...]')")
       analyzed(CommitLog.changeFeed(SparkSession.active,
-        strArg("graft_lake_cdf", args.head),
+        dirArg("graft_lake_cdf", args.head),
         longArg("graft_lake_cdf", args(1)),
         longArg("graft_lake_cdf", args(2)),
         strArg("graft_lake_cdf", args(3)).split(",").toSeq.map(_.trim)))
@@ -80,7 +87,7 @@ object LakeTvf {
       require(args.size == 4,
         "graft_lake_cdf_by_commit(dir, fromV, toV, 'key1[,key2...]')")
       analyzed(CommitLog.changeFeedByCommit(SparkSession.active,
-        strArg("graft_lake_cdf_by_commit", args.head),
+        dirArg("graft_lake_cdf_by_commit", args.head),
         longArg("graft_lake_cdf_by_commit", args(1)),
         longArg("graft_lake_cdf_by_commit", args(2)),
         strArg("graft_lake_cdf_by_commit", args(3))
@@ -90,7 +97,7 @@ object LakeTvf {
       require(args.size == 1, "graft_lake_describe(dir)")
       val s = SparkSession.active
       val schema = CommitLog.read(s,
-        strArg("graft_lake_describe", args.head)).schema
+        dirArg("graft_lake_describe", args.head)).schema
       import s.implicits._
       analyzed(schema.fields.toIndexedSeq
         .map(f => (f.name, f.dataType.simpleString, f.nullable))
@@ -99,36 +106,36 @@ object LakeTvf {
     "graft_lake_history" -> { args =>
       require(args.size == 1, "graft_lake_history(dir)")
       analyzed(CommitLog.history(SparkSession.active,
-        strArg("graft_lake_history", args.head)))
+        dirArg("graft_lake_history", args.head)))
     },
     "graft_lake_files" -> { args =>
       require(args.size == 1, "graft_lake_files(dir)")
       analyzed(CommitLog.filesReport(SparkSession.active,
-        strArg("graft_lake_files", args.head)))
+        dirArg("graft_lake_files", args.head)))
     },
     "graft_lake_tag" -> { args =>
       require(args.size == 2, "graft_lake_tag(dir, name)")
       analyzed(LakeRefs.readTag(SparkSession.active,
-        strArg("graft_lake_tag", args.head),
+        dirArg("graft_lake_tag", args.head),
         strArg("graft_lake_tag", args(1))))
     },
     "graft_lake_published" -> { args =>
       require(args.size == 1, "graft_lake_published(dir)")
       analyzed(LakeRefs.readPublished(SparkSession.active,
-        strArg("graft_lake_published", args.head)))
+        dirArg("graft_lake_published", args.head)))
     },
     "graft_lake_tags" -> { args =>
       require(args.size == 1, "graft_lake_tags(dir)")
       val s = SparkSession.active
       analyzed(s.createDataFrame(
-        LakeRefs.tags(s, strArg("graft_lake_tags", args.head)))
+        LakeRefs.tags(s, dirArg("graft_lake_tags", args.head)))
         .toDF("tag", "version"))
     },
     "graft_lake_publish_history" -> { args =>
       require(args.size == 1, "graft_lake_publish_history(dir)")
       val s = SparkSession.active
       val rows = LakeRefs.publishHistory(s,
-          strArg("graft_lake_publish_history", args.head))
+          dirArg("graft_lake_publish_history", args.head))
         .map { case (n, v) =>
           org.apache.spark.sql.Row(n, v.map(Long.box).orNull)
         }
@@ -144,7 +151,7 @@ object LakeTvf {
       require(args.size >= 2,
         "graft_lake_stats_by_partition(dir, col, ...)")
       analyzed(CommitLog.statsAggByPartition(SparkSession.active,
-        strArg("graft_lake_stats_by_partition", args.head),
+        dirArg("graft_lake_stats_by_partition", args.head),
         args.tail.map(strArg("graft_lake_stats_by_partition", _))))
     },
     "graft_lake_distinct" -> { args =>
@@ -154,7 +161,7 @@ object LakeTvf {
       // distinctAggByPartition split stays explicit for typed callers)
       require(args.size >= 2, "graft_lake_distinct(dir, col, ...)")
       val s = SparkSession.active
-      val dir = strArg("graft_lake_distinct", args.head)
+      val dir = dirArg("graft_lake_distinct", args.head)
       val cols = args.tail.map(strArg("graft_lake_distinct", _))
       val snap = CommitLog.latest(s, dir).getOrElse(
         throw new IllegalStateException(s"$dir has no commit log"))
@@ -165,7 +172,7 @@ object LakeTvf {
     "graft_lake_distinct_global" -> { args =>
       require(args.size >= 2, "graft_lake_distinct_global(dir, col, ...)")
       analyzed(CommitLog.distinctAgg(SparkSession.active,
-        strArg("graft_lake_distinct_global", args.head),
+        dirArg("graft_lake_distinct_global", args.head),
         args.tail.map(strArg("graft_lake_distinct_global", _))))
     })
 }

@@ -168,6 +168,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("gcat.db.t7b"))
   }
 
+  test("CTAS with PARTITIONED BY lands a hive-partitioned lake; INSERT " +
+    "with a column list binds by name and nulls the rest") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t12 PARTITIONED BY (pd) AS " +
+      "SELECT id AS k, id * 2 AS v, concat('p', id % 2) AS pd " +
+      "FROM range(0, 10)")
+    val snap = CommitLog.latest(spark, s"$wh/db/t12").get
+    assert(snap.files.forall(_.startsWith("pd=")),
+      "CTAS partitioning must reach the lake layout")
+    assert(rows("gcat.db.t12") ==
+      (0L until 10L).map(i => (i, i * 2, s"p${i % 2}")).toSet)
+    // column-list INSERT: Spark resolves by name and fills the rest
+    spark.sql("ALTER TABLE gcat.db.t12 ADD COLUMNS (note STRING)")
+    spark.sql("INSERT INTO gcat.db.t12 (k, v, pd) VALUES (100, 7, 'p0')")
+    val r = spark.sql(
+      "SELECT v, note FROM gcat.db.t12 WHERE k = 100").collect().head
+    assert(r.getLong(0) == 7L && r.isNullAt(1))
+  }
+
   test("self-join and aggregate read through the relation swap") {
     wh
     spark.sql("CREATE TABLE gcat.db.t8 (k BIGINT, v BIGINT, pd STRING)")
@@ -177,6 +196,53 @@ class GraftCatalogSpec extends AnyFunSuite {
         "JOIN gcat.db.t8 b ON a.k = b.k GROUP BY a.v ORDER BY v")
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L)))
+  }
+
+  test("TVFs and CALL maintenance verbs address catalog tables by name") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t10 (k BIGINT, v BIGINT, pd STRING) " +
+      "PARTITIONED BY (pd)")
+    spark.sql("INSERT INTO gcat.db.t10 SELECT id, id, concat('p', id % 2) " +
+      "FROM range(0, 20)")
+    spark.sql("DELETE FROM gcat.db.t10 WHERE k >= 10")
+    // read TVFs by catalog-qualified name
+    assert(spark.sql("SELECT count(*) c FROM graft_lake('gcat.db.t10')")
+      .as[Long].head() == 10L)
+    assert(spark.sql("SELECT count(*) c FROM graft_lake_history('gcat.db.t10')")
+      .as[Long].head() >= 3L)
+    val cdf = spark.sql(
+      "SELECT _change_type, count(*) c FROM " +
+        "graft_lake_cdf('gcat.db.t10', 2, 3, 'k') GROUP BY 1")
+      .as[(String, Long)].collect().toMap
+    assert(cdf == Map("delete" -> 10L))
+    // CALL maintenance verbs by name
+    val out = spark.sql("CALL graft_compact('gcat.db.t10', 1)").collect()
+    assert(out.head.getString(1) == "compact")
+    assert(spark.sql("SELECT count(*) c FROM gcat.db.t10")
+      .as[Long].head() == 10L)
+    spark.sql("CALL graft_tag('gcat.db.t10', 'v-compact', " +
+      s"${CommitLog.latest(spark, s"$wh/db/t10").get.version})")
+    assert(spark.sql("SELECT count(*) c FROM graft_lake_tag(" +
+      "'gcat.db.t10', 'v-compact')").as[Long].head() == 10L)
+  }
+
+  test("catalog-name scan keeps the optimizer surface: filter pushdown " +
+    "and column pruning reach the parquet scan through the swap") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t11 (k BIGINT, v BIGINT, s STRING, " +
+      "pd STRING) PARTITIONED BY (pd)")
+    spark.sql("INSERT INTO gcat.db.t11 SELECT id, id, concat('x', id), " +
+      "concat('p', id % 2) FROM range(0, 1000)")
+    val plan = spark.sql(
+      "SELECT k FROM gcat.db.t11 WHERE v > 500 AND pd = 'p1'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(v,500)"),
+      s"filter did not push through the catalog swap:\n$plan")
+    assert(!plan.contains("ReadSchema") ||
+      !plan.split("ReadSchema").last.contains("s:"),
+      s"unused column 's' survived pruning:\n$plan")
+    assert(plan.contains("PartitionFilters") || !plan.contains("pd=p0"),
+      "partition pruning lost through the swap")
   }
 
   test("dataframe writeTo append lands a commit (byName v2 write path)") {

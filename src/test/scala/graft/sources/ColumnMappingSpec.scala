@@ -122,6 +122,21 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("ADD COLUMNS"))
   }
 
+  test("change feed ACROSS a rename boundary: the renamed column is the " +
+    "same column, not drop+add — untouched rows stay silent") {
+    val dir = freshLake()
+    val v1 = CommitLog.latest(spark, dir).get.version
+    CommitLog.renameColumn(spark, dir, "v", "score")
+    val upd = Seq((7L, 70707L, "p1")).toDF("k", "score", "pd")
+    val v3 = CommitLog.upsert(spark, upd, dir, Seq("k"), "pd").version
+    val cdf = CommitLog.changeFeed(spark, dir, v1, v3, Seq("k"))
+      .select($"_change_type", $"k", $"score")
+      .as[(String, Long, Long)].collect().toSet
+    assert(cdf == Set(
+      ("update_preimage", 7L, 14L), ("update_postimage", 7L, 70707L)),
+      "rename inside the range must not flag untouched rows")
+  }
+
   test("change feed and SQL DML keep working after a rename") {
     val dir = freshLake()
     CommitLog.renameColumn(spark, dir, "v", "score")
