@@ -144,12 +144,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     load(ident, None)
   }
 
-  /** `VERSION AS OF <v>` through Spark's native time-travel grammar. */
+  /** `VERSION AS OF <v>` through Spark's native time-travel grammar —
+    * a number pins that commit version; any other string resolves as a
+    * TAG name through the lake's refs (`VERSION AS OF 'train_v3'`). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    require(version.forall(_.isDigit),
-      s"$catalogName time travel takes a numeric version, got '$version'")
-    load(ident, Some(version.toLong))
+    val v =
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      else graft.sources.LakeRefs.tagVersion(spark, tableDirOf(ident),
+        version)
+    load(ident, Some(v))
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch. */

@@ -33,9 +33,19 @@ object Codecs {
   System.setProperty("java.awt.headless", "true")
 
   /** Container sniff by magic bytes: Some("bmp" | "ppm" | "pgm" | "png" |
-    * "jpeg" | "wav") or None for anything this module cannot decode. */
+    * "jpeg" | "wav" | "mp3" | "h264") or None for anything this module
+    * cannot parse. mp3/h264 are METADATA routes ([[Bitstreams]]): frame/
+    * NAL structure parses exactly; sample/pixel decode has no pure-JVM
+    * implementation. */
   def sniff(bytes: Array[Byte]): Option[String] = {
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
+    else if (bytes.length >= 4 && bytes(0) == 0 && bytes(1) == 0 &&
+      (bytes(2) == 1 || (bytes(2) == 0 && bytes(3) == 1))) Some("h264")
+    else if (bytes.length >= 3 && bytes(0) == 'I' && bytes(1) == 'D' &&
+      bytes(2) == '3') Some("mp3")
+    else if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xE0) == 0xE0 && (bytes(1) & 0xFF) != 0xD8 &&
+      ((bytes(1) >> 1) & 3) == 1) Some("mp3") // MPEG sync, Layer III
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') Some("ppm")
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5') Some("pgm")
     else if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 &&

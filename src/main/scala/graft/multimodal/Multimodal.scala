@@ -65,11 +65,13 @@ object Multimodal {
   /** Wrap the documents table as a corpus of GENUINELY ENCODED media:
     * image rows carry a real 24-bit BMP, PNG, or baseline JPEG whose
     * 8×8 RGB pixels derive deterministically from the text bytes, audio
-    * rows a real 16-bit PCM WAV whose samples do, and video rows keep
-    * an opaque payload (no pure-JVM video container worth pretending to
-    * parse). The decode in [[decodeMedia]] is then an actual
-    * byte-format parse — same corpus determinism at every scale
-    * factor. */
+    * rows a real 16-bit PCM WAV (samples from the text) or a real
+    * MPEG-1 Layer III frame stream ([[Bitstreams.encodeMp3]] — genuine
+    * frame syntax, silent payload), video rows a real Annex-B H.264
+    * stream whose SPS encodes text-derived dimensions, and one route
+    * keeps an opaque payload so [[decodeMedia]]'s honest fallback stays
+    * exercised. The decode is then an actual byte-format parse — same
+    * corpus determinism at every scale factor. */
   def packDocsAsEncodedMedia(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -78,7 +80,7 @@ object Multimodal {
       def b(i: Int): Byte =
         if (bytes.isEmpty) (i * 37).toByte else bytes(i % bytes.length)
       def rgb = Array.tabulate(8 * 8 * 3)(b)
-      (id % 5) match {
+      (id % 7) match {
         case 0 =>
           MediaRow(id, MediaMeta("image", 8, 8, 3, 0, 0L),
             Codecs.encodeBmp24(8, 8, rgb))
@@ -94,6 +96,16 @@ object Multimodal {
         case 3 =>
           MediaRow(id, MediaMeta("image", 8, 8, 3, 0, 0L),
             Codecs.encodeJpeg(8, 8, rgb))
+        case 4 =>
+          val frames = 2 + (id % 5).toInt
+          MediaRow(id, MediaMeta("audio", 0, 0, 2, 44100,
+            (frames * 1152 * 1000L) / 44100),
+            Bitstreams.encodeMp3(frames, brIdx = 1 + (id % 14).toInt))
+        case 5 =>
+          val w = 128 + 2 * (id % 9).toInt // even: 4:2:0 crop units
+          val h = 72 + 2 * (id % 5).toInt
+          MediaRow(id, MediaMeta("video", w, h, 3, 0, 0L),
+            Bitstreams.encodeH264(w, h, frames = 1 + (id % 3).toInt))
         case _ =>
           MediaRow(id, MediaMeta("video", 128, 72, 3, 0,
             bytes.length.toLong * 5), bytes)
@@ -104,12 +116,17 @@ object Multimodal {
   /** REAL decode: sniff each payload's magic bytes and parse the
     * container ([[Codecs]]); fall back to the byte-histogram stub for
     * formats this environment cannot decode. Features are a normalized
-    * 8-bin histogram in BOTH real modalities — luminance bins for
-    * images (integer BT.601 luma), amplitude bins over [-1, 1] for
+    * 8-bin histogram in the sample-level modalities — luminance bins
+    * for images (integer BT.601 luma), amplitude bins over [-1, 1] for
     * audio — so downstream consumers see one shape regardless of
-    * modality or fallback. The output kind records the decode route:
+    * modality or fallback. MP3 and H.264 are METADATA routes
+    * ([[Bitstreams]]): the frame/NAL structure parses exactly (duration,
+    * bitrate, rate, channels; profile, level, width, height, frames)
+    * and lands in the same 8-slot feature vector, normalized to [0, 1]
+    * scales — the pixels/samples themselves have no pure-JVM decoder
+    * (the honest boundary). The output kind records the decode route:
     * `image/bmp`, `image/ppm`, `image/png`, `image/jpeg`, `audio/wav`,
-    * or `<kind>/stub`. */
+    * `audio/mp3`, `video/h264`, or `<kind>/stub`. */
   def decodeMedia(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -139,6 +156,28 @@ object Multimodal {
             val n = math.max(1, img.width * img.height)
             MediaFeatures(m.media_id, s"image/$fmt", bs.length.toLong,
               hist.map(_.toDouble / n))
+          case Some("mp3") =>
+            Bitstreams.parseMp3(bs) match {
+              case Some(a) => MediaFeatures(m.media_id, "audio/mp3",
+                bs.length.toLong, Array(
+                  a.durationMs / 60000.0, a.sampleRate / 48000.0,
+                  a.channels / 2.0, a.avgBitrateKbps / 320.0,
+                  math.min(1.0, a.frames / 10000.0),
+                  if (a.vbr) 1.0 else 0.0, 0.0, 0.0))
+              case None => MediaFeatures(m.media_id, s"${m.meta.kind}/stub",
+                bs.length.toLong, stubFeatures(bs))
+            }
+          case Some("h264") =>
+            Bitstreams.parseH264(bs) match {
+              case Some(v) => MediaFeatures(m.media_id, "video/h264",
+                bs.length.toLong, Array(
+                  v.width / 4096.0, v.height / 4096.0,
+                  v.profile / 255.0, v.level / 255.0,
+                  math.min(1.0, v.frames / 10000.0),
+                  v.width.toDouble / math.max(1, v.height) / 4.0, 0.0, 0.0))
+              case None => MediaFeatures(m.media_id, s"${m.meta.kind}/stub",
+                bs.length.toLong, stubFeatures(bs))
+            }
           case Some("wav") =>
             val audio = Codecs.decodeWav(bs)
             val hist = new Array[Long](8)

@@ -96,6 +96,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT count(*) c FROM gcat.db.t3 TIMESTAMP AS OF '$ts'")
       .as[Long].head() == 5L)
+    // a TAG name resolves through the lake's refs in the same grammar
+    graft.sources.LakeRefs.tag(spark, s"$wh/db/t3", "pre-delete",
+      v2.version)
+    assert(spark.sql(
+      "SELECT count(*) c FROM gcat.db.t3 VERSION AS OF 'pre-delete'")
+      .as[Long].head() == 5L)
   }
 
   test("ALTER TABLE ADD / RENAME / DROP COLUMN — zero-file DDL commits") {

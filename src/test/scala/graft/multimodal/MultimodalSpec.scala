@@ -144,7 +144,9 @@ class MultimodalSpec extends AnyFunSuite {
     (1L, "an audio-ish payload"),
     (2L, "a png payload — lossless, golden-pinned below"),
     (3L, "a jpeg payload — lossy, dimensions + histogram shape pinned"),
-    (4L, "a video-ish payload that takes the documented stub"))
+    (4L, "an mp3 payload — frame-walked metadata route"),
+    (5L, "an h264 payload — SPS-parsed metadata route"),
+    (6L, "an opaque payload that takes the documented stub"))
     .toDF("doc_id", "text")
 
   test("decodeMedia: real decode routes for BMP, WAV, PNG, JPEG; stub " +
@@ -153,13 +155,27 @@ class MultimodalSpec extends AnyFunSuite {
     val feats = Multimodal.decodeMedia(media).collect().sortBy(_.media_id)
     assert(feats.map(_.kind).toSeq ==
       Seq("image/bmp", "audio/wav", "image/png", "image/jpeg",
-        "video/stub"))
-    // every features vector is a normalized 8-bin histogram
+        "audio/mp3", "video/h264", "video/stub"))
+    // sample-level routes: the features vector is a normalized 8-bin
+    // histogram; metadata routes carry exact parsed fields instead
     feats.foreach { f =>
       assert(f.features.length == 8)
-      assert(math.abs(f.features.sum - 1.0) < 1e-9,
-        s"${f.kind}: histogram must sum to 1, got ${f.features.sum}")
+      if (f.kind != "audio/mp3" && f.kind != "video/h264")
+        assert(math.abs(f.features.sum - 1.0) < 1e-9,
+          s"${f.kind}: histogram must sum to 1, got ${f.features.sum}")
     }
+    // mp3 metadata: id=4 packs 6 frames at bitrate index 5 (64 kbps),
+    // 44.1 kHz stereo — duration and bitrate parse EXACTLY
+    val mp3 = feats(4).features
+    assert(math.abs(mp3(0) - 6 * 1152 * 1000.0 / 44100 / 60000.0) < 1e-12)
+    assert(mp3(1) == 44100 / 48000.0 && mp3(2) == 1.0)
+    assert(mp3(3) == 64 / 320.0 && mp3(5) == 0.0, "CBR, 64 kbps")
+    // h264 metadata: id=5 packs a 138x72 SPS with 3 IDR frames
+    val h264 = feats(5).features
+    assert(h264(0) == 138 / 4096.0 && h264(1) == 72 / 4096.0,
+      s"SPS dims must parse exactly: ${h264.toSeq}")
+    assert(h264(2) == 66 / 255.0 && h264(3) == 30 / 255.0)
+    assert(h264(4) == 3 / 10000.0)
     // the image routes really parsed the bytes: each histogram is the
     // luma histogram of the decoded pixels, recomputed independently
     def lumaHist(img: Codecs.Image): Seq[Double] = {
