@@ -65,6 +65,15 @@ class ResolveGraftCatalogOps(session: SparkSession)
         GraftTableWriteCommand(graftTableOf(o.table).get.dir, o.query,
           o.isByName, mode = "replace-partitions")
 
+      case t: TruncateTable if (t.table match {
+            case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable =>
+              r.table.isInstanceOf[GraftTable]
+            case _ => false
+          }) =>
+        val r = t.table
+          .asInstanceOf[org.apache.spark.sql.catalyst.analysis.ResolvedTable]
+        GraftTruncateCommand(r.table.asInstanceOf[GraftTable].dir)
+
       case ctas: CreateTableAsSelect if (ctas.name match {
             case ResolvedIdentifier(_: GraftCatalog, _) => true
             case _ => false
@@ -139,6 +148,18 @@ case class GraftTableWriteCommand(dir: String, queryPlan: LogicalPlan,
               (if (other.isEmpty) "none" else other.mkString(", ")))
         }
     }
+    Seq(Row(snap.version, snap.op))
+  }
+}
+
+/** `TRUNCATE TABLE graft.db.t` — one copy-on-write delete-everything
+  * commit: the table empties under the committed schema, history stays
+  * time-travelable, the rows wait for vacuum. */
+case class GraftTruncateCommand(dir: String) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = graft.sources.LakeSqlDml.dmlOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = CommitLog.delete(spark, dir,
+      org.apache.spark.sql.functions.lit(true))
     Seq(Row(snap.version, snap.op))
   }
 }

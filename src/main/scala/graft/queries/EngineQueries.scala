@@ -1676,6 +1676,81 @@ object EngineQueries {
       |  min(k) AS min_ok, min(c) AS min_ck
       |FROM t4 GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // ----------------------------------------------- q185_catalog_write
+  // The catalog WRITE surface beyond plain INSERT INTO: CTAS with
+  // PARTITIONED BY (create + append in one statement), full-snapshot
+  // INSERT OVERWRITE (CommitLog.overwrite through the v2 interception),
+  // and DYNAMIC PARTITION OVERWRITE (OverwritePartitionsDynamic →
+  // CommitLog.replacePartitions: only the partitions present in the
+  // data are replaced; every other partition's files are untouched).
+  // The DuckDB oracle recomputes the three-step algebra from raw
+  // orders, so the hash-match proves the v2 write plans land the right
+  // commit verbs with the right granularity.
+  private val q185Tables = scala.collection.concurrent.TrieMap[String, String]()
+  private def q185Table(s: SparkSession, d: String): String =
+    q185Tables.getOrElseUpdate(d, {
+      if (s.conf.getOption("spark.sql.catalog.gq184").isEmpty) {
+        val wh = java.nio.file.Files.createTempDirectory("graft_q184_wh_")
+        s.conf.set("spark.sql.catalog.gq184",
+          classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq184.warehouse", wh.toString)
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(wh.toFile)
+        }
+      }
+      if (s.sql("SHOW NAMESPACES IN gq184").filter(col("namespace") === "db")
+          .isEmpty) s.sql("CREATE NAMESPACE gq184.db")
+      val tag = Integer.toHexString(d.hashCode).takeWhile(_ != '-')
+      val t = s"gq184.db.ow_$tag"
+      Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+        .createOrReplaceTempView("q185_src")
+      // 1. CTAS with hive partitioning
+      s.sql(s"CREATE TABLE $t PARTITIONED BY (flag) AS " +
+        "SELECT o_orderkey, o_totalprice, flag FROM q185_src")
+      // 2. full INSERT OVERWRITE: the snapshot becomes exactly this
+      s.sql(s"INSERT OVERWRITE $t SELECT o_orderkey, o_totalprice * 2, " +
+        "flag FROM q185_src WHERE o_orderkey <= 15000")
+      // 3. dynamic partition overwrite: ONLY flag='F' is replaced —
+      // the other partitions' rows must survive byte-identically
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT OVERWRITE $t SELECT o_orderkey, " +
+        "o_totalprice + 1000.5, flag FROM q185_src " +
+        "WHERE flag = 'F' AND o_orderkey <= 5000")
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode",
+        "static")
+      t
+    })
+
+  private def q185CatalogWrite(s: SparkSession, d: String): DataFrame = {
+    val t = q185Table(s, d)
+    s.sql(
+      s"""SELECT flag, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price,
+         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+         |FROM $t GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+
+  private val q185Sql =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS f
+      |  FROM orders WHERE o_orderkey <= 20000),
+      |t2 AS (SELECT k, p * 2 AS p, f FROM src WHERE k <= 15000),
+      |t3 AS (
+      |  SELECT k, p + 1000.5 AS p, f FROM src
+      |  WHERE f = 'F' AND k <= 5000
+      |  UNION ALL
+      |  SELECT * FROM t2 WHERE f <> 'F')
+      |SELECT f AS flag, count(*) AS n,
+      |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  min(k) AS min_ok, max(k) AS max_ok
+      |FROM t3 GROUP BY 1 ORDER BY flag""".stripMargin
+
   // ------------------------------------------------- q175_meta_distinct
   // Metadata-plane COUNT(DISTINCT): per-file theta sketches ride the
   // commit (thetaCols at init), so distinct counts — the third
@@ -2148,6 +2223,7 @@ object EngineQueries {
     Q("q182_cdf_by_commit", q182CdfByCommit, Some(q182Sql)),
     Q("q183_sql_ddl", q183SqlDdl, Some(q183Sql)),
     Q("q184_catalog", q184Catalog, Some(q184Sql)),
+    Q("q185_catalog_write", q185CatalogWrite, Some(q185Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

@@ -240,6 +240,13 @@ object LakeSqlDml {
   private val TargetCat =
     """(?is)\b(MERGE\s+INTO|DELETE\s+FROM|UPDATE)\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\.([A-Za-z_]\w*)(?![\w.(])""".r
 
+  /** 1- or 2-part mutation target — lake DML only when the session's
+    * CURRENT catalog (`USE graft[...]`) is a graft catalog, where every
+    * table is a lake by construction (no hijack risk; temp views are
+    * not updatable in SQL anyway). */
+  private val TargetCur =
+    """(?is)\b(MERGE\s+INTO|DELETE\s+FROM|UPDATE)\s+([A-Za-z_]\w*)(\.[A-Za-z_]\w*)?(?![\w.('])""".r
+
   /** Try to handle `sql` as lake DML; None → not ours, delegate. */
   def parseDml(delegate: ParserInterface, sql: String,
       session: Option[SparkSession] = None): Option[LogicalPlan] =
@@ -255,6 +262,27 @@ object LakeSqlDml {
         .map { m =>
           val dir = graft.catalog.GraftCatalog.tableDir(sp, m.group(2),
             Seq(m.group(3), m.group(4)))
+          translateAt(delegate, sql, m.group(1), dir, m.start, m.end)
+        }
+    }).orElse(session.flatMap { sp =>
+      // 1-/2-part names under `USE <graft-catalog>[.<db>]`
+      val graftNames = graft.catalog.GraftCatalog.catalogNames(sp)
+      val cur = try org.apache.spark.sql.graftbridge.CatalogBridge
+        .currentCatalogName(sp) catch { case _: Throwable => "" }
+      if (!graftNames.exists(_.equalsIgnoreCase(cur))) None
+      else TargetCur.findAllMatchIn(sql).find(m => !inLiteral(sql, m.start))
+        .map { m =>
+          val parts = Option(m.group(3)) match {
+            case Some(dot) => Seq(m.group(2), dot.stripPrefix("."))
+            case None =>
+              val ns = org.apache.spark.sql.graftbridge.CatalogBridge
+                .currentNamespace(sp)
+              require(ns.length == 1,
+                s"USE a namespace (USE $cur.<db>) before unqualified " +
+                  "lake DML, or qualify the table name")
+              Seq(ns.head, m.group(2))
+          }
+          val dir = graft.catalog.GraftCatalog.tableDir(sp, cur, parts)
           translateAt(delegate, sql, m.group(1), dir, m.start, m.end)
         }
     })

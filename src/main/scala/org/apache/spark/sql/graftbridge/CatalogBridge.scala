@@ -11,4 +11,13 @@ object CatalogBridge {
     CatalogV2Util.v2ColumnsToStructType(columns)
   def toV2Columns(schema: StructType): Array[Column] =
     CatalogV2Util.structTypeToV2Columns(schema)
+
+  /** The session's current catalog name / namespace (`USE ...` state) —
+    * the CatalogManager lives behind the sql-package boundary. */
+  def currentCatalogName(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.currentCatalog.name()
+  def currentNamespace(spark: org.apache.spark.sql.SparkSession): Array[String] =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.currentNamespace
 }

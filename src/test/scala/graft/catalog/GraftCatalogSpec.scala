@@ -204,6 +204,42 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got == Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L)))
   }
 
+  test("DML with 1-/2-part names under USE <catalog>") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t14 (k BIGINT, v BIGINT, pd STRING) " +
+      "PARTITIONED BY (pd)")
+    spark.sql("INSERT INTO gcat.db.t14 SELECT id, id, 'p0' FROM range(0, 10)")
+    try {
+      spark.sql("USE gcat")
+      spark.sql("UPDATE db.t14 SET v = v + 100 WHERE k < 2")
+      spark.sql("USE gcat.db")
+      spark.sql("DELETE FROM t14 WHERE k >= 8")
+      assert(spark.sql("SELECT sum(v) s FROM t14").as[Long].head() ==
+        (0L until 8L).map(k => if (k < 2) k + 100 else k).sum)
+    } finally spark.sql("USE spark_catalog")
+  }
+
+  test("TRUNCATE TABLE empties the snapshot; history stays travelable") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t13 (k BIGINT, pd STRING) " +
+      "PARTITIONED BY (pd)")
+    spark.sql("INSERT INTO gcat.db.t13 SELECT id, concat('p', id % 2) " +
+      "FROM range(0, 20)")
+    val vBefore = CommitLog.latest(spark, s"$wh/db/t13").get.version
+    spark.sql("TRUNCATE TABLE gcat.db.t13")
+    assert(spark.sql("SELECT count(*) c FROM gcat.db.t13")
+      .as[Long].head() == 0L)
+    assert(spark.sql("SELECT * FROM gcat.db.t13").columns.toSeq ==
+      Seq("k", "pd"), "schema survives the truncate")
+    assert(spark.sql(
+      s"SELECT count(*) c FROM gcat.db.t13 VERSION AS OF $vBefore")
+      .as[Long].head() == 20L)
+    // the table accepts writes again
+    spark.sql("INSERT INTO gcat.db.t13 VALUES (99, 'p1')")
+    assert(spark.sql("SELECT count(*) c FROM gcat.db.t13")
+      .as[Long].head() == 1L)
+  }
+
   test("TVFs and CALL maintenance verbs address catalog tables by name") {
     wh
     spark.sql("CREATE TABLE gcat.db.t10 (k BIGINT, v BIGINT, pd STRING) " +
