@@ -54,11 +54,20 @@ class ResolveGraftCatalogOps(session: SparkSession)
           a.isByName, mode = "append")
 
       case o: OverwriteByExpression if graftTableOf(o.table).isDefined =>
-        require(o.deleteExpr == Literal.TrueLiteral,
-          "INSERT OVERWRITE with a static PARTITION spec is not " +
-            "supported on graft tables — use dynamic overwrite or MERGE")
-        GraftTableWriteCommand(graftTableOf(o.table).get.dir, o.query,
-          o.isByName, mode = "overwrite")
+        // deleteExpr TRUE = full snapshot replace; anything else is the
+        // analyzer's static PARTITION spec (pd = 'x' [AND ...]) — the
+        // exact shape of CommitLog.replaceWhere: delete the matching
+        // rows and insert the batch in ONE atomic commit
+        if (o.deleteExpr == Literal.TrueLiteral)
+          GraftTableWriteCommand(graftTableOf(o.table).get.dir, o.query,
+            o.isByName, mode = "overwrite")
+        else {
+          require(o.deleteExpr.resolved,
+            "INSERT OVERWRITE PARTITION condition did not resolve")
+          GraftTableWriteCommand(graftTableOf(o.table).get.dir, o.query,
+            o.isByName, mode = "replace-where",
+            condSql = Some(o.deleteExpr.sql))
+        }
 
       case o: OverwritePartitionsDynamic
           if graftTableOf(o.table).isDefined =>
@@ -108,7 +117,8 @@ class ResolveGraftCatalogOps(session: SparkSession)
   * the corresponding [[CommitLog]] commit. `byName` follows SQL: an
   * INSERT binds by position, a `DataFrameWriterV2` append by name. */
 case class GraftTableWriteCommand(dir: String, queryPlan: LogicalPlan,
-    byName: Boolean, mode: String) extends LeafRunnableCommand {
+    byName: Boolean, mode: String,
+    condSql: Option[String] = None) extends LeafRunnableCommand {
   override def output: Seq[Attribute] = graft.sources.LakeSqlDml.dmlOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val rows = ColumnBridge.ofRows(spark, queryPlan)
@@ -136,6 +146,9 @@ case class GraftTableWriteCommand(dir: String, queryPlan: LogicalPlan,
       case "append" => CommitLog.append(spark, aligned, dir)
       case "overwrite" =>
         CommitLog.overwrite(spark, aligned, dir, partCols)
+      case "replace-where" =>
+        CommitLog.replaceWhere(spark, dir,
+          org.apache.spark.sql.functions.expr(condSql.get), aligned)
       case "replace-partitions" =>
         partCols match {
           case Seq(one) =>

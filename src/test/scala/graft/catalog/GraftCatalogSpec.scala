@@ -204,6 +204,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got == Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L)))
   }
 
+  test("INSERT OVERWRITE with a static PARTITION spec is an atomic " +
+    "replaceWhere: only that partition changes") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t15 (k BIGINT, v BIGINT, pd STRING) " +
+      "PARTITIONED BY (pd)")
+    spark.sql("INSERT INTO gcat.db.t15 SELECT id, id, concat('p', id % 2) " +
+      "FROM range(0, 20)")
+    val p0Before = CommitLog.latest(spark, s"$wh/db/t15").get.files
+      .filter(_.startsWith("pd=p0")).toSet
+    spark.sql("INSERT OVERWRITE gcat.db.t15 PARTITION (pd = 'p1') " +
+      "SELECT id + 100, id FROM range(0, 3)")
+    val got = rows("gcat.db.t15")
+    val expect = (0L until 20L by 2).map(i => (i, i, "p0")).toSet ++
+      (0L until 3L).map(i => (i + 100, i, "p1"))
+    assert(got == expect, "only pd=p1 may be replaced")
+    assert(CommitLog.latest(spark, s"$wh/db/t15").get.files
+      .filter(_.startsWith("pd=p0")).toSet == p0Before,
+      "untouched partition files must be byte-identical (COW pruning)")
+  }
+
   test("DML with 1-/2-part names under USE <catalog>") {
     wh
     spark.sql("CREATE TABLE gcat.db.t14 (k BIGINT, v BIGINT, pd STRING) " +
