@@ -1387,7 +1387,45 @@ object CommitLog {
         * `s.` namespace (`INSERT (k, v) VALUES (s.k, s.v * 2)`).
         * Unmentioned columns insert NULL; key and partition columns
         * must be assigned. None → whole-row source image. */
-      insertValues: Option[Map[String, String]] = None): Snapshot = {
+      insertValues: Option[Map[String, String]] = None): Snapshot =
+    // delete is evaluated BEFORE update whatever the argument order —
+    // the documented contract of this arity; SQL clause order is the
+    // caller's to express through [[mergeClauses]]' sequence
+    mergeClauses(spark, dir, source, keyCols, partitionCol,
+      matched = deleteWhen.map(d => MergeMatched(d, delete = true)).toSeq ++
+        updateWhen.map(u => MergeMatched(u, set = updateSet)),
+      notMatched = insertWhen.map(i => MergeNotMatched(i, insertValues)).toSeq,
+      batchId = batchId,
+      notMatchedBySourceDeleteWhen = notMatchedBySourceDeleteWhen)
+
+  /** One MATCHED clause of a general MERGE. Clauses fire in SEQUENCE
+    * order — the first whose `when` holds wins, exactly as SQL MERGE
+    * specifies. `delete = true` drops the row; otherwise `set = None`
+    * takes the whole source image (`UPDATE SET *`) and
+    * `set = Some(col → expr)` the column-level image (expressions over
+    * the `t.`/`s.` namespaces, evaluated against the PRE-merge pair;
+    * unmentioned columns keep the target value). */
+  final case class MergeMatched(when: String, delete: Boolean = false,
+      set: Option[Map[String, String]] = None)
+
+  /** One NOT MATCHED clause: insert the whole source image
+    * (`values = None`) or the column list (`values = Some(col → expr)`
+    * over the `s.` namespace; unmentioned columns insert NULL, key and
+    * partition columns must be assigned). First matching clause wins. */
+  final case class MergeNotMatched(when: String,
+      values: Option[Map[String, String]] = None)
+
+  /** General conditional MERGE: an ORDERED chain of matched clauses
+    * (any mix of conditional updates — whole-row or column-level — and
+    * deletes) plus an ordered chain of not-matched insert clauses, all
+    * applied in ONE atomic commit with the same pruned read, duplicate
+    * -key guard, ledger, and rebase rules as [[merge]] (which is now
+    * the ≤1-update + ≤1-delete special case of this verb). */
+  def mergeClauses(spark: SparkSession, dir: String, source: DataFrame,
+      keyCols: Seq[String], partitionCol: String,
+      matched: Seq[MergeMatched], notMatched: Seq[MergeNotMatched],
+      batchId: Option[Long] = None,
+      notMatchedBySourceDeleteWhen: Option[String] = None): Snapshot = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val s = mustLatest(spark, dir)
     if (batchId.exists(inLedger(s, _))) {
@@ -1398,8 +1436,8 @@ object CommitLog {
     // a whole-row clause needs the full target schema in the source (and
     // may evolve it additively); column-level clauses only need the key,
     // the partition column, and whatever their expressions reference
-    val wholeRowClause = (updateWhen.isDefined && updateSet.isEmpty) ||
-      (insertWhen.isDefined && insertValues.isEmpty)
+    val wholeRowClause = matched.exists(m => !m.delete && m.set.isEmpty) ||
+      notMatched.exists(_.values.isEmpty)
     if (wholeRowClause) checkSchemaCompatible(s, source, dir)
     else {
       (keyCols :+ partitionCol).foreach(k =>
@@ -1407,16 +1445,17 @@ object CommitLog {
           s"merge into $dir: column-level clauses still need '$k' in " +
             "the source (the key/partition routing)"))
       val targetSchema = logicalSchema(spark, dir, s)
-      val bad = (updateSet.toSeq ++ insertValues.toSeq).flatMap(_.keys)
+      val allSets = matched.flatMap(_.set) ++ notMatched.flatMap(_.values)
+      val bad = allSets.flatMap(_.keys)
         .filterNot(targetSchema.fieldNames.contains)
       require(bad.isEmpty,
         s"merge into $dir assigns unknown column(s): ${bad.mkString(", ")}")
-      updateSet.foreach(m =>
+      matched.flatMap(_.set).foreach(m =>
         (keyCols :+ partitionCol).filter(m.contains).foreach(k =>
           throw new IllegalArgumentException(
             s"merge into $dir: UPDATE SET must not reassign key/" +
               s"partition column '$k' (rekeying is delete+insert)")))
-      insertValues.foreach(m =>
+      notMatched.flatMap(_.values).foreach(m =>
         (keyCols :+ partitionCol).filterNot(m.contains).foreach(k =>
           throw new IllegalArgumentException(
             s"merge into $dir: INSERT must assign key/partition " +
@@ -1464,37 +1503,52 @@ object CommitLog {
       .reduce(_ && _)
     val tPresent = col("t.__t_present").isNotNull
     val sPresent = col("s.__s_present").isNotNull
-    def fires(c: Option[String]): Column =
-      coalesce(c.map(expr).getOrElse(lit(false)), lit(false))
-    val matched = tPresent && sPresent
-    // 0 = drop, 1 = keep target image, 2 = update image, 3 = insert image
-    val take = when(matched && fires(deleteWhen), lit(0))
-      .when(matched && fires(updateWhen), lit(2))
-      .when(tPresent && !sPresent &&
-        fires(notMatchedBySourceDeleteWhen), lit(0))
-      .when(tPresent, lit(1))
-      .when(fires(insertWhen), lit(3))
-      .otherwise(lit(0))
+    def fires(c: String): Column = coalesce(expr(c), lit(false))
+    val isMatch = tPresent && sPresent
+    // take: 0 = drop, 1 = keep target image, 10+i = matched clause i's
+    // image, 100+j = not-matched clause j's image. The CASE chain IS
+    // the clause order: the first matching clause wins, as SQL MERGE
+    // specifies.
+    val cases: Seq[(Column, Column)] =
+      matched.zipWithIndex.map { case (m, i) =>
+        (isMatch && fires(m.when),
+          if (m.delete) lit(0) else lit(10 + i))
+      } ++ Seq(
+        (tPresent && !sPresent &&
+          coalesce(notMatchedBySourceDeleteWhen.map(expr)
+            .getOrElse(lit(false)), lit(false)), lit(0)),
+        (tPresent, lit(1))) ++
+        notMatched.zipWithIndex.map { case (n, j) =>
+          (fires(n.when), lit(100 + j))
+        }
+    val take = cases.foldRight(lit(0): Column) { case ((p, v), els) =>
+      when(p, v).otherwise(els)
+    }
     // per-clause image of column c, each expression cast to the
-    // committed type and evaluated against the PRE-merge (t, s) pair
-    def updImage(c: String): Column = updateSet match {
-      case None => col(s"s.$c")
-      case Some(m) => m.get(c)
-        .map(e => expr(e).cast(aligned.schema(c).dataType))
-        .getOrElse(col(s"t.$c"))
-    }
-    def insImage(c: String): Column = insertValues match {
-      case None => col(s"s.$c")
-      case Some(m) => m.get(c)
-        .map(e => expr(e).cast(aligned.schema(c).dataType))
-        .getOrElse(lit(null).cast(aligned.schema(c).dataType))
-    }
-    // only clauses that can FIRE contribute a branch — an absent clause
+    // committed type and evaluated against the PRE-merge (t, s) pair.
+    // Only clauses that exist contribute a branch — an absent clause
     // must not force its image's source columns to resolve (a slim
-    // column-level source has no s.<every-column>)
+    // column-level source has no s.<every-column>).
+    def updImage(set: Option[Map[String, String]])(c: String): Column =
+      set match {
+        case None => col(s"s.$c")
+        case Some(m) => m.get(c)
+          .map(e => expr(e).cast(aligned.schema(c).dataType))
+          .getOrElse(col(s"t.$c"))
+      }
+    def insImage(values: Option[Map[String, String]])(c: String): Column =
+      values match {
+        case None => col(s"s.$c")
+        case Some(m) => m.get(c)
+          .map(e => expr(e).cast(aligned.schema(c).dataType))
+          .getOrElse(lit(null).cast(aligned.schema(c).dataType))
+      }
     val branches: Seq[(Int, String => Column)] =
-      Seq(2 -> (updateWhen, updImage _), 3 -> (insertWhen, insImage _))
-        .collect { case (tk, (Some(_), img)) => (tk, img) }
+      matched.zipWithIndex.collect {
+        case (m, i) if !m.delete => (10 + i, updImage(m.set) _)
+      } ++ notMatched.zipWithIndex.map { case (n, j) =>
+        (100 + j, insImage(n.values) _)
+      }
     val post = t.join(sv, joinCond, "full_outer")
       .withColumn("__take", take)
       .filter(col("__take") =!= 0)

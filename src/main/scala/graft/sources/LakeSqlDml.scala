@@ -53,18 +53,21 @@ import org.apache.spark.sql.types.{LongType, StringType}
   * rules, and the partition conflict unit — a SQL mutation is exactly a
   * Scala-API mutation.
   *
+  * MERGE accepts ARBITRARY ordered clause chains — any number of
+  * conditional `WHEN MATCHED` updates (whole-row `SET *` or
+  * column-level `SET v = t.v + s.delta`) and deletes, any number of
+  * conditional `WHEN NOT MATCHED` inserts (`INSERT *` or
+  * `INSERT (cols) VALUES (exprs)`) — applied first-match-wins in
+  * source order by [[CommitLog.mergeClauses]], exactly as SQL MERGE
+  * specifies.
+  *
   * Honest surface limits (all rejected loudly at parse time):
-  *  - MERGE actions are whole-row (`UPDATE SET *` / `INSERT *` /
-  *    `DELETE`) or COLUMN-LEVEL (`UPDATE SET v = t.v + s.delta`,
-  *    `INSERT (k, v) VALUES (s.k, s.v)`); column-level clauses assign
-  *    existing columns only (schema evolution needs a whole-row
-  *    clause or ALTER TABLE), never the key/partition columns.
-  *  - The merge ON clause must be a conjunction of `t.k = s.k` key
-  *    equalities (that IS the engine's keyed-merge contract).
-  *  - Clause-order semantics are preserved for the matched pair: with
-  *    `UPDATE` before `DELETE`, the delete condition is guarded with
-  *    `NOT coalesce(updateCond, false)` so a row satisfying both takes
-  *    the FIRST clause, exactly as SQL MERGE specifies.
+  *  - column-level clauses assign existing columns only (schema
+  *    evolution needs a whole-row clause or ALTER TABLE), never the
+  *    key/partition columns;
+  *  - the merge ON clause must be a conjunction of `t.k = s.k` key
+  *    equalities (that IS the engine's keyed-merge contract);
+  *  - `WHEN NOT MATCHED BY SOURCE` supports DELETE only.
   */
 object LakeSqlDml {
 
@@ -453,51 +456,33 @@ object LakeSqlDml {
         name -> remapAliases(v, tAlias, sAlias).sql
       }
 
-    // matched pair with SQL clause-order semantics (first match wins)
-    var updateWhen: Option[String] = None
-    var deleteWhen: Option[String] = None
-    var updateSet: Option[Seq[(String, String)]] = None
-    def setUpdate(c: Option[Expression],
-        as: Option[Seq[Assignment]]): Unit = {
-      updateWhen = Some(csql(c))
-      updateSet = as.map(assigns)
+    // the matched/not-matched clause CHAINS, in SOURCE order — the
+    // engine applies them first-match-wins natively (CommitLog
+    // .mergeClauses), so any number of conditional updates (whole-row
+    // or column-level), deletes, and inserts compose as SQL specifies
+    def dedupAssigns(kind: String, pairs: Seq[(String, String)])
+        : Map[String, String] = {
+      val dup = pairs.groupBy(_._1).collect { case (c, p) if p.size > 1 => c }
+      require(dup.isEmpty,
+        s"MERGE $kind assigns column(s) more than once: ${dup.mkString(", ")}")
+      pairs.toMap
     }
-    m.matchedActions match {
-      case Seq() =>
-      case Seq(UpdateStarAction(c)) => setUpdate(c, None)
-      case Seq(UpdateAction(c, as, _)) => setUpdate(c, Some(as))
-      case Seq(DeleteAction(c)) => deleteWhen = Some(csql(c))
-      case Seq(DeleteAction(dc), UpdateStarAction(uc)) =>
-        // engine evaluates delete before update — same order as SQL here
-        deleteWhen = Some(csql(dc)); setUpdate(uc, None)
-      case Seq(DeleteAction(dc), UpdateAction(uc, as, _)) =>
-        deleteWhen = Some(csql(dc)); setUpdate(uc, Some(as))
-      case Seq(UpdateStarAction(uc), DeleteAction(dc)) =>
-        // SQL fires the FIRST matching clause: guard the later delete
-        setUpdate(uc, None)
-        deleteWhen = Some(
-          s"(${csql(dc)}) AND NOT coalesce((${csql(uc)}), false)")
-      case Seq(UpdateAction(uc, as, _), DeleteAction(dc)) =>
-        setUpdate(uc, Some(as))
-        deleteWhen = Some(
-          s"(${csql(dc)}) AND NOT coalesce((${csql(uc)}), false)")
+    val matchedClauses = m.matchedActions.map {
+      case UpdateStarAction(c) => CommitLog.MergeMatched(csql(c))
+      case UpdateAction(c, as, _) => CommitLog.MergeMatched(csql(c),
+        set = Some(dedupAssigns("UPDATE SET", assigns(as))))
+      case DeleteAction(c) => CommitLog.MergeMatched(csql(c), delete = true)
       case other => throw new IllegalArgumentException(
-        "MERGE INTO graft_lake supports WHEN MATCHED THEN UPDATE " +
-          "SET */SET col = expr and WHEN MATCHED THEN DELETE (at most " +
-          "one of each); got: " +
-          other.map(_.getClass.getSimpleName).mkString(", "))
+        "MERGE INTO graft_lake WHEN MATCHED supports UPDATE SET */SET " +
+          s"col = expr and DELETE; got: ${other.getClass.getSimpleName}")
     }
-    var insertValues: Option[Seq[(String, String)]] = None
-    val insertWhen = m.notMatchedActions match {
-      case Seq() => None
-      case Seq(InsertStarAction(c)) => Some(csql(c))
-      case Seq(InsertAction(c, as)) =>
-        insertValues = Some(assigns(as))
-        Some(csql(c))
+    val notMatchedClauses = m.notMatchedActions.map {
+      case InsertStarAction(c) => CommitLog.MergeNotMatched(csql(c))
+      case InsertAction(c, as) => CommitLog.MergeNotMatched(csql(c),
+        values = Some(dedupAssigns("INSERT", assigns(as))))
       case other => throw new IllegalArgumentException(
-        "MERGE INTO graft_lake supports WHEN NOT MATCHED THEN INSERT * " +
-          "or INSERT (cols) VALUES (exprs); got: " +
-          other.map(_.getClass.getSimpleName).mkString(", "))
+        "MERGE INTO graft_lake WHEN NOT MATCHED supports INSERT * or " +
+          s"INSERT (cols) VALUES (exprs); got: ${other.getClass.getSimpleName}")
     }
     val nmbsDelete = m.notMatchedBySourceActions match {
       case Seq() => None
@@ -507,8 +492,8 @@ object LakeSqlDml {
           "DELETE only; got: " +
           other.map(_.getClass.getSimpleName).mkString(", "))
     }
-    GraftMergeCommand(dir, m.sourceTable, keyCols, updateWhen, deleteWhen,
-      insertWhen, nmbsDelete, updateSet, insertValues)
+    GraftMergeCommand(dir, m.sourceTable, keyCols, matchedClauses,
+      notMatchedClauses, nmbsDelete)
   }
 
   def dmlOutput: Seq[Attribute] = Seq(
@@ -666,30 +651,19 @@ case class GraftUpdateCommand(dir: String,
   * the session catalog (temp views, TVFs — including other graft
   * lakes). */
 case class GraftMergeCommand(dir: String, sourcePlan: LogicalPlan,
-    keyCols: Seq[String], updateWhen: Option[String],
-    deleteWhen: Option[String], insertWhen: Option[String],
-    notMatchedBySourceDeleteWhen: Option[String],
-    updateSet: Option[Seq[(String, String)]] = None,
-    insertValues: Option[Seq[(String, String)]] = None)
+    keyCols: Seq[String],
+    matched: Seq[CommitLog.MergeMatched],
+    notMatched: Seq[CommitLog.MergeNotMatched],
+    notMatchedBySourceDeleteWhen: Option[String])
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = LakeSqlDml.dmlOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val source =
       org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, sourcePlan)
-    def dedup(kind: String, as: Option[Seq[(String, String)]]) =
-      as.map { pairs =>
-        val dup = pairs.groupBy(_._1).collect { case (c, p) if p.size > 1 => c }
-        require(dup.isEmpty,
-          s"MERGE $kind assigns column(s) more than once: ${dup.mkString(", ")}")
-        pairs.toMap
-      }
-    val snap = CommitLog.merge(spark, dir, source, keyCols,
+    val snap = CommitLog.mergeClauses(spark, dir, source, keyCols,
       LakeSqlDml.singlePartCol(spark, dir),
-      updateWhen = updateWhen, deleteWhen = deleteWhen,
-      insertWhen = insertWhen,
-      notMatchedBySourceDeleteWhen = notMatchedBySourceDeleteWhen,
-      updateSet = dedup("UPDATE SET", updateSet),
-      insertValues = dedup("INSERT", insertValues))
+      matched = matched, notMatched = notMatched,
+      notMatchedBySourceDeleteWhen = notMatchedBySourceDeleteWhen)
     Seq(Row(snap.version, snap.op))
   }
 }

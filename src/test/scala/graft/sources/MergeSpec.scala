@@ -226,6 +226,63 @@ class MergeSpec extends AnyFunSuite {
     assert(st.size == 301)
   }
 
+  test("mergeClauses: an ordered chain of conditional clauses — first " +
+    "match wins, any number of updates/deletes/inserts") {
+    val dir = freshLake()
+    // matched chain: tiny delta → +delta; big delta → halve; else delete.
+    // not-matched chain: delta = 1 → insert doubled; else insert as-is.
+    val src = Seq(
+      (10L, 1L, "p0"),   // matched, delta <= 3      → v + 1
+      (20L, 50L, "p0"),  // matched, delta > 3       → v / 2 (v=20 → 10)
+      (30L, 999L, "p0"), // matched, delta = 999     → DELETE
+      (900L, 1L, "p0"),  // unmatched, delta = 1     → insert 2 * delta
+      (901L, 7L, "p0"))  // unmatched, fallthrough   → insert delta
+      .toDF("k", "delta", "pd")
+    CommitLog.mergeClauses(spark, dir, src, Seq("k"), "pd",
+      matched = Seq(
+        CommitLog.MergeMatched("s.delta = 999", delete = true),
+        CommitLog.MergeMatched("s.delta <= 3",
+          set = Some(Map("v" -> "t.v + s.delta"))),
+        CommitLog.MergeMatched("true",
+          set = Some(Map("v" -> "CAST(t.v / 2 AS BIGINT)")))),
+      notMatched = Seq(
+        CommitLog.MergeNotMatched("s.delta = 1", values = Some(Map(
+          "k" -> "s.k", "v" -> "s.delta * 2", "pd" -> "s.pd"))),
+        CommitLog.MergeNotMatched("true", values = Some(Map(
+          "k" -> "s.k", "v" -> "s.delta", "pd" -> "s.pd")))))
+    val st = state(dir)
+    assert(st(10L) == (10L + 1L, "p0"))
+    assert(st(20L) == (10L, "p0"), "second matched clause fires")
+    assert(!st.contains(30L), "delete clause fires first for delta=999")
+    assert(st(900L) == (2L, "p0"), "first insert clause wins")
+    assert(st(901L) == (7L, "p0"), "fallthrough insert clause")
+    assert(st.size == 300 - 1 + 2)
+  }
+
+  test("SQL MERGE with a multi-clause chain (two conditional updates + " +
+    "delete; two conditional inserts)") {
+    val dir = freshLake()
+    spark.sql(
+      s"""MERGE INTO graft_lake('$dir') AS t
+         |USING (SELECT 10L AS k, 1L AS delta, 'p0' AS pd
+         |  UNION ALL SELECT 20L, 50L, 'p0'
+         |  UNION ALL SELECT 30L, 999L, 'p0'
+         |  UNION ALL SELECT 900L, 1L, 'p0'
+         |  UNION ALL SELECT 901L, 7L, 'p0') AS s
+         |ON t.k = s.k
+         |WHEN MATCHED AND s.delta = 999 THEN DELETE
+         |WHEN MATCHED AND s.delta <= 3 THEN UPDATE SET v = t.v + s.delta
+         |WHEN MATCHED THEN UPDATE SET v = CAST(t.v / 2 AS BIGINT)
+         |WHEN NOT MATCHED AND s.delta = 1 THEN INSERT (k, v, pd)
+         |  VALUES (s.k, s.delta * 2, s.pd)
+         |WHEN NOT MATCHED THEN INSERT (k, v, pd)
+         |  VALUES (s.k, s.delta, s.pd)""".stripMargin)
+    val st = state(dir)
+    assert(st(10L) == (11L, "p0") && st(20L) == (10L, "p0"))
+    assert(!st.contains(30L))
+    assert(st(900L) == (2L, "p0") && st(901L) == (7L, "p0"))
+  }
+
   test("column-level UPDATE SET: expressions over t/s, unmentioned " +
     "columns keep target values, slim source allowed") {
     val dir = freshLake()
