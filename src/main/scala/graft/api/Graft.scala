@@ -487,6 +487,17 @@ object Graft {
         updateWhen, deleteWhen, insertWhen)
       ()
     }
+    /** General MERGE: ORDERED clause chains — any number of conditional
+      * matched updates (whole-row or column-level) and deletes, any
+      * number of conditional inserts — first match wins, one commit. */
+    def mergeClauses(source: DataFrame, keyCols: Seq[String],
+        partitionCol: String,
+        matched: Seq[CommitLog.MergeMatched],
+        notMatched: Seq[CommitLog.MergeNotMatched]): Unit = {
+      CommitLog.mergeClauses(spark, dir, source, keyCols, partitionCol,
+        matched, notMatched)
+      ()
+    }
     def compact(targetPartitions: Int, clusterCols: Seq[String] = Nil): Unit = {
       if (clusterCols.isEmpty) CommitLog.compact(spark, dir, targetPartitions)
       else CommitLog.compactClustered(spark, dir, targetPartitions, clusterCols)
