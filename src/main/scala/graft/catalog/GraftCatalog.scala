@@ -218,10 +218,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(del.fieldNames().length == 1,
           "ALTER TABLE DROP COLUMN supports top-level columns only")
         CommitLog.dropColumn(spark, dir, del.fieldNames().head)
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().length == 1,
+          "ALTER COLUMN TYPE supports top-level columns only")
+        CommitLog.alterColumnType(spark, dir, ut.fieldNames().head,
+          ut.newDataType())
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName does not support table change " +
           s"${other.getClass.getSimpleName} — supported: ADD COLUMNS, " +
-          "RENAME COLUMN, DROP COLUMN, SET TBLPROPERTIES")
+          "RENAME COLUMN, DROP COLUMN, ALTER COLUMN TYPE, " +
+          "SET TBLPROPERTIES")
     }
     load(ident, None)
   }

@@ -1751,6 +1751,55 @@ object EngineQueries {
       |  min(k) AS min_ok, max(k) AS max_ok
       |FROM t3 GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // ------------------------------------------------------ q186_widen
+  // TYPE WIDENING end-to-end: the fixture commits an INT column, widens
+  // it to BIGINT with a zero-file ALTER COLUMN TYPE commit, then
+  // inserts a value only the wide type can hold. The serving aggregate
+  // reads old (int-stored, scan-upcast) and new (long-stored) files
+  // under one committed schema; the DuckDB oracle recomputes the union,
+  // so the hash-match proves the upcast is value-exact and the DDL
+  // routed through the parser and the commit log.
+  private val q186Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q186Lake(s: SparkSession, d: String): String =
+    q186Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q186_")
+      val lake = s"$work/lake"
+      Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("int").as("ck"),
+          col("o_orderstatus").as("flag"))
+        .write.partitionBy("flag").parquet(lake)
+      graft.sources.CommitLog.init(s, lake)
+      s.sql(s"ALTER TABLE graft_lake('$lake') ALTER COLUMN ck TYPE BIGINT")
+      s.sql(s"INSERT INTO graft_lake('$lake') VALUES " +
+        "(9999991, 8000000000, 'F')")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q186Widen(s: SparkSession, d: String): DataFrame = {
+    val lake = q186Lake(s, d)
+    s.sql(
+      s"""SELECT flag, count(*) AS n,
+         |  CAST(sum(ck) AS BIGINT) AS sum_ck, max(ck) AS max_ck
+         |FROM graft_lake('$lake')
+         |GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+
+  private val q186Sql =
+    """WITH t AS (
+      |  SELECT o_custkey AS ck, o_orderstatus AS f
+      |  FROM orders WHERE o_orderkey <= 20000
+      |  UNION ALL SELECT 8000000000, 'F')
+      |SELECT f AS flag, count(*) AS n,
+      |  CAST(sum(ck) AS BIGINT) AS sum_ck, max(ck) AS max_ck
+      |FROM t GROUP BY 1 ORDER BY flag""".stripMargin
+
   // ------------------------------------------------- q175_meta_distinct
   // Metadata-plane COUNT(DISTINCT): per-file theta sketches ride the
   // commit (thetaCols at init), so distinct counts — the third
@@ -2224,6 +2273,7 @@ object EngineQueries {
     Q("q183_sql_ddl", q183SqlDdl, Some(q183Sql)),
     Q("q184_catalog", q184Catalog, Some(q184Sql)),
     Q("q185_catalog_write", q185CatalogWrite, Some(q185Sql)),
+    Q("q186_widen", q186Widen, Some(q186Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

@@ -697,7 +697,26 @@ object CommitLog {
     * manifest file name carries a random suffix so two racing committers
     * never collide on it — the version file stays the ONLY commit point
     * (a manifest that lost its race is [[vacuum]] garbage). */
-  /** Additive schema merge: `base`'s fields, then `more`'s new ones. */
+  /** Is `from` → `to` a SAFE type widening the parquet reader upcasts
+    * natively (verified on this Spark: requesting the wider type over
+    * files storing the narrower one returns exact values)? The commit
+    * log's whole type-evolution story rests on this lattice — integral
+    * chain and float→double only; everything else is a loud reject. */
+  private[sources] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** Additive schema merge: `base`'s fields (WIDENED where `more`
+    * carries a safely-wider type — the write-side half of type
+    * evolution), then `more`'s new ones. */
   private def mergeSchemaJson(base: Option[String],
       more: Option[String]): Option[String] = (base, more) match {
     case (None, m) => m
@@ -706,7 +725,13 @@ object CommitLog {
       import org.apache.spark.sql.types.{DataType, StructType}
       val bs = DataType.fromJson(bj).asInstanceOf[StructType]
       val ms = DataType.fromJson(mj).asInstanceOf[StructType]
-      Some(StructType(bs.fields ++
+      Some(StructType(bs.fields.map { bf =>
+        ms.fields.find(_.name == bf.name) match {
+          case Some(mf) if widens(bf.dataType, mf.dataType) =>
+            bf.copy(dataType = mf.dataType)
+          case _ => bf
+        }
+      } ++
         ms.fields.filterNot(f => bs.fieldNames.contains(f.name))).json)
   }
 
@@ -933,6 +958,46 @@ object CommitLog {
     }
   }
 
+  /** ALTER COLUMN TYPE as a zero-file schema commit: the committed
+    * logical type widens along the safe lattice ([[widens]] — integral
+    * chain, float→double); existing files keep their narrow physical
+    * type and the parquet reader upcasts at the scan (verified native
+    * behavior), so the DDL is pure metadata at any table size. The
+    * implicit twin — a write carrying a wider type — lands the same
+    * schema change ([[mergeSchemaJson]]). Anchored columns refuse:
+    * their per-file stats/sketches/Blooms are typed by the column. */
+  def alterColumnType(spark: SparkSession, dir: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Snapshot = {
+    val s = mustLatest(spark, dir)
+    val base = logicalSchema(spark, dir, s)
+    require(base.fieldNames.contains(name),
+      s"alterColumnType on $dir: no column '$name'")
+    val cur = base(name).dataType
+    if (cur == to) return s
+    require(widens(cur, to),
+      s"alterColumnType on $dir: ${cur.simpleString} -> " +
+        s"${to.simpleString} is not a safe widening (supported: " +
+        "byte<short<int<long, float<double)")
+    anchoredCols(s).get(name).foreach(role =>
+      throw new IllegalArgumentException(
+        s"alterColumnType on $dir: '$name' is $role — its persisted " +
+          "metadata is typed; rewrite the table instead"))
+    val widened = org.apache.spark.sql.types.StructType(base.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    val next = s.copy(version = s.version + 1,
+      schemaJson = Some(widened.json), op = "schema",
+      committedAt = System.currentTimeMillis())
+    try {
+      casWrite(hadoopFs(spark, dir), versionFile(dir, next.version),
+        render(next))
+      next
+    } catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"alterColumnType on $dir lost the commit race (${e.getMessage})" +
+          " — re-read and retry")
+    }
+  }
+
   /** Start the log: snapshot the directory's current files as version 1.
     * With `statsCols`, every subsequent commit also maintains the
     * zone-map stats snapshot for [[scanBox]]/[[scanRange]]; with
@@ -1115,9 +1180,24 @@ object CommitLog {
           s"evolution only); missing: ${missing.mkString(", ")}")
       bs.fields.filter(f => incoming.columns.contains(f.name)).foreach { f =>
         val ut = incoming.schema(f.name).dataType
-        require(ut == f.dataType,
-          s"write into $dir changes type of '${f.name}' " +
-            s"(${f.dataType.simpleString} -> ${ut.simpleString}) — not supported")
+        if (ut != f.dataType) {
+          // TYPE WIDENING rides a write like column addition does: a
+          // wider incoming type widens the committed schema (old files
+          // upcast at the parquet scan); a NARROWER incoming type is
+          // fine as-is (its files upcast under the committed schema).
+          // Anything off the lattice is a loud reject. Stats/sketch/
+          // bloom/theta columns refuse — their persisted per-file
+          // artifacts hash or type by the column's committed type.
+          require(widens(f.dataType, ut) || widens(ut, f.dataType),
+            s"write into $dir changes type of '${f.name}' " +
+              s"(${f.dataType.simpleString} -> ${ut.simpleString}) — " +
+              "not a safe widening")
+          anchoredCols(s).get(f.name).foreach(role =>
+            throw new IllegalArgumentException(
+              s"write into $dir widens '${f.name}', which is $role — " +
+                "its persisted metadata is typed; rewrite the table " +
+                "instead"))
+        }
       }
       // implicit evolution must not reuse a physical name that old
       // files still carry (a dropped column, or the birth name a rename

@@ -342,6 +342,19 @@ object LakeSqlDml {
             "ALTER TABLE graft_lake RENAME COLUMN supports top-level " +
               "columns only")
           GraftRenameColumnCommand(dir, rc.column.name.head, rc.newName)
+        case ac: AlterColumns if targetsTable(ac.table, tag) =>
+          require(!mor, "USING DELETION VECTORS applies to DELETE only")
+          val changes = ac.specs.map { sp =>
+            require(sp.column.name.length == 1,
+              "ALTER TABLE graft_lake ALTER COLUMN supports top-level " +
+                "columns only")
+            val to = sp.newDataType.getOrElse(
+              throw new IllegalArgumentException(
+                "ALTER TABLE graft_lake ALTER COLUMN supports TYPE " +
+                  "changes only (safe widening)"))
+            sp.column.name.head -> to
+          }
+          GraftAlterColumnTypeCommand(dir, changes)
         case dcols: DropColumns if targetsTable(dcols.table, tag) =>
           require(!mor, "USING DELETION VECTORS applies to DELETE only")
           val names = dcols.columnsToDrop.map { f =>
@@ -543,6 +556,22 @@ case class GraftRenameColumnCommand(dir: String, from: String, to: String)
   override def output: Seq[Attribute] = LakeSqlDml.dmlOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val snap = CommitLog.renameColumn(spark, dir, from, to)
+    Seq(Row(snap.version, snap.op))
+  }
+}
+
+/** `ALTER TABLE graft_lake('dir') ALTER COLUMN c TYPE <wider>` — the
+  * zero-file widening commit [[CommitLog.alterColumnType]]: existing
+  * files keep the narrow physical type, the scan upcasts. */
+case class GraftAlterColumnTypeCommand(dir: String,
+    changes: Seq[(String, org.apache.spark.sql.types.DataType)])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = LakeSqlDml.dmlOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = changes.foldLeft(CommitLog.latest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir has no commit log"))) {
+      case (_, (c, to)) => CommitLog.alterColumnType(spark, dir, c, to)
+    }
     Seq(Row(snap.version, snap.op))
   }
 }
