@@ -158,6 +158,18 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(CommitLog.latest(spark, s"$wh/db/t6").isDefined)
   }
 
+  test("SHOW CREATE TABLE renders the v2 metadata (schema, partitioning, " +
+    "location)") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t16 (k BIGINT, v DOUBLE, pd STRING) " +
+      "PARTITIONED BY (pd)")
+    val ddl = spark.sql("SHOW CREATE TABLE gcat.db.t16")
+      .collect().head.getString(0)
+    assert(ddl.contains("k BIGINT") && ddl.contains("v DOUBLE"))
+    assert(ddl.contains("PARTITIONED BY (pd)"))
+    assert(ddl.contains(s"LOCATION '$wh/db/t16'"))
+  }
+
   test("SHOW TABLES / DESCRIBE / RENAME / DROP TABLE metadata verbs") {
     wh
     spark.sql("CREATE TABLE gcat.db.t7 (a BIGINT, b STRING)")
