@@ -131,6 +131,14 @@ case class GraftTableWriteCommand(dir: String, queryPlan: LogicalPlan,
         require(missing.isEmpty,
           s"write into $dir by name is missing column(s): " +
             missing.mkString(", "))
+        // a misspelled/unexpected extra column must fail loudly, not
+        // silently lose data through the select below (Delta/Spark v2
+        // by-name writes reject unknown columns the same way)
+        val extra = rows.columns.filterNot(c =>
+          schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        require(extra.isEmpty,
+          s"write into $dir by name carries column(s) not in the " +
+            s"table schema: ${extra.mkString(", ")}")
         rows.select(schema.fields.toIndexedSeq.map(f =>
           col(f.name).cast(f.dataType)): _*)
       } else {
@@ -150,16 +158,21 @@ case class GraftTableWriteCommand(dir: String, queryPlan: LogicalPlan,
         CommitLog.replaceWhere(spark, dir,
           org.apache.spark.sql.functions.expr(condSql.get), aligned)
       case "replace-partitions" =>
-        partCols match {
-          case Seq(one) =>
-            val parts = aligned.select(col(one)).distinct()
-              .collect().map(_.get(0)).toSeq // one value per partition
-            CommitLog.replacePartitions(spark, aligned, dir, one, parts)
-          case other => throw new IllegalArgumentException(
-            "dynamic partition overwrite needs a single-column hive " +
-              s"partitioning; $dir has: " +
-              (if (other.isEmpty) "none" else other.mkString(", ")))
-        }
+        require(partCols.nonEmpty,
+          s"dynamic partition overwrite needs hive partitioning; $dir " +
+            "has none")
+        // one row per TOUCHED partition tuple — bounded collect, capped
+        // loudly (a query overwriting >10k partitions should use plain
+        // INSERT OVERWRITE or replaceWhere instead of enumerating them)
+        val cap = 10000
+        val parts = aligned.select(partCols.map(col): _*).distinct()
+          .limit(cap + 1).collect()
+        require(parts.length <= cap,
+          s"dynamic partition overwrite into $dir touches more than " +
+            s"$cap partitions — use INSERT OVERWRITE (full) or " +
+            "replaceWhere for rewrites this broad")
+        CommitLog.replacePartitionTuples(spark, aligned, dir, partCols,
+          parts.toSeq.map(r => partCols.indices.map(r.get)))
     }
     Seq(Row(snap.version, snap.op))
   }

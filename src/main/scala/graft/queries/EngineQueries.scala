@@ -1707,20 +1707,23 @@ object EngineQueries {
       val t = s"gq184.db.ow_$tag"
       Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
         .select(col("o_orderkey"), col("o_totalprice"),
-          col("o_orderstatus").as("flag"))
+          col("o_orderstatus").as("flag"),
+          concat(lit("b"), col("o_orderkey") % 3).as("b"))
         .createOrReplaceTempView("q185_src")
-      // 1. CTAS with hive partitioning
-      s.sql(s"CREATE TABLE $t PARTITIONED BY (flag) AS " +
-        "SELECT o_orderkey, o_totalprice, flag FROM q185_src")
+      // 1. CTAS with TWO-LEVEL hive partitioning (flag, b) — the
+      // reference's own layout is two-level (equip/date)
+      s.sql(s"CREATE TABLE $t PARTITIONED BY (flag, b) AS " +
+        "SELECT o_orderkey, o_totalprice, flag, b FROM q185_src")
       // 2. full INSERT OVERWRITE: the snapshot becomes exactly this
       s.sql(s"INSERT OVERWRITE $t SELECT o_orderkey, o_totalprice * 2, " +
-        "flag FROM q185_src WHERE o_orderkey <= 15000")
-      // 3. dynamic partition overwrite: ONLY flag='F' is replaced —
-      // the other partitions' rows must survive byte-identically
+        "flag, b FROM q185_src WHERE o_orderkey <= 15000")
+      // 3. dynamic partition overwrite: ONLY the (flag='F', b='b0')
+      // TUPLE is replaced — every other nested partition (including
+      // flag='F' with other b values) survives byte-identically
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try s.sql(s"INSERT OVERWRITE $t SELECT o_orderkey, " +
-        "o_totalprice + 1000.5, flag FROM q185_src " +
-        "WHERE flag = 'F' AND o_orderkey <= 5000")
+        "o_totalprice + 1000.5, flag, b FROM q185_src " +
+        "WHERE flag = 'F' AND b = 'b0' AND o_orderkey <= 5000")
       finally s.conf.set("spark.sql.sources.partitionOverwriteMode",
         "static")
       t
@@ -1729,27 +1732,28 @@ object EngineQueries {
   private def q185CatalogWrite(s: SparkSession, d: String): DataFrame = {
     val t = q185Table(s, d)
     s.sql(
-      s"""SELECT flag, count(*) AS n,
+      s"""SELECT flag, b, count(*) AS n,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          |    AS sum_price,
          |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
-         |FROM $t GROUP BY flag ORDER BY flag""".stripMargin)
+         |FROM $t GROUP BY flag, b ORDER BY flag, b""".stripMargin)
   }
 
   private val q185Sql =
     """WITH src AS (
-      |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS f
+      |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS f,
+      |    'b' || CAST(o_orderkey % 3 AS VARCHAR) AS b
       |  FROM orders WHERE o_orderkey <= 20000),
-      |t2 AS (SELECT k, p * 2 AS p, f FROM src WHERE k <= 15000),
+      |t2 AS (SELECT k, p * 2 AS p, f, b FROM src WHERE k <= 15000),
       |t3 AS (
-      |  SELECT k, p + 1000.5 AS p, f FROM src
-      |  WHERE f = 'F' AND k <= 5000
+      |  SELECT k, p + 1000.5 AS p, f, b FROM src
+      |  WHERE f = 'F' AND b = 'b0' AND k <= 5000
       |  UNION ALL
-      |  SELECT * FROM t2 WHERE f <> 'F')
-      |SELECT f AS flag, count(*) AS n,
+      |  SELECT * FROM t2 WHERE NOT (f = 'F' AND b = 'b0'))
+      |SELECT f AS flag, b, count(*) AS n,
       |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
       |  min(k) AS min_ok, max(k) AS max_ok
-      |FROM t3 GROUP BY 1 ORDER BY flag""".stripMargin
+      |FROM t3 GROUP BY 1, 2 ORDER BY flag, b""".stripMargin
 
   // ------------------------------------------------------ q186_widen
   // TYPE WIDENING end-to-end: the fixture commits an INT column, widens

@@ -634,23 +634,45 @@ object CommitLog {
     * rejected loudly (they would silently vanish under the replace). */
   def replacePartitions(spark: SparkSession, replacement: DataFrame,
       dir: String, partitionCol: String, parts: Seq[Any],
+      batchId: Option[Long] = None): Snapshot =
+    replacePartitionTuples(spark, replacement, dir, Seq(partitionCol),
+      parts.map(Seq(_)), batchId)
+
+  /** Multi-column generalization of [[replacePartitions]]: each tuple
+    * names one partition of the nested hive layout
+    * (`c1=v1/c2=v2/...`, one value per `partitionCols` entry, in
+    * layout order). After the commit those partitions hold exactly
+    * `replacement`'s rows; the conflict unit is the touched nested
+    * partition directories — concurrent commits to other partitions
+    * rebase cleanly. This is the primitive behind multi-level dynamic
+    * partition overwrite (`INSERT OVERWRITE ... PARTITION (a, b)`). */
+  def replacePartitionTuples(spark: SparkSession, replacement: DataFrame,
+      dir: String, partitionCols: Seq[String], tuples: Seq[Seq[Any]],
       batchId: Option[Long] = None): Snapshot = {
+    require(partitionCols.nonEmpty,
+      "replacePartitionTuples needs at least one partition column")
+    require(tuples.forall(_.length == partitionCols.length),
+      s"each tuple must carry one value per partition column " +
+        s"(${partitionCols.mkString(", ")})")
     val s = mustLatest(spark, dir)
     if (batchId.exists(inLedger(s, _))) {
       System.err.println(
         s"[commitlog] batch ${batchId.get} already committed to $dir — replay skipped")
       return s
     }
-    val dirs = parts.map(partDirOf(partitionCol, _)).toSet
+    val dirs = tuples.map(t =>
+      partitionCols.zip(t).map { case (c, v) => partDirOf(c, v) }
+        .mkString("/")).toSet
     val stray = replacement
-      .filter(!partDirColumn(partitionCol).isInCollection(dirs.toSeq))
+      .filter(!concat_ws("/", partitionCols.map(partDirColumn): _*)
+        .isInCollection(dirs.toSeq))
       .limit(1).count()
     require(stray == 0L,
       s"replacePartitions into $dir: replacement holds rows outside " +
-        s"${parts.mkString(", ")}")
+        s"the ${dirs.size} replaced partition(s)")
     checkSchemaCompatible(s, replacement, dir)
     val removed = s.files.filter(f => dirs.exists(d => f.startsWith(d + "/")))
-    val newRels = stageWrite(spark, dir, replacement, Seq(partitionCol),
+    val newRels = stageWrite(spark, dir, replacement, partitionCols,
       s.physNames)
     commitRebase(spark, dir,
       StagedUpsert(s, dirs, removed.toSet, newRels, batchId,
@@ -1560,11 +1582,22 @@ object CommitLog {
     val (touched, _) =
       if (notMatchedBySourceDeleteWhen.isDefined) (s.files, Nil)
       else s.files.partition(f => partDirs.exists(d => f.startsWith(d + "/")))
+    // empty target slice: the zero-row frame must still carry the
+    // COMMITTED schema under column-level clauses — deriving it from the
+    // slim source would make outCols the source's columns (dropping
+    // INSERT assignments to unmentioned target columns and persisting
+    // clause-input columns). Whole-row clauses pass the source image by
+    // contract (checkSchemaCompatible ran), so the source shape is right.
     val old0 =
-      if (touched.isEmpty)
-        source.filter(lit(false)).drop(
-          source.columns.filter(_.startsWith("__")).toIndexedSeq: _*)
-      else readFiles(spark, dir, s, touched)
+      if (touched.isEmpty) {
+        if (wholeRowClause)
+          source.filter(lit(false)).drop(
+            source.columns.filter(_.startsWith("__")).toIndexedSeq: _*)
+        else
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            logicalSchema(spark, dir, s))
+      } else readFiles(spark, dir, s, touched)
     // clause-only source columns (`__x`): joined for the conditions,
     // excluded from the written image and the committed schema. Under
     // column-level clauses NO source column widens the target — extra

@@ -91,25 +91,39 @@ object LakeSqlDml {
 
   private[sources] val Placeholder = "graft_dml_target_"
 
-  /** Is `offset` inside a SQL string literal? Scans the prefix tracking
-    * quote state for BOTH literal forms Spark accepts (`'...'` and
-    * `"..."`), honoring backslash escapes; a doubled quote (`''`)
-    * toggles out and straight back in, which still reads as
-    * inside-the-literal at any offset strictly within it. Guards every
-    * regex below from misrouting a plain SELECT whose string LITERAL
+  /** Is `offset` inside a SQL string literal OR a SQL comment? Scans
+    * the prefix tracking quote state for BOTH literal forms Spark
+    * accepts (`'...'` and `"..."`), honoring backslash escapes (a
+    * doubled quote (`''`) toggles out and straight back in, which still
+    * reads as inside-the-literal at any offset strictly within it), plus
+    * `--` line comments and slash-star block comments — a quote inside a
+    * comment opens no literal and vice versa. Guards every regex below
+    * from misrouting a statement whose string LITERAL or COMMENT
     * happens to contain DML-shaped text
-    * (`SELECT 'DELETE FROM graft_lake(...)'`). */
+    * (`SELECT 'DELETE FROM graft_lake(...)'`,
+    * `SELECT 1 -- UPDATE t SET ...`). */
   private[sources] def inLiteral(sql: String, offset: Int): Boolean = {
     var i = 0
-    var q: Char = 0 // 0 = outside; '\'' or '"' = inside that literal
+    var q: Char = 0       // 0 = outside; '\'' or '"' = inside that literal
+    var lineC = false     // inside a `--` comment (to end of line)
+    var blockC = false    // inside a `/* */` comment
+    def nxt(c: Char): Boolean = i + 1 < sql.length && sql.charAt(i + 1) == c
     while (i < offset) {
       val c = sql.charAt(i)
-      if (q == 0) { if (c == '\'' || c == '"') q = c }
-      else if (c == '\\') i += 1 // escaped char inside a literal
-      else if (c == q) q = 0
+      if (lineC) { if (c == '\n') lineC = false }
+      else if (blockC) {
+        if (c == '*' && nxt('/')) { blockC = false; i += 1 }
+      } else if (q != 0) {
+        if (c == '\\') i += 1 // escaped char inside a literal
+        else if (c == q) q = 0
+      } else {
+        if (c == '\'' || c == '"') q = c
+        else if (c == '-' && nxt('-')) { lineC = true; i += 1 }
+        else if (c == '/' && nxt('*')) { blockC = true; i += 1 }
+      }
       i += 1
     }
-    q != 0
+    q != 0 || lineC || blockC
   }
 
   /** Epoch millis of a `TIMESTAMP AS OF` operand: bare digits are
@@ -253,7 +267,7 @@ object LakeSqlDml {
   /** Try to handle `sql` as lake DML; None → not ours, delegate. */
   def parseDml(delegate: ParserInterface, sql: String,
       session: Option[SparkSession] = None): Option[LogicalPlan] =
-    Call.findFirstMatchIn(sql).map { c =>
+    Call.findAllMatchIn(sql).find(c => !inLiteral(sql, c.start)).map { c =>
       parseCall(delegate, c.group(1), c.group(2), session): LogicalPlan
     }.orElse(Target.findAllMatchIn(sql).find(m =>
       !inLiteral(sql, m.start)).map(m =>

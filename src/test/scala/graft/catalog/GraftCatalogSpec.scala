@@ -326,5 +326,43 @@ class GraftCatalogSpec extends AnyFunSuite {
       .select($"id".as("k"), ($"id" * 3).as("v"), lit("p").as("pd"))
       .writeTo("gcat.db.t9").append()
     assert(rows("gcat.db.t9") == (0L until 5L).map(i => (i, i * 3, "p")).toSet)
+    // a misspelled/extra column must fail loudly, not silently drop
+    val e = intercept[Exception] {
+      spark.range(5, 6)
+        .select($"id".as("k"), ($"id" * 3).as("v"), lit("p").as("pd"),
+          lit("oops").as("vv"))
+        .writeTo("gcat.db.t9").append()
+    }
+    assert(e.getMessage.contains("vv"),
+      s"extra column must be named in the error: ${e.getMessage}")
+    assert(rows("gcat.db.t9").size == 5, "failed write must land nothing")
+  }
+
+  test("dynamic partition overwrite on a TWO-level partitioned table " +
+    "replaces only the touched (pd1, pd2) tuples") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.t17 (k BIGINT, v BIGINT, pd1 STRING, " +
+      "pd2 STRING) PARTITIONED BY (pd1, pd2)")
+    // 2 × 2 grid: (a|b, x|y), 5 rows each
+    spark.sql("INSERT INTO gcat.db.t17 SELECT id, id, " +
+      "IF(id % 2 = 0, 'a', 'b'), IF(id % 4 < 2, 'x', 'y') FROM range(0, 20)")
+    val untouched = CommitLog.latest(spark, s"$wh/db/t17").get.files
+      .filterNot(_.startsWith("pd1=a/pd2=x")).toSet
+    assert(untouched.nonEmpty)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql("INSERT OVERWRITE gcat.db.t17 " +
+      "SELECT id + 100, id, 'a', 'x' FROM range(0, 3)")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+      "static")
+    val got = spark.sql("SELECT k, v, pd1, pd2 FROM gcat.db.t17")
+      .as[(Long, Long, String, String)].collect().toSet
+    val kept = (0L until 20L).filterNot(i => i % 2 == 0 && i % 4 < 2)
+      .map(i => (i, i, if (i % 2 == 0) "a" else "b",
+        if (i % 4 < 2) "x" else "y")).toSet
+    assert(got == kept ++ (0L until 3L).map(i => (i + 100, i, "a", "x")),
+      "only the (a, x) tuple may be replaced")
+    assert(CommitLog.latest(spark, s"$wh/db/t17").get.files
+      .filterNot(_.startsWith("pd1=a/pd2=x")).toSet == untouched,
+      "untouched nested partitions must keep byte-identical files")
   }
 }

@@ -365,4 +365,29 @@ class LakeSqlDmlSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO graft_lake('$dir') SELECT 400, 1, 'p1'")
     assert(rows(dir).size == 301)
   }
+
+  test("DML-shaped text inside SQL comments is NOT lake DML") {
+    val dir = freshLake()
+    val before = rows(dir)
+    // line comment: the SELECT must parse as a SELECT, not be hijacked
+    // by the translator matching inside the comment
+    val out = spark.sql(
+      "SELECT 1 AS one -- DELETE FROM graft_lake('/nope') WHERE 1=1\n")
+      .collect()
+    assert(out.head.getInt(0) == 1)
+    // block comment, including one that mentions CALL and time travel
+    val out2 = spark.sql(
+      "SELECT /* UPDATE graft_lake('/nope') SET v = 1 */ 2 AS two")
+      .collect()
+    assert(out2.head.getInt(0) == 2)
+    val out3 = spark.sql(
+      "SELECT /* CALL graft_vacuum('/nope', 0) */ 3 AS three").collect()
+    assert(out3.head.getInt(0) == 3)
+    // a quote inside a comment opens no literal: DML AFTER the comment
+    // still routes
+    spark.sql(
+      s"/* don't touch 'this */ DELETE FROM graft_lake('$dir') WHERE k = 0")
+    assert(rows(dir).size == before.size - 1)
+    assert(rows(dir) == before.filterNot(_._1 == 0L))
+  }
 }

@@ -333,4 +333,28 @@ class MergeSpec extends AnyFunSuite {
         updateSet = Some(Map("nope" -> "s.v")))
     }
   }
+
+  test("column-level INSERT into an all-new partition keeps the " +
+    "COMMITTED schema (assignments not in the source survive; " +
+    "clause-input columns are not persisted)") {
+    val dir = freshLake()
+    // slim source into a partition no file covers: carries a clause-input
+    // column `delta` and does NOT carry `v` — yet assigns v via s.delta.
+    // Pre-fix, the empty target slice took the SOURCE's shape, so the
+    // committed files carried (k, delta, pd): v silently read back NULL
+    // and delta leaked into the schema.
+    val src = Seq((7000L, 42L, "p9"), (7001L, 43L, "p9"))
+      .toDF("k", "delta", "pd")
+    CommitLog.merge(spark, dir, src, Seq("k"), "pd",
+      updateWhen = None, insertWhen = Some("true"),
+      insertValues = Some(Map(
+        "k" -> "s.k", "v" -> "s.delta * 2", "pd" -> "s.pd")))
+    val out = CommitLog.read(spark, dir)
+    assert(out.columns.toSeq == Seq("k", "v", "pd"),
+      "clause-input columns must not reach the committed schema")
+    val st = state(dir)
+    assert(st(7000L) == (84L, "p9") && st(7001L) == (86L, "p9"),
+      "INSERT assignment to a column absent from the source must persist")
+    assert(st.size == 302)
+  }
 }

@@ -104,13 +104,26 @@ def main(outdir: str, sfdir: str, only=()) -> int:
             print(f"FAIL {name}: dtype kinds differ (spark, duckdb): {bad}")
             n_bad += 1
             continue
-        # NULL-carrying numeric columns whose kinds diverged: compare as
-        # float64 on both sides so "1" vs "1.0" is not a false mismatch
+        # NULL-carrying numeric columns whose kinds diverged: when both
+        # sides are integral-valued, compare as pandas nullable Int64 —
+        # float64 cannot represent int64 above 2^53 exactly, so casting
+        # there could false-match (or false-mismatch) large keys/sums.
+        # Genuine int/float mixes still fall back to float64.
         for c in g.columns:
             if (g[c].dtype.kind in "iuf" and w[c].dtype.kind in "iuf"
                     and g[c].dtype.kind != w[c].dtype.kind):
-                g[c] = g[c].astype("float64")
-                w[c] = w[c].astype("float64")
+                def integral(s):
+                    if s.dtype.kind in "iu":
+                        return True
+                    v = s.dropna()
+                    import numpy as np
+                    return bool(np.isfinite(v).all() and (v == v.round()).all())
+                if integral(g[c]) and integral(w[c]):
+                    g[c] = g[c].astype("Int64")
+                    w[c] = w[c].astype("Int64")
+                else:
+                    g[c] = g[c].astype("float64")
+                    w[c] = w[c].astype("float64")
         gs = g.map(cell)
         ws = w.map(cell)
         if not gs.equals(ws):
