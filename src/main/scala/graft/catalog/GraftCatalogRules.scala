@@ -49,6 +49,24 @@ class ResolveGraftCatalogOps(session: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
+      // spark.readStream.table("gcat.db.t"): the v2 table carries no
+      // streaming capability, so REPLACE the relation with the engine's
+      // V1 streaming source — the exact node readStream.format(
+      // "graft-lake").load(dir) produces, before TableCapabilityCheck
+      // can ask the pure-metadata table for a scan. Output attributes
+      // are REUSED, so references bound to the v2 relation stay valid.
+      case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if s.table.isInstanceOf[GraftTable] =>
+        val t = s.table.asInstanceOf[GraftTable]
+        require(t.pinnedVersion.isEmpty,
+          s"cannot stream from time-travel pinned table ${t.name()}")
+        import scala.jdk.CollectionConverters._
+        org.apache.spark.sql.graftbridge.StreamBridge.v1StreamingRelation(
+          session, classOf[graft.streaming.LakeSourceProvider].getName,
+          "graft-lake",
+          s.extraOptions.asScala.toMap + ("path" -> t.dir),
+          t.schema(), s.output)
+
       case a: AppendData if graftTableOf(a.table).isDefined =>
         GraftTableWriteCommand(graftTableOf(a.table).get.dir, a.query,
           a.isByName, mode = "append")

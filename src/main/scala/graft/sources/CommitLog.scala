@@ -361,6 +361,52 @@ object CommitLog {
     readSnapshot(spark, dir, parse(readText(f, p)))
   }
 
+  /** Rows carried by the data files ADDED over `(fromV, toV]` — the
+    * micro-batch unit of the streaming table read
+    * ([[graft.streaming.LakeStreamSource]]). Append commits contribute
+    * their new files; compactions and metadata commits move no rows and
+    * contribute nothing; a CHANGE commit (file removals or new deletion
+    * vectors — rewrites, deletes, replaces) aborts loudly, or is
+    * skipped wholesale under `skipChangeCommits` (the Delta contract
+    * for streaming appends off a table that also takes updates). Files
+    * are read under the END snapshot's committed schema, so mid-range
+    * additive evolution surfaces the new columns as null for older
+    * files — and WITHOUT the end snapshot's deletion vectors: an
+    * appended row was appended; a later MoR delete is a change commit
+    * the caller either aborted on or chose to skip. */
+  def addedRows(spark: SparkSession, dir: String, fromV: Long, toV: Long,
+      skipChangeCommits: Boolean = false): DataFrame = {
+    require(fromV <= toV,
+      s"addedRows needs fromV <= toV, got $fromV > $toV")
+    val snaps = (fromV to toV).map(v => snapshotAt(spark, dir, v))
+    val end = snaps.last
+    val added = snaps.sliding(2).filter(_.length == 2).flatMap {
+      case Seq(p, c) =>
+        if (c.op == "compact") Nil
+        else {
+          val pf = p.files.toSet
+          val removed = pf.exists(f => !c.files.contains(f))
+          val dvAdded = c.dvs.exists(r => !p.dvs.contains(r))
+          if (removed || dvAdded) {
+            if (skipChangeCommits) Nil
+            else throw new IllegalStateException(
+              s"streaming read of $dir found a non-append commit at " +
+                s"version ${c.version} (op=${c.op}) — restart the " +
+                "stream from a fresh snapshot, or set " +
+                "skipChangeCommits=true to stream appends only")
+          } else c.files.filterNot(pf)
+        }
+    }.toSeq
+    if (added.isEmpty) {
+      val j = end.schemaJson.getOrElse(throw new IllegalStateException(
+        s"$dir carries no committed schema — cannot shape an empty batch"))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    } else toLogical(end, rawRead(spark, dir, end, added))
+  }
+
   /** Timestamp time travel: the table as of wall-clock `tsMillis` — the
     * newest version whose commit stamp is ≤ the timestamp (`TIMESTAMP AS
     * OF`, completing [[readAt]]'s `VERSION AS OF`). Resolution is

@@ -42,11 +42,12 @@ object LakeFollow {
     * The cursor starts at the source's CURRENT version: followers see
     * changes from attach time, like any log subscription — bootstrap
     * the initial state with a snapshot read first. */
-  def followChanges(spark: SparkSession, srcDir: String,
+  def followChanges(spark: SparkSession, srcDir0: String,
       checkpointDir: String,
       pollSeconds: Int = 1,
       fromVersion: Option[Long] = None)(f: (DataFrame, Long, Long) => Unit)
       : StreamingQuery = {
+    val srcDir = graft.catalog.GraftCatalog.resolveTarget(spark, srcDir0)
     val start = fromVersion.getOrElse(
       CommitLog.latest(spark, srcDir).map(_.version).getOrElse(
         throw new IllegalStateException(s"$srcDir has no commit log")))
@@ -82,9 +83,10 @@ object LakeFollow {
     * from then on the replica's OWN ledger is the resume cursor, so a
     * crashed/restarted mirror continues from the last applied source
     * version with no gap and no double-apply. */
-  def mirror(spark: SparkSession, srcDir: String, dstDir: String,
+  def mirror(spark: SparkSession, srcDir0: String, dstDir: String,
       partitionCol: String, checkpointDir: String,
       pollSeconds: Int = 1): StreamingQuery = {
+    val srcDir = graft.catalog.GraftCatalog.resolveTarget(spark, srcDir0)
     // the cursor IS the replica's ledger: the greatest source version it
     // has applied. A restarted mirror resumes from exactly there — no
     // side state to lose, no gap between crash and reattach.
@@ -138,8 +140,9 @@ object LakeFollow {
   /** Create the replica at the source's CURRENT cut: full snapshot copy
     * committed with the source version in the ledger, so the first
     * follower tick diffs from exactly here. */
-  def bootstrapMirror(spark: SparkSession, srcDir: String, dstDir: String,
+  def bootstrapMirror(spark: SparkSession, srcDir0: String, dstDir: String,
       partitionCol: String): Long = {
+    val srcDir = graft.catalog.GraftCatalog.resolveTarget(spark, srcDir0)
     val src = CommitLog.latest(spark, srcDir).getOrElse(
       throw new IllegalStateException(s"$srcDir has no commit log"))
     CommitLog.read(spark, srcDir)
@@ -153,24 +156,27 @@ object LakeFollow {
     * `_change_type`-labeled inserts/deletes/update pairs — instead of
     * post-image supersets. Same at-least-once contract: `f` must be
     * idempotent per `toV`. */
-  def followCdf(spark: SparkSession, srcDir: String, keyCols: Seq[String],
+  def followCdf(spark: SparkSession, srcDir0: String, keyCols: Seq[String],
       checkpointDir: String,
       pollSeconds: Int = 1,
       fromVersion: Option[Long] = None)(f: (DataFrame, Long, Long) => Unit)
-      : StreamingQuery =
+      : StreamingQuery = {
+    val srcDir = graft.catalog.GraftCatalog.resolveTarget(spark, srcDir0)
     followChanges(spark, srcDir, checkpointDir, pollSeconds, fromVersion) {
       (_, fromV, toV) =>
         f(CommitLog.changeFeed(spark, srcDir, fromV, toV, keyCols),
           fromV, toV)
     }
+  }
 
   /** [[bootstrapMirror]] for a RE-PARTITIONED replica: the snapshot is
     * passed through `derive` (e.g. adding a hash-bucket column) and
     * laid out by `dstPartitionCol` — the layout [[applyCdf]] then
     * maintains. */
-  def bootstrapMirrorKeyed(spark: SparkSession, srcDir: String,
+  def bootstrapMirrorKeyed(spark: SparkSession, srcDir0: String,
       dstDir: String, dstPartitionCol: String,
       derive: DataFrame => DataFrame = identity): Long = {
+    val srcDir = graft.catalog.GraftCatalog.resolveTarget(spark, srcDir0)
     val src = CommitLog.latest(spark, srcDir).getOrElse(
       throw new IllegalStateException(s"$srcDir has no commit log"))
     derive(CommitLog.read(spark, srcDir))
@@ -192,9 +198,10 @@ object LakeFollow {
     * range against the update pairs, churn-sized. At 100 TB each apply
     * moves the range's churn through one key equi-join; the replica
     * rewrites only the partitions the churn's keys land in. */
-  def applyCdf(spark: SparkSession, srcDir: String, dstDir: String,
+  def applyCdf(spark: SparkSession, srcDir0: String, dstDir: String,
       keyCols: Seq[String], dstPartitionCol: String,
       derive: DataFrame => DataFrame = identity): Long = {
+    val srcDir = graft.catalog.GraftCatalog.resolveTarget(spark, srcDir0)
     val fromV = CommitLog.latest(spark, dstDir)
       .flatMap(_.batches.maxOption).getOrElse(
         throw new IllegalStateException(

@@ -1,0 +1,175 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.CommitLog
+
+/** [[LakeStreamSource]]: the streaming table read must deliver the
+  * initial snapshot then each append exactly once (offsets = commit
+  * versions), stay silent across compactions, abort loudly on change
+  * commits unless skipChangeCommits, and be reachable by catalog NAME
+  * through both `readStream.table` and the follower verbs. */
+class LakeStreamSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private var n = 0
+  private def sinkName(): String = { n += 1; s"lake_stream_sink_$n" }
+
+  private def work(): String = {
+    val d = Files.createTempDirectory("graft_stream_src_")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def seed(dir: String, rows: Long = 30): Unit = {
+    spark.range(0, rows).select($"id".as("k"), ($"id" % 7).as("v"),
+      concat(lit("p"), ($"id" % 3)).as("pd"))
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir)
+  }
+
+  private def sinkRows(name: String): Set[(Long, Long, String)] =
+    spark.table(name).select($"k", $"v", $"pd")
+      .as[(Long, Long, String)].collect().toSet
+
+  test("initial snapshot then appends, exactly once; compaction is silent") {
+    val w = work(); val dir = s"$w/lake"
+    seed(dir)
+    val sink = sinkName()
+    val q = spark.readStream.format("graft-lake").load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", s"$w/chk").start()
+    try {
+      q.processAllAvailable()
+      assert(sinkRows(sink) == CommitLog.read(spark, dir)
+        .select($"k", $"v", $"pd").as[(Long, Long, String)].collect().toSet,
+        "first batch must be the full snapshot at subscription")
+      CommitLog.append(spark,
+        spark.range(100, 110).select($"id".as("k"), lit(1L).as("v"),
+          lit("p0").as("pd")), dir)
+      q.processAllAvailable()
+      assert(sinkRows(sink).count(_._1 >= 100) == 10,
+        "appended rows must arrive exactly once")
+      assert(sinkRows(sink).size == 40)
+      // compaction rewrites files but moves no rows — nothing delivered
+      CommitLog.compact(spark, dir, targetPartitions = 2)
+      q.processAllAvailable()
+      assert(sinkRows(sink).size == 40, "compaction must deliver nothing")
+    } finally q.stop()
+  }
+
+  test("readStream.table on a graft catalog name (v1 fallback through " +
+    "the capability-less v2 table)") {
+    val w = work()
+    spark.conf.set("spark.sql.catalog.gstream",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstream.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gstream.db")
+    spark.sql("CREATE TABLE gstream.db.ev (k BIGINT, v BIGINT, pd STRING) " +
+      "PARTITIONED BY (pd)")
+    spark.sql("INSERT INTO gstream.db.ev " +
+      "SELECT id, id % 5, concat('p', id % 2) FROM range(0, 20)")
+    val sink = sinkName()
+    val q = spark.readStream.table("gstream.db.ev")
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", s"$w/chk_tbl").start()
+    try {
+      q.processAllAvailable()
+      assert(sinkRows(sink).size == 20, "snapshot through the table name")
+      spark.sql("INSERT INTO gstream.db.ev VALUES (500, 1, 'p0'), " +
+        "(501, 2, 'p1')")
+      q.processAllAvailable()
+      assert(sinkRows(sink).size == 22 &&
+        sinkRows(sink).exists(_._1 == 500L),
+        "appends through the catalog write path must stream out")
+    } finally q.stop()
+    // the follower verbs accept the same name
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val f = LakeFollow.followChanges(spark, "gstream.db.ev", s"$w/chk_f") {
+      (df, _, _) => got.add(df.count()); ()
+    }
+    try {
+      spark.sql("INSERT INTO gstream.db.ev VALUES (600, 3, 'p0')")
+      val t0 = System.currentTimeMillis()
+      while (got.isEmpty && System.currentTimeMillis() - t0 < 30000)
+        Thread.sleep(100)
+    } finally f.stop()
+    assert(!got.isEmpty, "name-addressed followChanges saw no changes")
+  }
+
+  test("startingVersion=latest skips the snapshot; change commits abort " +
+    "unless skipChangeCommits") {
+    val w = work(); val dir = s"$w/lake"
+    seed(dir)
+    val sink = sinkName()
+    val q = spark.readStream.format("graft-lake")
+      .option("startingVersion", "latest").load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", s"$w/chk").start()
+    try {
+      q.processAllAvailable()
+      assert(sinkRows(sink).isEmpty, "latest: no initial snapshot")
+      CommitLog.append(spark,
+        spark.range(200, 203).select($"id".as("k"), lit(2L).as("v"),
+          lit("p1").as("pd")), dir)
+      q.processAllAvailable()
+      assert(sinkRows(sink).map(_._1) == Set(200L, 201L, 202L))
+      // a delete rewrites files: the stream must fail loudly
+      CommitLog.delete(spark, dir, $"k" < 3L)
+      val e = intercept[StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("non-append") ||
+        Option(e.getCause).exists(_.getMessage.contains("non-append")),
+        s"stream must name the non-append commit: ${e.getMessage}")
+    } finally q.stop()
+    // skipChangeCommits: same range streams on, appends only
+    val sink2 = sinkName()
+    val q2 = spark.readStream.format("graft-lake")
+      .option("startingVersion", "1")
+      .option("skipChangeCommits", "true").load(dir)
+      .writeStream.format("memory").queryName(sink2)
+      .option("checkpointLocation", s"$w/chk2").start()
+    try {
+      q2.processAllAvailable()
+      assert(sinkRows(sink2).map(_._1) == Set(200L, 201L, 202L),
+        "skipChangeCommits must deliver the appends and skip the delete")
+    } finally q2.stop()
+  }
+
+  test("restart resumes from the checkpointed version offset") {
+    val w = work(); val dir = s"$w/lake"
+    seed(dir, rows = 10)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft-lake").load(dir)
+        .writeStream
+        .option("checkpointLocation", s"$w/chk")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.add(df.select($"k").as[Long].collect().toSet); ()
+        }.start()
+    val q = run()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(got.size == 1 && got.peek().size == 10, "snapshot batch first")
+    got.clear()
+    // commits landing while no stream runs
+    CommitLog.append(spark,
+      spark.range(300, 305).select($"id".as("k"), lit(3L).as("v"),
+        lit("p2").as("pd")), dir)
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      assert(got.asScala.flatten.toSet ==
+        Set(300L, 301L, 302L, 303L, 304L),
+        "restart must resume from the checkpoint, not re-snapshot")
+    } finally q2.stop()
+  }
+}
