@@ -1153,6 +1153,22 @@ object EngineQueries {
            |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
            |  o_totalprice, flag) VALUES (s.o_orderkey, -1L, s.delta,
            |  s.flag)""".stripMargin)
+      // round-12: WRITE-SIDE SCHEMA EVOLUTION through SQL MERGE — the
+      // session conf opts in, a column-level UPDATE assigns a NEW
+      // column `rebate` which auto-ADDs (typed by its expression);
+      // rows no clause touches read null. * 0.25 is binary-exact.
+      s.conf.set("spark.graft.merge.schemaEvolution", "true")
+      try {
+        Tables.orders(s, d).filter(col("o_orderkey") <= 8000)
+          .select(col("o_orderkey"), col("o_orderstatus").as("flag"),
+            (col("o_totalprice") * 0.25).as("r"))
+          .createOrReplaceTempView("q177_src3")
+        s.sql(
+          s"""MERGE INTO graft_lake('$lake') AS t
+             |USING q177_src3 AS s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET rebate = s.r""".stripMargin)
+      } finally s.conf.unset("spark.graft.merge.schemaEvolution")
       sys.addShutdownHook {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
@@ -1168,7 +1184,10 @@ object EngineQueries {
       s"""SELECT flag, count(*) AS n,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          |    AS sum_price,
-         |  min(o_orderkey) AS min_ok
+         |  min(o_orderkey) AS min_ok,
+         |  count(rebate) AS n_rebate,
+         |  CAST(sum(CAST(rebate AS DECIMAL(18,4))) AS DOUBLE)
+         |    AS sum_rebate
          |FROM graft_lake('$lake')
          |GROUP BY flag ORDER BY flag""".stripMargin)
   }
@@ -1206,11 +1225,18 @@ object EngineQueries {
       |  FROM t4 LEFT JOIN s2 ON t4.k = s2.k
       |  UNION ALL
       |  SELECT s2.k, -1, s2.delta, s2.f
-      |  FROM s2 LEFT JOIN t4 ON s2.k = t4.k WHERE t4.k IS NULL)
+      |  FROM s2 LEFT JOIN t4 ON s2.k = t4.k WHERE t4.k IS NULL),
+      |s3 AS (
+      |  SELECT o_orderkey AS k, o_totalprice * 0.25 AS r
+      |  FROM orders WHERE o_orderkey <= 8000),
+      |t6 AS (
+      |  SELECT t5.k, t5.p, t5.f, s3.r FROM t5 LEFT JOIN s3 ON t5.k = s3.k)
       |SELECT f AS flag, count(*) AS n,
       |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-      |  min(k) AS min_ok
-      |FROM t5 GROUP BY 1 ORDER BY flag""".stripMargin
+      |  min(k) AS min_ok,
+      |  count(r) AS n_rebate,
+      |  CAST(sum(CAST(r AS DECIMAL(18,4))) AS DOUBLE) AS sum_rebate
+      |FROM t6 GROUP BY 1 ORDER BY flag""".stripMargin
 
   // ---------------------------------------------------- q178_sql_insert
   // The pure-append SQL surface end-to-end: INSERT INTO ... SELECT (an

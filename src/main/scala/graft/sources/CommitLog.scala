@@ -1535,7 +1535,9 @@ object CommitLog {
         * `s.` namespace (`INSERT (k, v) VALUES (s.k, s.v * 2)`).
         * Unmentioned columns insert NULL; key and partition columns
         * must be assigned. None → whole-row source image. */
-      insertValues: Option[Map[String, String]] = None): Snapshot =
+      insertValues: Option[Map[String, String]] = None,
+      /** See [[mergeClauses]]' `evolveSchema`. */
+      evolveSchema: Boolean = false): Snapshot =
     // delete is evaluated BEFORE update whatever the argument order —
     // the documented contract of this arity; SQL clause order is the
     // caller's to express through [[mergeClauses]]' sequence
@@ -1544,7 +1546,8 @@ object CommitLog {
         updateWhen.map(u => MergeMatched(u, set = updateSet)),
       notMatched = insertWhen.map(i => MergeNotMatched(i, insertValues)).toSeq,
       batchId = batchId,
-      notMatchedBySourceDeleteWhen = notMatchedBySourceDeleteWhen)
+      notMatchedBySourceDeleteWhen = notMatchedBySourceDeleteWhen,
+      evolveSchema = evolveSchema)
 
   /** One MATCHED clause of a general MERGE. Clauses fire in SEQUENCE
     * order — the first whose `when` holds wins, exactly as SQL MERGE
@@ -1573,7 +1576,16 @@ object CommitLog {
       keyCols: Seq[String], partitionCol: String,
       matched: Seq[MergeMatched], notMatched: Seq[MergeNotMatched],
       batchId: Option[Long] = None,
-      notMatchedBySourceDeleteWhen: Option[String] = None): Snapshot = {
+      notMatchedBySourceDeleteWhen: Option[String] = None,
+      /** WRITE-SIDE SCHEMA EVOLUTION opt-in (also enabled session-wide
+        * by `spark.graft.merge.schemaEvolution=true`): column-level
+        * assignments may name columns NOT in the committed schema —
+        * they are auto-ADDED, typed by their expression, old rows read
+        * null; clauses not assigning them insert/keep null. Same
+        * physical-name-reuse refusal as every additive write. Off by
+        * default: an unknown assignment is usually a typo, and a typo
+        * that silently widens the table is the worst failure mode. */
+      evolveSchema: Boolean = false): Snapshot = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val s = mustLatest(spark, dir)
     if (batchId.exists(inLedger(s, _))) {
@@ -1581,11 +1593,16 @@ object CommitLog {
         s"[commitlog] batch ${batchId.get} already committed to $dir — replay skipped")
       return s
     }
+    val evolve = evolveSchema || spark.conf
+      .getOption("spark.graft.merge.schemaEvolution").exists(_.toBoolean)
     // a whole-row clause needs the full target schema in the source (and
     // may evolve it additively); column-level clauses only need the key,
     // the partition column, and whatever their expressions reference
     val wholeRowClause = matched.exists(m => !m.delete && m.set.isEmpty) ||
       notMatched.exists(_.values.isEmpty)
+    // columns column-level clauses ADD to the schema (evolve mode only),
+    // in first-assignment order
+    var evolveCols: Seq[String] = Nil
     if (wholeRowClause) checkSchemaCompatible(s, source, dir)
     else {
       (keyCols :+ partitionCol).foreach(k =>
@@ -1594,10 +1611,25 @@ object CommitLog {
             "the source (the key/partition routing)"))
       val targetSchema = logicalSchema(spark, dir, s)
       val allSets = matched.flatMap(_.set) ++ notMatched.flatMap(_.values)
-      val bad = allSets.flatMap(_.keys)
+      val unknown = allSets.flatMap(_.keys).distinct
         .filterNot(targetSchema.fieldNames.contains)
-      require(bad.isEmpty,
-        s"merge into $dir assigns unknown column(s): ${bad.mkString(", ")}")
+      if (!evolve) require(unknown.isEmpty,
+        s"merge into $dir assigns unknown column(s): " +
+          s"${unknown.mkString(", ")} — to auto-ADD them, pass " +
+          "evolveSchema = true (or set " +
+          "spark.graft.merge.schemaEvolution=true)")
+      else {
+        // additive evolution must not resurrect a physical name old
+        // files still carry — same rule as checkSchemaCompatible
+        val physTaken = targetSchema.fieldNames
+          .map(n => s.physNames.getOrElse(n, n)).toSet ++ s.retired
+        unknown.foreach(c => require(!physTaken.contains(c) &&
+          !c.startsWith("__"),
+          s"merge into $dir adds column '$c', whose physical name is " +
+            "already on disk (dropped or renamed-away) — use ALTER " +
+            "TABLE ADD COLUMNS, which assigns a fresh physical name"))
+        evolveCols = unknown
+      }
       matched.flatMap(_.set).foreach(m =>
         (keyCols :+ partitionCol).filter(m.contains).foreach(k =>
           throw new IllegalArgumentException(
@@ -1655,7 +1687,8 @@ object CommitLog {
         .foldLeft(old0) { (df, c) =>
           df.withColumn(c, lit(null).cast(source.schema(c).dataType))
         }
-    val outCols = aligned.columns.toSeq.filterNot(_.startsWith("__"))
+    val outCols = aligned.columns.toSeq.filterNot(_.startsWith("__")) ++
+      evolveCols // evolved columns append after the committed schema
     val t = aligned.withColumn("__t_present", lit(1)).as("t")
     val sv = source.withColumn("__s_present", lit(1)).as("s")
     val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k"))
@@ -1687,20 +1720,26 @@ object CommitLog {
     // committed type and evaluated against the PRE-merge (t, s) pair.
     // Only clauses that exist contribute a branch — an absent clause
     // must not force its image's source columns to resolve (a slim
-    // column-level source has no s.<every-column>).
+    // column-level source has no s.<every-column>). An EVOLVED column
+    // has no committed type yet (its expression's type stands) and no
+    // target value (clauses not assigning it write null).
+    def castTo(c: String)(e: Column): Column =
+      if (aligned.columns.contains(c)) e.cast(aligned.schema(c).dataType)
+      else e
+    def keepOrNull(c: String): Column =
+      if (aligned.columns.contains(c)) col(s"t.$c") else lit(null)
     def updImage(set: Option[Map[String, String]])(c: String): Column =
       set match {
         case None => col(s"s.$c")
-        case Some(m) => m.get(c)
-          .map(e => expr(e).cast(aligned.schema(c).dataType))
-          .getOrElse(col(s"t.$c"))
+        case Some(m) => m.get(c).map(e => castTo(c)(expr(e)))
+          .getOrElse(keepOrNull(c))
       }
     def insImage(values: Option[Map[String, String]])(c: String): Column =
       values match {
         case None => col(s"s.$c")
-        case Some(m) => m.get(c)
-          .map(e => expr(e).cast(aligned.schema(c).dataType))
-          .getOrElse(lit(null).cast(aligned.schema(c).dataType))
+        case Some(m) => m.get(c).map(e => castTo(c)(expr(e)))
+          .getOrElse(if (aligned.columns.contains(c))
+            lit(null).cast(aligned.schema(c).dataType) else lit(null))
       }
     val branches: Seq[(Int, String => Column)] =
       matched.zipWithIndex.collect {
@@ -1712,10 +1751,14 @@ object CommitLog {
       .withColumn("__take", take)
       .filter(col("__take") =!= 0)
       .select(outCols.map { c =>
-        branches.foldRight(col(s"t.$c")) { case ((tk, img), els) =>
+        branches.foldRight(keepOrNull(c)) { case ((tk, img), els) =>
           when(col("__take") === tk, img(c)).otherwise(els)
         }.as(c)
       }: _*)
+    evolveCols.foreach(c => require(
+      post.schema(c).dataType != org.apache.spark.sql.types.NullType,
+      s"merge into $dir cannot infer a type for evolved column '$c' — " +
+        "every assignment to it is a bare NULL; cast one explicitly"))
     val newRels = stageWrite(spark, dir, post, Seq(partitionCol),
       s.physNames)
     // full-table clause ⇒ whole-table conflict unit (like compact): any
@@ -1727,10 +1770,22 @@ object CommitLog {
     commitRebase(spark, dir,
       StagedUpsert(s, touchedParts, touched.toSet,
         newRels, batchId,
-        // schema evolution only through whole-row clauses; column-level
-        // clauses assign existing columns by contract
+        // schema evolution through whole-row clauses (source image) or,
+        // under the evolve opt-in, column-level assignments to new
+        // columns (typed by the post projection, nullable — old rows
+        // read null)
         if (wholeRowClause) Some(org.apache.spark.sql.types.StructType(
           source.schema.filterNot(_.name.startsWith("__"))).json)
+        else if (evolveCols.nonEmpty) Some({
+          // evolved columns slot BEFORE the hive partition columns —
+          // the parquet read surfaces partition columns last, and the
+          // committed order must match what every read returns
+          val (partF, dataF) = logicalSchema(spark, dir, s).fields
+            .partition(f => partColsOf(s).contains(f.name))
+          org.apache.spark.sql.types.StructType(dataF ++
+            evolveCols.map(c => post.schema(c).copy(nullable = true)) ++
+            partF).json
+        })
         else None),
       "merge", maxRetries = 10)
   }

@@ -334,6 +334,50 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("write-side schema evolution: column-level assignments to NEW " +
+    "columns auto-ADD them under the opt-in; off by default") {
+    val dir = freshLake()
+    val src = Seq((10L, "hot", "p0"), (8000L, "cold", "p1"))
+      .toDF("k", "tag", "pd")
+    // default: unknown assignment is a loud typo guard naming the opt-in
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.merge(spark, dir, src, Seq("k"), "pd",
+        updateWhen = Some("true"), insertWhen = Some("true"),
+        updateSet = Some(Map("note" -> "s.tag")),
+        insertValues = Some(Map("k" -> "s.k", "pd" -> "s.pd",
+          "note" -> "s.tag")))
+    }
+    assert(e.getMessage.contains("note") &&
+      e.getMessage.contains("evolveSchema"))
+    // opted in: 'note' is added (string, from the expression type);
+    // matched k=10 gets its tag, inserted k=8000 gets its tag + null v,
+    // every untouched row reads null note
+    CommitLog.merge(spark, dir, src, Seq("k"), "pd",
+      updateWhen = Some("true"), insertWhen = Some("true"),
+      updateSet = Some(Map("note" -> "s.tag")),
+      insertValues = Some(Map("k" -> "s.k", "pd" -> "s.pd",
+        "note" -> "s.tag")),
+      evolveSchema = true)
+    val out = CommitLog.read(spark, dir)
+    assert(out.columns.toSeq == Seq("k", "v", "note", "pd"),
+      "evolved column lands before the hive partition column")
+    val notes = out.select($"k", $"note").as[(Long, Option[String])]
+      .collect().toMap
+    assert(notes(10L).contains("hot") && notes(8000L).contains("cold"))
+    assert(notes(11L).isEmpty, "untouched rows read null for the new column")
+    assert(out.filter($"k" === 8000L).select($"v").head().isNullAt(0))
+    // the session-wide conf is the same opt-in (SQL front door path)
+    val src2 = Seq((12L, 5L, "p0")).toDF("k", "delta", "pd")
+    spark.conf.set("spark.graft.merge.schemaEvolution", "true")
+    try CommitLog.merge(spark, dir, src2, Seq("k"), "pd",
+      updateWhen = Some("true"), insertWhen = None,
+      updateSet = Some(Map("bonus" -> "t.v + s.delta")))
+    finally spark.conf.unset("spark.graft.merge.schemaEvolution")
+    val row = CommitLog.read(spark, dir).filter($"k" === 12L)
+      .select($"bonus").as[Option[Long]].head()
+    assert(row.contains(17L), "evolved column from a t/s expression")
+  }
+
   test("column-level INSERT into an all-new partition keeps the " +
     "COMMITTED schema (assignments not in the source survive; " +
     "clause-input columns are not persisted)") {
