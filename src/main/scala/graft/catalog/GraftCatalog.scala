@@ -120,6 +120,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val p = nsPath(namespace)
     if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(p).filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith("_") && // CTAS staging, log dirs
         isTableDir(st.getPath))
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
@@ -163,21 +164,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       CommitLog.versionAsOf(spark, tableDirOf(ident), timestamp / 1000L)))
   }
 
-  override def createTable(ident: Identifier, columns: Array[Column],
-      partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    if (!fs.exists(nsPath(ident.namespace())))
-      throw new NoSuchNamespaceException(ident.namespace())
+  /** The CREATE commit's metadata, shared by [[createTable]] and the
+    * atomic-CTAS staging path ([[createStaged]]). */
+  private def createMeta(columns: Array[Column], partitions: Seq[Transform],
+      props: Map[String, String]): (StructType, Seq[String], Seq[String],
+      Map[String, String]) = {
     val schema = CatalogBridge.toStructType(columns)
-    val partCols = partitions.toSeq.map {
+    val partCols = partitions.map {
       case t if t.name == "identity" =>
         t.references.head.fieldNames.mkString(".")
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName supports identity PARTITIONED BY columns " +
           s"only (hive layout); got: $other")
     }
-    val props = properties.asScala.toMap
     props.get(TableCatalog.PROP_LOCATION).foreach(_ =>
       throw new IllegalArgumentException(
         s"catalog $catalogName manages table locations under its " +
@@ -189,9 +188,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
       TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_TABLE_TYPE,
       "graft.statscols")
-    val dir = tableDirOf(ident)
-    CommitLog.create(spark, dir, schema, partCols, statsCols, keep)
+    (schema, partCols, statsCols, keep)
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!fs.exists(nsPath(ident.namespace())))
+      throw new NoSuchNamespaceException(ident.namespace())
+    val (schema, partCols, statsCols, keep) =
+      createMeta(columns, partitions.toSeq, properties.asScala.toMap)
+    CommitLog.create(spark, tableDirOf(ident), schema, partCols,
+      statsCols, keep)
     load(ident, None)
+  }
+
+  /** [[createTable]]'s commit landed at a writer-private STAGING
+    * directory instead of the table path — the first half of the atomic
+    * CTAS ([[GraftCtasCommand]]: stage create + append, publish with
+    * one rename). Validates the namespace and the target name, but
+    * deliberately does NOT claim the name — the publish rename is the
+    * single commit point. */
+  def createStaged(ident: Identifier, stagingDir: String,
+      columns: Array[Column], partitions: Seq[Transform],
+      properties: Map[String, String]): Unit = {
+    if (!fs.exists(nsPath(ident.namespace())))
+      throw new NoSuchNamespaceException(ident.namespace())
+    checkPart(ident.name())
+    val (schema, partCols, statsCols, keep) =
+      createMeta(columns, partitions, properties)
+    CommitLog.create(spark, stagingDir, schema, partCols, statsCols, keep)
   }
 
   override def alterTable(ident: Identifier,

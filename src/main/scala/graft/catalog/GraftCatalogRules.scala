@@ -208,10 +208,17 @@ case class GraftTruncateCommand(dir: String) extends LeafRunnableCommand {
   }
 }
 
-/** CREATE TABLE ... AS SELECT: catalog create (CAS commit) + append.
-  * Non-atomic across the two commits — a crash between them leaves an
-  * empty created table, never torn data — matching every non-staging
-  * v2 catalog. */
+/** CREATE TABLE ... AS SELECT — ATOMIC: the create commit and the data
+  * append land in a writer-private `_`-prefixed STAGING directory
+  * beside the table (invisible to listings and name resolution), then
+  * one filesystem rename publishes the fully-formed table. A crash or
+  * query failure anywhere before the rename leaves NO table — the
+  * staging dir is deleted on failure (or swept as `_`-garbage after a
+  * hard crash); a lost name race surfaces as TableAlreadyExists with
+  * nothing published. This realizes the intent of Spark's
+  * `StagingTableCatalog` directly: the engine's tables carry no v2
+  * write capability, so the staged-write interface would be dead
+  * weight — this command IS the whole CTAS path. */
 case class GraftCtasCommand(catalog: GraftCatalog, ident: Identifier,
     partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
     properties: Map[String, String], queryPlan: LogicalPlan,
@@ -224,11 +231,26 @@ case class GraftCtasCommand(catalog: GraftCatalog, ident: Identifier,
         .TableAlreadyExistsException(ident)
     }
     val rows = ColumnBridge.ofRows(spark, queryPlan)
-    import scala.jdk.CollectionConverters._
-    catalog.createTable(ident, CatalogBridge.toV2Columns(rows.schema),
-      partitioning.toArray, properties.asJava)
-    val dir = catalog.tableDirOf(ident)
-    val snap = CommitLog.append(spark, rows, dir)
+    val dir = new org.apache.hadoop.fs.Path(catalog.tableDirOf(ident))
+    val staging = new org.apache.hadoop.fs.Path(dir.getParent,
+      s"_staging_ctas_${java.util.UUID.randomUUID.toString.take(8)}")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap =
+      try {
+        catalog.createStaged(ident, staging.toString,
+          CatalogBridge.toV2Columns(rows.schema), partitioning, properties)
+        CommitLog.append(spark, rows, staging.toString)
+      } catch { case e: Throwable =>
+        fs.delete(staging, true)
+        throw e
+      }
+    // one atomic publish; a lost name race cleans up and reports
+    if (catalog.tableExists(ident) || !fs.rename(staging, dir)) {
+      fs.delete(staging, true)
+      if (ignoreIfExists) return Seq(Row(-1L, "noop"))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    }
     Seq(Row(snap.version, snap.op))
   }
 }

@@ -1782,13 +1782,15 @@ object EngineQueries {
       |FROM t3 GROUP BY 1, 2 ORDER BY flag, b""".stripMargin
 
   // ------------------------------------------------------ q186_widen
-  // TYPE WIDENING end-to-end: the fixture commits an INT column, widens
-  // it to BIGINT with a zero-file ALTER COLUMN TYPE commit, then
-  // inserts a value only the wide type can hold. The serving aggregate
-  // reads old (int-stored, scan-upcast) and new (long-stored) files
-  // under one committed schema; the DuckDB oracle recomputes the union,
-  // so the hash-match proves the upcast is value-exact and the DDL
-  // routed through the parser and the commit log.
+  // TYPE WIDENING end-to-end: the fixture commits an INT column and a
+  // DECIMAL(10,2) column, widens them with zero-file ALTER COLUMN TYPE
+  // commits — int→bigint, then bigint→DECIMAL(20,0) and
+  // decimal(10,2)→DECIMAL(14,2) (the round-12 decimal lattice edges) —
+  // then inserts values only the wide types can hold. The serving
+  // aggregate reads old (narrow-stored, scan-upcast) and new
+  // (wide-stored) files under one committed schema; the DuckDB oracle
+  // recomputes the union, so the hash-match proves every upcast is
+  // value-exact and the DDL routed through the parser and commit log.
   private val q186Lakes = scala.collection.concurrent.TrieMap[String, String]()
   private def q186Lake(s: SparkSession, d: String): String =
     q186Lakes.getOrElseUpdate(d, {
@@ -1797,12 +1799,17 @@ object EngineQueries {
       Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
         .select(col("o_orderkey"),
           col("o_custkey").cast("int").as("ck"),
+          col("o_totalprice").cast("decimal(10,2)").as("amt"),
           col("o_orderstatus").as("flag"))
         .write.partitionBy("flag").parquet(lake)
       graft.sources.CommitLog.init(s, lake)
       s.sql(s"ALTER TABLE graft_lake('$lake') ALTER COLUMN ck TYPE BIGINT")
+      s.sql(s"ALTER TABLE graft_lake('$lake') ALTER COLUMN ck " +
+        "TYPE DECIMAL(20,0)")
+      s.sql(s"ALTER TABLE graft_lake('$lake') ALTER COLUMN amt " +
+        "TYPE DECIMAL(14,2)")
       s.sql(s"INSERT INTO graft_lake('$lake') VALUES " +
-        "(9999991, 8000000000, 'F')")
+        "(9999991, 8000000000, 123456789012.34, 'F')")
       sys.addShutdownHook {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
@@ -1816,18 +1823,26 @@ object EngineQueries {
     val lake = q186Lake(s, d)
     s.sql(
       s"""SELECT flag, count(*) AS n,
-         |  CAST(sum(ck) AS BIGINT) AS sum_ck, max(ck) AS max_ck
+         |  CAST(sum(ck) AS BIGINT) AS sum_ck,
+         |  CAST(max(ck) AS BIGINT) AS max_ck,
+         |  CAST(sum(amt) AS DOUBLE) AS sum_amt,
+         |  CAST(max(amt) AS DOUBLE) AS max_amt
          |FROM graft_lake('$lake')
          |GROUP BY flag ORDER BY flag""".stripMargin)
   }
 
   private val q186Sql =
     """WITH t AS (
-      |  SELECT o_custkey AS ck, o_orderstatus AS f
+      |  SELECT o_custkey AS ck,
+      |    CAST(o_totalprice AS DECIMAL(10,2)) AS amt, o_orderstatus AS f
       |  FROM orders WHERE o_orderkey <= 20000
-      |  UNION ALL SELECT 8000000000, 'F')
+      |  UNION ALL
+      |  SELECT 8000000000, CAST(123456789012.34 AS DECIMAL(14,2)), 'F')
       |SELECT f AS flag, count(*) AS n,
-      |  CAST(sum(ck) AS BIGINT) AS sum_ck, max(ck) AS max_ck
+      |  CAST(sum(ck) AS BIGINT) AS sum_ck,
+      |  CAST(max(ck) AS BIGINT) AS max_ck,
+      |  CAST(sum(amt) AS DOUBLE) AS sum_amt,
+      |  CAST(max(amt) AS DOUBLE) AS max_amt
       |FROM t GROUP BY 1 ORDER BY flag""".stripMargin
 
   // ------------------------------------------------- q175_meta_distinct

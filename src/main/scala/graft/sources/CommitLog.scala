@@ -768,8 +768,12 @@ object CommitLog {
   /** Is `from` → `to` a SAFE type widening the parquet reader upcasts
     * natively (verified on this Spark: requesting the wider type over
     * files storing the narrower one returns exact values)? The commit
-    * log's whole type-evolution story rests on this lattice — integral
-    * chain and float→double only; everything else is a loud reject. */
+    * log's whole type-evolution story rests on this lattice — the
+    * integral chain, float→double, and the DECIMAL edges (integral →
+    * decimal with enough integer digits; decimal → decimal that grows
+    * scale without shrinking integer digits — the Delta widening rule);
+    * everything else is a loud reject. Float/double → decimal is NOT
+    * here: binary fractions don't round-trip decimally. */
   private[sources] def widens(from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
@@ -778,6 +782,16 @@ object CommitLog {
       case (ShortType, IntegerType | LongType) => true
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
+      // integral → decimal: the target needs every integer digit the
+      // source can carry (3/5/10/20 — Long takes 19 digits; 20 is the
+      // Delta-parity bound)
+      case (ByteType, d: DecimalType) => d.precision - d.scale >= 3
+      case (ShortType, d: DecimalType) => d.precision - d.scale >= 5
+      case (IntegerType, d: DecimalType) => d.precision - d.scale >= 10
+      case (LongType, d: DecimalType) => d.precision - d.scale >= 20
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale
       case _ => false
     }
   }
@@ -1045,7 +1059,8 @@ object CommitLog {
     require(widens(cur, to),
       s"alterColumnType on $dir: ${cur.simpleString} -> " +
         s"${to.simpleString} is not a safe widening (supported: " +
-        "byte<short<int<long, float<double)")
+        "byte<short<int<long, float<double, integral->decimal with " +
+        "enough integer digits, decimal->wider decimal)")
     anchoredCols(s).get(name).foreach(role =>
       throw new IllegalArgumentException(
         s"alterColumnType on $dir: '$name' is $role — its persisted " +

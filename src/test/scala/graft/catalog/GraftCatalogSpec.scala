@@ -338,6 +338,33 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(rows("gcat.db.t9").size == 5, "failed write must land nothing")
   }
 
+  test("CTAS is atomic: a query that fails mid-write leaves NO table " +
+    "and no staging garbage") {
+    wh
+    val boom = org.apache.spark.sql.functions.udf((k: Long) => {
+      if (k == 7L) throw new RuntimeException("ctas poison")
+      k
+    })
+    spark.udf.register("gcat_ctas_boom", boom)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db.t18 AS " +
+        "SELECT gcat_ctas_boom(id) AS k, 'p' AS pd FROM range(0, 100)")
+    }
+    assert(!spark.sql("SHOW TABLES IN gcat.db").collect()
+      .map(_.getString(1)).contains("t18"),
+      "failed CTAS must not publish a table")
+    intercept[Exception] { spark.sql("SELECT * FROM gcat.db.t18").collect() }
+    assert(!new java.io.File(s"$wh/db/t18").exists(),
+      "failed CTAS must leave no table directory")
+    assert(!new java.io.File(s"$wh/db").listFiles()
+      .exists(_.getName.startsWith("_staging_ctas_")),
+      "failed CTAS must clean its staging directory")
+    // the name is free: the same CTAS (unpoisoned) succeeds afterwards
+    spark.sql("CREATE TABLE gcat.db.t18 AS " +
+      "SELECT id AS k, id AS v, 'p' AS pd FROM range(0, 5)")
+    assert(rows("gcat.db.t18") == (0L until 5L).map(i => (i, i, "p")).toSet)
+  }
+
   test("dynamic partition overwrite on a TWO-level partitioned table " +
     "replaces only the touched (pd1, pd2) tuples") {
     wh

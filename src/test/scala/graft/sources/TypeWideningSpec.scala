@@ -74,6 +74,55 @@ class TypeWideningSpec extends AnyFunSuite {
       "old narrow files upcast exactly")
   }
 
+  test("decimal lattice edges: int->decimal, long->decimal(>=20), " +
+    "decimal->wider decimal; unsafe decimal shapes reject") {
+    val dir = Files.createTempDirectory("graft_tw_dec_").toString + "/lake"
+    spark.range(0, 50)
+      .select($"id".as("k"), ($"id" % 90 + 10).cast("int").as("v"),
+        (($"id" % 900) + lit(0.25)).cast("decimal(10,2)").as("amt"),
+        lit("p0").as("pd"))
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir)
+    val filesBefore = CommitLog.latest(spark, dir).get.files
+    CommitLog.alterColumnType(spark, dir, "v", DecimalType(12, 2))
+    CommitLog.alterColumnType(spark, dir, "amt", DecimalType(16, 4))
+    assert(CommitLog.latest(spark, dir).get.files == filesBefore,
+      "decimal widening is a zero-file commit")
+    val df = CommitLog.read(spark, dir)
+    assert(df.schema("v").dataType == DecimalType(12, 2))
+    assert(df.schema("amt").dataType == DecimalType(16, 4))
+    // int-stored and decimal(10,2)-stored files upcast value-exactly
+    assert(df.agg(sum($"v")).head().getDecimal(0).longValue ==
+      (0L until 50L).map(_ % 90 + 10).sum)
+    assert(df.filter($"k" === 3).select($"amt").head().getDecimal(0)
+      .toString == "3.2500")
+    // a write needing the wide types lands and reads back
+    CommitLog.append(spark, Seq((500L, BigDecimal("9999999999.99"),
+      BigDecimal("123456789012.3456"), "p0")).toDF("k", "v", "amt", "pd")
+      .select($"k", $"v".cast("decimal(12,2)").as("v"),
+        $"amt".cast("decimal(16,4)").as("amt"), $"pd"), dir)
+    assert(CommitLog.read(spark, dir).filter($"k" === 500)
+      .select($"v").head().getDecimal(0).toString == "9999999999.99")
+    // long needs >= 20 integer digits; int needs >= 10; decimal cannot
+    // lose scale or integer digits
+    val d2 = Files.createTempDirectory("graft_tw_dec2_").toString + "/lake"
+    spark.range(0, 5).select($"id".as("k"), $"id".as("big"),
+      $"id".cast("decimal(10,4)").as("m"), lit("p0").as("pd"))
+      .write.partitionBy("pd").parquet(d2)
+    CommitLog.init(spark, d2)
+    intercept[IllegalArgumentException] {
+      CommitLog.alterColumnType(spark, d2, "big", DecimalType(19, 0))
+    }
+    CommitLog.alterColumnType(spark, d2, "big", DecimalType(22, 2))
+    intercept[IllegalArgumentException] {
+      CommitLog.alterColumnType(spark, d2, "m", DecimalType(12, 2)) // -scale
+    }
+    intercept[IllegalArgumentException] {
+      CommitLog.alterColumnType(spark, d2, "m", DecimalType(11, 6)) // -int
+    }
+    CommitLog.alterColumnType(spark, d2, "m", DecimalType(12, 6))
+  }
+
   test("guards: off-lattice changes, anchored columns, unknown columns") {
     val dir = freshLake()
     intercept[IllegalArgumentException] {
