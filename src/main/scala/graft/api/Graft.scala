@@ -191,10 +191,13 @@ object Graft {
         k: Int): DataFrame =
       Similarity.bruteForceTopK(queries, df, idCol, vecCol, k)
 
-    /** Approximate top-k via random-hyperplane LSH buckets. */
+    /** Approximate top-k via random-hyperplane LSH buckets (multi-table
+      * defaults — see [[Similarity.annTopK]] for the operating point). */
     def annNeighbors(queries: DataFrame, idCol: String, vecCol: String,
-        k: Int, planes: Int = 8, dim: Int = 64): DataFrame =
-      Similarity.annTopK(queries, df, idCol, vecCol, k, planes, dim)
+        k: Int, planes: Int = 5, dim: Int = 64,
+        tables: Int = 4): DataFrame =
+      Similarity.annTopK(queries, df, idCol, vecCol, k, planes, dim,
+        tables = tables)
 
     /** Per-label prototype (centroid) vectors, decimal-exact. */
     def labelCentroids(labelCol: String, vecCol: String): DataFrame =
