@@ -64,7 +64,17 @@ object ScaleProof {
         // quadratic BY DESIGN and excluded from the scale run
         "q107_pagerank", "q111_basket", "q127_bfs", "q112_triangles",
         "q71_moments", "q130_geo_grid", "q21_dedup_minhash",
-        "q100_bloom_join", "q78_sql_volume", "q50_components")
+        "q100_bloom_join", "q78_sql_volume", "q50_components",
+        // round-12 engine-surface proofs at sf1: the catalog lifecycle
+        // (DDL+DML on named tables), the v2 write surface with
+        // multi-level dynamic overwrite, the multi-clause evolving SQL
+        // MERGE, widen-then-aggregate, and the streaming table read —
+        // each builds its lake off the sf1 orders scan, so the run
+        // measures that commits stay churn-sized while the scan side
+        // grows 10x (the "metadata commits are O(1) at any size" claim,
+        // measured)
+        "q184_catalog", "q185_catalog_write", "q177_sql_dml",
+        "q186_widen", "q187_stream_table")
     // local[8], not local[32]: saturating every advertised CPU trips the
     // host's kernel-side thrash (measured 4-25x inflation at local[32] on
     // identical plans); 8 cores is also how you'd size a real executor

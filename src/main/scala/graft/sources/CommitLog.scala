@@ -407,6 +407,60 @@ object CommitLog {
     } else toLogical(end, rawRead(spark, dir, end, added))
   }
 
+  /** The data files ADDED by commit `v` alone (sorted), under the
+    * streaming-read policy of [[addedRows]]: compactions and metadata
+    * commits add nothing; a change commit aborts or (skipChangeCommits)
+    * adds nothing. `v = firstVersion` returns the snapshot's full file
+    * list — there is no predecessor to diff against. Metadata-plane:
+    * two version-file reads. */
+  private[graft] def addedFilesAt(spark: SparkSession, dir: String,
+      v: Long, skipChangeCommits: Boolean): Seq[String] = {
+    val cur = snapshotAt(spark, dir, v)
+    val f = hadoopFs(spark, dir)
+    if (!f.exists(versionFile(dir, v - 1))) return cur.files.sorted
+    val prev = snapshotAt(spark, dir, v - 1)
+    if (cur.op == "compact") Nil
+    else {
+      val pf = prev.files.toSet
+      val removed = pf.exists(x => !cur.files.contains(x))
+      val dvAdded = cur.dvs.exists(r => !prev.dvs.contains(r))
+      if (removed || dvAdded) {
+        if (skipChangeCommits) Nil
+        else throw new IllegalStateException(
+          s"streaming read of $dir found a non-append commit at " +
+            s"version $v (op=${cur.op}) — restart the stream from a " +
+            "fresh snapshot, or set skipChangeCommits=true to stream " +
+            "appends only")
+      } else cur.files.filterNot(pf).sorted
+    }
+  }
+
+  /** Rows of specific dir-relative `files` under version `v`'s
+    * committed schema — WITHOUT `v`'s deletion vectors when
+    * `applyDvs = false` (appended files of an append commit carry no
+    * tombstones; a later MoR delete is a change commit the streaming
+    * policy already judged). The chunked streaming read's batch
+    * reader. */
+  private[graft] def readRelFiles(spark: SparkSession, dir: String,
+      v: Long, files: Seq[String], applyDvs: Boolean): DataFrame = {
+    val s = snapshotAt(spark, dir, v)
+    if (files.isEmpty) {
+      val j = s.schemaJson.getOrElse(throw new IllegalStateException(
+        s"$dir carries no committed schema — cannot shape an empty batch"))
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+    if (applyDvs) readFiles(spark, dir, s, files)
+    else toLogical(s, rawRead(spark, dir, s, files))
+  }
+
+  /** The snapshot's full sorted file list and version (the chunked
+    * streaming read's initial-snapshot pending list). */
+  private[graft] def filesAt(spark: SparkSession, dir: String,
+      v: Long): Seq[String] = snapshotAt(spark, dir, v).files.sorted
+
   /** Timestamp time travel: the table as of wall-clock `tsMillis` — the
     * newest version whose commit stamp is ≤ the timestamp (`TIMESTAMP AS
     * OF`, completing [[readAt]]'s `VERSION AS OF`). Resolution is

@@ -37,29 +37,127 @@ import graft.sources.CommitLog
   * never scans the table. */
 class LakeStreamSource(spark: SparkSession, dir: String,
     srcSchema: StructType, baseVersion: Option[Long],
-    skipChangeCommits: Boolean) extends Source {
+    skipChangeCommits: Boolean,
+    maxFilesPerTrigger: Option[Int] = None) extends Source {
 
   override def schema: StructType = srcSchema
 
-  /** Newest committed version — one version-file read per poll. */
-  override def getOffset: Option[Offset] =
-    CommitLog.latest(spark, dir).map(s => LongOffset(s.version))
+  /** File-granular stream position: everything through version `v`'s
+    * first `i` pending files is delivered (`i = Int.MaxValue` ⇒ all of
+    * `v`). The plain-long wire form is kept when the stream is
+    * unthrottled, so existing checkpoints keep resolving. */
+  private case class Pos(v: Long, i: Int) extends Offset {
+    override def json: String =
+      if (i == Int.MaxValue) v.toString else s"""{"v":$v,"i":$i}"""
+  }
+  private object Pos {
+    private val J = """\{\s*"v"\s*:\s*(\d+)\s*,\s*"i"\s*:\s*(\d+)\s*\}""".r
+    def of(o: Offset): Pos = o match {
+      case p: Pos => p
+      case l: LongOffset => Pos(l.offset, Int.MaxValue)
+      case other => other.json.trim match {
+        case J(v, i) => Pos(v.toLong, i.toInt)
+        case plain => Pos(plain.toLong, Int.MaxValue)
+      }
+    }
+  }
 
-  /** A restarted stream replays offsets from the checkpoint log as
-    * opaque JSON — [[LongOffset]]'s json is its number. */
-  private def versionOf(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong
+  /** Files version `v` contributes to the stream: the full snapshot at
+    * the subscription version in initial-snapshot mode, the per-commit
+    * additions afterwards. Metadata-plane; memoized (a version's list
+    * is immutable). */
+  private val pendingCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[String]]()
+  private def pending(v: Long, snapshotAtV: Boolean): Seq[String] =
+    pendingCache.computeIfAbsent(v, _ =>
+      if (snapshotAtV) CommitLog.filesAt(spark, dir, v)
+      else CommitLog.addedFilesAt(spark, dir, v, skipChangeCommits))
+
+  /** The subscription version (initial-snapshot mode: the version whose
+    * full file list seeds the stream), fixed at first use. */
+  private lazy val subV: Long = baseVersion.getOrElse(
+    CommitLog.latest(spark, dir).map(_.version).getOrElse(
+      throw new IllegalStateException(s"$dir has no commit log")))
+  private def snapshotVersion: Option[Long] =
+    if (baseVersion.isEmpty) Some(subV) else None
+
+  /** Last position handed out (getOffset) or observed (getBatch) —
+    * restart-safe because MicroBatchExecution replays the last batch
+    * through getBatch before polling again. */
+  @volatile private var cursor: Option[Pos] = None
+
+  override def getOffset: Option[Offset] = {
+    val latest = CommitLog.latest(spark, dir).map(_.version)
+      .getOrElse(return None)
+    maxFilesPerTrigger match {
+      case None =>
+        if (latest < subV) None else Some(Pos(latest, Int.MaxValue))
+      case Some(max) =>
+        // walk the pending lists forward from the cursor, at most `max`
+        // files — the initial snapshot and any backlog drain in bounded
+        // micro-batches instead of one table-sized batch
+        var Pos(v, i) = cursor.getOrElse(
+          Pos(subV, if (baseVersion.isEmpty) 0 else Int.MaxValue))
+        var budget = max
+        var moved = false
+        while (budget > 0 && v <= latest) {
+          val pend = pending(v, snapshotVersion.contains(v)).size
+          val cur = if (i == Int.MaxValue) pend else math.min(i, pend)
+          if (cur < pend) {
+            val take = math.min(budget, pend - cur)
+            i = cur + take; budget -= take; moved = true
+            if (i == pend) i = Int.MaxValue
+          } else if (v < latest) { v += 1; i = 0 }
+          else return cursorAdvance(v, i, moved)
+        }
+        cursorAdvance(v, i, moved)
+    }
+  }
+
+  private def cursorAdvance(v: Long, i: Int, moved: Boolean)
+      : Option[Offset] = {
+    if (!moved && cursor.isDefined) return cursor // no new data
+    val p = Pos(v, i)
+    cursor = Some(p)
+    Some(p)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val toV = versionOf(end)
-    val df = start.map(versionOf).orElse(baseVersion) match {
-      case Some(fromV) =>
-        CommitLog.addedRows(spark, dir, fromV, toV, skipChangeCommits)
-      case None => // initial snapshot at the first observed version
-        CommitLog.readAt(spark, dir, toV)
+    val e = Pos.of(end)
+    cursor = Some(e) // restart replay repositions the walk
+    val s0 = start.map(Pos.of).getOrElse(
+      Pos(subV, if (baseVersion.isEmpty) 0 else Int.MaxValue))
+    // files in (s0, e]: the rest of s0.v's pending list, whole versions
+    // between, e.v's prefix — paired with the version whose schema/DV
+    // view reads them (initial-snapshot files keep their DV filter;
+    // per-commit additions are append-only by policy)
+    def slice(v: Long, from: Int, until: Int): Seq[String] = {
+      val p = pending(v, snapshotVersion.contains(v))
+      val f = if (from == Int.MaxValue) p.size else math.min(from, p.size)
+      val u = if (until == Int.MaxValue) p.size else math.min(until, p.size)
+      p.slice(f, u)
     }
+    val byVersion: Seq[(Long, Seq[String])] =
+      if (s0.v == e.v) Seq(e.v -> slice(e.v, s0.i, e.i))
+      else (s0.v -> slice(s0.v, s0.i, Int.MaxValue)) +:
+        ((s0.v + 1) until e.v).map(v => v -> slice(v, 0, Int.MaxValue)) :+
+        (e.v -> slice(e.v, 0, e.i))
+    val parts = byVersion.filter(_._2.nonEmpty).map { case (v, files) =>
+      CommitLog.readRelFiles(spark, dir, v, files,
+        applyDvs = snapshotVersion.contains(v))
+    }
+    val df =
+      if (parts.isEmpty)
+        CommitLog.readRelFiles(spark, dir, e.v, Nil, applyDvs = false)
+      else parts.reduce(_ unionByName _)
+    // schema evolution mid-stream: the committed shape no longer matches
+    // the subscription's — fail loudly; a restart picks up the new
+    // schema (the Delta contract)
+    require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      srcSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"streaming read of $dir: the table schema changed under the " +
+        s"subscription (${srcSchema.simpleString} -> " +
+        s"${df.schema.simpleString}) — restart the stream to pick it up")
     StreamBridge.asStreaming(df)
   }
 
@@ -118,6 +216,12 @@ class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val skip = parameters.exists { case (k, v) =>
       k.equalsIgnoreCase("skipChangeCommits") && v.toBoolean
     }
-    new LakeStreamSource(spark, dir, schema.getOrElse(committed), base, skip)
+    val maxFiles = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") => v.toInt
+    }
+    maxFiles.foreach(m => require(m > 0,
+      s"maxFilesPerTrigger must be positive, got $m"))
+    new LakeStreamSource(spark, dir, schema.getOrElse(committed), base,
+      skip, maxFiles)
   }
 }
