@@ -34,30 +34,45 @@ import graft.sources.CommitLog
   * capability-less v2 table — [[graft.catalog.ResolveGraftCatalogOps]]),
   * and the path API. At 100 TB each poll reads one version file and
   * each batch reads exactly the appended files — the subscription
-  * never scans the table. */
+  * never scans the table; `maxFilesPerTrigger` bounds every
+  * micro-batch (offsets are file-granular `(version, fileIndex)`
+  * positions), so a 100 TB initial snapshot or a long backlog drains
+  * in executor-sized steps instead of one table-sized batch. Admission
+  * control rides [[SupportsAdmissionControl]] — the engine hands
+  * `latestOffset` the start position every poll, so the source holds
+  * NO cursor state and restarts are exact by construction. */
 class LakeStreamSource(spark: SparkSession, dir: String,
     srcSchema: StructType, baseVersion: Option[Long],
     skipChangeCommits: Boolean,
-    maxFilesPerTrigger: Option[Int] = None) extends Source {
+    maxFilesPerTrigger: Option[Int] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   override def schema: StructType = srcSchema
 
   /** File-granular stream position: everything through version `v`'s
     * first `i` pending files is delivered (`i = Int.MaxValue` ⇒ all of
-    * `v`). The plain-long wire form is kept when the stream is
-    * unthrottled, so existing checkpoints keep resolving. */
-  private case class Pos(v: Long, i: Int) extends Offset {
+    * `v`). `snap` marks that version `v`'s pending list is the FULL
+    * SNAPSHOT file list (the initial-snapshot version) rather than the
+    * per-commit additions — it rides the offset json because a
+    * restarted source cannot re-derive the original subscription
+    * version (the table has moved on), and misreading a later commit
+    * as "the snapshot" would re-deliver the whole table. The
+    * plain-long wire form is kept for version-boundary positions, so
+    * existing checkpoints keep resolving. */
+  private case class Pos(v: Long, i: Int, snap: Boolean) extends Offset {
     override def json: String =
-      if (i == Int.MaxValue) v.toString else s"""{"v":$v,"i":$i}"""
+      if (i == Int.MaxValue && !snap) v.toString
+      else s"""{"v":$v,"i":$i${if (snap) ""","snap":true""" else ""}}"""
   }
   private object Pos {
-    private val J = """\{\s*"v"\s*:\s*(\d+)\s*,\s*"i"\s*:\s*(\d+)\s*\}""".r
+    private val J =
+      """\{\s*"v"\s*:\s*(\d+)\s*,\s*"i"\s*:\s*(\d+)\s*(,\s*"snap"\s*:\s*true\s*)?\}""".r
     def of(o: Offset): Pos = o match {
       case p: Pos => p
-      case l: LongOffset => Pos(l.offset, Int.MaxValue)
+      case l: LongOffset => Pos(l.offset, Int.MaxValue, snap = false)
       case other => other.json.trim match {
-        case J(v, i) => Pos(v.toLong, i.toInt)
-        case plain => Pos(plain.toLong, Int.MaxValue)
+        case J(v, i, s) => Pos(v.toLong, i.toInt, snap = s != null)
+        case plain => Pos(plain.toLong, Int.MaxValue, snap = false)
       }
     }
   }
@@ -67,84 +82,104 @@ class LakeStreamSource(spark: SparkSession, dir: String,
     * additions afterwards. Metadata-plane; memoized (a version's list
     * is immutable). */
   private val pendingCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(Long, Boolean), Seq[String]]()
   private def pending(v: Long, snapshotAtV: Boolean): Seq[String] =
-    pendingCache.computeIfAbsent(v, _ =>
+    pendingCache.computeIfAbsent((v, snapshotAtV), _ =>
       if (snapshotAtV) CommitLog.filesAt(spark, dir, v)
       else CommitLog.addedFilesAt(spark, dir, v, skipChangeCommits))
 
-  /** The subscription version (initial-snapshot mode: the version whose
-    * full file list seeds the stream), fixed at first use. */
+  /** The subscription version for a FRESH query (no checkpointed
+    * offset): the latest version in initial-snapshot mode, the
+    * requested base under `startingVersion`. A RESTARTED query never
+    * consults this — the restored offset carries its own position and
+    * snapshot flag ([[Pos]]). */
   private lazy val subV: Long = baseVersion.getOrElse(
     CommitLog.latest(spark, dir).map(_.version).getOrElse(
       throw new IllegalStateException(s"$dir has no commit log")))
-  private def snapshotVersion: Option[Long] =
-    if (baseVersion.isEmpty) Some(subV) else None
 
-  /** Last position handed out (getOffset) or observed (getBatch) —
-    * restart-safe because MicroBatchExecution replays the last batch
-    * through getBatch before polling again. */
-  @volatile private var cursor: Option[Pos] = None
+  /** The walk's origin when the engine has no prior offset: the whole
+    * snapshot in initial-snapshot mode, nothing of `subV` itself under
+    * `startingVersion`. */
+  private def origin: Pos =
+    if (baseVersion.isEmpty) Pos(subV, 0, snap = true)
+    else Pos(subV, Int.MaxValue, snap = false)
 
-  override def getOffset: Option[Offset] = {
+  /** Admission control: the ENGINE hands the start position in on
+    * every poll (last available offset, checkpoint-restored after a
+    * restart), so the source is stateless and restart-exact. */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+  }
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
     val latest = CommitLog.latest(spark, dir).map(_.version)
-      .getOrElse(return None)
-    maxFilesPerTrigger match {
-      case None =>
-        if (latest < subV) None else Some(Pos(latest, Int.MaxValue))
-      case Some(max) =>
-        // walk the pending lists forward from the cursor, at most `max`
-        // files — the initial snapshot and any backlog drain in bounded
-        // micro-batches instead of one table-sized batch
-        var Pos(v, i) = cursor.getOrElse(
-          Pos(subV, if (baseVersion.isEmpty) 0 else Int.MaxValue))
-        var budget = max
+      .getOrElse(return null)
+    val start = Option(startOffset).map(o =>
+      Pos.of(o.asInstanceOf[Offset])).getOrElse(origin)
+    // only the start position's version can be the snapshot list; every
+    // later version contributes its per-commit additions
+    def snapAt(v: Long): Boolean = v == start.v && start.snap
+    limit match {
+      case m: ReadMaxFiles =>
+        // walk the pending lists forward from `start`, at most
+        // maxFiles() files — the initial snapshot and any backlog drain
+        // in bounded micro-batches instead of one table-sized batch
+        var v = start.v
+        var i = start.i
+        var budget = m.maxFiles()
         var moved = false
-        while (budget > 0 && v <= latest) {
-          val pend = pending(v, snapshotVersion.contains(v)).size
+        var done = false
+        while (!done && budget > 0 && v <= latest) {
+          val pend = pending(v, snapAt(v)).size
           val cur = if (i == Int.MaxValue) pend else math.min(i, pend)
           if (cur < pend) {
             val take = math.min(budget, pend - cur)
             i = cur + take; budget -= take; moved = true
             if (i == pend) i = Int.MaxValue
           } else if (v < latest) { v += 1; i = 0 }
-          else return cursorAdvance(v, i, moved)
+          else done = true
         }
-        cursorAdvance(v, i, moved)
+        if (moved) Pos(v, i, snapAt(v)) else startOffset
+      case _ =>
+        if (latest < start.v ||
+          (start.v == latest && start.i == Int.MaxValue)) startOffset
+        else Pos(latest, Int.MaxValue, snapAt(latest))
     }
   }
 
-  private def cursorAdvance(v: Long, i: Int, moved: Boolean)
-      : Option[Offset] = {
-    if (!moved && cursor.isDefined) return cursor // no new data
-    val p = Pos(v, i)
-    cursor = Some(p)
-    Some(p)
-  }
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "LakeStreamSource rides SupportsAdmissionControl — latestOffset")
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val e = Pos.of(end)
-    cursor = Some(e) // restart replay repositions the walk
-    val s0 = start.map(Pos.of).getOrElse(
-      Pos(subV, if (baseVersion.isEmpty) 0 else Int.MaxValue))
+    val s0 = start.map(Pos.of).getOrElse(origin)
+    def snapAt(v: Long): Boolean = v == s0.v && s0.snap
     // files in (s0, e]: the rest of s0.v's pending list, whole versions
     // between, e.v's prefix — paired with the version whose schema/DV
     // view reads them (initial-snapshot files keep their DV filter;
     // per-commit additions are append-only by policy)
     def slice(v: Long, from: Int, until: Int): Seq[String] = {
-      val p = pending(v, snapshotVersion.contains(v))
+      val p = pending(v, snapAt(v))
       val f = if (from == Int.MaxValue) p.size else math.min(from, p.size)
       val u = if (until == Int.MaxValue) p.size else math.min(until, p.size)
       p.slice(f, u)
     }
     val byVersion: Seq[(Long, Seq[String])] =
-      if (s0.v == e.v) Seq(e.v -> slice(e.v, s0.i, e.i))
+      if (e.v < s0.v) Nil // reposition replay against a fresher origin
+      else if (s0.v == e.v) Seq(e.v -> slice(e.v, s0.i, e.i))
       else (s0.v -> slice(s0.v, s0.i, Int.MaxValue)) +:
         ((s0.v + 1) until e.v).map(v => v -> slice(v, 0, Int.MaxValue)) :+
         (e.v -> slice(e.v, 0, e.i))
     val parts = byVersion.filter(_._2.nonEmpty).map { case (v, files) =>
-      CommitLog.readRelFiles(spark, dir, v, files,
-        applyDvs = snapshotVersion.contains(v))
+      CommitLog.readRelFiles(spark, dir, v, files, applyDvs = snapAt(v))
     }
     val df =
       if (parts.isEmpty)
@@ -188,8 +223,12 @@ class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val snap = CommitLog.latest(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"$dir has no commit log — streaming reads need a graft table"))
-    val (schema, _, _) = CommitLog.tableMeta(spark, dir, snap)
-    (schema, snap.version)
+    val (schema, partCols, _) = CommitLog.tableMeta(spark, dir, snap)
+    // declared order must match what every batch read returns: the
+    // parquet scan surfaces hive partition columns LAST
+    val (partF, dataF) = schema.fields.partition(f =>
+      partCols.contains(f.name))
+    (StructType(dataF ++ partF), snap.version)
   }
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],

@@ -145,6 +145,106 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maxFilesPerTrigger chunks the initial snapshot and backlog " +
+    "into bounded micro-batches, delivering every row exactly once") {
+    val w = work(); val dir = s"$w/lake"
+    // 6 files: 3 partitions x 2 files
+    spark.range(0, 60).repartition(2)
+      .select($"id".as("k"), ($"id" % 7).as("v"),
+        concat(lit("p"), ($"id" % 3)).as("pd"))
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir)
+    val nFiles = CommitLog.latest(spark, dir).get.files.size
+    assert(nFiles >= 6, s"fixture wants >=6 files, got $nFiles")
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    val q = spark.readStream.format("graft-lake")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream
+      .option("checkpointLocation", s"$w/chk")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.select($"k").as[Long].collect().toSet); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val snap = batches.asScala.toSeq
+      assert(snap.size >= nFiles / 2,
+        s"snapshot must arrive in >=${nFiles / 2} bounded batches, " +
+          s"got ${snap.size}")
+      assert(snap.map(_.size).sum == 60 &&
+        snap.flatten.toSet == (0L until 60L).toSet,
+        "chunking must deliver every snapshot row exactly once")
+      // backlog: three appends land while the stream is running —
+      // still bounded, still exactly once
+      batches.clear()
+      (0 until 3).foreach { b =>
+        CommitLog.append(spark,
+          spark.range(100L + b * 10, 110L + b * 10).repartition(2)
+            .select($"id".as("k"), lit(1L).as("v"), lit("p0").as("pd")),
+          dir)
+      }
+      q.processAllAvailable()
+      val tail = batches.asScala.toSeq
+      assert(tail.map(_.size).sum == 30 &&
+        tail.flatten.toSet == (100L until 130L).toSet,
+        "backlog appends must drain exactly once")
+      assert(tail.size >= 3,
+        s"6 backlog files at 2/trigger must take >=3 batches, got ${tail.size}")
+    } finally q.stop()
+    // restart mid-stream state: more appends while down, then resume
+    CommitLog.append(spark,
+      spark.range(200, 210).repartition(2).select($"id".as("k"),
+        lit(2L).as("v"), lit("p1").as("pd")), dir)
+    batches.clear()
+    val q2 = spark.readStream.format("graft-lake")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream
+      .option("checkpointLocation", s"$w/chk")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.select($"k").as[Long].collect().toSet); ()
+      }.start()
+    try {
+      q2.processAllAvailable()
+      assert(batches.asScala.flatten.toSet == (200L until 210L).toSet,
+        "restart must deliver exactly the offline gap, chunked")
+    } finally q2.stop()
+  }
+
+  test("mid-stream schema evolution fails the stream loudly; a " +
+    "restarted stream picks up the new schema") {
+    val w = work(); val dir = s"$w/lake"
+    seed(dir, rows = 10)
+    val sink = sinkName()
+    val q = spark.readStream.format("graft-lake").load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", s"$w/chk").start()
+    try {
+      q.processAllAvailable()
+      // additive evolution through an append: new column `note`
+      CommitLog.append(spark,
+        spark.range(50, 52).select($"id".as("k"), lit(9L).as("v"),
+          lit("x").as("note"), lit("p0").as("pd"))
+          .select($"k", $"v", $"pd", $"note"), dir)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("schema changed") ||
+        Option(e.getCause).exists(_.getMessage.contains("schema changed")),
+        s"must name the schema change: ${e.getMessage}")
+    } finally q.stop()
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q2 = spark.readStream.format("graft-lake")
+      .option("startingVersion", "1").load(dir)
+      .writeStream
+      .option("checkpointLocation", s"$w/chk2")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.add(df.columns.length); ()
+      }.start()
+    try {
+      q2.processAllAvailable()
+      assert(got.asScala.forall(_ == 4),
+        "restarted stream reads under the evolved 4-column schema")
+    } finally q2.stop()
+  }
+
   test("restart resumes from the checkpointed version offset") {
     val w = work(); val dir = s"$w/lake"
     seed(dir, rows = 10)
