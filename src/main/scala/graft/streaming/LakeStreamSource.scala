@@ -201,11 +201,76 @@ class LakeStreamSource(spark: SparkSession, dir: String,
   override def toString: String = s"LakeStreamSource[$dir]"
 }
 
+/** ROW-LEVEL CDC as a stream: `option("readChangeFeed", "true")` turns
+  * the subscription into [[CommitLog.changeFeed]] batches —
+  * `_change_type`-labeled inserts / deletes / update pre+post pairs per
+  * observed version range — instead of append post-images. Offsets are
+  * commit versions; the feed starts at the subscription version
+  * (bootstrap the initial state with a snapshot read first, like
+  * [[LakeFollow.followCdf]]) or at `startingVersion`. Requires
+  * `keyColumns` (comma-separated) — the identity the update pairs key
+  * on. Each batch reads only the range's churn, never the lake. */
+class LakeCdfStreamSource(spark: SparkSession, dir: String,
+    srcSchema: StructType, keyCols: Seq[String], baseVersion: Long)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  override def schema: StructType = srcSchema
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val latest = CommitLog.latest(spark, dir).map(_.version)
+      .getOrElse(return null)
+    val from = Option(startOffset)
+      .map(o => versionOf(o.asInstanceOf[Offset])).getOrElse(baseVersion)
+    if (latest <= from) startOffset else LongOffset(latest)
+  }
+
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "LakeCdfStreamSource rides SupportsAdmissionControl — latestOffset")
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val toV = versionOf(end)
+    val fromV = start.map(o => versionOf(o)).getOrElse(baseVersion)
+    val df =
+      if (toV <= fromV)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          srcSchema)
+      else CommitLog.changeFeed(spark, dir, fromV, toV, keyCols)
+    require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      srcSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"streaming change feed of $dir: the table schema changed under " +
+        s"the subscription (${srcSchema.simpleString} -> " +
+        s"${df.schema.simpleString}) — restart the stream to pick it up")
+    StreamBridge.asStreaming(df)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"LakeCdfStreamSource[$dir]"
+}
+
 /** `format("graft-lake")` registration: `.load()` takes a lake
   * directory OR a `cat.db.t` graft-catalog name (resolved through
   * [[graft.catalog.GraftCatalog.resolveTarget]]). Options:
   * `startingVersion` = `latest` | `<version>` (default: initial
-  * snapshot first), `skipChangeCommits` = true|false. */
+  * snapshot first), `skipChangeCommits` = true|false,
+  * `maxFilesPerTrigger` = bounded micro-batches, and
+  * `readChangeFeed` = true with `keyColumns` = `k1[,k2...]` for the
+  * row-level CDC stream ([[LakeCdfStreamSource]]). */
 class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
@@ -231,12 +296,22 @@ class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
     (StructType(dataF ++ partF), snap.version)
   }
 
+  private def isCdf(parameters: Map[String, String]): Boolean =
+    parameters.exists { case (k, v) =>
+      k.equalsIgnoreCase("readChangeFeed") && v.toBoolean
+    }
+
+  private def cdfSchema(table: StructType): StructType =
+    StructType(table.fields :+ org.apache.spark.sql.types.StructField(
+      "_change_type", org.apache.spark.sql.types.StringType))
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val dir = dirOf(ctx.sparkSession, parameters)
-    (s"graft-lake[$dir]",
-      schema.getOrElse(committedSchema(ctx.sparkSession, dir)._1))
+    val committed = committedSchema(ctx.sparkSession, dir)._1
+    (s"graft-lake[$dir]", schema.getOrElse(
+      if (isCdf(parameters)) cdfSchema(committed) else committed))
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -252,15 +327,28 @@ class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
       case Some(v) if v.equalsIgnoreCase("latest") => Some(latest)
       case Some(v) => Some(v.toLong)
     }
-    val skip = parameters.exists { case (k, v) =>
-      k.equalsIgnoreCase("skipChangeCommits") && v.toBoolean
+    if (isCdf(parameters)) {
+      val keys = parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("keyColumns") =>
+          v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      }.getOrElse(Nil)
+      require(keys.nonEmpty,
+        "readChangeFeed needs option keyColumns (comma-separated) — " +
+          "the identity update pairs key on")
+      new LakeCdfStreamSource(spark, dir,
+        schema.getOrElse(cdfSchema(committed)), keys,
+        base.getOrElse(latest))
+    } else {
+      val skip = parameters.exists { case (k, v) =>
+        k.equalsIgnoreCase("skipChangeCommits") && v.toBoolean
+      }
+      val maxFiles = parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") => v.toInt
+      }
+      maxFiles.foreach(m => require(m > 0,
+        s"maxFilesPerTrigger must be positive, got $m"))
+      new LakeStreamSource(spark, dir, schema.getOrElse(committed), base,
+        skip, maxFiles)
     }
-    val maxFiles = parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") => v.toInt
-    }
-    maxFiles.foreach(m => require(m > 0,
-      s"maxFilesPerTrigger must be positive, got $m"))
-    new LakeStreamSource(spark, dir, schema.getOrElse(committed), base,
-      skip, maxFiles)
   }
 }

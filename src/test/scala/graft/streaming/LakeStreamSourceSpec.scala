@@ -245,6 +245,41 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("readChangeFeed=true streams the row-level CDC feed: labeled " +
+    "inserts, deletes, and update pairs per version range") {
+    val w = work(); val dir = s"$w/lake"
+    seed(dir, rows = 20)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, Long)]()
+    val q = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true")
+      .option("keyColumns", "k").load(dir)
+      .writeStream
+      .option("checkpointLocation", s"$w/chk")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select($"_change_type", $"k", $"v")
+          .as[(String, Long, Long)].collect().foreach(got.add); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.isEmpty, "CDC starts at the subscription — no snapshot")
+      // one upsert: k=3 updated (v 3 -> 99), k=500 inserted
+      CommitLog.upsert(spark,
+        Seq((3L, 99L, "p0"), (500L, 1L, "p2")).toDF("k", "v", "pd"),
+        dir, Seq("k"), "pd")
+      CommitLog.delete(spark, dir, $"k" === 7L)
+      q.processAllAvailable()
+      val rows = got.asScala.toSet
+      assert(rows.contains(("update_preimage", 3L, 3L)) &&
+        rows.contains(("update_postimage", 3L, 99L)),
+        s"update pair expected in $rows")
+      assert(rows.contains(("insert", 500L, 1L)))
+      assert(rows.contains(("delete", 7L, 0L)))
+      assert(!rows.exists(r => r._2 != 3L && r._2 != 500L && r._2 != 7L),
+        "untouched rows must not appear in the feed")
+    } finally q.stop()
+  }
+
   test("restart resumes from the checkpointed version offset") {
     val w = work(); val dir = s"$w/lake"
     seed(dir, rows = 10)
