@@ -143,9 +143,15 @@ object Sources {
       seqCol: Option[String] = None): Unit = {
     require(keyCols.nonEmpty, "upsertPartitioned needs at least one key column")
     import org.apache.spark.sql.functions.{col, lit, max, struct}
-    val exists =
-      try spark.read.parquet(path).schema.nonEmpty
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    val exists = {
+      // cheap FS probe first: letting the reader throw on a missing
+      // path logs a full FileNotFoundException stack into every
+      // first-batch stream log before the catch below swallows it
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) &&
+        (try spark.read.parquet(path).schema.nonEmpty
+        catch { case _: org.apache.spark.sql.AnalysisException => false })
+    }
     val merged =
       if (!exists) updates
       else {
