@@ -244,13 +244,23 @@ case class GraftCtasCommand(catalog: GraftCatalog, ident: Identifier,
         fs.delete(staging, true)
         throw e
       }
-    // one atomic publish; a lost name race cleans up and reports
-    if (catalog.tableExists(ident) || !fs.rename(staging, dir)) {
+    // one atomic publish; a lost name race cleans up and reports.
+    // Hadoop's local rename NESTS the source under an existing target
+    // directory instead of failing — if a racing CTAS won the name
+    // between the check and the rename, detect the nesting, remove it,
+    // and report the race rather than claiming success over the
+    // winner's data.
+    val nested = new org.apache.hadoop.fs.Path(dir, staging.getName)
+    def lostRace(): Seq[Row] = {
       fs.delete(staging, true)
+      fs.delete(nested, true)
       if (ignoreIfExists) return Seq(Row(-1L, "noop"))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     }
+    if (catalog.tableExists(ident) || !fs.rename(staging, dir))
+      return lostRace()
+    if (fs.exists(nested)) return lostRace()
     Seq(Row(snap.version, snap.op))
   }
 }
