@@ -45,9 +45,19 @@ class LakeStreamSource(spark: SparkSession, dir: String,
     srcSchema: StructType, baseVersion: Option[Long],
     skipChangeCommits: Boolean,
     maxFilesPerTrigger: Option[Int] = None) extends Source
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   override def schema: StructType = srcSchema
+
+  /** `Trigger.AvailableNow`: the run drains everything committed at
+    * START time — in maxFilesPerTrigger-bounded batches, because this
+    * interface keeps the engine calling [[latestOffset]] per batch
+    * instead of jumping to one pre-captured table-sized batch — then
+    * terminates. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = CommitLog.latest(spark, dir).map(_.version)
 
   /** File-granular stream position: everything through version `v`'s
     * first `i` pending files is delivered (`i = Int.MaxValue` ⇒ all of
@@ -119,8 +129,9 @@ class LakeStreamSource(spark: SparkSession, dir: String,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
-    val latest = CommitLog.latest(spark, dir).map(_.version)
+    val latest0 = CommitLog.latest(spark, dir).map(_.version)
       .getOrElse(return null)
+    val latest = availableNowCap.fold(latest0)(math.min(latest0, _))
     val start = Option(startOffset).map(o =>
       Pos.of(o.asInstanceOf[Offset])).getOrElse(origin)
     // only the start position's version can be the snapshot list; every

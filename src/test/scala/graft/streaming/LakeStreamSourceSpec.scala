@@ -280,6 +280,48 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog in bounded batches " +
+    "then stops — the batch-incremental pipeline shape") {
+    val w = work(); val dir = s"$w/lake"
+    spark.range(0, 40).repartition(2)
+      .select($"id".as("k"), lit(0L).as("v"),
+        concat(lit("p"), ($"id" % 2)).as("pd"))
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir)
+    CommitLog.append(spark, spark.range(700, 705).select($"id".as("k"),
+      lit(7L).as("v"), lit("p0").as("pd")), dir)
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    val q = spark.readStream.format("graft-lake")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream
+      .option("checkpointLocation", s"$w/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.select($"k").as[Long].collect().toSet); ()
+      }.start()
+    assert(q.awaitTermination(120000),
+      "AvailableNow must drain and terminate on its own")
+    val all = batches.asScala.toSeq
+    assert(all.flatten.toSet ==
+      ((0L until 40L) ++ (700L until 705L)).toSet,
+      "AvailableNow must deliver the whole backlog exactly once")
+    assert(all.size >= 2, "and still in bounded batches")
+    // a second AvailableNow run with nothing new terminates empty
+    batches.clear()
+    val q2 = spark.readStream.format("graft-lake")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream
+      .option("checkpointLocation", s"$w/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.select($"k").as[Long].collect().toSet); ()
+      }.start()
+    assert(q2.awaitTermination(120000))
+    assert(batches.asScala.flatten.isEmpty,
+      "an already-drained AvailableNow run must deliver nothing")
+  }
+
   test("restart resumes from the checkpointed version offset") {
     val w = work(); val dir = s"$w/lake"
     seed(dir, rows = 10)
