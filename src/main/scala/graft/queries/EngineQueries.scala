@@ -1484,6 +1484,67 @@ object EngineQueries {
       |  CAST(max(k) AS BIGINT) AS max_ok
       |FROM post GROUP BY 1, 2 ORDER BY bucket, flag""".stripMargin
 
+  // ------------------------------------------------ q188_compact_where
+  // PARTITION-SCOPED OPTIMIZE end to end: a fragmented hive-partitioned
+  // lake (four appends per flag), a MoR delete whose single vector file
+  // spans several partitions, then CALL graft_compact_where on ONE flag
+  // — the selected partition collapses to one file with its tombstones
+  // materialized, the vector rewrites to its kept slice, every other
+  // partition keeps byte-identical files (pinned in
+  // CompactPartitionsSpec). The serving aggregate reads the mixed
+  // compacted/fragmented table; the DuckDB oracle recomputes the same
+  // delete algebra from raw orders, so the hash-match proves the
+  // rewrite is row-exact. At 100 TB this is THE maintenance verb:
+  // compact yesterday's partition while today keeps appending
+  // (concurrent-commit rebase pinned in the spec).
+  private val q188Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q188Lake(s: SparkSession, d: String): String =
+    q188Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q188_")
+      val lake = s"$work/lake"
+      val ords = Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      // four fragmented appends per partition
+      (0 until 4).foreach { i =>
+        val slice = ords.filter(col("o_orderkey") % 4 === i)
+        if (i == 0) {
+          slice.write.partitionBy("flag").parquet(lake)
+          graft.sources.CommitLog.init(s, lake)
+        } else graft.sources.CommitLog.append(s, slice, lake)
+      }
+      s.sql(s"DELETE FROM graft_lake('$lake') WHERE o_orderkey % 10 = 3 " +
+        "USING DELETION VECTORS")
+      s.sql(s"CALL graft_compact_where('$lake', \"flag = 'F'\", 1)")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q188CompactWhere(s: SparkSession, d: String): DataFrame = {
+    val lake = q188Lake(s, d)
+    s.sql(
+      s"""SELECT flag, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price,
+         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+         |FROM graft_lake('$lake')
+         |GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+
+  private val q188Sql =
+    """SELECT o_orderstatus AS flag, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      |FROM orders
+      |WHERE o_orderkey <= 20000 AND o_orderkey % 10 <> 3
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
   // ------------------------------------------------------- q181_zorder
   // Z-order clustering end-to-end: a lineitem slice is rewritten by
   // CALL graft_compact_zorder on (l_partkey, l_suppkey), then served
@@ -2319,6 +2380,7 @@ object EngineQueries {
     Q("q184_catalog", q184Catalog, Some(q184Sql)),
     Q("q185_catalog_write", q185CatalogWrite, Some(q185Sql)),
     Q("q186_widen", q186Widen, Some(q186Sql)),
+    Q("q188_compact_where", q188CompactWhere, Some(q188Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

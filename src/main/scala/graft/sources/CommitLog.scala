@@ -1226,7 +1226,12 @@ object CommitLog {
       removed: Set[String], added: Seq[String], batchId: Option[Long],
       schemaJson: Option[String] = None,
       propsDelta: Map[String, String] = Map.empty,
-      dvAppend: Seq[String] = Nil)
+      dvAppend: Seq[String] = Nil,
+      /** Deletion-vector files this commit RETIRES (their tombstones
+        * were materialized into the rewrite, or rewritten into a
+        * filtered file carried by `dvAppend`) — the partition-scoped
+        * compaction's DV maintenance. */
+      dvDrop: Set[String] = Set.empty)
 
   /** Partition directory of a dir-relative data file ("" for an
     * unpartitioned layout — there the whole table is one conflict unit). */
@@ -1452,8 +1457,8 @@ object CommitLog {
         return commit(spark, dir, s, files, staged.added,
           s.batches ++ staged.batchId, op, staged.schemaJson,
           staged.propsDelta,
-          if (staged.dvAppend.isEmpty) None
-          else Some(s.dvs ++ staged.dvAppend))
+          if (staged.dvAppend.isEmpty && staged.dvDrop.isEmpty) None
+          else Some(s.dvs.filterNot(staged.dvDrop) ++ staged.dvAppend))
       } catch {
         case e: CommitConflict =>
           attempt += 1
@@ -1927,6 +1932,97 @@ object CommitLog {
           " — a concurrent commit made the rewrite stale; re-run " +
           "(abandoned files are vacuum garbage)")
     }
+  }
+
+  /** PARTITION-SCOPED copy-on-write compaction (`OPTIMIZE ... WHERE`):
+    * rewrite ONLY the hive partitions whose values satisfy
+    * `partitionPredicate` (a Column over the partition columns),
+    * collapsing each to `filesPerPartition` files and MATERIALIZING any
+    * deletion vectors on them (the rewritten files carry no tombstones;
+    * DV files are retired, or rewritten filtered when they also cover
+    * untouched partitions' files).
+    *
+    * Unlike [[compact]] — whole-table, never rebases — this commits
+    * with the SELECTED partitions as the conflict unit, so concurrent
+    * commits to other partitions rebase cleanly: the 100 TB shape,
+    * where yesterday's partition compacts while today's ingest keeps
+    * appending. Partition selection is metadata-plane (values parsed
+    * off the committed file paths; no listing, no data read). The
+    * commit is op="compact": invisible to streaming table reads and
+    * change-range consumers, because no logical row moves. */
+  def compactPartitions(spark: SparkSession, dir: String,
+      partitionPredicate: Column,
+      filesPerPartition: Int = 1): Snapshot = {
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val s = mustLatest(spark, dir)
+    val partCols = partColsOf(s)
+    require(partCols.nonEmpty,
+      s"compactPartitions on $dir needs hive partitioning — use " +
+        "compact for an unpartitioned table")
+    val schema = logicalSchema(spark, dir, s)
+    // distinct partition dirs → typed partition-value rows, evaluated
+    // against the predicate driver-side (bounded by partition count)
+    val dirsAll = s.files.map(partOf).distinct
+    val parsed = dirsAll.map { d =>
+      org.apache.spark.sql.Row.fromSeq(d +: partCols.zip(d.split('/'))
+        .map { case (c, seg) =>
+          val raw = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(
+              seg.stripPrefix(c + "="))
+          if (raw == DefaultPartition) null else raw
+        })
+    }
+    import scala.jdk.CollectionConverters._
+    val df0 = spark.createDataFrame(parsed.asJava,
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__dir",
+          org.apache.spark.sql.types.StringType) +:
+          partCols.map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType))))
+    val typed = partCols.foldLeft(df0)((acc, c) =>
+      acc.withColumn(c, col(c).cast(
+        schema.fields.find(_.name == c).map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.StringType))))
+    val selected = typed.filter(partitionPredicate)
+      .select(col("__dir")).collect().map(_.getString(0)).toSet
+    if (selected.isEmpty) return s
+    val touchedFiles = s.files.filter(f => selected.contains(partOf(f)))
+    val removedSet = touchedFiles.toSet
+    // DV-applied read: the rewrite materializes the tombstones
+    val rows = readFiles(spark, dir, s, touchedFiles)
+    val rewritten =
+      if (filesPerPartition == 1)
+        // all rows of one hive partition share the hash key → exactly
+        // one task (one file) per selected partition
+        rows.repartition(selected.size, partCols.map(col): _*)
+      else rows
+        .withColumn("__salt", (rand(7) * filesPerPartition).cast("int"))
+        .repartition(selected.size * filesPerPartition,
+          (partCols :+ "__salt").map(col): _*)
+        .drop("__salt")
+    val newRels = stageWrite(spark, dir, rewritten, partCols, s.physNames)
+    // DV maintenance: a vector file whose rows all reference removed
+    // files retires outright; one that also covers kept files is
+    // rewritten to its kept slice (tombstone-sized work)
+    var dvDrop = Set.empty[String]
+    var dvAppend = Seq.empty[String]
+    s.dvs.foreach { rel =>
+      val dv = spark.read.parquet(s"$dir/$LogDirName/$rel")
+      val kept = dv.filter(!col("file").isInCollection(removedSet.toSeq))
+      if (kept.isEmpty) dvDrop += rel
+      else if (kept.count() < dv.count()) {
+        val tag = java.util.UUID.randomUUID.toString.take(8)
+        val newRel = f"dv-compact-$tag.parquet"
+        kept.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+          .parquet(s"$dir/$LogDirName/$newRel")
+        dvDrop += rel
+        dvAppend :+= newRel
+      } // else: untouched vector, carried as-is
+    }
+    commitRebase(spark, dir,
+      StagedUpsert(s, selected, removedSet, newRels, None,
+        dvAppend = dvAppend, dvDrop = dvDrop),
+      "compact", maxRetries = 10)
   }
 
   /** [[compactClustered]] with a Z-ORDER (Morton) layout: rows sort on

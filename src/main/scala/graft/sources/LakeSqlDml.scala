@@ -218,6 +218,14 @@ object LakeSqlDml {
         GraftCallCommand(dir0, s => CommitLog.compactZordered(s, dir0,
           num(1).toInt, args.drop(2).map(_.toString)).version,
           "compact-zorder")
+      case "compact_where" =>
+        require(args.size == 2 || args.size == 3,
+          "CALL graft_compact_where(dir, 'partition predicate'" +
+            "[, filesPerPartition])")
+        GraftCallCommand(dir0, s => CommitLog.compactPartitions(s, dir0,
+          org.apache.spark.sql.functions.expr(str(1)),
+          if (args.size == 3) num(2).toInt else 1).version,
+          "compact-where")
       case "vacuum" =>
         require(args.size == 2 || args.size == 3,
           "CALL graft_vacuum(dir, keepLast[, staleStagingMs])")
@@ -245,7 +253,8 @@ object LakeSqlDml {
         }, "publish")
       case other => throw new IllegalArgumentException(
         s"unknown lake verb CALL graft_$other — supported: compact, " +
-          "compact_clustered, compact_zorder, vacuum, restore, tag, publish")
+          "compact_clustered, compact_zorder, compact_where, vacuum, " +
+          "restore, tag, publish")
     }
   }
 
