@@ -496,9 +496,10 @@ object Graft {
     def mergeClauses(source: DataFrame, keyCols: Seq[String],
         partitionCol: String,
         matched: Seq[CommitLog.MergeMatched],
-        notMatched: Seq[CommitLog.MergeNotMatched]): Unit = {
+        notMatched: Seq[CommitLog.MergeNotMatched],
+        evolveSchema: Boolean = false): Unit = {
       CommitLog.mergeClauses(spark, dir, source, keyCols, partitionCol,
-        matched, notMatched)
+        matched, notMatched, evolveSchema = evolveSchema)
       ()
     }
     def compact(targetPartitions: Int, clusterCols: Seq[String] = Nil): Unit = {
@@ -510,6 +511,15 @@ object Graft {
       * then prune predicates on ANY clustered column. */
     def compactZorder(targetPartitions: Int, zCols: Seq[String]): Unit = {
       CommitLog.compactZordered(spark, dir, targetPartitions, zCols)
+      ()
+    }
+    /** Partition-scoped `OPTIMIZE ... WHERE`: rewrite only the hive
+      * partitions matching the predicate, materializing their deletion
+      * vectors; concurrent commits to other partitions rebase. */
+    def compactWhere(partitionPredicate: org.apache.spark.sql.Column,
+        filesPerPartition: Int = 1): Unit = {
+      CommitLog.compactPartitions(spark, dir, partitionPredicate,
+        filesPerPartition)
       ()
     }
     /** Declare new nullable columns — a schema-only commit. */
