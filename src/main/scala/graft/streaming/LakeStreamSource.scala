@@ -95,8 +95,21 @@ class LakeStreamSource(spark: SparkSession, dir: String,
     new java.util.concurrent.ConcurrentHashMap[(Long, Boolean), Seq[String]]()
   private def pending(v: Long, snapshotAtV: Boolean): Seq[String] =
     pendingCache.computeIfAbsent((v, snapshotAtV), _ =>
-      if (snapshotAtV) CommitLog.filesAt(spark, dir, v)
-      else CommitLog.addedFilesAt(spark, dir, v, skipChangeCommits))
+      try {
+        if (snapshotAtV) CommitLog.filesAt(spark, dir, v)
+        else CommitLog.addedFilesAt(spark, dir, v, skipChangeCommits)
+      } catch {
+        case e: IllegalArgumentException
+            if Option(e.getMessage).exists(_.contains("vacuumed")) =>
+          // the follower fell behind a vacuum: the history it still
+          // owes is gone — say exactly how to recover
+          throw new IllegalStateException(
+            s"streaming read of $dir: version $v was vacuumed under " +
+              "the subscription — the stream fell behind the table's " +
+              "retention; restart with a NEW checkpoint (fresh initial " +
+              "snapshot) or raise vacuum keepLast above the follower lag",
+            e)
+      })
 
   /** The subscription version for a FRESH query (no checkpointed
     * offset): the latest version in initial-snapshot mode, the

@@ -322,6 +322,32 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       "an already-drained AvailableNow run must deliver nothing")
   }
 
+  test("a follower that fell behind a vacuum fails with the recovery " +
+    "path spelled out") {
+    val w = work(); val dir = s"$w/lake"
+    seed(dir, rows = 10)
+    (0 until 3).foreach { b =>
+      CommitLog.append(spark, spark.range(b * 10, b * 10 + 5)
+        .select(($"id" + 1000).as("k"), lit(1L).as("v"),
+          lit("p0").as("pd")), dir)
+    }
+    CommitLog.vacuum(spark, dir, keepLast = 1)
+    val q = spark.readStream.format("graft-lake")
+      .option("startingVersion", "1").load(dir)
+      .writeStream.option("checkpointLocation", s"$w/chk")
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val e = intercept[StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("vacuumed under") &&
+      m.contains("NEW checkpoint")),
+      s"recovery guidance expected, got: ${msgs(e)}")
+  }
+
   test("restart resumes from the checkpointed version offset") {
     val w = work(); val dir = s"$w/lake"
     seed(dir, rows = 10)
