@@ -107,6 +107,38 @@ class CompactPartitionsSpec extends AnyFunSuite {
     }
   }
 
+  test("two-level layouts and ESCAPED partition values select correctly") {
+    val dir = Files.createTempDirectory("graft_cw2_").toString + "/lake"
+    // values with spaces and colons (hive-escaped in dir names), nested
+    // under a second level
+    spark.range(0, 120)
+      .select($"id".as("k"),
+        when($"id" % 2 === 0, lit("a b")).otherwise(lit("c:d")).as("pd1"),
+        concat(lit("x"), ($"id" % 2)).as("pd2"))
+      .repartition(3)
+      .write.partitionBy("pd1", "pd2").parquet(dir)
+    CommitLog.init(spark, dir)
+    val before = CommitLog.read(spark, dir)
+      .as[(Long, String, String)].collect().toSet
+    def files(prefix: String): Set[String] =
+      CommitLog.latest(spark, dir).get.files.filter(_.startsWith(prefix))
+        .toSet
+    // hive escaping writes "pd1=c%3Ad" for the colon value — selecting
+    // by the LOGICAL value must round-trip through the unescape
+    val otherBefore = CommitLog.latest(spark, dir).get.files
+      .filterNot(_.startsWith("pd1=c%3Ad/pd2=x1")).toSet
+    assert(files("pd1=c%3Ad/pd2=x1").size > 2, "fixture wants fragmentation")
+    CommitLog.compactPartitions(spark, dir,
+      col("pd1") === "c:d" && col("pd2") === "x1")
+    assert(files("pd1=c%3Ad/pd2=x1").size == 1,
+      "the escaped two-level partition collapses")
+    assert(CommitLog.latest(spark, dir).get.files
+      .filterNot(_.startsWith("pd1=c%3Ad/pd2=x1")).toSet == otherBefore,
+      "every other nested partition keeps byte-identical files")
+    assert(CommitLog.read(spark, dir)
+      .as[(Long, String, String)].collect().toSet == before)
+  }
+
   test("streaming table reads skip the partial compaction (no row moved)") {
     val dir = fragmented()
     val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()

@@ -322,6 +322,53 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       "an already-drained AvailableNow run must deliver nothing")
   }
 
+  test("property: random commit shapes, chunk sizes, and a mid-run " +
+    "restart still deliver every row exactly once") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val w = work(); val dir = s"$w/lake"
+      val seedRows = 10 + rnd.nextInt(20)
+      spark.range(0, seedRows).repartition(1 + rnd.nextInt(3))
+        .select($"id".as("k"), lit(0L).as("v"),
+          concat(lit("p"), ($"id" % 2)).as("pd"))
+        .write.partitionBy("pd").parquet(dir)
+      CommitLog.init(spark, dir)
+      var next = 1000L
+      def appendSome(): Seq[Long] = {
+        val n = 3 + rnd.nextInt(8)
+        val ks = (next until next + n); next += n
+        CommitLog.append(spark,
+          spark.createDataset(ks).toDF("k")
+            .repartition(1 + rnd.nextInt(3))
+            .select($"k", lit(1L).as("v"),
+              concat(lit("p"), ($"k" % 2)).as("pd")), dir)
+        ks
+      }
+      val preRestart = (0 until 1 + rnd.nextInt(2)).flatMap(_ => appendSome())
+      val maxFiles = 1 + rnd.nextInt(4)
+      val delivered =
+        new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+      def run() = spark.readStream.format("graft-lake")
+        .option("maxFilesPerTrigger", maxFiles.toString).load(dir)
+        .writeStream.option("checkpointLocation", s"$w/chk")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          delivered.add(df.select($"k").as[Long].collect().toSeq); ()
+        }.start()
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      val postRestart = (0 until 1 + rnd.nextInt(2)).flatMap(_ => appendSome())
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+      val all = delivered.asScala.flatten.toSeq
+      val expect = (0L until seedRows) ++ preRestart ++ postRestart
+      assert(all.size == expect.size,
+        s"trial $trial (maxFiles=$maxFiles): duplicates or losses — " +
+          s"delivered ${all.size} of ${expect.size}")
+      assert(all.toSet == expect.toSet,
+        s"trial $trial (maxFiles=$maxFiles): wrong rows")
+    }
+  }
+
   test("a follower that fell behind a vacuum fails with the recovery " +
     "path spelled out") {
     val w = work(); val dir = s"$w/lake"
