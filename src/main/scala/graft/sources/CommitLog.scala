@@ -397,14 +397,26 @@ object CommitLog {
           } else c.files.filterNot(pf)
         }
     }.toSeq
-    if (added.isEmpty) {
-      val j = end.schemaJson.getOrElse(throw new IllegalStateException(
-        s"$dir carries no committed schema — cannot shape an empty batch"))
-      spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-    } else toLogical(end, rawRead(spark, dir, end, added))
+    if (added.isEmpty) emptyShaped(spark, dir, end)
+    else toLogical(end, rawRead(spark, dir, end, added))
+  }
+
+  /** An empty frame in version `s`'s committed schema with hive
+    * partition columns LAST — the order every non-empty file read
+    * surfaces — so an empty batch (e.g. a compaction-only version
+    * range) is shape-identical to a populated one and downstream
+    * order-sensitive consumers never see a bogus "schema changed". */
+  private def emptyShaped(spark: SparkSession, dir: String,
+      s: Snapshot): DataFrame = {
+    val j = s.schemaJson.getOrElse(throw new IllegalStateException(
+      s"$dir carries no committed schema — cannot shape an empty batch"))
+    val st = org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val (partF, dataF) = st.fields.partition(f =>
+      s.partCols.contains(f.name))
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(dataF ++ partF))
   }
 
   /** The data files ADDED by commit `v` alone (sorted), under the
@@ -417,7 +429,19 @@ object CommitLog {
       v: Long, skipChangeCommits: Boolean): Seq[String] = {
     val cur = snapshotAt(spark, dir, v)
     val f = hadoopFs(spark, dir)
-    if (!f.exists(versionFile(dir, v - 1))) return cur.files.sorted
+    if (!f.exists(versionFile(dir, v - 1))) {
+      // only the table's GENUINE first commit has no predecessor — its
+      // additions are the whole snapshot. Any later version missing its
+      // predecessor means vacuum dropped it: returning the full list
+      // here would silently re-deliver the ENTIRE table as one "append"
+      // batch to a follower that fell behind retention. Fail with the
+      // same "vacuumed" shape the streaming source converts into the
+      // loud recovery-path error.
+      if (v <= 1L) return cur.files.sorted
+      throw new IllegalArgumentException(
+        s"version ${v - 1} of $dir does not exist (vacuumed?) — cannot " +
+          s"diff the files version $v added")
+    }
     val prev = snapshotAt(spark, dir, v - 1)
     if (cur.op == "compact") Nil
     else {
@@ -444,14 +468,7 @@ object CommitLog {
   private[graft] def readRelFiles(spark: SparkSession, dir: String,
       v: Long, files: Seq[String], applyDvs: Boolean): DataFrame = {
     val s = snapshotAt(spark, dir, v)
-    if (files.isEmpty) {
-      val j = s.schemaJson.getOrElse(throw new IllegalStateException(
-        s"$dir carries no committed schema — cannot shape an empty batch"))
-      return spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-    }
+    if (files.isEmpty) return emptyShaped(spark, dir, s)
     if (applyDvs) readFiles(spark, dir, s, files)
     else toLogical(s, rawRead(spark, dir, s, files))
   }
@@ -2003,21 +2020,43 @@ object CommitLog {
     val newRels = stageWrite(spark, dir, rewritten, partCols, s.physNames)
     // DV maintenance: a vector file whose rows all reference removed
     // files retires outright; one that also covers kept files is
-    // rewritten to its kept slice (tombstone-sized work)
+    // rewritten to its kept slice (tombstone-sized work). The
+    // kept/total census for EVERY outstanding vector runs as ONE Spark
+    // job (union all DV files, tagged by source, aggregate per tag) —
+    // a per-file isEmpty+count loop paid up to two serialized job
+    // launches per vector, hundreds of launches for a table with
+    // hundreds of outstanding DVs inside a single OPTIMIZE.
     var dvDrop = Set.empty[String]
     var dvAppend = Seq.empty[String]
-    s.dvs.foreach { rel =>
-      val dv = spark.read.parquet(s"$dir/$LogDirName/$rel")
-      val kept = dv.filter(!col("file").isInCollection(removedSet.toSeq))
-      if (kept.isEmpty) dvDrop += rel
-      else if (kept.count() < dv.count()) {
-        val tag = java.util.UUID.randomUUID.toString.take(8)
-        val newRel = f"dv-compact-$tag.parquet"
-        kept.coalesce(1).write.mode(SaveMode.ErrorIfExists)
-          .parquet(s"$dir/$LogDirName/$newRel")
-        dvDrop += rel
-        dvAppend :+= newRel
-      } // else: untouched vector, carried as-is
+    if (s.dvs.nonEmpty) {
+      // ONE multi-path read (a per-rel spark.read would pay a
+      // schema-inference job per vector), tagged back to its vector by
+      // the _graft_log/<rel>/ path segment
+      val tagged = spark.read
+        .parquet(s.dvs.map(rel => s"$dir/$LogDirName/$rel"): _*)
+        .select(col("file"),
+          regexp_extract(input_file_name(),
+            "_graft_log/([^/]+)/", 1).as("__rel"))
+      val census = tagged.groupBy(col("__rel")).agg(
+        count(lit(1)).as("total"),
+        count(when(!col("file").isInCollection(removedSet.toSeq), 1))
+          .as("kept"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      s.dvs.foreach { rel =>
+        val (total, kept) = census.getOrElse(rel, (0L, 0L))
+        if (kept == 0L) dvDrop += rel
+        else if (kept < total) {
+          val tag = java.util.UUID.randomUUID.toString.take(8)
+          val newRel = f"dv-compact-$tag.parquet"
+          spark.read.parquet(s"$dir/$LogDirName/$rel")
+            .filter(!col("file").isInCollection(removedSet.toSeq))
+            .coalesce(1).write.mode(SaveMode.ErrorIfExists)
+            .parquet(s"$dir/$LogDirName/$newRel")
+          dvDrop += rel
+          dvAppend :+= newRel
+        } // else: untouched vector, carried as-is
+      }
     }
     commitRebase(spark, dir,
       StagedUpsert(s, selected, removedSet, newRels, None,

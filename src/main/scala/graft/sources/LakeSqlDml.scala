@@ -130,7 +130,7 @@ object LakeSqlDml {
     * millis; a quoted string is an ISO instant (`...Z`/offset) or a
     * local `yyyy-MM-dd[ HH:mm:ss]` interpreted as UTC — the commit
     * stamps it compares against are UTC wall-clock millis. */
-  private[sources] def asOfMillis(raw: String): Long =
+  private[graft] def asOfMillis(raw: String): Long =
     if (raw.forall(_.isDigit)) raw.toLong
     else {
       val s = raw.stripPrefix("'").stripSuffix("'")

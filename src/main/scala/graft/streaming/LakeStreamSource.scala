@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.StreamBridge
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
@@ -21,7 +22,8 @@ import graft.sources.CommitLog
   *
   *  - first batch = the table's full snapshot at subscription time
   *    (Delta's initial-snapshot contract), or nothing under
-  *    `startingVersion=latest`, or history from `startingVersion=<v>`;
+  *    `startingVersion=latest`, or history from `startingVersion=<v>` /
+  *    `startingTimestamp=<ts>`;
   *  - every later batch = the rows in files ADDED over the version
   *    range ([[CommitLog.addedRows]]) — append commits only;
   *    compactions are invisible; rewrites/deletes abort the stream
@@ -40,11 +42,20 @@ import graft.sources.CommitLog
   * in executor-sized steps instead of one table-sized batch. Admission
   * control rides [[SupportsAdmissionControl]] — the engine hands
   * `latestOffset` the start position every poll, so the source holds
-  * NO cursor state and restarts are exact by construction. */
+  * NO cursor state and restarts are exact by construction.
+  *
+  * Crash-replay of an UNCOMMITTED batch is the one restart shape where
+  * the engine gives the source `start = None` (re-running the
+  * WAL-logged batch 0 after a crash): the walk origin is then derived
+  * from the END OFFSET ITSELF — every offset carries the subscription
+  * version (`o`) — never from a freshly computed latest, which may
+  * have moved past the logged end while the query was down and would
+  * silently skip the initial snapshot. */
 class LakeStreamSource(spark: SparkSession, dir: String,
     srcSchema: StructType, baseVersion: Option[Long],
     skipChangeCommits: Boolean,
-    maxFilesPerTrigger: Option[Int] = None) extends Source
+    maxFilesPerTrigger: Option[Int] = None,
+    followAdditiveSchema: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
 
@@ -63,25 +74,37 @@ class LakeStreamSource(spark: SparkSession, dir: String,
     * first `i` pending files is delivered (`i = Int.MaxValue` ⇒ all of
     * `v`). `snap` marks that version `v`'s pending list is the FULL
     * SNAPSHOT file list (the initial-snapshot version) rather than the
-    * per-commit additions — it rides the offset json because a
-    * restarted source cannot re-derive the original subscription
-    * version (the table has moved on), and misreading a later commit
-    * as "the snapshot" would re-deliver the whole table. The
-    * plain-long wire form is kept for version-boundary positions, so
-    * existing checkpoints keep resolving. */
-  private case class Pos(v: Long, i: Int, snap: Boolean) extends Offset {
+    * per-commit additions. `o` is the SUBSCRIPTION VERSION — the walk's
+    * origin — carried on every offset because a restarted source cannot
+    * re-derive it (the table has moved on) and the crash-replay call
+    * `getBatch(None, end)` must rebuild the original walk from the
+    * offset alone. The plain-long wire form is kept for legacy
+    * version-boundary positions, so existing checkpoints keep
+    * resolving. */
+  private case class Pos(v: Long, i: Int, snap: Boolean,
+      o: Option[Long] = None) extends Offset {
     override def json: String =
-      if (i == Int.MaxValue && !snap) v.toString
-      else s"""{"v":$v,"i":$i${if (snap) ""","snap":true""" else ""}}"""
+      if (i == Int.MaxValue && !snap && o.isEmpty) v.toString
+      else {
+        val b = new StringBuilder(s"""{"v":$v,"i":$i""")
+        if (snap) b ++= ""","snap":true"""
+        o.foreach(x => b ++= s""","o":$x""")
+        (b += '}').toString
+      }
   }
   private object Pos {
-    private val J =
-      """\{\s*"v"\s*:\s*(\d+)\s*,\s*"i"\s*:\s*(\d+)\s*(,\s*"snap"\s*:\s*true\s*)?\}""".r
     def of(o: Offset): Pos = o match {
       case p: Pos => p
       case l: LongOffset => Pos(l.offset, Int.MaxValue, snap = false)
       case other => other.json.trim match {
-        case J(v, i, s) => Pos(v.toLong, i.toInt, snap = s != null)
+        case s if s.startsWith("{") =>
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          implicit val fmts: Formats = DefaultFormats
+          val j = JsonMethods.parse(s)
+          Pos((j \ "v").extract[Long], (j \ "i").extract[Int],
+            (j \ "snap").extractOpt[Boolean].getOrElse(false),
+            (j \ "o").extractOpt[Long])
         case plain => Pos(plain.toLong, Int.MaxValue, snap = false)
       }
     }
@@ -114,18 +137,19 @@ class LakeStreamSource(spark: SparkSession, dir: String,
   /** The subscription version for a FRESH query (no checkpointed
     * offset): the latest version in initial-snapshot mode, the
     * requested base under `startingVersion`. A RESTARTED query never
-    * consults this — the restored offset carries its own position and
-    * snapshot flag ([[Pos]]). */
+    * consults this — the restored offset carries its own position,
+    * snapshot flag, and origin ([[Pos]]). */
   private lazy val subV: Long = baseVersion.getOrElse(
     CommitLog.latest(spark, dir).map(_.version).getOrElse(
       throw new IllegalStateException(s"$dir has no commit log")))
 
-  /** The walk's origin when the engine has no prior offset: the whole
-    * snapshot in initial-snapshot mode, nothing of `subV` itself under
+  /** The walk's origin when the engine has no prior offset AND no
+    * logged end to recover it from: the whole snapshot in
+    * initial-snapshot mode, nothing of `subV` itself under
     * `startingVersion`. */
   private def origin: Pos =
-    if (baseVersion.isEmpty) Pos(subV, 0, snap = true)
-    else Pos(subV, Int.MaxValue, snap = false)
+    if (baseVersion.isEmpty) Pos(subV, 0, snap = true, o = Some(subV))
+    else Pos(subV, Int.MaxValue, snap = false, o = Some(subV))
 
   /** Admission control: the ENGINE hands the start position in on
     * every poll (last available offset, checkpoint-restored after a
@@ -147,6 +171,10 @@ class LakeStreamSource(spark: SparkSession, dir: String,
     val latest = availableNowCap.fold(latest0)(math.min(latest0, _))
     val start = Option(startOffset).map(o =>
       Pos.of(o.asInstanceOf[Offset])).getOrElse(origin)
+    // the subscription origin rides every emitted offset (legacy
+    // checkpoints without one: a snapshot-flagged position IS the origin)
+    val orig: Option[Long] =
+      start.o.orElse(if (start.snap) Some(start.v) else None)
     // only the start position's version can be the snapshot list; every
     // later version contributes its per-commit additions
     def snapAt(v: Long): Boolean = v == start.v && start.snap
@@ -170,11 +198,11 @@ class LakeStreamSource(spark: SparkSession, dir: String,
           } else if (v < latest) { v += 1; i = 0 }
           else done = true
         }
-        if (moved) Pos(v, i, snapAt(v)) else startOffset
+        if (moved) Pos(v, i, snapAt(v), orig) else startOffset
       case _ =>
         if (latest < start.v ||
           (start.v == latest && start.i == Int.MaxValue)) startOffset
-        else Pos(latest, Int.MaxValue, snapAt(latest))
+        else Pos(latest, Int.MaxValue, snapAt(latest), orig)
     }
   }
 
@@ -184,7 +212,23 @@ class LakeStreamSource(spark: SparkSession, dir: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val e = Pos.of(end)
-    val s0 = start.map(Pos.of).getOrElse(origin)
+    val s0 = start.map(Pos.of).getOrElse {
+      // crash-replay of an uncommitted FIRST batch: the engine calls
+      // getBatch(None, loggedEnd) on restart, and the table may have
+      // advanced while the query was down — a freshly computed `origin`
+      // could sit PAST the logged end and silently skip the WAL'd
+      // initial chunk. Rebuild the walk origin from the offset itself:
+      // the subscription version it carries (legacy offsets without
+      // one: the end version when snapshot-flagged, else the
+      // option-pinned base).
+      val ov = e.o.getOrElse(if (e.snap) e.v else subV)
+      if (baseVersion.isEmpty) Pos(ov, 0, snap = true, o = Some(ov))
+      else Pos(ov, Int.MaxValue, snap = false, o = Some(ov))
+    }
+    require(e.v >= s0.v,
+      s"streaming read of $dir: end offset ${e.json} precedes the walk " +
+        s"origin ${s0.json} — checkpoint does not belong to this table/" +
+        "options (a silent empty batch here would drop data)")
     def snapAt(v: Long): Boolean = v == s0.v && s0.snap
     // files in (s0, e]: the rest of s0.v's pending list, whole versions
     // between, e.v's prefix — paired with the version whose schema/DV
@@ -197,26 +241,25 @@ class LakeStreamSource(spark: SparkSession, dir: String,
       p.slice(f, u)
     }
     val byVersion: Seq[(Long, Seq[String])] =
-      if (e.v < s0.v) Nil // reposition replay against a fresher origin
-      else if (s0.v == e.v) Seq(e.v -> slice(e.v, s0.i, e.i))
+      if (s0.v == e.v) Seq(e.v -> slice(e.v, s0.i, e.i))
       else (s0.v -> slice(s0.v, s0.i, Int.MaxValue)) +:
         ((s0.v + 1) until e.v).map(v => v -> slice(v, 0, Int.MaxValue)) :+
         (e.v -> slice(e.v, 0, e.i))
+    // conform each version's slice BEFORE the union: a batch spanning
+    // an additive evolution mixes 3- and 4-column version reads, which
+    // a raw union would reject with an engine error instead of the
+    // schema-changed contract (or the opted-in null back-fill)
+    def conf(df: DataFrame): DataFrame = LakeStreamSource.conform(
+      df, srcSchema, s"streaming read of $dir", followAdditiveSchema)
     val parts = byVersion.filter(_._2.nonEmpty).map { case (v, files) =>
-      CommitLog.readRelFiles(spark, dir, v, files, applyDvs = snapAt(v))
+      conf(CommitLog.readRelFiles(spark, dir, v, files,
+        applyDvs = snapAt(v)))
     }
     val df =
       if (parts.isEmpty)
-        CommitLog.readRelFiles(spark, dir, e.v, Nil, applyDvs = false)
+        conf(CommitLog.readRelFiles(spark, dir, e.v, Nil,
+          applyDvs = false))
       else parts.reduce(_ unionByName _)
-    // schema evolution mid-stream: the committed shape no longer matches
-    // the subscription's — fail loudly; a restart picks up the new
-    // schema (the Delta contract)
-    require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-      srcSchema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"streaming read of $dir: the table schema changed under the " +
-        s"subscription (${srcSchema.simpleString} -> " +
-        s"${df.schema.simpleString}) — restart the stream to pick it up")
     StreamBridge.asStreaming(df)
   }
 
@@ -225,40 +268,122 @@ class LakeStreamSource(spark: SparkSession, dir: String,
   override def toString: String = s"LakeStreamSource[$dir]"
 }
 
+object LakeStreamSource {
+
+  /** Conform a batch frame to the subscription schema — ORDER-INSENSITIVE
+    * on (name, dataType): the parquet scan surfaces hive partition
+    * columns LAST while a catalog table's declared order may not, and an
+    * empty micro-batch is shaped from the raw committed schema; both are
+    * the same columns in a different order, not schema evolution. The
+    * result is always SELECTed into the subscription's column order (a
+    * streaming plan's output schema is fixed for the query's life).
+    *
+    * True evolution fails loudly by default — a restart picks up the new
+    * schema (the Delta contract). With `followAdditiveSchema` the stream
+    * keeps running across ADDITIVE evolution instead:
+    *  - the table gained columns → the batch projects onto the
+    *    subscription's columns (a running plan cannot widen; restart to
+    *    pick the new columns up);
+    *  - files predating an ADD COLUMNS lack fields the subscription has
+    *    → null back-fill, Spark's standard missing-column semantics.
+    * Anything non-additive (drop, retype, rename) still aborts. */
+  private[streaming] def conform(df: DataFrame, want: StructType,
+      what: String, followAdditiveSchema: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val got = df.schema.fields.map(f => (f.name, f.dataType)).toSet
+    val wantS = want.fields.map(f => (f.name, f.dataType)).toSet
+    lazy val gotNames = df.columns.toSet
+    if (got == wantS)
+      df.select(want.fieldNames.toIndexedSeq.map(col): _*)
+    else if (followAdditiveSchema && wantS.subsetOf(got))
+      df.select(want.fieldNames.toIndexedSeq.map(col): _*)
+    else if (followAdditiveSchema && got.subsetOf(wantS))
+      df.select(want.fields.toIndexedSeq.map(f =>
+        (if (gotNames(f.name)) col(f.name)
+        else lit(null).cast(f.dataType)).as(f.name)): _*)
+    else throw new IllegalStateException(
+      s"$what: the table schema changed under the subscription " +
+        s"(${want.simpleString} -> ${df.schema.simpleString}) — restart " +
+        "the stream to pick it up" +
+        (if (followAdditiveSchema) " (the change is not additive)"
+        else "; set followAdditiveSchema=true to ride out ADD COLUMNS"))
+  }
+}
+
 /** ROW-LEVEL CDC as a stream: `option("readChangeFeed", "true")` turns
   * the subscription into [[CommitLog.changeFeed]] batches —
   * `_change_type`-labeled inserts / deletes / update pre+post pairs per
   * observed version range — instead of append post-images. Offsets are
-  * commit versions; the feed starts at the subscription version
-  * (bootstrap the initial state with a snapshot read first, like
-  * [[LakeFollow.followCdf]]) or at `startingVersion`. Requires
-  * `keyColumns` (comma-separated) — the identity the update pairs key
-  * on. Each batch reads only the range's churn, never the lake. */
+  * commit versions CARRYING THE SUBSCRIPTION BASE (`{"v":V,"b":B}`), so
+  * a crash-replay of an uncommitted first batch — `getBatch(None, end)`
+  * after a restart, when `createSource` would re-derive the base from
+  * a latest that moved on — replays exactly the logged change range
+  * instead of silently dropping it. The feed starts at the
+  * subscription version (bootstrap the initial state with a snapshot
+  * read first, like [[LakeFollow.followCdf]]) or at `startingVersion`
+  * / `startingTimestamp`. Requires `keyColumns` (comma-separated) —
+  * the identity the update pairs key on. Each batch reads only the
+  * range's churn, never the lake; `maxCommitsPerTrigger` bounds every
+  * micro-batch to that many commits' churn, so a backlogged follower
+  * drains in version-granular steps instead of one unbounded
+  * change-feed batch, and `Trigger.AvailableNow` drains the backlog in
+  * those bounded steps then terminates — symmetric with the append
+  * source's file-granular admission control. */
 class LakeCdfStreamSource(spark: SparkSession, dir: String,
-    srcSchema: StructType, keyCols: Seq[String], baseVersion: Long)
+    srcSchema: StructType, keyCols: Seq[String], baseVersion: Long,
+    maxCommitsPerTrigger: Option[Int] = None)
     extends Source
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   override def schema: StructType = srcSchema
 
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = CommitLog.latest(spark, dir).map(_.version)
+
+  /** Stream position `v` + subscription base `b` (the version the feed
+    * started AFTER). Legacy plain-long offsets parse with the
+    * option-pinned base. */
+  private case class CPos(v: Long, b: Long) extends Offset {
+    override def json: String = s"""{"v":$v,"b":$b}"""
+  }
+  private def posOf(o: Offset): CPos = o match {
+    case p: CPos => p
+    case l: LongOffset => CPos(l.offset, baseVersion)
+    case other => other.json.trim match {
+      case s if s.startsWith("{") =>
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        implicit val fmts: Formats = DefaultFormats
+        val j = JsonMethods.parse(s)
+        CPos((j \ "v").extract[Long],
+          (j \ "b").extractOpt[Long].getOrElse(baseVersion))
+      case plain => CPos(plain.toLong, baseVersion)
+    }
+  }
+
+  /** Version-granular admission control is applied inside
+    * [[latestOffset]] (`ReadLimit` has no commits unit): the returned
+    * offset never advances more than `maxCommitsPerTrigger` versions
+    * past the start position. */
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
-
-  private def versionOf(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong
-  }
 
   override def latestOffset(
       startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
-    val latest = CommitLog.latest(spark, dir).map(_.version)
+    val latest0 = CommitLog.latest(spark, dir).map(_.version)
       .getOrElse(return null)
-    val from = Option(startOffset)
-      .map(o => versionOf(o.asInstanceOf[Offset])).getOrElse(baseVersion)
-    if (latest <= from) startOffset else LongOffset(latest)
+    val latest = availableNowCap.fold(latest0)(math.min(latest0, _))
+    val start = Option(startOffset)
+      .map(o => posOf(o.asInstanceOf[Offset]))
+      .getOrElse(CPos(baseVersion, baseVersion))
+    val to = maxCommitsPerTrigger.fold(latest)(m =>
+      math.min(latest, start.v + m))
+    if (to <= start.v) startOffset else CPos(to, start.b)
   }
 
   override def getOffset: Option[Offset] =
@@ -266,20 +391,31 @@ class LakeCdfStreamSource(spark: SparkSession, dir: String,
       "LakeCdfStreamSource rides SupportsAdmissionControl — latestOffset")
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val toV = versionOf(end)
-    val fromV = start.map(o => versionOf(o)).getOrElse(baseVersion)
+    val e = posOf(end)
+    // crash-replay of an uncommitted first batch: the base rides the
+    // offset, so the replay covers exactly (originalBase, loggedEnd]
+    // even when a restart-time latest() has moved past it
+    val fromV = start.map(o => posOf(o).v).getOrElse(e.b)
     val df =
-      if (toV <= fromV)
+      if (e.v <= fromV)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           srcSchema)
-      else CommitLog.changeFeed(spark, dir, fromV, toV, keyCols)
-    require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-      srcSchema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"streaming change feed of $dir: the table schema changed under " +
-        s"the subscription (${srcSchema.simpleString} -> " +
-        s"${df.schema.simpleString}) — restart the stream to pick it up")
-    StreamBridge.asStreaming(df)
+      else
+        try CommitLog.changeFeed(spark, dir, fromV, e.v, keyCols)
+        catch {
+          case ex: IllegalArgumentException
+              if Option(ex.getMessage).exists(_.contains("vacuumed")) =>
+            throw new IllegalStateException(
+              s"streaming change feed of $dir: versions ($fromV, ${e.v}] " +
+                "were vacuumed under the subscription — the follower " +
+                "fell behind the table's retention; restart with a NEW " +
+                "checkpoint (re-bootstrap from a snapshot) or raise " +
+                "vacuum keepLast above the follower lag", ex)
+        }
+    StreamBridge.asStreaming(LakeStreamSource.conform(
+      df, srcSchema, s"streaming change feed of $dir",
+      followAdditiveSchema = false))
   }
 
   override def stop(): Unit = ()
@@ -291,10 +427,15 @@ class LakeCdfStreamSource(spark: SparkSession, dir: String,
   * directory OR a `cat.db.t` graft-catalog name (resolved through
   * [[graft.catalog.GraftCatalog.resolveTarget]]). Options:
   * `startingVersion` = `latest` | `<version>` (default: initial
-  * snapshot first), `skipChangeCommits` = true|false,
-  * `maxFilesPerTrigger` = bounded micro-batches, and
-  * `readChangeFeed` = true with `keyColumns` = `k1[,k2...]` for the
-  * row-level CDC stream ([[LakeCdfStreamSource]]). */
+  * snapshot first), `startingTimestamp` = epoch millis or
+  * `yyyy-MM-dd[ HH:mm:ss]` / ISO instant (resolved to the newest
+  * version committed at or before it — the stream then delivers the
+  * versions AFTER that point, like `startingVersion`),
+  * `skipChangeCommits` = true|false, `maxFilesPerTrigger` = bounded
+  * micro-batches, `followAdditiveSchema` = true to ride out ADD
+  * COLUMNS without a restart, and `readChangeFeed` = true with
+  * `keyColumns` = `k1[,k2...]` (+ optional `maxCommitsPerTrigger`)
+  * for the row-level CDC stream ([[LakeCdfStreamSource]]). */
 class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
@@ -344,35 +485,44 @@ class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val spark = ctx.sparkSession
     val dir = dirOf(spark, parameters)
     val (committed, latest) = committedSchema(spark, dir)
-    val base = parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("startingVersion") => v
-    } match {
-      case None => None // initial snapshot as the first batch
-      case Some(v) if v.equalsIgnoreCase("latest") => Some(latest)
-      case Some(v) => Some(v.toLong)
+    def opt(name: String): Option[String] = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v
+    }
+    val base = (opt("startingVersion"), opt("startingTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "startingVersion and startingTimestamp are mutually exclusive")
+      case (Some(v), None) if v.equalsIgnoreCase("latest") => Some(latest)
+      case (Some(v), None) => Some(v.toLong)
+      case (None, Some(ts)) =>
+        // newest version committed at or before the timestamp — the
+        // same resolver as batch TIMESTAMP AS OF; fails loudly when
+        // the timestamp predates the retained history (vacuum), with
+        // versionAsOf's recovery message
+        Some(CommitLog.versionAsOf(spark, dir,
+          graft.sources.LakeSqlDml.asOfMillis(ts)))
+      case (None, None) => None // initial snapshot as the first batch
     }
     if (isCdf(parameters)) {
-      val keys = parameters.collectFirst {
-        case (k, v) if k.equalsIgnoreCase("keyColumns") =>
-          v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-      }.getOrElse(Nil)
+      val keys = opt("keyColumns")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
       require(keys.nonEmpty,
         "readChangeFeed needs option keyColumns (comma-separated) — " +
           "the identity update pairs key on")
+      val maxCommits = opt("maxCommitsPerTrigger").map(_.toInt)
+      maxCommits.foreach(m => require(m > 0,
+        s"maxCommitsPerTrigger must be positive, got $m"))
       new LakeCdfStreamSource(spark, dir,
         schema.getOrElse(cdfSchema(committed)), keys,
-        base.getOrElse(latest))
+        base.getOrElse(latest), maxCommits)
     } else {
-      val skip = parameters.exists { case (k, v) =>
-        k.equalsIgnoreCase("skipChangeCommits") && v.toBoolean
-      }
-      val maxFiles = parameters.collectFirst {
-        case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") => v.toInt
-      }
+      val skip = opt("skipChangeCommits").exists(_.toBoolean)
+      val maxFiles = opt("maxFilesPerTrigger").map(_.toInt)
       maxFiles.foreach(m => require(m > 0,
         s"maxFilesPerTrigger must be positive, got $m"))
+      val additive = opt("followAdditiveSchema").exists(_.toBoolean)
       new LakeStreamSource(spark, dir, schema.getOrElse(committed), base,
-        skip, maxFiles)
+        skip, maxFiles, additive)
     }
   }
 }

@@ -139,6 +139,74 @@ class CompactPartitionsSpec extends AnyFunSuite {
       .as[(Long, String, String)].collect().toSet == before)
   }
 
+  /** Spark jobs launched by `body` (driver-thread actions inherit the
+    * job group; a marker job in a second group flushes the FIFO
+    * listener bus so the count is exact, not racy). */
+  private def countJobs(body: => Unit): Int = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val g = "jobcount-" + java.util.UUID.randomUUID.toString
+    val m = g + "-marker"
+    val inG = new java.util.concurrent.atomic.AtomicInteger
+    @volatile var sawMarker = false
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        Option(js.properties.getProperty("spark.jobGroup.id")) match {
+          case Some(`g`) => inG.incrementAndGet(); ()
+          case Some(`m`) => sawMarker = true
+          case _ => ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.sparkContext.setJobGroup(g, "measured")
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.setJobGroup(m, "marker")
+      try spark.range(1).count() finally spark.sparkContext.clearJobGroup()
+      val t0 = System.currentTimeMillis()
+      while (!sawMarker && System.currentTimeMillis() - t0 < 30000)
+        Thread.sleep(20)
+      assert(sawMarker, "listener bus never delivered the marker job")
+      inG.get
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("DV maintenance is ONE census job regardless of how many " +
+    "vectors are outstanding (no per-file action loop)") {
+    // two fixtures identical except the number of outstanding deletion
+    // vectors; the compaction's job count must not grow with it
+    def fixture(nDvs: Int): String = {
+      val dir = fragmented()
+      (0 until nDvs).foreach { i =>
+        // tombstones on p1/p2 rows only — untouched by the p0 rewrite,
+        // so every vector survives the census as fully-kept
+        CommitLog.deleteVectors(spark, dir,
+          $"pd" =!= "p0" && $"k" % 97L === i.toLong)
+      }
+      assert(CommitLog.latest(spark, dir).get.dvs.size == nDvs)
+      dir
+    }
+    val few = fixture(2)
+    val many = fixture(8)
+    val expectFew = CommitLog.read(spark, few)
+      .as[(Long, Long, String)].collect().toSet
+    val expectMany = CommitLog.read(spark, many)
+      .as[(Long, Long, String)].collect().toSet
+    val jFew = countJobs(
+      CommitLog.compactPartitions(spark, few, col("pd") === "p0"))
+    val jMany = countJobs(
+      CommitLog.compactPartitions(spark, many, col("pd") === "p0"))
+    assert(jMany == jFew,
+      s"job count must be DV-count-independent: 2 DVs -> $jFew jobs, " +
+        s"8 DVs -> $jMany jobs")
+    assert(CommitLog.read(spark, few)
+      .as[(Long, Long, String)].collect().toSet == expectFew)
+    assert(CommitLog.read(spark, many)
+      .as[(Long, Long, String)].collect().toSet == expectMany)
+    assert(CommitLog.latest(spark, many).get.dvs.size == 8,
+      "fully-kept vectors are carried, not rewritten")
+  }
+
   test("streaming table reads skip the partial compaction (no row moved)") {
     val dir = fragmented()
     val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
