@@ -33,7 +33,9 @@ final class GraftTable(
     tableSchema: StructType,
     partCols: Seq[String],
     props: Map[String, String],
-    val pinnedVersion: Option[Long]) extends Table {
+    val pinnedVersion: Option[Long],
+    catName: Option[String] = None) extends Table
+    with org.apache.spark.sql.graftbridge.V1FallbackBridge {
 
   override def name(): String = ident.toString
   override def schema(): StructType = tableSchema
@@ -46,6 +48,29 @@ final class GraftTable(
     (props + (TableCatalog.PROP_LOCATION -> dir)).asJava
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.emptySet()
+
+  /** V1 fallback descriptor — what routes `df.writeStream
+    * .format("graft-lake").toTable("gcat.db.t")` to the engine's
+    * exactly-once stream sink: `DataStreamWriter.toTable` sends a
+    * [[V2TableWithV1Fallback]] through its v1 path, which starts the
+    * provider's `createSink` at the table location (the Delta-table
+    * routing shape). Batch reads/writes are untouched: the analyzer
+    * consults the fallback only on streaming plans. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    CatalogTable(
+      // the CATALOG part matters: MicroBatchExecution refreshes the
+      // table after every sink batch through this identifier
+      identifier = TableIdentifier(ident.name,
+        ident.namespace.lastOption, catName),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new Path(dir).toUri)),
+      schema = tableSchema,
+      provider = Some("graft-lake"),
+      partitionColumnNames = partCols)
+  }
 }
 
 /** The `graft` [[TableCatalog]]: every table is a [[CommitLog]] lake at
@@ -137,7 +162,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         throw new NoSuchTableException(ident))
     }
     val (schema, partCols, props) = CommitLog.tableMeta(spark, dir, snap)
-    new GraftTable(dir, ident, schema, partCols, props, pinned)
+    new GraftTable(dir, ident, schema, partCols, props, pinned,
+      Some(catalogName))
   }
 
   override def loadTable(ident: Identifier): Table = {

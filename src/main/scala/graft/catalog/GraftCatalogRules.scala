@@ -115,7 +115,17 @@ class ResolveGraftCatalogOps(session: SparkSession)
           case Some(v) => CommitLog.readAt(session, t.dir, v)
           case None => CommitLog.read(session, t.dir)
         }
-        val resolved = read.queryExecution.analyzed
+        // tag the file relations with the table's catalog descriptor:
+        // Catalog.refreshTable — which MicroBatchExecution calls after
+        // every streaming-sink batch into this table — walks the
+        // resolved plan and does `catalogTable.get` on every
+        // LogicalRelation it finds; a bare path-read relation there
+        // crashes the refresh with None.get
+        val resolved = read.queryExecution.analyzed.transform {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation if lr.catalogTable.isEmpty =>
+            lr.copy(catalogTable = Some(t.v1Table))
+        }
         // keep the relation's exprIds: references bound to the v2
         // relation's attributes stay valid through this aliasing layer.
         // Match by NAME, not position — the parquet scan reorders hive

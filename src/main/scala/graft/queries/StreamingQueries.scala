@@ -386,11 +386,89 @@ object StreamingQueries {
       |FROM orders WHERE o_orderkey <= 20000
       |GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // ------------------------------------------------- q189_stream_sink
+  /** The write-side mirror of q187 — the reference's stream-in /
+    * stream-out pipeline (`src/scrape.py:81-118` →
+    * `src/clean_data.py:247-262`) as PURE Spark idiom on BOTH ends:
+    * producers INSERT into a named catalog table, a follower runs
+    * `spark.readStream.table(src)` → `writeStream.format("graft-lake")
+    * .toTable(out)` — the NATIVE exactly-once sink
+    * ([[graft.streaming.LakeStreamSink]]): each micro-batch is one
+    * commit guarded by the per-query txn ledger, routed through the v2
+    * table's v1 fallback. No foreachBatch anywhere. The DuckDB oracle
+    * recomputes the landed table from raw orders, so a hash match
+    * proves producer commits → streaming table read → native sink →
+    * catalog read delivered every row exactly once. */
+  private val q189Works = scala.collection.concurrent.TrieMap[String, String]()
+  private def q189Work(s: SparkSession, d: String): String =
+    q189Works.getOrElseUpdate(d, {
+      val work = Files.createTempDirectory("graft_q189_").toString
+      if (s.conf.getOption("spark.sql.catalog.gq189").isEmpty) {
+        s.conf.set("spark.sql.catalog.gq189",
+          classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.gq189.warehouse", s"$work/wh")
+      }
+      if (s.sql("SHOW NAMESPACES IN gq189").filter(col("namespace") === "db")
+          .isEmpty) s.sql("CREATE NAMESPACE gq189.db")
+      val tag = Integer.toHexString(d.hashCode).takeWhile(_ != '-')
+      val src = s"gq189.db.src_$tag"
+      val out = s"gq189.db.out_$tag"
+      Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+        .createOrReplaceTempView("q189_src")
+      s.sql(s"CREATE TABLE $src PARTITIONED BY (flag) AS " +
+        "SELECT * FROM q189_src WHERE o_orderkey <= 10000")
+      s.sql(s"CREATE TABLE $out (o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE, flag STRING) PARTITIONED BY (flag)")
+      val q = s.readStream.table(src)
+        .writeStream.format("graft-lake")
+        .option("checkpointLocation", s"$work/chk")
+        .toTable(out)
+      try {
+        q.processAllAvailable() // initial snapshot batch
+        s.sql(s"INSERT INTO $src SELECT * FROM q189_src " +
+          "WHERE o_orderkey > 10000 AND o_orderkey <= 15000")
+        q.processAllAvailable()
+        s.sql(s"INSERT INTO $src SELECT * FROM q189_src " +
+          "WHERE o_orderkey > 15000")
+        q.processAllAvailable()
+      } finally q.stop()
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(work))
+      }
+      work
+    })
+
+  private def q189StreamSink(s: SparkSession, d: String): DataFrame = {
+    q189Work(s, d)
+    val tag = Integer.toHexString(d.hashCode).takeWhile(_ != '-')
+    s.table(s"gq189.db.out_$tag")
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        min(col("o_orderkey")).as("min_ok"),
+        max(col("o_orderkey")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
+  private val q189Sql =
+    """SELECT o_orderstatus AS flag, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      |FROM orders WHERE o_orderkey <= 20000
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q132_stream_upsert", q132Upsert, None),
     Q("q145_stream_upsert_logged", q145UpsertLogged, None),
     Q("q156_stream_view", q156StreamView, Some(q156Sql)),
     Q("q174_stream_wap", q174StreamWap, Some(q174Sql)),
     Q("q187_stream_table", q187StreamTable, Some(q187Sql)),
+    Q("q189_stream_sink", q189StreamSink, Some(q189Sql)),
     Q("q133_stream_neardup", q133NearDup, None))
 }

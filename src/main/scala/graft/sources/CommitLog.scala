@@ -1248,7 +1248,12 @@ object CommitLog {
         * were materialized into the rewrite, or rewritten into a
         * filtered file carried by `dvAppend`) — the partition-scoped
         * compaction's DV maintenance. */
-      dvDrop: Set[String] = Set.empty)
+      dvDrop: Set[String] = Set.empty,
+      /** Per-QUERY sink transaction identity `(queryId, batchId)` —
+        * checked against the props ledger on every rebase attempt, so a
+        * concurrently-committed replay turns this commit into a no-op
+        * (the mid-flight mirror of [[txnDone]]). */
+      txn: Option[(String, Long)] = None)
 
   /** Partition directory of a dir-relative data file ("" for an
     * unpartitioned layout — there the whole table is one conflict unit). */
@@ -1434,6 +1439,14 @@ object CommitLog {
             s"$dir — staged files abandoned for vacuum")
         return s
       }
+      staged.txn.foreach { case (q, b) =>
+        if (txnDone(s, q, b)) {
+          System.err.println(
+            s"[commitlog] sink txn $q#$b committed concurrently to $dir " +
+              "— staged files abandoned for vacuum")
+          return s
+        }
+      }
       // a pinned-base commit (replaceWhere with expectedVersion: its
       // propsDelta was DERIVED from the base snapshot) must not rebase
       // over ANY intervening commit — even a file-disjoint or props-only
@@ -1572,6 +1585,150 @@ object CommitLog {
               "(staged files are vacuum garbage)")
         }
     }
+
+  // ----------------------------------------------- streaming-sink txns
+  /** Per-QUERY transaction ledger for the native streaming sink
+    * (`df.writeStream.format("graft-lake")` /
+    * `.toTable("gcat.db.t")`): the table property
+    * `graft.txn.<queryId> = <last committed batch id>` rides each sink
+    * commit atomically with its data. Micro-batch ids are strictly
+    * monotone within one streaming query and sink commits are
+    * serialized by the log, so `batchId <= recorded` IS the replay
+    * test — the `(appId, version)` idempotence shape of Delta's txn
+    * action. Unlike the single-sequence `batches` ledger (which
+    * assumes ONE writer stream per table), the query id namespaces the
+    * entry: a RE-CREATED query (fresh checkpoint → batch ids restart
+    * at 0) gets a fresh ledger instead of silently skipping its first
+    * batches, and two queries feeding one table replay independently.
+    * One ~60-byte prop per query ever to write the table — planning
+    * metadata, not data-plane state. */
+  private def txnKey(queryId: String) = s"graft.txn.$queryId"
+  private[graft] def txnDone(s: Snapshot, queryId: String,
+      b: Long): Boolean =
+    s.props.get(txnKey(queryId)).exists(_.toLong >= b)
+  private def txnSkip(dir: String, queryId: String, b: Long): Unit =
+    System.err.println(
+      s"[commitlog] sink txn $queryId#$b already committed to $dir — " +
+        "replay skipped")
+
+  /** First-ever sink batch into a directory with no commit log:
+    * bootstrap the table FROM the batch (version 1 = the batch, with
+    * the txn ledger entry riding the same commit). A crashed first
+    * batch left nothing visible; its replay bootstraps cleanly. */
+  private def sinkBootstrap(spark: SparkSession, rows: DataFrame,
+      dir: String, partCols: Seq[String], queryId: String,
+      batchId: Long): Snapshot = {
+    val f = hadoopFs(spark, dir)
+    f.mkdirs(logPath(dir))
+    val rels = stageWrite(spark, dir, rows, partCols)
+    if (rels.isEmpty)
+      throw new IllegalStateException(
+        s"cannot bootstrap $dir from an empty batch — the sink skips " +
+          "empty batches until the first row arrives")
+    val seed = Snapshot(0L, Nil, Nil, Nil, None, "init")
+    try commit(spark, dir, seed, rels, rels, Nil, "init",
+      Some(rows.schema.json), Map(txnKey(queryId) -> batchId.toString))
+    catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"create race on $dir — another writer bootstrapped the log " +
+          s"first (${e.getMessage}); re-run to land on top " +
+          "(staged files are vacuum garbage)")
+    }
+  }
+
+  /** The native streaming sink's APPEND verb (`OutputMode.Append`):
+    * [[append]] semantics guarded by the per-query txn ledger. Pure
+    * file adds — O(batch) at any table size, clashes with no
+    * concurrent writer. Bootstraps a missing table from the first
+    * non-empty batch (`bootstrapPartCols` = `writeStream.partitionBy`). */
+  def sinkAppend(spark: SparkSession, rows: DataFrame, dir: String,
+      queryId: String, batchId: Long,
+      bootstrapPartCols: Seq[String] = Nil): Snapshot =
+    latest(spark, dir) match {
+      case None =>
+        sinkBootstrap(spark, rows, dir, bootstrapPartCols, queryId,
+          batchId)
+      case Some(s0) if txnDone(s0, queryId, batchId) =>
+        txnSkip(dir, queryId, batchId); s0
+      case Some(s0) =>
+        checkSchemaCompatible(s0, rows, dir)
+        val partCols = partColsOf(s0)
+        val missingP = partCols.filterNot(rows.columns.contains)
+        require(missingP.isEmpty,
+          s"sink append into $dir must carry partition column(s): " +
+            missingP.mkString(", "))
+        val rels = stageWrite(spark, dir, rows, partCols, s0.physNames)
+        if (rels.isEmpty) s0 // empty batch: nothing to make exactly-once
+        else commitRebase(spark, dir,
+          StagedUpsert(s0, Set.empty, Set.empty, rels, None,
+            Some(rows.schema.json),
+            Map(txnKey(queryId) -> batchId.toString),
+            txn = Some((queryId, batchId))),
+          "append", maxRetries = 10)
+    }
+
+  /** The native streaming sink's keyed UPSERT verb
+    * (`OutputMode.Update` + `keyColumns`): [[upsert]] semantics —
+    * copy-on-write merge of the touched partitions, `seqCol`-aware —
+    * guarded by the per-query txn ledger. Bootstraps a missing table
+    * from the first non-empty batch. */
+  def sinkUpsert(spark: SparkSession, updates: DataFrame, dir: String,
+      keyCols: Seq[String], partitionCol: String,
+      seqCol: Option[String], queryId: String, batchId: Long): Snapshot =
+    latest(spark, dir) match {
+      case None =>
+        require(keyCols.nonEmpty, "upsert needs at least one key column")
+        sinkBootstrap(spark, updates, dir, Seq(partitionCol), queryId,
+          batchId)
+      case Some(s0) if txnDone(s0, queryId, batchId) =>
+        txnSkip(dir, queryId, batchId); s0
+      case Some(_) =>
+        stageUpsert(spark, updates, dir, keyCols, partitionCol, seqCol,
+          batchId = None) match {
+          case Some(st) => commitRebase(spark, dir, st.copy(
+            propsDelta =
+              st.propsDelta + (txnKey(queryId) -> batchId.toString),
+            txn = Some((queryId, batchId))), "upsert", maxRetries = 10)
+          case None => mustLatest(spark, dir)
+        }
+    }
+
+  /** The native streaming sink's REPLACE verb (`OutputMode.Complete`:
+    * each micro-batch carries the full result, e.g. a streaming
+    * aggregate): an atomic whole-snapshot overwrite per batch, guarded
+    * by the per-query txn ledger. History stays time-travelable; old
+    * snapshots wait for vacuum. */
+  def sinkOverwrite(spark: SparkSession, replacement: DataFrame,
+      dir: String, partitionCols: Seq[String], queryId: String,
+      batchId: Long): Snapshot = {
+    var attempt = 0
+    while (true) {
+      latest(spark, dir) match {
+        case None =>
+          return sinkBootstrap(spark, replacement, dir, partitionCols,
+            queryId, batchId)
+        case Some(s) if txnDone(s, queryId, batchId) =>
+          txnSkip(dir, queryId, batchId); return s
+        case Some(s) =>
+          val pc = {
+            val committed = partColsOf(s)
+            if (committed.nonEmpty) committed else partitionCols
+          }
+          val rels = stageWrite(spark, dir, replacement, pc, s.physNames)
+          try return commit(spark, dir, s, rels, rels, s.batches,
+            "overwrite", Some(replacement.schema.json),
+            Map(txnKey(queryId) -> batchId.toString), dvsNew = Some(Nil))
+          catch { case e: CommitConflict =>
+            attempt += 1
+            if (attempt >= 10) throw new IllegalStateException(
+              s"sink overwrite on $dir lost the commit race 10 times " +
+                s"(${e.getMessage})")
+            Thread.sleep(20L * attempt) // re-derive from the new latest
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** General conditional MERGE — the full three-clause verb on top of
     * the same copy-on-write machinery as [[upsert]]/[[delete]], in ONE

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.graftbridge.StreamBridge
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.sources.CommitLog
+
+/** NATIVE EXACTLY-ONCE STREAMING SINK for [[CommitLog]] lakes — the
+  * write-side mirror of [[LakeStreamSource]] and the last hop of the
+  * reference's E1/E2 stream-in/stream-out pipelines
+  * (`/root/reference/src/scrape.py:81-118`,
+  * `src/clean_data.py:247-262`), expressed as the Spark idiom:
+  *
+  * {{{
+  *   df.writeStream.format("graft-lake")
+  *     .option("checkpointLocation", chk).start(dirOrName)
+  *   df.writeStream.format("graft-lake").toTable("gcat.db.t")
+  * }}}
+  *
+  * Each micro-batch lands as ONE commit-log commit carrying a
+  * per-query transaction ledger entry (`graft.txn.<queryId> =
+  * batchId` — [[CommitLog.sinkAppend]]), so an at-least-once replay
+  * (crash between the sink commit and the checkpoint commit) is a
+  * loud no-op: exactly-once end to end, keyed by the query id so a
+  * fresh checkpoint (new query id, batch ids restarting at 0) starts
+  * a fresh ledger instead of silently skipping.
+  *
+  * Output modes map to the engine's write verbs:
+  *  - `Append` → [[CommitLog.sinkAppend]]: pure file adds, O(batch)
+  *    work at any table size, conflict-free under concurrent writers
+  *    — the 100 TB ingestion shape;
+  *  - `Update` → [[CommitLog.sinkUpsert]]: keyed copy-on-write merge
+  *    of the touched partitions; needs `keyColumns` +
+  *    `partitionColumn` (+ optional `sequenceColumn` for out-of-order
+  *    delivery);
+  *  - `Complete` → [[CommitLog.sinkOverwrite]]: each batch replaces
+  *    the snapshot atomically (streaming aggregates).
+  *
+  * A missing table bootstraps from the first non-empty batch
+  * (`writeStream.partitionBy` becomes the layout). Empty batches
+  * commit nothing. Downstream followers see each batch as one commit:
+  * the source side's admission control then re-chunks at ITS
+  * granularity — the two ends compose into the consume-once pipeline
+  * the reference builds from bucket listings and object deletes. */
+class LakeStreamSink(spark: SparkSession, dir: String,
+    mode: OutputMode, keyCols: Seq[String],
+    partitionCol: Option[String], seqCol: Option[String],
+    partitionColumns: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val queryId = StreamBridge.currentQueryId(spark).getOrElse(
+      throw new IllegalStateException(
+        "graft-lake sink found no running streaming query id — " +
+          "addBatch outside a StreamExecution thread?"))
+    val batch = StreamBridge.asBatch(data)
+    if (batch.isEmpty) return // nothing to commit; replay-safe no-op
+    mode match {
+      case m if m == OutputMode.Append() =>
+        CommitLog.sinkAppend(spark, batch, dir, queryId, batchId,
+          bootstrapPartCols = partitionColumns)
+        ()
+      case m if m == OutputMode.Update() =>
+        val pc = partitionCol.orElse(partitionColumns.headOption)
+          .getOrElse(throw new IllegalArgumentException(
+            "graft-lake sink in update mode needs option " +
+              "partitionColumn (or .partitionBy) — the upsert's " +
+              "copy-on-write unit"))
+        CommitLog.sinkUpsert(spark, batch, dir, keyCols, pc, seqCol,
+          queryId, batchId)
+        ()
+      case _ => // Complete
+        CommitLog.sinkOverwrite(spark, batch, dir, partitionColumns,
+          queryId, batchId)
+        ()
+    }
+  }
+
+  override def toString: String = s"LakeStreamSink[$dir]"
+}

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.StreamBridge
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.CommitLog
@@ -435,10 +436,38 @@ class LakeCdfStreamSource(spark: SparkSession, dir: String,
   * micro-batches, `followAdditiveSchema` = true to ride out ADD
   * COLUMNS without a restart, and `readChangeFeed` = true with
   * `keyColumns` = `k1[,k2...]` (+ optional `maxCommitsPerTrigger`)
-  * for the row-level CDC stream ([[LakeCdfStreamSource]]). */
-class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  * for the row-level CDC stream ([[LakeCdfStreamSource]]).
+  *
+  * The same registration is the STREAM SINK (`writeStream
+  * .format("graft-lake").start(dirOrName)` / `.toTable("gcat.db.t")`
+  * through [[graft.catalog.GraftTable]]'s v1 fallback) —
+  * [[LakeStreamSink]], exactly-once via the commit log's per-query
+  * transaction ledger. Sink options: `keyColumns` +
+  * `partitionColumn` (+ `sequenceColumn`) for update-mode upserts. */
+class LakeSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
+
+  override def createSink(ctx: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val spark = ctx.sparkSession
+    val dir = dirOf(spark, parameters)
+    def opt(name: String): Option[String] = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v
+    }
+    val keys = opt("keyColumns")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    if (outputMode == OutputMode.Update())
+      require(keys.nonEmpty,
+        "graft-lake sink in update mode needs option keyColumns " +
+          "(comma-separated) — the upsert identity")
+    new LakeStreamSink(spark, dir, outputMode, keys,
+      opt("partitionColumn"), opt("sequenceColumn"), partitionColumns)
+  }
 
   private def dirOf(spark: SparkSession,
       parameters: Map[String, String]): String = {

@@ -25,6 +25,27 @@ object StreamBridge {
       isStreaming = true)
   }
 
+  /** The inverse of [[asStreaming]], for a V1 `Sink.addBatch`: re-wrap
+    * the micro-batch's physical rows as a BATCH DataFrame the sink can
+    * put through ordinary writers (using the incremental plan's
+    * DataFrame directly would re-analyze it as a streaming relation) —
+    * the same hop `ForeachBatchSink` performs. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[
+      org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
+
+  /** The RUNNING streaming query's id, from the local property
+    * `StreamExecution` stamps on its micro-batch thread — the stable
+    * identity (constant across restarts of one checkpoint) the sink's
+    * per-query transaction ledger keys on. */
+  def currentQueryId(spark: SparkSession): Option[String] =
+    Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime
+        .StreamExecution.QUERY_ID_KEY))
+
   /** A V1 `StreamingRelation` over `providerClass` (a
     * `StreamSourceProvider`), with the CALLER's output attributes so
     * references bound to the v2 relation stay valid through the

@@ -1,0 +1,197 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.CommitLog
+
+/** [[LakeStreamSink]] — `writeStream.format("graft-lake")`: each
+  * micro-batch is one commit, exactly-once through the per-query txn
+  * ledger (a replayed epoch is a no-op; a FRESH query id is a fresh
+  * ledger), reachable by path and by catalog name (`.toTable`), in
+  * append / update(upsert) / complete(overwrite) modes. */
+class LakeStreamSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def work(): String = {
+    val d = Files.createTempDirectory("graft_sink_")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def seed(dir: String, rows: Long = 10): Unit = {
+    spark.range(0, rows).select($"id".as("k"), ($"id" % 7).as("v"),
+      concat(lit("p"), ($"id" % 2)).as("pd"))
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir)
+  }
+
+  private def dropLastCommit(chk: String): Unit = {
+    val dir = new java.io.File(s"$chk/commits")
+    val fs = Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.forall(_.isDigit))
+    assert(fs.nonEmpty, s"no commit files under $chk/commits")
+    val last = fs.maxBy(_.getName.toLong)
+    val crc = new java.io.File(dir, s".${last.getName}.crc")
+    assert(last.delete())
+    if (crc.exists) crc.delete()
+  }
+
+  test("append sink: source table -> sink table, bootstrap from the " +
+    "first batch, one commit per micro-batch, exactly once") {
+    val w = work(); val src = s"$w/src"; val out = s"$w/out"
+    seed(src, rows = 10)
+    def run() = spark.readStream.format("graft-lake").load(src)
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$w/chk")
+      .start(out)
+    val q = run()
+    try {
+      q.processAllAvailable()
+      assert(CommitLog.read(spark, out).count() == 10,
+        "bootstrap from the initial snapshot batch")
+      CommitLog.append(spark, spark.range(100, 105).select($"id".as("k"),
+        lit(1L).as("v"), lit("p0").as("pd")), src)
+      q.processAllAvailable()
+      assert(CommitLog.read(spark, out).count() == 15)
+      assert(CommitLog.read(spark, out).select($"k").as[Long]
+        .collect().toSet ==
+        ((0L until 10L) ++ (100L until 105L)).toSet)
+    } finally q.stop()
+    // the sink table is a real lake: partition layout from the source
+    // rows, commit history one version per non-empty batch
+    assert(CommitLog.latest(spark, out).get.version == 2)
+    // restart with commits landing while down — still exactly once
+    CommitLog.append(spark, spark.range(200, 203).select($"id".as("k"),
+      lit(2L).as("v"), lit("p1").as("pd")), src)
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(CommitLog.read(spark, out).count() == 18)
+  }
+
+  test("a replayed epoch is a no-op: crash between the sink commit " +
+    "and the checkpoint commit does not double-apply") {
+    val w = work(); val src = s"$w/src"; val out = s"$w/out"
+    seed(src, rows = 8)
+    def run() = spark.readStream.format("graft-lake").load(src)
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$w/chk")
+      .start(out)
+    val q = run()
+    try q.processAllAvailable() finally q.stop()
+    assert(CommitLog.read(spark, out).count() == 8)
+    val vAfter = CommitLog.latest(spark, out).get.version
+    // crash shape: sink committed, checkpoint commit lost → the engine
+    // re-runs the same (queryId, batchId) epoch on restart
+    dropLastCommit(s"$w/chk")
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(CommitLog.read(spark, out).count() == 8,
+      "the replayed epoch must be a ledger no-op, not a double append")
+    assert(CommitLog.latest(spark, out).get.version == vAfter,
+      "a skipped replay must not even commit a version")
+  }
+
+  test("a FRESH query (new checkpoint, batch ids restarting at 0) " +
+    "gets a fresh ledger instead of being skipped") {
+    val w = work(); val out = s"$w/out"
+    val srcA = s"$w/srcA"; val srcB = s"$w/srcB"
+    seed(srcA, rows = 5)
+    seed(srcB, rows = 3)
+    val qa = spark.readStream.format("graft-lake").load(srcA)
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$w/chkA").start(out)
+    try qa.processAllAvailable() finally qa.stop()
+    assert(CommitLog.read(spark, out).count() == 5)
+    // second query, same target, OWN checkpoint: its batch 0 must land
+    // (a shared single-sequence ledger would silently skip it)
+    val qb = spark.readStream.format("graft-lake").load(srcB)
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$w/chkB").start(out)
+    try qb.processAllAvailable() finally qb.stop()
+    assert(CommitLog.read(spark, out).count() == 8,
+      "the second query's batch 0 must not be skipped by the first's " +
+        "ledger")
+    val props = CommitLog.latest(spark, out).get.props
+    assert(props.keys.count(_.startsWith("graft.txn.")) == 2,
+      s"one ledger entry per query, got ${props.keys.toSeq.sorted}")
+  }
+
+  test("writeStream.toTable on a graft catalog name routes through " +
+    "the v1 fallback to the exactly-once sink") {
+    val w = work(); val src = s"$w/src"
+    seed(src, rows = 12)
+    spark.conf.set("spark.sql.catalog.gsink",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsink.warehouse", s"$w/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsink.db")
+    spark.sql("CREATE TABLE gsink.db.landed " +
+      "(k BIGINT, v BIGINT, pd STRING) PARTITIONED BY (pd)")
+    val q = spark.readStream.format("graft-lake").load(src)
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$w/chk")
+      .toTable("gsink.db.landed")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gsink.db.landed").count() == 12,
+        "the catalog read must see the streamed rows")
+      CommitLog.append(spark, spark.range(500, 503)
+        .select($"id".as("k"), lit(9L).as("v"), lit("p1").as("pd")), src)
+      q.processAllAvailable()
+      assert(spark.table("gsink.db.landed").count() == 15)
+      // and SQL sees them too — the sink landed real commits
+      assert(spark.sql(
+        "SELECT count(*) FROM gsink.db.landed WHERE k >= 500")
+        .as[Long].head() == 3L)
+    } finally q.stop()
+  }
+
+  test("update mode upserts by key (sequence-aware); complete mode " +
+    "replaces the snapshot per batch") {
+    val w = work(); val src = s"$w/src"; val out = s"$w/out"
+    seed(src, rows = 6) // k = 0..5, v = k % 7, pd = p(k%2)
+    val q = spark.readStream.format("graft-lake").load(src)
+      .writeStream.format("graft-lake")
+      .outputMode("update")
+      .option("keyColumns", "k")
+      .option("partitionColumn", "pd")
+      .option("sequenceColumn", "v")
+      .option("checkpointLocation", s"$w/chk")
+      .start(out)
+    try {
+      q.processAllAvailable()
+      assert(CommitLog.read(spark, out).count() == 6)
+      // same keys again with higher sequence → updates, not duplicates
+      CommitLog.append(spark, spark.range(0, 3).select($"id".as("k"),
+        lit(99L).as("v"), concat(lit("p"), ($"id" % 2)).as("pd")), src)
+      q.processAllAvailable()
+      val rows = CommitLog.read(spark, out)
+        .select($"k", $"v").as[(Long, Long)].collect().toMap
+      assert(rows.size == 6, s"upsert must converge by key: $rows")
+      assert((0L until 3L).forall(k => rows(k) == 99L),
+        s"higher-sequence images must win: $rows")
+    } finally q.stop()
+    // complete mode: a streaming aggregate whose every batch replaces the
+    // snapshot — final state equals the batch recompute
+    val agg = s"$w/agg"
+    val q2 = spark.readStream.format("graft-lake").load(src)
+      .groupBy($"pd").agg(count(lit(1)).as("n"))
+      .writeStream.format("graft-lake")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$w/chk2")
+      .start(agg)
+    try {
+      q2.processAllAvailable()
+      val expect = CommitLog.read(spark, src).groupBy($"pd")
+        .agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toSet
+      assert(CommitLog.read(spark, agg).as[(String, Long)]
+        .collect().toSet == expect,
+        "complete mode must equal the batch recompute")
+    } finally q2.stop()
+  }
+}
