@@ -162,36 +162,61 @@ object LlmQueries {
   }
 
   // ------------------------------------------------------- q24_ann_topk
-  // round-12: the default operating point moved from (6 planes, 4
-  // tables) ≈ 0.14 recall@10 to (5 planes, 8 tables) — measured
-  // 0.62 at sf0.01 and ≈0.45 at sf0.1 (curve: tables 1/4/8 at 5
-  // planes span ~0.06/0.20/0.62 on the sf0.01 corpus) with
-  // tables-linear cost; the floor rises 0.10 → 0.25. Verify also
-  // writes the recall-vs-cost curve into the diag sidecar
-  // ([ann-curve] lines).
+  // round-13: annTopK now AUTO-ROUTES to a persisted IVF index
+  // (round-12 verdict item 5 — the per-query LSH default held ≈0.34
+  // recall@10 at sf0.1 while the index holds ≈0.7 at comparable
+  // serving cost). The fixture clusters+assigns the corpus ONCE per
+  // (session, sfDir) and commits it as an index table
+  // (IvfIndex.save); the registered query is annTopK(index=Some(dir))
+  // — Bloom-pruned probe-cell reads, exact in-cell cosine. Floor
+  // rises 0.25 → 0.30. The [ann-curve] sidecar keeps the LSH points
+  // for comparison and gains the routed point.
+  private val q24Indexes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q24Index(s: SparkSession, d: String): String =
+    q24Indexes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_q24_ivf_").toString
+      val idx = s"$work/ivf"
+      graft.sim.IvfIndex.save(s, graft.sim.IvfIndex.build(
+        Tables.embeddings(s, d), "vec_id", "embedding", nList = 8), idx)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(work))
+      }
+      idx
+    })
+
   private def q24Ann(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    val idx = q24Index(s, d)
     if (sys.props.get("graft.verify.recall").contains("1")) {
       def pairs(df: DataFrame): Set[(Any, Any)] =
         df.select(col("query_id"), col("neighbor_id")).collect()
           .map(r => (r.get(0), r.get(1))).toSet
       val exact = pairs(q23Cosine(s, d))
-      Seq(1, 4, 8).foreach { t =>
+      def point(label: String)(df: => DataFrame): Unit = {
         val t0 = System.nanoTime()
-        val got = pairs(Similarity.annTopK(
-          emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
-          k = 10, planes = 5, dim = 64, tables = t))
+        val got = pairs(df)
         val ms = (System.nanoTime() - t0) / 1e6
         val r = (got intersect exact).size.toDouble / exact.size
         System.err.println(
-          f"[ann-curve] q24_ann_topk planes=5 tables=$t%d " +
-            f"recall@10=$r%.4f ms=$ms%.0f")
+          f"[ann-curve] q24_ann_topk $label%s recall@10=$r%.4f ms=$ms%.0f")
       }
+      Seq(1, 4, 8).foreach { t =>
+        point(s"planes=5 tables=$t")(Similarity.annTopK(
+          emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+          k = 10, planes = 5, dim = 64, tables = t))
+      }
+      point("routed=ivf nList=8 nProbe=3")(Similarity.annTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+        k = 10, index = Some(idx)))
     }
-    withRecall("q24_ann_topk", s, d, floor = 0.25) {
+    withRecall("q24_ann_topk", s, d, floor = 0.30) {
     Similarity.annTopK(
       emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
-      k = 10, planes = 5, dim = 64, tables = 8)
+      k = 10, index = Some(idx))
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("sim"), 6).as("sim6"))
       .orderBy(col("query_id"), col("rank"))

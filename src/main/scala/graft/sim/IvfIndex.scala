@@ -2,7 +2,7 @@ package graft.sim
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** IVF-style approximate nearest neighbor: a coarse KMeans quantizer
@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   * is an equi-join on the int cell id — candidates ≈ corpus·(nProbe/
   * nList) instead of the full scan. Centroids (nList × dim floats) are
   * driver/broadcast-sized by construction.
-  */
+  *
+  * [[save]]/[[topKPersisted]] make the index a LAKE TABLE (the
+  * [[PqIndex]] discipline): the assignment table commits
+  * range-clustered by cell with per-file cell Bloom filters and the
+  * centroids ride the commit as props, so a standing corpus pays the
+  * cluster+assign pass ONCE and every later session serves by opening
+  * only the probed cells' files. */
 object IvfIndex {
 
-  final case class Index(model: org.apache.spark.ml.clustering.KMeansModel,
+  final case class Index(centroids: IndexedSeq[Array[Double]],
       assigned: DataFrame) {
     /** Release the cached assignment table when the index is retired. */
     def close(): Unit = { assigned.unpersist(); () }
@@ -52,17 +58,16 @@ object IvfIndex {
       .cache()
     assigned.count() // materialize while feats is still cached
     feats.unpersist()
-    Index(model, assigned)
+    Index(model.clusterCenters.map(_.toArray).toIndexedSeq, assigned)
   }
 
   /** Probe cell ids for each query vector: the nProbe nearest centroids
     * (exact L2 against the driver-sized centroid set, unrolled as
     * expressions — no UDF). */
   private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
-      index: Index, nProbe: Int): DataFrame = {
-    val centroids = index.model.clusterCenters.zipWithIndex
-    val distStructs = centroids.map { case (c, cid) =>
-      val lit_c = typedLit(c.toArray.toSeq)
+      centroids: IndexedSeq[Array[Double]], nProbe: Int): DataFrame = {
+    val distStructs = centroids.zipWithIndex.map { case (c, cid) =>
+      val lit_c = typedLit(c.toSeq)
       val d2 = aggregate(
         zip_with(col("qv"), lit_c, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
@@ -71,19 +76,76 @@ object IvfIndex {
     queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("probes",
-        slice(array_sort(array(distStructs.toIndexedSeq: _*)), 1, nProbe))
+        slice(array_sort(array(distStructs: _*)), 1, nProbe))
       .select(col("query_id"), col("qv"),
         explode(col("probes.cell")).as("cell"))
   }
 
-  /** ANN top-k through the IVF index. */
-  def topK(queries: DataFrame, idCol: String, vecCol: String,
-      index: Index, k: Int, nProbe: Int): DataFrame = {
-    val q = probeCells(queries, idCol, vecCol, index, nProbe)
-    val scored = index.assigned.join(q, Seq("cell"))
+  private def rank(assigned: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
+    val scored = assigned.join(probes, Seq("cell"))
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id").as("neighbor_id"),
         Similarity.cosine(col("qv"), col("nn_vec")).as("sim"))
     Similarity.rankTopK(scored, k)
+  }
+
+  /** ANN top-k through the IVF index. */
+  def topK(queries: DataFrame, idCol: String, vecCol: String,
+      index: Index, k: Int, nProbe: Int): DataFrame =
+    rank(index.assigned,
+      probeCells(queries, idCol, vecCol, index.centroids, nProbe), k)
+
+  // ------------------------------------------------------- persistence
+
+  /** Persist `index` as a commit-logged table at `dir` (fresh
+    * directory): rows (nn_id, cell, nn_vec) range-clustered by cell so
+    * a cell's vectors live in few files, per-file Bloom filters on cell
+    * for probe pruning, centroids in the table props — one atomic,
+    * versioned, vacuumable unit (the [[PqIndex.save]] shape, keeping
+    * raw vectors for exact in-cell scoring where PQ keeps codes). */
+  def save(spark: org.apache.spark.sql.SparkSession, index: Index,
+      dir: String, numFiles: Int = 8): Unit = {
+    import graft.sources.CommitLog
+    index.assigned
+      .repartitionByRange(numFiles, col("cell"))
+      .sortWithinPartitions("cell", "nn_id")
+      .write.parquet(dir)
+    val perFile = index.assigned.count() / math.max(1, numFiles) + 1L
+    CommitLog.init(spark, dir, bloomCols = Seq("cell"),
+      bloomExpect = math.max(16L, perFile),
+      props = Map("ivf.centroids" -> PqIndex.renderMatrix(index.centroids)))
+    ()
+  }
+
+  /** The persisted centroids — kilobytes of props, no data files
+    * opened. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IndexedSeq[Array[Double]] = {
+    val p = graft.sources.CommitLog.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir holds no index commit log")).props
+    require(p.contains("ivf.centroids"),
+      s"$dir carries no ivf.centroids prop — not an IVF index table")
+    PqIndex.parseMatrix(p("ivf.centroids"))
+  }
+
+  /** ANN top-k served from a PERSISTED index: probe cells resolve
+    * against the props-resident centroids, and the assignment table is
+    * read through the committed cell Blooms — only the probed cells'
+    * files open, at any index size. Scores are identical to [[topK]]
+    * over the same index contents (IvfIndexSpec pins it). */
+  def topKPersisted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    import graft.sources.CommitLog
+    val centroids = loadCentroids(spark, dir)
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
+    val cells: Seq[Any] = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0): Any).toSeq
+    val assigned =
+      if (cells.isEmpty) CommitLog.read(spark, dir).limit(0)
+      else CommitLog.scanPointsIn(spark, dir, "cell", cells)._1
+    rank(assigned, probes, k)
   }
 }

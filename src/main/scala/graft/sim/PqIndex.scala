@@ -313,9 +313,9 @@ object PqIndex {
   /** Exact decimal round-trip: Double.toString is shortest-exact in
     * Java, so parse(toString(x)) == x bit for bit — the model literals a
     * loading session builds are identical to the saver's. */
-  private def renderMatrix(m: Seq[Array[Double]]): String =
+  private[sim] def renderMatrix(m: Seq[Array[Double]]): String =
     m.map(_.map(_.toString).mkString(",")).mkString(";")
-  private def parseMatrix(s: String): IndexedSeq[Array[Double]] =
+  private[sim] def parseMatrix(s: String): IndexedSeq[Array[Double]] =
     s.split(';').iterator.map(_.split(',').map(_.toDouble)).toIndexedSeq
 
   /** Persist `index` as a commit-logged table at `dir` (fresh

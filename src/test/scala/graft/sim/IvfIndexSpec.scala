@@ -32,6 +32,38 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally index.close()
   }
 
+  test("persisted index serves IDENTICAL results to the in-memory " +
+    "index, reads only probed cells, and routes through annTopK") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nList = 8)
+    val work = java.nio.file.Files.createTempDirectory("graft_ivf_")
+    work.toFile.deleteOnExit()
+    val dir = s"$work/ivf"
+    try {
+      IvfIndex.save(spark, index, dir)
+      val queries = emb.filter($"vec_id" < 10)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+      val mem = pairs(IvfIndex.topK(queries, "vec_id", "embedding",
+        index, k = 10, nProbe = 3))
+      val persisted = pairs(IvfIndex.topKPersisted(spark, dir, queries,
+        "vec_id", "embedding", k = 10, nProbe = 3))
+      assert(persisted == mem,
+        "persisted serving must be bit-identical to in-memory serving")
+      // the routed annTopK entry point is the same plan
+      val routed = pairs(Similarity.annTopK(queries, emb, "vec_id",
+        "embedding", k = 10, index = Some(dir)))
+      assert(routed == persisted)
+      // centroids round-trip exactly through the props codec
+      val loaded = IvfIndex.loadCentroids(spark, dir)
+      assert(loaded.size == index.centroids.size &&
+        loaded.zip(index.centroids).forall { case (a, b) =>
+          a.sameElements(b)
+        }, "centroid literals must round-trip bit-exactly")
+    } finally index.close()
+  }
+
   test("nProbe = nList degenerates to exact search") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
     val index = IvfIndex.build(emb, "vec_id", "embedding", nList = 4)
