@@ -54,6 +54,54 @@ object ScaleProof {
     Files.writeString(Paths.get(s"$dst/_DONE"), "ok\n")
   }
 
+  /** The restarted-follower cliff, at sf1: a 10-commit backlog of sf1
+    * orders (~15M rows) accumulates BEFORE any subscriber exists, then
+    * one `Trigger.AvailableNow` run with `maxFilesPerTrigger` drains it
+    * through the NATIVE sink (`format("graft-lake")` both ends) and
+    * terminates. Proof obligations: every row lands exactly once (count
+    * match), and the drain is genuinely chunked — the sink commits one
+    * version per micro-batch, so the landed table's version count IS
+    * the batch count. Prints batch-count × rows so SCALE.md can record
+    * the drain shape. */
+  private def backlogDrain(spark: SparkSession, dst: String): DataFrame = {
+    import graft.sources.CommitLog
+    val work = Files.createTempDirectory("graft_scale_drain_").toString
+    val src = s"$work/src"; val out = s"$work/out"
+    val orders = spark.read.parquet(s"$dst/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus").as("flag"))
+    // 10 append commits (one per replica key range) — a real backlog,
+    // not one giant snapshot
+    (0 until 10).foreach { r =>
+      val lo = r * Shift; val hi = lo + Shift
+      val slice = orders
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+      if (r == 0) {
+        slice.write.partitionBy("flag").parquet(src)
+        CommitLog.init(spark, src)
+      } else CommitLog.append(spark, slice, src)
+    }
+    val total = CommitLog.read(spark, src).count()
+    val files = CommitLog.latest(spark, src).get.files.size
+    val q = spark.readStream.format("graft-lake")
+      .option("maxFilesPerTrigger", "64").load(src)
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$work/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(out)
+    require(q.awaitTermination(30 * 60 * 1000),
+      "AvailableNow drain did not terminate in 30 min")
+    val landed = CommitLog.read(spark, out).count()
+    val batches = CommitLog.latest(spark, out).get.version
+    require(landed == total,
+      s"backlog drain lost rows: $landed of $total")
+    require(batches >= files / 64,
+      s"drain was not chunked: $batches batches for $files files")
+    println(s"[scale] backlog_drain: $total rows / $files files " +
+      s"drained in $batches bounded micro-batches (64 files/trigger)")
+    spark.range(batches).toDF("batches")
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dst = args.headOption.getOrElse("/tmp/graft_sf1")
@@ -74,7 +122,12 @@ object ScaleProof {
         // grows 10x (the "metadata commits are O(1) at any size" claim,
         // measured)
         "q184_catalog", "q185_catalog_write", "q177_sql_dml",
-        "q186_widen", "q187_stream_table")
+        "q186_widen", "q187_stream_table",
+        // round-13: the native exactly-once sink lifecycle and the
+        // partition-scoped OPTIMIZE at sf1, plus the dedicated
+        // 10x-orders BACKLOG DRAIN below (admission-controlled
+        // AvailableNow catch-up — the restarted-follower shape)
+        "q189_stream_sink", "q188_compact_where", "backlog_drain")
     // local[8], not local[32]: saturating every advertised CPU trips the
     // host's kernel-side thrash (measured 4-25x inflation at local[32] on
     // identical plans); 8 cores is also how you'd size a real executor
@@ -95,7 +148,9 @@ object ScaleProof {
     if (!new File(s"$dst/_DONE").exists()) generate(spark, src, dst)
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
+      val fn =
+        if (name == "backlog_drain") backlogDrain _
+        else SparkEntry.queries(name)
       val t0 = System.nanoTime()
       var rows = -1L
       try {

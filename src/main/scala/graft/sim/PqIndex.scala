@@ -429,7 +429,15 @@ object PqIndex {
   }
 
   /** [[topKRerank]] from a persisted index: Bloom-pruned ADC shortlist,
-    * then the exact re-rank re-reads raw vectors for survivors only. */
+    * then the exact re-rank re-reads raw vectors for survivors only —
+    * ONE lazy plan: the shortlist joins the corpus scan directly
+    * (Spark broadcasts the small side). A collect-ids-then-isin
+    * pushdown variant was measured SLOWER at the bench scale (the
+    * extra driver barrier serializes two jobs and costs more than the
+    * corpus scan it saves — ~1.1 s vs ~0.85 s at sf0.1); at a corpus
+    * size where one scan dominates, route the re-read through
+    * [[graft.sources.CommitLog.scanPointsIn]] on an id-clustered lake
+    * instead of a raw parquet corpus. */
   def topKRerankPersisted(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
