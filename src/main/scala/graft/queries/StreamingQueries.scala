@@ -463,6 +463,84 @@ object StreamingQueries {
       |FROM orders WHERE o_orderkey <= 20000
       |GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // ------------------------------------------------- q190_cdc_replicate
+  /** TABLE REPLICATION WITH DELETES as pure Spark idiom — the CDC
+    * source and the CDC-apply sink composed:
+    * `readStream.format("graft-lake").option("readChangeFeed", true)`
+    * → `writeStream.format("graft-lake")
+    * .option("applyChangeFeed", true)`, no foreachBatch. The source
+    * table lives a full life under the stream (create empty → seed
+    * append → keyed UPDATE → DELETE, each its own commit, drained one
+    * commit per micro-batch via `maxCommitsPerTrigger=1`); the mirror
+    * is built from NOTHING but the change feed. The DuckDB oracle
+    * recomputes the source's final state from raw orders, so a hash
+    * match proves every insert, update pair, and delete replicated
+    * exactly once and in order. */
+  private val q190Works = scala.collection.concurrent.TrieMap[String, String]()
+  private def q190Work(s: SparkSession, d: String): String =
+    q190Works.getOrElseUpdate(d, {
+      import graft.sources.CommitLog
+      val work = Files.createTempDirectory("graft_q190_").toString
+      val src = s"$work/src"; val mirror = s"$work/mirror"
+      val base = Tables.orders(s, d).filter(col("o_orderkey") <= 10000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      // v1: empty create — so the SEED flows through the feed too
+      CommitLog.create(s, src, base.schema, partCols = Seq("flag"))
+      val q = s.readStream.format("graft-lake")
+        .option("readChangeFeed", "true")
+        .option("keyColumns", "o_orderkey")
+        .option("startingVersion", "1")
+        .option("maxCommitsPerTrigger", "1").load(src)
+        .writeStream.format("graft-lake")
+        .outputMode("update")
+        .option("applyChangeFeed", "true")
+        .option("keyColumns", "o_orderkey")
+        .option("partitionColumn", "flag")
+        .option("checkpointLocation", s"$work/chk")
+        .start(mirror)
+      try {
+        CommitLog.append(s, base, src) // v2: the seed, as inserts
+        q.processAllAvailable()
+        CommitLog.upsert(s, // v3: keyed price rewrite -> update pairs
+          base.filter(col("o_orderkey") % 5 === 0)
+            .withColumn("o_totalprice", lit(999.0)),
+          src, Seq("o_orderkey"), "flag")
+        q.processAllAvailable()
+        CommitLog.delete(s, src, col("o_orderkey") % 7 === 0) // v4
+        q.processAllAvailable()
+      } finally q.stop()
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(work))
+      }
+      work
+    })
+
+  private def q190CdcReplicate(s: SparkSession, d: String): DataFrame = {
+    val work = q190Work(s, d)
+    graft.sources.CommitLog.read(s, s"$work/mirror")
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        min(col("o_orderkey")).as("min_ok"),
+        max(col("o_orderkey")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
+  private val q190Sql =
+    """SELECT o_orderstatus AS flag, count(*) AS n,
+      |  CAST(sum(CAST(CASE WHEN o_orderkey % 5 = 0 THEN 999.0
+      |                     ELSE o_totalprice END AS DECIMAL(18,2)))
+      |    AS DOUBLE) AS sum_price,
+      |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      |FROM orders
+      |WHERE o_orderkey <= 10000 AND o_orderkey % 7 <> 0
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q132_stream_upsert", q132Upsert, None),
     Q("q145_stream_upsert_logged", q145UpsertLogged, None),
@@ -470,5 +548,6 @@ object StreamingQueries {
     Q("q174_stream_wap", q174StreamWap, Some(q174Sql)),
     Q("q187_stream_table", q187StreamTable, Some(q187Sql)),
     Q("q189_stream_sink", q189StreamSink, Some(q189Sql)),
+    Q("q190_cdc_replicate", q190CdcReplicate, Some(q190Sql)),
     Q("q133_stream_neardup", q133NearDup, None))
 }

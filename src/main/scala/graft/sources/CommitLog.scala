@@ -1833,13 +1833,20 @@ object CommitLog {
         * physical-name-reuse refusal as every additive write. Off by
         * default: an unknown assignment is usually a typo, and a typo
         * that silently widens the table is the worst failure mode. */
-      evolveSchema: Boolean = false): Snapshot = {
+      evolveSchema: Boolean = false,
+      /** Per-QUERY sink transaction identity — the streaming sink's
+        * replay guard ([[txnDone]]); rides the commit as a props
+        * entry, checked here and on every rebase attempt. */
+      txn: Option[(String, Long)] = None): Snapshot = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val s = mustLatest(spark, dir)
     if (batchId.exists(inLedger(s, _))) {
       System.err.println(
         s"[commitlog] batch ${batchId.get} already committed to $dir — replay skipped")
       return s
+    }
+    txn.foreach { case (q, b) =>
+      if (txnDone(s, q, b)) { txnSkip(dir, q, b); return s }
     }
     val evolve = evolveSchema || spark.conf
       .getOption("spark.graft.merge.schemaEvolution").exists(_.toBoolean)
@@ -2034,8 +2041,55 @@ object CommitLog {
             evolveCols.map(c => post.schema(c).copy(nullable = true)) ++
             partF).json
         })
-        else None),
+        else None,
+        propsDelta = txn.map { case (q, b) =>
+          txnKey(q) -> b.toString
+        }.toMap,
+        txn = txn),
       "merge", maxRetries = 10)
+  }
+
+  /** The native streaming sink's CDC-APPLY verb (`OutputMode.Update` +
+    * `applyChangeFeed=true`): consume a row-level change-feed batch —
+    * the shape the `readChangeFeed` SOURCE emits
+    * (`_change_type` ∈ insert | delete | update_preimage |
+    * update_postimage over the row image) — and apply it to the target
+    * as ONE atomic merge per micro-batch: inserts and update
+    * post-images upsert by key, deletes delete, pre-images drop. With
+    * the CDC source on the other end this closes table REPLICATION
+    * WITH DELETES as pure Spark idiom (`readStream ... readChangeFeed`
+    * → `writeStream ... applyChangeFeed`), no foreachBatch — the
+    * tombstone rides a `__`-prefixed clause-only column through
+    * [[mergeClauses]], so it is never written. A change-feed range is
+    * a NET diff per key, so the merge's duplicate-key guard holds by
+    * construction. Guarded by the same per-query txn ledger as every
+    * sink verb; a missing target bootstraps from the batch's surviving
+    * rows (a delete-only first batch fails loudly — there is nothing
+    * to delete FROM). */
+  def sinkApplyCdc(spark: SparkSession, changes: DataFrame, dir: String,
+      keyCols: Seq[String], partitionCol: String, queryId: String,
+      batchId: Long): Snapshot = {
+    require(changes.columns.contains("_change_type"),
+      "applyChangeFeed needs a _change_type column — is the source a " +
+        "readChangeFeed stream?")
+    val src = changes
+      .filter(col("_change_type") =!= "update_preimage")
+      .withColumn("__cdc_delete", col("_change_type") === "delete")
+      .drop("_change_type")
+    latest(spark, dir) match {
+      case None =>
+        sinkBootstrap(spark,
+          src.filter(!col("__cdc_delete")).drop("__cdc_delete"),
+          dir, Seq(partitionCol), queryId, batchId)
+      case Some(s0) if txnDone(s0, queryId, batchId) =>
+        txnSkip(dir, queryId, batchId); s0
+      case Some(_) =>
+        mergeClauses(spark, dir, src, keyCols, partitionCol,
+          matched = Seq(MergeMatched("s.__cdc_delete", delete = true),
+            MergeMatched("true")),
+          notMatched = Seq(MergeNotMatched("NOT s.__cdc_delete")),
+          txn = Some((queryId, batchId)))
+    }
   }
 
   /** Copy-on-write compaction: rewrite the CURRENT snapshot to

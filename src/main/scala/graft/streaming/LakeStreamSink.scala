@@ -34,7 +34,11 @@ import graft.sources.CommitLog
   *  - `Update` → [[CommitLog.sinkUpsert]]: keyed copy-on-write merge
   *    of the touched partitions; needs `keyColumns` +
   *    `partitionColumn` (+ optional `sequenceColumn` for out-of-order
-  *    delivery);
+  *    delivery). With `applyChangeFeed=true` the batch is a ROW-LEVEL
+  *    CHANGE FEED (the `readChangeFeed` source's shape) and applies as
+  *    one atomic merge — inserts/post-images upsert, deletes delete
+  *    ([[CommitLog.sinkApplyCdc]]): CDC source + CDC-apply sink =
+  *    table replication with deletes, no foreachBatch;
   *  - `Complete` → [[CommitLog.sinkOverwrite]]: each batch replaces
   *    the snapshot atomically (streaming aggregates).
   *
@@ -47,30 +51,50 @@ import graft.sources.CommitLog
 class LakeStreamSink(spark: SparkSession, dir: String,
     mode: OutputMode, keyCols: Seq[String],
     partitionCol: Option[String], seqCol: Option[String],
-    partitionColumns: Seq[String]) extends Sink {
+    partitionColumns: Seq[String],
+    applyCdc: Boolean = false) extends Sink {
 
+  /** Empty micro-batches: append mode detects them from its own staged
+    * write (zero extra work on the hot path); update/CDC modes probe
+    * with `isEmpty` first — that re-executes the batch plan once
+    * (micro-batch plans are re-executable by the V1 sink contract),
+    * the price of not committing a version per data-free trigger;
+    * complete mode treats an empty batch as "the state is now empty"
+    * and overwrites an EXISTING table to zero rows (skipping only when
+    * there is nothing to create yet). */
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val queryId = StreamBridge.currentQueryId(spark).getOrElse(
       throw new IllegalStateException(
         "graft-lake sink found no running streaming query id — " +
           "addBatch outside a StreamExecution thread?"))
     val batch = StreamBridge.asBatch(data)
-    if (batch.isEmpty) return // nothing to commit; replay-safe no-op
     mode match {
       case m if m == OutputMode.Append() =>
+        // defer bootstrap past data-free batches (metadata read + a
+        // probe only WHILE the table is missing; the existing-table
+        // hot path detects emptiness from its own staged write)
+        if (CommitLog.latest(spark, dir).isEmpty && batch.isEmpty)
+          return
         CommitLog.sinkAppend(spark, batch, dir, queryId, batchId,
           bootstrapPartCols = partitionColumns)
         ()
       case m if m == OutputMode.Update() =>
+        if (batch.isEmpty) return // nothing to merge; replay-safe no-op
         val pc = partitionCol.orElse(partitionColumns.headOption)
           .getOrElse(throw new IllegalArgumentException(
             "graft-lake sink in update mode needs option " +
               "partitionColumn (or .partitionBy) — the upsert's " +
               "copy-on-write unit"))
-        CommitLog.sinkUpsert(spark, batch, dir, keyCols, pc, seqCol,
-          queryId, batchId)
+        if (applyCdc)
+          CommitLog.sinkApplyCdc(spark, batch, dir, keyCols, pc,
+            queryId, batchId)
+        else
+          CommitLog.sinkUpsert(spark, batch, dir, keyCols, pc, seqCol,
+            queryId, batchId)
         ()
       case _ => // Complete
+        if (CommitLog.latest(spark, dir).isEmpty && batch.isEmpty)
+          return // nothing to create yet
         CommitLog.sinkOverwrite(spark, batch, dir, partitionColumns,
           queryId, batchId)
         ()

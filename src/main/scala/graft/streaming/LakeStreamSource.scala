@@ -465,8 +465,13 @@ class LakeSourceProvider extends StreamSourceProvider
       require(keys.nonEmpty,
         "graft-lake sink in update mode needs option keyColumns " +
           "(comma-separated) — the upsert identity")
+    val applyCdc = opt("applyChangeFeed").exists(_.toBoolean)
+    if (applyCdc) require(outputMode == OutputMode.Update(),
+      "applyChangeFeed is an update-mode sink option (keyed merge " +
+        "with deletes)")
     new LakeStreamSink(spark, dir, outputMode, keys,
-      opt("partitionColumn"), opt("sequenceColumn"), partitionColumns)
+      opt("partitionColumn"), opt("sequenceColumn"), partitionColumns,
+      applyCdc)
   }
 
   private def dirOf(spark: SparkSession,

@@ -150,6 +150,63 @@ class LakeStreamSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("applyChangeFeed: CDC source -> CDC-apply sink replicates a " +
+    "table through inserts, updates, AND deletes — no foreachBatch") {
+    val w = work(); val src = s"$w/src"; val mirror = s"$w/mirror"
+    // v1: empty create so the whole life flows through the feed
+    CommitLog.create(spark,
+      src, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pd",
+          org.apache.spark.sql.types.StringType))),
+      partCols = Seq("pd"))
+    def run() = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true").option("keyColumns", "k")
+      .option("startingVersion", "1").load(src)
+      .writeStream.format("graft-lake")
+      .outputMode("update")
+      .option("applyChangeFeed", "true")
+      .option("keyColumns", "k").option("partitionColumn", "pd")
+      .option("checkpointLocation", s"$w/chk")
+      .start(mirror)
+    val q = run()
+    try {
+      CommitLog.append(spark, spark.range(0, 10).select($"id".as("k"),
+        ($"id" % 7).as("v"), concat(lit("p"), ($"id" % 2)).as("pd")),
+        src)
+      q.processAllAvailable()
+      CommitLog.upsert(spark,
+        Seq((3L, 99L, "p1"), (100L, 1L, "p0")).toDF("k", "v", "pd"),
+        src, Seq("k"), "pd")
+      q.processAllAvailable()
+      CommitLog.delete(spark, src, $"k" % 4L === 0L)
+      q.processAllAvailable()
+      val want = CommitLog.read(spark, src)
+        .as[(Long, Long, String)].collect().toSet
+      val got = CommitLog.read(spark, mirror)
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == want,
+        s"mirror must equal the source's final state\n got=$got\nwant=$want")
+      assert(got.exists(_ == (3L, 99L, "p1")) && !got.exists(_._1 == 4L),
+        "updates and deletes must both have applied")
+    } finally q.stop()
+    // replay-safety: drop the last checkpoint commit, restart — the
+    // replayed merge epoch must be a txn-ledger no-op
+    val before = CommitLog.read(spark, mirror)
+      .as[(Long, Long, String)].collect().toSet
+    val vBefore = CommitLog.latest(spark, mirror).get.version
+    dropLastCommit(s"$w/chk")
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(CommitLog.read(spark, mirror)
+      .as[(Long, Long, String)].collect().toSet == before,
+      "a replayed CDC-apply epoch must not double-apply")
+    assert(CommitLog.latest(spark, mirror).get.version == vBefore)
+  }
+
   test("update mode upserts by key (sequence-aware); complete mode " +
     "replaces the snapshot per batch") {
     val w = work(); val src = s"$w/src"; val out = s"$w/out"
