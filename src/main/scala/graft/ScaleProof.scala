@@ -127,7 +127,8 @@ object ScaleProof {
         // partition-scoped OPTIMIZE at sf1, plus the dedicated
         // 10x-orders BACKLOG DRAIN below (admission-controlled
         // AvailableNow catch-up — the restarted-follower shape)
-        "q189_stream_sink", "q188_compact_where", "backlog_drain")
+        "q189_stream_sink", "q190_cdc_replicate", "q188_compact_where",
+        "backlog_drain")
     // local[8], not local[32]: saturating every advertised CPU trips the
     // host's kernel-side thrash (measured 4-25x inflation at local[32] on
     // identical plans); 8 cores is also how you'd size a real executor

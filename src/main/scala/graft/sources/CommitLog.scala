@@ -2214,6 +2214,47 @@ object CommitLog {
     val selected = typed.filter(partitionPredicate)
       .select(col("__dir")).collect().map(_.getString(0)).toSet
     if (selected.isEmpty) return s
+    compactSelected(spark, dir, s, partCols, selected, filesPerPartition)
+  }
+
+  /** The streaming sink's AUTO-COMPACTION policy: compact every hive
+    * partition whose live file count reached `minFiles` down to
+    * `filesPerPartition` — the standing answer to the small-files
+    * accumulation a long-lived append stream creates (one-plus files
+    * per partition per micro-batch; a day of minute-batches is
+    * thousands of tiny files per partition, and scan planning cost
+    * grows with file count). Selection is metadata-plane (a group-by
+    * over the committed file list, driver-side, partition-count
+    * bounded); the rewrite touches ONLY hot partitions and commits
+    * with them as the conflict unit, so concurrent ingest to other
+    * partitions rebases — callers treat a lost race as "try again
+    * next batch". Returns the current snapshot when nothing is hot. */
+  private[graft] def compactHotPartitions(spark: SparkSession,
+      dir: String, minFiles: Int,
+      filesPerPartition: Int = 1): Snapshot = {
+    require(minFiles > filesPerPartition,
+      s"auto-compact needs minFiles ($minFiles) > filesPerPartition " +
+        s"($filesPerPartition) or every commit re-compacts")
+    val s = mustLatest(spark, dir)
+    val partCols = partColsOf(s)
+    require(partCols.nonEmpty,
+      s"auto-compact on $dir needs hive partitioning — compact the " +
+        "unpartitioned table explicitly (CALL graft_compact)")
+    val hot = s.files.groupBy(partOf)
+      .collect { case (d, fs) if d.nonEmpty && fs.size >= minFiles => d }
+      .toSet
+    if (hot.isEmpty) s
+    else compactSelected(spark, dir, s, partCols, hot, filesPerPartition)
+  }
+
+  /** Shared tail of [[compactPartitions]]/[[compactHotPartitions]]:
+    * rewrite exactly `selected` partition directories of snapshot `s`
+    * (DV-applied read, tombstones materialized), retire/rewrite the
+    * deletion vectors they cover, and commit with the selected
+    * partitions as the conflict unit. */
+  private def compactSelected(spark: SparkSession, dir: String,
+      s: Snapshot, partCols: Seq[String], selected: Set[String],
+      filesPerPartition: Int): Snapshot = {
     val touchedFiles = s.files.filter(f => selected.contains(partOf(f)))
     val removedSet = touchedFiles.toSet
     // DV-applied read: the rewrite materializes the tombstones

@@ -52,7 +52,29 @@ class LakeStreamSink(spark: SparkSession, dir: String,
     mode: OutputMode, keyCols: Seq[String],
     partitionCol: Option[String], seqCol: Option[String],
     partitionColumns: Seq[String],
-    applyCdc: Boolean = false) extends Sink {
+    applyCdc: Boolean = false,
+    autoCompactMinFiles: Option[Int] = None) extends Sink {
+
+  /** `autoCompact=true` (append mode): after each batch lands, any
+    * hive partition whose live file count reached
+    * `autoCompactMinFiles` (default 16) compacts to one file — the
+    * standing fix for streaming ingestion's small-files accumulation
+    * (thousands of minute-batch files per partition otherwise; scan
+    * planning grows with file count). Best-effort by design: the
+    * compaction is its own `op=compact` commit (invisible to
+    * downstream streams, conflict unit = the hot partitions), and a
+    * lost race against a concurrent writer just defers to the next
+    * batch. The append's exactly-once commit is already durable
+    * before maintenance starts, so a crash mid-compact costs nothing
+    * but vacuum garbage. */
+  private def maintain(): Unit = autoCompactMinFiles.foreach { min =>
+    try { CommitLog.compactHotPartitions(spark, dir, min); () }
+    catch { case e: Exception =>
+      System.err.println(
+        s"[graft-lake sink] auto-compact on $dir skipped this batch: " +
+          e.getMessage)
+    }
+  }
 
   /** Empty micro-batches: append mode detects them from its own staged
     * write (zero extra work on the hot path); update/CDC modes probe
@@ -77,7 +99,7 @@ class LakeStreamSink(spark: SparkSession, dir: String,
           return
         CommitLog.sinkAppend(spark, batch, dir, queryId, batchId,
           bootstrapPartCols = partitionColumns)
-        ()
+        maintain()
       case m if m == OutputMode.Update() =>
         if (batch.isEmpty) return // nothing to merge; replay-safe no-op
         val pc = partitionCol.orElse(partitionColumns.headOption)

@@ -469,9 +469,15 @@ class LakeSourceProvider extends StreamSourceProvider
     if (applyCdc) require(outputMode == OutputMode.Update(),
       "applyChangeFeed is an update-mode sink option (keyed merge " +
         "with deletes)")
+    val autoCompact =
+      if (opt("autoCompact").exists(_.toBoolean))
+        Some(opt("autoCompactMinFiles").map(_.toInt).getOrElse(16))
+      else None
+    autoCompact.foreach(m => require(m > 1,
+      s"autoCompactMinFiles must be > 1, got $m"))
     new LakeStreamSink(spark, dir, outputMode, keys,
       opt("partitionColumn"), opt("sequenceColumn"), partitionColumns,
-      applyCdc)
+      applyCdc, autoCompact)
   }
 
   private def dirOf(spark: SparkSession,

@@ -150,6 +150,67 @@ class LakeStreamSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("autoCompact bounds the small-files accumulation of a " +
+    "long-lived append stream; rows exact; downstream streams see " +
+    "no row movement") {
+    val w = work(); val src = s"$w/src"; val out = s"$w/out"
+    seed(src, rows = 4)
+    val q = spark.readStream.format("graft-lake").load(src)
+      .writeStream.format("graft-lake")
+      .partitionBy("pd") // the sink bootstraps this hive layout
+      .option("autoCompact", "true")
+      .option("autoCompactMinFiles", "4")
+      .option("checkpointLocation", s"$w/chk")
+      .start(out)
+    // a downstream follower of the SINK table: compactions must be
+    // invisible to it
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    try {
+      q.processAllAvailable()
+      val q2 = spark.readStream.format("graft-lake").load(out)
+        .writeStream.option("checkpointLocation", s"$w/chk2")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select($"k").as[Long].collect().foreach(seen.add); ()
+        }.start()
+      try {
+        // 12 micro-batches of appends — without maintenance this
+        // accumulates 12+ files per partition
+        (0 until 12).foreach { b =>
+          CommitLog.append(spark,
+            Seq((1000L + b, 1L, "p0"), (2000L + b, 2L, "p1"))
+              .toDF("k", "v", "pd"), src)
+          q.processAllAvailable()
+        }
+        q2.processAllAvailable()
+      } finally q2.stop()
+    } finally q.stop()
+    val snap = CommitLog.latest(spark, out).get
+    val perPart = snap.files.groupBy(f => f.take(f.lastIndexOf('/')))
+      .map { case (d, fs) => d -> fs.size }
+    assert(perPart.values.max < 8,
+      s"auto-compact must bound per-partition file count, got $perPart")
+    assert(CommitLog.read(spark, out).count() == 4 + 24,
+      "maintenance must not lose or duplicate rows")
+    assert(seen.asScala.toSet ==
+      CommitLog.read(spark, out).select($"k").as[Long].collect().toSet,
+      "the downstream follower must see every row exactly once — " +
+        "compactions deliver nothing")
+    // compaction commits really happened (the policy fired)
+    // (check history: at least one op=compact among recent versions)
+    val ops = (1L to snap.version)
+      .map(v => CommitLog.snapshotAt(spark, out, v).op)
+    assert(ops.contains("compact"),
+      s"expected op=compact commits in the history, got $ops")
+  }
+
+  private implicit class QAsScala[A](
+      q: java.util.concurrent.ConcurrentLinkedQueue[A]) {
+    def asScala: Iterable[A] = {
+      import scala.jdk.CollectionConverters._
+      q.iterator().asScala.toSeq
+    }
+  }
+
   test("applyChangeFeed: CDC source -> CDC-apply sink replicates a " +
     "table through inserts, updates, AND deletes — no foreachBatch") {
     val w = work(); val src = s"$w/src"; val mirror = s"$w/mirror"
