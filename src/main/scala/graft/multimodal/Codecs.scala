@@ -61,7 +61,7 @@ object Codecs {
 
   // ----------------------------------------------------- PNG / JPEG
   // Via the JDK's OWN ImageIO readers (java.desktop): PNG's inflate is
-  // java.util.zip, JPEG baseline is the JDK's pure-Java/haiku decoder —
+  // java.util.zip, JPEG baseline is the JDK's bundled pure-Java decoder —
   // no native codec libraries, headless-safe. The hand-rolled BMP/PNM
   // parsers above stay as the from-first-principles reference pair
   // (golden-pinned against each other in MultimodalSpec).
