@@ -56,7 +56,8 @@ class LakeStreamSource(spark: SparkSession, dir: String,
     srcSchema: StructType, baseVersion: Option[Long],
     skipChangeCommits: Boolean,
     maxFilesPerTrigger: Option[Int] = None,
-    followAdditiveSchema: Boolean = false) extends Source
+    followAdditiveSchema: Boolean = false,
+    maxBytesPerTrigger: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
 
@@ -154,13 +155,26 @@ class LakeStreamSource(spark: SparkSession, dir: String,
 
   /** Admission control: the ENGINE hands the start position in on
     * every poll (last available offset, checkpoint-restored after a
-    * restart), so the source is stateless and restart-exact. */
+    * restart), so the source is stateless and restart-exact.
+    * `ReadLimit` has no bytes unit, so `maxBytesPerTrigger` is applied
+    * inside [[latestOffset]] directly. */
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     maxFilesPerTrigger.map(ReadLimit.maxFiles)
       .getOrElse(ReadLimit.allAvailable())
   }
+
+  /** Committed size of a dir-relative file — one `getFileStatus` per
+    * file per source lifetime (memoized; sizes of immutable files never
+    * change), paid only when `maxBytesPerTrigger` is set. */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def sizeOf(rel: String): Long =
+    sizeCache.computeIfAbsent(rel, r =>
+      new org.apache.hadoop.fs.Path(dir, r)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(new org.apache.hadoop.fs.Path(dir, r)).getLen)
 
   override def latestOffset(
       startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
@@ -179,31 +193,43 @@ class LakeStreamSource(spark: SparkSession, dir: String,
     // only the start position's version can be the snapshot list; every
     // later version contributes its per-commit additions
     def snapAt(v: Long): Boolean = v == start.v && start.snap
-    limit match {
-      case m: ReadMaxFiles =>
-        // walk the pending lists forward from `start`, at most
-        // maxFiles() files — the initial snapshot and any backlog drain
-        // in bounded micro-batches instead of one table-sized batch
-        var v = start.v
-        var i = start.i
-        var budget = m.maxFiles()
-        var moved = false
-        var done = false
-        while (!done && budget > 0 && v <= latest) {
-          val pend = pending(v, snapAt(v)).size
-          val cur = if (i == Int.MaxValue) pend else math.min(i, pend)
-          if (cur < pend) {
-            val take = math.min(budget, pend - cur)
-            i = cur + take; budget -= take; moved = true
-            if (i == pend) i = Int.MaxValue
-          } else if (v < latest) { v += 1; i = 0 }
-          else done = true
-        }
-        if (moved) Pos(v, i, snapAt(v), orig) else startOffset
-      case _ =>
-        if (latest < start.v ||
-          (start.v == latest && start.i == Int.MaxValue)) startOffset
-        else Pos(latest, Int.MaxValue, snapAt(latest), orig)
+    val fileCap: Option[Int] = limit match {
+      case m: ReadMaxFiles => Some(m.maxFiles())
+      case _ => maxFilesPerTrigger
+    }
+    if (fileCap.isEmpty && maxBytesPerTrigger.isEmpty) {
+      if (latest < start.v ||
+        (start.v == latest && start.i == Int.MaxValue)) startOffset
+      else Pos(latest, Int.MaxValue, snapAt(latest), orig)
+    } else {
+      // walk the pending lists forward from `start`, file by file,
+      // until a budget runs out — file count, bytes (a SOFT max like
+      // Delta's: the file that crosses the line is still admitted, so
+      // one oversized file cannot stall the stream), or both — so the
+      // initial snapshot and any backlog drain in bounded micro-batches
+      // instead of one table-sized batch
+      var v = start.v
+      var i = start.i
+      var nFiles = 0
+      var nBytes = 0L
+      var moved = false
+      var done = false
+      while (!done && v <= latest) {
+        val p = pending(v, snapAt(v))
+        val cur = if (i == Int.MaxValue) p.size else math.min(i, p.size)
+        if (cur < p.size) {
+          if (fileCap.exists(nFiles >= _) ||
+            maxBytesPerTrigger.exists(nBytes >= _)) done = true
+          else {
+            maxBytesPerTrigger.foreach(_ => nBytes += sizeOf(p(cur)))
+            nFiles += 1
+            i = cur + 1; moved = true
+            if (i == p.size) i = Int.MaxValue
+          }
+        } else if (v < latest) { v += 1; i = 0 }
+        else done = true
+      }
+      if (moved) Pos(v, i, snapAt(v), orig) else startOffset
     }
   }
 
@@ -432,8 +458,10 @@ class LakeCdfStreamSource(spark: SparkSession, dir: String,
   * `yyyy-MM-dd[ HH:mm:ss]` / ISO instant (resolved to the newest
   * version committed at or before it — the stream then delivers the
   * versions AFTER that point, like `startingVersion`),
-  * `skipChangeCommits` = true|false, `maxFilesPerTrigger` = bounded
-  * micro-batches, `followAdditiveSchema` = true to ride out ADD
+  * `skipChangeCommits` = true|false, `maxFilesPerTrigger` /
+  * `maxBytesPerTrigger` = bounded micro-batches (both set: the
+  * stricter wins; bytes are a soft max — the crossing file is
+  * admitted), `followAdditiveSchema` = true to ride out ADD
   * COLUMNS without a restart, and `readChangeFeed` = true with
   * `keyColumns` = `k1[,k2...]` (+ optional `maxCommitsPerTrigger`)
   * for the row-level CDC stream ([[LakeCdfStreamSource]]).
@@ -560,9 +588,12 @@ class LakeSourceProvider extends StreamSourceProvider
       val maxFiles = opt("maxFilesPerTrigger").map(_.toInt)
       maxFiles.foreach(m => require(m > 0,
         s"maxFilesPerTrigger must be positive, got $m"))
+      val maxBytes = opt("maxBytesPerTrigger").map(_.toLong)
+      maxBytes.foreach(m => require(m > 0,
+        s"maxBytesPerTrigger must be positive, got $m"))
       val additive = opt("followAdditiveSchema").exists(_.toBoolean)
       new LakeStreamSource(spark, dir, schema.getOrElse(committed), base,
-        skip, maxFiles, additive)
+        skip, maxFiles, additive, maxBytes)
     }
   }
 }

@@ -359,6 +359,52 @@ class LakeStreamRecoverySpec extends AnyFunSuite {
       s"got: ${msgs(old)}")
   }
 
+  test("maxBytesPerTrigger chunks by file SIZE (soft max), composes " +
+    "with maxFilesPerTrigger, and still delivers exactly once") {
+    val w = work(); val dir = s"$w/lake"
+    spark.range(0, 600).repartition(6)
+      .select($"id".as("k"), ($"id" % 7).as("v"),
+        concat(lit("p"), ($"id" % 2)).as("pd"))
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir)
+    val snap = CommitLog.latest(spark, dir).get
+    val sizes = snap.files.map(f =>
+      new java.io.File(s"$dir/$f").length())
+    assert(sizes.size >= 6 && sizes.forall(_ > 0))
+    // a cap of ~2 files forces >= files/3 batches (soft max: each
+    // batch exceeds the cap by at most one file)
+    val cap = sizes.sorted.take(2).sum
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    val q = spark.readStream.format("graft-lake")
+      .option("maxBytesPerTrigger", cap.toString).load(dir)
+      .writeStream.option("checkpointLocation", s"$w/chk")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.select($"k").as[Long].collect().toSet); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val got = batches.asScala.toSeq
+    assert(got.flatten.toSet == (0L until 600L).toSet &&
+      got.map(_.size).sum == 600,
+      "byte-capped chunking must deliver every row exactly once")
+    assert(got.size >= sizes.size / 3,
+      s"a ~2-file byte cap must chunk ${sizes.size} files into >= " +
+        s"${sizes.size / 3} batches, got ${got.size}")
+    // combined caps: the stricter (1 file) wins
+    batches.clear()
+    val q2 = spark.readStream.format("graft-lake")
+      .option("maxBytesPerTrigger", (cap * 100).toString)
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.option("checkpointLocation", s"$w/chk2")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.select($"k").as[Long].collect().toSet); ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches.asScala.size >= sizes.size,
+      "with both caps the stricter (1 file/trigger) must govern")
+    assert(batches.asScala.flatten.toSet == (0L until 600L).toSet)
+  }
+
   test("CDC admission control: maxCommitsPerTrigger drains a backlog " +
     "in version-granular bounded batches; AvailableNow terminates") {
     val w = work(); val dir = s"$w/lake"
