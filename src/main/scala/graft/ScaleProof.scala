@@ -86,19 +86,32 @@ object ScaleProof {
     val q = spark.readStream.format("graft-lake")
       .option("maxFilesPerTrigger", "64").load(src)
       .writeStream.format("graft-lake")
+      .partitionBy("flag")
+      .option("autoCompact", "true") // bound the landed file count too
       .option("checkpointLocation", s"$work/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start(out)
     require(q.awaitTermination(30 * 60 * 1000),
       "AvailableNow drain did not terminate in 30 min")
     val landed = CommitLog.read(spark, out).count()
-    val batches = CommitLog.latest(spark, out).get.version
+    val outSnap = CommitLog.latest(spark, out).get
+    // one version per micro-batch plus the compaction commits the
+    // auto-compact policy issued
+    val ops = (1L to outSnap.version)
+      .map(v => CommitLog.snapshotAt(spark, out, v).op)
+    val batches = ops.count(_ != "compact")
     require(landed == total,
       s"backlog drain lost rows: $landed of $total")
     require(batches >= files / 64,
       s"drain was not chunked: $batches batches for $files files")
+    val perPart = outSnap.files.groupBy(f => f.take(f.lastIndexOf('/')))
+      .map { case (_, fs) => fs.size }
+    require(perPart.max < 32,
+      s"auto-compact must bound landed files, got per-partition $perPart")
     println(s"[scale] backlog_drain: $total rows / $files files " +
-      s"drained in $batches bounded micro-batches (64 files/trigger)")
+      s"drained in $batches bounded micro-batches (64 files/trigger); " +
+      s"landed ${outSnap.files.size} files after auto-compact " +
+      s"(${ops.count(_ == "compact")} maintenance commits)")
     spark.range(batches).toDF("batches")
   }
 

@@ -1646,8 +1646,16 @@ object CommitLog {
       bootstrapPartCols: Seq[String] = Nil): Snapshot =
     latest(spark, dir) match {
       case None =>
-        sinkBootstrap(spark, rows, dir, bootstrapPartCols, queryId,
+        // two streams bootstrapping one target: the loser of the create
+        // race lands ON TOP of the winner's table (its staged files are
+        // vacuum garbage) — the query must not die over a benign race
+        try sinkBootstrap(spark, rows, dir, bootstrapPartCols, queryId,
           batchId)
+        catch { case e: IllegalStateException
+            if Option(e.getMessage).exists(_.contains("create race")) =>
+          sinkAppend(spark, rows, dir, queryId, batchId,
+            bootstrapPartCols)
+        }
       case Some(s0) if txnDone(s0, queryId, batchId) =>
         txnSkip(dir, queryId, batchId); s0
       case Some(s0) =>
@@ -1678,8 +1686,13 @@ object CommitLog {
     latest(spark, dir) match {
       case None =>
         require(keyCols.nonEmpty, "upsert needs at least one key column")
-        sinkBootstrap(spark, updates, dir, Seq(partitionCol), queryId,
-          batchId)
+        try sinkBootstrap(spark, updates, dir, Seq(partitionCol),
+          queryId, batchId)
+        catch { case e: IllegalStateException
+            if Option(e.getMessage).exists(_.contains("create race")) =>
+          sinkUpsert(spark, updates, dir, keyCols, partitionCol, seqCol,
+            queryId, batchId)
+        }
       case Some(s0) if txnDone(s0, queryId, batchId) =>
         txnSkip(dir, queryId, batchId); s0
       case Some(_) =>
@@ -1705,8 +1718,12 @@ object CommitLog {
     while (true) {
       latest(spark, dir) match {
         case None =>
-          return sinkBootstrap(spark, replacement, dir, partitionCols,
-            queryId, batchId)
+          try return sinkBootstrap(spark, replacement, dir,
+            partitionCols, queryId, batchId)
+          catch { case e: IllegalStateException
+              if Option(e.getMessage).exists(_.contains("create race")) =>
+            // loop: the winner's table exists now — overwrite it
+          }
         case Some(s) if txnDone(s, queryId, batchId) =>
           txnSkip(dir, queryId, batchId); return s
         case Some(s) =>
@@ -2078,9 +2095,14 @@ object CommitLog {
       .drop("_change_type")
     latest(spark, dir) match {
       case None =>
-        sinkBootstrap(spark,
+        try sinkBootstrap(spark,
           src.filter(!col("__cdc_delete")).drop("__cdc_delete"),
           dir, Seq(partitionCol), queryId, batchId)
+        catch { case e: IllegalStateException
+            if Option(e.getMessage).exists(_.contains("create race")) =>
+          sinkApplyCdc(spark, changes, dir, keyCols, partitionCol,
+            queryId, batchId)
+        }
       case Some(s0) if txnDone(s0, queryId, batchId) =>
         txnSkip(dir, queryId, batchId); s0
       case Some(_) =>

@@ -121,6 +121,44 @@ class LakeStreamSinkSpec extends AnyFunSuite {
       s"one ledger entry per query, got ${props.keys.toSeq.sorted}")
   }
 
+  test("TWO concurrent streams into one target table: per-query " +
+    "ledgers isolate, append commits rebase, every row lands exactly " +
+    "once") {
+    val w = work(); val out = s"$w/out"
+    val srcA = s"$w/srcA"; val srcB = s"$w/srcB"
+    seed(srcA, rows = 6)
+    seed(srcB, rows = 4)
+    def run(src: String, chk: String) =
+      spark.readStream.format("graft-lake").load(src)
+        .writeStream.format("graft-lake")
+        .option("checkpointLocation", chk).start(out)
+    val qa = run(srcA, s"$w/chkA")
+    val qb = run(srcB, s"$w/chkB")
+    try {
+      qa.processAllAvailable(); qb.processAllAvailable()
+      // interleaved appends on both sources while both streams run
+      (0 until 4).foreach { b =>
+        CommitLog.append(spark, Seq((1000L + b, 1L, "p0"))
+          .toDF("k", "v", "pd"), srcA)
+        CommitLog.append(spark, Seq((2000L + b, 2L, "p1"))
+          .toDF("k", "v", "pd"), srcB)
+        qa.processAllAvailable(); qb.processAllAvailable()
+      }
+    } finally { qa.stop(); qb.stop() }
+    val got = CommitLog.read(spark, out).select($"k").as[Long]
+      .collect().toList
+    val expect = (0L until 6L) ++ (0L until 4L) ++
+      (1000L until 1004L) ++ (2000L until 2004L)
+    assert(got.size == expect.size &&
+      got.groupBy(identity).values.forall(_.size <= 2),
+      s"concurrent sinks must not duplicate: ${got.sorted}")
+    assert(got.sorted == expect.sorted.toList,
+      s"both streams' rows must land exactly once: ${got.sorted}")
+    val props = CommitLog.latest(spark, out).get.props
+    assert(props.keys.count(_.startsWith("graft.txn.")) == 2,
+      "each query keeps its own ledger entry")
+  }
+
   test("writeStream.toTable on a graft catalog name routes through " +
     "the v1 fallback to the exactly-once sink") {
     val w = work(); val src = s"$w/src"
