@@ -109,6 +109,14 @@ class ResolveGraftCatalogOps(session: SparkSession)
         GraftCtasCommand(cat, ident, ctas.partitioning,
           ctas.tableSpec.properties, ctas.query, ctas.ignoreIfExists)
 
+      case rtas: ReplaceTableAsSelect if (rtas.name match {
+            case ResolvedIdentifier(_: GraftCatalog, _) => true
+            case _ => false
+          }) && rtas.query.resolved =>
+        val ResolvedIdentifier(cat: GraftCatalog, ident) = rtas.name
+        GraftRtasCommand(cat, ident, rtas.partitioning,
+          rtas.tableSpec.properties, rtas.query, rtas.orCreate)
+
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
         val t = r.table.asInstanceOf[GraftTable]
         val read = t.pinnedVersion match {
@@ -229,6 +237,42 @@ case class GraftTruncateCommand(dir: String) extends LeafRunnableCommand {
   * `StagingTableCatalog` directly: the engine's tables carry no v2
   * write capability, so the staged-write interface would be dead
   * weight — this command IS the whole CTAS path. */
+/** `[CREATE OR] REPLACE TABLE ... AS SELECT` — Delta's semantics, not
+  * drop-and-recreate: when the table EXISTS the replacement lands as
+  * ONE atomic overwrite commit on the SAME commit log, so the
+  * pre-replace versions stay time-travelable (`VERSION AS OF`), tags
+  * keep resolving, and a crash leaves either the old snapshot or the
+  * new one — never a missing table. The schema, rows, and layout all
+  * come from the query; declared PARTITIONED BY drives the rewrite's
+  * hive layout. `REPLACE TABLE` (no OR CREATE) on a missing table
+  * fails like SQL requires; `CREATE OR REPLACE` falls back to the
+  * staged-CTAS create. New TBLPROPERTIES merge in a follow-up props
+  * commit (two commits; the data replace itself is atomic). */
+case class GraftRtasCommand(catalog: GraftCatalog, ident: Identifier,
+    partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+    properties: Map[String, String], queryPlan: LogicalPlan,
+    orCreate: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = graft.sources.LakeSqlDml.dmlOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (!catalog.tableExists(ident)) {
+      if (!orCreate)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException(ident)
+      return GraftCtasCommand(catalog, ident, partitioning, properties,
+        queryPlan, ignoreIfExists = false).run(spark)
+    }
+    val rows = ColumnBridge.ofRows(spark, queryPlan)
+    val dir = catalog.tableDirOf(ident)
+    val partCols = partitioning.map(t => t.references().head.fieldNames()
+      .mkString("."))
+    partCols.foreach(p => require(rows.columns.contains(p),
+      s"REPLACE TABLE $ident: partition column '$p' is not in the query"))
+    val snap = CommitLog.replaceTable(spark, rows, dir, partCols)
+    if (properties.nonEmpty) CommitLog.setProps(spark, dir, properties)
+    Seq(Row(snap.version, snap.op))
+  }
+}
+
 case class GraftCtasCommand(catalog: GraftCatalog, ident: Identifier,
     partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
     properties: Map[String, String], queryPlan: LogicalPlan,

@@ -893,12 +893,30 @@ object CommitLog {
       batches: Seq[Long], op: String,
       schemaJson: Option[String] = None,
       propsDelta: Map[String, String] = Map.empty,
-      dvsNew: Option[Seq[String]] = None): Snapshot = {
+      dvsNew: Option[Seq[String]] = None,
+      /** REPLACE TABLE mode: `schemaJson` is the EXACT new schema (no
+        * additive merge with the previous), the rename/drop
+        * bookkeeping resets (the new files carry the new schema's own
+        * names), and per-column stats/sketch/bloom/theta declarations
+        * survive only for columns the new schema still carries (a
+        * manifest builder asked for a vanished column would fail every
+        * later commit). */
+      schemaReplace: Boolean = false): Snapshot = {
     val f = hadoopFs(spark, dir)
     val v = prev.version + 1
+    val keepCol: String => Boolean =
+      if (!schemaReplace) _ => true
+      else schemaJson.map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.toSet.contains _).getOrElse(_ => true)
+    val statsCols = prev.statsCols.filter(keepCol)
+    val sketchCols = prev.sketchCols.filter(keepCol)
+    val bloomCols = prev.bloomCols.filter(keepCol)
+    val thetaCols = prev.thetaCols.filter(keepCol)
     val manifestRel =
-      if (prev.statsCols.isEmpty && prev.sketchCols.isEmpty &&
-        prev.bloomCols.isEmpty && prev.thetaCols.isEmpty) None
+      if (statsCols.isEmpty && sketchCols.isEmpty &&
+        bloomCols.isEmpty && thetaCols.isEmpty) None
       else {
         val tag = java.util.UUID.randomUUID.toString.take(8)
         val rel = f"manifest-v$v%020d-$tag.parquet"
@@ -907,20 +925,28 @@ object CommitLog {
         // kept files would put one literal per untouched file into the
         // plan of every commit
         val removedSet = prev.files.toSet -- files
-        val kept = prev.manifest.map { m =>
-          val df = spark.read.parquet(s"$dir/$LogDirName/$m")
-          if (removedSet.isEmpty) df
-          else df.filter(!col("file").isInCollection(removedSet.toSeq))
-        }
+        // a schema REPLACE references no prior file (and the old
+        // manifest's column layout may no longer union with the new)
+        val kept =
+          if (schemaReplace) None
+          else prev.manifest.map { m =>
+            val df = spark.read.parquet(s"$dir/$LogDirName/$m")
+            if (removedSet.isEmpty) df
+            else df.filter(!col("file").isInCollection(removedSet.toSeq))
+          }
         val fresh =
           if (newRels.isEmpty) None
-          else Some(relStats(spark, dir, newRels, prev.statsCols,
-            prev.sketchCols, prev.bloomCols, prev.bloomExpect,
-            prev.thetaCols, prev.thetaLgK))
-        val merged = (kept.toSeq ++ fresh).reduce(_ unionByName _)
-        merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
-          .parquet(s"$dir/$LogDirName/$rel")
-        Some(rel)
+          else Some(relStats(spark, dir, newRels, statsCols,
+            sketchCols, bloomCols, prev.bloomExpect,
+            thetaCols, prev.thetaLgK))
+        val parts = kept.toSeq ++ fresh
+        if (parts.isEmpty) None
+        else {
+          val merged = parts.reduce(_ unionByName _)
+          merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+            .parquet(s"$dir/$LogDirName/$rel")
+          Some(rel)
+        }
       }
     // ledger compaction: oldest ids fold into the floor once over cap
     val allB = batches.distinct.sorted
@@ -930,9 +956,10 @@ object CommitLog {
         (math.max(allB(cut - 1), prev.batchFloor), allB.drop(cut))
       } else (prev.batchFloor, allB)
     val snap = Snapshot(v, files.sorted, keptB,
-      prev.statsCols, manifestRel, op, prev.sketchCols,
-      mergeSchemaJson(prev.schemaJson, schemaJson),
-      prev.bloomCols, prev.bloomExpect, prev.props ++ propsDelta,
+      statsCols, manifestRel, op, sketchCols,
+      if (schemaReplace) schemaJson
+      else mergeSchemaJson(prev.schemaJson, schemaJson),
+      bloomCols, prev.bloomExpect, prev.props ++ propsDelta,
       // persist the layout so a later zero-file snapshot still knows it
       files.headOption.map(partColsFromRel).getOrElse(prev.partCols),
       // wall-clock stamp for AS-OF resolution only — never read by any
@@ -940,13 +967,14 @@ object CommitLog {
       // not correctness
       System.currentTimeMillis(),
       floorB,
-      prev.thetaCols, prev.thetaLgK,
+      thetaCols, prev.thetaLgK,
       // deletion vectors: an explicit override (delete-mor appends; a
       // whole-table rewrite clears; restore re-pins) else inherited —
       // entries naming files this commit removed match nothing and are
       // swept with the next whole-table rewrite
       dvsNew.getOrElse(prev.dvs),
-      prev.physNames, prev.retired)
+      if (schemaReplace) Map.empty else prev.physNames,
+      if (schemaReplace) Nil else prev.retired)
     casWrite(f, versionFile(dir, v), render(snap))
     snap
   }
@@ -2526,6 +2554,31 @@ object CommitLog {
       throw new IllegalStateException(
         s"restore on $dir lost the commit race (${e.getMessage}) — " +
           "re-examine the new latest state and re-run")
+    }
+  }
+
+  /** `REPLACE TABLE ... AS SELECT`'s storage verb: ONE atomic commit
+    * that swaps the ENTIRE logical table — rows, schema (EXACT, no
+    * additive merge), hive layout — while the pre-replace versions
+    * stay time-travelable. Rename/drop bookkeeping resets (the new
+    * files carry the new schema's own column names), deletion vectors
+    * clear, and per-column stats/sketch/bloom/theta declarations
+    * survive only where the new schema still carries the column. Like
+    * [[overwrite]] it never rebases: losing the version race to any
+    * concurrent commit aborts loudly (the replacement was derived
+    * against a stale world); staged files are vacuum garbage. */
+  def replaceTable(spark: SparkSession, replacement: DataFrame,
+      dir: String, partitionCols: Seq[String] = Nil): Snapshot = {
+    val s = mustLatest(spark, dir)
+    val newRels = stageWrite(spark, dir, replacement, partitionCols)
+    try commit(spark, dir, s, newRels, newRels, s.batches, "overwrite",
+      Some(replacement.schema.json), dvsNew = Some(Nil),
+      schemaReplace = true)
+    catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"replaceTable on $dir lost the commit race (${e.getMessage}) " +
+          "— a concurrent commit made the replacement stale; re-run " +
+          "(abandoned files are vacuum garbage)")
     }
   }
 

@@ -392,4 +392,51 @@ class GraftCatalogSpec extends AnyFunSuite {
       .filterNot(_.startsWith("pd1=a/pd2=x")).toSet == untouched,
       "untouched nested partitions must keep byte-identical files")
   }
+
+  test("CREATE OR REPLACE TABLE ... AS SELECT: exact new schema in ONE " +
+    "atomic commit, history stays time-travelable") {
+    wh
+    spark.sql("CREATE TABLE gcat.db.rt (k BIGINT, v BIGINT, pd STRING) " +
+      "PARTITIONED BY (pd) TBLPROPERTIES ('graft.statscols' = 'k')")
+    spark.sql("INSERT INTO gcat.db.rt " +
+      "SELECT id, id * 10, concat('p', id % 2) FROM range(0, 10)")
+    val dir = s"$wh/db/rt"
+    val vOld = CommitLog.latest(spark, dir).get.version
+    // REPLACE with a NARROWER, retyped, re-partitioned shape: the old
+    // columns must NOT linger (an additive merge would keep v)
+    spark.sql("CREATE OR REPLACE TABLE gcat.db.rt " +
+      "PARTITIONED BY (grp) AS " +
+      "SELECT id AS k, CAST(id AS INT) AS n, concat('g', id % 3) AS grp " +
+      "FROM range(0, 6)")
+    val df = spark.sql("SELECT * FROM gcat.db.rt")
+    assert(df.columns.toSeq == Seq("k", "n", "grp"),
+      s"the replaced schema must be EXACT, got ${df.columns.toSeq}")
+    assert(df.count() == 6)
+    assert(spark.sql("SELECT sum(n) FROM gcat.db.rt").as[Long].head() == 15L)
+    val snap = CommitLog.latest(spark, dir).get
+    assert(snap.files.forall(_.startsWith("grp=")),
+      "the replacement owns the hive layout")
+    assert(snap.statsCols == Seq("k"),
+      "per-column declarations survive only for surviving columns")
+    assert(snap.physNames.isEmpty && snap.retired.isEmpty,
+      "rename/drop bookkeeping resets with the schema")
+    // the pre-replace world is still one VERSION AS OF away
+    val old = spark.sql(
+      s"SELECT * FROM gcat.db.rt VERSION AS OF $vOld")
+    assert(old.columns.toSeq == Seq("k", "v", "pd") && old.count() == 10,
+      "history must stay time-travelable through the replace")
+    // REPLACE TABLE (no OR CREATE) on a missing table fails like SQL
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gcat.db.rt_missing AS SELECT 1 AS a")
+    }
+    // CREATE OR REPLACE on a missing table creates
+    spark.sql("CREATE OR REPLACE TABLE gcat.db.rt_new AS " +
+      "SELECT id AS a FROM range(0, 3)")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.rt_new")
+      .as[Long].head() == 3L)
+    // post-replace writes keep working under the new schema
+    spark.sql("INSERT INTO gcat.db.rt VALUES (100, 1, 'g0')")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.rt")
+      .as[Long].head() == 7L)
+  }
 }
