@@ -141,6 +141,10 @@ object ScaleProof {
         // 10x-orders BACKLOG DRAIN below (admission-controlled
         // AvailableNow catch-up — the restarted-follower shape)
         "q189_stream_sink", "q190_cdc_replicate", "q188_compact_where",
+        // zero-copy branching at sf1: fork + branch DML + post-fork
+        // main append, served off the branch — the commits stay
+        // churn-sized while the scan side grows 10x
+        "q191_branch",
         "backlog_drain")
     // local[8], not local[32]: saturating every advertised CPU trips the
     // host's kernel-side thrash (measured 4-25x inflation at local[32] on

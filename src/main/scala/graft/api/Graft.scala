@@ -544,6 +544,30 @@ object Graft {
       CommitLog.distinctAgg(spark, dir, cols)
     def distinctByPartition(cols: Seq[String]): DataFrame =
       CommitLog.distinctAggByPartition(spark, dir, cols)
+    /** Fork a ZERO-COPY branch at `atVersion` (default: latest) and
+      * return a Lake addressing it — an independent commit log over
+      * the same data directory; no data moves, vacuum counts every
+      * branch's references. Experiment freely, then [[fastForward]]
+      * or [[dropBranch]]. */
+    def branch(name: String, atVersion: Option[Long] = None): Lake = {
+      CommitLog.createBranch(spark, dir, name, atVersion)
+      Lake(spark, CommitLog.branchTarget(dir, name))
+    }
+    /** A Lake on an EXISTING branch of this table. */
+    def onBranch(name: String): Lake =
+      Lake(spark, CommitLog.branchTarget(dir, name))
+    /** Branch names with their head versions. */
+    def branches: Seq[(String, Long)] = CommitLog.listBranches(spark, dir)
+    /** Delete a branch's log; its uniquely-referenced files become
+      * vacuum garbage. */
+    def dropBranch(name: String, force: Boolean = false): Unit =
+      CommitLog.dropBranch(spark, dir, name, force)
+    /** Adopt the branch head as this table's next version (legal only
+      * when the main line has not advanced past the fork). */
+    def fastForward(name: String): Unit = {
+      CommitLog.fastForward(spark, dir, name)
+      ()
+    }
     /** Immutably bind a tag name to a version (reproducibility anchor;
       * vacuum keeps it readable). */
     def tag(name: String, version: Long): Unit =

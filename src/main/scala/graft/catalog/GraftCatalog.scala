@@ -389,19 +389,22 @@ object GraftCatalog {
   }
 
   private val QualifiedName =
-    """^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\.([A-Za-z_]\w*)$""".r
+    """^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\.([A-Za-z_]\w*)(@[A-Za-z0-9][A-Za-z0-9_.-]*)?$""".r
 
   /** A lake target that may be EITHER a directory path or a
     * catalog-qualified `cat.db.t` name — the latter resolves through
     * the catalog's warehouse, so the TVFs (`graft_lake_history(...)`)
     * and CALL maintenance verbs (`CALL graft_compact('gcat.db.t', 4)`)
-    * address catalog tables by name. A string with a `/` (or no
-    * matching graft catalog) is a path, unchanged. */
+    * address catalog tables by name. Either form may carry an
+    * `@<branch>` suffix addressing a zero-copy branch
+    * ([[graft.sources.CommitLog.createBranch]]) — the suffix rides
+    * through name resolution onto the resolved directory. A string
+    * with a `/` (or no matching graft catalog) is a path, unchanged. */
   def resolveTarget(spark: SparkSession, target: String): String =
     target match {
-      case QualifiedName(cat, db, t)
+      case QualifiedName(cat, db, t, branch)
           if catalogNames(spark).exists(_.equalsIgnoreCase(cat)) =>
-        tableDir(spark, cat, Seq(db, t))
+        tableDir(spark, cat, Seq(db, t)) + Option(branch).getOrElse("")
       case p => p
     }
 }

@@ -78,6 +78,70 @@ object CommitLog {
   private val LogDirName = "_graft_log"
   private val DefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  // ---------------------------------------------------------- branches
+  /** ZERO-COPY BRANCHES: `<table dir>@<name>` addresses a BRANCH of the
+    * table — an independent commit log (`_graft_log/branches/<name>/`)
+    * sharing the table's one DATA directory. Branching is a metadata
+    * operation at any table size: [[createBranch]] writes ONE version
+    * file (a copy of the fork snapshot), and from there the branch and
+    * the main line commit through separate CAS domains — writers on
+    * different branches never conflict — while their data files land
+    * side by side under writer-unique names. Every read/write/maintain
+    * verb in this object accepts a branch target transparently; the
+    * marker is split here, once, and every path constructed from a
+    * target flows through [[dataDir]] (shared data) or [[logPath]]
+    * (per-branch log). [[vacuum]] is branch-aware by UNION: a data
+    * file, manifest, or deletion vector referenced by ANY log over the
+    * data directory is live — which is exactly what makes the branch
+    * zero-copy instead of merely cheap. Pre-fork history stays
+    * time-travelable through the branch: [[snapshotAt]] falls back to
+    * the main log for versions older than the fork.
+    *
+    * The `@` splits only when it follows the last `/` and the suffix is
+    * a valid branch name, so URI authorities (`user@host`) and data
+    * paths never mis-parse. */
+  private val BranchName = "^[A-Za-z0-9][A-Za-z0-9_.-]*$".r
+
+  /** `(data directory, branch name)` of a target string. */
+  private[graft] def splitBranch(target: String): (String, Option[String]) = {
+    val at = target.lastIndexOf('@')
+    if (at < 0 || at <= target.lastIndexOf('/')) (target, None)
+    else {
+      val (d, b) = (target.substring(0, at), target.substring(at + 1))
+      if (BranchName.matches(b)) (d, Some(b)) else (target, None)
+    }
+  }
+
+  /** The DATA directory of a target — identity for a plain table dir,
+    * the marker-stripped dir for a branch target. Every data-file path,
+    * scan basePath, and staging dir derives from this: branches share
+    * one data directory by construction. */
+  private[graft] def dataDir(target: String): String = splitBranch(target)._1
+
+  private[graft] def branchOf(target: String): Option[String] =
+    splitBranch(target)._2
+
+  /** The addressable target string of `name`'s branch of `dir`. */
+  def branchTarget(dir: String, name: String): String = {
+    require(BranchName.matches(name),
+      s"branch name '$name' — use letters, digits, '_', '-', '.'")
+    s"${dataDir(dir)}@$name"
+  }
+
+  /** Log-tree rel prefix for artifacts MINTED by commits on this
+    * target: branch commits mint `branches/<name>/manifest-…` so their
+    * metadata lives inside the branch's own log dir while staying
+    * resolvable from any log over the table ([[logFile]]). */
+  private def relPrefix(target: String): String =
+    branchOf(target).map(b => s"branches/$b/").getOrElse("")
+
+  /** A committed log-tree rel (manifest / deletion vector) resolved
+    * against the table's ONE log tree — rels are log-tree-relative, so
+    * a branch snapshot can reference main-minted artifacts (its
+    * inherited seed) and vice versa (a fast-forwarded branch commit). */
+  private def logFile(target: String, rel: String): String =
+    s"${dataDir(target)}/$LogDirName/$rel"
+
   /** One committed version: the live file list (dir-relative), the
     * committed streaming batch ids, the zone-map stats snapshot
     * (relative path of a parquet directory under the log, if stats
@@ -121,11 +185,15 @@ object CommitLog {
   private def inLedger(s: Snapshot, b: Long): Boolean =
     b <= s.batchFloor || s.batches.contains(b)
 
-  private def logPath(dir: String) = new Path(dir, LogDirName)
+  private def logPath(target: String) = splitBranch(target) match {
+    case (d, None) => new Path(d, LogDirName)
+    case (d, Some(b)) => new Path(d, s"$LogDirName/branches/$b")
+  }
   private def versionFile(dir: String, v: Long) =
     new Path(logPath(dir), f"v$v%020d.json")
   private def hadoopFs(spark: SparkSession, dir: String): FileSystem =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new Path(dataDir(dir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   // ------------------------------------------------------------- codec
   private def render(s: Snapshot): String = {
@@ -231,8 +299,10 @@ object CommitLog {
       : Option[(Snapshot, Seq[String])] =
     latest(spark, dir).map(s => (s, absolute(dir, s.files)))
 
-  private def absolute(dir: String, rels: Seq[String]): Seq[String] =
-    rels.map(r => s"$dir/$r")
+  private def absolute(dir: String, rels: Seq[String]): Seq[String] = {
+    val d = dataDir(dir)
+    rels.map(r => s"$d/$r")
+  }
 
   /** Read `files` under the snapshot's COMMITTED schema when one is
     * recorded: no per-file footer merging (at a million files the
@@ -279,7 +349,7 @@ object CommitLog {
     * names) — callers that surface rows re-alias via [[toLogical]]. */
   private def rawRead(spark: SparkSession, dir: String, s: Snapshot,
       files: Seq[String]): DataFrame = {
-    val reader = spark.read.option("basePath", dir)
+    val reader = spark.read.option("basePath", dataDir(dir))
     s.schemaJson.fold(reader) { j =>
       val logical = org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -296,7 +366,7 @@ object CommitLog {
     * the parquet row index, stable for an immutable file by definition. */
   private def withFilePos(spark: SparkSession, dir: String,
       df: DataFrame): DataFrame = {
-    val base = hadoopFs(spark, dir).makeQualified(new Path(dir))
+    val base = hadoopFs(spark, dir).makeQualified(new Path(dataDir(dir)))
       .toUri.getPath.stripSuffix("/") + "/"
     val toRel = udf((p: String) =>
       DataSkipping.rawPath(p).stripPrefix(base))
@@ -309,7 +379,7 @@ object CommitLog {
     * or `pos` must not make the anti-join ambiguous. */
   private def dvRows(spark: SparkSession, dir: String,
       s: Snapshot): DataFrame =
-    spark.read.parquet(s.dvs.map(r => s"$dir/$LogDirName/$r"): _*)
+    spark.read.parquet(s.dvs.map(r => logFile(dir, r)): _*)
       .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
 
   private def readSnapshot(spark: SparkSession, dir: String,
@@ -354,12 +424,8 @@ object CommitLog {
 
   /** Time travel: the table exactly as version `v` committed it (works
     * until [[vacuum]] drops that version). */
-  def readAt(spark: SparkSession, dir: String, v: Long): DataFrame = {
-    val f = hadoopFs(spark, dir)
-    val p = versionFile(dir, v)
-    require(f.exists(p), s"version $v of $dir does not exist (vacuumed?)")
-    readSnapshot(spark, dir, parse(readText(f, p)))
-  }
+  def readAt(spark: SparkSession, dir: String, v: Long): DataFrame =
+    readSnapshot(spark, dir, snapshotAt(spark, dir, v))
 
   /** Rows carried by the data files ADDED over `(fromV, toV]` — the
     * micro-batch unit of the streaming table read
@@ -428,21 +494,25 @@ object CommitLog {
   private[graft] def addedFilesAt(spark: SparkSession, dir: String,
       v: Long, skipChangeCommits: Boolean): Seq[String] = {
     val cur = snapshotAt(spark, dir, v)
-    val f = hadoopFs(spark, dir)
-    if (!f.exists(versionFile(dir, v - 1))) {
-      // only the table's GENUINE first commit has no predecessor — its
-      // additions are the whole snapshot. Any later version missing its
-      // predecessor means vacuum dropped it: returning the full list
-      // here would silently re-deliver the ENTIRE table as one "append"
-      // batch to a follower that fell behind retention. Fail with the
-      // same "vacuumed" shape the streaming source converts into the
-      // loud recovery-path error.
-      if (v <= 1L) return cur.files.sorted
-      throw new IllegalArgumentException(
-        s"version ${v - 1} of $dir does not exist (vacuumed?) — cannot " +
-          s"diff the files version $v added")
-    }
-    val prev = snapshotAt(spark, dir, v - 1)
+    // only the table's GENUINE first commit has no predecessor — its
+    // additions are the whole snapshot. Any later version missing its
+    // predecessor means vacuum dropped it: returning the full list
+    // here would silently re-deliver the ENTIRE table as one "append"
+    // batch to a follower that fell behind retention. Fail with the
+    // same "vacuumed" shape the streaming source converts into the
+    // loud recovery-path error. (snapshotAt resolves a branch's
+    // pre-fork predecessor against the main log, so a branch stream
+    // pinned at the fork point diffs across it.)
+    val prev =
+      try snapshotAt(spark, dir, v - 1)
+      catch {
+        case e: IllegalArgumentException
+            if Option(e.getMessage).exists(_.contains("vacuumed")) =>
+          if (v <= 1L) return cur.files.sorted
+          throw new IllegalArgumentException(
+            s"version ${v - 1} of $dir does not exist (vacuumed?) — " +
+              s"cannot diff the files version $v added", e)
+      }
     if (cur.op == "compact") Nil
     else {
       val pf = prev.files.toSet
@@ -487,12 +557,22 @@ object CommitLog {
     * timestamp predates the log (or the readable history after vacuum). */
   def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
     val f = hadoopFs(spark, dir)
-    val hit = versionNumbers(f, dir).reverse.view.flatMap { v =>
+    val own = versionNumbers(f, dir)
+    // a branch's pre-fork history lives in the main log: candidate
+    // versions older than the branch's seed resolve there, so AS OF a
+    // pre-fork timestamp works through the branch
+    val preFork = branchOf(dir) match {
+      case Some(_) => versionNumbers(f, dataDir(dir))
+        .filter(v => own.headOption.forall(v < _)).map(v => (v, dataDir(dir)))
+      case None => Nil
+    }
+    val hit = (own.map(v => (v, dir)) ++ preFork).sortBy(-_._1)
+      .view.flatMap { case (v, t) =>
       try {
-        val s = parse(readText(f, versionFile(dir, v)))
+        val s = parse(readText(f, versionFile(t, v)))
         val at =
           if (s.committedAt > 0L) s.committedAt
-          else f.getFileStatus(versionFile(dir, v)).getModificationTime
+          else f.getFileStatus(versionFile(t, v)).getModificationTime
         if (at <= tsMillis) Some(v) else None
       } catch { case _: Exception => None }
     }.headOption
@@ -509,8 +589,22 @@ object CommitLog {
   def snapshotAt(spark: SparkSession, dir: String, v: Long): Snapshot = {
     val f = hadoopFs(spark, dir)
     val p = versionFile(dir, v)
-    require(f.exists(p), s"version $v of $dir does not exist (vacuumed?)")
-    parse(readText(f, p))
+    if (f.exists(p)) return parse(readText(f, p))
+    // pre-fork history of a branch lives in the MAIN log: the branch's
+    // oldest version file is its fork-point seed, so anything older is
+    // resolved against the table's own history — time travel through a
+    // branch spans the fork. (A version NEWER than the branch head is
+    // genuinely absent: the main log's later commits are not branch
+    // history.)
+    branchOf(dir) match {
+      case Some(_) if versionNumbers(f, dir).headOption.exists(v < _) =>
+        val mp = versionFile(dataDir(dir), v)
+        require(f.exists(mp),
+          s"version $v of $dir does not exist (vacuumed?)")
+        parse(readText(f, mp))
+      case _ => throw new IllegalArgumentException(
+        s"version $v of $dir does not exist (vacuumed?)")
+    }
   }
 
   /** Incremental read: every row published by the DATA commits in
@@ -559,7 +653,7 @@ object CommitLog {
         val dvFiles: Seq[String] =
           if (dvNew.isEmpty) Nil
           else spark.read
-            .parquet(dvNew.map(r => s"$dir/$LogDirName/$r"): _*)
+            .parquet(dvNew.map(r => logFile(dir, r)): _*)
             .select(col("file")).distinct()
             .collect().map(_.getString(0)).toSeq
         fileAdds ++ dvFiles
@@ -715,9 +809,15 @@ object CommitLog {
   def partsBetween(spark: SparkSession, dir: String,
       fromV: Long, toV: Long): Option[Set[String]] = {
     require(fromV < toV, s"partsBetween needs fromV < toV, got $fromV >= $toV")
-    val f = hadoopFs(spark, dir)
-    if (!(fromV to toV).forall(v => f.exists(versionFile(dir, v)))) return None
-    val snaps = (fromV to toV).map(snapshotAt(spark, dir, _))
+    // resolved via snapshotAt so a branch target's pre-fork versions
+    // fall back to the main log — a change range spanning the fork works
+    val snaps =
+      try (fromV to toV).map(snapshotAt(spark, dir, _))
+      catch {
+        case e: IllegalArgumentException
+            if Option(e.getMessage).exists(_.contains("vacuumed")) =>
+          return None
+      }
     Some(snaps.sliding(2).flatMap { case Seq(prev, cur) =>
       val fileDiff: Iterable[String] =
         if (cur.op == "compact") Nil
@@ -734,7 +834,7 @@ object CommitLog {
       val dvParts: Iterable[String] =
         if (dvNew.isEmpty) Nil
         else spark.read
-          .parquet(dvNew.map(r => s"$dir/$LogDirName/$r"): _*)
+          .parquet(dvNew.map(r => logFile(dir, r)): _*)
           .select(col("file")).distinct()
           .collect().map(r => partOf(r.getString(0))).toSeq
       fileDiff ++ dvParts
@@ -811,9 +911,9 @@ object CommitLog {
   // ---------------------------------------------------------- writing
   /** Dir-relative paths of the current on-disk data files. */
   private def listRel(spark: SparkSession, dir: String): Set[String] = {
-    val base = hadoopFs(spark, dir).makeQualified(new Path(dir))
+    val base = hadoopFs(spark, dir).makeQualified(new Path(dataDir(dir)))
       .toUri.getPath.stripSuffix("/") + "/"
-    DataSkipping.dataFiles(spark, dir).map(_.stripPrefix(base)) // raw paths
+    DataSkipping.dataFiles(spark, dataDir(dir)).map(_.stripPrefix(base)) // raw paths
   }
 
   /** Zone-map stats (+ per-file KLL sketches) for `rels`, keyed by
@@ -823,8 +923,9 @@ object CommitLog {
       cols: Seq[String], sketchCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomExpect: Long = 1L << 20,
       thetaCols: Seq[String] = Nil, thetaLgK: Int = 14): DataFrame = {
-    val base = hadoopFs(spark, dir).makeQualified(new Path(dir)).toUri.getPath
-    DataSkipping.fileStats(spark, dir, absolute(dir, rels), cols, sketchCols,
+    val base = hadoopFs(spark, dir).makeQualified(new Path(dataDir(dir))).toUri.getPath
+    DataSkipping.fileStats(spark, dataDir(dir), absolute(dir, rels), cols,
+      sketchCols,
         bloomCols, bloomExpect, thetaCols, thetaLgK)
       .withColumn("file", regexp_replace(col("file"),
         "^.*" + java.util.regex.Pattern.quote(base) + "/", ""))
@@ -919,7 +1020,7 @@ object CommitLog {
         bloomCols.isEmpty && thetaCols.isEmpty) None
       else {
         val tag = java.util.UUID.randomUUID.toString.take(8)
-        val rel = f"manifest-v$v%020d-$tag.parquet"
+        val rel = relPrefix(dir) + f"manifest-v$v%020d-$tag.parquet"
         // carry-over filters by the REMOVED set (churn-sized), not the
         // kept set (table-sized): at a million files an In-list over the
         // kept files would put one literal per untouched file into the
@@ -930,7 +1031,7 @@ object CommitLog {
         val kept =
           if (schemaReplace) None
           else prev.manifest.map { m =>
-            val df = spark.read.parquet(s"$dir/$LogDirName/$m")
+            val df = spark.read.parquet(logFile(dir, m))
             if (removedSet.isEmpty) df
             else df.filter(!col("file").isInCollection(removedSet.toSeq))
           }
@@ -944,7 +1045,7 @@ object CommitLog {
         else {
           val merged = parts.reduce(_ unionByName _)
           merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
-            .parquet(s"$dir/$LogDirName/$rel")
+            .parquet(logFile(dir, rel))
           Some(rel)
         }
       }
@@ -1196,6 +1297,9 @@ object CommitLog {
       thetaCols: Seq[String] = Nil,
       thetaLgK: Int = 14,
       dvs: Seq[String] = Nil): Snapshot = {
+    require(branchOf(dir).isEmpty,
+      s"init takes a table directory, not a branch target ($dir) — " +
+        "branches are created from an existing table via createBranch")
     val f = hadoopFs(spark, dir)
     require(versionNumbers(f, dir).isEmpty, s"$dir already has a commit log")
     f.mkdirs(logPath(dir))
@@ -1203,7 +1307,7 @@ object CommitLog {
     require(rels.nonEmpty, s"$dir holds no data files to snapshot")
     // the committed schema: the one place the table's shape lives from
     // here on — readers never merge footers again
-    val schema = spark.read.option("basePath", dir)
+    val schema = spark.read.option("basePath", dataDir(dir))
       .option("mergeSchema", "true")
       .parquet(absolute(dir, rels): _*).schema.json
     val seed = Snapshot(0L, Nil, Nil, statsCols, None, "init", sketchCols,
@@ -1233,6 +1337,9 @@ object CommitLog {
       s"create on $dir: partition column '$p' is not in the schema"))
     statsCols.foreach(c => require(schema.fieldNames.contains(c),
       s"create on $dir: stats column '$c' is not in the schema"))
+    require(branchOf(dir).isEmpty,
+      s"create takes a table directory, not a branch target ($dir) — " +
+        "branches are created from an existing table via createBranch")
     val f = hadoopFs(spark, dir)
     require(versionNumbers(f, dir).isEmpty, s"$dir already has a commit log")
     f.mkdirs(logPath(dir))
@@ -1322,7 +1429,7 @@ object CommitLog {
         .map(c => physNames.getOrElse(c, c)): _*)
     val f = hadoopFs(spark, dir)
     val tag = java.util.UUID.randomUUID.toString.take(8)
-    val staging = new Path(dir, s"_staging/$tag")
+    val staging = new Path(dataDir(dir), s"_staging/$tag")
     val writer =
       if (partCols.isEmpty) df.write
       else df.write.partitionBy(partCols: _*)
@@ -1335,7 +1442,7 @@ object CommitLog {
         else if (name.endsWith(".parquet")) {
           val relTarget =
             if (rel.isEmpty) s"$tag-$name" else s"$rel/$tag-$name"
-          val target = new Path(dir, relTarget)
+          val target = new Path(dataDir(dir), relTarget)
           f.mkdirs(target.getParent)
           if (!f.rename(st.getPath, target))
             throw new IllegalStateException(
@@ -1498,7 +1605,7 @@ object CommitLog {
         val dvParts: Set[String] =
           if (dvNew.isEmpty) Set.empty
           else spark.read
-            .parquet(dvNew.map(r => s"$dir/$LogDirName/$r"): _*)
+            .parquet(dvNew.map(r => logFile(dir, r)): _*)
             .select(col("file")).distinct()
             .collect().map(r => partOf(r.getString(0))).toSet
         val interveningParts =
@@ -2334,11 +2441,14 @@ object CommitLog {
       // ONE multi-path read (a per-rel spark.read would pay a
       // schema-inference job per vector), tagged back to its vector by
       // the _graft_log/<rel>/ path segment
+      // the rel may span path components (a branch-minted vector is
+      // `branches/<b>/dv-…`), so capture everything between the log
+      // root and the parquet part file
       val tagged = spark.read
-        .parquet(s.dvs.map(rel => s"$dir/$LogDirName/$rel"): _*)
+        .parquet(s.dvs.map(rel => logFile(dir, rel)): _*)
         .select(col("file"),
           regexp_extract(input_file_name(),
-            "_graft_log/([^/]+)/", 1).as("__rel"))
+            "_graft_log/(.+)/[^/]+$", 1).as("__rel"))
       val census = tagged.groupBy(col("__rel")).agg(
         count(lit(1)).as("total"),
         count(when(!col("file").isInCollection(removedSet.toSeq), 1))
@@ -2350,11 +2460,11 @@ object CommitLog {
         if (kept == 0L) dvDrop += rel
         else if (kept < total) {
           val tag = java.util.UUID.randomUUID.toString.take(8)
-          val newRel = f"dv-compact-$tag.parquet"
-          spark.read.parquet(s"$dir/$LogDirName/$rel")
+          val newRel = relPrefix(dir) + f"dv-compact-$tag.parquet"
+          spark.read.parquet(logFile(dir, rel))
             .filter(!col("file").isInCollection(removedSet.toSeq))
             .coalesce(1).write.mode(SaveMode.ErrorIfExists)
-            .parquet(s"$dir/$LogDirName/$newRel")
+            .parquet(logFile(dir, newRel))
           dvDrop += rel
           dvAppend :+= newRel
         } // else: untouched vector, carried as-is
@@ -2485,13 +2595,13 @@ object CommitLog {
     import spark.implicits._
     val base = s.files.map { r =>
       val bytes =
-        try f.getFileStatus(new Path(dir, r)).getLen
+        try f.getFileStatus(new Path(dataDir(dir), r)).getLen
         catch { case _: java.io.FileNotFoundException => -1L }
       (r, partOf(r), bytes)
     }.toDF("file", "partition", "bytes")
     s.manifest match {
       case Some(m) =>
-        val rows = spark.read.parquet(s"$dir/$LogDirName/$m")
+        val rows = spark.read.parquet(logFile(dir, m))
           .select(col("file"), col("rows"))
         base.join(rows, Seq("file"), "left")
       case None => base.withColumn("rows", lit(null).cast("long"))
@@ -2538,12 +2648,12 @@ object CommitLog {
       s"restore target $v is not older than the current ${cur.version}")
     val old = snapshotAt(spark, dir, v)
     val f = hadoopFs(spark, dir)
-    val missing = old.files.filterNot(r => f.exists(new Path(dir, r)))
+    val missing = old.files.filterNot(r => f.exists(new Path(dataDir(dir), r)))
     require(missing.isEmpty,
       s"cannot restore $dir to version $v — vacuum reclaimed " +
         s"${missing.size} of its files (e.g. ${missing.take(3).mkString(", ")})")
     val missingDv = old.dvs.filterNot(r =>
-      f.exists(new Path(logPath(dir), r)))
+      f.exists(new Path(logFile(dir, r))))
     require(missingDv.isEmpty,
       s"cannot restore $dir to version $v — vacuum reclaimed its " +
         s"deletion vector(s) ${missingDv.mkString(", ")}")
@@ -2579,6 +2689,159 @@ object CommitLog {
         s"replaceTable on $dir lost the commit race (${e.getMessage}) " +
           "— a concurrent commit made the replacement stale; re-run " +
           "(abandoned files are vacuum garbage)")
+    }
+  }
+
+  /** Fork a ZERO-COPY branch of the table at `atVersion` (default: the
+    * latest version). One version file is written — a copy of the fork
+    * snapshot under `_graft_log/branches/<name>/` — and NO data moves:
+    * the branch references the table's files in place, and [[vacuum]]
+    * counts every branch's references as live. From here the branch is
+    * a full table at target `<dir>@<name>` ([[branchTarget]]): every
+    * read, write, DML, maintenance, and streaming verb works on it,
+    * committing through the branch's own CAS domain — writers on
+    * different branches never conflict. Pre-fork time travel resolves
+    * against the main log ([[snapshotAt]]). The experiment-on-100 TB
+    * shape: fork, mutate, validate, then [[fastForward]] or
+    * [[dropBranch]] — all metadata-plane.
+    *
+    * The seed carries `graft.branch.fork` (the fork version) and
+    * `graft.branch.name` in its props; [[fastForward]] keys on the
+    * former. Creation is CAS-atomic: two racing creators of the same
+    * name resolve to one winner. Branches fork from the MAIN line only
+    * (no branches of branches — a linear audit story). */
+  def createBranch(spark: SparkSession, dir: String, name: String,
+      atVersion: Option[Long] = None): Snapshot = {
+    require(branchOf(dir).isEmpty,
+      s"createBranch forks the main line — got branch target $dir " +
+        "(branches of branches are not supported)")
+    require(BranchName.matches(name),
+      s"branch name '$name' — use letters, digits, '_', '-', '.'")
+    val f = hadoopFs(spark, dir)
+    val src = atVersion.map(snapshotAt(spark, dir, _))
+      .getOrElse(mustLatest(spark, dir))
+    val target = branchTarget(dir, name)
+    require(versionNumbers(f, target).isEmpty,
+      s"branch '$name' of $dir already exists")
+    f.mkdirs(logPath(target))
+    val seed = src.copy(op = "branch",
+      props = src.props +
+        ("graft.branch.name" -> name,
+          "graft.branch.fork" -> src.version.toString),
+      committedAt = System.currentTimeMillis())
+    try { casWrite(f, versionFile(target, src.version), render(seed)); seed }
+    catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"branch '$name' of $dir already exists (${e.getMessage})")
+    }
+  }
+
+  /** Branch names of the table with each branch's head version —
+    * metadata-plane (one directory listing + one version listing per
+    * branch). */
+  def listBranches(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val d = dataDir(dir)
+    val f = hadoopFs(spark, d)
+    val root = new Path(d, s"$LogDirName/branches")
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+      .flatMap(b => versionNumbers(f, s"$d@$b").lastOption.map((b, _)))
+  }
+
+  /** Delete branch `name`'s commit log. Data files only the branch
+    * referenced become unreferenced — reclaimed by the next [[vacuum]]
+    * past the age fence, never here (a concurrent reader may still be
+    * scanning them). Refuses (without `force`) while any OTHER log
+    * still references a log artifact minted on this branch — possible
+    * only through a [[restore]] to a pre-rehome fast-forward, but
+    * cheap to rule out. Not safe under a writer actively committing to
+    * the branch (its next CAS would resurrect a partial log) — stop
+    * branch writers first, the same discipline as dropping any table. */
+  def dropBranch(spark: SparkSession, dir: String, name: String,
+      force: Boolean = false): Unit = {
+    val d = dataDir(dir)
+    val target = branchTarget(d, name)
+    val f = hadoopFs(spark, d)
+    require(versionNumbers(f, target).nonEmpty,
+      s"branch '$name' of $d does not exist")
+    if (!force) {
+      val pfx = s"branches/$name/"
+      val otherTargets = d +: listBranches(spark, d)
+        .map(_._1).filterNot(_ == name).map(b => s"$d@$b")
+      val referencing = otherTargets.filter(t =>
+        versionNumbers(f, t).exists { v =>
+          try {
+            val s = parse(readText(f, versionFile(t, v)))
+            s.manifest.exists(_.startsWith(pfx)) ||
+              s.dvs.exists(_.startsWith(pfx))
+          } catch { case _: Exception => false }
+        })
+      require(referencing.isEmpty,
+        s"cannot drop branch '$name' of $d — its log artifacts are " +
+          s"still referenced by: ${referencing.mkString(", ")} " +
+          "(vacuum those histories first, or force)")
+    }
+    f.delete(logPath(target), true)
+    ()
+  }
+
+  /** Adopt branch `name`'s head as the table's next version — the
+    * publish step of a branch-audit-merge workflow, legal only when
+    * the main line has NOT advanced past the fork point (a true
+    * fast-forward; divergent histories fail loudly — there is no
+    * automatic merge of two edit streams). One version file commits
+    * the adoption; the branch's data files are already in place.
+    * Branch-minted manifests and deletion vectors are REHOMED first
+    * (copied into the main log root — kilobyte-scale metadata) so a
+    * later [[dropBranch]] can never orphan the adopted snapshot. The
+    * branch itself is left intact; drop it when done. */
+  def fastForward(spark: SparkSession, dir: String,
+      name: String): Snapshot = {
+    val d = dataDir(dir)
+    val f = hadoopFs(spark, d)
+    val head = latest(spark, branchTarget(d, name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"branch '$name' of $d does not exist"))
+    val fork = head.props.get("graft.branch.fork").map(_.toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"branch '$name' of $d carries no fork marker — not a " +
+          "createBranch-made branch"))
+    val cur = mustLatest(spark, d)
+    require(cur.version == fork,
+      s"fast-forward of branch '$name' into $d: the main line advanced " +
+        s"past the fork (forked at $fork, now at ${cur.version}) — " +
+        "histories diverged; re-apply the branch's changes against the " +
+        "current table instead")
+    val pfx = s"branches/$name/"
+    def rehome(rel: String): String =
+      if (!rel.startsWith(pfx)) rel
+      else {
+        // keep the manifest-/dv- name prefix: vacuum's unreferenced-
+        // residue sweep keys on it, so a crashed fast-forward's copies
+        // age out like any other orphaned log artifact
+        val plain = rel.substring(pfx.length).replace('/', '-')
+          .stripSuffix(".parquet") +
+          "-ff-" + java.util.UUID.randomUUID.toString.take(8) + ".parquet"
+        org.apache.hadoop.fs.FileUtil.copy(
+          f, new Path(logFile(d, rel)), f, new Path(logFile(d, plain)),
+          false, spark.sparkContext.hadoopConfiguration)
+        plain
+      }
+    val adopted = head.copy(
+      version = cur.version + 1,
+      op = "fastForward",
+      manifest = head.manifest.map(rehome),
+      dvs = head.dvs.map(rehome),
+      props = head.props - "graft.branch.name" - "graft.branch.fork",
+      committedAt = System.currentTimeMillis())
+    try { casWrite(f, versionFile(d, adopted.version), render(adopted));
+      adopted }
+    catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"fast-forward of branch '$name' into $d lost the commit race " +
+          s"(${e.getMessage}) — the main line advanced; histories " +
+          "diverged, re-apply against the current table")
     }
   }
 
@@ -2621,7 +2884,7 @@ object CommitLog {
   def delete(spark: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column): Snapshot = {
     val s = mustLatest(spark, dir)
-    val base = hadoopFs(spark, dir).makeQualified(new Path(dir))
+    val base = hadoopFs(spark, dir).makeQualified(new Path(dataDir(dir)))
       .toUri.getPath.stripSuffix("/") + "/"
     val hitFiles = readSnapshot(spark, dir, s)
       .filter(cond)
@@ -2683,13 +2946,13 @@ object CommitLog {
     // `cond` names LOGICAL columns; the identity pair rides through
     val live = toLogical(s, livePhys, extra = Seq("__dv_f", "__dv_p"))
     val f = hadoopFs(spark, dir)
-    val rel = f"dv-v${s.version + 1}%020d-" +
+    val rel = relPrefix(dir) + f"dv-v${s.version + 1}%020d-" +
       java.util.UUID.randomUUID.toString.take(8) + ".parquet"
     // null cond must not delete (same 3VL rule as the COW delete)
     live.filter(coalesce(cond, lit(false)))
       .select(col("__dv_f").as("file"), col("__dv_p").as("pos"))
-      .coalesce(1).write.parquet(s"$dir/$LogDirName/$rel")
-    val hitFiles = spark.read.parquet(s"$dir/$LogDirName/$rel")
+      .coalesce(1).write.parquet(logFile(dir, rel))
+    val hitFiles = spark.read.parquet(logFile(dir, rel))
       .select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq // one per file with matches
     if (hitFiles.isEmpty) {
@@ -2739,7 +3002,7 @@ object CommitLog {
           s"${s.version} — re-derive from the current snapshot and re-run")
     }
     checkSchemaCompatible(s, additions, dir)
-    val base = hadoopFs(spark, dir).makeQualified(new Path(dir))
+    val base = hadoopFs(spark, dir).makeQualified(new Path(dataDir(dir)))
       .toUri.getPath.stripSuffix("/") + "/"
     val candidates: Seq[String] = probe match {
       case Some((c, values)) =>
@@ -2750,7 +3013,7 @@ object CommitLog {
         else {
           val m = s.manifest.getOrElse(throw new IllegalStateException(
             s"$dir version ${s.version} carries no manifest"))
-          spark.read.parquet(s"$dir/$LogDirName/$m")
+          spark.read.parquet(logFile(dir, m))
             .filter(bloomMightAny(c, values))
             .select(col("file")).collect().map(_.getString(0)).toSeq
         }
@@ -2819,7 +3082,7 @@ object CommitLog {
     s.manifest match {
       case None => full
       case Some(m) =>
-        val manifest = spark.read.parquet(s"$dir/$LogDirName/$m")
+        val manifest = spark.read.parquet(logFile(dir, m))
         if (!needed.forall(manifest.columns.contains)) return full
         val rows = manifest.select(col("file") +: needed.map(col): _*).collect()
         val survivors = rows.filter { r =>
@@ -2878,7 +3141,7 @@ object CommitLog {
         max(col(s"max_$c")).as(s"max_$c"),
         (sum(col("rows")) - sum(col(s"nulls_$c"))).as(s"count_$c"))
     }
-    spark.read.parquet(s"$dir/$LogDirName/$m").agg(aggs.head, aggs.tail: _*)
+    spark.read.parquet(logFile(dir, m)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Metadata-plane DISTINCT counts: per-file theta sketches committed
@@ -2941,7 +3204,7 @@ object CommitLog {
         s"(thetaCols=${s.thetaCols})")
     val m = s.manifest.getOrElse(throw new IllegalStateException(
       s"$dir version ${s.version} carries no manifest"))
-    (spark.read.parquet(s"$dir/$LogDirName/$m"), s)
+    (spark.read.parquet(logFile(dir, m)), s)
   }
 
   /** GROUPED metadata-plane aggregates: per-PARTITION exact
@@ -2973,7 +3236,7 @@ object CommitLog {
       if (v == null || v == DefaultPartition) null
       else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(v))
-    val man = partCols.foldLeft(spark.read.parquet(s"$dir/$LogDirName/$m")) {
+    val man = partCols.foldLeft(spark.read.parquet(logFile(dir, m))) {
       (df, pc) =>
         df.withColumn(pc, unescape(regexp_extract(col("file"),
           "(?:^|/)" + java.util.regex.Pattern.quote(pc) + "=([^/]*)/", 1)))
@@ -3024,7 +3287,7 @@ object CommitLog {
       s"$dir tracks no bloom filter for '$c' (bloomCols=${s.bloomCols})")
     val m = s.manifest.getOrElse(throw new IllegalStateException(
       s"$dir version ${s.version} carries no manifest"))
-    val survivors = spark.read.parquet(s"$dir/$LogDirName/$m")
+    val survivors = spark.read.parquet(logFile(dir, m))
       .filter(graft.functions.NativeBloom.bloomMightContain(
         col(s"bloom_$c"), lit(value)))
       .select(col("file")).collect().map(_.getString(0)).toSeq
@@ -3064,7 +3327,7 @@ object CommitLog {
       s"$dir tracks no bloom filter for '$c' (bloomCols=${s.bloomCols})")
     val m = s.manifest.getOrElse(throw new IllegalStateException(
       s"$dir version ${s.version} carries no manifest"))
-    val survivors = spark.read.parquet(s"$dir/$LogDirName/$m")
+    val survivors = spark.read.parquet(logFile(dir, m))
       .filter(bloomMightAny(c, values))
       .select(col("file")).collect().map(_.getString(0)).toSeq
     val df =
@@ -3097,7 +3360,7 @@ object CommitLog {
       s"$dir tracks no quantile sketch for '$c' (sketchCols=${s.sketchCols})")
     val m = s.manifest.getOrElse(throw new IllegalStateException(
       s"$dir version ${s.version} carries no manifest"))
-    val rows = spark.read.parquet(s"$dir/$LogDirName/$m")
+    val rows = spark.read.parquet(logFile(dir, m))
       .filter(partitionPrefix.fold(lit(true))(p =>
         col("file").startsWith(p + "/")))
       .agg(graft.functions.NativeSketches.kllMerge(col(s"kll_$c"), 200)
@@ -3129,6 +3392,7 @@ object CommitLog {
       staleStagingMs: Long = 24L * 3600 * 1000): Seq[String] = {
     require(keepLast >= 1, "vacuum must keep at least the latest version")
     val f = hadoopFs(spark, dir)
+    val d = dataDir(dir)
     val now = System.currentTimeMillis()
     val versions = versionNumbers(f, dir)
     // ref-pinned versions (tags + the published pointer) survive any
@@ -3136,7 +3400,10 @@ object CommitLog {
     // pointer is what consumers are actively serving — vacuuming either
     // out from under its ref would turn a metadata promise into a read
     // error. Retired publish pointers (superseded p-files) pin nothing.
-    val pinned = LakeRefs.pinnedVersions(spark, dir).filter(versions.contains)
+    // (Tags bind MAIN-line versions; a branch vacuum has no ref pins.)
+    val pinned =
+      if (branchOf(dir).isDefined) Set.empty[Long]
+      else LakeRefs.pinnedVersions(spark, d).filter(versions.contains)
     val (dropRaw, keepTail) =
       versions.splitAt(math.max(0, versions.size - keepLast))
     val dropV = dropRaw.filterNot(pinned)
@@ -3148,18 +3415,35 @@ object CommitLog {
     // contributes no refs either — its data files are then unreferenced,
     // which is SAFE because the age fence keeps anything young and the
     // file never becomes readable state anyway.
-    def safeParse(v: Long): Option[Snapshot] =
-      try Some(parse(readText(f, versionFile(dir, v))))
+    def safeParse(t: String)(v: Long): Option[Snapshot] =
+      try Some(parse(readText(f, versionFile(t, v))))
       catch { case e: Exception =>
         System.err.println(s"[commitlog] vacuum: unreadable version $v " +
-          s"in $dir (${e.getMessage}) — treated as holding no references")
+          s"in $t (${e.getMessage}) — treated as holding no references")
         None
       }
-    val dropSnaps = dropV.flatMap(safeParse)
-    val keptSnaps = keepV.flatMap(safeParse)
-    val live = keptSnaps.flatMap(_.files).toSet
-    val liveManifests = keptSnaps.flatMap(_.manifest).toSet
-    val liveDvs = keptSnaps.flatMap(_.dvs).toSet
+    val dropSnaps = dropV.flatMap(safeParse(dir))
+    val keptSnaps = keepV.flatMap(safeParse(dir))
+    // CROSS-LOG references: every OTHER commit log over the same data
+    // directory — the main log and every branch — pins its files,
+    // manifests, and deletion vectors. This union is what makes a
+    // branch ZERO-copy rather than merely cheap: vacuuming the main
+    // line can never reclaim a file a branch still reads (the branch's
+    // seed references main-minted files AND manifests), and vacuuming
+    // a branch can never touch the table's own state. All versions of
+    // the other logs pin (not just their keepLast tail): each log's
+    // history is that log's own vacuum's business.
+    val otherTargets: Seq[String] = {
+      val self = branchOf(dir)
+      val branches = listBranches(spark, d).map(_._1)
+        .filterNot(self.contains).map(b => s"$d@$b")
+      if (self.isDefined) d +: branches else branches
+    }
+    val cross = otherTargets.flatMap(t =>
+      versionNumbers(f, t).flatMap(safeParse(t)))
+    val live = (keptSnaps ++ cross).flatMap(_.files).toSet
+    val liveManifests = (keptSnaps ++ cross).flatMap(_.manifest).toSet
+    val liveDvs = (keptSnaps ++ cross).flatMap(_.dvs).toSet
     // ONE uniform rule for every dead data file: nothing younger than
     // the age fence is ever deleted. A young dead file may be a live
     // writer's published-but-uncommitted work racing toward its CAS —
@@ -3168,34 +3452,37 @@ object CommitLog {
     // same-moment vacuum must not yank its files in between). Old dead
     // files belong to no live operation and age out of a later vacuum.
     val dead = (listRel(spark, dir) -- live).toSeq.sorted.filter { r =>
-      try now - f.getFileStatus(new Path(dir, r)).getModificationTime >
+      try now - f.getFileStatus(new Path(d, r)).getModificationTime >
         staleStagingMs
       catch { case _: java.io.FileNotFoundException => false }
     }
-    dead.foreach(r => f.delete(new Path(dir, r), false))
+    dead.foreach(r => f.delete(new Path(d, r), false))
     dropSnaps.foreach(_.manifest
       .filterNot(liveManifests.contains)
-      .foreach(m => f.delete(new Path(logPath(dir), m), true)))
+      .foreach(m => f.delete(new Path(logFile(dir, m)), true)))
     dropSnaps.flatMap(_.dvs).distinct
       .filterNot(liveDvs.contains)
-      .foreach(d => f.delete(new Path(logPath(dir), d), true))
+      .foreach(r => f.delete(new Path(logFile(dir, r)), true))
     dropV.foreach(v => f.delete(versionFile(dir, v), false))
     // manifests no version references at all — usually residue of
     // commits that lost their CAS race, but possibly an in-flight
     // writer's manifest written moments before its version-file CAS
-    // (commit() writes the manifest FIRST) — the same age fence applies
+    // (commit() writes the manifest FIRST) — the same age fence applies.
+    // Recorded rels are log-tree-relative, so a branch target's listing
+    // names compare under its minting prefix.
+    val pfx = relPrefix(dir)
     f.listStatus(logPath(dir)).toSeq
       .filter { st =>
         val n = st.getPath.getName
-        ((n.startsWith("manifest-") && !liveManifests.contains(n)) ||
-          (n.startsWith("dv-") && !liveDvs.contains(n))) &&
+        ((n.startsWith("manifest-") && !liveManifests.contains(pfx + n)) ||
+          (n.startsWith("dv-") && !liveDvs.contains(pfx + n))) &&
           now - st.getModificationTime > staleStagingMs
       }
       .foreach(st => f.delete(st.getPath, true))
     // writer-private staging dirs: reclaim only those past the age floor
     // (a crashed writer's residue); an in-flight writer's staging is
     // younger and survives
-    val staging = new Path(dir, "_staging")
+    val staging = new Path(d, "_staging")
     if (f.exists(staging)) {
       f.listStatus(staging).foreach { st =>
         if (now - st.getModificationTime > staleStagingMs)

@@ -49,8 +49,12 @@ import graft.ops.Constraints
   * fused into a single aggregate). */
 object LakeRefs {
 
+  /** Refs bind MAIN-line versions; [[tag]] and [[publish]] reject
+    * branch targets loudly (a ref on a branch head would dangle when
+    * the branch is dropped). Read paths resolve a branch target to the
+    * table's one refs tree. */
   private def refsPath(dir: String, kind: String) =
-    new Path(dir, s"_graft_log/refs/$kind")
+    new Path(CommitLog.dataDir(dir), s"_graft_log/refs/$kind")
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -73,6 +77,9 @@ object LakeRefs {
     * fails loudly (CAS) — tags are reproducibility anchors, not mutable
     * pointers; use [[publish]] for a moving target. */
   def tag(spark: SparkSession, dir: String, name: String, version: Long): Unit = {
+    require(CommitLog.branchOf(dir).isEmpty,
+      s"tags bind main-line versions — got branch target $dir; " +
+        "fast-forward the branch, then tag the adopted version")
     require(name.nonEmpty && name.forall(c =>
       c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
       s"tag name '$name' — use letters, digits, '_', '-', '.'")
@@ -149,6 +156,9 @@ object LakeRefs {
     * publishers race on the CAS of the next pointer file; the loser
     * re-checks monotonicity against the winner and retries or aborts. */
   def publish(spark: SparkSession, dir: String, version: Long): Unit = {
+    require(CommitLog.branchOf(dir).isEmpty,
+      s"publish binds main-line versions — got branch target $dir; " +
+        "fast-forward the branch, then publish the adopted version")
     requireVersionExists(spark, dir, version)
     val f = fs(spark, dir)
     f.mkdirs(refsPath(dir, "published"))

@@ -251,10 +251,25 @@ object LakeSqlDml {
         GraftCallCommand(dir0, { s =>
           LakeRefs.publish(s, dir0, num(1)); num(1)
         }, "publish")
+      case "branch" =>
+        require(args.size == 2 || args.size == 3,
+          "CALL graft_branch(dir, name[, atVersion])")
+        GraftCallCommand(dir0, s => CommitLog.createBranch(s, dir0, str(1),
+          if (args.size == 3) Some(num(2)) else None).version, "branch")
+      case "branch_drop" =>
+        require(args.size == 2, "CALL graft_branch_drop(dir, name)")
+        GraftCallCommand(dir0, { s =>
+          CommitLog.dropBranch(s, dir0, str(1))
+          CommitLog.latest(s, dir0).map(_.version).getOrElse(-1L)
+        }, "branch-drop")
+      case "branch_ff" =>
+        require(args.size == 2, "CALL graft_branch_ff(dir, name)")
+        GraftCallCommand(dir0,
+          s => CommitLog.fastForward(s, dir0, str(1)).version, "branch-ff")
       case other => throw new IllegalArgumentException(
         s"unknown lake verb CALL graft_$other — supported: compact, " +
           "compact_clustered, compact_zorder, compact_where, vacuum, " +
-          "restore, tag, publish")
+          "restore, tag, publish, branch, branch_drop, branch_ff")
     }
   }
 

@@ -113,6 +113,13 @@ object LakeTvf {
       analyzed(CommitLog.filesReport(SparkSession.active,
         dirArg("graft_lake_files", args.head)))
     },
+    "graft_lake_branches" -> { args =>
+      require(args.size == 1, "graft_lake_branches(dir)")
+      val s = SparkSession.active
+      analyzed(s.createDataFrame(
+        CommitLog.listBranches(s, dirArg("graft_lake_branches", args.head)))
+        .toDF("branch", "head_version"))
+    },
     "graft_lake_tag" -> { args =>
       require(args.size == 2, "graft_lake_tag(dir, name)")
       analyzed(LakeRefs.readTag(SparkSession.active,

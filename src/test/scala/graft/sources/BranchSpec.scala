@@ -1,0 +1,305 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Zero-copy branches: an independent commit log over the SAME data
+  * directory. The contract under test — branching moves no data,
+  * branch and main commit through separate CAS domains without
+  * conflicting, vacuum on either side never reclaims what the other
+  * still references, pre-fork history stays time-travelable through
+  * the branch, and fast-forward adopts the branch head only when the
+  * main line has not diverged. */
+class BranchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Partitioned table with stats on k (so branch commits exercise the
+    * manifest path too). */
+  private def freshLake(statsCols: Seq[String] = Seq("k")): String = {
+    val dir = Files.createTempDirectory("graft_branch_").toString + "/lake"
+    spark.range(0, 300)
+      .select($"id".as("k"), ($"id" % 7).as("v"),
+        concat(lit("d"), ($"id" / 100).cast("long")).as("pd"))
+      .repartitionByRange(3, $"k")
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir, statsCols)
+    dir
+  }
+
+  private def dataFileCount(dir: String): Int = {
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = f.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    var n = 0
+    while (it.hasNext) {
+      val p = it.next().getPath.toUri.getPath
+      if (p.endsWith(".parquet") && !p.contains("/_")) n += 1
+    }
+    n
+  }
+
+  private def rows(target: String): Set[(Long, Long)] =
+    CommitLog.read(spark, target).select($"k", $"v")
+      .as[(Long, Long)].collect().toSet
+
+  test("createBranch is zero-copy and the branch reads the fork state") {
+    val dir = freshLake()
+    val before = dataFileCount(dir)
+    CommitLog.createBranch(spark, dir, "dev")
+    assert(dataFileCount(dir) == before, "branching moved data files")
+    val t = CommitLog.branchTarget(dir, "dev")
+    assert(rows(t) == rows(dir))
+    assert(CommitLog.listBranches(spark, dir).map(_._1) == Seq("dev"))
+  }
+
+  test("branch and main are isolated: each side's commits are invisible " +
+    "to the other, and their writers never conflict") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "dev")
+    val t = CommitLog.branchTarget(dir, "dev")
+    // interleaved writes on both sides — separate CAS domains, so no
+    // rebase, no conflict
+    CommitLog.append(spark,
+      Seq((1000L, 1L, "d0")).toDF("k", "v", "pd"), t)
+    CommitLog.append(spark,
+      Seq((2000L, 2L, "d0")).toDF("k", "v", "pd"), dir)
+    CommitLog.append(spark,
+      Seq((1001L, 1L, "d1")).toDF("k", "v", "pd"), t)
+    val main = rows(dir)
+    val branch = rows(t)
+    assert(main.contains((2000L, 2L)) && !main.contains((1000L, 1L)) &&
+      !main.contains((1001L, 1L)))
+    assert(branch.contains((1000L, 1L)) && branch.contains((1001L, 1L)) &&
+      !branch.contains((2000L, 2L)))
+  }
+
+  test("branch DML: upsert + COW delete + MoR delete mutate only the " +
+    "branch; compaction on the branch materializes its own vectors") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "dev")
+    val t = CommitLog.branchTarget(dir, "dev")
+    CommitLog.upsert(spark,
+      Seq((10L, 99L, "d0")).toDF("k", "v", "pd"), t, Seq("k"), "pd")
+    CommitLog.delete(spark, t, col("k") === 11L)
+    CommitLog.deleteVectors(spark, t, col("k") === 12L)
+    val branch = rows(t)
+    assert(branch.contains((10L, 99L)))
+    assert(!branch.exists(_._1 == 11L) && !branch.exists(_._1 == 12L))
+    assert(branch.size == 298)
+    // main never changed
+    val main = rows(dir)
+    assert(main.size == 300 && main.contains((10L, 3L)) &&
+      main.exists(_._1 == 11L) && main.exists(_._1 == 12L))
+    // compacting the BRANCH materializes its deletion vectors and
+    // commits to the branch log only
+    val mainV = CommitLog.latest(spark, dir).get.version
+    CommitLog.compact(spark, t, 2)
+    assert(CommitLog.latest(spark, t).get.dvs.isEmpty)
+    assert(rows(t) == branch)
+    assert(CommitLog.latest(spark, dir).get.version == mainV)
+  }
+
+  test("pre-fork history resolves through the branch: readAt, " +
+    "versionAsOf, and a version-spanning changeFeed") {
+    val dir = freshLake()
+    val v1 = CommitLog.latest(spark, dir).get.version
+    CommitLog.append(spark,
+      Seq((500L, 5L, "d0")).toDF("k", "v", "pd"), dir)
+    val forkV = CommitLog.latest(spark, dir).get.version
+    CommitLog.createBranch(spark, dir, "dev")
+    val t = CommitLog.branchTarget(dir, "dev")
+    CommitLog.append(spark,
+      Seq((600L, 6L, "d0")).toDF("k", "v", "pd"), t)
+    // pre-fork version through the branch = main's history
+    assert(CommitLog.readAt(spark, t, v1).count() == 300L)
+    // AS OF a pre-fork commit stamp resolves through the branch
+    val ts1 = CommitLog.snapshotAt(spark, dir, v1).committedAt
+    assert(CommitLog.versionAsOf(spark, t, ts1) == v1)
+    // a change range spanning the fork: main's append then the branch's
+    val feed = CommitLog.changeFeed(spark, t, v1, forkV + 1, Seq("k"))
+      .filter(col("_change_type") === "insert")
+      .select($"k").as[Long].collect().toSet
+    assert(feed == Set(500L, 600L))
+    // a version the branch never had (newer than its head) is absent
+    CommitLog.append(spark,
+      Seq((700L, 7L, "d0")).toDF("k", "v", "pd"), dir)
+    CommitLog.append(spark,
+      Seq((701L, 7L, "d0")).toDF("k", "v", "pd"), dir)
+    val mainHead = CommitLog.latest(spark, dir).get.version
+    assert(mainHead > CommitLog.latest(spark, t).get.version)
+    val e = intercept[IllegalArgumentException](
+      CommitLog.snapshotAt(spark, t, mainHead))
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("vacuum on the main line never reclaims files a branch still " +
+    "reads — and vice versa") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "dev")
+    val t = CommitLog.branchTarget(dir, "dev")
+    val branchState = rows(t)
+    // main rewrites everything: the fork files leave main's live set
+    CommitLog.overwrite(spark,
+      Seq((9000L, 9L, "d0")).toDF("k", "v", "pd"), dir)
+    CommitLog.vacuum(spark, dir, keepLast = 1, staleStagingMs = -1L)
+    assert(rows(t) == branchState,
+      "main vacuum reclaimed files the branch references")
+    assert(rows(dir) == Set((9000L, 9L)))
+    // branch rewrites everything too, then vacuums: main's current
+    // files (and its own fork references) must survive
+    CommitLog.overwrite(spark,
+      Seq((9100L, 91L, "d0")).toDF("k", "v", "pd"), t)
+    CommitLog.vacuum(spark, t, keepLast = 1, staleStagingMs = -1L)
+    assert(rows(dir) == Set((9000L, 9L)),
+      "branch vacuum reclaimed the main line's files")
+    assert(rows(t) == Set((9100L, 91L)))
+  }
+
+  test("fastForward adopts the branch head when main is at the fork, " +
+    "rehomes branch-minted metadata, and the branch can then be dropped") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "dev")
+    val t = CommitLog.branchTarget(dir, "dev")
+    CommitLog.upsert(spark,
+      Seq((10L, 99L, "d0")).toDF("k", "v", "pd"), t, Seq("k"), "pd")
+    CommitLog.deleteVectors(spark, t, col("k") === 12L) // branch-minted DV
+    val branchState = rows(t)
+    val adopted = CommitLog.fastForward(spark, dir, "dev")
+    assert(adopted.op == "fastForward")
+    assert(rows(dir) == branchState)
+    // rehomed: the adopted snapshot references nothing under the
+    // branch's log dir, so dropping the branch is safe
+    assert(!adopted.dvs.exists(_.startsWith("branches/")) &&
+      !adopted.manifest.exists(_.startsWith("branches/")))
+    CommitLog.dropBranch(spark, dir, "dev")
+    assert(CommitLog.listBranches(spark, dir).isEmpty)
+    assert(rows(dir) == branchState)
+    // the rehomed metadata still answers after the drop: compaction
+    // materializes the adopted deletion vectors (reading them from
+    // their rehomed location), then the manifest serves stats
+    CommitLog.compact(spark, dir, 2)
+    assert(rows(dir) == branchState)
+    assert(CommitLog.statsAggByPartition(spark, dir, Seq("k")).count() > 0)
+  }
+
+  test("fastForward fails loudly when the main line diverged") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "dev")
+    val t = CommitLog.branchTarget(dir, "dev")
+    CommitLog.append(spark, Seq((1L, 1L, "d0")).toDF("k", "v", "pd"), t)
+    CommitLog.append(spark, Seq((2L, 2L, "d0")).toDF("k", "v", "pd"), dir)
+    val e = intercept[IllegalArgumentException](
+      CommitLog.fastForward(spark, dir, "dev"))
+    assert(e.getMessage.contains("diverged"))
+  }
+
+  test("dropBranch + vacuum reclaims branch-only files; guards reject " +
+    "branches of branches, init/create/tag on branch targets") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "dev")
+    val t = CommitLog.branchTarget(dir, "dev")
+    CommitLog.append(spark,
+      Seq((1000L, 1L, "d0")).toDF("k", "v", "pd"), t)
+    val before = dataFileCount(dir)
+    CommitLog.dropBranch(spark, dir, "dev")
+    val dropped = CommitLog.vacuum(spark, dir, keepLast = 10,
+      staleStagingMs = -1L)
+    assert(dropped.nonEmpty && dataFileCount(dir) < before,
+      "the dropped branch's files were not reclaimed")
+    assert(rows(dir).size == 300)
+    // guards
+    assert(intercept[IllegalArgumentException](
+      CommitLog.createBranch(spark, t, "dev2")).getMessage
+      .contains("branches of branches"))
+    assert(intercept[IllegalArgumentException](
+      CommitLog.init(spark, t)).getMessage.contains("branch target"))
+    assert(intercept[IllegalArgumentException](
+      LakeRefs.tag(spark, t, "x", 1L)).getMessage
+      .contains("main-line"))
+    assert(intercept[IllegalArgumentException](
+      CommitLog.createBranch(spark, dir, "bad name")).getMessage
+      .contains("branch name"))
+  }
+
+  test("two racing creators of the same branch resolve to one winner") {
+    val dir = freshLake()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = Seq(
+      Future(try { CommitLog.createBranch(spark, dir, "race"); 1 }
+        catch { case _: IllegalStateException => 0 }),
+      Future(try { CommitLog.createBranch(spark, dir, "race"); 1 }
+        catch { case _: IllegalStateException => 0 }))
+    val won = Await.result(Future.sequence(attempts), 2.minutes).sum
+    assert(won >= 1, "no creator won")
+    assert(CommitLog.listBranches(spark, dir).map(_._1) == Seq("race"))
+    // regardless of how the race interleaved, the branch is readable
+    assert(rows(CommitLog.branchTarget(dir, "race")).size == 300)
+  }
+
+  test("Lake API + SQL surface: branch/onBranch/fastForward, " +
+    "CALL graft_branch, and the graft_lake TVF on a branch target") {
+    val dir = freshLake()
+    val lake = graft.api.Graft.lake(spark, dir)
+    val dev = lake.branch("dev")
+    dev.append(Seq((5000L, 5L, "d0")).toDF("k", "v", "pd"))
+    assert(lake.read.count() == 300L && dev.read.count() == 301L)
+    assert(lake.branches.map(_._1) == Seq("dev"))
+    lake.fastForward("dev")
+    assert(lake.read.count() == 301L)
+    lake.dropBranch("dev")
+    // SQL: CALL verbs + the TVF addressing a branch target
+    spark.sql(s"CALL graft_branch('$dir', 'sqlb')").collect()
+    assert(spark.sql(s"SELECT * FROM graft_lake_branches('$dir')")
+      .select($"branch").as[String].collect().toSeq == Seq("sqlb"))
+    spark.sql(
+      s"INSERT INTO graft_lake('$dir@sqlb') VALUES (6000, 6, 'd0')")
+    assert(spark.sql(s"SELECT count(*) c FROM graft_lake('$dir@sqlb')")
+      .head().getLong(0) == 302L)
+    assert(spark.sql(s"SELECT count(*) c FROM graft_lake('$dir')")
+      .head().getLong(0) == 301L)
+    assert(spark.sql(s"CALL graft_branch_ff('$dir', 'sqlb')")
+      .head().getLong(0) > 0L)
+    assert(spark.sql(s"SELECT count(*) c FROM graft_lake('$dir')")
+      .head().getLong(0) == 302L)
+    spark.sql(s"CALL graft_branch_drop('$dir', 'sqlb')").collect()
+    assert(graft.api.Graft.lake(spark, dir).branches.isEmpty)
+  }
+
+  test("a streaming table read subscribes to a branch and follows only " +
+    "its commits") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "dev")
+    val t = CommitLog.branchTarget(dir, "dev")
+    val out = Files.createTempDirectory("graft_branch_sink_").toString
+    val q = spark.readStream.format("graft-lake").load(t)
+      .writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(s"$out/data").count() == 300L)
+    // a main-line commit is NOT branch history; a branch commit is
+    CommitLog.append(spark,
+      Seq((1000L, 1L, "d0")).toDF("k", "v", "pd"), dir)
+    CommitLog.append(spark,
+      Seq((2000L, 2L, "d0")).toDF("k", "v", "pd"), t)
+    val q2 = spark.readStream.format("graft-lake").load(t)
+      .writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val got = spark.read.parquet(s"$out/data")
+      .select($"k").as[Long].collect().toSet
+    assert(got.contains(2000L) && !got.contains(1000L))
+  }
+}
