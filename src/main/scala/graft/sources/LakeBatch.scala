@@ -1,0 +1,151 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.datasources.{DataSourceUtils, HadoopFsRelation, InMemoryFileIndex}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, PrunedScan}
+import org.apache.spark.sql.types.StructType
+
+/** BATCH `format("graft-lake")` — the Delta-shaped entry points
+  * `spark.read.format("graft-lake").load(dirOrName)` and
+  * `df.write.format("graft-lake").mode(...).save(dirOrName)`, completing
+  * the provider triangle (the streaming source and sink already ride
+  * the same registration). Read options: `versionAsOf` / `timestampAsOf`
+  * (the TIMESTAMP AS OF resolver); either form of target may carry an
+  * `@<branch>` suffix.
+  *
+  * The READ plan matters at 100 TB: the common case (no outstanding
+  * deletion vectors, no renamed columns) returns a real
+  * [[HadoopFsRelation]] over exactly the snapshot's committed files —
+  * the SAME scan node a parquet path read gets, so predicate pushdown,
+  * partition pruning, column pruning, and whole-stage codegen all
+  * engage, and NO directory listing happens (the file index is built
+  * from the commit log's file list — the metadata plane IS the
+  * listing). Snapshots that need row-level semantics the file scan
+  * cannot express (outstanding deletion vectors' anti-join, rename
+  * aliasing) fall back to a [[PrunedScan]] relation that delegates to
+  * the commit log's own read path — column pruning still reaches the
+  * scan; Spark re-applies every filter above it (the V1 contract), so
+  * results are exact at the cost of the RDD[Row] boundary. Compaction
+  * materializes the vectors and the table returns to the fast path. */
+private[graft] object LakeBatch {
+
+  private def opt(parameters: Map[String, String], name: String)
+      : Option[String] = parameters.collectFirst {
+    case (k, v) if k.equalsIgnoreCase(name) => v
+  }
+
+  private def snapshotFor(spark: SparkSession, dir: String,
+      parameters: Map[String, String]): CommitLog.Snapshot = {
+    val latest = CommitLog.latest(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir has no commit log — not a graft table (write one with " +
+          "df.write.format(\"graft-lake\").save(...), CommitLog.init, " +
+          "or CREATE TABLE)"))
+    (opt(parameters, "versionAsOf"), opt(parameters, "timestampAsOf")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "versionAsOf and timestampAsOf are mutually exclusive")
+      case (Some(v), None) => CommitLog.snapshotAt(spark, dir, v.toLong)
+      case (None, Some(ts)) => CommitLog.snapshotAt(spark, dir,
+        CommitLog.versionAsOf(spark, dir, LakeSqlDml.asOfMillis(ts)))
+      case (None, None) => latest
+    }
+  }
+
+  def readRelation(spark: SparkSession, dir: String,
+      parameters: Map[String, String]): BaseRelation = {
+    val s = snapshotFor(spark, dir, parameters)
+    if (s.dvs.isEmpty && s.physNames.isEmpty) {
+      val (schema, partCols, _) = CommitLog.tableMeta(spark, dir, s)
+      val (partF, dataF) = schema.fields.partition(f =>
+        partCols.contains(f.name))
+      val d = CommitLog.dataDir(dir)
+      val index = new InMemoryFileIndex(spark,
+        s.files.map(r => new Path(s"$d/$r")),
+        parameters + ("basePath" -> d),
+        // committed schema drives partition-column TYPES (path values
+        // otherwise re-infer, and '01' would come back as int 1)
+        Some(schema))
+      HadoopFsRelation(index, StructType(partF), StructType(dataF),
+        None, new ParquetFileFormat, parameters)(spark)
+    } else
+      // row-level semantics beyond a file scan: DV anti-join / rename
+      // aliasing — exact via the commit log's own read path
+      GraftLakeScanRelation(spark, dir, s.version)
+  }
+
+  /** `df.write.format("graft-lake")` verbs. Append/Overwrite on an
+    * existing table are the commit log's own verbs (exactly the same
+    * commits the catalog and SQL surfaces land — additive schema
+    * evolution, type widening, multi-writer rebase all apply); on a
+    * missing table every mode except Ignore CREATES it (the Delta
+    * convention), with `partitionBy(...)` driving the hive layout. */
+  def write(spark: SparkSession, dir: String, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): Unit = {
+    val partCols = opt(parameters, DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+      .map(DataSourceUtils.decodePartitioningColumns)
+      .getOrElse(Nil)
+    CommitLog.latest(spark, dir) match {
+      case Some(s) =>
+        require(partCols.isEmpty ||
+          partCols == CommitLog.tableMeta(spark, dir, s)._2,
+          s"write into $dir: partitionBy(${partCols.mkString(", ")}) " +
+            "conflicts with the table's committed layout " +
+            s"(${CommitLog.tableMeta(spark, dir, s)._2.mkString(", ")})")
+        mode match {
+          case SaveMode.Append => CommitLog.append(spark, data, dir)
+          case SaveMode.Overwrite => CommitLog.overwrite(spark, data, dir,
+            CommitLog.tableMeta(spark, dir, s)._2)
+          case SaveMode.ErrorIfExists => throw new IllegalStateException(
+            s"$dir already holds a graft table (SaveMode.ErrorIfExists)")
+          case SaveMode.Ignore => ()
+        }
+        ()
+      case None =>
+        // every mode creates a missing table (SaveMode.Ignore's no-op
+        // clause applies only when data already exists)
+        require(CommitLog.branchOf(dir).isEmpty,
+          s"cannot create a table at branch target $dir — branches fork " +
+            "from an existing table via createBranch")
+        // create-by-write: land the files, then snapshot them as v1 —
+        // init's CAS resolves racing creators to one winner
+        val writer =
+          if (partCols.isEmpty) data.write
+          else data.write.partitionBy(partCols: _*)
+        writer.parquet(dir)
+        CommitLog.init(spark, dir)
+        ()
+    }
+  }
+}
+
+/** Exact fallback relation for snapshots a plain file scan cannot
+  * express (outstanding deletion vectors, renamed columns): delegates
+  * to [[CommitLog.readAt]] — the DV anti-join and rename aliasing live
+  * there — with requested-column pruning pushed into the inner plan
+  * (the parquet scan under it prunes for real). Spark's V1 contract
+  * re-applies every filter above [[buildScan]], so no filter handling
+  * is needed for correctness; the inner plan still reads only the
+  * snapshot's files. */
+private[graft] final case class GraftLakeScanRelation(
+    spark: SparkSession, dir: String, version: Long) extends BaseRelation
+    with PrunedScan {
+
+  override def sqlContext: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  override val schema: StructType =
+    CommitLog.readAt(spark, dir, version).schema
+
+  override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
+    val df = CommitLog.readAt(spark, dir, version)
+    val pruned =
+      if (requiredColumns.isEmpty) df.select() // COUNT(*): rows, no cols
+      else df.select(requiredColumns.toIndexedSeq.map(col): _*)
+    pruned.rdd
+  }
+}

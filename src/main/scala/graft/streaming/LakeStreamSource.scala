@@ -171,10 +171,13 @@ class LakeStreamSource(spark: SparkSession, dir: String,
   private val sizeCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def sizeOf(rel: String): Long =
-    sizeCache.computeIfAbsent(rel, r =>
-      new org.apache.hadoop.fs.Path(dir, r)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(new org.apache.hadoop.fs.Path(dir, r)).getLen)
+    sizeCache.computeIfAbsent(rel, r => {
+      // rels are DATA-dir-relative (a branch target shares the table's
+      // data directory)
+      val p = new org.apache.hadoop.fs.Path(CommitLog.dataDir(dir), r)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    })
 
   override def latestOffset(
       startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
@@ -471,12 +474,39 @@ class LakeCdfStreamSource(spark: SparkSession, dir: String,
   * through [[graft.catalog.GraftTable]]'s v1 fallback) —
   * [[LakeStreamSink]], exactly-once via the commit log's per-query
   * transaction ledger. Sink options: `keyColumns` +
-  * `partitionColumn` (+ `sequenceColumn`) for update-mode upserts. */
+  * `partitionColumn` (+ `sequenceColumn`) for update-mode upserts.
+  *
+  * And it is the BATCH provider (`spark.read.format("graft-lake")
+  * .load(...)` with `versionAsOf`/`timestampAsOf`, `df.write
+  * .format("graft-lake").mode(...).save(...)`) —
+  * [[graft.sources.LakeBatch]]: the no-DV/no-rename fast path is a
+  * real file-scan relation over exactly the committed files (full
+  * pushdown/pruning/codegen, zero directory listing). */
 class LakeSourceProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation =
+    graft.sources.LakeBatch.readRelation(ctx.sparkSession,
+      dirOf(ctx.sparkSession, parameters), parameters)
+
+  override def createRelation(ctx: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val dir = dirOf(ctx.sparkSession, parameters)
+    graft.sources.LakeBatch.write(ctx.sparkSession, dir, mode,
+      parameters, data)
+    graft.sources.LakeBatch.readRelation(ctx.sparkSession, dir,
+      parameters - "versionAsOf" - "timestampAsOf")
+  }
 
   override def createSink(ctx: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],

@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Batch `format("graft-lake")`: the read must serve EXACTLY the
+  * committed snapshot through a real file-scan plan (pushdown +
+  * pruning + codegen, no directory listing) in the common case, fall
+  * back to the commit log's exact read path when row-level semantics
+  * demand it (deletion vectors, renames), and the write modes must
+  * land the same commits as the Scala verbs. */
+class LakeBatchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("graft_batch_").toString + "/lake"
+
+  private def df(lo: Long, hi: Long) =
+    spark.range(lo, hi).select($"id".as("k"), ($"id" % 7).as("v"),
+      concat(lit("d"), ($"id" % 3)).as("pd"))
+
+  test("create-by-write round-trips; the read serves the LOG's files, " +
+    "not the directory listing") {
+    val dir = fresh()
+    df(0, 300).write.format("graft-lake").partitionBy("pd").save(dir)
+    val got = spark.read.format("graft-lake").load(dir)
+    assert(got.count() == 300L)
+    assert(got.columns.toSeq == Seq("k", "v", "pd")) // partition col last
+    // an uncommitted straggler file is INVISIBLE — the file index comes
+    // from the commit log, never a listing
+    df(900, 950).filter($"pd" === "d0").drop("pd")
+      .write.mode("append").parquet(s"$dir/pd=d0")
+    assert(spark.read.format("graft-lake").load(dir).count() == 300L)
+  }
+
+  test("fast path is a real file scan: filters push down, partitions " +
+    "prune, no RDD boundary") {
+    val dir = fresh()
+    df(0, 300).write.format("graft-lake").partitionBy("pd").save(dir)
+    val q = spark.read.format("graft-lake").load(dir)
+      .filter($"k" > 250L && $"pd" === "d1").select($"k")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,250)"),
+      s"filter did not reach the parquet scan:\n$plan")
+    assert(plan.contains("PartitionFilters: [isnotnull(pd"),
+      s"partition pruning did not engage:\n$plan")
+    assert(!plan.contains("ExistingRDD"), s"fast path hit the RDD boundary:\n$plan")
+    assert(q.as[Long].collect().toSet ==
+      (251L until 300L).filter(_ % 3 == 1).toSet)
+  }
+
+  test("versionAsOf / timestampAsOf options time-travel the read") {
+    val dir = fresh()
+    df(0, 100).write.format("graft-lake").save(dir)
+    val v1 = CommitLog.latest(spark, dir).get
+    df(100, 150).write.format("graft-lake").mode(SaveMode.Append).save(dir)
+    assert(spark.read.format("graft-lake")
+      .option("versionAsOf", v1.version.toString).load(dir)
+      .count() == 100L)
+    assert(spark.read.format("graft-lake")
+      .option("timestampAsOf", v1.committedAt.toString).load(dir)
+      .count() == 100L)
+    assert(spark.read.format("graft-lake").load(dir).count() == 150L)
+  }
+
+  test("write modes: append adds, overwrite replaces, ErrorIfExists " +
+    "throws, Ignore is a no-op on an existing table") {
+    val dir = fresh()
+    df(0, 100).write.format("graft-lake").partitionBy("pd").save(dir)
+    df(100, 150).write.format("graft-lake").mode(SaveMode.Append).save(dir)
+    assert(spark.read.format("graft-lake").load(dir).count() == 150L)
+    df(0, 10).write.format("graft-lake").mode(SaveMode.Ignore).save(dir)
+    assert(spark.read.format("graft-lake").load(dir).count() == 150L)
+    intercept[IllegalStateException](
+      df(0, 10).write.format("graft-lake").save(dir))
+    df(0, 10).write.format("graft-lake").mode(SaveMode.Overwrite).save(dir)
+    assert(spark.read.format("graft-lake").load(dir)
+      .select($"k").as[Long].collect().toSet == (0L until 10L).toSet)
+    // a partitionBy conflicting with the committed layout fails loudly
+    intercept[IllegalArgumentException](
+      df(0, 10).write.format("graft-lake").partitionBy("v")
+        .mode(SaveMode.Append).save(dir))
+  }
+
+  test("outstanding deletion vectors fall back to the exact path; " +
+    "compaction returns the table to the file scan") {
+    val dir = fresh()
+    df(0, 300).write.format("graft-lake").partitionBy("pd").save(dir)
+    CommitLog.deleteVectors(spark, dir, col("k") % 10 === 3L)
+    val got = spark.read.format("graft-lake").load(dir)
+    assert(got.filter($"k" % 10 === 3L).count() == 0L)
+    assert(got.count() == 270L)
+    // pruning still reaches the inner scan through the V1 boundary
+    assert(got.select($"v").columns.toSeq == Seq("v"))
+    CommitLog.compact(spark, dir, 2)
+    val fast = spark.read.format("graft-lake").load(dir)
+    assert(fast.count() == 270L)
+    assert(fast.queryExecution.executedPlan.toString.contains("FileScan"),
+      "compacted table should return to the file-scan fast path")
+  }
+
+  test("renamed columns fall back to the exact aliasing path") {
+    val dir = fresh()
+    df(0, 50).write.format("graft-lake").save(dir)
+    CommitLog.renameColumn(spark, dir, "v", "val7")
+    val got = spark.read.format("graft-lake").load(dir)
+    assert(got.columns.contains("val7") && !got.columns.contains("v"))
+    assert(got.filter($"val7" === 3L).count() == df(0, 50)
+      .filter($"v" === 3L).count())
+  }
+
+  test("a branch target reads its own state through format()") {
+    val dir = fresh()
+    df(0, 100).write.format("graft-lake").partitionBy("pd").save(dir)
+    CommitLog.createBranch(spark, dir, "dev")
+    df(100, 120).write.format("graft-lake").mode(SaveMode.Append)
+      .save(s"$dir@dev")
+    assert(spark.read.format("graft-lake").load(s"$dir@dev")
+      .count() == 120L)
+    assert(spark.read.format("graft-lake").load(dir).count() == 100L)
+  }
+}
