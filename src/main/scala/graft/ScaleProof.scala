@@ -112,6 +112,14 @@ object ScaleProof {
       s"drained in $batches bounded micro-batches (64 files/trigger); " +
       s"landed ${outSnap.files.size} files after auto-compact " +
       s"(${ops.count(_ == "compact")} maintenance commits)")
+    // deep clone the backlog source at this scale: a distributed byte
+    // copy of all its files must land row-exact
+    val t0 = System.nanoTime()
+    CommitLog.cloneTable(spark, src, s"$work/clone")
+    val cloned = CommitLog.read(spark, s"$work/clone").count()
+    require(cloned == total, s"clone lost rows: $cloned of $total")
+    println(f"[scale] clone: $files files / $total rows deep-copied in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.range(batches).toDF("batches")
   }
 
@@ -141,10 +149,11 @@ object ScaleProof {
         // 10x-orders BACKLOG DRAIN below (admission-controlled
         // AvailableNow catch-up — the restarted-follower shape)
         "q189_stream_sink", "q190_cdc_replicate", "q188_compact_where",
-        // zero-copy branching at sf1: fork + branch DML + post-fork
-        // main append, served off the branch — the commits stay
+        // zero-copy branching at sf1 (fork + branch DML + post-fork
+        // main append, served off the branch) and the batch
+        // format("graft-lake") read/write triangle — the commits stay
         // churn-sized while the scan side grows 10x
-        "q191_branch",
+        "q191_branch", "q192_format_io",
         "backlog_drain")
     // local[8], not local[32]: saturating every advertised CPU trips the
     // host's kernel-side thrash (measured 4-25x inflation at local[32] on

@@ -568,6 +568,13 @@ object Graft {
       CommitLog.fastForward(spark, dir, name)
       ()
     }
+    /** DEEP CLONE this table (at `atVersion`, default latest) to a new
+      * fully independent table — distributed byte copy, staged +
+      * renamed atomically; manifests/DVs travel with it. */
+    def cloneTo(dstDir: String, atVersion: Option[Long] = None): Lake = {
+      CommitLog.cloneTable(spark, dir, dstDir, atVersion)
+      Lake(spark, dstDir)
+    }
     /** Immutably bind a tag name to a version (reproducibility anchor;
       * vacuum keeps it readable). */
     def tag(name: String, version: Long): Unit =

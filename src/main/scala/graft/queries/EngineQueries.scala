@@ -1545,6 +1545,164 @@ object EngineQueries {
       |WHERE o_orderkey <= 20000 AND o_orderkey % 10 <> 3
       |GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // ------------------------------------------------------- q191_branch
+  // ZERO-COPY BRANCHING end to end: an orders lake forks a branch (one
+  // version file, no data movement), the branch takes a COW DELETE and
+  // an append through the SQL DML surface addressing `lake@fix`, and
+  // the MAIN line appends a different slice AFTER the fork. The serving
+  // aggregate reads the BRANCH: it must carry the branch's delete and
+  // append and must NOT see main's post-fork commit — the DuckDB oracle
+  // recomputes exactly that state from raw orders, so the hash-match
+  // proves isolation and branch-DML row-exactness at once. At 100 TB
+  // this is the experiment-without-a-copy shape: fork, mutate, validate
+  // (then fastForward or drop — both exercised in BranchSpec); vacuum
+  // unions every branch's references, which is what makes the fork
+  // genuinely zero-copy rather than merely cheap.
+  private val q191Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q191Lake(s: SparkSession, d: String): String =
+    q191Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q191_")
+      val lake = s"$work/lake"
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      ords.filter(col("o_orderkey") <= 20000)
+        .write.partitionBy("flag").parquet(lake)
+      graft.sources.CommitLog.init(s, lake)
+      s.sql(s"CALL graft_branch('$lake', 'fix')")
+      // branch-side DML through the SQL surface, addressing lake@fix
+      s.sql(s"DELETE FROM graft_lake('$lake@fix') WHERE o_orderkey % 10 = 7")
+      graft.sources.CommitLog.append(s,
+        ords.filter(col("o_orderkey") > 20000 &&
+          col("o_orderkey") <= 25000), s"$lake@fix")
+      // main-line commit AFTER the fork — not branch history
+      graft.sources.CommitLog.append(s,
+        ords.filter(col("o_orderkey") > 25000 &&
+          col("o_orderkey") <= 30000), lake)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q191Branch(s: SparkSession, d: String): DataFrame = {
+    val lake = q191Lake(s, d)
+    s.sql(
+      s"""SELECT flag, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price,
+         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+         |FROM graft_lake('$lake@fix')
+         |GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+
+  private val q191Sql =
+    """SELECT o_orderstatus AS flag, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      |FROM orders
+      |WHERE (o_orderkey <= 20000 AND o_orderkey % 10 <> 7)
+      |   OR (o_orderkey > 20000 AND o_orderkey <= 25000)
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
+  // ---------------------------------------------------- q192_format_io
+  // Batch format("graft-lake") end to end — the Delta-shaped provider
+  // triangle's last side: a table is CREATED with
+  // df.write.format("graft-lake").partitionBy(...).save, APPENDED with
+  // mode(Append), then OVERWRITten per the committed layout, and the
+  // serving aggregate reads it back with
+  // spark.read.format("graft-lake") — the fast path, a real file-scan
+  // relation built from the commit log's file list (LakeBatchSpec pins
+  // pushdown/pruning and the zero-listing property; the DV/rename
+  // fallback is pinned there too). The DuckDB oracle recomputes the
+  // post-overwrite state from raw orders, so the hash-match proves the
+  // three write modes landed exactly the commits the Scala verbs would.
+  private val q192Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q192Lake(s: SparkSession, d: String): String =
+    q192Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q192_")
+      val lake = s"$work/lake"
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      ords.filter(col("o_orderkey") <= 10000)
+        .write.format("graft-lake").partitionBy("flag").save(lake)
+      ords.filter(col("o_orderkey") > 10000 && col("o_orderkey") <= 20000)
+        .write.format("graft-lake")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(lake)
+      // overwrite replaces rows, preserves history (an overwrite commit)
+      ords.filter(col("o_orderkey") <= 15000 && col("o_orderkey") % 10 =!= 1)
+        .write.format("graft-lake")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save(lake)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q192FormatIo(s: SparkSession, d: String): DataFrame = {
+    val lake = q192Lake(s, d)
+    s.read.format("graft-lake").load(lake)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        min(col("o_orderkey")).as("min_ok"),
+        max(col("o_orderkey")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
+  private val q192Sql =
+    """SELECT o_orderstatus AS flag, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      |FROM orders
+      |WHERE o_orderkey <= 15000 AND o_orderkey % 10 <> 1
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
+  // -------------------------------------------------------- q193_clone
+  // DEEP CLONE end to end: the q192 lake (created + appended +
+  // overwritten through the batch provider) is cloned by CALL
+  // graft_clone — a distributed byte copy of the snapshot's files,
+  // staged and published by one rename — and the serving aggregate
+  // reads the CLONE. The oracle is the same post-overwrite recomputation
+  // from raw orders, so the hash-match proves the copy byte-true: any
+  // lost file, row, or mangled value would shift the hash. Independence
+  // (either side's writes/vacuum never touch the other) and the
+  // branch-source / DV-travel cases are pinned in CloneSpec.
+  private val q193Clones = scala.collection.concurrent.TrieMap[String, String]()
+  private def q193Clone(s: SparkSession, d: String): DataFrame = {
+    val dst = q193Clones.getOrElseUpdate(d, {
+      val src = q192Lake(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_q193_")
+      val c = s"$work/clone"
+      s.sql(s"CALL graft_clone('$src', '$c')").collect()
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      c
+    })
+    s.read.format("graft-lake").load(dst)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        min(col("o_orderkey")).as("min_ok"),
+        max(col("o_orderkey")).as("max_ok"))
+      .orderBy(col("flag"))
+  }
+
   // ------------------------------------------------------- q181_zorder
   // Z-order clustering end-to-end: a lineitem slice is rewritten by
   // CALL graft_compact_zorder on (l_partkey, l_suppkey), then served
@@ -2381,6 +2539,9 @@ object EngineQueries {
     Q("q185_catalog_write", q185CatalogWrite, Some(q185Sql)),
     Q("q186_widen", q186Widen, Some(q186Sql)),
     Q("q188_compact_where", q188CompactWhere, Some(q188Sql)),
+    Q("q191_branch", q191Branch, Some(q191Sql)),
+    Q("q192_format_io", q192FormatIo, Some(q192Sql)),
+    Q("q193_clone", q193Clone, Some(q192Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

@@ -2845,6 +2845,99 @@ object CommitLog {
     }
   }
 
+  /** DEEP CLONE: materialize `srcDir` (or its branch — any readable
+    * target) at `atVersion` (default: latest) as a fully INDEPENDENT
+    * table at `dstDir`. Data files are copied byte for byte by a
+    * DISTRIBUTED job (one task per file — no decode/re-encode, so
+    * layout, compression, and page stats survive exactly), preserving
+    * their dir-relative paths; the snapshot's manifest and deletion
+    * vectors copy with them (rehomed to plain rels), so zone-map
+    * pruning and MoR deletes serve immediately on the clone. Everything
+    * lands in a `_`-prefixed staging sibling and ONE rename publishes
+    * the finished table — a crash leaves no half-table, just aged-out
+    * `_` garbage. Where a [[createBranch]] shares storage under one
+    * retention domain, a clone is sovereign: vacuum, writers, and
+    * schema evolution on either side never interact — the
+    * promote-the-experiment / backup-at-version verb. The clone's
+    * ledger starts EMPTY (it is a new table; a streaming writer
+    * re-pointed at it must use a fresh checkpoint — carrying the
+    * source's replay guard would silently swallow its first epochs),
+    * and provenance rides the props (`graft.clone.source/.version`). */
+  def cloneTable(spark: SparkSession, srcDir: String, dstDir: String,
+      atVersion: Option[Long] = None): Snapshot = {
+    require(branchOf(dstDir).isEmpty,
+      s"clone target $dstDir is a branch target — clones are standalone " +
+        "tables; use createBranch for shared-storage forks")
+    val s = atVersion.map(snapshotAt(spark, srcDir, _))
+      .getOrElse(latest(spark, srcDir).getOrElse(throw
+        new IllegalStateException(s"$srcDir has no commit log")))
+    val sd = dataDir(srcDir)
+    val dst = new Path(dstDir)
+    val f = hadoopFs(spark, dstDir)
+    require(!f.exists(dst),
+      s"clone target $dstDir already exists")
+    val staging = new Path(dst.getParent,
+      s"_staging_clone_${java.util.UUID.randomUUID.toString.take(8)}")
+    try {
+      // distributed byte copy of the data files (the 100 TB part)
+      val hconf = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      val (sdS, stS) = (sd, staging.toString)
+      val n = math.max(1, math.min(s.files.size, 256))
+      spark.sparkContext.parallelize(s.files, n).foreach { rel =>
+        val conf = hconf.value.value
+        val from = new Path(sdS, rel)
+        val to = new Path(stS, rel)
+        org.apache.hadoop.fs.FileUtil.copy(
+          from.getFileSystem(conf), from, to.getFileSystem(conf), to,
+          false, conf)
+        ()
+      }
+      // metadata artifacts: kilobyte-scale, driver-side, rehomed to
+      // plain rels (the source snapshot may be a branch's)
+      def rehome(rel: String): String = {
+        val plain = rel.replace('/', '-')
+        val from = new Path(logFile(srcDir, rel))
+        org.apache.hadoop.fs.FileUtil.copy(
+          hadoopFs(spark, srcDir), from,
+          f, new Path(s"$stS/$LogDirName/$plain"),
+          false, spark.sparkContext.hadoopConfiguration)
+        plain
+      }
+      val snap = s.copy(
+        version = 1L,
+        batches = Nil,
+        batchFloor = -1L,
+        manifest = s.manifest.map(rehome),
+        dvs = s.dvs.map(rehome),
+        op = "clone",
+        props = s.props -- Seq("graft.branch.name", "graft.branch.fork") +
+          ("graft.clone.source" -> srcDir,
+            "graft.clone.version" -> s.version.toString),
+        committedAt = System.currentTimeMillis())
+      f.mkdirs(new Path(staging, LogDirName))
+      casWrite(f, versionFile(staging.toString, 1L), render(snap))
+      f.mkdirs(dst.getParent)
+      // one atomic publish; Hadoop's local rename NESTS the source
+      // under an existing target instead of failing — if a racing
+      // creator won the name between the check and the rename, detect
+      // the nesting, remove it, and report the race (the CTAS shape)
+      val nested = new Path(dst, staging.getName)
+      if (!f.rename(staging, dst) || f.exists(nested)) {
+        f.delete(staging, true)
+        f.delete(nested, true)
+        throw new IllegalStateException(
+          s"clone of $srcDir lost the name race on $dstDir — another " +
+            "creator won; staged copy removed")
+      }
+      snap
+    } catch {
+      case e: Throwable =>
+        try f.delete(staging, true) catch { case _: Exception => () }
+        throw e
+    }
+  }
+
   /** Ledger-only commit: records `batchId` against the CURRENT file set
     * without touching any data — how a derived table advances its
     * exactly-once cursor past a base range that contained no data
@@ -3491,5 +3584,23 @@ object CommitLog {
       if (f.listStatus(staging).isEmpty) f.delete(staging, true)
     }
     dead
+  }
+}
+
+/** A serializable Hadoop `Configuration` carrier for tasks that touch
+  * the filesystem directly (the deep-clone copy job): `Configuration`
+  * itself is not `Serializable`, only `Writable` — the standard
+  * wrapper Spark keeps internal, re-expressed here. */
+private[sources] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
   }
 }

@@ -266,10 +266,16 @@ object LakeSqlDml {
         require(args.size == 2, "CALL graft_branch_ff(dir, name)")
         GraftCallCommand(dir0,
           s => CommitLog.fastForward(s, dir0, str(1)).version, "branch-ff")
+      case "clone" =>
+        require(args.size == 2 || args.size == 3,
+          "CALL graft_clone(srcDir, dstDir[, atVersion])")
+        GraftCallCommand(dir0, s => CommitLog.cloneTable(s, dir0,
+          graft.catalog.GraftCatalog.resolveTarget(s, str(1)),
+          if (args.size == 3) Some(num(2)) else None).version, "clone")
       case other => throw new IllegalArgumentException(
         s"unknown lake verb CALL graft_$other — supported: compact, " +
           "compact_clustered, compact_zorder, compact_where, vacuum, " +
-          "restore, tag, publish, branch, branch_drop, branch_ff")
+          "restore, tag, publish, branch, branch_drop, branch_ff, clone")
     }
   }
 
