@@ -534,6 +534,9 @@ object Graft {
     }
     def vacuum(keepLast: Int = 1): Seq[String] =
       CommitLog.vacuum(spark, dir, keepLast)
+    /** What [[vacuum]] WOULD reclaim — deletes nothing. */
+    def vacuumDryRun(keepLast: Int = 1): Seq[String] =
+      CommitLog.vacuum(spark, dir, keepLast, dryRun = true)
     /** Per-partition exact count/min/max from the stats manifest —
       * zero data files opened at any lake size. */
     def statsByPartition(cols: Seq[String]): DataFrame =

@@ -3482,7 +3482,12 @@ object CommitLog {
     * reclamation. The floor trades reclamation latency for writer
     * safety — the shape of Delta VACUUM's retention window. */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
-      staleStagingMs: Long = 24L * 3600 * 1000): Seq[String] = {
+      staleStagingMs: Long = 24L * 3600 * 1000,
+      /** DRY RUN: report the data files this vacuum WOULD reclaim and
+        * delete nothing — versions, manifests, DVs, and staging all
+        * stay; the operational what-if before a destructive retention
+        * change. */
+      dryRun: Boolean = false): Seq[String] = {
     require(keepLast >= 1, "vacuum must keep at least the latest version")
     val f = hadoopFs(spark, dir)
     val d = dataDir(dir)
@@ -3549,6 +3554,7 @@ object CommitLog {
         staleStagingMs
       catch { case _: java.io.FileNotFoundException => false }
     }
+    if (dryRun) return dead
     dead.foreach(r => f.delete(new Path(d, r), false))
     dropSnaps.foreach(_.manifest
       .filterNot(liveManifests.contains)

@@ -58,6 +58,8 @@ private[graft] object LakeBatch {
 
   def readRelation(spark: SparkSession, dir: String,
       parameters: Map[String, String]): BaseRelation = {
+    if (opt(parameters, "readChangeFeed").exists(_.toBoolean))
+      return cdfRelation(spark, dir, parameters)
     val s = snapshotFor(spark, dir, parameters)
     if (s.dvs.isEmpty && s.physNames.isEmpty) {
       val (schema, partCols, _) = CommitLog.tableMeta(spark, dir, s)
@@ -78,6 +80,31 @@ private[graft] object LakeBatch {
       GraftLakeScanRelation(spark, dir, s.version)
   }
 
+  /** Batch CHANGE-DATA-FEED read (Delta's
+    * `option("readChangeFeed", true)` shape): `startingVersion` →
+    * optional `endingVersion` (default: latest) with `keyColumns` —
+    * `_change_type`-labeled insert/delete/update pre+post rows over
+    * the range, churn-pruned at both ends ([[CommitLog.changeFeed]]).
+    * Served through the exact-path relation: the feed is a diff, not
+    * a file set. */
+  private def cdfRelation(spark: SparkSession, dir: String,
+      parameters: Map[String, String]): BaseRelation = {
+    val from = opt(parameters, "startingVersion").map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        "readChangeFeed needs startingVersion (the feed starts AFTER it)"))
+    val to = opt(parameters, "endingVersion").map(_.toLong).getOrElse(
+      CommitLog.latest(spark, dir).map(_.version).getOrElse(
+        throw new IllegalStateException(s"$dir has no commit log")))
+    val keys = opt(parameters, "keyColumns")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    require(keys.nonEmpty,
+      "readChangeFeed needs option keyColumns (comma-separated) — " +
+        "the identity update pairs key on")
+    GraftLakeFrameRelation(spark,
+      CommitLog.changeFeed(spark, dir, from, to, keys))
+  }
+
   /** `df.write.format("graft-lake")` verbs. Append/Overwrite on an
     * existing table are the commit log's own verbs (exactly the same
     * commits the catalog and SQL surfaces land — additive schema
@@ -96,8 +123,32 @@ private[graft] object LakeBatch {
           s"write into $dir: partitionBy(${partCols.mkString(", ")}) " +
             "conflicts with the table's committed layout " +
             s"(${CommitLog.tableMeta(spark, dir, s)._2.mkString(", ")})")
+        val replaceWhere = opt(parameters, "replaceWhere")
+        val dynamicPO = opt(parameters, "partitionOverwriteMode")
+          .exists(_.equalsIgnoreCase("dynamic"))
         mode match {
           case SaveMode.Append => CommitLog.append(spark, data, dir)
+          case SaveMode.Overwrite if replaceWhere.isDefined =>
+            // Delta's replaceWhere: one atomic commit that deletes the
+            // predicate's rows and lands the replacement
+            CommitLog.replaceWhere(spark, dir,
+              org.apache.spark.sql.functions.expr(replaceWhere.get), data)
+          case SaveMode.Overwrite if dynamicPO =>
+            // dynamic partition overwrite: replace exactly the
+            // partitions the incoming rows touch (bounded enumeration)
+            val partCols = CommitLog.tableMeta(spark, dir, s)._2
+            require(partCols.nonEmpty,
+              s"partitionOverwriteMode=dynamic on $dir needs a hive-" +
+                "partitioned table")
+            val cap = 10000
+            val parts = data.select(partCols.map(col): _*).distinct()
+              .limit(cap + 1).collect()
+            require(parts.length <= cap,
+              s"dynamic partition overwrite into $dir touches more " +
+                s"than $cap partitions — use a full overwrite or " +
+                "replaceWhere")
+            CommitLog.replacePartitionTuples(spark, data, dir, partCols,
+              parts.toSeq.map(r => partCols.indices.map(r.get)))
           case SaveMode.Overwrite => CommitLog.overwrite(spark, data, dir,
             CommitLog.tableMeta(spark, dir, s)._2)
           case SaveMode.ErrorIfExists => throw new IllegalStateException(
@@ -148,4 +199,22 @@ private[graft] final case class GraftLakeScanRelation(
       else df.select(requiredColumns.toIndexedSeq.map(col): _*)
     pruned.rdd
   }
+}
+
+/** Exact relation over an already-planned frame (the batch
+  * change-data-feed read): same PrunedScan contract as
+  * [[GraftLakeScanRelation]] — pruning reaches the inner plan, Spark
+  * re-applies filters above. */
+private[graft] final case class GraftLakeFrameRelation(
+    spark: SparkSession, frame: DataFrame) extends BaseRelation
+    with PrunedScan {
+
+  override def sqlContext: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  override val schema: StructType = frame.schema
+
+  override def buildScan(requiredColumns: Array[String]): RDD[Row] =
+    (if (requiredColumns.isEmpty) frame.select()
+    else frame.select(requiredColumns.toIndexedSeq.map(col): _*)).rdd
 }

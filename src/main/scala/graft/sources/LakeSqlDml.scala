@@ -226,17 +226,19 @@ object LakeSqlDml {
           org.apache.spark.sql.functions.expr(str(1)),
           if (args.size == 3) num(2).toInt else 1).version,
           "compact-where")
-      case "vacuum" =>
+      case "vacuum" | "vacuum_dry_run" =>
+        val dry = verb.equalsIgnoreCase("vacuum_dry_run")
         require(args.size == 2 || args.size == 3,
-          "CALL graft_vacuum(dir, keepLast[, staleStagingMs])")
+          s"CALL graft_$verb(dir, keepLast[, staleStagingMs])")
         GraftCallCommand(dir0, { s =>
-          val dropped = if (args.size == 3)
-            CommitLog.vacuum(s, dir0, num(1).toInt, num(2))
-          else CommitLog.vacuum(s, dir0, num(1).toInt)
-          System.err.println(
-            s"[lake-sql] vacuum ${dir0}: ${dropped.size} files reclaimed")
-          CommitLog.latest(s, dir0).map(_.version).getOrElse(-1L)
-        }, "vacuum")
+          val dropped = CommitLog.vacuum(s, dir0, num(1).toInt,
+            if (args.size == 3) num(2) else 24L * 3600 * 1000,
+            dryRun = dry)
+          System.err.println(s"[lake-sql] vacuum ${dir0}: " +
+            s"${dropped.size} files ${if (dry) "would be" else ""} reclaimed")
+          if (dry) dropped.size.toLong
+          else CommitLog.latest(s, dir0).map(_.version).getOrElse(-1L)
+        }, if (dry) "vacuum-dry-run" else "vacuum")
       case "restore" =>
         require(args.size == 2, "CALL graft_restore(dir, version)")
         GraftCallCommand(dir0,
@@ -275,7 +277,8 @@ object LakeSqlDml {
       case other => throw new IllegalArgumentException(
         s"unknown lake verb CALL graft_$other — supported: compact, " +
           "compact_clustered, compact_zorder, compact_where, vacuum, " +
-          "restore, tag, publish, branch, branch_drop, branch_ff, clone")
+          "restore, tag, publish, branch, branch_drop, branch_ff, " +
+          "clone, vacuum_dry_run")
     }
   }
 

@@ -272,6 +272,26 @@ class BranchSpec extends AnyFunSuite {
     assert(graft.api.Graft.lake(spark, dir).branches.isEmpty)
   }
 
+  test("the native streaming sink writes into an EXISTING branch — " +
+    "exactly-once on the branch's own ledger, main untouched") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "ing")
+    val t = CommitLog.branchTarget(dir, "ing")
+    val work = Files.createTempDirectory("graft_branch_sink2_").toString
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    src.addData((5000L, 5L, "d0"), (5001L, 5L, "d1"))
+    val q = src.toDF().toDF("k", "v", "pd")
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$work/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(t)
+    q.awaitTermination(120000)
+    assert(rows(t).contains((5000L, 5L)) && rows(t).size == 302)
+    assert(rows(dir).size == 300)
+  }
+
   test("a streaming table read subscribes to a branch and follows only " +
     "its commits") {
     val dir = freshLake()

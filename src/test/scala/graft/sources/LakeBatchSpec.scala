@@ -115,6 +115,68 @@ class LakeBatchSpec extends AnyFunSuite {
       .filter($"v" === 3L).count())
   }
 
+  test("overwrite options: replaceWhere is one atomic predicate-scoped " +
+    "swap; partitionOverwriteMode=dynamic replaces only touched " +
+    "partitions") {
+    val dir = fresh()
+    df(0, 300).write.format("graft-lake").partitionBy("pd").save(dir)
+    // replaceWhere: rows under the predicate swap for the incoming set
+    Seq((1000L, 0L, "d0"), (1001L, 1L, "d0"))
+      .toDF("k", "v", "pd")
+      .write.format("graft-lake").mode(SaveMode.Overwrite)
+      .option("replaceWhere", "pd = 'd0'").save(dir)
+    val afterRw = spark.read.format("graft-lake").load(dir)
+    assert(afterRw.filter($"pd" === "d0").select($"k").as[Long]
+      .collect().toSet == Set(1000L, 1001L))
+    assert(afterRw.filter($"pd" =!= "d0").count() == 200L) // untouched
+    // dynamic partition overwrite: only d1 (the touched partition)
+    // replaces; d0 and d2 keep their rows
+    Seq((2000L, 0L, "d1")).toDF("k", "v", "pd")
+      .write.format("graft-lake").mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic").save(dir)
+    val afterDyn = spark.read.format("graft-lake").load(dir)
+    assert(afterDyn.filter($"pd" === "d1").select($"k").as[Long]
+      .collect().toSet == Set(2000L))
+    assert(afterDyn.filter($"pd" === "d0").count() == 2L)
+    assert(afterDyn.filter($"pd" === "d2").count() == 100L)
+  }
+
+  test("batch change-data-feed read: readChangeFeed + version range " +
+    "labels the range's churn") {
+    val dir = fresh()
+    df(0, 100).write.format("graft-lake").partitionBy("pd").save(dir)
+    val v1 = CommitLog.latest(spark, dir).get.version
+    CommitLog.upsert(spark,
+      Seq((5L, 99L, "d2")).toDF("k", "v", "pd"), dir, Seq("k"), "pd")
+    CommitLog.delete(spark, dir, col("k") === 7L)
+    val feed = spark.read.format("graft-lake")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", v1.toString)
+      .option("keyColumns", "k").load(dir)
+    val types = feed.groupBy($"_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(types.get("delete").contains(1L))
+    assert(types.get("update_postimage").contains(1L))
+    assert(feed.filter($"_change_type" === "update_postimage")
+      .select($"v").as[Long].head() == 99L)
+    // column pruning through the exact-path relation
+    assert(feed.select($"k").columns.toSeq == Seq("k"))
+  }
+
+  test("vacuum dry run reports without deleting") {
+    val dir = fresh()
+    df(0, 100).write.format("graft-lake").partitionBy("pd").save(dir)
+    df(0, 10).write.format("graft-lake").mode(SaveMode.Overwrite).save(dir)
+    val would = spark.sql(s"CALL graft_vacuum_dry_run('$dir', 1, -1)")
+      .head().getLong(0)
+    assert(would > 0L)
+    // nothing moved: the pre-overwrite version still reads
+    assert(CommitLog.readAt(spark, dir, 1L).count() == 100L)
+    // the real vacuum then reclaims exactly that report
+    val dropped = CommitLog.vacuum(spark, dir, 1, staleStagingMs = -1L)
+    assert(dropped.size.toLong == would)
+  }
+
   test("a branch target reads its own state through format()") {
     val dir = fresh()
     df(0, 100).write.format("graft-lake").partitionBy("pd").save(dir)
