@@ -813,6 +813,72 @@ object LlmQueries {
 
   private val q139Sql = bm25OracleSql("", "documents")
 
+  // --------------------------------------------------- q194_hybrid_rrf
+  // HYBRID RETRIEVAL — the RAG-stack fusion op: for each of 5 queries
+  // that exist in BOTH modalities (query_id < 5: the q139 term triple
+  // as the text form, the embedding of vec_id = query_id as the vector
+  // form), take the lexical BM25 top-10 and the cosine top-10 and fuse
+  // them by RECIPROCAL RANK FUSION (score = Σ sides 1/(60+rank), the
+  // standard k=60 RRF). No score normalization across modalities is
+  // needed — that is WHY RRF is the production fusion default. Both
+  // legs reuse formulations the oracle gate already proves IEEE-exact
+  // (q139's raw BM25 chain, q23's 6-decimal cosine ranks); the fused
+  // rank orders on (rrf DESC, doc_id), and rrf values at k=60 with
+  // ranks ≤ 10 are ≥1e-4 apart unless the rank sets are equal, so the
+  // 6-decimal round can never flip a rank. At 100 TB both legs are the
+  // scale paths already graded (Bloom-pruned postings / bucketed ANN);
+  // the fusion itself is a top-k-sized full outer join — kilobytes.
+  private def q194HybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t10 = q139Bm25Batch(s, d).filter(col("query_id") < 5)
+      .withColumn("trank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .select(col("query_id"), col("doc_id"), col("trank"))
+    val v10 = q23Cosine(s, d)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vrank"))
+    val fused = t10.join(v10, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("trank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)))
+          .as("rrf"))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private lazy val q194Sql =
+    s"""WITH t AS ($q139Sql),
+       |tq AS (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, doc_id) AS trank
+       |  FROM t WHERE query_id < 5),
+       |v AS ($q23Sql),
+       |u AS (
+       |  SELECT coalesce(tq.query_id, v.query_id) AS query_id,
+       |    coalesce(tq.doc_id, v.neighbor_id) AS doc_id,
+       |    coalesce(CAST(1.0 AS DOUBLE) / (60 + tq.trank),
+       |             CAST(0.0 AS DOUBLE))
+       |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rank),
+       |                 CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM tq FULL JOIN v
+       |    ON tq.query_id = v.query_id AND tq.doc_id = v.neighbor_id),
+       |r AS (
+       |  SELECT query_id, doc_id, rrf,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM u)
+       |SELECT query_id, doc_id, rank, round(rrf, 6) AS rrf
+       |FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   // --------------------------------------------------- q160_index_search
   // The q139 query batch answered WITHOUT the corpus: a persisted
   // inverted index (graft.text.InvertedIndex) is built once per session
@@ -1363,6 +1429,7 @@ object LlmQueries {
     Q("q59_pii", q59Pii, Some(q59Sql)),
     Q("q136_bm25", q136Bm25, Some(q136Sql)),
     Q("q139_bm25_batch", q139Bm25Batch, Some(q139Sql)),
+    Q("q194_hybrid_rrf", q194HybridRrf, Some(q194Sql)),
     Q("q160_index_search", q160IndexSearch, Some(q139Sql)),
     Q("q161_index_update", q161IndexUpdate, Some(q161Sql)),
     Q("q163_stream_index", q163StreamIndex, Some(q163Sql)),

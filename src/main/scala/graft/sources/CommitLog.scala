@@ -2575,11 +2575,14 @@ object CommitLog {
         val prev = prevOpt.map(_.files.toSet).getOrElse(Set.empty[String])
         val cur = s.files.toSet
         (s.version, s.op, s.files.size.toLong, s.batches.size.toLong,
-          (cur -- prev).size.toLong, (prev -- cur).size.toLong)
+          (cur -- prev).size.toLong, (prev -- cur).size.toLong,
+          // wall-clock commit stamp (0 for pre-stamp logs) — the
+          // DESCRIBE HISTORY timestamp column
+          new java.sql.Timestamp(s.committedAt))
     }
     import spark.implicits._
     rows.toDF("version", "op", "n_files", "n_batches",
-      "files_added", "files_removed")
+      "files_added", "files_removed", "committed_at")
   }
 
   /** Per-file metadata of the LATEST snapshot as a DataFrame — one row

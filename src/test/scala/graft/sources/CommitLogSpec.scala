@@ -484,6 +484,7 @@ class CommitLogSpec extends AnyFunSuite {
     assert(h1.map(_.getString(1)).toSeq === Seq("init", "upsert"))
     assert(h1.last.getLong(3) === 1L, "ledger batch count missing") // n_batches
     assert(h1.last.getLong(4) > 0L, "upsert added no files")        // files_added
+    assert(h1.last.getTimestamp(6).getTime > 0L, "commit stamp missing")
 
     // within budget: metadata check only, no rewrite
     assert(CommitLog.compactIfFragmented(spark, dir,
