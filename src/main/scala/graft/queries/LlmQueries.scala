@@ -879,6 +879,62 @@ object LlmQueries {
        |FROM r WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------ q195_hard_negatives
+  // HARD-NEGATIVE MINING — the contrastive-training data-prep op: for
+  // each labeled (query, positive-doc) pair, the strongest lexical
+  // candidates that are NOT the positive become the hard negatives
+  // (the top-BM25-minus-positives recipe used to train dense
+  // retrievers: random negatives are too easy, top-ranked non-answers
+  // are what teach the margin). Positives are a deterministic synthetic
+  // labeling ((query_id * 17 + 3) mod 500 — expressible identically in
+  // both engines); negatives are the BM25 top-10's survivors after the
+  // anti-join, re-ranked 1..5. Reuses the q139 IEEE-exact scoring
+  // chain, so the DuckDB oracle recomputes the whole mine and
+  // hash-matches. At 100 TB the candidate leg is the Bloom-pruned
+  // postings path; the positive set is a broadcast-sized label table
+  // and the anti-join never shuffles the corpus.
+  private def q195HardNegatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val positives = s.range(0, 20)
+      .select(col("id").as("query_id"),
+        ((col("id") * 17 + 3) % 500).as("doc_id"))
+    val cands = q139Bm25Batch(s, d).filter(col("query_id") < 20)
+      .withColumn("trank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+    cands.join(positives, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("trank"))))
+      .filter(col("neg_rank") <= 5)
+      .select(col("query_id"), col("doc_id").as("negative_id"),
+        col("neg_rank"), col("score"))
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
+
+  private lazy val q195Sql =
+    s"""WITH t AS ($q139Sql),
+       |p AS (
+       |  SELECT CAST(range AS BIGINT) AS query_id,
+       |    (range * 17 + 3) % 500 AS doc_id
+       |  FROM range(0, 20)),
+       |tq AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, doc_id) AS trank
+       |  FROM t WHERE query_id < 20),
+       |n AS (
+       |  SELECT tq.query_id, tq.doc_id, tq.score, tq.trank
+       |  FROM tq ANTI JOIN p
+       |    ON tq.query_id = p.query_id AND tq.doc_id = p.doc_id),
+       |r AS (
+       |  SELECT query_id, doc_id AS negative_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY trank) AS neg_rank
+       |  FROM n)
+       |SELECT query_id, negative_id, neg_rank, score
+       |FROM r WHERE neg_rank <= 5
+       |ORDER BY query_id, neg_rank""".stripMargin
+
   // --------------------------------------------------- q160_index_search
   // The q139 query batch answered WITHOUT the corpus: a persisted
   // inverted index (graft.text.InvertedIndex) is built once per session
@@ -1430,6 +1486,7 @@ object LlmQueries {
     Q("q136_bm25", q136Bm25, Some(q136Sql)),
     Q("q139_bm25_batch", q139Bm25Batch, Some(q139Sql)),
     Q("q194_hybrid_rrf", q194HybridRrf, Some(q194Sql)),
+    Q("q195_hard_negatives", q195HardNegatives, Some(q195Sql)),
     Q("q160_index_search", q160IndexSearch, Some(q139Sql)),
     Q("q161_index_update", q161IndexUpdate, Some(q161Sql)),
     Q("q163_stream_index", q163StreamIndex, Some(q163Sql)),

@@ -272,6 +272,51 @@ class BranchSpec extends AnyFunSuite {
     assert(graft.api.Graft.lake(spark, dir).branches.isEmpty)
   }
 
+  test("randomized interleaving property: branch and main each equal " +
+    "their own replayed expectation under mixed appends, deletes, " +
+    "upserts, and vacuums") {
+    for (seed <- Seq(11, 23, 37)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = freshLake()
+      CommitLog.createBranch(spark, dir, "p")
+      val t = CommitLog.branchTarget(dir, "p")
+      // model state per side: the expected (k -> v) map
+      val exp = Map(dir -> scala.collection.mutable.Map[Long, Long](),
+        t -> scala.collection.mutable.Map[Long, Long]())
+      (0L until 300L).foreach(k => exp(dir)(k) = k % 7)
+      (0L until 300L).foreach(k => exp(t)(k) = k % 7)
+      var nextK = 1000L
+      (1 to 12).foreach { _ =>
+        val side = if (rnd.nextBoolean()) dir else t
+        rnd.nextInt(4) match {
+          case 0 => // append a fresh key
+            val k = nextK; nextK += 1
+            CommitLog.append(spark,
+              Seq((k, k % 7, s"d${k / 100}")).toDF("k", "v", "pd"), side)
+            exp(side)(k) = k % 7
+          case 1 => // COW delete a key range
+            val lo = rnd.nextInt(300).toLong
+            CommitLog.delete(spark, side,
+              col("k") >= lo && col("k") < lo + 20)
+            (lo until lo + 20).foreach(exp(side).remove)
+          case 2 => // keyed upsert
+            val k = rnd.nextInt(300).toLong
+            CommitLog.upsert(spark,
+              Seq((k, 99L, s"d${k / 100}")).toDF("k", "v", "pd"),
+              side, Seq("k"), "pd")
+            exp(side)(k) = 99L
+          case 3 => // vacuum under the other side's feet
+            CommitLog.vacuum(spark, side, keepLast = 1,
+              staleStagingMs = -1L)
+        }
+      }
+      for (side <- Seq(dir, t))
+        assert(rows(side) ==
+          exp(side).map { case (k, v) => (k, v) }.toSet,
+          s"seed $seed: $side diverged from its model")
+    }
+  }
+
   test("the native streaming sink writes into an EXISTING branch — " +
     "exactly-once on the branch's own ledger, main untouched") {
     val dir = freshLake()
