@@ -559,11 +559,15 @@ object CommitLog {
     val f = hadoopFs(spark, dir)
     val own = versionNumbers(f, dir)
     // a branch's pre-fork history lives in the main log: candidate
-    // versions older than the branch's seed resolve there, so AS OF a
-    // pre-fork timestamp works through the branch
+    // versions at or before the RECORDED fork resolve there, so AS OF
+    // a pre-fork timestamp works through the branch — bounded by the
+    // fork marker, not the branch's remaining floor (see snapshotAt)
     val preFork = branchOf(dir) match {
-      case Some(_) => versionNumbers(f, dataDir(dir))
-        .filter(v => own.headOption.forall(v < _)).map(v => (v, dataDir(dir)))
+      case Some(_) =>
+        val fork = branchForkVersion(spark, dir)
+        versionNumbers(f, dataDir(dir))
+          .filter(v => fork.exists(fk => v <= fk && !own.contains(v)))
+          .map(v => (v, dataDir(dir)))
       case None => Nil
     }
     val hit = (own.map(v => (v, dir)) ++ preFork).sortBy(-_._1)
@@ -590,21 +594,41 @@ object CommitLog {
     val f = hadoopFs(spark, dir)
     val p = versionFile(dir, v)
     if (f.exists(p)) return parse(readText(f, p))
-    // pre-fork history of a branch lives in the MAIN log: the branch's
-    // oldest version file is its fork-point seed, so anything older is
-    // resolved against the table's own history — time travel through a
-    // branch spans the fork. (A version NEWER than the branch head is
-    // genuinely absent: the main log's later commits are not branch
-    // history.)
+    // pre-fork history of a branch lives in the MAIN log — time travel
+    // through a branch spans the fork. The fallback is bounded by the
+    // RECORDED fork version (every branch snapshot inherits
+    // graft.branch.fork from its seed), NOT by the branch's oldest
+    // remaining file: after a branch vacuum drops the seed, a version
+    // between the fork and the remaining floor is the branch's OWN
+    // vacuumed history — resolving it against the main log would
+    // silently serve a different table's data. (A version NEWER than
+    // the branch head is genuinely absent too: the main log's later
+    // commits are not branch history.)
+    def vacuumed = throw new IllegalArgumentException(
+      s"version $v of $dir does not exist (vacuumed?)")
     branchOf(dir) match {
-      case Some(_) if versionNumbers(f, dir).headOption.exists(v < _) =>
+      case Some(_) =>
+        val fork = branchForkVersion(spark, dir).getOrElse(vacuumed)
+        if (v > fork) vacuumed
         val mp = versionFile(dataDir(dir), v)
         require(f.exists(mp),
           s"version $v of $dir does not exist (vacuumed?)")
         parse(readText(f, mp))
-      case _ => throw new IllegalArgumentException(
-        s"version $v of $dir does not exist (vacuumed?)")
+      case _ => vacuumed
     }
+  }
+
+  /** The fork version of a branch target: `graft.branch.fork` from its
+    * oldest readable snapshot (all branch commits inherit the seed's
+    * marker). None when the branch has no readable snapshot. */
+  private def branchForkVersion(spark: SparkSession,
+      target: String): Option[Long] = {
+    val f = hadoopFs(spark, target)
+    versionNumbers(f, target).view.flatMap { bv =>
+      try parse(readText(f, versionFile(target, bv)))
+        .props.get("graft.branch.fork").map(_.toLong)
+      catch { case _: Exception => None }
+    }.headOption
   }
 
   /** Incremental read: every row published by the DATA commits in
@@ -2724,19 +2748,33 @@ object CommitLog {
     val src = atVersion.map(snapshotAt(spark, dir, _))
       .getOrElse(mustLatest(spark, dir))
     val target = branchTarget(dir, name)
-    require(versionNumbers(f, target).isEmpty,
-      s"branch '$name' of $dir already exists")
+    // creation is serialized through ONE CAS on a fixed marker file —
+    // the seed's own filename carries the fork VERSION, so two racing
+    // creators reading different forks would CAS different paths and
+    // both "win", leaving two seeds; the marker is the single commit
+    // point regardless of fork. A creator that crashed between marker
+    // and seed leaves a seedless branch: recover with dropBranch, then
+    // recreate.
+    val marker = new Path(logPath(target), "_branch")
+    require(!f.exists(marker),
+      s"branch '$name' of $dir already exists" +
+        (if (versionNumbers(f, target).isEmpty)
+          " (seedless — a creator crashed mid-create; dropBranch then " +
+            "recreate)"
+        else ""))
     f.mkdirs(logPath(target))
+    try casWrite(f, marker, s"""{"name":"$name","fork":${src.version}}""")
+    catch { case e: CommitConflict =>
+      throw new IllegalStateException(
+        s"branch '$name' of $dir already exists (${e.getMessage})")
+    }
     val seed = src.copy(op = "branch",
       props = src.props +
         ("graft.branch.name" -> name,
           "graft.branch.fork" -> src.version.toString),
       committedAt = System.currentTimeMillis())
-    try { casWrite(f, versionFile(target, src.version), render(seed)); seed }
-    catch { case e: CommitConflict =>
-      throw new IllegalStateException(
-        s"branch '$name' of $dir already exists (${e.getMessage})")
-    }
+    casWrite(f, versionFile(target, src.version), render(seed))
+    seed
   }
 
   /** Branch names of the table with each branch's head version —
@@ -2766,7 +2804,10 @@ object CommitLog {
     val d = dataDir(dir)
     val target = branchTarget(d, name)
     val f = hadoopFs(spark, d)
-    require(versionNumbers(f, target).nonEmpty,
+    // a marker without a seed is a crashed creator's residue — drop
+    // must accept it, it IS the recovery path
+    require(versionNumbers(f, target).nonEmpty ||
+      f.exists(new Path(logPath(target), "_branch")),
       s"branch '$name' of $d does not exist")
     if (!force) {
       val pfx = s"branches/$name/"
@@ -2914,7 +2955,13 @@ object CommitLog {
         manifest = s.manifest.map(rehome),
         dvs = s.dvs.map(rehome),
         op = "clone",
-        props = s.props -- Seq("graft.branch.name", "graft.branch.fork") +
+        // the batches ledger AND the per-query txn ledger both reset:
+        // a clone is a new table for exactly-once purposes — carrying
+        // graft.txn.* would make a re-pointed sink's replayed epochs
+        // silent no-ops, the exact failure the fresh ledger prevents
+        props = s.props.view
+          .filterKeys(k => !k.startsWith("graft.txn.") &&
+            k != "graft.branch.name" && k != "graft.branch.fork").toMap +
           ("graft.clone.source" -> srcDir,
             "graft.clone.version" -> s.version.toString),
         committedAt = System.currentTimeMillis())
@@ -3052,7 +3099,9 @@ object CommitLog {
       .select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq // one per file with matches
     if (hitFiles.isEmpty) {
-      f.delete(new Path(logPath(dir), rel), true)
+      // rel already carries the branch prefix — resolve via logFile,
+      // not logPath (the latter would double the branches/<b>/ segment)
+      f.delete(new Path(logFile(dir, rel)), true)
       return s
     }
     commitRebase(spark, dir,

@@ -63,8 +63,12 @@ private[graft] object LakeBatch {
     val s = snapshotFor(spark, dir, parameters)
     if (s.dvs.isEmpty && s.physNames.isEmpty) {
       val (schema, partCols, _) = CommitLog.tableMeta(spark, dir, s)
-      val (partF, dataF) = schema.fields.partition(f =>
-        partCols.contains(f.name))
+      // partition fields in PATH-NESTING order (partCols), not declared
+      // order: the file index infers partition values per path level,
+      // and a declared order differing from the nesting would silently
+      // swap the values between columns
+      val partF = partCols.map(c => schema(schema.fieldIndex(c))).toArray
+      val dataF = schema.fields.filterNot(f => partCols.contains(f.name))
       val d = CommitLog.dataDir(dir)
       val index = new InMemoryFileIndex(spark,
         s.files.map(r => new Path(s"$d/$r")),
@@ -101,6 +105,19 @@ private[graft] object LakeBatch {
     require(keys.nonEmpty,
       "readChangeFeed needs option keyColumns (comma-separated) — " +
         "the identity update pairs key on")
+    if (to <= from) {
+      // the steady state of an incremental poller: no new commits past
+      // the cursor — an EMPTY feed in the right shape, not an error
+      val s = CommitLog.latest(spark, dir).get
+      val (schema, partCols, _) = CommitLog.tableMeta(spark, dir, s)
+      val (partF, dataF) = schema.fields.partition(f =>
+        partCols.contains(f.name))
+      val shaped = StructType((dataF ++ partF) :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType))
+      return GraftLakeFrameRelation(spark, spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), shaped))
+    }
     GraftLakeFrameRelation(spark,
       CommitLog.changeFeed(spark, dir, from, to, keys))
   }
@@ -127,7 +144,14 @@ private[graft] object LakeBatch {
         val dynamicPO = opt(parameters, "partitionOverwriteMode")
           .exists(_.equalsIgnoreCase("dynamic"))
         mode match {
-          case SaveMode.Append => CommitLog.append(spark, data, dir)
+          case SaveMode.Append =>
+            // overwrite-scoped options on an append would otherwise be
+            // silently ignored — duplicated data, discovered much later
+            require(replaceWhere.isEmpty && !dynamicPO,
+              s"write into $dir: replaceWhere / " +
+                "partitionOverwriteMode=dynamic are Overwrite-mode " +
+                "options (mode(SaveMode.Overwrite))")
+            CommitLog.append(spark, data, dir)
           case SaveMode.Overwrite if replaceWhere.isDefined =>
             // Delta's replaceWhere: one atomic commit that deletes the
             // predicate's rows and lands the replacement
@@ -189,14 +213,24 @@ private[graft] final case class GraftLakeScanRelation(
   override def sqlContext: org.apache.spark.sql.SQLContext =
     spark.sqlContext
 
-  override val schema: StructType =
-    CommitLog.readAt(spark, dir, version).schema
+  // schema from the committed metadata (no plan, no DV footer I/O),
+  // in the order every read surfaces: data columns, partitions last
+  override val schema: StructType = {
+    val s = CommitLog.snapshotAt(spark, dir, version)
+    val (sch, partCols, _) = CommitLog.tableMeta(spark, dir, s)
+    val (partF, dataF) = sch.fields.partition(f =>
+      partCols.contains(f.name))
+    StructType(dataF ++ partF)
+  }
+
+  // planned once per relation: the version is immutable, and planning
+  // readAt costs snapshot parsing + deletion-vector schema inference
+  private lazy val frame = CommitLog.readAt(spark, dir, version)
 
   override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
-    val df = CommitLog.readAt(spark, dir, version)
     val pruned =
-      if (requiredColumns.isEmpty) df.select() // COUNT(*): rows, no cols
-      else df.select(requiredColumns.toIndexedSeq.map(col): _*)
+      if (requiredColumns.isEmpty) frame.select() // COUNT(*): rows only
+      else frame.select(requiredColumns.toIndexedSeq.map(col): _*)
     pruned.rdd
   }
 }

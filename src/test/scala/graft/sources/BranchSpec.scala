@@ -272,6 +272,54 @@ class BranchSpec extends AnyFunSuite {
     assert(graft.api.Graft.lake(spark, dir).branches.isEmpty)
   }
 
+  test("after a branch vacuum drops the seed, the branch's OWN vacuumed " +
+    "versions fail loudly instead of silently resolving to main-line " +
+    "history; pre-fork versions still resolve") {
+    val dir = freshLake() // main v1
+    CommitLog.append(spark,
+      Seq((500L, 5L, "d0")).toDF("k", "v", "pd"), dir) // main v2 = fork
+    CommitLog.createBranch(spark, dir, "dev")
+    val t = CommitLog.branchTarget(dir, "dev")
+    (0 until 3).foreach(i => CommitLog.append(spark,
+      Seq((600L + i, 6L, "d0")).toDF("k", "v", "pd"), t)) // branch v3..v5
+    // main advances too: its v3 holds DIFFERENT data than branch v3
+    CommitLog.append(spark,
+      Seq((9999L, 9L, "d0")).toDF("k", "v", "pd"), dir)
+    CommitLog.vacuum(spark, t, keepLast = 1, staleStagingMs = -1L)
+    // branch v3 was vacuumed; main's v3 file exists — resolving it
+    // there would silently serve another history's data
+    val e = intercept[IllegalArgumentException](
+      CommitLog.snapshotAt(spark, t, 3L))
+    assert(e.getMessage.contains("vacuumed"))
+    intercept[IllegalArgumentException](CommitLog.readAt(spark, t, 4L))
+    // at or below the fork the main log IS the branch's history
+    assert(CommitLog.readAt(spark, t, 1L).count() == 300L)
+    assert(CommitLog.readAt(spark, t, 2L).count() == 301L)
+    // the head still reads
+    assert(rows(t).size == 304)
+  }
+
+  test("a seedless branch (creator crashed between marker and seed) is " +
+    "reported and recoverable via dropBranch") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "ghost")
+    val t = CommitLog.branchTarget(dir, "ghost")
+    // simulate the crash: seed gone, marker left
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lp = new org.apache.hadoop.fs.Path(dir,
+      "_graft_log/branches/ghost")
+    f.listStatus(lp).filter(_.getPath.getName.endsWith(".json"))
+      .foreach(st => f.delete(st.getPath, false))
+    val e = intercept[IllegalArgumentException](
+      CommitLog.createBranch(spark, dir, "ghost"))
+    assert(e.getMessage.contains("seedless"))
+    assert(CommitLog.listBranches(spark, dir).isEmpty) // unreadable = unlisted
+    CommitLog.dropBranch(spark, dir, "ghost", force = true)
+    CommitLog.createBranch(spark, dir, "ghost")
+    assert(rows(t).size == 300)
+  }
+
   test("randomized interleaving property: branch and main each equal " +
     "their own replayed expectation under mixed appends, deletes, " +
     "upserts, and vacuums") {

@@ -82,6 +82,20 @@ class CloneSpec extends AnyFunSuite {
     assert(rows(dst).size == 300) // 299 live + the append
   }
 
+  test("the clone's exactly-once ledger starts empty: batches AND the " +
+    "per-query txn props reset") {
+    val src = freshLake()
+    CommitLog.setProps(spark, src, Map(
+      "graft.txn.some-query-id" -> "500", "user.prop" -> "kept"))
+    val dst = Files.createTempDirectory("graft_clone_txn_").toString + "/t"
+    val snap = CommitLog.cloneTable(spark, src, dst)
+    assert(!snap.props.keys.exists(_.startsWith("graft.txn.")),
+      "the source's sink replay ledger leaked into the clone — " +
+        "re-pointed sinks would silently swallow replayed epochs")
+    assert(snap.props.get("user.prop").contains("kept"))
+    assert(snap.batches.isEmpty && snap.batchFloor == -1L)
+  }
+
   test("clone refuses an existing target; CALL graft_clone and " +
     "Lake.cloneTo round-trip") {
     val src = freshLake()

@@ -163,6 +163,52 @@ class LakeBatchSpec extends AnyFunSuite {
     assert(feed.select($"k").columns.toSeq == Seq("k"))
   }
 
+  test("CDF read at the cursor head (startingVersion = latest) returns " +
+    "an EMPTY shaped feed, not an error — the incremental poller's " +
+    "steady state") {
+    val dir = fresh()
+    df(0, 50).write.format("graft-lake").partitionBy("pd").save(dir)
+    val head = CommitLog.latest(spark, dir).get.version
+    val feed = spark.read.format("graft-lake")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", head.toString)
+      .option("keyColumns", "k").load(dir)
+    assert(feed.count() == 0L)
+    assert(feed.columns.contains("_change_type") &&
+      feed.columns.contains("k"))
+  }
+
+  test("declared schema order differing from the partition NESTING " +
+    "order still attributes partition values correctly on the fast path") {
+    val dir = fresh()
+    // declared (a, p2, p1) but nested p1=/p2= — the two orders differ
+    CommitLog.create(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p2",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("p1",
+          org.apache.spark.sql.types.StringType))),
+      partCols = Seq("p1", "p2"))
+    CommitLog.append(spark,
+      Seq((1L, "two", "one")).toDF("a", "p2", "p1"), dir)
+    val got = spark.read.format("graft-lake").load(dir)
+      .select($"a", $"p1", $"p2").as[(Long, String, String)]
+      .collect().toSet
+    assert(got == Set((1L, "one", "two")),
+      s"partition values misattributed: $got")
+  }
+
+  test("append rejects overwrite-scoped options loudly") {
+    val dir = fresh()
+    df(0, 10).write.format("graft-lake").save(dir)
+    val e = intercept[IllegalArgumentException](
+      df(10, 20).write.format("graft-lake")
+        .mode(SaveMode.Append).option("replaceWhere", "k < 5").save(dir))
+    assert(e.getMessage.contains("Overwrite-mode"))
+  }
+
   test("vacuum dry run reports without deleting") {
     val dir = fresh()
     df(0, 100).write.format("graft-lake").partitionBy("pd").save(dir)
