@@ -1677,9 +1677,19 @@ object CommitLog {
     * append EXACTLY: its added files are the delta, not a post-image
     * superset. */
   def append(spark: SparkSession, rows: DataFrame, dir: String,
-      batchId: Option[Long] = None): Snapshot = {
+      batchId: Option[Long] = None,
+      /** IDEMPOTENT-WRITE identity `(appId, version)` (Delta's
+        * `txnAppId`/`txnVersion` shape): a replay whose version is at
+        * or below the app's recorded high-water mark is a no-op — the
+        * manual-retry / foreachBatch-restart guard, riding the same
+        * per-app ledger as the streaming sink and checked again on
+        * every rebase attempt. */
+      txn: Option[(String, Long)] = None): Snapshot = {
     val s = mustLatest(spark, dir)
     if (batchId.exists(inLedger(s, _))) return s
+    txn.foreach { case (q, b) =>
+      if (txnDone(s, q, b)) { txnSkip(dir, q, b); return s }
+    }
     checkSchemaCompatible(s, rows, dir)
     val partCols = partColsOf(s)
     val missingP = partCols.filterNot(rows.columns.contains)
@@ -1690,7 +1700,10 @@ object CommitLog {
     if (rels.isEmpty) return s
     commitRebase(spark, dir,
       StagedUpsert(s, Set.empty, Set.empty, rels, batchId,
-        Some(rows.schema.json)),
+        Some(rows.schema.json),
+        propsDelta = txn.map { case (q, b) =>
+          Map(txnKey(q) -> b.toString) }.getOrElse(Map.empty),
+        txn = txn),
       "append", maxRetries = 10)
   }
 

@@ -143,6 +143,17 @@ private[graft] object LakeBatch {
         val replaceWhere = opt(parameters, "replaceWhere")
         val dynamicPO = opt(parameters, "partitionOverwriteMode")
           .exists(_.equalsIgnoreCase("dynamic"))
+        // idempotent-write identity (Delta's txnAppId/txnVersion): a
+        // replayed (appId, version) append is a no-op
+        val txn = (opt(parameters, "txnAppId"),
+          opt(parameters, "txnVersion")) match {
+          case (Some(a), Some(v)) => Some((a, v.toLong))
+          case (None, None) => None
+          case _ => throw new IllegalArgumentException(
+            "txnAppId and txnVersion must be set together")
+        }
+        require(txn.isEmpty || mode == SaveMode.Append,
+          s"write into $dir: txnAppId/txnVersion ride Append mode")
         mode match {
           case SaveMode.Append =>
             // overwrite-scoped options on an append would otherwise be
@@ -151,7 +162,7 @@ private[graft] object LakeBatch {
               s"write into $dir: replaceWhere / " +
                 "partitionOverwriteMode=dynamic are Overwrite-mode " +
                 "options (mode(SaveMode.Overwrite))")
-            CommitLog.append(spark, data, dir)
+            CommitLog.append(spark, data, dir, txn = txn)
           case SaveMode.Overwrite if replaceWhere.isDefined =>
             // Delta's replaceWhere: one atomic commit that deletes the
             // predicate's rows and lands the replacement

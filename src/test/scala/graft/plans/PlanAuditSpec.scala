@@ -326,7 +326,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q139_bm25_batch",    // same 1-row corpus-constants broadcast as q136
     "q147_theta_setops",  // 5×5 broadcast pair readout over aggregated sketches
     "q149_corpus_card",   // 1-row card assembly (profile × langs × hitters)
-    "q150_corpus_diff")   // 1-row totals broadcast onto the vocab join
+    "q150_corpus_diff",   // 1-row totals broadcast onto the vocab join
+    "q194_hybrid_rrf",    // inherits q139's 1-row corpus-constants
+                          // broadcast + q23's 5-probe broadcast; the
+                          // fusion join itself is a keyed full outer
+    "q195_hard_negatives") // inherits q139's 1-row corpus-constants
+                           // broadcast; the positives anti-join is equi
 
   test("no registered query plans a shuffled or unsanctioned all-pairs join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

@@ -209,6 +209,30 @@ class LakeBatchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Overwrite-mode"))
   }
 
+  test("idempotent appends: a replayed (txnAppId, txnVersion) is a " +
+    "no-op; a higher version applies") {
+    val dir = fresh()
+    df(0, 10).write.format("graft-lake").save(dir)
+    def put(lo: Long, hi: Long, v: Long): Unit =
+      df(lo, hi).write.format("graft-lake").mode(SaveMode.Append)
+        .option("txnAppId", "etl-a").option("txnVersion", v.toString)
+        .save(dir)
+    put(10, 20, 1L)
+    put(10, 20, 1L) // the manual retry: replayed, must not duplicate
+    assert(spark.read.format("graft-lake").load(dir).count() == 20L)
+    put(20, 30, 2L)
+    put(10, 20, 1L) // a LATE replay below the high-water mark: no-op
+    assert(spark.read.format("graft-lake").load(dir).count() == 30L)
+    // a different app's ledger is independent
+    df(30, 35).write.format("graft-lake").mode(SaveMode.Append)
+      .option("txnAppId", "etl-b").option("txnVersion", "1")
+      .save(dir)
+    assert(spark.read.format("graft-lake").load(dir).count() == 35L)
+    intercept[IllegalArgumentException](
+      df(0, 5).write.format("graft-lake").mode(SaveMode.Append)
+        .option("txnAppId", "etl-a").save(dir))
+  }
+
   test("vacuum dry run reports without deleting") {
     val dir = fresh()
     df(0, 100).write.format("graft-lake").partitionBy("pd").save(dir)
