@@ -2769,12 +2769,14 @@ object CommitLog {
     // and seed leaves a seedless branch: recover with dropBranch, then
     // recreate.
     val marker = new Path(logPath(target), "_branch")
+    // a branch exists if it has the marker OR any seed (a log made by a
+    // pre-marker code version has seeds only — it must not silently
+    // gain a second, foreign seed)
+    require(versionNumbers(f, target).isEmpty,
+      s"branch '$name' of $dir already exists")
     require(!f.exists(marker),
-      s"branch '$name' of $dir already exists" +
-        (if (versionNumbers(f, target).isEmpty)
-          " (seedless — a creator crashed mid-create; dropBranch then " +
-            "recreate)"
-        else ""))
+      s"branch '$name' of $dir already exists (seedless — a creator " +
+        "crashed mid-create; dropBranch then recreate)")
     f.mkdirs(logPath(target))
     try casWrite(f, marker, s"""{"name":"$name","fork":${src.version}}""")
     catch { case e: CommitConflict =>
@@ -2786,7 +2788,14 @@ object CommitLog {
         ("graft.branch.name" -> name,
           "graft.branch.fork" -> src.version.toString),
       committedAt = System.currentTimeMillis())
-    casWrite(f, versionFile(target, src.version), render(seed))
+    try casWrite(f, versionFile(target, src.version), render(seed))
+    catch { case e: CommitConflict =>
+      // a legacy (pre-marker) creator raced us to the same seed path:
+      // our marker must not wedge future creates
+      f.delete(marker, false)
+      throw new IllegalStateException(
+        s"branch '$name' of $dir already exists (${e.getMessage})")
+    }
     seed
   }
 

@@ -107,14 +107,14 @@ private[graft] object LakeBatch {
         "the identity update pairs key on")
     if (to <= from) {
       // the steady state of an incremental poller: no new commits past
-      // the cursor — an EMPTY feed in the right shape, not an error
-      val s = CommitLog.latest(spark, dir).get
-      val (schema, partCols, _) = CommitLog.tableMeta(spark, dir, s)
-      val (partF, dataF) = schema.fields.partition(f =>
-        partCols.contains(f.name))
-      val shaped = StructType((dataF ++ partF) :+
-        org.apache.spark.sql.types.StructField("_change_type",
-          org.apache.spark.sql.types.StringType))
+      // the cursor — an EMPTY feed in the SAME shape a non-empty poll
+      // returns (derived from the table's own read schema, which is
+      // what changeFeed's row images surface; a hand-reordered shape
+      // here would flip the reader's column order between polls)
+      val shaped = StructType(
+        CommitLog.read(spark, dir).schema.fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType))
       return GraftLakeFrameRelation(spark, spark.createDataFrame(
         java.util.Collections.emptyList[Row](), shaped))
     }
@@ -165,9 +165,18 @@ private[graft] object LakeBatch {
             CommitLog.append(spark, data, dir, txn = txn)
           case SaveMode.Overwrite if replaceWhere.isDefined =>
             // Delta's replaceWhere: one atomic commit that deletes the
-            // predicate's rows and lands the replacement
-            CommitLog.replaceWhere(spark, dir,
-              org.apache.spark.sql.functions.expr(replaceWhere.get), data)
+            // predicate's rows and lands the replacement — INCLUDING
+            // Delta's constraint that every incoming row satisfies the
+            // predicate (a stray out-of-predicate row would silently
+            // duplicate data it never replaced)
+            val pred = org.apache.spark.sql.functions.expr(replaceWhere.get)
+            val stray = data.filter(!org.apache.spark.sql.functions
+              .coalesce(pred, org.apache.spark.sql.functions.lit(false)))
+              .limit(1).collect()
+            require(stray.isEmpty,
+              s"replaceWhere '${replaceWhere.get}' into $dir: incoming " +
+                s"rows must satisfy the predicate; found ${stray.head}")
+            CommitLog.replaceWhere(spark, dir, pred, data)
           case SaveMode.Overwrite if dynamicPO =>
             // dynamic partition overwrite: replace exactly the
             // partitions the incoming rows touch (bounded enumeration)
@@ -197,13 +206,30 @@ private[graft] object LakeBatch {
         require(CommitLog.branchOf(dir).isEmpty,
           s"cannot create a table at branch target $dir — branches fork " +
             "from an existing table via createBranch")
+        require(opt(parameters, "replaceWhere").isEmpty &&
+          !opt(parameters, "partitionOverwriteMode")
+            .exists(_.equalsIgnoreCase("dynamic")),
+          s"write creating $dir: replaceWhere / partitionOverwriteMode " +
+            "have no meaning on a first write")
+        // idempotency must hold for the CREATING write too: the txn
+        // identity rides the init commit itself (crash after init →
+        // the retry finds the table and the recorded high-water mark;
+        // crash before init → the parquet ErrorIfExists fails the
+        // retry loudly, nothing was committed)
+        val txnProps = (opt(parameters, "txnAppId"),
+          opt(parameters, "txnVersion")) match {
+          case (Some(a), Some(v)) => Map(s"graft.txn.$a" -> v)
+          case (None, None) => Map.empty[String, String]
+          case _ => throw new IllegalArgumentException(
+            "txnAppId and txnVersion must be set together")
+        }
         // create-by-write: land the files, then snapshot them as v1 —
         // init's CAS resolves racing creators to one winner
         val writer =
           if (partCols.isEmpty) data.write
           else data.write.partitionBy(partCols: _*)
         writer.parquet(dir)
-        CommitLog.init(spark, dir)
+        CommitLog.init(spark, dir, props = txnProps)
         ()
     }
   }

@@ -235,7 +235,7 @@ object LakeSqlDml {
             if (args.size == 3) num(2) else 24L * 3600 * 1000,
             dryRun = dry)
           System.err.println(s"[lake-sql] vacuum ${dir0}: " +
-            s"${dropped.size} files ${if (dry) "would be" else ""} reclaimed")
+            s"${dropped.size} files ${if (dry) "would be " else ""}reclaimed")
           if (dry) dropped.size.toLong
           else CommitLog.latest(s, dir0).map(_.version).getOrElse(-1L)
         }, if (dry) "vacuum-dry-run" else "vacuum")

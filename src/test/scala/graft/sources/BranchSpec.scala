@@ -299,6 +299,27 @@ class BranchSpec extends AnyFunSuite {
     assert(rows(t).size == 304)
   }
 
+  test("a legacy branch (seed without marker) is still detected as " +
+    "existing — no foreign seed interleaves into its history") {
+    val dir = freshLake()
+    CommitLog.append(spark, Seq((1L, 1L, "d0")).toDF("k", "v", "pd"), dir)
+    CommitLog.createBranch(spark, dir, "old")
+    // simulate a pre-marker-era log: the seed exists, the marker does not
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(dir,
+      "_graft_log/branches/old/_branch"), false)
+    // main advances so a new create would fork at a DIFFERENT version
+    CommitLog.append(spark, Seq((2L, 2L, "d0")).toDF("k", "v", "pd"), dir)
+    val before = CommitLog.latest(spark,
+      CommitLog.branchTarget(dir, "old")).get.version
+    val e = intercept[IllegalArgumentException](
+      CommitLog.createBranch(spark, dir, "old"))
+    assert(e.getMessage.contains("already exists"))
+    assert(CommitLog.latest(spark,
+      CommitLog.branchTarget(dir, "old")).get.version == before)
+  }
+
   test("a seedless branch (creator crashed between marker and seed) is " +
     "reported and recoverable via dropBranch") {
     val dir = freshLake()

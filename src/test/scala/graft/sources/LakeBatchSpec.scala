@@ -233,6 +233,55 @@ class LakeBatchSpec extends AnyFunSuite {
         .option("txnAppId", "etl-a").save(dir))
   }
 
+  test("idempotency holds for the CREATING write: the txn identity " +
+    "rides the init commit, so a post-create replay is a no-op") {
+    val dir = fresh()
+    def put(): Unit = df(0, 10).write.format("graft-lake")
+      .mode(SaveMode.Append)
+      .option("txnAppId", "boot").option("txnVersion", "1").save(dir)
+    put() // creates the table
+    assert(CommitLog.latest(spark, dir).get.props
+      .get("graft.txn.boot").contains("1"),
+      "the creating write did not record its txn identity")
+    put() // the driver-crashed-after-init replay
+    assert(spark.read.format("graft-lake").load(dir).count() == 10L)
+  }
+
+  test("replaceWhere rejects incoming rows outside the predicate " +
+    "(Delta's constraint) instead of silently inserting them") {
+    val dir = fresh()
+    df(0, 30).write.format("graft-lake").partitionBy("pd").save(dir)
+    val e = intercept[IllegalArgumentException](
+      df(0, 30).write.format("graft-lake").mode(SaveMode.Overwrite)
+        .option("replaceWhere", "pd = 'd0'").save(dir)) // carries d1/d2
+    assert(e.getMessage.contains("must satisfy the predicate"))
+    assert(spark.read.format("graft-lake").load(dir).count() == 30L)
+  }
+
+  test("empty and non-empty CDF polls return the same column order, " +
+    "even when a partition column is declared first") {
+    val dir = fresh()
+    CommitLog.create(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pd",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))),
+      partCols = Seq("pd"))
+    val v1 = CommitLog.latest(spark, dir).get.version
+    CommitLog.append(spark, Seq(("d0", 1L)).toDF("pd", "k"), dir)
+    def feed(from: Long) = spark.read.format("graft-lake")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", from.toString)
+      .option("keyColumns", "k").load(dir)
+    val nonEmpty = feed(v1)
+    val empty = feed(CommitLog.latest(spark, dir).get.version)
+    assert(nonEmpty.count() == 1L && empty.count() == 0L)
+    assert(empty.columns.toSeq == nonEmpty.columns.toSeq,
+      s"schema flipped between polls: ${empty.columns.toSeq} vs " +
+        s"${nonEmpty.columns.toSeq}")
+  }
+
   test("vacuum dry run reports without deleting") {
     val dir = fresh()
     df(0, 100).write.format("graft-lake").partitionBy("pd").save(dir)
