@@ -2949,7 +2949,10 @@ object CommitLog {
       val hconf = spark.sparkContext.broadcast(
         new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
       val (sdS, stS) = (sd, staging.toString)
-      val n = math.max(1, math.min(s.files.size, 256))
+      // task count scales with the cluster (4× slots keeps stragglers
+      // from serializing the tail), bounded by the file count
+      val n = math.max(1, math.min(s.files.size,
+        math.max(spark.sparkContext.defaultParallelism * 4, 64)))
       spark.sparkContext.parallelize(s.files, n).foreach { rel =>
         val conf = hconf.value.value
         val from = new Path(sdS, rel)
