@@ -299,6 +299,50 @@ class BranchSpec extends AnyFunSuite {
     assert(rows(t).size == 304)
   }
 
+  test("the row-level CDC stream source follows a BRANCH's changes only") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "cdc")
+    val t = CommitLog.branchTarget(dir, "cdc")
+    val base = CommitLog.latest(spark, t).get.version
+    CommitLog.upsert(spark,
+      Seq((10L, 99L, "d0")).toDF("k", "v", "pd"), t, Seq("k"), "pd")
+    CommitLog.append(spark, // main-line churn: NOT branch history
+      Seq((7777L, 7L, "d0")).toDF("k", "v", "pd"), dir)
+    val out = Files.createTempDirectory("graft_branch_cdc_").toString
+    val q = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true")
+      .option("keyColumns", "k")
+      .option("startingVersion", base.toString).load(t)
+      .writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$out/data")
+      .select($"k", $"_change_type").as[(Long, String)].collect().toSet
+    assert(got.contains((10L, "update_postimage")) &&
+      !got.exists(_._1 == 7777L),
+      s"branch CDC followed the wrong history: $got")
+  }
+
+  test("fastForward adopts a branch head that was COMPACTED on the " +
+    "branch — the rewritten files and rebuilt manifest travel") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "cmp")
+    val t = CommitLog.branchTarget(dir, "cmp")
+    CommitLog.deleteVectors(spark, t, col("k") === 5L)
+    CommitLog.compact(spark, t, 2) // materializes the DV on the branch
+    val branchState = rows(t)
+    val adopted = CommitLog.fastForward(spark, dir, "cmp")
+    assert(rows(dir) == branchState && adopted.dvs.isEmpty)
+    CommitLog.dropBranch(spark, dir, "cmp")
+    // main still reads, and its manifest (branch-minted, rehomed)
+    // still answers
+    assert(rows(dir) == branchState)
+    assert(CommitLog.statsAggByPartition(spark, dir, Seq("k")).count() > 0)
+  }
+
   test("a legacy branch (seed without marker) is still detected as " +
     "existing — no foreign seed interleaves into its history") {
     val dir = freshLake()
