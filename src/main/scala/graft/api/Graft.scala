@@ -571,6 +571,21 @@ object Graft {
       CommitLog.fastForward(spark, dir, name)
       ()
     }
+    /** Merge a DIVERGED branch into main: rebase its post-fork delta
+      * onto the current head (commit-level conflict units — true
+      * partition conflicts fail loudly), then fast-forward. The
+      * live-table promote verb [[fastForward]] alone cannot be. */
+    def mergeBranch(name: String): Unit = {
+      CommitLog.mergeBranch(spark, dir, name)
+      ()
+    }
+    /** Rebase a branch onto the current main head without promoting —
+      * the catch-up verb (`git rebase`): the branch then serves
+      * main's state plus its own post-fork delta. */
+    def rebaseBranch(name: String): Unit = {
+      CommitLog.rebaseBranch(spark, dir, name)
+      ()
+    }
     /** DEEP CLONE this table (at `atVersion`, default latest) to a new
       * fully independent table — distributed byte copy, staged +
       * renamed atomically; manifests/DVs travel with it. */

@@ -99,7 +99,13 @@ object CommitLog {
     *
     * The `@` splits only when it follows the last `/` and the suffix is
     * a valid branch name, so URI authorities (`user@host`) and data
-    * paths never mis-parse. */
+    * paths never mis-parse. A LITERAL table directory whose last
+    * segment contains `@` (a table created before branches existed, or
+    * a dataset layout the operator does not control) is addressed with
+    * a trailing slash — `/data/events@2024/` — which puts the `@`
+    * before the last `/` and defeats the branch parse; [[mustLatest]]
+    * names this escape when a branch-parsed target has no branch but
+    * the literal path holds a table. */
   private val BranchName = "^[A-Za-z0-9][A-Za-z0-9_.-]*$".r
 
   /** `(data directory, branch name)` of a target string. */
@@ -289,8 +295,23 @@ object CommitLog {
   }
 
   private def mustLatest(spark: SparkSession, dir: String): Snapshot =
-    latest(spark, dir).getOrElse(throw new IllegalStateException(
-      s"$dir has no commit log — CommitLog.init it first"))
+    latest(spark, dir).getOrElse {
+      // a target that PARSED as a branch but has no branch log, while
+      // the LITERAL path holds a table, is almost certainly a plain
+      // directory whose name contains '@' — name the escape instead of
+      // a bare "no commit log"
+      val literal = branchOf(dir).isDefined && {
+        val f = hadoopFs(spark, dir)
+        f.exists(new Path(dir, LogDirName))
+      }
+      if (literal) throw new IllegalStateException(
+        s"$dir parsed as branch '${branchOf(dir).get}' of " +
+          s"${dataDir(dir)}, which has no such branch — but the literal " +
+          s"path $dir holds a table. Address a literal '@' path with a " +
+          s"trailing slash: $dir/")
+      throw new IllegalStateException(
+        s"$dir has no commit log — CommitLog.init it first")
+    }
 
   /** Latest snapshot plus its data files as ABSOLUTE paths — the
     * metadata-plane identity [[graft.plans.RewriteAggregateOnView]]
@@ -561,12 +582,19 @@ object CommitLog {
     // a branch's pre-fork history lives in the main log: candidate
     // versions at or before the RECORDED fork resolve there, so AS OF
     // a pre-fork timestamp works through the branch — bounded by the
-    // fork marker, not the branch's remaining floor (see snapshotAt)
+    // fork marker, not the branch's remaining floor (see snapshotAt).
+    // The fork version itself is candidated from BOTH logs: the
+    // branch's seed is a content-identical copy stamped at branch
+    // CREATION time, so for a timestamp between main's fork commit and
+    // the branch's creation only the MAIN copy passes the gate — the
+    // fork version's content existed then, and snapshotAt's convention
+    // (pre-fork history is the main timeline) must resolve it
     val preFork = branchOf(dir) match {
       case Some(_) =>
         val fork = branchForkVersion(spark, dir)
         versionNumbers(f, dataDir(dir))
-          .filter(v => fork.exists(fk => v <= fk && !own.contains(v)))
+          .filter(v => fork.exists(fk =>
+            v == fk || (v < fk && !own.contains(v))))
           .map(v => (v, dataDir(dir)))
       case None => Nil
     }
@@ -1421,6 +1449,18 @@ object CommitLog {
     if (i < 0) "" else rel.substring(0, i)
   }
 
+  /** Partition directories the given deletion vectors tombstone rows in
+    * — the DV half of the commit-level conflict unit, shared by the
+    * same-log rebase ([[commitRebase]]) and the cross-branch rebase
+    * ([[rebaseBranch]]). Churn-sized: reads only the listed vectors. */
+  private def dvTouchedParts(spark: SparkSession, target: String,
+      dvRels: Seq[String]): Set[String] =
+    if (dvRels.isEmpty) Set.empty
+    else spark.read
+      .parquet(dvRels.map(r => logFile(target, r)): _*)
+      .select(col("file")).distinct()
+      .collect().map(r => partOf(r.getString(0))).toSet
+
   /** `key=value` partition directory name for a partition value (hive
     * escaping, null → default-partition sentinel). */
   private[sources] def partDirOf(partitionCol: String, v: Any): String = v match {
@@ -1626,12 +1666,7 @@ object CommitLog {
         // inherited dv entries then reference only files this commit
         // removed), silently resurrecting tombstoned rows.
         val dvNew = s.dvs.filterNot(staged.base.dvs.toSet)
-        val dvParts: Set[String] =
-          if (dvNew.isEmpty) Set.empty
-          else spark.read
-            .parquet(dvNew.map(r => logFile(dir, r)): _*)
-            .select(col("file")).distinct()
-            .collect().map(r => partOf(r.getString(0))).toSet
+        val dvParts = dvTouchedParts(spark, dir, dvNew)
         val interveningParts =
           ((nowSet -- baseSet) ++ (baseSet -- nowSet)).map(partOf) ++ dvParts
         val clash = interveningParts.intersect(staged.touchedParts)
@@ -2796,6 +2831,25 @@ object CommitLog {
       throw new IllegalStateException(
         s"branch '$name' of $dir already exists (${e.getMessage})")
     }
+    // fork-vs-vacuum race check, AFTER the seed CAS: a concurrent
+    // main-line vacuum whose cross-log census ran before the seed
+    // landed cannot see the new branch's references, so forking an
+    // old version racing such a vacuum can seed a branch whose files
+    // are reclaimed moments later. Vacuum deletes dropped VERSION
+    // files last — a fork version file missing here proves the
+    // reclaim happened (fail loudly, removing the dead branch); one
+    // still present shrinks the remaining window to the vacuum's
+    // census→delete span. The operating discipline that CLOSES it:
+    // fork only versions inside the retention window (keepLast), the
+    // same rule that protects any time-travel read.
+    if (!f.exists(versionFile(dir, src.version))) {
+      f.delete(versionFile(target, src.version), false)
+      f.delete(marker, false)
+      throw new IllegalStateException(
+        s"createBranch '$name' of $dir: fork version ${src.version} " +
+          "was vacuumed concurrently — the seed's file references are " +
+          "not safe; fork a version inside the retention window")
+    }
     seed
   }
 
@@ -2911,6 +2965,349 @@ object CommitLog {
     }
   }
 
+  /** REBASE UNDER DIVERGENCE: rewrite branch `name`'s head onto the
+    * CURRENT main head — the missing half of the fork → validate →
+    * promote loop on a live table, where [[fastForward]]'s
+    * no-divergence precondition never holds because main always
+    * advances. The branch's net post-fork delta (files added, files
+    * removed, deletion vectors appended/retired, ledger entries, prop
+    * changes, additive schema evolution) is re-applied on top of the
+    * main head as ONE new branch commit whose fork marker moves to the
+    * main head's version — after which [[fastForward]] is a true
+    * fast-forward again ([[mergeBranch]] composes the two with the
+    * retry loop).
+    *
+    * Conflict semantics are the SAME commit-level units concurrent
+    * same-branch writers already use ([[commitRebase]]): the branch's
+    * conflict unit is every partition it REWROTE (removed a file from,
+    * or tombstoned rows in via a deletion vector — pure appends touch
+    * nothing, exactly SQL INSERT's contract); main's intervening churn
+    * is every partition its post-fork commits added to, removed from,
+    * or DV'd. A non-empty intersection fails loudly, naming the
+    * partitions and the branch commits that touched them — there is no
+    * automatic row-level merge of two edit streams to the same
+    * partition (re-run the branch's edit against the rebased state
+    * instead, the same recovery as any lost upsert race).
+    *
+    * Schema: one side may rename/drop/re-type (physNames/retired
+    * churn) only if the other side's schema is untouched; PURELY
+    * ADDITIVE evolution (new columns, safe type widening) merges from
+    * both sides via the same lattice every append uses. Declared
+    * stats/sketch/bloom/theta columns must match between the two heads
+    * (nothing mutates them post-init except table replacement, whose
+    * whole-table conflict unit clashes first).
+    *
+    * Cost is proportional to the BRANCH'S CHURN, never the table: the
+    * file-list algebra is metadata-plane, the conflict probe reads
+    * only the two sides' new deletion vectors, and the manifest merge
+    * filters the main head's manifest (churn-sized In-list) and reuses
+    * the branch head's rows for the branch's added files. At 100 TB a
+    * rebase of a 1k-file experiment costs 1k manifest rows, not a
+    * re-scan.
+    *
+    * Returns the new branch head. No-op (returns the current head)
+    * when main has not advanced — promotion is then [[fastForward]]'s
+    * job. Racing writers on the SAME branch are handled by the
+    * branch's own CAS domain: losing it throws [[CommitConflict]];
+    * [[mergeBranch]] retries. */
+  def rebaseBranch(spark: SparkSession, dir: String,
+      name: String): Snapshot = {
+    val d = dataDir(dir)
+    val f = hadoopFs(spark, d)
+    val target = branchTarget(d, name)
+    val head = latest(spark, target).getOrElse(
+      throw new IllegalArgumentException(
+        s"branch '$name' of $d does not exist"))
+    val fork = head.props.get("graft.branch.fork").map(_.toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"branch '$name' of $d carries no fork marker — not a " +
+          "createBranch-made branch"))
+    val cur = mustLatest(spark, d)
+    if (cur.version == fork) return head // nothing to rebase over
+    require(cur.version > fork,
+      s"rebase of branch '$name' of $d: main is at ${cur.version}, " +
+        s"behind the recorded fork $fork — a restore rewound main " +
+        "past the fork; fastForward or re-fork instead")
+    // the fork-point snapshot both deltas diff against — resolved
+    // against the MAIN log first: after a prior rebase the fork marker
+    // is a MAIN version number, and the branch's own counter can hold
+    // the same number for an unrelated branch commit, so resolving
+    // through the branch log could silently diff against the wrong
+    // snapshot. Main's copy vacuumed → the branch SEED stands in, but
+    // only when it genuinely is the fork's content copy (op=branch at
+    // exactly this version).
+    val forkSnap = {
+      val mp = versionFile(d, fork)
+      if (f.exists(mp)) parse(readText(f, mp))
+      else {
+        val bp = versionFile(target, fork)
+        val seed =
+          if (!f.exists(bp)) None
+          else (try Some(parse(readText(f, bp)))
+          catch { case _: Exception => None })
+            .filter(x => x.op == "branch" &&
+              x.props.get("graft.branch.fork").contains(fork.toString))
+        seed.getOrElse(throw new IllegalStateException(
+          s"rebase of branch '$name' of $d: fork version $fork was " +
+            "vacuumed on main and the branch holds no seed copy — " +
+            "cannot compute the divergence; re-fork from the current " +
+            "head instead"))
+      }
+    }
+
+    // ---- the branch's net post-fork delta
+    val forkFiles = forkSnap.files.toSet
+    val headFiles = head.files.toSet
+    val bAdded = head.files.filterNot(forkFiles)
+    val bRemoved = forkSnap.files.filterNot(headFiles)
+    val forkDvs = forkSnap.dvs.toSet
+    val headDvs = head.dvs.toSet
+    val bDvNew = head.dvs.filterNot(forkDvs)
+    val bDvDropped = forkSnap.dvs.filterNot(headDvs).toSet
+    val bTouched = bRemoved.map(partOf).toSet ++
+      dvTouchedParts(spark, target, bDvNew)
+
+    // ---- main's intervening churn since the fork
+    val curFiles = cur.files.toSet
+    val mAdded = cur.files.filterNot(forkFiles)
+    val mRemoved = forkSnap.files.filterNot(curFiles)
+    val mDvNew = cur.dvs.filterNot(forkDvs)
+    val mTouched = (mAdded ++ mRemoved).map(partOf).toSet ++
+      dvTouchedParts(spark, d, mDvNew)
+
+    val clash = bTouched.intersect(mTouched)
+    if (clash.nonEmpty) {
+      // attribute the clash to the branch commits that rewrote those
+      // partitions — the loud message names what to re-run
+      val guilty = versionNumbers(f, target).filter(_ > fork).sorted
+        .flatMap { v =>
+          try {
+            val s = parse(readText(f, versionFile(target, v)))
+            val p = parse(readText(f, versionFile(target,
+              versionNumbers(f, target).filter(_ < v).max)))
+            val touched = p.files.filterNot(s.files.toSet).map(partOf).toSet
+            val hits = touched.intersect(clash)
+            if (hits.nonEmpty) Some(s"v$v(${s.op}: ${
+              hits.toSeq.sorted.mkString("|")})")
+            else None
+          } catch { case _: Exception => None }
+        }
+      throw new IllegalStateException(
+        s"rebase of branch '$name' of $d: both sides rewrote " +
+          s"partition(s) ${clash.toSeq.sorted.mkString(", ")} since " +
+          s"fork $fork — no automatic merge of two edit streams; " +
+          s"branch commits in conflict: ${
+            if (guilty.nonEmpty) guilty.mkString(", ")
+            else "(deletion-vector commits)"} — re-apply those edits " +
+          "on the rebased branch")
+    }
+    // with disjoint conflict units every branch-removed file survived
+    // main's churn; anything else means the partition model was
+    // side-stepped — fail loudly rather than drop a removal
+    val lostRemovals = bRemoved.filterNot(curFiles)
+    require(lostRemovals.isEmpty,
+      s"rebase of branch '$name' of $d: file(s) the branch removed " +
+        s"vanished from main outside any rewritten partition: " +
+        lostRemovals.take(3).mkString(", "))
+
+    // ---- schema reconciliation
+    def mappingChurn(a: Snapshot) =
+      a.physNames != forkSnap.physNames || a.retired != forkSnap.retired
+    def schemaChanged(a: Snapshot) =
+      a.schemaJson != forkSnap.schemaJson || mappingChurn(a)
+    require(head.statsCols == cur.statsCols &&
+      head.sketchCols == cur.sketchCols &&
+      head.bloomCols == cur.bloomCols && head.thetaCols == cur.thetaCols,
+      s"rebase of branch '$name' of $d: declared stats/sketch/bloom/" +
+        "theta columns diverged between the branch and main — rebase " +
+        "cannot merge two manifest layouts")
+    if (mappingChurn(head)) require(!schemaChanged(cur),
+      s"rebase of branch '$name' of $d: the branch renamed/dropped/" +
+        "re-typed columns while main's schema also changed — resolve " +
+        "the schema on one side first")
+    if (mappingChurn(cur)) require(!schemaChanged(head),
+      s"rebase of branch '$name' of $d: main renamed/dropped/re-typed " +
+        "columns while the branch's schema also changed — resolve the " +
+        "schema on one side first")
+    // both sides at most ADDITIVE/WIDENING from here: merge through the
+    // same lattice appends use, rejecting a common field whose types
+    // diverged incompatibly on the two sides
+    val (mergedSchema, mergedPhys, mergedRetired) =
+      if (mappingChurn(head)) (head.schemaJson, head.physNames, head.retired)
+      else if (mappingChurn(cur)) (cur.schemaJson, cur.physNames, cur.retired)
+      else {
+        for {
+          cj <- cur.schemaJson; hj <- head.schemaJson
+        } {
+          import org.apache.spark.sql.types.{DataType, StructType}
+          val cs = DataType.fromJson(cj).asInstanceOf[StructType]
+          val hs = DataType.fromJson(hj).asInstanceOf[StructType]
+          cs.fields.foreach { cf =>
+            hs.fields.find(_.name == cf.name).foreach { hf =>
+              require(cf.dataType == hf.dataType ||
+                widens(cf.dataType, hf.dataType) ||
+                widens(hf.dataType, cf.dataType),
+                s"rebase of branch '$name' of $d: column ${cf.name} " +
+                  s"diverged to incompatible types (${cf.dataType} vs " +
+                  s"${hf.dataType})")
+            }
+          }
+        }
+        (mergeSchemaJson(cur.schemaJson, head.schemaJson),
+          cur.physNames, cur.retired)
+      }
+    // one hive layout per table: a side that replaced the table with a
+    // different partitioning clashes above unless the other side never
+    // wrote — still guard the mixed-layout snapshot explicitly
+    require(bAdded.isEmpty || mAdded.isEmpty ||
+      partColsFromRel(bAdded.head) == partColsFromRel(mAdded.head),
+      s"rebase of branch '$name' of $d: the two sides wrote different " +
+        "hive layouts")
+
+    // ---- ledger + props merge
+    val forkBatches = forkSnap.batches.toSet
+    val allB = (cur.batches ++ head.batches.filterNot(forkBatches))
+      .distinct.sorted
+    val (mergedFloor, mergedBatches) =
+      if (allB.size > LedgerKeep) {
+        val cut = allB.size - LedgerKeep
+        (math.max(allB(cut - 1),
+          math.max(cur.batchFloor, head.batchFloor)), allB.drop(cut))
+      } else (math.max(cur.batchFloor, head.batchFloor), allB)
+    val bPropsChanged = head.props.filter { case (k, v) =>
+      !forkSnap.props.get(k).contains(v) } -
+      "graft.branch.name" - "graft.branch.fork"
+    val bPropsRemoved = forkSnap.props.keySet -- head.props.keySet
+    val mergedProps = (cur.props -- bPropsRemoved) ++ bPropsChanged +
+      ("graft.branch.name" -> name,
+        "graft.branch.fork" -> cur.version.toString)
+
+    // ---- manifest merge: main head's rows minus the branch's removed
+    // files, plus the branch head's rows for its added files (falling
+    // back to a fresh churn-sized stats scan when the branch head
+    // carries no manifest) — never a table-sized recompute.
+    // (.distinct: a file can be in BOTH cur and bAdded when a prior
+    // merge adopted part of the branch's delta)
+    val mergedFiles = (cur.files.filterNot(bRemoved.toSet) ++ bAdded)
+      .distinct.sorted
+    val newVersion = head.version + 1
+    val manifestRel =
+      if (cur.statsCols.isEmpty && cur.sketchCols.isEmpty &&
+        cur.bloomCols.isEmpty && cur.thetaCols.isEmpty) None
+      else {
+        val kept = cur.manifest.map { m =>
+          val df = spark.read.parquet(logFile(d, m))
+          if (bRemoved.isEmpty) df
+          else df.filter(!col("file").isInCollection(bRemoved))
+        }
+        // only files genuinely NEW to main get fresh rows — a file in
+        // both sides (a prior merge adopted it) already has its row in
+        // the kept slice, and a duplicate would double-count stats
+        val bNewToMain = bAdded.filterNot(curFiles)
+        val fresh =
+          if (bNewToMain.isEmpty) None
+          else head.manifest.map { m =>
+            spark.read.parquet(logFile(target, m))
+              .filter(col("file").isInCollection(bNewToMain))
+          }.orElse(Some(relStats(spark, target, bNewToMain, cur.statsCols,
+            cur.sketchCols, cur.bloomCols, cur.bloomExpect,
+            cur.thetaCols, cur.thetaLgK)))
+        val parts = kept.toSeq ++ fresh
+        if (parts.isEmpty) None
+        else {
+          val tag = java.util.UUID.randomUUID.toString.take(8)
+          val rel = relPrefix(target) +
+            f"manifest-v$newVersion%020d-$tag.parquet"
+          parts.reduce(_ unionByName _).coalesce(1)
+            .write.mode(SaveMode.ErrorIfExists)
+            .parquet(logFile(target, rel))
+          Some(rel)
+        }
+      }
+
+    val rebased = Snapshot(
+      version = newVersion,
+      files = mergedFiles,
+      batches = mergedBatches,
+      statsCols = cur.statsCols,
+      manifest = manifestRel,
+      op = "rebase",
+      sketchCols = cur.sketchCols,
+      schemaJson = mergedSchema,
+      bloomCols = cur.bloomCols,
+      bloomExpect = cur.bloomExpect,
+      props = mergedProps,
+      partCols = mergedFiles.headOption.map(partColsFromRel)
+        .getOrElse(cur.partCols),
+      committedAt = System.currentTimeMillis(),
+      batchFloor = mergedFloor,
+      thetaCols = cur.thetaCols,
+      thetaLgK = cur.thetaLgK,
+      dvs = (cur.dvs.filterNot(bDvDropped) ++ bDvNew).distinct,
+      physNames = mergedPhys,
+      retired = mergedRetired)
+    casWrite(f, versionFile(target, rebased.version), render(rebased))
+    rebased
+  }
+
+  /** MERGE a branch into main on a LIVE table: [[rebaseBranch]] onto
+    * the current head, then [[fastForward]] — retrying the pair when
+    * main advances between the two (each retry re-rebases onto the new
+    * head, so the loop converges unless main out-commits the caller
+    * indefinitely). True partition conflicts and schema divergence
+    * fail loudly on the first rebase, before anything publishes.
+    *
+    * The branch survives the merge and stays USABLE: a final branch
+    * SYNC commit re-points its head at the adopted main version
+    * (content-identical, fork marker = the adopted version), so later
+    * branch work diverges from the merge point instead of re-playing
+    * the already-adopted delta — without it the next merge would see
+    * its own earlier delta as a conflict. The sync is best-effort
+    * (a branch writer racing the merge wins the CAS and simply
+    * rebases later); [[dropBranch]] when the branch is done. */
+  def mergeBranch(spark: SparkSession, dir: String, name: String,
+      maxRetries: Int = 5): Snapshot = {
+    val d = dataDir(dir)
+    val target = branchTarget(d, name)
+    val f = hadoopFs(spark, d)
+    var attempt = 0
+    while (true) {
+      try {
+        val rebased = rebaseBranch(spark, d, name)
+        val adopted = fastForward(spark, d, name)
+        val sync = adopted.copy(
+          version = rebased.version + 1,
+          op = "rebase",
+          props = adopted.props +
+            ("graft.branch.name" -> name,
+              "graft.branch.fork" -> adopted.version.toString),
+          committedAt = System.currentTimeMillis())
+        try casWrite(f, versionFile(target, sync.version), render(sync))
+        catch { case e: CommitConflict =>
+          System.err.println(
+            s"[commitlog] mergeBranch '$name' into $d: adopted as " +
+              s"v${adopted.version}, but a racing branch writer won " +
+              s"the sync commit (${e.getMessage}) — that writer's " +
+              "commits will rebase on the next merge")
+        }
+        return adopted
+      } catch {
+        // retry-able: main advanced between the rebase and the adopt
+        // (fastForward's precondition or its CAS), or a same-branch
+        // writer raced the rebase commit. Real conflicts surface as
+        // the rebase's own loud IllegalStateException, not these.
+        case e: Exception if attempt < maxRetries - 1 &&
+          (e.isInstanceOf[CommitConflict] ||
+            e.getMessage != null &&
+              (e.getMessage.contains("the main line advanced") ||
+                e.getMessage.contains("histories diverged"))) =>
+          attempt += 1
+          Thread.sleep(20L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** DEEP CLONE: materialize `srcDir` (or its branch — any readable
     * target) at `atVersion` (default: latest) as a fully INDEPENDENT
     * table at `dstDir`. Data files are copied byte for byte by a
@@ -2963,9 +3360,13 @@ object CommitLog {
         ()
       }
       // metadata artifacts: kilobyte-scale, driver-side, rehomed to
-      // plain rels (the source snapshot may be a branch's)
+      // plain rels (the source snapshot may be a branch's). The rehome
+      // keeps the `manifest-`/`dv-` NAME HEAD (the basename — unique by
+      // its version+UUID tag) rather than flattening the branch prefix
+      // into it: vacuum's unreferenced-residue sweep keys on that
+      // prefix, the same convention fastForward's rehome preserves
       def rehome(rel: String): String = {
-        val plain = rel.replace('/', '-')
+        val plain = rel.substring(rel.lastIndexOf('/') + 1)
         val from = new Path(logFile(srcDir, rel))
         org.apache.hadoop.fs.FileUtil.copy(
           hadoopFs(spark, srcDir), from,
@@ -3277,6 +3678,149 @@ object CommitLog {
   def scanRange(spark: SparkSession, dir: String, c: String,
       lo: Long, hi: Long): (DataFrame, (Int, Int)) =
     scanBox(spark, dir, Seq((c, lo, hi)))
+
+  /** Read version `s` restricted to a file SUBSET — the batch
+    * provider's pruned fallback path ([[graft.sources.LakeBatch]]):
+    * deletion vectors and rename aliasing apply exactly as in a full
+    * read, over only the surviving files. An empty subset returns the
+    * zero-row frame in the committed shape. */
+  private[graft] def readSnapshotFileSubset(spark: SparkSession,
+      dir: String, s: Snapshot, files: Seq[String]): DataFrame =
+    if (files.isEmpty) {
+      if (s.schemaJson.isDefined) emptyShaped(spark, dir, s)
+      else readSnapshot(spark, dir, s).limit(0)
+    } else readFiles(spark, dir, s, files)
+
+  /** FALLBACK-SCAN FILE SELECTION: the files of snapshot `s` that MAY
+    * satisfy the conjunction of the push-down `filters` — pruned two
+    * ways, both metadata-plane:
+    *
+    *  - HIVE PARTITION values parsed from the committed file paths
+    *    (equality / In / IsNull on partition columns whose rendered
+    *    path form is canonical — string, integral, boolean, date;
+    *    fractional and timestamp partition columns never prune, their
+    *    text forms are not round-trip-stable);
+    *  - the committed ZONE-MAP manifest (comparison operators on the
+    *    table's declared stats columns; a file whose min/max are null
+    *    holds only nulls in that column, which no comparison matches).
+    *
+    * Only TOP-LEVEL conjuncts prune (an OR's branches never reach
+    * here separately); untranslatable conjuncts prune nothing. Spark
+    * re-applies every filter above the scan, so selection is a pure
+    * I/O win — over-keeping is always sound, over-pruning never
+    * happens by construction. */
+  private[graft] def selectFilesForFilters(spark: SparkSession,
+      dir: String, s: Snapshot,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    if (filters.isEmpty || s.files.isEmpty) return s.files
+    val partCols = partColsOf(s).toSet
+    val schema = s.schemaJson.map(j => DataType.fromJson(j)
+      .asInstanceOf[StructType])
+    def canonicalPart(c: String): Boolean =
+      partCols.contains(c) && schema.exists(_.fields.exists(f =>
+        f.name == c && (f.dataType match {
+          case StringType | IntegerType | LongType | ShortType |
+               ByteType | BooleanType | DateType => true
+          case _ => false
+        })))
+    // physical partition-dir segment for (col, literal) — the same
+    // rendering the writer used, so string equality IS value equality
+    def seg(c: String, v: Any): String = partDirOf(c, v)
+    def partSegs(rel: String): Set[String] =
+      rel.split('/').dropRight(1).takeWhile(_.contains('=')).toSet
+
+    // partition-level keep per conjunct (None = conjunct prunes nothing)
+    def partKeep(f: Filter): Option[String => Boolean] = f match {
+      case EqualTo(c, v) if canonicalPart(c) && v != null =>
+        Some(rel => partSegs(rel).contains(seg(c, v)))
+      case EqualNullSafe(c, v) if canonicalPart(c) =>
+        Some(rel => partSegs(rel).contains(seg(c, v)))
+      case In(c, vs) if canonicalPart(c) =>
+        val want = vs.filter(_ != null).map(seg(c, _)).toSet
+        Some(rel => partSegs(rel).intersect(want).nonEmpty)
+      case IsNull(c) if canonicalPart(c) =>
+        Some(rel => partSegs(rel).contains(seg(c, null)))
+      case IsNotNull(c) if canonicalPart(c) =>
+        Some(rel => !partSegs(rel).contains(seg(c, null)))
+      case And(a, b) =>
+        (partKeep(a), partKeep(b)) match {
+          case (Some(ka), Some(kb)) => Some(rel => ka(rel) && kb(rel))
+          case (one, other) => one.orElse(other)
+        }
+      case _ => None
+    }
+    val pKeeps = filters.flatMap(partKeep)
+    val afterPart =
+      if (pKeeps.isEmpty) s.files
+      else s.files.filter(rel => pKeeps.forall(_(rel)))
+
+    // zone-map level: evaluate comparison conjuncts against the
+    // committed per-file min/max (the scanBox machinery's rule set)
+    val statCols = filters.flatMap {
+      case EqualTo(c, _) => Seq(c)
+      case GreaterThan(c, _) => Seq(c)
+      case GreaterThanOrEqual(c, _) => Seq(c)
+      case LessThan(c, _) => Seq(c)
+      case LessThanOrEqual(c, _) => Seq(c)
+      case In(c, _) => Seq(c)
+      case _ => Nil
+    }.distinct.filter(s.statsCols.contains)
+    if (statCols.isEmpty || s.manifest.isEmpty || afterPart.isEmpty)
+      return afterPart
+    val needed = statCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    val manifest = spark.read.parquet(logFile(dir, s.manifest.get))
+    if (!needed.forall(manifest.columns.contains)) return afterPart
+    val stats: Map[String, Map[String, Any]] =
+      manifest.select(col("file") +: needed.map(col): _*).collect()
+        .map(r => r.getString(0) ->
+          needed.zipWithIndex.map { case (n, i) =>
+            n -> (if (r.isNullAt(i + 1)) null else r.get(i + 1))
+          }.toMap).toMap
+    def cmpSafe(a: Any, b: Any): Option[Boolean] =
+      try Some(statGeq(a, b)) catch { case _: Exception => None }
+    // MAY a file with these stats satisfy the conjunct? null stats =
+    // all-null column in the file: no comparison matches. A type
+    // mismatch between the literal and the stat falls open (keep).
+    def statKeep(f: Filter, fileStats: Map[String, Any]): Boolean = {
+      def mm(c: String) = (fileStats.get(s"min_$c").orNull,
+        fileStats.get(s"max_$c").orNull)
+      f match {
+        case EqualTo(c, v) if statCols.contains(c) && v != null =>
+          val (mn, mx) = mm(c)
+          mn != null && mx != null &&
+            cmpSafe(v, mn).getOrElse(true) &&
+            cmpSafe(mx, v).getOrElse(true)
+        case GreaterThan(c, v) if statCols.contains(c) && v != null =>
+          val (_, mx) = mm(c)
+          mx != null && cmpSafe(mx, v).getOrElse(true)
+        case GreaterThanOrEqual(c, v)
+          if statCols.contains(c) && v != null =>
+          val (_, mx) = mm(c)
+          mx != null && cmpSafe(mx, v).getOrElse(true)
+        case LessThan(c, v) if statCols.contains(c) && v != null =>
+          val (mn, _) = mm(c)
+          mn != null && cmpSafe(v, mn).getOrElse(true)
+        case LessThanOrEqual(c, v)
+          if statCols.contains(c) && v != null =>
+          val (mn, _) = mm(c)
+          mn != null && cmpSafe(v, mn).getOrElse(true)
+        case In(c, vs) if statCols.contains(c) =>
+          val (mn, mx) = mm(c)
+          mn != null && mx != null && vs.filter(_ != null).exists(v =>
+            cmpSafe(v, mn).getOrElse(true) && cmpSafe(mx, v).getOrElse(true))
+        case And(a, b) => statKeep(a, fileStats) && statKeep(b, fileStats)
+        case _ => true
+      }
+    }
+    afterPart.filter { rel =>
+      stats.get(rel) match {
+        case Some(fs) => filters.forall(statKeep(_, fs))
+        case None => true // no manifest row — no information, keep
+      }
+    }
+  }
 
   /** EXACT `count(*)` / per-column `min` / `max` / `count(c)` for the
     * latest snapshot, answered ENTIRELY from the committed manifest —

@@ -6,8 +6,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.datasources.{DataSourceUtils, HadoopFsRelation, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, PrunedScan}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{BaseRelation, PrunedFilteredScan, PrunedScan}
 import org.apache.spark.sql.types.StructType
 
 /** BATCH `format("graft-lake")` — the Delta-shaped entry points
@@ -126,8 +126,9 @@ private[graft] object LakeBatch {
     * existing table are the commit log's own verbs (exactly the same
     * commits the catalog and SQL surfaces land — additive schema
     * evolution, type widening, multi-writer rebase all apply); on a
-    * missing table every mode except Ignore CREATES it (the Delta
-    * convention), with `partitionBy(...)` driving the hive layout. */
+    * missing table EVERY mode creates it (the Delta convention —
+    * Ignore's no-op clause applies only when the table already
+    * exists), with `partitionBy(...)` driving the hive layout. */
   def write(spark: SparkSession, dir: String, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): Unit = {
     val partCols = opt(parameters, DataSourceUtils.PARTITIONING_COLUMNS_KEY)
@@ -237,37 +238,99 @@ private[graft] object LakeBatch {
 
 /** Exact fallback relation for snapshots a plain file scan cannot
   * express (outstanding deletion vectors, renamed columns): delegates
-  * to [[CommitLog.readAt]] — the DV anti-join and rename aliasing live
-  * there — with requested-column pruning pushed into the inner plan
-  * (the parquet scan under it prunes for real). Spark's V1 contract
-  * re-applies every filter above [[buildScan]], so no filter handling
-  * is needed for correctness; the inner plan still reads only the
-  * snapshot's files. */
+  * to the commit log's read path — the DV anti-join and rename
+  * aliasing live there — upgraded from a bare `PrunedScan` to a
+  * [[PrunedFilteredScan]] so a heavily-MoR table does not pay a full
+  * scan until its next compaction:
+  *
+  *  - FILE PRUNING: partition-column and zone-map-prunable conjuncts
+  *    select files through the commit log's metadata
+  *    ([[CommitLog.selectFilesForFilters]] — hive path values + the
+  *    committed manifest), so a partition-filtered read of a
+  *    DV-carrying table opens only the matching partitions' files;
+  *  - ROW-GROUP PUSHDOWN: every translatable filter is also applied
+  *    INSIDE the inner plan, where Catalyst pushes it through the DV
+  *    anti-join into the parquet scan;
+  *  - STATISTICS: [[sizeInBytes]] reports the snapshot's real byte
+  *    count (summed once per relation), so join planning still
+  *    broadcasts a small lake table on the fallback path instead of
+  *    defaulting to the sort-merge cliff.
+  *
+  * Spark's V1 contract re-applies every filter above [[buildScan]]
+  * (`unhandledFilters` keeps its conservative default), so both
+  * prunings are pure I/O wins — results stay exact. */
 private[graft] final case class GraftLakeScanRelation(
     spark: SparkSession, dir: String, version: Long) extends BaseRelation
-    with PrunedScan {
+    with PrunedFilteredScan {
 
   override def sqlContext: org.apache.spark.sql.SQLContext =
     spark.sqlContext
 
+  private lazy val snap = CommitLog.snapshotAt(spark, dir, version)
+
   // schema from the committed metadata (no plan, no DV footer I/O),
   // in the order every read surfaces: data columns, partitions last
   override val schema: StructType = {
-    val s = CommitLog.snapshotAt(spark, dir, version)
-    val (sch, partCols, _) = CommitLog.tableMeta(spark, dir, s)
+    val (sch, partCols, _) = CommitLog.tableMeta(spark, dir, snap)
     val (partF, dataF) = sch.fields.partition(f =>
       partCols.contains(f.name))
     StructType(dataF ++ partF)
   }
 
-  // planned once per relation: the version is immutable, and planning
-  // readAt costs snapshot parsing + deletion-vector schema inference
-  private lazy val frame = CommitLog.readAt(spark, dir, version)
+  /** Real table size: the snapshot's files summed once (driver-side
+    * metadata listing, memoized for the relation's lifetime). Without
+    * it a BaseRelation defaults to `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue-ish), and every join against the fallback path
+    * loses its broadcast. */
+  override lazy val sizeInBytes: Long = {
+    val d = CommitLog.dataDir(dir)
+    val fs = new Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snap.files.map { r =>
+      try fs.getFileStatus(new Path(s"$d/$r")).getLen
+      catch { case _: Exception => 0L }
+    }.sum
+  }
 
-  override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
+  /** Push-down [[Filter]] rendered back as a [[Column]] for the inner
+    * plan — best-effort: an untranslatable node returns None and that
+    * conjunct is simply not pushed (Spark re-applies it above). */
+  private def toColumn(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, v) => Some(col(c) === lit(v))
+      case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+      case GreaterThan(c, v) => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case LessThan(c, v) => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+      case In(c, vs) => Some(col(c).isInCollection(vs.toSeq))
+      case IsNull(c) => Some(col(c).isNull)
+      case IsNotNull(c) => Some(col(c).isNotNull)
+      case And(a, b) => for { ca <- toColumn(a); cb <- toColumn(b) }
+        yield ca && cb
+      case Or(a, b) => for { ca <- toColumn(a); cb <- toColumn(b) }
+        yield ca || cb
+      case Not(a) => toColumn(a).map(!_)
+      case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+      case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+      case StringContains(c, v) => Some(col(c).contains(v))
+      case _ => None
+    }
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter]): RDD[Row] = {
+    val survivors = CommitLog.selectFilesForFilters(
+      spark, dir, snap, filters.toIndexedSeq)
+    val base0 = CommitLog.readSnapshotFileSubset(spark, dir, snap,
+      survivors)
+    val base = filters.flatMap(toColumn)
+      .reduceOption(_ && _).map(base0.filter).getOrElse(base0)
     val pruned =
-      if (requiredColumns.isEmpty) frame.select() // COUNT(*): rows only
-      else frame.select(requiredColumns.toIndexedSeq.map(col): _*)
+      if (requiredColumns.isEmpty) base.select() // COUNT(*): rows only
+      else base.select(requiredColumns.toIndexedSeq.map(col): _*)
     pruned.rdd
   }
 }

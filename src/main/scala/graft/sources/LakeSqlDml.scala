@@ -268,6 +268,16 @@ object LakeSqlDml {
         require(args.size == 2, "CALL graft_branch_ff(dir, name)")
         GraftCallCommand(dir0,
           s => CommitLog.fastForward(s, dir0, str(1)).version, "branch-ff")
+      case "branch_merge" =>
+        require(args.size == 2, "CALL graft_branch_merge(dir, name)")
+        GraftCallCommand(dir0,
+          s => CommitLog.mergeBranch(s, dir0, str(1)).version,
+          "branch-merge")
+      case "branch_rebase" =>
+        require(args.size == 2, "CALL graft_branch_rebase(dir, name)")
+        GraftCallCommand(dir0,
+          s => CommitLog.rebaseBranch(s, dir0, str(1)).version,
+          "branch-rebase")
       case "clone" =>
         require(args.size == 2 || args.size == 3,
           "CALL graft_clone(srcDir, dstDir[, atVersion])")
@@ -278,6 +288,7 @@ object LakeSqlDml {
         s"unknown lake verb CALL graft_$other — supported: compact, " +
           "compact_clustered, compact_zorder, compact_where, vacuum, " +
           "restore, tag, publish, branch, branch_drop, branch_ff, " +
+          "branch_merge, branch_rebase, " +
           "clone, vacuum_dry_run")
     }
   }

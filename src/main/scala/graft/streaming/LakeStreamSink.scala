@@ -76,14 +76,40 @@ class LakeStreamSink(spark: SparkSession, dir: String,
     }
   }
 
+  /** Materialize the micro-batch plan ONCE into a writer-private spill
+    * under the table's staging area and hand back a parquet-backed
+    * frame over it — update/CDC modes' replacement for the old
+    * `isEmpty` probe, which re-executed the whole upstream plan per
+    * trigger (legal under the V1 sink contract, but an expensive
+    * upstream — a join or aggregation feeding the upsert — paid ~2×
+    * per batch). Everything downstream (emptiness branch, the upsert's
+    * own partition merge) reads the spilled bytes; the spill is
+    * deleted after the commit and, if a crash strands it, ages out of
+    * vacuum's `_staging` sweep like any writer residue. The read is
+    * shaped by the BATCH's schema, so a zero-row batch (no part files)
+    * still scans as an empty frame instead of failing inference. */
+  private def spillOnce(batch: DataFrame): (DataFrame, () => Unit) = {
+    val d = CommitLog.dataDir(dir)
+    val spill = s"$d/_staging/sinkbatch-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    batch.write.parquet(spill) // the ONE execution of the batch plan
+    val staged = spark.read.schema(batch.schema).parquet(spill)
+    val cleanup = () => {
+      val p = new org.apache.hadoop.fs.Path(spill)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      ()
+    }
+    (staged, cleanup)
+  }
+
   /** Empty micro-batches: append mode detects them from its own staged
-    * write (zero extra work on the hot path); update/CDC modes probe
-    * with `isEmpty` first — that re-executes the batch plan once
-    * (micro-batch plans are re-executable by the V1 sink contract),
-    * the price of not committing a version per data-free trigger;
-    * complete mode treats an empty batch as "the state is now empty"
-    * and overwrites an EXISTING table to zero rows (skipping only when
-    * there is nothing to create yet). */
+    * write (zero extra work on the hot path); update/CDC modes detect
+    * them from their one spilled materialization ([[spillOnce]] — the
+    * upstream plan executes exactly once per trigger); complete mode
+    * treats an empty batch as "the state is now empty" and overwrites
+    * an EXISTING table to zero rows (skipping only when there is
+    * nothing to create yet). */
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val queryId = StreamBridge.currentQueryId(spark).getOrElse(
       throw new IllegalStateException(
@@ -101,19 +127,25 @@ class LakeStreamSink(spark: SparkSession, dir: String,
           bootstrapPartCols = partitionColumns)
         maintain()
       case m if m == OutputMode.Update() =>
-        if (batch.isEmpty) return // nothing to merge; replay-safe no-op
         val pc = partitionCol.orElse(partitionColumns.headOption)
           .getOrElse(throw new IllegalArgumentException(
             "graft-lake sink in update mode needs option " +
               "partitionColumn (or .partitionBy) — the upsert's " +
               "copy-on-write unit"))
-        if (applyCdc)
-          CommitLog.sinkApplyCdc(spark, batch, dir, keyCols, pc,
-            queryId, batchId)
-        else
-          CommitLog.sinkUpsert(spark, batch, dir, keyCols, pc, seqCol,
-            queryId, batchId)
-        ()
+        val (staged, cleanup) = spillOnce(batch)
+        try {
+          // emptiness from the spilled bytes (a footer-only scan), and
+          // the merge itself reads the same spill — ONE upstream
+          // execution per trigger
+          if (staged.isEmpty) return // nothing to merge; replay-safe
+          if (applyCdc)
+            CommitLog.sinkApplyCdc(spark, staged, dir, keyCols, pc,
+              queryId, batchId)
+          else
+            CommitLog.sinkUpsert(spark, staged, dir, keyCols, pc, seqCol,
+              queryId, batchId)
+          ()
+        } finally cleanup()
       case _ => // Complete
         if (CommitLog.latest(spark, dir).isEmpty && batch.isEmpty)
           return // nothing to create yet

@@ -306,4 +306,59 @@ class LakeBatchSpec extends AnyFunSuite {
       .count() == 120L)
     assert(spark.read.format("graft-lake").load(dir).count() == 100L)
   }
+
+  test("fallback path prunes FILES: partition conjuncts select only the " +
+    "matching partitions' files, zone-map conjuncts cut by the " +
+    "committed manifest, and results stay exact through the DV") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    val dir = fresh()
+    // k clustered into file ranges (repartitionByRange) under pd=k/100,
+    // stats declared on k so the manifest carries per-file zone maps
+    spark.range(0, 300).select($"id".as("k"), ($"id" % 7).as("v"),
+      concat(lit("d"), ($"id" / 100).cast("long")).as("pd"))
+      .repartitionByRange(3, $"k")
+      .write.partitionBy("pd").parquet(dir)
+    CommitLog.init(spark, dir, Seq("k"))
+    CommitLog.deleteVectors(spark, dir, $"k" === 5L) // forces fallback
+    val s = CommitLog.latest(spark, dir).get
+    assert(s.dvs.nonEmpty)
+    // partition pruning: pd = 'd1' keeps only pd=d1 files
+    val sel = CommitLog.selectFilesForFilters(spark, dir, s,
+      Seq(EqualTo("pd", "d1")))
+    assert(sel.nonEmpty && sel.forall(_.startsWith("pd=d1/")),
+      s"partition selection leaked: $sel")
+    assert(sel.size < s.files.size, "selection must actually prune")
+    // zone-map pruning: k >= 250 keeps strictly fewer files
+    val sel2 = CommitLog.selectFilesForFilters(spark, dir, s,
+      Seq(GreaterThanOrEqual("k", 250L)))
+    assert(sel2.size < s.files.size,
+      s"zone maps pruned nothing: ${sel2.size} of ${s.files.size}")
+    // end-to-end: the filtered read is exact, the filter reaches the
+    // relation (PushedFilters on the V1 scan), the DV'd row stays gone
+    val q = spark.read.format("graft-lake").load(dir)
+      .filter($"pd" === "d1" && $"k" >= 150L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"),
+      s"fallback scan advertises no pushdown:\n$plan")
+    assert(q.select($"k").as[Long].collect().toSet ==
+      (150L until 200L).toSet)
+    assert(spark.read.format("graft-lake").load(dir).count() == 299L)
+    assert(spark.read.format("graft-lake").load(dir)
+      .filter($"k" < 10L).count() == 9L) // DV'd k=5 absent in-range too
+  }
+
+  test("fallback path reports real statistics: a small DV-carrying " +
+    "lake table still BROADCASTS in a join") {
+    val dir = fresh()
+    df(0, 50).write.format("graft-lake").save(dir)
+    CommitLog.deleteVectors(spark, dir, $"k" === 1L)
+    val small = spark.read.format("graft-lake").load(dir)
+    val big = spark.range(0, 10000)
+      .select($"id".as("k"), ($"id" * 2).as("x"))
+    val j = big.join(small, "k")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small lake side did not broadcast on the fallback path:\n$plan")
+    assert(j.count() == 49L)
+  }
 }

@@ -355,6 +355,38 @@ class LakeStreamSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("update mode executes the upstream plan exactly ONCE per " +
+    "trigger — the emptiness branch reads the spilled materialization, " +
+    "never re-runs the batch plan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = work(); val out = s"$w/out"
+    val mem = MemoryStream[Long]
+    val acc = spark.sparkContext.longAccumulator("upstream-executions")
+    // the accumulator counts upstream ROW materializations: with the
+    // old isEmpty probe every trigger paid the plan twice (2 rows per
+    // input row); the spilled-once shape pays exactly one
+    val df = mem.toDS().map { v =>
+      acc.add(1L); (v, v % 7, s"p${v % 2}")
+    }.toDF("k", "v", "pd")
+    val q = df.writeStream.format("graft-lake")
+      .outputMode("update")
+      .option("keyColumns", "k")
+      .option("partitionColumn", "pd")
+      .option("checkpointLocation", s"$w/chk")
+      .start(out)
+    try {
+      mem.addData(0L, 1L, 2L, 3L)
+      q.processAllAvailable()
+      mem.addData(4L, 5L)
+      q.processAllAvailable()
+      assert(CommitLog.read(spark, out).count() == 6)
+      assert(acc.value == 6L,
+        s"upstream plan ran ${acc.value / 6.0}x per trigger — the " +
+          "update path must execute the micro-batch exactly once")
+    } finally q.stop()
+  }
+
   test("update mode upserts by key (sequence-aware); complete mode " +
     "replaces the snapshot per batch") {
     val w = work(); val src = s"$w/src"; val out = s"$w/out"
