@@ -1703,6 +1703,82 @@ object EngineQueries {
       .orderBy(col("flag"))
   }
 
+  // ------------------------------------------------ q196_branch_merge
+  // BRANCH MERGE UNDER DIVERGENCE end to end — the live-table promote
+  // loop fastForward alone cannot close: an orders lake forks a branch,
+  // then BOTH sides commit (main appends its flag='O' slice — a live
+  // table never freezes; the branch COW-DELETEs inside flag='F' and
+  // appends its own flag='F' slice), so the histories genuinely
+  // diverge. CALL graft_branch_merge rebases the branch's post-fork
+  // delta onto the advanced main head (commit-level partition conflict
+  // units — the two sides' rewrites are disjoint by partition, the
+  // merge is legal) and fast-forwards. The serving aggregate reads
+  // MAIN after the merge; the DuckDB oracle recomputes the merged
+  // state from raw orders, so the hash-match proves the rebase lost no
+  // side's rows, applied the branch delete exactly once, and the
+  // adoption published atomically. True conflicts and the randomized
+  // interleave property are pinned in RebaseSpec. At 100 TB the rebase
+  // is metadata-plane file-list algebra plus a churn-sized manifest
+  // merge — work proportional to the BRANCH's churn, never the table.
+  private val q196Lakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def q196Lake(s: SparkSession, d: String): String =
+    q196Lakes.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q196_")
+      val lake = s"$work/lake"
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      ords.filter(col("o_orderkey") <= 20000)
+        .write.partitionBy("flag").parquet(lake)
+      graft.sources.CommitLog.init(s, lake)
+      s.sql(s"CALL graft_branch('$lake', 'exp')")
+      // main advances past the fork: its own append (flag='O' slice)
+      graft.sources.CommitLog.append(s,
+        ords.filter(col("o_orderkey") > 20000 &&
+          col("o_orderkey") <= 25000 && col("flag") === "O"), lake)
+      // the branch diverges: a COW delete confined to flag='F', then
+      // its own append of the flag='F' slice
+      s.sql(
+        s"DELETE FROM graft_lake('$lake@exp') " +
+          "WHERE flag = 'F' AND o_orderkey % 10 = 3")
+      graft.sources.CommitLog.append(s,
+        ords.filter(col("o_orderkey") > 20000 &&
+          col("o_orderkey") <= 25000 && col("flag") === "F"),
+        s"$lake@exp")
+      // merge: rebase the branch onto the advanced head, then adopt
+      s.sql(s"CALL graft_branch_merge('$lake', 'exp')").collect()
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      lake
+    })
+
+  private def q196BranchMerge(s: SparkSession, d: String): DataFrame = {
+    val lake = q196Lake(s, d)
+    s.sql(
+      s"""SELECT flag, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price,
+         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+         |FROM graft_lake('$lake')
+         |GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+
+  private val q196Sql =
+    """SELECT o_orderstatus AS flag, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      |FROM orders
+      |WHERE (o_orderkey <= 20000
+      |        AND NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3))
+      |   OR (o_orderkey > 20000 AND o_orderkey <= 25000
+      |        AND o_orderstatus IN ('F', 'O'))
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
   // ------------------------------------------------------- q181_zorder
   // Z-order clustering end-to-end: a lineitem slice is rewritten by
   // CALL graft_compact_zorder on (l_partkey, l_suppkey), then served
@@ -2542,6 +2618,7 @@ object EngineQueries {
     Q("q191_branch", q191Branch, Some(q191Sql)),
     Q("q192_format_io", q192FormatIo, Some(q192Sql)),
     Q("q193_clone", q193Clone, Some(q192Sql)),
+    Q("q196_branch_merge", q196BranchMerge, Some(q196Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

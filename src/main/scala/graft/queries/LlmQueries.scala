@@ -935,6 +935,32 @@ object LlmQueries {
        |FROM r WHERE neg_rank <= 5
        |ORDER BY query_id, neg_rank""".stripMargin
 
+  // -------------------------------------------------- q197_hybrid_routed
+  // q194's RRF fusion served ENTIRELY FROM PERSISTED INDEXES — the
+  // round-13 verdict's "index-routed hybrid retrieval" ask: the
+  // lexical leg reads the q160 inverted index (Bloom-pruned postings,
+  // never the corpus), the vector leg reads the q24 IVF index
+  // (Bloom-pruned probe cells) at nProbe = ALL 8 cells, scored on the
+  // same 6-decimal-rounded cosine + id tiebreak as the brute-force
+  // q23 — so the routed result is BIT-EQUAL to the corpus-scan fusion
+  // and shares q194's DuckDB oracle verbatim (the strongest possible
+  // "routed ≡ raw" proof: both hash-match one recomputation).
+  // HybridRoutedSpec additionally pins frame equality and that fewer
+  // probes degrade gracefully. At 100 TB this is the serving path:
+  // q194 re-derives BM25 from the corpus by design (the oracle-parity
+  // twin); a standing retrieval service runs THIS shape.
+  private def q197HybridRouted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.text.Retrieval.hybridTopK(s,
+      textIndexDir = q160Index(s, d),
+      vecIndexDir = q24Index(s, d),
+      termQueries = q139Queries.filter(_._1 < 5)
+        .toDF("query_id", "term", "pos"),
+      vecQueries = Tables.embeddings(s, d).filter(col("vec_id") < 5),
+      vecIdCol = "vec_id", vecCol = "embedding",
+      k = 10, arity = 3, nProbe = 8)
+  }
+
   // --------------------------------------------------- q160_index_search
   // The q139 query batch answered WITHOUT the corpus: a persisted
   // inverted index (graft.text.InvertedIndex) is built once per session
@@ -1486,6 +1512,7 @@ object LlmQueries {
     Q("q136_bm25", q136Bm25, Some(q136Sql)),
     Q("q139_bm25_batch", q139Bm25Batch, Some(q139Sql)),
     Q("q194_hybrid_rrf", q194HybridRrf, Some(q194Sql)),
+    Q("q197_hybrid_routed", q197HybridRouted, Some(q194Sql)),
     Q("q195_hard_negatives", q195HardNegatives, Some(q195Sql)),
     Q("q160_index_search", q160IndexSearch, Some(q139Sql)),
     Q("q161_index_update", q161IndexUpdate, Some(q161Sql)),

@@ -138,6 +138,21 @@ object IvfIndex {
   def topKPersisted(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int): DataFrame = {
+    val (assigned, probes) =
+      candidatesPersisted(spark, dir, queries, idCol, vecCol, nProbe)
+    rank(assigned, probes, k)
+  }
+
+  /** The PROBED slice of a persisted index, pre-scoring: the Bloom-
+    * pruned assignment rows of the queries' probe cells plus the probe
+    * table itself (query_id, qv, cell) — the building block for
+    * callers that score candidates their OWN way (the hybrid-retrieval
+    * fusion ranks on the 6-decimal-rounded cosine to stay
+    * bit-reproducible against its oracle twin, where [[topK]]'s raw
+    * ranking serves the recall-floored ANN path). */
+  def candidatesPersisted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int): (DataFrame, DataFrame) = {
     import graft.sources.CommitLog
     val centroids = loadCentroids(spark, dir)
     val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
@@ -146,6 +161,6 @@ object IvfIndex {
     val assigned =
       if (cells.isEmpty) CommitLog.read(spark, dir).limit(0)
       else CommitLog.scanPointsIn(spark, dir, "cell", cells)._1
-    rank(assigned, probes, k)
+    (assigned, probes)
   }
 }

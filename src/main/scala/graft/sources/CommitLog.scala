@@ -2866,6 +2866,54 @@ object CommitLog {
       .flatMap(b => versionNumbers(f, s"$d@$b").lastOption.map((b, _)))
   }
 
+  /** PER-BRANCH RETENTION REPORT — the operational answer to "which
+    * stale branch is pinning my storage": for every branch, its head
+    * version, head AGE (ms since the head committed — a month-old head
+    * is an abandoned experiment), and the files + bytes SOLELY
+    * retained by that branch (referenced by some version of its log
+    * and by no other log over the data directory — exactly the bytes
+    * [[dropBranch]] + [[vacuum]] would reclaim). Vacuum itself unions
+    * every log's references by design, so nothing else ever surfaces
+    * this; without the report a table with hundreds of dead branches
+    * silently pays their retention on every vacuum. Metadata-plane:
+    * version-file reads plus one FileStatus per solely-retained file
+    * (churn-sized — shared files are never stat'ed). SQL surface:
+    * `SELECT * FROM graft_lake_branch_report('dir')`. */
+  def branchRetentionReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = dataDir(dir)
+    val f = hadoopFs(spark, d)
+    val now = System.currentTimeMillis()
+    def snaps(t: String): Seq[Snapshot] =
+      versionNumbers(f, t).flatMap { v =>
+        try Some(parse(readText(f, versionFile(t, v))))
+        catch { case _: Exception => None }
+      }
+    val branches = listBranches(spark, d)
+    val mainRefs = snaps(d).flatMap(_.files).toSet
+    val branchSnaps = branches.map { case (b, _) => b -> snaps(s"$d@$b") }
+    val branchRefs = branchSnaps.map { case (b, ss) =>
+      b -> ss.flatMap(_.files).toSet }.toMap
+    val rows = branchSnaps.map { case (b, ss) =>
+      val others = mainRefs ++
+        branchRefs.collect { case (o, r) if o != b => r }.flatten
+      val sole = (branchRefs(b) -- others).toSeq.sorted
+      val bytes = sole.map { r =>
+        try f.getFileStatus(new Path(d, r)).getLen
+        catch { case _: Exception => 0L }
+      }.sum
+      val head = ss.maxByOption(_.version)
+      val headV = head.map(_.version).getOrElse(-1L)
+      val age = head.map(h =>
+        if (h.committedAt > 0L) now - h.committedAt else -1L)
+        .getOrElse(-1L)
+      (b, headV, age, sole.size.toLong, bytes)
+    }
+    import spark.implicits._
+    rows.toDF("branch", "head_version", "head_age_ms",
+      "sole_retained_files", "sole_retained_bytes")
+      .orderBy(col("sole_retained_bytes").desc, col("branch"))
+  }
+
   /** Delete branch `name`'s commit log. Data files only the branch
     * referenced become unreferenced — reclaimed by the next [[vacuum]]
     * past the age fence, never here (a concurrent reader may still be

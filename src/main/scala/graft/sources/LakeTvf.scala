@@ -120,6 +120,11 @@ object LakeTvf {
         CommitLog.listBranches(s, dirArg("graft_lake_branches", args.head)))
         .toDF("branch", "head_version"))
     },
+    "graft_lake_branch_report" -> { args =>
+      require(args.size == 1, "graft_lake_branch_report(dir)")
+      analyzed(CommitLog.branchRetentionReport(SparkSession.active,
+        dirArg("graft_lake_branch_report", args.head)))
+    },
     "graft_lake_tag" -> { args =>
       require(args.size == 2, "graft_lake_tag(dir, name)")
       analyzed(LakeRefs.readTag(SparkSession.active,

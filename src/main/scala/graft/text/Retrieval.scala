@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** BM25 lexical retrieval scoring — the ranking half of the
@@ -179,5 +179,77 @@ object Retrieval {
       .filter(col("rn") <= k)
       .select(col("query_id"), id, round(col("raw"), 6).as("score"))
       .orderBy(col("query_id"), col("score").desc, id)
+  }
+
+  /** INDEX-ROUTED HYBRID RETRIEVAL: the BM25 + cosine reciprocal-rank
+    * fusion (RRF, `Σ sides 1/(rrfK + rank)` at the standard k=60)
+    * served entirely from PERSISTED indexes — the corpus is never
+    * scanned:
+    *
+    *  - the LEXICAL leg reads the inverted index at `textIndexDir`
+    *    ([[InvertedIndex.search]] — Bloom-pruned posting files, exact
+    *    df from the pruned slice, the bit-identical BM25 chain);
+    *  - the VECTOR leg reads the IVF index at `vecIndexDir`
+    *    ([[graft.sim.IvfIndex.candidatesPersisted]] — Bloom-pruned
+    *    probe cells), scoring candidates on the 6-DECIMAL-ROUNDED
+    *    cosine with an id tiebreak: the exact rank rule the raw
+    *    brute-force twin uses, so with `nProbe` = the index's cell
+    *    count the routed result EQUALS the corpus-scan fusion
+    *    bit for bit (HybridRoutedSpec pins it; q197 shares q194's
+    *    DuckDB oracle). Fewer probes trade recall for serving cost —
+    *    the ANN dial, unchanged.
+    *
+    * `termQueries` holds (query_id, term, pos); `vecQueries` holds
+    * (vecIdCol, vecCol) per query. Returns (query_id, doc_id, rank,
+    * rrf) — rrf rounded to 6 decimals, which cannot flip a rank: at
+    * k=60 with leg ranks ≤ k, distinct rank sets differ by ≥ 1e-4.
+    *
+    * At 100 TB this is the serving shape: both legs open only the
+    * files their Blooms admit, the fusion is a top-k-sized full outer
+    * join, and nothing re-tokenizes or re-embeds the corpus. */
+  def hybridTopK(spark: SparkSession, textIndexDir: String,
+      vecIndexDir: String, termQueries: DataFrame, vecQueries: DataFrame,
+      vecIdCol: String, vecCol: String, k: Int, arity: Int,
+      nProbe: Int, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // lexical leg: top-k per query from the posting index, re-ranked on
+    // the rounded score exactly as the corpus-scan twin ranks
+    val idCol = graft.sources.CommitLog.latest(spark, textIndexDir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$textIndexDir holds no index commit log"))
+      .props.getOrElse("bm25.id_col", throw new IllegalStateException(
+        s"$textIndexDir carries no bm25 props"))
+    val t = InvertedIndex.search(spark, textIndexDir, termQueries, k, arity)
+      .withColumn("trank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col(idCol))))
+      .select(col("query_id"), col(idCol).as("doc_id"), col("trank"))
+    // vector leg: probed candidates scored on round(cosine, 6) with an
+    // id tiebreak — the brute-force twin's exact rank rule
+    val (assigned, probes) = graft.sim.IvfIndex.candidatesPersisted(
+      spark, vecIndexDir, vecQueries, vecIdCol, vecCol, nProbe)
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id").as("neighbor_id"),
+        round(graft.sim.Similarity.cosine(col("qv"), col("nn_vec")), 6)
+          .as("sim6"))
+    val v = graft.functions.NativeTopK.topKPerGroup(
+      scored, Seq("query_id"), col("sim6"), col("neighbor_id"), k,
+      sortName = "sim6", idName = "neighbor_id")
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vrank"))
+    // RRF fusion: a top-k-sized full outer join, absent legs score 0
+    t.join(v, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("trank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vrank")), lit(0.0)))
+          .as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -480,4 +480,35 @@ class BranchSpec extends AnyFunSuite {
       .select($"k").as[Long].collect().toSet
     assert(got.contains(2000L) && !got.contains(1000L))
   }
+
+  test("branch retention report names the stale branch and the bytes " +
+    "only it retains") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "fresh")
+    CommitLog.createBranch(spark, dir, "stale")
+    // the stale branch rewrites d0: its post-image files are referenced
+    // by no other log — exactly the bytes dropBranch + vacuum would free
+    CommitLog.upsert(spark,
+      Seq((10L, 1L, "d0")).toDF("k", "v", "pd"),
+      CommitLog.branchTarget(dir, "stale"), Seq("k"), "pd")
+    val rep = spark.sql(s"SELECT * FROM graft_lake_branch_report('$dir')")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rep.keySet == Set("fresh", "stale"))
+    val (_, staleAge, staleFiles, staleBytes) = rep("stale")
+    assert(staleFiles > 0L && staleBytes > 0L,
+      s"stale branch's sole retention not reported: $rep")
+    assert(staleAge >= 0L)
+    // the fresh branch (seed only — every reference shared with main)
+    // retains nothing of its own
+    assert(rep("fresh")._3 == 0L && rep("fresh")._4 == 0L,
+      s"seed-only branch must retain no sole bytes: $rep")
+    // and the reclaim actually happens: drop + vacuum frees ≥ the
+    // reported bytes' files
+    CommitLog.dropBranch(spark, dir, "stale")
+    val dropped = CommitLog.vacuum(spark, dir, keepLast = 100,
+      staleStagingMs = -1L)
+    assert(dropped.size.toLong >= staleFiles,
+      s"vacuum freed ${dropped.size}, report promised $staleFiles")
+  }
 }
