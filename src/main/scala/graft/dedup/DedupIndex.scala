@@ -137,9 +137,18 @@ object DedupIndex {
       .select(col("id").as("new_id"), col("id").as("doc_id"),
         lit(0.0).as("jaccard"))
       .limit(0)
+    val prof = sys.props.get("graft.dedup.profile").contains("1") ||
+      sys.env.get("GRAFT_DEDUP_PROFILE").contains("1")
+    var tMark = System.nanoTime()
+    def mark(stage: String): Unit = if (prof) {
+      val now = System.nanoTime()
+      System.err.println(f"[dedup-profile] $stage ${(now - tMark) / 1e9}%.2f s")
+      tMark = now
+    }
     // the batch vocabulary — bounded by the probe batch, not the corpus
     val qTerms = toks.select(explode(col("toks")).as("term")).distinct()
       .collect().map(_.getString(0)).toSeq
+    mark(s"tokenize+vocab (${qTerms.size} terms)")
     if (qTerms.isEmpty) return emptyResult
     // 1. rarity order for the batch vocabulary: Bloom-pruned slice of
     //    the terms table; a token the corpus never saw has no df row and
@@ -163,20 +172,31 @@ object DedupIndex {
     // (CleanStateSpec bounds the per-query checkpoint budget)
     val prefixes = ranked
       .filter(col("pos") <= col("sz_a") - ceil(tDec * col("sz_a")) + 1)
-      .select(col("new_id"), col("term"))
+      .select(col("new_id"), col("sz_a"), col("term"))
     val prefixTerms = prefixes.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
+    mark(s"df-slice+prefix (${prefixTerms.size} prefix terms)")
     if (prefixTerms.isEmpty) return emptyResult
     // 2. candidates: prefix terms probed against the postings (rare
-    //    terms → short lists; Bloom negatives skip whole files)
+    //    terms → short lists; Bloom negatives skip whole files), then
+    //    the LOSSLESS SIZE FILTER: J ≥ t forces min(|A|,|B|) ≥
+    //    t·max(|A|,|B|) (J ≤ min/max), evaluated in DECIMAL so an
+    //    exact-boundary pair can never be dropped by fp drift — prunes
+    //    incompatible-size pairs before the pair×token verification
+    //    explode, the stage that dominates when blocking is
+    //    unselective (templated corpora)
     val postSlice = CommitLog.scanPointsInAt(spark, postingsDir(dir), pv,
       "term", prefixTerms)._1
     val cand = prefixes
-      .join(postSlice.select(col("term"), col("doc_id")), Seq("term"))
+      .join(postSlice.select(col("term"), col("doc_id"),
+        col("sz").as("sz_b")), Seq("term"))
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        tDec * greatest(col("sz_a"), col("sz_b")))
       .select(col("new_id"), col("doc_id")).distinct()
       .localCheckpoint(eager = false)
     val candIds = cand.select(col("doc_id")).distinct()
       .collect().map(_.get(0)).toSeq
+    mark(s"postings-probe+candidates (${candIds.size} candidate docs)")
     if (candIds.isEmpty) return emptyResult
     // 3. exact verification: the candidates' FULL token sets via the
     //    doc_id Blooms; overlap counts only matching tokens, so the
@@ -185,10 +205,18 @@ object DedupIndex {
     val candPost = CommitLog.scanPointsInAt(spark, postingsDir(dir), pv,
       "doc_id", candIds)._1
       .filter(col("doc_id").isInCollection(candIds)) // bloom fp re-check
+    // both probe-batch-sized sides broadcast EXPLICITLY: the pair×token
+    // intermediate (|cand pairs| × tokens-per-probe — the dominant
+    // volume when blocking is unselective) then flows through two
+    // broadcast hash joins and a map-side partial aggregate, shuffling
+    // only the pair-sized counts; without the hints the checkpointed
+    // inputs carry no size stats and the planner sort-merges the
+    // intermediate through three shuffles (~40% of q172's serving cost
+    // at sf0.1 — see SCALE.md)
     cand
-      .join(newToks, Seq("new_id"))
-      .join(candPost.select(col("doc_id"), col("term"),
-        col("sz").as("sz_b")), Seq("doc_id", "term"))
+      .join(broadcast(newToks), Seq("new_id"))
+      .join(broadcast(candPost.select(col("doc_id"), col("term"),
+        col("sz").as("sz_b"))), Seq("doc_id", "term"))
       .groupBy(col("new_id"), col("doc_id"))
       .agg(count(lit(1)).as("inter"), first(col("sz_a")).as("sz_a"),
         first(col("sz_b")).as("sz_b"))
