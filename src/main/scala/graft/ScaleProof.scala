@@ -123,6 +123,60 @@ object ScaleProof {
     spark.range(batches).toDF("batches")
   }
 
+  /** Branch REBASE/MERGE at sf1 (round-13 verdict item 8): fork the 10×
+    * orders lake, advance BOTH sides with multi-hundred-file append
+    * churn, then mergeBranch — twice, with ~30× different branch churn
+    * — and record wall times. Proof obligations: the merged table is
+    * row-exact (main's rows + both sides' appended slices, exactly
+    * once), and the merge cost tracks the BRANCH'S CHURN (the file-list
+    * algebra is metadata-plane; the manifest merge filters by
+    * churn-sized In-lists), not the table's size — the small-churn and
+    * big-churn merges run against the SAME table, so their ratio
+    * isolates the churn term. */
+  private def rebaseMerge(spark: SparkSession, dst: String): DataFrame = {
+    import graft.sources.CommitLog
+    val work = Files.createTempDirectory("graft_scale_rebase_").toString
+    val lake = s"$work/lake"
+    val orders = spark.read.parquet(s"$dst/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus").as("flag"))
+    orders.repartition(64).write.partitionBy("flag").parquet(lake)
+    CommitLog.init(spark, lake, statsCols = Seq("o_orderkey"))
+    val tableFiles = CommitLog.latest(spark, lake).get.files.size
+    val base = CommitLog.read(spark, lake).count()
+    // disjoint fresh-key slices drawn from orders itself (schema-exact)
+    def slice(lo: Long, n: Long, shift: Long, files: Int) = orders
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") < lo + n)
+      .withColumn("o_orderkey", col("o_orderkey") + shift)
+      .repartition(files)
+    def mergeRound(tag: String, churnFiles: Int, shift: Long): Double = {
+      CommitLog.createBranch(spark, lake, tag)
+      val before = CommitLog.latest(spark, lake).get.files.size
+      // main advances past the fork…
+      CommitLog.append(spark, slice(1L, 20000L, shift, 8), lake)
+      // …while the branch lands its churn (churnFiles tasks × 3 flags)
+      CommitLog.append(spark,
+        slice(1L, 20000L, shift + Shift, churnFiles), s"$lake@$tag")
+      val churn = CommitLog.latest(spark, s"$lake@$tag").get.files.size -
+        before + 8
+      val t0 = System.nanoTime()
+      CommitLog.mergeBranch(spark, lake, tag)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] rebase_merge/$tag: $churn churn files over a " +
+        f"$tableFiles-file sf1 table merged in $dt%.2f s")
+      dt
+    }
+    val dtSmall = mergeRound("small", 16, 4 * Shift * 100)
+    val dtBig = mergeRound("big", 512, 6 * Shift * 100)
+    val got = CommitLog.read(spark, lake).count()
+    require(got == base + 4 * 20000L,
+      s"rebase_merge lost rows: $got, expected ${base + 4 * 20000L}")
+    println(f"[scale] rebase_merge: small-churn $dtSmall%.2f s vs " +
+      f"big-churn $dtBig%.2f s on the same $tableFiles-file table — " +
+      "the delta is the churn term, the base is per-merge planning")
+    spark.range(1).toDF("ok")
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dst = args.headOption.getOrElse("/tmp/graft_sf1")
@@ -154,6 +208,8 @@ object ScaleProof {
         // format("graft-lake") read/write triangle — the commits stay
         // churn-sized while the scan side grows 10x
         "q191_branch", "q192_format_io",
+        // round-14: merge-under-divergence at sf1 (churn-proportional)
+        "rebase_merge",
         "backlog_drain")
     // local[8], not local[32]: saturating every advertised CPU trips the
     // host's kernel-side thrash (measured 4-25x inflation at local[32] on
@@ -177,6 +233,7 @@ object ScaleProof {
     val results = names.map { name =>
       val fn =
         if (name == "backlog_drain") backlogDrain _
+        else if (name == "rebase_merge") rebaseMerge _
         else SparkEntry.queries(name)
       val t0 = System.nanoTime()
       var rows = -1L
