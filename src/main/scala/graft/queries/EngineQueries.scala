@@ -1779,6 +1779,96 @@ object EngineQueries {
       |        AND o_orderstatus IN ('F', 'O'))
       |GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // -------------------------------------------------- q198_txn_append
+  // MULTI-TABLE ATOMIC WRITE end to end (LakeTxn.appendAll): a dim+fact
+  // family (orders + lineitem lakes) takes ONE transactional dual
+  // append — including the worst crash window, exercised for real: a
+  // "crashed first attempt" commits the ORDERS slice only (no
+  // manifest), the fixture PROVES family readers still see the old cut
+  // (torn-pair invisibility), then the replayed appendAll heals
+  // forward — orders no-ops through its ledger, lineitem commits, one
+  // manifest pins both. The serving aggregate joins the two tables
+  // THROUGH the manifest (LakeTxn.read both sides); the DuckDB oracle
+  // recomputes from raw tables, so the hash-match proves exactly-once
+  // across the crash + replay. This is the reference's one-Postgres-
+  // transaction property (clean_data.py:176-210) completed for WRITES;
+  // the read side was q141's territory. At 100 TB the verb is two
+  // O(batch) appends plus a kilobyte manifest CAS.
+  private val q198Families = scala.collection.concurrent.TrieMap[String, (String, String, String)]()
+  private def q198Family(s: SparkSession, d: String): (String, String, String) =
+    q198Families.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q198_")
+      val oLake = s"$work/orders"; val lLake = s"$work/lineitem"
+      val txn = s"$work/txn"
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_returnflag").as("lflag"))
+      ords.filter(col("o_orderkey") <= 10000)
+        .write.partitionBy("flag").parquet(oLake)
+      graft.sources.CommitLog.init(s, oLake)
+      li.filter(col("l_orderkey") <= 10000)
+        .write.partitionBy("lflag").parquet(lLake)
+      graft.sources.CommitLog.init(s, lLake)
+      graft.sources.LakeTxn.commit(s, txn, Map(
+        oLake -> 1L, lLake -> 1L))
+      val oSlice = ords.filter(col("o_orderkey") > 10000 &&
+        col("o_orderkey") <= 20000)
+      val lSlice = li.filter(col("l_orderkey") > 10000 &&
+        col("l_orderkey") <= 20000)
+      // the crashed first attempt: orders committed, manifest never
+      // landed — the worst window
+      graft.sources.CommitLog.append(s, oSlice, oLake, Some(42L))
+      // torn-pair invisibility: family readers still see the OLD cut
+      val midWindow = graft.sources.LakeTxn
+        .read(s, txn, oLake).count()
+      require(midWindow == graft.sources.CommitLog
+        .readAt(s, oLake, 1L).count(),
+        s"manifest reader saw the torn pair: $midWindow rows")
+      // the replay heals forward: orders no-ops, lineitem commits,
+      // ONE manifest publishes both
+      graft.sources.LakeTxn.appendAll(s, txn,
+        Seq(oLake -> oSlice, lLake -> lSlice), batchId = 42L)
+      // a second replay is a full no-op
+      val head = graft.sources.LakeTxn.appendAll(s, txn,
+        Seq(oLake -> oSlice, lLake -> lSlice), batchId = 42L)
+      require(graft.sources.LakeTxn.pinOf(s, txn, oLake) == 2L &&
+        graft.sources.LakeTxn.pinOf(s, txn, lLake) == 2L,
+        s"exactly-once violated: pins ${head.pins}")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      (oLake, lLake, txn)
+    })
+
+  private def q198TxnAppend(s: SparkSession, d: String): DataFrame = {
+    val (oLake, lLake, txn) = q198Family(s, d)
+    val o = graft.sources.LakeTxn.read(s, txn, oLake)
+    val l = graft.sources.LakeTxn.read(s, txn, lLake)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("lflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        min(col("o_orderkey")).as("min_ok"),
+        max(col("o_orderkey")).as("max_ok"))
+      .orderBy(col("lflag"))
+  }
+
+  private val q198Sql =
+    """SELECT l_returnflag AS lflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_qty,
+      |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_orderkey <= 20000 AND o_orderkey <= 20000
+      |GROUP BY 1 ORDER BY lflag""".stripMargin
+
   // ------------------------------------------------------- q181_zorder
   // Z-order clustering end-to-end: a lineitem slice is rewritten by
   // CALL graft_compact_zorder on (l_partkey, l_suppkey), then served
@@ -2619,6 +2709,7 @@ object EngineQueries {
     Q("q192_format_io", q192FormatIo, Some(q192Sql)),
     Q("q193_clone", q193Clone, Some(q192Sql)),
     Q("q196_branch_merge", q196BranchMerge, Some(q196Sql)),
+    Q("q198_txn_append", q198TxnAppend, Some(q198Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

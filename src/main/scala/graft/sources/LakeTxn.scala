@@ -186,6 +186,57 @@ object LakeTxn {
     throw new IllegalStateException("unreachable")
   }
 
+  /** ATOMIC MULTI-TABLE WRITE — the dim+fact dual-append as ONE
+    * transaction: append each table's rows through its own commit log
+    * (all riding the SAME `batchId` in each per-table ledger), then
+    * publish one manifest pinning every participant's new version.
+    * Manifest readers ([[read]]) see ALL the appends or NONE — the
+    * cross-table atomicity a single-log lake cannot express, the
+    * reference's one Postgres-transaction property
+    * (`clean_data.py:176-210`) completed for writes (the manifest
+    * already gave reads atomic visibility).
+    *
+    * Crash/replay contract, window by window:
+    *  - crash BEFORE any table commit: nothing visible, replay redoes
+    *    everything;
+    *  - crash BETWEEN table commits: committed tables' new versions
+    *    exist but are UNREFERENCED by any manifest — family readers
+    *    still see the old cut; the replayed batch no-ops the committed
+    *    tables (their ledgers hold the id), commits the rest, then
+    *    pins — heal-forward, each row exactly once;
+    *  - crash AFTER the manifest commit: the manifest ledger no-ops
+    *    the whole replay.
+    * Requires a `batchId`: without an idempotency key the heal-forward
+    * story does not exist, and a crashed multi-table write would need
+    * manual repair — the same reason the streaming sink's epochs are
+    * mandatory-keyed.
+    *
+    * Direct per-table readers (plain [[CommitLog.read]]) bypass the
+    * manifest by definition and can see a torn pair mid-write — route
+    * consistency-critical reads through [[read]], the documented
+    * family contract. At 100 TB the verb costs the appends themselves
+    * (pure file adds, O(batch) each) plus one kilobyte manifest. */
+  def appendAll(spark: SparkSession, txnDir: String,
+      writes: Seq[(String, org.apache.spark.sql.DataFrame)],
+      batchId: Long): State = {
+    require(writes.nonEmpty, "appendAll needs at least one write")
+    require(writes.map(w => graft.plans.ConstraintCatalog.normalize(w._1))
+      .distinct.size == writes.size,
+      "appendAll: one write per table — merge duplicate targets first")
+    latest(spark, txnDir) match {
+      case Some(cur) if cur.batches.contains(batchId) =>
+        System.err.println(
+          s"[laketxn] appendAll batch $batchId already committed to " +
+            s"$txnDir — replay skipped")
+        return cur
+      case _ =>
+    }
+    val pins = writes.map { case (d, rows) =>
+      d -> CommitLog.append(spark, rows, d, Some(batchId)).version
+    }.toMap
+    commit(spark, txnDir, pins, Some(batchId))
+  }
+
   /** Drop all but the newest `keepLast` manifests — the family's own
     * retention pass. Old manifests only serve readers pinned to
     * historical cuts; participants' [[CommitLog.vacuum]] bounds how far

@@ -217,4 +217,49 @@ class LakeTxnSpec extends AnyFunSuite {
       queries, k = 5, arity = 1).collect()
     assert(atPin.sameElements(atLatest))
   }
+
+  test("appendAll: a dim+fact dual append is atomic through the " +
+    "manifest — both-or-neither, heal-forward across the crash window, " +
+    "replay a full no-op") {
+    val w = work()
+    val dim = s"$w/dim"; val fact = s"$w/fact"; val txn = s"$w/txn2"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+      .write.parquet(dim)
+    CommitLog.init(spark, dim)
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amt")
+      .write.parquet(fact)
+    CommitLog.init(spark, fact)
+    LakeTxn.commit(spark, txn, Map(dim -> 1L, fact -> 1L))
+    val dimRows = Seq((3L, "c")).toDF("k", "name")
+    val factRows = Seq((3L, 30.0)).toDF("k", "amt")
+    // crash window: the dim committed, the manifest never landed —
+    // family readers must still see the OLD cut on BOTH tables
+    CommitLog.append(spark, dimRows, dim, Some(9L))
+    assert(LakeTxn.read(spark, txn, dim).count() == 2L,
+      "manifest reader saw the torn pair")
+    // heal-forward: dim no-ops via its ledger, fact commits, ONE
+    // manifest publishes both
+    LakeTxn.appendAll(spark, txn, Seq(dim -> dimRows, fact -> factRows),
+      batchId = 9L)
+    assert(CommitLog.latest(spark, dim).get.version == 2L,
+      "the replayed dim append must no-op, not double-apply")
+    assert(LakeTxn.read(spark, txn, dim).count() == 3L)
+    assert(LakeTxn.read(spark, txn, fact).count() == 3L)
+    // replay of the COMPLETED batch: nothing moves anywhere
+    val before = (CommitLog.latest(spark, dim).get.version,
+      CommitLog.latest(spark, fact).get.version,
+      LakeTxn.latest(spark, txn).get.txn)
+    LakeTxn.appendAll(spark, txn, Seq(dim -> dimRows, fact -> factRows),
+      batchId = 9L)
+    assert(before == (CommitLog.latest(spark, dim).get.version,
+      CommitLog.latest(spark, fact).get.version,
+      LakeTxn.latest(spark, txn).get.txn))
+    // a second transaction still flows (ids are per-family monotone
+    // facts, not a cap)
+    LakeTxn.appendAll(spark, txn,
+      Seq(dim -> Seq((4L, "d")).toDF("k", "name"),
+        fact -> Seq((4L, 40.0)).toDF("k", "amt")), batchId = 10L)
+    assert(LakeTxn.read(spark, txn, dim).count() == 4L)
+    assert(LakeTxn.read(spark, txn, fact).count() == 4L)
+  }
 }
