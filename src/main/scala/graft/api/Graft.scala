@@ -573,8 +573,9 @@ object Graft {
     }
     /** Merge a DIVERGED branch into main: rebase its post-fork delta
       * onto the current head (commit-level conflict units — true
-      * partition conflicts fail loudly), then fast-forward. The
-      * live-table promote verb [[fastForward]] alone cannot be. */
+      * partition conflicts fail loudly), then fast-forward — the
+      * promote verb for a LIVE table, where main always advances past
+      * the fork and [[fastForward]] alone must refuse. */
     def mergeBranch(name: String): Unit = {
       CommitLog.mergeBranch(spark, dir, name)
       ()

@@ -205,18 +205,19 @@ object DedupIndex {
     val candPost = CommitLog.scanPointsInAt(spark, postingsDir(dir), pv,
       "doc_id", candIds)._1
       .filter(col("doc_id").isInCollection(candIds)) // bloom fp re-check
-    // both probe-batch-sized sides broadcast EXPLICITLY: the pair×token
-    // intermediate (|cand pairs| × tokens-per-probe — the dominant
-    // volume when blocking is unselective) then flows through two
-    // broadcast hash joins and a map-side partial aggregate, shuffling
-    // only the pair-sized counts; without the hints the checkpointed
-    // inputs carry no size stats and the planner sort-merges the
-    // intermediate through three shuffles (~40% of q172's serving cost
-    // at sf0.1 — see SCALE.md)
+    // the PROBE side broadcasts explicitly (probe-batch-bounded by the
+    // verb's contract — the checkpointed frame carries no size stats,
+    // so without the hint the planner sort-merges the pair×token
+    // intermediate through extra shuffles); the CANDIDATE-POSTINGS
+    // side is deliberately NOT hinted: it is candidates × tokens-per-
+    // doc — unbounded at corpus scale — and it comes off a parquet
+    // scan whose real size the planner ALREADY sees, so it broadcasts
+    // itself exactly when small and degrades to a shuffle instead of
+    // an 8 GB broadcast failure when not
     cand
       .join(broadcast(newToks), Seq("new_id"))
-      .join(broadcast(candPost.select(col("doc_id"), col("term"),
-        col("sz").as("sz_b"))), Seq("doc_id", "term"))
+      .join(candPost.select(col("doc_id"), col("term"),
+        col("sz").as("sz_b")), Seq("doc_id", "term"))
       .groupBy(col("new_id"), col("doc_id"))
       .agg(count(lit(1)).as("inter"), first(col("sz_a")).as("sz_a"),
         first(col("sz_b")).as("sz_b"))

@@ -1806,21 +1806,26 @@ object EngineQueries {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"),
           col("l_returnflag").as("lflag"))
-      ords.filter(col("o_orderkey") <= 10000)
+      // scale-driven split: base = keys ≤ max/2, the transactional
+      // append = the rest — non-empty at every sf, and the FINAL state
+      // is the whole table, so the oracle needs no cut constant
+      val oCut = ords.agg(max(col("o_orderkey"))).head.getLong(0) / 2
+      val lCut = li.agg(max(col("l_orderkey"))).head.getLong(0) / 2
+      ords.filter(col("o_orderkey") <= oCut)
         .write.partitionBy("flag").parquet(oLake)
       graft.sources.CommitLog.init(s, oLake)
-      li.filter(col("l_orderkey") <= 10000)
+      li.filter(col("l_orderkey") <= lCut)
         .write.partitionBy("lflag").parquet(lLake)
       graft.sources.CommitLog.init(s, lLake)
       graft.sources.LakeTxn.commit(s, txn, Map(
         oLake -> 1L, lLake -> 1L))
-      val oSlice = ords.filter(col("o_orderkey") > 10000 &&
-        col("o_orderkey") <= 20000)
-      val lSlice = li.filter(col("l_orderkey") > 10000 &&
-        col("l_orderkey") <= 20000)
-      // the crashed first attempt: orders committed, manifest never
-      // landed — the worst window
-      graft.sources.CommitLog.append(s, oSlice, oLake, Some(42L))
+      val oSlice = ords.filter(col("o_orderkey") > oCut)
+      val lSlice = li.filter(col("l_orderkey") > lCut)
+      // the crashed first attempt: orders committed (under the same
+      // family-scoped txn identity appendAll will replay with),
+      // manifest never landed — the worst window
+      graft.sources.CommitLog.append(s, oSlice, oLake,
+        txn = Some((graft.sources.LakeTxn.txnAppId(txn), 42L)))
       // torn-pair invisibility: family readers still see the OLD cut
       val midWindow = graft.sources.LakeTxn
         .read(s, txn, oLake).count()
@@ -1866,7 +1871,6 @@ object EngineQueries {
       |    AS sum_qty,
       |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |WHERE l_orderkey <= 20000 AND o_orderkey <= 20000
       |GROUP BY 1 ORDER BY lflag""".stripMargin
 
   // ------------------------------------------------------- q181_zorder

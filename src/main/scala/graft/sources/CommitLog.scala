@@ -2889,29 +2889,49 @@ object CommitLog {
         catch { case _: Exception => None }
       }
     val branches = listBranches(spark, d)
-    val mainRefs = snaps(d).flatMap(_.files).toSet
     val branchSnaps = branches.map { case (b, _) => b -> snaps(s"$d@$b") }
-    val branchRefs = branchSnaps.map { case (b, ss) =>
-      b -> ss.flatMap(_.files).toSet }.toMap
+    // per-log DISTINCT reference sets — data files and LOG ARTIFACTS
+    // (manifests + deletion vectors) both count: a MoR-heavy branch's
+    // retention can be mostly vectors, and reporting it as free would
+    // rank the worst offender last
+    def dataRefs(ss: Seq[Snapshot]) = ss.flatMap(_.files).toSet
+    def logRefs(ss: Seq[Snapshot]) =
+      ss.flatMap(x => x.manifest.toSeq ++ x.dvs).toSet
+    val allSets = (("", snaps(d)) +: branchSnaps).map { case (b, ss) =>
+      b -> (dataRefs(ss), logRefs(ss)) }
+    // GLOBAL reference counts in one pass (O(total refs)) — not a
+    // per-branch union of every other log, which is quadratic in the
+    // branch count on exactly the hundreds-of-stale-branches table
+    // this report exists for
+    def counts(pick: ((Set[String], Set[String])) => Set[String]) = {
+      val m = scala.collection.mutable.Map.empty[String, Int]
+      allSets.foreach { case (_, sets) =>
+        pick(sets).foreach(r => m.update(r, m.getOrElse(r, 0) + 1)) }
+      m
+    }
+    val dataCount = counts(_._1)
+    val logCount = counts(_._2)
+    def statLen(p: Path): Long =
+      try f.getFileStatus(p).getLen catch { case _: Exception => 0L }
     val rows = branchSnaps.map { case (b, ss) =>
-      val others = mainRefs ++
-        branchRefs.collect { case (o, r) if o != b => r }.flatten
-      val sole = (branchRefs(b) -- others).toSeq.sorted
-      val bytes = sole.map { r =>
-        try f.getFileStatus(new Path(d, r)).getLen
-        catch { case _: Exception => 0L }
-      }.sum
+      val soleData = dataRefs(ss).filter(dataCount(_) == 1).toSeq.sorted
+      val soleLog = logRefs(ss).filter(logCount(_) == 1).toSeq.sorted
       val head = ss.maxByOption(_.version)
-      val headV = head.map(_.version).getOrElse(-1L)
-      val age = head.map(h =>
-        if (h.committedAt > 0L) now - h.committedAt else -1L)
-        .getOrElse(-1L)
-      (b, headV, age, sole.size.toLong, bytes)
+      (b,
+        head.map(_.version).getOrElse(-1L),
+        head.map(h => if (h.committedAt > 0L) now - h.committedAt
+        else -1L).getOrElse(-1L),
+        soleData.size.toLong,
+        soleData.map(r => statLen(new Path(d, r))).sum,
+        soleLog.size.toLong,
+        soleLog.map(r => statLen(new Path(logFile(d, r)))).sum)
     }
     import spark.implicits._
     rows.toDF("branch", "head_version", "head_age_ms",
-      "sole_retained_files", "sole_retained_bytes")
-      .orderBy(col("sole_retained_bytes").desc, col("branch"))
+      "sole_retained_files", "sole_retained_bytes",
+      "sole_log_files", "sole_log_bytes")
+      .orderBy((col("sole_retained_bytes") + col("sole_log_bytes")).desc,
+        col("branch"))
   }
 
   /** Delete branch `name`'s commit log. Data files only the branch
@@ -3310,9 +3330,14 @@ object CommitLog {
     * (content-identical, fork marker = the adopted version), so later
     * branch work diverges from the merge point instead of re-playing
     * the already-adopted delta — without it the next merge would see
-    * its own earlier delta as a conflict. The sync is best-effort
-    * (a branch writer racing the merge wins the CAS and simply
-    * rebases later); [[dropBranch]] when the branch is done. */
+    * its own earlier delta as a conflict. A branch writer RACING the
+    * merge can win the sync CAS; the branch then still carries the old
+    * fork marker, which the next merge absorbs cleanly only when the
+    * adopted delta was APPEND-ONLY (re-appending already-present files
+    * dedups; an adopted partition REWRITE false-conflicts against its
+    * own adoption and needs a re-fork). Stop branch writers before
+    * merging — the same discipline [[dropBranch]] documents — and
+    * [[dropBranch]] when the branch is done. */
   def mergeBranch(spark: SparkSession, dir: String, name: String,
       maxRetries: Int = 5): Snapshot = {
     val d = dataDir(dir)
@@ -3335,8 +3360,12 @@ object CommitLog {
           System.err.println(
             s"[commitlog] mergeBranch '$name' into $d: adopted as " +
               s"v${adopted.version}, but a racing branch writer won " +
-              s"the sync commit (${e.getMessage}) — that writer's " +
-              "commits will rebase on the next merge")
+              s"the sync commit (${e.getMessage}) — the branch still " +
+              "carries the old fork marker; the next merge absorbs " +
+              "this only if the adopted delta was append-only (a " +
+              "rewritten partition will false-conflict against its " +
+              "own adoption — re-fork then). Stop branch writers " +
+              "before merging.")
         }
         return adopted
       } catch {

@@ -277,19 +277,33 @@ private[graft] final case class GraftLakeScanRelation(
     StructType(dataF ++ partF)
   }
 
-  /** Real table size: the snapshot's files summed once (driver-side
-    * metadata listing, memoized for the relation's lifetime). Without
-    * it a BaseRelation defaults to `spark.sql.defaultSizeInBytes`
-    * (Long.MaxValue-ish), and every join against the fallback path
-    * loses its broadcast. */
+  /** Real table size: the snapshot's files summed once per relation —
+    * ONE `listStatus` per partition DIRECTORY (not one RPC per file:
+    * at 50k files the per-file stat is minutes of serial planning on
+    * an object store; per-directory listing is O(partitions) calls),
+    * counting only committed names. Without it a BaseRelation defaults
+    * to `spark.sql.defaultSizeInBytes` (Long.MaxValue-ish) and every
+    * join against the fallback path loses its broadcast. Any listing
+    * failure falls back to that CONSERVATIVE default — never 0, which
+    * would broadcast a multi-TB table into an executor OOM. */
   override lazy val sizeInBytes: Long = {
     val d = CommitLog.dataDir(dir)
-    val fs = new Path(d)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    snap.files.map { r =>
-      try fs.getFileStatus(new Path(s"$d/$r")).getLen
-      catch { case _: Exception => 0L }
-    }.sum
+    try {
+      val fs = new Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      snap.files.groupBy(r => r.lastIndexOf('/') match {
+        case -1 => ""
+        case i => r.substring(0, i)
+      }).map { case (sub, rels) =>
+        val names = rels.map(r => r.substring(r.lastIndexOf('/') + 1)).toSet
+        val p = if (sub.isEmpty) new Path(d) else new Path(d, sub)
+        fs.listStatus(p)
+          .filter(st => names.contains(st.getPath.getName))
+          .map(_.getLen).sum
+      }.sum
+    } catch {
+      case _: Exception => spark.sessionState.conf.defaultSizeInBytes
+    }
   }
 
   /** Push-down [[Filter]] rendered back as a [[Column]] for the inner

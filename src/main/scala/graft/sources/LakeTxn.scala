@@ -209,7 +209,15 @@ object LakeTxn {
     * Requires a `batchId`: without an idempotency key the heal-forward
     * story does not exist, and a crashed multi-table write would need
     * manual repair — the same reason the streaming sink's epochs are
-    * mandatory-keyed.
+    * mandatory-keyed. The per-table ledger entry is NAMESPACED to this
+    * family ([[txnAppId]] — the `(appId, version)` identity, high-water
+    * semantics), never the raw shared batch ledger: a participant table
+    * can belong to several families or take a streaming sink whose
+    * batch ids collide, and an un-namespaced id would silently no-op
+    * THIS family's append while the manifest still published — the
+    * exact torn pair the verb exists to prevent. High-water semantics
+    * mean a family's batch ids must be MONOTONE, the same contract as
+    * streaming epochs.
     *
     * Direct per-table readers (plain [[CommitLog.read]]) bypass the
     * manifest by definition and can see a torn pair mid-write — route
@@ -231,11 +239,20 @@ object LakeTxn {
         return cur
       case _ =>
     }
+    val appId = txnAppId(txnDir)
     val pins = writes.map { case (d, rows) =>
-      d -> CommitLog.append(spark, rows, d, Some(batchId)).version
+      d -> CommitLog.append(spark, rows, d,
+        txn = Some((appId, batchId))).version
     }.toMap
     commit(spark, txnDir, pins, Some(batchId))
   }
+
+  /** The family-scoped idempotency app id [[appendAll]] rides each
+    * participant's per-app ledger under — derived from the normalized
+    * manifest directory, so two families sharing a table never collide
+    * on raw batch numbers. */
+  def txnAppId(txnDir: String): String =
+    "laketxn:" + graft.plans.ConstraintCatalog.normalize(txnDir)
 
   /** Drop all but the newest `keepLast` manifests — the family's own
     * retention pass. Old manifests only serve readers pinned to

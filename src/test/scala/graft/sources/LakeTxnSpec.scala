@@ -232,9 +232,16 @@ class LakeTxnSpec extends AnyFunSuite {
     LakeTxn.commit(spark, txn, Map(dim -> 1L, fact -> 1L))
     val dimRows = Seq((3L, "c")).toDF("k", "name")
     val factRows = Seq((3L, 30.0)).toDF("k", "amt")
-    // crash window: the dim committed, the manifest never landed —
-    // family readers must still see the OLD cut on BOTH tables
-    CommitLog.append(spark, dimRows, dim, Some(9L))
+    // a FOREIGN writer's raw batch id 9 already in the fact's shared
+    // ledger must NOT swallow this family's append (the identity is
+    // family-namespaced)
+    CommitLog.append(spark, Seq((99L, 99.0)).toDF("k", "amt"),
+      fact, Some(9L))
+    // crash window: the dim committed (under the family identity), the
+    // manifest never landed — family readers must still see the OLD
+    // cut on BOTH tables
+    CommitLog.append(spark, dimRows, dim,
+      txn = Some((LakeTxn.txnAppId(txn), 9L)))
     assert(LakeTxn.read(spark, txn, dim).count() == 2L,
       "manifest reader saw the torn pair")
     // heal-forward: dim no-ops via its ledger, fact commits, ONE
@@ -244,7 +251,9 @@ class LakeTxnSpec extends AnyFunSuite {
     assert(CommitLog.latest(spark, dim).get.version == 2L,
       "the replayed dim append must no-op, not double-apply")
     assert(LakeTxn.read(spark, txn, dim).count() == 3L)
-    assert(LakeTxn.read(spark, txn, fact).count() == 3L)
+    // 2 base + the foreign row + THIS family's row: the colliding raw
+    // batch id must not have swallowed the family append
+    assert(LakeTxn.read(spark, txn, fact).count() == 4L)
     // replay of the COMPLETED batch: nothing moves anywhere
     val before = (CommitLog.latest(spark, dim).get.version,
       CommitLog.latest(spark, fact).get.version,
@@ -260,6 +269,6 @@ class LakeTxnSpec extends AnyFunSuite {
       Seq(dim -> Seq((4L, "d")).toDF("k", "name"),
         fact -> Seq((4L, 40.0)).toDF("k", "amt")), batchId = 10L)
     assert(LakeTxn.read(spark, txn, dim).count() == 4L)
-    assert(LakeTxn.read(spark, txn, fact).count() == 4L)
+    assert(LakeTxn.read(spark, txn, fact).count() == 5L)
   }
 }
