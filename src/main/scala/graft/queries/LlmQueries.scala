@@ -961,6 +961,24 @@ object LlmQueries {
       k = 10, arity = 3, nProbe = 8)
   }
 
+  // ----------------------------------------------- q199_negatives_routed
+  // q195's hard-negative mine served FROM THE PERSISTED INDEX
+  // (Retrieval.hardNegatives over the q160 postings): same positives,
+  // same anti-join, bit-equal scores — shares q195's DuckDB oracle
+  // verbatim, completing the routed-serving story for BOTH fusion ops
+  // (q197 did hybrid RRF). q195 stays as the corpus-scan oracle twin;
+  // a standing mining pipeline at 100 TB runs THIS shape — the corpus
+  // is never re-tokenized per run.
+  private def q199NegativesRouted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val positives = s.range(0, 20)
+      .select(col("id").as("query_id"),
+        ((col("id") * 17 + 3) % 500).as("doc_id"))
+    graft.text.Retrieval.hardNegatives(s, q160Index(s, d),
+      q139Queries.filter(_._1 < 20).toDF("query_id", "term", "pos"),
+      positives, k = 10, arity = 3, negK = 5)
+  }
+
   // --------------------------------------------------- q160_index_search
   // The q139 query batch answered WITHOUT the corpus: a persisted
   // inverted index (graft.text.InvertedIndex) is built once per session
@@ -1514,6 +1532,7 @@ object LlmQueries {
     Q("q194_hybrid_rrf", q194HybridRrf, Some(q194Sql)),
     Q("q197_hybrid_routed", q197HybridRouted, Some(q194Sql)),
     Q("q195_hard_negatives", q195HardNegatives, Some(q195Sql)),
+    Q("q199_negatives_routed", q199NegativesRouted, Some(q195Sql)),
     Q("q160_index_search", q160IndexSearch, Some(q139Sql)),
     Q("q161_index_update", q161IndexUpdate, Some(q161Sql)),
     Q("q163_stream_index", q163StreamIndex, Some(q163Sql)),

@@ -252,4 +252,39 @@ object Retrieval {
         round(col("rrf"), 6).as("rrf"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** INDEX-ROUTED HARD-NEGATIVE MINING: the top-BM25-minus-positives
+    * recipe (contrastive-retriever training data — random negatives
+    * are too easy; top-ranked non-answers teach the margin) served
+    * from the persisted inverted index, never the corpus. Candidates
+    * are the index's top-`k` per query ([[InvertedIndex.search]] —
+    * Bloom-pruned postings, the bit-identical BM25 chain), `positives`
+    * (query_id, doc_id — broadcast-sized label table) anti-join away,
+    * survivors re-rank 1..`negK`. Output: (query_id, negative_id,
+    * neg_rank, score). Scores are bit-equal to the corpus-scan mine
+    * (q199 shares q195's DuckDB oracle verbatim), so routing is free
+    * correctness-wise — and at 100 TB it is the only affordable shape:
+    * the corpus-scan twin re-tokenizes everything per mining run. */
+  def hardNegatives(spark: SparkSession, textIndexDir: String,
+      termQueries: DataFrame, positives: DataFrame,
+      k: Int, arity: Int, negK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idCol = graft.sources.CommitLog.latest(spark, textIndexDir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$textIndexDir holds no index commit log"))
+      .props.getOrElse("bm25.id_col", throw new IllegalStateException(
+        s"$textIndexDir carries no bm25 props"))
+    InvertedIndex.search(spark, textIndexDir, termQueries, k, arity)
+      .withColumn("trank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col(idCol))))
+      .withColumnRenamed(idCol, "doc_id")
+      .join(broadcast(positives), Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("trank"))))
+      .filter(col("neg_rank") <= negK)
+      .select(col("query_id"), col("doc_id").as("negative_id"),
+        col("neg_rank"), col("score"))
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
 }
