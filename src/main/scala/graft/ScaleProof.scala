@@ -177,6 +177,54 @@ object ScaleProof {
     spark.range(1).toDF("ok")
   }
 
+  /** Batch-provider FALLBACK pushdown at sf1: a DV-carrying 10× orders
+    * lake (deletion vectors force the exact-path relation) takes a
+    * partition+range-filtered read. Proof obligations: the commit-log
+    * file selection opens only the matching partition's
+    * zone-map-surviving files (counted), results stay exact through
+    * the DV, and the filtered read is decisively cheaper than the full
+    * fallback scan — the PrunedFilteredScan upgrade measured where it
+    * matters. */
+  private def fallbackScan(spark: SparkSession, dst: String): DataFrame = {
+    import graft.sources.CommitLog
+    import org.apache.spark.sql.sources.{EqualTo, LessThan}
+    val work = Files.createTempDirectory("graft_scale_fb_").toString
+    val lake = s"$work/lake"
+    val orders = spark.read.parquet(s"$dst/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus").as("flag"))
+    orders.repartitionByRange(64, col("o_orderkey"))
+      .write.partitionBy("flag").parquet(lake)
+    CommitLog.init(spark, lake, statsCols = Seq("o_orderkey"))
+    CommitLog.deleteVectors(spark, lake, col("o_orderkey") === 7L)
+    val s = CommitLog.latest(spark, lake).get
+    require(s.dvs.nonEmpty, "fixture must be on the fallback path")
+    val bound = 10000000L // first replica's keys only
+    val sel = CommitLog.selectFilesForFilters(spark, lake, s,
+      Seq(EqualTo("flag", "O"), LessThan("o_orderkey", bound)))
+    println(s"[scale] fallback_scan: selection ${sel.size} of " +
+      s"${s.files.size} files for flag='O' AND o_orderkey < $bound")
+    require(sel.size * 4 <= s.files.size,
+      s"pruning too weak: ${sel.size} of ${s.files.size}")
+    def timed(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val rel = spark.read.format("graft-lake").load(lake)
+    val (nf, tf) = timed(rel.filter(col("flag") === "O" &&
+      col("o_orderkey") < bound))
+    val (na, ta) = timed(rel)
+    val expectF = orders.filter(col("flag") === "O" &&
+      col("o_orderkey") < bound && col("o_orderkey") =!= 7L).count()
+    val expectA = orders.count() - 1L
+    require(nf == expectF && na == expectA,
+      s"fallback results drifted: $nf/$expectF filtered, $na/$expectA full")
+    println(f"[scale] fallback_scan: filtered $tf%.2f s vs full $ta%.2f s" +
+      f" (${s.files.size} files, DV active, results exact)")
+    spark.range(1).toDF("ok")
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dst = args.headOption.getOrElse("/tmp/graft_sf1")
@@ -209,7 +257,8 @@ object ScaleProof {
         // churn-sized while the scan side grows 10x
         "q191_branch", "q192_format_io",
         // round-14: merge-under-divergence at sf1 (churn-proportional)
-        "rebase_merge",
+        // and the DV-fallback pushdown read
+        "rebase_merge", "fallback_scan",
         "backlog_drain")
     // local[8], not local[32]: saturating every advertised CPU trips the
     // host's kernel-side thrash (measured 4-25x inflation at local[32] on
@@ -234,6 +283,7 @@ object ScaleProof {
       val fn =
         if (name == "backlog_drain") backlogDrain _
         else if (name == "rebase_merge") rebaseMerge _
+        else if (name == "fallback_scan") fallbackScan _
         else SparkEntry.queries(name)
       val t0 = System.nanoTime()
       var rows = -1L

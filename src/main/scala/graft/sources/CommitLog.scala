@@ -4253,7 +4253,23 @@ object CommitLog {
       catch { case _: java.io.FileNotFoundException => false }
     }
     if (dryRun) return dead
-    dead.foreach(r => f.delete(new Path(d, r), false))
+    // the dead-file unlink is DISTRIBUTED past a small threshold: at
+    // 100 TB a big retention change can orphan hundreds of thousands
+    // of files, and a serial driver-side delete loop is hours of RPC
+    // latency — one task per slice (the clone copy job's shape) makes
+    // it minutes. Small sweeps stay driver-side (no job overhead).
+    if (dead.size >= 256) {
+      val hconf = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      val dd = d
+      val n = math.max(1, math.min(dead.size,
+        spark.sparkContext.defaultParallelism * 4))
+      spark.sparkContext.parallelize(dead, n).foreach { r =>
+        val p = new Path(dd, r)
+        p.getFileSystem(hconf.value.value).delete(p, false)
+        ()
+      }
+    } else dead.foreach(r => f.delete(new Path(d, r), false))
     dropSnaps.foreach(_.manifest
       .filterNot(liveManifests.contains)
       .foreach(m => f.delete(new Path(logFile(dir, m)), true)))

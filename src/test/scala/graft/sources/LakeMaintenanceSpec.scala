@@ -160,4 +160,27 @@ class LakeMaintenanceSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("vacuum's DISTRIBUTED delete path (≥256 dead files) reclaims " +
+    "everything the dry run promised") {
+    val dir = Files.createTempDirectory("vac_dist").toString + "/lake"
+    spark.range(0, 3000).toDF("v")
+      .repartition(300).write.parquet(dir)
+    CommitLog.init(spark, dir)
+    spark.range(0, 10).toDF("v")
+      .coalesce(1).createOrReplaceTempView("tiny")
+    CommitLog.overwrite(spark,
+      spark.range(0, 10).toDF("v").coalesce(1), dir, Nil)
+    val promised = CommitLog.vacuum(spark, dir, keepLast = 1,
+      staleStagingMs = -1L, dryRun = true)
+    assert(promised.size >= 256,
+      s"fixture must cross the distributed threshold: ${promised.size}")
+    val dropped = CommitLog.vacuum(spark, dir, keepLast = 1,
+      staleStagingMs = -1L)
+    assert(dropped.toSet == promised.toSet)
+    promised.foreach { r =>
+      assert(!new java.io.File(s"$dir/$r").exists(), s"$r survived")
+    }
+    assert(CommitLog.read(spark, dir).count() == 10L)
+  }
 }
