@@ -226,23 +226,53 @@ object LakeTxn {
     * (pure file adds, O(batch) each) plus one kilobyte manifest. */
   def appendAll(spark: SparkSession, txnDir: String,
       writes: Seq[(String, org.apache.spark.sql.DataFrame)],
-      batchId: Long): State = {
-    require(writes.nonEmpty, "appendAll needs at least one write")
-    require(writes.map(w => graft.plans.ConstraintCatalog.normalize(w._1))
+      batchId: Long): State =
+    writeAll(spark, txnDir,
+      writes.map { case (d, rows) => TxnAppend(d, rows) }, batchId)
+
+  /** One write of a multi-table transaction ([[writeAll]]). */
+  sealed trait TxnWrite { def dir: String }
+  /** Pure file adds — O(batch) at any table size, conflict-free. */
+  final case class TxnAppend(dir: String,
+      rows: org.apache.spark.sql.DataFrame) extends TxnWrite
+  /** Keyed copy-on-write upsert of the touched partitions (the
+    * streaming sink's update verb, same sequence-aware semantics). */
+  final case class TxnUpsert(dir: String,
+      rows: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+      partitionCol: String, seqCol: Option[String] = None)
+    extends TxnWrite
+
+  /** [[appendAll]] generalized to MIXED verbs — the fact-append +
+    * dim-upsert shape (new facts arrive while a dimension row's
+    * attributes change, atomically): each write commits through its
+    * table's own log under the family-namespaced identity, then one
+    * manifest pins every participant. Same crash/replay contract as
+    * [[appendAll]], window for window — upserts ride the
+    * per-query txn ledger ([[CommitLog.sinkUpsert]] with the family
+    * app id), so a replayed half-applied transaction no-ops the
+    * committed tables and completes the rest before pinning. */
+  def writeAll(spark: SparkSession, txnDir: String,
+      writes: Seq[TxnWrite], batchId: Long): State = {
+    require(writes.nonEmpty, "writeAll needs at least one write")
+    require(writes.map(w => graft.plans.ConstraintCatalog.normalize(w.dir))
       .distinct.size == writes.size,
-      "appendAll: one write per table — merge duplicate targets first")
+      "writeAll: one write per table — merge duplicate targets first")
     latest(spark, txnDir) match {
       case Some(cur) if cur.batches.contains(batchId) =>
         System.err.println(
-          s"[laketxn] appendAll batch $batchId already committed to " +
+          s"[laketxn] writeAll batch $batchId already committed to " +
             s"$txnDir — replay skipped")
         return cur
       case _ =>
     }
     val appId = txnAppId(txnDir)
-    val pins = writes.map { case (d, rows) =>
-      d -> CommitLog.append(spark, rows, d,
-        txn = Some((appId, batchId))).version
+    val pins = writes.map {
+      case TxnAppend(d, rows) =>
+        d -> CommitLog.append(spark, rows, d,
+          txn = Some((appId, batchId))).version
+      case TxnUpsert(d, rows, keyCols, pc, seqCol) =>
+        d -> CommitLog.sinkUpsert(spark, rows, d, keyCols, pc, seqCol,
+          appId, batchId).version
     }.toMap
     commit(spark, txnDir, pins, Some(batchId))
   }

@@ -271,4 +271,35 @@ class LakeTxnSpec extends AnyFunSuite {
     assert(LakeTxn.read(spark, txn, dim).count() == 4L)
     assert(LakeTxn.read(spark, txn, fact).count() == 5L)
   }
+
+  test("writeAll mixes verbs atomically: fact append + dim keyed " +
+    "upsert land under one manifest, replay is a no-op") {
+    val w = work()
+    val dim = s"$w/dim"; val fact = s"$w/fact"; val txn = s"$w/txn3"
+    Seq((1L, "a", "p0"), (2L, "b", "p0")).toDF("k", "name", "pd")
+      .write.partitionBy("pd").parquet(dim)
+    CommitLog.init(spark, dim)
+    Seq((1L, 10.0)).toDF("k", "amt").write.parquet(fact)
+    CommitLog.init(spark, fact)
+    LakeTxn.commit(spark, txn, Map(dim -> 1L, fact -> 1L))
+    def tx(b: Long) = LakeTxn.writeAll(spark, txn, Seq(
+      LakeTxn.TxnAppend(fact, Seq((2L, 20.0)).toDF("k", "amt")),
+      LakeTxn.TxnUpsert(dim,
+        Seq((1L, "a2", "p0")).toDF("k", "name", "pd"),
+        keyCols = Seq("k"), partitionCol = "pd")), batchId = b)
+    tx(5L)
+    assert(LakeTxn.read(spark, txn, fact).count() == 2L)
+    val names = LakeTxn.read(spark, txn, dim)
+      .select($"k", $"name").as[(Long, String)].collect().toMap
+    assert(names == Map(1L -> "a2", 2L -> "b"),
+      s"dim upsert must replace by key: $names")
+    // replay: versions and pins all frozen
+    val before = (CommitLog.latest(spark, dim).get.version,
+      CommitLog.latest(spark, fact).get.version,
+      LakeTxn.latest(spark, txn).get.txn)
+    tx(5L)
+    assert(before == (CommitLog.latest(spark, dim).get.version,
+      CommitLog.latest(spark, fact).get.version,
+      LakeTxn.latest(spark, txn).get.txn))
+  }
 }
