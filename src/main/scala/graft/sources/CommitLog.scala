@@ -3835,6 +3835,34 @@ object CommitLog {
 
     // zone-map level: evaluate comparison conjuncts against the
     // committed per-file min/max (the scanBox machinery's rule set)
+    // BLOOM point pruning: equality/In conjuncts on the table's
+    // declared bloom columns drop files whose committed per-file
+    // filter says definitely-absent (negatives are definitive —
+    // [[scanPoint]]'s rule, applied to arbitrary push-down reads).
+    // Evaluated IN Spark over the kilobyte manifest; files without a
+    // manifest row fall open (keep).
+    def bloomPrune(files: Seq[String]): Seq[String] = {
+      val conjs = filters.flatMap {
+        case EqualTo(c, v) if s.bloomCols.contains(c) && v != null =>
+          Seq((c, Seq(v)))
+        case In(c, vs) if s.bloomCols.contains(c) &&
+          vs.exists(_ != null) => Seq((c, vs.filter(_ != null).toSeq))
+        case _ => Nil
+      }
+      if (conjs.isEmpty || s.manifest.isEmpty || files.isEmpty)
+        return files
+      val m = spark.read.parquet(logFile(dir, s.manifest.get))
+      if (!conjs.forall(bc => m.columns.contains(s"bloom_${bc._1}")))
+        return files
+      val pred = conjs.map { case (c, vs) => bloomMightAny(c, vs) }
+        .reduce(_ && _)
+      val rows = m.select(col("file"),
+        pred.as("keep")).collect()
+      val inManifest = rows.map(_.getString(0)).toSet
+      val keep = rows.filter(_.getBoolean(1)).map(_.getString(0)).toSet
+      files.filter(r => keep.contains(r) || !inManifest.contains(r))
+    }
+
     val statCols = filters.flatMap {
       case EqualTo(c, _) => Seq(c)
       case GreaterThan(c, _) => Seq(c)
@@ -3845,10 +3873,11 @@ object CommitLog {
       case _ => Nil
     }.distinct.filter(s.statsCols.contains)
     if (statCols.isEmpty || s.manifest.isEmpty || afterPart.isEmpty)
-      return afterPart
+      return bloomPrune(afterPart)
     val needed = statCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
     val manifest = spark.read.parquet(logFile(dir, s.manifest.get))
-    if (!needed.forall(manifest.columns.contains)) return afterPart
+    if (!needed.forall(manifest.columns.contains))
+      return bloomPrune(afterPart)
     val stats: Map[String, Map[String, Any]] =
       manifest.select(col("file") +: needed.map(col): _*).collect()
         .map(r => r.getString(0) ->
@@ -3891,12 +3920,12 @@ object CommitLog {
         case _ => true
       }
     }
-    afterPart.filter { rel =>
+    bloomPrune(afterPart.filter { rel =>
       stats.get(rel) match {
         case Some(fs) => filters.forall(statKeep(_, fs))
         case None => true // no manifest row — no information, keep
       }
-    }
+    })
   }
 
   /** EXACT `count(*)` / per-column `min` / `max` / `count(c)` for the

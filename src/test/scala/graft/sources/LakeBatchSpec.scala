@@ -347,6 +347,30 @@ class LakeBatchSpec extends AnyFunSuite {
       .filter($"k" < 10L).count() == 9L) // DV'd k=5 absent in-range too
   }
 
+  test("fallback path prunes by BLOOM filters: an equality conjunct on " +
+    "a declared bloom column opens only the possible files") {
+    import org.apache.spark.sql.sources.EqualTo
+    val dir = fresh()
+    // k range-clustered so each file's bloom holds a distinct slice;
+    // blooms declared, NO zone maps — the pruning below is bloom's alone
+    spark.range(0, 3000).select($"id".as("k"), ($"id" % 7).as("v"))
+      .repartitionByRange(6, $"k")
+      .write.parquet(dir)
+    CommitLog.init(spark, dir, bloomCols = Seq("k"), bloomExpect = 1000L)
+    CommitLog.deleteVectors(spark, dir, $"k" === 5L) // forces fallback
+    val s = CommitLog.latest(spark, dir).get
+    val sel = CommitLog.selectFilesForFilters(spark, dir, s,
+      Seq(EqualTo("k", 1234L)))
+    assert(sel.size < s.files.size,
+      s"bloom pruned nothing: ${sel.size} of ${s.files.size}")
+    // exactness: the filtered read finds the row, the DV'd one is gone
+    val got = spark.read.format("graft-lake").load(dir)
+      .filter($"k" === 1234L).select($"v").as[Long].collect().toSeq
+    assert(got == Seq(1234L % 7))
+    assert(spark.read.format("graft-lake").load(dir)
+      .filter($"k" === 5L).count() == 0L)
+  }
+
   test("fallback path reports real statistics: a small DV-carrying " +
     "lake table still BROADCASTS in a join") {
     val dir = fresh()
