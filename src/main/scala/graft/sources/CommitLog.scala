@@ -2913,6 +2913,12 @@ object CommitLog {
     val logCount = counts(_._2)
     def statLen(p: Path): Long =
       try f.getFileStatus(p).getLen catch { case _: Exception => 0L }
+    // log artifacts (manifests, deletion vectors) are parquet
+    // DIRECTORIES — a plain file stat returns the inode size (0 on an
+    // object store), not the content; getContentSummary sums the tree
+    // (and equals getLen for a plain file)
+    def contentLen(p: Path): Long =
+      try f.getContentSummary(p).getLength catch { case _: Exception => 0L }
     val rows = branchSnaps.map { case (b, ss) =>
       val soleData = dataRefs(ss).filter(dataCount(_) == 1).toSeq.sorted
       val soleLog = logRefs(ss).filter(logCount(_) == 1).toSeq.sorted
@@ -2924,7 +2930,7 @@ object CommitLog {
         soleData.size.toLong,
         soleData.map(r => statLen(new Path(d, r))).sum,
         soleLog.size.toLong,
-        soleLog.map(r => statLen(new Path(logFile(d, r)))).sum)
+        soleLog.map(r => contentLen(new Path(logFile(d, r)))).sum)
     }
     import spark.implicits._
     rows.toDF("branch", "head_version", "head_age_ms",
@@ -3835,34 +3841,20 @@ object CommitLog {
 
     // zone-map level: evaluate comparison conjuncts against the
     // committed per-file min/max (the scanBox machinery's rule set)
-    // BLOOM point pruning: equality/In conjuncts on the table's
-    // declared bloom columns drop files whose committed per-file
-    // filter says definitely-absent (negatives are definitive —
-    // [[scanPoint]]'s rule, applied to arbitrary push-down reads).
-    // Evaluated IN Spark over the kilobyte manifest; files without a
-    // manifest row fall open (keep).
-    def bloomPrune(files: Seq[String]): Seq[String] = {
-      val conjs = filters.flatMap {
-        case EqualTo(c, v) if s.bloomCols.contains(c) && v != null =>
-          Seq((c, Seq(v)))
-        case In(c, vs) if s.bloomCols.contains(c) &&
-          vs.exists(_ != null) => Seq((c, vs.filter(_ != null).toSeq))
-        case _ => Nil
-      }
-      if (conjs.isEmpty || s.manifest.isEmpty || files.isEmpty)
-        return files
-      val m = spark.read.parquet(logFile(dir, s.manifest.get))
-      if (!conjs.forall(bc => m.columns.contains(s"bloom_${bc._1}")))
-        return files
-      val pred = conjs.map { case (c, vs) => bloomMightAny(c, vs) }
-        .reduce(_ && _)
-      val rows = m.select(col("file"),
-        pred.as("keep")).collect()
-      val inManifest = rows.map(_.getString(0)).toSet
-      val keep = rows.filter(_.getBoolean(1)).map(_.getString(0)).toSet
-      files.filter(r => keep.contains(r) || !inManifest.contains(r))
+    // manifest-level pruning — zone maps AND bloom filters — in ONE
+    // metadata pass: the relevant stat columns and the bloom keep
+    // verdict (equality/In conjuncts on declared bloom columns; a
+    // negative is definitive — [[scanPoint]]'s rule applied to
+    // arbitrary push-down reads) ride one select + one collect, so a
+    // filter on a column that is both clustered and bloom'd costs one
+    // driver job, not two. Files without a manifest row fall open.
+    val bloomConjs = filters.flatMap {
+      case EqualTo(c, v) if s.bloomCols.contains(c) && v != null =>
+        Seq((c, Seq(v)))
+      case In(c, vs) if s.bloomCols.contains(c) &&
+        vs.exists(_ != null) => Seq((c, vs.filter(_ != null).toSeq))
+      case _ => Nil
     }
-
     val statCols = filters.flatMap {
       case EqualTo(c, _) => Seq(c)
       case GreaterThan(c, _) => Seq(c)
@@ -3872,18 +3864,33 @@ object CommitLog {
       case In(c, _) => Seq(c)
       case _ => Nil
     }.distinct.filter(s.statsCols.contains)
-    if (statCols.isEmpty || s.manifest.isEmpty || afterPart.isEmpty)
-      return bloomPrune(afterPart)
-    val needed = statCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    if ((statCols.isEmpty && bloomConjs.isEmpty) ||
+      s.manifest.isEmpty || afterPart.isEmpty) return afterPart
     val manifest = spark.read.parquet(logFile(dir, s.manifest.get))
-    if (!needed.forall(manifest.columns.contains))
-      return bloomPrune(afterPart)
-    val stats: Map[String, Map[String, Any]] =
-      manifest.select(col("file") +: needed.map(col): _*).collect()
-        .map(r => r.getString(0) ->
-          needed.zipWithIndex.map { case (n, i) =>
-            n -> (if (r.isNullAt(i + 1)) null else r.get(i + 1))
-          }.toMap).toMap
+    val needed = statCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    val statsOk = statCols.nonEmpty &&
+      needed.forall(manifest.columns.contains)
+    val bloomOk = bloomConjs.nonEmpty &&
+      bloomConjs.forall(bc => manifest.columns.contains(s"bloom_${bc._1}"))
+    if (!statsOk && !bloomOk) return afterPart
+    // coalesce(…, true): a null bloom cell (no concrete path today —
+    // blooms are fixed at init and every manifest row carries them —
+    // but a fall-open beats an NPE if one ever appears) keeps the file
+    val keepCol =
+      if (!bloomOk) lit(true)
+      else coalesce(bloomConjs.map { case (c, vs) => bloomMightAny(c, vs) }
+        .reduce(_ && _), lit(true))
+    val selCols = (col("file") +:
+      (if (statsOk) needed.map(col) else Nil)) :+ keepCol.as("__bloom_keep")
+    val rows = manifest.select(selCols: _*).collect()
+    val info: Map[String, (Map[String, Any], Boolean)] = rows.map { r =>
+      val fs: Map[String, Any] =
+        if (!statsOk) Map.empty
+        else needed.zipWithIndex.map { case (n, i) =>
+          n -> (if (r.isNullAt(i + 1)) null else r.get(i + 1))
+        }.toMap
+      r.getString(0) -> (fs, r.getBoolean(r.length - 1))
+    }.toMap
     def cmpSafe(a: Any, b: Any): Option[Boolean] =
       try Some(statGeq(a, b)) catch { case _: Exception => None }
     // MAY a file with these stats satisfy the conjunct? null stats =
@@ -3920,12 +3927,13 @@ object CommitLog {
         case _ => true
       }
     }
-    bloomPrune(afterPart.filter { rel =>
-      stats.get(rel) match {
-        case Some(fs) => filters.forall(statKeep(_, fs))
+    afterPart.filter { rel =>
+      info.get(rel) match {
+        case Some((fs, bloomKeep)) => bloomKeep &&
+          (!statsOk || filters.forall(statKeep(_, fs)))
         case None => true // no manifest row — no information, keep
       }
-    })
+    }
   }
 
   /** EXACT `count(*)` / per-column `min` / `max` / `count(c)` for the

@@ -263,6 +263,19 @@ object LakeTxn {
           s"[laketxn] writeAll batch $batchId already committed to " +
             s"$txnDir — replay skipped")
         return cur
+      case Some(cur) if cur.batches.nonEmpty &&
+        batchId < cur.batches.max =>
+        // ENFORCED, not just documented: the per-table identity is
+        // high-water (txnDone's >= rule), so a NEW id below the
+        // family's watermark would silently no-op every table write
+        // while the manifest still recorded the batch as committed —
+        // rows lost everywhere under a success return. Loud beats lost.
+        throw new IllegalStateException(
+          s"writeAll on $txnDir: batch id $batchId is below the " +
+            s"family's committed watermark ${cur.batches.max} and was " +
+            "never committed itself — family batch ids must be " +
+            "MONOTONE (a replayed id is a no-op; a fresh one must " +
+            "grow). Re-issue with an id above the watermark.")
       case _ =>
     }
     val appId = txnAppId(txnDir)

@@ -486,18 +486,27 @@ class BranchSpec extends AnyFunSuite {
     val dir = freshLake()
     CommitLog.createBranch(spark, dir, "fresh")
     CommitLog.createBranch(spark, dir, "stale")
-    // the stale branch rewrites d0: its post-image files are referenced
-    // by no other log — exactly the bytes dropBranch + vacuum would free
+    // the stale branch rewrites d0 AND MoR-deletes a row: its
+    // post-image files and its deletion vector are referenced by no
+    // other log — exactly what dropBranch + vacuum would free
     CommitLog.upsert(spark,
       Seq((10L, 1L, "d0")).toDF("k", "v", "pd"),
       CommitLog.branchTarget(dir, "stale"), Seq("k"), "pd")
+    CommitLog.deleteVectors(spark,
+      CommitLog.branchTarget(dir, "stale"), col("k") === 120L)
     val rep = spark.sql(s"SELECT * FROM graft_lake_branch_report('$dir')")
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
     assert(rep.keySet == Set("fresh", "stale"))
-    val (_, staleAge, staleFiles, staleBytes) = rep("stale")
+    val (_, staleAge, staleFiles, staleBytes, staleLogFiles,
+      staleLogBytes) = rep("stale")
     assert(staleFiles > 0L && staleBytes > 0L,
       s"stale branch's sole retention not reported: $rep")
+    // the MoR vector (a parquet DIRECTORY under the branch's log) must
+    // report real content bytes, not a directory inode size
+    assert(staleLogFiles > 0L && staleLogBytes > 100L,
+      s"stale branch's log artifacts not reported: $rep")
     assert(staleAge >= 0L)
     // the fresh branch (seed only — every reference shared with main)
     // retains nothing of its own

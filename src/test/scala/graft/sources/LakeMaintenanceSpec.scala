@@ -167,8 +167,6 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     spark.range(0, 3000).toDF("v")
       .repartition(300).write.parquet(dir)
     CommitLog.init(spark, dir)
-    spark.range(0, 10).toDF("v")
-      .coalesce(1).createOrReplaceTempView("tiny")
     CommitLog.overwrite(spark,
       spark.range(0, 10).toDF("v").coalesce(1), dir, Nil)
     val promised = CommitLog.vacuum(spark, dir, keepLast = 1,

@@ -301,5 +301,15 @@ class LakeTxnSpec extends AnyFunSuite {
     assert(before == (CommitLog.latest(spark, dim).get.version,
       CommitLog.latest(spark, fact).get.version,
       LakeTxn.latest(spark, txn).get.txn))
+    // a FRESH id below the family watermark must fail LOUDLY: the
+    // per-table identity is high-water, so proceeding would no-op
+    // every write while the manifest recorded the batch as committed
+    // — rows lost under a success return
+    val e = intercept[IllegalStateException](tx(3L))
+    assert(e.getMessage.contains("MONOTONE"), e.getMessage)
+    assert(before == (CommitLog.latest(spark, dim).get.version,
+      CommitLog.latest(spark, fact).get.version,
+      LakeTxn.latest(spark, txn).get.txn),
+      "the rejected batch must publish nothing")
   }
 }
