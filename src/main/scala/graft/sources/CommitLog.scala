@@ -256,6 +256,39 @@ object CommitLog {
     * (or a true conflict) still fails with the documented type. */
   final class CommitConflict(msg: String) extends IllegalStateException(msg)
 
+  /** Typed divergence signal: the branch's fork point is behind the
+    * main head, so [[fastForward]]'s no-divergence precondition fails
+    * (or its CAS lost to an advancing main). [[mergeBranch]] classifies
+    * its retry loop on THIS TYPE — never on message text, which a
+    * rewording would silently break. Extends IllegalStateException so
+    * callers that only know the documented supertype still catch it. */
+  final class DivergedException(msg: String) extends IllegalStateException(msg)
+
+  /** Branch MERGE FENCE property. While present on a branch head, every
+    * non-merge commit to that branch fails loudly — [[mergeBranch]]
+    * stamps it before rebasing and clears it with the final sync
+    * commit, so the sync CAS can never lose to a racing branch writer
+    * (the race that used to leave a stale fork marker and poison the
+    * NEXT merge into a false conflict). The value is `epoch@millis` for
+    * diagnostics; a crashed merge's fence is cleared with
+    * [[unfenceBranch]]. Enforced, not documented discipline — the same
+    * upgrade the reference gets from its unique-index idempotency
+    * (reference: database/schema.sql:31-33). */
+  private[graft] val FenceProp = "graft.branch.fence"
+
+  /** Loud rejection of any non-merge commit against a fenced branch
+    * head. Called by [[commit]] (covering append/upsert/delete/compact/
+    * restore — everything riding [[commitRebase]]) and by each
+    * direct-CAS metadata verb (setProps, schema DDL). */
+  private def assertUnfenced(prev: Snapshot, dir: String): Unit =
+    prev.props.get(FenceProp).foreach { epoch =>
+      throw new IllegalStateException(
+        s"$dir is FENCED for merge (fence $epoch): a mergeBranch is " +
+          "adopting this branch into main — wait for its sync commit, " +
+          "or if the merge crashed, clear the fence with " +
+          "CommitLog.unfenceBranch and re-merge")
+    }
+
   /** The commit point: a concurrent writer that raced to the same
     * version number fails HERE, loudly, with the log unchanged. The
     * actual primitive is the path's [[LogStore]]: atomic
@@ -1055,6 +1088,7 @@ object CommitLog {
         * manifest builder asked for a vanished column would fail every
         * later commit). */
       schemaReplace: Boolean = false): Snapshot = {
+    assertUnfenced(prev, dir)
     val f = hadoopFs(spark, dir)
     val v = prev.version + 1
     val keepCol: String => Boolean =
@@ -1141,6 +1175,7 @@ object CommitLog {
   def setProps(spark: SparkSession, dir: String,
       kv: Map[String, String]): Snapshot = {
     val s = mustLatest(spark, dir)
+    assertUnfenced(s, dir)
     val merged = s.props ++ kv
     if (merged == s.props) return s
     val next = s.copy(version = s.version + 1, props = merged, op = "props",
@@ -1168,6 +1203,7 @@ object CommitLog {
       newCols: org.apache.spark.sql.types.StructType): Snapshot = {
     require(newCols.nonEmpty, "addColumns needs at least one column")
     val s = mustLatest(spark, dir)
+    assertUnfenced(s, dir)
     val base = s.schemaJson
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -1231,6 +1267,7 @@ object CommitLog {
   def renameColumn(spark: SparkSession, dir: String,
       from: String, to: String): Snapshot = {
     val s = mustLatest(spark, dir)
+    assertUnfenced(s, dir)
     val base = logicalSchema(spark, dir, s)
     require(base.fieldNames.contains(from),
       s"renameColumn on $dir: no column '$from'")
@@ -1265,6 +1302,7 @@ object CommitLog {
     * same name cannot resurrect old values ([[addColumns]]'s mint). */
   def dropColumn(spark: SparkSession, dir: String, name: String): Snapshot = {
     val s = mustLatest(spark, dir)
+    assertUnfenced(s, dir)
     val base = logicalSchema(spark, dir, s)
     require(base.fieldNames.contains(name),
       s"dropColumn on $dir: no column '$name'")
@@ -1303,6 +1341,7 @@ object CommitLog {
   def alterColumnType(spark: SparkSession, dir: String, name: String,
       to: org.apache.spark.sql.types.DataType): Snapshot = {
     val s = mustLatest(spark, dir)
+    assertUnfenced(s, dir)
     val base = logicalSchema(spark, dir, s)
     require(base.fieldNames.contains(name),
       s"alterColumnType on $dir: no column '$name'")
@@ -3002,7 +3041,7 @@ object CommitLog {
         s"branch '$name' of $d carries no fork marker — not a " +
           "createBranch-made branch"))
     val cur = mustLatest(spark, d)
-    require(cur.version == fork,
+    if (cur.version != fork) throw new DivergedException(
       s"fast-forward of branch '$name' into $d: the main line advanced " +
         s"past the fork (forked at $fork, now at ${cur.version}) — " +
         "histories diverged; re-apply the branch's changes against the " +
@@ -3027,12 +3066,13 @@ object CommitLog {
       op = "fastForward",
       manifest = head.manifest.map(rehome),
       dvs = head.dvs.map(rehome),
-      props = head.props - "graft.branch.name" - "graft.branch.fork",
+      props = head.props - "graft.branch.name" - "graft.branch.fork" -
+        FenceProp,
       committedAt = System.currentTimeMillis())
     try { casWrite(f, versionFile(d, adopted.version), render(adopted));
       adopted }
     catch { case e: CommitConflict =>
-      throw new IllegalStateException(
+      throw new DivergedException(
         s"fast-forward of branch '$name' into $d lost the commit race " +
           s"(${e.getMessage}) — the main line advanced; histories " +
           "diverged, re-apply against the current table")
@@ -3085,13 +3125,31 @@ object CommitLog {
     * branch's own CAS domain: losing it throws [[CommitConflict]];
     * [[mergeBranch]] retries. */
   def rebaseBranch(spark: SparkSession, dir: String,
-      name: String): Snapshot = {
+      name: String,
+      /** The caller's merge-fence epoch ([[FenceProp]] value). A fenced
+        * head accepts only the fence-holder's rebase; a standalone
+        * rebase (None) against a fenced head fails loudly like any
+        * other branch write. A supplied fence that no longer matches
+        * the head (another merge fenced it, or unfenceBranch cleared
+        * it) aborts — the caller's merge lost its claim. */
+      fence: Option[String] = None): Snapshot = {
     val d = dataDir(dir)
     val f = hadoopFs(spark, d)
     val target = branchTarget(d, name)
     val head = latest(spark, target).getOrElse(
       throw new IllegalArgumentException(
         s"branch '$name' of $d does not exist"))
+    val headFence = head.props.get(FenceProp)
+    fence match {
+      case None => assertUnfenced(head, target)
+      case Some(mine) if !headFence.contains(mine) =>
+        throw new IllegalStateException(
+          s"rebase of branch '$name' of $d: merge fence $mine no " +
+            s"longer holds the branch (head carries " +
+            s"${headFence.getOrElse("no fence")}) — another merge " +
+            "fenced it or unfenceBranch cleared it; re-run the merge")
+      case _ => ()
+    }
     val fork = head.props.get("graft.branch.fork").map(_.toLong)
       .getOrElse(throw new IllegalStateException(
         s"branch '$name' of $d carries no fork marker — not a " +
@@ -3250,11 +3308,15 @@ object CommitLog {
       } else (math.max(cur.batchFloor, head.batchFloor), allB)
     val bPropsChanged = head.props.filter { case (k, v) =>
       !forkSnap.props.get(k).contains(v) } -
-      "graft.branch.name" - "graft.branch.fork"
-    val bPropsRemoved = forkSnap.props.keySet -- head.props.keySet
+      "graft.branch.name" - "graft.branch.fork" - FenceProp
+    val bPropsRemoved = forkSnap.props.keySet -- head.props.keySet - FenceProp
+    // the merge's fence (if any) rides the rebase commit unchanged —
+    // only the merge's final sync commit clears it; it is excluded from
+    // the user-prop merge above so fastForward never adopts it onto main
     val mergedProps = (cur.props -- bPropsRemoved) ++ bPropsChanged +
       ("graft.branch.name" -> name,
-        "graft.branch.fork" -> cur.version.toString)
+        "graft.branch.fork" -> cur.version.toString) ++
+      headFence.map(FenceProp -> _)
 
     // ---- manifest merge: main head's rows minus the branch's removed
     // files, plus the branch head's rows for its added files (falling
@@ -3336,56 +3398,150 @@ object CommitLog {
     * (content-identical, fork marker = the adopted version), so later
     * branch work diverges from the merge point instead of re-playing
     * the already-adopted delta — without it the next merge would see
-    * its own earlier delta as a conflict. A branch writer RACING the
-    * merge can win the sync CAS; the branch then still carries the old
-    * fork marker, which the next merge absorbs cleanly only when the
-    * adopted delta was APPEND-ONLY (re-appending already-present files
-    * dedups; an adopted partition REWRITE false-conflicts against its
-    * own adoption and needs a re-fork). Stop branch writers before
-    * merging — the same discipline [[dropBranch]] documents — and
-    * [[dropBranch]] when the branch is done. */
+    * its own earlier delta as a conflict.
+    *
+    * RACING BRANCH WRITERS ARE FENCED, not trusted to stop: the merge
+    * first commits a [[FenceProp]] stamp through the branch's own CAS
+    * domain (so it serializes against every in-flight write — a write
+    * that lands first is simply part of the merged delta; one that
+    * lands after fails loudly at ITS commit with re-run guidance).
+    * From the fence to the sync commit the merge is the branch's sole
+    * writer, so the sync CAS cannot lose and the old silent
+    * stale-fork-marker poison (next merge false-conflicting against
+    * its own adoption) is impossible by construction. The fence clears
+    * with the sync commit on success, and on any pre-adoption failure
+    * (true partition conflict, retries exhausted); a merge that DIES
+    * between fence and sync leaves the branch fenced — the error
+    * message on the next write names [[unfenceBranch]] as the
+    * recovery. [[dropBranch]] when the branch is done. */
   def mergeBranch(spark: SparkSession, dir: String, name: String,
       maxRetries: Int = 5): Snapshot = {
     val d = dataDir(dir)
     val target = branchTarget(d, name)
     val f = hadoopFs(spark, d)
+    val epoch =
+      java.util.UUID.randomUUID.toString.take(8) +
+        "@" + System.currentTimeMillis
+    fenceBranch(spark, d, name, epoch, math.max(maxRetries, 16))
+    var adoptedOpt: Option[Snapshot] = None
+    try {
+      var attempt = 0
+      while (true) {
+        try {
+          val rebased = rebaseBranch(spark, d, name, Some(epoch))
+          val adopted = fastForward(spark, d, name)
+          adoptedOpt = Some(adopted)
+          val sync = adopted.copy(
+            version = rebased.version + 1,
+            op = "rebase",
+            props = adopted.props +
+              ("graft.branch.name" -> name,
+                "graft.branch.fork" -> adopted.version.toString),
+            committedAt = System.currentTimeMillis())
+          // under the fence this CAS has no legal competitor; a loss
+          // means the fence was violated (stale-code writer) or
+          // cleared (concurrent unfenceBranch) — surface it loudly,
+          // the branch must be re-forked, main's adoption stands
+          try casWrite(f, versionFile(target, sync.version), render(sync))
+          catch { case e: CommitConflict =>
+            throw new IllegalStateException(
+              s"mergeBranch '$name' into $d: ADOPTED into main as " +
+                s"v${adopted.version}, but the fenced sync commit lost " +
+                s"its CAS (${e.getMessage}) — something committed to " +
+                "the branch through the fence; the branch's fork " +
+                "marker is stale and unsafe: dropBranch and re-fork " +
+                "before further branch work. Main is correct.")
+          }
+          return adopted
+        } catch {
+          // retry-able: main advanced between the rebase and the adopt
+          // (typed DivergedException from fastForward's precondition or
+          // its CAS), or the rebase commit raced. Real conflicts surface
+          // as the rebase's own loud IllegalStateException, not these.
+          case e @ (_: CommitConflict | _: DivergedException)
+            if attempt < maxRetries - 1 =>
+            attempt += 1
+            Thread.sleep(20L * attempt)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } catch { case e: Throwable =>
+      // pre-adoption failure: release the fence so the branch stays
+      // writable (the loud conflict IS the outcome; locking the branch
+      // on top of it would punish recovery). Post-adoption failures
+      // keep the fence — the branch is stale-marked and unsafe anyway.
+      if (adoptedOpt.isEmpty) {
+        try unfenceBranch(spark, d, name)
+        catch { case u: Exception => e.addSuppressed(u) }
+      }
+      throw e
+    }
+  }
+
+  /** Stamp [[FenceProp]] onto branch `name`'s head as one
+    * content-identical commit through the branch's own CAS domain —
+    * [[mergeBranch]]'s claim step. CAS losses are racing branch writers
+    * landing ahead of the fence (their deltas become part of the merged
+    * delta); retry on top of them. A head already fenced by ANOTHER
+    * epoch fails loudly — one merge at a time. */
+  private[graft] def fenceBranch(spark: SparkSession, dir: String,
+      name: String, epoch: String, maxAttempts: Int = 16): Snapshot = {
+    val d = dataDir(dir)
+    val target = branchTarget(d, name)
+    val f = hadoopFs(spark, d)
     var attempt = 0
     while (true) {
-      try {
-        val rebased = rebaseBranch(spark, d, name)
-        val adopted = fastForward(spark, d, name)
-        val sync = adopted.copy(
-          version = rebased.version + 1,
-          op = "rebase",
-          props = adopted.props +
-            ("graft.branch.name" -> name,
-              "graft.branch.fork" -> adopted.version.toString),
-          committedAt = System.currentTimeMillis())
-        try casWrite(f, versionFile(target, sync.version), render(sync))
-        catch { case e: CommitConflict =>
-          System.err.println(
-            s"[commitlog] mergeBranch '$name' into $d: adopted as " +
-              s"v${adopted.version}, but a racing branch writer won " +
-              s"the sync commit (${e.getMessage}) — the branch still " +
-              "carries the old fork marker; the next merge absorbs " +
-              "this only if the adopted delta was append-only (a " +
-              "rewritten partition will false-conflict against its " +
-              "own adoption — re-fork then). Stop branch writers " +
-              "before merging.")
-        }
-        return adopted
-      } catch {
-        // retry-able: main advanced between the rebase and the adopt
-        // (fastForward's precondition or its CAS), or a same-branch
-        // writer raced the rebase commit. Real conflicts surface as
-        // the rebase's own loud IllegalStateException, not these.
-        case e: Exception if attempt < maxRetries - 1 &&
-          (e.isInstanceOf[CommitConflict] ||
-            e.getMessage != null &&
-              (e.getMessage.contains("the main line advanced") ||
-                e.getMessage.contains("histories diverged"))) =>
-          attempt += 1
-          Thread.sleep(20L * attempt)
+      val head = latest(spark, target).getOrElse(
+        throw new IllegalArgumentException(
+          s"branch '$name' of $d does not exist"))
+      assertUnfenced(head, target) // another merge in flight → loud
+      val stamp = head.copy(version = head.version + 1, op = "fence",
+        props = head.props + (FenceProp -> epoch),
+        committedAt = System.currentTimeMillis())
+      try { casWrite(f, versionFile(target, stamp.version), render(stamp))
+        return stamp }
+      catch { case e: CommitConflict =>
+        attempt += 1
+        if (attempt >= maxAttempts)
+          throw new IllegalStateException(
+            s"mergeBranch '$name' into $d: could not fence the branch " +
+              s"after $attempt attempts — branch writers are " +
+              s"out-committing the merge (${e.getMessage})")
+        Thread.sleep(20L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Clear a crashed merge's [[FenceProp]] from branch `name`'s head —
+    * the documented recovery when a [[mergeBranch]] died between its
+    * fence and its sync commit and the branch now rejects every write.
+    * A no-op on an unfenced branch. Do NOT run this against a LIVE
+    * merge: the merge's sync commit would lose its CAS protection and
+    * fail loudly (main's adoption stands; the branch then needs a
+    * re-fork). */
+  def unfenceBranch(spark: SparkSession, dir: String,
+      name: String): Snapshot = {
+    val d = dataDir(dir)
+    val target = branchTarget(d, name)
+    val f = hadoopFs(spark, d)
+    var attempt = 0
+    while (true) {
+      val head = latest(spark, target).getOrElse(
+        throw new IllegalArgumentException(
+          s"branch '$name' of $d does not exist"))
+      if (!head.props.contains(FenceProp)) return head
+      val clear = head.copy(version = head.version + 1, op = "unfence",
+        props = head.props - FenceProp,
+        committedAt = System.currentTimeMillis())
+      try { casWrite(f, versionFile(target, clear.version), render(clear))
+        return clear }
+      catch { case e: CommitConflict =>
+        attempt += 1
+        if (attempt >= 8) throw new IllegalStateException(
+          s"unfenceBranch '$name' of $d lost the commit race $attempt " +
+            s"times (${e.getMessage})")
+        Thread.sleep(20L * attempt)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -3470,7 +3626,8 @@ object CommitLog {
         // silent no-ops, the exact failure the fresh ledger prevents
         props = s.props.view
           .filterKeys(k => !k.startsWith("graft.txn.") &&
-            k != "graft.branch.name" && k != "graft.branch.fork").toMap +
+            k != "graft.branch.name" && k != "graft.branch.fork" &&
+            k != FenceProp).toMap +
           ("graft.clone.source" -> srcDir,
             "graft.clone.version" -> s.version.toString),
         committedAt = System.currentTimeMillis())

@@ -193,7 +193,7 @@ class BranchSpec extends AnyFunSuite {
     val t = CommitLog.branchTarget(dir, "dev")
     CommitLog.append(spark, Seq((1L, 1L, "d0")).toDF("k", "v", "pd"), t)
     CommitLog.append(spark, Seq((2L, 2L, "d0")).toDF("k", "v", "pd"), dir)
-    val e = intercept[IllegalArgumentException](
+    val e = intercept[CommitLog.DivergedException](
       CommitLog.fastForward(spark, dir, "dev"))
     assert(e.getMessage.contains("diverged"))
   }

@@ -49,7 +49,7 @@ class RebaseSpec extends AnyFunSuite {
     CommitLog.delete(spark, t, col("k") >= 200L && col("k") < 220L)
     CommitLog.append(spark, Seq((7000L, 3L, "d0")).toDF("k", "v", "pd"), t)
     // fastForward alone must refuse (histories diverged)
-    val ff = intercept[IllegalArgumentException](
+    val ff = intercept[CommitLog.DivergedException](
       CommitLog.fastForward(spark, dir, "exp"))
     assert(ff.getMessage.contains("advanced past the fork"))
 
@@ -238,5 +238,115 @@ class RebaseSpec extends AnyFunSuite {
     CommitLog.append(spark, Seq((9600L, 1L, "d1")).toDF("k", "v", "pd"), dir)
     spark.sql(s"CALL graft_branch_merge('$dir', 'sqlexp')").collect()
     assert(rows(dir).contains((9500L, 1L)) && rows(dir).contains((9600L, 1L)))
+  }
+
+  /** The round-14 poison, killed by construction: a branch writer
+    * racing mergeBranch's sync commit used to win the CAS, leaving a
+    * stale fork marker that made the NEXT merge false-conflict against
+    * its own adopted partition rewrite (recovery: re-fork). Now the
+    * merge FENCES the branch first through the branch's own CAS domain:
+    * every racing write either serializes BEFORE the fence (and is part
+    * of the merged delta) or fails loudly at its commit. The property:
+    * across randomized interleavings, no schedule ever needs a re-fork
+    * — the second merge (with the dangerous rewritten-partition delta
+    * adopted in the first) always succeeds, and every writer either
+    * landed or got the loud fence error, never a silent drop. */
+  test("FENCE property: racing branch writers land-before-fence or fail " +
+    "loudly; no interleaving leaves the branch needing a re-fork") {
+    for (seed <- Seq(11, 29, 47)) {
+      val dir = freshLake()
+      CommitLog.createBranch(spark, dir, "exp")
+      val t = CommitLog.branchTarget(dir, "exp")
+      // the dangerous shape: the branch REWRITES a partition (d2) so a
+      // stale fork marker would false-conflict on the second merge
+      CommitLog.delete(spark, t, col("k") === (200L + seed))
+      // main advances, forcing a true rebase (not a bare fast-forward)
+      CommitLog.append(spark,
+        Seq((6000L + seed, 1L, "d0")).toDF("k", "v", "pd"), dir)
+      val rnd = new scala.util.Random(seed)
+      val delays = Array.fill(4, 3)(rnd.nextInt(60))
+      val mergeDelay = rnd.nextInt(50)
+      val landed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val fencedOff = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      val writers = (0 until 4).map { w =>
+        pool.submit(new Runnable { def run(): Unit =
+          (0 until 3).foreach { i =>
+            val k = 8000L + seed * 10 + w * 3 + i
+            Thread.sleep(delays(w)(i).toLong)
+            try {
+              CommitLog.append(spark,
+                Seq((k, 9L, "d1")).toDF("k", "v", "pd"), t)
+              landed.add(k)
+            } catch {
+              case e: IllegalStateException
+                if e.getMessage.contains("FENCED for merge") =>
+                fencedOff.add(k)
+            }
+          }
+        })
+      }
+      Thread.sleep(mergeDelay.toLong)
+      val adopted = CommitLog.mergeBranch(spark, dir, "exp")
+      writers.foreach(_.get())
+      pool.shutdown()
+      // every attempt is accounted for: landed or loudly fenced
+      assert(landed.size + fencedOff.size == 12,
+        s"seed $seed: ${landed.size} landed + ${fencedOff.size} fenced")
+      // the fence is gone and the branch is writable again
+      val head = CommitLog.latest(spark, t).get
+      assert(!head.props.contains(CommitLog.FenceProp),
+        s"seed $seed: fence survived the merge")
+      CommitLog.delete(spark, t, col("k") === (210L + seed))
+      CommitLog.append(spark,
+        Seq((6001L + seed, 2L, "d1")).toDF("k", "v", "pd"), dir)
+      // the second merge — with the first's partition REWRITE adopted —
+      // must never false-conflict, on any schedule
+      CommitLog.mergeBranch(spark, dir, "exp")
+      // model: base − the two deletes + main's appends + every landed
+      // racing append (pre-fence ones adopted by merge 1, post-sync
+      // ones by merge 2); a fenced-off write must NOT appear anywhere
+      import scala.jdk.CollectionConverters._
+      val expected = (0L until 300L)
+        .filterNot(k => k == 200L + seed || k == 210L + seed)
+        .map(k => (k, k % 7)).toSet ++
+        Set((6000L + seed, 1L), (6001L + seed, 2L)) ++
+        landed.asScala.map(k => (k, 9L))
+      assert(rows(dir) == expected, s"seed $seed: merged main != model")
+      assert(fencedOff.asScala.forall(k => !rows(dir).exists(_._1 == k)),
+        s"seed $seed: a fenced-off write leaked into main")
+    }
+  }
+
+  test("unfenceBranch clears a crashed merge's fence and the branch " +
+    "writes again; a live merge whose fence was stolen fails loudly " +
+    "instead of publishing a stale sync") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "exp")
+    val t = CommitLog.branchTarget(dir, "exp")
+    // simulate a crashed merge: stamp the fence via the merge's own
+    // claim step, then never sync (the process "died" here)
+    CommitLog.fenceBranch(spark, dir, "exp", "deadbeef@0")
+    // fenced: every write verb refuses with the recovery in the message
+    val e = intercept[IllegalStateException](CommitLog.append(spark,
+      Seq((9000L, 1L, "d0")).toDF("k", "v", "pd"), t))
+    assert(e.getMessage.contains("FENCED for merge") &&
+      e.getMessage.contains("unfenceBranch"), e.getMessage)
+    val e2 = intercept[IllegalStateException](
+      CommitLog.setProps(spark, t, Map("a" -> "b")))
+    assert(e2.getMessage.contains("FENCED for merge"))
+    // a standalone rebase is a branch write too — refused while fenced
+    CommitLog.append(spark, Seq((9100L, 1L, "d0")).toDF("k", "v", "pd"), dir)
+    val e3 = intercept[IllegalStateException](
+      CommitLog.rebaseBranch(spark, dir, "exp"))
+    assert(e3.getMessage.contains("FENCED for merge"))
+    // recovery: unfence, then write and merge normally
+    val cleared = CommitLog.unfenceBranch(spark, dir, "exp")
+    assert(!cleared.props.contains(CommitLog.FenceProp))
+    CommitLog.append(spark, Seq((9000L, 1L, "d0")).toDF("k", "v", "pd"), t)
+    CommitLog.mergeBranch(spark, dir, "exp")
+    assert(rows(dir).contains((9000L, 1L)))
+    assert(CommitLog.unfenceBranch(spark, dir, "exp").props
+      .get(CommitLog.FenceProp).isEmpty) // no-op on an unfenced branch
   }
 }
