@@ -1873,6 +1873,101 @@ object EngineQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY lflag""".stripMargin
 
+  // -------------------------------------------------- q200_txn_delete
+  // THE COMPLIANCE SHAPE as one transaction (LakeTxn.writeAll with a
+  // TxnDelete leg): new lineitem facts append WHILE expired orders
+  // (status 'F') purge, atomically — previously two commits with a
+  // torn window where a family reader could see the purge without the
+  // facts (or vice versa). The worst crash window runs FOR REAL: a
+  // "crashed first attempt" commits the orders DELETE only (no
+  // manifest) — the fixture proves family readers still see the
+  // un-purged cut — then the replayed writeAll heals forward (delete
+  // no-ops through the per-table ledger, lineitem commits, one
+  // manifest pins both) and a second replay is a full no-op. The
+  // serving aggregate joins both tables THROUGH the manifest; the
+  // DuckDB oracle recomputes the post-transaction state from the raw
+  // tables (join minus status-F orders), so the hash-match proves the
+  // purge+append landed exactly once. At 100 TB: the delete is a
+  // copy-on-write of the HIT files only, the append O(batch), the
+  // manifest a kilobyte CAS.
+  private val q200Families = scala.collection.concurrent.TrieMap[String, (String, String, String)]()
+  private def q200Family(s: SparkSession, d: String): (String, String, String) =
+    q200Families.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q200_")
+      val oLake = s"$work/orders"; val lLake = s"$work/lineitem"
+      val txn = s"$work/txn"
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_returnflag").as("lflag"))
+      // scale-driven split (q198's rule): lineitem base = keys ≤
+      // max/2, the transactional append = the rest, so the FINAL
+      // lineitem state is the whole table and the oracle needs no cut
+      // constant; orders starts whole and the transaction purges 'F'
+      val lCut = li.agg(max(col("l_orderkey"))).head.getLong(0) / 2
+      ords.write.partitionBy("flag").parquet(oLake)
+      graft.sources.CommitLog.init(s, oLake)
+      li.filter(col("l_orderkey") <= lCut)
+        .write.partitionBy("lflag").parquet(lLake)
+      graft.sources.CommitLog.init(s, lLake)
+      graft.sources.LakeTxn.commit(s, txn, Map(
+        oLake -> 1L, lLake -> 1L))
+      val lSlice = li.filter(col("l_orderkey") > lCut)
+      // the crashed first attempt: the retention DELETE committed
+      // (under the family identity writeAll will replay with), the
+      // fact append and the manifest never happened — the worst window
+      graft.sources.CommitLog.delete(s, oLake, col("flag") === "F",
+        txn = Some((graft.sources.LakeTxn.txnAppId(txn), 7L)))
+      // torn-purge invisibility: family readers still see the OLD cut
+      val midWindow = graft.sources.LakeTxn.read(s, txn, oLake).count()
+      require(midWindow == graft.sources.CommitLog
+        .readAt(s, oLake, 1L).count(),
+        s"manifest reader saw the torn purge: $midWindow rows")
+      def purge() = graft.sources.LakeTxn.writeAll(s, txn, Seq(
+        graft.sources.LakeTxn.TxnDelete(oLake, col("flag") === "F"),
+        graft.sources.LakeTxn.TxnAppend(lLake, lSlice)), batchId = 7L)
+      // the replay heals forward: delete no-ops via its ledger, the
+      // lineitem append commits, ONE manifest publishes both
+      purge()
+      // a second replay is a full no-op
+      val head = purge()
+      require(graft.sources.LakeTxn.pinOf(s, txn, oLake) == 2L &&
+        graft.sources.LakeTxn.pinOf(s, txn, lLake) == 2L,
+        s"exactly-once violated: pins ${head.pins}")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      (oLake, lLake, txn)
+    })
+
+  private def q200TxnDelete(s: SparkSession, d: String): DataFrame = {
+    val (oLake, lLake, txn) = q200Family(s, d)
+    val o = graft.sources.LakeTxn.read(s, txn, oLake)
+    val l = graft.sources.LakeTxn.read(s, txn, lLake)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("lflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        min(col("o_orderkey")).as("min_ok"),
+        max(col("o_orderkey")).as("max_ok"))
+      .orderBy(col("lflag"))
+  }
+
+  private val q200Sql =
+    """SELECT l_returnflag AS lflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_qty,
+      |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus <> 'F'
+      |GROUP BY 1 ORDER BY lflag""".stripMargin
+
   // ------------------------------------------------------- q181_zorder
   // Z-order clustering end-to-end: a lineitem slice is rewritten by
   // CALL graft_compact_zorder on (l_partkey, l_suppkey), then served
@@ -2714,6 +2809,7 @@ object EngineQueries {
     Q("q193_clone", q193Clone, Some(q192Sql)),
     Q("q196_branch_merge", q196BranchMerge, Some(q196Sql)),
     Q("q198_txn_append", q198TxnAppend, Some(q198Sql)),
+    Q("q200_txn_delete", q200TxnDelete, Some(q200Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

@@ -3691,8 +3691,19 @@ object CommitLog {
     * contract). A predicate matching nothing commits nothing and
     * returns the current snapshot. */
   def delete(spark: SparkSession, dir: String,
-      cond: org.apache.spark.sql.Column): Snapshot = {
+      cond: org.apache.spark.sql.Column,
+      /** Per-query sink-transaction identity `(queryId, batchId)` — the
+        * same exactly-once ledger [[sinkUpsert]] rides, so a delete can
+        * participate in [[graft.sources.LakeTxn.writeAll]]'s
+        * heal-forward replay. A replayed identity no-ops EVEN WHEN the
+        * predicate matches nothing anymore (or would now match rows a
+        * LATER transaction appended) — replay safety must come from the
+        * ledger, never from the predicate happening to miss. */
+      txn: Option[(String, Long)] = None): Snapshot = {
     val s = mustLatest(spark, dir)
+    txn.foreach { case (q, b) =>
+      if (txnDone(s, q, b)) { txnSkip(dir, q, b); return s } }
+    val ledger = txn.map { case (q, b) => txnKey(q) -> b.toString }.toMap
     val base = hadoopFs(spark, dir).makeQualified(new Path(dataDir(dir)))
       .toUri.getPath.stripSuffix("/") + "/"
     val hitFiles = readSnapshot(spark, dir, s)
@@ -3700,7 +3711,15 @@ object CommitLog {
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => DataSkipping.rawPath(r.getString(0))
         .stripPrefix(base)).toSet // one row per file with matches — small
-    if (hitFiles.isEmpty) return s
+    if (hitFiles.isEmpty) {
+      // nothing matched: still record a txn identity (ledger-only
+      // commit) — the replay guard above, not predicate luck, is what
+      // makes a crashed transaction's re-run safe
+      if (txn.isEmpty) return s
+      return commitRebase(spark, dir,
+        StagedUpsert(s, Set.empty, Set.empty, Nil, None,
+          propsDelta = ledger, txn = txn), "delete", maxRetries = 10)
+    }
     val partCols = partColsOf(s)
     // keep every row where cond is NOT TRUE — a null predicate must not
     // delete the row (filter(!cond) would silently drop null-cond rows)
@@ -3708,7 +3727,8 @@ object CommitLog {
       .filter(!coalesce(cond, lit(false)))
     val newRels = stageWrite(spark, dir, survivors, partCols, s.physNames)
     commitRebase(spark, dir,
-      StagedUpsert(s, hitFiles.map(partOf), hitFiles, newRels, None),
+      StagedUpsert(s, hitFiles.map(partOf), hitFiles, newRels, None,
+        propsDelta = ledger, txn = txn),
       "delete", maxRetries = 10)
   }
 
@@ -3800,8 +3820,14 @@ object CommitLog {
       cond: org.apache.spark.sql.Column, additions: DataFrame,
       propsDelta: Map[String, String] = Map.empty,
       probe: Option[(String, Seq[Any])] = None,
-      expectedVersion: Option[Long] = None): Snapshot = {
+      expectedVersion: Option[Long] = None,
+      /** Per-query sink-transaction identity — see [[delete]]'s `txn`;
+        * lets a replaceWhere leg ride [[graft.sources.LakeTxn.writeAll]]
+        * with exactly-once replay. */
+      txn: Option[(String, Long)] = None): Snapshot = {
     val s = mustLatest(spark, dir)
+    txn.foreach { case (q, b) =>
+      if (txnDone(s, q, b)) { txnSkip(dir, q, b); return s } }
     // optimistic-concurrency guard: a caller whose propsDelta was DERIVED
     // from a snapshot (InvertedIndex.update folds absolute globals off
     // the version it read) pins that version here — a commit that landed
@@ -3845,13 +3871,15 @@ object CommitLog {
     val addedRels =
       if (additions.isEmpty) Nil
       else stageWrite(spark, dir, additions, partCols, s.physNames)
-    if (hitFiles.isEmpty && addedRels.isEmpty && propsDelta.isEmpty) return s
+    if (hitFiles.isEmpty && addedRels.isEmpty && propsDelta.isEmpty &&
+      txn.isEmpty) return s
     val newRels = survivorRels ++ addedRels
     val touched = hitFiles.map(partOf) ++ newRels.map(partOf)
+    val ledger = txn.map { case (q, b) => txnKey(q) -> b.toString }.toMap
     commitRebase(spark, dir,
       StagedUpsert(s, touched, hitFiles, newRels, None,
         if (addedRels.isEmpty) None else Some(additions.schema.json),
-        propsDelta),
+        propsDelta ++ ledger, txn = txn),
       "replace", maxRetries = 10,
       pinnedBase = expectedVersion.isDefined)
   }

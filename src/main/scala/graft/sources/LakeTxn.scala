@@ -54,9 +54,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object LakeTxn {
 
   /** One committed family cut: manifest sequence number, per-table
-    * version pins (keyed by normalized table dir), committed batch ids. */
+    * version pins (keyed by normalized table dir), committed batch ids.
+    * `floor` is the ledger-compaction high-water: every id at or below
+    * it is committed (its explicit entry was folded away once `batches`
+    * outgrew [[CommitLog.LedgerKeep]]) — the same O(K)-per-manifest
+    * bound the per-table logs enforce, so a per-batch streaming-style
+    * family never republishes an unbounded id history on every commit. */
   final case class State(txn: Long, pins: Map[String, Long],
-      batches: Seq[Long])
+      batches: Seq[Long], floor: Long = -1L) {
+    /** Committed test under the floor: folded ids count. */
+    def committed(b: Long): Boolean = b <= floor || batches.contains(b)
+    /** The family's monotone high-water mark. */
+    def watermark: Long =
+      if (batches.nonEmpty) math.max(floor, batches.max) else floor
+  }
 
   private val TxnName = "^t(\\d{20})\\.json$".r
 
@@ -70,7 +81,8 @@ object LakeTxn {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     JsonMethods.compact(JsonMethods.render(
-      ("txn" -> s.txn) ~ ("pins" -> s.pins) ~ ("batches" -> s.batches)))
+      ("txn" -> s.txn) ~ ("pins" -> s.pins) ~ ("batches" -> s.batches) ~
+        ("floor" -> s.floor)))
   }
 
   private def parse(text: String): State = {
@@ -80,7 +92,9 @@ object LakeTxn {
     val j = JsonMethods.parse(text)
     State((j \ "txn").extract[Long],
       (j \ "pins").extract[Map[String, Long]],
-      (j \ "batches").extract[Seq[Long]])
+      (j \ "batches").extract[Seq[Long]],
+      // manifests written before the floor existed parse as floor -1
+      (j \ "floor").extractOpt[Long].getOrElse(-1L))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -149,7 +163,7 @@ object LakeTxn {
     var attempt = 0
     while (true) {
       val cur = latest(spark, txnDir)
-      if (batchId.exists(b => cur.exists(_.batches.contains(b)))) {
+      if (batchId.exists(b => cur.exists(_.committed(b)))) {
         System.err.println(
           s"[laketxn] batch ${batchId.get} already committed to $txnDir — " +
             "replay skipped")
@@ -164,10 +178,22 @@ object LakeTxn {
               "re-derive from the current family state")
         }
       }
+      // ledger compaction, mirroring the per-table logs: once over
+      // LedgerKeep ids, the oldest fold into the floor — replay checks
+      // ([[State.committed]]) and the monotone watermark consult the
+      // floor, so correctness survives the fold
+      val allB = (cur.map(_.batches).getOrElse(Nil) ++ batchId)
+        .distinct.sorted
+      val prevFloor = cur.map(_.floor).getOrElse(-1L)
+      val (floorB, keptB) =
+        if (allB.size > CommitLog.LedgerKeep) {
+          val cut = allB.size - CommitLog.LedgerKeep
+          (math.max(allB(cut - 1), prevFloor), allB.drop(cut))
+        } else (prevFloor, allB)
       val next = State(
         cur.map(_.txn + 1).getOrElse(1L),
         curPins ++ normPins,
-        (cur.map(_.batches).getOrElse(Nil) ++ batchId).distinct.sorted)
+        keptB, floorB)
       val p = txnFile(txnDir, next.txn)
       // the SAME hardened CAS as the per-table commit point (O_EXCL on
       // local filesystems — Hadoop's local create-no-overwrite is
@@ -241,16 +267,37 @@ object LakeTxn {
       rows: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
       partitionCol: String, seqCol: Option[String] = None)
     extends TxnWrite
+  /** Predicate delete (copy-on-write of the hit files) — the retention/
+    * GDPR leg of a fact-append + purge transaction. Replay-safe through
+    * the same per-query ledger: a replayed delete no-ops even when the
+    * predicate would now match rows a LATER transaction appended. */
+  final case class TxnDelete(dir: String,
+      cond: org.apache.spark.sql.Column) extends TxnWrite
+  /** Atomic predicate overwrite — delete every row matching `cond` and
+    * insert `additions` as one commit (the partition-restatement leg).
+    * Unlike the provider's replaceWhere option, no incoming-rows-match
+    * constraint is imposed here: the verb is the engine-level
+    * restatement primitive and the caller owns the predicate/payload
+    * contract. */
+  final case class TxnReplaceWhere(dir: String,
+      cond: org.apache.spark.sql.Column,
+      additions: org.apache.spark.sql.DataFrame) extends TxnWrite
 
   /** [[appendAll]] generalized to MIXED verbs — the fact-append +
     * dim-upsert shape (new facts arrive while a dimension row's
-    * attributes change, atomically): each write commits through its
-    * table's own log under the family-namespaced identity, then one
-    * manifest pins every participant. Same crash/replay contract as
-    * [[appendAll]], window for window — upserts ride the
-    * per-query txn ledger ([[CommitLog.sinkUpsert]] with the family
-    * app id), so a replayed half-applied transaction no-ops the
-    * committed tables and completes the rest before pinning. */
+    * attributes change, atomically), and the COMPLIANCE shape: a
+    * fact-append paired with a retention [[TxnDelete]] or a
+    * [[TxnReplaceWhere]] restatement, so "add this month, purge
+    * expired rows" is one family cut instead of two commits with a
+    * torn window between them. Same crash/replay contract as
+    * [[appendAll]], window for window — every verb rides the per-query
+    * txn ledger under the family app id ([[CommitLog.sinkUpsert]] /
+    * [[CommitLog.delete]] / [[CommitLog.replaceWhere]] with `txn`), so
+    * a replayed half-applied transaction no-ops the committed tables
+    * and completes the rest before pinning. The delete leg's replay
+    * guard is the LEDGER, never the predicate: a re-run whose
+    * predicate would now match rows a LATER transaction appended still
+    * no-ops. */
   def writeAll(spark: SparkSession, txnDir: String,
       writes: Seq[TxnWrite], batchId: Long): State = {
     require(writes.nonEmpty, "writeAll needs at least one write")
@@ -258,13 +305,12 @@ object LakeTxn {
       .distinct.size == writes.size,
       "writeAll: one write per table — merge duplicate targets first")
     latest(spark, txnDir) match {
-      case Some(cur) if cur.batches.contains(batchId) =>
+      case Some(cur) if cur.committed(batchId) =>
         System.err.println(
           s"[laketxn] writeAll batch $batchId already committed to " +
             s"$txnDir — replay skipped")
         return cur
-      case Some(cur) if cur.batches.nonEmpty &&
-        batchId < cur.batches.max =>
+      case Some(cur) if batchId < cur.watermark =>
         // ENFORCED, not just documented: the per-table identity is
         // high-water (txnDone's >= rule), so a NEW id below the
         // family's watermark would silently no-op every table write
@@ -272,7 +318,7 @@ object LakeTxn {
         // rows lost everywhere under a success return. Loud beats lost.
         throw new IllegalStateException(
           s"writeAll on $txnDir: batch id $batchId is below the " +
-            s"family's committed watermark ${cur.batches.max} and was " +
+            s"family's committed watermark ${cur.watermark} and was " +
             "never committed itself — family batch ids must be " +
             "MONOTONE (a replayed id is a no-op; a fresh one must " +
             "grow). Re-issue with an id above the watermark.")
@@ -286,6 +332,12 @@ object LakeTxn {
       case TxnUpsert(d, rows, keyCols, pc, seqCol) =>
         d -> CommitLog.sinkUpsert(spark, rows, d, keyCols, pc, seqCol,
           appId, batchId).version
+      case TxnDelete(d, cond) =>
+        d -> CommitLog.delete(spark, d, cond,
+          txn = Some((appId, batchId))).version
+      case TxnReplaceWhere(d, cond, additions) =>
+        d -> CommitLog.replaceWhere(spark, d, cond, additions,
+          txn = Some((appId, batchId))).version
     }.toMap
     commit(spark, txnDir, pins, Some(batchId))
   }

@@ -312,4 +312,120 @@ class LakeTxnSpec extends AnyFunSuite {
       LakeTxn.latest(spark, txn).get.txn),
       "the rejected batch must publish nothing")
   }
+
+  test("writeAll delete leg: fact-append + retention delete is one " +
+    "family cut; the crash window heals forward; replay no-ops by " +
+    "LEDGER even when the predicate would re-match newer rows") {
+    val w = work()
+    val fact = s"$w/fact"; val audit = s"$w/audit"; val txn = s"$w/txn4"
+    Seq((1L, 10.0), (2L, 20.0), (3L, 5.0)).toDF("k", "amt")
+      .write.parquet(fact)
+    CommitLog.init(spark, fact)
+    Seq((100L, "init")).toDF("k", "note").write.parquet(audit)
+    CommitLog.init(spark, audit)
+    LakeTxn.commit(spark, txn, Map(fact -> 1L, audit -> 1L))
+    val appId = LakeTxn.txnAppId(txn)
+    // CRASH WINDOW: the retention delete committed under the family
+    // identity, the audit append and the manifest never happened —
+    // family readers still see the old cut WITH the purged rows
+    CommitLog.delete(spark, fact, col("amt") < 15.0,
+      txn = Some((appId, 7L)))
+    assert(CommitLog.read(spark, fact).count() == 1L, "delete landed")
+    assert(LakeTxn.read(spark, txn, fact).count() == 3L,
+      "manifest reader saw the torn purge")
+    // heal-forward replay: the delete no-ops via the ledger, the audit
+    // append commits, ONE manifest publishes the consistent pair
+    def purge(b: Long) = LakeTxn.writeAll(spark, txn, Seq(
+      LakeTxn.TxnDelete(fact, col("amt") < 15.0),
+      LakeTxn.TxnAppend(audit,
+        Seq((101L, "purged")).toDF("k", "note"))), batchId = b)
+    purge(7L)
+    assert(LakeTxn.read(spark, txn, fact)
+      .select($"k").as[Long].collect().toSet == Set(2L))
+    assert(LakeTxn.read(spark, txn, audit).count() == 2L)
+    // a LATER transaction appends rows the old predicate WOULD match…
+    LakeTxn.writeAll(spark, txn, Seq(
+      LakeTxn.TxnAppend(fact, Seq((4L, 1.0)).toDF("k", "amt"))),
+      batchId = 8L)
+    // …and the replayed old delete must NOT purge them: ledger, not
+    // predicate luck, is the replay guard
+    purge(7L)
+    assert(LakeTxn.read(spark, txn, fact)
+      .select($"k").as[Long].collect().toSet == Set(2L, 4L),
+      "a replayed delete re-matched a newer row — ledger guard broken")
+  }
+
+  test("writeAll replaceWhere leg: partition restatement + fact append " +
+    "land under one manifest; replay is a full no-op") {
+    val w = work()
+    val sales = s"$w/sales"; val fact = s"$w/fact"; val txn = s"$w/txn5"
+    Seq((1L, 10.0, "jan"), (2L, 20.0, "jan"), (3L, 30.0, "feb"))
+      .toDF("k", "amt", "mon").write.partitionBy("mon").parquet(sales)
+    CommitLog.init(spark, sales)
+    Seq((1L, 1.0)).toDF("k", "amt").write.parquet(fact)
+    CommitLog.init(spark, fact)
+    LakeTxn.commit(spark, txn, Map(sales -> 1L, fact -> 1L))
+    def restate(b: Long) = LakeTxn.writeAll(spark, txn, Seq(
+      LakeTxn.TxnReplaceWhere(sales, col("mon") === "jan",
+        Seq((1L, 11.0, "jan"), (9L, 90.0, "jan"))
+          .toDF("k", "amt", "mon")),
+      LakeTxn.TxnAppend(fact, Seq((2L, 2.0)).toDF("k", "amt"))),
+      batchId = 3L)
+    restate(3L)
+    val jan = LakeTxn.read(spark, txn, sales)
+      .select($"k", $"amt").as[(Long, Double)].collect().toSet
+    assert(jan == Set((1L, 11.0), (9L, 90.0), (3L, 30.0)),
+      s"jan must be restated, feb untouched: $jan")
+    assert(LakeTxn.read(spark, txn, fact).count() == 2L)
+    val before = (CommitLog.latest(spark, sales).get.version,
+      CommitLog.latest(spark, fact).get.version,
+      LakeTxn.latest(spark, txn).get.txn)
+    restate(3L)
+    assert(before == (CommitLog.latest(spark, sales).get.version,
+      CommitLog.latest(spark, fact).get.version,
+      LakeTxn.latest(spark, txn).get.txn))
+  }
+
+  test("manifest ledger compaction: past LedgerKeep the oldest ids fold " +
+    "into the floor; folded ids still replay as no-ops; the monotone " +
+    "check consults the floor") {
+    val w = work()
+    val fact = s"$w/fact"; val txn = s"$w/txn6"
+    Seq((0L, 0.0)).toDF("k", "amt").write.parquet(fact)
+    CommitLog.init(spark, fact)
+    LakeTxn.commit(spark, txn, Map(fact -> 1L))
+    val saved = CommitLog.LedgerKeep
+    try {
+      CommitLog.LedgerKeep = 4
+      // commit ids 1..8 and 10 — 9 stays a NEVER-committed gap below
+      // the final watermark
+      ((1L to 8L) :+ 10L).foreach { b =>
+        LakeTxn.writeAll(spark, txn, Seq(
+          LakeTxn.TxnAppend(fact, Seq((b, b.toDouble)).toDF("k", "amt"))),
+          batchId = b)
+      }
+      val st = LakeTxn.latest(spark, txn).get
+      assert(st.batches.size <= 4,
+        s"ledger must stay bounded: ${st.batches}")
+      assert(st.floor >= 5L, s"oldest ids must fold: floor=${st.floor}")
+      assert(st.committed(2L) && st.committed(st.floor),
+        "folded ids must read as committed")
+      assert(st.watermark == 10L)
+      // replaying a FOLDED id is a no-op, not a monotone violation
+      val before = (CommitLog.latest(spark, fact).get.version, st.txn)
+      LakeTxn.writeAll(spark, txn, Seq(
+        LakeTxn.TxnAppend(fact, Seq((2L, 2.0)).toDF("k", "amt"))),
+        batchId = 2L)
+      assert(before == (CommitLog.latest(spark, fact).get.version,
+        LakeTxn.latest(spark, txn).get.txn),
+        "a folded id must replay as a no-op")
+      // a FRESH id in the gap below the watermark still fails loudly:
+      // the monotone check survives compaction through the floor
+      val e = intercept[IllegalStateException](
+        LakeTxn.writeAll(spark, txn, Seq(
+          LakeTxn.TxnAppend(fact, Seq((99L, 9.0)).toDF("k", "amt"))),
+          batchId = 9L))
+      assert(e.getMessage.contains("MONOTONE"), e.getMessage)
+    } finally CommitLog.LedgerKeep = saved
+  }
 }
