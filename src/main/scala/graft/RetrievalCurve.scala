@@ -54,7 +54,7 @@ object RetrievalCurve {
       val t0 = System.nanoTime()
       val rows = graft.text.Retrieval.hybridTopK(spark, textIdx, vecIdx,
         termQueries, vecQueries, "vec_id", "embedding",
-        k = 10, arity = 3, nProbe = nProbe)
+        k = 10, arity = 3, nProbe = nProbe, excludeSelf = true)
         .select($"query_id", $"doc_id").as[(Long, Long)].collect().toSet
       ((System.nanoTime() - t0) / 1e9, rows)
     }

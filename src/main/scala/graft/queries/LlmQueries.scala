@@ -951,14 +951,42 @@ object LlmQueries {
   // twin); a standing retrieval service runs THIS shape.
   private def q197HybridRouted(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.text.Retrieval.hybridTopK(s,
+    def routed(nProbe: Int) = graft.text.Retrieval.hybridTopK(s,
       textIndexDir = q160Index(s, d),
       vecIndexDir = q24Index(s, d),
       termQueries = q139Queries.filter(_._1 < 5)
         .toDF("query_id", "term", "pos"),
       vecQueries = Tables.embeddings(s, d).filter(col("vec_id") < 5),
       vecIdCol = "vec_id", vecCol = "embedding",
-      k = 10, arity = 3, nProbe = 8)
+      k = 10, arity = 3, nProbe = nProbe,
+      // the twin convention: queries ARE corpus vectors (vec_id < 5),
+      // so a query retrieving itself is excluded — opt-in, matching
+      // q194's corpus-scan fusion
+      excludeSelf = true)
+    // the ANN dial a production deployment actually turns is nProbe <
+    // nList — GATED here like q24/q46's floors (round-14 verdict item
+    // 4: the reduced-probe operating point was charted in
+    // RetrievalCurve but never gated, so a routing regression that
+    // cratered its recall would have shipped green). recall@10 of the
+    // FUSED (query, doc) pairs at nProbe=3 of 8 vs the full-probe
+    // truth; the lexical leg is probe-independent, so the floor
+    // isolates the vector-leg routing.
+    if (sys.props.get("graft.verify.recall").contains("1")) {
+      def pairs(df: DataFrame): Set[(Any, Any)] =
+        df.select(col("query_id"), col("doc_id")).collect()
+          .map(r => (r.get(0), r.get(1))).toSet
+      val exact = pairs(routed(8))
+      val got = pairs(routed(3))
+      val recall = (got intersect exact).size.toDouble / exact.size
+      val floor = 0.60
+      System.err.println(
+        f"[retrieval-recall] q197_hybrid_routed recall@10=$recall%.4f " +
+          f"floor=$floor%.2f nProbe=3 nList=8 k=10")
+      require(recall >= floor,
+        f"q197 reduced-probe recall@10 $recall%.4f fell below " +
+          f"floor $floor%.2f — the nProbe dial regressed")
+    }
+    routed(8)
   }
 
   // ----------------------------------------------- q199_negatives_routed

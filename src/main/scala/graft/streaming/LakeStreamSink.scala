@@ -90,6 +90,12 @@ class LakeStreamSink(spark: SparkSession, dir: String,
     * still scans as an empty frame instead of failing inference. */
   private def spillOnce(batch: DataFrame): (DataFrame, () => Unit) = {
     val d = CommitLog.dataDir(dir)
+    // one metadata read, captured for cleanup: while the table is
+    // MISSING, the spill itself creates the table directory, and a
+    // data-free batch must not leave it behind as residue-only — a
+    // later create-by-write (LakeBatch's ErrorIfExists parquet write)
+    // would refuse a "table" that was never committed
+    val tableMissing = CommitLog.latest(spark, dir).isEmpty
     val spill = s"$d/_staging/sinkbatch-" +
       java.util.UUID.randomUUID.toString.take(8)
     batch.write.parquet(spill) // the ONE execution of the batch plan
@@ -98,6 +104,17 @@ class LakeStreamSink(spark: SparkSession, dir: String,
       val p = new org.apache.hadoop.fs.Path(spill)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(p, true)
+      if (tableMissing) {
+        // bootstrap hygiene: prune the now-empty staging chain. The
+        // deletes are NON-recursive, so the moment real content exists
+        // (this batch bootstrapped the table, or a concurrent writer's
+        // spill/commit landed) they fail and are swallowed — only the
+        // residue-only directory ever disappears.
+        try { fs.delete(new org.apache.hadoop.fs.Path(s"$d/_staging"),
+          false); () } catch { case _: Exception => () }
+        try { fs.delete(new org.apache.hadoop.fs.Path(d), false); () }
+        catch { case _: Exception => () }
+      }
       ()
     }
     (staged, cleanup)

@@ -210,7 +210,15 @@ object Retrieval {
   def hybridTopK(spark: SparkSession, textIndexDir: String,
       vecIndexDir: String, termQueries: DataFrame, vecQueries: DataFrame,
       vecIdCol: String, vecCol: String, k: Int, arity: Int,
-      nProbe: Int, rrfK: Int = 60): DataFrame = {
+      nProbe: Int, rrfK: Int = 60,
+      /** Drop the vector-leg hit whose doc id EQUALS the query id —
+        * correct ONLY when queries ARE corpus vectors sharing the
+        * corpus id space (the self-join twin convention q194/q197
+        * use, where a query trivially retrieves itself). OFF by
+        * default: with an independent query id space the "self" match
+        * is a legitimate document that happens to share the number,
+        * and excluding it would silently skew RRF ranks. */
+      excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // lexical leg: top-k per query from the posting index, re-ranked on
     // the rounded score exactly as the corpus-scan twin ranks
@@ -228,8 +236,9 @@ object Retrieval {
     // id tiebreak — the brute-force twin's exact rank rule
     val (assigned, probes) = graft.sim.IvfIndex.candidatesPersisted(
       spark, vecIndexDir, vecQueries, vecIdCol, vecCol, nProbe)
-    val scored = assigned.join(probes, Seq("cell"))
-      .filter(col("query_id") =!= col("nn_id"))
+    val scored0 = assigned.join(probes, Seq("cell"))
+    val scored = (if (excludeSelf)
+      scored0.filter(col("query_id") =!= col("nn_id")) else scored0)
       .select(col("query_id"), col("nn_id").as("neighbor_id"),
         round(graft.sim.Similarity.cosine(col("qv"), col("nn_vec")), 6)
           .as("sim6"))

@@ -387,6 +387,37 @@ class LakeStreamSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a data-free first update-mode batch leaves NO table directory " +
+    "behind — a later create-by-write must not refuse a table that " +
+    "was never committed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = work(); val out = s"$w/out"
+    val mem = MemoryStream[Long]
+    // every row filters away upstream: batch 0 executes with 0 rows
+    val df = mem.toDS().toDF("k")
+      .filter($"k" < 0L)
+      .select($"k", ($"k" % 7).as("v"), lit("p0").as("pd"))
+    val q = df.writeStream.format("graft-lake")
+      .outputMode("update")
+      .option("keyColumns", "k")
+      .option("partitionColumn", "pd")
+      .option("checkpointLocation", s"$w/chk")
+      .start(out)
+    try {
+      mem.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(CommitLog.latest(spark, out).isEmpty, "no commit expected")
+    assert(!new java.io.File(out).exists(),
+      "the data-free batch's spill left a residue-only table directory")
+    // the path is genuinely free: create-by-write bootstraps cleanly
+    spark.range(0, 4).select($"id".as("k"), ($"id" % 7).as("v"),
+      lit("p0").as("pd"))
+      .write.format("graft-lake").partitionBy("pd").save(out)
+    assert(CommitLog.read(spark, out).count() == 4)
+  }
+
   test("update mode upserts by key (sequence-aware); complete mode " +
     "replaces the snapshot per batch") {
     val w = work(); val src = s"$w/src"; val out = s"$w/out"

@@ -87,7 +87,8 @@ class HybridRoutedSpec extends AnyFunSuite {
     val routed = Retrieval.hybridTopK(spark, text, vec,
       termQueries.toDF("query_id", "term", "pos"),
       Tables.embeddings(spark, sf).filter($"vec_id" < 5),
-      "vec_id", "embedding", k = 10, arity = 3, nProbe = 4)
+      "vec_id", "embedding", k = 10, arity = 3, nProbe = 4,
+      excludeSelf = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
         r.getDouble(3))).toSet
     val raw = rawFusion(10)
@@ -104,7 +105,8 @@ class HybridRoutedSpec extends AnyFunSuite {
     val narrow = Retrieval.hybridTopK(spark, text, vec,
       termQueries.toDF("query_id", "term", "pos"),
       Tables.embeddings(spark, sf).filter($"vec_id" < 5),
-      "vec_id", "embedding", k = 10, arity = 3, nProbe = 1)
+      "vec_id", "embedding", k = 10, arity = 3, nProbe = 1,
+      excludeSelf = true)
     val rows = narrow.collect()
     assert(rows.nonEmpty)
     // per-query ranks are dense 1..n with no duplicates
@@ -117,9 +119,36 @@ class HybridRoutedSpec extends AnyFunSuite {
     val plan = Retrieval.hybridTopK(spark, text, vec,
       termQueries.toDF("query_id", "term", "pos"),
       Tables.embeddings(spark, sf).filter($"vec_id" < 5),
-      "vec_id", "embedding", k = 10, arity = 3, nProbe = 1)
+      "vec_id", "embedding", k = 10, arity = 3, nProbe = 1,
+      excludeSelf = true)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("documents.parquet"),
       s"the lexical leg re-scanned the corpus:\n$plan")
+  }
+
+  test("self-exclusion is OPT-IN: by default a vector-leg hit whose doc " +
+    "id equals the query id is a legitimate result (independent query " +
+    "id spaces must not lose it), and it tops the leg at similarity 1") {
+    val (text, vec) = fixture()
+    val byDefault = Retrieval.hybridTopK(spark, text, vec,
+      termQueries.toDF("query_id", "term", "pos"),
+      Tables.embeddings(spark, sf).filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 10, arity = 3, nProbe = 4)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect()
+    // queries here ARE corpus vectors, so each query's own doc — cosine
+    // exactly 1.0 — must appear when exclusion is off…
+    (0L until 5L).foreach { q =>
+      assert(byDefault.contains((q, q)),
+        s"default hybridTopK dropped the id-equal doc for query $q — " +
+          "self-exclusion leaked into the independent-id-space default")
+    }
+    // …and must vanish when the twin convention opts in
+    val optedIn = Retrieval.hybridTopK(spark, text, vec,
+      termQueries.toDF("query_id", "term", "pos"),
+      Tables.embeddings(spark, sf).filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 10, arity = 3, nProbe = 4,
+      excludeSelf = true)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect()
+    assert(!optedIn.exists { case (q, dId) => q == dId })
   }
 }
