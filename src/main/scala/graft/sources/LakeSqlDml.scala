@@ -236,6 +236,21 @@ object LakeSqlDml {
             dryRun = dry)
           System.err.println(s"[lake-sql] vacuum ${dir0}: " +
             s"${dropped.size} files ${if (dry) "would be " else ""}reclaimed")
+          // staleness nudge at the decision point: a branch is usually
+          // WHY a vacuum reclaims less than expected, and the operator
+          // deciding what to drop should not need to know the
+          // graft_lake_branch_report TVF exists — its sole-retained
+          // rows print here, per branch, during the dry run
+          if (dry) CommitLog.branchRetentionReport(s, dir0).collect()
+            .foreach { r =>
+              System.err.println(
+                s"[lake-sql] vacuum dry-run $dir0: branch " +
+                  s"'${r.getString(0)}' (head v${r.getLong(1)}, age " +
+                  s"${r.getLong(2) / 1000}s) pins " +
+                  s"${r.getLong(3)} data files / ${r.getLong(4)} bytes " +
+                  s"+ ${r.getLong(5)} log artifacts / " +
+                  s"${r.getLong(6)} bytes only it retains")
+            }
           if (dry) dropped.size.toLong
           else CommitLog.latest(s, dir0).map(_.version).getOrElse(-1L)
         }, if (dry) "vacuum-dry-run" else "vacuum")

@@ -520,4 +520,32 @@ class BranchSpec extends AnyFunSuite {
     assert(dropped.size.toLong >= staleFiles,
       s"vacuum freed ${dropped.size}, report promised $staleFiles")
   }
+
+  test("vacuum DRY-RUN surfaces each branch's sole-retained bytes at " +
+    "the reclaim decision point — without knowing the report TVF exists") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "stale")
+    // branch-only churn: a partition rewrite whose post-image only the
+    // branch references — the bytes a dropBranch+vacuum would free
+    CommitLog.upsert(spark,
+      Seq((10L, 1L, "d0")).toDF("k", "v", "pd"),
+      CommitLog.branchTarget(dir, "stale"), Seq("k"), "pd")
+    val buf = new java.io.ByteArrayOutputStream()
+    val saved = System.err
+    try {
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      spark.sql(s"CALL graft_vacuum_dry_run('$dir', 100)").collect()
+    } finally System.setErr(saved)
+    val out = buf.toString("UTF-8")
+    assert(out.contains("branch 'stale'"),
+      s"dry-run must name the stale branch:\n$out")
+    val line = out.linesIterator.find(_.contains("branch 'stale'")).get
+    assert(line.contains("pins") && line.contains("only it retains"),
+      s"dry-run line must carry the retention nudge: $line")
+    // the pinned byte count is real (the rewritten d0 post-image)
+    val bytes = "pins (\\d+) data files / (\\d+) bytes".r
+      .findFirstMatchIn(line).map(m => (m.group(1).toLong, m.group(2).toLong))
+    assert(bytes.exists { case (files, b) => files > 0L && b > 0L },
+      s"dry-run must report non-zero sole-retained bytes: $line")
+  }
 }
