@@ -51,22 +51,24 @@ object GraphOps {
     require(iters >= 1, "pageRankInt needs at least one iteration")
     def hint(df: DataFrame): DataFrame =
       if (broadcastRanks) broadcast(df) else df
-    // materialize the caller's subtree (e.g. fact join + distinct) ONCE —
-    // both the degree count and the edge probe below read the checkpoint
-    // instead of recomputing it
-    val raw = edges.select(col(src).cast("long").as("src"),
+    // degree-annotated edges in ONE pass: shuffle by src (needed anyway
+    // for the co-partitioned iterations — LogicalRDD keeps the
+    // partitioning metadata, so no iteration re-shuffles the edge
+    // list), then out-degree as a window count over the src groups.
+    // This replaces the old raw-checkpoint → groupBy-degrees → re-join
+    // → re-checkpoint scaffold, which materialized the edge list TWICE
+    // and ran an extra aggregate+join over it — profiled at sf0.1 the
+    // scaffold was ~60% of q107's wall clock while the 3 iterations
+    // were ~0.4 s each (SCALE.md [q107-profile]). The window buffers
+    // one src's edge group at a time, so its memory bound is the max
+    // out-degree — the same super-node exposure the edge partition
+    // itself already has.
+    val e = edges.select(col(src).cast("long").as("src"),
       col(dst).cast("long").as("dst"))
-      .localCheckpoint()
-    // degree-annotated edges, hash-partitioned by src and checkpointed:
-    // LogicalRDD keeps the partitioning metadata, so in the
-    // co-partitioned (non-broadcast) path no iteration ever re-shuffles
-    // the edge list — only the |nodes|-sized rank table moves
-    val e = raw
-      .join(hint(raw.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))),
-        "src")
       .repartition(col("src"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .localCheckpoint()
-    Lifetime.release(raw) // e holds the materialized form; raw is dead
     val nodes = e.select(col("src").as("node")).distinct()
       .localCheckpoint()
     val n = nodes.count()
