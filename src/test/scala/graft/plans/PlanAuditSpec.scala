@@ -354,6 +354,58 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"CDF exploded:\n$p")
   }
 
+  test("q196: the merged branch SERVES as a plain file-list scan + " +
+    "partial/final aggregate — the rebase was metadata-plane, so no " +
+    "merge machinery survives into the read plan") {
+    val p = planOf("q196_branch_merge")
+    assert(p.contains("HashAggregate"), s"q196 must aggregate:\n$p")
+    assert(p.contains("Scan parquet"), s"q196 must scan lake files:\n$p")
+    // one table, one aggregation — no join residue from the merge
+    assert(!p.contains("Join"), s"merge residue leaked into serving:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q197: routed hybrid fusion never scans the corpus — both legs " +
+    "read index tables, fused by one top-k-sized join + rank window") {
+    val p = planOf("q197_hybrid_routed")
+    assert(!p.contains("documents.parquet"),
+      s"the lexical leg re-scanned the corpus:\n$p")
+    assert(p.contains("FullOuter") || p.contains("full_outer") ||
+      p.contains("FullOuterJoin") || p.contains("SortMergeJoin FullOuter"),
+      s"RRF fusion must be the top-k full outer join:\n$p")
+    assert(p.contains("Window") || p.contains("RunningWindowFunction"),
+      s"fused rank must be a window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q198: the transactional family SERVES through manifest pins as " +
+    "an ordinary two-lake join + aggregate — no txn machinery in the " +
+    "read plan") {
+    val p = planOf("q198_txn_append")
+    assert(p.contains("Join"), s"q198 joins the family's two lakes:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q198 join exploded:\n$p")
+  }
+
+  test("q199: routed hard negatives anti-join positives BROADCAST — " +
+    "candidates come from the posting index, never the corpus") {
+    val p = planOf("q199_negatives_routed")
+    assert(!p.contains("documents.parquet"),
+      s"the mine re-tokenized the corpus:\n$p")
+    assert(p.contains("LeftAnti"), s"positives must anti-join away:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the label table must broadcast:\n$p")
+  }
+
+  test("q200: the purge+append transaction SERVES as an ordinary join " +
+    "+ aggregate over the pinned family cut") {
+    val p = planOf("q200_txn_delete")
+    assert(p.contains("Join") && p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q200 join exploded:\n$p")
+  }
+
   test("q181: graft_zorder stays inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import graft.tables.Tables
