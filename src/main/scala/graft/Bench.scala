@@ -71,6 +71,18 @@ object Bench {
     // round-5 notes), so one extra sweep is cheap insurance against a
     // whole round's timings reading as regressions.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // host context rides the artifact (round-14 verdict item 2: a noisy
+    // round's numbers were unattributable because the load at capture
+    // time lived only in prose) — 1/5/15-min load averages before and
+    // after the timed passes, plus the core counts, so a reader can
+    // tell a quiet capture from an inflated one WITHOUT trusting notes
+    def loadAvg(): String =
+      try {
+        val parts = Files.readString(Paths.get("/proc/loadavg"))
+          .trim.split(" ")
+        s"[${parts(0)},${parts(1)},${parts(2)}]"
+      } catch { case _: Throwable => "null" }
+    val loadStart = loadAvg()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def pass(): Seq[(String, (Double, Boolean))] =
       ordered.map { case (name, fn) => name -> timeOnce(name, fn) }
@@ -84,7 +96,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min","failed":$failedJson}"""
+    val host = s"""{"load_start":$loadStart,"load_end":${loadAvg()},""" +
+      s""""cores":${Runtime.getRuntime.availableProcessors},""" +
+      s""""bench_threads":$cpus}"""
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min","failed":$failedJson,"host":$host}"""
     try Files.writeString(Paths.get("BENCH_LAST.json"), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LAST.json: ${e.getMessage}")

@@ -2969,12 +2969,16 @@ object CommitLog {
         soleData.size.toLong,
         soleData.map(r => statLen(new Path(d, r))).sum,
         soleLog.size.toLong,
-        soleLog.map(r => contentLen(new Path(logFile(d, r)))).sum)
+        soleLog.map(r => contentLen(new Path(logFile(d, r)))).sum,
+        // a fenced head means a merge is (or died) mid-flight — the
+        // operator triaging stale branches needs to see it here, not
+        // discover it from a failed write ([[FenceProp]]/[[unfenceBranch]])
+        head.exists(_.props.contains(FenceProp)))
     }
     import spark.implicits._
     rows.toDF("branch", "head_version", "head_age_ms",
       "sole_retained_files", "sole_retained_bytes",
-      "sole_log_files", "sole_log_bytes")
+      "sole_log_files", "sole_log_bytes", "fenced")
       .orderBy((col("sole_retained_bytes") + col("sole_log_bytes")).desc,
         col("branch"))
   }

@@ -293,6 +293,11 @@ object LakeSqlDml {
         GraftCallCommand(dir0,
           s => CommitLog.rebaseBranch(s, dir0, str(1)).version,
           "branch-rebase")
+      case "branch_unfence" =>
+        require(args.size == 2, "CALL graft_branch_unfence(dir, name)")
+        GraftCallCommand(dir0,
+          s => CommitLog.unfenceBranch(s, dir0, str(1)).version,
+          "branch-unfence")
       case "clone" =>
         require(args.size == 2 || args.size == 3,
           "CALL graft_clone(srcDir, dstDir[, atVersion])")
@@ -303,7 +308,7 @@ object LakeSqlDml {
         s"unknown lake verb CALL graft_$other — supported: compact, " +
           "compact_clustered, compact_zorder, compact_where, vacuum, " +
           "restore, tag, publish, branch, branch_drop, branch_ff, " +
-          "branch_merge, branch_rebase, " +
+          "branch_merge, branch_rebase, branch_unfence, " +
           "clone, vacuum_dry_run")
     }
   }

@@ -340,9 +340,18 @@ class RebaseSpec extends AnyFunSuite {
     val e3 = intercept[IllegalStateException](
       CommitLog.rebaseBranch(spark, dir, "exp"))
     assert(e3.getMessage.contains("FENCED for merge"))
-    // recovery: unfence, then write and merge normally
-    val cleared = CommitLog.unfenceBranch(spark, dir, "exp")
+    // the triage surface shows the fence: branch report flags it
+    val fencedCol = spark.sql(
+      s"SELECT branch, fenced FROM graft_lake_branch_report('$dir')")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(fencedCol("exp"), "branch report must flag the fenced branch")
+    // recovery: unfence (via the SQL verb), then write and merge normally
+    spark.sql(s"CALL graft_branch_unfence('$dir', 'exp')").collect()
+    val cleared = CommitLog.latest(spark, t).get
     assert(!cleared.props.contains(CommitLog.FenceProp))
+    assert(!spark.sql(
+      s"SELECT fenced FROM graft_lake_branch_report('$dir')")
+      .collect().exists(_.getBoolean(0)), "report must clear the flag")
     CommitLog.append(spark, Seq((9000L, 1L, "d0")).toDF("k", "v", "pd"), t)
     CommitLog.mergeBranch(spark, dir, "exp")
     assert(rows(dir).contains((9000L, 1L)))
