@@ -70,11 +70,12 @@ object MultiProcStorm {
         val id = args(2).toInt; val n = args(3).toInt
         (1 to n).foreach { i =>
           // two churners share partition p0, so a concurrent rewrite is
-          // a TRUE upsert conflict — loud by design, with "re-run
-          // against the current snapshot" as the documented recovery.
-          // The ritual implements exactly that recovery: the storm's
-          // point is that the conflict is DETECTED (never silently
-          // merged) and the re-run converges.
+          // a TRUE upsert conflict — loud by design (the TYPED
+          // CommitLog.WriteConflict), with "re-run against the current
+          // snapshot" as the documented recovery. The ritual implements
+          // exactly that recovery: the storm's point is that the
+          // conflict is DETECTED (never silently merged) and the re-run
+          // converges.
           var attempt = 0
           var done = false
           while (!done) {
@@ -84,9 +85,7 @@ object MultiProcStorm {
                 lake, Seq("k"), "pd")
               done = true
             } catch {
-              case e: IllegalStateException
-                if e.getMessage != null &&
-                  e.getMessage.contains("conflict") && attempt < 40 =>
+              case _: CommitLog.WriteConflict if attempt < 40 =>
                 attempt += 1
                 Thread.sleep(50L * (1 + attempt % 5))
             }

@@ -256,6 +256,15 @@ object CommitLog {
     * (or a true conflict) still fails with the documented type. */
   final class CommitConflict(msg: String) extends IllegalStateException(msg)
 
+  /** Typed TRUE-CONFLICT signal: concurrent commits rewrote a
+    * partition this writer also rewrote, so the write cannot rebase —
+    * the documented recovery is re-running the verb against the
+    * current snapshot. A TYPE (extending the documented
+    * IllegalStateException) so retry harnesses classify it without
+    * matching message text. Distinct from [[CommitConflict]], which is
+    * the benign version-number race the writer retries internally. */
+  final class WriteConflict(msg: String) extends IllegalStateException(msg)
+
   /** Typed divergence signal: the branch's fork point is behind the
     * main head, so [[fastForward]]'s no-divergence precondition fails
     * (or its CAS lost to an advancing main). [[mergeBranch]] classifies
@@ -1709,7 +1718,7 @@ object CommitLog {
         val interveningParts =
           ((nowSet -- baseSet) ++ (baseSet -- nowSet)).map(partOf) ++ dvParts
         val clash = interveningParts.intersect(staged.touchedParts)
-        if (clash.nonEmpty) throw new IllegalStateException(
+        if (clash.nonEmpty) throw new WriteConflict(
           s"$op conflict on $dir: concurrent commits touched partition(s) " +
             s"${clash.toSeq.sorted.mkString(", ")} this writer rewrote — " +
             s"re-run the $op against the current snapshot " +
@@ -1856,6 +1865,39 @@ object CommitLog {
     System.err.println(
       s"[commitlog] sink txn $queryId#$b already committed to $dir — " +
         "replay skipped")
+
+  /** Ledger-entry-ONLY commit: record `(queryId, batchId)` as done with
+    * NO file/dv/manifest churn — the setProps shape (copy the snapshot,
+    * bump the version, merge the prop), NOT the full [[commit]] path,
+    * which would reread and rewrite the table's entire stats manifest
+    * to publish a ~60-byte prop. Used when a txn-keyed verb matched
+    * nothing ([[delete]]/[[replaceWhere]] with an all-miss predicate):
+    * the identity must still land so a replay no-ops by LEDGER, but the
+    * commit is pure metadata at any table size. */
+  private def ledgerOnlyCommit(spark: SparkSession, dir: String,
+      queryId: String, batchId: Long, op: String): Snapshot = {
+    val f = hadoopFs(spark, dir)
+    var attempt = 0
+    while (true) {
+      val s = mustLatest(spark, dir)
+      assertUnfenced(s, dir)
+      if (txnDone(s, queryId, batchId)) { txnSkip(dir, queryId, batchId)
+        return s }
+      val next = s.copy(version = s.version + 1, op = op,
+        props = s.props + (txnKey(queryId) -> batchId.toString),
+        committedAt = System.currentTimeMillis())
+      try { casWrite(f, versionFile(dir, next.version), render(next))
+        return next }
+      catch { case e: CommitConflict =>
+        attempt += 1
+        if (attempt >= 10) throw new IllegalStateException(
+          s"$op ledger commit on $dir lost the race 10 times " +
+            s"(${e.getMessage})")
+        Thread.sleep(20L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** First-ever sink batch into a directory with no commit log:
     * bootstrap the table FROM the batch (version 1 = the batch, with
@@ -3472,11 +3514,19 @@ object CommitLog {
     } catch { case e: Throwable =>
       // pre-adoption failure: release the fence so the branch stays
       // writable (the loud conflict IS the outcome; locking the branch
-      // on top of it would punish recovery). Post-adoption failures
-      // keep the fence — the branch is stale-marked and unsafe anyway.
+      // on top of it would punish recovery). ONLY OUR OWN fence: if
+      // this merge failed because its claim was already lost (an
+      // operator unfenced a merge they thought dead, and a rival merge
+      // re-fenced), clearing unconditionally would strip the rival's
+      // LIVE fence and reopen the racing-writer window its sync commit
+      // depends on. Post-adoption failures keep the fence — the branch
+      // is stale-marked and unsafe anyway.
       if (adoptedOpt.isEmpty) {
-        try unfenceBranch(spark, d, name)
-        catch { case u: Exception => e.addSuppressed(u) }
+        try {
+          if (latest(spark, target)
+            .exists(_.props.get(FenceProp).contains(epoch)))
+            unfenceBranch(spark, d, name)
+        } catch { case u: Exception => e.addSuppressed(u) }
       }
       throw e
     }
@@ -3716,13 +3766,12 @@ object CommitLog {
       .collect().map(r => DataSkipping.rawPath(r.getString(0))
         .stripPrefix(base)).toSet // one row per file with matches — small
     if (hitFiles.isEmpty) {
-      // nothing matched: still record a txn identity (ledger-only
-      // commit) — the replay guard above, not predicate luck, is what
-      // makes a crashed transaction's re-run safe
+      // nothing matched: still record the txn identity — the replay
+      // guard above, not predicate luck, is what makes a crashed
+      // transaction's re-run safe. Pure metadata (no manifest churn).
       if (txn.isEmpty) return s
-      return commitRebase(spark, dir,
-        StagedUpsert(s, Set.empty, Set.empty, Nil, None,
-          propsDelta = ledger, txn = txn), "delete", maxRetries = 10)
+      val (q, b) = txn.get
+      return ledgerOnlyCommit(spark, dir, q, b, "delete")
     }
     val partCols = partColsOf(s)
     // keep every row where cond is NOT TRUE — a null predicate must not
@@ -3875,8 +3924,15 @@ object CommitLog {
     val addedRels =
       if (additions.isEmpty) Nil
       else stageWrite(spark, dir, additions, partCols, s.physNames)
-    if (hitFiles.isEmpty && addedRels.isEmpty && propsDelta.isEmpty &&
-      txn.isEmpty) return s
+    if (hitFiles.isEmpty && addedRels.isEmpty && propsDelta.isEmpty) {
+      // all-miss + nothing to add: a txn identity still lands, as pure
+      // metadata (see delete's ledger-only path)
+      txn match {
+        case None => return s
+        case Some((q, b)) =>
+          return ledgerOnlyCommit(spark, dir, q, b, "replace")
+      }
+    }
     val newRels = survivorRels ++ addedRels
     val touched = hitFiles.map(partOf) ++ newRels.map(partOf)
     val ledger = txn.map { case (q, b) => txnKey(q) -> b.toString }.toMap

@@ -62,8 +62,19 @@ object LakeTxn {
     * family never republishes an unbounded id history on every commit. */
   final case class State(txn: Long, pins: Map[String, Long],
       batches: Seq[Long], floor: Long = -1L) {
-    /** Committed test under the floor: folded ids count. */
-    def committed(b: Long): Boolean = b <= floor || batches.contains(b)
+    /** PROVABLY committed: an explicit ledger entry, or the floor
+      * itself (the floor is always the LARGEST folded id, which was
+      * committed by construction). Ids strictly BELOW the floor are
+      * deliberately NOT "committed": the fold erased the ability to
+      * distinguish an old replay from a batch that never committed,
+      * and silently no-op'ing the latter would drop every table write
+      * under a success return — [[writeAll]] fails those loudly
+      * instead ("loud beats lost", the same contract as the monotone
+      * watermark guard). */
+    def committed(b: Long): Boolean = b == floor || batches.contains(b)
+    /** True when `b` fell below the compaction floor — committed-or-
+      * lost is no longer provable from the ledger. */
+    def foldedAway(b: Long): Boolean = b < floor
     /** The family's monotone high-water mark. */
     def watermark: Long =
       if (batches.nonEmpty) math.max(floor, batches.max) else floor
@@ -168,6 +179,16 @@ object LakeTxn {
           s"[laketxn] batch ${batchId.get} already committed to $txnDir — " +
             "replay skipped")
         return cur.get
+      }
+      batchId.filter(b => cur.exists(_.foldedAway(b))).foreach { b =>
+        throw new IllegalStateException(
+          s"txn commit on $txnDir: batch id $b is below the ledger " +
+            s"compaction floor ${cur.get.floor} — the fold erased the " +
+            "ability to tell a stale replay from a batch that never " +
+            "committed, and proceeding either way risks silent loss or " +
+            "double-apply. If this is a replay it committed long ago " +
+            "(drop it); if its data never landed, reconcile manually " +
+            "and re-issue above the watermark.")
       }
       val curPins = cur.map(_.pins).getOrElse(Map.empty)
       normPins.foreach { case (d, v) =>
@@ -310,6 +331,19 @@ object LakeTxn {
           s"[laketxn] writeAll batch $batchId already committed to " +
             s"$txnDir — replay skipped")
         return cur
+      case Some(cur) if cur.foldedAway(batchId) =>
+        // below the compaction floor, committed-or-lost is unprovable:
+        // a silent "replay skip" here would drop a never-committed
+        // batch's every table write under a success return (the exact
+        // hole the monotone guard exists to close) — fail loudly with
+        // both recoveries named
+        throw new IllegalStateException(
+          s"writeAll on $txnDir: batch id $batchId is below the ledger " +
+            s"compaction floor ${cur.floor} — the fold erased the " +
+            "ability to tell a stale replay from a batch that never " +
+            "committed. If this is a replay it committed long ago " +
+            "(drop it); if its data never landed, reconcile manually " +
+            "and re-issue above the watermark.")
       case Some(cur) if batchId < cur.watermark =>
         // ENFORCED, not just documented: the per-table identity is
         // high-water (txnDone's >= rule), so a NEW id below the

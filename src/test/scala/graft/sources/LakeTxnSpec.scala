@@ -386,6 +386,32 @@ class LakeTxnSpec extends AnyFunSuite {
       LakeTxn.latest(spark, txn).get.txn))
   }
 
+  test("a nothing-matched txn delete records its identity as PURE " +
+    "metadata: same files, same manifest rel, one version bump") {
+    val w = work(); val t = s"$w/t"
+    spark.range(0, 10).select($"id".as("k"), ($"id" % 3).as("v"))
+      .write.parquet(t)
+    CommitLog.init(spark, t, Seq("k")) // stats on k → manifest exists
+    val before = CommitLog.latest(spark, t).get
+    assert(before.manifest.nonEmpty, "fixture needs a manifest")
+    val after = CommitLog.delete(spark, t, col("k") > 100L,
+      txn = Some(("gq-ledger", 1L)))
+    assert(after.version == before.version + 1)
+    assert(after.files == before.files)
+    assert(after.manifest == before.manifest,
+      "an all-miss delete must not rewrite the stats manifest")
+    // …and the identity took: the replay no-ops at the same version
+    assert(CommitLog.delete(spark, t, col("k") > 100L,
+      txn = Some(("gq-ledger", 1L))).version == after.version)
+    // predicate-luck guard: rows arriving AFTER the recorded identity
+    // survive its replay even though they match
+    CommitLog.append(spark, Seq((200L, 1L)).toDF("k", "v"), t)
+    CommitLog.delete(spark, t, col("k") > 100L,
+      txn = Some(("gq-ledger", 1L)))
+    assert(CommitLog.read(spark, t).count() == 11L,
+      "a replayed all-miss delete re-matched newer rows")
+  }
+
   test("manifest ledger compaction: past LedgerKeep the oldest ids fold " +
     "into the floor; folded ids still replay as no-ops; the monotone " +
     "check consults the floor") {
@@ -408,17 +434,29 @@ class LakeTxnSpec extends AnyFunSuite {
       assert(st.batches.size <= 4,
         s"ledger must stay bounded: ${st.batches}")
       assert(st.floor >= 5L, s"oldest ids must fold: floor=${st.floor}")
-      assert(st.committed(2L) && st.committed(st.floor),
-        "folded ids must read as committed")
       assert(st.watermark == 10L)
-      // replaying a FOLDED id is a no-op, not a monotone violation
+      // the floor itself was a committed id — it replays as a no-op
+      assert(st.committed(st.floor))
       val before = (CommitLog.latest(spark, fact).get.version, st.txn)
       LakeTxn.writeAll(spark, txn, Seq(
-        LakeTxn.TxnAppend(fact, Seq((2L, 2.0)).toDF("k", "amt"))),
-        batchId = 2L)
+        LakeTxn.TxnAppend(fact, Seq((5L, 5.0)).toDF("k", "amt"))),
+        batchId = st.floor)
       assert(before == (CommitLog.latest(spark, fact).get.version,
         LakeTxn.latest(spark, txn).get.txn),
-        "a folded id must replay as a no-op")
+        "the floor id must replay as a no-op")
+      // an id STRICTLY BELOW the floor is ambiguous — committed-or-lost
+      // is no longer provable after the fold — so it must fail LOUDLY
+      // (a silent "replay skip" would drop a never-committed batch's
+      // writes under a success return), naming both recoveries
+      assert(!st.committed(2L) && st.foldedAway(2L))
+      val ef = intercept[IllegalStateException](
+        LakeTxn.writeAll(spark, txn, Seq(
+          LakeTxn.TxnAppend(fact, Seq((2L, 2.0)).toDF("k", "amt"))),
+          batchId = 2L))
+      assert(ef.getMessage.contains("compaction floor"), ef.getMessage)
+      assert(before == (CommitLog.latest(spark, fact).get.version,
+        LakeTxn.latest(spark, txn).get.txn),
+        "the rejected folded id must publish nothing")
       // a FRESH id in the gap below the watermark still fails loudly:
       // the monotone check survives compaction through the floor
       val e = intercept[IllegalStateException](

@@ -274,14 +274,26 @@ class RebaseSpec extends AnyFunSuite {
           (0 until 3).foreach { i =>
             val k = 8000L + seed * 10 + w * 3 + i
             Thread.sleep(delays(w)(i).toLong)
-            try {
-              CommitLog.append(spark,
-                Seq((k, 9L, "d1")).toDF("k", "v", "pd"), t)
-              landed.add(k)
-            } catch {
-              case e: IllegalStateException
-                if e.getMessage.contains("FENCED for merge") =>
-                fencedOff.add(k)
+            // two terminal outcomes only — landed or loudly fenced; a
+            // writer that exhausts its internal CAS retries under this
+            // deliberately hostile schedule re-attempts (that is the
+            // documented recovery and not the property under test)
+            var attempts = 0
+            var settled = false
+            while (!settled) {
+              try {
+                CommitLog.append(spark,
+                  Seq((k, 9L, "d1")).toDF("k", "v", "pd"), t)
+                landed.add(k); settled = true
+              } catch {
+                case e: IllegalStateException
+                  if e.getMessage.contains("FENCED for merge") =>
+                  fencedOff.add(k); settled = true
+                case e: IllegalStateException
+                  if e.getMessage.contains("lost the commit race") &&
+                    attempts < 20 =>
+                  attempts += 1; Thread.sleep(30L)
+              }
             }
           }
         })
