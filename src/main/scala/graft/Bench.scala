@@ -21,9 +21,20 @@ import graft.runtime.Lifetime
   * not the graveyard of its predecessors.
   */
 object Bench {
+  private def benchLoadAvg(): String =
+    try {
+      val parts = Files.readString(Paths.get("/proc/loadavg"))
+        .trim.split(" ")
+      s"[${parts(0)},${parts(1)},${parts(2)}]"
+    } catch { case _: Throwable => "null" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // sample load BEFORE the session exists: sampled any later, the
+    // 1-min average reflects the bench's own JVM/warmup ramp and reads
+    // ~1.5 even on a genuinely idle machine (observed round 15)
+    val loadStart = benchLoadAvg()
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
@@ -76,13 +87,7 @@ object Bench {
     // time lived only in prose) — 1/5/15-min load averages before and
     // after the timed passes, plus the core counts, so a reader can
     // tell a quiet capture from an inflated one WITHOUT trusting notes
-    def loadAvg(): String =
-      try {
-        val parts = Files.readString(Paths.get("/proc/loadavg"))
-          .trim.split(" ")
-        s"[${parts(0)},${parts(1)},${parts(2)}]"
-      } catch { case _: Throwable => "null" }
-    val loadStart = loadAvg()
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def pass(): Seq[(String, (Double, Boolean))] =
       ordered.map { case (name, fn) => name -> timeOnce(name, fn) }
@@ -96,7 +101,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val host = s"""{"load_start":$loadStart,"load_end":${loadAvg()},""" +
+    val host = s"""{"load_start":$loadStart,"load_end":${benchLoadAvg()},""" +
       s""""cores":${Runtime.getRuntime.availableProcessors},""" +
       s""""bench_threads":$cpus}"""
     val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min","failed":$failedJson,"host":$host}"""
