@@ -225,6 +225,79 @@ object ScaleProof {
     spark.range(1).toDF("ok")
   }
 
+  /** Multi-table transaction at sf1: the writeAll cost claim —
+    * O(batch) appends + hit-file-proportional deletes + a kilobyte
+    * manifest, NEVER table-proportional — measured on two family
+    * scales ~30× apart running the IDENTICAL transaction (same batch
+    * rows, same delete hit shape). Proof obligations: the big family's
+    * transaction lands within a small constant of the small family's
+    * (a table-size term would show up as ~30×), both cuts are exact
+    * (final counts replay to the model), and the purge+append is
+    * atomic through the manifest. */
+  private def txnFamily(spark: SparkSession, dst: String): DataFrame = {
+    import graft.sources.{CommitLog, LakeTxn}
+    val work = Files.createTempDirectory("graft_scale_txn_").toString
+    val orders = spark.read.parquet(s"$dst/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus").as("flag"))
+    def mkLake(path: String, df: org.apache.spark.sql.DataFrame,
+        parts: Int): Long = {
+      df.repartition(parts).write.partitionBy("flag").parquet(path)
+      CommitLog.init(spark, path, statsCols = Seq("o_orderkey"))
+      CommitLog.read(spark, path).count()
+    }
+    def slice(lo: Long, n: Long, shift: Long) = orders
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") < lo + n)
+      .withColumn("o_orderkey", col("o_orderkey") + shift)
+      .repartition(4)
+    def family(tag: String, fact: org.apache.spark.sql.DataFrame,
+        ret: org.apache.spark.sql.DataFrame, factParts: Int,
+        retParts: Int, shift: Long): (Double, Long, Long, Int) = {
+      val f = s"$work/$tag/fact"; val r = s"$work/$tag/ret"
+      val txn = s"$work/$tag/txn"
+      val nf = mkLake(f, fact, factParts)
+      val nr = mkLake(r, ret, retParts)
+      LakeTxn.commit(spark, txn, Map(f -> 1L, r -> 1L))
+      // txn 1 seeds the retention rows txn 2 will purge (so the purge
+      // hits exactly the seeded slice's files, not the base table)
+      LakeTxn.writeAll(spark, txn, Seq(
+        LakeTxn.TxnAppend(f, slice(1L, 20000L, shift)),
+        LakeTxn.TxnAppend(r, slice(1L, 2000L, shift))), batchId = 1L)
+      val files = CommitLog.latest(spark, f).get.files.size
+      // txn 2 — THE measured transaction: fact append + retention purge
+      val t0 = System.nanoTime()
+      LakeTxn.writeAll(spark, txn, Seq(
+        LakeTxn.TxnAppend(f, slice(1L, 20000L, shift + Shift)),
+        LakeTxn.TxnDelete(r,
+          col("o_orderkey") >= shift && col("o_orderkey") < shift + 2001L)),
+        batchId = 2L)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val gotF = LakeTxn.read(spark, txn, f).count()
+      val gotR = LakeTxn.read(spark, txn, r).count()
+      require(gotF == nf + 40000L,
+        s"txn_family/$tag fact drifted: $gotF vs ${nf + 40000L}")
+      require(gotR == nr, // +2000 seeded, −2000 purged
+        s"txn_family/$tag retention drifted: $gotR vs $nr")
+      (dt, nf, nr, files)
+    }
+    val bigShift = 40L * Shift
+    val (dtBig, bf, br, bigFiles) = family("big",
+      orders, orders.filter(col("o_orderkey") % 10 === 0), 64, 8,
+      bigShift)
+    val (dtSmall, sf2, sr, smallFiles) = family("small",
+      orders.filter(col("o_orderkey") % 30 === 0),
+      orders.filter(col("o_orderkey") % 300 === 0), 4, 2,
+      bigShift + 20L * Shift)
+    println(f"[scale] txn_family: identical purge+append txn — " +
+      f"$bf%,d-row/$bigFiles-file family $dtBig%.2f s vs " +
+      f"${sf2}%,d-row/$smallFiles-file family $dtSmall%.2f s " +
+      f"(${bf / math.max(sf2, 1L)}x the rows, ${dtBig / dtSmall}%.2fx the cost)")
+    require(dtBig <= dtSmall * 6,
+      f"txn_family: a table-size term leaked into writeAll — " +
+        f"$dtBig%.2f s vs $dtSmall%.2f s at ~30x rows")
+    spark.range(1).toDF("ok")
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dst = args.headOption.getOrElse("/tmp/graft_sf1")
@@ -259,6 +332,9 @@ object ScaleProof {
         // round-14: merge-under-divergence at sf1 (churn-proportional)
         // and the DV-fallback pushdown read
         "rebase_merge", "fallback_scan",
+        // round-15: the multi-table transaction's O(batch) claim,
+        // measured at two family scales ~30x apart
+        "txn_family",
         "backlog_drain")
     // local[8], not local[32]: saturating every advertised CPU trips the
     // host's kernel-side thrash (measured 4-25x inflation at local[32] on
@@ -284,6 +360,7 @@ object ScaleProof {
         if (name == "backlog_drain") backlogDrain _
         else if (name == "rebase_merge") rebaseMerge _
         else if (name == "fallback_scan") fallbackScan _
+        else if (name == "txn_family") txnFamily _
         else SparkEntry.queries(name)
       val t0 = System.nanoTime()
       var rows = -1L

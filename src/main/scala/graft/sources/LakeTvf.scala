@@ -120,6 +120,32 @@ object LakeTvf {
         CommitLog.listBranches(s, dirArg("graft_lake_branches", args.head)))
         .toDF("branch", "head_version"))
     },
+    "graft_txn_read" -> { args =>
+      // the family-consistent read at the SQL front door: resolve
+      // `tableDir` through the LATEST transaction manifest's pin, so a
+      // SQL reader can never see a torn multi-table cut (the Scala
+      // twin is LakeTxn.read; q198/q200's serving shape)
+      require(args.size == 2, "graft_txn_read(txnDir, tableDir)")
+      analyzed(LakeTxn.read(SparkSession.active,
+        dirArg("graft_txn_read", args.head),
+        strArg("graft_txn_read", args(1))))
+    },
+    "graft_txn_pins" -> { args =>
+      // the family's current cut as rows: (table dir, pinned version,
+      // that table's latest version) — the triage surface for "is a
+      // participant drifting ahead of what readers see"
+      require(args.size == 1, "graft_txn_pins(txnDir)")
+      val s = SparkSession.active
+      val txnDir = dirArg("graft_txn_pins", args.head)
+      val st = LakeTxn.latest(s, txnDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"$txnDir holds no transaction manifest"))
+      import s.implicits._
+      analyzed(st.pins.toSeq.sorted.map { case (d, v) =>
+        (st.txn, d, v,
+          CommitLog.latest(s, d).map(_.version).getOrElse(-1L))
+      }.toDF("txn", "table_dir", "pinned_version", "latest_version"))
+    },
     "graft_lake_branch_report" -> { args =>
       require(args.size == 1, "graft_lake_branch_report(dir)")
       analyzed(CommitLog.branchRetentionReport(SparkSession.active,

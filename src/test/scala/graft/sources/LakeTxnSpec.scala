@@ -386,6 +386,32 @@ class LakeTxnSpec extends AnyFunSuite {
       LakeTxn.latest(spark, txn).get.txn))
   }
 
+  test("SQL front door: graft_txn_read serves the pinned family cut " +
+    "(torn writes invisible) and graft_txn_pins reports drift") {
+    val w = work()
+    val fact = s"$w/fact"; val txn = s"$w/txn7"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amt").write.parquet(fact)
+    CommitLog.init(spark, fact)
+    LakeTxn.commit(spark, txn, Map(fact -> 1L))
+    // a bare per-table commit OUTSIDE the manifest: the torn window
+    CommitLog.append(spark, Seq((3L, 30.0)).toDF("k", "amt"), fact)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_txn_read('$txn', '$fact')")
+      .head.getLong(0) == 2L,
+      "SQL family reader saw a torn write")
+    // pins report: fact pinned at 1 while its log is at 2 — the drift
+    val pins = spark.sql(s"SELECT * FROM graft_txn_pins('$txn')")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(pins.length == 1 &&
+      pins.head._2 == 1L && pins.head._3 == 2L, pins.mkString(","))
+    // publish the cut: the SQL reader follows the new pin
+    LakeTxn.commit(spark, txn,
+      Map(fact -> 2L), batchId = Some(1L))
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_txn_read('$txn', '$fact')")
+      .head.getLong(0) == 3L)
+  }
+
   test("a nothing-matched txn delete records its identity as PURE " +
     "metadata: same files, same manifest rel, one version bump") {
     val w = work(); val t = s"$w/t"
