@@ -656,6 +656,18 @@ object Graft {
     def commit(pins: Map[String, Long], batchId: Option[Long] = None): Unit = {
       LakeTxn.commit(spark, txnDir, pins, batchId); ()
     }
+    /** Atomic multi-table APPEND — all participants or none visible to
+      * family readers; heal-forward replay under `batchId`. */
+    def appendAll(writes: Seq[(String, DataFrame)], batchId: Long): Unit = {
+      LakeTxn.appendAll(spark, txnDir, writes, batchId); ()
+    }
+    /** Atomic MIXED-VERB write: appends, keyed upserts, predicate
+      * deletes, and replaceWhere restatements land under one manifest
+      * pin ([[graft.sources.LakeTxn.writeAll]]) — the fact-append +
+      * retention-purge compliance shape as one transaction. */
+    def writeAll(writes: Seq[LakeTxn.TxnWrite], batchId: Long): Unit = {
+      LakeTxn.writeAll(spark, txnDir, writes, batchId); ()
+    }
     /** Serve a query batch from a pinned BM25 index participant. */
     def searchIndex(indexDir: String, queries: DataFrame,
         k: Int, arity: Int): DataFrame =

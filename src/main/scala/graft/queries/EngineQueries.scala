@@ -1968,6 +1968,98 @@ object EngineQueries {
       |WHERE o_orderstatus <> 'F'
       |GROUP BY 1 ORDER BY lflag""".stripMargin
 
+  // ------------------------------------------------ q201_txn_restate
+  // THE RESTATEMENT SHAPE as one transaction (writeAll's
+  // TxnReplaceWhere leg): partition 'P' of the orders lake is restated
+  // (every P row's price corrected by +1,000,000 — an exact double op
+  // both engines compute bit-identically) WHILE the lineitem facts
+  // append, atomically. Crash window exercised for real: the
+  // replaceWhere leg committed under the family identity, the fact
+  // append and manifest never happened — family readers still see the
+  // UN-restated cut; the replayed writeAll heals forward (restatement
+  // no-ops via the per-table ledger, facts commit, one manifest pins
+  // both). Oracle recomputes the post-transaction join from raw
+  // tables with the restatement as a CASE — the hash-match proves the
+  // restate+append landed exactly once. At 100 TB the replaceWhere is
+  // copy-on-write of the HIT partition only (here: the P files).
+  private val q201Families = scala.collection.concurrent.TrieMap[String, (String, String, String)]()
+  private def q201Family(s: SparkSession, d: String): (String, String, String) =
+    q201Families.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory("graft_q201_")
+      val oLake = s"$work/orders"; val lLake = s"$work/lineitem"
+      val txn = s"$work/txn"
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("flag"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_returnflag").as("lflag"))
+      val lCut = li.agg(max(col("l_orderkey"))).head.getLong(0) / 2
+      ords.write.partitionBy("flag").parquet(oLake)
+      graft.sources.CommitLog.init(s, oLake)
+      li.filter(col("l_orderkey") <= lCut)
+        .write.partitionBy("lflag").parquet(lLake)
+      graft.sources.CommitLog.init(s, lLake)
+      graft.sources.LakeTxn.commit(s, txn, Map(
+        oLake -> 1L, lLake -> 1L))
+      val restated = ords.filter(col("flag") === "P")
+        .withColumn("o_totalprice", col("o_totalprice") + 1000000.0)
+      val lSlice = li.filter(col("l_orderkey") > lCut)
+      // the crashed first attempt: the restatement committed (under
+      // the identity writeAll will replay with), nothing else did
+      graft.sources.CommitLog.replaceWhere(s, oLake,
+        col("flag") === "P", restated,
+        txn = Some((graft.sources.LakeTxn.txnAppId(txn), 5L)))
+      val midWindow = graft.sources.LakeTxn.read(s, txn, oLake)
+        .agg(max(col("o_totalprice"))).head.getDouble(0)
+      require(midWindow < 1000000.0,
+        s"manifest reader saw the torn restatement: max price $midWindow")
+      def restate() = graft.sources.LakeTxn.writeAll(s, txn, Seq(
+        graft.sources.LakeTxn.TxnReplaceWhere(oLake,
+          col("flag") === "P", restated),
+        graft.sources.LakeTxn.TxnAppend(lLake, lSlice)), batchId = 5L)
+      restate() // heals forward: restatement no-ops, facts commit
+      val head = restate() // full no-op
+      require(graft.sources.LakeTxn.pinOf(s, txn, oLake) == 2L &&
+        graft.sources.LakeTxn.pinOf(s, txn, lLake) == 2L,
+        s"exactly-once violated: pins ${head.pins}")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.toFile)
+      }
+      (oLake, lLake, txn)
+    })
+
+  private def q201TxnRestate(s: SparkSession, d: String): DataFrame = {
+    val (oLake, lLake, txn) = q201Family(s, d)
+    val o = graft.sources.LakeTxn.read(s, txn, oLake)
+    val l = graft.sources.LakeTxn.read(s, txn, lLake)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("lflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        min(col("o_orderkey")).as("min_ok"),
+        max(col("o_orderkey")).as("max_ok"))
+      .orderBy(col("lflag"))
+  }
+
+  private val q201Sql =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderstatus = 'P'
+      |      THEN o_totalprice + 1000000.0 ELSE o_totalprice
+      |    END AS o_totalprice
+      |  FROM orders)
+      |SELECT l_returnflag AS lflag, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      |FROM lineitem JOIN o ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY lflag""".stripMargin
+
   // ------------------------------------------------------- q181_zorder
   // Z-order clustering end-to-end: a lineitem slice is rewritten by
   // CALL graft_compact_zorder on (l_partkey, l_suppkey), then served
@@ -2810,6 +2902,7 @@ object EngineQueries {
     Q("q196_branch_merge", q196BranchMerge, Some(q196Sql)),
     Q("q198_txn_append", q198TxnAppend, Some(q198Sql)),
     Q("q200_txn_delete", q200TxnDelete, Some(q200Sql)),
+    Q("q201_txn_restate", q201TxnRestate, Some(q201Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

@@ -406,6 +406,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"), s"q200 join exploded:\n$p")
   }
 
+  test("q201: the restate+append transaction SERVES as an ordinary " +
+    "join + aggregate over the pinned family cut") {
+    val p = planOf("q201_txn_restate")
+    assert(p.contains("Join") && p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q201 join exploded:\n$p")
+  }
+
   test("q181: graft_zorder stays inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import graft.tables.Tables
