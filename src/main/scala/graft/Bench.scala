@@ -84,10 +84,12 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // host context rides the artifact (round-14 verdict item 2: a noisy
     // round's numbers were unattributable because the load at capture
-    // time lived only in prose) — 1/5/15-min load averages before and
-    // after the timed passes, plus the core counts, so a reader can
-    // tell a quiet capture from an inflated one WITHOUT trusting notes
-
+    // time lived only in prose): load_start is the 1/5/15-min averages
+    // sampled BEFORE the SparkSession existed (see benchLoadAvg at the
+    // top of main — sampled any later it reads the bench's own ramp),
+    // load_end is sampled after the passes (and so reflects the bench's
+    // own 8 threads), plus the core counts — a reader can tell a quiet
+    // capture from an inflated one WITHOUT trusting notes
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def pass(): Seq[(String, (Double, Boolean))] =
       ordered.map { case (name, fn) => name -> timeOnce(name, fn) }

@@ -1794,10 +1794,27 @@ object EngineQueries {
   // transaction property (clean_data.py:176-210) completed for WRITES;
   // the read side was q141's territory. At 100 TB the verb is two
   // O(batch) appends plus a kilobyte manifest CAS.
-  private val q198Families = scala.collection.concurrent.TrieMap[String, (String, String, String)]()
-  private def q198Family(s: SparkSession, d: String): (String, String, String) =
-    q198Families.getOrElseUpdate(d, {
-      val work = java.nio.file.Files.createTempDirectory("graft_q198_")
+  /** Shared scaffold of the transaction-family fixtures (q198 append /
+    * q200 delete / q201 replaceWhere crash legs): build an (orders,
+    * lineitem) family off the sf tables, run the given CRASHED first
+    * leg under the family identity, prove the torn write is invisible
+    * through the manifest, heal forward with the given writeAll legs,
+    * replay once more (full no-op), and require both participants
+    * pinned at 2 — one copy of the contract, three verbs exercised. */
+  private final case class TxnFix(s: SparkSession, oLake: String,
+      lLake: String, txn: String, appId: String,
+      ords: DataFrame, oSlice: DataFrame, lSlice: DataFrame)
+
+  private def txnFamilyFixture(
+      cache: scala.collection.concurrent.TrieMap[String, (String, String, String)],
+      tag: String, s: SparkSession, d: String, batchId: Long,
+      cutOrders: Boolean)(
+      crashedLeg: TxnFix => Unit)(
+      tornProbe: TxnFix => Unit)(
+      legs: TxnFix => Seq[graft.sources.LakeTxn.TxnWrite])
+      : (String, String, String) =
+    cache.getOrElseUpdate(d, {
+      val work = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
       val oLake = s"$work/orders"; val lLake = s"$work/lineitem"
       val txn = s"$work/txn"
       val ords = Tables.orders(s, d)
@@ -1806,39 +1823,30 @@ object EngineQueries {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"),
           col("l_returnflag").as("lflag"))
-      // scale-driven split: base = keys ≤ max/2, the transactional
+      // scale-driven split: base = keys <= max/2, the transactional
       // append = the rest — non-empty at every sf, and the FINAL state
-      // is the whole table, so the oracle needs no cut constant
+      // is oracle-expressible without a cut constant
       val oCut = ords.agg(max(col("o_orderkey"))).head.getLong(0) / 2
       val lCut = li.agg(max(col("l_orderkey"))).head.getLong(0) / 2
-      ords.filter(col("o_orderkey") <= oCut)
+      (if (cutOrders) ords.filter(col("o_orderkey") <= oCut) else ords)
         .write.partitionBy("flag").parquet(oLake)
       graft.sources.CommitLog.init(s, oLake)
       li.filter(col("l_orderkey") <= lCut)
         .write.partitionBy("lflag").parquet(lLake)
       graft.sources.CommitLog.init(s, lLake)
-      graft.sources.LakeTxn.commit(s, txn, Map(
-        oLake -> 1L, lLake -> 1L))
-      val oSlice = ords.filter(col("o_orderkey") > oCut)
-      val lSlice = li.filter(col("l_orderkey") > lCut)
-      // the crashed first attempt: orders committed (under the same
-      // family-scoped txn identity appendAll will replay with),
-      // manifest never landed — the worst window
-      graft.sources.CommitLog.append(s, oSlice, oLake,
-        txn = Some((graft.sources.LakeTxn.txnAppId(txn), 42L)))
-      // torn-pair invisibility: family readers still see the OLD cut
-      val midWindow = graft.sources.LakeTxn
-        .read(s, txn, oLake).count()
-      require(midWindow == graft.sources.CommitLog
-        .readAt(s, oLake, 1L).count(),
-        s"manifest reader saw the torn pair: $midWindow rows")
-      // the replay heals forward: orders no-ops, lineitem commits,
-      // ONE manifest publishes both
-      graft.sources.LakeTxn.appendAll(s, txn,
-        Seq(oLake -> oSlice, lLake -> lSlice), batchId = 42L)
-      // a second replay is a full no-op
-      val head = graft.sources.LakeTxn.appendAll(s, txn,
-        Seq(oLake -> oSlice, lLake -> lSlice), batchId = 42L)
+      graft.sources.LakeTxn.commit(s, txn, Map(oLake -> 1L, lLake -> 1L))
+      val fix = TxnFix(s, oLake, lLake, txn,
+        graft.sources.LakeTxn.txnAppId(txn), ords,
+        oSlice = ords.filter(col("o_orderkey") > oCut),
+        lSlice = li.filter(col("l_orderkey") > lCut))
+      // the crashed first attempt: ONE leg committed under the family
+      // identity writeAll will replay with; no manifest — worst window
+      crashedLeg(fix)
+      tornProbe(fix) // family readers must still see the OLD cut
+      // heal-forward replay, then a second replay as a full no-op
+      def go() = graft.sources.LakeTxn.writeAll(s, txn, legs(fix), batchId)
+      go()
+      val head = go()
       require(graft.sources.LakeTxn.pinOf(s, txn, oLake) == 2L &&
         graft.sources.LakeTxn.pinOf(s, txn, lLake) == 2L,
         s"exactly-once violated: pins ${head.pins}")
@@ -1850,6 +1858,22 @@ object EngineQueries {
       }
       (oLake, lLake, txn)
     })
+
+  private val q198Families = scala.collection.concurrent.TrieMap[String, (String, String, String)]()
+  private def q198Family(s: SparkSession, d: String): (String, String, String) =
+    txnFamilyFixture(q198Families, "q198", s, d, batchId = 42L,
+      cutOrders = true) { f =>
+      graft.sources.CommitLog.append(f.s, f.oSlice, f.oLake,
+        txn = Some((f.appId, 42L)))
+    } { f =>
+      val midWindow = graft.sources.LakeTxn.read(f.s, f.txn, f.oLake).count()
+      require(midWindow == graft.sources.CommitLog
+        .readAt(f.s, f.oLake, 1L).count(),
+        s"manifest reader saw the torn pair: $midWindow rows")
+    } { f => Seq(
+      graft.sources.LakeTxn.TxnAppend(f.oLake, f.oSlice),
+      graft.sources.LakeTxn.TxnAppend(f.lLake, f.lSlice))
+    }
 
   private def q198TxnAppend(s: SparkSession, d: String): DataFrame = {
     val (oLake, lLake, txn) = q198Family(s, d)
@@ -1892,58 +1916,19 @@ object EngineQueries {
   // manifest a kilobyte CAS.
   private val q200Families = scala.collection.concurrent.TrieMap[String, (String, String, String)]()
   private def q200Family(s: SparkSession, d: String): (String, String, String) =
-    q200Families.getOrElseUpdate(d, {
-      val work = java.nio.file.Files.createTempDirectory("graft_q200_")
-      val oLake = s"$work/orders"; val lLake = s"$work/lineitem"
-      val txn = s"$work/txn"
-      val ords = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_totalprice"),
-          col("o_orderstatus").as("flag"))
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_quantity"),
-          col("l_returnflag").as("lflag"))
-      // scale-driven split (q198's rule): lineitem base = keys ≤
-      // max/2, the transactional append = the rest, so the FINAL
-      // lineitem state is the whole table and the oracle needs no cut
-      // constant; orders starts whole and the transaction purges 'F'
-      val lCut = li.agg(max(col("l_orderkey"))).head.getLong(0) / 2
-      ords.write.partitionBy("flag").parquet(oLake)
-      graft.sources.CommitLog.init(s, oLake)
-      li.filter(col("l_orderkey") <= lCut)
-        .write.partitionBy("lflag").parquet(lLake)
-      graft.sources.CommitLog.init(s, lLake)
-      graft.sources.LakeTxn.commit(s, txn, Map(
-        oLake -> 1L, lLake -> 1L))
-      val lSlice = li.filter(col("l_orderkey") > lCut)
-      // the crashed first attempt: the retention DELETE committed
-      // (under the family identity writeAll will replay with), the
-      // fact append and the manifest never happened — the worst window
-      graft.sources.CommitLog.delete(s, oLake, col("flag") === "F",
-        txn = Some((graft.sources.LakeTxn.txnAppId(txn), 7L)))
-      // torn-purge invisibility: family readers still see the OLD cut
-      val midWindow = graft.sources.LakeTxn.read(s, txn, oLake).count()
+    txnFamilyFixture(q200Families, "q200", s, d, batchId = 7L,
+      cutOrders = false) { f =>
+      graft.sources.CommitLog.delete(f.s, f.oLake, col("flag") === "F",
+        txn = Some((f.appId, 7L)))
+    } { f =>
+      val midWindow = graft.sources.LakeTxn.read(f.s, f.txn, f.oLake).count()
       require(midWindow == graft.sources.CommitLog
-        .readAt(s, oLake, 1L).count(),
+        .readAt(f.s, f.oLake, 1L).count(),
         s"manifest reader saw the torn purge: $midWindow rows")
-      def purge() = graft.sources.LakeTxn.writeAll(s, txn, Seq(
-        graft.sources.LakeTxn.TxnDelete(oLake, col("flag") === "F"),
-        graft.sources.LakeTxn.TxnAppend(lLake, lSlice)), batchId = 7L)
-      // the replay heals forward: delete no-ops via its ledger, the
-      // lineitem append commits, ONE manifest publishes both
-      purge()
-      // a second replay is a full no-op
-      val head = purge()
-      require(graft.sources.LakeTxn.pinOf(s, txn, oLake) == 2L &&
-        graft.sources.LakeTxn.pinOf(s, txn, lLake) == 2L,
-        s"exactly-once violated: pins ${head.pins}")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(work.toFile)
-      }
-      (oLake, lLake, txn)
-    })
+    } { f => Seq(
+      graft.sources.LakeTxn.TxnDelete(f.oLake, col("flag") === "F"),
+      graft.sources.LakeTxn.TxnAppend(f.lLake, f.lSlice))
+    }
 
   private def q200TxnDelete(s: SparkSession, d: String): DataFrame = {
     val (oLake, lLake, txn) = q200Family(s, d)
@@ -1983,54 +1968,25 @@ object EngineQueries {
   // restate+append landed exactly once. At 100 TB the replaceWhere is
   // copy-on-write of the HIT partition only (here: the P files).
   private val q201Families = scala.collection.concurrent.TrieMap[String, (String, String, String)]()
+  private def q201Restated(f: TxnFix): DataFrame =
+    f.ords.filter(col("flag") === "P")
+      .withColumn("o_totalprice", col("o_totalprice") + 1000000.0)
   private def q201Family(s: SparkSession, d: String): (String, String, String) =
-    q201Families.getOrElseUpdate(d, {
-      val work = java.nio.file.Files.createTempDirectory("graft_q201_")
-      val oLake = s"$work/orders"; val lLake = s"$work/lineitem"
-      val txn = s"$work/txn"
-      val ords = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_totalprice"),
-          col("o_orderstatus").as("flag"))
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_quantity"),
-          col("l_returnflag").as("lflag"))
-      val lCut = li.agg(max(col("l_orderkey"))).head.getLong(0) / 2
-      ords.write.partitionBy("flag").parquet(oLake)
-      graft.sources.CommitLog.init(s, oLake)
-      li.filter(col("l_orderkey") <= lCut)
-        .write.partitionBy("lflag").parquet(lLake)
-      graft.sources.CommitLog.init(s, lLake)
-      graft.sources.LakeTxn.commit(s, txn, Map(
-        oLake -> 1L, lLake -> 1L))
-      val restated = ords.filter(col("flag") === "P")
-        .withColumn("o_totalprice", col("o_totalprice") + 1000000.0)
-      val lSlice = li.filter(col("l_orderkey") > lCut)
-      // the crashed first attempt: the restatement committed (under
-      // the identity writeAll will replay with), nothing else did
-      graft.sources.CommitLog.replaceWhere(s, oLake,
-        col("flag") === "P", restated,
-        txn = Some((graft.sources.LakeTxn.txnAppId(txn), 5L)))
-      val midWindow = graft.sources.LakeTxn.read(s, txn, oLake)
+    txnFamilyFixture(q201Families, "q201", s, d, batchId = 5L,
+      cutOrders = false) { f =>
+      graft.sources.CommitLog.replaceWhere(f.s, f.oLake,
+        col("flag") === "P", q201Restated(f),
+        txn = Some((f.appId, 5L)))
+    } { f =>
+      val midWindow = graft.sources.LakeTxn.read(f.s, f.txn, f.oLake)
         .agg(max(col("o_totalprice"))).head.getDouble(0)
       require(midWindow < 1000000.0,
         s"manifest reader saw the torn restatement: max price $midWindow")
-      def restate() = graft.sources.LakeTxn.writeAll(s, txn, Seq(
-        graft.sources.LakeTxn.TxnReplaceWhere(oLake,
-          col("flag") === "P", restated),
-        graft.sources.LakeTxn.TxnAppend(lLake, lSlice)), batchId = 5L)
-      restate() // heals forward: restatement no-ops, facts commit
-      val head = restate() // full no-op
-      require(graft.sources.LakeTxn.pinOf(s, txn, oLake) == 2L &&
-        graft.sources.LakeTxn.pinOf(s, txn, lLake) == 2L,
-        s"exactly-once violated: pins ${head.pins}")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(work.toFile)
-      }
-      (oLake, lLake, txn)
-    })
+    } { f => Seq(
+      graft.sources.LakeTxn.TxnReplaceWhere(f.oLake,
+        col("flag") === "P", q201Restated(f)),
+      graft.sources.LakeTxn.TxnAppend(f.lLake, f.lSlice))
+    }
 
   private def q201TxnRestate(s: SparkSession, d: String): DataFrame = {
     val (oLake, lLake, txn) = q201Family(s, d)

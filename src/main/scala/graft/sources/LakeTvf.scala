@@ -126,14 +126,23 @@ object LakeTvf {
       // SQL reader can never see a torn multi-table cut (the Scala
       // twin is LakeTxn.read; q198/q200's serving shape)
       require(args.size == 2, "graft_txn_read(txnDir, tableDir)")
+      // dirArg on BOTH: the table argument accepts a catalog-qualified
+      // cat.db.t name like every other lake TVF's table argument
       analyzed(LakeTxn.read(SparkSession.active,
         dirArg("graft_txn_read", args.head),
-        strArg("graft_txn_read", args(1))))
+        dirArg("graft_txn_read", args(1))))
     },
     "graft_txn_pins" -> { args =>
       // the family's current cut as rows: (table dir, pinned version,
       // that table's latest version) — the triage surface for "is a
-      // participant drifting ahead of what readers see"
+      // participant drifting ahead of what readers see".
+      // latest_version is BEST-EFFORT: pins are keyed by the
+      // NORMALIZED dir (URI path, scheme/authority stripped), and this
+      // is the one place a pin key is used as a readable path — on a
+      // non-default filesystem (s3a://…) the key may not resolve, and
+      // the column reads -1 rather than guessing (pinned_version is
+      // always exact; resolve drift per table with graft_lake_history
+      // on the raw dir when -1 shows up).
       require(args.size == 1, "graft_txn_pins(txnDir)")
       val s = SparkSession.active
       val txnDir = dirArg("graft_txn_pins", args.head)
@@ -143,7 +152,9 @@ object LakeTvf {
       import s.implicits._
       analyzed(st.pins.toSeq.sorted.map { case (d, v) =>
         (st.txn, d, v,
-          CommitLog.latest(s, d).map(_.version).getOrElse(-1L))
+          (try CommitLog.latest(s, d) catch {
+            case _: Exception => None
+          }).map(_.version).getOrElse(-1L))
       }.toDF("txn", "table_dir", "pinned_version", "latest_version"))
     },
     "graft_lake_branch_report" -> { args =>
