@@ -4447,7 +4447,10 @@ object CommitLog {
   /** Drop all but the newest `keepLast` versions and delete every data
     * file, version file, and stats snapshot no kept version references.
     * Returns the deleted data files. Readers pinned to dropped versions
-    * break — that is the documented MVCC retention trade.
+    * break — that is the documented MVCC retention trade. Versions a
+    * REF pins are never dropped: tags, the published pointer, and
+    * every registered transaction family's manifest pins
+    * ([[LakeTxn.familyPins]]) survive any `keepLast`.
     *
     * SAFE under concurrent in-flight writers: ONE uniform age fence —
     * nothing younger than `staleStagingMs` is ever deleted. That covers
@@ -4479,9 +4482,18 @@ object CommitLog {
     // out from under its ref would turn a metadata promise into a read
     // error. Retired publish pointers (superseded p-files) pin nothing.
     // (Tags bind MAIN-line versions; a branch vacuum has no ref pins.)
-    val pinned =
+    val refPinned =
       if (branchOf(dir).isDefined) Set.empty[Long]
       else LakeRefs.pinnedVersions(spark, d).filter(versions.contains)
+    // transaction-FAMILY pins are the third pin source: every LakeTxn
+    // manifest that pins this table resolves through the registered
+    // reverse pointer (LakeRefs.registerFamily), so a plain keepLast=1
+    // vacuum can never reclaim the version a family reader resolves
+    // (LakeTxn.read = readAt(pin)) — enforced like a tag, not opt-in
+    // knowledge of the vacuumParticipant wrapper. Keyed by THIS target
+    // (a family may pin a branch head), refs tree shared per table.
+    val famPinned = LakeTxn.familyPins(spark, dir).filter(versions.contains)
+    val pinned = refPinned ++ famPinned
     val (dropRaw, keepTail) =
       versions.splitAt(math.max(0, versions.size - keepLast))
     val dropV = dropRaw.filterNot(pinned)

@@ -211,9 +211,55 @@ object LakeRefs {
     * published pointer. [[CommitLog.vacuum]] keeps these readable
     * regardless of `keepLast` — a ref is a promise. Superseded publish
     * pointers pin nothing (the monotone contract means no consumer may
-    * still follow them). */
+    * still follow them). (Transaction-family pins are a third pin
+    * source vacuum consults — [[LakeTxn.familyPins]], registered
+    * through [[registerFamily]] below.) */
   def pinnedVersions(spark: SparkSession, dir: String): Set[Long] =
     (tags(spark, dir).map(_._2) ++ publishedVersion(spark, dir)).toSet
+
+  // ---------------------------------------------------------- families
+
+  /** Reverse pointers from a participant table to every
+    * [[LakeTxn]] family that pins it, as tiny ref files under
+    * `refs/families/<digest-of-family-dir>` whose CONTENT is the family
+    * manifest directory (the original string, so the family resolves on
+    * its own FileSystem). Written once per (participant, family) by
+    * [[LakeTxn.commit]]; [[CommitLog.vacuum]] follows them to treat the
+    * family's pinned versions as enforced pin sources — a plain
+    * `vacuum(participant, keepLast=1)` can no longer reclaim the
+    * version every family reader resolves through
+    * ([[LakeTxn.read]] = `readAt(pin)`), the same promise a tag makes. */
+  private def familyRef(dir: String, txnDir: String): Path = {
+    val norm = graft.plans.ConstraintCatalog.normalize(txnDir)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val key = md.digest(norm.getBytes(UTF_8)).take(8)
+      .map(b => f"$b%02x").mkString
+    new Path(refsPath(dir, "families"), key)
+  }
+
+  /** Record that family `txnDir` pins versions of `participantDir`.
+    * Idempotent (exists-check + CAS); a lost race means a twin
+    * registered the same family. Metadata-plane: one ~40-byte file per
+    * (participant, family), ever. */
+  def registerFamily(spark: SparkSession, participantDir: String,
+      txnDir: String): Unit = {
+    val f = fs(spark, participantDir)
+    val p = familyRef(participantDir, txnDir)
+    if (f.exists(p)) return
+    f.mkdirs(p.getParent)
+    try CommitLog.casWrite(f, p, txnDir)
+    catch { case _: CommitLog.CommitConflict => () } // racer registered it
+  }
+
+  /** The family manifest dirs registered against `dir` (empty when the
+    * table participates in no transaction family). */
+  def familiesOf(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    val p = refsPath(dir, "families")
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.map(s => readText(f, s.getPath).trim)
+      .filter(_.nonEmpty).sorted
+  }
 
   /** Write-audit-publish: run the declarative constraint audit against
     * `version`'s snapshot and advance the published pointer only on a

@@ -251,6 +251,16 @@ object LakeSqlDml {
                   s"+ ${r.getLong(5)} log artifacts / " +
                   s"${r.getLong(6)} bytes only it retains")
             }
+          // same staleness nudge for transaction families: their pinned
+          // versions survive any keepLast (enforced by vacuum itself),
+          // and the operator should see WHO is pinning WHAT before
+          // deciding to retire a family
+          if (dry) LakeTxn.familyReport(s, dir0).foreach {
+            case (fam, vs) => System.err.println(
+              s"[lake-sql] vacuum dry-run $dir0: txn family $fam pins " +
+                s"version(s) ${vs.mkString(", ")} — kept regardless of " +
+                "keepLast")
+          }
           if (dry) dropped.size.toLong
           else CommitLog.latest(s, dir0).map(_.version).getOrElse(-1L)
         }, if (dry) "vacuum-dry-run" else "vacuum")

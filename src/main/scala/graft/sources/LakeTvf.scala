@@ -136,13 +136,13 @@ object LakeTvf {
       // the family's current cut as rows: (table dir, pinned version,
       // that table's latest version) — the triage surface for "is a
       // participant drifting ahead of what readers see".
-      // latest_version is BEST-EFFORT: pins are keyed by the
-      // NORMALIZED dir (URI path, scheme/authority stripped), and this
-      // is the one place a pin key is used as a readable path — on a
-      // non-default filesystem (s3a://…) the key may not resolve, and
-      // the column reads -1 rather than guessing (pinned_version is
-      // always exact; resolve drift per table with graft_lake_history
-      // on the raw dir when -1 shows up).
+      // latest_version resolves through the manifest's `dirs` map (the
+      // ORIGINAL dir the committer supplied), so it is exact on any
+      // FileSystem — normalization strips scheme/authority from the
+      // pin KEY, which therefore isn't a readable path off the default
+      // filesystem. Manifests written before `dirs` existed fall back
+      // to the key and read -1 where that key doesn't resolve
+      // (pinned_version is always exact either way).
       require(args.size == 1, "graft_txn_pins(txnDir)")
       val s = SparkSession.active
       val txnDir = dirArg("graft_txn_pins", args.head)
@@ -152,7 +152,7 @@ object LakeTvf {
       import s.implicits._
       analyzed(st.pins.toSeq.sorted.map { case (d, v) =>
         (st.txn, d, v,
-          (try CommitLog.latest(s, d) catch {
+          (try CommitLog.latest(s, st.dirs.getOrElse(d, d)) catch {
             case _: Exception => None
           }).map(_.version).getOrElse(-1L))
       }.toDF("txn", "table_dir", "pinned_version", "latest_version"))

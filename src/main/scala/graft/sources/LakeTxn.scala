@@ -44,9 +44,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Version pins only move FORWARD (enforced): a manifest can never
   * un-publish a table state, so reader-visible history is monotone.
   *
-  * Retention: a participant's [[CommitLog.vacuum]] must keep its pinned
-  * version readable — [[vacuumParticipant]] computes the right
-  * `keepLast` from the current pin instead of trusting the caller.
+  * Retention: a participant's [[CommitLog.vacuum]] keeps the family's
+  * pinned versions readable BY MECHANISM — [[commit]] registers a
+  * reverse pointer on each participant ([[LakeRefs.registerFamily]])
+  * and vacuum resolves the registered families' pins as a pin source
+  * next to tags and the published pointer ([[familyPins]]), so even a
+  * plain `vacuum(dir, keepLast=1)` preserves every pinned cut.
+  * [[vacuumParticipant]] additionally keeps the contiguous pin→head
+  * range for time-travel across the catch-up window.
   *
   * At 100 TB the manifest is metadata-plane: one tiny JSON per family
   * commit, independent of table size or count of files.
@@ -59,9 +64,17 @@ object LakeTxn {
     * it is committed (its explicit entry was folded away once `batches`
     * outgrew [[CommitLog.LedgerKeep]]) — the same O(K)-per-manifest
     * bound the per-table logs enforce, so a per-batch streaming-style
-    * family never republishes an unbounded id history on every commit. */
+    * family never republishes an unbounded id history on every commit.
+    * `dirs` maps each normalized pin key back to the ORIGINAL dir the
+    * committer supplied — normalization strips scheme/authority, so on
+    * a non-default filesystem (s3a://…) the key alone is not a readable
+    * path; observability surfaces ([[graft.sources.LakeTvf]]'s
+    * `graft_txn_pins`) resolve through `dirs` and stay exact
+    * everywhere. Additive: manifests written before the field existed
+    * parse with `dirs` empty and readers fall back to the key. */
   final case class State(txn: Long, pins: Map[String, Long],
-      batches: Seq[Long], floor: Long = -1L) {
+      batches: Seq[Long], floor: Long = -1L,
+      dirs: Map[String, String] = Map.empty) {
     /** PROVABLY committed: an explicit ledger entry, or the floor
       * itself (the floor is always the LARGEST folded id, which was
       * committed by construction). Ids strictly BELOW the floor are
@@ -93,7 +106,7 @@ object LakeTxn {
     import org.json4s.jackson.JsonMethods
     JsonMethods.compact(JsonMethods.render(
       ("txn" -> s.txn) ~ ("pins" -> s.pins) ~ ("batches" -> s.batches) ~
-        ("floor" -> s.floor)))
+        ("floor" -> s.floor) ~ ("dirs" -> s.dirs)))
   }
 
   private def parse(text: String): State = {
@@ -105,7 +118,10 @@ object LakeTxn {
       (j \ "pins").extract[Map[String, Long]],
       (j \ "batches").extract[Seq[Long]],
       // manifests written before the floor existed parse as floor -1
-      (j \ "floor").extractOpt[Long].getOrElse(-1L))
+      (j \ "floor").extractOpt[Long].getOrElse(-1L),
+      // …and those written before dirs existed parse with dirs empty
+      // (readers fall back to the normalized key)
+      (j \ "dirs").extractOpt[Map[String, String]].getOrElse(Map.empty))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -171,6 +187,16 @@ object LakeTxn {
     val normPins = pins.map { case (d, v) =>
       graft.plans.ConstraintCatalog.normalize(d) -> v
     }
+    // the normalized pin key → the original dir, kept in the manifest
+    // so observability reads resolve on the participant's own
+    // FileSystem (normalization strips scheme/authority)
+    val origDirs = pins.keys.map(d =>
+      graft.plans.ConstraintCatalog.normalize(d) -> d).toMap
+    // reverse pointers BEFORE the manifest CAS: by the time a pin is
+    // live, the participant's vacuum can already see the family — a
+    // crash in between leaves a ref resolving to no pins, which is
+    // harmless residue, never a reclaimable pinned version
+    pins.keys.foreach(d => LakeRefs.registerFamily(spark, d, txnDir))
     var attempt = 0
     while (true) {
       val cur = latest(spark, txnDir)
@@ -214,7 +240,8 @@ object LakeTxn {
       val next = State(
         cur.map(_.txn + 1).getOrElse(1L),
         curPins ++ normPins,
-        keptB, floorB)
+        keptB, floorB,
+        cur.map(_.dirs).getOrElse(Map.empty) ++ origDirs)
       val p = txnFile(txnDir, next.txn)
       // the SAME hardened CAS as the per-table commit point (O_EXCL on
       // local filesystems — Hadoop's local create-no-overwrite is
@@ -398,9 +425,53 @@ object LakeTxn {
     drop
   }
 
-  /** Vacuum a participant WITHOUT breaking manifest readers: keeps every
-    * version from the current pin forward (plus `extra` older ones for
-    * long-running readers). Returns the reclaimed files. */
+  /** Every version the registered families' RETAINED manifests pin for
+    * `tableDir` — [[CommitLog.vacuum]]'s third pin source, next to tags
+    * and the published pointer, so a plain `vacuum(participant,
+    * keepLast=1)` run by an operator who has never heard of
+    * [[vacuumParticipant]] can no longer reclaim the version every
+    * family reader resolves through ([[read]] = `readAt(pin)`) —
+    * enforced, the way the reference destroys source files only after
+    * the durable reference exists (`/root/reference/src/scrape.py:112`).
+    * ALL retained manifests contribute (not just the latest): readers
+    * pinned to historical family cuts stay readable exactly as far back
+    * as [[vacuumManifests]] keeps the cuts themselves — the two
+    * retentions share one horizon. Cost: one listing plus K tiny JSON
+    * reads per registered family; zero for the common no-family table
+    * (one exists() check). */
+  def familyPins(spark: SparkSession, tableDir: String): Set[Long] =
+    familyReport(spark, tableDir).flatMap(_._2).toSet
+
+  /** Per-family breakdown of [[familyPins]]: (family manifest dir,
+    * versions its retained manifests pin for `tableDir`), families that
+    * pin nothing for this table omitted. An unreadable manifest warns
+    * and contributes nothing (same contract as [[latest]]); a deleted
+    * family dir resolves to no pins — stale refs are inert. */
+  def familyReport(spark: SparkSession, tableDir: String)
+      : Seq[(String, Seq[Long])] = {
+    val key = graft.plans.ConstraintCatalog.normalize(tableDir)
+    LakeRefs.familiesOf(spark, tableDir).map { txnDir =>
+      val f = fs(spark, txnDir)
+      val pinsHere = txnNumbers(f, txnDir).flatMap { t =>
+        (try Some(parse(readText(f, txnFile(txnDir, t))))
+        catch { case e: Exception =>
+          System.err.println(
+            s"[laketxn] unreadable manifest $t in $txnDir " +
+              s"(${e.getMessage}) — it contributes no retention pins")
+          None
+        }).flatMap(_.pins.get(key))
+      }.distinct.sorted
+      txnDir -> pinsHere
+    }.filter(_._2.nonEmpty)
+  }
+
+  /** Vacuum a participant keeping the whole pin-forward RANGE readable:
+    * every version from the current pin to latest (plus `extra` older
+    * ones for long-running readers). [[CommitLog.vacuum]] already
+    * enforces the pinned versions themselves via [[familyPins]] — this
+    * wrapper is for operators who also want the versions BETWEEN pin
+    * and head (time travel across the family's catch-up window).
+    * Returns the reclaimed files. */
   def vacuumParticipant(spark: SparkSession, txnDir: String,
       tableDir: String, extra: Int = 0): Seq[String] = {
     val pinned = pinOf(spark, txnDir, tableDir)

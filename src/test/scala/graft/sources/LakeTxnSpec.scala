@@ -133,6 +133,77 @@ class LakeTxnSpec extends AnyFunSuite {
       CommitLog.latest(spark, corpus).get.version)
   }
 
+  test("PLAIN vacuum on a pinned participant preserves the pinned " +
+    "version — family pins are enforced by vacuum itself, not opt-in " +
+    "vacuumParticipant knowledge") {
+    val w = work()
+    val (corpus, index, txn) = family(w)
+    // the corpus moves two versions past the family pin (a writer
+    // mid-family-commit, or simply direct per-table traffic)
+    CommitLog.upsert(spark,
+      Seq((2L, "hash merge window v2", "en")).toDF("doc_id", "text", "part"),
+      corpus, Seq("doc_id"), "part")
+    CommitLog.upsert(spark,
+      Seq((3L, "row scan batch v3", "de")).toDF("doc_id", "text", "part"),
+      corpus, Seq("doc_id"), "part")
+    val pin = LakeTxn.pinOf(spark, txn, corpus)
+    assert(pin < CommitLog.latest(spark, corpus).get.version,
+      "fixture: the pin must be behind the head")
+    val servedBefore = LakeTxn.read(spark, txn, corpus)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    // dry-run REPORTS the family pin (the operator's what-if surface)
+    val report = LakeTxn.familyReport(spark, corpus)
+    assert(report.exists { case (fam, vs) =>
+      graft.plans.ConstraintCatalog.normalize(fam) ==
+        graft.plans.ConstraintCatalog.normalize(txn) && vs.contains(pin)
+    }, s"family report must name the pin: $report")
+    // the naive vacuum an operator who never heard of vacuumParticipant
+    // runs — before this round it silently broke every family reader
+    CommitLog.vacuum(spark, corpus, keepLast = 1, staleStagingMs = 0)
+    assert(LakeTxn.read(spark, txn, corpus)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+      == servedBefore,
+      "plain vacuum reclaimed the family-pinned version")
+    // and the index side serves unchanged too (its pin is also enforced)
+    CommitLog.vacuum(spark, index, keepLast = 1, staleStagingMs = 0)
+    assert(servedScores(index, txn).nonEmpty)
+  }
+
+  test("manifest dirs map: graft_txn_pins resolves latest_version " +
+    "through the ORIGINAL dir; legacy manifests without dirs still " +
+    "parse and fall back to the key") {
+    val w = work()
+    val fact = s"$w/fact"; val txn = s"$w/txn8"
+    Seq((1L, 10.0)).toDF("k", "amt").write.parquet(fact)
+    CommitLog.init(spark, fact)
+    CommitLog.append(spark, Seq((2L, 20.0)).toDF("k", "amt"), fact)
+    // hand-crafted manifest: the pin KEY is deliberately unresolvable
+    // (the off-default-filesystem shape), the dirs entry carries the
+    // real path — latest_version must come from dirs, not the key
+    val key = "/nonexistent/bucket/fact"
+    val json = s"""{"txn":1,"pins":{"$key":1},"batches":[0],""" +
+      s""""floor":-1,"dirs":{"$key":"$fact"}}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(txn))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(txn, "t" + "0" * 19 + "1.json"),
+      json.getBytes("UTF-8"))
+    val rows = spark.sql(s"SELECT * FROM graft_txn_pins('$txn')")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((key, 1L, 2L)),
+      s"latest_version must resolve through dirs: ${rows.mkString(",")}")
+    // a LEGACY manifest (no dirs field) parses with dirs empty and the
+    // TVF falls back to the key — -1 here because the key is fake
+    val legacy = s"$w/txn9"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(legacy))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(legacy, "t" + "0" * 19 + "1.json"),
+      s"""{"txn":1,"pins":{"$key":1},"batches":[0]}""".getBytes("UTF-8"))
+    assert(LakeTxn.latest(spark, legacy).get.dirs.isEmpty)
+    val legacyRows = spark.sql(s"SELECT * FROM graft_txn_pins('$legacy')")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(legacyRows.toSeq == Seq((key, 1L, -1L)), legacyRows.mkString(","))
+  }
+
   test("thread race: two committers serialize through the manifest CAS; " +
       "both cuts land") {
     val w = work()
