@@ -36,6 +36,9 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   CALL graft_restore('/lake/orders', 3)
   *   CALL graft_tag('/lake/orders', 'audited', 3)
   *   CALL graft_publish('/lake/orders', 3)
+  *   CALL graft_txn_write('/lake/_txn', 7,            -- atomic multi-
+  *     'delete|/lake/orders|o_orderstatus = "F"',     -- table write
+  *     'append|/lake/lineitem|staged_lineitem')       -- (LakeTxn)
   * }}}
   *
   * Implementation: the statements above are STANDARD Spark SQL grammar
@@ -314,12 +317,74 @@ object LakeSqlDml {
         GraftCallCommand(dir0, s => CommitLog.cloneTable(s, dir0,
           graft.catalog.GraftCatalog.resolveTarget(s, str(1)),
           if (args.size == 3) Some(num(2)) else None).version, "clone")
+      case "txn_write" =>
+        // the MULTI-TABLE ATOMIC WRITE at the SQL front door — the
+        // write twin of graft_txn_read/graft_txn_pins: each spec
+        // string stages one verb against one participant, the whole
+        // set rides LakeTxn.writeAll (per-table family-namespaced
+        // ledgers + one manifest CAS), so a SQL-only operator gets the
+        // identical crash-window / replay-no-op contract as the Scala
+        // API. Returns the committed manifest sequence as `version`.
+        require(args.size >= 3,
+          "CALL graft_txn_write(txnDir, batchId, 'verb|dir|…', ...)")
+        val specs = args.drop(2).map(_.toString)
+        GraftCallCommand(dir0, s => LakeTxn.writeAll(s, dir0,
+          specs.map(txnWriteSpec(s, _)), num(1)).txn, "txn-write")
       case other => throw new IllegalArgumentException(
         s"unknown lake verb CALL graft_$other — supported: compact, " +
           "compact_clustered, compact_zorder, compact_where, vacuum, " +
           "restore, tag, publish, branch, branch_drop, branch_ff, " +
           "branch_merge, branch_rebase, branch_unfence, " +
-          "clone, vacuum_dry_run")
+          "clone, vacuum_dry_run, txn_write")
+    }
+  }
+
+  /** One staged write of `CALL graft_txn_write` — `'<verb>|<args…>'`
+    * with any free-text CONDITION last, so it may itself contain `|`
+    * (string concat) without an escape syntax:
+    *
+    *  - `'append|<dir>|<view>'`
+    *  - `'upsert|<dir>|<view>|<k1[,k2…]>|<partitionCol>[|<seqCol>]'`
+    *  - `'delete|<dir>|<cond sql>'`
+    *  - `'replace_where|<dir>|<view>|<cond sql>'`
+    *
+    * `<dir>` is a path or a catalog-qualified `cat.db.t`; `<view>` is
+    * any table/temp view visible to the session (the staged rows) —
+    * resolved at RUN time, so a statement can create the view and
+    * CALL in one session flow. */
+  private def txnWriteSpec(s: SparkSession,
+      spec: String): LakeTxn.TxnWrite = {
+    def resolve(d: String): String =
+      graft.catalog.GraftCatalog.resolveTarget(s, d.trim)
+    def bad(expected: String): Nothing = throw new IllegalArgumentException(
+      s"CALL graft_txn_write spec '$spec' — expected $expected")
+    spec.split("\\|", 2)(0).trim.toLowerCase match {
+      case "append" => spec.split("\\|", -1) match {
+        case Array(_, d, v) if v.trim.nonEmpty =>
+          LakeTxn.TxnAppend(resolve(d), s.table(v.trim))
+        case _ => bad("append|<dir>|<view>")
+      }
+      case "upsert" => spec.split("\\|", -1) match {
+        case a if a.length == 5 || a.length == 6 =>
+          LakeTxn.TxnUpsert(resolve(a(1)), s.table(a(2).trim),
+            a(3).split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+            a(4).trim,
+            if (a.length == 6) Some(a(5).trim) else None)
+        case _ =>
+          bad("upsert|<dir>|<view>|<k1[,k2…]>|<partitionCol>[|<seqCol>]")
+      }
+      case "delete" => spec.split("\\|", 3) match {
+        case Array(_, d, c) if c.trim.nonEmpty =>
+          LakeTxn.TxnDelete(resolve(d), expr(c))
+        case _ => bad("delete|<dir>|<cond sql>")
+      }
+      case "replace_where" => spec.split("\\|", 4) match {
+        case Array(_, d, v, c) if c.trim.nonEmpty =>
+          LakeTxn.TxnReplaceWhere(resolve(d), expr(c), s.table(v.trim))
+        case _ => bad("replace_where|<dir>|<view>|<cond sql>")
+      }
+      case other => bad(
+        s"a verb in {append, upsert, delete, replace_where}, got '$other'")
     }
   }
 

@@ -390,4 +390,86 @@ class LakeSqlDmlSpec extends AnyFunSuite {
     assert(rows(dir).size == before.size - 1)
     assert(rows(dir) == before.filterNot(_._1 == 0L))
   }
+
+  test("CALL graft_txn_write: an atomic append+delete lands as ONE " +
+    "family cut through pure SQL, the crash window heals by replaying " +
+    "the same CALL, and a second replay is a full no-op") {
+    val w = Files.createTempDirectory("graft_txnsql_").toString
+    val fact = s"$w/fact"; val audit = s"$w/audit"; val txn = s"$w/txn"
+    Seq((1L, 10.0), (2L, 20.0), (3L, 5.0)).toDF("k", "amt")
+      .write.parquet(fact)
+    CommitLog.init(spark, fact)
+    Seq((100L, "init")).toDF("k", "note").write.parquet(audit)
+    CommitLog.init(spark, audit)
+    LakeTxn.commit(spark, txn, Map(fact -> 1L, audit -> 1L))
+    // CRASH WINDOW: the retention delete committed under the family
+    // identity (the SQL verb's own app id), the audit append and the
+    // manifest never happened — family readers still see the old cut
+    CommitLog.delete(spark, fact, col("amt") < 15.0,
+      txn = Some((LakeTxn.txnAppId(txn), 7L)))
+    assert(LakeTxn.read(spark, txn, fact).count() == 3L,
+      "manifest reader saw the torn purge")
+    Seq((101L, "purged")).toDF("k", "note")
+      .createOrReplaceTempView("txnsql_staged_audit")
+    def call(): Array[org.apache.spark.sql.Row] = spark.sql(
+      s"CALL graft_txn_write('$txn', 7, " +
+        s""""delete|$fact|amt < 15.0", """ +
+        s"'append|$audit|txnsql_staged_audit')").collect()
+    // heal-forward: the delete no-ops via the ledger, the audit append
+    // commits, ONE manifest publishes the consistent pair
+    val out = call()
+    assert(out.map(r => r.getString(1)).toSeq == Seq("txn-write"))
+    assert(LakeTxn.read(spark, txn, fact)
+      .select($"k").as[Long].collect().toSet == Set(2L))
+    assert(LakeTxn.read(spark, txn, audit).count() == 2L)
+    // replay of the COMPLETED batch: nothing moves anywhere
+    val before = (CommitLog.latest(spark, fact).get.version,
+      CommitLog.latest(spark, audit).get.version,
+      LakeTxn.latest(spark, txn).get.txn)
+    call()
+    assert(before == (CommitLog.latest(spark, fact).get.version,
+      CommitLog.latest(spark, audit).get.version,
+      LakeTxn.latest(spark, txn).get.txn),
+      "the replayed SQL transaction must be a full no-op")
+  }
+
+  test("CALL graft_txn_write: upsert and replace_where specs compose; " +
+    "malformed specs fail loudly before anything commits") {
+    val w = Files.createTempDirectory("graft_txnsql2_").toString
+    val dim = s"$w/dim"; val sales = s"$w/sales"; val txn = s"$w/txn"
+    Seq((1L, "a", "p0"), (2L, "b", "p1")).toDF("k", "name", "pd")
+      .write.partitionBy("pd").parquet(dim)
+    CommitLog.init(spark, dim)
+    Seq((1L, 10.0, "jan"), (2L, 20.0, "jan"), (3L, 30.0, "feb"))
+      .toDF("k", "amt", "mon").write.partitionBy("mon").parquet(sales)
+    CommitLog.init(spark, sales)
+    LakeTxn.commit(spark, txn, Map(dim -> 1L, sales -> 1L))
+    Seq((1L, "a2", "p0")).toDF("k", "name", "pd")
+      .createOrReplaceTempView("txnsql_dim_up")
+    Seq((1L, 11.0, "jan"), (9L, 90.0, "jan")).toDF("k", "amt", "mon")
+      .createOrReplaceTempView("txnsql_jan_restated")
+    spark.sql(s"CALL graft_txn_write('$txn', 1, " +
+      s"'upsert|$dim|txnsql_dim_up|k|pd', " +
+      s""""replace_where|$sales|txnsql_jan_restated|mon = 'jan'")""")
+    assert(LakeTxn.read(spark, txn, dim)
+      .select($"k", $"name").as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b")))
+    assert(LakeTxn.read(spark, txn, sales)
+      .select($"k", $"amt").as[(Long, Double)].collect().toSet ==
+      Set((1L, 11.0), (9L, 90.0), (3L, 30.0)))
+    // malformed specs: unknown verb, missing view, bad arity — all
+    // loud, nothing committed
+    val vBefore = (CommitLog.latest(spark, dim).get.version,
+      LakeTxn.latest(spark, txn).get.txn)
+    def badCall(spec: String): Throwable = intercept[Exception](spark.sql(
+      s"CALL graft_txn_write('$txn', 2, '$spec')").collect())
+    assert(badCall("truncate|" + dim)
+      .getMessage.contains("append, upsert, delete, replace_where"))
+    assert(badCall(s"append|$dim").getMessage.contains("append|<dir>|<view>"))
+    assert(badCall(s"upsert|$dim|txnsql_dim_up|k")
+      .getMessage.contains("upsert|<dir>"))
+    assert(vBefore == (CommitLog.latest(spark, dim).get.version,
+      LakeTxn.latest(spark, txn).get.txn),
+      "a rejected spec must publish nothing")
+  }
 }
