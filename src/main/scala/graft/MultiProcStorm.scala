@@ -26,7 +26,13 @@ import graft.sources.CommitLog
   *    replay the log to the model — contiguous version numbers
   *    (every CAS slot won exactly once), every writer's rows present
   *    exactly once, every churner's key at its LAST value, the merged
-  *    branch rows present, zero duplicates.
+  *    branch rows present, zero duplicates;
+  *  - `merger_held` / `violator` / `verify_violation`: the
+  *    FENCE-VIOLATION leg — a merge held between adoption and sync
+  *    (`GRAFT_MERGE_SYNC_HOLD_MS`) races a stale-code writer that
+  *    commits through the live fence from another JVM; the merge's
+  *    sync CAS must fail loudly with re-fork guidance, main's
+  *    adoption must stand, the branch must stay fenced.
   *
   * The exit code is the gate: non-zero on any lost write, duplicate,
   * gap, or parse failure. */
@@ -88,6 +94,17 @@ object MultiProcStorm {
               case _: CommitLog.WriteConflict if attempt < 40 =>
                 attempt += 1
                 Thread.sleep(50L * (1 + attempt % 5))
+              case e: IllegalStateException
+                  if e.getMessage != null &&
+                    e.getMessage.contains("lost the commit race") &&
+                    attempt < 40 =>
+                // commitRebase exhausted ITS internal CAS retries under
+                // heavy cross-process contention — not a conflict, just
+                // contention; re-attempt like RebaseSpec's writers do
+                // (the generic exception carries no type, so the
+                // documented message is the discriminator here)
+                attempt += 1
+                Thread.sleep(50L * (1 + attempt % 5))
             }
           }
         }
@@ -105,6 +122,71 @@ object MultiProcStorm {
         val adopted = CommitLog.mergeBranch(spark, lake, "storm",
           maxRetries = 30)
         println(s"[storm] merged branch as main v${adopted.version}")
+
+      case "merger_held" =>
+        // THE FENCE-VIOLATION LEG's victim (round-15 verdict item 7): a
+        // merge held open between its adoption and its sync commit
+        // (GRAFT_MERGE_SYNC_HOLD_MS, exported by the storm script)
+        // while the violator process lands a stale-code write through
+        // the fence from ANOTHER JVM. The designed backstop is the sync
+        // CAS: the EXPECTED outcome is its loud failure with the
+        // re-fork guidance — exit 0 on exactly that, non-zero on a
+        // silent success or any other error.
+        CommitLog.createBranch(spark, lake, "violated")
+        val t = CommitLog.branchTarget(lake, "violated")
+        CommitLog.append(spark,
+          Seq((91000L, 9L, "p0")).toDF("k", "v", "pd"), t)
+        try {
+          CommitLog.mergeBranch(spark, lake, "violated")
+          System.err.println("[storm] VIOLATION LEG BROKEN: the merge " +
+            "synced despite a through-fence write")
+          spark.stop()
+          sys.exit(1)
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("lost its CAS") &&
+                e.getMessage.contains("re-fork") =>
+            println("[storm] merger_held got the EXPECTED loud " +
+              "sync-CAS failure with re-fork guidance")
+        }
+
+      case "violator" =>
+        // stale-code writer simulation: a JVM whose commit path
+        // predates assertUnfenced. Signal readiness (the script gates
+        // the merge on it), wait for the adoption to land on main,
+        // then commit through the LIVE fence via the bypass.
+        val t = CommitLog.branchTarget(lake, "violated")
+        new java.io.File(lake + ".violator_ready").createNewFile()
+        val deadline = System.currentTimeMillis + 120000
+        while (CommitLog.latest(spark, lake).forall(_.op != "fastForward")) {
+          require(System.currentTimeMillis < deadline,
+            "violator timed out waiting for the merge's adoption")
+          Thread.sleep(25)
+        }
+        require(CommitLog.latest(spark, t)
+          .exists(_.props.contains(CommitLog.FenceProp)),
+          "violator: the branch must still be fenced at adoption time")
+        CommitLog.commitStaleBypassingFence(spark, t, "storm.violator", "1")
+        println("[storm] violator committed through the live fence")
+
+      case "verify_violation" =>
+        // main's adoption STANDS (the violation cost the branch, never
+        // main); the branch stays fenced and stale-marked — exactly the
+        // state the loud error described
+        val mainHead = CommitLog.latest(spark, lake).get
+        require(mainHead.op == "fastForward",
+          s"adoption lost: main head op '${mainHead.op}'")
+        require(CommitLog.read(spark, lake)
+          .filter($"k" === 91000L).count() == 1L,
+          "the adopted branch row is missing from main")
+        val head = CommitLog.latest(spark,
+          CommitLog.branchTarget(lake, "violated")).get
+        require(head.props.contains(CommitLog.FenceProp),
+          "a violated branch must stay fenced (stale-marked)")
+        require(head.props.get("storm.violator").contains("1"),
+          "the violator's through-fence commit is not the branch head")
+        println("[storm] VIOLATION VERIFIED: adoption stands on main, " +
+          "branch loudly stale-fenced")
 
       case "verify" =>
         val writers = args(2).toInt; val perWriter = args(3).toInt

@@ -3457,14 +3457,62 @@ object CommitLog {
     * its own adoption) is impossible by construction. The fence clears
     * with the sync commit on success, and on any pre-adoption failure
     * (true partition conflict, retries exhausted); a merge that DIES
-    * between fence and sync leaves the branch fenced — the error
-    * message on the next write names [[unfenceBranch]] as the
-    * recovery. [[dropBranch]] when the branch is done. */
+    * between fence and sync leaves the branch fenced. Recovery is
+    * tiered: if the adoption ALREADY landed on main (death between
+    * fastForward and sync), simply RE-RUN mergeBranch — it detects the
+    * landed adoption ([[adoptionOf]], content-complete so a violated
+    * branch never qualifies) and finishes the sync itself; only a
+    * pre-adoption death needs [[unfenceBranch]] (the error message on
+    * the next write names it). [[dropBranch]] when the branch is
+    * done. */
   def mergeBranch(spark: SparkSession, dir: String, name: String,
       maxRetries: Int = 5): Snapshot = {
     val d = dataDir(dir)
     val target = branchTarget(d, name)
     val f = hadoopFs(spark, d)
+    // SELF-HEALING RECOVERY: a previous merge that died between its
+    // adoption and its branch sync commit left the branch fenced with
+    // main ALREADY holding the fastForward — finish the sync here and
+    // return, so the two-step manual recovery (unfence, then drop +
+    // re-fork) becomes "re-run the same CALL". Detection
+    // ([[adoptionOf]]) is content-complete, so a branch that was
+    // written THROUGH the fence by a stale-code writer never matches —
+    // that path stays loud. No new branch work can be waiting (the
+    // fence blocked every write), so returning the adoption is exactly
+    // what the dead merge would have returned.
+    latest(spark, target).filter(_.props.contains(FenceProp))
+      .foreach { head =>
+        adoptionOf(spark, d, head).foreach { adopted =>
+          val sync = adopted.copy(
+            version = head.version + 1,
+            op = "rebase",
+            props = adopted.props +
+              ("graft.branch.name" -> name,
+                "graft.branch.fork" -> adopted.version.toString),
+            committedAt = System.currentTimeMillis())
+          val healed =
+            try { casWrite(f, versionFile(target, sync.version),
+              render(sync)); true }
+            catch { case _: CommitConflict => false }
+          if (healed) {
+            System.err.println(
+              s"[commitlog] mergeBranch '$name' into $d: recovered a " +
+                s"merge that died after adopting into main as " +
+                s"v${adopted.version} — sync commit completed, branch " +
+                "usable, no re-fork needed")
+            return adopted
+          }
+          // CAS lost: if a rival healer landed the identical sync, the
+          // merge IS complete — converge. Anything else falls through
+          // to the normal path, where the fence stays loud.
+          if (latest(spark, target).exists(h =>
+              !h.props.contains(FenceProp) &&
+              h.props.get("graft.branch.fork")
+                .contains(adopted.version.toString) &&
+              h.files.toSet == adopted.files.toSet))
+            return adopted
+        }
+      }
     val epoch =
       java.util.UUID.randomUUID.toString.take(8) +
         "@" + System.currentTimeMillis
@@ -3477,6 +3525,14 @@ object CommitLog {
           val rebased = rebaseBranch(spark, d, name, Some(epoch))
           val adopted = fastForward(spark, d, name)
           adoptedOpt = Some(adopted)
+          // cross-process fault-injection point: the storm's
+          // fence-violation leg holds the merge here — adopted into
+          // main, sync not yet committed — so a foreign process can
+          // demonstrably land a stale-code write through the fence
+          // and this merge's sync CAS must fail LOUDLY below.
+          // Production runs never set the variable.
+          sys.env.get("GRAFT_MERGE_SYNC_HOLD_MS")
+            .foreach(ms => Thread.sleep(ms.toLong))
           val sync = adopted.copy(
             version = rebased.version + 1,
             op = "rebase",
@@ -3487,9 +3543,19 @@ object CommitLog {
           // under the fence this CAS has no legal competitor; a loss
           // means the fence was violated (stale-code writer) or
           // cleared (concurrent unfenceBranch) — surface it loudly,
-          // the branch must be re-forked, main's adoption stands
+          // the branch must be re-forked, main's adoption stands.
+          // ONE benign exception: a concurrent mergeBranch judged THIS
+          // merge dead (post-adoption fence + adoption visible) and
+          // self-healed with the content-identical sync — converge.
           try casWrite(f, versionFile(target, sync.version), render(sync))
           catch { case e: CommitConflict =>
+            val winner = latest(spark, target)
+            if (winner.exists(h => h.version == sync.version &&
+                !h.props.contains(FenceProp) &&
+                h.props.get("graft.branch.fork")
+                  .contains(adopted.version.toString) &&
+                h.files.toSet == adopted.files.toSet))
+              return adopted
             throw new IllegalStateException(
               s"mergeBranch '$name' into $d: ADOPTED into main as " +
                 s"v${adopted.version}, but the fenced sync commit lost " +
@@ -3514,23 +3580,44 @@ object CommitLog {
     } catch { case e: Throwable =>
       // pre-adoption failure: release the fence so the branch stays
       // writable (the loud conflict IS the outcome; locking the branch
-      // on top of it would punish recovery). ONLY OUR OWN fence: if
-      // this merge failed because its claim was already lost (an
-      // operator unfenced a merge they thought dead, and a rival merge
-      // re-fenced), clearing unconditionally would strip the rival's
-      // LIVE fence and reopen the racing-writer window its sync commit
-      // depends on. Post-adoption failures keep the fence — the branch
-      // is stale-marked and unsafe anyway.
+      // on top of it would punish recovery). ONLY OUR OWN fence,
+      // enforced INSIDE the clear's CAS loop: a check-then-clear here
+      // had a TOCTOU window (operator unfences the 'dead' merge, a
+      // rival re-fences, this cleanup strips the rival's LIVE fence) —
+      // the epoch now rides every CAS retry, so a fence that stops
+      // being ours mid-loop is left alone. Post-adoption failures keep
+      // the fence — the branch is stale-marked and unsafe anyway.
       if (adoptedOpt.isEmpty) {
-        try {
-          if (latest(spark, target)
-            .exists(_.props.get(FenceProp).contains(epoch)))
-            unfenceBranch(spark, d, name)
-        } catch { case u: Exception => e.addSuppressed(u) }
+        try unfenceLoop(spark, d, name, onlyEpoch = Some(epoch))
+        catch { case u: Exception => e.addSuppressed(u) }
       }
       throw e
     }
   }
+
+  /** The main-line adoption of a fenced branch head, if it ALREADY
+    * landed: a merge that died between its [[fastForward]] and its
+    * branch sync commit leaves main's version fork+1 as a fastForward
+    * whose content IS the branch head — same file set, and props equal
+    * net of the branch markers and the fence (exactly what fastForward
+    * strips). Detection is deliberately content-COMPLETE: a branch
+    * head written THROUGH the fence by a stale-code writer (different
+    * op, extra props, different files) never matches, so
+    * [[mergeBranch]]'s self-heal can never legitimize a violated
+    * branch. The head may be the rebase commit (normal path) or the
+    * fence stamp itself (main never advanced, rebase was a no-op). */
+  private def adoptionOf(spark: SparkSession, d: String,
+      head: Snapshot): Option[Snapshot] =
+    head.props.get("graft.branch.fork").map(_.toLong).flatMap { fork =>
+      (try Some(snapshotAt(spark, d, fork + 1))
+      catch { case _: Exception => None }).filter { c =>
+        c.op == "fastForward" &&
+          (head.op == "rebase" || head.op == "fence") &&
+          c.files.toSet == head.files.toSet &&
+          c.props == head.props - "graft.branch.name" -
+            "graft.branch.fork" - FenceProp
+      }
+    }
 
   /** Stamp [[FenceProp]] onto branch `name`'s head as one
     * content-identical commit through the branch's own CAS domain —
@@ -3575,7 +3662,16 @@ object CommitLog {
     * fail loudly (main's adoption stands; the branch then needs a
     * re-fork). */
   def unfenceBranch(spark: SparkSession, dir: String,
-      name: String): Snapshot = {
+      name: String): Snapshot =
+    unfenceLoop(spark, dir, name, onlyEpoch = None)
+
+  /** The unfence CAS loop. With `onlyEpoch`, the clear lands only
+    * while the head's fence still equals that epoch AT EACH RETRY —
+    * [[mergeBranch]]'s failure-path cleanup uses this so it can never
+    * strip a RIVAL merge's live fence (the check is part of the CAS
+    * loop, not a one-shot probe ahead of it). */
+  private def unfenceLoop(spark: SparkSession, dir: String,
+      name: String, onlyEpoch: Option[String]): Snapshot = {
     val d = dataDir(dir)
     val target = branchTarget(d, name)
     val f = hadoopFs(spark, d)
@@ -3585,6 +3681,8 @@ object CommitLog {
         throw new IllegalArgumentException(
           s"branch '$name' of $d does not exist"))
       if (!head.props.contains(FenceProp)) return head
+      if (onlyEpoch.exists(e => !head.props.get(FenceProp).contains(e)))
+        return head // the fence is no longer ours — leave it alone
       val clear = head.copy(version = head.version + 1, op = "unfence",
         props = head.props - FenceProp,
         committedAt = System.currentTimeMillis())
@@ -3599,6 +3697,27 @@ object CommitLog {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** STORM-RITUAL ONLY ([[graft.MultiProcStorm]]'s violator role): a
+    * props-tweak commit that deliberately SKIPS [[assertUnfenced]] —
+    * simulating a stale-code writer predating the fence, the one
+    * writer class the fence cannot stop at ITS commit. The merge's
+    * sync CAS is the designed backstop: it must then lose and fail
+    * loudly with the re-fork guidance, which the storm's
+    * fence-violation leg asserts end-to-end across real process
+    * boundaries. Never call from production paths — every real verb
+    * goes through [[commit]] or a guarded direct-CAS. */
+  private[graft] def commitStaleBypassingFence(spark: SparkSession,
+      dir: String, key: String, value: String): Snapshot = {
+    val f = hadoopFs(spark, dir)
+    val head = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no commit log"))
+    val stale = head.copy(version = head.version + 1, op = "stale-write",
+      props = head.props + (key -> value),
+      committedAt = System.currentTimeMillis())
+    casWrite(f, versionFile(dir, stale.version), render(stale))
+    stale
   }
 
   /** DEEP CLONE: materialize `srcDir` (or its branch — any readable

@@ -370,4 +370,61 @@ class RebaseSpec extends AnyFunSuite {
     assert(CommitLog.unfenceBranch(spark, dir, "exp").props
       .get(CommitLog.FenceProp).isEmpty) // no-op on an unfenced branch
   }
+
+  test("SELF-HEALING merge recovery: a merge killed between adoption " +
+    "and sync leaves the branch fenced — re-running mergeBranch " +
+    "finishes the sync itself, no unfence, no re-fork") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "exp")
+    val t = CommitLog.branchTarget(dir, "exp")
+    // main advances; branch diverges
+    CommitLog.append(spark, Seq((5000L, 1L, "d0")).toDF("k", "v", "pd"), dir)
+    CommitLog.append(spark, Seq((7000L, 3L, "d1")).toDF("k", "v", "pd"), t)
+    // the dead merge, reproduced from its own internals and killed
+    // right before the sync commit: fence, rebase under the fence,
+    // adopt into main — then nothing
+    val epoch = "dead0001@0"
+    CommitLog.fenceBranch(spark, dir, "exp", epoch)
+    CommitLog.rebaseBranch(spark, dir, "exp", Some(epoch))
+    val adopted = CommitLog.fastForward(spark, dir, "exp")
+    // the branch is fenced: a plain write refuses with the recovery
+    intercept[IllegalStateException](CommitLog.append(spark,
+      Seq((1L, 1L, "d0")).toDF("k", "v", "pd"), t))
+    val mainBefore = CommitLog.latest(spark, dir).get.version
+    // re-running the SAME CALL heals: the sync completes, the adoption
+    // is returned, and main takes NO second adoption
+    val healed = CommitLog.mergeBranch(spark, dir, "exp")
+    assert(healed.version == adopted.version)
+    assert(CommitLog.latest(spark, dir).get.version == mainBefore,
+      "self-heal must not re-adopt into main")
+    val head = CommitLog.latest(spark, t).get
+    assert(!head.props.contains(CommitLog.FenceProp),
+      "the healing sync must clear the fence")
+    assert(head.props("graft.branch.fork").toLong == adopted.version,
+      "the healed branch must carry the adopted fork marker")
+    // fully usable: a branch write and a NORMAL second merge both flow
+    CommitLog.append(spark, Seq((7001L, 4L, "d0")).toDF("k", "v", "pd"), t)
+    CommitLog.mergeBranch(spark, dir, "exp")
+    assert(rows(dir).contains((7001L, 4L)))
+  }
+
+  test("a branch violated THROUGH the fence never self-heals: " +
+    "mergeBranch stays loud (content-complete adoption detection)") {
+    val dir = freshLake()
+    CommitLog.createBranch(spark, dir, "exp")
+    val t = CommitLog.branchTarget(dir, "exp")
+    CommitLog.append(spark, Seq((5000L, 1L, "d0")).toDF("k", "v", "pd"), dir)
+    CommitLog.append(spark, Seq((7000L, 3L, "d1")).toDF("k", "v", "pd"), t)
+    val epoch = "dead0002@0"
+    CommitLog.fenceBranch(spark, dir, "exp", epoch)
+    CommitLog.rebaseBranch(spark, dir, "exp", Some(epoch))
+    CommitLog.fastForward(spark, dir, "exp")
+    // a stale-code writer (no assertUnfenced in its code path) lands a
+    // commit through the live fence — the branch head no longer matches
+    // the adoption, so self-heal must NOT legitimize it
+    CommitLog.commitStaleBypassingFence(spark, t, "storm.violator", "1")
+    val e = intercept[IllegalStateException](
+      CommitLog.mergeBranch(spark, dir, "exp"))
+    assert(e.getMessage.contains("FENCED"), e.getMessage)
+  }
 }

@@ -55,4 +55,21 @@ if [ "$FAIL" -ne 0 ]; then
 fi
 
 run verify "$LAKE" "$WRITERS" "$PER_WRITER" "$CHURNERS" "$PER_CHURNER"
+
+# ---- fence-violation leg: a stale-code writer (no assertUnfenced in
+# its code path) commits through a LIVE fence from another JVM while
+# the merge is held between adoption and sync — the merge's sync CAS
+# must fail LOUDLY with the re-fork guidance (merger_held exits 0 only
+# on exactly that), main's adoption must stand, and the branch must
+# stay fenced (verify_violation).
+echo "[storm] fence-violation leg…"
+LAKE2="$WORK/lake2"
+run setup "$LAKE2"
+run violator "$LAKE2" & VPID=$!
+for i in $(seq 1 120); do [ -f "$LAKE2.violator_ready" ] && break; sleep 1; done
+[ -f "$LAKE2.violator_ready" ] || { echo "[storm] FAILED: violator never became ready"; exit 1; }
+( export GRAFT_MERGE_SYNC_HOLD_MS=6000; run merger_held "$LAKE2" ) \
+  || { echo "[storm] FAILED: violation leg (merger_held)"; exit 1; }
+wait "$VPID" || { echo "[storm] FAILED: violator exited non-zero"; exit 1; }
+run verify_violation "$LAKE2"
 echo "[storm] PASS"
