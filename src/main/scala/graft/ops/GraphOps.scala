@@ -103,9 +103,17 @@ object GraphOps {
     * equivalent of a recursive CTE with min-depth dedup).
     *
     * Shape: one join + distinct + anti-join per level, every one keyed
-    * on the node id; the frontier shrinks to new nodes only, and
-    * `localCheckpoint` caps plan growth per level exactly like
-    * [[pageRankInt]]. Depth is bounded by the caller — unbounded
+    * on the node id. The visited set is kept as the UNION OF THE
+    * ALREADY-CHECKPOINTED frontier legs — each leg is a leaf
+    * (LogicalRDD), so the per-level anti-join's plan stays flat
+    * without re-materializing the whole visited set every hop. The old
+    * scaffold checkpointed `visited ∪ next` each level on top of the
+    * frontier checkpoint, re-writing every discovered row once per
+    * remaining level — O(depth · |visited|) materialized rows; this
+    * shape writes each row exactly once (its own leg) and folds the
+    * old `frontier.isEmpty` probe into the leg's count() — the same
+    * cut that took 19% off q107's scaffold in round 15 (SCALE.md
+    * [q127-scaffold]). Depth is bounded by the caller — unbounded
     * reachability belongs to connected components, not BFS.
     */
   def bfsDepths(edges: DataFrame, src: String, dst: String,
@@ -113,31 +121,41 @@ object GraphOps {
     require(maxDepth >= 1 && sources.nonEmpty, "need sources and depth ≥ 1")
     val spark = edges.sparkSession
     import spark.implicits._
+    // NOT pre-hashed by s (unlike pageRankInt's edge checkpoint): a
+    // seeded BFS frontier is broadcast-sized at every level, so the
+    // per-level join never exchanges the edge side anyway — an upfront
+    // repartition would be a pure extra shuffle (measured -1.7% in the
+    // interleaved A/B; SCALE.md [q127-scaffold])
     val e = edges.select(col(src).cast("long").as("s"),
       col(dst).cast("long").as("d")).localCheckpoint()
     // distinct: a repeated seed would emit duplicate depth-0 rows (the
     // later levels dedup via distinct/anti-join, the seed level must too)
-    var visited = sources.distinct.toDF("node").withColumn("depth", lit(0))
+    val seed = sources.distinct.toDF("node").withColumn("depth", lit(0))
       .localCheckpoint()
-    var frontier = visited
-    for (depth <- 1 to maxDepth if frontier.isEmpty == false) {
+    var legs: List[DataFrame] = List(seed) // newest first, all leaves
+    var frontier = seed
+    var frontierNonEmpty = true
+    var depth = 1
+    while (depth <= maxDepth && frontierNonEmpty) {
+      val visitedNodes = legs.map(_.select(col("node")))
+        .reduce(_ unionAll _)
       val next = e.join(frontier, e("s") === frontier("node"))
         .select(col("d").as("node")).distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .join(visitedNodes, Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
         .localCheckpoint()
-      val grown = visited.unionAll(next).localCheckpoint()
-      // grown is materialized: the prior visited set and the frontier
-      // that produced `next` are both dead (at depth 1 they are the same
-      // checkpoint — release is idempotent)
-      Lifetime.release(frontier)
-      Lifetime.release(visited)
-      visited = grown
+      // one tiny count on the fresh leaf gates the loop (the old code
+      // paid a separate isEmpty job on top of the grown checkpoint)
+      frontierNonEmpty = next.count() > 0
+      if (frontierNonEmpty) legs = next :: legs
+      else Lifetime.release(next) // empty leg: nothing to keep
       frontier = next
+      depth += 1
     }
     Lifetime.release(e)
-    if (frontier ne visited) Lifetime.release(frontier)
-    visited
+    // the result is the union of the leg checkpoints themselves — the
+    // caller's aggregate reads each discovered row from its one leg
+    legs.reverse.reduce(_ unionAll _)
   }
 
   /** Market-basket co-occurrence: undirected item pairs that appear in at
