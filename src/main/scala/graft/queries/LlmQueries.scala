@@ -1007,6 +1007,75 @@ object LlmQueries {
       positives, k = 10, arity = 3, negK = 5)
   }
 
+  // ---------------------------------------------- q203_negatives_hybrid
+  // HYBRID hard-negative mining — the variant whose candidate set RIDES
+  // THE IVF DIAL (round-15 verdict item 6): negatives come from the
+  // RRF-fused ranking (BM25 postings leg + IVF-probed vector leg, the
+  // q197 serving shape), so an embedding-similar non-answer BM25 never
+  // surfaces still enters the mined set through the vector leg —
+  // paraphrase negatives, the kind that actually teach a dense
+  // retriever's margin. q199's lexical miner is probe-INSENSITIVE by
+  // construction (no vector leg exists in its path — its documented
+  // waiver); THIS op is where reduced probes can cost mined-set
+  // recall, so it carries the same Verify recall gate as q197:
+  // recall of the mined (query, negative) pairs at nProbe=3 of 8 vs
+  // the full-probe truth, floor 0.60. Full-probe mining is bit-equal
+  // to mining off q194's corpus-scan fusion, so the DuckDB oracle
+  // (q194's fusion + anti-join + re-rank) hash-matches — routing and
+  // fusion both proven exact, the dial gated.
+  private def q203NegativesHybrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val positives = s.range(0, 5)
+      .select(col("id").as("query_id"),
+        ((col("id") * 17 + 3) % 500).as("doc_id"))
+    def mined(nProbe: Int) = graft.text.Retrieval.hardNegativesHybrid(s,
+      textIndexDir = q160Index(s, d),
+      vecIndexDir = q24Index(s, d),
+      termQueries = q139Queries.filter(_._1 < 5)
+        .toDF("query_id", "term", "pos"),
+      vecQueries = Tables.embeddings(s, d).filter(col("vec_id") < 5),
+      vecIdCol = "vec_id", vecCol = "embedding",
+      positives = positives,
+      k = 10, arity = 3, nProbe = nProbe, negK = 5,
+      // the twin convention: queries ARE corpus vectors (q194/q197)
+      excludeSelf = true)
+    if (sys.props.get("graft.verify.recall").contains("1")) {
+      def pairs(df: DataFrame): Set[(Any, Any)] =
+        df.select(col("query_id"), col("negative_id")).collect()
+          .map(r => (r.get(0), r.get(1))).toSet
+      val exact = pairs(mined(8))
+      val got = pairs(mined(3))
+      val recall = (got intersect exact).size.toDouble / exact.size
+      val floor = 0.60
+      System.err.println(
+        f"[retrieval-recall] q203_negatives_hybrid recall@5=$recall%.4f " +
+          f"floor=$floor%.2f nProbe=3 nList=8 negK=5")
+      require(recall >= floor,
+        f"q203 reduced-probe mined-set recall $recall%.4f fell below " +
+          f"floor $floor%.2f — the mining nProbe dial regressed")
+    }
+    mined(8)
+  }
+
+  private lazy val q203Sql =
+    s"""WITH fused AS ($q194Sql),
+       |p AS (
+       |  SELECT CAST(range AS BIGINT) AS query_id,
+       |    (range * 17 + 3) % 500 AS doc_id
+       |  FROM range(0, 5)),
+       |n AS (
+       |  SELECT f.query_id, f.doc_id, f.rank, f.rrf
+       |  FROM fused f ANTI JOIN p
+       |    ON f.query_id = p.query_id AND f.doc_id = p.doc_id),
+       |r AS (
+       |  SELECT query_id, doc_id AS negative_id, rrf,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY rank) AS neg_rank
+       |  FROM n)
+       |SELECT query_id, negative_id, neg_rank, rrf
+       |FROM r WHERE neg_rank <= 5
+       |ORDER BY query_id, neg_rank""".stripMargin
+
   // --------------------------------------------------- q160_index_search
   // The q139 query batch answered WITHOUT the corpus: a persisted
   // inverted index (graft.text.InvertedIndex) is built once per session
@@ -1559,6 +1628,7 @@ object LlmQueries {
     Q("q139_bm25_batch", q139Bm25Batch, Some(q139Sql)),
     Q("q194_hybrid_rrf", q194HybridRrf, Some(q194Sql)),
     Q("q197_hybrid_routed", q197HybridRouted, Some(q194Sql)),
+    Q("q203_negatives_hybrid", q203NegativesHybrid, Some(q203Sql)),
     Q("q195_hard_negatives", q195HardNegatives, Some(q195Sql)),
     Q("q199_negatives_routed", q199NegativesRouted, Some(q195Sql)),
     Q("q160_index_search", q160IndexSearch, Some(q139Sql)),

@@ -274,6 +274,37 @@ object Retrieval {
     * (q199 shares q195's DuckDB oracle verbatim), so routing is free
     * correctness-wise — and at 100 TB it is the only affordable shape:
     * the corpus-scan twin re-tokenizes everything per mining run. */
+  /** HYBRID hard-negative mining: negatives mined from the RRF-FUSED
+    * candidate ranking ([[hybridTopK]] — Bloom-pruned postings + the
+    * IVF-probed vector cells), not the lexical leg alone. This is the
+    * variant whose candidate generation RIDES THE nProbe DIAL: an
+    * embedding-similar non-answer that BM25 never surfaces (paraphrase
+    * negatives — the hardest kind for a dense retriever) enters the
+    * candidate set through the vector leg, so reduced probes can cost
+    * mined-set recall, and q203 gates that operating point the way
+    * q197 gates fused retrieval. ([[hardNegatives]], by contrast, is
+    * probe-INSENSITIVE by construction: its candidates come from the
+    * postings index only — no vector leg exists in its path, which is
+    * that verb's documented waiver.) `positives` anti-join away after
+    * fusion; survivors re-rank 1..`negK` by fused rank. Output:
+    * (query_id, negative_id, neg_rank, rrf). */
+  def hardNegativesHybrid(spark: SparkSession, textIndexDir: String,
+      vecIndexDir: String, termQueries: DataFrame, vecQueries: DataFrame,
+      vecIdCol: String, vecCol: String, positives: DataFrame,
+      k: Int, arity: Int, nProbe: Int, negK: Int, rrfK: Int = 60,
+      excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    hybridTopK(spark, textIndexDir, vecIndexDir, termQueries, vecQueries,
+      vecIdCol, vecCol, k, arity, nProbe, rrfK, excludeSelf)
+      .join(broadcast(positives), Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("rank"))))
+      .filter(col("neg_rank") <= negK)
+      .select(col("query_id"), col("doc_id").as("negative_id"),
+        col("neg_rank"), col("rrf"))
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
+
   def hardNegatives(spark: SparkSession, textIndexDir: String,
       termQueries: DataFrame, positives: DataFrame,
       k: Int, arity: Int, negK: Int): DataFrame = {

@@ -414,6 +414,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"), s"q201 join exploded:\n$p")
   }
 
+  test("q202: the SQL-composed transaction SERVES through graft_txn_read " +
+    "as an ordinary join + aggregate — the CALL leaves no residue in " +
+    "the read plan") {
+    val p = planOf("q202_txn_sql")
+    assert(p.contains("Join") && p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q202 join exploded:\n$p")
+  }
+
+  test("q203: hybrid hard-negative mining reads both INDEXES, never the " +
+    "corpus; positives anti-join away broadcast off the fused ranking") {
+    val p = planOf("q203_negatives_hybrid")
+    assert(!p.contains("documents.parquet"),
+      s"the hybrid mine re-tokenized the corpus:\n$p")
+    assert(p.contains("LeftAnti"), s"positives must anti-join away:\n$p")
+    assert(p.contains("Window"), s"neg_rank must be a window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q181: graft_zorder stays inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import graft.tables.Tables
