@@ -258,25 +258,42 @@ object ScaleProof {
       val nf = mkLake(f, fact, factParts)
       val nr = mkLake(r, ret, retParts)
       LakeTxn.commit(spark, txn, Map(f -> 1L, r -> 1L))
-      // txn 1 seeds the retention rows txn 2 will purge (so the purge
-      // hits exactly the seeded slice's files, not the base table)
-      LakeTxn.writeAll(spark, txn, Seq(
-        LakeTxn.TxnAppend(f, slice(1L, 20000L, shift)),
-        LakeTxn.TxnAppend(r, slice(1L, 2000L, shift))), batchId = 1L)
-      val files = CommitLog.latest(spark, f).get.files.size
-      // txn 2 — THE measured transaction: fact append + retention purge
-      val t0 = System.nanoTime()
-      LakeTxn.writeAll(spark, txn, Seq(
-        LakeTxn.TxnAppend(f, slice(1L, 20000L, shift + Shift)),
-        LakeTxn.TxnDelete(r,
-          col("o_orderkey") >= shift && col("o_orderkey") < shift + 2001L)),
-        batchId = 2L)
-      val dt = (System.nanoTime() - t0) / 1e9
+      // MIN OF 3 identically-shaped reps (ADVICE round 15): the small
+      // family's wall clock is dominated by fixed per-commit overhead
+      // (manifest CAS, job launch), so a single-sample ratio could trip
+      // the gate on one noisy-host outlier with no table-size term
+      // anywhere. Each rep k: an odd txn seeds its OWN retention slice
+      // (so the measured purge always hits real files, never all-miss
+      // metadata), the even txn is the measured fact-append + purge.
+      var dt = Double.MaxValue
+      val files = {
+        // seed rep 0 first so the file count reflects the measured shape
+        LakeTxn.writeAll(spark, txn, Seq(
+          LakeTxn.TxnAppend(f, slice(1L, 20000L, shift)),
+          LakeTxn.TxnAppend(r, slice(1L, 2000L, shift))), batchId = 1L)
+        CommitLog.latest(spark, f).get.files.size
+      }
+      (0 until 3).foreach { k =>
+        val seedShift = shift + (2L * k) * Shift
+        val factShift = shift + (2L * k + 1L) * Shift
+        if (k > 0) LakeTxn.writeAll(spark, txn, Seq(
+          LakeTxn.TxnAppend(f, slice(1L, 20000L, seedShift)),
+          LakeTxn.TxnAppend(r, slice(1L, 2000L, seedShift))),
+          batchId = 2L * k + 1L)
+        val t0 = System.nanoTime()
+        LakeTxn.writeAll(spark, txn, Seq(
+          LakeTxn.TxnAppend(f, slice(1L, 20000L, factShift)),
+          LakeTxn.TxnDelete(r,
+            col("o_orderkey") >= seedShift &&
+              col("o_orderkey") < seedShift + 2001L)),
+          batchId = 2L * k + 2L)
+        dt = math.min(dt, (System.nanoTime() - t0) / 1e9)
+      }
       val gotF = LakeTxn.read(spark, txn, f).count()
       val gotR = LakeTxn.read(spark, txn, r).count()
-      require(gotF == nf + 40000L,
-        s"txn_family/$tag fact drifted: $gotF vs ${nf + 40000L}")
-      require(gotR == nr, // +2000 seeded, −2000 purged
+      require(gotF == nf + 3L * 40000L,
+        s"txn_family/$tag fact drifted: $gotF vs ${nf + 3L * 40000L}")
+      require(gotR == nr, // each rep: +2000 seeded, −2000 purged
         s"txn_family/$tag retention drifted: $gotR vs $nr")
       (dt, nf, nr, files)
     }
@@ -288,7 +305,7 @@ object ScaleProof {
       orders.filter(col("o_orderkey") % 30 === 0),
       orders.filter(col("o_orderkey") % 300 === 0), 4, 2,
       bigShift + 20L * Shift)
-    println(f"[scale] txn_family: identical purge+append txn — " +
+    println(f"[scale] txn_family: identical purge+append txn (min of 3) — " +
       f"$bf%,d-row/$bigFiles-file family $dtBig%.2f s vs " +
       f"${sf2}%,d-row/$smallFiles-file family $dtSmall%.2f s " +
       f"(${bf / math.max(sf2, 1L)}x the rows, ${dtBig / dtSmall}%.2fx the cost)")

@@ -217,7 +217,15 @@ object Retrieval {
         * use, where a query trivially retrieves itself). OFF by
         * default: with an independent query id space the "self" match
         * is a legitimate document that happens to share the number,
-        * and excluding it would silently skew RRF ranks. */
+        * and excluding it would silently skew RRF ranks.
+        *
+        * BEHAVIOR CHANGE (round 15): earlier versions excluded
+        * id-equal hits UNCONDITIONALLY. A caller that relied on the
+        * old implicit exclusion must now pass `excludeSelf = true`
+        * explicitly — with the flag left false, self-hits appear in
+        * the fused ranking. Every in-repo call site was updated; the
+        * flip is called out here because it is invisible at old call
+        * sites. */
       excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // lexical leg: top-k per query from the posting index, re-ranked on
