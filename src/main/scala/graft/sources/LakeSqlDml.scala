@@ -168,15 +168,24 @@ object LakeSqlDml {
   private def parseCall(delegate: ParserInterface,
       verb: String, rawArgs: String,
       session: Option[SparkSession]): LogicalPlan = {
-    // split on commas OUTSIDE single-quoted literals (args are scalar
-    // literals — no nesting, but a string arg may contain a comma)
+    // split on commas OUTSIDE string literals (args are scalar
+    // literals — no nesting, but a string arg may contain a comma).
+    // BOTH literal forms Spark accepts count ('…' and "…"), tracked as
+    // one quote-char state like inLiteral — graft_txn_write specs are
+    // often double-quoted so their inner condition can use '…', and a
+    // comma inside either form must not split the arg. Backslash
+    // escapes skip the next char, so an escaped quote can't toggle.
     def splitArgs(s: String): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer[String]()
       val cur = new StringBuilder
-      var inQ = false
+      var q: Char = 0 // 0 = outside; '\'' or '"' = inside that literal
+      var esc = false
       s.foreach { ch =>
-        if (ch == '\'') { inQ = !inQ; cur += ch }
-        else if (ch == ',' && !inQ) { out += cur.result(); cur.clear() }
+        if (esc) { cur += ch; esc = false }
+        else if (q != 0 && ch == '\\') { cur += ch; esc = true }
+        else if (q != 0) { if (ch == q) q = 0; cur += ch }
+        else if (ch == '\'' || ch == '"') { q = ch; cur += ch }
+        else if (ch == ',') { out += cur.result(); cur.clear() }
         else cur += ch
       }
       out += cur.result()

@@ -471,5 +471,12 @@ class LakeSqlDmlSpec extends AnyFunSuite {
     assert(vBefore == (CommitLog.latest(spark, dim).get.version,
       LakeTxn.latest(spark, txn).get.txn),
       "a rejected spec must publish nothing")
+    // a comma INSIDE a double-quoted spec must not split the argument
+    // (splitArgs tracks both literal forms; the cond here needs its
+    // own commas)
+    spark.sql(s"""CALL graft_txn_write('$txn', 3, "delete|$sales|k IN (1, 9)")""")
+    assert(LakeTxn.read(spark, txn, sales)
+      .select($"k").as[Long].collect().toSet == Set(3L),
+      "the comma-bearing delete condition must survive arg splitting")
   }
 }
