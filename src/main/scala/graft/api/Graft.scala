@@ -651,6 +651,11 @@ object Graft {
     import graft.sources.LakeTxn
     /** A participant at the latest manifest's pinned version. */
     def read(tableDir: String): DataFrame = LakeTxn.read(spark, txnDir, tableDir)
+    /** A participant at a HISTORICAL family cut (manifest seq `t`) —
+      * time travel across cuts; readable as far back as
+      * [[vacuumManifests]] keeps them (their pins are vacuum-proof). */
+    def readAt(t: Long, tableDir: String): DataFrame =
+      LakeTxn.readAt(spark, txnDir, t, tableDir)
     def pinOf(tableDir: String): Long = LakeTxn.pinOf(spark, txnDir, tableDir)
     /** Publish a new family cut (per-table latest versions), atomically. */
     def commit(pins: Map[String, Long], batchId: Option[Long] = None): Unit = {
@@ -675,6 +680,10 @@ object Graft {
         pinOf(indexDir), queries, k, arity)
     def vacuumParticipant(tableDir: String): Seq[String] =
       LakeTxn.vacuumParticipant(spark, txnDir, tableDir)
+    /** Drop all but the newest `keepLast` family cuts — bounds how far
+      * back [[readAt]] reaches. */
+    def vacuumManifests(keepLast: Int = 8): Seq[Long] =
+      LakeTxn.vacuumManifests(spark, txnDir, keepLast)
   }
 
   def txnFamily(spark: org.apache.spark.sql.SparkSession,

@@ -132,6 +132,30 @@ object LakeTvf {
         dirArg("graft_txn_read", args.head),
         dirArg("graft_txn_read", args(1))))
     },
+    "graft_txn_read_at" -> { args =>
+      // time travel across FAMILY CUTS: resolve `tableDir` through the
+      // pins of manifest sequence `txnSeq` — readable as far back as
+      // vacuumManifests keeps cuts, because every retained manifest's
+      // pins are enforced vacuum pin sources (LakeTxn.familyPins)
+      require(args.size == 3, "graft_txn_read_at(txnDir, txnSeq, tableDir)")
+      analyzed(LakeTxn.readAt(SparkSession.active,
+        dirArg("graft_txn_read_at", args.head),
+        longArg("graft_txn_read_at", args(1)),
+        dirArg("graft_txn_read_at", args(2))))
+    },
+    "graft_txn_families" -> { args =>
+      // the participant-side view of family retention: which families
+      // pin THIS table, at which versions — the queryable twin of the
+      // vacuum dry-run's stderr report, so "why does my vacuum keep
+      // version 7" is one SELECT
+      require(args.size == 1, "graft_txn_families(tableDir)")
+      val s = SparkSession.active
+      import s.implicits._
+      analyzed(LakeTxn.familyReport(s,
+        dirArg("graft_txn_families", args.head))
+        .flatMap { case (fam, vs) => vs.map(v => (fam, v)) }
+        .toDF("family_dir", "pinned_version"))
+    },
     "graft_txn_pins" -> { args =>
       // the family's current cut as rows: (table dir, pinned version,
       // that table's latest version) — the triage surface for "is a

@@ -167,10 +167,40 @@ object LakeTxn {
   }
 
   /** Read a participant AT the latest manifest's pin — the consistent-
-    * family read. Works until the participant's vacuum drops the pinned
-    * version (use [[vacuumParticipant]]). */
+    * family read. The pinned version is vacuum-proof by mechanism
+    * ([[familyPins]]). */
   def read(spark: SparkSession, txnDir: String, tableDir: String): DataFrame =
     CommitLog.readAt(spark, tableDir, pinOf(spark, txnDir, tableDir))
+
+  /** The family cut with manifest sequence `t`, exactly — fails loudly
+    * when that manifest was dropped by [[vacuumManifests]] or never
+    * existed (no silent fallback: a historical CUT is a precise claim). */
+  def stateAt(spark: SparkSession, txnDir: String, t: Long): State = {
+    val f = fs(spark, txnDir)
+    val p = txnFile(txnDir, t)
+    require(f.exists(p),
+      s"$txnDir holds no manifest t$t — family retention " +
+        s"(vacuumManifests) may have dropped it; available: " +
+        txnNumbers(f, txnDir).mkString(", "))
+    parse(readText(f, p))
+  }
+
+  /** Read a participant AT a HISTORICAL family cut (manifest sequence
+    * `t`) — time travel across family cuts, the multi-table analogue
+    * of [[CommitLog.readAt]]. Every retained manifest's pins are
+    * vacuum-proof ([[familyPins]] feeds ALL retained manifests into
+    * the participant's vacuum), so any cut [[vacuumManifests]] keeps
+    * is readable end to end: reproduce last week's (corpus, index)
+    * pair exactly, not just the latest one. */
+  def readAt(spark: SparkSession, txnDir: String, t: Long,
+      tableDir: String): DataFrame = {
+    val st = stateAt(spark, txnDir, t)
+    val key = graft.plans.ConstraintCatalog.normalize(tableDir)
+    val pin = st.pins.getOrElse(key, throw new IllegalArgumentException(
+      s"$txnDir manifest t$t pins no version for $tableDir (pins: " +
+        st.pins.keys.mkString(", ") + ")"))
+    CommitLog.readAt(spark, tableDir, pin)
+  }
 
   /** Atomically publish a new family cut: `pins` maps each participant
     * dir to the version this transaction made current. CAS on the next

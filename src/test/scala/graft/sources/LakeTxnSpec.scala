@@ -204,6 +204,38 @@ class LakeTxnSpec extends AnyFunSuite {
     assert(legacyRows.toSeq == Seq((key, 1L, -1L)), legacyRows.mkString(","))
   }
 
+  test("family time travel: readAt serves a HISTORICAL cut exactly; " +
+    "every retained cut survives a plain keepLast=1 vacuum; the " +
+    "families TVF names the pins; a dropped manifest is a loud miss") {
+    val w = work()
+    val fact = s"$w/fact"; val txn = s"$w/txnH"
+    Seq((1L, 10.0)).toDF("k", "amt").write.parquet(fact)
+    CommitLog.init(spark, fact)
+    LakeTxn.commit(spark, txn, Map(fact -> 1L), batchId = Some(0L)) // t1
+    CommitLog.append(spark, Seq((2L, 20.0)).toDF("k", "amt"), fact)
+    LakeTxn.commit(spark, txn, Map(fact -> 2L), batchId = Some(1L)) // t2
+    CommitLog.append(spark, Seq((3L, 30.0)).toDF("k", "amt"), fact)
+    LakeTxn.commit(spark, txn, Map(fact -> 3L), batchId = Some(2L)) // t3
+    assert(LakeTxn.readAt(spark, txn, 1L, fact).count() == 1L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_txn_read_at('$txn', 2, '$fact')")
+      .head.getLong(0) == 2L)
+    // plain keepLast=1 vacuum: every RETAINED manifest's pin survives,
+    // so the historical cuts stay readable end to end
+    CommitLog.vacuum(spark, fact, keepLast = 1, staleStagingMs = 0)
+    assert(LakeTxn.readAt(spark, txn, 1L, fact)
+      .select($"k").as[Long].collect().toSet == Set(1L))
+    assert(LakeTxn.readAt(spark, txn, 2L, fact).count() == 2L)
+    val fams = spark.sql(s"SELECT * FROM graft_txn_families('$fact')")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(fams.map(_._2).toSet == Set(1L, 2L, 3L), fams.mkString(","))
+    // the family's own retention bounds the horizon — past it, loud
+    LakeTxn.vacuumManifests(spark, txn, keepLast = 1)
+    val e = intercept[IllegalArgumentException](
+      LakeTxn.readAt(spark, txn, 1L, fact))
+    assert(e.getMessage.contains("no manifest"), e.getMessage)
+  }
+
   test("thread race: two committers serialize through the manifest CAS; " +
       "both cuts land") {
     val w = work()
