@@ -541,6 +541,88 @@ object StreamingQueries {
       |WHERE o_orderkey <= 10000 AND o_orderkey % 7 <> 0
       |GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // ---------------------------------------------- q204_stream_txn_fanout
+  /** ATOMIC MULTI-TABLE STREAMING end to end
+    * ([[StreamingIngest.txnFanoutStream]]): one stream maintains a raw
+    * audit FACT table (every update appended) and a keyed serving STATE
+    * table (newest seq per key) — each micro-batch lands across BOTH as
+    * ONE family cut through [[graft.sources.LakeTxn.writeAll]], the
+    * batch id doubling as the family idempotency key. The v2 updates
+    * stream in three single-file triggers, so cuts genuinely interleave
+    * with reads. Before returning, the query replays the LAST batch id
+    * by hand (must be a manifest-ledger no-op: same head, same pins) and
+    * checks the per-cut atomicity invariant at EVERY retained manifest:
+    * state-sum drift == fact-row growth, which any torn (fact-new,
+    * state-old) pin would break. The DuckDB oracle recomputes the
+    * converged two-table summary from raw `documents`, so the
+    * hash-match proves each update landed exactly once in BOTH tables.
+    * At 100 TB each trigger costs the batch's verbs + one kilobyte
+    * manifest CAS — nothing scales with table size. */
+  private def q204TxnFanout(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{CommitLog, LakeTxn}
+    val work = Files.createTempDirectory("graft_q204_").toString
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+    val v1 = docs.select(col("doc_id").as("id"), col("lang").as("part"),
+      lit(1L).as("seq"), col("n_chars").as("payload_len"))
+    val v2 = docs.select(col("doc_id").as("id"), col("lang").as("part"),
+      lit(2L).as("seq"), (col("n_chars") + 1L).as("payload_len"))
+    val fact = s"$work/fact"; val state = s"$work/state"
+    val txn = s"$work/txn"
+    v1.write.partitionBy("part").parquet(fact)
+    CommitLog.init(s, fact)
+    v1.write.partitionBy("part").parquet(state)
+    CommitLog.init(s, state)
+    LakeTxn.commit(s, txn, Map(fact -> 1L, state -> 1L))
+    v2.repartition(3).write.parquet(s"$work/landing")
+    val updates = s.readStream.schema(v2.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/landing")
+    val verbs = (b: DataFrame) => Seq(
+      LakeTxn.TxnAppend(fact, b),
+      LakeTxn.TxnUpsert(state, b, Seq("id"), "part", Some("seq")))
+    val q = StreamingIngest.txnFanoutStream(updates, txn, verbs,
+      s"$work/chk")
+    try q.processAllAvailable() finally q.stop()
+    val head = LakeTxn.latest(s, txn).get
+    // a replayed batch id must be a full manifest-ledger no-op
+    LakeTxn.writeAll(s, txn, verbs(v2.limit(1)),
+      batchId = head.batches.max)
+    val replayed = LakeTxn.latest(s, txn).get
+    require(replayed.txn == head.txn && replayed.pins == head.pins,
+      s"replayed stream batch moved the family: t${replayed.txn}")
+    // per-cut atomicity: at EVERY retained manifest, the state table's
+    // payload drift equals the fact table's row growth — a torn pin
+    // (fact at N, state at N-1 or vice versa) breaks the equality
+    val baseKeys = LakeTxn.readAt(s, txn, 1L, fact).count()
+    val baseSum = LakeTxn.readAt(s, txn, 1L, state)
+      .agg(sum(col("payload_len"))).head.getLong(0)
+    (2L to head.txn).foreach { t =>
+      val fRows = LakeTxn.readAt(s, txn, t, fact).count()
+      val sSum = LakeTxn.readAt(s, txn, t, state)
+        .agg(sum(col("payload_len"))).head.getLong(0)
+      require(sSum - baseSum == fRows - baseKeys,
+        s"torn cut t$t: state drift ${sSum - baseSum} != " +
+          s"fact growth ${fRows - baseKeys}")
+    }
+    val f = LakeTxn.read(s, txn, fact)
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("fact_rows"),
+        sum(col("payload_len")).as("fact_payload"))
+    LakeTxn.read(s, txn, state)
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("payload_len")).as("state_payload"))
+      .join(f, "part")
+      .orderBy(col("part"))
+  }
+
+  private val q204Sql =
+    """SELECT lang AS part, count(*) AS n_keys,
+      |  CAST(sum(n_chars + 1) AS BIGINT) AS state_payload,
+      |  CAST(2 * count(*) AS BIGINT) AS fact_rows,
+      |  CAST(sum(2 * n_chars + 1) AS BIGINT) AS fact_payload
+      |FROM documents WHERE doc_id < 200
+      |GROUP BY 1 ORDER BY part""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q132_stream_upsert", q132Upsert, None),
     Q("q145_stream_upsert_logged", q145UpsertLogged, None),
@@ -549,5 +631,6 @@ object StreamingQueries {
     Q("q187_stream_table", q187StreamTable, Some(q187Sql)),
     Q("q189_stream_sink", q189StreamSink, Some(q189Sql)),
     Q("q190_cdc_replicate", q190CdcReplicate, Some(q190Sql)),
+    Q("q204_stream_txn_fanout", q204TxnFanout, Some(q204Sql)),
     Q("q133_stream_neardup", q133NearDup, None))
 }

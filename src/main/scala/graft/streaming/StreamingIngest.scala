@@ -416,6 +416,57 @@ object StreamingIngest {
       .start()
   }
 
+  /** ATOMIC MULTI-TABLE STREAMING — one stream maintaining N tables as
+    * ONE transaction per micro-batch: every trigger's writes (any mix
+    * of [[graft.sources.LakeTxn.TxnWrite]] verbs — fact append, keyed
+    * state upsert, retention delete, partition restatement) land
+    * through [[graft.sources.LakeTxn.writeAll]] under the batch id as
+    * the family idempotency key, then ONE manifest CAS pins every
+    * participant's new version. Family readers ([[graft.sources
+    * .LakeTxn.read]]) therefore see each micro-batch's effects across
+    * ALL tables or across NONE — the cross-table exactly-once that
+    * per-table sinks (even logged ones) cannot express, because a crash
+    * between two tables' commits leaves raw readers a torn pair.
+    *
+    * The two idempotency contracts line up by construction:
+    * foreachBatch re-delivers a batch under the SAME id after a crash
+    * (at-least-once), and writeAll's per-table family ledger + manifest
+    * ledger make that replay heal-forward — verbs that committed before
+    * the crash no-op, the rest commit, the manifest pins once. Spark's
+    * micro-batch ids are monotone, which is exactly writeAll's batch-id
+    * contract. Empty triggers are skipped (batch-id gaps are fine under
+    * high-water semantics).
+    *
+    * `writes` builds the verb list FROM the micro-batch (a foreachBatch
+    * frame re-reads its own offsets deterministically, so two verbs
+    * derived from the same batch see identical rows). Append targets
+    * must exist ([[graft.sources.CommitLog.init]] them once); upsert
+    * targets bootstrap on first batch like the single-table sink.
+    *
+    * At 100 TB each trigger costs the verbs themselves — appends are
+    * pure file adds, upserts/deletes copy-on-write of touched files
+    * only — plus one kilobyte manifest CAS; nothing scales with table
+    * size. Typical shape: raw fact audit-append + per-key serving-state
+    * upsert, atomically consistent for downstream family readers. */
+  def txnFanoutStream(
+      updates: DataFrame, txnDir: String,
+      writes: DataFrame => Seq[graft.sources.LakeTxn.TxnWrite],
+      checkpointDir: String): StreamingQuery = {
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val st = graft.sources.LakeTxn.writeAll(
+            batch.sparkSession, txnDir, writes(batch), batchId)
+          println(s"[txn-fanout-stream] batch=$batchId pinned " +
+            s"${st.pins.size} table(s) at manifest t${st.txn}")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Event-time analytics over the flows stream (the reference's 15-minute
     * slots as real tumbling windows + watermarked late-data handling).
     * `flowsWithTs` must carry a `slot_ts` timestamp column. */

@@ -440,4 +440,68 @@ class StreamingIngestSpec extends AnyFunSuite {
       assert(total > 0 && read == 0, s"stats not riding the commit: $read/$total")
     } finally q.stop()
   }
+
+  test("txn fanout stream: each micro-batch pins BOTH tables as one family " +
+      "cut; a crash-replayed batch is a manifest-ledger no-op; every " +
+      "retained cut is cross-table consistent") {
+    import graft.sources.{CommitLog, LakeTxn}
+    implicit val ctx = spark.sqlContext
+    val work = Files.createTempDirectory("txn-fanout").toString
+    val fact = s"$work/fact"; val state = s"$work/state"
+    val txn = s"$work/txn"
+    val base = Seq((1L, "a", 1L, 10L), (2L, "a", 1L, 20L),
+      (3L, "b", 1L, 30L), (4L, "b", 1L, 40L))
+      .toDF("id", "part", "seq", "payload_len")
+    base.write.partitionBy("part").parquet(fact)
+    CommitLog.init(spark, fact)
+    base.write.partitionBy("part").parquet(state)
+    CommitLog.init(spark, state)
+    LakeTxn.commit(spark, txn, Map(fact -> 1L, state -> 1L)) // t1
+    val stream = MemoryStream[(Long, String, Long, Long)]
+    val updates = stream.toDF().toDF("id", "part", "seq", "payload_len")
+    def startQ() = StreamingIngest.txnFanoutStream(updates, txn, b => Seq(
+      LakeTxn.TxnAppend(fact, b),
+      LakeTxn.TxnUpsert(state, b, Seq("id"), "part", Some("seq"))),
+      s"$work/chk")
+    var q = startQ()
+    try {
+      stream.addData((1L, "a", 2L, 11L), (3L, "b", 2L, 31L)) // batch 0 → t2
+      q.processAllAvailable()
+      stream.addData((2L, "a", 2L, 21L)) // batch 1 → t3
+      q.processAllAvailable()
+      val head = LakeTxn.latest(spark, txn).get
+      assert(head.txn == 3L && head.batches == Seq(0L, 1L), s"$head")
+      assert(LakeTxn.pinOf(spark, txn, fact) == 3L &&
+        LakeTxn.pinOf(spark, txn, state) == 3L, "both tables pinned per cut")
+      // crash window: drop Spark's OWN commit record for batch 1, so the
+      // restart re-delivers it under the SAME id — the family's manifest
+      // ledger must make the whole multi-table replay a no-op
+      q.stop()
+      assert(Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$work/chk/commits/1")),
+        "streaming commit-log layout changed; replay simulation broken")
+      Files.deleteIfExists(java.nio.file.Paths.get(s"$work/chk/commits/.1.crc"))
+      q = startQ()
+      q.processAllAvailable()
+      val replayed = LakeTxn.latest(spark, txn).get
+      assert(replayed.txn == head.txn && replayed.pins == head.pins,
+        s"replayed batch moved the family: $replayed")
+      assert(LakeTxn.read(spark, txn, fact).count() == 7L,
+        "audit fact = 4 base + 3 streamed, each exactly once")
+      assert(LakeTxn.read(spark, txn, state)
+        .select($"id", $"payload_len").as[(Long, Long)]
+        .collect().sorted.toSeq ==
+        Seq((1L, 11L), (2L, 21L), (3L, 31L), (4L, 40L)),
+        "serving state = newest seq per key")
+      // per-cut atomicity: state payload drift == fact row growth at
+      // EVERY retained manifest — a torn (fact-new, state-old) pin breaks it
+      (1L to replayed.txn).foreach { t =>
+        val fRows = LakeTxn.readAt(spark, txn, t, fact).count()
+        val sSum = LakeTxn.readAt(spark, txn, t, state)
+          .agg(sum($"payload_len")).head.getLong(0)
+        assert(sSum - 100L == fRows - 4L,
+          s"torn cut t$t: state drift ${sSum - 100L}, fact growth ${fRows - 4L}")
+      }
+    } finally q.stop()
+  }
 }
