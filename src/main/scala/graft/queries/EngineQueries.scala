@@ -1839,6 +1839,51 @@ object EngineQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY lflag""".stripMargin
 
+  // ---------------------------------------------- q205_txn_time_travel
+  // FAMILY TIME TRAVEL under the vacuum contract, end to end: q198's
+  // healed family holds two cuts — t1 pins both participants' BASE
+  // slices (keys <= max/2), t2 the post-transaction state. This query
+  // first runs a PLAIN CommitLog.vacuum(keepLast=1) on both
+  // participants — the operator who has never heard of families — and
+  // then serves the join AT THE HISTORICAL CUT through LakeTxn.readAt.
+  // The DuckDB oracle recomputes t1's state from the raw tables with
+  // the same scale-driven cut (max//2 — integer division on both
+  // engines), so the hash-match proves two things at once every round:
+  // retained manifests' pins are ENFORCED pin sources inside vacuum
+  // itself (the r16 mechanism — the historical versions survive the
+  // wrapper-less vacuum), and a family cut is reproducible EXACTLY:
+  // last cut's (orders, lineitem) pair, not just the latest one. At
+  // 100 TB: readAt is one manifest read + two pinned snapshot reads;
+  // retention stays operator-tunable per family (vacuumManifests)
+  // without any per-table bookkeeping.
+  private def q205TimeTravel(s: SparkSession, d: String): DataFrame = {
+    val (oLake, lLake, txn) = q198Family(s, d)
+    graft.sources.CommitLog.vacuum(s, oLake, keepLast = 1,
+      staleStagingMs = 0)
+    graft.sources.CommitLog.vacuum(s, lLake, keepLast = 1,
+      staleStagingMs = 0)
+    val o = graft.sources.LakeTxn.readAt(s, txn, 1L, oLake)
+    val l = graft.sources.LakeTxn.readAt(s, txn, 1L, lLake)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("lflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        min(col("o_orderkey")).as("min_ok"),
+        max(col("o_orderkey")).as("max_ok"))
+      .orderBy(col("lflag"))
+  }
+
+  private val q205Sql =
+    """SELECT l_returnflag AS lflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_qty,
+      |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderkey <= (SELECT max(o_orderkey)//2 FROM orders)
+      |  AND l_orderkey <= (SELECT max(l_orderkey)//2 FROM lineitem)
+      |GROUP BY 1 ORDER BY lflag""".stripMargin
+
   // -------------------------------------------------- q200_txn_delete
   // THE COMPLIANCE SHAPE as one transaction (LakeTxn.writeAll with a
   // TxnDelete leg): new lineitem facts append WHILE expired orders
@@ -2833,6 +2878,7 @@ object EngineQueries {
     Q("q200_txn_delete", q200TxnDelete, Some(q200Sql)),
     Q("q201_txn_restate", q201TxnRestate, Some(q201Sql)),
     Q("q202_txn_sql", q202TxnSql, Some(q200Sql)),
+    Q("q205_txn_time_travel", q205TimeTravel, Some(q205Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),
