@@ -315,6 +315,91 @@ object ScaleProof {
     spark.range(1).toDF("ok")
   }
 
+  /** round-16: the ATOMIC MULTI-TABLE STREAMING sink's per-trigger
+    * O(churn) claim ([[graft.streaming.StreamingIngest
+    * .txnFanoutStream]]): a 3-trigger drain — each micro-batch a fact
+    * append + a keyed state upsert landing as ONE family cut — runs
+    * against a big family (sf1 orders, ~15M rows/lake) and a ~30×
+    * smaller one with IDENTICAL triggers (the same 20k-row batches,
+    * keyed into their own churn partition — the documented
+    * partition-by-churn-locality contract, so the upsert's
+    * copy-on-write is bounded by the hot partition, never the lake).
+    * Per-trigger cost is the batch's two verbs + one kilobyte manifest
+    * CAS; a table-size term would read as ~30×. Gate: min-of-2 drains
+    * (each a fresh stream/checkpoint/family over the same lakes),
+    * big ≤ 6× small. Exactness per drain: both tables gain exactly
+    * 60k rows and the family head pins one cut per trigger. */
+  private def streamFanout(spark: SparkSession, dst: String): DataFrame = {
+    import graft.sources.{CommitLog, LakeTxn}
+    val work = Files.createTempDirectory("graft_scale_fanout_").toString
+    val orders = spark.read.parquet(s"$dst/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus").as("flag"), lit(1L).as("seq"))
+    def mkLake(path: String, df: DataFrame, parts: Int): Long = {
+      df.repartition(parts).write.partitionBy("flag").parquet(path)
+      CommitLog.init(spark, path)
+      CommitLog.read(spark, path).count()
+    }
+    // identical trigger payloads at both scales: 20k contiguous base
+    // keys, shifted into fresh key space, landing in partition "hot"
+    def triggers(shift: Long): Seq[DataFrame] = (0 until 3).map { i =>
+      orders.filter(col("o_orderkey") >= 1L && col("o_orderkey") <= 20000L)
+        .withColumn("o_orderkey", col("o_orderkey") + shift + i * 1000000L)
+        .withColumn("flag", lit("hot"))
+        .withColumn("seq", lit(2L))
+    }
+    def family(tag: String, base: DataFrame, parts: Int,
+        shift: Long): (Double, Long) = {
+      val f = s"$work/$tag/fact"; val st = s"$work/$tag/state"
+      val nf = mkLake(f, base, parts)
+      mkLake(st, base, parts)
+      var dt = Double.MaxValue
+      (0 until 2).foreach { rep =>
+        val txn = s"$work/$tag/txn$rep"
+        LakeTxn.commit(spark, txn, Map(
+          f -> CommitLog.latest(spark, f).get.version,
+          st -> CommitLog.latest(spark, st).get.version))
+        val landing = s"$work/$tag/landing$rep"
+        val batches = triggers(shift + (rep + 1L) * 10000000L)
+        batches.foreach(_.repartition(1)
+          .write.mode("append").parquet(landing))
+        val before = (CommitLog.read(spark, f).count(),
+          CommitLog.read(spark, st).count())
+        val stream = spark.readStream.schema(batches.head.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing)
+        val t0 = System.nanoTime()
+        val q = graft.streaming.StreamingIngest.txnFanoutStream(
+          stream, txn, b => Seq(
+            LakeTxn.TxnAppend(f, b),
+            LakeTxn.TxnUpsert(st, b, Seq("o_orderkey"), "flag",
+              Some("seq"))),
+          s"$work/$tag/chk$rep")
+        try q.processAllAvailable() finally q.stop()
+        dt = math.min(dt, (System.nanoTime() - t0) / 1e9)
+        val head = LakeTxn.latest(spark, txn).get
+        require(head.txn == 4L, // the seed pin + one cut per trigger
+          s"stream_fanout/$tag rep$rep: ${head.txn - 1} cuts for 3 triggers")
+        val gotF = LakeTxn.read(spark, txn, f).count()
+        val gotS = LakeTxn.read(spark, txn, st).count()
+        require(gotF == before._1 + 60000L && gotS == before._2 + 60000L,
+          s"stream_fanout/$tag rep$rep drifted: fact $gotF (was " +
+            s"${before._1}), state $gotS (was ${before._2})")
+      }
+      (dt, nf)
+    }
+    val (dtBig, bf) = family("big", orders, 64, 0L)
+    val (dtSmall, sf2) = family("small",
+      orders.filter(col("o_orderkey") % 30 === 0), 4, 40L * Shift)
+    println(f"[scale] stream_fanout: identical 3-trigger atomic fan-out " +
+      f"drain (min of 2) — $bf%,d-row family $dtBig%.2f s vs " +
+      f"$sf2%,d-row family $dtSmall%.2f s " +
+      f"(${bf / math.max(sf2, 1L)}x the rows, ${dtBig / dtSmall}%.2fx the cost)")
+    require(dtBig <= dtSmall * 6,
+      f"stream_fanout: a table-size term leaked into the per-trigger " +
+        f"path — $dtBig%.2f s vs $dtSmall%.2f s at ~30x rows")
+    spark.range(1).toDF("ok")
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dst = args.headOption.getOrElse("/tmp/graft_sf1")
@@ -352,6 +437,9 @@ object ScaleProof {
         // round-15: the multi-table transaction's O(batch) claim,
         // measured at two family scales ~30x apart
         "txn_family",
+        // round-16: the atomic multi-table STREAMING sink's per-trigger
+        // claim, measured at two family scales ~30x apart
+        "stream_fanout",
         "backlog_drain")
     // local[8], not local[32]: saturating every advertised CPU trips the
     // host's kernel-side thrash (measured 4-25x inflation at local[32] on
@@ -378,6 +466,7 @@ object ScaleProof {
         else if (name == "rebase_merge") rebaseMerge _
         else if (name == "fallback_scan") fallbackScan _
         else if (name == "txn_family") txnFamily _
+        else if (name == "stream_fanout") streamFanout _
         else SparkEntry.queries(name)
       val t0 = System.nanoTime()
       var rows = -1L
