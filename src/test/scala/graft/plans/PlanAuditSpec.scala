@@ -433,6 +433,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q204: the streaming fan-out family SERVES as two pinned-cut " +
+    "aggregates joined on the partition key — no residue of the " +
+    "per-trigger transaction machinery in the read plan") {
+    val p = planOf("q204_stream_txn_fanout")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q204 join exploded:\n$p")
+  }
+
+  test("q205: the HISTORICAL family cut (readAt t1, post plain-vacuum) " +
+    "SERVES as an ordinary join + aggregate over the pinned snapshots") {
+    val p = planOf("q205_txn_time_travel")
+    assert(p.contains("Join") && p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q205 join exploded:\n$p")
+  }
+
   test("q181: graft_zorder stays inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import graft.tables.Tables
