@@ -103,9 +103,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // bench_threads as a JSON string: SPARK_GRAFT_CPUS admits any
+    // local[...] thread spec (e.g. "*"), which bare would break the
+    // artifact's JSON
     val host = s"""{"load_start":$loadStart,"load_end":${benchLoadAvg()},""" +
       s""""cores":${Runtime.getRuntime.availableProcessors},""" +
-      s""""bench_threads":$cpus}"""
+      s""""bench_threads":"$cpus"}"""
     val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min","failed":$failedJson,"host":$host}"""
     try Files.writeString(Paths.get("BENCH_LAST.json"), json + "\n")
     catch { case e: Throwable =>

@@ -976,6 +976,10 @@ object LlmQueries {
         df.select(col("query_id"), col("doc_id")).collect()
           .map(r => (r.get(0), r.get(1))).toSet
       val exact = pairs(routed(8))
+      require(exact.nonEmpty,
+        "q197 recall gate: the full-probe truth set is EMPTY — the " +
+          "fixture scale produced no fused pairs, so the dial cannot " +
+          "be measured (this is a fixture problem, not a routing one)")
       val got = pairs(routed(3))
       val recall = (got intersect exact).size.toDouble / exact.size
       val floor = 0.60
@@ -1044,6 +1048,10 @@ object LlmQueries {
         df.select(col("query_id"), col("negative_id")).collect()
           .map(r => (r.get(0), r.get(1))).toSet
       val exact = pairs(mined(8))
+      require(exact.nonEmpty,
+        "q203 recall gate: the full-probe truth set is EMPTY — the " +
+          "fixture scale produced no mined pairs, so the dial cannot " +
+          "be measured (this is a fixture problem, not a mining one)")
       val got = pairs(mined(3))
       val recall = (got intersect exact).size.toDouble / exact.size
       val floor = 0.60

@@ -560,7 +560,7 @@ object StreamingQueries {
     * manifest CAS — nothing scales with table size. */
   private def q204TxnFanout(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{CommitLog, LakeTxn}
-    val work = Files.createTempDirectory("graft_q204_").toString
+    val work = QueryFixtures.tempWork("q204")
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
     val v1 = docs.select(col("doc_id").as("id"), col("lang").as("part"),
       lit(1L).as("seq"), col("n_chars").as("payload_len"))

@@ -4578,7 +4578,11 @@ object CommitLog {
     * uncommitted data files and pre-CAS manifests ([[commit]] writes the
     * manifest before the version-file CAS), and a dropped version's
     * files that a concurrent [[restore]] read moments ago and is about
-    * to re-reference. Crashed residue ages out of a later vacuum
+    * to re-reference. On tables registered in a transaction FAMILY the
+    * fence also covers young version files: an in-flight
+    * [[LakeTxn.writeAll]] leg's pin is invisible until the family
+    * manifest CAS lands, so young versions stay readable rather than
+    * being dropped into that window. Crashed residue ages out of a later vacuum
     * (default floor 24 h — longer than any sane write); operators that
     * KNOW no writer is live can pass `staleStagingMs = 0` for immediate
     * reclamation. The floor trades reclamation latency for writer
@@ -4613,10 +4617,27 @@ object CommitLog {
     // (a family may pin a branch head), refs tree shared per table.
     val famPinned = LakeTxn.familyPins(spark, dir).filter(versions.contains)
     val pinned = refPinned ++ famPinned
+    // ON FAMILY PARTICIPANTS ONLY, the uniform age fence extends to the
+    // version files themselves: a young unpinned version may be an
+    // in-flight LakeTxn.writeAll leg racing toward its family-manifest
+    // CAS — its pin is INVISIBLE to familyPins until that CAS lands, so
+    // dropping the version file here would break every family reader
+    // the moment the manifest pins it (the one window the pin-source
+    // mechanism alone cannot see). Young versions stay fully readable
+    // and age out of a later vacuum, exactly like staged writes; tables
+    // registered in no family keep the immediate keepLast semantics
+    // (time-travel bounds apply the moment vacuum runs).
+    val famParticipant = LakeRefs.familiesOf(spark, dir).nonEmpty
+    def youngVersion(v: Long): Boolean = famParticipant && {
+      try now - f.getFileStatus(versionFile(dir, v))
+        .getModificationTime <= staleStagingMs
+      catch { case _: java.io.FileNotFoundException => false }
+    }
     val (dropRaw, keepTail) =
       versions.splitAt(math.max(0, versions.size - keepLast))
-    val dropV = dropRaw.filterNot(pinned)
-    val keepV = dropRaw.filter(pinned) ++ keepTail
+    val dropV = dropRaw.filterNot(v => pinned(v) || youngVersion(v))
+    val dropSet = dropV.toSet
+    val keepV = dropRaw.filterNot(dropSet) ++ keepTail
     // corrupt-tolerant parse: a crashed writer's truncated version file
     // (the exact residue latest() skips with a warning) must not block
     // reclamation forever. A corrupt DROPPED file contributes no refs

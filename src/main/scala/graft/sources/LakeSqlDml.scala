@@ -375,8 +375,14 @@ object LakeSqlDml {
       }
       case "upsert" => spec.split("\\|", -1) match {
         case a if a.length == 5 || a.length == 6 =>
-          LakeTxn.TxnUpsert(resolve(a(1)), s.table(a(2).trim),
-            a(3).split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+          // malformed specs must fail HERE, before any verb commits —
+          // an empty key list would otherwise surface mid-transaction,
+          // after earlier verbs already landed under the family identity
+          val keys = a(3).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          if (keys.isEmpty || a(4).trim.isEmpty)
+            bad("upsert|<dir>|<view>|<k1[,k2…]>|<partitionCol>[|<seqCol>] " +
+              "with at least one key column")
+          LakeTxn.TxnUpsert(resolve(a(1)), s.table(a(2).trim), keys,
             a(4).trim,
             if (a.length == 6) Some(a(5).trim) else None)
         case _ =>

@@ -468,6 +468,13 @@ class LakeSqlDmlSpec extends AnyFunSuite {
     assert(badCall(s"append|$dim").getMessage.contains("append|<dir>|<view>"))
     assert(badCall(s"upsert|$dim|txnsql_dim_up|k")
       .getMessage.contains("upsert|<dir>"))
+    // an EMPTY key list is arity-correct but must still fail at parse —
+    // deferring it into writeAll would surface after earlier verbs
+    // already committed under the family identity
+    assert(badCall(s"upsert|$dim|txnsql_dim_up||pd")
+      .getMessage.contains("at least one key column"))
+    assert(badCall(s"upsert|$dim|txnsql_dim_up|k|")
+      .getMessage.contains("at least one key column"))
     assert(vBefore == (CommitLog.latest(spark, dim).get.version,
       LakeTxn.latest(spark, txn).get.txn),
       "a rejected spec must publish nothing")
