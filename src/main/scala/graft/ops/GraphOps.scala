@@ -153,9 +153,18 @@ object GraphOps {
       depth += 1
     }
     Lifetime.release(e)
-    // the result is the union of the leg checkpoints themselves — the
-    // caller's aggregate reads each discovered row from its one leg
-    legs.reverse.reduce(_ unionAll _)
+    // consolidate the legs into ONE leaf and release them: each row is
+    // written once in its leg and once here — still O(1) writes per
+    // row (the old scaffold re-wrote every visited row once per
+    // REMAINING level) — and the query parks exactly one checkpoint,
+    // not depth of them. Parked state must not scale with the query's
+    // shape (the CleanStateSpec cap): a caller holding the raw leg
+    // union would keep depth checkpoints alive for the result's whole
+    // lifetime, which at a 100-session bench is the round-4 graveyard
+    // all over again.
+    val out = legs.reverse.reduce(_ unionAll _).localCheckpoint()
+    legs.foreach(l => Lifetime.release(l))
+    out
   }
 
   /** Market-basket co-occurrence: undirected item pairs that appear in at

@@ -169,6 +169,46 @@ class LakeTxnSpec extends AnyFunSuite {
     assert(servedScores(index, txn).nonEmpty)
   }
 
+  test("the age fence covers young VERSION FILES on family participants: " +
+    "a version committed moments ago (an in-flight writeAll leg whose " +
+    "manifest has not landed) survives a concurrent plain vacuum") {
+    val w = work()
+    val (corpus, _, txn) = family(w)
+    // an in-flight family transaction just committed this leg — its pin
+    // is INVISIBLE to familyPins until the family manifest CAS lands
+    CommitLog.upsert(spark,
+      Seq((2L, "hash merge window v2", "en")).toDF("doc_id", "text", "part"),
+      corpus, Seq("doc_id"), "part")
+    val inFlight = CommitLog.latest(spark, corpus).get.version
+    // direct traffic lands on top, so keepLast=1 targets the in-flight
+    // version for reclamation
+    CommitLog.append(spark,
+      Seq((9L, "tail traffic", "en")).toDF("doc_id", "text", "part"), corpus)
+    // DEFAULT fence: the young unpinned version must NOT be reclaimed —
+    // before this fix the version FILE was dropped immediately (only
+    // data files honored the fence), breaking the family the moment its
+    // manifest landed
+    CommitLog.vacuum(spark, corpus, keepLast = 1)
+    assert(CommitLog.readAt(spark, corpus, inFlight).count() == 3L,
+      "plain vacuum reclaimed the in-flight leg's young version file")
+    // ...and the manifest CAS can now land pinning it; family reads serve
+    LakeTxn.commit(spark, txn, Map(corpus -> inFlight), batchId = Some(1L))
+    assert(LakeTxn.read(spark, txn, corpus).count() == 3L)
+    // the operator-asserted zero floor keeps the immediate semantics
+    // (no writer is live): a young unpinned version goes at once
+    CommitLog.append(spark,
+      Seq((10L, "drop me", "en")).toDF("doc_id", "text", "part"), corpus)
+    val droppable = CommitLog.latest(spark, corpus).get.version
+    CommitLog.append(spark,
+      Seq((11L, "keep me", "en")).toDF("doc_id", "text", "part"), corpus)
+    CommitLog.vacuum(spark, corpus, keepLast = 1, staleStagingMs = 0)
+    intercept[IllegalArgumentException] {
+      CommitLog.readAt(spark, corpus, droppable)
+    }
+    // the family-pinned cut is untouched by the zero-floor pass
+    assert(LakeTxn.read(spark, txn, corpus).count() == 3L)
+  }
+
   test("manifest dirs map: graft_txn_pins resolves latest_version " +
     "through the ORIGINAL dir; legacy manifests without dirs still " +
     "parse and fall back to the key") {
@@ -234,6 +274,40 @@ class LakeTxnSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       LakeTxn.readAt(spark, txn, 1L, fact))
     assert(e.getMessage.contains("no manifest"), e.getMessage)
+  }
+
+  test("changesBetween: the cut-to-cut diff is exactly the moved " +
+    "participant's churn; an unmoved participant diffs to an EMPTY " +
+    "feed, not an error") {
+    val w = work()
+    val (corpus, index, txn) = family(w)
+    // cut t2 moves ONLY the corpus (doc 2 rewritten)
+    CommitLog.upsert(spark,
+      Seq((2L, "hash merge window v2", "en")).toDF("doc_id", "text", "part"),
+      corpus, Seq("doc_id"), "part")
+    LakeTxn.commit(spark, txn, Map(
+      corpus -> CommitLog.latest(spark, corpus).get.version,
+      index -> LakeTxn.pinOf(spark, txn, index)), batchId = Some(1L))
+    val got = LakeTxn.changesBetween(spark, txn, 1L, 2L, corpus,
+        Seq("doc_id"))
+      .select($"_change_type", $"doc_id", $"text")
+      .as[(String, Long, String)].collect().toSet
+    assert(got == Set(
+      ("update_preimage", 2L, "hash merge window"),
+      ("update_postimage", 2L, "hash merge window v2")),
+      s"the diff must be exactly the rewritten row's pair: $got")
+    // index pin unchanged between the cuts → empty feed, CDC schema
+    val idle = LakeTxn.changesBetween(spark, txn, 1L, 2L, index,
+      Seq("term"))
+    assert(idle.columns.contains("_change_type"))
+    assert(idle.count() == 0L,
+      "an unmoved participant must diff to nothing")
+    // the SQL twin serves the same rows
+    val viaSql = spark.sql(
+      s"SELECT _change_type, doc_id FROM " +
+        s"graft_txn_changes('$txn', 1, 2, '$corpus', 'doc_id')")
+      .as[(String, Long)].collect().toSet
+    assert(viaSql == Set(("update_preimage", 2L), ("update_postimage", 2L)))
   }
 
   test("thread race: two committers serialize through the manifest CAS; " +
