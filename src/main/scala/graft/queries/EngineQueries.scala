@@ -2055,6 +2055,39 @@ object EngineQueries {
          |GROUP BY lflag ORDER BY lflag""".stripMargin)
   }
 
+  // --------------------------------------------------- q206_txn_changes
+  // CUT-TO-CUT CDC THROUGH THE MANIFEST: "what did the compliance
+  // transaction change in orders?" answered as a keyed change feed
+  // BETWEEN FAMILY CUTS (LakeTxn.changesBetween → the graft_txn_changes
+  // TVF) — the diff twin of q205's readAt time travel. The q200 family
+  // holds cut t1 (pre-purge) and t2 (post purge+append); diffing the
+  // orders participant t1→t2 yields exactly the purged status-F rows as
+  // `delete` pre-images, which the DuckDB oracle recomputes from the
+  // raw table (WHERE o_orderstatus = 'F') — the hash-match proves the
+  // feed is precisely the transaction's effect, nothing more, nothing
+  // missed. A participant whose pin didn't move diffs to an EMPTY feed
+  // (pinned in LakeTxnSpec). At 100 TB: resolves two kilobyte
+  // manifests, then reads only the commits' touched partitions at two
+  // pinned versions — churn-sized, never the lake.
+  private def q206TxnChanges(s: SparkSession, d: String): DataFrame = {
+    val (oLake, _, txn) = q200Family(s, d)
+    s.sql(
+      s"""SELECT _change_type AS change, flag, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price,
+         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+         |FROM graft_txn_changes('$txn', 1, 2, '$oLake', 'o_orderkey')
+         |GROUP BY 1, 2 ORDER BY change, flag""".stripMargin)
+  }
+
+  private val q206Sql =
+    """SELECT 'delete' AS change, o_orderstatus AS flag, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY 2 ORDER BY change, flag""".stripMargin
+
   // ------------------------------------------------------- q181_zorder
   // Z-order clustering end-to-end: a lineitem slice is rewritten by
   // CALL graft_compact_zorder on (l_partkey, l_suppkey), then served
@@ -2879,6 +2912,7 @@ object EngineQueries {
     Q("q201_txn_restate", q201TxnRestate, Some(q201Sql)),
     Q("q202_txn_sql", q202TxnSql, Some(q200Sql)),
     Q("q205_txn_time_travel", q205TimeTravel, Some(q205Sql)),
+    Q("q206_txn_changes", q206TxnChanges, Some(q206Sql)),
     Q("q167_sql_lake", q167SqlLake, Some(q167Sql)),
     Q("q168_stream_mirror", q168StreamMirror, Some(q168Sql)),
     Q("q77_sql_shipping", q77Shipping, Some(q77Sql)),

@@ -143,6 +143,23 @@ object LakeTvf {
         longArg("graft_txn_read_at", args(1)),
         dirArg("graft_txn_read_at", args(2))))
     },
+    "graft_txn_changes" -> { args =>
+      // cut-to-cut CDC at the SQL front door: what changed in ONE
+      // participant between two family cuts (the diff twin of
+      // graft_txn_read_at) — keyCols as a comma list, like the
+      // provider's CDC options
+      require(args.size == 5,
+        "graft_txn_changes(txnDir, fromCut, toCut, tableDir, 'k1[,k2…]')")
+      val keys = strArg("graft_txn_changes", args(4)).split(",")
+        .toSeq.map(_.trim).filter(_.nonEmpty)
+      require(keys.nonEmpty,
+        "graft_txn_changes: at least one key column required")
+      analyzed(LakeTxn.changesBetween(SparkSession.active,
+        dirArg("graft_txn_changes", args.head),
+        longArg("graft_txn_changes", args(1)),
+        longArg("graft_txn_changes", args(2)),
+        dirArg("graft_txn_changes", args(3)), keys))
+    },
     "graft_txn_families" -> { args =>
       // the participant-side view of family retention: which families
       // pin THIS table, at which versions — the queryable twin of the

@@ -202,6 +202,38 @@ object LakeTxn {
     CommitLog.readAt(spark, tableDir, pin)
   }
 
+  /** Keyed CDC for one participant BETWEEN FAMILY CUTS — "what changed
+    * in `tableDir` from cut `fromT` to cut `toT`", the diff twin of
+    * [[readAt]]'s time travel: resolve both cuts' pins and delegate to
+    * [[CommitLog.changeFeed]] (insert / delete / update_pre/postimage
+    * rows, rename-aware, churn-sized reads). A participant whose pin
+    * did not move between the cuts yields an EMPTY feed with the exact
+    * CDC schema — cuts that only moved OTHER tables diff to nothing
+    * here, they don't error. `keyCols` must identify rows uniquely
+    * (the [[CommitLog.changeFeed]] contract). Readable as far back as
+    * BOTH retentions reach: [[vacuumManifests]] must keep the cuts and
+    * the participant's own vacuum the versions between the pins. At
+    * 100 TB this reads the touched partitions at two pinned versions —
+    * never the lake. */
+  def changesBetween(spark: SparkSession, txnDir: String,
+      fromT: Long, toT: Long, tableDir: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(fromT < toT,
+      s"changesBetween needs fromT < toT, got $fromT >= $toT")
+    val key = graft.plans.ConstraintCatalog.normalize(tableDir)
+    def pinAt(t: Long): Long =
+      stateAt(spark, txnDir, t).pins.getOrElse(key,
+        throw new IllegalArgumentException(
+          s"$txnDir manifest t$t pins no version for $tableDir"))
+    val from = pinAt(fromT)
+    val to = pinAt(toT)
+    if (from == to)
+      CommitLog.readAt(spark, tableDir, to).limit(0)
+        .withColumn("_change_type",
+          org.apache.spark.sql.functions.lit(""))
+    else CommitLog.changeFeed(spark, tableDir, from, to, keyCols)
+  }
+
   /** Atomically publish a new family cut: `pins` maps each participant
     * dir to the version this transaction made current. CAS on the next
     * manifest number; on a lost race, re-reads and retries on top of the

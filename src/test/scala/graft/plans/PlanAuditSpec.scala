@@ -451,6 +451,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"), s"q205 join exploded:\n$p")
   }
 
+  test("q206: the cut-to-cut family diff is a keyed full-outer diff of " +
+    "two pinned snapshots' touched partitions — churn-sized, never a " +
+    "lake scan, no join explosion") {
+    val p = planOf("q206_txn_changes")
+    assert(p.contains("HashAggregate"), p)
+    // churn-sized by construction: only the PURGED partition's files
+    // enter the diff at either version — and because the post-image
+    // side of that partition is empty after the purge, Catalyst folds
+    // the keyed full-outer away entirely (empty-relation propagation):
+    // the feed plan is a pruned scan of the pre-image partition, no
+    // join at all. (The keyed FullOuter shape for a genuine update diff
+    // is pinned in LakeTxnSpec's changesBetween test.)
+    assert(p.contains("flag=F"),
+      s"the touched partition must be read:\n$p")
+    assert(!p.contains("flag=O") && !p.contains("flag=P"),
+      s"untouched partitions leaked into the cut-to-cut diff:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q206 diff exploded:\n$p")
+  }
+
   test("q181: graft_zorder stays inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     import graft.tables.Tables
