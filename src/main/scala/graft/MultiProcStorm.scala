@@ -188,6 +188,110 @@ object MultiProcStorm {
         println("[storm] VIOLATION VERIFIED: adoption stands on main, " +
           "branch loudly stale-fenced")
 
+      case "txn_setup" =>
+        // VACUUM-UNDER-TRANSACTION leg: a (fact, state) family whose
+        // writer and a PLAIN default-fence vacuum race from separate
+        // JVMs. The round-16 fix under test: an in-flight writeAll
+        // leg's version is invisible to familyPins until the manifest
+        // CAS lands, so vacuum's age fence must cover young version
+        // files on family participants — without it the vacuumer JVM
+        // reclaims the leg mid-window and every family read breaks.
+        val fact = s"$lake/fact"; val state = s"$lake/state"
+        val seed = spark.range(0, 4)
+          .select(($"id" + 100L).as("k"), lit(0L).as("v"),
+            concat(lit("p"), $"id" % 2).as("pd"))
+        seed.write.partitionBy("pd").parquet(fact)
+        CommitLog.init(spark, fact)
+        seed.write.partitionBy("pd").parquet(state)
+        CommitLog.init(spark, state)
+        graft.sources.LakeTxn.commit(spark, s"$lake/txn",
+          Map(fact -> 1L, state -> 1L), batchId = Some(0L))
+        println("[storm] txn_setup done")
+
+      case "txn_writer" =>
+        import graft.sources.LakeTxn
+        val n = args(2).toInt
+        val fact = s"$lake/fact"; val state = s"$lake/state"
+        val txn = s"$lake/txn"
+        (1 to n).foreach { b =>
+          val batch = Seq(
+            (20000L + b * 10L, b.toLong, "p0"),
+            (20001L + b * 10L, b.toLong, "p1")).toDF("k", "v", "pd")
+          val up = Seq((600L, b.toLong, "p0")).toDF("k", "v", "pd")
+          LakeTxn.writeAll(spark, txn, Seq(
+            LakeTxn.TxnAppend(fact, batch),
+            LakeTxn.TxnUpsert(state, up, Seq("k"), "pd", Some("v"))),
+            batchId = b.toLong)
+          // family retention keeps old cuts from pinning everything
+          // forever — dropping them is what EXPOSES older participant
+          // versions to the racing vacuum
+          if (b % 3 == 0) LakeTxn.vacuumManifests(spark, txn, keepLast = 2)
+        }
+        new java.io.File(lake + "/.writer_done").createNewFile()
+        println(s"[storm] txn_writer committed $n transactions")
+
+      case "txn_vacuumer" =>
+        import graft.sources.LakeTxn
+        val maxIters = args(2).toInt
+        val fact = s"$lake/fact"; val state = s"$lake/state"
+        val txn = s"$lake/txn"
+        val done = new java.io.File(lake + "/.writer_done")
+        var i = 0
+        var extra = 0
+        // keep hammering while the writer lives, plus a few passes after
+        while (extra < 3 && i < maxIters) {
+          if (done.exists()) extra += 1
+          // the operator who has never heard of families: plain
+          // keepLast=1, DEFAULT age fence
+          CommitLog.vacuum(spark, fact, keepLast = 1)
+          CommitLog.vacuum(spark, state, keepLast = 1)
+          // and a family reader in the same loop: must NEVER break, no
+          // matter where the writer is in its leg/manifest window
+          val fc = LakeTxn.read(spark, txn, fact).count()
+          val sc = LakeTxn.read(spark, txn, state).count()
+          require(fc >= 4L && sc >= 4L,
+            s"family read shrank below the seed: fact=$fc state=$sc")
+          i += 1
+          Thread.sleep(50)
+        }
+        println(s"[storm] txn_vacuumer ran $i vacuum+read passes " +
+          "without a broken family read")
+
+      case "txn_verify" =>
+        import graft.sources.LakeTxn
+        val n = args(2).toInt
+        val fact = s"$lake/fact"; val state = s"$lake/state"
+        val txn = s"$lake/txn"
+        val factRows = LakeTxn.read(spark, txn, fact)
+          .select($"k").as[Long].collect()
+        require(factRows.length == 4 + 2 * n &&
+          factRows.distinct.length == factRows.length,
+          s"fact rows ${factRows.length} != model ${4 + 2 * n} or dups")
+        val stateV = LakeTxn.read(spark, txn, state)
+          .filter($"k" === 600L).select($"v").as[Long].collect().toSeq
+        require(stateV == Seq(n.toLong),
+          s"state key 600 at $stateV != last writer value $n")
+        // every RETAINED cut still serves end to end (vacuumManifests
+        // dropped the old ones; the racing vacuum must not have
+        // reclaimed anything a kept manifest pins)
+        val head = LakeTxn.latest(spark, txn).get
+        val fs0 = new org.apache.hadoop.fs.Path(txn)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val kept = fs0.listStatus(new org.apache.hadoop.fs.Path(txn))
+          .toSeq.map(_.getPath.getName)
+          .filter(nm => nm.startsWith("t") && nm.endsWith(".json"))
+          .map(nm => nm.stripPrefix("t").stripSuffix(".json").toLong)
+        kept.foreach { t =>
+          require(LakeTxn.readAt(spark, txn, t, fact).count() >= 4L,
+            s"retained cut t$t unreadable on fact")
+          require(LakeTxn.readAt(spark, txn, t, state).count() >= 4L,
+            s"retained cut t$t unreadable on state")
+        }
+        require(head.txn == kept.max, "head is not the newest manifest")
+        println(s"[storm] TXN-FAMILY VERIFIED: ${factRows.length} fact " +
+          s"rows exact, state converged at v=$n, ${kept.size} retained " +
+          "cuts all readable under the racing plain vacuum")
+
       case "verify" =>
         val writers = args(2).toInt; val perWriter = args(3).toInt
         val churners = args(4).toInt; val perChurner = args(5).toInt

@@ -72,20 +72,42 @@ object DataSkipping {
   private[sources] def dataFiles(spark: SparkSession, dir: String): Set[String] = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = fs.makeQualified(path).toUri.getPath.stripSuffix("/") + "/"
     val out = Set.newBuilder[String]
-    val it = fs.listFiles(path, true)
-    while (it.hasNext) {
-      val p = it.next().getPath
-      if (p.getName.endsWith(".parquet")) {
-        // RAW absolute path (toUri.getPath decodes what toUri encoded):
-        // the canonical spelling every consumer stores and reads by
-        val raw = p.toUri.getPath
-        val rel = raw.stripPrefix(base)
-        if (!rel.split('/').exists(c => c.startsWith("_") || c.startsWith(".")))
-          out += raw
+    // manual walk, NOT fs.listFiles(recursive=true): hidden dirs
+    // (_staging, _graft_log, Spark's _temporary) are pruned BEFORE
+    // descending — the blind recursion statted every in-flight staging
+    // file it was about to discard, which is wasted RPCs at 100 TB and
+    // a crash under live writers (RawLocalFS throws a RuntimeException,
+    // not FileNotFound, when a _temporary file vanishes between list
+    // and stat — the storm's vacuum-under-transaction leg caught it).
+    // Entries that vanish mid-walk in a visible dir are skipped the
+    // same way: a concurrent writer's or vacuum's delete is that
+    // file's OWNER racing ahead, never state this listing must hold.
+    def vanished(e: Throwable): Boolean = e match {
+      case null => false
+      case _: java.io.FileNotFoundException => true
+      case _ => (e.getMessage != null &&
+        (e.getMessage.contains("No such file") ||
+          e.getMessage.contains("does not exist"))) || vanished(e.getCause)
+    }
+    def walk(p: Path): Unit = {
+      val entries =
+        try fs.listStatus(p)
+        catch {
+          case e: Exception if vanished(e) => return
+        }
+      entries.foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath)
+          else if (name.endsWith(".parquet"))
+            // RAW absolute path (toUri.getPath decodes what toUri
+            // encoded): the canonical spelling consumers store
+            out += st.getPath.toUri.getPath
+        }
       }
     }
+    walk(path)
     out.result()
   }
 

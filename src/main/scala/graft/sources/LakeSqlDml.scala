@@ -326,6 +326,17 @@ object LakeSqlDml {
         GraftCallCommand(dir0, s => CommitLog.cloneTable(s, dir0,
           graft.catalog.GraftCatalog.resolveTarget(s, str(1)),
           if (args.size == 3) Some(num(2)) else None).version, "clone")
+      case "txn_vacuum" =>
+        // family retention at the SQL front door — the write twin of
+        // graft_txn_read_at's time travel bound: drop all but the
+        // newest keepLast manifests (LakeTxn.vacuumManifests). Returns
+        // the count of dropped manifests. Participants' own vacuum
+        // keeps every RETAINED manifest's pins readable (familyPins),
+        // so the two retentions stay aligned through this one dial.
+        require(args.size == 2,
+          "CALL graft_txn_vacuum(txnDir, keepLast)")
+        GraftCallCommand(dir0, s => LakeTxn.vacuumManifests(
+          s, dir0, num(1).toInt).size.toLong, "txn-vacuum")
       case "txn_write" =>
         // the MULTI-TABLE ATOMIC WRITE at the SQL front door — the
         // write twin of graft_txn_read/graft_txn_pins: each spec
@@ -344,7 +355,7 @@ object LakeSqlDml {
           "compact_clustered, compact_zorder, compact_where, vacuum, " +
           "restore, tag, publish, branch, branch_drop, branch_ff, " +
           "branch_merge, branch_rebase, branch_unfence, " +
-          "clone, vacuum_dry_run, txn_write")
+          "clone, vacuum_dry_run, txn_write, txn_vacuum")
     }
   }
 

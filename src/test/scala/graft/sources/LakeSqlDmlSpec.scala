@@ -486,4 +486,27 @@ class LakeSqlDmlSpec extends AnyFunSuite {
       .select($"k").as[Long].collect().toSet == Set(3L),
       "the comma-bearing delete condition must survive arg splitting")
   }
+
+  test("CALL graft_txn_vacuum drops old family manifests; retained " +
+    "cuts stay readable, dropped cuts fail loudly") {
+    val w = Files.createTempDirectory("graft_txnvac_").toString
+    val t = s"$w/tbl"; val txn = s"$w/txn"
+    Seq((1L, "a", "p0")).toDF("k", "v", "pd")
+      .write.partitionBy("pd").parquet(t)
+    CommitLog.init(spark, t)
+    LakeTxn.commit(spark, txn, Map(t -> 1L))
+    (2 to 4).foreach { i =>
+      CommitLog.append(spark,
+        Seq((i.toLong, "x", "p0")).toDF("k", "v", "pd"), t)
+      LakeTxn.commit(spark, txn,
+        Map(t -> CommitLog.latest(spark, t).get.version))
+    }
+    val out = spark.sql(s"CALL graft_txn_vacuum('$txn', 2)").collect()
+    assert(out.head.getLong(0) == 2L, s"expected 2 dropped: ${out.toSeq}")
+    // the retained historical cut serves; the dropped one is loud
+    assert(LakeTxn.readAt(spark, txn, 3L, t).count() == 3L)
+    intercept[IllegalArgumentException] {
+      LakeTxn.stateAt(spark, txn, 1L)
+    }
+  }
 }

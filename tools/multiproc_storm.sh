@@ -72,4 +72,24 @@ for i in $(seq 1 120); do [ -f "$LAKE2.violator_ready" ] && break; sleep 1; done
   || { echo "[storm] FAILED: violation leg (merger_held)"; exit 1; }
 wait "$VPID" || { echo "[storm] FAILED: violator exited non-zero"; exit 1; }
 run verify_violation "$LAKE2"
+
+# ---- vacuum-under-transaction leg: a writeAll writer and a PLAIN
+# default-fence vacuum (keepLast=1, the operator who has never heard
+# of families) race from separate JVMs against one (fact, state)
+# family. The vacuumer also family-reads in its loop: a reclaimed
+# in-flight leg (the round-16 version-file age-fence fix) would break
+# a read or a retained cut and fail the gate.
+echo "[storm] vacuum-under-transaction leg…"
+WORK3="$WORK/txnfam"
+mkdir -p "$WORK3"
+run txn_setup "$WORK3"
+run txn_writer "$WORK3" 8 & TW=$!
+run txn_vacuumer "$WORK3" 200 & TV=$!
+TFAIL=0
+wait "$TW" || TFAIL=1
+wait "$TV" || TFAIL=1
+if [ "$TFAIL" -ne 0 ]; then
+  echo "[storm] FAILED: vacuum-under-transaction leg"; exit 1
+fi
+run txn_verify "$WORK3" 8
 echo "[storm] PASS"
