@@ -42,6 +42,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE's coalescing floor (default 1 MB) serializes compute-heavy
+      // stages behind small exchanges onto 1-2 tasks: with
+      // parallelismFirst the target is max(bytes/parallelism,
+      // minPartitionSize), so any exchange under cores·1MB under-fans
+      // while the cluster idles — profiled 1.09 s of q139's tokenize
+      // pipeline on ONE core behind a 1.6 MB exchange (guide §2.6 idle
+      // capacity; OPTIMIZATION_r16.md). 64k keeps small-but-hot
+      // exchanges fanned out to the session's cores; at production
+      // shuffle sizes (≥ cores·1MB) the floor never binds, so the knob
+      // is scale-inert — overridable for A/B via the env.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen/parquet-footer warmup outside the timings

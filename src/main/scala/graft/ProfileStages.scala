@@ -37,6 +37,11 @@ object ProfileStages {
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_EXCLUDE_RULES")
       .foreach(spark.conf.set("spark.sql.optimizer.excludedRules", _))
+    // A/B harness for session-level conf: SPARK_GRAFT_EXTRA_CONF=k=v;k=v
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
 
     val stages = mutable.ArrayBuffer[StageRow]()
     val taskDurs = mutable.Map[Int, mutable.ArrayBuffer[Long]]()

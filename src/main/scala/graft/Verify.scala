@@ -19,6 +19,11 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
       // rejects; read as LongType nanos (graft.tables.Tables normalizes).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same small-exchange fan-out floor as Bench (see Bench.scala) —
+      // results are partitioning-independent, this only matches the
+      // execution shape the bench times
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // ANN approximation quality in the sidecars (round-11 verdict ask):

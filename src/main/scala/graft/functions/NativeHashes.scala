@@ -317,6 +317,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rules: joins the operator-optimization fixed point, so the
     // folded plan is itself optimized further (filter merge, pruning)
     e.injectOptimizerRule(_ => graft.plans.FoldCountOverReplicateRows)
+    e.injectOptimizerRule(_ => graft.plans.RewriteDecimalSumAsScaledLong)
     e.injectOptimizerRule(_ => graft.plans.EliminateRiDimJoin)
     e.injectOptimizerRule(s => new graft.plans.RewriteAggregateOnView(s))
   }

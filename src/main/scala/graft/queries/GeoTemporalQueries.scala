@@ -29,12 +29,27 @@ object GeoTemporalQueries {
   // haversine per pair map-side, then argmin via min(struct(dist, key)) —
   // a partial-aggregatable (map-side combine) pattern that never shuffles
   // the pair matrix, unlike the window row_number idiom.
+  //
+  // The customer side is hashed by c_custkey BEFORE the cross join: the
+  // argmin groupBy needs that exact exchange anyway, and a broadcast
+  // nested-loop join preserves its streamed side's partitioning, so
+  // hoisting it above the join is byte-neutral (the post-join partial
+  // agg emits one row per custkey per partition either way — each key
+  // lives in exactly one partition) while the |cust|·|supp| haversine
+  // evaluation fans out across the session's cores instead of riding
+  // the scan's task layout (guide §2.4 shared exchange; measured 2→1
+  // Exchange and the 1.57 s single-task join stage parallelized —
+  // OPTIMIZATION_r16.md).
   private def q84GeoNearest(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d)
       .filter(col("c_custkey") % 10 === 0)
       .select(col("c_custkey"),
         GeoOps.syntheticLat(col("c_custkey"), 11L).as("c_lat"),
         GeoOps.syntheticLon(col("c_custkey"), 22L).as("c_lon"))
+      // explicit count (the session's core parallelism, not a constant):
+      // without it AQE would coalesce this kilobyte exchange back to one
+      // partition and re-serialize the pair matrix it exists to fan out
+      .repartition(s.sparkContext.defaultParallelism, col("c_custkey"))
     val supp = Tables.supplier(s, d)
       .select(col("s_suppkey"),
         GeoOps.syntheticLat(col("s_suppkey"), 33L).as("s_lat"),

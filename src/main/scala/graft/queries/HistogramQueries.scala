@@ -84,12 +84,22 @@ object HistogramQueries {
   // Skew pattern: fact side salted into 4 buckets, dim side replicated ×4,
   // equi-join on (key, salt) — byte-identical result to the plain join,
   // but a hot orderkey now spreads over 4 reducers.
+  //
+  // SHUFFLE_HASH is pinned: salting only exists for a SHUFFLED join
+  // (the hot key is split across reducers), and at 100 TB the ×salts
+  // replicated dim is never broadcastable anyway — but at bench scale
+  // the planner's size estimate let the exploded dim slip under the
+  // broadcast threshold, collecting 4·|orders| rows to the driver and
+  // building a multi-million-entry hash relation there (profiled as a
+  // ~1.8 s zero-stage wall gap, OPTIMIZATION_r16.md). The hint makes
+  // the executed plan the one the query documents, at every scale.
   private def q45Salted(s: SparkSession, d: String): DataFrame = {
     val salts = 4
     val fact = Tables.lineitem(s, d)
       .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
     val dim = Tables.orders(s, d)
       .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+      .hint("shuffle_hash")
     fact.join(dim, col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
