@@ -33,6 +33,8 @@ object ProfileStages {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_EXCLUDE_RULES")

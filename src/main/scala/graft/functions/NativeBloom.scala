@@ -75,6 +75,26 @@ object NativeBloom {
   private def fromBytes(b: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
 
+  /** Deserialize a committed filter blob for DRIVER-side probing (the
+    * manifest-probe cache in [[graft.sources.CommitLog]]). Reads on the
+    * returned filter are thread-safe (pure bit-array lookups). */
+  def readFilter(b: Array[Byte]): BloomFilter = fromBytes(b)
+
+  /** Driver-side twin of [[BloomMightContain]] over EXTERNAL JVM types
+    * (collected rows carry String/Long, not UTF8String). Must hash
+    * exactly like [[put]]: strings probe their UTF-8 bytes. */
+  def mightContainValue(bf: BloomFilter, v: Any): Boolean = v match {
+    case s: String =>
+      bf.mightContainBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case b: Array[Byte] => bf.mightContainBinary(b)
+    case l: Long => bf.mightContainLong(l)
+    case i: Int => bf.mightContainLong(i.toLong)
+    case s: Short => bf.mightContainLong(s.toLong)
+    case b: Byte => bf.mightContainLong(b.toLong)
+    case other => throw new IllegalArgumentException(
+      s"bloom probe: unsupported value ${if (other == null) "null" else other.getClass}")
+  }
+
   /** graft_bloom_agg(x, expectedItems, fpp): binary Bloom filter over the
     * group's non-null values. Nulls are not inserted — a Bloom filter
     * answers value membership; null presence is the zone-map `nulls_c`

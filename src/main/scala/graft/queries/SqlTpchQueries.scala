@@ -162,11 +162,52 @@ object SqlTpchQueries {
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin
 
+  /** q119's Spark-side plan, rewritten for scale (round 16; the DuckDB
+    * oracle still runs [[q119Sql]] verbatim and hash-matches): the
+    * EXISTS + NOT EXISTS correlated self-joins decorrelate to TWO full
+    * lineitem shuffles plus join machinery, but both subqueries only ask
+    * per-order set questions — "does another supplier exist on this
+    * order" and "is l1's supplier the only late one". Joining the
+    * F-orders once and answering both via collect_set windows over the
+    * SAME l_orderkey partitioning computes the identical row set with
+    * ONE lineitem exchange (the join's, reused by both windows — guide
+    * §2.4): n_supp > 1 ⟺ EXISTS l2 (another distinct supplier),
+    * |late supplier set| = 1 ⟺ NOT EXISTS l3 (l1 is late itself, so the
+    * only late supplier is l1's). Window buffers are bounded by an
+    * order's lineitem count (≤ 7 in TPC-H shape). numwait counts
+    * qualifying l1 ROWS, exactly like the SQL.
+    */
+  private def q119Waiting(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val ordF = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val j = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val qual = j
+      .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("n_late_supp",
+        size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w)))
+      .filter(col("is_late") && col("n_supp") > 1 && col("n_late_supp") === 1)
+      .select(col("l_suppkey"))
+    qual.join(Tables.supplier(s, d),
+        col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     Q("q114_sql_priority", runSql(q114Sql), Some(q114Sql)),
     Q("q115_sql_forecast", runSql(q115Sql), Some(q115Sql)),
     Q("q116_sql_mktshare", runSql(q116Sql), Some(q116Sql)),
     Q("q117_sql_latecount", runSql(q117Sql), Some(q117Sql)),
     Q("q118_sql_smallqty", runSql(q118Sql), Some(q118Sql)),
-    Q("q119_sql_waiting", runSql(q119Sql), Some(q119Sql)))
+    Q("q119_sql_waiting", q119Waiting, Some(q119Sql)))
 }

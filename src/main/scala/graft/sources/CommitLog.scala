@@ -4460,6 +4460,68 @@ object CommitLog {
     tree(0, values.size)
   }
 
+  /** Driver-side manifest-probe cache (round-16 optimization): a
+    * committed manifest is IMMUTABLE (rels are minted per commit), so
+    * its per-file Bloom filters can be decoded once and probed on the
+    * driver for every later [[scanPoint]]/[[scanPointsIn]] against the
+    * same snapshot — index serving (BM25 postings, dedup prefixes, IVF
+    * cells) probes the same manifest once per query batch, and each
+    * Spark-side probe paid a footer-read job plus a filter+collect job
+    * (~100-150 ms of driver latency at any data size, since the probe
+    * is metadata-plane). The cache is SIZE-GATED: a manifest past
+    * [[SmallManifestBytes]] keeps today's distributed path (a web-scale
+    * table's manifest should not live on the driver heap), and at most
+    * [[ProbeCacheEntries]] (path, column) slices stay resident (LRU).
+    * Semantics are byte-identical to the Spark path, including the
+    * null-blob case (a file row without a filter never survives — same
+    * as `bloomMightContain(null) → null → dropped`). */
+  private final val SmallManifestBytes = 16L * 1024 * 1024
+  private final val ProbeCacheEntries = 4
+  private val probeCache =
+    new java.util.LinkedHashMap[String,
+        Seq[(String, org.apache.spark.util.sketch.BloomFilter)]](
+      16, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            Seq[(String, org.apache.spark.util.sketch.BloomFilter)]])
+          : Boolean = size() > ProbeCacheEntries
+    }
+
+  /** Bloom survivors of `values` on column `c`, probed on the DRIVER
+    * when the manifest is small enough; None → caller uses the Spark
+    * path. */
+  private def probeSurvivorsCached(spark: SparkSession, dir: String,
+      m: String, c: String, values: Seq[Any]): Option[Seq[String]] = {
+    val path = logFile(dir, m)
+    val key = s"$path#$c"
+    val cached = probeCache.synchronized(Option(probeCache.get(key)))
+    val entries = cached.orElse {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val len =
+        try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+        catch { case _: Exception => Long.MaxValue }
+      if (len > SmallManifestBytes) None
+      else {
+        val rows = spark.read.parquet(path)
+          .select(col("file"), col(s"bloom_$c")).collect()
+          .flatMap { r =>
+            Option(r.getAs[Array[Byte]](1)) // null blob = never survives
+              .map(b => (r.getString(0), graft.functions.NativeBloom.readFilter(b)))
+          }.toSeq
+        probeCache.synchronized(probeCache.put(key, rows))
+        Some(rows)
+      }
+    }
+    // null probes never admit a file on the Spark path (null OR-branch),
+    // so dropping them here is identical
+    val probes = values.filter(_ != null)
+    entries.map(_.collect {
+      case (f, bf) if probes.exists(v =>
+        graft.functions.NativeBloom.mightContainValue(bf, v)) => f
+    })
+  }
+
   /** Point lookup `c = value` with per-file Bloom-filter pruning. Zone
     * maps prune ranges on the CLUSTERED column; a point probe on any
     * other column overlaps every file's [min,max] and they prune
@@ -4479,10 +4541,13 @@ object CommitLog {
       s"$dir tracks no bloom filter for '$c' (bloomCols=${s.bloomCols})")
     val m = s.manifest.getOrElse(throw new IllegalStateException(
       s"$dir version ${s.version} carries no manifest"))
-    val survivors = spark.read.parquet(logFile(dir, m))
-      .filter(graft.functions.NativeBloom.bloomMightContain(
-        col(s"bloom_$c"), lit(value)))
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val survivors = probeSurvivorsCached(spark, dir, m, c, Seq(value))
+      .getOrElse {
+        spark.read.parquet(logFile(dir, m))
+          .filter(graft.functions.NativeBloom.bloomMightContain(
+            col(s"bloom_$c"), lit(value)))
+          .select(col("file")).collect().map(_.getString(0)).toSeq
+      }
     val df =
       if (survivors.isEmpty) readSnapshot(spark, dir, s).filter(col(c) === value).limit(0)
       else readFiles(spark, dir, s, survivors).filter(col(c) === value)
@@ -4519,9 +4584,12 @@ object CommitLog {
       s"$dir tracks no bloom filter for '$c' (bloomCols=${s.bloomCols})")
     val m = s.manifest.getOrElse(throw new IllegalStateException(
       s"$dir version ${s.version} carries no manifest"))
-    val survivors = spark.read.parquet(logFile(dir, m))
-      .filter(bloomMightAny(c, values))
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val survivors = probeSurvivorsCached(spark, dir, m, c, values)
+      .getOrElse {
+        spark.read.parquet(logFile(dir, m))
+          .filter(bloomMightAny(c, values))
+          .select(col("file")).collect().map(_.getString(0)).toSeq
+      }
     val df =
       if (survivors.isEmpty)
         readSnapshot(spark, dir, s).filter(col(c).isin(values: _*)).limit(0)

@@ -302,11 +302,12 @@ object InvertedIndex {
       }
     val score = (0 until arity).map(p => col(s"s$p")).reduceLeft(_ + _)
 
-    import org.apache.spark.sql.expressions.Window
-    perQueryDoc.select(col("query_id"), id, score.as("raw"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("raw").desc, id)))
-      .filter(col("rn") <= k)
+    // bounded-heap top-k instead of the window re-exchange+sort — same
+    // rationale and rank rule as [[Retrieval.bm25Batch]]'s final stage
+    graft.functions.NativeTopK.topKPerGroup(
+      perQueryDoc.select(col("query_id"), id, score.as("raw")),
+      Seq("query_id"), col("raw"), id, k,
+      sortName = "raw", idName = idCol)
       .select(col("query_id"), id, round(col("raw"), 6).as("score"))
       .orderBy(col("query_id"), col("score").desc, id)
   }
