@@ -48,12 +48,15 @@ object Bench {
       // minPartitionSize), so any exchange under cores·1MB under-fans
       // while the cluster idles — profiled 1.09 s of q139's tokenize
       // pipeline on ONE core behind a 1.6 MB exchange (guide §2.6 idle
-      // capacity; OPTIMIZATION_r16.md). 64k keeps small-but-hot
-      // exchanges fanned out to the session's cores; at production
-      // shuffle sizes (≥ cores·1MB) the floor never binds, so the knob
-      // is scale-inert — overridable for A/B via the env.
+      // capacity). The floor is a trade: lower values fan out hot small
+      // exchanges but multiply per-task overhead on iterative plans
+      // that re-read their checkpoints every round (q127/q107 regressed
+      // 20-40% at 64k). 768k won the A/B across both families
+      // (OPTIMIZATION_r16.md has the sweep); at production shuffle
+      // sizes (≥ cores·1MB) the floor never binds, so the knob is
+      // scale-inert — overridable via the env.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "768k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen/parquet-footer warmup outside the timings

@@ -34,7 +34,7 @@ object ProfileStages {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "768k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_EXCLUDE_RULES")

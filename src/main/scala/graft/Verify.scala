@@ -23,7 +23,7 @@ object Verify {
       // results are partitioning-independent, this only matches the
       // execution shape the bench times
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "768k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // ANN approximation quality in the sidecars (round-11 verdict ask):

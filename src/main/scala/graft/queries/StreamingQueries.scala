@@ -591,17 +591,25 @@ object StreamingQueries {
       s"replayed stream batch moved the family: t${replayed.txn}")
     // per-cut atomicity: at EVERY retained manifest, the state table's
     // payload drift equals the fact table's row growth — a torn pin
-    // (fact at N, state at N-1 or vice versa) breaks the equality
-    val baseKeys = LakeTxn.readAt(s, txn, 1L, fact).count()
-    val baseSum = LakeTxn.readAt(s, txn, 1L, state)
-      .agg(sum(col("payload_len"))).head.getLong(0)
+    // (fact at N, state at N-1 or vice versa) breaks the equality.
+    // All cuts' reads union into TWO jobs (one per table) instead of
+    // two jobs per retained cut — same per-cut requires, ~2·cuts fewer
+    // driver round-trips per invocation (round-16 measure pass).
+    def perCut(table: String, agg: DataFrame => org.apache.spark.sql.Column)
+        : Map[Long, Long] =
+      (1L to head.txn).map { t =>
+        LakeTxn.readAt(s, txn, t, table).select(lit(t).as("__cut"),
+          col("payload_len"))
+      }.reduce(_ unionAll _)
+        .groupBy(col("__cut")).agg(agg(null).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val factRows = perCut(fact, _ => count(lit(1)))
+    val stateSums = perCut(state, _ => sum(col("payload_len")))
+    val (baseKeys, baseSum) = (factRows(1L), stateSums(1L))
     (2L to head.txn).foreach { t =>
-      val fRows = LakeTxn.readAt(s, txn, t, fact).count()
-      val sSum = LakeTxn.readAt(s, txn, t, state)
-        .agg(sum(col("payload_len"))).head.getLong(0)
-      require(sSum - baseSum == fRows - baseKeys,
-        s"torn cut t$t: state drift ${sSum - baseSum} != " +
-          s"fact growth ${fRows - baseKeys}")
+      require(stateSums(t) - baseSum == factRows(t) - baseKeys,
+        s"torn cut t$t: state drift ${stateSums(t) - baseSum} != " +
+          s"fact growth ${factRows(t) - baseKeys}")
     }
     val f = LakeTxn.read(s, txn, fact)
       .groupBy(col("part"))
