@@ -2,6 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Expression-level micro-bench used by the round-16 measure pass
+  * (OPTIMIZATION_r16.md finding 3): times aggregate shapes over the
+  * sf0.1 lineitem with min-of-3 noop writes. Tooling only — not part
+  * of the driver contract. */
 object QuickBench {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
