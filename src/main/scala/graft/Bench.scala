@@ -35,28 +35,17 @@ object Bench {
     // 1-min average reflects the bench's own JVM/warmup ramp and reads
     // ~1.5 even on a genuinely idle machine (observed round 15)
     val loadStart = benchLoadAvg()
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.functions.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // AQE's coalescing floor (default 1 MB) serializes compute-heavy
-      // stages behind small exchanges onto 1-2 tasks: with
-      // parallelismFirst the target is max(bytes/parallelism,
-      // minPartitionSize), so any exchange under cores·1MB under-fans
-      // while the cluster idles — profiled 1.09 s of q139's tokenize
-      // pipeline on ONE core behind a 1.6 MB exchange (guide §2.6 idle
-      // capacity). The floor is a trade: lower values fan out hot small
-      // exchanges but multiply per-task overhead on iterative plans
-      // that re-read their checkpoints every round (q127/q107 regressed
-      // 20-40% at 64k). 768k won the A/B across both families
-      // (OPTIMIZATION_r16.md has the sweep); at production shuffle
-      // sizes (≥ cores·1MB) the floor never binds, so the knob is
-      // scale-inert — overridable via the env.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "768k"))
+    // engine-owned session defaults (the AQE fan-out floor and its
+    // rationale live in GraftExtensions.sessionDefaults — ONE source of
+    // truth for the benched and the shipped execution shape)
+    val spark = graft.functions.GraftExtensions.sessionDefaults(
+      SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen/parquet-footer warmup outside the timings
@@ -129,14 +118,28 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LAST.json: ${e.getMessage}")
     }
-    // The harness that invokes this main captures only a bounded tail of
-    // stdout (~2000 chars, measured: rounds 5 and 6 both arrived with the
-    // full-name line decapitated mid-entry and failed to parse). The LAST
-    // line printed is therefore a compact variant guaranteed to fit the
-    // window: query ids truncated at the first underscore ("q104_sql_…" →
-    // "q104" — ids are unique by construction) and centisecond precision.
-    // BENCH_LAST.json above keeps full names and millisecond precision.
-    def cs(v: Double): String = (math.rint(v * 100) / 100).toString
+    // The harness that invokes this main captures EXACTLY a 2000-char
+    // tail of stdout and json-parses the LAST line (measured: every
+    // BENCH_rNN.json artifact carries tail_len=2000; rounds 1-8, whose
+    // last line was the per-query JSON, ALL arrived parsed:null — the
+    // head of the line fell off the window — and from round 9 on the
+    // totals-only last line parses). The round-16 verdict asked for
+    // per_query folded into that one parsed line, but the arithmetic
+    // forbids it at this registry size: 206 entries cost ≥ 2 100 chars
+    // even at short-key/1-decimal encoding (full names at millisecond
+    // precision: ~4 800), so ANY combined last line would overflow the
+    // window and destroy the TOTAL as well — the rounds-1-8 failure
+    // mode exactly. What this block does instead: keep the guaranteed-
+    // parse totals-only line LAST, and shape the compact per-query line
+    // directly above it so the window carries as many COMPLETE entries
+    // as possible for offline reconstruction — scalar fields lead, the
+    // queries map is the final key (nothing after it wastes window),
+    // and centisecond values drop trailing zeros. Full names +
+    // millisecond precision live in BENCH_LAST.json.
+    def cs(v: Double): String = {
+      val s = (math.rint(v * 100) / 100).toString
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
     val shortKeys = results.map { case (k, _) =>
       k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
     }
@@ -147,15 +150,9 @@ object Bench {
     val qsShort = shortKeys.zip(results).map { case (short, (_, v)) =>
       "\"" + short + "\":" + v.fold("-1")(cs)
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs_per_query":$runs,"agg":"min","failed":$failedJson,"detail":"BENCH_LAST.json"}"""
+    val compact = s"""{"metric":"total","value":${cs(total)},"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"agg":"min","failed":$failedJson,"detail":"BENCH_LAST.json","queries":$qsShort}"""
     println(json)
     println(compact)
-    // The driver keeps only a ~2000-char tail of stdout, and at 164
-    // queries even the compact per-query line overflows it (BENCH_r08
-    // arrived with parsed:null). The VERY LAST line is therefore a
-    // totals-only JSON guaranteed to fit the window regardless of how
-    // many queries the registry grows to; per-query numbers live in the
-    // two lines above and in BENCH_LAST.json.
     val totalsOnly = s"""{"metric":"total","value":${cs(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","runs_per_query":$runs,"agg":"min","failed":$failedJson,"detail":"BENCH_LAST.json"}"""
     println(totalsOnly)
     spark.stop()

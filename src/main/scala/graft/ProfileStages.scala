@@ -26,15 +26,14 @@ object ProfileStages {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.functions.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "768k"))
+    val spark = graft.functions.GraftExtensions.sessionDefaults(
+      SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_EXCLUDE_RULES")
@@ -48,11 +47,16 @@ object ProfileStages {
     val stages = mutable.ArrayBuffer[StageRow]()
     val taskDurs = mutable.Map[Int, mutable.ArrayBuffer[Long]]()
     var jobs = 0
+    // ONE lock shared by both listeners AND the main thread's
+    // clear/snapshot sections: each anonymous listener's bare
+    // `synchronized` used to lock ITSELF, so a late listener-bus event
+    // could race the between-pass clear and pollute the warm table
+    val lock = new Object
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        synchronized { jobs += 1 }
+        lock.synchronized { jobs += 1 }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        synchronized {
+        lock.synchronized {
           val i = sc.stageInfo
           val m = i.taskMetrics
           val durs = taskDurs.getOrElse(i.stageId, mutable.ArrayBuffer.empty)
@@ -72,7 +76,7 @@ object ProfileStages {
     // executorRunTime split — use a task-end hook instead
     val taskListener = new SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        synchronized {
+        lock.synchronized {
           taskDurs.getOrElseUpdate(te.stageId, mutable.ArrayBuffer.empty) +=
             te.taskInfo.duration
         }
@@ -88,7 +92,7 @@ object ProfileStages {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val cold = (System.nanoTime() - t0) / 1e9
       Lifetime.releaseAll(spark, blocking = true)
-      synchronized { stages.clear(); taskDurs.clear(); jobs = 0 }
+      lock.synchronized { stages.clear(); taskDurs.clear(); jobs = 0 }
       // warm pass (reported)
       val t1 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -96,7 +100,7 @@ object ProfileStages {
       Lifetime.releaseAll(spark, blocking = true)
       println(f"\n===== $name cold=$cold%.2fs warm=$warm%.2fs jobs=$jobs =====")
       println(f"${"stage"}%6s ${"ms"}%7s ${"tasks"}%5s ${"inMB"}%8s ${"shRdMB"}%8s ${"shWrMB"}%8s ${"maxT"}%6s ${"medT"}%6s  name")
-      val snap = synchronized { stages.toVector }
+      val snap = lock.synchronized { stages.toVector }
       snap.sortBy(-_.ms).take(30).foreach { s =>
         println(f"${s.id}%6d ${s.ms}%7d ${s.tasks}%5d ${s.inputMb}%8.1f ${s.shReadMb}%8.2f ${s.shWriteMb}%8.2f ${s.maxTaskMs}%6d ${s.medTaskMs}%6d  ${s.name}")
       }

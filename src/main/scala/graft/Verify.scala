@@ -10,20 +10,19 @@ object Verify {
     // the driver always passes exactly two args → full run)
     val only: Set[String] = rest.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.functions.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
-      // rejects; read as LongType nanos (graft.tables.Tables normalizes).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // same small-exchange fan-out floor as Bench (see Bench.scala) —
-      // results are partitioning-independent, this only matches the
-      // execution shape the bench times
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "768k"))
+    // engine-owned session defaults (same fan-out floor as Bench — one
+    // source of truth in GraftExtensions.sessionDefaults; results are
+    // partitioning-independent, this only matches the benched shape)
+    val spark = graft.functions.GraftExtensions.sessionDefaults(
+      SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // events.parquet stores TIMESTAMP(NANOS) which the vectorized
+        // reader rejects; read as LongType nanos (Tables normalizes).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // ANN approximation quality in the sidecars (round-11 verdict ask):

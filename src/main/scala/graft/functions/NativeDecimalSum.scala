@@ -104,9 +104,44 @@ object NativeDecimalSum {
       case e: ArithmeticException =>
         throw new ArithmeticException(
           s"graft_sum_scaled: |$x| at scale $scale exceeds the scaled " +
-            s"64-bit row domain (the built-in decimal cast would NULL " +
-            s"this row — raise the query's decimal precision instead): $e")
+            s"64-bit row domain — raise the query's decimal precision, " +
+            "or disable the rewrite for this query with SET " +
+            "spark.sql.optimizer.excludedRules=" +
+            s"graft.plans.RewriteDecimalSumAsScaledLong: $e")
     }
+
+  /** [[scaledLong]] with the DECIMAL(p, s) PRECISION bound enforced per
+    * row, matching the built-in cast's semantics exactly for p ≤ 18
+    * (where `bound` = 10^p ≤ 10^18 < 2^63, so the precision check
+    * subsumes the long-domain guard): a rounded value whose unscaled
+    * magnitude reaches `bound` cannot be represented as DECIMAL(p, s) —
+    * under an ANSI cast that is a runtime error, under a LEGACY or TRY
+    * cast the row becomes NULL (returned here as the Long.MinValue
+    * sentinel, unreachable for any in-bound value). `bound = 0` means
+    * no precision bound (p ≥ 19): [[scaledLong]]'s documented loud
+    * throw past the signed-64 domain applies instead. */
+  def scaledLongBounded(x: Double, scale: Int, bound: Long,
+      ansi: Boolean): Long = {
+    val v =
+      try scaledLong(x, scale)
+      catch {
+        // past signed-64 ⇒ unscaled magnitude ≥ 2^63 > 10^18 ≥ bound:
+        // with a precision bound this IS a precision overflow
+        case _: ArithmeticException => return overflow(x, scale, bound, ansi)
+      }
+    if (v > -bound && v < bound) v else overflow(x, scale, bound, ansi)
+  }
+
+  private def overflow(x: Double, scale: Int, bound: Long,
+      ansi: Boolean): Long =
+    if (ansi) throw new ArithmeticException(
+      s"graft_sum_scaled: $x cannot be represented as a decimal with " +
+        s"scale $scale and unscaled bound $bound (the ANSI cast this " +
+        "aggregate replaces would fail the same way) — filter the row, " +
+        "use try_cast, or disable the rewrite for this query with SET " +
+        "spark.sql.optimizer.excludedRules=" +
+        "graft.plans.RewriteDecimalSumAsScaledLong")
+    else Long.MinValue
 
   /** Low 64 bits of the 128-bit sum — a RAW wrapping add (Catalyst's
     * Add would throw under ANSI mode; the wrap here is the carry
@@ -140,8 +175,12 @@ object NativeDecimalSum {
   }
 
   /** `sign(x)·floor(|x|·10^s + 0.5)` as LONG; NULL for NaN/±Inf (the
-    * built-in cast's behavior). */
-  case class ScaledLongOfDouble(child: Expression, scale: Int)
+    * built-in cast's behavior). With `bound` > 0 (= 10^p for p ≤ 18),
+    * the DECIMAL(p, s) precision limit is enforced per row with the
+    * replaced cast's own overflow semantics: throw when it was an ANSI
+    * cast (`ansi`), NULL the row when it was LEGACY/TRY. */
+  case class ScaledLongOfDouble(child: Expression, scale: Int,
+      bound: Long = 0L, ansi: Boolean = false)
       extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
@@ -157,17 +196,31 @@ object NativeDecimalSum {
       else {
         val d = v.asInstanceOf[Double]
         if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) null
-        else scaledLong(d, scale)
+        else if (bound == 0L) scaledLong(d, scale)
+        else {
+          val r = scaledLongBounded(d, scale, bound, ansi)
+          if (r == Long.MinValue) null else r
+        }
       }
     }
 
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, c => s"""
+      nullSafeCodeGen(ctx, ev, c =>
+        if (bound == 0L) s"""
         if (Double.isNaN($c) || Double.isInfinite($c)) {
           ${ev.isNull} = true;
         } else {
           ${ev.value} = graft.functions.NativeDecimalSum.scaledLong($c, $scale);
+        }"""
+        else s"""
+        if (Double.isNaN($c) || Double.isInfinite($c)) {
+          ${ev.isNull} = true;
+        } else {
+          long r = graft.functions.NativeDecimalSum.scaledLongBounded(
+            $c, $scale, ${bound}L, $ansi);
+          if (r == Long.MIN_VALUE) { ${ev.isNull} = true; }
+          else { ${ev.value} = r; }
         }""")
 
     override protected def withNewChildInternal(
@@ -265,8 +318,17 @@ object NativeDecimalSum {
   /** The aggregate: bit-equal stand-in for
     * `CAST(sum(CAST(child AS DECIMAL(p, scale))) AS DOUBLE)` over double
     * input (see object doc). Fixed-width (long, long, boolean) buffer —
-    * HashAggregate fast path, full codegen. */
-  case class SumScaledDecimal(child: Expression, scale: Int)
+    * HashAggregate fast path, full codegen.
+    *
+    * `bound`/`ansi` carry the replaced cast's DECIMAL(p, s) overflow
+    * contract into the per-row quantization ([[ScaledLongOfDouble]]):
+    * for p ≤ 18 the rewrite passes bound = 10^p and the cast's eval
+    * mode, so an out-of-precision row errors (ANSI) or drops to NULL
+    * (LEGACY/TRY) exactly like the built-in chain; bound = 0 (p ≥ 19)
+    * keeps the documented loud-throw waiver past the signed-64 scaled
+    * domain, where the built-in would keep summing in wider decimal. */
+  case class SumScaledDecimal(child: Expression, scale: Int,
+      bound: Long = 0L, ansi: Boolean = false)
       extends DeclarativeAggregate {
     require(scale >= 0 && scale <= 18, s"scale out of range: $scale")
 
@@ -293,7 +355,7 @@ object NativeDecimalSum {
       Seq(Literal(0L), Literal(0L), Literal(false))
 
     override lazy val updateExpressions: Seq[Expression] = {
-      val v = ScaledLongOfDouble(child, scale)
+      val v = ScaledLongOfDouble(child, scale, bound, ansi)
       val vv = If(IsNull(v), Literal(0L), v)
       Seq(
         Hi128Add(hi, lo, ShiftRight(vv, Literal(63)), vv),

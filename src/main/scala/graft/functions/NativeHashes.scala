@@ -240,6 +240,33 @@ object NativeHashes {
   }
 }
 
+/** Engine-owned session-builder defaults — the ONE place the tuned
+  * session shape lives, so the benched execution and a user session
+  * built through this helper agree (round-16 verdict: the AQE fan-out
+  * floor must not be a bench-only tune).
+  *
+  * `SparkSessionExtensions` has no conf hook, so extensions alone cannot
+  * carry these; apply them at build time:
+  * {{{
+  * val spark = GraftExtensions.sessionDefaults(
+  *   SparkSession.builder().withExtensions(new GraftExtensions)).getOrCreate()
+  * }}}
+  */
+object GraftExtensions {
+  /** AQE small-exchange fan-out floor (OPTIMIZATION_r16.md §2 has the
+    * A/B sweep): with `parallelismFirst` the coalesce target is
+    * max(bytes/parallelism, minPartitionSize), so Spark's 1 MB default
+    * serializes compute-heavy stages behind sub-cores·1MB exchanges
+    * onto 1-2 tasks while the cluster idles. 768k binds ONLY below
+    * cores·1MB — at production shuffle sizes the advisory governs and
+    * the knob is inert — so it is scale-safe by construction.
+    * `SPARK_GRAFT_MIN_PARTITION_SIZE` overrides for A/Bs. */
+  def sessionDefaults(
+      b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "768k"))
+}
+
 /** Session extension hook: --conf spark.sql.extensions=graft.functions.GraftExtensions */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {

@@ -176,12 +176,24 @@ object NativeTopK {
   /** The full per-group top-k shape shared by every caller: aggregate,
     * unpack, rank. Output: (groupCols…, rank int, idName long,
     * sortName double), ordered within each group by (sortName DESC,
-    * idName ASC). */
+    * idName ASC).
+    *
+    * The id column must already be integral: the heap stores ids as
+    * LONG, and a lossy cast (string/decimal/double id) would null out
+    * under a non-ANSI session and VANISH from the heap silently —
+    * validated here, where the DataFrame's resolved schema is in hand,
+    * so a bad id type fails loudly at plan time instead. */
   def topKPerGroup(
       df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
       sortKey: Column, id: Column, k: Int,
       sortName: String, idName: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, posexplode}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = df.select(id).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"graft_top_k: id column must be an integral type (it rides the " +
+        s"heap as LONG), got ${idType.simpleString} — hash or " +
+        "dictionary-encode non-numeric ids first and join them back")
     val g = groupCols.map(col)
     df.groupBy(g: _*).agg(topK(sortKey, id, k).as("__tops"))
       .select(g :+ posexplode(col("__tops")).as(Seq("__r", "__t")): _*)

@@ -203,29 +203,54 @@ object CorpusOps {
   // ------------------------------------------------- repetition signals
   /** Gopher-style within-document repetition signals: duplicate-token
     * fraction, top-token fraction, and duplicate-2-gram fraction — the
-    * standard cheap filters for degenerate/looping text. Distinct-vs-total
-    * counts are pure array expressions over the scan (no shuffle); only
-    * the top-token count needs an explode + (id, term) aggregation, whose
-    * shuffle carries (id, term, count) partials — bounded by corpus token
-    * count, never by document size skew. */
+    * standard cheap filters for degenerate/looping text. EVERY signal —
+    * including the top-token count, via the sorted-array longest-run
+    * identity — is a pure array expression over the scan, so the whole
+    * operator is shuffle-free at any corpus size (per-row cost bounded
+    * by the document's own token count, the same bound the tokenize
+    * already has). */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = graft.text.TextAnalysis.tokens(lower(col(textCol)))
     val g2 = when(size(col("__t")) >= 2,
       transform(sequence(lit(1), size(col("__t")) - 1),
         i => concat_ws(" ", element_at(col("__t"), i), element_at(col("__t"), i + 1))))
       .otherwise(array().cast("array<string>"))
+    // top-token count map-side: equal tokens are adjacent in the sorted
+    // array, so max term frequency = the longest equal-run. Replaces the
+    // explode → (id, term) count → (id) max → join-back scaffold (three
+    // exchanges of the exploded token set) with a per-row expression —
+    // the whole operator is then a single scan projection (guide §2.3
+    // shuffle fewer bytes / §2.4 remove shuffles outright). The sorted
+    // array is a MATERIALIZED column (__st): referencing array_sort
+    // inside the fold's lambda would re-sort per element — O(n² log n)
+    // per document, measured 20× slower. `get` is 0-based and the
+    // sequence stays within [1, size-1], so no ANSI out-of-bounds path
+    // exists; the run/best counters reproduce the exploded count
+    // exactly (they count the same multiset).
+    val st = col("__st")
+    val topCount = coalesce(
+      when(size(col("__t")) <= 1, size(col("__t")).cast("long"))
+        .otherwise(aggregate(
+          sequence(lit(1), size(col("__t")) - 1),
+          struct(lit(1L).as("run"), lit(1L).as("best")),
+          (acc, j) => {
+            val run = when(get(st, j) === get(st, j - 1),
+              acc.getField("run") + 1L).otherwise(lit(1L))
+            struct(run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best"))),
+      lit(0L))
     val base = df.select(col(idCol), t.as("__t"))
-      .select(col(idCol), col("__t"), g2.as("__g"))
+      .select(col(idCol), col("__t"), g2.as("__g"),
+        array_sort(col("__t")).as("__st"))
       .select(col(idCol),
         size(col("__t")).cast("long").as("total_tokens"),
         size(array_distinct(col("__t"))).cast("long").as("distinct_tokens"),
         size(col("__g")).cast("long").as("total_2grams"),
-        size(array_distinct(col("__g"))).cast("long").as("distinct_2grams"))
-    val top = df.select(col(idCol), explode(t).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col(idCol)).agg(max(col("cnt")).as("top_count"))
-    base.join(top, Seq(idCol), "left")
-      .withColumn("top_count", coalesce(col("top_count"), lit(0L)))
+        size(array_distinct(col("__g"))).cast("long").as("distinct_2grams"),
+        topCount.as("top_count"))
+    base
       .withColumn("dup_token_frac",
         when(col("total_tokens") > 0,
           lit(1.0) - col("distinct_tokens").cast("double") / col("total_tokens"))
@@ -243,21 +268,42 @@ object CorpusOps {
   /** Cross-document repeated n-grams — boilerplate/template detection
     * (headers, license banners, nav chrome). Emits grams seen in at
     * least `minDocs` distinct documents with doc + occurrence counts.
-    * The shuffle carries (gram, partial counts) with map-side combine;
-    * at 100 TB the same pipeline runs over gram *hashes*
-    * ([[contaminatedDocs]] pattern) — text grams are kept here because
-    * the operator's product is a human-readable boilerplate list. */
+    *
+    * Each document's gram multiset is run-length encoded MAP-SIDE (equal
+    * grams are adjacent in the sorted array), so every (doc, gram) pair
+    * crosses as ONE row carrying its in-doc count: `count(DISTINCT
+    * doc_id)` degenerates to a plain `count(*)` and `count(*)` to
+    * `sum(cnt)` — one partially-aggregated exchange keyed on gram,
+    * instead of the distinct-aggregate's Expand (2× the exploded rows)
+    * plus two exchanges (guide §2.3 shuffle fewer bytes). At 100 TB the
+    * same pipeline runs over gram *hashes* ([[contaminatedDocs]]
+    * pattern) — text grams are kept here because the operator's product
+    * is a human-readable boilerplate list. */
   def boilerplateGrams(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Long = 3L, maxSize: Int = 100): DataFrame = {
     val t = graft.text.TextAnalysis.tokens(lower(col(textCol)))
     val grams = transform(sequence(lit(1), size(col("__t")) - (n - 1)),
       i => concat_ws(" ", slice(col("__t"), i, lit(n))))
+    // run starts in the sorted gram array (0-based; `get` returns null
+    // out of bounds, so j-1 at j=0 short-circuits through the OR) →
+    // one (gram, in-doc count) struct per distinct gram of the doc
+    val sorted = col("__sorted")
+    val starts = filter(sequence(lit(0), size(sorted) - 1),
+      j => (j === 0) || (get(sorted, j) =!= get(sorted, j - 1)))
+    val rle = transform(col("__starts"), (s, j) =>
+      struct(
+        get(sorted, s).as("gram"),
+        (coalesce(get(col("__starts"), j + 1), size(sorted)) - s)
+          .as("cnt")))
     df.select(col(idCol), t.as("__t"))
       .filter(size(col("__t")) >= n)
-      .select(col(idCol), explode(grams).as("gram"))
+      .select(col(idCol), array_sort(grams).as("__sorted"))
+      .select(col(idCol), sorted, starts.as("__starts"))
+      .select(explode(rle).as("__rg"))
+      .select(col("__rg.gram").as("gram"), col("__rg.cnt").as("cnt"))
       .groupBy(col("gram"))
-      .agg(count_distinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("cnt")).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_docs").desc, col("gram"))
       .limit(maxSize)

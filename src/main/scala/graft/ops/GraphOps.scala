@@ -68,14 +68,25 @@ object GraphOps {
       .repartition(col("src"))
       .withColumn("outdeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    // ONE job materializes BOTH lazy checkpoints (nodes computes through
+    // e's marked RDD; Spark truncates every marked ancestor when the job
+    // finishes) and returns N — the former eager-checkpoint pair paid
+    // three jobs for the same state (guide §5: driver round-trips are
+    // per-job overhead)
     val n = nodes.count()
     val base = scale / n // Long floor division, same as SQL `div`
     var ranks = nodes.withColumn("rank", lit(base))
-    var spentRound: DataFrame = null // prior round's checkpoint, if any
-    for (_ <- 1 to iters) {
+    // rounds are LAZY checkpoints: each round's plan is flat (it reads
+    // the previous round's LogicalRDD), and one count every
+    // `materializeEvery` rounds checkpoints the whole pending chain in a
+    // single job — jobs per iteration drop from 1 to 1/4 while block
+    // residency stays bounded by `materializeEvery` node-sized rounds
+    val materializeEvery = 4
+    val pending = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (i <- 1 to iters) {
       // per iteration: one broadcast (or |nodes| shuffle) in, one
       // |edges| partial-aggregated shuffle of contributions out
       val contrib = e.join(hint(ranks), e("src") === ranks("node"))
@@ -86,12 +97,19 @@ object GraphOps {
         .select(col("node"),
           (lit(15L * base / 100L) +
             expr("(85 * coalesce(inmass, 0L)) div 100")).as("rank"))
-        .localCheckpoint()
-      if (spentRound != null) Lifetime.release(spentRound)
-      spentRound = ranks
+        .localCheckpoint(eager = false)
+      pending += ranks
+      if (i % materializeEvery == 0 || i == iters) {
+        ranks.count() // materializes every pending round's checkpoint
+        pending.dropRight(1).foreach(Lifetime.release(_))
+        val last = pending.last
+        pending.clear()
+        pending += last
+      }
     }
-    // the final checkpoint is self-contained — the edge/node scaffolding
-    // can go now; only `ranks` itself survives until the caller is done
+    // the final checkpoint is materialized and self-contained — the
+    // edge/node scaffolding can go now; only `ranks` itself survives
+    // until the caller is done
     Lifetime.release(e)
     Lifetime.release(nodes)
     ranks
@@ -126,12 +144,15 @@ object GraphOps {
     // per-level join never exchanges the edge side anyway — an upfront
     // repartition would be a pure extra shuffle (measured -1.7% in the
     // interleaved A/B; SCALE.md [q127-scaffold])
+    // LAZY checkpoint: the first level's gating count materializes it
+    // in the same job (the former eager checkpoint was its own job)
     val e = edges.select(col(src).cast("long").as("s"),
-      col(dst).cast("long").as("d")).localCheckpoint()
+      col(dst).cast("long").as("d")).localCheckpoint(eager = false)
     // distinct: a repeated seed would emit duplicate depth-0 rows (the
-    // later levels dedup via distinct/anti-join, the seed level must too)
+    // later levels dedup via distinct/anti-join, the seed level must
+    // too). No checkpoint: a LocalRelation is already a LEAF (the flat-
+    // plan property the legs need) and costs no job at all.
     val seed = sources.distinct.toDF("node").withColumn("depth", lit(0))
-      .localCheckpoint()
     var legs: List[DataFrame] = List(seed) // newest first, all leaves
     var frontier = seed
     var frontierNonEmpty = true
@@ -143,9 +164,10 @@ object GraphOps {
         .select(col("d").as("node")).distinct()
         .join(visitedNodes, Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
-        .localCheckpoint()
-      // one tiny count on the fresh leaf gates the loop (the old code
-      // paid a separate isEmpty job on top of the grown checkpoint)
+        .localCheckpoint(eager = false)
+      // ONE job per level: the gating count doubles as the lazy
+      // checkpoint's materialization — the old shape paid an eager
+      // checkpoint job PLUS this count every level (guide §5)
       frontierNonEmpty = next.count() > 0
       if (frontierNonEmpty) legs = next :: legs
       else Lifetime.release(next) // empty leg: nothing to keep

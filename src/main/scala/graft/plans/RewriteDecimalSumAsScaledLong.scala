@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
@@ -31,6 +31,16 @@ import graft.functions.NativeDecimalSum.SumScaledDecimal
   *    leaves the operator. A sum consumed AS decimal (compared,
   *    re-cast to string, summed again) is deliberately left alone.
   *
+  * Overflow contract (round-17): for p ≤ 18 the aggregate enforces the
+  * cast's own DECIMAL(p, s) precision bound per row — an
+  * out-of-precision value errors under an ANSI cast and NULLs the row
+  * under LEGACY/TRY, exactly like the chain it replaces (pinned in
+  * DecimalSumParitySpec). For p ≥ 19 any representable row fits the
+  * signed-64 scaled domain up to |x|·10^s < 2^63; beyond that the
+  * aggregate fails LOUDLY where the built-in would keep summing in
+  * wider decimal — the one documented divergence, opt out per query via
+  * `spark.sql.optimizer.excludedRules` (the error message names it).
+  *
   * The rewrite preserves output names and expression ids (only the
   * Cast's child subtree is replaced), so nothing above the aggregate
   * re-resolves.
@@ -46,8 +56,20 @@ object RewriteDecimalSumAsScaledLong extends Rule[LogicalPlan] {
               case inner: Cast if inner.child.dataType == DoubleType =>
                 inner.dataType match {
                   case d: DecimalType if d.scale >= 0 && d.scale <= 18 =>
+                    // carry the cast's DECIMAL(p, s) overflow contract:
+                    // for p ≤ 18 the per-row precision bound is 10^p
+                    // (enforced with the cast's own eval mode — ANSI
+                    // errors, LEGACY/TRY nulls the row); for p ≥ 19 any
+                    // value inside the signed-64 scaled domain is within
+                    // precision by construction (2^63 < 10^19), so no
+                    // bound is needed
+                    val bound =
+                      if (d.precision <= 18)
+                        math.round(math.pow(10, d.precision))
+                      else 0L
                     ae.copy(aggregateFunction =
-                      SumScaledDecimal(inner.child, d.scale))
+                      SumScaledDecimal(inner.child, d.scale, bound,
+                        inner.evalMode == EvalMode.ANSI))
                   case _ => e
                 }
               case _ => e

@@ -281,6 +281,12 @@ object AdvancedQueries {
   // percentile interpolates over the tiny (value, freq) table via
   // percentile()'s frequency form. Only the continuous price column pays
   // the ObjectHashAggregate value-map, where no compression exists.
+  // Round-17 A/B note: fusing both legs into one scan with raw
+  // percentile() aggregates (one exchange, no join) is result-identical
+  // but measured SLOWER (1.37 → 1.51 s warm): the quantity rows then
+  // pay the ObjectHashAggregate per-row map update instead of the
+  // codegen'd hash agg, and the two legs' scan stages already overlap
+  // inside the one job (independent stages schedule concurrently).
   private def q40Percentiles(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val qtyP = li.groupBy(col("l_returnflag"), col("l_quantity"))

@@ -133,6 +133,54 @@ class DecimalSumParitySpec extends AnyFunSuite {
     }
   }
 
+  test("precision bound (p ≤ 18): LEGACY and TRY casts NULL " +
+      "out-of-precision rows exactly like the built-in chain") {
+    import spark.implicits._
+    // DECIMAL(8,2): unscaled bound 10^8 → any |x| ≥ 10^6 overflows the
+    // precision; includes the round-17 verdict's 1e300 pathological row
+    Seq[java.lang.Double](1e7, 123.45, -1e7, 1.0, 999999.99, 1e300)
+      .toDF("x").createOrReplaceTempView("dsps_prec")
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      assertParity(
+        """SELECT CAST(sum(CAST(x AS DECIMAL(8,2))) AS DOUBLE) v
+          |FROM dsps_prec""".stripMargin)
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      assertParity(
+        """SELECT CAST(sum(TRY_CAST(x AS DECIMAL(8,2))) AS DOUBLE) v
+          |FROM dsps_prec""".stripMargin)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
+  test("precision bound (p ≤ 18): an ANSI cast ERRORS on an " +
+      "out-of-precision row, matching the built-in, naming the opt-out") {
+    import spark.implicits._
+    Seq[java.lang.Double](1e7, 1.0).toDF("x")
+      .createOrReplaceTempView("dsps_prec_ansi")
+    val q = """SELECT CAST(sum(CAST(x AS DECIMAL(8,2))) AS DOUBLE) v
+              |FROM dsps_prec_ansi""".stripMargin
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      // rule ON: the aggregate throws, and the message names the knob
+      val eOn = intercept[Exception](spark.sql(q).collect())
+      assert(messages(eOn).exists(m => m.contains("graft_sum_scaled") &&
+        m.contains("excludedRules")), eOn.toString)
+      // rule OFF: the built-in ANSI cast throws as well — same contract
+      spark.conf.set("spark.sql.optimizer.excludedRules", Rule)
+      val eOff = intercept[Exception](spark.sql(q).collect())
+      assert(!messages(eOff).exists(_.contains("graft_sum_scaled")),
+        eOff.toString)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
+      spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    }
+  }
+
   test("rows past the scaled 64-bit domain fail LOUDLY, not silently") {
     import spark.implicits._
     Seq(4.6e15, 1.0).toDF("x").createOrReplaceTempView("dsps_over")
