@@ -77,6 +77,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q63: boilerplate gram counts aggregate map-side before the exchange") {
     val p = planOf("q63_boilerplate")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    // round-17: per-doc RLE makes count(DISTINCT doc_id) a plain count —
+    // exactly ONE data exchange (keyed on gram), no Expand, and the scan
+    // prunes to the text column alone
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"q63 regressed to the two-exchange distinct aggregate:\n$p")
+    assert(!p.contains("Expand"), s"q63 reintroduced Expand:\n$p")
+  }
+
+  test("q62: repetition signals are a pure scan projection — zero " +
+      "exchanges before the output sort") {
+    val p = planOf("q62_repetition")
+    val body = p.split("Sort ").head
+    assert(!body.contains("Exchange hashpartitioning"),
+      s"q62 reintroduced a shuffle (top-count join-back?):\n$p")
+    assert(!p.contains("Join"), s"q62 reintroduced the top-count join:\n$p")
   }
 
   test("q64: sliding windows expand rows, aggregate partial+final") {
